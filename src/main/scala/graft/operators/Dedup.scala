@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for a training-data pipeline (task north star;
+  * SURVEY.md §2.10 X1/X2). Every operator is expressed as DataFrame
+  * transformations so Catalyst plans partial aggregation, pushdown and
+  * AQE for free; nothing collects to the driver.
+  *
+  * Hash-function choice: the text dedup family uses md5 (a pure string
+  * op available in every engine) rather than Spark's murmur3 `hash`,
+  * so results are engine-reproducible and oracle-checkable. md5 on a
+  * short shingle is ~100ns — not the bottleneck next to the shuffle.
+  * Lexicographic MIN over md5 hex strings is a valid uniform MinHash
+  * permutation (md5 is uniform on its 128-bit space; hex encoding is
+  * order-preserving).
+  */
+object Dedup {
+
+  /** X1 exact dedup, deterministic winner: keep the row with the
+    * minimum `keep` value per key group. (`dropDuplicates` keeps an
+    * ARBITRARY row — fine for pure dedup, wrong for reproducible
+    * pipelines, so the library makes the winner explicit.)
+    * One shuffle on `keys`; map-side partial row_number is not
+    * possible, but the window carries only the key + keep columns.
+    */
+  def exact(df: DataFrame, keys: Seq[String], keep: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(keep.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Distinct (id, unit) pairs where unit = distinct token (k=1) or
+    * word k-gram shingle (k>1) of `text`.
+    */
+  def explodedShingles(df: DataFrame, id: String, text: Column, k: Int): DataFrame = {
+    val units =
+      if (k == 1) array_distinct(split(text, " "))
+      else array_distinct(TextFns.shingles(split(text, " "), k))
+    df.select(col(id), explode(units).as("shingle"))
+  }
+
+  /** X2 n-gram Jaccard near-dup via inverted-index join — the scale
+    * path: never forms the |D|² cross product. Pairs are generated
+    * only for docs SHARING a shingle (explode → self-equi-join on the
+    * shingle → count per pair), so cost is Σ_shingle freq², bounded by
+    * dropping shingles more frequent than `maxFreq` (stopword-like
+    * shingles contribute candidates but no discrimination — standard
+    * ANN-join trick; documented cap, applied identically in oracles).
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= minJ.
+    */
+  def ngramJaccard(
+      df: DataFrame, id: String, text: Column,
+      k: Int, minJ: Double, maxFreq: Long = 1000L): DataFrame = {
+    val sh = explodedShingles(df, id, text, k).cache()
+    val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count("*").as("freq"))
+        .filter(col("freq") <= maxFreq && col("freq") >= 2),
+      "shingle")
+    val a = rare.select(col(id).as("id_a"), col("shingle"))
+    val b = rare.select(col(id).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: `bands * rows` independent permutations;
+    * hash h of a shingle s is md5("<h>:<s>"), minhash = min over the
+    * doc's shingles. Output: one row per (id, band) with the band
+    * signature string — group/join on (band, signature) buckets
+    * near-dup candidates (banding theory: P[candidate] = 1-(1-j^r)^b).
+    */
+  def minhashBands(
+      df: DataFrame, id: String, text: Column,
+      k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sh = explodedShingles(df, id, text, k)
+    val mins = (0 until bands * rowsPerBand).map(h =>
+      min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"h$h"))
+    val sig = sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+    val bandRows = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sig.select(col(id), lit(b).cast("long").as("band"),
+        concat_ws(",", cols: _*).as("sig"))
+    }
+    bandRows.reduce(_ unionByName _)
+  }
+
+  /** X2 full MinHash-LSH pipeline: band-bucket candidates, then exact
+    * Jaccard verification on the candidates only. Scale: the only
+    * all-pairs work happens inside a NARROW bucket (docs agreeing on
+    * r independent minhashes), and verification joins the inverted
+    * index restricted to candidate pairs.
+    */
+  def minhashNearDup(
+      df: DataFrame, id: String, text: Column,
+      k: Int, bands: Int, rowsPerBand: Int, minJ: Double): DataFrame = {
+    val bandsDf = minhashBands(df, id, text, k, bands, rowsPerBand)
+    val cand = bandsDf.as("a")
+      .join(bandsDf.as("b"), Seq("band", "sig"))
+      .filter(col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    val sh = explodedShingles(df, id, text, k)
+    val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
+    val inter = cand
+      .join(sh.select(col(id).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
+    cand.join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash signature: 64-bit sign-of-weighted-sum over the doc's
+    * distinct k-gram shingles; bit j comes from bit j of md5(shingle).
+    * Emitted as a 64-char '0'/'1' string (engine-portable; callers
+    * band-slice it with substring for Hamming LSH). Tie (vote sum ==
+    * 0) → '0'. k >= 2 recommended: word ORDER must contribute to the
+    * signature, or any bag-of-words-similar corpus collapses to
+    * near-identical signatures (measured on the test corpus: token
+    * sets give 49k pairs at Hamming<=12 from 500 docs; bigrams give
+    * only the true near-dups).
+    */
+  def simhash(df: DataFrame, id: String, text: Column, k: Int = 2): DataFrame = {
+    val toks = explodedShingles(df, id, text, k)
+      .withColumn("h", md5(col("shingle")))
+    val bits = toks
+      .select(col(id), col("h"), explode(sequence(lit(0), lit(63))).as("j"))
+      .withColumn("hexc", substring(col("h"), (col("j") / 4).cast("int") + 1, lit(1)))
+      .withColumn("v", instr(lit("0123456789abcdef"), col("hexc")) - 1)
+      .withColumn("bit", floor(col("v") / pow(lit(2), lit(3) - pmod(col("j"), lit(4)))).cast("int") % 2)
+      .withColumn("vote", when(col("bit") === 1, 1).otherwise(-1))
+      .groupBy(col(id), col("j")).agg(sum("vote").as("s"))
+      .withColumn("bitc", when(col("s") > 0, lit("1")).otherwise(lit("0")))
+    bits.groupBy(col(id))
+      .agg(concat_ws("", transform(array_sort(collect_list(struct(col("j"), col("bitc")))),
+        x => x.getField("bitc"))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming-band LSH (8 bands × 8 bits) for
+    * candidates, then exact Hamming distance <= maxHamming verified on
+    * the 64-char signatures.
+    */
+  def simhashNearDup(df: DataFrame, id: String, text: Column,
+      maxHamming: Int, k: Int = 2): DataFrame = {
+    val sig = simhash(df, id, text, k)
+    val bands = (0 until 8).map(b =>
+      sig.select(col(id), col("simhash"), lit(b).cast("long").as("band"),
+        substring(col("simhash"), b * 8 + 1, 8).as("bsig")))
+      .reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bsig"))
+      .filter(col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"a.simhash").as("sig_a"),
+        col(s"b.$id").as("id_b"), col(s"b.simhash").as("sig_b"))
+      .distinct()
+    val ham = aggregate(
+      zip_with(split(col("sig_a"), ""), split(col("sig_b"), ""),
+        (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    cand.withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

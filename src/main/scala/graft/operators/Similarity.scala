@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X3 similarity search over an `array<float>` embedding column.
+  *
+  * Three tiers (SURVEY.md §2.10):
+  *  - [[bruteForceTopK]] — exact k-NN: query×corpus join + per-query
+  *    top-k window. Correctness baseline; cost |Q|·|C|. At 100 TB,
+  *    broadcast the (small) query set so the corpus is scanned once
+  *    with NO shuffle of the big side, and the top-k window runs on
+  *    the (|Q|·k-bounded) partial results.
+  *  - [[nearDupPairs]] — all-pairs above a cosine threshold, self-join
+  *    form of the same pattern.
+  *  - [[lshTopK]] — approximate path: random-hyperplane LSH buckets
+  *    (VectorFns.lshBucket) restrict the join to same-bucket pairs;
+  *    recall is tunable via `planes` (fewer planes → bigger buckets →
+  *    higher recall, more work). This is the 100 TB default.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query row.
+    * Ranking is on cosine rounded to `roundTo` decimals with a total
+    * id tiebreak, so results are stable under float reassociation
+    * (O3 determinism rule).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, roundTo: Int = 6): DataFrame = {
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Exact near-duplicate pairs: cosine(a,b) >= minCos, a.id < b.id.
+    * Self cross-join bounded by blocking on `blockBy` when provided
+    * (e.g. an LSH bucket column) — pass None only at test scale.
+    */
+  def nearDupPairs(
+      df: DataFrame, id: String, vec: String,
+      minCos: Double, roundTo: Int = 6,
+      blockBy: Option[Column] = None): DataFrame = {
+    val base = blockBy match {
+      case Some(b) => df.withColumn("__blk", b)
+      case None => df.withColumn("__blk", lit(0))
+    }
+    val a = base.select(col("__blk"), col(id).as("id_a"), col(vec).as("va"))
+    val b = base.select(col("__blk"), col(id).as("id_b"), col(vec).as("vb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFns.cosine(col("va"), col("vb")), roundTo))
+      .filter(col("cosine") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Approximate top-k: LSH-bucketed join (same sign-pattern bucket),
+    * then exact cosine rank within bucket. Misses neighbors whose
+    * sign pattern differs; standard recall/cost dial.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, planes: Int): DataFrame = {
+    val bucket = (v: Column) => VectorFns.lshBucket(v, planes)
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      bucket(col(vec)).as("__blk"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      bucket(col(vec)).as("__blk"))
+    val scored = c.join(broadcast(q), Seq("__blk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W1 / flagship: "current state" view of a versioned upsert table —
+  * ClickHouse ReplacingMergeTree `FINAL` semantics, the single
+  * non-trivial query operator the reference's CDC pipeline depends on
+  * (reference: internal/model/cdc.go:33-41 `_op/_lsn/_ts/is_deleted`,
+  * internal/ingestion/clickhouse.go:104-124, README.md:121).
+  *
+  * Semantics: for each key keep the row with the maximum version
+  * (tiebreak columns make the winner total/deterministic), then drop
+  * rows whose surviving version is a delete.
+  *
+  * Scale notes (100 TB posture):
+  *  - One hash-partition shuffle on `keys` — unavoidable for exact
+  *    per-key dedup; AQE handles skewed keys (skew-join/partition
+  *    split). For heavy-hitter keys, pre-aggregate with `max_by`
+  *    (see [[latestByVersionAgg]]) which does a partial (map-side)
+  *    aggregate before the shuffle, shipping one candidate row per
+  *    key per input partition instead of every version.
+  *  - If the table is bucketed/partitioned by key on disk, the
+  *    shuffle disappears (Exchange elided by EnsureRequirements).
+  */
+object VersionedDedup {
+
+  /** Window (`row_number`) formulation — general, keeps the whole row. */
+  def latestByVersion(
+      df: DataFrame,
+      keys: Seq[String],
+      version: Column,
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((version.desc +: tiebreak.map(_.desc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Aggregate (`max_by`) formulation — partial-agg friendly: Spark
+    * plans HashAggregate(partial) -> Exchange -> HashAggregate(final),
+    * so each input partition ships at most one candidate per key.
+    * `ordCols` must be a lexicographically comparable version vector
+    * (e.g. Seq(_lsn, _op)); all non-key columns are re-emitted from the
+    * winning row's packed struct.
+    */
+  def latestByVersionAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      ordCols: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    val packed = struct(payload.map(col): _*)
+    val ord = struct(ordCols.map(col): _*)
+    val agg = df
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(packed, ord).as("__row"))
+    payload.foldLeft(agg)((d, c) => d.withColumn(c, col(s"__row.$c")))
+      .drop("__row")
+  }
+
+  /** FINAL view: latest version per key, deletes dropped.
+    * `isDeleted` is evaluated on the surviving row.
+    */
+  def currentState(
+      df: DataFrame,
+      keys: Seq[String],
+      version: Column,
+      isDeleted: Column,
+      tiebreak: Seq[Column] = Nil): DataFrame =
+    latestByVersion(df, keys, version, tiebreak).filter(!isDeleted)
+}

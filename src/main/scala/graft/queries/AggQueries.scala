@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation queries (SURVEY.md §2.4 A1-A8).
+  *
+  * Float discipline: money/measure sums are accumulated as
+  * DECIMAL(18,2|4) (exact, order-independent — Spark's partial
+  * aggregation reorders addends, so double sums are NOT reproducible)
+  * and cast to double at the end; the oracle does the identical cast.
+  * Spark plans these as partial+final HashAggregate (A6) — map-side
+  * combine before the shuffle, the 100 TB-safe aggregation shape.
+  */
+object AggQueries {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3/A6 flagship: TPC-H Q1 shape over lineitem.
+    // The discounted-price terms multiply in EXACT decimal arithmetic:
+    // casting a computed double product to decimal rounds half-up at a
+    // boundary digit and engines disagree at the ulp level — only RAW
+    // low-decimal columns are safe to cast (their doubles are never on
+    // a rounding boundary).
+    "q1_agg" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = price * (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+      val charge = disc * (lit(1).cast("decimal(5,4)") + col("l_tax").cast("decimal(5,4)"))
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          // scale-10 decimal sums re-quantized to scale 4 before the
+          // double cast: a 12-digit scale-4 decimal converts to double
+          // exactly the same way in every engine (int < 2^53 over an
+          // exact power of ten), while full-scale conversions differ
+          // at the last ulp between Spark and DuckDB. Quantize via
+          // round() (half-away-from-zero in both engines) — decimal
+          // CAST would truncate in DuckDB but round HALF_UP in Spark.
+          round(sum(disc), 4).cast("double").as("sum_disc_price"),
+          round(sum(charge), 4).cast("double").as("sum_charge"),
+          round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          round(dsum(col("l_discount"), 4) / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A1/A3/A4/A7: event analytics per type
+    "q_agg_events" -> ((s, d) => {
+      table(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          dsum(col("value")).as("sum_value"),
+          round(dsum(col("value")) / count(lit(1)), 4).as("avg_value"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A4: exact distinct per day
+    "q_distinct_daily" -> ((s, d) => {
+      table(s, d, "events")
+        .groupBy(date_format(graft.Tables.tsSeconds(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+        .orderBy(col("day"))
+    }),
+
+    // A2: bucketed latency-histogram analogue over the value measure
+    "q_histogram" -> ((s, d) => {
+      table(s, d, "events")
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("bucket"))
+    }),
+
+    // A5: rollup over type × day
+    "q_rollup" -> ((s, d) => {
+      table(s, d, "events")
+        .withColumn("day", date_format(graft.Tables.tsSeconds(col("ts")), "yyyy-MM-dd"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+    }),
+
+    // A5: cube over returnflag × linestatus
+    "q_cube" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // A7: conditional aggregation — error rate per user
+    "q_count_if" -> ((s, d) => {
+      table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+          round(sum(when(col("event_type") === "error", 1.0).otherwise(0.0)) / count(lit(1)), 6).as("error_rate"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A8: argmax-by-version via max_by — latest event per user
+    // (partial-agg friendly alternative to the W1 window; see
+    // VersionedDedup.latestByVersionAgg)
+    "q_latest_by" -> ((s, d) => {
+      table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("event_id")).as("last_event_id"),
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          round(max_by(col("value"), col("event_id")), 2).as("last_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DOUBLE) AS sum_disc_price,
+         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4)))), 4) AS DOUBLE) AS sum_charge,
+         round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+         round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_events" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_value,
+         MAX(value) AS max_value, MIN(value) AS min_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_distinct_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY day""",
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY bucket""",
+    "q_rollup" ->
+      """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, COUNT(*) AS n
+         FROM events GROUP BY ROLLUP(event_type, day)
+         ORDER BY event_type NULLS FIRST, day NULLS FIRST""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_count_if" ->
+      """SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         round(SUM(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS error_rate
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_latest_by" ->
+      """SELECT user_id, MAX(event_id) AS last_event_id,
+         arg_max(event_type, event_id) AS last_type,
+         round(arg_max(value, event_id), 2) AS last_value,
+         COUNT(*) AS n
+         FROM events GROUP BY user_id ORDER BY user_id""")
+}

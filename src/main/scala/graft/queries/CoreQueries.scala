@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan / projection / filter / scalar-function queries
+  * (SURVEY.md §2.1 S3, §2.2 P7/P8, §2.8 F4-F15).
+  *
+  * Determinism contract shared by every query in the registry (O3):
+  * total ORDER BY, integer outputs cast to BIGINT, doubles rounded,
+  * timestamps emitted as formatted strings after second-truncation
+  * (events.ts carries sub-microsecond parts that Spark truncates to
+  * micros while DuckDB keeps nanos — truncating to seconds in both
+  * engines removes the divergence).
+  */
+object CoreQueries {
+
+  private def tsStr(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+  private def tsSec = graft.Tables.tsSeconds(col("ts"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3/P7: projection + filter pushed to the parquet scan
+    // (verified in CoreQueriesSpec via explain: PushedFilters + pruned ReadSchema)
+    "q_scan_project" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01") && col("l_shipdate") < lit("1997-04-01"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P8: predicate filter over events
+    "q_filter_events" -> ((s, d) => {
+      table(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 100.0)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("val"),
+          tsStr(tsSec).as("ts_s"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F1/F4/F6: string scalar suite
+    "q_scalar_string" -> ((s, d) => {
+      table(s, d, "customer")
+        .select(col("c_custkey"),
+          lower(col("c_name")).as("lname"),
+          concat(lit("cust-"), col("c_name")).as("tagged"),
+          (instr(col("c_name"), "1") > 0).as("has1"),
+          substring(col("c_mktsegment"), 1, 3).as("seg3"),
+          length(col("c_name")).cast("long").as("name_len"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F7/F8/F15: datetime scalar suite
+    "q_scalar_datetime" -> ((s, d) => {
+      table(s, d, "events")
+        .select(col("event_id"),
+          date_format(tsSec, "yyyy-MM-dd").as("day"),
+          hour(tsSec).cast("long").as("hr"),
+          graft.Tables.epochSeconds(col("ts")).as("epoch_s"),
+          month(tsSec).cast("long").as("mon"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F13: JSON field extraction from the opaque props payload
+    "q_json_extract" -> ((s, d) => {
+      table(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F5: CSV split + trim + drop-empties (reference splitCSV,
+    // /root/reference/cmd/root.go:174-182)
+    "q_split_csv" -> ((s, d) => {
+      val raw = concat(col("c_mktsegment"), lit(" , "), col("c_name"), lit(" ,, spare"))
+      val parts = filter(transform(split(raw, ","), x => trim(x)), x => x =!= "")
+      table(s, d, "customer")
+        .select(col("c_custkey"),
+          concat_ws("|", parts).as("joined"),
+          size(parts).cast("long").as("n_parts"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F14: int parse with fallback (try_cast + coalesce)
+    "q_try_cast" -> ((s, d) => {
+      table(s, d, "events")
+        .select(col("event_id"),
+          expr("try_cast(event_type AS BIGINT)").as("bad_parse"),
+          coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"), lit(-1L)).as("k_or_default"))
+        .orderBy(col("event_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         round(l_extendedprice, 2) AS price, l_returnflag
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_filter_events" ->
+      """SELECT event_id, user_id, round(value, 2) AS val,
+         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM events WHERE event_type = 'purchase' AND value > 100.0
+         ORDER BY event_id""",
+    "q_scalar_string" ->
+      """SELECT c_custkey, lower(c_name) AS lname, 'cust-' || c_name AS tagged,
+         strpos(c_name, '1') > 0 AS has1, substr(c_mktsegment, 1, 3) AS seg3,
+         CAST(length(c_name) AS BIGINT) AS name_len
+         FROM customer ORDER BY c_custkey""",
+    "q_scalar_datetime" ->
+      """SELECT event_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+         CAST(month(ts) AS BIGINT) AS mon
+         FROM events ORDER BY event_id""",
+    "q_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "q_split_csv" ->
+      """WITH t AS (SELECT c_custkey,
+           list_filter(list_transform(string_split(c_mktsegment || ' , ' || c_name || ' ,, spare', ','),
+             x -> trim(x)), x -> x <> '') AS parts
+         FROM customer)
+         SELECT c_custkey, array_to_string(parts, '|') AS joined,
+           CAST(len(parts) AS BIGINT) AS n_parts
+         FROM t ORDER BY c_custkey""",
+    "q_try_cast" ->
+      """SELECT event_id, TRY_CAST(event_type AS BIGINT) AS bad_parse,
+         COALESCE(TRY_CAST(props->>'$.k' AS BIGINT), -1) AS k_or_default
+         FROM events ORDER BY event_id""")
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Tables.table
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join queries (SURVEY.md §2.3 J1-J7).
+  *
+  * Strategy notes (verified via explain in JoinQueriesSpec):
+  *  - J1 broadcasts the dimension side explicitly — at 100 TB the fact
+  *    side never shuffles for a small-dim join.
+  *  - J2 is the shuffle-join shape: both sides hash-partition on the
+  *    key; AQE coalesces post-shuffle partitions at runtime.
+  *  - J5 range join deliberately broadcasts the band table (nested-loop
+  *    with a broadcast side, NOT a cross product of two big inputs).
+  *  - J6 as-of uses the union+running-window formulation (one shuffle,
+  *    no L×R blowup) — see AsOfJoin scaladoc.
+  */
+object JoinQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1: fact × broadcast dims (orders ⋈ customer ⋈ nation)
+    "q_join_broadcast" -> ((s, d) => {
+      table(s, d, "orders")
+        .join(broadcast(table(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("n_name"), col("c_mktsegment"))
+    }),
+
+    // J2: fact × fact shuffle join (lineitem ⋈ orders)
+    "q_join_smj" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+      table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          // re-quantize to scale 4 before the double cast (exact,
+          // engine-agnostic conversion — see AggQueries q1_agg)
+          round(sum(disc), 4).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // J3: left outer — customers with their (possibly zero) orders
+    "q_join_left" -> ((s, d) => {
+      table(s, d, "customer")
+        .join(table(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), lit(0.0)).as("spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J4a: left semi — customers having a very big order (EXISTS)
+    "q_join_semi" -> ((s, d) => {
+      table(s, d, "customer")
+        .join(table(s, d, "orders").filter(col("o_totalprice") > 480000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J4b: left anti — customers with no order above the threshold
+    // (NOT EXISTS; every customer has SOME order in this data)
+    "q_join_anti" -> ((s, d) => {
+      table(s, d, "customer")
+        .join(table(s, d, "orders").filter(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J5: theta/range join — price-band classification of parts
+    "q_join_range" -> ((s, d) => {
+      val bands = s.createDataFrame(Seq(
+        (0.0, 925.0, "low"), (925.0, 960.0, "mid"), (960.0, 1e9, "high")))
+        .toDF("lo", "hi", "band")
+      table(s, d, "part")
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("band"))
+    }),
+
+    // J6: as-of join — for each purchase, the latest click of the same
+    // user at or before the purchase time (union + running-window form)
+    "q_join_asof" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ep", graft.Tables.epochSeconds(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ep").as("pep"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"), col("ep").as("cep"))
+      AsOfJoin.asofJoin(
+        left = purchases, right = clicks, key = "user_id",
+        leftTime = col("pep"), rightTime = col("cep"),
+        rightTiebreak = col("cid"), rightPayload = Seq("cid", "cep"))
+        .filter(col("asof").isNotNull)
+        .select(col("pid"), col("user_id"),
+          col("asof.cid").cast("long").as("cid"),
+          (col("pep") - col("asof.cep").cast("long")).as("gap_s"))
+        .orderBy(col("pid"))
+    }),
+
+    // J7: cross join — small dim × small dim
+    "q_join_cross" -> ((s, d) => {
+      table(s, d, "region").select(col("r_name"))
+        .crossJoin(table(s, d, "customer").select(col("c_mktsegment")).distinct())
+        .orderBy(col("r_name"), col("c_mktsegment"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, c_mktsegment ORDER BY n_name, c_mktsegment""",
+    "q_join_smj" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 480000.0)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+         ORDER BY c_custkey""",
+    "q_join_range" ->
+      """SELECT band, COUNT(*) AS n,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM part JOIN (VALUES (0.0, 925.0, 'low'), (925.0, 960.0, 'mid'),
+           (960.0, 1000000000.0, 'high')) b(lo, hi, band)
+         ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY band ORDER BY band""",
+    "q_join_asof" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pep
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS cid, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS cep
+           FROM events WHERE event_type = 'click')
+         SELECT pid, user_id, cid, pep - cep AS gap_s FROM (
+           SELECT p.pid, p.user_id, c.cid, p.pep, c.cep,
+             row_number() OVER (PARTITION BY p.pid ORDER BY c.cep DESC, c.cid DESC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.cep <= p.pep)
+         WHERE rn = 1 ORDER BY pid""",
+    "q_join_cross" ->
+      """SELECT r_name, c_mktsegment FROM region
+         CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) segs
+         ORDER BY r_name, c_mktsegment""")
+}

@@ -1,0 +1,355 @@
+package graft.queries
+
+import graft.Tables.table
+import graft.functions.TextFns
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** North-star training-data-pipeline operators (SURVEY.md §2.10
+  * X1-X5): dedup family, similarity search, text analysis. All hash
+  * functions are md5-based (engine-portable) so every operator has a
+  * real value-level DuckDB oracle — see Dedup scaladoc.
+  */
+object NorthStarQueries {
+
+  private val stop = TextFns.stopwords
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val allStopsSql = sqlList(stop.values.flatten.toSeq.distinct)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1: exact dedup with a deterministic winner (min doc_id per group)
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exact(table(s, d, "documents"), Seq("lang", "source"), col("doc_id"))
+        .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // X2: MinHash-LSH near-dup (4 bands × 3 rows over word bigrams,
+    // verify Jaccard >= 0.8). Bigrams, not tokens: measured on this
+    // corpus, token-set Jaccard puts 26% of ALL pairs above 0.8 (tiny
+    // vocabulary) while bigrams cleanly separate true near-dups
+    // (>=0.9) from background (<=0.17).
+    "q_dedup_minhash" -> ((s, d) => {
+      Dedup.minhashNearDup(table(s, d, "documents"), "doc_id", col("text"),
+        k = 2, bands = 4, rowsPerBand = 3, minJ = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // X2: SimHash 64-bit signature per document
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simhash(table(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X2: SimHash near-dup pairs (8×8 Hamming bands, distance <= 12)
+    "q_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashNearDup(table(s, d, "documents"), "doc_id", col("text"), maxHamming = 12)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // X2: n-gram Jaccard via inverted-index join (word bigrams)
+    "q_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccard(table(s, d, "documents"), "doc_id", col("text"),
+        k = 2, minJ = 0.5, maxFreq = 100000L)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // X3: brute-force cosine top-10 for a deterministic query subset
+    "q_cosine_topk" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        corpus = e, queries = e.filter(col("vec_id") % 20 === 0),
+        id = "vec_id", vec = "embedding", k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // X3: embedding-cosine near-dup pairs above threshold
+    "q_embed_neardup" -> ((s, d) => {
+      Similarity.nearDupPairs(table(s, d, "embeddings"), "vec_id", "embedding",
+        minCos = 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // X3 scale path: LSH-bucketed ANN (engine-defined hash — no SQL
+    // oracle; driver records the weaker rows-only check)
+    "q_ann_lsh" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      Similarity.lshTopK(corpus = e, queries = e.filter(col("vec_id") % 20 === 0),
+        id = "vec_id", vec = "embedding", k = 5, planes = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // X4: language-ID heuristic (stopword argmax)
+    "q_langid" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TextFns.langId(col("text")).as("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4: quality scoring
+    "q_text_quality" -> ((s, d) => {
+      val m = TextFns.qualityMetrics(col("text"))
+      table(s, d, "documents")
+        .select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4: token counting (whitespace + BPE-ish regex)
+    "q_token_stats" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_ws"),
+          TextFns.bpeIshCount(col("text")).as("n_bpe"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4: content fingerprint + duplicate-group size
+    "q_fingerprint" -> ((s, d) => {
+      val w = Window.partitionBy(col("fp"))
+      table(s, d, "documents")
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4: TF-IDF top-5 terms per document (corpus-level df)
+    "q_tfidf" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val nTok = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val dfreq = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val idf = log((col("n_docs") + 1).cast("double") / (col("dfc") + 1).cast("double")) + 1.0
+      val scored = tf.join(nTok, "doc_id").join(dfreq, "tok").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round((col("cnt").cast("double") / col("n_tok").cast("double")) * idf, 6))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok").asc)
+      scored.filter(col("doc_id") < 50)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("tok"), col("tfidf"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }))
+
+  private val cosineSql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+       pr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
+           FROM e q JOIN e c ON q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
+       sc AS (SELECT query_id, neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1),
+             i -> qv[CAST(i AS INT)] * cv[CAST(i AS INT)])), (x, y) -> x + y) AS dp,
+           sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1),
+             i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)])), (x, y) -> x + y)) AS na,
+           sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(cv)+1),
+             i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])), (x, y) -> x + y)) AS nb
+         FROM pr),
+       cs AS (SELECT query_id, neighbor_id,
+           round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS cosine
+         FROM sc)
+    """
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT lang, source, doc_id, n_chars FROM (
+           SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY lang, source""",
+    "q_dedup_minhash" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+             i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))) AS tok
+           FROM tk WHERE len(t) >= 2),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM toks GROUP BY doc_id),
+         sig AS (SELECT doc_id,
+             MIN(md5('0:' || tok)) AS h0, MIN(md5('1:' || tok)) AS h1,
+             MIN(md5('2:' || tok)) AS h2, MIN(md5('3:' || tok)) AS h3,
+             MIN(md5('4:' || tok)) AS h4, MIN(md5('5:' || tok)) AS h5,
+             MIN(md5('6:' || tok)) AS h6, MIN(md5('7:' || tok)) AS h7,
+             MIN(md5('8:' || tok)) AS h8, MIN(md5('9:' || tok)) AS h9,
+             MIN(md5('10:' || tok)) AS h10, MIN(md5('11:' || tok)) AS h11
+           FROM toks GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band, h0 || ',' || h1 || ',' || h2 AS bsig FROM sig UNION ALL
+           SELECT doc_id, 1, h3 || ',' || h4 || ',' || h5 FROM sig UNION ALL
+           SELECT doc_id, 2, h6 || ',' || h7 || ',' || h8 FROM sig UNION ALL
+           SELECT doc_id, 3, h9 || ',' || h10 || ',' || h11 FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+             AND a.doc_id < b.doc_id),
+         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS ic FROM cand c
+           JOIN toks ta ON ta.doc_id = c.id_a
+           JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+           GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT c.id_a, c.id_b,
+             round(CAST(COALESCE(i.ic, 0) AS DOUBLE) /
+               (sa.n_sh + sb.n_sh - COALESCE(i.ic, 0)), 6) AS jaccard
+           FROM cand c
+           LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+           JOIN sizes sa ON sa.doc_id = c.id_a
+           JOIN sizes sb ON sb.doc_id = c.id_b)
+         WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+    "q_dedup_simhash" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+             i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))) AS tok
+           FROM tk WHERE len(t) >= 2),
+         h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+         b AS (SELECT doc_id, hx, unnest(range(0, 64)) AS j FROM h),
+         v AS (SELECT doc_id, j,
+             CASE WHEN CAST(floor((strpos('0123456789abcdef',
+                 substr(hx, CAST(j // 4 AS INT) + 1, 1)) - 1)
+               / power(2, 3 - (j % 4))) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS vote
+           FROM b),
+         bits AS (SELECT doc_id, j, CASE WHEN SUM(vote) > 0 THEN '1' ELSE '0' END AS bitc
+           FROM v GROUP BY doc_id, j)
+         SELECT doc_id, string_agg(bitc, '' ORDER BY j) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q_simhash_pairs" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+             i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))) AS tok
+           FROM tk WHERE len(t) >= 2),
+         h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+         b AS (SELECT doc_id, hx, unnest(range(0, 64)) AS j FROM h),
+         v AS (SELECT doc_id, j,
+             CASE WHEN CAST(floor((strpos('0123456789abcdef',
+                 substr(hx, CAST(j // 4 AS INT) + 1, 1)) - 1)
+               / power(2, 3 - (j % 4))) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS vote
+           FROM b),
+         bits AS (SELECT doc_id, j, CASE WHEN SUM(vote) > 0 THEN '1' ELSE '0' END AS bitc
+           FROM v GROUP BY doc_id, j),
+         sig AS (SELECT doc_id, string_agg(bitc, '' ORDER BY j) AS simhash
+           FROM bits GROUP BY doc_id),
+         bands AS (SELECT doc_id, simhash, bb AS band, substr(simhash, bb * 8 + 1, 8) AS bsig
+           FROM sig CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(bb)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sig_a,
+             b2.doc_id AS id_b, b2.simhash AS sig_b
+           FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bsig = b2.bsig
+             AND a.doc_id < b2.doc_id)
+         SELECT id_a, id_b, hamming FROM (
+           SELECT id_a, id_b,
+             CAST(len(list_filter(range(1, 65),
+               i -> substr(sig_a, CAST(i AS INT), 1) <> substr(sig_b, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+           FROM cand)
+         WHERE hamming <= 12 ORDER BY id_a, id_b""",
+    "q_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+             i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))) AS shingle
+           FROM tk WHERE len(t) >= 2),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         freq AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle),
+         rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)
+           WHERE c >= 2 AND c <= 100000),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
+           FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT id_a, id_b,
+             round(CAST(ic AS DOUBLE) / (sa.n + sb.n - ic), 6) AS jaccard
+           FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b)
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "q_cosine_topk" -> (cosineSql +
+      """, r AS (SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         FROM cs)
+         SELECT query_id, neighbor_id, cosine, rnk FROM r
+         WHERE rnk <= 10 ORDER BY query_id, rnk"""),
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS cv
+           FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         sc AS (SELECT id_a, id_b,
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1),
+               i -> qv[CAST(i AS INT)] * cv[CAST(i AS INT)])), (x, y) -> x + y) AS dp,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1),
+               i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)])), (x, y) -> x + y)) AS na,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(cv)+1),
+               i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])), (x, y) -> x + y)) AS nb
+           FROM pr)
+         SELECT id_a, id_b, cosine FROM (
+           SELECT id_a, id_b,
+             round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS cosine
+           FROM sc)
+         WHERE cosine >= 0.45 ORDER BY id_a, id_b""",
+    "q_langid" -> {
+      val langs = stop.keys.toSeq.sorted
+      val hits = langs.map(l =>
+        s"len(list_intersect(tk, ${sqlList(stop(l))})) AS h_$l").mkString(",\n           ")
+      val gmax = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      val cascade = langs.map(l => s"WHEN h_$l = $gmax THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang,
+             list_distinct(string_split(lower(text), ' ')) AS tk FROM documents),
+         h AS (SELECT doc_id, lang,
+           $hits
+           FROM t)
+         SELECT doc_id, lang,
+           CASE WHEN $gmax = 0 THEN 'und' $cascade END AS predicted
+         FROM h ORDER BY doc_id"""
+    },
+    "q_text_quality" ->
+      s"""WITH m AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct,
+           CAST(len(list_filter(string_split(text, ' '),
+             t -> list_contains($allStopsSql, t))) AS BIGINT) AS stop_hits
+         FROM documents),
+         r AS (SELECT doc_id, n_tok,
+           CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE) AS mean_len,
+           CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio
+         FROM m)
+         SELECT doc_id, n_tok AS n_tokens,
+           round(mean_len, 4) AS mean_token_len,
+           round(punct_ratio, 4) AS punct_ratio,
+           round(stop_ratio, 4) AS stopword_ratio,
+           round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
+             greatest(0.0, least(1.0, 0.5 * stop_ratio + 0.5 * (1.0 - punct_ratio))) END, 4) AS quality_score
+         FROM r ORDER BY doc_id""",
+    "q_token_stats" ->
+      s"""SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(text, '${TextFns.bpeIshPattern}')) AS BIGINT) AS n_bpe,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+         FROM documents ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """WITH f AS (SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+         FROM documents)
+         SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS group_size
+         FROM f ORDER BY doc_id""",
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
+         nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfc FROM toks GROUP BY tok),
+         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (SELECT tf.doc_id, tf.tok,
+             round((CAST(cnt AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+               (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfc + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+           FROM tf JOIN nt ON nt.doc_id = tf.doc_id
+           JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN nd),
+         r AS (SELECT doc_id, tok, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rnk
+           FROM scored WHERE doc_id < 50)
+         SELECT doc_id, tok, tfidf, rnk FROM r WHERE rnk <= 5
+         ORDER BY doc_id, rnk""")
+}

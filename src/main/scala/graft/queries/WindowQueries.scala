@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables.table
+import graft.operators.VersionedDedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function queries (SURVEY.md §2.5 W1-W5, §2.6 O1-O2).
+  *
+  * Ordering discipline: events.ts is only ordered AFTER truncation to
+  * epoch seconds (cross-engine sub-second precision differs), so every
+  * event-time window orders by (epoch_second, event_id) — a total,
+  * engine-agnostic order.
+  */
+object WindowQueries {
+
+  private def epochS = graft.Tables.epochSeconds(col("ts")).as("ep")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1 flagship — ReplacingMergeTree FINAL semantics over the event
+    // stream viewed as a versioned upsert table (version = event_id,
+    // delete marker = 'error'): the reference's app.users_cur query
+    // contract (/root/reference/internal/ingestion/clickhouse.go:104-124).
+    "q_current_state" -> ((s, d) => {
+      VersionedDedup.currentState(
+        table(s, d, "events"),
+        keys = Seq("user_id"),
+        version = col("event_id"),
+        isDeleted = col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("cur_version"),
+          col("event_type").as("cur_type"), round(col("value"), 2).as("cur_value"),
+          date_format(graft.Tables.tsSeconds(col("ts")), "yyyy-MM-dd HH:mm:ss").as("cur_ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W2/O2: per-group top-N (top 3 users per event type by count)
+    "q_rank_topn" -> ((s, d) => {
+      val counts = table(s, d, "events")
+        .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("user_id").asc)
+      counts.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
+    // W3: lag — inter-event gap per user in seconds
+    "q_lag_gap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+      table(s, d, "events")
+        .select(col("user_id"), col("event_id"), epochS)
+        .withColumn("gap_s", col("ep") - lag(col("ep"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("gap_s"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // W4: running sum per user (exact decimal accumulation)
+    "q_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "events")
+        .withColumn("run_value",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("run_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // W5: ntile + percent_rank over value within type
+    "q_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      table(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy(col("event_id"))
+    }),
+
+    // O1: global top-k — Spark plans TakeOrderedAndProject (no full sort)
+    "q_topk" -> ((s, d) => {
+      table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Batch sessionization: 30-minute-gap sessions per user —
+    // lag + running sum of session-break flags (classic two-window form)
+    "q_sessionize" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "events")
+        .select(col("user_id"), col("event_id"), epochS)
+        .withColumn("brk",
+          when(col("ep") - lag(col("ep"), 1).over(wOrd) > 1800L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ep")).as("t0"), max(col("ep")).as("t1"))
+        .withColumn("duration_s", col("t1") - col("t0"))
+        .select(col("user_id"), col("session_id"), col("n_events"), col("duration_s"))
+        .orderBy(col("user_id"), col("session_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_current_state" ->
+      """SELECT user_id, event_id AS cur_version, event_type AS cur_type,
+         round(value, 2) AS cur_value,
+         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS cur_ts
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
+    "q_rank_topn" ->
+      """SELECT event_type, user_id, n, rn FROM (
+           SELECT event_type, user_id, COUNT(*) AS n,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id ASC) AS BIGINT) AS rn
+           FROM events GROUP BY event_type, user_id)
+         WHERE rn <= 3 ORDER BY event_type, rn""",
+    "q_lag_gap" ->
+      """WITH t AS (SELECT user_id, event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep FROM events)
+         SELECT user_id, event_id,
+           ep - lag(ep, 1) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS gap_s
+         FROM t ORDER BY user_id, event_id""",
+    "q_running_sum" ->
+      """SELECT user_id, event_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_value
+         FROM events ORDER BY user_id, event_id""",
+    "q_ntile" ->
+      """SELECT event_id, event_type,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         round(percent_rank() OVER w, 6) AS pr
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+         ORDER BY event_id""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 10""",
+    "q_sessionize" ->
+      """WITH t AS (SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep FROM events),
+         g AS (SELECT user_id, event_id, ep,
+             CASE WHEN ep - lag(ep, 1) OVER (PARTITION BY user_id ORDER BY ep, event_id) > 1800
+                  THEN 1 ELSE 0 END AS brk FROM t),
+         s AS (SELECT user_id, ep,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           MAX(ep) - MIN(ep) AS duration_s
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""")
+}
