@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.pipeline.Debezium
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** S2/ST2/ST3/ST7: the reference's CDC consume loop as a Structured
+  * Streaming pipeline (SURVEY.md §2.1 S2, §2.9).
+  *
+  * Reference (/root/reference/internal/ingestion/cdc.go):
+  *  - consumer-group Kafka read of Debezium envelopes (cdc.go:25-55)
+  *    → [[kafkaSource]]; checkpointed offsets upgrade the reference's
+  *    commit-on-read at-most-once to at-least-once (ST3, documented
+  *    semantic improvement — replays are idempotent because rows carry
+  *    `_lsn` and the current-state view dedups by version).
+  *  - per-message parse → translate → insert (cdc.go:48-84) →
+  *    [[translate]] reuses the batch pipeline unchanged: the SAME
+  *    Catalyst expressions run in micro-batch (ST2 — Spark's
+  *    batch/streaming unification is the point).
+  *
+  * State management at scale (ST7): both stateful operators are
+  * watermark-bounded so state size is O(keys seen within the
+  * watermark), not O(history) — mandatory at 100 TB.
+  */
+object CdcStreaming {
+
+  /** S2: Kafka Debezium source. `maxOffsetsPerTrigger` is the
+    * micro-batch analogue of the reference's MaxBytes fetch bound
+    * (cdc.go:41-42).
+    */
+  def kafkaSource(
+      spark: SparkSession, brokers: String, topic: String,
+      maxOffsetsPerTrigger: Long = 10000L): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+
+  /** ST2: streaming translate — identical expressions as batch
+    * (Debezium.translateRows works on a streaming df as-is). Input
+    * needs `value`/`key` binary or string columns (Kafka shape).
+    */
+  def translate(kafkaDf: DataFrame): DataFrame =
+    Debezium.translateRows(
+      kafkaDf,
+      col("value").cast("string"),
+      col("key").cast("string"))
+
+  /** ST7a: bounded stateful dedup of CDC replays — drop rows whose
+    * (id, _lsn) was already seen within the watermark. This is the
+    * at-least-once → effectively-once guard in front of an
+    * append-only sink.
+    */
+  def dedupReplays(rows: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    rows
+      .withWatermark("_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("id", "_lsn")
+
+  case class CdcRow(
+      id: Long, name: String, email: String,
+      is_deleted: Int, _op: Int, _lsn: Long, _ts: java.sql.Timestamp)
+
+  /** ST7b: full current-state view maintained in keyed state — the
+    * streaming form of VersionedDedup.currentState (ReplacingMergeTree
+    * FINAL). Each key keeps only its max-`_lsn` row; emits the new
+    * current row whenever it changes, tombstone rows (is_deleted=1)
+    * included so sinks can delete. Processing-time timeout expires
+    * idle keys so state is bounded for an evolving keyspace.
+    */
+  def currentStateStream(
+      spark: SparkSession, rows: DataFrame,
+      idleTimeout: String = "30 minutes"): Dataset[CdcRow] = {
+    import spark.implicits._
+    rows.as[CdcRow]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[CdcRow, CdcRow](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (_, it: Iterator[CdcRow], state: GroupState[CdcRow]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def later(a: CdcRow, b: CdcRow): CdcRow =
+              if (a._lsn > b._lsn || (a._lsn == b._lsn && a._op >= b._op)) a else b
+            val incoming = it.reduceOption(later)
+            val best = (state.getOption.toSeq ++ incoming.toSeq).reduceOption(later)
+            state.setTimeoutDuration(idleTimeout)
+            best match {
+              case Some(b) if !state.getOption.contains(b) =>
+                state.update(b); Iterator.single(b)
+              case _ => Iterator.empty
+            }
+          }
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ST4-ST6/ST8: event-time analytics over the streaming events table
+  * (SURVEY.md §2.9). The reference has no event-time aggregation — it
+  * counts via Prometheus (internal/metrics/metrics.go:11-16) and
+  * delegates analytics to ClickHouse; these are the engine-side
+  * equivalents of those delegated queries, watermark-bounded so state
+  * never grows with history (ST4, documented extension).
+  */
+object EventAnalytics {
+
+  /** ST5: tumbling (or, with `slide`, sliding) windowed counts per
+    * action — the streaming analogue of the reference's
+    * events_generated_total counter viewed per scrape interval.
+    */
+  def windowedCounts(
+      events: DataFrame, tsCol: String, actionCol: String,
+      window_ : String, slide: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col(tsCol), window_, s)
+      case None => window(col(tsCol), window_)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(w.as("win"), col(actionCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col(actionCol), col("n"))
+  }
+
+  /** ST6: session windows — 30-minute-gap sessions per user, the
+    * streaming form of the batch q_sessionize query.
+    */
+  def sessionCounts(
+      events: DataFrame, tsCol: String, userCol: String,
+      gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("sess"), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sess.start").as("sess_start"), col("sess.end").as("sess_end"),
+        col(userCol), col("n_events"))
+
+  /** ST8: stream-static join — enrich the event stream with the
+    * (batch) current-users dimension; the canonical query the
+    * reference's dual pipeline exists to serve (README.md:112-121).
+    * The static side is broadcast when small — no stream-side shuffle.
+    */
+  def enrich(
+      events: DataFrame, staticDim: DataFrame,
+      eventKey: Column, dimKey: Column): DataFrame =
+    events.join(broadcast(staticDim), eventKey === dimKey, "left")
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** J6: the scale formulation (union + running window) must agree with
+  * the naive join+top-1 formulation on random inputs (SURVEY.md §7
+  * hard-parts watch list). Seeded generators — see VersionedDedupSpec.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sideGen = Gen.listOfN(25, for {
+    k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 30L)
+  } yield (k, t))
+
+  test("union-window formulation == join-window formulation") {
+    (1 to 8).foreach { seed =>
+      val ls = sideGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val rs = sideGen.apply(Gen.Parameters.default, Seed(seed.toLong + 100)).get
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "lt")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("cid", "k", "rt")
+
+      val fast = AsOfJoin.asofJoin(left, right, "k",
+        leftTime = col("lt"), rightTime = col("rt"),
+        rightTiebreak = col("cid"), rightPayload = Seq("cid"))
+        .select(col("pid"), col("asof.cid").cast("long").as("cid"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .toMap
+
+      val slow = AsOfJoin.asofJoinViaJoin(
+        left, col("pid"), right,
+        left("k") === right("k") && col("rt") <= col("lt"),
+        col("rt"), col("cid"))
+        .select(col("pid"), col("cid"))
+        .collect().map(r => (r.getLong(0), Some(r.getLong(1)))).toMap
+
+      // fast emits every left row (null asof when unmatched); slow
+      // inner-join drops unmatched rows entirely
+      ls.indices.foreach { i =>
+        val pid = i.toLong
+        slow.get(pid) match {
+          case Some(c) => assert(fast(pid) === c, s"seed=$seed pid=$pid")
+          case None => assert(fast(pid).isEmpty, s"seed=$seed pid=$pid should be unmatched")
+        }
+      }
+    }
+  }
+}

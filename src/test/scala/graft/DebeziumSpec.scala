@@ -1,0 +1,89 @@
+package graft
+
+import graft.pipeline.Debezium
+import org.apache.spark.sql.functions._
+
+/** Reference pipeline edge cases as a table (SURVEY.md §5.2#2):
+  * every branch of /root/reference/internal/ingestion/cdc.go:62-156.
+  */
+class DebeziumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(pairs: (String, String)*) = {
+    val df = pairs.toSeq.toDF("value", "key")
+    Debezium.translateRows(df, col("value"), col("key"))
+      .select("id", "name", "email", "is_deleted", "_op", "_lsn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getLong(5))).toSeq
+  }
+
+  private val create =
+    """{"before":null,"after":{"id":7,"name":"n7","email":"e7"},"source":{"lsn":100,"ts_us":1},"op":"c","ts_us":1}"""
+
+  test("create row flattens after-image") {
+    assert(rows(create -> """{"id":7}""") === Seq((7L, "n7", "e7", 0, 1, 100L)))
+  }
+
+  test("bad JSON payload is skipped, not failed (P2, cdc.go:62-67)") {
+    assert(rows("not json at all" -> null, create -> null).size === 1)
+  }
+
+  test("double-encoded envelope falls back to unquote-then-parse (F11, cdc.go:87-98)") {
+    val doubled = "\"" + create.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    assert(rows(doubled -> null) === Seq((7L, "n7", "e7", 0, 1, 100L)))
+  }
+
+  test("string literal that is not an envelope is skipped") {
+    assert(rows("\"just a string\"" -> null).isEmpty)
+  }
+
+  test("c/u with missing after is dropped (P3, cdc.go:114-118)") {
+    val noAfter = """{"before":null,"after":null,"source":{"lsn":5},"op":"u"}"""
+    assert(rows(noAfter -> null).isEmpty)
+  }
+
+  test("unknown op is dropped (P4, cdc.go:139-142)") {
+    val x = """{"after":{"id":1,"name":"a","email":"b"},"source":{"lsn":5},"op":"r"}"""
+    assert(rows(x -> null).isEmpty)
+  }
+
+  test("op is case-insensitive (P5/F4, cdc.go:145-156)") {
+    val up = create.replace("\"op\":\"c\"", "\"op\":\"C\"")
+    assert(rows(up -> null).head._5 === 1)
+  }
+
+  test("delete takes before.id, null name/email, is_deleted=1 (cdc.go:125-137)") {
+    val del = """{"before":{"id":9,"name":"gone","email":"g"},"after":null,"source":{"lsn":200,"ts_us":2},"op":"d","ts_us":2}"""
+    assert(rows(del -> null) === Seq((9L, null, null, 1, 3, 200L)))
+  }
+
+  test("delete with zero before.id falls back to the Kafka key id (cdc.go:126-134)") {
+    val del = """{"before":{"id":0,"name":null,"email":null},"after":null,"source":{"lsn":201},"op":"d"}"""
+    assert(rows(del -> """{"id":33}""") === Seq((33L, null, null, 1, 3, 201L)))
+  }
+
+  test("delete with neither before.id nor key is dropped") {
+    val del = """{"before":null,"after":null,"source":{"lsn":201},"op":"d"}"""
+    assert(rows(del -> null).isEmpty)
+  }
+
+  test("nil lsn defaults to 0 (P6, cdc.go:101-105)") {
+    val noLsn = """{"after":{"id":1,"name":"a","email":"b"},"source":{},"op":"c","ts_us":5}"""
+    assert(rows(noLsn -> null).head._6 === 0L)
+  }
+
+  test("nil ts_us defaults to epoch (P6, cdc.go:106-109)") {
+    val noTs = """{"after":{"id":1,"name":"a","email":"b"},"source":{"lsn":5},"op":"c"}"""
+    val ts = Debezium.translateRows(Seq(noTs -> "").toDF("value", "key"),
+      col("value"), col("key")).select(date_format(col("_ts"), "yyyy-MM-dd HH:mm:ss"))
+      .collect().head.getString(0)
+    assert(ts === "1970-01-01 00:00:00")
+  }
+
+  test("JSONEachRow serialization keeps exactly the reference field set (P7/F12)") {
+    val out = Debezium.toJsonEachRow(
+      Debezium.translateRows(Seq(create -> "").toDF("value", "key"),
+        col("value"), col("key"))).collect().head.getString(0)
+    assert(out === """{"id":7,"name":"n7","email":"e7","is_deleted":0,"_op":1,"_lsn":100,"_ts":"1970-01-01 00:00:00"}""")
+  }
+}

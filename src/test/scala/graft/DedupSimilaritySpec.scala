@@ -1,0 +1,138 @@
+package graft
+
+import graft.functions.{TextFns, Udfs, VectorFns}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** X1-X4 operator units (SURVEY.md §2.10). */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog")    // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the deterministic min winner per group") {
+    val df = Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30)).toDF("id", "g", "v")
+    val out = Dedup.exact(df, Seq("g"), col("id")).select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L))
+  }
+
+  test("shingles: word bigrams, short docs yield empty") {
+    val out = docs.filter(col("doc_id") === 1)
+      .select(TextFns.shingles(split(col("text"), " "), 2).as("sh"))
+      .as[Seq[String]].collect().head
+    assert(out.head === "the quick" && out.size === 8)
+    val short = Seq((1L, "word")).toDF("doc_id", "text")
+      .select(TextFns.shingles(split(col("text"), " "), 2).as("sh"))
+      .as[Seq[String]].collect().head
+    assert(short.isEmpty)
+  }
+
+  test("ngramJaccard finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", col("text"), k = 2, minJ = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash near-dup verified pairs are a subset of high-Jaccard truth, and exact dups always collide") {
+    val out = Dedup.minhashNearDup(docs, "doc_id", col("text"),
+      k = 2, bands = 4, rowsPerBand = 3, minJ = 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))          // identical docs: every band agrees
+    out.foreach(r => assert(r.getDouble(2) >= 0.8))
+  }
+
+  test("simhash: 64-bit string, identical docs identical signature, near-dups close") {
+    val sig = Dedup.simhash(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(sig(1L) === sig(4L))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+  }
+
+  test("cosine: known values, zero-norm guard, udf == native composition") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 2f), Seq(2f, 4f), 1.0),
+      (Seq(0f, 0f), Seq(1f, 1f), 0.0)
+    ).toDF("a", "b", "expect")
+    val rows = df.select(
+      VectorFns.cosine(col("a"), col("b")).as("native"),
+      Udfs.cosineUdf(col("a"), col("b")).as("viaUdf"),
+      col("expect")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-12)
+      assert(r.getDouble(0) === r.getDouble(1)) // identical accumulation order
+    }
+  }
+
+  test("bruteForceTopK: self excluded, ranked desc, k bounded") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(1f, 0.01f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((4L, 1L), (2L, 2L)))
+  }
+
+  test("lshTopK results are a subset of brute-force candidates with matching cosine") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 10 === 0)
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 40)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val lsh = Similarity.lshTopK(vecs, q, "vec_id", "embedding", k = 5, planes = 2)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, c) => assert(bf((a, b)) === c) }
+  }
+
+  test("langId picks the stopword-majority language; 'und' when nothing hits") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist nicht mit der katze und von da"),
+      (3L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextFns.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en" && out(2L) === "de" && out(3L) === "und")
+  }
+
+  test("fingerprint is order- and multiplicity-insensitive on the token bag") {
+    val df = Seq((1L, "b a a c"), (2L, "c b a"), (3L, "a b d")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextFns.fingerprint(col("text")).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) === fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("tokenizer UDTF surface: explode yields one row per token") {
+    val n = Seq((1L, "Hello, World! 42")).toDF("id", "text")
+      .select(Udfs.explodeTokens(col("text")).as("tok")).as[String].collect().toSeq
+    assert(n === Seq("hello", "world", "42"))
+  }
+
+  test("LatestByLsn Aggregator matches the window formulation") {
+    Udfs.register(spark)
+    val rows = Seq(
+      Udfs.Versioned(1L, 5L, 1, "a"), Udfs.Versioned(1L, 9L, 2, "b"),
+      Udfs.Versioned(1L, 9L, 1, "c"), Udfs.Versioned(2L, 1L, 1, "d"))
+    val ds = rows.toDS()
+    ds.createOrReplaceTempView("versioned")
+    // a udaf-registered typed Aggregator takes the case-class fields
+    // as flat SQL arguments
+    val out = spark.sql(
+      "SELECT graft_latest_by_lsn(id, lsn, op, payload) AS r FROM versioned GROUP BY id")
+      .select("r.id", "r.payload").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "b", 2L -> "d"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions (SURVEY.md §4.2 "verify with explain"):
+  * the 100 TB posture is checked, not assumed — pushdown reaches the
+  * scan, small dims broadcast, top-k avoids the full sort, partial
+  * aggregation runs before the shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("S3: filter is pushed to the parquet scan and columns pruned") {
+    val p = plan(SparkEntry.queries("q_scan_project")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      "scan should not read unprojected columns")
+  }
+
+  test("J1: dimension joins are broadcast (no shuffle of the fact side)") {
+    val p = plan(SparkEntry.queries("q_join_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$p")
+  }
+
+  test("O1: order-by + limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("A6: aggregation is partial -> final (map-side combine before shuffle)") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
+  }
+
+  test("whole-stage codegen applies to the scan-filter-project pipeline") {
+    // executedPlan stringifies as an unfinalized AdaptiveSparkPlan with
+    // no codegen markers; codegen explain mode compiles the subtrees
+    val df = SparkEntry.queries("q_filter_events")(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), s"expected codegen:\n$p")
+  }
+
+  test("J5: range join broadcasts the band table (BroadcastNestedLoopJoin)") {
+    val p = plan(SparkEntry.queries("q_join_range")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
+  }
+
+  test("X3: brute-force top-k broadcasts the query side") {
+    val p = plan(SparkEntry.queries("q_cosine_topk")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$p")
+  }
+
+  test("J6: as-of join is one shuffle (union+window), no nested-loop join") {
+    val p = plan(SparkEntry.queries("q_join_asof")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not materialize the cross product:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected running window:\n$p")
+  }
+}

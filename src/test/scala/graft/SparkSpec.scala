@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (SURVEY.md §5.2#2). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.session
+  override def afterAll(): Unit = () // session shared across suites
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-tests")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    // Spark 4.1's async checkpoint-file checksum writer deadlocks its
+    // close() future under rapid stateful micro-batches (all executor
+    // task threads park in ChecksumCancellableFSDataOutputStream.close
+    // awaiting a result that never arrives); corruption detection on
+    // local-disk test checkpoints is not worth a hung suite.
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    .getOrCreate()
+}

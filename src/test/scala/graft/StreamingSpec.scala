@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics via MemoryStream (SURVEY.md §5.2#4):
+  * ST5 windowed counts, ST7 replay dedup + stateful current state,
+  * S5 foreachBatch sink tolerance, ST9 listener.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("ST5: tumbling windowed counts with watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = EventAnalytics.windowedCounts(
+      in.toDF().toDF("ts", "action"), "ts", "action", "10 seconds")
+    val q = counts.writeStream.format("memory").queryName("st5")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((ts(1), "click"), (ts(3), "click"), (ts(11), "login"))
+      q.processAllAvailable()
+      val out = spark.table("st5")
+        .select(col("win_start").cast("long"), col("action"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(out === Set((0L, "click", 2L), (10L, "login", 1L)))
+    } finally q.stop()
+  }
+
+  test("ST7a: dropDuplicatesWithinWatermark drops CDC replays") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val rows = in.toDF().toDF("id", "_lsn", "_ts")
+    val q = CdcStreaming.dedupReplays(rows, "10 seconds")
+      .writeStream.format("memory").queryName("st7a")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, 100L, ts(1)), (1L, 100L, ts(2)), (1L, 101L, ts(3)))
+      q.processAllAvailable()
+      in.addData((1L, 100L, ts(4))) // replay within watermark → dropped
+      q.processAllAvailable()
+      assert(spark.table("st7a").count() === 2)
+    } finally q.stop()
+  }
+
+  test("ST7b: flatMapGroupsWithState maintains max-lsn current state") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[CdcStreaming.CdcRow]
+    // explicit trigger interval: with ProcessingTimeTimeout the engine
+    // fires a batch EVERY trigger to evaluate timeouts; the default
+    // as-fast-as-possible trigger would spin thousands of empty
+    // batches while the test polls
+    val q = CdcStreaming.currentStateStream(spark, in.toDF())
+      .writeStream.format("memory").queryName("st7b")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .outputMode(OutputMode.Update()).start()
+    // processAllAvailable never returns here: with ProcessingTimeTimeout
+    // the engine runs timeout-evaluation batches on every trigger, so
+    // the "idle" signal it waits for never fires — poll the sink with a
+    // deadline instead.
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cond, "condition not reached within deadline")
+    }
+    try {
+      in.addData(
+        CdcStreaming.CdcRow(1L, "a", "a@x", 0, 1, 100L, ts(1)),
+        CdcStreaming.CdcRow(1L, "b", "b@x", 0, 2, 200L, ts(2)))
+      await(spark.table("st7b").count() >= 1)
+      in.addData(CdcStreaming.CdcRow(1L, "stale", "s@x", 0, 2, 150L, ts(3)))
+      in.addData(CdcStreaming.CdcRow(2L, "marker", "m@x", 0, 1, 1L, ts(4)))
+      await(spark.table("st7b").filter(col("id") === 2).count() >= 1)
+      val names = spark.table("st7b").filter(col("id") === 1)
+        .select("name").as[String].collect().toSeq
+      // the winner "b" is emitted once; the stale lsn=150 update emits nothing
+      assert(names === Seq("b"))
+    } finally q.stop()
+  }
+
+  test("S5: foreachBatch parquet sink filters invalid rows instead of failing the batch") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val in = MemoryStream[(java.lang.Long, java.lang.Long, String)]
+    val rows = in.toDF().toDF("id", "_lsn", "name")
+    val w = Sinks.parquetAppend(rows, s"$dir/ckpt", s"$dir/out")
+    in.addData((1L, 10L, "ok"), (null, 11L, "bad-id"), (2L, null, "bad-lsn"))
+    Sinks.runFor(w, 10000)
+    val out = spark.read.parquet(s"$dir/out").select("name").as[String].collect().toSet
+    assert(out === Set("ok"))
+  }
+
+  test("ST9: listener accumulates rows and batches") {
+    implicit val sq = spark.sqlContext
+    val m = new IngestionMetrics
+    spark.streams.addListener(m)
+    try {
+      val in = MemoryStream[Long]
+      val q = in.toDF().writeStream.format("noop").start()
+      in.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination(10000)
+      // listener events are async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (m.rowsTotal.get < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(m.rowsTotal.get >= 3)
+      assert(m.batchesTotal.get >= 1)
+      assert(m.render().contains("ingest_rows_total"))
+    } finally spark.streams.removeListener(m)
+  }
+
+  test("S1: deterministic synthetic source shape") {
+    val q = SyntheticSource.eventsDeterministic(spark, rate = 100)
+      .writeStream.format("memory").queryName("s1").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("s1").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val rows = spark.table("s1")
+        .select("user_id", "action", "payload").collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getString(0).startsWith("user-"))
+        assert(SyntheticSource.actions.contains(r.getString(1)))
+        assert(r.getString(2) === "example-payload")
+      }
+    } finally q.stop()
+  }
+}
