@@ -14,8 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Sequential-order dot product of two float vectors in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-order dot product of two float vectors in double —
+    * the codegen'd native expression (see [[FloatDotProduct]]).
+    */
+  def dot(a: Column, b: Column): Column = VectorExprs.floatDot(a, b)
+
+  /** Higher-order-function formulation, kept as the cross-check for
+    * [[dot]] (identical accumulation order → bit-identical results)
+    * and as the fallback shape other engines can mirror.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

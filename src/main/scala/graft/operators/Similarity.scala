@@ -30,10 +30,18 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, roundTo: Int = 6): DataFrame = {
-    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    // norms are precomputed per row BEFORE the pair join: one dot per
+    // pair instead of three (cosine = dot / (|a||b|) is arithmetically
+    // identical — norm(x) is the same double wherever it's computed)
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      VectorFns.norm2(col(vec)).as("qn")))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      VectorFns.norm2(col(vec)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(VectorFns.cosine(col("qv"), col("cv")), roundTo))
+      .withColumn("cosine", round(
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(VectorFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
+        roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -53,11 +61,16 @@ object Similarity {
       case Some(b) => df.withColumn("__blk", b)
       case None => df.withColumn("__blk", lit(0))
     }
-    val a = base.select(col("__blk"), col(id).as("id_a"), col(vec).as("va"))
-    val b = base.select(col("__blk"), col(id).as("id_b"), col(vec).as("vb"))
+    val a = base.select(col("__blk"), col(id).as("id_a"), col(vec).as("va"),
+      VectorFns.norm2(col(vec)).as("na"))
+    val b = base.select(col("__blk"), col(id).as("id_b"), col(vec).as("vb"),
+      VectorFns.norm2(col(vec)).as("nb"))
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(VectorFns.cosine(col("va"), col("vb")), roundTo))
+      .withColumn("cosine", round(
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(VectorFns.dot(col("va"), col("vb")) / (col("na") * col("nb"))),
+        roundTo))
       .filter(col("cosine") >= minCos)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -71,12 +84,15 @@ object Similarity {
       k: Int, planes: Int): DataFrame = {
     val bucket = (v: Column) => VectorFns.lshBucket(v, planes)
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      bucket(col(vec)).as("__blk"))
+      bucket(col(vec)).as("__blk"), VectorFns.norm2(col(vec)).as("qn"))
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-      bucket(col(vec)).as("__blk"))
+      bucket(col(vec)).as("__blk"), VectorFns.norm2(col(vec)).as("cn"))
     val scored = c.join(broadcast(q), Seq("__blk"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .withColumn("cosine", round(
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(VectorFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
+        6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
