@@ -66,4 +66,41 @@ object Multimodal {
         }
       }
   }
+
+  /** STUB — "resize": deterministic byte-domain downsample to
+    * `targetBytes` (stride sampling). A real deployment decodes,
+    * resizes pixels, re-encodes; the Spark shape — narrow
+    * binary→binary map with bounded output size — is identical.
+    */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (payload.length <= targetBytes) payload
+    else {
+      val out = new Array[Byte](targetBytes)
+      val stride = payload.length.toDouble / targetBytes
+      var i = 0
+      while (i < targetBytes) { out(i) = payload((i * stride).toInt); i += 1 }
+      out
+    }
+
+  case class MediaFrame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** STUB — "frame sampling": one fixed-size frame every `frameBytes`
+    * of payload (stands in for video frame extraction; a UDTF-shaped
+    * one-to-many flatMap — the row-multiplying plumbing is the real
+    * part, the slicing is the fake decode).
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int, everyN: Int): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        val nFrames = math.max(1, r.payload.length / frameBytes)
+        (0 until nFrames by everyN).map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          MediaFrame(r.doc_id, f, java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
+  }
 }

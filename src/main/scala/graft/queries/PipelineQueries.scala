@@ -46,13 +46,15 @@ object PipelineQueries {
       struct(k.as("lsn"), col("ts_us").as("ts_us"),
         lit("public").as("schema"), lit("users").as("table")).as("source"),
       op.as("op"), col("ts_us").as("ts_us"))
-    val json = to_json(env)
     // F11: double-encode a deterministic subset — value becomes a JSON
-    // string whose content is the envelope JSON
-    val doubled = when(k % 5 === 0,
-      concat(lit("\""), regexp_replace(regexp_replace(json, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), lit("\"")))
-      .otherwise(json)
-    df.select(k.as("o_orderkey"),
+    // string whose content is the envelope JSON. Escape via literal
+    // (non-regex) replace — regexp_replace on 150k full JSON strings
+    // costs ~2s at sf0.1 for what is a fixed-string substitution.
+    val base = df.withColumn("__json", to_json(env))
+    val esc = expr("""replace(replace(__json, '\\', '\\\\'), '"', '\\"')""")
+    val doubled = when(k % 5 === 0, concat(lit("\""), esc, lit("\"")))
+      .otherwise(col("__json"))
+    base.select(k.as("o_orderkey"),
       doubled.as("value"),
       to_json(struct(col("uid").as("id"))).as("key"))
   }

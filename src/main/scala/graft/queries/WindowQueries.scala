@@ -77,6 +77,37 @@ object WindowQueries {
         .orderBy(col("event_id"))
     }),
 
+    // W4b: time-based moving average — RANGE frame over epoch seconds
+    // (rows in the trailing 1-hour window per user)
+    "q_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+        .rangeBetween(-3600L, Window.currentRow)
+      table(s, d, "events")
+        .select(col("user_id"), col("event_id"), epochS, col("value"))
+        // exact decimal window sum → double (exact: ≤15 digits) → one
+        // correctly-rounded division; engines' avg() implementations
+        // differ at the ulp, sum/count does not
+        .withColumn("mavg",
+          round(sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / count(lit(1)).over(w), 4))
+        .withColumn("nwin", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"), col("mavg"), col("nwin"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // A2b/A4b: exact continuous percentiles (approx_percentile and
+    // approx_count_distinct are engine-specific sketches — tested in
+    // AggApproxSpec against these exact values instead of an oracle)
+    "q_quantiles" -> ((s, d) => {
+      table(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy(col("event_type"))
+    }),
+
     // O1: global top-k — Spark plans TakeOrderedAndProject (no full sort)
     "q_topk" -> ((s, d) => {
       table(s, d, "orders")
@@ -136,6 +167,23 @@ object WindowQueries {
          FROM events
          WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
          ORDER BY event_id""",
+    "q_moving_avg" ->
+      """WITH t AS (SELECT user_id, event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep, value FROM events)
+         SELECT user_id, event_id,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w), 4) AS mavg,
+           COUNT(*) OVER w AS nwin
+         FROM t
+         WINDOW w AS (PARTITION BY user_id ORDER BY ep
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "q_quantiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.95), 4) AS p95,
+         round(quantile_cont(value, 0.99), 4) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
          FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 10""",

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** A2/A4 approximate aggregates (engine-specific sketches — no DuckDB
+  * oracle; checked against the exact values instead) and the X5
+  * multimodal stubs around the real Spark plumbing.
+  */
+class AggApproxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("A4: approx_count_distinct (HLL++) is within 5% of exact") {
+    val df = Tables.table(spark, sf, "events")
+    val (exact, approx) = df.agg(
+      countDistinct(col("user_id")).cast("double"),
+      approx_count_distinct(col("user_id"), 0.02).cast("double"))
+      .as[(Double, Double)].collect().head
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("A2: approx_percentile brackets the exact continuous percentile") {
+    val df = Tables.table(spark, sf, "events")
+    val rows = df.agg(
+      expr("percentile(value, 0.5)"),
+      expr("approx_percentile(value, 0.5, 10000)"),
+      min(col("value")), max(col("value")))
+      .as[(Double, Double, Double, Double)].collect().head
+    val (exact, approx, lo, hi) = rows
+    assert(approx >= lo && approx <= hi)
+    assert(math.abs(approx - exact) <= (hi - lo) * 0.05,
+      s"exact=$exact approx=$approx range=[$lo,$hi]")
+  }
+
+  test("X5: resize stub bounds output and keeps identity for small payloads") {
+    val small = Array[Byte](1, 2, 3)
+    assert(Multimodal.resizeStub(small, 10) === small)
+    val big = Array.tabulate(1000)(_.toByte)
+    val out = Multimodal.resizeStub(big, 64)
+    assert(out.length === 64 && out(0) === big(0))
+  }
+
+  test("X5: frame sampling is a one-to-many flatMap with bounded frames") {
+    val media = Multimodal.asMediaTable(
+      Tables.table(spark, sf, "documents").limit(20))
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 64, everyN = 2)
+    val byDoc = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n"),
+      max(length(col("frame"))).as("maxlen"))
+      .as[(Long, Long, Int)].collect()
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, n, maxlen) =>
+      assert(n >= 1 && maxlen <= 64)
+    }
+  }
+}

@@ -84,6 +84,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST6: session windows close after the gap, within watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val sessions = EventAnalytics.sessionCounts(
+      in.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gap = "10 seconds", watermark = "5 seconds")
+    val q = sessions.writeStream.format("memory").queryName("st6")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1: two events 3s apart (one session), then 100s later another
+      // event → advances watermark past the first session's close
+      in.addData((ts(1), "u1"), (ts(4), "u1"))
+      q.processAllAvailable()
+      in.addData((ts(200), "u1"))
+      q.processAllAvailable()
+      val out = spark.table("st6")
+        .select(col("sess_start").cast("long"), col("sess_end").cast("long"), col("n_events"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out === Set((1L, 14L, 2L))) // [1, 4+10) with 2 events
+    } finally q.stop()
+  }
+
   test("S5: foreachBatch parquet sink filters invalid rows instead of failing the batch") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft-sink").toString
