@@ -1,0 +1,46 @@
+package graft.pipeline
+
+/** Engine configuration mirroring the reference's defaulting rules
+  * (SURVEY.md §2.1 S6/S7):
+  *  - host without a port gets the ClickHouse HTTP port 8123 appended
+  *    (/root/reference/internal/ingestion/clickhouse.go:19-24)
+  *  - empty database → "appdb", empty table → "app.users_cur"
+  *    (clickhouse.go:100-110)
+  *  - broker lists are comma-separated with trimmed entries and
+  *    empties dropped (cmd/root.go:174-182)
+  */
+final case class IngestConfig(
+    host: String = "localhost",
+    database: String = "",
+    table: String = "",
+    brokers: Seq[String] = Nil,
+    topic: String = "pg.public.users",
+    groupId: String = "go-ingestor") {
+
+  /** S6: reference's EnsureHostPort. */
+  def hostPort: String =
+    if (host.contains(":")) host else s"$host:8123"
+
+  /** S7: database/table defaulting. */
+  def databaseOrDefault: String =
+    if (database.isEmpty) "appdb" else database
+  def tableOrDefault: String =
+    if (table.isEmpty) "app.users_cur" else table
+
+  /** ClickHouse-over-JDBC URL for the S4/S5 paths. */
+  def jdbcUrl: String =
+    s"jdbc:clickhouse://$hostPort/$databaseOrDefault"
+
+  def brokerList: String = brokers.mkString(",")
+}
+
+object IngestConfig {
+  /** F5: splitCSV — split, trim, drop empties
+    * (/root/reference/cmd/root.go:174-182).
+    */
+  def splitCsv(s: String): Seq[String] =
+    s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  def fromBrokersCsv(host: String, brokersCsv: String): IngestConfig =
+    IngestConfig(host = host, brokers = splitCsv(brokersCsv))
+}
