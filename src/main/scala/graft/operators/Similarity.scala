@@ -75,6 +75,55 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** IVF-flat approximate top-k: the corpus is partitioned into
+    * `nlist` cells by nearest centroid; each query probes its
+    * `nProbe` nearest cells and ranks exactly within them. Centroids
+    * are a deterministic stride-sample of the corpus (no training
+    * loop — "IVF-flat with sampled centroids"; recall dial = nProbe).
+    *
+    * Scale shape: assignment is corpus × broadcast(centroids) — a
+    * narrow map over the big side; the probe join hash-partitions on
+    * the cell id, so each query compares against |corpus|/nlist ×
+    * nProbe vectors instead of the full corpus.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nlist: Int, nProbe: Int): DataFrame = {
+    // deterministic centroids: every (n/nlist)-th vector in id order
+    val n = corpus.count()
+    val stride = math.max(1L, n / nlist)
+    val cents = broadcast(
+      corpus.select(col(id).as("cent_id"), col(vec).as("cent_vec"))
+        .filter(pmod(col("cent_id"), lit(stride)) === 0)
+        .orderBy(col("cent_id")).limit(nlist))
+    def assign(df: DataFrame, idOut: String, vecOut: String, keep: Int): DataFrame = {
+      val scored = df.select(col(id).as(idOut), col(vec).as(vecOut))
+        .join(cents, expr("true"))
+        .withColumn("__d", VectorFns.dot(col(vecOut), col("cent_vec")) /
+          (VectorFns.norm2(col(vecOut)) * VectorFns.norm2(col("cent_vec"))))
+      val w = Window.partitionBy(col(idOut))
+        .orderBy(col("__d").desc, col("cent_id").asc)
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .select(col(idOut), col(vecOut), col("cent_id").as("cell"))
+    }
+    val corpusCells = assign(corpus, "neighbor_id", "cv", keep = 1)
+    val queryCells = assign(queries, "query_id", "qv", keep = nProbe)
+      .withColumn("qn", VectorFns.norm2(col("qv")))
+    val corpusN = corpusCells.withColumn("cn", VectorFns.norm2(col("cv")))
+    val scored = corpusN.join(queryCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(VectorFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
+        6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Approximate top-k: LSH-bucketed join (same sign-pattern bucket),
     * then exact cosine rank within bucket. Misses neighbors whose
     * sign pattern differs; standard recall/cost dial.

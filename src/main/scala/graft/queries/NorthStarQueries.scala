@@ -86,6 +86,17 @@ object NorthStarQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // X3 scale path #2: IVF-flat ANN (sampled centroids, nProbe cells;
+    // engine-defined partitioning — no SQL oracle, rows-only check +
+    // recall test in DedupSimilaritySpec)
+    "q_ann_ivf" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      Similarity.ivfTopK(corpus = e, queries = e.filter(col("vec_id") % 20 === 0),
+        id = "vec_id", vec = "embedding", k = 5, nlist = 16, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // X4: language-ID heuristic (stopword argmax)
     "q_langid" -> ((s, d) => {
       table(s, d, "documents")

@@ -98,6 +98,28 @@ class DedupSimilaritySpec extends SparkSpec {
     lsh.foreach { case (a, b, c) => assert(bf((a, b)) === c) }
   }
 
+  test("ivfTopK: exact cosines, high recall vs brute force at nProbe=4/16") {
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.tabulate(16)(d => math.sin(i * 0.37 + d * 1.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 20 === 0)
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bfCos = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 200)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    val ivf = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+      k = 5, nlist = 16, nProbe = 4)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    // cosines are exact (same arithmetic as brute force)
+    ivf.foreach { case (a, b, c) => assert(bfCos((a, b)) === c) }
+    // recall@5 over the probed fraction should be well above chance
+    val recall = ivf.map { case (a, b, _) => (a, b) }.count(bf.contains).toDouble /
+      bf.size.toDouble
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
   test("langId picks the stopword-majority language; 'und' when nothing hits") {
     val df = Seq(
       (1L, "the cat is in the house and it is warm"),

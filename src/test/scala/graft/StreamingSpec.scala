@@ -118,6 +118,24 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set("ok"))
   }
 
+  test("S2→P1→S5 end-to-end: envelope JSON stream → translate → parquet sink") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cdc-e2e").toString
+    val in = MemoryStream[(String, String)]
+    val rows = CdcStreaming.translate(in.toDF().toDF("value", "key"))
+    val w = Sinks.parquetAppend(rows, s"$dir/ckpt", s"$dir/out")
+    in.addData(
+      ("""{"before":null,"after":{"id":1,"name":"a","email":"a@x"},"source":{"lsn":10,"ts_us":1},"op":"c","ts_us":1}""", """{"id":1}"""),
+      ("not json", null),
+      ("""{"before":{"id":1,"name":"a","email":"a@x"},"after":null,"source":{"lsn":11,"ts_us":2},"op":"d","ts_us":2}""", """{"id":1}"""))
+    Sinks.runFor(w, 10000)
+    val out = spark.read.parquet(s"$dir/out")
+      .select("id", "is_deleted", "_op", "_lsn")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // bad row skipped; create + delete both landed, batched
+    assert(out === Set((1L, 0, 1, 10L), (1L, 1, 3, 11L)))
+  }
+
   test("ST9: listener accumulates rows and batches") {
     implicit val sq = spark.sqlContext
     val m = new IngestionMetrics
