@@ -157,6 +157,38 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(m)
   }
 
+  test("ST8: stream-static join enriches events with the dimension, broadcast") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+    val joined = EventAnalytics.enrich(
+      in.toDF().toDF("ts", "user_id"), dim, col("user_id"), col("id"))
+    val q = joined.writeStream.format("memory").queryName("st8").start()
+    try {
+      in.addData((ts(1), 1L), (ts(2), 3L))
+      q.processAllAvailable()
+      val out = spark.table("st8").select("user_id", "name")
+        .as[(Long, Option[String])].collect().toSet
+      assert(out === Set((1L, Some("alice")), (3L, None))) // left join keeps unmatched
+    } finally q.stop()
+  }
+
+  test("F2/F3: uuid and random uniform choice expressions (shape and domain)") {
+    val df = spark.range(200).select(
+      expr("uuid()").as("u"),
+      element_at(array(SyntheticSource.actions.map(lit): _*),
+        (floor(rand(42) * SyntheticSource.actions.size) + 1).cast("int")).as("a"))
+    val rows = df.as[(String, String)].collect()
+    val uuidRe = "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}".r
+    assert(rows.map(_._1).distinct.length === 200)
+    rows.foreach { case (u, a) =>
+      assert(uuidRe.matches(u), s"bad uuid $u")
+      assert(SyntheticSource.actions.contains(a))
+    }
+    // uniform-ish: every action appears in 200 draws
+    assert(rows.map(_._2).distinct.sorted === SyntheticSource.actions.sorted)
+  }
+
   test("S1: deterministic synthetic source shape") {
     val q = SyntheticSource.eventsDeterministic(spark, rate = 100)
       .writeStream.format("memory").queryName("s1").start()
