@@ -14,6 +14,8 @@ object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-tests")
+    // the engine's SparkSessionExtensions hook — exercised in LayoutSpec
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
