@@ -22,5 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[FloatDotProduct].getName, "float_dot",
         "float_dot(a, b) - codegen'd dot product of two float arrays in double"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(
+        classOf[StringRollingHash].getName, "rolling_hash",
+        "rolling_hash(s) - base-31 polynomial hash over UTF-8 bytes (order-sensitive)"),
+      (exprs: Seq[Expression]) => StringRollingHash(exprs.head)))
   }
 }

@@ -123,6 +123,16 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X4: order-sensitive rolling-hash fingerprint (native codegen
+    // expression; engine-defined 64-bit wrap — no SQL oracle,
+    // cross-checked against the reference loop in DedupSimilaritySpec)
+    "q_rolling_fp" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.StringRollingHash.rollingHash(col("text")).as("fp64"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X4: content fingerprint + duplicate-group size
     "q_fingerprint" -> ((s, d) => {
       val w = Window.partitionBy(col("fp"))

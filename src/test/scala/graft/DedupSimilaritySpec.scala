@@ -137,6 +137,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fp(1L) === fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("rolling hash: matches reference loop, order-sensitive, SQL-callable") {
+    import graft.functions.StringRollingHash
+    val df = Seq((1L, "abc def"), (2L, "def abc"), (3L, "abc def"), (4L, "日本語テキスト"))
+      .toDF("id", "t")
+    val out = df.select(col("id"), StringRollingHash.rollingHash(col("t")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    // reference loop agreement (incl. multi-byte UTF-8)
+    Seq((1L, "abc def"), (2L, "def abc"), (4L, "日本語テキスト")).foreach { case (i, s) =>
+      assert(out(i) === StringRollingHash.hash(s.getBytes("UTF-8")))
+    }
+    assert(out(1L) === out(3L) && out(1L) != out(2L)) // order-sensitive
+    // registered through the extensions hook for SQL callers
+    val viaSql = spark.sql("SELECT rolling_hash('abc def')").collect().head.getLong(0)
+    assert(viaSql === out(1L))
+  }
+
   test("tokenizer UDTF surface: explode yields one row per token") {
     val n = Seq((1L, "Hello, World! 42")).toDF("id", "text")
       .select(Udfs.explodeTokens(col("text")).as("tok")).as[String].collect().toSeq
