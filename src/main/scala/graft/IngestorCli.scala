@@ -1,0 +1,119 @@
+package graft
+
+import graft.pipeline.IngestConfig
+import graft.streaming._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's CLI surface, re-expressed (dual-mode ingestor —
+  * /root/reference/cmd/root.go:39-60): `--mode synthetic` generates
+  * rate-limited mock events for `--duration` seconds; `--mode cdc`
+  * consumes Debezium envelopes from Kafka. Flags fall back to the
+  * same environment variables the reference reads (EVENT_RATE,
+  * INGESTION_DURATION, KAFKA_BROKERS, KAFKA_TOPIC, KAFKA_GROUP,
+  * CLICKHOUSE_HOST/DATABASE/TABLE — cmd/root.go:62-97).
+  *
+  * The sink is `--sink jdbc` (ClickHouse-over-JDBC, batched per
+  * micro-batch — replacing the reference's row-per-POST) or
+  * `--sink parquet:<dir>` for a database-free run. Metrics mirror the
+  * reference's four Prometheus quantities via IngestionMetrics,
+  * dumped at shutdown (ST9).
+  *
+  * Usage:
+  *   runMain graft.IngestorCli --mode synthetic --rate 1000 \
+  *     --duration 30 --sink parquet:/tmp/out --checkpoint /tmp/ckpt
+  */
+object IngestorCli {
+
+  case class Args(
+      mode: String = "synthetic",
+      rate: Long = 5L,              // cmd/root.go:65 default
+      durationS: Long = 60L,        // cmd/root.go:66 default
+      cfg: IngestConfig = IngestConfig(),
+      sink: String = "parquet:/tmp/graft-ingest",
+      checkpoint: String = "/tmp/graft-ingest-ckpt",
+      master: String = "local[*]")
+
+  def parse(argv: Array[String]): Args = {
+    def envOr(k: String, d: String) = sys.env.getOrElse(k, d)
+    var a = Args(
+      rate = envOr("EVENT_RATE", "5").toLong,
+      durationS = envOr("INGESTION_DURATION", "60").toLong,
+      cfg = IngestConfig(
+        host = envOr("CLICKHOUSE_HOST", "localhost"),
+        database = envOr("CLICKHOUSE_DATABASE", ""),
+        table = envOr("CLICKHOUSE_TABLE", ""),
+        brokers = IngestConfig.splitCsv(envOr("KAFKA_BROKERS", "")),
+        topic = envOr("KAFKA_TOPIC", "pg.public.users"),
+        groupId = envOr("KAFKA_GROUP", "go-ingestor")))
+    var i = 0
+    while (i < argv.length - 1) {
+      val (k, v) = (argv(i), argv(i + 1))
+      k match {
+        case "--mode" => a = a.copy(mode = v.toLowerCase)
+        case "--rate" => a = a.copy(rate = v.toLong)
+        case "--duration" => a = a.copy(durationS = v.toLong)
+        case "--brokers" => a = a.copy(cfg = a.cfg.copy(brokers = IngestConfig.splitCsv(v)))
+        case "--topic" => a = a.copy(cfg = a.cfg.copy(topic = v))
+        case "--group" => a = a.copy(cfg = a.cfg.copy(groupId = v))
+        case "--ch-host" => a = a.copy(cfg = a.cfg.copy(host = v))
+        case "--database" => a = a.copy(cfg = a.cfg.copy(database = v))
+        case "--table" => a = a.copy(cfg = a.cfg.copy(table = v))
+        case "--sink" => a = a.copy(sink = v)
+        case "--checkpoint" => a = a.copy(checkpoint = v)
+        case "--master" => a = a.copy(master = v)
+        case _ => i -= 1 // unknown token: advance by one only
+      }
+      i += 2
+    }
+    a
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    val spark = SparkSession.builder()
+      .master(a.master)
+      .appName(s"graft-ingestor-${a.mode}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new IngestionMetrics
+    spark.streams.addListener(metrics)
+
+    val rows = a.mode match {
+      case "synthetic" =>
+        // reference event shape {ts, user_id, action, payload}
+        // (internal/generator/generator.go:10-23); sink-compatible
+        // versioned columns stamped for the idempotent upsert contract
+        SyntheticSource.events(spark, a.rate)
+          .select(col("ts").as("_ts"),
+            abs(hash(col("user_id"))).cast("long").as("id"),
+            unix_micros(col("ts")).as("_lsn"),
+            col("user_id").as("name"),
+            concat(col("user_id"), lit("@example.com")).as("email"),
+            lit(0).as("is_deleted"), lit(1).as("_op"))
+      case "cdc" =>
+        CdcStreaming.translate(
+          CdcStreaming.kafkaSource(spark, a.cfg.brokerList, a.cfg.topic))
+      case other => sys.error(s"unknown mode: $other (synthetic|cdc)")
+    }
+
+    val writer =
+      if (a.sink.startsWith("parquet:"))
+        Sinks.parquetAppend(rows, a.checkpoint, a.sink.stripPrefix("parquet:"))
+      else
+        Sinks.jdbcAppend(rows, a.checkpoint, a.cfg.jdbcUrl, a.cfg.tableOrDefault)
+
+    val query = writer.start()
+    if (a.mode == "synthetic") {
+      // bounded run then park (reference semantics, cmd/root.go:143-146):
+      // here "park" = clean stop after the duration
+      SyntheticSource.runBounded(query, a.durationS * 1000L)
+    } else {
+      query.awaitTermination()
+    }
+    println(metrics.render())
+    spark.stop()
+  }
+}
