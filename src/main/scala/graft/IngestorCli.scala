@@ -35,17 +35,22 @@ object IngestorCli {
       master: String = "local[*]")
 
   def parse(argv: Array[String]): Args = {
+    // exact env-var names and defaults of the reference
+    // (cmd/root.go:62-78): MODE, EVENT_RATE, INGESTION_DURATION,
+    // REDPANDA_BROKERS, TOPIC, GROUP_ID, CLICKHOUSE_HOST/DB/TABLE
     def envOr(k: String, d: String) = sys.env.getOrElse(k, d)
     var a = Args(
+      mode = envOr("MODE", "synthetic"),
       rate = envOr("EVENT_RATE", "5").toLong,
       durationS = envOr("INGESTION_DURATION", "60").toLong,
       cfg = IngestConfig(
         host = envOr("CLICKHOUSE_HOST", "localhost"),
-        database = envOr("CLICKHOUSE_DATABASE", ""),
-        table = envOr("CLICKHOUSE_TABLE", ""),
-        brokers = IngestConfig.splitCsv(envOr("KAFKA_BROKERS", "")),
-        topic = envOr("KAFKA_TOPIC", "pg.public.users"),
-        groupId = envOr("KAFKA_GROUP", "go-ingestor")))
+        database = envOr("CLICKHOUSE_DB", "appdb"),
+        table = envOr("CLICKHOUSE_TABLE", "app.users_cur"),
+        brokers = IngestConfig.splitCsv(
+          envOr("REDPANDA_BROKERS", "redpanda.redpanda.svc.cluster.local:9093")),
+        topic = envOr("TOPIC", "dbserver1.app.users"),
+        groupId = envOr("GROUP_ID", "wal-cdc-ingestor")))
     var i = 0
     while (i < argv.length - 1) {
       val (k, v) = (argv(i), argv(i + 1))
@@ -56,9 +61,9 @@ object IngestorCli {
         case "--brokers" => a = a.copy(cfg = a.cfg.copy(brokers = IngestConfig.splitCsv(v)))
         case "--topic" => a = a.copy(cfg = a.cfg.copy(topic = v))
         case "--group" => a = a.copy(cfg = a.cfg.copy(groupId = v))
-        case "--ch-host" => a = a.copy(cfg = a.cfg.copy(host = v))
-        case "--database" => a = a.copy(cfg = a.cfg.copy(database = v))
-        case "--table" => a = a.copy(cfg = a.cfg.copy(table = v))
+        case "--clickhouse-host" | "--ch-host" => a = a.copy(cfg = a.cfg.copy(host = v))
+        case "--clickhouse-db" | "--database" => a = a.copy(cfg = a.cfg.copy(database = v))
+        case "--clickhouse-table" | "--table" => a = a.copy(cfg = a.cfg.copy(table = v))
         case "--sink" => a = a.copy(sink = v)
         case "--checkpoint" => a = a.copy(checkpoint = v)
         case "--master" => a = a.copy(master = v)
@@ -88,14 +93,17 @@ object IngestorCli {
         // versioned columns stamped for the idempotent upsert contract
         SyntheticSource.events(spark, a.rate)
           .select(col("ts").as("_ts"),
-            abs(hash(col("user_id"))).cast("long").as("id"),
+            // pmod, not abs: abs(hash) overflows on Int.MinValue and
+            // ANSI mode would kill the stream on that 2^-32 event
+            pmod(xxhash64(col("user_id")), lit(Long.MaxValue)).as("id"),
             unix_micros(col("ts")).as("_lsn"),
             col("user_id").as("name"),
             concat(col("user_id"), lit("@example.com")).as("email"),
             lit(0).as("is_deleted"), lit(1).as("_op"))
       case "cdc" =>
         CdcStreaming.translate(
-          CdcStreaming.kafkaSource(spark, a.cfg.brokerList, a.cfg.topic))
+          CdcStreaming.kafkaSource(spark, a.cfg.brokerList, a.cfg.topic,
+            groupId = Some(a.cfg.groupId)))
       case other => sys.error(s"unknown mode: $other (synthetic|cdc)")
     }
 

@@ -57,16 +57,19 @@ object Udfs {
     * bit-for-bit.
     */
   val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dp = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dp += x * y; na += x * x; nb += y * y
-      i += 1
+    if (a == null || b == null) None // null-propagate like the native form
+    else {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dp += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      Some(if (d == 0.0) 0.0 else dp / d)
     }
-    val d = math.sqrt(na) * math.sqrt(nb)
-    if (d == 0.0) 0.0 else dp / d
   }
 
   // ---------------------------------------------------------------

@@ -68,7 +68,7 @@ object AsOfJoin {
     unioned
       .withColumn("__last", last(when(col("__side") === 0, col("__r")), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side", "__tb", "__r")
+      .drop("__side", "__tb", "__r", "__t")
       .withColumnRenamed("__last", "asof")
   }
 

@@ -89,13 +89,14 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, nlist: Int, nProbe: Int): DataFrame = {
-    // deterministic centroids: every (n/nlist)-th vector in id order
-    val n = corpus.count()
-    val stride = math.max(1L, n / nlist)
+    // deterministic centroids WITHOUT an eager count() (which would
+    // fire a full scan job every time the query is merely built): the
+    // nlist lowest rows under a pseudo-random hash rank — a uniform,
+    // lazy, single-pass TakeOrdered over the corpus
     val cents = broadcast(
       corpus.select(col(id).as("cent_id"), col(vec).as("cent_vec"))
-        .filter(pmod(col("cent_id"), lit(stride)) === 0)
-        .orderBy(col("cent_id")).limit(nlist))
+        .orderBy(pmod(xxhash64(col(id)), lit(1000003L)), col(id))
+        .limit(nlist))
     def assign(df: DataFrame, idOut: String, vecOut: String, keep: Int): DataFrame = {
       val scored = df.select(col(id).as(idOut), col(vec).as(vecOut))
         .join(cents, expr("true"))

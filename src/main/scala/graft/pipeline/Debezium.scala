@@ -70,21 +70,29 @@ object Debezium {
     * Emits null for dropped rows; compose with `.filter(col(out).isNotNull)`.
     */
   def translate(env: Column, keyJson: Column): Column = {
-    val op = lower(env.getField("op"))
+    // branch on the RAW op: the reference's translate switch is
+    // case-sensitive (cdc.go:114-143 matches exact "c"/"u"/"d"; the
+    // case-insensitive opToEnum at :145-156 is only reachable for
+    // already-lowercase ops), so op="C" DROPS, same as here
+    val op = env.getField("op")
     val opNum = when(op === "c", 1).when(op === "u", 2)
       .when(op === "d", 3).otherwise(0)
     val after = env.getField("after")
     val before = env.getField("before")
     val keyId = from_json(keyJson, keySchema).getField("id")
     val lsn = coalesce(env.getField("source").getField("lsn"), lit(0L))
-    val tsUs = coalesce(env.getField("ts_us"),
-      env.getField("source").getField("ts_us"))
+    // ONLY the top-level ts_us counts (cdc.go:106-109); nil → epoch.
+    // source.ts_us is never consulted by the reference.
+    val tsUs = env.getField("ts_us")
     val ts = coalesce(timestamp_micros(tsUs), to_timestamp(lit("1970-01-01 00:00:00")))
     val cu = op.isin("c", "u") && after.isNotNull
     val d = op === "d"
+    // delete id: before.id if nonzero, else the Kafka key id, else 0 —
+    // the reference emits the tombstone UNCONDITIONALLY for op d
+    // (cdc.go:125-137 returns &row even when both lookups fail)
     val delId = coalesce(
-      when(before.getField("id") =!= 0, before.getField("id")), keyId)
-    when(cu || (d && delId.isNotNull),
+      when(before.getField("id") =!= 0, before.getField("id")), keyId, lit(0L))
+    when(cu || d,
       struct(
         when(d, delId).otherwise(after.getField("id")).as("id"),
         when(d, lit(null).cast(StringType)).otherwise(after.getField("name")).as("name"),

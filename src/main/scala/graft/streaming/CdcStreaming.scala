@@ -31,14 +31,19 @@ object CdcStreaming {
     */
   def kafkaSource(
       spark: SparkSession, brokers: String, topic: String,
-      maxOffsetsPerTrigger: Long = 10000L): DataFrame =
-    spark.readStream
+      maxOffsetsPerTrigger: Long = 10000L,
+      groupId: Option[String] = None): DataFrame = {
+    val base = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
-      .load()
+    // consumer-group identity (reference: cdc.go:36-43); Spark manages
+    // offsets itself via checkpoints, the group id is for broker-side
+    // quota/monitoring attribution
+    groupId.fold(base)(g => base.option("kafka.group.id", g)).load()
+  }
 
   /** ST2: streaming translate — identical expressions as batch
     * (Debezium.translateRows works on a streaming df as-is). Input

@@ -67,10 +67,18 @@ object Sinks {
         validRows(batch).write.mode(SaveMode.Append).parquet(outDir)
       }
 
-  /** Start + await helper for bounded test runs. */
+  /** Start + await helper for bounded test runs: waits for all
+    * currently-available data, but never longer than `ms` (a
+    * continuous source would make processAllAvailable wait forever —
+    * the bound is the point of this helper).
+    */
   def runFor(w: DataStreamWriter[Row], ms: Long): Unit = {
     val q: StreamingQuery = w.start()
-    try q.processAllAvailable()
-    finally if (q.isActive) q.stop()
+    try {
+      val waiter = new Thread(() => try q.processAllAvailable() catch { case _: Throwable => () })
+      waiter.setDaemon(true)
+      waiter.start()
+      waiter.join(ms)
+    } finally if (q.isActive) q.stop()
   }
 }

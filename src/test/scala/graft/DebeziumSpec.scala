@@ -47,9 +47,9 @@ class DebeziumSpec extends SparkSpec {
     assert(rows(x -> null).isEmpty)
   }
 
-  test("op is case-insensitive (P5/F4, cdc.go:145-156)") {
+  test("op matching is case-SENSITIVE: 'C' drops (cdc.go:114-143 raw switch)") {
     val up = create.replace("\"op\":\"c\"", "\"op\":\"C\"")
-    assert(rows(up -> null).head._5 === 1)
+    assert(rows(up -> null).isEmpty)
   }
 
   test("delete takes before.id, null name/email, is_deleted=1 (cdc.go:125-137)") {
@@ -62,9 +62,17 @@ class DebeziumSpec extends SparkSpec {
     assert(rows(del -> """{"id":33}""") === Seq((33L, null, null, 1, 3, 201L)))
   }
 
-  test("delete with neither before.id nor key is dropped") {
+  test("delete with neither before.id nor key still emits an id=0 tombstone (cdc.go:125-137)") {
     val del = """{"before":null,"after":null,"source":{"lsn":201},"op":"d"}"""
-    assert(rows(del -> null).isEmpty)
+    assert(rows(del -> null) === Seq((0L, null, null, 1, 3, 201L)))
+  }
+
+  test("_ts comes only from top-level ts_us; source.ts_us is ignored (cdc.go:106-109)") {
+    val noTop = """{"after":{"id":1,"name":"a","email":"b"},"source":{"lsn":5,"ts_us":123456789},"op":"c"}"""
+    val ts = Debezium.translateRows(Seq(noTop -> "").toDF("value", "key"),
+      col("value"), col("key")).select(date_format(col("_ts"), "yyyy-MM-dd HH:mm:ss"))
+      .collect().head.getString(0)
+    assert(ts === "1970-01-01 00:00:00")
   }
 
   test("nil lsn defaults to 0 (P6, cdc.go:101-105)") {

@@ -8,21 +8,26 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class IngestorCliSpec extends AnyFunSuite {
 
-  test("defaults match the reference (rate 5, duration 60, synthetic)") {
+  test("defaults match the reference (rate 5, duration 60, synthetic, reference topic/group)") {
     val a = IngestorCli.parse(Array.empty)
     assert(a.mode === "synthetic")
     assert(a.rate === 5L)
     assert(a.durationS === 60L)
     assert(a.cfg.hostPort === "localhost:8123")
     assert(a.cfg.tableOrDefault === "app.users_cur")
+    assert(a.cfg.databaseOrDefault === "appdb")
+    // cmd/root.go:69-71 defaults
+    assert(a.cfg.topic === "dbserver1.app.users")
+    assert(a.cfg.groupId === "wal-cdc-ingestor")
+    assert(a.cfg.brokers === Seq("redpanda.redpanda.svc.cluster.local:9093"))
   }
 
-  test("flags override: mode, rate, brokers CSV, sink") {
+  test("flags override: mode, rate, brokers CSV, sink (reference flag names + short aliases)") {
     val a = IngestorCli.parse(Array(
       "--mode", "CDC", "--rate", "100", "--duration", "5",
       "--brokers", " b1:9092 ,, b2:9092 ", "--topic", "t",
-      "--ch-host", "ch.prod", "--database", "db", "--table", "t2",
-      "--sink", "parquet:/tmp/x"))
+      "--clickhouse-host", "ch.prod", "--clickhouse-db", "db",
+      "--clickhouse-table", "t2", "--sink", "parquet:/tmp/x"))
     assert(a.mode === "cdc")
     assert(a.rate === 100L)
     assert(a.cfg.brokers === Seq("b1:9092", "b2:9092"))

@@ -54,7 +54,7 @@ def main():
             results[name] = f"OK rows={len(srows)}"
         else:
             diffs = [(i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
-            if not diffs and sorted(map(repr, srows)) == sorted(map(repr, orows)):
+            if sorted(map(repr, srows)) == sorted(map(repr, orows)):
                 results[name] = f"ORDER-ONLY-MISMATCH rows={len(srows)}"
             else:
                 i, a, b = diffs[0]
