@@ -108,6 +108,43 @@ object JoinQueries {
         .orderBy(col("pid"))
     }),
 
+    // J2b: TPC-H Q3 shape — filter both fact sides, join, aggregate,
+    // global top-k (TakeOrderedAndProject over the aggregate)
+    "q_join_q3" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+      table(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(table(s, d, "orders").filter(col("o_orderdate") < lit("1995-03-15")),
+          col("c_custkey") === col("o_custkey"))
+        .join(table(s, d, "lineitem").filter(col("l_shipdate") > lit("1995-03-15")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"), col("o_orderpriority"))
+        .agg(round(sum(disc), 4).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_date"), "yyyy-MM-dd").as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // J1b/J2c: TPC-H Q5 shape — 6-table star+snowflake join (two
+    // broadcast dims, three shuffle joins) with a correlated
+    // supplier-nation = customer-nation predicate
+    "q_join_q5" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+      table(s, d, "customer")
+        .join(table(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(table(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(table(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region")).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(disc), 4).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // J7: cross join — small dim × small dim
     "q_join_cross" -> ((s, d) => {
       table(s, d, "region").select(col("r_name"))
@@ -161,6 +198,27 @@ object JoinQueries {
              row_number() OVER (PARTITION BY p.pid ORDER BY c.cep DESC, c.cid DESC) AS rn
            FROM p JOIN c ON p.user_id = c.user_id AND c.cep <= p.pep)
          WHERE rn = 1 ORDER BY pid""",
+    "q_join_q3" ->
+      """SELECT l_orderkey,
+         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DOUBLE) AS revenue,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_join_q5" ->
+      """SELECT n_name,
+         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q_join_cross" ->
       """SELECT r_name, c_mktsegment FROM region
          CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) segs
