@@ -29,10 +29,21 @@ object Sources {
       spark: SparkSession, cfg: IngestConfig, table: String,
       partitionColumn: Option[String] = None,
       numPartitions: Int = 8,
+      lowerBound: Long = 0L, upperBound: Long = 1L << 40): DataFrame =
+    jdbcTableUrl(spark, cfg.jdbcUrl, table, partitionColumn,
+      numPartitions, lowerBound, upperBound)
+
+  /** URL-direct variant (any JDBC database; integration-tested against
+    * embedded Derby in SourcesSinksJdbcSpec).
+    */
+  def jdbcTableUrl(
+      spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[String] = None,
+      numPartitions: Int = 8,
       lowerBound: Long = 0L, upperBound: Long = 1L << 40): DataFrame = {
     val base = spark.read
       .format("jdbc")
-      .option("url", cfg.jdbcUrl)
+      .option("url", url)
       .option("dbtable", table)
       .option("pushDownPredicate", "true")
       .option("pushDownAggregate", "true")

@@ -57,6 +57,16 @@ class PlanSpec extends SparkSpec {
       s"query side should broadcast:\n$p")
   }
 
+  test("Q3 shape: top-k over the aggregate plans TakeOrderedAndProject") {
+    val p = plan(SparkEntry.queries("q_join_q3")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("Q5 shape: region/nation dims broadcast in the 6-table join") {
+    val p = plan(SparkEntry.queries("q_join_q5")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+  }
+
   test("J6: as-of join is one shuffle (union+window), no nested-loop join") {
     val p = plan(SparkEntry.queries("q_join_asof")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
