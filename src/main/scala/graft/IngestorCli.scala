@@ -50,7 +50,10 @@ object IngestorCli {
         brokers = IngestConfig.splitCsv(
           envOr("REDPANDA_BROKERS", "redpanda.redpanda.svc.cluster.local:9093")),
         topic = envOr("TOPIC", "dbserver1.app.users"),
-        groupId = envOr("GROUP_ID", "wal-cdc-ingestor")))
+        groupId = envOr("GROUP_ID", "wal-cdc-ingestor"),
+        user = envOr("CLICKHOUSE_USER", ""),
+        password = envOr("CLICKHOUSE_PASSWORD", ""),
+        metricsPort = envOr("METRICS_PORT", "8080").toInt))
     var i = 0
     while (i < argv.length - 1) {
       val (k, v) = (argv(i), argv(i + 1))
@@ -64,6 +67,9 @@ object IngestorCli {
         case "--clickhouse-host" | "--ch-host" => a = a.copy(cfg = a.cfg.copy(host = v))
         case "--clickhouse-db" | "--database" => a = a.copy(cfg = a.cfg.copy(database = v))
         case "--clickhouse-table" | "--table" => a = a.copy(cfg = a.cfg.copy(table = v))
+        case "--clickhouse-user" => a = a.copy(cfg = a.cfg.copy(user = v))
+        case "--clickhouse-password" => a = a.copy(cfg = a.cfg.copy(password = v))
+        case "--metrics-port" => a = a.copy(cfg = a.cfg.copy(metricsPort = v.toInt))
         case "--sink" => a = a.copy(sink = v)
         case "--checkpoint" => a = a.copy(checkpoint = v)
         case "--master" => a = a.copy(master = v)
@@ -85,6 +91,13 @@ object IngestorCli {
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new IngestionMetrics
     spark.streams.addListener(metrics)
+    // /metrics scrape surface (reference: metrics.go:40-57)
+    val metricsServer =
+      try Some(new MetricsServer(metrics, a.cfg.metricsPort).start())
+      catch { case e: Exception =>
+        System.err.println(s"[ingestor] metrics server failed to bind: ${e.getMessage}")
+        None
+      }
 
     val rows = a.mode match {
       case "synthetic" =>
@@ -111,7 +124,8 @@ object IngestorCli {
       if (a.sink.startsWith("parquet:"))
         Sinks.parquetAppend(rows, a.checkpoint, a.sink.stripPrefix("parquet:"))
       else
-        Sinks.jdbcAppend(rows, a.checkpoint, a.cfg.jdbcUrl, a.cfg.tableOrDefault)
+        Sinks.jdbcAppend(rows, a.checkpoint, a.cfg.jdbcUrl, a.cfg.tableOrDefault,
+          extraOptions = a.cfg.jdbcAuthOptions)
 
     val query = writer.start()
     if (a.mode == "synthetic") {
@@ -122,6 +136,7 @@ object IngestorCli {
       query.awaitTermination()
     }
     println(metrics.render())
+    metricsServer.foreach(_.stop())
     spark.stop()
   }
 }

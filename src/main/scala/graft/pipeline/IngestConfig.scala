@@ -15,7 +15,10 @@ final case class IngestConfig(
     table: String = "",
     brokers: Seq[String] = Nil,
     topic: String = "pg.public.users",
-    groupId: String = "go-ingestor") {
+    groupId: String = "go-ingestor",
+    user: String = "",            // CLICKHOUSE_USER, optional basic auth
+    password: String = "",        // CLICKHOUSE_PASSWORD
+    metricsPort: Int = 8080) {    // METRICS_PORT (metrics.go:40-57)
 
   /** S6: reference's EnsureHostPort. */
   def hostPort: String =
@@ -30,6 +33,13 @@ final case class IngestConfig(
   /** ClickHouse-over-JDBC URL for the S4/S5 paths. */
   def jdbcUrl: String =
     s"jdbc:clickhouse://$hostPort/$databaseOrDefault"
+
+  /** Optional basic-auth JDBC options (reference: clickhouse.go:43-49
+    * sets basic auth only when a user is configured).
+    */
+  def jdbcAuthOptions: Map[String, String] =
+    if (user.isEmpty) Map.empty
+    else Map("user" -> user, "password" -> password)
 
   def brokerList: String = brokers.mkString(",")
 }

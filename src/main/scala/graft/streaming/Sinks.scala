@@ -44,7 +44,8 @@ object Sinks {
     */
   def jdbcAppend(
       writer: DataFrame, checkpoint: String,
-      url: String, table: String, batchSize: Int = 10000): DataStreamWriter[Row] =
+      url: String, table: String, batchSize: Int = 10000,
+      extraOptions: Map[String, String] = Map.empty): DataStreamWriter[Row] =
     writer.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -53,6 +54,7 @@ object Sinks {
           .option("url", url)
           .option("dbtable", table)
           .option("batchsize", batchSize)
+          .options(extraOptions) // e.g. basic-auth user/password
           .mode(SaveMode.Append)
           .save()
       }

@@ -189,6 +189,18 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.sorted === SyntheticSource.actions.sorted)
   }
 
+  test("ST9: /metrics HTTP endpoint serves the listener's counters") {
+    val m = new IngestionMetrics
+    m.rowsTotal.set(42L)
+    val srv = new MetricsServer(m, port = 0).start() // ephemeral port
+    try {
+      val url = new java.net.URI(s"http://localhost:${srv.boundPort}/metrics").toURL
+      val body = scala.io.Source.fromInputStream(url.openStream()).mkString
+      assert(body.contains("ingest_rows_total 42"))
+      assert(body.contains("""ingest_batch_ms_bucket{le="+Inf"}"""))
+    } finally srv.stop()
+  }
+
   test("S1: deterministic synthetic source shape") {
     val q = SyntheticSource.eventsDeterministic(spark, rate = 100)
       .writeStream.format("memory").queryName("s1").start()
