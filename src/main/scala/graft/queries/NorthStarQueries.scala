@@ -192,14 +192,18 @@ object NorthStarQueries {
              i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))) AS tok
            FROM tk WHERE len(t) >= 2),
          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM toks GROUP BY doc_id),
+         ab AS (SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::UBIGINT AS a,
+             ('0x' || substr(md5(tok), 9, 8))::UBIGINT AS b
+           FROM toks),
          sig AS (SELECT doc_id,
-             MIN(md5('0:' || tok)) AS h0, MIN(md5('1:' || tok)) AS h1,
-             MIN(md5('2:' || tok)) AS h2, MIN(md5('3:' || tok)) AS h3,
-             MIN(md5('4:' || tok)) AS h4, MIN(md5('5:' || tok)) AS h5,
-             MIN(md5('6:' || tok)) AS h6, MIN(md5('7:' || tok)) AS h7,
-             MIN(md5('8:' || tok)) AS h8, MIN(md5('9:' || tok)) AS h9,
-             MIN(md5('10:' || tok)) AS h10, MIN(md5('11:' || tok)) AS h11
-           FROM toks GROUP BY doc_id),
+             MIN((a + 0*b) % 4294967296) AS h0, MIN((a + 1*b) % 4294967296) AS h1,
+             MIN((a + 2*b) % 4294967296) AS h2, MIN((a + 3*b) % 4294967296) AS h3,
+             MIN((a + 4*b) % 4294967296) AS h4, MIN((a + 5*b) % 4294967296) AS h5,
+             MIN((a + 6*b) % 4294967296) AS h6, MIN((a + 7*b) % 4294967296) AS h7,
+             MIN((a + 8*b) % 4294967296) AS h8, MIN((a + 9*b) % 4294967296) AS h9,
+             MIN((a + 10*b) % 4294967296) AS h10, MIN((a + 11*b) % 4294967296) AS h11
+           FROM ab GROUP BY doc_id),
          bands AS (
            SELECT doc_id, 0 AS band, h0 || ',' || h1 || ',' || h2 AS bsig FROM sig UNION ALL
            SELECT doc_id, 1, h3 || ',' || h4 || ',' || h5 FROM sig UNION ALL
