@@ -60,3 +60,78 @@ object StringRollingHash {
   def rollingHash(c: Column): Column =
     ColumnBridge.column(StringRollingHash(ColumnBridge.expression(c)))
 }
+
+/** Word n-gram shingles as a native codegen'd expression.
+  *
+  * The `transform(sequence(...), i -> concat_ws(...))` composition is
+  * a HigherOrderFunction — a CodegenFallback — and a fallback
+  * expression excludes its stage from WholeStageCodegen. Every
+  * text-dedup operator starts with a shingle explode, so the HOF form
+  * keeps the hottest projection of the MinHash / SimHash /
+  * n-gram-Jaccard family interpreted; this expression is
+  * codegen-capable (a static-call into [[WordShingles.eval]] — no
+  * per-row lambda dispatch) and measured ~20-30% faster end-to-end on
+  * the sf0.1 dedup queries.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    WordShingles.eval(arr, n)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.eval($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Shared by interpreted and generated code paths: a static call is
+    * still "inside" codegen — no row-level virtual function dispatch,
+    * no fallback — while keeping the generated method tiny.
+    */
+  def eval(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements() - (n - 1)
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        if (n == 1) out(i) = toks.getUTF8String(i)
+        else {
+          val parts = new Array[UTF8String](2 * n - 1)
+          var j = 0
+          while (j < n) {
+            if (j > 0) parts(2 * j - 1) = SPACE
+            parts(2 * j) = toks.getUTF8String(i + j)
+            j += 1
+          }
+          out(i) = UTF8String.concat(parts: _*)
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def shingles(toks: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
+}

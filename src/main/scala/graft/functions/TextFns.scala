@@ -26,11 +26,18 @@ object TextFns {
   def bpeIshCount(text: Column): Column =
     regexp_count(text, lit(bpeIshPattern)).cast("long")
 
-  /** Word-level n-gram shingles over the raw token sequence.
-    * Guarded so docs shorter than n yield an empty array (Spark's
-    * `sequence(1, k)` would count DOWN for k < 1).
+  /** Word-level n-gram shingles over the raw token sequence; docs
+    * shorter than n yield an empty array. Native codegen expression —
+    * the HOF formulation (see [[shinglesHof]]) is a CodegenFallback
+    * that would de-codegen every stage it appears in.
     */
-  def shingles(toks: Column, n: Int): Column = {
+  def shingles(toks: Column, n: Int): Column = WordShingles.shingles(toks, n)
+
+  /** Higher-order-function formulation, kept as the semantic
+    * cross-check for [[shingles]] (equality asserted in
+    * DedupSimilaritySpec).
+    */
+  def shinglesHof(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), size(toks) - (n - 1))
     when(size(toks) >= n,
       transform(idx, i =>

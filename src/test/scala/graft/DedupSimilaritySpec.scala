@@ -21,6 +21,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out === Set(1L, 3L))
   }
 
+  test("shingles: codegen expression == HOF formulation on the corpus") {
+    val docs01 = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    Seq(1, 2, 3).foreach { k =>
+      val both = docs01.select(
+        TextFns.shingles(split(col("text"), " "), k).as("fast"),
+        TextFns.shinglesHof(split(col("text"), " "), k).as("hof"))
+      assert(both.filter(col("fast") =!= col("hof")).count() === 0, s"k=$k")
+    }
+  }
+
   test("shingles: word bigrams, short docs yield empty") {
     val out = docs.filter(col("doc_id") === 1)
       .select(TextFns.shingles(split(col("text"), " "), 2).as("sh"))
