@@ -88,6 +88,17 @@ class DebeziumSpec extends SparkSpec {
     assert(ts === "1970-01-01 00:00:00")
   }
 
+  test("null source struct: lsn defaults to 0 through the null-struct field access") {
+    val noSource = """{"after":{"id":1,"name":"a","email":"b"},"op":"c","ts_us":5}"""
+    assert(rows(noSource -> null).head._6 === 0L)
+  }
+
+  test("empty-string value and empty-object envelope are skipped") {
+    // empty object parses but has unknown (null) op -> dropped; empty
+    // string fails both parse paths -> dropped
+    assert(rows("{}" -> null, "" -> null).isEmpty)
+  }
+
   test("JSONEachRow serialization keeps exactly the reference field set (P7/F12)") {
     val out = Debezium.toJsonEachRow(
       Debezium.translateRows(Seq(create -> "").toDF("value", "key"),

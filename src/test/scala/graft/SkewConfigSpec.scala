@@ -41,6 +41,15 @@ class SkewConfigSpec extends SparkSpec {
     assert(out === Map(1L -> Some("d1"), 9L -> None))
   }
 
+  test("saltedJoin with empty small side yields empty (inner) / all-null (left)") {
+    val large = Seq((1L, "a")).toDF("k", "v")
+    val small = Seq.empty[(Long, String)].toDF("k", "name")
+    assert(SkewJoin.saltedJoin(large, small, "k", salts = 4).count() === 0)
+    val left = SkewJoin.saltedJoin(large, small, "k", salts = 4, joinType = "left")
+      .select("k", "name").as[(Long, Option[String])].collect().toSeq
+    assert(left === Seq((1L, None)))
+  }
+
   test("S6/S7: host-port and db/table defaulting mirror the reference") {
     val c = IngestConfig(host = "ch.example")
     assert(c.hostPort === "ch.example:8123")
