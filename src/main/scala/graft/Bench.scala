@@ -15,6 +15,10 @@ object Bench {
     try {
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_current_state").foreach(_(spark, sfDir).count())
+      // the JSON parse/serialize path has its own first-touch cost
+      // (~6 s of classloading+codegen) that would otherwise land on
+      // whichever CDC query the Map happens to order first
+      SparkEntry.queries.get("q_cdc_translate").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
