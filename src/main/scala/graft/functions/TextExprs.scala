@@ -88,12 +88,17 @@ case class WordShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    WordShingles.eval(arr, n)
+    WordShingles.compute(arr, n)
   }
 
+  // NOTE: the helper must NOT be named `eval` — Expression already has
+  // an instance method eval(InternalRow), which suppresses Scala's
+  // static forwarder on the class, so generated Java calling
+  // WordShingles.eval(ArrayData, int) fails to compile ON THE
+  // EXECUTOR (janino CompileException, uncaught -> executor death).
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordShingles.eval($c, $n);")
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -108,7 +113,7 @@ object WordShingles {
     * still "inside" codegen — no row-level virtual function dispatch,
     * no fallback — while keeping the generated method tiny.
     */
-  def eval(toks: ArrayData, n: Int): ArrayData = {
+  def compute(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements() - (n - 1)
     if (m <= 0) new GenericArrayData(Array.empty[Any])
     else {
