@@ -195,21 +195,26 @@ object Dedup {
   def simhashNearDup(df: DataFrame, id: String, text: Column,
       maxHamming: Int, k: Int = 2): DataFrame = {
     // cache: the band self-join would recompute the signature
-    // aggregation on both sides; posexplode (not union) for the bands
-    val sig = simhash(df, id, text, k).cache()
+    // aggregation on both sides; posexplode (not union) for the bands.
+    // The 64-bit signature travels as two 32-bit longs (conv of each
+    // binary-string half) so the Hamming verify is
+    // bit_count(xor)+bit_count(xor) — pure codegen'd integer ops, not
+    // an interpreted per-pair lambda over a 64-element split array.
+    val sig = simhash(df, id, text, k)
+      .withColumn("s1", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("s2", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
+      .cache()
     val bandArr = array((0 until 8).map(b =>
       substring(col("simhash"), b * 8 + 1, 8)): _*)
-    val bands = sig.select(col(id), col("simhash"),
+    val bands = sig.select(col(id), col("s1"), col("s2"),
       posexplode(bandArr).as(Seq("band", "bsig")))
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "bsig"))
       .filter(col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_a"), col(s"a.simhash").as("sig_a"),
-        col(s"b.$id").as("id_b"), col(s"b.simhash").as("sig_b"))
+      .select(col(s"a.$id").as("id_a"), col(s"a.s1").as("a1"), col(s"a.s2").as("a2"),
+        col(s"b.$id").as("id_b"), col(s"b.s1").as("b1"), col(s"b.s2").as("b2"))
       .distinct()
-    val ham = aggregate(
-      zip_with(split(col("sig_a"), ""), split(col("sig_b"), ""),
-        (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    val ham = bit_count(col("a1").bitwiseXOR(col("b1"))) +
+      bit_count(col("a2").bitwiseXOR(col("b2")))
     cand.withColumn("hamming", ham.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -67,6 +67,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
   }
 
+  test("X2: simhash pair verify is codegen'd bit_count(xor), not an interpreted HOF") {
+    val p = plan(SparkEntry.queries("q_simhash_pairs")(spark, sf))
+    assert(p.contains("bit_count"), s"expected bit_count verify:\n$p")
+    assert(!p.contains("zip_with") && !p.contains("aggregate("),
+      s"HOF lambda (CodegenFallback) must not be on the pair-verify path:\n$p")
+  }
+
   test("J6: as-of join is one shuffle (union+window), no nested-loop join") {
     val p = plan(SparkEntry.queries("q_join_asof")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
