@@ -40,27 +40,41 @@ object VectorFns {
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
-  /** SimHash-style signed random projection bucket for LSH over
-    * cosine distance: the sign bit pattern of `planes` pseudo-random
-    * hyperplanes. The "hyperplane" for (plane p, dim i) is a
-    * deterministic ±1 derived from a hash — reproducible across runs
-    * and engines, no stored model. Vectors in the same bucket are
-    * near-duplicate CANDIDATES; callers verify with [[cosine]].
+  /** Deterministic ±1 hyperplane for signed-random-projection LSH:
+    * sign(table t, plane p, dim i) = +1 iff the low bit of the first
+    * md5("t:p:i") byte is 0. Pure constants — computed once
+    * driver-side and shipped as LITERAL arrays into both the Spark
+    * plan and the DuckDB oracle text, so the bucket function is
+    * bit-identically reproducible in any engine (no engine-private
+    * hash in the data path).
+    */
+  def planeSigns(table: Int, plane: Int, dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val b = md.digest(s"$table:$plane:$i".getBytes("UTF-8"))(0)
+      if ((b & 1) == 0) 1.0f else -1.0f
+    }
+  }
+
+  /** Signed-random-projection bucket for LSH over cosine distance:
+    * the sign-bit pattern of `planes` deterministic ±1 hyperplanes
+    * (table index picks an independent hyperplane family for
+    * OR-amplification). Each projection is a codegen'd
+    * [[FloatDotProduct]] against a literal sign vector — no
+    * interpreted lambda in the per-row path. Vectors in the same
+    * bucket are near-duplicate CANDIDATES; callers verify with
+    * [[cosine]].
     *
     * 100 TB posture: this turns the quadratic all-pairs cosine into a
-    * groupBy(bucket) shuffle + per-bucket pair join (X2-style), the
-    * standard ANN scale path when no index structure is available.
+    * shuffle partitioned by (table, bucket) + per-bucket pair join
+    * (X2-style), the standard ANN scale path when no index structure
+    * is available. `planes` dials bucket granularity (2^planes
+    * buckets/table); more tables buy candidate recall at linear cost.
     */
-  def lshBucket(vec: Column, planes: Int): Column = {
+  def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
-      // deterministic ±1 per (plane, dim): parity of a cheap integer mix
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-          val sign = when(pmod(hash(i.cast("int"), lit(p)), lit(2)) === 0, 1.0).otherwise(-1.0)
-          x.cast("double") * sign
-        }),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
+      val signs = typedLit(planeSigns(table, p, dim).toSeq)
+      when(VectorExprs.floatDot(vec, signs) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
