@@ -125,24 +125,44 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Approximate top-k: LSH-bucketed join (same sign-pattern bucket),
-    * then exact cosine rank within bucket. Misses neighbors whose
-    * sign pattern differs; standard recall/cost dial.
+  /** Approximate top-k: LSH-bucketed join (same sign-pattern bucket
+    * in at least one of `tables` independent hyperplane families),
+    * then exact cosine rank within the candidate set.
+    *
+    * OR-amplification: a neighbor is a candidate if ANY table's
+    * `planes`-bit sign pattern matches, so recall at fixed bucket
+    * granularity rises as 1-(1-p^planes)^tables at linear cost in
+    * `tables`. Each row posexplodes to `tables` (table, bucket) rows;
+    * the join keys on BOTH so buckets from different families never
+    * collide, and duplicate candidates from multiple agreeing tables
+    * are collapsed before ranking.
+    *
+    * @param dim embedding dimensionality (hyperplanes are literal
+    *            ±1 sign vectors of this length — see
+    *            [[VectorFns.planeSigns]]; engine-portable, oracle-able)
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, planes: Int): DataFrame = {
-    val bucket = (v: Column) => VectorFns.lshBucket(v, planes)
+      k: Int, planes: Int, dim: Int, tables: Int = 1): DataFrame = {
+    val buckets = (v: Column) =>
+      array((0 until tables).map(t => VectorFns.lshBucket(v, t, planes, dim)): _*)
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      bucket(col(vec)).as("__blk"), VectorFns.norm2(col(vec)).as("qn"))
+      VectorFns.norm2(col(vec)).as("qn"),
+      posexplode(buckets(col(vec))).as(Seq("__t", "__blk")))
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-      bucket(col(vec)).as("__blk"), VectorFns.norm2(col(vec)).as("cn"))
-    val scored = c.join(broadcast(q), Seq("__blk"))
+      VectorFns.norm2(col(vec)).as("cn"),
+      posexplode(buckets(col(vec))).as(Seq("__t", "__blk")))
+    val matched = c.join(broadcast(q), Seq("__t", "__blk"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(
-        when(col("qn") * col("cn") === 0.0, 0.0)
-          .otherwise(VectorFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
-        6))
+    // with a single table a pair can match at most once — skip the
+    // dedup shuffle; with OR-amplification collapse multi-table hits
+    val cand =
+      if (tables == 1) matched
+      else matched.dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("cosine", round(
+      when(col("qn") * col("cn") === 0.0, 0.0)
+        .otherwise(VectorFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
+      6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -86,12 +86,13 @@ object NorthStarQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // X3 scale path: LSH-bucketed ANN (engine-defined hash — no SQL
-    // oracle; driver records the weaker rows-only check)
+    // X3 scale path: LSH-bucketed ANN over 2 OR-amplified tables of 4
+    // deterministic literal hyperplanes — fully oracle-able (the same
+    // ±1 sign arrays are inlined into the DuckDB SQL below)
     "q_ann_lsh" -> ((s, d) => {
       val e = table(s, d, "embeddings")
       Similarity.lshTopK(corpus = e, queries = e.filter(col("vec_id") % 20 === 0),
-        id = "vec_id", vec = "embedding", k = 5, planes = 4)
+        id = "vec_id", vec = "embedding", k = 5, planes = 4, dim = 64, tables = 2)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),

@@ -101,7 +101,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "cosine")
       .as[(Long, Long, Double)].collect()
       .map { case (a, b, c) => (a, b) -> c }.toMap
-    val lsh = Similarity.lshTopK(vecs, q, "vec_id", "embedding", k = 5, planes = 2)
+    val lsh = Similarity.lshTopK(vecs, q, "vec_id", "embedding",
+      k = 5, planes = 2, dim = 8, tables = 2)
       .select("query_id", "neighbor_id", "cosine")
       .as[(Long, Long, Double)].collect()
     assert(lsh.nonEmpty)
