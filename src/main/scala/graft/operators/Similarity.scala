@@ -78,13 +78,15 @@ object Similarity {
   /** IVF-flat approximate top-k: the corpus is partitioned into
     * `nlist` cells by nearest centroid; each query probes its
     * `nProbe` nearest cells and ranks exactly within them. Centroids
-    * are a deterministic stride-sample of the corpus (no training
+    * are a deterministic uniform sample of the corpus (no training
     * loop — "IVF-flat with sampled centroids"; recall dial = nProbe).
     *
     * Scale shape: assignment is corpus × broadcast(centroids) — a
     * narrow map over the big side; the probe join hash-partitions on
     * the cell id, so each query compares against |corpus|/nlist ×
-    * nProbe vectors instead of the full corpus.
+    * nProbe vectors instead of the full corpus. Corpus-side cell
+    * assignment is a map-side-combinable `max_by` aggregation, NOT a
+    * row_number window — no per-key sort of |corpus|·nlist rows.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, id: String, vec: String,
@@ -92,21 +94,39 @@ object Similarity {
     // deterministic centroids WITHOUT an eager count() (which would
     // fire a full scan job every time the query is merely built): the
     // nlist lowest rows under a pseudo-random hash rank — a uniform,
-    // lazy, single-pass TakeOrdered over the corpus
+    // lazy, single-pass TakeOrdered over the corpus. The rank hash is
+    // md5-based (NOT Spark's xxhash64) so the selection is
+    // engine-portable and the whole operator has a value-level oracle.
+    val hashRank = pmod(
+      conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(1000003L))
     val cents = broadcast(
       corpus.select(col(id).as("cent_id"), col(vec).as("cent_vec"))
-        .orderBy(pmod(xxhash64(col(id)), lit(1000003L)), col(id))
+        .orderBy(hashRank, col(id))
         .limit(nlist))
     def assign(df: DataFrame, idOut: String, vecOut: String, keep: Int): DataFrame = {
+      val n = VectorFns.norm2(col(vecOut)) * VectorFns.norm2(col("cent_vec"))
       val scored = df.select(col(id).as(idOut), col(vec).as(vecOut))
         .join(cents, expr("true"))
-        .withColumn("__d", VectorFns.dot(col(vecOut), col("cent_vec")) /
-          (VectorFns.norm2(col(vecOut)) * VectorFns.norm2(col("cent_vec"))))
-      val w = Window.partitionBy(col(idOut))
-        .orderBy(col("__d").desc, col("cent_id").asc)
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .select(col(idOut), col(vecOut), col("cent_id").as("cell"))
+        .withColumn("__d", when(n === 0.0, 0.0)
+          .otherwise(VectorFns.dot(col(vecOut), col("cent_vec")) / n))
+      if (keep == 1) {
+        // argmax by (__d desc, cent_id asc) as a partial-aggregatable
+        // max_by over a totally-ordered key — winner identical to the
+        // window formulation, without sorting every (row, centroid)
+        // pair inside each partition-by group
+        scored.groupBy(col(idOut))
+          .agg(max_by(
+            struct(col(vecOut).as("v"), col("cent_id").as("c")),
+            struct(col("__d").as("d"), (-col("cent_id")).as("nc"))).as("__w"))
+          .select(col(idOut), col("__w.v").as(vecOut), col("__w.c").as("cell"))
+      } else {
+        val w = Window.partitionBy(col(idOut))
+          .orderBy(col("__d").desc, col("cent_id").asc)
+        scored.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= keep)
+          .select(col(idOut), col(vecOut), col("cent_id").as("cell"))
+      }
     }
     val corpusCells = assign(corpus, "neighbor_id", "cv", keep = 1)
     val queryCells = assign(queries, "query_id", "qv", keep = nProbe)

@@ -97,9 +97,10 @@ object NorthStarQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
-    // X3 scale path #2: IVF-flat ANN (sampled centroids, nProbe cells;
-    // engine-defined partitioning — no SQL oracle, rows-only check +
-    // recall test in DedupSimilaritySpec)
+    // X3 scale path #2: IVF-flat ANN (md5-rank sampled centroids,
+    // nProbe cells — fully oracle-able since the centroid selection
+    // and cell assignment are engine-portable arithmetic; recall test
+    // in DedupSimilaritySpec)
     "q_ann_ivf" -> ((s, d) => {
       val e = table(s, d, "embeddings")
       Similarity.ivfTopK(corpus = e, queries = e.filter(col("vec_id") % 20 === 0),
@@ -173,12 +174,21 @@ object NorthStarQueries {
         .orderBy(col("doc_id"), col("rnk"))
     }))
 
-  private val cosineSql =
+  /** Embeddings cast to double lists — the opening CTE every vector
+    * oracle shares (the double cast mirrors FloatDotProduct's
+    * float→double promotion, so both engines sum identical doubles).
+    */
+  private val embedCte =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-       pr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
-           FROM e q JOIN e c ON q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
-       sc AS (SELECT query_id, neighbor_id,
+           FROM embeddings)"""
+
+  /** Exact-cosine scoring over candidate pairs: expects a CTE `pr`
+    * with (query_id, neighbor_id, qv, cv); yields `cs` with the
+    * rounded cosine. Sequential list_reduce == FloatDotProduct's
+    * index-order double accumulation, bit-identical.
+    */
+  private val scoreTail =
+    """sc AS (SELECT query_id, neighbor_id,
            list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1),
              i -> qv[CAST(i AS INT)] * cv[CAST(i AS INT)])), (x, y) -> x + y) AS dp,
            sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1),
@@ -190,6 +200,91 @@ object NorthStarQueries {
            round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS cosine
          FROM sc)
     """
+
+  /** Per-query top-k rank over `cs` — the closing clause every ANN
+    * oracle shares.
+    */
+  private def topKTail(k: Int): String =
+    s""", r AS (SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         FROM cs)
+         SELECT query_id, neighbor_id, cosine, rnk FROM r
+         WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  private val cosineSql = embedCte +
+    """,
+       pr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
+           FROM e q JOIN e c ON q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
+    """ + scoreTail
+
+  /** DuckDB text of VectorFns.lshBucket(v, table, planes, dim): the
+    * SAME literal ±1 hyperplane arrays (computed here driver-side from
+    * planeSigns and inlined), the same sequential-double projection,
+    * the same '1'/'0' concatenation — bucket strings are bit-identical
+    * across engines, which is the whole point of literal hyperplanes.
+    */
+  private def lshBucketSql(v: String, table: Int, planes: Int, dim: Int): String = {
+    val bits = (0 until planes).map { p =>
+      val signs = graft.functions.VectorFns.planeSigns(table, p, dim)
+        .map(s => if (s > 0f) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+           i -> $v[CAST(i AS INT)] * ($signs)[CAST(i AS INT)])), (x, y) -> x + y) >= 0
+           THEN '1' ELSE '0' END"""
+    }
+    bits.mkString("concat(", ",\n         ", ")")
+  }
+
+  /** q_ann_lsh oracle: 2 OR-amplified tables × 4 literal hyperplanes,
+    * candidates = same (table, bucket), then exact cosine top-5 —
+    * the identical candidates-then-verify pipeline as Similarity.lshTopK.
+    */
+  private val annLshSql = embedCte +
+    s""",
+       b AS (
+         SELECT vec_id, v, 0 AS t, ${lshBucketSql("v", 0, 4, 64)} AS blk FROM e
+         UNION ALL
+         SELECT vec_id, v, 1 AS t, ${lshBucketSql("v", 1, 4, 64)} AS blk FROM e),
+       pr AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           q.v AS qv, c.v AS cv
+         FROM b q JOIN b c ON q.t = c.t AND q.blk = c.blk
+           AND q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
+    """ + scoreTail + topKTail(5)
+
+  /** q_ann_ivf oracle: same md5-rank sampled centroids, nearest-cell
+    * assignment (keep 1 corpus-side, 4 query-side), probe join within
+    * cells, exact cosine top-5. The assignment distance `d` is
+    * deliberately UNROUNDED — it is computed identically (sequential
+    * double sums) in both engines, so the argmax is the same row.
+    */
+  private val annIvfSql = embedCte +
+    """,
+       cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e
+         ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT % 1000003,
+           vec_id
+         LIMIT 16),
+       asg AS (SELECT vec_id, v, cent_id,
+           CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END AS d
+         FROM (SELECT e.vec_id, e.v, c.cent_id,
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+               i -> e.v[CAST(i AS INT)] * c.cent_vec[CAST(i AS INT)])), (x, y) -> x + y) AS dp,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+               i -> e.v[CAST(i AS INT)] * e.v[CAST(i AS INT)])), (x, y) -> x + y)) AS na,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.cent_vec)+1),
+               i -> c.cent_vec[CAST(i AS INT)] * c.cent_vec[CAST(i AS INT)])), (x, y) -> x + y)) AS nb
+           FROM e CROSS JOIN cents c) sub),
+       corpus_cell AS (SELECT vec_id, v, cent_id AS cell FROM (
+           SELECT vec_id, v, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id ASC) AS rn
+           FROM asg) WHERE rn = 1),
+       query_cell AS (SELECT vec_id, v, cent_id AS cell FROM (
+           SELECT vec_id, v, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id ASC) AS rn
+           FROM asg WHERE vec_id % 20 = 0) WHERE rn <= 4),
+       pr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
+         FROM query_cell q JOIN corpus_cell c ON q.cell = c.cell
+           AND c.vec_id <> q.vec_id),
+    """ + scoreTail + topKTail(5)
 
   /** MinHash-LSH candidates + exact-Jaccard-verify oracle, shared by
     * q_dedup_minhash (minJ=0.8) and q_ngram_jaccard (minJ=0.5) — the
@@ -288,13 +383,9 @@ object NorthStarQueries {
                i -> substr(sig_a, CAST(i AS INT), 1) <> substr(sig_b, CAST(i AS INT), 1))) AS BIGINT) AS hamming
            FROM cand)
          WHERE hamming <= 12 ORDER BY id_a, id_b""",
-    "q_cosine_topk" -> (cosineSql +
-      """, r AS (SELECT query_id, neighbor_id, cosine,
-           CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
-         FROM cs)
-         SELECT query_id, neighbor_id, cosine, rnk FROM r
-         WHERE rnk <= 10 ORDER BY query_id, rnk"""),
+    "q_cosine_topk" -> (cosineSql + topKTail(10)),
+    "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
