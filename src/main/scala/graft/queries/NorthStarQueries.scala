@@ -53,18 +53,18 @@ object NorthStarQueries {
 
     // X2: n-gram Jaccard at minJ=0.5, registered as the scale path:
     // EXACT Jaccard verification restricted to MinHash-LSH candidate
-    // pairs (4 bands × 3 rows — P[candidate] ≈ 0.995 at j=0.9, ≈ 0.02
-    // for the j≤0.17 background). The all-candidates inverted-index
-    // form (Dedup.ngramJaccard) is exact over every shingle-sharing
-    // pair but does Σfreq² candidate work — measured 31 s (43% of the
-    // whole bench) at sf0.1 to verify 25 output pairs on this
-    // near-uniform-vocabulary corpus, quadratic-in-practice at 100×.
-    // It stays in the library (spec-tested) for corpora where the
-    // maxFreq cap bites; the oracle computes the identical
-    // candidates-then-verify pipeline.
+    // pairs. Banding is matched to THIS threshold: 8 bands × 2 rows →
+    // P[candidate] = 1-(1-j²)⁸ ≈ 0.90 at j=0.5, ≈ 1-3e-8 at j=0.9,
+    // ≈ 0.2 for the j≤0.17 background (4×3 tuned for the minJ=0.8
+    // dedup would recall only ~0.41 at j=0.5). The residual ~10%
+    // at-threshold miss rate is measured, not invisible: a spec
+    // compares against the exact inverted-index Dedup.ngramJaccard on
+    // the real corpus. The exact form stays in the library for
+    // corpora where the maxFreq cap bites — it measured 31 s (43% of
+    // the whole bench) at sf0.1, quadratic-in-practice at 100×.
     "q_ngram_jaccard" -> ((s, d) => {
       Dedup.minhashNearDup(table(s, d, "documents"), "doc_id", col("text"),
-        k = 2, bands = 4, rowsPerBand = 3, minJ = 0.5)
+        k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -287,12 +287,22 @@ object NorthStarQueries {
     """ + scoreTail + topKTail(5)
 
   /** MinHash-LSH candidates + exact-Jaccard-verify oracle, shared by
-    * q_dedup_minhash (minJ=0.8) and q_ngram_jaccard (minJ=0.5) — the
-    * registered n-gram Jaccard IS the verify pass over LSH candidates
-    * (see the q_ngram_jaccard scaladoc for why).
+    * q_dedup_minhash (minJ=0.8, 4×3) and q_ngram_jaccard (minJ=0.5,
+    * 8×2) — the registered n-gram Jaccard IS the verify pass over LSH
+    * candidates (see the q_ngram_jaccard scaladoc for why). Signature
+    * columns and band slices are generated for any (bands, rows),
+    * mirroring Dedup.minhashBands' Kirsch-Mitzenmacher permutations.
     */
-  private def minhashVerifyOracle(minJ: String): String =
-    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  private def minhashVerifyOracle(minJ: String, bands: Int, rows: Int): String = {
+    val sigCols = (0 until bands * rows)
+      .map(h => s"MIN((a + $h*b) % 4294967296) AS h$h")
+      .grouped(2).map(_.mkString(", ")).mkString(",\n             ")
+    val bandRows = (0 until bands).map { bd =>
+      val bsig = (0 until rows).map(r => s"h${bd * rows + r}").mkString(" || ',' || ")
+      if (bd == 0) s"SELECT doc_id, 0 AS band, $bsig AS bsig FROM sig"
+      else s"SELECT doc_id, $bd, $bsig FROM sig"
+    }.mkString(" UNION ALL\n           ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
              i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))) AS tok
            FROM tk WHERE len(t) >= 2),
@@ -302,18 +312,10 @@ object NorthStarQueries {
              ('0x' || substr(md5(tok), 9, 8))::UBIGINT AS b
            FROM toks),
          sig AS (SELECT doc_id,
-             MIN((a + 0*b) % 4294967296) AS h0, MIN((a + 1*b) % 4294967296) AS h1,
-             MIN((a + 2*b) % 4294967296) AS h2, MIN((a + 3*b) % 4294967296) AS h3,
-             MIN((a + 4*b) % 4294967296) AS h4, MIN((a + 5*b) % 4294967296) AS h5,
-             MIN((a + 6*b) % 4294967296) AS h6, MIN((a + 7*b) % 4294967296) AS h7,
-             MIN((a + 8*b) % 4294967296) AS h8, MIN((a + 9*b) % 4294967296) AS h9,
-             MIN((a + 10*b) % 4294967296) AS h10, MIN((a + 11*b) % 4294967296) AS h11
+             $sigCols
            FROM ab GROUP BY doc_id),
          bands AS (
-           SELECT doc_id, 0 AS band, h0 || ',' || h1 || ',' || h2 AS bsig FROM sig UNION ALL
-           SELECT doc_id, 1, h3 || ',' || h4 || ',' || h5 FROM sig UNION ALL
-           SELECT doc_id, 2, h6 || ',' || h7 || ',' || h8 FROM sig UNION ALL
-           SELECT doc_id, 3, h9 || ',' || h10 || ',' || h11 FROM sig),
+           $bandRows),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
              AND a.doc_id < b.doc_id),
@@ -330,6 +332,7 @@ object NorthStarQueries {
            JOIN sizes sa ON sa.doc_id = c.id_a
            JOIN sizes sb ON sb.doc_id = c.id_b)
          WHERE jaccard >= """ + minJ + " ORDER BY id_a, id_b"
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -337,8 +340,8 @@ object NorthStarQueries {
            SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
            FROM documents)
          WHERE rn = 1 ORDER BY lang, source""",
-    "q_dedup_minhash" -> minhashVerifyOracle("0.8"),
-    "q_ngram_jaccard" -> minhashVerifyOracle("0.5"),
+    "q_dedup_minhash" -> minhashVerifyOracle("0.8", bands = 4, rows = 3),
+    "q_ngram_jaccard" -> minhashVerifyOracle("0.5", bands = 8, rows = 2),
     "q_dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),

@@ -58,6 +58,23 @@ class DedupSimilaritySpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(2) >= 0.8))
   }
 
+  test("minhash-LSH at 8x2 banding recalls the exact ngram-Jaccard pairs at minJ=0.5") {
+    // the registered q_ngram_jaccard is LSH-candidates + exact verify;
+    // this keeps its approximation gap MEASURED against the exact
+    // inverted-index form on the real corpus (banding theory: 8 bands
+    // x 2 rows -> P[candidate] ~ 0.90 at j=0.5, ~1 at j>=0.9)
+    val docs01 = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.ngramJaccard(docs01, "doc_id", col("text"), k = 2, minJ = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDup(docs01, "doc_id", col("text"),
+      k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // exact verify => perfect precision
+    assert(exact.nonEmpty)
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall over ${exact.size} true pairs")
+  }
+
   test("simhash: 64-bit string, identical docs identical signature, near-dups close") {
     val sig = Dedup.simhash(docs, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
