@@ -40,10 +40,18 @@ object AsOfJoin {
       rightTime: Column,
       rightTiebreak: Column,
       rightPayload: Seq[String]): DataFrame = {
+    // the tiebreak keeps its NATIVE type in the union schema — a blind
+    // cast("long") would null out e.g. string tiebreaks and make the
+    // equal-timestamp winner nondeterministic. Resolve the type against
+    // `right` and fail fast on non-orderable (map/udt) columns.
+    val tbType = right.select(rightTiebreak).schema.head.dataType
+    require(
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(tbType),
+      s"as-of tiebreak must be an orderable column, got ${tbType.simpleString}")
     val l = left
       .withColumn("__t", leftTime)
       .withColumn("__side", lit(1)) // left sorts AFTER right at equal t
-      .withColumn("__tb", lit(null).cast("long"))
+      .withColumn("__tb", lit(null).cast(tbType))
       .withColumn("__r", lit(null).cast(
         s"struct<${rightPayload.map(c => s"$c:string").mkString(",")}>"))
     // carry right payload as strings to keep the union schema simple;
@@ -51,7 +59,7 @@ object AsOfJoin {
     val r = right
       .withColumn("__t", rightTime)
       .withColumn("__side", lit(0))
-      .withColumn("__tb", rightTiebreak.cast("long"))
+      .withColumn("__tb", rightTiebreak)
       .withColumn("__r", struct(rightPayload.map(c => col(c).cast("string").as(c)): _*))
       .select((Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__r")) ): _*)
 

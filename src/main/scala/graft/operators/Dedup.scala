@@ -1,9 +1,12 @@
 package graft.operators
 
 import graft.functions.TextFns
+import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Deduplication suite for a training-data pipeline (task north star;
   * SURVEY.md §2.10 X1/X2). Every operator is expressed as DataFrame
@@ -19,6 +22,32 @@ import org.apache.spark.sql.functions._
   * order-preserving).
   */
 object Dedup {
+
+  /** Cache lifecycle for operator-scoped signature tables: unpersist
+    * `cached` right after the FIRST action on this session completes —
+    * for the registered queries that is exactly the action consuming
+    * `result`, so the cache lives precisely as long as the self-join
+    * needs it and a long-lived session accumulates no blocks. (If a
+    * caller interleaves an unrelated action first, the cost is a
+    * recompute, never a correctness change — unpersisted plans simply
+    * re-evaluate.) One-shot and self-unregistering.
+    */
+  private def releaseAfterAction(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val spark = result.sparkSession
+    val listener = new QueryExecutionListener {
+      private val done = new AtomicBoolean(false)
+      private def release(): Unit = if (done.compareAndSet(false, true)) {
+        cached.foreach(_.unpersist(blocking = false))
+        spark.listenerManager.unregister(this)
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        release()
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        release()
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
 
   /** X1 exact dedup, deterministic winner: keep the row with the
     * minimum `keep` value per key group. (`dropDuplicates` keeps an
@@ -76,14 +105,15 @@ object Dedup {
     val inter = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count("*").as("inter"))
-    inter
+    releaseAfterAction(inter
       .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJ)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard")),
+      sh)
   }
 
   /** MinHash signatures: `bands * rows` permutations via
@@ -142,14 +172,15 @@ object Dedup {
       .join(sh.select(col(id).as("id_a"), col("shingle")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count("*").as("inter"))
-    cand.join(inter, Seq("id_a", "id_b"), "left")
+    releaseAfterAction(cand.join(inter, Seq("id_a", "id_b"), "left")
       .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         coalesce(col("inter"), lit(0L)).cast("double") /
           (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).cast("double"))
       .filter(col("jaccard") >= minJ)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard")),
+      bandsDf, sh)
   }
 
   /** SimHash signature: 64-bit sign-of-weighted-sum over the doc's
@@ -215,8 +246,9 @@ object Dedup {
       .distinct()
     val ham = bit_count(col("a1").bitwiseXOR(col("b1"))) +
       bit_count(col("a2").bitwiseXOR(col("b2")))
-    cand.withColumn("hamming", ham.cast("long"))
+    releaseAfterAction(cand.withColumn("hamming", ham.cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming")),
+      sig)
   }
 }

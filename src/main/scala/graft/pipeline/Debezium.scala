@@ -84,7 +84,10 @@ object Debezium {
     // ONLY the top-level ts_us counts (cdc.go:106-109); nil → epoch.
     // source.ts_us is never consulted by the reference.
     val tsUs = env.getField("ts_us")
-    val ts = coalesce(timestamp_micros(tsUs), to_timestamp(lit("1970-01-01 00:00:00")))
+    // timestamp_seconds(0) is the UTC epoch REGARDLESS of session tz —
+    // to_timestamp(lit("1970-01-01 ...")) parses in session time zone
+    // and is only accidentally correct under a UTC session
+    val ts = coalesce(timestamp_micros(tsUs), timestamp_seconds(lit(0)))
     val cu = op.isin("c", "u") && after.isNotNull
     val d = op === "d"
     // delete id: before.id if nonzero, else the Kafka key id, else 0 —
@@ -116,12 +119,19 @@ object Debezium {
       .select(col("__row.*"))
 
   /** P7+F12+F7: JSONEachRow sink serialization — exactly the
-    * reference's field set and `_ts` second-truncated UTC format
-    * (internal/ingestion/clickhouse.go:113-124).
+    * reference's field set, byte order and `_ts` second-truncated UTC
+    * format (internal/ingestion/clickhouse.go:113-124). Go marshals
+    * Name/Email as plain strings, so delete rows carry the ZERO values
+    * `"name":"","email":""` — to_json drops null fields, so nulls are
+    * coalesced to "" to keep the wire bytes identical, not just the
+    * ClickHouse end state (which String-default columns would equate).
     */
   def toJsonEachRow(df: DataFrame): DataFrame =
     df.select(to_json(struct(
-      col("id"), col("name"), col("email"), col("is_deleted"),
+      col("id"),
+      coalesce(col("name"), lit("")).as("name"),
+      coalesce(col("email"), lit("")).as("email"),
+      col("is_deleted"),
       col("_op"), col("_lsn"),
       date_format(col("_ts"), "yyyy-MM-dd HH:mm:ss").as("_ts"))).as("json"))
 }

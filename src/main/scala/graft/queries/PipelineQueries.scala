@@ -167,11 +167,9 @@ object PipelineQueries {
            FROM rows_)
          WHERE rn = 1 AND is_deleted = 0 ORDER BY id"""),
     "q_jsoneachrow" -> (cdcRowsSql +
-      """SELECT CASE WHEN is_deleted = 1 THEN
-           '{"id":' || id || ',"is_deleted":1,"_op":3,"_lsn":' || _lsn || ',"_ts":"' || _ts || '"}'
-         ELSE
-           '{"id":' || id || ',"name":"' || name || '","email":"' || email ||
-           '","is_deleted":0,"_op":' || _op || ',"_lsn":' || _lsn || ',"_ts":"' || _ts || '"}'
-         END AS json
+      """SELECT '{"id":' || id || ',"name":"' || COALESCE(name, '') ||
+           '","email":"' || COALESCE(email, '') ||
+           '","is_deleted":' || is_deleted || ',"_op":' || _op ||
+           ',"_lsn":' || _lsn || ',"_ts":"' || _ts || '"}' AS json
          FROM rows_ ORDER BY json"""))
 }

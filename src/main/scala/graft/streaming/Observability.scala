@@ -17,8 +17,16 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * Prometheus scrape surface is Spark's own servlet
   * (spark.ui.prometheus.enabled) — this listener is the engine-level
   * mirror of the reference's counters, queryable in-process.
+  *
+  * Trace analogue (reference: internal/tracing/tracing.go:19-51 — an
+  * OTel span per insert): every micro-batch emits ONE structured JSON
+  * log line carrying the span fields (query id = trace id analogue,
+  * batchId = span id analogue, rows, duration). `spanSink` is
+  * injectable for tests and log-shippers; default goes to stderr like
+  * the reference's `log.Printf`.
   */
-class IngestionMetrics extends StreamingQueryListener {
+class IngestionMetrics(spanSink: String => Unit = line => System.err.println(line))
+    extends StreamingQueryListener {
 
   val rowsTotal = new AtomicLong(0L)
   val batchesTotal = new AtomicLong(0L)
@@ -27,12 +35,16 @@ class IngestionMetrics extends StreamingQueryListener {
 
   /** Prometheus-DefBuckets-shaped latency histogram (5ms..10s),
     * matching the reference's insert-latency buckets
-    * (internal/metrics/metrics.go:18-24).
+    * (internal/metrics/metrics.go:18-24). `latencyBuckets(i)` holds the
+    * NON-cumulative count for bucket i (one extra overflow cell at the
+    * end); [[render]] emits the Prometheus text form, where `le`
+    * buckets are CUMULATIVE and `+Inf` equals `_count`.
     */
   val bucketBoundsMs: Array[Long] =
     Array(5, 10, 25, 50, 100, 250, 500, 1000, 2500, 5000, 10000)
   val latencyBuckets: Array[AtomicLong] =
     Array.fill(bucketBoundsMs.length + 1)(new AtomicLong(0L))
+  val latencySumMs = new AtomicLong(0L)
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
 
@@ -47,21 +59,35 @@ class IngestionMetrics extends StreamingQueryListener {
       case i => i
     }
     latencyBuckets(idx).incrementAndGet()
+    latencySumMs.addAndGet(ms)
+    spanSink(
+      s"""{"span":"ingest_batch","query_id":"${p.id}","run_id":"${p.runId}",""" +
+        s""""batch_id":${p.batchId},"rows":${p.numInputRows},"duration_ms":$ms,""" +
+        s""""timestamp":"${p.timestamp}"}""")
   }
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
     if (e.exception.isDefined) errorsTotal.incrementAndGet()
 
-  /** Prometheus-text-format-ish dump (scrape/debug surface). */
+  /** Prometheus text-format 0.0.4 dump (scrape/debug surface): `le`
+    * buckets are cumulative, `+Inf` == `_count`, plus `_sum` — the
+    * exact shape promhttp serves for the reference's real
+    * `prometheus.Histogram`.
+    */
   def render(): String = {
+    val counts = latencyBuckets.map(_.get)
+    val cumulative = counts.scanLeft(0L)(_ + _).tail
+    val total = cumulative.last
     val hist = bucketBoundsMs.zipWithIndex
-      .map { case (b, i) => s"""ingest_batch_ms_bucket{le="$b"} ${latencyBuckets(i).get}""" }
+      .map { case (b, i) => s"""ingest_batch_ms_bucket{le="$b"} ${cumulative(i)}""" }
       .mkString("\n")
     s"""ingest_rows_total ${rowsTotal.get}
        |ingest_batches_total ${batchesTotal.get}
        |ingest_errors_total ${errorsTotal.get}
        |ingest_rows_per_second ${lastRowsPerSecond.get}
        |$hist
-       |ingest_batch_ms_bucket{le="+Inf"} ${latencyBuckets.last.get}""".stripMargin
+       |ingest_batch_ms_bucket{le="+Inf"} $total
+       |ingest_batch_ms_count $total
+       |ingest_batch_ms_sum ${latencySumMs.get}""".stripMargin
   }
 }

@@ -29,12 +29,19 @@ object Sinks {
   def validRows(df: DataFrame): DataFrame =
     df.filter(col("id").isNotNull && col("_lsn").isNotNull)
 
-  /** JSONEachRow batch body — the exact wire format the reference
-    * sends (clickhouse.go:78-88,113-124), one JSON object per line.
-    * Kept for an HTTP-POST sink; the JDBC path doesn't need it.
+  /** JSONEachRow HTTP-POST path — the exact wire format the reference
+    * sends (clickhouse.go:78-88,113-124), one JSON object per line,
+    * restructured for scale: the batch is NEVER collected to the
+    * driver. Each partition serializes its own body executor-side and
+    * hands it to `post` (a serializable closure, e.g. an HTTP POST to
+    * `/?query=INSERT...FORMAT JSONEachRow` with a per-executor pooled
+    * client). One POST per non-empty partition — batched like the JDBC
+    * path, unlike the reference's one-row-per-request ceiling.
     */
-  def jsonEachRowBody(batch: DataFrame): String =
-    Debezium.toJsonEachRow(batch).collect().map(_.getString(0)).mkString("\n")
+  def jsonEachRowPost(batch: DataFrame, post: String => Unit): Unit =
+    Debezium.toJsonEachRow(batch).foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) post(it.map(_.getString(0)).mkString("\n"))
+    }
 
   /** S5: foreachBatch append to a JDBC table (ClickHouse in the
     * reference deployment; any JDBC URL works — BASELINE.json's

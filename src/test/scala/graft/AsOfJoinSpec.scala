@@ -16,6 +16,31 @@ class AsOfJoinSpec extends SparkSpec {
     k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 30L)
   } yield (k, t))
 
+  test("tiebreak keeps its native type: string tiebreaks order correctly") {
+    // two right rows at the SAME (key, time); the lexicographically
+    // larger string tiebreak must win deterministically — under the
+    // old cast("long") both became null and the winner was arbitrary
+    val left = Seq((1L, 0L, 10L)).toDF("pid", "k", "lt")
+    val right = Seq((0L, 5L, "alpha"), (0L, 5L, "zeta")).toDF("k", "rt", "tag")
+    val out = AsOfJoin.asofJoin(left, right, "k",
+      leftTime = col("lt"), rightTime = col("rt"),
+      rightTiebreak = col("tag"), rightPayload = Seq("tag"))
+      .select(col("asof.tag")).as[String].collect()
+    assert(out.toSeq === Seq("zeta"))
+  }
+
+  test("non-orderable tiebreak fails fast") {
+    val left = Seq((1L, 0L, 10L)).toDF("pid", "k", "lt")
+    val right = Seq((0L, 5L, "x")).toDF("k", "rt", "tag")
+      .withColumn("m", map(col("tag"), col("rt")))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(left, right, "k",
+        leftTime = col("lt"), rightTime = col("rt"),
+        rightTiebreak = col("m"), rightPayload = Seq("tag"))
+    }
+    assert(e.getMessage.contains("orderable"))
+  }
+
   test("union-window formulation == join-window formulation") {
     (1 to 8).foreach { seed =>
       val ls = sideGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get

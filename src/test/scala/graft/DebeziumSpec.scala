@@ -105,4 +105,27 @@ class DebeziumSpec extends SparkSpec {
         col("value"), col("key"))).collect().head.getString(0)
     assert(out === """{"id":7,"name":"n7","email":"e7","is_deleted":0,"_op":1,"_lsn":100,"_ts":"1970-01-01 00:00:00"}""")
   }
+
+  test("delete rows serialize Go zero values name/email as empty strings (clickhouse.go:113-124)") {
+    val del = """{"before":{"id":9,"name":"gone","email":"g"},"after":null,"source":{"lsn":200,"ts_us":2},"op":"d","ts_us":2}"""
+    val out = Debezium.toJsonEachRow(
+      Debezium.translateRows(Seq(del -> "").toDF("value", "key"),
+        col("value"), col("key"))).collect().head.getString(0)
+    // byte-identical to Go's marshal of the zero-valued struct fields —
+    // to_json must NOT drop the null name/email
+    assert(out === """{"id":9,"name":"","email":"","is_deleted":1,"_op":3,"_lsn":200,"_ts":"1970-01-01 00:00:00"}""")
+  }
+
+  test("nil ts_us fallback is the UTC epoch INSTANT even in a non-UTC session") {
+    val noTs = """{"after":{"id":1,"name":"a","email":"b"},"source":{"lsn":5},"op":"c"}"""
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    import s2.implicits._
+    val micros = Debezium.translateRows(
+      Seq(noTs -> "").toDF("value", "key"), col("value"), col("key"))
+      .select(unix_micros(col("_ts"))).as[Long].collect().head
+    // to_timestamp(lit("1970-01-01 00:00:00")) would parse in session
+    // tz and land at +05:00 UTC here; timestamp_seconds(0) is tz-free
+    assert(micros === 0L)
+  }
 }

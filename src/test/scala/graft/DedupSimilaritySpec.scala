@@ -75,6 +75,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall over ${exact.size} true pairs")
   }
 
+  test("operator-scoped caches are released after the consuming action (no block leak)") {
+    val docs01 = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    def cachedBlocks: Int =
+      spark.sparkContext.getRDDStorageInfo.count(_.numCachedPartitions > 0)
+    Seq(
+      () => Dedup.minhashNearDup(docs01, "doc_id", col("text"),
+        k = 2, bands = 4, rowsPerBand = 3, minJ = 0.8),
+      () => Dedup.ngramJaccard(docs01, "doc_id", col("text"), k = 2, minJ = 0.5),
+      () => Dedup.simhashNearDup(docs01, "doc_id", col("text"), maxHamming = 12)
+    ).foreach { op =>
+      op().count() // consuming action: caches populate, then release
+      // QueryExecutionListener callbacks are async — poll with deadline
+      val deadline = System.currentTimeMillis() + 10000
+      while (cachedBlocks > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(cachedBlocks === 0, "cached signature tables must not outlive the action")
+    }
+  }
+
   test("simhash: 64-bit string, identical docs identical signature, near-dups close") {
     val sig = Dedup.simhash(docs, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -118,6 +118,22 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set("ok"))
   }
 
+  test("S5: jsonEachRowPost ships one body per non-empty partition, executor-side") {
+    val rows = Seq(
+      (1L, "a", "a@x", 0, 1, 10L, ts(0)),
+      (2L, "b", "b@x", 0, 1, 11L, ts(0)),
+      (3L, null, null, 1, 3, 12L, ts(0)))
+      .toDF("id", "name", "email", "is_deleted", "_op", "_lsn", "_ts")
+      .repartition(2)
+    JsonPostCapture.bodies.clear()
+    Sinks.jsonEachRowPost(rows, JsonPostCapture.add)
+    val bodies = JsonPostCapture.snapshot()
+    assert(bodies.nonEmpty && bodies.size <= 2) // never more than partitions
+    val lines = bodies.flatMap(_.split('\n')).toSet
+    assert(lines.size === 3)
+    assert(lines.exists(_.contains(""""id":3,"name":"","email":"""")))
+  }
+
   test("S2→P1→S5 end-to-end: envelope JSON stream → translate → parquet sink") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft-cdc-e2e").toString
@@ -136,9 +152,10 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((1L, 0, 1, 10L), (1L, 1, 3, 11L)))
   }
 
-  test("ST9: listener accumulates rows and batches") {
+  test("ST9: listener accumulates rows/batches and emits a span log line per batch") {
     implicit val sq = spark.sqlContext
-    val m = new IngestionMetrics
+    val spans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val m = new IngestionMetrics(spanSink = spans.add(_))
     spark.streams.addListener(m)
     try {
       val in = MemoryStream[Long]
@@ -154,6 +171,12 @@ class StreamingSpec extends SparkSpec {
       assert(m.rowsTotal.get >= 3)
       assert(m.batchesTotal.get >= 1)
       assert(m.render().contains("ingest_rows_total"))
+      // trace analogue (reference tracing.go:19-51): one structured
+      // line per batch with the span-identifying fields
+      assert(!spans.isEmpty)
+      val line = spans.peek()
+      Seq("\"span\":\"ingest_batch\"", "\"query_id\":", "\"batch_id\":",
+        "\"rows\":", "\"duration_ms\":").foreach(f => assert(line.contains(f), line))
     } finally spark.streams.removeListener(m)
   }
 
@@ -217,5 +240,20 @@ class StreamingSpec extends SparkSpec {
         assert(r.getString(2) === "example-payload")
       }
     } finally q.stop()
+  }
+}
+
+/** Executor-side capture for the per-partition POST spec: statics
+  * resolve per-JVM, so local-mode tasks and the test share the queue
+  * (a closure-captured queue would be task-serialized into a copy).
+  */
+object JsonPostCapture {
+  val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def add(b: String): Unit = bodies.add(b)
+  def snapshot(): Seq[String] = {
+    val it = bodies.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
   }
 }
