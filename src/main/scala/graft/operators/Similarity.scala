@@ -75,6 +75,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** LSH-blocked near-duplicate pairs — the 100 TB form of
+    * [[nearDupPairs]]: candidates are pairs sharing a (table, bucket)
+    * key in ANY of `tables` independent hyperplane families
+    * (OR-amplification), verified with the exact cosine >= minCos.
+    * Never forms the |D|² cross product: the shuffle is keyed on
+    * (table, bucket) and the pair join runs inside buckets of
+    * ~|D|/2^planes rows. Recall for a pair at angle θ is
+    * 1-(1-(1-θ/π)^planes)^tables — high for true near-dups, a
+    * documented dial near the threshold (the same candidates-then-
+    * verify contract as the MinHash text path).
+    */
+  def lshNearDupPairs(
+      df: DataFrame, id: String, vec: String,
+      minCos: Double, planes: Int, dim: Int, tables: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    val buckets = (v: Column) =>
+      array((0 until tables).map(t => VectorFns.lshBucket(v, t, planes, dim)): _*)
+    val a = df.select(col(id).as("id_a"), col(vec).as("va"),
+      VectorFns.norm2(col(vec)).as("na"),
+      posexplode(buckets(col(vec))).as(Seq("__t", "__blk")))
+    val b = df.select(col(id).as("id_b"), col(vec).as("vb"),
+      VectorFns.norm2(col(vec)).as("nb"),
+      posexplode(buckets(col(vec))).as(Seq("__t", "__blk")))
+    val matched = a.join(b, Seq("__t", "__blk"))
+      .filter(col("id_a") < col("id_b"))
+    val cand =
+      if (tables == 1) matched
+      else matched.dropDuplicates("id_a", "id_b")
+    cand.withColumn("cosine", round(
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(VectorFns.dot(col("va"), col("vb")) / (col("na") * col("nb"))),
+        roundTo))
+      .filter(col("cosine") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** IVF-flat approximate top-k: the corpus is partitioned into
     * `nlist` cells by nearest centroid; each query probes its
     * `nProbe` nearest cells and ranks exactly within them. Centroids

@@ -86,6 +86,20 @@ object NorthStarQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // X3/X1 scale path: LSH-blocked embedding near-dup — candidates
+    // from 8 OR-amplified tables of 4 literal hyperplanes, exact
+    // cosine verify; the 100 TB substitute for the all-pairs
+    // q_embed_neardup (same threshold, measured-recall subset).
+    // Banding math: this synthetic corpus has NO true near-dups (max
+    // pair cosine ~0.5-0.6), so the registered threshold sits at the
+    // hardest angle for sign-LSH — 4x8 gives recall ~0.79 there,
+    // while a real near-dup pair (cos>=0.9) is recalled at ~0.9998.
+    "q_embed_neardup_lsh" -> ((s, d) => {
+      Similarity.lshNearDupPairs(table(s, d, "embeddings"), "vec_id", "embedding",
+        minCos = 0.45, planes = 4, dim = 64, tables = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // X3 scale path: LSH-bucketed ANN over 2 OR-amplified tables of 4
     // deterministic literal hyperplanes — fully oracle-able (the same
     // ±1 sign arrays are inlined into the DuckDB SQL below)
@@ -251,6 +265,29 @@ object NorthStarQueries {
            AND q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
     """ + scoreTail + topKTail(5)
 
+  /** q_embed_neardup_lsh oracle: the identical candidates-then-verify
+    * pipeline — 8 tables × 4 literal hyperplanes, same-bucket pairs,
+    * exact cosine >= 0.45.
+    */
+  private val embedLshPairsSql = {
+    val bandUnion = (0 until 8).map { t =>
+      if (t == 0)
+        s"SELECT vec_id, v, 0 AS t, ${lshBucketSql("v", 0, 4, 64)} AS blk FROM e"
+      else
+        s"SELECT vec_id, v, $t, ${lshBucketSql("v", t, 4, 64)} FROM e"
+    }.mkString("\n         UNION ALL\n         ")
+    embedCte + s""",
+       b AS (
+         $bandUnion),
+       pr AS (SELECT DISTINCT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+           a.v AS qv, b2.v AS cv
+         FROM b a JOIN b b2 ON a.t = b2.t AND a.blk = b2.blk
+           AND a.vec_id < b2.vec_id),
+    """ + scoreTail + """
+       SELECT query_id AS id_a, neighbor_id AS id_b, cosine FROM cs
+       WHERE cosine >= 0.45 ORDER BY id_a, id_b"""
+  }
+
   /** q_ann_ivf oracle: same md5-rank sampled centroids, nearest-cell
     * assignment (keep 1 corpus-side, 4 query-side), probe join within
     * cells, exact cosine top-5. The assignment distance `d` is
@@ -389,6 +426,7 @@ object NorthStarQueries {
     "q_cosine_topk" -> (cosineSql + topKTail(10)),
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_embed_neardup_lsh" -> embedLshPairsSql,
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

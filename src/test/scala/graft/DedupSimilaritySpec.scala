@@ -145,6 +145,45 @@ class DedupSimilaritySpec extends SparkSpec {
     lsh.foreach { case (a, b, c) => assert(bf((a, b)) === c) }
   }
 
+  test("lshNearDupPairs: verified subset of exact near-dup pairs, recall measured") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", minCos = 0.45)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      minCos = 0.45, planes = 4, dim = 64, tables = 8)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty && exact.nonEmpty)
+    // precision is perfect by construction (exact verify); cosines match
+    lsh.foreach { case (a, b, c) => assert(exact((a, b)) === c, s"($a,$b)") }
+    val recall = lsh.size.toDouble / exact.size
+    // strong pairs (cos>=0.6) should nearly all survive the bucketing
+    val strong = exact.filter(_._2 >= 0.6).keySet
+    val strongHit = lsh.count { case (a, b, _) => strong((a, b)) }
+    info(s"recall@0.45=$recall strong=${strongHit}/${strong.size} of ${exact.size} pairs")
+    if (strong.nonEmpty)
+      assert(strongHit.toDouble / strong.size >= 0.8,
+        s"strong-pair recall ${strongHit.toDouble / strong.size}")
+  }
+
+  test("lshNearDupPairs recalls essentially all TRUE near-dups (cos~1 synthetic pairs)") {
+    // the real corpus has no high-cosine pairs, so the operating
+    // regime (dedup of genuine near-duplicates) is proven here:
+    // perturbed copies at cos ~0.9999 must survive 4-plane x 8-table
+    // bucketing with P[miss] ~ 1e-14 per pair
+    val base = (0L until 30L).map(i =>
+      (i, Seq.tabulate(16)(d => math.sin(i * 1.3 + d * 0.7).toFloat)))
+    val dups = base.map { case (i, v) => (i + 1000L, v.map(x => x * 1.02f + 0.01f)) }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val out = Similarity.lshNearDupPairs(df, "vec_id", "embedding",
+      minCos = 0.9, planes = 4, dim = 16, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    assert(expected.forall(out.contains),
+      s"missed ${expected.diff(out)} of ${expected.size} true near-dup pairs")
+  }
+
   test("ivfTopK: exact cosines, high recall vs brute force at nProbe=4/16") {
     val vecs = (0L until 200L).map(i =>
       (i, Seq.tabulate(16)(d => math.sin(i * 0.37 + d * 1.1).toFloat)))
