@@ -87,16 +87,21 @@ object NorthStarQueries {
     }),
 
     // X3/X1 scale path: LSH-blocked embedding near-dup — candidates
-    // from 8 OR-amplified tables of 4 literal hyperplanes, exact
+    // from 8 OR-amplified tables of 8 literal hyperplanes, exact
     // cosine verify; the 100 TB substitute for the all-pairs
-    // q_embed_neardup (same threshold, measured-recall subset).
-    // Banding math: this synthetic corpus has NO true near-dups (max
-    // pair cosine ~0.5-0.6), so the registered threshold sits at the
-    // hardest angle for sign-LSH — 4x8 gives recall ~0.79 there,
-    // while a real near-dup pair (cos>=0.9) is recalled at ~0.9998.
+    // q_embed_neardup. 8 planes = 256 buckets/table -> candidate mass
+    // ~ T*|D|^2/2^P = |D|^2/32 (vs |D|^2 all-pairs), the reduction
+    // that makes blocking worth its shuffle; recall 0.94 for true
+    // near-dups (cos>=0.9). This synthetic corpus has NO true
+    // near-dups (max pair cosine ~0.5-0.6), so at ITS threshold-angle
+    // pairs recall is ~0.2 by design — measured by spec against the
+    // exact all-pairs form, and the near-dup regime is proven on
+    // synthetic cos~1 pairs (fewer planes would recall more here but
+    // degenerate to near-quadratic candidates: 4 planes measured
+    // SLOWER than brute force at sf0.1).
     "q_embed_neardup_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(table(s, d, "embeddings"), "vec_id", "embedding",
-        minCos = 0.45, planes = 4, dim = 64, tables = 8)
+        minCos = 0.45, planes = 8, dim = 64, tables = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -266,15 +271,15 @@ object NorthStarQueries {
     """ + scoreTail + topKTail(5)
 
   /** q_embed_neardup_lsh oracle: the identical candidates-then-verify
-    * pipeline — 8 tables × 4 literal hyperplanes, same-bucket pairs,
+    * pipeline — 8 tables × 8 literal hyperplanes, same-bucket pairs,
     * exact cosine >= 0.45.
     */
   private val embedLshPairsSql = {
     val bandUnion = (0 until 8).map { t =>
       if (t == 0)
-        s"SELECT vec_id, v, 0 AS t, ${lshBucketSql("v", 0, 4, 64)} AS blk FROM e"
+        s"SELECT vec_id, v, 0 AS t, ${lshBucketSql("v", 0, 8, 64)} AS blk FROM e"
       else
-        s"SELECT vec_id, v, $t, ${lshBucketSql("v", t, 4, 64)} FROM e"
+        s"SELECT vec_id, v, $t, ${lshBucketSql("v", t, 8, 64)} FROM e"
     }.mkString("\n         UNION ALL\n         ")
     embedCte + s""",
        b AS (

@@ -74,6 +74,29 @@ class PlanSpec extends SparkSpec {
       s"HOF lambda (CodegenFallback) must not be on the pair-verify path:\n$p")
   }
 
+  test("X3: IVF corpus-cell assignment is a partial+final max_by agg, not a window sort") {
+    val p = plan(SparkEntry.queries("q_ann_ivf")(spark, sf))
+    assert(p.contains("max_by"), s"expected max_by argmax assignment:\n$p")
+    // exactly one Window remains: the query-side keep=nProbe ranking
+    // and the final per-query top-k (the |corpus|*nlist side must not
+    // sort); centroid selection is a TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"centroids via TakeOrdered:\n$p")
+  }
+
+  test("X3: LSH ANN joins bucket keys with a broadcast query side, no cross product") {
+    val p = plan(SparkEntry.queries("q_ann_lsh")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"bucket join should broadcast queries:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH path must never form the all-pairs product:\n$p")
+  }
+
+  test("X3: LSH near-dup pairs equi-join on (table, bucket), no cross product") {
+    val p = plan(SparkEntry.queries("q_embed_neardup_lsh")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked near-dup must not form the all-pairs product:\n$p")
+    assert(p.contains("float_dot"), s"verify must use the codegen dot:\n$p")
+  }
+
   test("J6: as-of join is one shuffle (union+window), no nested-loop join") {
     val p = plan(SparkEntry.queries("q_join_asof")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
