@@ -97,6 +97,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("float_dot"), s"verify must use the codegen dot:\n$p")
   }
 
+  test("P1: the CDC envelope parse stays behind its Generate barrier (no from_json inlining)") {
+    // without the explode(array(...)) barrier, CollapseProject inlines
+    // the CodegenFallback from_json into every star-expanded output
+    // column — 16 copies measured, 40% slower; the single-eval
+    // conditional form has exactly 4 textual occurrences
+    val p = SparkEntry.queries("q_cdc_translate")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val n = "from_json".r.findAllIn(p).size
+    assert(n <= 4, s"from_json inlined $n times — the parse-once barrier regressed:\n$p")
+  }
+
   test("J6: as-of join is one shuffle (union+window), no nested-loop join") {
     val p = plan(SparkEntry.queries("q_join_asof")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
