@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   *
   * 2. [[asofJoinViaJoin]] — naive join + row_number, kept as the
   *    reference/oracle-shaped formulation for tests.
+  *
+  * Skew caveat (100 TB): the union+window path partitions by `key`, so
+  * one pathological key lands on one task. Salting is NOT applicable
+  * here — a running `last` must see the key's full time-ordered history,
+  * and salt boundaries would break carry-forward. Mitigations at scale:
+  * pre-filter right rows to the left side's time range (shrinks the
+  * window input), split the time axis into coarse range buckets and
+  * seed each bucket with the previous bucket's final right row (a
+  * two-phase carry), or fall back to [[asofJoinViaJoin]] + AQE skew
+  * join when matches-per-key are bounded. The equi-join salting helper
+  * in operators/SkewJoin.scala covers the join-shaped cases.
   */
 object AsOfJoin {
 

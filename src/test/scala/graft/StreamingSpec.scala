@@ -134,6 +134,41 @@ class StreamingSpec extends SparkSpec {
     assert(lines.exists(_.contains(""""id":3,"name":"","email":"""")))
   }
 
+  test("X1-streaming: dedupBatch drops store-known and batch-internal duplicate docs") {
+    val store = Seq(Tuple1("seen before")).toDF("text")
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+    val batch = Seq(
+      (1L, "seen before"),        // duplicate of the store
+      (2L, "brand new text"),
+      (3L, "brand new text"),     // batch-internal dup: min id 2 wins
+      (4L, "another new one")
+    ).toDF("doc_id", "text")
+    val out = StreamingDedup.dedupBatch(batch, store, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(2L, 4L))
+  }
+
+  test("X1-streaming: cross-batch dedup against the persistent fingerprint store") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val in = MemoryStream[(Long, String)]
+    val w = StreamingDedup.dedupAgainstStore(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    val q = w.start()
+    try {
+      in.addData((1L, "alpha doc"), (2L, "beta doc"))
+      q.processAllAvailable()
+      // second batch: one replay of doc 1's CONTENT (new id), one new
+      in.addData((10L, "alpha doc"), (3L, "gamma doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 3L), s"store must drop the cross-batch dup, got $out")
+    val fps = spark.read.parquet(s"$dir/store").as[String].collect()
+    assert(fps.length === 3 && fps.distinct.length === 3)
+  }
+
   test("S2→P1→S5 end-to-end: envelope JSON stream → translate → parquet sink") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft-cdc-e2e").toString
