@@ -116,6 +116,70 @@ class DebeziumSpec extends SparkSpec {
     assert(out === """{"id":9,"name":"","email":"","is_deleted":1,"_op":3,"_lsn":200,"_ts":"1970-01-01 00:00:00"}""")
   }
 
+  test("property: random envelopes match a plain-Scala model of cdc.go:100-143") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    case class User(id: Long, name: String, email: String)
+    case class Env(op: Option[String], before: Option[User], after: Option[User],
+        lsn: Option[Long], tsUs: Option[Long], keyId: Option[Long], doubled: Boolean)
+
+    val userGen = for {
+      id <- Gen.choose(0L, 5L); n <- Gen.alphaStr.map(_.take(4))
+    } yield User(id, s"n$n", s"e$n")
+    val envGen = for {
+      op <- Gen.oneOf(Some("c"), Some("u"), Some("d"), Some("x"), Some("C"), None)
+      before <- Gen.option(userGen)
+      after <- Gen.option(userGen)
+      lsn <- Gen.option(Gen.choose(0L, 999L))
+      tsUs <- Gen.option(Gen.choose(0L, 2000000L))
+      keyId <- Gen.option(Gen.choose(1L, 9L))
+      doubled <- Gen.oneOf(true, false)
+    } yield Env(op, before, after, lsn, tsUs, keyId, doubled)
+
+    def userJson(u: User) = s"""{"id":${u.id},"name":"${u.name}","email":"${u.email}"}"""
+    def render(e: Env): (String, String) = {
+      val json = '{' +
+        s""""before":${e.before.map(userJson).getOrElse("null")},""" +
+        s""""after":${e.after.map(userJson).getOrElse("null")},""" +
+        s""""source":{"lsn":${e.lsn.map(_.toString).getOrElse("null")},"ts_us":1},""" +
+        s""""op":${e.op.map("\"" + _ + "\"").getOrElse("null")}""" +
+        e.tsUs.map(t => s""","ts_us":$t""").getOrElse("") + "}"
+      val value = if (e.doubled)
+        "\"" + json.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      else json
+      (value, e.keyId.map(k => s"""{"id":$k}""").orNull)
+    }
+
+    // plain-Scala mirror of the reference translate switch
+    def model(e: Env): Option[(Long, String, String, Int, Int, Long, Long)] = e.op match {
+      case Some(op @ ("c" | "u")) if e.after.isDefined =>
+        val a = e.after.get
+        Some((a.id, a.name, a.email, 0, if (op == "c") 1 else 2,
+          e.lsn.getOrElse(0L), e.tsUs.getOrElse(0L)))
+      case Some("d") =>
+        val id = e.before.map(_.id).filter(_ != 0).orElse(e.keyId).getOrElse(0L)
+        Some((id, null, null, 1, 3, e.lsn.getOrElse(0L), e.tsUs.getOrElse(0L)))
+      case _ => None
+    }
+
+    (1 to 4).foreach { seed =>
+      val envs = Gen.listOfN(120, envGen)
+        .apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val df = envs.map(render).toDF("value", "key")
+      val got = Debezium.translateRows(df, col("value"), col("key"))
+        .select(col("id"), col("name"), col("email"), col("is_deleted"),
+          col("_op"), col("_lsn"), unix_micros(col("_ts")))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3),
+          r.getInt(4), r.getLong(5), r.getLong(6)))
+      // row order is partition-dependent and name/email may be null —
+      // compare as sorted string multisets
+      assert(got.map(_.toString).sorted.toSeq ===
+        envs.flatMap(model).map(_.toString).sorted, s"seed=$seed")
+    }
+  }
+
   test("nil ts_us fallback is the UTC epoch INSTANT even in a non-UTC session") {
     val noTs = """{"after":{"id":1,"name":"a","email":"b"},"source":{"lsn":5},"op":"c"}"""
     val s2 = spark.newSession()
