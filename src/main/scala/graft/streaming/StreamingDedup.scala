@@ -82,10 +82,78 @@ object StreamingDedup {
   def existingStore(spark: SparkSession, storeDir: String): DataFrame =
     if (new java.io.File(storeDir).exists())
       spark.read.parquet(storeDir)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("fp",
-            org.apache.spark.sql.types.StringType))))
+    else emptyDf(spark, "fp string")
+
+  // ---------------------------------------------------------------
+  // Tier 3: streaming NEAR-dup dedup via a SimHash signature store.
+  // ---------------------------------------------------------------
+
+  /** One micro-batch of near-dup dedup: compute 64-bit SimHash
+    * signatures for the batch, band-join (8×8 Hamming LSH — the same
+    * banding as Dedup.simhashNearDup) against the signature store,
+    * verify candidates with codegen `bit_count(xor)`, and drop batch
+    * docs within `maxHamming` of ANY stored doc. Batch-internal
+    * near-dups collapse through the batch form of simhashNearDup
+    * (min-id winner). Returns the surviving (id, s1, s2, band sigs)
+    * rows — content dedup state is ~48 bytes/doc, so a 10B-doc corpus
+    * is a ~500 GB store, band-partitionable on disk so each batch
+    * probes only matching band files.
+    */
+  def nearDupBatch(
+      batch: DataFrame, store: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    import graft.operators.Dedup
+    val sig = Dedup.simhash(batch, idCol, col(textCol))
+      .withColumn("s1", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("s2", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
+    val bandArr = array((0 until 8).map(b =>
+      substring(col("simhash"), b * 8 + 1, 8)): _*)
+    val bands = sig.select(col(idCol), col("s1"), col("s2"),
+      posexplode(bandArr).as(Seq("band", "bsig")))
+    val ham = bit_count(col("s1").bitwiseXOR(col("st_s1"))) +
+      bit_count(col("s2").bitwiseXOR(col("st_s2")))
+    val hitIds = bands
+      .join(store.select(col("band").as("st_band"), col("bsig").as("st_bsig"),
+        col("s1").as("st_s1"), col("s2").as("st_s2")),
+        col("band") === col("st_band") && col("bsig") === col("st_bsig"))
+      .filter(ham <= maxHamming)
+      .select(col(idCol)).distinct()
+    // drop store-near rows, then collapse batch-internal near-dups:
+    // losers of a within-batch near-dup pair (id_a < id_b ⇒ b loses)
+    val fresh = sig.join(hitIds, Seq(idCol), "left_anti")
+    val innerPairs = Dedup.simhashNearDup(
+      batch.join(fresh.select(col(idCol)), Seq(idCol), "left_semi"),
+      idCol, col(textCol), maxHamming)
+    fresh.join(innerPairs.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .select(col(idCol), col("s1"), col("s2"),
+        posexplode(bandArr).as(Seq("band", "bsig")))
+  }
+
+  /** Tier 3 sink: near-dup-deduplicated ids append to `outDir`; the
+    * survivors' banded signatures append to the signature store.
+    */
+  def nearDupAgainstStore(
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int,
+      storeDir: String, outDir: String, checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val store =
+          if (new java.io.File(storeDir).exists()) spark.read.parquet(storeDir)
+          else emptyDf(spark, "band int, bsig string, s1 bigint, s2 bigint")
+        val fresh = nearDupBatch(batch, store, idCol, textCol, maxHamming).persist()
+        try {
+          fresh.select(idCol).distinct().write.mode(SaveMode.Append).parquet(outDir)
+          fresh.select("band", "bsig", "s1", "s2").write
+            .mode(SaveMode.Append).parquet(storeDir)
+        } finally fresh.unpersist(blocking = false)
+      }
+
+  private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
 }

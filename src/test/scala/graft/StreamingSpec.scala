@@ -169,6 +169,32 @@ class StreamingSpec extends SparkSpec {
     assert(fps.length === 3 && fps.distinct.length === 3)
   }
 
+  test("X2-streaming: cross-batch NEAR-dup dedup against the SimHash signature store") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sneardup").toString
+    val in = MemoryStream[(Long, String)]
+    val w = StreamingDedup.nearDupAgainstStore(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", maxHamming = 12,
+      s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    val q = w.start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2L, "completely different content about spark engines and shuffles"))
+      q.processAllAvailable()
+      in.addData(
+        // near-dup of doc 1 (one word changed) → must be dropped
+        (10L, "the quick brown fox jumps over the lazy cat and runs away fast"),
+        // batch-internal near-dup pair → min id 20 survives, 21 dropped
+        (20L, "fresh document about training data pipelines at scale today"),
+        (21L, "fresh document about training data pipelines at scale tonight"),
+        (22L, "yet another unrelated text mentioning benchmarks and joins"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 20L, 22L), s"got $out")
+  }
+
   test("S2→P1→S5 end-to-end: envelope JSON stream → translate → parquet sink") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft-cdc-e2e").toString
