@@ -155,8 +155,10 @@ object NorthStarQueries {
     }),
 
     // X4: order-sensitive rolling-hash fingerprint (native codegen
-    // expression; engine-defined 64-bit wrap — no SQL oracle,
-    // cross-checked against the reference loop in DedupSimilaritySpec)
+    // expression). Java's wrapping 64-bit arithmetic IS oracle-able:
+    // DuckDB folds in HUGEINT mod 2^64 and converts to two's
+    // complement at the end — also cross-checked against the
+    // reference loop in DedupSimilaritySpec.
     "q_rolling_fp" -> ((s, d) => {
       table(s, d, "documents")
         .select(col("doc_id"),
@@ -491,6 +493,22 @@ object NorthStarQueries {
          CAST(len(regexp_extract_all(text, '${TextFns.bpeIshPattern}')) AS BIGINT) AS n_bpe,
          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
          FROM documents ORDER BY doc_id""",
+    // Java long wrap emulated exactly: fold (h*31 + byte) over the
+    // UTF-8 bytes in HUGEINT mod 2^64, then two's-complement to BIGINT
+    "q_rolling_fp" ->
+      """WITH h AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(range(1, octet_length(encode(text)) + 1),
+                   i -> CAST(CAST(('0x' || substr(hex(encode(text)),
+                     CAST((i-1)*2+1 AS INT), 2)) AS UBIGINT) AS HUGEINT))),
+               (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hv
+           FROM documents)
+         SELECT doc_id,
+           CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hv - CAST('18446744073709551616' AS HUGEINT) ELSE hv END AS BIGINT) AS fp64
+         FROM h ORDER BY doc_id""",
     "q_fingerprint" ->
       """WITH f AS (SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
