@@ -34,7 +34,8 @@ object SparkEntry {
       JoinQueries.defs ++ PipelineQueries.defs ++ NorthStarQueries.defs ++
       Map(
         // X5 multimodal: binary payload + typed meta + batch feature
-        // extraction (deterministic stub decode — no SQL oracle)
+        // extraction (the deterministic stub decode is byte arithmetic,
+        // so even this has a value-level oracle — NorthStarQueries)
         "q_multimodal" -> ((s: SparkSession, d: String) => {
           val media = Multimodal.asMediaTable(Tables.table(s, d, "documents"))
           Multimodal.extractFeatures(s, media).toDF()

@@ -378,6 +378,24 @@ object NorthStarQueries {
          WHERE jaccard >= """ + minJ + " ORDER BY id_a, id_b"
   }
 
+  /** DuckDB emulation of Java's wrapping 64-bit `h*31 + byte` fold
+    * over a text column's UTF-8 bytes: HUGEINT accumulator reduced
+    * mod 2^64 every step (HUGEINT never overflows: h < 2^64, h*31+b
+    * < 2^69 ≪ 2^127). Shared by q_rolling_fp and q_multimodal.
+    */
+  private val rollingHashFold =
+    """list_reduce(
+         list_prepend(CAST(0 AS HUGEINT),
+           list_transform(range(1, octet_length(encode(text)) + 1),
+             i -> CAST(CAST(('0x' || substr(hex(encode(text)),
+               CAST((i-1)*2+1 AS INT), 2)) AS UBIGINT) AS HUGEINT))),
+         (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT))"""
+
+  /** Two's-complement conversion of a HUGEINT in [0, 2^64) to BIGINT. */
+  private def toSignedLong(h: String): String =
+    s"""CAST(CASE WHEN $h >= CAST('9223372036854775808' AS HUGEINT)
+         THEN $h - CAST('18446744073709551616' AS HUGEINT) ELSE $h END AS BIGINT)"""
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT lang, source, doc_id, n_chars FROM (
@@ -496,18 +514,26 @@ object NorthStarQueries {
     // Java long wrap emulated exactly: fold (h*31 + byte) over the
     // UTF-8 bytes in HUGEINT mod 2^64, then two's-complement to BIGINT
     "q_rolling_fp" ->
-      """WITH h AS (
-           SELECT doc_id,
-             list_reduce(
-               list_prepend(CAST(0 AS HUGEINT),
-                 list_transform(range(1, octet_length(encode(text)) + 1),
-                   i -> CAST(CAST(('0x' || substr(hex(encode(text)),
-                     CAST((i-1)*2+1 AS INT), 2)) AS UBIGINT) AS HUGEINT))),
-               (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hv
+      s"""WITH h AS (
+           SELECT doc_id, $rollingHashFold AS hv
            FROM documents)
-         SELECT doc_id,
-           CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
-             THEN hv - CAST('18446744073709551616' AS HUGEINT) ELSE hv END AS BIGINT) AS fp64
+         SELECT doc_id, ${toSignedLong("hv")} AS fp64
+         FROM h ORDER BY doc_id""",
+    // X5: the stub decode is deterministic byte arithmetic, so even the
+    // multimodal feature extraction has a value-level oracle — checksum
+    // is the same wrapping base-31 fold; feat0/feat1 are IEEE divisions
+    "q_multimodal" ->
+      s"""WITH h AS (
+           SELECT doc_id,
+             octet_length(encode(text)) AS nb,
+             CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+               ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS UBIGINT) END AS b0,
+             $rollingHashFold AS hv
+           FROM documents)
+         SELECT doc_id, 'text/plain' AS mime, CAST(nb AS BIGINT) AS n_bytes,
+           ${toSignedLong("hv")} AS checksum,
+           CASE WHEN nb = 0 THEN 0.0 ELSE CAST(b0 AS DOUBLE) / 255.0 END AS feat0,
+           CAST(nb AS DOUBLE) / 4096.0 AS feat1
          FROM h ORDER BY doc_id""",
     "q_fingerprint" ->
       """WITH f AS (SELECT doc_id,
