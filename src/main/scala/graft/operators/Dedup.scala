@@ -128,8 +128,17 @@ object Dedup {
     */
   def minhashBands(
       df: DataFrame, id: String, text: Column,
-      k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sh = explodedShingles(df, id, text, k)
+      k: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    minhashBandsFromShingles(explodedShingles(df, id, text, k), id, bands, rowsPerBand)
+
+  /** [[minhashBands]] over an already-exploded (id, shingle) table —
+    * lets [[minhashNearDup]] share ONE cached shingle explode between
+    * the signature path and the verification inverted index instead of
+    * re-shingling the corpus per path.
+    */
+  def minhashBandsFromShingles(
+      shingles: DataFrame, id: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sh = shingles
       .withColumn("__h", md5(col("shingle")))
       .withColumn("__a", conv(substring(col("__h"), 1, 8), 16, 10).cast("long"))
       .withColumn("__b", conv(substring(col("__h"), 9, 8), 16, 10).cast("long"))
@@ -156,17 +165,18 @@ object Dedup {
   def minhashNearDup(
       df: DataFrame, id: String, text: Column,
       k: Int, bands: Int, rowsPerBand: Int, minJ: Double): DataFrame = {
-    // cache the signature table: the self-join and the verification
-    // path would otherwise re-shingle and re-aggregate the corpus on
-    // each side (at production scale this is the persisted signature
-    // dataset every LSH system materializes)
-    val bandsDf = minhashBands(df, id, text, k, bands, rowsPerBand).cache()
+    // cache the exploded shingles ONCE — both the signature path and
+    // the verification inverted index read it, so the corpus is
+    // shingled a single time; cache the signature table too (the
+    // self-join reads it twice; at production scale this is the
+    // persisted signature dataset every LSH system materializes)
+    val sh = explodedShingles(df, id, text, k).cache()
+    val bandsDf = minhashBandsFromShingles(sh, id, bands, rowsPerBand).cache()
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"), Seq("band", "sig"))
       .filter(col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
-    val sh = explodedShingles(df, id, text, k).cache()
     val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
     val inter = cand
       .join(sh.select(col(id).as("id_a"), col("shingle")), "id_a")
