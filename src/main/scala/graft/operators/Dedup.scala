@@ -24,26 +24,35 @@ import org.apache.spark.sql.util.QueryExecutionListener
 object Dedup {
 
   /** Cache lifecycle for operator-scoped signature tables: unpersist
-    * `cached` right after the FIRST action on this session completes —
-    * for the registered queries that is exactly the action consuming
-    * `result`, so the cache lives precisely as long as the self-join
-    * needs it and a long-lived session accumulates no blocks. (If a
-    * caller interleaves an unrelated action first, the cost is a
-    * recompute, never a correctness change — unpersisted plans simply
-    * re-evaluate.) One-shot and self-unregistering.
+    * `cached` right after the action CONSUMING `result` completes —
+    * the listener matches the finished QueryExecution's analyzed plan
+    * against `result`'s plan (subtree `sameResult`), so concurrent or
+    * interleaved unrelated actions on the session (streaming batches,
+    * other drivers) no longer evict the caches mid-flight. Safety
+    * valve: if the caller never executes `result`, the listener (and
+    * caches) would linger — after 64 non-matching completions it
+    * releases anyway, turning a leak into at worst a recompute (never
+    * a correctness change: unpersisted plans simply re-evaluate).
+    * One-shot and self-unregistering.
     */
   private def releaseAfterAction(result: DataFrame, cached: DataFrame*): DataFrame = {
     val spark = result.sparkSession
+    val target = result.queryExecution.analyzed
     val listener = new QueryExecutionListener {
       private val done = new AtomicBoolean(false)
+      private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+      private def consumesResult(qe: QueryExecution): Boolean =
+        (try qe.analyzed.exists(_.sameResult(target))
+        catch { case _: Throwable => true }) ||
+          misses.incrementAndGet() >= 64
       private def release(): Unit = if (done.compareAndSet(false, true)) {
         cached.foreach(_.unpersist(blocking = false))
         spark.listenerManager.unregister(this)
       }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        release()
+        if (consumesResult(qe)) release()
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        release()
+        if (consumesResult(qe)) release()
     }
     spark.listenerManager.register(listener)
     result

@@ -148,13 +148,16 @@ object Similarity {
           .otherwise(VectorFns.dot(col(vecOut), col("cent_vec")) / n))
       if (keep == 1) {
         // argmax by (__d desc, cent_id asc) as a partial-aggregatable
-        // max_by over a totally-ordered key — winner identical to the
+        // min_by over a totally-ordered key — winner identical to the
         // window formulation, without sorting every (row, centroid)
-        // pair inside each partition-by group
+        // pair inside each partition-by group. Only the DISTANCE is
+        // negated (always a double); the cent_id tiebreak stays in its
+        // natural ascending order, so string/any-orderable id columns
+        // work here exactly as they do on the keep>1 window path
         scored.groupBy(col(idOut))
-          .agg(max_by(
+          .agg(min_by(
             struct(col(vecOut).as("v"), col("cent_id").as("c")),
-            struct(col("__d").as("d"), (-col("cent_id")).as("nc"))).as("__w"))
+            struct((-col("__d")).as("nd"), col("cent_id").as("c"))).as("__w"))
           .select(col(idOut), col("__w.v").as(vecOut), col("__w.c").as("cell"))
       } else {
         val w = Window.partitionBy(col(idOut))

@@ -42,6 +42,21 @@ final case class IngestConfig(
     else Map("user" -> user, "password" -> password)
 
   def brokerList: String = brokers.mkString(",")
+
+  /** S2 parity: the reference's `KAFKA_FORCE_LOCAL=1` local-dev shim
+    * (/root/reference/internal/ingestion/cdc.go:19-34 — a static DNS
+    * resolver answering 127.0.0.1 for every broker host). Spark's
+    * Kafka source takes bootstrap addresses, not a dialer, so the
+    * declarative equivalent rewrites each broker's HOST to 127.0.0.1
+    * and keeps its port. `env` is injectable for tests.
+    */
+  def effectiveBrokers(env: Map[String, String] = sys.env): Seq[String] =
+    if (env.get("KAFKA_FORCE_LOCAL").contains("1"))
+      brokers.map { b =>
+        val i = b.lastIndexOf(':')
+        if (i >= 0) "127.0.0.1" + b.substring(i) else "127.0.0.1"
+      }
+    else brokers
 }
 
 object IngestConfig {

@@ -18,14 +18,17 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * (spark.ui.prometheus.enabled) — this listener is the engine-level
   * mirror of the reference's counters, queryable in-process.
   *
-  * Trace analogue (reference: internal/tracing/tracing.go:19-51 — an
-  * OTel span per insert): every micro-batch emits ONE structured JSON
-  * log line carrying the span fields (query id = trace id analogue,
-  * batchId = span id analogue, rows, duration). `spanSink` is
-  * injectable for tests and log-shippers; default goes to stderr like
-  * the reference's `log.Printf`.
+  * Traces (reference: internal/tracing/tracing.go:19-51 — an OTel
+  * span per insert): every micro-batch emits ONE span. Two sinks:
+  * `spanSink` gets a structured JSON log line (query id = trace id
+  * analogue, batchId = span id analogue, rows, duration; default
+  * stderr like the reference's `log.Printf`), and `spanExporter`
+  * optionally receives the typed [[IngestSpan]] — pass an
+  * [[OtlpSpanExporter]] for real OTLP/HTTP export to a collector.
   */
-class IngestionMetrics(spanSink: String => Unit = line => System.err.println(line))
+class IngestionMetrics(
+    spanSink: String => Unit = line => System.err.println(line),
+    spanExporter: Option[IngestSpan => Unit] = None)
     extends StreamingQueryListener {
 
   val rowsTotal = new AtomicLong(0L)
@@ -60,10 +63,13 @@ class IngestionMetrics(spanSink: String => Unit = line => System.err.println(lin
     }
     latencyBuckets(idx).incrementAndGet()
     latencySumMs.addAndGet(ms)
+    val span = IngestSpan(
+      p.id.toString, p.runId.toString, p.batchId, p.numInputRows, ms, p.timestamp)
     spanSink(
-      s"""{"span":"ingest_batch","query_id":"${p.id}","run_id":"${p.runId}",""" +
-        s""""batch_id":${p.batchId},"rows":${p.numInputRows},"duration_ms":$ms,""" +
-        s""""timestamp":"${p.timestamp}"}""")
+      s"""{"span":"ingest_batch","query_id":"${span.queryId}","run_id":"${span.runId}",""" +
+        s""""batch_id":${span.batchId},"rows":${span.rows},"duration_ms":${span.durationMs},""" +
+        s""""timestamp":"${span.timestamp}"}""")
+    spanExporter.foreach(_(span))
   }
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit =

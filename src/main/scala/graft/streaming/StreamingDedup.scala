@@ -60,6 +60,18 @@ object StreamingDedup {
     * `outDir`; their fingerprints append to `storeDir`. The store read
     * happens INSIDE foreachBatch so each batch sees all fingerprints
     * committed by earlier batches.
+    *
+    * Delivery contract (at-least-once, duplicates bounded to ONE
+    * batch): `outDir` commits BEFORE `storeDir`. If the job dies
+    * between the two writes, the replayed batch anti-joins against a
+    * store missing its own fingerprints and re-emits those rows — a
+    * duplicate window of at most one micro-batch, downstream's job to
+    * absorb (idempotent keys). The order is deliberate: reversing it
+    * (store first) turns the same crash into silent DATA LOSS — the
+    * replay would see its fingerprints already present and emit
+    * nothing for rows that never reached `outDir`. Exactly-once here
+    * would need a transactional sink (e.g. a Delta MERGE) spanning
+    * both writes.
     */
   def dedupAgainstStore(
       docs: DataFrame, idCol: String, textCol: String,
@@ -80,9 +92,20 @@ object StreamingDedup {
 
   /** The fingerprint store, empty-safe before first append. */
   def existingStore(spark: SparkSession, storeDir: String): DataFrame =
-    if (new java.io.File(storeDir).exists())
+    if (pathExists(spark, storeDir))
       spark.read.parquet(storeDir)
     else emptyDf(spark, "fp string")
+
+  /** Existence probe through the Hadoop `FileSystem` resolved from the
+    * path's own scheme + the session conf — NOT `java.io.File`, which
+    * only understands bare local paths: on `hdfs://`, `s3a://` or even
+    * a `file:` URI it answers "absent", silently disabling cross-batch
+    * dedup in exactly the distributed deployments the store targets.
+    */
+  private def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   // ---------------------------------------------------------------
   // Tier 3: streaming NEAR-dup dedup via a SimHash signature store.
@@ -142,12 +165,19 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val store =
-          if (new java.io.File(storeDir).exists()) spark.read.parquet(storeDir)
-          else emptyDf(spark, "band int, bsig string, s1 bigint, s2 bigint")
+          if (pathExists(spark, storeDir)) spark.read.parquet(storeDir)
+          else emptyDf(spark, "bsig string, s1 bigint, s2 bigint, band int")
         val fresh = nearDupBatch(batch, store, idCol, textCol, maxHamming).persist()
         try {
+          // out before store: same at-least-once duplicate-window
+          // contract as dedupAgainstStore (see its scaladoc)
           fresh.select(idCol).distinct().write.mode(SaveMode.Append).parquet(outDir)
-          fresh.select("band", "bsig", "s1", "s2").write
+          // band-partitioned layout: the probe join keys on (band,
+          // bsig), so directory-partitioning the store by band lets
+          // any banded read plan prune to matching band files and
+          // keeps per-band files compactable independently
+          fresh.select("bsig", "s1", "s2", "band").write
+            .partitionBy("band")
             .mode(SaveMode.Append).parquet(storeDir)
         } finally fresh.unpersist(blocking = false)
       }

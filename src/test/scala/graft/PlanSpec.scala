@@ -74,9 +74,11 @@ class PlanSpec extends SparkSpec {
       s"HOF lambda (CodegenFallback) must not be on the pair-verify path:\n$p")
   }
 
-  test("X3: IVF corpus-cell assignment is a partial+final max_by agg, not a window sort") {
+  test("X3: IVF corpus-cell assignment is a partial+final min_by agg, not a window sort") {
     val p = plan(SparkEntry.queries("q_ann_ivf")(spark, sf))
-    assert(p.contains("max_by"), s"expected max_by argmax assignment:\n$p")
+    // min_by over struct(-distance, cent_id): argmax on distance with an
+    // ascending id tiebreak that works for any orderable id type
+    assert(p.contains("min_by"), s"expected min_by argmax assignment:\n$p")
     // exactly one Window remains: the query-side keep=nProbe ranking
     // and the final per-query top-k (the |corpus|*nlist side must not
     // sort); centroid selection is a TakeOrdered, not a global sort
