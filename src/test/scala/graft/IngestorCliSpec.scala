@@ -34,4 +34,14 @@ class IngestorCliSpec extends AnyFunSuite {
     assert(a.cfg.jdbcUrl === "jdbc:clickhouse://ch.prod:8123/db")
     assert(a.sink === "parquet:/tmp/x")
   }
+
+  test("S2: KAFKA_FORCE_LOCAL=1 rewrites broker hosts to 127.0.0.1, keeping ports (cdc.go:19-34)") {
+    val cfg = graft.pipeline.IngestConfig(
+      host = "ch", brokers = Seq("redpanda.redpanda.svc.cluster.local:9093", "b2:9092", "noport"))
+    assert(cfg.effectiveBrokers(Map("KAFKA_FORCE_LOCAL" -> "1")) ===
+      Seq("127.0.0.1:9093", "127.0.0.1:9092", "127.0.0.1"))
+    // unset or any other value → brokers untouched
+    assert(cfg.effectiveBrokers(Map.empty) === cfg.brokers)
+    assert(cfg.effectiveBrokers(Map("KAFKA_FORCE_LOCAL" -> "0")) === cfg.brokers)
+  }
 }
