@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.TextFns
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 
@@ -21,19 +21,48 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
   *
   * 2. [[dedupAgainstStore]] — `foreachBatch` anti-join against a
   *    persistent parquet fingerprint store, for duplicates arriving
-  *    ARBITRARILY far apart. Per batch: new docs are anti-joined
-  *    against the store on the md5 content fingerprint (X4's
-  *    fingerprint — order/multiplicity-insensitive token bag), batch-
-  *    internal dups collapse to a deterministic winner, survivors'
-  *    fingerprints append to the store. The store is fingerprints
-  *    ONLY (16-byte hex per document, not content) — at 10B documents
-  *    that is ~500 GB of parquet, scan-pruned by the anti-join's
-  *    broadcast/DPP at batch sizes ≪ store size; compact/bucket it by
-  *    fingerprint prefix when batches grow. At-least-once safe: a
-  *    replayed batch anti-joins against fingerprints it already wrote
-  *    and emits nothing.
+  *    ARBITRARILY far apart.
+  *
+  * == Store layout (v2): probe O(batch), not O(corpus) ==
+  *
+  * Both persistent stores live under `<storeDir>/v2` and are
+  * DIRECTORY-PARTITIONED so a micro-batch's probe reads only the
+  * partitions its own keys can possibly land in:
+  *
+  *  - the exact-fingerprint store is partitioned by `pfx` =
+  *    `substring(fp, 1, 2)` — 256 hex-prefix directories. md5 is
+  *    uniform, so each directory holds ~1/256 of the corpus; at the
+  *    10 B-doc / ~500 GB sizing that is ~2 GB per partition.
+  *  - the SimHash signature store is partitioned by `(band, bpfx)` —
+  *    8 Hamming-LSH bands × 16 four-bit signature prefixes = 128
+  *    directories.
+  *
+  * Each batch collects its DISTINCT partition keys (bounded by 256
+  * resp. 128 values — a constant-size driver collect, independent of
+  * both batch and corpus size) and pushes them as a partition filter
+  * into the store scan, so the probe's `inputFiles` is the matching
+  * subset of store files, not the whole store. Without the filter,
+  * every micro-batch degenerated to a full-store shuffle join — at
+  * 500 GB of fingerprints that is the difference between a probe that
+  * reads ≤ (distinct prefixes in batch) × 2 GB and one that rescans
+  * half a terabyte per batch. Per-partition files also stay
+  * independently compactable.
+  *
+  * Pre-v2 layouts (flat files under `storeDir`, or the interim
+  * `band=N` partitioning without the version directory) are migrated
+  * in place on the first batch: legacy files are read, re-written
+  * into the v2 layout, and deleted — so an existing checkpointed
+  * stream upgrades cleanly instead of hitting Spark's "conflicting
+  * directory structures" error on a mixed listing.
   */
 object StreamingDedup {
+
+  /** Layout version directory: partitioned stores live here, keeping
+    * them disjoint from any legacy flat files still in `storeDir`.
+    */
+  private val V2 = "v2"
+
+  private def v2Path(storeDir: String): String = s"$storeDir/$V2"
 
   /** Tier 1: exact in-stream dedup, state bounded by the watermark. */
   def dedupWithinStream(
@@ -46,20 +75,26 @@ object StreamingDedup {
       .drop("__fp")
 
   /** One micro-batch of tier 2: returns the batch rows that are new
-    * w.r.t. `store` AND first-within-batch (min `idCol` wins,
-    * X1's deterministic-winner rule). Pure batch logic — unit-testable
-    * without a stream.
+    * w.r.t. `store` (any DataFrame with an `fp` column) AND
+    * first-within-batch (min `idCol` wins, X1's deterministic-winner
+    * rule). Pure batch logic — unit-testable without a stream.
     */
-  def dedupBatch(batch: DataFrame, store: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = batch.withColumn("__fp", TextFns.fingerprint(col(textCol)))
-    val newDocs = fp.join(store, fp("__fp") === store("fp"), "left_anti")
+  def dedupBatch(batch: DataFrame, store: DataFrame, idCol: String, textCol: String): DataFrame =
+    dedupFingerprinted(
+      batch.withColumn("__fp", TextFns.fingerprint(col(textCol))), store, idCol)
+
+  private def dedupFingerprinted(fp: DataFrame, store: DataFrame, idCol: String): DataFrame = {
+    val fps = store.select(col("fp"))
+    val newDocs = fp.join(fps, fp("__fp") === fps("fp"), "left_anti")
     graft.operators.Dedup.exact(newDocs, Seq("__fp"), col(idCol))
   }
 
   /** Tier 2: the full streaming sink. Deduplicated rows append to
-    * `outDir`; their fingerprints append to `storeDir`. The store read
-    * happens INSIDE foreachBatch so each batch sees all fingerprints
-    * committed by earlier batches.
+    * `outDir`; their fingerprints append to the prefix-partitioned
+    * store under `storeDir`. The store read happens INSIDE
+    * foreachBatch so each batch sees all fingerprints committed by
+    * earlier batches, and is pruned to the batch's own fingerprint
+    * prefixes (≤256 partition values — see the object scaladoc).
     *
     * Delivery contract (at-least-once, duplicates bounded to ONE
     * batch): `outDir` commits BEFORE `storeDir`. If the job dies
@@ -81,20 +116,76 @@ object StreamingDedup {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val store = existingStore(spark, storeDir)
-        val fresh = dedupBatch(batch, store, idCol, textCol)
-          .persist() // two actions below; tiny (one batch's survivors)
+        migrateFpStore(spark, storeDir)
+        val fp = batch.withColumn("__fp", TextFns.fingerprint(col(textCol)))
+          .persist() // prefix collect + anti-join both consume it; one batch, tiny
         try {
-          fresh.drop("__fp").write.mode(SaveMode.Append).parquet(outDir)
-          fresh.select(col("__fp").as("fp")).write.mode(SaveMode.Append).parquet(storeDir)
-        } finally fresh.unpersist(blocking = false)
+          // bounded driver collect: ≤256 two-hex-char prefixes,
+          // independent of batch and corpus size
+          val prefixes = fp.select(substring(col("__fp"), 1, 2).as("pfx"))
+            .distinct().collect().map(_.getString(0)).toSeq
+          val store = prunedFpStore(spark, storeDir, prefixes)
+          val fresh = dedupFingerprinted(fp, store, idCol)
+            .persist() // two actions below; tiny (one batch's survivors)
+          try {
+            fresh.drop("__fp").write.mode(SaveMode.Append).parquet(outDir)
+            fresh.select(col("__fp").as("fp"), substring(col("__fp"), 1, 2).as("pfx"))
+              .write.partitionBy("pfx").mode(SaveMode.Append).parquet(v2Path(storeDir))
+          } finally fresh.unpersist(blocking = false)
+        } finally fp.unpersist(blocking = false)
       }
 
-  /** The fingerprint store, empty-safe before first append. */
-  def existingStore(spark: SparkSession, storeDir: String): DataFrame =
-    if (pathExists(spark, storeDir))
-      spark.read.parquet(storeDir)
+  /** The fingerprint store scan PRUNED to the given prefixes: the
+    * `pfx` predicate is a partition filter, so `.inputFiles` of the
+    * returned frame lists only files under matching `pfx=XX`
+    * directories (asserted by StreamingSpec). Empty-safe before the
+    * first append.
+    */
+  def prunedFpStore(spark: SparkSession, storeDir: String, prefixes: Seq[String]): DataFrame = {
+    val p = v2Path(storeDir)
+    if (pathExists(spark, p))
+      // explicit schema: hex prefixes like "47" must stay STRING —
+      // partition-type inference would read them as INT and both
+      // defeat pruning and blow up on non-numeric values like "4e"
+      spark.read.schema(FpStoreSchema).parquet(p)
+        .where(col("pfx").isin(prefixes: _*)).select("fp")
     else emptyDf(spark, "fp string")
+  }
+
+  /** v2 fingerprint-store schema incl. the `pfx` partition column. */
+  val FpStoreSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL("fp string, pfx string")
+
+  /** v2 signature-store schema incl. (band, bpfx) partition columns. */
+  val SigStoreSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "bsig string, s1 bigint, s2 bigint, band int, bpfx string")
+
+  /** The full fingerprint store (no pruning) — compaction / audit
+    * reads, and pre-v2 compatibility for callers that held a flat
+    * store path.
+    */
+  def existingStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val p = v2Path(storeDir)
+    if (pathExists(spark, p)) spark.read.schema(FpStoreSchema).parquet(p).select("fp")
+    else if (pathExists(spark, storeDir)) spark.read.parquet(storeDir).select("fp")
+    else emptyDf(spark, "fp string")
+  }
+
+  /** One-time in-place migration of a pre-v2 flat fingerprint store
+    * (parquet files directly under `storeDir`, schema `fp string`)
+    * into the prefix-partitioned v2 layout. Idempotent; no-op when
+    * only v2 (or nothing) exists.
+    */
+  def migrateFpStore(spark: SparkSession, storeDir: String): Unit = {
+    val legacy = legacyFiles(spark, storeDir)
+    if (legacy.nonEmpty) {
+      spark.read.parquet(legacy: _*)
+        .select(col("fp"), substring(col("fp"), 1, 2).as("pfx"))
+        .write.partitionBy("pfx").mode(SaveMode.Append).parquet(v2Path(storeDir))
+      deletePaths(spark, legacy)
+    }
+  }
 
   /** Existence probe through the Hadoop `FileSystem` resolved from the
     * path's own scheme + the session conf — NOT `java.io.File`, which
@@ -107,9 +198,39 @@ object StreamingDedup {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Top-level entries of `storeDir` that belong to a pre-v2 layout:
+    * data files (flat stores) and partition directories like `band=N`
+    * (the interim tier-3 layout) — everything except the `v2` dir and
+    * commit markers.
+    */
+  private def legacyFiles(spark: SparkSession, storeDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n == V2 || n.startsWith("_") || n.startsWith(".")
+      }
+      .map(_.getPath.toString)
+  }
+
+  private def deletePaths(spark: SparkSession, paths: Seq[String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    paths.foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
   // ---------------------------------------------------------------
   // Tier 3: streaming NEAR-dup dedup via a SimHash signature store.
   // ---------------------------------------------------------------
+
+  /** Four-bit signature prefix used as the second partition column of
+    * the signature store: 16 values per band → 8×16 = 128 directories.
+    */
+  private def bpfxOf(bsig: Column): Column = substring(bsig, 1, 4)
 
   /** One micro-batch of near-dup dedup: compute 64-bit SimHash
     * signatures for the batch, band-join (8×8 Hamming LSH — the same
@@ -117,18 +238,29 @@ object StreamingDedup {
     * verify candidates with codegen `bit_count(xor)`, and drop batch
     * docs within `maxHamming` of ANY stored doc. Batch-internal
     * near-dups collapse through the batch form of simhashNearDup
-    * (min-id winner). Returns the surviving (id, s1, s2, band sigs)
-    * rows — content dedup state is ~48 bytes/doc, so a 10B-doc corpus
-    * is a ~500 GB store, band-partitionable on disk so each batch
-    * probes only matching band files.
+    * (min-id winner). Returns the surviving (id, s1, s2, band, bsig)
+    * rows — content dedup state is ~48 bytes/doc, so a 10 B-doc corpus
+    * is a ~500 GB store; the (band, bpfx) partitioning keeps each
+    * batch's probe to the matching 1/128 slices (see object scaladoc).
     */
   def nearDupBatch(
       batch: DataFrame, store: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    import graft.operators.Dedup
-    val sig = Dedup.simhash(batch, idCol, col(textCol))
+      maxHamming: Int): DataFrame =
+    nearDupSigned(batch, signatures(batch, idCol, textCol), store, idCol,
+      textCol, maxHamming)
+
+  /** SimHash signatures of a batch split into the two 32-bit halves
+    * the Hamming verify needs: (idCol, simhash, s1, s2).
+    */
+  def signatures(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Dedup.simhash(batch, idCol, col(textCol))
       .withColumn("s1", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
       .withColumn("s2", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
+
+  private def nearDupSigned(
+      batch: DataFrame, sig: DataFrame, store: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int): DataFrame = {
+    import graft.operators.Dedup
     val bandArr = array((0 until 8).map(b =>
       substring(col("simhash"), b * 8 + 1, 8)): _*)
     val bands = sig.select(col(idCol), col("s1"), col("s2"),
@@ -154,7 +286,11 @@ object StreamingDedup {
   }
 
   /** Tier 3 sink: near-dup-deduplicated ids append to `outDir`; the
-    * survivors' banded signatures append to the signature store.
+    * survivors' banded signatures append to the (band, bpfx)-
+    * partitioned signature store. Same out-before-store at-least-once
+    * contract as [[dedupAgainstStore]]. Each batch's probe reads only
+    * the store partitions matching the batch's own ≤128 distinct
+    * (band, bpfx) pairs.
     */
   def nearDupAgainstStore(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int,
@@ -164,23 +300,78 @@ object StreamingDedup {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val store =
-          if (pathExists(spark, storeDir)) spark.read.parquet(storeDir)
-          else emptyDf(spark, "bsig string, s1 bigint, s2 bigint, band int")
-        val fresh = nearDupBatch(batch, store, idCol, textCol, maxHamming).persist()
+        migrateSigStore(spark, storeDir)
+        val b = batch.persist() // signature pass + inner-pair verify reuse it
         try {
-          // out before store: same at-least-once duplicate-window
-          // contract as dedupAgainstStore (see its scaladoc)
-          fresh.select(idCol).distinct().write.mode(SaveMode.Append).parquet(outDir)
-          // band-partitioned layout: the probe join keys on (band,
-          // bsig), so directory-partitioning the store by band lets
-          // any banded read plan prune to matching band files and
-          // keeps per-band files compactable independently
-          fresh.select("bsig", "s1", "s2", "band").write
-            .partitionBy("band")
-            .mode(SaveMode.Append).parquet(storeDir)
-        } finally fresh.unpersist(blocking = false)
+          val sig = signatures(b, idCol, textCol)
+            .persist() // band-key collect + probe join both consume it
+          // bounded driver collect: ≤128 (band, 4-bit-prefix) pairs
+          val bandKeys = sig
+            .select(posexplode(array((0 until 8).map(i =>
+              substring(col("simhash"), i * 8 + 1, 4)): _*)).as(Seq("band", "bpfx")))
+            .distinct().collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+          val store = prunedSigStore(spark, storeDir, bandKeys)
+          val fresh = nearDupSigned(b, sig, store, idCol, textCol, maxHamming).persist()
+          try {
+            // out before store: same at-least-once duplicate-window
+            // contract as dedupAgainstStore (see its scaladoc)
+            fresh.select(idCol).distinct().write.mode(SaveMode.Append).parquet(outDir)
+            fresh.select(col("bsig"), col("s1"), col("s2"), col("band"),
+                bpfxOf(col("bsig")).as("bpfx"))
+              .write.partitionBy("band", "bpfx")
+              .mode(SaveMode.Append).parquet(v2Path(storeDir))
+          } finally {
+            fresh.unpersist(blocking = false)
+            sig.unpersist(blocking = false)
+          }
+        } finally b.unpersist(blocking = false)
       }
+
+  /** The signature store scan PRUNED to the given (band, bpfx) pairs —
+    * both are partition columns, so the disjunction is a pure
+    * partition filter and `.inputFiles` lists only matching
+    * `band=N/bpfx=XXXX` directories. Empty-safe before first append.
+    */
+  def prunedSigStore(
+      spark: SparkSession, storeDir: String,
+      bandKeys: Seq[(Int, String)]): DataFrame = {
+    val p = v2Path(storeDir)
+    if (pathExists(spark, p) && bandKeys.nonEmpty) {
+      val pred = bandKeys.map { case (b, pf) =>
+        col("band") === lit(b) && col("bpfx") === lit(pf)
+      }.reduce(_ || _)
+      // explicit schema for the same partition-type-inference reason
+      // as prunedFpStore: bpfx values like "0011" must stay STRING
+      spark.read.schema(SigStoreSchema).parquet(p)
+        .where(pred).select("bsig", "s1", "s2", "band")
+    } else emptyDf(spark, "bsig string, s1 bigint, s2 bigint, band int")
+  }
+
+  /** One-time migration of pre-v2 signature-store layouts into v2:
+    * handles both the flat layout (band as a data column) and the
+    * interim `partitionBy("band")` layout written directly under
+    * `storeDir`. Idempotent.
+    */
+  def migrateSigStore(spark: SparkSession, storeDir: String): Unit = {
+    val legacy = legacyFiles(spark, storeDir)
+    if (legacy.nonEmpty) {
+      val (bandDirs, flat) = legacy.partition(_.matches(".*/band=\\d+$"))
+      val parts = Seq(
+        if (flat.nonEmpty) Some(spark.read.parquet(flat: _*)
+          .select("bsig", "s1", "s2", "band")) else None,
+        if (bandDirs.nonEmpty) Some(
+          spark.read.option("basePath", storeDir)
+            .schema("bsig string, s1 bigint, s2 bigint, band int")
+            .parquet(bandDirs: _*)
+            .select("bsig", "s1", "s2", "band")) else None
+      ).flatten
+      parts.reduce(_ unionByName _)
+        .withColumn("bpfx", bpfxOf(col("bsig")))
+        .write.partitionBy("band", "bpfx")
+        .mode(SaveMode.Append).parquet(v2Path(storeDir))
+      deletePaths(spark, legacy)
+    }
+  }
 
   private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(

@@ -16,6 +16,24 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
+  /** Parquet files actually READ by `df` (post-partition-pruning):
+    * the FileSourceScan numFiles metric after execution.
+    * `df.inputFiles` can't assert pruning — it lists the relation's
+    * unpruned FileIndex; pruning happens during physical planning.
+    */
+  private def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+  }
+
   test("ST5: tumbling windowed counts with watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
@@ -165,8 +183,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val out = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
     assert(out === Set(1L, 2L, 3L), s"store must drop the cross-batch dup, got $out")
-    val fps = spark.read.parquet(s"$dir/store").as[String].collect()
+    val fps = StreamingDedup.existingStore(spark, s"$dir/store").as[String].collect()
     assert(fps.length === 3 && fps.distinct.length === 3)
+
+    // O(batch) probe contract: a probe for a SINGLE prefix must READ a
+    // strict subset of the store's files (partition pruning on pfx=XX)
+    val allScanned = filesScanned(
+      spark.read.schema(StreamingDedup.FpStoreSchema).parquet(s"$dir/store/v2"))
+    val prefixes = StreamingDedup.existingStore(spark, s"$dir/store")
+      .select(substring(col("fp"), 1, 2)).distinct().as[String].collect()
+    assert(prefixes.length > 1, "fixture must span >1 fingerprint prefix")
+    val probeScanned = filesScanned(
+      StreamingDedup.prunedFpStore(spark, s"$dir/store", Seq(prefixes.head)))
+    assert(probeScanned > 0 && probeScanned < allScanned,
+      s"probe must prune: read $probeScanned of $allScanned store files")
+  }
+
+  test("X1-streaming: pre-v2 flat fingerprint store migrates in place") {
+    val dir = Files.createTempDirectory("graft-sdedup-mig").toString
+    val store = s"$dir/store"
+    // legacy layout: flat parquet of fps directly under storeDir
+    Seq("00aa", "ffbb", "7c1d").toDF("fp").write.parquet(store)
+    StreamingDedup.migrateFpStore(spark, store)
+    val fps = StreamingDedup.existingStore(spark, store).as[String].collect().toSet
+    assert(fps === Set("00aa", "ffbb", "7c1d"))
+    // no flat data files remain at the top level → re-migration no-ops
+    // and a recursive read can't hit conflicting directory structures
+    val top = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(top.filter(n => !n.startsWith("_") && !n.startsWith(".")) === Set("v2"))
+    StreamingDedup.migrateFpStore(spark, store) // idempotent
+    assert(StreamingDedup.existingStore(spark, store).count() === 3)
+    // pruning honours the partition layout
+    val pruned = StreamingDedup.prunedFpStore(spark, store, Seq("00")).as[String].collect()
+    assert(pruned.toSet === Set("00aa"))
   }
 
   test("X2-streaming: cross-batch NEAR-dup dedup against the SimHash signature store") {
@@ -193,6 +242,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val out = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
     assert(out === Set(1L, 2L, 20L, 22L), s"got $out")
+
+    // O(batch) probe contract for the signature store: one (band,
+    // bpfx) pair must READ a strict subset of band=N/bpfx=XXXX files
+    val sigStore = spark.read.schema(StreamingDedup.SigStoreSchema)
+      .parquet(s"$dir/store/v2")
+    val allScanned = filesScanned(sigStore)
+    val keys = sigStore.select(col("band"), col("bpfx")).distinct()
+      .as[(Int, String)].collect()
+    assert(keys.length > 1, "fixture must span >1 (band, bpfx) partition")
+    val probeScanned = filesScanned(
+      StreamingDedup.prunedSigStore(spark, s"$dir/store", Seq(keys.head)))
+    assert(probeScanned > 0 && probeScanned < allScanned,
+      s"sig probe must prune: read $probeScanned of $allScanned store files")
+  }
+
+  test("X2-streaming: interim band-partitioned signature store migrates to v2") {
+    val dir = Files.createTempDirectory("graft-sneardup-mig").toString
+    val store = s"$dir/store"
+    // interim r4 layout: partitionBy("band") directly under storeDir
+    Seq(("00110011", 5L, 9L, 0), ("11001100", 7L, 3L, 1))
+      .toDF("bsig", "s1", "s2", "band")
+      .write.partitionBy("band").parquet(store)
+    StreamingDedup.migrateSigStore(spark, store)
+    val rows = spark.read.schema(StreamingDedup.SigStoreSchema).parquet(s"$store/v2")
+      .select("bsig", "s1", "s2", "band").as[(String, Long, Long, Int)]
+      .collect().toSet
+    assert(rows === Set(("00110011", 5L, 9L, 0), ("11001100", 7L, 3L, 1)))
+    val top = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(top.filter(n => !n.startsWith("_") && !n.startsWith(".")) === Set("v2"))
+    StreamingDedup.migrateSigStore(spark, store) // idempotent
+    assert(spark.read.schema(StreamingDedup.SigStoreSchema)
+      .parquet(s"$store/v2").count() === 2)
+    val pruned = StreamingDedup.prunedSigStore(spark, store, Seq((0, "0011")))
+      .select("bsig").as[String].collect()
+    assert(pruned.toSet === Set("00110011"))
   }
 
   test("S2→P1→S5 end-to-end: envelope JSON stream → translate → parquet sink") {
