@@ -13,15 +13,22 @@ import org.apache.spark.sql.functions._
   * INGESTION_DURATION, KAFKA_BROKERS, KAFKA_TOPIC, KAFKA_GROUP,
   * CLICKHOUSE_HOST/DATABASE/TABLE — cmd/root.go:62-97).
   *
-  * The sink is `--sink jdbc` (ClickHouse-over-JDBC, batched per
-  * micro-batch — replacing the reference's row-per-POST) or
-  * `--sink parquet:<dir>` for a database-free run. Metrics mirror the
-  * reference's four Prometheus quantities via IngestionMetrics,
-  * dumped at shutdown (ST9).
+  * Sinks: `--sink clickhouse[:<host[:port]>]` speaks the reference's
+  * native transport — ClickHouse HTTP JSONEachRow inserts, one POST
+  * per partition per micro-batch (clickhouse.go:26-70 semantics via
+  * [[ClickHouseHttp]]); `--sink jdbc` is ClickHouse-over-JDBC batched
+  * per micro-batch; `--sink parquet:<dir>` is a database-free run.
+  * Metrics mirror the reference's four Prometheus quantities via
+  * IngestionMetrics, dumped at shutdown (ST9). `--otlp [endpoint]`
+  * turns on real OTLP/HTTP span export per micro-batch, defaulting
+  * the endpoint from OTEL_EXPORTER_OTLP_ENDPOINT else localhost:4318
+  * — the reference runs both by default (cmd/root.go:99-148,
+  * internal/tracing/tracing.go:19-51).
   *
   * Usage:
   *   runMain graft.IngestorCli --mode synthetic --rate 1000 \
-  *     --duration 30 --sink parquet:/tmp/out --checkpoint /tmp/ckpt
+  *     --duration 30 --sink clickhouse:ch.example.com --otlp \
+  *     --checkpoint /tmp/ckpt
   */
 object IngestorCli {
 
@@ -32,7 +39,10 @@ object IngestorCli {
       cfg: IngestConfig = IngestConfig(),
       sink: String = "parquet:/tmp/graft-ingest",
       checkpoint: String = "/tmp/graft-ingest-ckpt",
-      master: String = "local[*]")
+      master: String = "local[*]",
+      // None = tracing off; Some("") = on with the exporter's env/
+      // localhost default; Some(ep) = on against ep
+      otlp: Option[String] = None)
 
   def parse(argv: Array[String]): Args = {
     // exact env-var names and defaults of the reference
@@ -73,10 +83,14 @@ object IngestorCli {
         case "--sink" => a = a.copy(sink = v)
         case "--checkpoint" => a = a.copy(checkpoint = v)
         case "--master" => a = a.copy(master = v)
+        case "--otlp" => // optional value: next token may be another flag
+          if (v.startsWith("--")) { a = a.copy(otlp = Some("")); i -= 1 }
+          else a = a.copy(otlp = Some(v))
         case _ => i -= 1 // unknown token: advance by one only
       }
       i += 2
     }
+    if (argv.lastOption.contains("--otlp")) a = a.copy(otlp = Some(""))
     a
   }
 
@@ -89,7 +103,22 @@ object IngestorCli {
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val metrics = new IngestionMetrics
+    try run(spark, a) finally spark.stop()
+  }
+
+  /** The whole ingest flow minus session lifecycle — the testable
+    * seam (specs drive it against stub HTTP servers on a shared
+    * session that must survive the run).
+    */
+  def run(spark: SparkSession, a: Args): Unit = {
+    // real OTLP/HTTP span export when --otlp is given (reference runs
+    // its otlptracehttp exporter unconditionally, tracing.go:19-51;
+    // here it is opt-in so a database-free local run needs no collector)
+    val otlpExporter = a.otlp.map {
+      case "" => new OtlpSpanExporter()
+      case ep => new OtlpSpanExporter(endpoint = ep)
+    }
+    val metrics = new IngestionMetrics(spanExporter = otlpExporter)
     spark.streams.addListener(metrics)
     // /metrics scrape surface (reference: metrics.go:40-57)
     val metricsServer =
@@ -114,16 +143,26 @@ object IngestorCli {
             concat(col("user_id"), lit("@example.com")).as("email"),
             lit(0).as("is_deleted"), lit(1).as("_op"))
       case "cdc" =>
+        // effectiveBrokers, not the raw list: honours the reference's
+        // KAFKA_FORCE_LOCAL=1 local-dev shim (cdc.go:19-34)
         CdcStreaming.translate(
-          CdcStreaming.kafkaSource(spark, a.cfg.brokerList, a.cfg.topic,
-            groupId = Some(a.cfg.groupId)))
+          CdcStreaming.kafkaSource(spark, a.cfg.effectiveBrokers().mkString(","),
+            a.cfg.topic, groupId = Some(a.cfg.groupId)))
       case other => sys.error(s"unknown mode: $other (synthetic|cdc)")
     }
 
     val writer =
       if (a.sink.startsWith("parquet:"))
         Sinks.parquetAppend(rows, a.checkpoint, a.sink.stripPrefix("parquet:"))
-      else
+      else if (a.sink == "clickhouse" || a.sink.startsWith("clickhouse:")) {
+        // the reference's native transport: HTTP JSONEachRow inserts.
+        // `--sink clickhouse` takes the host from --clickhouse-host /
+        // CLICKHOUSE_HOST; `--sink clickhouse:<host[:port]>` overrides.
+        val argHost = a.sink.stripPrefix("clickhouse").stripPrefix(":")
+        val host = if (argHost.isEmpty) a.cfg.host else argHost
+        ClickHouseHttp.append(rows, a.checkpoint,
+          ClickHouseHttp(host, a.cfg.database, a.cfg.table, a.cfg.user, a.cfg.password))
+      } else
         Sinks.jdbcAppend(rows, a.checkpoint, a.cfg.jdbcUrl, a.cfg.tableOrDefault,
           extraOptions = a.cfg.jdbcAuthOptions)
 
@@ -135,8 +174,11 @@ object IngestorCli {
     } else {
       query.awaitTermination()
     }
+    otlpExporter.foreach(_.flush(5000)) // drain the async span queue
     println(metrics.render())
+    if (a.sink == "clickhouse" || a.sink.startsWith("clickhouse:"))
+      println(ClickHouseHttp.render())
     metricsServer.foreach(_.stop())
-    spark.stop()
+    spark.streams.removeListener(metrics)
   }
 }

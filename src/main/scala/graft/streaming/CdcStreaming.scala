@@ -25,25 +25,42 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object CdcStreaming {
 
-  /** S2: Kafka Debezium source. `maxOffsetsPerTrigger` is the
-    * micro-batch analogue of the reference's MaxBytes fetch bound
-    * (cdc.go:41-42).
+  /** S2: the exact Kafka source option set, exposed so a spec can pin
+    * the contract without a broker (a silent regression in any of
+    * these changes delivery semantics):
+    *  - `startingOffsets=earliest`: first run consumes the topic from
+    *    the start, like the reference's fresh consumer group
+    *  - `maxOffsetsPerTrigger`: micro-batch analogue of the
+    *    reference's MaxBytes fetch bound (cdc.go:41-42)
+    *  - `failOnDataLoss=false`: expired/compacted offsets resume from
+    *    what remains instead of killing the stream — the reference's
+    *    consumer rejoins at the broker's earliest retained offset the
+    *    same way (cdc.go:25-55 never treats lost offsets as fatal)
+    *  - `kafka.group.id`: consumer-group identity (cdc.go:36-43);
+    *    Spark manages offsets itself via checkpoints, the group id is
+    *    for broker-side quota/monitoring attribution
     */
+  def kafkaSourceOptions(
+      brokers: String, topic: String,
+      maxOffsetsPerTrigger: Long = 10000L,
+      groupId: Option[String] = None): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "false",
+      "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString) ++
+      groupId.map("kafka.group.id" -> _)
+
+  /** S2: Kafka Debezium source. */
   def kafkaSource(
       spark: SparkSession, brokers: String, topic: String,
       maxOffsetsPerTrigger: Long = 10000L,
-      groupId: Option[String] = None): DataFrame = {
-    val base = spark.readStream
+      groupId: Option[String] = None): DataFrame =
+    spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
-    // consumer-group identity (reference: cdc.go:36-43); Spark manages
-    // offsets itself via checkpoints, the group id is for broker-side
-    // quota/monitoring attribution
-    groupId.fold(base)(g => base.option("kafka.group.id", g)).load()
-  }
+      .options(kafkaSourceOptions(brokers, topic, maxOffsetsPerTrigger, groupId))
+      .load()
 
   /** ST2: streaming translate — identical expressions as batch
     * (Debezium.translateRows works on a streaming df as-is). Input

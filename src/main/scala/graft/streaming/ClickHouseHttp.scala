@@ -61,6 +61,10 @@ final case class ClickHouseHttp(
     * on every attempt, errors counted then rethrown, non-200 → error.
     */
   override def apply(body: String): Unit = {
+    // [[Sinks.jsonEachRowPost]] never posts empty partitions, but a
+    // direct caller might: an empty body is zero rows, not one — skip
+    // the round-trip entirely rather than miscounting newline+1
+    if (body.isEmpty) return
     val b = HttpRequest.newBuilder(URI.create(endpoint))
       .timeout(Duration.ofMillis(requestTimeoutMs))
       .header("Content-Type", "application/json")
@@ -100,7 +104,13 @@ object ClickHouseHttp {
     .build()
 
   // the reference's three sink metrics (internal/metrics/metrics.go:11-38):
-  // clickhouse_insert_errors_total, rows_inserted, insert latency histogram
+  // clickhouse_insert_errors_total, rows_inserted, insert latency histogram.
+  // SCOPE: per-JVM statics incremented where the POST runs (executors).
+  // In local mode driver == executor, so [[render]] served from the
+  // driver's MetricsServer sees them; in a multi-executor deployment
+  // each executor's /metrics (or Spark's executor metric sink) must be
+  // scraped — the driver's copy stays zero. Cluster-wide aggregation
+  // would need LongAccumulators wired through a listener instead.
   val insertErrors = new AtomicLong(0L)
   val rowsInserted = new AtomicLong(0L)
   val postsTotal = new AtomicLong(0L)

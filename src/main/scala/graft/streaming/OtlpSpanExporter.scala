@@ -4,6 +4,7 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
 import java.time.{Duration, Instant}
+import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
 import java.util.concurrent.atomic.AtomicLong
 
 /** One ingest micro-batch in span form — the typed record behind both
@@ -35,18 +36,64 @@ final case class IngestSpan(
   * Export failures are counted and swallowed (`exportErrors`) — a
   * tracing outage must never take down ingestion, same stance as the
   * SDK's background batcher dropping on full queue.
+  *
+  * Export is ASYNCHRONOUS: [[apply]] is called from Spark's shared
+  * streaming listener-bus thread (IngestionMetrics.onQueryProgress),
+  * where a blocking POST against a slow or down collector would stall
+  * every listener in the session and make Spark drop listener events.
+  * Spans are handed to a single daemon worker through a bounded queue
+  * and DROPPED (counted in `droppedTotal`) when it is full — the same
+  * stance as otlptracehttp's `WithBatcher` background queue
+  * (tracing.go:39-44). [[flush]] drains the queue for orderly
+  * shutdown and deterministic tests.
   */
 final class OtlpSpanExporter(
     endpoint: String = sys.env.getOrElse("OTEL_EXPORTER_OTLP_ENDPOINT", "localhost:4318"),
     serviceName: String = "graft-engine",
-    requestTimeoutMs: Long = 10000) extends (IngestSpan => Unit) with Serializable {
+    requestTimeoutMs: Long = 10000,
+    queueCapacity: Int = 512) extends (IngestSpan => Unit) with Serializable {
 
   def url: String = s"http://$endpoint/v1/traces"
 
   val exportedTotal = new AtomicLong(0L)
   val exportErrors = new AtomicLong(0L)
+  val droppedTotal = new AtomicLong(0L)
 
-  override def apply(s: IngestSpan): Unit = {
+  /** Driver-side only (listener-bus producer, one worker consumer);
+    * transient so an accidental closure capture never ships threads.
+    */
+  @transient private lazy val worker: ThreadPoolExecutor = {
+    val ex = new ThreadPoolExecutor(
+      1, 1, 30, TimeUnit.SECONDS,
+      new LinkedBlockingQueue[Runnable](queueCapacity),
+      (r: Runnable) => {
+        val t = new Thread(r, "otlp-span-exporter")
+        t.setDaemon(true)
+        t
+      },
+      // full queue → drop the span, never block the listener bus
+      (_: Runnable, _: ThreadPoolExecutor) => droppedTotal.incrementAndGet(): Unit)
+    ex.allowCoreThreadTimeOut(true)
+    ex
+  }
+
+  /** Enqueue; never blocks, never throws. */
+  override def apply(s: IngestSpan): Unit =
+    worker.execute(() => post(s))
+
+  /** Wait until every enqueued span has been attempted (exported,
+    * errored, or dropped). Returns false on timeout.
+    */
+  def flush(timeoutMs: Long = 10000): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (worker.getQueue.size() > 0 || worker.getActiveCount > 0) {
+      if (System.nanoTime() > deadline) return false
+      Thread.sleep(10)
+    }
+    true
+  }
+
+  private def post(s: IngestSpan): Unit = {
     val body = OtlpSpanExporter.encode(serviceName, s)
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(requestTimeoutMs))

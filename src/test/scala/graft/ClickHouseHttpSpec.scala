@@ -107,6 +107,37 @@ class ClickHouseHttpSpec extends SparkSpec {
     }
   }
 
+  test("empty body is zero rows: no POST, no count (direct-caller guard)") {
+    ClickHouseHttp.resetMetrics()
+    withStub(200) { (port, reqs) =>
+      ClickHouseHttp(host = s"127.0.0.1:$port")("")
+      assert(reqs.isEmpty, "empty body must not POST")
+      assert(ClickHouseHttp.rowsInserted.get === 0L)
+      assert(ClickHouseHttp.postsTotal.get === 0L)
+    }
+  }
+
+  test("one pooled client per JVM under concurrent partition posts") {
+    ClickHouseHttp.resetMetrics()
+    withStub(200) { (port, reqs) =>
+      val sink = ClickHouseHttp(host = s"127.0.0.1:$port")
+      ClientIdentityCapture.ids.clear()
+      val df = spark.range(0, 64, 1, numPartitions = 8).selectExpr(
+        "id", "concat('n', id) as name", "concat('e', id) as email",
+        "cast(0 as int) as is_deleted", "cast(1 as int) as _op", "id as _lsn",
+        "timestamp'2024-01-02 03:04:05' as _ts")
+      Sinks.jsonEachRowPost(df, (body: String) => {
+        // record which client THIS task's JVM resolved, then POST
+        ClientIdentityCapture.ids.add(System.identityHashCode(ClickHouseHttp.client))
+        sink(body)
+      })
+      assert(reqs.size === 8, "one POST per partition")
+      assert(ClientIdentityCapture.ids.asScala.toSet.size === 1,
+        "all partitions must share the one per-JVM pooled client")
+      assert(ClickHouseHttp.rowsInserted.get === 64L)
+    }
+  }
+
   test("render() emits cumulative le buckets and the reference counter names") {
     ClickHouseHttp.resetMetrics()
     ClickHouseHttp.observe(7L * 1000 * 1000) // 7ms → le=0.01 bucket
@@ -118,4 +149,11 @@ class ClickHouseHttpSpec extends SparkSpec {
     assert(r.linesIterator.exists(_ == """clickhouse_insert_latency_seconds_bucket{le="+Inf"} 1"""))
     assert(r.linesIterator.exists(_ == "clickhouse_insert_latency_seconds_count 1"))
   }
+}
+
+/** Executor-side capture of which pooled client each partition saw
+  * (local mode: executors share the test JVM).
+  */
+object ClientIdentityCapture {
+  val ids = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
 }

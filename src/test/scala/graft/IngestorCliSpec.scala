@@ -1,12 +1,18 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
+import java.net.InetSocketAddress
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.streaming.ClickHouseHttp
+import scala.jdk.CollectionConverters._
 
 /** CLI flag/env parsing mirrors the reference's cobra surface
-  * (/root/reference/cmd/root.go:62-97). The end-to-end synthetic run
-  * is exercised via `runMain graft.IngestorCli` (see scaladoc).
+  * (/root/reference/cmd/root.go:62-97), plus the end-to-end synthetic
+  * run against stub ClickHouse + OTLP collectors — the reference's
+  * default deployment shape (cmd/root.go:99-148) without a database.
   */
-class IngestorCliSpec extends AnyFunSuite {
+class IngestorCliSpec extends SparkSpec {
 
   test("defaults match the reference (rate 5, duration 60, synthetic, reference topic/group)") {
     val a = IngestorCli.parse(Array.empty)
@@ -33,6 +39,75 @@ class IngestorCliSpec extends AnyFunSuite {
     assert(a.cfg.brokers === Seq("b1:9092", "b2:9092"))
     assert(a.cfg.jdbcUrl === "jdbc:clickhouse://ch.prod:8123/db")
     assert(a.sink === "parquet:/tmp/x")
+  }
+
+  test("--otlp is optional-valued and --sink clickhouse:<host> parses") {
+    val a = IngestorCli.parse(Array("--otlp", "col:4318", "--sink", "clickhouse:ch1:8123"))
+    assert(a.otlp === Some("col:4318"))
+    assert(a.sink === "clickhouse:ch1:8123")
+    // flag-only mid-args: next token is another flag
+    val b = IngestorCli.parse(Array("--otlp", "--rate", "9"))
+    assert(b.otlp === Some("") && b.rate === 9L)
+    // flag-only as the last token
+    val c = IngestorCli.parse(Array("--rate", "9", "--otlp"))
+    assert(c.otlp === Some(""))
+    // absent → tracing off
+    assert(IngestorCli.parse(Array.empty).otlp === None)
+  }
+
+  test("synthetic run end-to-end: rows POST to stub ClickHouse, spans to stub OTLP collector") {
+    val chBodies = new ConcurrentLinkedQueue[String]()
+    val ch = HttpServer.create(new InetSocketAddress(0), 0)
+    ch.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        chBodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    ch.start()
+    val otlpBodies = new ConcurrentLinkedQueue[String]()
+    val otlp = HttpServer.create(new InetSocketAddress(0), 0)
+    otlp.createContext("/v1/traces", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        otlpBodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    otlp.start()
+    try {
+      ClickHouseHttp.resetMetrics()
+      val dir = Files.createTempDirectory("graft-cli-e2e").toString
+      IngestorCli.run(spark, IngestorCli.Args(
+        mode = "synthetic", rate = 50L, durationS = 3L,
+        cfg = graft.pipeline.IngestConfig(metricsPort = 0),
+        sink = s"clickhouse:127.0.0.1:${ch.getAddress.getPort}",
+        checkpoint = s"$dir/ckpt",
+        otlp = Some(s"127.0.0.1:${otlp.getAddress.getPort}")))
+      // rows reached the ClickHouse endpoint as JSONEachRow inserts
+      val lines = chBodies.asScala.flatMap(_.split('\n')).toSeq
+      assert(lines.nonEmpty, "no JSONEachRow rows reached the stub")
+      assert(lines.head.contains("\"id\":") && lines.head.contains("\"_lsn\":"))
+      assert(ClickHouseHttp.rowsInserted.get === lines.size.toLong)
+      assert(ClickHouseHttp.insertErrors.get === 0L)
+      // at least one micro-batch span reached the collector
+      assert(otlpBodies.asScala.exists(_.contains("\"name\":\"ingest_batch\"")),
+        s"no ingest_batch span among ${otlpBodies.size} POSTs")
+    } finally { ch.stop(0); otlp.stop(0) }
+  }
+
+  test("S2 contract: kafka source options pin delivery semantics without a broker") {
+    val opts = graft.streaming.CdcStreaming.kafkaSourceOptions(
+      "b1:9092,b2:9092", "dbserver1.app.users", maxOffsetsPerTrigger = 5000L,
+      groupId = Some("wal-cdc-ingestor"))
+    assert(opts("kafka.bootstrap.servers") === "b1:9092,b2:9092")
+    assert(opts("subscribe") === "dbserver1.app.users")
+    assert(opts("startingOffsets") === "earliest")
+    assert(opts("failOnDataLoss") === "false")
+    assert(opts("maxOffsetsPerTrigger") === "5000")
+    assert(opts("kafka.group.id") === "wal-cdc-ingestor")
+    // no group → no group option, rest identical
+    val anon = graft.streaming.CdcStreaming.kafkaSourceOptions("b", "t")
+    assert(!anon.contains("kafka.group.id") && anon("maxOffsetsPerTrigger") === "10000")
   }
 
   test("S2: KAFKA_FORCE_LOCAL=1 rewrites broker hosts to 127.0.0.1, keeping ports (cdc.go:19-34)") {

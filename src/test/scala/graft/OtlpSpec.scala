@@ -56,6 +56,7 @@ class OtlpSpec extends SparkSpec {
     withCollector(200) { (port, bodies) =>
       val exp = new OtlpSpanExporter(endpoint = s"127.0.0.1:$port")
       exp(span)
+      assert(exp.flush(10000), "async export must drain")
       assert(exp.exportedTotal.get === 1L)
       assert(exp.exportErrors.get === 0L)
       assert(bodies.asScala.head.contains(""""name":"ingest_batch""""))
@@ -63,11 +64,38 @@ class OtlpSpec extends SparkSpec {
     withCollector(503) { (port, _) =>
       val exp = new OtlpSpanExporter(endpoint = s"127.0.0.1:$port")
       exp(span) // collector down → counted, swallowed
+      assert(exp.flush(10000))
       assert(exp.exportErrors.get === 1L)
     }
     val dead = new OtlpSpanExporter(endpoint = "127.0.0.1:1")
     dead(span)
+    assert(dead.flush(10000))
     assert(dead.exportErrors.get === 1L)
+  }
+
+  test("async exporter never blocks the caller: slow collector → bounded queue drops, apply returns fast") {
+    // collector that stalls 2s per request: a synchronous exporter
+    // would hold the listener-bus thread 2s per batch
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/v1/traces", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        Thread.sleep(2000)
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val exp = new OtlpSpanExporter(
+        endpoint = s"127.0.0.1:${server.getAddress.getPort}", queueCapacity = 2)
+      val t0 = System.nanoTime()
+      (1 to 10).foreach(i => exp(span.copy(batchId = i.toLong)))
+      val callerMs = (System.nanoTime() - t0) / 1000000L
+      assert(callerMs < 1000, s"apply must not block on the POST (took ${callerMs}ms)")
+      // 1 in flight + 2 queued; the other 7 dropped on the full queue
+      assert(exp.droppedTotal.get >= 1L, "full queue must drop, not block")
+      assert(exp.flush(30000))
+      assert(exp.exportedTotal.get + exp.exportErrors.get + exp.droppedTotal.get === 10L)
+    } finally server.stop(0)
   }
 
   test("IngestionMetrics with an OtlpSpanExporter ships one real span per micro-batch") {
