@@ -34,11 +34,19 @@ object Debezium {
     StructField("id", LongType), StructField("name", StringType),
     StructField("email", StringType)))
 
+  /** Pruned to the fields the pipeline CONSULTS, not the envelope's
+    * full wire shape: the reference defines source.{schema,table,
+    * ts_us} (internal/model/cdc.go:7-12) but never reads them in
+    * translate (cdc.go:100-143 touches only source.lsn and top-level
+    * ts_us/op/before/after). `from_json` skips unlisted JSON fields
+    * without materializing them, so the narrower schema makes the
+    * per-row JsonToStructs parse — the translate pipeline's dominant
+    * cost — do strictly less work.
+    */
   val envelopeSchema: StructType = StructType(Seq(
     StructField("before", userStruct), StructField("after", userStruct),
     StructField("source", StructType(Seq(
-      StructField("lsn", LongType), StructField("ts_us", LongType),
-      StructField("schema", StringType), StructField("table", StringType)))),
+      StructField("lsn", LongType)))),
     StructField("op", StringType), StructField("ts_us", LongType)))
 
   val keySchema: StructType = StructType(Seq(StructField("id", LongType)))
