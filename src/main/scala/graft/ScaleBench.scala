@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crossover measurement main: times the EXACT and LSH forms of the
+  * embedding near-dup and n-gram Jaccard paths at a base SF and at an
+  * N× derived corpus, emitting one JSON line (stdout, stderr,
+  * ./SCALE_OUT.json). This turns the formula-predicted LSH crossover
+  * claims (NorthStarQueries q_embed_neardup_lsh / q_ngram_jaccard
+  * scaladocs) into measured numbers for BASELINE.md.
+  *
+  * The derived corpus preserves each replica's INTERNAL similarity
+  * structure while decorrelating replicas — naive replication would
+  * hand every doc `factor-1` identical twins and measure a dup-soaked
+  * corpus no real pipeline sees:
+  *  - documents: replica k suffixes every token with "~k". Token
+  *    remapping is a bijection, so within-replica shingle sets,
+  *    Jaccard values, and shingle frequency spectra are EXACTLY the
+  *    original's; across replicas the shingle vocabularies are
+  *    disjoint (no cross-replica candidates).
+  *  - embeddings: replica k multiplies element-wise by a deterministic
+  *    Rademacher ±1 mask m_k. Masks cancel within a replica
+  *    ((m∘u)·(m∘v) = Σ m_i² u_i v_i = u·v), so norms and
+  *    within-replica cosines are EXACTLY the original's; across
+  *    replicas the sign pattern m_j∘m_k decorrelates even strongly
+  *    clustered vectors. (A circular shift was tried first and does
+  *    NOT decorrelate this corpus — the synthetic vectors are
+  *    autocorrelated, shifted replicas stayed cosine-similar, and the
+  *    measurement degenerated into a dup-soaked corpus with 12× the
+  *    expected true pairs.)
+  * So the true-positive pair count scales exactly linearly (factor ×
+  * base) by construction, and the interesting quantity — how
+  * candidate/verify work grows — is isolated.
+  *
+  * Usage: runMain graft.ScaleBench [baseDir] [factor]
+  * Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE_PASSES
+  * (default 1 — the exact paths at 10× run minutes; min-of-N is
+  * available when the host is noisy).
+  */
+object ScaleBench {
+
+  def deriveDocuments(docs: DataFrame, factor: Int): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    (0 until factor).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * maxId)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$k")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Deterministic ±1 mask for replica k: bit i of an xorshift-mixed
+    * word seeded by (k, i). No randomness source — same mask every run.
+    */
+  private def mask(k: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      var x = k.toLong * 2654435761L + i.toLong * 0x9E3779B97F4A7C15L + 1L
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      if ((x & 1L) == 0L) 1.0f else -1.0f
+    }
+
+  def deriveEmbeddings(emb: DataFrame, factor: Int, dim: Int): DataFrame = {
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    (0 until factor).map { k =>
+      val m = mask(k, dim)
+      val masked =
+        if (k == 0) col("embedding")
+        else zip_with(col("embedding"),
+          array(m.map(v => lit(v)): _*),
+          (a, b) => a * b)
+      emb.select(
+        (col("vec_id") + lit(k * maxId)).as("vec_id"),
+        masked.as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Derive-and-cache the factor× corpus under java.io.tmpdir. */
+  def scaledDir(spark: SparkSession, baseDir: String, factor: Int): String = {
+    // v2 = Rademacher-mask embedding derivation (see scaladoc)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-scale${factor}x-v2-" +
+      Paths.get(baseDir).getFileName.toString
+    if (!Files.isDirectory(Paths.get(s"$out/documents.parquet"))) {
+      deriveDocuments(Tables.table(spark, baseDir, "documents"), factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      deriveEmbeddings(Tables.table(spark, baseDir, "embeddings"), factor, dim = 64)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "1").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bigDir = scaledDir(spark, baseDir, factor)
+
+    // the four measured paths, identical parameters to the registered
+    // queries (q_embed_neardup / q_embed_neardup_lsh / exact
+    // Dedup.ngramJaccard / q_ngram_jaccard's MinHash-LSH form)
+    def paths(dir: String): Seq[(String, () => Long)] = Seq(
+      "embed_exact" -> (() => Similarity.nearDupPairs(
+        Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+        minCos = 0.45).count()),
+      "embed_lsh" -> (() => Similarity.lshNearDupPairs(
+        Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+        minCos = 0.45, planes = 8, dim = 64, tables = 8).count()),
+      // the scale dial: planes must grow with |D| (2^planes ≳ |D|)
+      // or clustered corpora pile into shared buckets and candidate
+      // mass degenerates toward Σ(cluster size)² per table. 12 planes
+      // × 16 tables keeps true-near-dup (cos≥0.9) recall ≈ 0.93 of
+      // the 8×8 config while cutting candidate mass 8×.
+      "embed_lsh12" -> (() => Similarity.lshNearDupPairs(
+        Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+        minCos = 0.45, planes = 12, dim = 64, tables = 16).count()),
+      "ngram_exact" -> (() => Dedup.ngramJaccard(
+        Tables.table(spark, dir, "documents"), "doc_id", col("text"),
+        k = 2, minJ = 0.5).count()),
+      "ngram_lsh" -> (() => Dedup.minhashNearDup(
+        Tables.table(spark, dir, "documents"), "doc_id", col("text"),
+        k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5).count()))
+
+    // warmup at the small base: codegen/JIT compile per plan shape
+    paths(baseDir).foreach { case (_, run) => run() }
+    spark.catalog.clearCache()
+
+    def measure(dir: String): Seq[(String, Double, Long)] =
+      paths(dir).map { case (name, run) =>
+        var rows = 0L
+        val best = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          rows = run()
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        System.err.println(f"[scale] $dir $name: $best%.2fs, $rows pairs")
+        (name, best, rows)
+      }
+
+    val baseRes = measure(baseDir)
+    val bigRes = measure(bigDir)
+
+    def block(res: Seq[(String, Double, Long)]): String =
+      res.map { case (n, s, c) => s""""${n}_s":$s,"${n}_pairs":$c""" }.mkString(",")
+    val line =
+      s"""{"metric":"lsh_crossover","factor":$factor,"passes":$passes,""" +
+        s""""base":{${block(baseRes)}},"scaled":{${block(bigRes)}},""" +
+        s""""base_dir":"$baseDir","scaled_dir":"$bigDir"}"""
+    println(line)
+    System.err.println(line)
+    Files.writeString(Paths.get("SCALE_OUT.json"), line + "\n")
+    spark.stop()
+  }
+}

