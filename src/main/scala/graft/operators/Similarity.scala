@@ -85,6 +85,14 @@ object Similarity {
     * 1-(1-(1-θ/π)^planes)^tables — high for true near-dups, a
     * documented dial near the threshold (the same candidates-then-
     * verify contract as the MinHash text path).
+    *
+    * Sizing `planes`: 2^planes must grow with |D| — on clustered
+    * corpora same-cluster members share sign patterns, so at fixed
+    * planes the per-bucket pair work degenerates toward
+    * Σ(cluster∩cell)² as the corpus grows (measured at a 10× corpus:
+    * see BASELINE.md's crossover table). Trade recall back with more
+    * tables (e.g. 8×8 → 12×16 keeps ~0.93 of the recall at ~8× fewer
+    * candidates).
     */
   def lshNearDupPairs(
       df: DataFrame, id: String, vec: String,

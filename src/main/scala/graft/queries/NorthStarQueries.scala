@@ -90,15 +90,26 @@ object NorthStarQueries {
     // from 8 OR-amplified tables of 8 literal hyperplanes, exact
     // cosine verify; the 100 TB substitute for the all-pairs
     // q_embed_neardup. 8 planes = 256 buckets/table -> candidate mass
-    // ~ T*|D|^2/2^P = |D|^2/32 (vs |D|^2 all-pairs), the reduction
-    // that makes blocking worth its shuffle; recall 0.94 for true
-    // near-dups (cos>=0.9). This synthetic corpus has NO true
+    // ~ T*|D|^2/2^P = |D|^2/32 (vs |D|^2 all-pairs); recall 0.94 for
+    // true near-dups (cos>=0.9). This synthetic corpus has NO true
     // near-dups (max pair cosine ~0.5-0.6), so at ITS threshold-angle
     // pairs recall is ~0.2 by design — measured by spec against the
     // exact all-pairs form, and the near-dup regime is proven on
     // synthetic cos~1 pairs (fewer planes would recall more here but
     // degenerate to near-quadratic candidates: 4 planes measured
     // SLOWER than brute force at sf0.1).
+    //
+    // Crossover MEASURED at a 10× derived corpus (graft.ScaleBench,
+    // 20k vectors, BASELINE.md table): all-pairs 6.6 s vs LSH 7.7 s —
+    // parity at 20k, and all-pairs grows as |D|² compute versus the
+    // candidate mass |D|²/32 from there. Two preconditions learned
+    // from the measurement: (1) the candidate stages must move id-only
+    // pairs — carrying vectors through the bucket join/dedup measured
+    // 119 s at the same size (fixed in Similarity.lshNearDupPairs);
+    // (2) on CLUSTERED corpora 2^planes must grow with |D| or
+    // same-cluster members flood shared buckets (the planes knob is
+    // the documented dial; 12 planes × 16 tables halves candidates
+    // again at ~0.93 of the recall).
     "q_embed_neardup_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(table(s, d, "embeddings"), "vec_id", "embedding",
         minCos = 0.45, planes = 8, dim = 64, tables = 8)
