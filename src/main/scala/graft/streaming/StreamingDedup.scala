@@ -377,4 +377,49 @@ object StreamingDedup {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  // ---------------------------------------------------------------
+  // Store compaction: every micro-batch appends one file per written
+  // partition, so a long-running stream accretes thousands of tiny
+  // files per directory and probe cost shifts from data to file
+  // OPENS. Compaction rewrites each partition directory to ~one file.
+  // ---------------------------------------------------------------
+
+  /** Compact the v2 fingerprint store in place. OFFLINE maintenance
+    * op — run with no concurrent writer (the rewrite-then-swap is not
+    * atomic w.r.t. an appending stream; a crash between delete and
+    * rename loses the store, so keep the stream's checkpoint and
+    * replay, or snapshot first).
+    *
+    * One file per `pfx` directory: hash-repartitioning on the
+    * partition column sends each pfx to exactly one task, and each
+    * task writes one file per partition value it holds.
+    */
+  def compactFpStore(spark: SparkSession, storeDir: String): Unit =
+    compact(spark, v2Path(storeDir), FpStoreSchema, Seq("pfx"))
+
+  /** Compact the v2 signature store in place — same contract as
+    * [[compactFpStore]], keyed on (band, bpfx).
+    */
+  def compactSigStore(spark: SparkSession, storeDir: String): Unit =
+    compact(spark, v2Path(storeDir), SigStoreSchema, Seq("band", "bpfx"))
+
+  private def compact(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String]): Unit = {
+    if (!pathExists(spark, path)) return
+    val tmp = s"$path.compact"
+    spark.read.schema(schema).parquet(path)
+      .repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*)
+      .mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    if (!fs.rename(t, p))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+  }
 }

@@ -257,6 +257,29 @@ class StreamingSpec extends SparkSpec {
       s"sig probe must prune: read $probeScanned of $allScanned store files")
   }
 
+  test("X1-streaming: store compaction collapses micro-batch appends to one file per partition") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val store = s"$dir/store"
+    // three "micro-batch" appends into the same two prefixes
+    (1 to 3).foreach { i =>
+      Seq(s"00a$i", s"ffb$i").toDF("fp")
+        .select(col("fp"), substring(col("fp"), 1, 2).as("pfx"))
+        .repartition(2)
+        .write.partitionBy("pfx").mode("append").parquet(s"$store/v2")
+    }
+    def dataFiles(pfx: String) =
+      new java.io.File(s"$store/v2/pfx=$pfx").listFiles()
+        .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(dataFiles("00").length >= 3, "fixture must have per-batch files")
+    StreamingDedup.compactFpStore(spark, store)
+    assert(dataFiles("00").length === 1 && dataFiles("ff").length === 1)
+    val fps = StreamingDedup.existingStore(spark, store).as[String].collect().toSet
+    assert(fps === Set("00a1", "00a2", "00a3", "ffb1", "ffb2", "ffb3"))
+    // probe still prunes after compaction
+    val pruned = StreamingDedup.prunedFpStore(spark, store, Seq("ff")).as[String].collect()
+    assert(pruned.toSet === Set("ffb1", "ffb2", "ffb3"))
+  }
+
   test("X2-streaming: interim band-partitioned signature store migrates to v2") {
     val dir = Files.createTempDirectory("graft-sneardup-mig").toString
     val store = s"$dir/store"
