@@ -161,7 +161,8 @@ object IngestorCli {
         val argHost = a.sink.stripPrefix("clickhouse").stripPrefix(":")
         val host = if (argHost.isEmpty) a.cfg.host else argHost
         ClickHouseHttp.append(rows, a.checkpoint,
-          ClickHouseHttp(host, a.cfg.database, a.cfg.table, a.cfg.user, a.cfg.password))
+          ClickHouseHttp(host, a.cfg.database, a.cfg.table, a.cfg.user, a.cfg.password,
+            acc = Some(SinkAccumulators(spark.sparkContext))))
       } else
         Sinks.jdbcAppend(rows, a.checkpoint, a.cfg.jdbcUrl, a.cfg.tableOrDefault,
           extraOptions = a.cfg.jdbcAuthOptions)

@@ -8,8 +8,34 @@ import java.nio.charset.StandardCharsets
 import java.time.Duration
 import java.util.Base64
 import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.util.LongAccumulator
+
+/** Cluster-wide sink counters: Spark [[LongAccumulator]]s captured in
+  * the sink closure, so executor-side increments merge back to the
+  * driver on task completion — the piece the per-JVM statics can't do
+  * off local mode. Create once driver-side via
+  * [[SinkAccumulators.apply]] and pass to [[ClickHouseHttp]].
+  *
+  * Semantics: Spark merges accumulator updates from SUCCESSFUL tasks
+  * only, so these are COMMITTED counts — a failed-and-retried
+  * partition contributes exactly once (the statics, incremented
+  * per-attempt, double-count retries; the two views are complementary,
+  * not redundant). The same rule is why there is no `errors`
+  * accumulator: every sink error path throws and fails its task, so
+  * its update would always be discarded — error totals live in the
+  * per-executor statics (scrape each executor) and in Spark's own
+  * task-failure metrics.
+  */
+final case class SinkAccumulators(rows: LongAccumulator, posts: LongAccumulator)
+
+object SinkAccumulators {
+  def apply(sc: SparkContext): SinkAccumulators = SinkAccumulators(
+    sc.longAccumulator("clickhouse.rows_inserted"),
+    sc.longAccumulator("clickhouse.posts_total"))
+}
 
 /** S5 concrete transport: the reference's ClickHouse HTTP JSONEachRow
   * insert (/root/reference/internal/ingestion/clickhouse.go:26-70 —
@@ -41,7 +67,8 @@ final case class ClickHouseHttp(
     table: String = "",
     user: String = "",
     password: String = "",
-    requestTimeoutMs: Long = 30000) extends (String => Unit) with Serializable {
+    requestTimeoutMs: Long = 30000,
+    acc: Option[SinkAccumulators] = None) extends (String => Unit) with Serializable {
 
   private def cfg = IngestConfig(host = host, database = database, table = table)
 
@@ -89,7 +116,9 @@ final case class ClickHouseHttp(
     ClickHouseHttp.postsTotal.incrementAndGet()
     // reference RowsInserted.Inc() is per-POST == per-row there; here a
     // POST carries a whole partition, so count actual JSON lines
-    ClickHouseHttp.rowsInserted.addAndGet(body.count(_ == '\n') + 1L)
+    val rows = body.count(_ == '\n') + 1L
+    ClickHouseHttp.rowsInserted.addAndGet(rows)
+    acc.foreach { a => a.posts.add(1L); a.rows.add(rows) }
   }
 }
 
@@ -108,9 +137,10 @@ object ClickHouseHttp {
   // SCOPE: per-JVM statics incremented where the POST runs (executors).
   // In local mode driver == executor, so [[render]] served from the
   // driver's MetricsServer sees them; in a multi-executor deployment
-  // each executor's /metrics (or Spark's executor metric sink) must be
-  // scraped — the driver's copy stays zero. Cluster-wide aggregation
-  // would need LongAccumulators wired through a listener instead.
+  // the driver's copies stay zero — pass [[SinkAccumulators]] to the
+  // sink for cluster-wide counts (task-merged back to the driver),
+  // and treat the statics + latency histogram as per-executor detail
+  // for executor-side scrapes.
   val insertErrors = new AtomicLong(0L)
   val rowsInserted = new AtomicLong(0L)
   val postsTotal = new AtomicLong(0L)

@@ -5,7 +5,7 @@ import java.net.InetSocketAddress
 import java.nio.file.Files
 import java.util.concurrent.ConcurrentLinkedQueue
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
-import graft.streaming.{ClickHouseHttp, Sinks}
+import graft.streaming.{ClickHouseHttp, SinkAccumulators, Sinks}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -135,6 +135,38 @@ class ClickHouseHttpSpec extends SparkSpec {
       assert(ClientIdentityCapture.ids.asScala.toSet.size === 1,
         "all partitions must share the one per-JVM pooled client")
       assert(ClickHouseHttp.rowsInserted.get === 64L)
+    }
+  }
+
+  test("SinkAccumulators merge executor-side counts back to the driver") {
+    ClickHouseHttp.resetMetrics()
+    withStub(200) { (port, reqs) =>
+      val acc = SinkAccumulators(spark.sparkContext)
+      val sink = ClickHouseHttp(host = s"127.0.0.1:$port", acc = Some(acc))
+      val df = spark.range(0, 30, 1, numPartitions = 3).selectExpr(
+        "id", "concat('n', id) as name", "concat('e', id) as email",
+        "cast(0 as int) as is_deleted", "cast(1 as int) as _op", "id as _lsn",
+        "timestamp'2024-01-02 03:04:05' as _ts")
+      Sinks.jsonEachRowPost(df, sink)
+      // DRIVER-side accumulator values: exactly what a multi-executor
+      // deployment reports (statics would stay zero off local mode)
+      assert(acc.rows.value === 30L)
+      assert(acc.posts.value === 3L)
+      assert(reqs.size === 3)
+    }
+    withStub(500) { (port, _) =>
+      val acc = SinkAccumulators(spark.sparkContext)
+      val sink = ClickHouseHttp(host = s"127.0.0.1:$port", acc = Some(acc))
+      intercept[Exception] {
+        val df = spark.range(0, 4, 1, numPartitions = 1).selectExpr(
+          "id", "concat('n', id) as name", "concat('e', id) as email",
+          "cast(0 as int) as is_deleted", "cast(1 as int) as _op", "id as _lsn",
+          "timestamp'2024-01-02 03:04:05' as _ts")
+        Sinks.jsonEachRowPost(df, sink)
+      }
+      // committed-count contract: updates from FAILED tasks are
+      // discarded, so a failed partition contributes nothing
+      assert(acc.rows.value === 0L && acc.posts.value === 0L)
     }
   }
 
