@@ -379,6 +379,112 @@ object StreamingDedup {
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
   // ---------------------------------------------------------------
+  // Tier 4: streaming EMBEDDING near-dup dedup via an LSH-bucketed
+  // vector store — the X3 analogue of tiers 2/3: drop incoming docs
+  // whose embedding is within cosine `minCos` of ANYTHING already
+  // ingested.
+  // ---------------------------------------------------------------
+
+  /** v2 vector-store schema incl. (t, blk) partition columns: each
+    * stored vector appears once per LSH table, partitioned by its
+    * bucket, with the norm precomputed so probes never recompute the
+    * store side. `blk` bit-strings like "01101011" must stay STRING
+    * (same partition-type-inference trap as the other stores).
+    */
+  val VecStoreSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "vec array<float>, nrm double, t int, blk string")
+
+  private def vecBuckets(vec: Column, planes: Int, dim: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      graft.functions.VectorFns.lshBucket(vec, t, planes, dim)): _*)
+
+  /** One micro-batch of embedding near-dup dedup: batch vectors probe
+    * the store on (t, blk), candidates verify with the codegen cosine,
+    * near-store rows drop, then batch-internal near-dups collapse to
+    * the min-id winner (exact all-pairs within the batch — one
+    * micro-batch is small by definition). Returns surviving rows of
+    * `batch`.
+    */
+  def embedNearDupBatch(
+      batch: DataFrame, store: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, planes: Int = 8, dim: Int = 64, tables: Int = 4): DataFrame = {
+    import graft.functions.VectorFns
+    val keyed = batch.select(col(idCol), col(vecCol),
+        VectorFns.norm2(col(vecCol)).as("__n"),
+        posexplode(vecBuckets(col(vecCol), planes, dim, tables)).as(Seq("__t", "__blk")))
+    val cos = when(col("__n") * col("nrm") === 0.0, 0.0)
+      .otherwise(VectorFns.dot(col(vecCol), col("vec")) / (col("__n") * col("nrm")))
+    val hitIds = keyed
+      .join(store.select(col("t").as("__t"), col("blk").as("__blk"),
+        col("vec"), col("nrm")), Seq("__t", "__blk"))
+      .filter(cos >= minCos)
+      .select(col(idCol)).distinct()
+    val fresh = batch.join(hitIds, Seq(idCol), "left_anti")
+    val innerLosers = graft.operators.Similarity
+      .nearDupPairs(fresh, idCol, vecCol, minCos)
+      .select(col("id_b").as(idCol)).distinct()
+    fresh.join(innerLosers, Seq(idCol), "left_anti")
+  }
+
+  /** Tier 4 sink: near-dup-deduplicated rows append to `outDir`; the
+    * survivors' (vec, nrm) rows append once per LSH table to the
+    * (t, blk)-partitioned vector store. Each batch's probe pushes its
+    * distinct (t, blk) keys — bounded by tables × 2^planes (1024 at
+    * the defaults) — as a partition filter, same O(batch) contract as
+    * the other tiers, and the same out-before-store at-least-once
+    * contract as [[dedupAgainstStore]].
+    */
+  def embedDedupAgainstStore(
+      docs: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      storeDir: String, outDir: String, checkpoint: String,
+      planes: Int = 8, dim: Int = 64, tables: Int = 4): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist() // bucket-key collect + probe + inner verify
+        try {
+          val keys = b
+            .select(posexplode(vecBuckets(col(vecCol), planes, dim, tables))
+              .as(Seq("t", "blk")))
+            .distinct().collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+          val store = prunedVecStore(spark, storeDir, keys)
+          val fresh = embedNearDupBatch(b, store, idCol, vecCol, minCos,
+            planes, dim, tables).persist()
+          try {
+            fresh.write.mode(SaveMode.Append).parquet(outDir)
+            fresh.select(col(vecCol).as("vec"),
+                graft.functions.VectorFns.norm2(col(vecCol)).as("nrm"),
+                posexplode(vecBuckets(col(vecCol), planes, dim, tables))
+                  .as(Seq("t", "blk")))
+              .write.partitionBy("t", "blk")
+              .mode(SaveMode.Append).parquet(v2Path(storeDir))
+          } finally fresh.unpersist(blocking = false)
+        } finally b.unpersist(blocking = false)
+      }
+
+  /** The vector store scan PRUNED to the given (t, blk) pairs —
+    * partition filter only. Empty-safe before first append.
+    */
+  def prunedVecStore(
+      spark: SparkSession, storeDir: String,
+      keys: Seq[(Int, String)]): DataFrame = {
+    val p = v2Path(storeDir)
+    if (pathExists(spark, p) && keys.nonEmpty) {
+      val pred = keys.map { case (t, blk) =>
+        col("t") === lit(t) && col("blk") === lit(blk)
+      }.reduce(_ || _)
+      spark.read.schema(VecStoreSchema).parquet(p).where(pred)
+    } else emptyDf(spark, "vec array<float>, nrm double, t int, blk string")
+  }
+
+  /** Compact the v2 vector store — same contract as [[compactFpStore]]. */
+  def compactVecStore(spark: SparkSession, storeDir: String): Unit =
+    compact(spark, v2Path(storeDir), VecStoreSchema, Seq("t", "blk"))
+
+  // ---------------------------------------------------------------
   // Store compaction: every micro-batch appends one file per written
   // partition, so a long-running stream accretes thousands of tiny
   // files per directory and probe cost shifts from data to file

@@ -302,6 +302,52 @@ class StreamingSpec extends SparkSpec {
     assert(pruned.toSet === Set("00110011"))
   }
 
+  test("X3-streaming: cross-batch embedding near-dup dedup against the LSH vector store") {
+    implicit val sq = spark.sqlContext
+    def v(f: Int => Double): Seq[Float] = (0 until 64).map(i => f(i).toFloat)
+    val u = v(i => math.sin(i + 1))
+    val uNear = v(i => math.sin(i + 1) + (if (i == 0) 0.1 else 0.0)) // cos≈0.999 to u
+    val x = v(i => math.cos(2 * i + 1))
+    val xNear = v(i => math.cos(2 * i + 1) + (if (i == 1) 0.1 else 0.0))
+    val y = v(i => math.sin(3 * i + 2) * (if (i % 2 == 0) 1 else -1))
+    val dir = Files.createTempDirectory("graft-svecdedup").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    val w = StreamingDedup.embedDedupAgainstStore(
+      in.toDF().toDF("doc_id", "embedding"), "doc_id", "embedding", minCos = 0.9,
+      s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    val q = w.start()
+    try {
+      in.addData((1L, u), (2L, x))
+      q.processAllAvailable()
+      in.addData(
+        (10L, uNear), // near-dup of stored doc 1 → dropped
+        (20L, y), (21L, y), // batch-internal exact pair → min id 20 wins
+        (22L, xNear)) // near-dup of stored doc 2 → dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 20L), s"got $out")
+
+    // O(batch) probe contract: one (t, blk) key reads a strict subset
+    val full = spark.read.schema(StreamingDedup.VecStoreSchema)
+      .parquet(s"$dir/store/v2")
+    val allScanned = filesScanned(full)
+    val keys = full.select(col("t"), col("blk")).distinct()
+      .as[(Int, String)].collect()
+    assert(keys.length > 1, "fixture must span >1 (t, blk) partition")
+    val probeScanned = filesScanned(
+      StreamingDedup.prunedVecStore(spark, s"$dir/store", Seq(keys.head)))
+    assert(probeScanned > 0 && probeScanned < allScanned,
+      s"vec probe must prune: read $probeScanned of $allScanned store files")
+
+    // compaction keeps contents intact (fresh read: the swap replaces
+    // the files, so pre-compaction DataFrames hold a stale FileIndex)
+    val preCompactRows = full.count()
+    StreamingDedup.compactVecStore(spark, s"$dir/store")
+    assert(spark.read.schema(StreamingDedup.VecStoreSchema)
+      .parquet(s"$dir/store/v2").count() === preCompactRows)
+  }
+
   test("S2→P1→S5 end-to-end: envelope JSON stream → translate → parquet sink") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft-cdc-e2e").toString
