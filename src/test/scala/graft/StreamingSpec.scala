@@ -348,6 +348,36 @@ class StreamingSpec extends SparkSpec {
       .parquet(s"$dir/store/v2").count() === preCompactRows)
   }
 
+  test("X3-streaming: ANN serving answers a query stream from the cached static corpus") {
+    implicit val sq = spark.sqlContext
+    def v(f: Int => Double): Seq[Float] = (0 until 64).map(i => f(i).toFloat)
+    val corpus = Seq(
+      (100L, v(i => math.sin(i + 1))),
+      (101L, v(i => math.sin(i + 1) + (if (i == 0) 0.1 else 0.0))), // near 100
+      (102L, v(i => math.cos(2 * i + 1))),
+      (103L, v(i => math.sin(3 * i + 2) * (if (i % 2 == 0) 1 else -1))))
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-sann").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    val w = StreamingAnn.serveTopK(
+      in.toDF().toDF("vec_id", "embedding"), corpus, "vec_id", "embedding",
+      k = 2, planes = 4, dim = 64, tables = 2,
+      outDir = s"$dir/out", checkpoint = s"$dir/ckpt")
+    val q = w.start()
+    try {
+      in.addData((1L, v(i => math.sin(i + 1) + (if (i == 2) 0.05 else 0.0))))
+      q.processAllAvailable()
+      in.addData((2L, v(i => math.cos(2 * i + 1) + (if (i == 3) 0.05 else 0.0))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect().groupBy(_._1)
+    // each query's rank-1 answer is its true nearest corpus vector
+    assert(out(1L).find(_._3 == 1L).map(_._2) === Some(100L))
+    assert(out(2L).find(_._3 == 1L).map(_._2) === Some(102L))
+  }
+
   test("S2→P1→S5 end-to-end: envelope JSON stream → translate → parquet sink") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft-cdc-e2e").toString
