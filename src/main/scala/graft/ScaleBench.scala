@@ -38,7 +38,9 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleBench [baseDir] [factor]
   * Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE_PASSES
   * (default 1 — the exact paths at 10× run minutes; min-of-N is
-  * available when the host is noisy).
+  * available when the host is noisy), SPARK_GRAFT_SCALE_PATHS
+  * (substring filter on path names, e.g. "embed" to measure only the
+  * embedding paths at large factors).
   */
 object ScaleBench {
 
@@ -133,12 +135,16 @@ object ScaleBench {
         Tables.table(spark, dir, "documents"), "doc_id", col("text"),
         k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5).count()))
 
+    val pathFilter = sys.env.get("SPARK_GRAFT_SCALE_PATHS")
+    def selected(dir: String): Seq[(String, () => Long)] =
+      paths(dir).filter { case (n, _) => pathFilter.forall(n.contains) }
+
     // warmup at the small base: codegen/JIT compile per plan shape
-    paths(baseDir).foreach { case (_, run) => run() }
+    selected(baseDir).foreach { case (_, run) => run() }
     spark.catalog.clearCache()
 
     def measure(dir: String): Seq[(String, Double, Long)] =
-      paths(dir).map { case (name, run) =>
+      selected(dir).map { case (name, run) =>
         var rows = 0L
         val best = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
