@@ -99,17 +99,18 @@ object NorthStarQueries {
     // degenerate to near-quadratic candidates: 4 planes measured
     // SLOWER than brute force at sf0.1).
     //
-    // Crossover MEASURED at a 10× derived corpus (graft.ScaleBench,
-    // 20k vectors, BASELINE.md table): all-pairs 6.6 s vs LSH 7.7 s —
-    // parity at 20k, and all-pairs grows as |D|² compute versus the
-    // candidate mass |D|²/32 from there. Two preconditions learned
-    // from the measurement: (1) the candidate stages must move id-only
+    // Crossover MEASURED at 10×/30× derived corpora (graft.ScaleBench,
+    // BASELINE.md table): parity at 20k vectors; at 60k the scaled
+    // config (12 planes × 16 tables) beats all-pairs 2.2× (29.5 s vs
+    // 66.2 s) while THIS fixed 8×8 config loses (190 s) — on
+    // clustered corpora 2^planes must grow with |D| or same-cluster
+    // members flood shared buckets and candidate mass keeps the |D|²
+    // constant. The 8×8 registration stays because it is the fastest
+    // correct config at the oracled SF; production guidance is the
+    // planes dial (Similarity.lshNearDupPairs scaladoc). The other
+    // measured precondition: candidate stages must move id-only
     // pairs — carrying vectors through the bucket join/dedup measured
-    // 119 s at the same size (fixed in Similarity.lshNearDupPairs);
-    // (2) on CLUSTERED corpora 2^planes must grow with |D| or
-    // same-cluster members flood shared buckets (the planes knob is
-    // the documented dial; 12 planes × 16 tables halves candidates
-    // again at ~0.93 of the recall).
+    // 119 s at 20k (fixed in Similarity.lshNearDupPairs).
     "q_embed_neardup_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(table(s, d, "embeddings"), "vec_id", "embedding",
         minCos = 0.45, planes = 8, dim = 64, tables = 8)
