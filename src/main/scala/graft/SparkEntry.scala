@@ -32,6 +32,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ AggQueries.defs ++ WindowQueries.defs ++
       JoinQueries.defs ++ PipelineQueries.defs ++ NorthStarQueries.defs ++
+      CurationQueries.defs ++
       Map(
         // X5 multimodal: binary payload + typed meta + batch feature
         // extraction (the deterministic stub decode is byte arithmetic,
@@ -47,5 +48,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ AggQueries.oracles ++ WindowQueries.oracles ++
-      JoinQueries.oracles ++ PipelineQueries.oracles ++ NorthStarQueries.oracles
+      JoinQueries.oracles ++ PipelineQueries.oracles ++ NorthStarQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (SURVEY.md §2.10 X6-X11): the
+  * corpus-hygiene pass a large-scale LLM pretraining pipeline runs
+  * AFTER dedup (X1/X2) and BEFORE tokenization — benchmark
+  * decontamination, repetition/quality filtering, PII redaction,
+  * deterministic train/val/test splits, quality-weighted domain
+  * mixing, and concat-and-chunk sequence packing.
+  *
+  * Everything is DataFrame transformations (Catalyst gets pushdown,
+  * partial aggregation and AQE for free; nothing collects to the
+  * driver) and every hash decision is md5-based — the same
+  * engine-portable choice as [[Dedup]] — so each operator carries a
+  * full value-level DuckDB oracle.
+  *
+  * Scale posture per operator is documented on the method; the common
+  * theme: per-document work stays embarrassingly parallel (map-only or
+  * doc_id-keyed partial agg), cross-document work (decontamination)
+  * touches only the SMALL side (the benchmark) with a broadcast, and
+  * the one inherently sequential construct (packing's running offset)
+  * is scoped to a shard key so no global single-partition window ever
+  * forms.
+  */
+object Curation {
+
+  /** Deterministic uniform bucket in [0, buckets): first 8 hex chars
+    * of md5 as an integer, mod buckets. md5, not xxhash64/murmur3, so
+    * the assignment is reproducible in ANY engine (the property a
+    * train/test split must have — re-running the split in a different
+    * system must not move documents across the contamination
+    * boundary). DuckDB equivalent:
+    * `('0x' || substr(md5(x), 1, 8))::UBIGINT % buckets`.
+    */
+  def hashBucket(c: Column, buckets: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** X6: benchmark decontamination — flag corpus documents sharing at
+    * least one word n-gram with an evaluation benchmark (the
+    * GPT-3/Llama "13-gram overlap" rule; n is a dial because this
+    * corpus's documents are 25-90 tokens).
+    *
+    * Returns (id, n_hits) for contaminated corpus documents only,
+    * where n_hits = number of DISTINCT n-grams shared with any
+    * benchmark document.
+    *
+    * Scale: eval benchmarks are MBs while the corpus is TBs, so the
+    * benchmark's distinct n-gram set is broadcast ([[broadcast]] hint;
+    * a few hundred MB fits the 8 GB driver/executor broadcast budget
+    * at real benchmark sizes) and the corpus side is a map-only
+    * explode → broadcast-hash semi-ish join → doc_id-keyed partial
+    * count. The corpus is never shuffled by n-gram; the only shuffle
+    * is the final count per doc_id, pre-aggregated map-side.
+    */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: Column, n: Int): DataFrame = {
+    val corpusGrams = Dedup.explodedShingles(corpus, id, text, n)
+    val benchGrams = Dedup.explodedShingles(benchmark, id, text, n)
+      .select(col("shingle")).distinct()
+    corpusGrams
+      .join(broadcast(benchGrams), "shingle")
+      .groupBy(col(id))
+      // explodedShingles is per-doc distinct already, so count(*) IS
+      // the distinct-shared-gram count — no count_distinct shuffle
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** X7: repetition statistics — the Gopher-style (Rae et al. 2021,
+    * §A1.1) repetition signals that survive a single-line corpus:
+    * duplicate-word fraction (1 - distinct/total tokens) and the
+    * fraction of all bigram slots covered by the single most frequent
+    * bigram. `repetitive` applies the thresholds.
+    *
+    * Returns (id, n_tokens, dup_word_frac, top_bigram_frac,
+    * repetitive). Default `maxTopBigramFrac` is Gopher's published
+    * top-2-gram threshold (0.20); note a doc with B bigrams has
+    * top_bigram_frac >= 1/B even when fully diverse, so short-doc
+    * corpora should pass a calibrated threshold explicitly (the
+    * registered query does).
+    *
+    * Scale: explode bigrams → count per (doc, bigram) → max per doc is
+    * two doc_id-keyed aggregations with map-side partial combine — no
+    * wide shuffle, parallelism = corpus partitioning. The token stats
+    * are computed with array functions in the same scan (map-only).
+    */
+  def repetitionStats(
+      df: DataFrame, id: String, text: Column,
+      maxDupWordFrac: Double = 0.3, maxTopBigramFrac: Double = 0.2): DataFrame = {
+    val toks = df.select(col(id), split(text, " ").as("t"))
+    val tokenStats = toks.select(
+      col(id),
+      size(col("t")).cast("long").as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+        size(col("t")).cast("double"), 6).as("dup_word_frac"))
+    val topBigram = toks
+      .where(size(col("t")) >= 2)
+      // with multiplicity — NOT Dedup.explodedShingles, whose
+      // array_distinct would erase exactly the repetition being measured
+      .select(col(id), explode(graft.functions.TextFns.shingles(col("t"), 2)).as("bg"))
+      .groupBy(col(id), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(id)).agg(
+        max(col("cnt")).as("top_cnt"),
+        sum(col("cnt")).as("n_bigrams"))
+      .select(col(id),
+        round(col("top_cnt").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("top_bigram_frac"))
+    tokenStats.join(topBigram, Seq(id), "left")
+      .na.fill(0.0, Seq("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("dup_word_frac") > maxDupWordFrac ||
+          col("top_bigram_frac") > maxTopBigramFrac)
+  }
+
+  /** Email / phone / SSN-shaped patterns — deliberately lookaround-free
+    * so the same pattern strings run under Java regex (Spark) and RE2
+    * (DuckDB, Go) unchanged.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3,4}"
+  val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** X8: PII redaction — replace email / phone / SSN shapes with typed
+    * placeholder tags and count the redactions. Order matters: SSN
+    * before phone (a dashed SSN also matches the loose phone shape);
+    * counts are computed against the ORIGINAL text per pattern so the
+    * three counters are independent of replacement order.
+    *
+    * Returns the input plus (scrubbed, n_redactions).
+    *
+    * Scale: pure map-only string work inside whole-stage codegen — no
+    * shuffle, no UDF; regexp_replace/regexp gets codegen'd per row.
+    */
+  def scrubPii(df: DataFrame, text: Column): DataFrame = {
+    def hits(re: String): Column =
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          SsnRe, "<SSN>"),
+        PhoneRe, "<PHONE>")
+    df.withColumn("scrubbed", scrubbed)
+      .withColumn("n_redactions",
+        (hits(EmailRe) + hits(SsnRe) + hits(PhoneRe)).cast("long"))
+  }
+
+  /** X9: deterministic train/val/test assignment by hash bucket.
+    * `cuts` are cumulative upper bounds over [[hashBucket]](id, 16):
+    * default 12/2/2 sixteenths → 75% train, 12.5% val, 12.5% test.
+    * Hash-based, not random: the split must be stable across runs,
+    * engines and corpus re-shards, or later pipeline stages leak val
+    * docs into train.
+    *
+    * Scale: map-only.
+    */
+  def assignSplit(
+      df: DataFrame, id: String,
+      trainUpper: Int = 12, valUpper: Int = 14): DataFrame = {
+    val b = hashBucket(col(id), 16)
+    df.withColumn("split",
+      when(b < trainUpper, "train").when(b < valUpper, "val").otherwise("test"))
+  }
+
+  /** X11: quality-weighted domain mixing — keep each document with its
+    * domain's sampling rate, deterministically: a doc survives iff its
+    * hash percentile (bucket of 100) falls under rate*100. The rate
+    * column is typically a broadcast-joined per-domain config table or
+    * a CASE over the domain column. Deterministic sampling (not
+    * `rand()`) so the mixture is reproducible and a re-run touches the
+    * same rows — required for resumable 100 TB jobs.
+    *
+    * Scale: map-only filter; the planner pushes it into the scan when
+    * the rate expression only references scan columns.
+    */
+  def sampleByRate(df: DataFrame, id: String, rate: Column): DataFrame =
+    df.where(hashBucket(col(id), 100).cast("double") < rate * 100.0)
+
+  /** X10: concat-and-chunk sequence packing — the GPT-style
+    * pretraining batcher: documents are laid end-to-end in a
+    * deterministic order within each shard and the token stream is
+    * chunked every `budget` tokens; a document belongs to the pack
+    * where its first token lands. Returns the input plus (n_tokens,
+    * start_offset, pack_id, pack_pos).
+    *
+    * Scale: the running offset is a window over (shard, order) — the
+    * ONLY safe shape for a prefix sum at 100 TB. Window.partitionBy
+    * (shard) keeps every partition independent (shards are file groups
+    * / sources, thousands of them), so parallelism is preserved; a
+    * global orderBy-only window would serialize the corpus through one
+    * partition. Chunking by arithmetic on the prefix sum (not a
+    * stateful scan) keeps it all in whole-stage codegen.
+    */
+  def packSequences(
+      df: DataFrame, shard: String, order: String,
+      nTokens: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(shard)).orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", (col("start_offset") / budget).cast("long"))
+      .withColumn("pack_pos", col("start_offset") % budget)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables.table
+import graft.operators.Curation
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over the `documents` table (SURVEY.md
+  * §2.10 X6-X11): benchmark decontamination, repetition filtering,
+  * PII redaction, deterministic splits, domain mixing and sequence
+  * packing — the post-dedup hygiene stages of a pretraining data
+  * pipeline, each with a full value-level DuckDB oracle.
+  *
+  * Shared conventions: the "benchmark" holdout is doc_id % 10 == 0 (a
+  * deterministic 10% eval set — at sf0.01 its near-dup replicas give
+  * 6 contaminated docs / 324 shared 6-grams, measured); all hash
+  * decisions are md5-based (see [[Curation.hashBucket]]); repetition
+  * thresholds are corpus-calibrated (dup_word_frac median 0.54 / p90
+  * 0.68 / max 0.72; top_bigram_frac p90 0.069 / max 0.167 at sf0.01)
+  * so the flag actually separates.
+  */
+object CurationQueries {
+
+  /** X6 decontamination n-gram size: 6 verbatim tokens. Measured on
+    * this corpus: n=4 admits random-collision noise (75 "contaminated"
+    * docs), n>=5 isolates true near-dup replicas of benchmark docs
+    * (6-7 docs); 6 is the smallest clearly-separating size, standing
+    * in for the 13-gram rule on these 25-90-token documents.
+    */
+  val DecontamN = 6
+  val PackBudget = 256
+  val MaxDupWordFrac = 0.65
+  val MaxTopBigramFrac = 0.08
+
+  private val highQ = Seq("src0", "src1", "src2", "src3", "src4")
+  private val midQ = Seq("src5", "src6", "src7", "src8", "src9")
+
+  /** Per-domain sampling rate for X11 — a literal CASE (stand-in for a
+    * broadcast-joined config table): full take of high-quality
+    * domains, half of mid, quarter of the tail.
+    */
+  private def domainRate(source: Column): Column =
+    when(source.isin(highQ: _*), 1.0)
+      .when(source.isin(midQ: _*), 0.5)
+      .otherwise(0.25)
+
+  /** Synthetic per-document contact line prepended to the text so the
+    * X8 redaction patterns FIRE on this PII-free corpus: a derived
+    * email, phone and SSN per doc_id — deterministic, so the scrub
+    * output is value-oracled end to end (3 redactions per document).
+    */
+  private def withContact(docs: DataFrame): DataFrame =
+    docs.withColumn("raw",
+      concat(
+        lit("user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".example.com +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn "),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit("-"),
+        lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        lit(" "), col("text")))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X6: benchmark decontamination — training docs sharing a verbatim
+    // 6-gram with the (doc_id % 10 == 0) eval holdout
+    "q_decontaminate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Curation.decontaminate(
+        corpus = docs.where(col("doc_id") % 10 =!= 0),
+        benchmark = docs.where(col("doc_id") % 10 === 0),
+        id = "doc_id", text = col("text"), n = DecontamN)
+        .orderBy(col("doc_id"))
+    }),
+
+    // X7: Gopher-style repetition flags, corpus-calibrated thresholds
+    "q_quality_repetition" -> ((s, d) => {
+      Curation.repetitionStats(table(s, d, "documents"), "doc_id", col("text"),
+        maxDupWordFrac = MaxDupWordFrac, maxTopBigramFrac = MaxTopBigramFrac)
+        .orderBy(col("doc_id"))
+    }),
+
+    // X8: PII redaction over a derived contact line + the doc text
+    "q_pii_scrub" -> ((s, d) => {
+      Curation.scrubPii(withContact(table(s, d, "documents")), col("raw"))
+        .select(col("doc_id"), col("scrubbed"), col("n_redactions"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X9: deterministic hash train/val/test split (12/2/2 sixteenths)
+    "q_split_assign" -> ((s, d) => {
+      Curation.assignSplit(table(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X11: quality-weighted domain mixing — deterministic survivors
+    "q_domain_mix" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Curation.sampleByRate(docs, "doc_id", domainRate(col("source")))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X10: concat-and-chunk sequence packing, per-source shards
+    "q_pack_sequences" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Curation.packSequences(docs, shard = "source", order = "doc_id",
+        nTokens = size(split(col("text"), " ")), budget = PackBudget)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_offset"), col("pack_id"), col("pack_pos"))
+        .orderBy(col("doc_id"))
+    }))
+
+  private val rateSql =
+    s"""CASE WHEN source IN (${highQ.map(x => s"'$x'").mkString(", ")}) THEN 1.0
+          WHEN source IN (${midQ.map(x => s"'$x'").mkString(", ")}) THEN 0.5
+          ELSE 0.25 END"""
+
+  val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - ${DecontamN - 2}),
+             i -> array_to_string(t[CAST(i AS INT):CAST(i + ${DecontamN - 1} AS INT)], ' ')))) AS ng
+           FROM tk WHERE len(t) >= $DecontamN),
+         bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0),
+         corp AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 <> 0)
+         SELECT doc_id, count(*) AS n_hits
+         FROM corp JOIN bench USING (ng)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_quality_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS dup_word_frac
+           FROM tk),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])) AS b
+           FROM tk WHERE len(t) >= 2),
+         cnts AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY doc_id, b),
+         tb AS (SELECT doc_id,
+             round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_bigram_frac
+           FROM cnts GROUP BY doc_id)
+         SELECT doc_id, n_tokens, dup_word_frac,
+           coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+           (dup_word_frac > $MaxDupWordFrac
+             OR coalesce(top_bigram_frac, 0.0) > $MaxTopBigramFrac) AS repetitive
+         FROM base LEFT JOIN tb USING (doc_id) ORDER BY doc_id""",
+    "q_pii_scrub" ->
+      s"""WITH raw AS (SELECT doc_id,
+             'user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+               || ' ' || text AS r
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(r,
+             '${Curation.EmailRe}', '<EMAIL>', 'g'),
+             '${Curation.SsnRe}', '<SSN>', 'g'),
+             '${Curation.PhoneRe}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(r, '${Curation.EmailRe}'))
+             + len(regexp_extract_all(r, '${Curation.SsnRe}'))
+             + len(regexp_extract_all(r, '${Curation.PhoneRe}')) AS BIGINT) AS n_redactions
+         FROM raw ORDER BY doc_id""",
+    "q_split_assign" ->
+      """SELECT doc_id, source,
+           CASE WHEN b < 12 THEN 'train' WHEN b < 14 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 16 AS b
+           FROM documents)
+         ORDER BY doc_id""",
+    "q_domain_mix" ->
+      s"""SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS pct,
+             $rateSql AS rate
+           FROM documents)
+         WHERE CAST(pct AS DOUBLE) < rate * 100.0 ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         o AS (SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+           FROM t)
+         SELECT doc_id, source, n_tokens, start_offset,
+           CAST(start_offset // $PackBudget AS BIGINT) AS pack_id,
+           CAST(start_offset % $PackBudget AS BIGINT) AS pack_pos
+         FROM o ORDER BY doc_id""")
+}

@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Library-level tests for the X6-X11 curation operators (the
+  * registered queries are value-checked against DuckDB by the driver;
+  * these cover operator semantics on constructed corpora plus the
+  * scale-posture plan shape).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("X6 decontaminate flags exactly the docs sharing a verbatim n-gram") {
+    val corpus = docs(
+      1L -> "a b c d e f g h",          // contains benchmark 5-gram b..f
+      2L -> "z y x w v u t s",          // clean
+      3L -> "q b c d e f r")            // same 5-gram, embedded elsewhere
+    val bench = docs(100L -> "b c d e f")
+    val out = Curation.decontaminate(corpus, bench, "doc_id", col("text"), n = 5)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L), (3L, 1L)))
+  }
+
+  test("X6 decontaminate counts DISTINCT shared grams once per doc") {
+    // doc repeats the contaminated gram twice: still one distinct hit
+    val corpus = docs(1L -> "b c d b c d")
+    val bench = docs(100L -> "x b c d y")
+    val out = Curation.decontaminate(corpus, bench, "doc_id", col("text"), n = 3)
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L)))
+  }
+
+  test("X6 decontaminate plan broadcasts the benchmark side") {
+    val corpus = docs((1L to 50L).map(i => i -> s"tok$i a b c d e f"): _*)
+    val bench = docs(100L -> "a b c d e f")
+    val plan = Curation.decontaminate(corpus, bench, "doc_id", col("text"), n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark n-grams must broadcast — corpus must never shuffle by gram:\n$plan")
+  }
+
+  test("X7 repetitionStats separates a degenerate doc from a diverse one") {
+    val out = Curation.repetitionStats(
+      docs(1L -> "spam spam spam spam spam spam",
+           2L -> "one two three four five six seven eight"),
+      "doc_id", col("text")).orderBy("doc_id")
+      .select("doc_id", "dup_word_frac", "top_bigram_frac", "repetitive")
+      .as[(Long, Double, Double, Boolean)].collect()
+    val (spam, clean) = (out(0), out(1))
+    assert(spam._2 > 0.8 && spam._3 == 1.0 && spam._4)
+    assert(clean._2 == 0.0 && clean._3 < 0.3 && !clean._4)
+  }
+
+  test("X8 scrubPii redacts email/phone/SSN shapes and counts each") {
+    val out = Curation.scrubPii(
+      Seq((1L, "mail a.b+c@ex-ample.co.uk then +1-555-0123 then 123-45-6789 end"),
+          (2L, "nothing personal here"))
+        .toDF("doc_id", "text"), col("text"))
+      .orderBy("doc_id")
+      .select("scrubbed", "n_redactions").as[(String, Long)].collect()
+    assert(out(0)._1 == "mail <EMAIL> then <PHONE> then <SSN> end")
+    assert(out(0)._2 == 3L)
+    assert(out(1)._1 == "nothing personal here" && out(1)._2 == 0L)
+  }
+
+  test("X8 scrubPii SSN-before-phone ordering keeps counts independent") {
+    // an SSN alone must NOT also count/replace as a phone
+    val out = Curation.scrubPii(Seq((1L, "ssn 987-65-4321 only")).toDF("doc_id", "text"),
+      col("text")).select("scrubbed", "n_redactions").as[(String, Long)].head()
+    assert(out._1 == "ssn <SSN> only")
+    assert(out._2 == 1L)
+  }
+
+  test("X9 assignSplit is deterministic with sane 12/2/2 proportions") {
+    val d = spark.range(2000).withColumnRenamed("id", "doc_id")
+    val a = Curation.assignSplit(d.toDF(), "doc_id")
+    val counts = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1300 && counts("train") < 1700) // 1500 expected
+    assert(counts("val") > 150 && counts("val") < 350)       // 250 expected
+    // deterministic: re-evaluation never moves a document
+    val b = Curation.assignSplit(d.toDF(), "doc_id")
+    assert(a.join(b, "doc_id").where(a("split") =!= b("split")).count() == 0)
+  }
+
+  test("X11 sampleByRate: rate 1 keeps all, rate 0 keeps none, survivors nest") {
+    val d = spark.range(1000).withColumnRenamed("id", "doc_id").toDF()
+    assert(Curation.sampleByRate(d, "doc_id", lit(1.0)).count() == 1000)
+    assert(Curation.sampleByRate(d, "doc_id", lit(0.0)).count() == 0)
+    val half = Curation.sampleByRate(d, "doc_id", lit(0.5))
+    val quarter = Curation.sampleByRate(d, "doc_id", lit(0.25))
+    val n = half.count()
+    assert(n > 400 && n < 600)
+    // lower rate selects a SUBSET (same hash, tighter cut) — required
+    // for reproducible re-mixes of the same corpus
+    assert(quarter.join(half, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("X10 packSequences: chunk arithmetic, shard isolation, budget bounds") {
+    val d = Seq(
+      ("s1", 1L, 100), ("s1", 2L, 100), ("s1", 3L, 100), ("s1", 4L, 30),
+      ("s2", 5L, 300))
+      .toDF("source", "doc_id", "n")
+    val out = Curation.packSequences(d, "source", "doc_id", col("n"), budget = 256)
+      .select("source", "doc_id", "start_offset", "pack_id", "pack_pos")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    // s1: offsets 0,100,200,300 → packs 0,0,0,1; doc 3 STARTS in pack 0
+    // (concat-and-chunk: the stream is cut mid-document, like GPT batching)
+    assert(out.map(r => (r._3, r._4)).toSeq ==
+      Seq((0L, 0L), (100L, 0L), (200L, 0L), (300L, 1L), (0L, 0L)))
+    // pack_pos always within budget; shards start independently at 0
+    assert(out.forall(r => r._5 >= 0 && r._5 < 256))
+  }
+}
