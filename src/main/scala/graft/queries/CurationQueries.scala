@@ -155,16 +155,19 @@ object CurationQueries {
                || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
                || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
                || ' ' || text AS r
-           FROM documents)
+           FROM documents),
+         prog AS (SELECT doc_id, r,
+             regexp_replace(r, '${Curation.EmailRe}', '<EMAIL>', 'g') AS r1
+           FROM raw),
+         prog2 AS (SELECT doc_id, r, r1,
+             regexp_replace(r1, '${Curation.SsnRe}', '<SSN>', 'g') AS r2
+           FROM prog)
          SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(r,
-             '${Curation.EmailRe}', '<EMAIL>', 'g'),
-             '${Curation.SsnRe}', '<SSN>', 'g'),
-             '${Curation.PhoneRe}', '<PHONE>', 'g') AS scrubbed,
+           regexp_replace(r2, '${Curation.PhoneRe}', '<PHONE>', 'g') AS scrubbed,
            CAST(len(regexp_extract_all(r, '${Curation.EmailRe}'))
-             + len(regexp_extract_all(r, '${Curation.SsnRe}'))
-             + len(regexp_extract_all(r, '${Curation.PhoneRe}')) AS BIGINT) AS n_redactions
-         FROM raw ORDER BY doc_id""",
+             + len(regexp_extract_all(r1, '${Curation.SsnRe}'))
+             + len(regexp_extract_all(r2, '${Curation.PhoneRe}')) AS BIGINT) AS n_redactions
+         FROM prog2 ORDER BY doc_id""",
     "q_split_assign" ->
       """SELECT doc_id, source,
            CASE WHEN b < 12 THEN 'train' WHEN b < 14 THEN 'val' ELSE 'test' END AS split
@@ -175,10 +178,11 @@ object CurationQueries {
     "q_domain_mix" ->
       s"""SELECT doc_id, source FROM (
            SELECT doc_id, source,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS pct,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bp,
              $rateSql AS rate
            FROM documents)
-         WHERE CAST(pct AS DOUBLE) < rate * 100.0 ORDER BY doc_id""",
+         WHERE CAST(bp AS BIGINT) < CAST(round(rate * 10000.0) AS BIGINT)
+         ORDER BY doc_id""",
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables.table
 import graft.functions.TextFns
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, GraphOps, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -67,6 +67,32 @@ object NorthStarQueries {
         k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // X2 cluster step: connected components over the minJ=0.5 near-dup
+    // pairs (near-dup similarity is not transitive — a~b~c without a~c
+    // must still collapse), cluster_id = min doc_id in the component,
+    // keep = the canonical survivor flag. GraphOps scaladoc has the
+    // O(log diameter) pointer-jumping argument.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDup(table(s, d, "documents"), "doc_id",
+        col("text"), k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5)
+      GraphOps.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("comp").as("cluster_id"),
+          (col("comp") === col("node")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X2 end-to-end near-dup dedup: the corpus minus every non-minimum
+    // member of each near-dup cluster — what a pretraining pipeline
+    // actually feeds to the next stage
+    "q_dedup_survivors" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val pairs = Dedup.minhashNearDup(docs, "doc_id", col("text"),
+        k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5)
+      GraphOps.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     // X3: brute-force cosine top-10 for a deterministic query subset
@@ -416,6 +442,31 @@ object NorthStarQueries {
          WHERE rn = 1 ORDER BY lang, source""",
     "q_dedup_minhash" -> minhashVerifyOracle("0.8", bands = 4, rows = 3),
     "q_ngram_jaccard" -> minhashVerifyOracle("0.5", bands = 8, rows = 2),
+    // connected components as a recursive CTE: reach(node, lbl) holds
+    // every (node, label-that-reaches-it); min(lbl) per node is the
+    // component minimum since edges are symmetrized
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2)})),
+         sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         reach(node, lbl) AS (
+           SELECT DISTINCT a, a FROM sym
+           UNION
+           SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
+         SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (min(lbl) = node) AS keep
+         FROM reach GROUP BY node ORDER BY doc_id""",
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE
+         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2)})),
+         sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         reach(node, lbl) AS (
+           SELECT DISTINCT a, a FROM sym
+           UNION
+           SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+         losers AS (SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node)
+         SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
     "q_dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),

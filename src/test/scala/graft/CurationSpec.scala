@@ -76,6 +76,28 @@ class CurationSpec extends SparkSpec {
     assert(out._2 == 1L)
   }
 
+  test("X8 scrubPii matches common US phone shapes in full") {
+    val out = Curation.scrubPii(
+      Seq((1L, "call 555-123-4567 now"),
+          (2L, "or (555) 123-4567 instead"))
+        .toDF("doc_id", "text"), col("text"))
+      .orderBy("doc_id").select("scrubbed", "n_redactions")
+      .as[(String, Long)].collect()
+    // no stray leading digit left outside the placeholder
+    assert(out(0)._1 == "call <PHONE> now" && out(0)._2 == 1L)
+    assert(out(1)._1 == "or <PHONE> instead" && out(1)._2 == 1L)
+  }
+
+  test("X8 scrubPii counts overlapping shapes once — count equals replacements") {
+    // SSN-shaped substring inside an email local part: the email
+    // replacement consumes it, so exactly ONE redaction is counted
+    val out = Curation.scrubPii(
+      Seq((1L, "leak 123-45-6789@corp.example.com bye")).toDF("doc_id", "text"),
+      col("text")).select("scrubbed", "n_redactions").as[(String, Long)].head()
+    assert(out._1 == "leak <EMAIL> bye")
+    assert(out._2 == 1L)
+  }
+
   test("X9 assignSplit is deterministic with sane 12/2/2 proportions") {
     val d = spark.range(2000).withColumnRenamed("id", "doc_id")
     val a = Curation.assignSplit(d.toDF(), "doc_id")
@@ -101,6 +123,16 @@ class CurationSpec extends SparkSpec {
     assert(quarter.join(half, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("X11 sampleByRate cut is exact for non-binary-representable rates") {
+    // 0.07 * 10000 = 7.000000000000001 in doubles; the pre-rounded
+    // integer cut must keep exactly the buckets < 700, not < 701
+    val d = spark.range(20000).withColumnRenamed("id", "doc_id").toDF()
+    val survivors = Curation.sampleByRate(d, "doc_id", lit(0.07))
+    val exactCut = d.where(Curation.hashBucket(col("doc_id"), 10000) < 700)
+    assert(survivors.count() == exactCut.count())
+    assert(survivors.join(exactCut, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
   test("X10 packSequences: chunk arithmetic, shard isolation, budget bounds") {
     val d = Seq(
       ("s1", 1L, 100), ("s1", 2L, 100), ("s1", 3L, 100), ("s1", 4L, 30),
@@ -115,5 +147,20 @@ class CurationSpec extends SparkSpec {
       Seq((0L, 0L), (100L, 0L), (200L, 0L), (300L, 1L), (0L, 0L)))
     // pack_pos always within budget; shards start independently at 0
     assert(out.forall(r => r._5 >= 0 && r._5 < 256))
+  }
+
+  test("X10 packSequences pack_id is integer-exact past 2^53") {
+    // start_offset = 2^60 + 255: double arithmetic rounds it to
+    // 2^60 + 256 (ulp is 256 at that magnitude) and misplaces the doc
+    // into the NEXT pack; integer `div` must keep it in pack 2^52
+    val big = (1L << 60) + 255L
+    val d = Seq(("s1", 1L, big), ("s1", 2L, 1L)).toDF("source", "doc_id", "n")
+    val out = Curation.packSequences(d, "source", "doc_id", col("n"), budget = 256)
+      .where(col("doc_id") === 2L)
+      .select("start_offset", "pack_id", "pack_pos")
+      .as[(Long, Long, Long)].head()
+    assert(out._1 == big)
+    assert(out._2 == (1L << 52))
+    assert(out._3 == 255L)
   }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components / cluster-dedup (the X2 cluster step). The
+  * registered q_dedup_clusters / q_dedup_survivors are value-checked
+  * against a DuckDB recursive-CTE oracle by the driver; these cover
+  * the operator's graph semantics and the pointer-jumping convergence
+  * bound on constructed graphs.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(rows: (Long, Long)*): DataFrame =
+    rows.toDF("src", "dst")
+
+  private def cc(pairs: DataFrame, maxIters: Int = 20): Map[Long, Long] =
+    GraphOps.connectedComponents(pairs, "src", "dst", maxIters)
+      .as[(Long, Long)].collect().toMap
+
+  test("two disjoint components resolve to their minimum ids") {
+    val out = cc(edges(10L -> 20L, 20L -> 30L, 7L -> 8L))
+    assert(out == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("non-transitive pairs collapse through a shared member") {
+    // a~b and b~c but no a~c edge: one cluster regardless
+    val out = cc(edges(2L -> 1L, 2L -> 3L))
+    assert(out.values.toSet == Set(1L))
+  }
+
+  test("a 33-node path converges within 10 rounds (pointer jumping)") {
+    // naive min-propagation needs 32 rounds to carry label 0 to the
+    // far end; path halving must finish in O(log n)
+    val path = edges((0L until 32L).map(i => i -> (i + 1)): _*)
+    val out = cc(path, maxIters = 10)
+    assert(out.size == 33 && out.values.toSet == Set(0L))
+  }
+
+  test("duplicate and reversed edges are harmless") {
+    val out = cc(edges(1L -> 2L, 2L -> 1L, 1L -> 2L, 2L -> 3L))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("dedupByCluster keeps one survivor per cluster plus isolated docs") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = edges(1L -> 2L, 2L -> 3L, 5L -> 6L)
+    val kept = GraphOps.dedupByCluster(docs, "doc_id", pairs, "src", "dst")
+      .as[Long].collect().sorted
+    // 4 is in no pair: survives as its own singleton
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+}
