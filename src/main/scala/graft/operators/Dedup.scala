@@ -270,4 +270,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming")),
       sig)
   }
+
+  /** X2 exact substring-span dedup (the ExactSubstr pass of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022): a token span duplicated VERBATIM across documents is
+    * removed from every document except one keeper, leaving each
+    * document's unique remainder in place — the complement of
+    * whole-document near-dup dedup, which either keeps or drops a doc
+    * wholesale. Span unit here is the word `w`-gram: any `w`-gram
+    * occurring in >= 2 DISTINCT documents marks its `w` covering
+    * token positions as duplicated in every doc but the minimum
+    * doc id containing it (deterministic keeper; within-doc repeats
+    * alone are repetition, not duplication — X7's job).
+    *
+    * Returns (id, n_tokens, n_dropped, clean_text).
+    *
+    * Scale: the corpus never self-joins — cost is one shuffle of the
+    * (gram-hash, doc, pos) table to build the frequency/keeper stats
+    * (map-side partial agg), one gram-hash-keyed join back, and one
+    * doc-keyed aggregation of drop positions; reconstruction is a
+    * map-only array filter. Grams travel as md5 hashes, never strings
+    * — the shuffle row is ~16 bytes regardless of `w` (a false
+    * positive needs an md5 collision; at 2^64 grams the expected
+    * collision count is ~2^-1 — acceptable for corpus hygiene).
+    */
+  def stripRepeatedSpans(
+      df: DataFrame, id: String, text: Column, w: Int): DataFrame = {
+    val toks = df.select(col(id), split(text, " ").as("t"))
+    val grams = toks.where(size(col("t")) >= w)
+      .select(col(id),
+        posexplode(graft.functions.TextFns.shingles(col("t"), w)).as(Seq("spos", "gram")))
+      .select(col(id), col("spos"), md5(col("gram")).as("gh"))
+    val stats = grams.groupBy("gh")
+      .agg(count_distinct(col(id)).as("nd"), min(col(id)).as("keeper"))
+      .where(col("nd") >= 2)
+    val drops = grams.join(stats, "gh")
+      .where(col("keeper") =!= col(id))
+      .select(col(id), explode(sequence(col("spos"), col("spos") + (w - 1))).as("pos"))
+      .groupBy(col(id)).agg(array_sort(collect_set(col("pos"))).as("drops"))
+    toks.join(drops, Seq(id), "left")
+      .withColumn("drops", coalesce(col("drops"), array().cast("array<int>")))
+      .select(col(id),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("drops")).cast("long").as("n_dropped"),
+        concat_ws(" ",
+          filter(col("t"), (_, i) => !array_contains(col("drops"), i))).as("clean_text"))
+  }
 }

@@ -95,6 +95,14 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X2 span-level dedup: ExactSubstr (Lee et al. 2022) — verbatim
+    // cross-doc 8-gram spans removed everywhere but one keeper doc,
+    // each doc's unique remainder preserved (see Dedup scaladoc)
+    "q_strip_spans" -> ((s, d) => {
+      Dedup.stripRepeatedSpans(table(s, d, "documents"), "doc_id", col("text"), w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // X3: brute-force cosine top-10 for a deterministic query subset
     "q_cosine_topk" -> ((s, d) => {
       val e = table(s, d, "embeddings")
@@ -467,6 +475,28 @@ object NorthStarQueries {
          losers AS (SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node)
          SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
+    // ExactSubstr span dedup; 1-based list positions (Spark side is
+    // 0-based internally — positions never cross the engine boundary).
+    // coalesce on array_to_string: DuckDB returns NULL for an empty
+    // list where Spark's concat_ws returns '' (fully-duplicated docs)
+    "q_strip_spans" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+                 i -> {'spos': i, 'gh': md5(array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))})) AS sg
+               FROM tk WHERE len(t) >= 8),
+         g2 AS (SELECT doc_id, CAST(sg.spos AS BIGINT) AS spos, sg.gh AS gh FROM g),
+         stats AS (SELECT gh, min(doc_id) AS keeper FROM g2
+           GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         spans AS (SELECT g2.doc_id, g2.spos FROM g2 JOIN stats USING (gh)
+           WHERE stats.keeper <> g2.doc_id),
+         dp AS (SELECT doc_id, unnest(range(spos, spos + 8)) AS pos FROM spans),
+         d AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS drops FROM dp GROUP BY doc_id)
+         SELECT tk.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(drops), 0) AS BIGINT) AS n_dropped,
+           coalesce(array_to_string(list_transform(
+             list_filter(range(1, len(t) + 1), i -> drops IS NULL OR NOT list_contains(drops, i)),
+             i -> t[CAST(i AS INT)]), ' '), '') AS clean_text
+         FROM tk LEFT JOIN d USING (doc_id) ORDER BY doc_id""",
     "q_dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),

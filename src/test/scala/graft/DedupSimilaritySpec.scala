@@ -263,4 +263,59 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("r.id", "r.payload").as[(Long, String)].collect().toMap
     assert(out === Map(1L -> "b", 2L -> "d"))
   }
+
+  test("stripRepeatedSpans removes a shared span everywhere but the keeper") {
+    val d = Seq(
+      (1L, "a b c d e unique1 tail1"),   // keeper of span "a b c d e"
+      (2L, "pre2 a b c d e unique2"),    // loses the span, keeps remainder
+      (3L, "nothing in common here at"), // untouched
+      (4L, "short doc"))                 // shorter than w: untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(d, "doc_id", col("text"), w = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 7L, 0L, "a b c d e unique1 tail1")))
+    assert(out(1) == ((2L, 7L, 5L, "pre2 unique2")))
+    assert(out(2) == ((3L, 5L, 0L, "nothing in common here at")))
+    assert(out(3) == ((4L, 2L, 0L, "short doc")))
+  }
+
+  test("stripRepeatedSpans: overlapping duplicated grams drop the union of positions") {
+    // docs share a 6-token run => two overlapping 5-grams in doc 2;
+    // dropped positions are the union, not double-counted
+    val d = Seq(
+      (1L, "x1 a b c d e f y1"),
+      (2L, "x2 a b c d e f y2"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(d, "doc_id", col("text"), w = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_dropped", "clean_text")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) == ((1L, 0L, "x1 a b c d e f y1")))
+    assert(out(1) == ((2L, 6L, "x2 y2")))
+  }
+
+  test("stripRepeatedSpans: a within-doc repeat alone is not duplication") {
+    val d = Seq(
+      (1L, "r s t u v r s t u v"),       // internal repeat only
+      (2L, "totally different words here five"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(d, "doc_id", col("text"), w = 5)
+      .where(col("n_dropped") > 0).count()
+    assert(out == 0L)
+  }
+
+  test("stripRepeatedSpans: fully-duplicated doc empties to '' with all tokens dropped") {
+    val d = Seq(
+      (1L, "p q r s t"),
+      (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(d, "doc_id", col("text"), w = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_dropped", "clean_text")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) == ((1L, 0L, "p q r s t")))
+    assert(out(1) == ((2L, 5L, "")))
+  }
 }
