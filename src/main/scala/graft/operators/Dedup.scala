@@ -289,8 +289,8 @@ object Dedup {
     * (gram-hash, doc, pos) table to build the frequency/keeper stats
     * (map-side partial agg), one gram-hash-keyed join back, and one
     * doc-keyed aggregation of drop positions; reconstruction is a
-    * map-only array filter. Grams travel as md5 hashes, never strings
-    * — the shuffle row is ~16 bytes regardless of `w` (a false
+    * map-only array filter. Grams travel as md5 hex hashes, never
+    * strings — the shuffle key is 32 bytes regardless of `w` (a false
     * positive needs an md5 collision; at 2^64 grams the expected
     * collision count is ~2^-1 — acceptable for corpus hygiene).
     */

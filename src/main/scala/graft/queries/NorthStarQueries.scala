@@ -103,6 +103,21 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X4 tokenizer prep: vocabulary building — top-256 tokens by
+    // global frequency with deterministic rank ids (freq desc, token
+    // asc tie-break). Scale: explode → partial-agg counts (map-side
+    // combine, one shuffle on token), then TakeOrderedAndProject for
+    // the top-k — no global sort; the final 256-row window is driver
+    // -side trivia
+    "q_vocab" -> ((s, d) => {
+      val counts = table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      counts.orderBy(col("freq").desc, col("token")).limit(256)
+        .withColumn("token_id",
+          (row_number().over(Window.orderBy(col("freq").desc, col("token"))) - 1).cast("long"))
+    }),
+
     // X3: brute-force cosine top-10 for a deterministic query subset
     "q_cosine_topk" -> ((s, d) => {
       val e = table(s, d, "embeddings")
@@ -475,6 +490,12 @@ object NorthStarQueries {
          losers AS (SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node)
          SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
+    "q_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
+         SELECT token, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) - 1 AS token_id
+         FROM c ORDER BY freq DESC, token LIMIT 256""",
     // ExactSubstr span dedup; 1-based list positions (Spark side is
     // 0-based internally — positions never cross the engine boundary).
     // coalesce on array_to_string: DuckDB returns NULL for an empty
