@@ -49,6 +49,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** X6 semantic decontamination: flag corpus vectors whose embedding
+    * sits above `minCos` cosine of ANY benchmark vector — the
+    * embedding-space complement of n-gram decontamination
+    * (`Curation.decontaminate`), catching paraphrased benchmark
+    * leakage that shares no verbatim n-gram. Returns one row per
+    * contaminated corpus id: (id, n_hits, max_cos).
+    *
+    * Scale: same posture as the n-gram form — benchmarks are MBs
+    * while the corpus is TBs, so the benchmark side is broadcast and
+    * scored map-only against the stream of corpus vectors (a
+    * BroadcastNestedLoopJoin by construction: every corpus row scores
+    * every benchmark row — |C|·|B| codegen'd dots, embarrassingly
+    * parallel, no corpus shuffle); the only shuffle is the corpus-id
+    * partial-agg of hit counts. For benchmark sets too big to
+    * broadcast-scan (millions of vectors), [[lshNearDupPairs]]'s
+    * bucketed form between the two tables is the dial, same as the
+    * self-join case.
+    */
+  def semanticContamination(
+      corpus: DataFrame, benchmark: DataFrame, id: String, vec: String,
+      minCos: Double, roundTo: Int = 6): DataFrame = {
+    val b = broadcast(benchmark.select(col(id).as("bench_id"), col(vec).as("bv"),
+      VectorFns.norm2(col(vec)).as("bn")))
+    val c = corpus.select(col(id), col(vec).as("cv"),
+      VectorFns.norm2(col(vec)).as("cn"))
+    c.join(b, col(id) =!= col("bench_id"))
+      .withColumn("cosine", round(
+        when(col("cn") * col("bn") === 0.0, 0.0)
+          .otherwise(VectorFns.dot(col("cv"), col("bv")) / (col("cn") * col("bn"))),
+        roundTo))
+      .filter(col("cosine") >= minCos)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cos"))
+  }
+
   /** Exact near-duplicate pairs: cosine(a,b) >= minCos, a.id < b.id.
     * Self cross-join bounded by blocking on `blockBy` when provided
     * (e.g. an LSH bucket column) — pass None only at test scale.

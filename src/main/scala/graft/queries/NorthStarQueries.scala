@@ -166,6 +166,22 @@ object NorthStarQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // X6 semantic decontamination: corpus vectors above 0.40 cosine of
+    // any benchmark (vec_id % 20 == 0) vector — catches paraphrased
+    // benchmark leakage with no verbatim n-gram overlap (the
+    // embedding-space complement of q_decontaminate). 0.40 sits just
+    // under this synthetic corpus's max pair cosine band so the flag
+    // set is non-empty at every test SF (3 docs at sf0.001, 7 at
+    // sf0.01)
+    "q_decon_semantic" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      Similarity.semanticContamination(
+        corpus = e.filter(col("vec_id") % 20 =!= 0),
+        benchmark = e.filter(col("vec_id") % 20 === 0),
+        id = "vec_id", vec = "embedding", minCos = 0.40)
+        .orderBy(col("vec_id"))
+    }),
+
     // X3 scale path: LSH-bucketed ANN over 2 OR-amplified tables of 4
     // deterministic literal hyperplanes — fully oracle-able (the same
     // ±1 sign arrays are inlined into the DuckDB SQL below)
@@ -299,6 +315,18 @@ object NorthStarQueries {
        pr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
            FROM e q JOIN e c ON q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
     """ + scoreTail
+
+  /** X6 semantic decontamination: corpus (vec_id % 20 != 0) scored
+    * against every benchmark (% 20 == 0) vector; hits at >= 0.40.
+    */
+  private val deconSemanticSql = embedCte +
+    """,
+       pr AS (SELECT c.vec_id AS query_id, b.vec_id AS neighbor_id, c.v AS qv, b.v AS cv
+           FROM e c JOIN e b ON b.vec_id % 20 = 0 AND c.vec_id % 20 <> 0),
+    """ + scoreTail + """
+       SELECT query_id AS vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+         max(cosine) AS max_cos
+       FROM cs WHERE cosine >= 0.40 GROUP BY query_id ORDER BY vec_id"""
 
   /** DuckDB text of VectorFns.lshBucket(v, table, planes, dim): the
     * SAME literal ±1 hyperplane arrays (computed here driver-side from
@@ -563,6 +591,7 @@ object NorthStarQueries {
            FROM cand)
          WHERE hamming <= 12 ORDER BY id_a, id_b""",
     "q_cosine_topk" -> (cosineSql + topKTail(10)),
+    "q_decon_semantic" -> deconSemanticSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
     "q_embed_neardup_lsh" -> embedLshPairsSql,

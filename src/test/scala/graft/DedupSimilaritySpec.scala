@@ -264,6 +264,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out === Map(1L -> "b", 2L -> "d"))
   }
 
+  test("semanticContamination flags only corpus vectors near a benchmark vector") {
+    val bench = Seq((100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.1f)),   // near bench 100
+      (2L, Array(0.7f, 0.7f)),    // cos ~0.707 to BOTH benchmarks
+      (3L, Array(-1.0f, -0.1f)))  // near nothing (negative cosine)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(corpus, bench, "vec_id", "embedding",
+      minCos = 0.9)
+      .orderBy("vec_id").as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L))
+    val both = Similarity.semanticContamination(corpus, bench, "vec_id", "embedding",
+      minCos = 0.5)
+      .orderBy("vec_id").as[(Long, Long, Double)].collect()
+    // vec 2 is within 0.5 of both benchmarks: n_hits counts each
+    assert(both.map(r => (r._1, r._2)).toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("stripRepeatedSpans removes a shared span everywhere but the keeper") {
     val d = Seq(
       (1L, "a b c d e unique1 tail1"),   // keeper of span "a b c d e"
