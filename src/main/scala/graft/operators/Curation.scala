@@ -193,6 +193,49 @@ object Curation {
   def sampleByRate(df: DataFrame, id: String, rate: Column): DataFrame =
     df.where(hashBucket(col(id), 10000) < round(rate * 10000.0).cast("long"))
 
+  /** X11b: temperature-scaled domain mixing (the XLM-R / mC4
+    * "α-sampling" rule): instead of a hand-written per-domain rate
+    * table, derive each domain's sampling rate from the corpus itself
+    * so the OUTPUT mixture follows q_d ∝ n_d^α — α < 1 up-weights
+    * small domains (α=1 is proportional take, α=0 is uniform across
+    * domains). With an output budget of `budgetDocs` documents,
+    * rate_d = min(1, budget·q_d / n_d), applied as the same
+    * deterministic [[hashBucket]] basis-point cut as [[sampleByRate]]
+    * — reproducible, resumable, engine-portable.
+    *
+    * Returns the input plus (rate,) for surviving rows only.
+    *
+    * Determinism note: the α=0.5 path uses `sqrt` (correctly-rounded
+    * by IEEE 754 in every engine) and sums the per-domain weights in
+    * DECIMAL(38,15) (exact, order-independent — Spark's partial-agg
+    * order must not leak into the rates), so the derived rates are
+    * bit-identical across engines and the registered query carries a
+    * full value oracle. Other α go through `pow`, whose last-ulp
+    * behavior is libm-specific — fine for production mixing, not for
+    * cross-engine hashing.
+    *
+    * Scale: domain stats are one tiny partial-agg (|domains| rows);
+    * rates broadcast back; the cut is the same pushdown-friendly
+    * map-only filter as [[sampleByRate]]. The corpus shuffles zero
+    * times.
+    */
+  def temperatureMix(
+      df: DataFrame, id: String, domain: String,
+      alpha: Double, budgetDocs: Long): DataFrame = {
+    val counts = df.groupBy(col(domain))
+      .agg(count(lit(1)).cast("double").as("n_d"))
+    val weighted = counts.withColumn("s_d",
+      if (alpha == 0.5) sqrt(col("n_d")) else pow(col("n_d"), lit(alpha)))
+    val total = weighted
+      .agg(sum(col("s_d").cast("decimal(38,15)")).cast("double").as("S"))
+    val rates = weighted.crossJoin(broadcast(total))
+      .select(col(domain),
+        least(lit(1.0),
+          lit(budgetDocs.toDouble) * (col("s_d") / col("S")) / col("n_d")).as("rate"))
+    df.join(broadcast(rates), domain)
+      .where(hashBucket(col(id), 10000) < round(col("rate") * 10000.0).cast("long"))
+  }
+
   /** X10: concat-and-chunk sequence packing — the GPT-style
     * pretraining batcher: documents are laid end-to-end in a
     * deterministic order within each shard and the token stream is

@@ -104,6 +104,16 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X11b: temperature-scaled domain mixing — α=0.5 up-weights small
+    // sources; rates derived from the corpus itself (see
+    // Curation.temperatureMix determinism note), budget 250 docs
+    "q_temperature_mix" -> ((s, d) => {
+      Curation.temperatureMix(table(s, d, "documents"), "doc_id", "source",
+        alpha = 0.5, budgetDocs = 250L)
+        .select(col("doc_id"), col("source"), round(col("rate"), 6).as("rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X10: concat-and-chunk sequence packing, per-source shards
     "q_pack_sequences" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -182,6 +192,21 @@ object CurationQueries {
              $rateSql AS rate
            FROM documents)
          WHERE CAST(bp AS BIGINT) < CAST(round(rate * 10000.0) AS BIGINT)
+         ORDER BY doc_id""",
+    // sqrt is correctly-rounded IEEE in both engines; the weight sum
+    // is DECIMAL-exact (order-independent); every later op is the
+    // same double expression on both sides — rates are bit-identical
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_d
+           FROM documents GROUP BY source),
+         w AS (SELECT source, n_d, sqrt(n_d) AS s_d FROM c),
+         t AS (SELECT CAST(sum(CAST(s_d AS DECIMAL(38,15))) AS DOUBLE) AS S FROM w),
+         r AS (SELECT source, least(1.0, 250.0 * (s_d / S) / n_d) AS rate
+           FROM w CROSS JOIN t)
+         SELECT doc_id, source, round(rate, 6) AS rate
+         FROM documents JOIN r USING (source)
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
+           < CAST(round(rate * 10000.0) AS BIGINT)
          ORDER BY doc_id""",
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source,

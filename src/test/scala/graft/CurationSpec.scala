@@ -133,6 +133,25 @@ class CurationSpec extends SparkSpec {
     assert(survivors.join(exactCut, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("X11b temperatureMix: alpha<1 up-weights small domains; rates clamp at 1") {
+    // 900 docs in "big", 100 in "small": alpha=0.5 weights 30 vs 10
+    val d = spark.range(1000)
+      .selectExpr("id AS doc_id", "CASE WHEN id < 900 THEN 'big' ELSE 'small' END AS source")
+    val out = Curation.temperatureMix(d.toDF(), "doc_id", "source",
+      alpha = 0.5, budgetDocs = 400L)
+    val rates = out.select("source", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    // rate_small / rate_big = (s_small/n_small)/(s_big/n_big) = 3x
+    assert(math.abs(rates("small") / rates("big") - 3.0) < 1e-9)
+    // budget 400, q_big = 0.75 -> rate_big = 300/900 = 1/3
+    assert(math.abs(rates("big") - 1.0 / 3.0) < 1e-9)
+    // a huge budget clamps every rate at 1.0 and keeps everything
+    val all = Curation.temperatureMix(d.toDF(), "doc_id", "source",
+      alpha = 0.5, budgetDocs = 100000L)
+    assert(all.count() == 1000)
+    assert(all.select("rate").distinct().as[Double].collect().toSeq == Seq(1.0))
+  }
+
   test("X10 packSequences: chunk arithmetic, shard isolation, budget bounds") {
     val d = Seq(
       ("s1", 1L, 100), ("s1", 2L, 100), ("s1", 3L, 100), ("s1", 4L, 30),
