@@ -117,4 +117,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"),
       s"expected running window:\n$p")
   }
+
+  test("X6: semantic decon broadcasts the benchmark; the corpus side never shuffles pre-agg") {
+    val p = plan(SparkEntry.queries("q_decon_semantic")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"benchmark embeddings must broadcast:\n$p")
+    assert(p.contains("float_dot"), s"scoring must use the codegen dot:\n$p")
+  }
+
+  test("X11b: temperature mix broadcasts the derived rate table back onto the corpus") {
+    val p = plan(SparkEntry.queries("q_temperature_mix")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates (|domains| rows) must broadcast, never shuffle the corpus:\n$p")
+  }
+
+  test("X2: span dedup shuffles md5 gram hashes, not w-token strings") {
+    val p = SparkEntry.queries("q_strip_spans")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the gram string must be consumed by md5 BEFORE any exchange:
+    // the aggregate keys on the hash column, so no plan node carries
+    // the raw gram past the projection that hashes it
+    assert(p.contains("md5"), s"grams must be hashed:\n$p")
+    val ep = plan(SparkEntry.queries("q_strip_spans")(spark, sf))
+    assert(!ep.contains("CartesianProduct"),
+      s"span dedup must never self-join the corpus:\n$ep")
+  }
+
+  test("X4: vocab top-k plans TakeOrderedAndProject over partial-agg counts") {
+    val p = plan(SparkEntry.queries("q_vocab")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k, not global sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final count agg:\n$p")
+  }
 }
