@@ -236,6 +236,29 @@ object Curation {
       .where(hashBucket(col(id), 10000) < round(col("rate") * 10000.0).cast("long"))
   }
 
+  /** X12: deterministic stratified sampling — exactly `k` documents
+    * per stratum (domain/language/split cell), chosen by md5-hash
+    * rank with id tiebreak. Unlike rate-based sampling
+    * ([[sampleByRate]]) the output size per stratum is EXACT, which
+    * is what evaluation-set construction needs ("500 eval docs per
+    * language"), and unlike `rand()`-based `sampleBy` it is
+    * reproducible across runs, engines and re-shards.
+    *
+    * Scale: one hash-partitioned window per stratum (the stratum count
+    * is the parallelism floor — thousands of cells at real scale, so
+    * no single-partition pinch); rank <= k prunes early. For k ≪
+    * stratum size a pre-filter on [[hashBucket]] can bound the window
+    * input (not needed at test SFs; noted for 100 TB).
+    */
+  def stratifiedSample(
+      df: DataFrame, id: String, strata: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(md5(col(id).cast("string")), col(id))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** X10: concat-and-chunk sequence packing — the GPT-style
     * pretraining batcher: documents are laid end-to-end in a
     * deterministic order within each shard and the token stream is

@@ -114,6 +114,15 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X12: deterministic stratified sample — exactly 10 docs per
+    // (lang, source) cell by md5 rank; eval-set construction
+    "q_stratified_sample" -> ((s, d) => {
+      Curation.stratifiedSample(table(s, d, "documents"), "doc_id",
+        strata = Seq("lang", "source"), k = 10)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X10: concat-and-chunk sequence packing, per-source shards
     "q_pack_sequences" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -193,6 +202,13 @@ object CurationQueries {
            FROM documents)
          WHERE CAST(bp AS BIGINT) < CAST(round(rate * 10000.0) AS BIGINT)
          ORDER BY doc_id""",
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 10 ORDER BY doc_id""",
     // sqrt is correctly-rounded IEEE in both engines; the weight sum
     // is DECIMAL-exact (order-independent); every later op is the
     // same double expression on both sides — rates are bit-identical

@@ -152,6 +152,21 @@ class CurationSpec extends SparkSpec {
     assert(all.select("rate").distinct().as[Double].collect().toSeq == Seq(1.0))
   }
 
+  test("X12 stratifiedSample takes exactly k per stratum, deterministically") {
+    val d = spark.range(1000)
+      .selectExpr("id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS g")
+    val s1 = Curation.stratifiedSample(d.toDF(), "doc_id", Seq("g"), k = 7)
+    val counts = s1.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 7L, "b" -> 7L))
+    // a smaller stratum than k yields the whole stratum, no padding
+    val tiny = Curation.stratifiedSample(
+      d.where($"doc_id" < 2).toDF(), "doc_id", Seq("g"), k = 7)
+    assert(tiny.count() == 2)
+    // deterministic: same ids on re-evaluation
+    val s2 = Curation.stratifiedSample(d.toDF(), "doc_id", Seq("g"), k = 7)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).count() == 0)
+  }
+
   test("X10 packSequences: chunk arithmetic, shard isolation, budget bounds") {
     val d = Seq(
       ("s1", 1L, 100), ("s1", 2L, 100), ("s1", 3L, 100), ("s1", 4L, 30),
