@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, GraphOps, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -133,7 +133,18 @@ object ScaleBench {
         k = 2, minJ = 0.5).count()),
       "ngram_lsh" -> (() => Dedup.minhashNearDup(
         Tables.table(spark, dir, "documents"), "doc_id", col("text"),
-        k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5).count()))
+        k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5).count()),
+      // round-6 additions: span dedup (count = docs losing tokens —
+      // linear-by-construction since replica vocabularies are
+      // disjoint) and the cluster step over the LSH pair table
+      // (count = labeled nodes; rounds grow O(log diameter))
+      "strip_spans" -> (() => Dedup.stripRepeatedSpans(
+        Tables.table(spark, dir, "documents"), "doc_id", col("text"), w = 8)
+        .where(col("n_dropped") > 0).count()),
+      "cc_clusters" -> (() => GraphOps.connectedComponents(
+        Dedup.minhashNearDup(Tables.table(spark, dir, "documents"),
+          "doc_id", col("text"), k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5),
+        "id_a", "id_b").count()))
 
     val pathFilter = sys.env.get("SPARK_GRAFT_SCALE_PATHS")
     def selected(dir: String): Seq[(String, () => Long)] =
