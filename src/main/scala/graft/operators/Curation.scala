@@ -236,6 +236,37 @@ object Curation {
       .where(hashBucket(col(id), 10000) < round(col("rate") * 10000.0).cast("long"))
   }
 
+  /** X13: unigram LM quality scoring — the corpus-internal stand-in
+    * for CCNet-style LM-perplexity filtering: each token's log
+    * probability comes from the corpus's own unigram distribution,
+    * and a document's score is its mean token log-prob (natural log;
+    * higher = more typical text, extreme negatives = junk/outlier
+    * vocabulary). No external model, fully deterministic, so the
+    * filter is reproducible anywhere. Returns (id, n_tokens,
+    * avg_logprob).
+    *
+    * Scale: the unigram table is vocabulary-sized (millions of rows
+    * at web scale — broadcast range for any real tokenizer vocab;
+    * Spark falls back to a shuffle join automatically past the
+    * threshold), built with one token-keyed partial agg; scoring is
+    * explode → broadcast join → doc-keyed partial mean. The corpus
+    * never self-joins.
+    */
+  def unigramLogProb(df: DataFrame, id: String, text: Column): DataFrame = {
+    val toks = df.select(col(id), explode(split(text, " ")).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).cast("double").as("cnt"))
+    val total = counts.agg(sum(col("cnt").cast("decimal(38,6)")).cast("double").as("tot"))
+    val lp = counts.crossJoin(broadcast(total))
+      .select(col("token"), log(col("cnt") / col("tot")).as("lp"))
+    toks.join(broadcast(lp), "token")
+      .groupBy(col(id))
+      // mean via DECIMAL-exact sum, not avg(): double summation order
+      // is partition-dependent and must not leak into the score
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("lp").cast("decimal(38,15)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logprob"))
+  }
+
   /** X12: deterministic stratified sampling — exactly `k` documents
     * per stratum (domain/language/split cell), chosen by md5-hash
     * rank with id tiebreak. Unlike rate-based sampling

@@ -114,6 +114,14 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X13: unigram LM quality score — CCNet-style perplexity
+    // filtering against the corpus's own unigram distribution
+    "q_unigram_quality" -> ((s, d) => {
+      Curation.unigramLogProb(table(s, d, "documents"), "doc_id", col("text"))
+        .select(col("doc_id"), col("n_tokens"), round(col("avg_logprob"), 6).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X12: deterministic stratified sample — exactly 10 docs per
     // (lang, source) cell by md5 rank; eval-set construction
     "q_stratified_sample" -> ((s, d) => {
@@ -202,6 +210,19 @@ object CurationQueries {
            FROM documents)
          WHERE CAST(bp AS BIGINT) < CAST(round(rate * 10000.0) AS BIGINT)
          ORDER BY doc_id""",
+    // ln() parity note: last-ulp libm differences are ~1e-16 relative
+    // and the score is rounded to 6 decimals — same accepted risk
+    // class as double division elsewhere; sums are DECIMAL-exact
+    "q_unigram_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         c AS (SELECT token, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY token),
+         t AS (SELECT CAST(sum(CAST(cnt AS DECIMAL(38,6))) AS DOUBLE) AS tot FROM c),
+         lp AS (SELECT token, ln(cnt / tot) AS lp FROM c CROSS JOIN t)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(lp AS DECIMAL(38,15))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+         FROM tok JOIN lp USING (token)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source FROM (
            SELECT doc_id, lang, source,

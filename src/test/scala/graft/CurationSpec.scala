@@ -152,6 +152,27 @@ class CurationSpec extends SparkSpec {
     assert(all.select("rate").distinct().as[Double].collect().toSeq == Seq(1.0))
   }
 
+  test("X13 unigramLogProb ranks typical text above outlier vocabulary") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),     // common corpus words
+      (2L, "the cat sat on the mat"),
+      (3L, "zqx wvu kjh zqx wvu kjh"))    // tokens seen only here
+      .toDF("doc_id", "text")
+    val out = Curation.unigramLogProb(d, "doc_id", col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(6L, 6L, 6L))
+    // docs 1-2 identical text => identical score; doc 3's rare tokens
+    // score strictly lower
+    assert(out(0)._3 == out(1)._3)
+    assert(out(2)._3 < out(0)._3)
+    // unigram sanity: "the" (corpus count 4/18) twice per doc, the
+    // other four tokens (count 2/18) once each
+    val expected = (2 * math.log(4.0 / 18.0) + 4 * math.log(2.0 / 18.0)) / 6.0
+    assert(math.abs(out(0)._3 - expected) < 1e-9)
+  }
+
   test("X12 stratifiedSample takes exactly k per stratum, deterministically") {
     val d = spark.range(1000)
       .selectExpr("id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS g")
