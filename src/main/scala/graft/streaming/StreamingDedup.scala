@@ -62,7 +62,7 @@ object StreamingDedup {
     */
   private val V2 = "v2"
 
-  private def v2Path(storeDir: String): String = s"$storeDir/$V2"
+  private[streaming] def v2Path(storeDir: String): String = s"$storeDir/$V2"
 
   /** Tier 1: exact in-stream dedup, state bounded by the watermark. */
   def dedupWithinStream(
@@ -193,7 +193,7 @@ object StreamingDedup {
     * a `file:` URI it answers "absent", silently disabling cross-batch
     * dedup in exactly the distributed deployments the store targets.
     */
-  private def pathExists(spark: SparkSession, dir: String): Boolean = {
+  private[streaming] def pathExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
@@ -373,7 +373,7 @@ object StreamingDedup {
     }
   }
 
-  private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
+  private[streaming] def emptyDf(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
@@ -510,7 +510,7 @@ object StreamingDedup {
   def compactSigStore(spark: SparkSession, storeDir: String): Unit =
     compact(spark, v2Path(storeDir), SigStoreSchema, Seq("band", "bpfx"))
 
-  private def compact(
+  private[streaming] def compact(
       spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String]): Unit = {

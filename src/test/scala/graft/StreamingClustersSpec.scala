@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.{StreamingClusters, StreamingDedup}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Incremental near-dup clustering against the persistent label store
+  * (streaming face of the X2 cluster step): per-batch assignment,
+  * cluster-bridge merge logging, read-time exact resolution, and
+  * durable compaction.
+  */
+class StreamingClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog and runs away fast"
+  private val docA2 = "the quick brown fox jumps over the lazy cat and runs away fast"
+  private val docA3 = "the quick brown fox jumps over the lazy rat and runs away fast"
+  private val docB = "completely different content about spark engines and shuffles"
+  private val docC = "yet another unrelated text mentioning benchmarks and joins"
+
+  private def runBatches(dir: String)(batches: Seq[(Long, String)]*): Unit = {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingClusters.assignAgainstStore(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", maxHamming = 12,
+      s"$dir/store", s"$dir/out", s"$dir/ckpt").start()
+    try batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  test("X2-streaming: new docs adopt the stored cluster label across batches") {
+    val dir = Files.createTempDirectory("graft-sclusters").toString
+    runBatches(dir)(
+      Seq(1L -> docA, 2L -> docB),
+      // 10 is a near-dup of stored doc 1 → label 1; 22 is novel → label 22
+      Seq(10L -> docA2, 22L -> docC))
+    val out = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 10L -> 1L, 22L -> 22L), s"got $out")
+  }
+
+  test("X2-streaming: batch-internal components cluster before store assignment") {
+    val dir = Files.createTempDirectory("graft-sclusters2").toString
+    runBatches(dir)(
+      // 20/21 are near-dups of each other within ONE batch: both take
+      // the component min 20; 22 is its own singleton
+      Seq(20L -> docA, 21L -> docA2, 22L -> docC))
+    val out = spark.read.parquet(s"$dir/out").as[(Long, Long)].collect().toMap
+    assert(out == Map(20L -> 20L, 21L -> 20L, 22L -> 22L), s"got $out")
+  }
+
+  test("X2-streaming: a bridging doc records a merge edge; resolve + compact unify") {
+    val dir = Files.createTempDirectory("graft-sclusters3").toString
+    runBatches(dir)(
+      // two separate clusters seeded in SEPARATE batches so neither
+      // sees the other at insert time
+      Seq(1L -> docA),
+      Seq(5L -> docA3),
+      // doc 9 is near BOTH stored docs → adopts min label 1 and logs
+      // the (1, 5) bridge
+      Seq(9L -> docA2))
+    val out = spark.read.parquet(s"$dir/out").as[(Long, Long)].collect().toMap
+    assert(out(9L) == 1L, s"bridging doc must adopt the min label: $out")
+    // the store still holds doc 5 under its stale label 5 (append-only
+    // hot path) — but resolveLabels closes the pointer forest exactly
+    val resolved = StreamingClusters.resolveLabels(spark, s"$dir/store")
+      .as[(Long, Long)].collect().toMap
+    assert(resolved == Map(1L -> 1L, 5L -> 1L, 9L -> 1L), s"resolved: $resolved")
+    // compaction makes it durable: store labels rewritten, merge log
+    // cleared, and resolution still exact afterwards
+    StreamingClusters.compactLabels(spark, s"$dir/store")
+    val store = spark.read.schema(StreamingClusters.LabelStoreSchema)
+      .parquet(s"$dir/store/v2")
+    assert(store.select("label").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(!new java.io.File(s"$dir/store/merges").exists())
+    val post = StreamingClusters.resolveLabels(spark, s"$dir/store")
+      .as[(Long, Long)].collect().toMap
+    assert(post == resolved)
+  }
+
+  test("X2-streaming: label-store probe reads a pruned file subset") {
+    val dir = Files.createTempDirectory("graft-sclusters4").toString
+    runBatches(dir)(Seq(1L -> docA, 2L -> docB, 3L -> docC))
+    val full = spark.read.schema(StreamingClusters.LabelStoreSchema)
+      .parquet(s"$dir/store/v2")
+    val keys = full.select(col("band"), col("bpfx")).distinct()
+      .as[(Int, String)].collect()
+    assert(keys.length > 1, "fixture must span >1 (band, bpfx) partition")
+    // numFiles from the executed FileSourceScan — inputFiles ignores
+    // partition filters
+    def filesOf(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val probe = StreamingClusters.prunedLabelStore(spark, s"$dir/store", Seq(keys.head))
+    val (np, nf) = (filesOf(probe), filesOf(full))
+    assert(np > 0 && np < nf, s"probe must prune: $np of $nf")
+  }
+}
