@@ -4,12 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Training-data curation operators (SURVEY.md §2.10 X6-X11): the
+/** Training-data curation operators (SURVEY.md §2.10 X6-X13): the
   * corpus-hygiene pass a large-scale LLM pretraining pipeline runs
   * AFTER dedup (X1/X2) and BEFORE tokenization — benchmark
   * decontamination, repetition/quality filtering, PII redaction,
-  * deterministic train/val/test splits, quality-weighted domain
-  * mixing, and concat-and-chunk sequence packing.
+  * deterministic train/val/test splits, quality-weighted and
+  * temperature-scaled domain mixing, concat-and-chunk sequence
+  * packing, stratified eval sampling, and unigram-LM quality scoring.
   *
   * Everything is DataFrame transformations (Catalyst gets pushdown,
   * partial aggregation and AQE for free; nothing collects to the

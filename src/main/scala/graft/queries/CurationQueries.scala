@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators over the `documents` table (SURVEY.md
-  * §2.10 X6-X11): benchmark decontamination, repetition filtering,
+  * §2.10 X6-X13): benchmark decontamination, repetition filtering,
   * PII redaction, deterministic splits, domain mixing and sequence
   * packing — the post-dedup hygiene stages of a pretraining data
   * pipeline, each with a full value-level DuckDB oracle.
