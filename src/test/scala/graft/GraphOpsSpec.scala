@@ -3,6 +3,8 @@ package graft
 import graft.operators.GraphOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 /** Connected components / cluster-dedup (the X2 cluster step). The
   * registered q_dedup_clusters / q_dedup_survivors are value-checked
@@ -42,6 +44,35 @@ class GraphOpsSpec extends SparkSpec {
   test("duplicate and reversed edges are harmless") {
     val out = cc(edges(1L -> 2L, 2L -> 1L, 1L -> 2L, 2L -> 3L))
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connectedComponents matches a union-find reference on random graphs") {
+    // seeded ScalaCheck generators (scalatestplus bridge not available
+    // offline — fixed seeds keep runs reproducible)
+    val edgeGen = Gen.listOfN(40, for {
+      a <- Gen.choose(0L, 24L)
+      b <- Gen.choose(0L, 24L) if a != b
+    } yield (a, b))
+    def unionFind(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize to min-of-component (find roots are mins because
+      // union always points the larger root at the smaller)
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    (1 to 8).foreach { i =>
+      val es = edgeGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val expected = unionFind(es)
+      val got = cc(edges(es: _*))
+      assert(got == expected, s"seed $i: got $got\nexpected $expected")
+    }
   }
 
   test("dedupByCluster keeps one survivor per cluster plus isolated docs") {
