@@ -325,6 +325,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == 0L)
   }
 
+  test("stripRepeatedSpans matches an in-memory reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small vocabulary forces genuine cross-doc gram collisions
+    val docGen = Gen.listOfN(12,
+      Gen.choose(5, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))))
+    def reference(docs: Seq[(Long, Seq[String])], w: Int): Map[Long, (Long, String)] = {
+      val grams = docs.flatMap { case (id, t) =>
+        t.sliding(w).filter(_.length == w).zipWithIndex
+          .map { case (g, i) => (g.mkString(" "), id, i) }
+      }
+      val byGram = grams.groupBy(_._1)
+      val drops = docs.map { case (id, t) =>
+        val dropped = grams.filter(_._2 == id).flatMap { case (g, _, i) =>
+          val occ = byGram(g)
+          val keeper = occ.map(_._2).min
+          if (occ.map(_._2).distinct.size >= 2 && keeper != id) (i until i + w) else Nil
+        }.toSet
+        id -> (dropped.size.toLong,
+          t.zipWithIndex.collect { case (tok, i) if !dropped(i) => tok }.mkString(" "))
+      }
+      drops.toMap
+    }
+    (1 to 5).foreach { s =>
+      val toks = docGen.apply(Gen.Parameters.default, Seed(s.toLong)).get
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.stripRepeatedSpans(df, "doc_id", col("text"), w = 4)
+        .select("doc_id", "n_dropped", "clean_text")
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == reference(docs, 4), s"seed $s mismatch")
+    }
+  }
+
   test("stripRepeatedSpans: fully-duplicated doc empties to '' with all tokens dropped") {
     val d = Seq(
       (1L, "p q r s t"),
