@@ -64,6 +64,27 @@ object CurationQueries {
         lit(" "), col("text")))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X6-X13 composite: the curation stages compose into ONE Catalyst
+    // plan — PII scrub (map-only) → repetition filter (doc-keyed
+    // aggs) → deterministic split (map-only) → sequence packing
+    // (shard-scoped window) — so the optimizer sees the whole
+    // pipeline: one corpus scan feeds the scrub and the repetition
+    // stats, the filter prunes before the window, and no stage
+    // materializes an intermediate corpus
+    "q_curation_pipeline" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val scrubbed = Curation.scrubPii(withContact(docs), col("raw"))
+      val keepIds = Curation.repetitionStats(docs, "doc_id", col("text"),
+        maxDupWordFrac = MaxDupWordFrac, maxTopBigramFrac = MaxTopBigramFrac)
+        .where(!col("repetitive")).select(col("doc_id"))
+      val kept = Curation.assignSplit(scrubbed.join(keepIds, "doc_id"), "doc_id")
+      Curation.packSequences(kept, shard = "source", order = "doc_id",
+        nTokens = size(split(col("scrubbed"), " ")), budget = PackBudget)
+        .select(col("doc_id"), col("source"), col("split"), col("n_redactions"),
+          col("n_tokens"), col("pack_id"), col("pack_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X6: benchmark decontamination — training docs sharing a verbatim
     // 6-gram with the (doc_id % 10 == 0) eval holdout
     "q_decontaminate" -> ((s, d) => {
@@ -146,19 +167,8 @@ object CurationQueries {
           WHEN source IN (${midQ.map(x => s"'$x'").mkString(", ")}) THEN 0.5
           ELSE 0.25 END"""
 
-  val oracles: Map[String, String] = Map(
-    "q_decontaminate" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - ${DecontamN - 2}),
-             i -> array_to_string(t[CAST(i AS INT):CAST(i + ${DecontamN - 1} AS INT)], ' ')))) AS ng
-           FROM tk WHERE len(t) >= $DecontamN),
-         bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0),
-         corp AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 <> 0)
-         SELECT doc_id, count(*) AS n_hits
-         FROM corp JOIN bench USING (ng)
-         GROUP BY doc_id ORDER BY doc_id""",
-    "q_quality_repetition" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  private val oracleRepetition: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
              round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS dup_word_frac
            FROM tk),
@@ -173,9 +183,10 @@ object CurationQueries {
            coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
            (dup_word_frac > $MaxDupWordFrac
              OR coalesce(top_bigram_frac, 0.0) > $MaxTopBigramFrac) AS repetitive
-         FROM base LEFT JOIN tb USING (doc_id) ORDER BY doc_id""",
-    "q_pii_scrub" ->
-      s"""WITH raw AS (SELECT doc_id,
+         FROM base LEFT JOIN tb USING (doc_id) ORDER BY doc_id"""
+
+  private val oraclePii: String =
+    s"""WITH raw AS (SELECT doc_id,
              'user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com +1-555-'
                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
@@ -194,14 +205,51 @@ object CurationQueries {
            CAST(len(regexp_extract_all(r, '${Curation.EmailRe}'))
              + len(regexp_extract_all(r1, '${Curation.SsnRe}'))
              + len(regexp_extract_all(r2, '${Curation.PhoneRe}')) AS BIGINT) AS n_redactions
-         FROM prog2 ORDER BY doc_id""",
-    "q_split_assign" ->
-      """SELECT doc_id, source,
+         FROM prog2 ORDER BY doc_id"""
+
+  private val oracleSplit: String =
+    """SELECT doc_id, source,
            CASE WHEN b < 12 THEN 'train' WHEN b < 14 THEN 'val' ELSE 'test' END AS split
          FROM (SELECT doc_id, source,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 16 AS b
            FROM documents)
-         ORDER BY doc_id""",
+         ORDER BY doc_id"""
+
+  /** Composite oracle assembled by nesting the individually-verified
+    * stage oracles as derived tables (ORDER BY in a subquery is
+    * legal and ignored), then re-stating the packing window over the
+    * SURVIVING docs only — identical survivor set on both sides.
+    */
+  private def pipelineOracle: String =
+    s"""WITH scrub AS (SELECT doc_id, scrubbed, n_redactions FROM (${oraclePii})),
+       rep AS (SELECT doc_id FROM (${oracleRepetition}) WHERE NOT repetitive),
+       splitt AS (SELECT doc_id, source, split FROM (${oracleSplit})),
+       kept AS (SELECT s.doc_id, sp.source, sp.split, s.n_redactions,
+           CAST(len(string_split(s.scrubbed, ' ')) AS BIGINT) AS n_tokens
+         FROM scrub s JOIN rep USING (doc_id) JOIN splitt sp USING (doc_id)),
+       o AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+         FROM kept)
+       SELECT doc_id, source, split, n_redactions, n_tokens,
+         CAST(start_offset // $PackBudget AS BIGINT) AS pack_id,
+         CAST(start_offset % $PackBudget AS BIGINT) AS pack_pos
+       FROM o ORDER BY doc_id"""
+
+  val oracles: Map[String, String] = Map(
+    "q_curation_pipeline" -> pipelineOracle,
+    "q_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - ${DecontamN - 2}),
+             i -> array_to_string(t[CAST(i AS INT):CAST(i + ${DecontamN - 1} AS INT)], ' ')))) AS ng
+           FROM tk WHERE len(t) >= $DecontamN),
+         bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0),
+         corp AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 <> 0)
+         SELECT doc_id, count(*) AS n_hits
+         FROM corp JOIN bench USING (ng)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_quality_repetition" -> oracleRepetition,
+    "q_pii_scrub" -> oraclePii,
+    "q_split_assign" -> oracleSplit,
     "q_domain_mix" ->
       s"""SELECT doc_id, source FROM (
            SELECT doc_id, source,
