@@ -67,10 +67,12 @@ object CurationQueries {
     // X6-X13 composite: the curation stages compose into ONE Catalyst
     // plan — PII scrub (map-only) → repetition filter (doc-keyed
     // aggs) → deterministic split (map-only) → sequence packing
-    // (shard-scoped window) — so the optimizer sees the whole
-    // pipeline: one corpus scan feeds the scrub and the repetition
-    // stats, the filter prunes before the window, and no stage
-    // materializes an intermediate corpus
+    // (shard-scoped window). The optimizer sees the whole pipeline:
+    // no stage materializes an intermediate corpus, the repetition
+    // filter prunes rows before the packing window, and each of the
+    // plan's three corpus scans (scrub, token stats, bigram stats —
+    // Spark does not CSE scans across join branches) reads only its
+    // own pruned columns
     "q_curation_pipeline" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val scrubbed = Curation.scrubPii(withContact(docs), col("raw"))
