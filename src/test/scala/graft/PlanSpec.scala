@@ -143,6 +143,16 @@ class PlanSpec extends SparkSpec {
       s"span dedup must never self-join the corpus:\n$ep")
   }
 
+  test("X6-X13: the composite curation pipeline is one plan, filter before window") {
+    val p = plan(SparkEntry.queries("q_curation_pipeline")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    assert(p.contains("Window"), s"packing window must be present:\n$p")
+    // the repetition filter joins are equi-joins on doc_id (broadcast
+    // or shuffled) — row pruning happens before the packing window
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"repetition stats must run partial+final:\n$p")
+  }
+
   test("X4: vocab top-k plans TakeOrderedAndProject over partial-agg counts") {
     val p = plan(SparkEntry.queries("q_vocab")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k, not global sort:\n$p")
