@@ -78,14 +78,19 @@ object StreamingClusters {
       posexplode(bandArr).as(Seq("band", "bsig")))
     val ham = bit_count(col("s1").bitwiseXOR(col("st_s1"))) +
       bit_count(col("s2").bitwiseXOR(col("st_s2")))
-    // min matched store label per batch doc (min-agg absorbs the
-    // multi-band candidate duplicates for free, like the dedup probe)
+    // per batch doc: the min matched store label (drives adoption) AND
+    // the full set of matched labels — the set is what makes bridges
+    // recoverable when ONE doc matches several store clusters (min
+    // alone would silently drop every label but the smallest, losing
+    // the merge edge). Set size is bounded by the handful of near-dup
+    // clusters a single doc can collide with, not the corpus.
     val matches = bands
       .join(store.select(col("band").as("st_band"), col("bsig").as("st_bsig"),
         col("s1").as("st_s1"), col("s2").as("st_s2"), col("label").as("st_label")),
         col("band") === col("st_band") && col("bsig") === col("st_bsig"))
       .filter(ham <= maxHamming)
-      .groupBy(col(idCol)).agg(min(col("st_label")).as("store_label"))
+      .groupBy(col(idCol)).agg(min(col("st_label")).as("store_label"),
+        collect_set(col("st_label")).as("store_labels"))
     // batch-internal components; docs in no pair are their own comp
     val comp = GraphOps.connectedComponents(
       Dedup.simhashNearDup(batch, idCol, col(textCol), maxHamming),
@@ -99,10 +104,10 @@ object StreamingClusters {
       .select(col("comp"),
         least(col("comp"), coalesce(col("sl"), col("comp"))).as("label"))
     labeled.select(col(idCol), col("simhash"), col("s1"), col("s2"),
-        col("comp"), col("store_label"))
+        col("comp"), col("store_label"), col("store_labels"))
       .join(compLabel, "comp")
       .select(col(idCol).as("id"), col("label"), col("simhash"),
-        col("s1"), col("s2"), col("store_label"))
+        col("s1"), col("s2"), col("store_label"), col("store_labels"))
   }
 
   /** Streaming sink: per batch, cluster against the pruned label
@@ -131,11 +136,14 @@ object StreamingClusters {
           try {
             out.select(col("id"), col("label"))
               .write.mode(SaveMode.Append).parquet(outDir)
-            // bridge events: this component adopted `label` but ALSO
-            // matched a store cluster with a larger label
-            out.where(col("store_label").isNotNull &&
-                col("store_label") =!= col("label"))
-              .select(col("label"), col("store_label").as("merged_label"))
+            // bridge events: the component adopted `label` but some doc
+            // in it ALSO matched other store clusters — one edge per
+            // distinct matched label, so even a single doc bridging two
+            // store clusters (min-matched one adopted, the other not)
+            // leaves the closure recoverable
+            out.select(col("label"),
+                explode(col("store_labels")).as("merged_label"))
+              .where(col("merged_label") =!= col("label"))
               .distinct()
               .write.mode(SaveMode.Append).parquet(mergePath(storeDir))
             val bandArr = array((0 until 8).map(bn =>

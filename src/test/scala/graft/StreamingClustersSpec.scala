@@ -50,18 +50,32 @@ class StreamingClustersSpec extends SparkSpec {
     assert(out == Map(20L -> 20L, 21L -> 20L, 22L -> 22L), s"got $out")
   }
 
+  // bridge fixture: seed texts are hamming 18 apart (> maxHamming 12,
+  // so they form DISTINCT store clusters — neither matches the other
+  // at insert time), while the bridge doc is hamming 11 / 9 from them
+  // with band collisions on both sides. Distances verified against
+  // this exact md5-bigram simhash.
+  private val seedL = "the quick cow blue jumps over the lazy dog and runs away fast"
+  private val seedR = "the quick brown fox jumps over the pig green and runs away fast"
+
   test("X2-streaming: a bridging doc records a merge edge; resolve + compact unify") {
     val dir = Files.createTempDirectory("graft-sclusters3").toString
     runBatches(dir)(
-      // two separate clusters seeded in SEPARATE batches so neither
-      // sees the other at insert time
-      Seq(1L -> docA),
-      Seq(5L -> docA3),
-      // doc 9 is near BOTH stored docs → adopts min label 1 and logs
-      // the (1, 5) bridge
-      Seq(9L -> docA2))
+      // two separate clusters seeded in SEPARATE batches; their mutual
+      // hamming exceeds maxHamming so cluster 5 genuinely exists
+      Seq(1L -> seedL),
+      Seq(5L -> seedR),
+      // doc 9 (docA) is near BOTH stored docs → adopts min label 1;
+      // the unmatched-but-bridged label 5 must land in the merge log
+      Seq(9L -> docA))
     val out = spark.read.parquet(s"$dir/out").as[(Long, Long)].collect().toMap
-    assert(out(9L) == 1L, s"bridging doc must adopt the min label: $out")
+    assert(out == Map(1L -> 1L, 5L -> 5L, 9L -> 1L),
+      s"seeds must form distinct clusters before the bridge: $out")
+    // the merge log is the bug surface: a single doc matching two
+    // store clusters adopts the min and must still record the bridge
+    val merges = spark.read.parquet(s"$dir/store/merges")
+      .as[(Long, Long)].collect().toSet
+    assert(merges == Set(1L -> 5L), s"bridge must be logged: $merges")
     // the store still holds doc 5 under its stale label 5 (append-only
     // hot path) — but resolveLabels closes the pointer forest exactly
     val resolved = StreamingClusters.resolveLabels(spark, s"$dir/store")
