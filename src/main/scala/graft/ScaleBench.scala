@@ -128,6 +128,13 @@ object ScaleBench {
       "embed_lsh12" -> (() => Similarity.lshNearDupPairs(
         Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
         minCos = 0.45, planes = 12, dim = 64, tables = 16).count()),
+      // the library default: planes/tables omitted → lshConfigFor
+      // sizes them from a corpus count. Must land on 8×8 at the base
+      // SF and 12×16 at 30× — i.e. track the winning pinned config on
+      // both sides of the measured crossover.
+      "embed_lsh_auto" -> (() => Similarity.lshNearDupPairs(
+        Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+        minCos = 0.45, dim = 64).count()),
       "ngram_exact" -> (() => Dedup.ngramJaccard(
         Tables.table(spark, dir, "documents"), "doc_id", col("text"),
         k = 2, minJ = 0.5).count()),
@@ -169,6 +176,18 @@ object ScaleBench {
 
     val baseRes = measure(baseDir)
     val bigRes = measure(bigDir)
+
+    // the auto config's reason to exist: past the crossover it must
+    // beat the all-pairs form (a pinned 8×8 measurably does NOT at
+    // 30×). Hard assertion, not a logged trend — this is the check
+    // that the measured scale rule stayed wired to the default path.
+    val bigMap = bigRes.map { case (n, s, _) => n -> s }.toMap
+    for (a <- bigMap.get("embed_lsh_auto"); e <- bigMap.get("embed_exact")) {
+      System.err.println(
+        f"[scale] auto LSH $a%.2fs vs all-pairs $e%.2fs at ${factor}x")
+      if (factor >= 30 && a >= e) throw new AssertionError(
+        f"auto LSH config must beat all-pairs at ${factor}x: $a%.2fs >= $e%.2fs")
+    }
 
     def block(res: Seq[(String, Double, Long)]): String =
       res.map { case (n, s, c) => s""""${n}_s":$s,"${n}_pairs":$c""" }.mkString(",")

@@ -246,12 +246,15 @@ object Curation {
     * filter is reproducible anywhere. Returns (id, n_tokens,
     * avg_logprob).
     *
-    * Scale: the unigram table is vocabulary-sized (millions of rows
-    * at web scale — broadcast range for any real tokenizer vocab;
-    * Spark falls back to a shuffle join automatically past the
-    * threshold), built with one token-keyed partial agg; scoring is
-    * explode → broadcast join → doc-keyed partial mean. The corpus
-    * never self-joins.
+    * Scale: the unigram table is vocabulary-sized (small for any
+    * real tokenizer vocab, but a raw-whitespace vocab over web text
+    * can reach hundreds of millions of rows), so the score join is
+    * deliberately left UNHINTED: AQE broadcasts it at runtime when
+    * the built table is actually small and falls back to a shuffle
+    * join when it isn't — a forced broadcast here would OOM the
+    * driver exactly on the corpora this filter targets. The table is
+    * built with one token-keyed partial agg; scoring is explode →
+    * join → doc-keyed partial mean. The corpus never self-joins.
     */
   def unigramLogProb(df: DataFrame, id: String, text: Column): DataFrame = {
     val toks = df.select(col(id), explode(split(text, " ")).as("token"))
@@ -259,7 +262,7 @@ object Curation {
     val total = counts.agg(sum(col("cnt").cast("decimal(38,6)")).cast("double").as("tot"))
     val lp = counts.crossJoin(broadcast(total))
       .select(col("token"), log(col("cnt") / col("tot")).as("lp"))
-    toks.join(broadcast(lp), "token")
+    toks.join(lp, "token")
       .groupBy(col(id))
       // mean via DECIMAL-exact sum, not avg(): double summation order
       // is partition-dependent and must not leak into the score

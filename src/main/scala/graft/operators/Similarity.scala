@@ -18,9 +18,41 @@ import org.apache.spark.sql.functions._
   *  - [[lshTopK]] — approximate path: random-hyperplane LSH buckets
   *    (VectorFns.lshBucket) restrict the join to same-bucket pairs;
   *    recall is tunable via `planes` (fewer planes → bigger buckets →
-  *    higher recall, more work). This is the 100 TB default.
+  *    higher recall, more work), and by default (planes = 0) the
+  *    [[lshConfigFor]] measured rule sizes the buckets to the corpus.
+  *    This is the 100 TB default.
   */
 object Similarity {
+
+  /** Measured LSH sizing rule: (planes, tables) for a corpus of `n`
+    * vectors. Encodes BASELINE.md's crossover table rather than a
+    * formula guess:
+    *  - ≤ ~20k vectors: 8 planes × 8 tables (fastest measured config
+    *    at the oracled SFs; 12×16 loses here to per-row hashing cost);
+    *  - ~20k–100k: 12 planes × 16 tables (at 60k vectors, 8×8 loses
+    *    to brute force 2.9× while 12×16 wins 2.2× — clustered corpora
+    *    flood fixed-granularity buckets, so 2^planes must track |D|);
+    *  - beyond the measured range, extrapolate the same rule: the
+    *    measured step 20k→100k (5× data) added 4 planes (16× buckets)
+    *    and doubled tables, so each further 4× in |D| adds 2 planes
+    *    (4× buckets, keeping per-bucket occupancy flat) and doubles
+    *    tables (recall compensation: recall ≈ 1-(1-p^planes)^tables),
+    *    capped at 28 planes / 128 tables — past that, per-row hash
+    *    cost dominates and IVF is the better tier.
+    *
+    * This is the library DEFAULT for [[lshNearDupPairs]] and
+    * [[lshTopK]] (planes = 0 sentinel): without it a pinned config
+    * silently degrades as the corpus grows — the one remaining
+    * hand-tuned scale dial, now code.
+    */
+  def lshConfigFor(n: Long): (Int, Int) =
+    if (n <= 20000L) (8, 8)
+    else if (n <= 100000L) (12, 16)
+    else {
+      val quads = math.ceil(
+        math.log(n.toDouble / 100000.0) / math.log(4.0)).toInt
+      (math.min(12 + 2 * quads, 28), math.min(16L << quads, 128L).toInt)
+    }
 
   /** Exact top-k neighbors for each query row.
     * Ranking is on cosine rounded to `roundTo` decimals with a total
@@ -127,14 +159,19 @@ object Similarity {
     * Σ(cluster∩cell)² as the corpus grows (measured at a 10× corpus:
     * see BASELINE.md's crossover table). Trade recall back with more
     * tables (e.g. 8×8 → 12×16 keeps ~0.93 of the recall at ~8× fewer
-    * candidates).
+    * candidates). Leaving `planes` at the 0 sentinel applies
+    * [[lshConfigFor]] to a count of `df` — the measured rule, applied
+    * by default (one metadata-cheap count job at plan-build time).
     */
   def lshNearDupPairs(
       df: DataFrame, id: String, vec: String,
-      minCos: Double, planes: Int, dim: Int, tables: Int = 4,
+      minCos: Double, planes: Int = 0, dim: Int, tables: Int = 0,
       roundTo: Int = 6): DataFrame = {
+    val (np, nt) =
+      if (planes > 0) (planes, if (tables > 0) tables else 4)
+      else lshConfigFor(df.count())
     val buckets = (v: Column) =>
-      array((0 until tables).map(t => VectorFns.lshBucket(v, t, planes, dim)): _*)
+      array((0 until nt).map(t => VectorFns.lshBucket(v, t, np, dim)): _*)
     // Candidate generation is ID-ONLY: the bucket explode, the bucket
     // self-join and the cross-table dedup all move 16-byte id pairs,
     // never the vectors. Carrying the two float[dim] payloads through
@@ -150,7 +187,7 @@ object Similarity {
         Seq("__t", "__blk"))
       .filter(col("id_a") < col("id_b"))
     val cand =
-      if (tables == 1) matched.select("id_a", "id_b")
+      if (nt == 1) matched.select("id_a", "id_b")
       else matched.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     // Verify: join the vectors back per side. At |candidates| ≪ |D|²
     // these are two hash joins keyed on the id — broadcastable when
@@ -257,12 +294,18 @@ object Similarity {
     * @param dim embedding dimensionality (hyperplanes are literal
     *            ±1 sign vectors of this length — see
     *            [[VectorFns.planeSigns]]; engine-portable, oracle-able)
+    * @param planes 0 (default) sizes (planes, tables) from a corpus
+    *               count via [[lshConfigFor]] — the measured scale
+    *               rule; pass explicit values to pin a recall point
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, planes: Int, dim: Int, tables: Int = 1): DataFrame = {
+      k: Int, planes: Int = 0, dim: Int, tables: Int = 0): DataFrame = {
+    val (np, nt) =
+      if (planes > 0) (planes, if (tables > 0) tables else 1)
+      else lshConfigFor(corpus.count())
     val buckets = (v: Column) =>
-      array((0 until tables).map(t => VectorFns.lshBucket(v, t, planes, dim)): _*)
+      array((0 until nt).map(t => VectorFns.lshBucket(v, t, np, dim)): _*)
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
       VectorFns.norm2(col(vec)).as("qn"),
       posexplode(buckets(col(vec))).as(Seq("__t", "__blk")))
@@ -284,7 +327,7 @@ object Similarity {
     // with a single table a pair can match at most once — skip the
     // dedup shuffle; with OR-amplification collapse multi-table hits
     val cand =
-      if (tables == 1) scored
+      if (nt == 1) scored
       else scored.dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -116,6 +116,10 @@ object NorthStarQueries {
       counts.orderBy(col("freq").desc, col("token")).limit(256)
         .withColumn("token_id",
           (row_number().over(Window.orderBy(col("freq").desc, col("token"))) - 1).cast("long"))
+        // explicit output order: the oracle compare is row-order
+        // sensitive and the window's single-partition sort must not be
+        // relied on as a plan artifact
+        .orderBy(col("freq").desc, col("token"))
     }),
 
     // X3: brute-force cosine top-10 for a deterministic query subset
@@ -154,15 +158,18 @@ object NorthStarQueries {
     // 66.2 s) while THIS fixed 8×8 config loses (190 s) — on
     // clustered corpora 2^planes must grow with |D| or same-cluster
     // members flood shared buckets and candidate mass keeps the |D|²
-    // constant. The 8×8 registration stays because it is the fastest
-    // correct config at the oracled SF; production guidance is the
-    // planes dial (Similarity.lshNearDupPairs scaladoc). The other
-    // measured precondition: candidate stages must move id-only
-    // pairs — carrying vectors through the bucket join/dedup measured
-    // 119 s at 20k (fixed in Similarity.lshNearDupPairs).
+    // constant. That rule is now CODE, not prose: the registration
+    // leaves planes/tables at the auto default, so
+    // Similarity.lshConfigFor picks 8×8 at the oracled SFs (≤ 20k
+    // vectors — identical rows to the previously pinned config) and
+    // 12×16 past the measured 20k crossover, with the extrapolation
+    // documented in its scaladoc. The other measured precondition:
+    // candidate stages must move id-only pairs — carrying vectors
+    // through the bucket join/dedup measured 119 s at 20k (fixed in
+    // Similarity.lshNearDupPairs).
     "q_embed_neardup_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(table(s, d, "embeddings"), "vec_id", "embedding",
-        minCos = 0.45, planes = 8, dim = 64, tables = 8)
+        minCos = 0.45, dim = 64)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -184,7 +191,10 @@ object NorthStarQueries {
 
     // X3 scale path: LSH-bucketed ANN over 2 OR-amplified tables of 4
     // deterministic literal hyperplanes — fully oracle-able (the same
-    // ±1 sign arrays are inlined into the DuckDB SQL below)
+    // ±1 sign arrays are inlined into the DuckDB SQL below). The 4×2
+    // pin is the oracle contract (the SQL hard-codes those planes);
+    // library callers omitting planes get Similarity.lshConfigFor's
+    // corpus-sized default instead
     "q_ann_lsh" -> ((s, d) => {
       val e = table(s, d, "embeddings")
       Similarity.lshTopK(corpus = e, queries = e.filter(col("vec_id") % 20 === 0),

@@ -171,6 +171,33 @@ class DedupSimilaritySpec extends SparkSpec {
         s"strong-pair recall ${strongHit.toDouble / strong.size}")
   }
 
+  test("lshConfigFor pins the measured breakpoints and extrapolates the rule") {
+    // measured (BASELINE.md crossover table): 8×8 fastest up to ~20k
+    // vectors, 12×16 wins from there through the measured 60k point
+    assert(Similarity.lshConfigFor(500L) === ((8, 8)))
+    assert(Similarity.lshConfigFor(20000L) === ((8, 8)))
+    assert(Similarity.lshConfigFor(20001L) === ((12, 16)))
+    assert(Similarity.lshConfigFor(60000L) === ((12, 16)))
+    assert(Similarity.lshConfigFor(100000L) === ((12, 16)))
+    // extrapolation: each further 4× in |D| adds 2 planes (flat
+    // per-bucket occupancy) and doubles tables (recall compensation)
+    assert(Similarity.lshConfigFor(400000L) === ((14, 32)))
+    assert(Similarity.lshConfigFor(1600000L) === ((16, 64)))
+    // capped — past this, IVF is the better tier
+    assert(Similarity.lshConfigFor(Long.MaxValue) === ((28, 128)))
+  }
+
+  test("lshNearDupPairs auto default equals the pinned 8x8 config below the crossover") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val auto = run(Similarity.lshNearDupPairs(
+      emb, "vec_id", "embedding", minCos = 0.45, dim = 64))
+    val pinned = run(Similarity.lshNearDupPairs(
+      emb, "vec_id", "embedding", minCos = 0.45, planes = 8, dim = 64, tables = 8))
+    assert(auto === pinned)
+  }
+
   test("lshNearDupPairs recalls essentially all TRUE near-dups (cos~1 synthetic pairs)") {
     // the real corpus has no high-cosine pairs, so the operating
     // regime (dedup of genuine near-duplicates) is proven here:
