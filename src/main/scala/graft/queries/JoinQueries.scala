@@ -150,6 +150,31 @@ object JoinQueries {
       table(s, d, "region").select(col("r_name"))
         .crossJoin(table(s, d, "customer").select(col("c_mktsegment")).distinct())
         .orderBy(col("r_name"), col("c_mktsegment"))
+    }),
+
+    // J2d: salted skew join (operators.SkewJoin) — the hot-key
+    // mitigation, oracle-gated end-to-end. A deterministic event_id
+    // rule collapses ~80% of events onto one hot user (the skew a
+    // plain shuffle join straggles on: one reducer owns the hot key's
+    // entire mass); the per-user dim derives from the same events
+    // table; saltedJoin spreads the hot key over 8 (key, salt)
+    // reducers by replicating the SMALL side 8×. Salting is
+    // semantics-preserving, so the oracle below is the PLAIN join —
+    // a green row proves the salted plan computes exactly the
+    // un-salted result. Plan shape (Generate-replicated small side,
+    // __salt in the join keys) asserted in PlanSpec.
+    "q_join_skew" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val hot = when(col("event_id") % 10 < 8, lit(0L)).otherwise(col("user_id"))
+      val large = ev.select(hot.as("u"), col("value"))
+      val dim = ev.groupBy(col("user_id").as("u"))
+        .agg(count(lit(1)).as("user_events"))
+      graft.operators.SkewJoin.saltedJoin(large, dim, "u", salts = 8)
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"),
+          max(col("user_events")).as("user_events"))
+        .orderBy(col("u"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -222,5 +247,14 @@ object JoinQueries {
     "q_join_cross" ->
       """SELECT r_name, c_mktsegment FROM region
          CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) segs
-         ORDER BY r_name, c_mktsegment""")
+         ORDER BY r_name, c_mktsegment""",
+    "q_join_skew" ->
+      """WITH l AS (SELECT CASE WHEN event_id % 10 < 8 THEN 0 ELSE user_id END AS u, value
+           FROM events),
+         dm AS (SELECT user_id AS u, COUNT(*) AS user_events FROM events GROUP BY user_id)
+         SELECT l.u, COUNT(*) AS n,
+           CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value,
+           MAX(user_events) AS user_events
+         FROM l JOIN dm ON l.u = dm.u
+         GROUP BY l.u ORDER BY l.u""")
 }

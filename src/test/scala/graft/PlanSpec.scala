@@ -159,4 +159,20 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final count agg:\n$p")
   }
+
+  test("J2d: salted skew join keys the shuffle on (key, salt) with an exploded small side") {
+    // at test SF the replicated dim is broadcastable, which would hide
+    // the salted-shuffle shape the operator exists for — force the
+    // shuffle form the way a too-big-to-broadcast dim would at scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(SparkEntry.queries("q_join_skew")(spark, sf))
+      assert(p.contains("__salt"), s"join must key on the salt column:\n$p")
+      assert(p.contains("Generate explode"),
+        s"small side must replicate via explode(sequence):\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on (key, salt):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
