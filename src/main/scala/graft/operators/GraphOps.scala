@@ -32,8 +32,9 @@ import org.apache.spark.sql.functions._
   * O(|V|)), and the label set only ever shrinks toward component
   * minima — no state grows. Near-dup graphs in practice are dense
   * quasi-cliques of tiny diameter, so 3-5 rounds converge; the
-  * fixpoint check (`changed == 0`) costs one count per round on the
-  * already-materialized next frame. Each round's result is
+  * fixpoint check (`changed == 0`) is an `observe()` metric collected
+  * by the SAME job that materializes the round's checkpoint — one job
+  * per round, no separate count pass. Each round's result is
   * `localCheckpoint`ed: iterative self-referential plans otherwise
   * grow the lineage exponentially and re-execute every prior round at
   * each action. On a multi-executor cluster prefer reliable
@@ -89,11 +90,20 @@ object GraphOps {
       // path halving: follow my (new) label's OWN current label —
       // comp values are node ids, so they resolve against `labels`
       val ptr = labels.select(col("node").as("pnode"), col("comp").as("pcomp"))
+      // fixpoint check rides the checkpoint job as an observe() metric
+      // (verified: eager localCheckpoint fires CollectMetrics) — the
+      // previous separate count() doubled the job count per round
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iters")
       val next = stepped.join(ptr, stepped("c1") === ptr("pnode"), "left")
         .select(col("node"), col("comp"),
           least(col("c1"), coalesce(col("pcomp"), col("c1"))).as("newcomp"))
+        .observe(obs, sum(when(col("newcomp") =!= col("comp"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint()
-      changed = next.where(col("newcomp") =!= col("comp")).count()
+      changed = obs.get.getOrElse("changed", null) match {
+        case null => 0L // empty label frame → no rows → no change
+        case n: java.lang.Number => n.longValue()
+      }
       val prev = labels
       labels = next.select(col("node"), col("newcomp").as("comp"))
       prev.unpersist()
