@@ -204,9 +204,28 @@ object StreamingClusters {
   /** Durable exactness: rewrite every store row to its resolved
     * label, collapse per-batch appends (tmp + atomic rename, like the
     * dedup store compaction), and clear the merge log.
+    *
+    * Crash contract (single offline writer, like the dedup store
+    * compactions): the swap is delete-then-rename, so a crash leaves
+    * one of three states — (1) live store + stale tmp (died during or
+    * after the tmp write): reads never look at the tmp sibling and the
+    * next compaction overwrites it; (2) no store + COMPLETE tmp (died
+    * between delete and rename): recovered below by finishing the
+    * rename before compacting; (3) the normal before/after states.
+    * No state exposes a half-written store to readers.
     */
   def compactLabels(spark: SparkSession, storeDir: String): Unit = {
     val p = labelPath(storeDir)
+    locally { // finish a crashed swap: tmp holds the full compacted store
+      val conf = spark.sessionState.newHadoopConf()
+      val path = new org.apache.hadoop.fs.Path(p)
+      val t = new org.apache.hadoop.fs.Path(s"$p.compact")
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path) && fs.exists(t)) {
+        if (!fs.rename(t, path)) throw new java.io.IOException(
+          s"label store crash recovery failed: $t -> $p")
+      }
+    }
     if (!StreamingDedup.pathExists(spark, p)) return
     val resolved = resolveLabels(spark, storeDir)
       .withColumnRenamed("label", "new_label")

@@ -93,6 +93,75 @@ class StreamingClustersSpec extends SparkSpec {
     assert(post == resolved)
   }
 
+  test("X2-streaming property: random batched streams resolve to the batch CC; " +
+      "compaction idempotent; crash windows recoverable") {
+    import graft.operators.{Dedup, GraphOps}
+    val pool = Vector("cat", "rat", "cow", "pig", "hen", "owl", "bee", "ant",
+      "elk", "red", "blue", "green", "tall", "wide", "slow", "loud")
+    val bases = Vector(
+      "the quick brown fox jumps over the lazy dog and runs away fast",
+      "a data pipeline shuffles rows across many executors with great care")
+    def resolvedMap(store: String): Map[Long, Long] =
+      StreamingClusters.resolveLabels(spark, store)
+        .as[(Long, Long)].collect().toMap
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // random corpus: template variants at 0-3 substitutions (organic
+      // near-dup families) + the deterministic bridge triple so every
+      // seed exercises the merge-edge path
+      val randomDocs = (1L to 11L).map { i =>
+        val toks = bases(rnd.nextInt(bases.length)).split(" ")
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          toks(rnd.nextInt(toks.length)) = pool(rnd.nextInt(pool.length))
+        }
+        i -> toks.mkString(" ")
+      }
+      val docs = randomDocs ++ Seq(20L -> seedL, 21L -> seedR, 22L -> docA)
+      // random batching: 1-4 docs per batch, insertion order shuffled
+      // inside each batch but seeds-before-bridge is NOT guaranteed —
+      // bridges may appear in any batch, which is the point
+      val shuffled = rnd.shuffle(docs)
+      val batches = scala.collection.mutable.ListBuffer.empty[Seq[(Long, String)]]
+      var rest = shuffled
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(4)
+        batches += rest.take(k); rest = rest.drop(k)
+      }
+      val dir = Files.createTempDirectory(s"graft-scprop$seed").toString
+      runBatches(dir)(batches.toSeq: _*)
+      val store = s"$dir/store"
+      // (a) exact agreement with the batch operator over the full corpus
+      val full = docs.toDF("doc_id", "text")
+      val ccMap = GraphOps.connectedComponents(
+        Dedup.simhashNearDup(full, "doc_id", col("text"), maxHamming = 12),
+        "id_a", "id_b").as[(Long, Long)].collect().toMap
+      val expected = docs.map { case (id, _) => id -> ccMap.getOrElse(id, id) }.toMap
+      assert(resolvedMap(store) == expected,
+        s"seed $seed: incremental resolution diverged from batch CC")
+      // (b) compaction reaches the same labels and is idempotent
+      StreamingClusters.compactLabels(spark, store)
+      assert(resolvedMap(store) == expected, s"seed $seed: first compaction")
+      assert(!new java.io.File(s"$store/merges").exists(), s"seed $seed: merge log")
+      StreamingClusters.compactLabels(spark, store)
+      assert(resolvedMap(store) == expected, s"seed $seed: recompaction")
+      // (c) crash windows. c1: a stale tmp (died mid-write) is invisible
+      // to readers and overwritten by the next compaction
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sessionState.newHadoopConf())
+      val v2 = new org.apache.hadoop.fs.Path(s"$store/v2")
+      val tmp = new org.apache.hadoop.fs.Path(s"$store/v2.compact")
+      fs.mkdirs(tmp)
+      assert(resolvedMap(store) == expected, s"seed $seed: stale tmp perturbed reads")
+      StreamingClusters.compactLabels(spark, store)
+      assert(resolvedMap(store) == expected, s"seed $seed: compaction over stale tmp")
+      // c2: died between store delete and tmp rename — the COMPLETE new
+      // store sits in tmp; the next compaction finishes the swap
+      assert(fs.rename(v2, tmp), "simulated crash setup")
+      StreamingClusters.compactLabels(spark, store)
+      assert(resolvedMap(store) == expected, s"seed $seed: crashed-swap recovery")
+    }
+  }
+
   test("X2-streaming: label-store probe reads a pruned file subset") {
     val dir = Files.createTempDirectory("graft-sclusters4").toString
     runBatches(dir)(Seq(1L -> docA, 2L -> docB, 3L -> docC))
