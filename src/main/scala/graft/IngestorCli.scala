@@ -108,9 +108,10 @@ object IngestorCli {
 
   /** The whole ingest flow minus session lifecycle — the testable
     * seam (specs drive it against stub HTTP servers on a shared
-    * session that must survive the run).
+    * session that must survive the run). Returns the run's metrics so
+    * callers/specs can assert the four reference quantities (ST9).
     */
-  def run(spark: SparkSession, a: Args): Unit = {
+  def run(spark: SparkSession, a: Args): IngestionMetrics = {
     // real OTLP/HTTP span export when --otlp is given (reference runs
     // its otlptracehttp exporter unconditionally, tracing.go:19-51;
     // here it is opt-in so a database-free local run needs no collector)
@@ -143,11 +144,19 @@ object IngestorCli {
             concat(col("user_id"), lit("@example.com")).as("email"),
             lit(0).as("is_deleted"), lit(1).as("_op"))
       case "cdc" =>
-        // effectiveBrokers, not the raw list: honours the reference's
-        // KAFKA_FORCE_LOCAL=1 local-dev shim (cdc.go:19-34)
-        CdcStreaming.translate(
-          CdcStreaming.kafkaSource(spark, a.cfg.effectiveBrokers().mkString(","),
-            a.cfg.topic, groupId = Some(a.cfg.groupId)))
+        val src = a.cfg.brokers match {
+          // broker-free transport: a Debezium-envelope JSON directory
+          // stands in for the topic (raw list, before the force-local
+          // shim — `file:` is not a host to rewrite)
+          case Seq(f) if f.startsWith("file:") =>
+            CdcStreaming.fileSource(spark, f.stripPrefix("file:"))
+          case _ =>
+            // effectiveBrokers, not the raw list: honours the
+            // reference's KAFKA_FORCE_LOCAL=1 local-dev shim (cdc.go:19-34)
+            CdcStreaming.kafkaSource(spark, a.cfg.effectiveBrokers().mkString(","),
+              a.cfg.topic, groupId = Some(a.cfg.groupId))
+        }
+        CdcStreaming.translate(src)
       case other => sys.error(s"unknown mode: $other (synthetic|cdc)")
     }
 
@@ -172,6 +181,12 @@ object IngestorCli {
       // bounded run then park (reference semantics, cmd/root.go:143-146):
       // here "park" = clean stop after the duration
       SyntheticSource.runBounded(query, a.durationS * 1000L)
+    } else if (a.cfg.brokers.headOption.exists(_.startsWith("file:"))) {
+      // file transport is a finite fixture, not an endless topic:
+      // drain everything present, then stop cleanly
+      query.processAllAvailable()
+      query.stop()
+      query.awaitTermination()
     } else {
       query.awaitTermination()
     }
@@ -181,5 +196,6 @@ object IngestorCli {
       println(ClickHouseHttp.render())
     metricsServer.foreach(_.stop())
     spark.streams.removeListener(metrics)
+    metrics
   }
 }

@@ -62,6 +62,41 @@ object CdcStreaming {
       .options(kafkaSourceOptions(brokers, topic, maxOffsetsPerTrigger, groupId))
       .load()
 
+  /** S2-file: broker-free CDC transport — a directory of JSON-line
+    * files stands in for the Kafka topic (CLI `--brokers file:<dir>`),
+    * mirroring the reference's local-dev escape hatch
+    * (KAFKA_FORCE_LOCAL, /root/reference/internal/ingestion/cdc.go:19-34)
+    * without any broker in the loop. Each line is either
+    *  - a bare Debezium envelope — the Kafka record VALUE bytes
+    *    (cdc.go:62-67), key null; or
+    *  - a keyed record `{"key":"<key json>","value":"<envelope json>"}`
+    *    when the delete-path key fallback matters (cdc.go:126-134).
+    * Both shapes may mix in one directory: a line that parses to the
+    * keyed-record schema contributes its fields, anything else falls
+    * back to being the value itself (a bare envelope has neither a
+    * `key` nor a string `value` top-level field, so both probes null
+    * out and `coalesce` keeps the raw line).
+    *
+    * Output columns are exactly what [[translate]] consumes from the
+    * Kafka source (`key`/`value` strings), so the whole downstream
+    * pipeline — parse, translate, sink, metrics — runs unchanged.
+    * `maxFilesPerTrigger` bounds the micro-batch like
+    * `maxOffsetsPerTrigger` does on the Kafka arm.
+    */
+  def fileSource(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    val rec = from_json(col("value"), "key STRING, value STRING",
+      Map.empty[String, String])
+    spark.readStream
+      .format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir) // text source column is `value` = the raw line
+      .select(
+        rec.getField("key").as("key"),
+        coalesce(rec.getField("value"), col("value")).as("value"))
+  }
+
   /** ST2: streaming translate — identical expressions as batch
     * (Debezium.translateRows works on a streaming df as-is). Input
     * needs `value`/`key` binary or string columns (Kafka shape).

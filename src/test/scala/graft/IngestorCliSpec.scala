@@ -95,6 +95,51 @@ class IngestorCliSpec extends SparkSpec {
     } finally { ch.stop(0); otlp.stop(0) }
   }
 
+  test("cdc run end-to-end via file transport: envelope dir → translate → parquet, metrics counted") {
+    val dir = Files.createTempDirectory("graft-cli-cdc").toString
+    val topicDir = s"$dir/topic"
+    Files.createDirectories(java.nio.file.Paths.get(topicDir))
+    // a mixed fixture exercising every translate arm (cdc.go:100-143):
+    // create, update, delete via before.id, delete via KEY fallback
+    // (keyed-record line), double-encoded envelope (F11), bad payload
+    // (P2 skip), unknown op (P4 skip)
+    val lines = Seq(
+      """{"before":null,"after":{"id":7,"name":"n7","email":"e7"},"source":{"lsn":100,"ts_us":1},"op":"c","ts_us":1}""",
+      """{"before":{"id":7,"name":"n7","email":"e7"},"after":{"id":7,"name":"n7b","email":"e7b"},"source":{"lsn":101,"ts_us":2},"op":"u","ts_us":2}""",
+      """{"before":{"id":9,"name":"gone","email":"g"},"after":null,"source":{"lsn":200,"ts_us":3},"op":"d","ts_us":3}""",
+      """{"key":"{\"id\":42}","value":"{\"before\":null,\"after\":null,\"source\":{\"lsn\":201,\"ts_us\":4},\"op\":\"d\",\"ts_us\":4}"}""",
+      "\"{\\\"before\\\":null,\\\"after\\\":{\\\"id\\\":8,\\\"name\\\":\\\"n8\\\",\\\"email\\\":\\\"e8\\\"},\\\"source\\\":{\\\"lsn\\\":300,\\\"ts_us\\\":5},\\\"op\\\":\\\"c\\\",\\\"ts_us\\\":5}\"",
+      "not json at all",
+      """{"after":{"id":1,"name":"a","email":"b"},"source":{"lsn":5},"op":"r"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$topicDir/part-0.jsonl"),
+      lines.mkString("\n") + "\n")
+
+    val out = s"$dir/out"
+    val m = IngestorCli.run(spark, IngestorCli.Args(
+      mode = "cdc",
+      cfg = graft.pipeline.IngestConfig(
+        brokers = Seq(s"file:$topicDir"), metricsPort = 0),
+      sink = s"parquet:$out",
+      checkpoint = s"$dir/ckpt"))
+
+    val rows = spark.read.parquet(out)
+      .select("id", "name", "email", "is_deleted", "_op", "_lsn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getLong(5))).toSet
+    assert(rows === Set(
+      (7L, "n7", "e7", 0, 1, 100L),
+      (7L, "n7b", "e7b", 0, 2, 101L),
+      (9L, null, null, 1, 3, 200L),
+      (42L, null, null, 1, 3, 201L), // id from the Kafka KEY fallback
+      (8L, "n8", "e8", 0, 1, 300L))) // double-encoded value survives
+    // ST9: the listener saw the drained micro-batches; numInputRows
+    // counts SOURCE lines (7, bad rows included — they exit at the
+    // P2/P4 filters downstream of the source, cdc.go:63-73)
+    assert(m.rowsTotal.get === 7L, m.render())
+    assert(m.batchesTotal.get >= 1L)
+    assert(m.errorsTotal.get === 0L)
+  }
+
   test("S2 contract: kafka source options pin delivery semantics without a broker") {
     val opts = graft.streaming.CdcStreaming.kafkaSourceOptions(
       "b1:9092,b2:9092", "dbserver1.app.users", maxOffsetsPerTrigger = 5000L,
