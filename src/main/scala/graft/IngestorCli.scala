@@ -190,6 +190,10 @@ object IngestorCli {
     } else {
       query.awaitTermination()
     }
+    // the listener bus delivers asynchronously: without this barrier
+    // the final micro-batches may be missing from the rendered counts
+    // (and gone for good — the listener is removed below)
+    metrics.awaitTerminated()
     otlpExporter.foreach(_.flush(5000)) // drain the async span queue
     println(metrics.render())
     if (a.sink == "clickhouse" || a.sink.startsWith("clickhouse:"))

@@ -72,8 +72,26 @@ class IngestionMetrics(
     spanExporter.foreach(_(span))
   }
 
-  override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
     if (e.exception.isDefined) errorsTotal.incrementAndGet()
+    terminationsTotal.incrementAndGet()
+  }
+
+  val terminationsTotal = new AtomicLong(0L)
+
+  /** Block until `n` query-terminated events have been DELIVERED to
+    * this listener (not merely posted). The listener bus is FIFO per
+    * listener, so once the termination event has arrived every
+    * progress event of that query has too — callers that read the
+    * counters right after `query.stop()` race the async bus without
+    * this barrier.
+    */
+  def awaitTerminated(n: Long = 1L, timeoutMs: Long = 10000L): Boolean = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (terminationsTotal.get < n && System.currentTimeMillis < deadline)
+      Thread.sleep(20L)
+    terminationsTotal.get >= n
+  }
 
   /** Prometheus text-format 0.0.4 dump (scrape/debug surface): `le`
     * buckets are cumulative, `+Inf` == `_count`, plus `_sum` — the

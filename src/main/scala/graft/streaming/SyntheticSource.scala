@@ -63,6 +63,15 @@ object SyntheticSource {
     val deadline = System.currentTimeMillis() + durationMs
     while (System.currentTimeMillis() < deadline && query.isActive)
       Thread.sleep(Math.min(100L, Math.max(1L, deadline - System.currentTimeMillis())))
-    if (query.isActive) query.stop()
+    if (query.isActive) {
+      // drain what the source generated inside the window before
+      // stopping: the reference inserts each generated event inline
+      // before its loop exits (cmd/root.go:126-147), so a bounded run
+      // never ends with generated-but-uninserted rows — without this,
+      // a slow first micro-batch (JVM warmup, loaded host) can make a
+      // short run sink nothing at all
+      query.processAllAvailable()
+      query.stop()
+    }
   }
 }
