@@ -151,7 +151,15 @@ object ScaleBench {
       "cc_clusters" -> (() => GraphOps.connectedComponents(
         Dedup.minhashNearDup(Tables.table(spark, dir, "documents"),
           "doc_id", col("text"), k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5),
-        "id_a", "id_b").count()))
+        "id_a", "id_b").count()),
+      // round-7 addition: the 4-stage composite curation pipeline
+      // exactly as registered (scrub → repetition-filter → split →
+      // pack in one Catalyst plan) — count = packed corpus rows,
+      // linear by construction; the interesting quantity is whether
+      // the one plan's three pruned scans and shard-scoped window
+      // keep wall time tracking corpus size
+      "curation_pipeline" -> (() => graft.queries.CurationQueries.defs(
+        "q_curation_pipeline")(spark, dir).count()))
 
     val pathFilter = sys.env.get("SPARK_GRAFT_SCALE_PATHS")
     def selected(dir: String): Seq[(String, () => Long)] =
