@@ -294,6 +294,95 @@ object Curation {
       .drop("__rk")
   }
 
+  /** Line-level boilerplate markers (C4's blocklist spirit): a line
+    * mentioning javascript, the lorem-ipsum filler, or a curly brace
+    * (code/markup leakage) is dropped wholesale. Lowercased substring
+    * match — the same semantics as DuckDB `contains(lower(l), m)`.
+    */
+  val BoilerplateMarkers: Seq[String] = Seq("lorem ipsum", "javascript", "{")
+
+  /** X14: C4-style line-level quality filtering (Raffel et al. 2020,
+    * §2.2) — the page-cleaning pass that runs BEFORE document-level
+    * quality scoring: keep only lines that (a) end in a terminal
+    * punctuation mark, (b) have at least `minWords` words, and (c)
+    * contain no boilerplate marker. Returns the input plus
+    * (n_lines, n_kept, clean_text) so callers can both reflow the
+    * page and apply C4's page-level rule (drop pages with too few
+    * surviving lines).
+    *
+    * Scale: pure map-only array work — split, a higher-order
+    * `filter`, array_join; no shuffle, no UDF. The lambda predicate
+    * is interpreted (Spark HOFs are not whole-stage-codegen'd) but
+    * stays inside the scan's project, so the cost is per-row CPU with
+    * full scan parallelism — the right trade for per-LINE logic,
+    * which a flat regexp over the whole page cannot express.
+    */
+  def filterLines(
+      df: DataFrame, text: Column,
+      minWords: Int = 3,
+      markers: Seq[String] = BoilerplateMarkers): DataFrame = {
+    val lines = split(text, "\n")
+    val keepLine = (l: Column) => {
+      val t = trim(l)
+      val boiler = markers.map(m => lower(t).contains(m)).reduce(_ || _)
+      t.rlike("[.!?\"]$") && size(split(t, " ")) >= minWords && !boiler
+    }
+    val kept = filter(lines, keepLine)
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("clean_text", array_join(kept, "\n"))
+  }
+
+  /** X15: token-budget corpus selection — keep the highest-quality
+    * documents whose cumulative token count fits a training budget
+    * (the "take the best B tokens" step of quality-ranked data
+    * selection). Semantics: order documents by (score desc, `id`
+    * asc) and keep the maximal prefix whose running token sum stays
+    * <= `budgetTokens`. Returns the input plus (score, n_tokens,
+    * cum_tokens) for surviving rows.
+    *
+    * `score` must be integral — integer scores make the bucket
+    * boundary exact in any engine; for a double score, pre-bucket
+    * with `floor(score * resolution)` (monotone, so the ordering and
+    * therefore the selected set is preserved at bucket granularity).
+    *
+    * Scale — the whole point of this shape: the naive form is ONE
+    * global orderBy window (single-partition pinch: 100 TB through
+    * one task). Instead: (1) aggregate tokens per score value — a
+    * tiny partial-agg table, |distinct scores| rows; (2) a window
+    * over THAT table (driver-scale, single partition by design)
+    * yields each score's global token offset `__prev`; (3) broadcast
+    * the offsets back, DROP every score bucket whose offset already
+    * exceeds the budget BEFORE any window — the filter prunes the
+    * corpus to the candidate prefix; (4) a score-partitioned window
+    * (parallelism = distinct candidate scores) adds the within-bucket
+    * running sum to the bucket offset, giving the exact global
+    * cumulative without a global sort. Bit-for-bit equal to the
+    * naive form, verified by the registered query's oracle, which IS
+    * the naive form.
+    */
+  def selectByBudget(
+      df: DataFrame, id: String, score: Column, nTokens: Column,
+      budgetTokens: Long): DataFrame = {
+    val d = df.withColumn("score", score.cast("long"))
+      .withColumn("n_tokens", nTokens.cast("long"))
+    val perScore = d.groupBy(col("score").as("__s"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+    val wb = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = perScore
+      .withColumn("__prev", sum(col("__bt")).over(wb) - col("__bt"))
+      .select(col("__s"), col("__prev"))
+    val wIn = Window.partitionBy(col("score")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), col("score") === col("__s"))
+      // whole buckets past the budget never reach the window
+      .where(col("__prev") < budgetTokens)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wIn) + col("__prev"))
+      .where(col("cum_tokens") <= budgetTokens)
+      .drop("__s", "__prev")
+  }
+
   /** X10: concat-and-chunk sequence packing — the GPT-style
     * pretraining batcher: documents are laid end-to-end in a
     * deterministic order within each shard and the token stream is

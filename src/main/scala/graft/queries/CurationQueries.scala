@@ -63,7 +63,59 @@ object CurationQueries {
         lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
         lit(" "), col("text")))
 
+  /** Synthetic multi-line "page" per document for X14 — the corpus is
+    * single-line by construction, so the line-filter fixture derives a
+    * deterministic page from each doc: a good punctuated line, a
+    * too-short line, doc_id-conditional boilerplate lines (lorem
+    * ipsum / javascript / curly-brace markup), and a closing line
+    * that only sometimes ends in terminal punctuation. Every rule of
+    * the filter fires on some subset of docs, and the whole page is
+    * an expression — value-oracled end to end (same pattern as
+    * [[withContact]]).
+    */
+  private def withPage(docs: DataFrame): DataFrame =
+    docs.withColumn("page",
+      concat(
+        col("text"), lit(".\nshort line\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("lorem ipsum dolor sit amet consectetur.\n")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("please enable javascript to view this page.\n")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          lit("{ nav: true }\n")).otherwise(lit("")),
+        when(col("doc_id") % 4 =!= 0, concat(col("text"), lit(" again.")))
+          .otherwise(lit("ends without punct"))))
+
+  /** X15 token budget — roughly half the sf0.01 corpus's 27k tokens,
+    * so the cut lands mid-score-bucket and the boundary arithmetic is
+    * actually exercised (a budget beyond the corpus would degenerate
+    * to keep-everything).
+    */
+  val BudgetTokens = 15000L
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X14: C4-style line-level filtering over the derived page;
+    // page_kept applies C4's page-level rule (>= 2 surviving lines)
+    "q_line_filter" -> ((s, d) => {
+      Curation.filterLines(withPage(table(s, d, "documents")), col("page"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("clean_text"), (col("n_kept") >= 2).as("page_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X15: token-budget selection — highest vocabulary-richness docs
+    // until the budget is spent; the oracle is the naive global-sort
+    // form, the implementation is the bucket-offset plan
+    "q_budget_select" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Curation.selectByBudget(docs, "doc_id",
+        score = size(array_distinct(split(col("text"), " "))),
+        nTokens = size(split(col("text"), " ")),
+        budgetTokens = BudgetTokens)
+        .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X6-X13 composite: the curation stages compose into ONE Catalyst
     // plan — PII scrub (map-only) → repetition filter (doc-keyed
     // aggs) → deterministic split (map-only) → sequence packing
@@ -237,7 +289,42 @@ object CurationQueries {
          CAST(start_offset % $PackBudget AS BIGINT) AS pack_pos
        FROM o ORDER BY doc_id"""
 
+  private val pageSql: String =
+    """text || '.' || chr(10) || 'short line' || chr(10)
+       || CASE WHEN doc_id % 3 = 0 THEN 'lorem ipsum dolor sit amet consectetur.' || chr(10) ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN 'please enable javascript to view this page.' || chr(10) ELSE '' END
+       || CASE WHEN doc_id % 2 = 0 THEN '{ nav: true }' || chr(10) ELSE '' END
+       || CASE WHEN doc_id % 4 <> 0 THEN text || ' again.' ELSE 'ends without punct' END"""
+
   val oracles: Map[String, String] = Map(
+    "q_line_filter" ->
+      s"""WITH pg AS (SELECT doc_id, $pageSql AS page FROM documents),
+         ls AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg),
+         k AS (SELECT doc_id, len(lines) AS n_lines,
+             list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$$')
+               AND len(string_split(trim(l), ' ')) >= 3
+               AND NOT contains(lower(trim(l)), 'lorem ipsum')
+               AND NOT contains(lower(trim(l)), 'javascript')
+               AND NOT contains(lower(trim(l)), '{')) AS kept
+           FROM ls)
+         SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, chr(10)) AS clean_text,
+           len(kept) >= 2 AS page_kept
+         FROM k ORDER BY doc_id""",
+    // the oracle IS the naive global-sort semantics the bucket-offset
+    // implementation must reproduce exactly
+    "q_budget_select" ->
+      s"""WITH t AS (SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, score, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, score, n_tokens, cum_tokens
+         FROM o WHERE cum_tokens <= $BudgetTokens ORDER BY doc_id""",
     "q_curation_pipeline" -> pipelineOracle,
     "q_decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

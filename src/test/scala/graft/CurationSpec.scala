@@ -218,4 +218,79 @@ class CurationSpec extends SparkSpec {
     assert(out._2 == (1L << 52))
     assert(out._3 == 255L)
   }
+
+  test("X14 filterLines applies each C4 rule: punct, min words, boilerplate") {
+    val page = Seq(
+      "good line stays here.",      // kept
+      "short.",                     // 1 word < 3
+      "lorem ipsum filler text here.", // boilerplate
+      "this page needs JavaScript enabled.", // boilerplate, case-blind
+      "no terminal punct line",     // no . ! ? "
+      "{ cfg: true }",              // curly-brace markup
+      "she said \"stop\"",          // ends in a quote — kept
+      "another good line stays!").mkString("\n")
+    val out = Curation.filterLines(docs(1L -> page), col("text"))
+      .select("n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, String)].head()
+    assert(out._1 == 8L)
+    assert(out._2 == 3L)
+    assert(out._3 ==
+      "good line stays here.\nshe said \"stop\"\nanother good line stays!")
+  }
+
+  test("X14 filterLines is map-only: no exchange in the plan") {
+    val plan = Curation.filterLines(docs(1L -> "a b c."), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"line filtering must not shuffle:\n$plan")
+  }
+
+  private def budgetDocs(rows: (Long, Long, Long)*) =
+    rows.toDF("doc_id", "q", "nt")
+
+  /** Naive global-sort reference for X15 (the oracle's form). */
+  private def naiveBudget(d: org.apache.spark.sql.DataFrame, budget: Long) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.withColumn("cum", sum(col("nt")).over(w)).where(col("cum") <= budget)
+      .select(col("doc_id"), col("cum")).as[(Long, Long)].collect().toSet
+  }
+
+  test("X15 selectByBudget equals the global-sort prefix, cut mid-bucket") {
+    // scores 3,3,2,2,2,1 — budget 45 cuts inside the score-2 bucket
+    val d = budgetDocs(
+      (1L, 3L, 10L), (2L, 3L, 10L), (3L, 2L, 10L), (4L, 2L, 10L),
+      (5L, 2L, 10L), (6L, 1L, 10L))
+    val out = Curation.selectByBudget(d, "doc_id", col("q"), col("nt"), 45L)
+      .select(col("doc_id"), col("cum_tokens")).as[(Long, Long)].collect().toSet
+    assert(out == naiveBudget(d, 45L))
+    assert(out == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+  }
+
+  test("X15 selectByBudget: exact-budget boundary kept, id breaks score ties") {
+    val d = budgetDocs((7L, 5L, 20L), (2L, 5L, 20L), (9L, 5L, 20L))
+    // budget exactly two docs: tie broken by doc_id asc → 2 then 7
+    val out = Curation.selectByBudget(d, "doc_id", col("q"), col("nt"), 40L)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(out == Set(2L, 7L))
+    assert(out == naiveBudget(d, 40L).map(_._1))
+  }
+
+  test("X15 selectByBudget windows per score bucket, never globally") {
+    val d = budgetDocs((1L to 40L).map(i => (i, i % 4, 10L)): _*)
+    val planned = Curation.selectByBudget(d, "doc_id", col("q"), col("nt"), 100L)
+    val plan = planned.queryExecution.executedPlan.toString
+    // corpus-side window is partitioned by score (parallel), and the
+    // tiny per-score offset table broadcasts back
+    assert(plan.contains("hashpartitioning(score"),
+      s"corpus window must partition by score bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-score offsets must broadcast:\n$plan")
+    // the single-partition window exists only on the offsets side —
+    // its input is the per-score aggregate, not the corpus
+    val results = planned.select(col("doc_id")).as[Long].collect().toSet
+    assert(results == naiveBudget(d, 100L).map(_._1))
+  }
 }
