@@ -110,6 +110,24 @@ object ScaleBench {
 
     val bigDir = scaledDir(spark, baseDir, factor)
 
+    // half of the sf0.1 corpus's ~270k tokens, scaled with the factor
+    // so the budget cut lands mid-distribution at every size
+    def budgetFor(dir: String): Long =
+      if (dir == baseDir) 135000L else 135000L * factor
+
+    def pinchRows(dir: String): Long =
+      if (dir == baseDir) 1000000L else 1000000L * factor
+
+    // deterministic synthetic (score, tokens) corpus for the pinch
+    // pair; budget ≈ half the total token mass (mean nt = 44.5)
+    def syntheticBudget(nRows: Long): (DataFrame, Long) = {
+      val d = spark.range(nRows).select(
+        col("id").as("doc_id"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("q"),
+        (lit(20L) + pmod(col("id"), lit(50L))).as("nt"))
+      (d, nRows * 22L)
+    }
+
     // the four measured paths, identical parameters to the registered
     // queries (q_embed_neardup / q_embed_neardup_lsh / exact
     // Dedup.ngramJaccard / q_ngram_jaccard's MinHash-LSH form)
@@ -159,7 +177,52 @@ object ScaleBench {
       // the one plan's three pruned scans and shard-scoped window
       // keep wall time tracking corpus size
       "curation_pipeline" -> (() => graft.queries.CurationQueries.defs(
-        "q_curation_pipeline")(spark, dir).count()))
+        "q_curation_pipeline")(spark, dir).count()),
+      // X15 both forms, half-the-corpus budget at every factor (token
+      // suffixing preserves per-doc scores, so the cut stays
+      // mid-distribution). The naive form is the single-partition
+      // global window the operator exists to avoid; the bucketed form
+      // must return the SAME row count (hard-asserted below) while
+      // keeping every corpus-sized window score-partitioned
+      "budget_bucketed" -> (() => graft.operators.Curation.selectByBudget(
+        Tables.table(spark, dir, "documents"), "doc_id",
+        score = size(array_distinct(split(col("text"), " "))),
+        nTokens = size(split(col("text"), " ")),
+        budgetTokens = budgetFor(dir)).count()),
+      "budget_naive" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("score"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .where(col("cum") <= budgetFor(dir)).count()
+      }),
+      // X15 pinch pair: the document corpus is too small to show the
+      // single-partition penalty (150k tiny rows sort in one task for
+      // free, and the naive form wins on plan simplicity — recorded
+      // honestly in BASELINE.md). This pair measures the effect the
+      // operator exists for at ROW scale: 1M rows at base, factor×1M
+      // scaled, 1000 synthetic score values. The naive form funnels
+      // every row through one window task; the bucketed form keeps
+      // 1000-way parallel windows after pruning
+      "budget_pinch_bucketed" -> (() => {
+        val (d, budget) = syntheticBudget(pinchRows(dir))
+        graft.operators.Curation.selectByBudget(
+          d, "doc_id", col("q"), col("nt"), budget).count()
+      }),
+      "budget_pinch_naive" -> (() => {
+        val (d, budget) = syntheticBudget(pinchRows(dir))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("q").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        d.withColumn("cum", sum(col("nt")).over(w))
+          .where(col("cum") <= budget).count()
+      }))
 
     val pathFilter = sys.env.get("SPARK_GRAFT_SCALE_PATHS")
     def selected(dir: String): Seq[(String, () => Long)] =
@@ -195,6 +258,17 @@ object ScaleBench {
         f"[scale] auto LSH $a%.2fs vs all-pairs $e%.2fs at ${factor}x")
       if (factor >= 30 && a >= e) throw new AssertionError(
         f"auto LSH config must beat all-pairs at ${factor}x: $a%.2fs >= $e%.2fs")
+    }
+
+    // X15: the bucketed plan must reproduce the naive global-prefix
+    // semantics exactly at every measured size
+    for (res <- Seq(baseRes, bigRes)) {
+      val m = res.map { case (n, _, c) => n -> c }.toMap
+      for {
+        pair <- Seq("budget", "budget_pinch")
+        b <- m.get(s"${pair}_bucketed"); n <- m.get(s"${pair}_naive")
+      } if (b != n) throw new AssertionError(
+        s"$pair select: bucketed $b rows != naive $n rows")
     }
 
     def block(res: Seq[(String, Double, Long)]): String =

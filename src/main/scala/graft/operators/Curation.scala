@@ -360,6 +360,14 @@ object Curation {
     * cumulative without a global sort. Bit-for-bit equal to the
     * naive form, verified by the registered query's oracle, which IS
     * the naive form.
+    *
+    * Measured (BASELINE.md round 7): below ~1M rows the naive global
+    * window is FASTER (one window task sorts a small corpus for free;
+    * this plan pays two extra shuffles + a broadcast) — use a plain
+    * `Window.orderBy` there. At 30M rows the naive form is 19× slower
+    * (54.7 s vs 2.8 s) and degrades super-linearly: one task
+    * out-of-core-sorts the corpus, which is exactly the pinch this
+    * shape removes.
     */
   def selectByBudget(
       df: DataFrame, id: String, score: Column, nTokens: Column,

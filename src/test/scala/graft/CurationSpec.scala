@@ -278,6 +278,28 @@ class CurationSpec extends SparkSpec {
     assert(out == naiveBudget(d, 40L).map(_._1))
   }
 
+  test("X15 property: bucketed plan equals the naive global prefix on random corpora") {
+    // seeded ScalaCheck generators (scalatestplus bridge not available
+    // offline) — random scores with heavy ties, token counts, budgets
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val corpusGen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        q <- Gen.choose(0L, 6L)    // few buckets → ties + mid-bucket cuts
+        nt <- Gen.choose(1L, 30L)
+      } yield (q, nt))
+    } yield rows.zipWithIndex.map { case ((q, nt), i) => (i.toLong, q, nt) }
+    for (seed <- 1 to 12) {
+      val rows = corpusGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val d = budgetDocs(rows: _*)
+      val budget = rows.map(_._3).sum * seed / 13L max 1L
+      val got = Curation.selectByBudget(d, "doc_id", col("q"), col("nt"), budget)
+        .select(col("doc_id"), col("cum_tokens")).as[(Long, Long)].collect().toSet
+      assert(got == naiveBudget(d, budget), s"seed $seed budget $budget")
+    }
+  }
+
   test("X15 selectByBudget windows per score bucket, never globally") {
     val d = budgetDocs((1L to 40L).map(i => (i, i % 4, 10L)): _*)
     val planned = Curation.selectByBudget(d, "doc_id", col("q"), col("nt"), 100L)
