@@ -175,4 +175,32 @@ class PlanSpec extends SparkSpec {
         s"expected a shuffled equi-join on (key, salt):\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("J2e: a selective dim predicate injects a runtime bloom pre-filter on the fact side") {
+    // at 100 TB a shuffle join against a filtered dim moves the WHOLE
+    // fact table unless the dim's selectivity reaches the fact scan;
+    // Catalyst's InjectRuntimeFilter turns the dim filter into a
+    // bloom_filter_agg subquery + might_contain guard on the fact
+    // side, cutting shuffle volume to ~matching rows. The size
+    // thresholds are production-tuned, so the scan-size floor is
+    // zeroed here to reproduce the big-cluster decision at test SF
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = Tables.table(spark, sf, "events")
+      val dim = Tables.table(spark, sf, "customer")
+        .where(col("c_acctbal") > 9000).select(col("c_custkey"))
+      val p = ev.join(dim, ev("user_id") === dim("c_custkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the fact side:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
 }
