@@ -271,6 +271,28 @@ object Curation {
           count(lit(1)).cast("double")).as("avg_logprob"))
   }
 
+  /** X13b: CCNet-style head/middle/tail quality bucketing (Wenzek et
+    * al. 2020, §4.3) — each domain's documents are split into equal
+    * thirds by quality score ("head" = best third), the shape CCNet
+    * uses to let downstream consumers choose a quality/volume
+    * trade-off per language without re-scoring. Ties are broken by
+    * `id`, so the assignment is deterministic; pass an
+    * already-rounded score (e.g. `round(avg_logprob, 6)`) when the
+    * score came from floating-point aggregation, so the ORDER — not
+    * just the value — is engine-portable.
+    *
+    * Scale: one window per domain (domain count = parallelism floor,
+    * same posture as [[stratifiedSample]]); ntile is a single-pass
+    * rank function, no second shuffle.
+    */
+  def qualityBuckets(
+      df: DataFrame, id: String, domain: String, score: Column): DataFrame = {
+    val w = Window.partitionBy(col(domain)).orderBy(score.desc, col(id))
+    val nt = ntile(3).over(w)
+    df.withColumn("q_bucket",
+      when(nt === 1, "head").when(nt === 2, "middle").otherwise("tail"))
+  }
+
   /** X12: deterministic stratified sampling — exactly `k` documents
     * per stratum (domain/language/split cell), chosen by md5-hash
     * rank with id tiebreak. Unlike rate-based sampling

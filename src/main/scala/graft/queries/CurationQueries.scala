@@ -189,6 +189,20 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X13b: CCNet head/middle/tail — per-source quality thirds over
+    // the X13 unigram score; ordering on the ROUNDED score + doc_id
+    // tiebreak so the bucket boundary is engine-portable
+    "q_quality_buckets" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val scored = Curation.unigramLogProb(docs, "doc_id", col("text"))
+        .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"))
+      Curation.qualityBuckets(
+        docs.select(col("doc_id"), col("source")).join(scored, "doc_id"),
+        "doc_id", "source", col("avg_logprob"))
+        .select(col("doc_id"), col("source"), col("avg_logprob"), col("q_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X13: unigram LM quality score — CCNet-style perplexity
     // filtering against the corpus's own unigram distribution
     "q_unigram_quality" -> ((s, d) => {
@@ -347,6 +361,26 @@ object CurationQueries {
            FROM documents)
          WHERE CAST(bp AS BIGINT) < CAST(round(rate * 10000.0) AS BIGINT)
          ORDER BY doc_id""",
+    // X13b: nests the verified unigram oracle; ntile over the rounded
+    // score + id tiebreak is the same standard SQL window both engines
+    // implement (first buckets take the remainder rows)
+    "q_quality_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         c AS (SELECT token, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY token),
+         t AS (SELECT CAST(sum(CAST(cnt AS DECIMAL(38,6))) AS DOUBLE) AS tot FROM c),
+         lp AS (SELECT token, ln(cnt / tot) AS lp FROM c CROSS JOIN t),
+         s AS (SELECT doc_id,
+             round(CAST(sum(CAST(lp AS DECIMAL(38,15))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+           FROM tok JOIN lp USING (token) GROUP BY doc_id),
+         b AS (SELECT d.doc_id, d.source, s.avg_logprob,
+             ntile(3) OVER (PARTITION BY d.source
+               ORDER BY s.avg_logprob DESC, d.doc_id) AS nt
+           FROM documents d JOIN s USING (doc_id))
+         SELECT doc_id, source, avg_logprob,
+           CASE WHEN nt = 1 THEN 'head' WHEN nt = 2 THEN 'middle'
+             ELSE 'tail' END AS q_bucket
+         FROM b ORDER BY doc_id""",
     // ln() parity note: last-ulp libm differences are ~1e-16 relative
     // and the score is rounded to 6 decimals — same accepted risk
     // class as double division elsewhere; sums are DECIMAL-exact

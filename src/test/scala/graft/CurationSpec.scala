@@ -219,6 +219,22 @@ class CurationSpec extends SparkSpec {
     assert(out._3 == 255L)
   }
 
+  test("X13b qualityBuckets: per-domain thirds, best third is head, ties by id") {
+    val d = Seq(
+      // domain a: 7 docs, scores 7..1 → ntile sizes 3/2/2
+      (1L, "a", 7L), (2L, "a", 6L), (3L, "a", 5L), (4L, "a", 4L),
+      (5L, "a", 3L), (6L, "a", 2L), (7L, "a", 1L),
+      // domain b: 3 tied docs → one per bucket, by id
+      (8L, "b", 9L), (9L, "b", 9L), (10L, "b", 9L))
+      .toDF("doc_id", "source", "sc")
+    val out = Curation.qualityBuckets(d, "doc_id", "source", col("sc"))
+      .select("doc_id", "q_bucket").as[(Long, String)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) == "head"))
+    assert(Seq(4L, 5L).forall(out(_) == "middle"))
+    assert(Seq(6L, 7L).forall(out(_) == "tail"))
+    assert(out(8L) == "head" && out(9L) == "middle" && out(10L) == "tail")
+  }
+
   test("X14 filterLines applies each C4 rule: punct, min words, boilerplate") {
     val page = Seq(
       "good line stays here.",      // kept
