@@ -117,6 +117,38 @@ object Curation {
           col("top_bigram_frac") > maxTopBigramFrac)
   }
 
+  /** X7b: line-level repetition statistics — the other half of the
+    * Gopher repetition battery (Rae et al. 2021, §A1.1): the fraction
+    * of duplicate LINES and the fraction of characters inside
+    * duplicate lines (boilerplate headers/footers repeat whole lines,
+    * which token-level stats dilute). Returns (id, n_lines,
+    * dup_line_frac, dup_line_char_frac).
+    *
+    * Scale: same posture as [[repetitionStats]] — the distinct-line
+    * fraction is map-only array math; the character fraction is two
+    * doc-keyed partial aggregations (explode lines → count per
+    * (doc, line) → weighted sum per doc). No wide shuffle.
+    */
+  def lineRepetitionStats(df: DataFrame, id: String, text: Column): DataFrame = {
+    val lines = df.select(col(id), split(text, "\n").as("ls"))
+    val base = lines.select(col(id),
+      size(col("ls")).cast("long").as("n_lines"),
+      round(lit(1.0) - size(array_distinct(col("ls"))).cast("double") /
+        size(col("ls")).cast("double"), 6).as("dup_line_frac"))
+    val chars = lines.select(col(id), explode(col("ls")).as("l"))
+      .groupBy(col(id), col("l")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(id)).agg(
+        sum(when(col("cnt") > 1, col("cnt") * length(col("l")))
+          .otherwise(lit(0L))).as("dup_chars"),
+        sum(col("cnt") * length(col("l"))).as("tot_chars"))
+      .select(col(id),
+        when(col("tot_chars") > 0,
+          round(col("dup_chars").cast("double") /
+            col("tot_chars").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_line_char_frac"))
+    base.join(chars, Seq(id))
+  }
+
   /** Email / phone / SSN-shaped patterns — deliberately lookaround-free
     * so the same pattern strings run under Java regex (Spark) and RE2
     * (DuckDB, Go) unchanged. The phone shape takes an optional country

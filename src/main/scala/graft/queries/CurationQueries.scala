@@ -103,6 +103,19 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X7b: Gopher line-level repetition over the derived page plus a
+    // closing line that DUPLICATES an existing line on every doc
+    // (even ids repeat "short line", odd ids repeat the "again" line)
+    // so both fractions are exercised and vary with the page shape
+    "q_line_repetition" -> ((s, d) => {
+      val paged = withPage(table(s, d, "documents")).withColumn("page",
+        concat(col("page"),
+          when(col("doc_id") % 2 === 0, lit("\nshort line"))
+            .otherwise(concat(lit("\n"), col("text"), lit(" again.")))))
+      Curation.lineRepetitionStats(paged, "doc_id", col("page"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X15: token-budget selection — highest vocabulary-richness docs
     // until the budget is spent; the oracle is the naive global-sort
     // form, the implementation is the bucket-offset plan
@@ -326,6 +339,28 @@ object CurationQueries {
            array_to_string(kept, chr(10)) AS clean_text,
            len(kept) >= 2 AS page_kept
          FROM k ORDER BY doc_id""",
+    "q_line_repetition" ->
+      s"""WITH pg AS (SELECT doc_id, $pageSql
+           || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'short line'
+                ELSE chr(10) || text || ' again.' END AS page
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(page, chr(10)) AS l FROM pg),
+         base AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+             round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE)
+               / CAST(len(l) AS DOUBLE), 6) AS dup_line_frac
+           FROM ls),
+         ex AS (SELECT doc_id, unnest(l) AS line FROM ls),
+         cnts AS (SELECT doc_id, line, count(*) AS cnt
+           FROM ex GROUP BY doc_id, line),
+         ch AS (SELECT doc_id,
+             CASE WHEN sum(cnt * len(line)) > 0
+               THEN round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * len(line)
+                   ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(cnt * len(line)) AS DOUBLE), 6)
+               ELSE 0.0 END AS dup_line_char_frac
+           FROM cnts GROUP BY doc_id)
+         SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac
+         FROM base JOIN ch USING (doc_id) ORDER BY doc_id""",
     // the oracle IS the naive global-sort semantics the bucket-offset
     // implementation must reproduce exactly
     "q_budget_select" ->

@@ -254,6 +254,22 @@ class CurationSpec extends SparkSpec {
       "good line stays here.\nshe said \"stop\"\nanother good line stays!")
   }
 
+  test("X7b lineRepetitionStats: dup line and dup char fractions") {
+    // 4 lines: "ab" ×2, "cdef", "g" → dup_line_frac = 1 - 3/4 = 0.25;
+    // dup chars = 2*2 = 4 of 2+2+4+1 = 9 → 0.444444
+    val out = Curation.lineRepetitionStats(
+      docs(1L -> "ab\ncdef\nab\ng"), "doc_id", col("text"))
+      .select("n_lines", "dup_line_frac", "dup_line_char_frac")
+      .as[(Long, Double, Double)].head()
+    assert(out == ((4L, 0.25, 0.444444)))
+    // no duplicate lines → both fractions zero
+    val clean = Curation.lineRepetitionStats(
+      docs(2L -> "a\nb\nc"), "doc_id", col("text"))
+      .select("dup_line_frac", "dup_line_char_frac")
+      .as[(Double, Double)].head()
+    assert(clean == ((0.0, 0.0)))
+  }
+
   test("X14 filterLines is map-only: no exchange in the plan") {
     val plan = Curation.filterLines(docs(1L -> "a b c."), col("text"))
       .queryExecution.executedPlan.toString
