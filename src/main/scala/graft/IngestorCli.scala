@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
 /** The reference's CLI surface, re-expressed (dual-mode ingestor —
   * /root/reference/cmd/root.go:39-60): `--mode synthetic` generates
   * rate-limited mock events for `--duration` seconds; `--mode cdc`
-  * consumes Debezium envelopes from Kafka. Flags fall back to the
+  * consumes Debezium envelopes from Kafka; `--mode curate` (engine
+  * extension, no reference counterpart) runs the batch 4-stage
+  * curation pipeline over a documents directory. Flags fall back to the
   * same environment variables the reference reads (EVENT_RATE,
   * INGESTION_DURATION, KAFKA_BROKERS, KAFKA_TOPIC, KAFKA_GROUP,
   * CLICKHOUSE_HOST/DATABASE/TABLE — cmd/root.go:62-97).
@@ -40,6 +42,8 @@ object IngestorCli {
       sink: String = "parquet:/tmp/graft-ingest",
       checkpoint: String = "/tmp/graft-ingest-ckpt",
       master: String = "local[*]",
+      // batch curate mode: documents parquet directory to read
+      input: String = "/root/testdata/sf0.001",
       // None = tracing off; Some("") = on with the exporter's env/
       // localhost default; Some(ep) = on against ep
       otlp: Option[String] = None)
@@ -83,6 +87,7 @@ object IngestorCli {
         case "--sink" => a = a.copy(sink = v)
         case "--checkpoint" => a = a.copy(checkpoint = v)
         case "--master" => a = a.copy(master = v)
+        case "--input" => a = a.copy(input = v)
         case "--otlp" => // optional value: next token may be another flag
           if (v.startsWith("--")) { a = a.copy(otlp = Some("")); i -= 1 }
           else a = a.copy(otlp = Some(v))
@@ -106,12 +111,37 @@ object IngestorCli {
     try run(spark, a) finally spark.stop()
   }
 
+  /** Batch curation arm: `--mode curate --input <docsDir> --sink
+    * parquet:<out>` runs the registered 4-stage pipeline (PII scrub →
+    * repetition filter → deterministic split → sequence packing, one
+    * Catalyst plan) over a documents directory and writes the packed
+    * corpus — the north-star layer exposed through the same CLI as
+    * the reference's ingest modes. Returns (docs in, docs out).
+    */
+  def curate(spark: SparkSession, inputDir: String, outDir: String): (Long, Long) = {
+    val in = Tables.table(spark, inputDir, "documents").count()
+    val packed = graft.queries.CurationQueries.defs("q_curation_pipeline")(spark, inputDir)
+    packed.write.mode("overwrite").parquet(outDir)
+    val out = spark.read.parquet(outDir).count()
+    println(s"""{"mode":"curate","input":"$inputDir","output":"$outDir","docs_in":$in,"docs_out":$out}""")
+    (in, out)
+  }
+
   /** The whole ingest flow minus session lifecycle — the testable
     * seam (specs drive it against stub HTTP servers on a shared
     * session that must survive the run). Returns the run's metrics so
     * callers/specs can assert the four reference quantities (ST9).
     */
   def run(spark: SparkSession, a: Args): IngestionMetrics = {
+    if (a.mode == "curate") {
+      // batch job — no stream, no listener; the summary line is the
+      // observability surface
+      val outDir =
+        if (a.sink.startsWith("parquet:")) a.sink.stripPrefix("parquet:")
+        else sys.error(s"curate mode writes parquet only, got: ${a.sink}")
+      curate(spark, a.input, outDir)
+      return new IngestionMetrics()
+    }
     // real OTLP/HTTP span export when --otlp is given (reference runs
     // its otlptracehttp exporter unconditionally, tracing.go:19-51;
     // here it is opt-in so a database-free local run needs no collector)
@@ -157,7 +187,7 @@ object IngestorCli {
               a.cfg.topic, groupId = Some(a.cfg.groupId))
         }
         CdcStreaming.translate(src)
-      case other => sys.error(s"unknown mode: $other (synthetic|cdc)")
+      case other => sys.error(s"unknown mode: $other (synthetic|cdc|curate)")
     }
 
     val writer =

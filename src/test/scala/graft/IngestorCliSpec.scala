@@ -155,6 +155,29 @@ class IngestorCliSpec extends SparkSpec {
     assert(!anon.contains("kafka.group.id") && anon("maxOffsetsPerTrigger") === "10000")
   }
 
+  test("curate mode: documents dir → 4-stage pipeline → packed parquet") {
+    val dir = Files.createTempDirectory("graft-cli-curate").toString
+    val out = s"$dir/packed"
+    val (docsIn, docsOut) = {
+      val a = IngestorCli.parse(Array(
+        "--mode", "curate", "--input", "/root/testdata/sf0.001",
+        "--sink", s"parquet:$out"))
+      assert(a.mode == "curate" && a.input == "/root/testdata/sf0.001")
+      IngestorCli.run(spark, a)
+      (spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count(),
+        spark.read.parquet(out).count())
+    }
+    assert(docsOut > 0 && docsOut <= docsIn,
+      s"packed corpus must be the repetition-filtered subset: $docsOut of $docsIn")
+    val cols = spark.read.parquet(out).columns.toSet
+    // the pipeline's contract columns all survive the write
+    assert(Set("doc_id", "source", "split", "n_redactions", "n_tokens",
+      "pack_id", "pack_pos").subsetOf(cols), cols.toString)
+    // scrub ran: every doc's synthetic contact line was redacted
+    assert(spark.read.parquet(out)
+      .where(org.apache.spark.sql.functions.col("n_redactions") < 3).count() == 0)
+  }
+
   test("S2: KAFKA_FORCE_LOCAL=1 rewrites broker hosts to 127.0.0.1, keeping ports (cdc.go:19-34)") {
     val cfg = graft.pipeline.IngestConfig(
       host = "ch", brokers = Seq("redpanda.redpanda.svc.cluster.local:9093", "b2:9092", "noport"))
