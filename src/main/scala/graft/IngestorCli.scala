@@ -123,8 +123,22 @@ object IngestorCli {
     val packed = graft.queries.CurationQueries.defs("q_curation_pipeline")(spark, inputDir)
     packed.write.mode("overwrite").parquet(outDir)
     val out = spark.read.parquet(outDir).count()
-    println(s"""{"mode":"curate","input":"$inputDir","output":"$outDir","docs_in":$in,"docs_out":$out}""")
+    // the summary line is machine-readable: paths must be JSON-escaped
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    println(s"""{"mode":"curate","input":"${esc(inputDir)}","output":"${esc(outDir)}","docs_in":$in,"docs_out":$out}""")
     (in, out)
+  }
+
+  /** The file transport is a single-broker configuration by
+    * definition: one decision shared by source selection AND the
+    * finite-drain branch, so a `file:` entry mixed into a multi-broker
+    * list fails loudly instead of half-taking each path.
+    */
+  private def fileBroker(a: Args): Option[String] = a.cfg.brokers match {
+    case Seq(f) if f.startsWith("file:") => Some(f)
+    case bs if bs.exists(_.startsWith("file:")) =>
+      sys.error(s"file: transport takes exactly one broker entry, got: ${bs.mkString(",")}")
+    case _ => None
   }
 
   /** The whole ingest flow minus session lifecycle — the testable
@@ -174,13 +188,13 @@ object IngestorCli {
             concat(col("user_id"), lit("@example.com")).as("email"),
             lit(0).as("is_deleted"), lit(1).as("_op"))
       case "cdc" =>
-        val src = a.cfg.brokers match {
+        val src = fileBroker(a) match {
           // broker-free transport: a Debezium-envelope JSON directory
           // stands in for the topic (raw list, before the force-local
           // shim — `file:` is not a host to rewrite)
-          case Seq(f) if f.startsWith("file:") =>
+          case Some(f) =>
             CdcStreaming.fileSource(spark, f.stripPrefix("file:"))
-          case _ =>
+          case None =>
             // effectiveBrokers, not the raw list: honours the
             // reference's KAFKA_FORCE_LOCAL=1 local-dev shim (cdc.go:19-34)
             CdcStreaming.kafkaSource(spark, a.cfg.effectiveBrokers().mkString(","),
@@ -211,7 +225,7 @@ object IngestorCli {
       // bounded run then park (reference semantics, cmd/root.go:143-146):
       // here "park" = clean stop after the duration
       SyntheticSource.runBounded(query, a.durationS * 1000L)
-    } else if (a.cfg.brokers.headOption.exists(_.startsWith("file:"))) {
+    } else if (fileBroker(a).isDefined) {
       // file transport is a finite fixture, not an endless topic:
       // drain everything present, then stop cleanly
       query.processAllAvailable()

@@ -395,9 +395,11 @@ object Curation {
     * <= `budgetTokens`. Returns the input plus (score, n_tokens,
     * cum_tokens) for surviving rows.
     *
-    * `score` must be integral — integer scores make the bucket
-    * boundary exact in any engine; for a double score, pre-bucket
-    * with `floor(score * resolution)` (monotone, so the ordering and
+    * `score` must be integral and non-null, and `nTokens` non-null
+    * and >= 0 — integer scores make the bucket boundary exact in any
+    * engine (a null score would silently drop the row at the bucket
+    * join); for a double score, pre-bucket with
+    * `floor(score * resolution)` (monotone, so the ordering and
     * therefore the selected set is preserved at bucket granularity).
     *
     * Scale — the whole point of this shape: the naive form is ONE
@@ -438,8 +440,10 @@ object Curation {
     val wIn = Window.partitionBy(col("score")).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.join(broadcast(offsets), col("score") === col("__s"))
-      // whole buckets past the budget never reach the window
-      .where(col("__prev") < budgetTokens)
+      // whole buckets past the budget never reach the window; <= (not
+      // <) because a bucket whose offset EQUALS the budget can still
+      // hold zero-token docs the naive form keeps (cum == budget)
+      .where(col("__prev") <= budgetTokens)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(wIn) + col("__prev"))
       .where(col("cum_tokens") <= budgetTokens)
       .drop("__s", "__prev")

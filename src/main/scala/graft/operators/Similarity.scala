@@ -169,7 +169,11 @@ object Similarity {
       roundTo: Int = 6): DataFrame = {
     val (np, nt) =
       if (planes > 0) (planes, if (tables > 0) tables else 4)
-      else lshConfigFor(df.count())
+      else {
+        // auto planes must not discard an explicitly pinned tables
+        val (autoP, autoT) = lshConfigFor(df.count())
+        (autoP, if (tables > 0) tables else autoT)
+      }
     val buckets = (v: Column) =>
       array((0 until nt).map(t => VectorFns.lshBucket(v, t, np, dim)): _*)
     // Candidate generation is ID-ONLY: the bucket explode, the bucket
@@ -303,7 +307,11 @@ object Similarity {
       k: Int, planes: Int = 0, dim: Int, tables: Int = 0): DataFrame = {
     val (np, nt) =
       if (planes > 0) (planes, if (tables > 0) tables else 1)
-      else lshConfigFor(corpus.count())
+      else {
+        // auto planes must not discard an explicitly pinned tables
+        val (autoP, autoT) = lshConfigFor(corpus.count())
+        (autoP, if (tables > 0) tables else autoT)
+      }
     val buckets = (v: Column) =>
       array((0 until nt).map(t => VectorFns.lshBucket(v, t, np, dim)): _*)
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),

@@ -69,9 +69,22 @@ object SyntheticSource {
       // before its loop exits (cmd/root.go:126-147), so a bounded run
       // never ends with generated-but-uninserted rows — without this,
       // a slow first micro-batch (JVM warmup, loaded host) can make a
-      // short run sink nothing at all
-      query.processAllAvailable()
-      query.stop()
+      // short run sink nothing at all. The drain is WATCHDOG-bounded:
+      // against an unbounded rate source whose micro-batches run
+      // slower than generation, processAllAvailable never sees
+      // noNewData and a "bounded" run would otherwise block forever
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep(Math.max(durationMs, 10000L))
+          if (query.isActive) query.stop()
+        } catch { case _: InterruptedException => () }
+      }, "runBounded-watchdog")
+      watchdog.setDaemon(true)
+      watchdog.start()
+      // returns normally if the watchdog stops the query mid-drain
+      try query.processAllAvailable()
+      finally watchdog.interrupt()
+      if (query.isActive) query.stop()
     }
   }
 }

@@ -301,6 +301,17 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
   }
 
+  test("X15 selectByBudget keeps a zero-token doc whose bucket offset equals the budget") {
+    // score-5 bucket totals exactly the budget; the score-4 bucket
+    // holds a zero-token doc the naive form keeps (cum == budget) —
+    // a `__prev < budget` prune would drop that whole bucket
+    val d = budgetDocs((1L, 5L, 10L), (2L, 4L, 0L), (3L, 4L, 7L))
+    val out = Curation.selectByBudget(d, "doc_id", col("q"), col("nt"), 10L)
+      .select(col("doc_id"), col("cum_tokens")).as[(Long, Long)].collect().toSet
+    assert(out == naiveBudget(d, 10L))
+    assert(out == Set((1L, 10L), (2L, 10L)))
+  }
+
   test("X15 selectByBudget: exact-budget boundary kept, id breaks score ties") {
     val d = budgetDocs((7L, 5L, 20L), (2L, 5L, 20L), (9L, 5L, 20L))
     // budget exactly two docs: tie broken by doc_id asc → 2 then 7

@@ -196,6 +196,13 @@ class DedupSimilaritySpec extends SparkSpec {
     val pinned = run(Similarity.lshNearDupPairs(
       emb, "vec_id", "embedding", minCos = 0.45, planes = 8, dim = 64, tables = 8))
     assert(auto === pinned)
+    // an explicitly pinned tables survives auto planes (the auto
+    // branch must not silently discard a caller's recall dial): with
+    // more OR-amplification tables the pair set can only grow
+    val moreTables = run(Similarity.lshNearDupPairs(
+      emb, "vec_id", "embedding", minCos = 0.45, dim = 64, tables = 16))
+    assert(auto.subsetOf(moreTables),
+      s"16-table auto-planes run lost pairs the 8-table run found")
   }
 
   test("lshNearDupPairs recalls essentially all TRUE near-dups (cos~1 synthetic pairs)") {

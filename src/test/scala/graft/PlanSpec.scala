@@ -185,6 +185,7 @@ class PlanSpec extends SparkSpec {
     // thresholds are production-tuned, so the scan-size floor is
     // zeroed here to reproduce the big-cluster decision at test SF
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevE = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
@@ -199,6 +200,10 @@ class PlanSpec extends SparkSpec {
         s"expected a runtime bloom filter on the fact side:\n$p")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      prevE match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
+        case None => spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      }
       spark.conf.unset(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
     }
