@@ -277,6 +277,51 @@ class CurationSpec extends SparkSpec {
       s"line filtering must not shuffle:\n$plan")
   }
 
+  test("X14/X7b property: line ops equal in-memory references on random pages") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // line pool spanning every rule: kept, short, no-punct, each
+    // boilerplate marker, empty, quote-terminated, duplicates by draw
+    val pool = Vector(
+      "a good line stays here.", "short.", "tiny", "no terminal punct line",
+      "lorem ipsum dolor sit.", "needs JavaScript enabled.", "{ cfg }",
+      "she said \"go\"", "", "another keeper stays!", "x y z?")
+    val pageGen = for {
+      n <- Gen.choose(1, 12)
+      idx <- Gen.listOfN(n, Gen.choose(0, pool.size - 1))
+    } yield idx.map(pool).mkString("\n")
+    def refKeep(l: String): Boolean = {
+      val t = l.trim
+      t.nonEmpty && "[.!?\"]$".r.findFirstIn(t).isDefined &&
+        t.split(" ", -1).length >= 3 &&
+        !Curation.BoilerplateMarkers.exists(t.toLowerCase.contains)
+    }
+    for (seed <- 1 to 12) {
+      val page = pageGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val lines = page.split("\n", -1).toSeq
+      val kept = lines.filter(refKeep)
+      val got = Curation.filterLines(docs(1L -> page), col("text"))
+        .select("n_lines", "n_kept", "clean_text")
+        .as[(Long, Long, String)].head()
+      assert(got == ((lines.size.toLong, kept.size.toLong, kept.mkString("\n"))),
+        s"seed $seed page:\n$page")
+      // X7b reference: dup-line and dup-char fractions over the page
+      val counts = lines.groupBy(identity).view.mapValues(_.size)
+      val dupLine = BigDecimal(1.0 - counts.size.toDouble / lines.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val tot = lines.map(_.length).sum
+      val dup = counts.collect { case (l, c) if c > 1 => c * l.length }.sum
+      val dupChar =
+        if (tot > 0) BigDecimal(dup.toDouble / tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+      val rep = Curation.lineRepetitionStats(docs(1L -> page), "doc_id", col("text"))
+        .select("n_lines", "dup_line_frac", "dup_line_char_frac")
+        .as[(Long, Double, Double)].head()
+      assert(rep == ((lines.size.toLong, dupLine, dupChar)), s"seed $seed page:\n$page")
+    }
+  }
+
   private def budgetDocs(rows: (Long, Long, Long)*) =
     rows.toDF("doc_id", "q", "nt")
 
