@@ -223,7 +223,36 @@ object Similarity {
     * assignment is a map-side-combinable `max_by` aggregation, NOT a
     * row_number window — no per-key sort of |corpus|·nlist rows.
     */
+  /** IVF sizing rule from public IVF-flat practice (the FAISS
+    * guideline family): nlist near sqrt(|corpus|), snapped to a power
+    * of two and clamped to [16, 65536] (below ~256 vectors a finer
+    * grid just makes empty cells; past 2^16 cells the centroid
+    * broadcast and assignment scan dominate), and nProbe = nlist/8 —
+    * the recall/throughput middle of the dial, cells-scanned ≈
+    * |corpus|·nProbe/nlist ≈ |corpus|/8 per query. Callers pin
+    * explicit values to move along the recall curve.
+    */
+  def ivfConfigFor(n: Long): (Int, Int) = {
+    val pow = math.round(
+      math.log(math.sqrt(math.max(1L, n).toDouble)) / math.log(2.0)).toInt
+    val nlist = 1 << math.max(4, math.min(16, pow))
+    (nlist, math.max(1, nlist / 8))
+  }
+
   def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nlist: Int = 0, nProbe: Int = 0): DataFrame = {
+    val (nl, np) =
+      if (nlist > 0) (nlist, if (nProbe > 0) nProbe else math.max(1, nlist / 8))
+      else {
+        // auto nlist must not discard an explicitly pinned nProbe
+        val (autoL, autoP) = ivfConfigFor(corpus.count())
+        (autoL, if (nProbe > 0) nProbe else autoP)
+      }
+    ivfTopKPinned(corpus, queries, id, vec, k, nl, np)
+  }
+
+  private def ivfTopKPinned(
       corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, nlist: Int, nProbe: Int): DataFrame = {
     // deterministic centroids WITHOUT an eager count() (which would

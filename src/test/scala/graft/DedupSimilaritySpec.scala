@@ -222,6 +222,25 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missed ${expected.diff(out)} of ${expected.size} true near-dup pairs")
   }
 
+  test("ivfConfigFor: sqrt rule snapped to powers of two, clamped, probe = nlist/8") {
+    assert(Similarity.ivfConfigFor(1L) === ((16, 2)))          // floor clamp
+    assert(Similarity.ivfConfigFor(1000L) === ((32, 4)))       // sqrt≈32
+    assert(Similarity.ivfConfigFor(1000000L) === ((1024, 128)))
+    assert(Similarity.ivfConfigFor(100000000L) === ((8192, 1024)))
+    assert(Similarity.ivfConfigFor(Long.MaxValue) === ((65536, 8192))) // ceiling clamp
+    // an explicitly pinned nProbe survives auto nlist: results from
+    // the auto form with nProbe pinned equal the fully pinned form
+    val vecs = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = vecs.filter(col("vec_id") % 50 === 0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val (autoL, _) = Similarity.ivfConfigFor(vecs.count())
+    val auto = run(Similarity.ivfTopK(vecs, q, "vec_id", "embedding", k = 3, nProbe = 2))
+    val pinned = run(Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+      k = 3, nlist = autoL, nProbe = 2))
+    assert(auto === pinned)
+  }
+
   test("ivfTopK: exact cosines, high recall vs brute force at nProbe=4/16") {
     val vecs = (0L until 200L).map(i =>
       (i, Seq.tabulate(16)(d => math.sin(i * 0.37 + d * 1.1).toFloat)))
