@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * call them. Activate with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   *
-  * Only `float_dot` needs this today — everything else in the engine
-  * is built-in composition; injecting a Rule/Strategy was evaluated
-  * and rejected (SURVEY.md §4.2).
+  * Only the native expressions (`float_dot`, `rolling_hash`,
+  * `nfc_normalize`) need this — everything else in the engine is
+  * built-in composition; injecting a Rule/Strategy was evaluated and
+  * rejected (SURVEY.md §4.2).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -28,5 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[StringRollingHash].getName, "rolling_hash",
         "rolling_hash(s) - base-31 polynomial hash over UTF-8 bytes (order-sensitive)"),
       (exprs: Seq[Expression]) => StringRollingHash(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[NfcNormalize].getName, "nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC normalization (same name/semantics as DuckDB's)"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }

@@ -140,3 +140,52 @@ object WordShingles {
   def shingles(toks: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
 }
+
+/** Unicode NFC normalization as a native codegen'd expression — the
+  * first step of CCNet/C4-style text cleanup (decomposed accent
+  * sequences, compatibility artifacts from web scrapes). Spark has no
+  * built-in for it and a Scala UDF would break whole-stage codegen;
+  * this is a static call into the JDK's Normalizer from generated
+  * code, with an isNormalized fast path so already-NFC (e.g. pure
+  * ASCII) rows pay one scan and zero allocations.
+  *
+  * Cross-engine: DuckDB's `nfc_normalize` implements the same Unicode
+  * normalization form, so operators built on this carry full value
+  * oracles.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.normalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  import java.text.Normalizer
+
+  /** Shared by interpreted and generated paths (static call — no
+    * row-level virtual dispatch, no codegen fallback).
+    */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+
+  def nfc(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+}

@@ -117,6 +117,30 @@ object Curation {
           col("top_bigram_frac") > maxTopBigramFrac)
   }
 
+  /** X16: text normalization — the CCNet/C4 cleanup pass that runs
+    * before any hashing or tokenization: Unicode NFC (decomposed
+    * accents, compatibility artifacts), control-character strip
+    * (everything in C0/DEL except newline and tab), and space/tab-run
+    * collapse + trim. Normalizing BEFORE dedup matters: the same
+    * sentence scraped with composed vs decomposed accents must hash
+    * identically or every dedup family silently misses it.
+    *
+    * Returns the input plus (clean_text, changed).
+    *
+    * Scale: map-only; NFC is the codegen'd [[graft.functions.NfcNormalize]]
+    * expression (isNormalized fast path — ASCII rows allocate
+    * nothing), the rest is built-in regexp_replace, all inside
+    * whole-stage codegen. Cross-engine: DuckDB `nfc_normalize` + the
+    * same RE2-safe character-class patterns.
+    */
+  def normalizeText(df: DataFrame, text: Column): DataFrame = {
+    val nfc = graft.functions.NfcNormalize.nfc(text)
+    val stripped = regexp_replace(nfc, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    val collapsed = regexp_replace(stripped, "[ \\t]+", " ")
+    df.withColumn("clean_text", trim(collapsed))
+      .withColumn("changed", col("clean_text") =!= text)
+  }
+
   /** X7b: line-level repetition statistics — the other half of the
     * Gopher repetition battery (Rae et al. 2021, §A1.1): the fraction
     * of duplicate LINES and the fraction of characters inside

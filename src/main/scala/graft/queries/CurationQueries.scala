@@ -116,6 +116,23 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X16: text normalization over a derived dirty string — leading
+    // spaces, a decomposed e+combining-acute (NFC composes to é), a
+    // BEL control char, a tab and trailing spaces; every cleanup rule
+    // fires on every doc and the result is value-oracled
+    "q_normalize_text" -> ((s, d) => {
+      // the first literal holds RAW bytes: two leading spaces,
+      // ASCII cafe + combining acute U+0301 (decomposed; NFC composes
+      // it), a space, then a BEL (U+0007) control char; the second is
+      // tab + tail + trailing spaces
+      val dirty = concat(lit("  café "), col("text"), lit("	tail  "))
+      Curation.normalizeText(
+        table(s, d, "documents").withColumn("raw", dirty), col("raw"))
+        .select(col("doc_id"), col("clean_text"),
+          length(col("clean_text")).cast("long").as("n_chars"), col("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X15: token-budget selection — highest vocabulary-richness docs
     // until the budget is spent; the oracle is the naive global-sort
     // form, the implementation is the bucket-offset plan
@@ -361,6 +378,23 @@ object CurationQueries {
            FROM cnts GROUP BY doc_id)
          SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac
          FROM base JOIN ch USING (doc_id) ORDER BY doc_id""",
+    // X16: chr(769) = U+0301 combining acute, chr(7) = BEL, chr(9) =
+    // tab — the same raw bytes the Spark fixture embeds; DuckDB's
+    // nfc_normalize is the same Unicode NFC as the engine's codegen
+    // expression, and RE2 interprets the identical \x character
+    // classes
+    "q_normalize_text" ->
+      """WITH raw AS (SELECT doc_id,
+             '  cafe' || chr(769) || ' ' || chr(7) || text || chr(9) || 'tail  ' AS r
+           FROM documents),
+         n AS (SELECT doc_id, r,
+             trim(regexp_replace(regexp_replace(nfc_normalize(r),
+               '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS clean_text
+           FROM raw)
+         SELECT doc_id, clean_text,
+           CAST(length(clean_text) AS BIGINT) AS n_chars,
+           clean_text <> r AS changed
+         FROM n ORDER BY doc_id""",
     // the oracle IS the naive global-sort semantics the bucket-offset
     // implementation must reproduce exactly
     "q_budget_select" ->

@@ -277,6 +277,29 @@ class CurationSpec extends SparkSpec {
       s"line filtering must not shuffle:\n$plan")
   }
 
+  test("X16 normalizeText: NFC composes, controls stripped, whitespace collapsed") {
+    // codepoint-built so composed vs decomposed is unambiguous in
+    // source: U+0301 combining acute, U+0007 BEL, U+00E9 composed
+    val acute = Character.toString(0x301)
+    val bel = Character.toString(0x7)
+    val eAcute = Character.toString(0xE9)
+    val dirty = s"  cafe$acute has$bel  a\t\ttab  and  runs \r\n end  "
+    val out = Curation.normalizeText(docs(1L -> dirty), col("text"))
+      .select("clean_text", "changed").as[(String, Boolean)].head()
+    // \r is a stripped control; \n survives (line structure is X14's
+    // concern, not normalization's)
+    assert(out._1 == s"caf$eAcute has a tab and runs \n end")
+    assert(out._2)
+    // already-clean ASCII is returned unchanged and flagged unchanged
+    val clean = Curation.normalizeText(docs(2L -> "plain text."), col("text"))
+      .select("clean_text", "changed").as[(String, Boolean)].head()
+    assert(clean == (("plain text.", false)))
+    // registered through the extensions hook for SQL callers
+    val viaSql = spark.sql(s"SELECT nfc_normalize('cafe$acute')")
+      .collect().head.getString(0)
+    assert(viaSql == s"caf$eAcute")
+  }
+
   test("X14/X7b property: line ops equal in-memory references on random pages") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
