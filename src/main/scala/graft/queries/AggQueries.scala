@@ -19,6 +19,21 @@ object AggQueries {
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O4: gap-filled hourly resampling per event type — the engine
+    // side of ClickHouse "ORDER BY ... WITH FILL" over the reference's
+    // events table: every hour between each type's first and last
+    // event, zero-filled counts, forward-filled hourly mean value.
+    // Epoch-hour buckets are integer arithmetic end to end
+    "q_resample_fill" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      // ts is nanos-as-long (Tables contract); integer `div` equals
+      // DuckDB's floor-div `//` on these always-positive timestamps
+      graft.operators.TimeSeries.resampleFill(
+        ev, "event_type",
+        bucket = expr("(ts div 1000000000) div 3600"),
+        value = col("value"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
     // A3/A6 flagship: TPC-H Q1 shape over lineitem.
     // The discounted-price terms multiply in EXACT decimal arithmetic:
     // casting a computed double product to decimal rounds half-up at a
@@ -122,6 +137,23 @@ object AggQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_resample_fill" ->
+      """WITH e AS (SELECT event_type,
+             CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS bucket, value
+           FROM events),
+         c AS (SELECT event_type, bucket, count(*) AS cnt,
+             round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 4) AS avg_value
+           FROM e GROUP BY event_type, bucket),
+         s AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+           FROM c GROUP BY event_type),
+         g AS (SELECT event_type, unnest(generate_series(mn, mx)) AS bucket FROM s),
+         j AS (SELECT g.event_type, g.bucket, coalesce(c.cnt, 0) AS cnt, c.avg_value
+           FROM g LEFT JOIN c USING (event_type, bucket))
+         SELECT event_type, bucket, CAST(cnt AS BIGINT) AS cnt,
+           last_value(avg_value IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS avg_ffill
+         FROM j ORDER BY event_type, bucket""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -54,4 +54,22 @@ class AggApproxSpec extends SparkSpec {
       assert(n >= 1 && maxlen <= 64)
     }
   }
+
+  test("O4 resampleFill: dense grid per key, zero-filled gaps, forward-filled means") {
+    // key a: buckets 10, 13 (gap 11-12); key b: single bucket
+    val d = Seq(
+      ("a", 10L, 4.0), ("a", 10L, 6.0), ("a", 13L, 9.0), ("b", 20L, 2.0))
+      .toDF("k", "bkt", "v")
+    val out = graft.operators.TimeSeries
+      .resampleFill(d, "k", col("bkt"), col("v"))
+      .orderBy("k", "bucket")
+      .select("k", "bucket", "cnt", "avg_ffill")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 10L, 2L, 5.0),   // mean of 4, 6
+      ("a", 11L, 0L, 5.0),   // gap: count zero, mean carried forward
+      ("a", 12L, 0L, 5.0),
+      ("a", 13L, 1L, 9.0),
+      ("b", 20L, 1L, 2.0)))  // span of one: no gaps invented
+  }
 }
