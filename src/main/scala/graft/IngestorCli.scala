@@ -236,8 +236,14 @@ object IngestorCli {
     }
     // the listener bus delivers asynchronously: without this barrier
     // the final micro-batches may be missing from the rendered counts
-    // (and gone for good — the listener is removed below)
-    metrics.awaitTerminated()
+    // (and gone for good — the listener is removed below). Id-form,
+    // not counter-form: on a shared session an unrelated query's
+    // queued termination must not satisfy the wait. A false return
+    // (bus delayed past the timeout) is surfaced, not swallowed
+    if (!metrics.awaitTerminated(query.id, 10000L))
+      System.err.println(
+        s"[ingestor] WARN: listener bus did not deliver query ${query.id} " +
+          "termination within 10s — rendered counts may be incomplete")
     otlpExporter.foreach(_.flush(5000)) // drain the async span queue
     println(metrics.render())
     if (a.sink == "clickhouse" || a.sink.startsWith("clickhouse:"))

@@ -402,7 +402,9 @@ object Curation {
     val lines = split(text, "\n")
     val keepLine = (l: Column) => {
       val t = trim(l)
-      val boiler = markers.map(m => lower(t).contains(m)).reduce(_ || _)
+      // foldLeft, not reduce: an empty marker list means "no
+      // boilerplate rule", not an exception at plan-build time
+      val boiler = markers.foldLeft(lit(false))((acc, m) => acc || lower(t).contains(m))
       t.rlike("[.!?\"]$") && size(split(t, " ")) >= minWords && !boiler
     }
     val kept = filter(lines, keepLine)

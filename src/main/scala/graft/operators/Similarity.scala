@@ -161,7 +161,12 @@ object Similarity {
     * tables (e.g. 8×8 → 12×16 keeps ~0.93 of the recall at ~8× fewer
     * candidates). Leaving `planes` at the 0 sentinel applies
     * [[lshConfigFor]] to a count of `df` — the measured rule, applied
-    * by default (one metadata-cheap count job at plan-build time).
+    * by default. Cost honesty: that count is an EAGER job at
+    * plan-build time — metadata-cheap for a parquet-backed scan, but
+    * for a derived frame (filters, joins upstream) it executes the
+    * whole upstream pipeline once just to size buckets. Chained
+    * callers should pass explicit planes/tables (or count once
+    * themselves and reuse it).
     */
   def lshNearDupPairs(
       df: DataFrame, id: String, vec: String,

@@ -75,9 +75,12 @@ class IngestionMetrics(
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
     if (e.exception.isDefined) errorsTotal.incrementAndGet()
     terminationsTotal.incrementAndGet()
+    terminatedIds.add(e.id.toString)
   }
 
   val terminationsTotal = new AtomicLong(0L)
+  private val terminatedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Block until `n` query-terminated events have been DELIVERED to
     * this listener (not merely posted). The listener bus is FIFO per
@@ -91,6 +94,20 @@ class IngestionMetrics(
     while (terminationsTotal.get < n && System.currentTimeMillis < deadline)
       Thread.sleep(20L)
     terminationsTotal.get >= n
+  }
+
+  /** Id-addressed form of the barrier: waits for THIS query's
+    * termination event. On a shared session (the test suite, any app
+    * running several streams) the counter form can be satisfied by an
+    * unrelated query's termination still queued on the async bus —
+    * the id form cannot.
+    */
+  def awaitTerminated(queryId: java.util.UUID, timeoutMs: Long): Boolean = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    val id = queryId.toString
+    while (!terminatedIds.contains(id) && System.currentTimeMillis < deadline)
+      Thread.sleep(20L)
+    terminatedIds.contains(id)
   }
 
   /** Prometheus text-format 0.0.4 dump (scrape/debug surface): `le`

@@ -69,13 +69,17 @@ object SyntheticSource {
       // before its loop exits (cmd/root.go:126-147), so a bounded run
       // never ends with generated-but-uninserted rows — without this,
       // a slow first micro-batch (JVM warmup, loaded host) can make a
-      // short run sink nothing at all. The drain is WATCHDOG-bounded:
-      // against an unbounded rate source whose micro-batches run
-      // slower than generation, processAllAvailable never sees
-      // noNewData and a "bounded" run would otherwise block forever
+      // short run sink nothing at all. Two honest caveats: (a) the
+      // drain may also sink rows the rate source generated AFTER the
+      // deadline (generation is wall-clock-driven and cannot be
+      // frozen), so bounded-run row counts are >= rate*duration, not
+      // ==; (b) the drain is WATCHDOG-bounded by a fixed 10 s grace —
+      // against a source whose micro-batches run slower than
+      // generation, processAllAvailable never sees noNewData and an
+      // unbounded drain would block forever while compounding (a)
       val watchdog = new Thread(() => {
         try {
-          Thread.sleep(Math.max(durationMs, 10000L))
+          Thread.sleep(10000L)
           if (query.isActive) query.stop()
         } catch { case _: InterruptedException => () }
       }, "runBounded-watchdog")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * oracle; checked against the exact values instead) and the X5
   * multimodal stubs around the real Spark plumbing.
   */
-class AggApproxSpec extends SparkSpec {
+class AggApproxSpec extends SparkSpec with NeedsTestdata {
   import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"

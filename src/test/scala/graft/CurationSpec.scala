@@ -270,6 +270,14 @@ class CurationSpec extends SparkSpec {
     assert(clean == ((0.0, 0.0)))
   }
 
+  test("X14 filterLines with an empty marker list keeps the other rules") {
+    val out = Curation.filterLines(
+      docs(1L -> "lorem ipsum stays now.\nshort"), col("text"),
+      markers = Seq.empty)
+      .select("n_kept", "clean_text").as[(Long, String)].head()
+    assert(out == ((1L, "lorem ipsum stays now.")))
+  }
+
   test("X14 filterLines is map-only: no exchange in the plan") {
     val plan = Curation.filterLines(docs(1L -> "a b c."), col("text"))
       .queryExecution.executedPlan.toString

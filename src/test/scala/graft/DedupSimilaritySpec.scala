@@ -22,6 +22,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("shingles: codegen expression == HOF formulation on the corpus") {
+    requireTestdata()
     val docs01 = Tables.table(spark, "/root/testdata/sf0.001", "documents")
     Seq(1, 2, 3).foreach { k =>
       val both = docs01.select(
@@ -63,6 +64,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // this keeps its approximation gap MEASURED against the exact
     // inverted-index form on the real corpus (banding theory: 8 bands
     // x 2 rows -> P[candidate] ~ 0.90 at j=0.5, ~1 at j>=0.9)
+    requireTestdata()
     val docs01 = Tables.table(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccard(docs01, "doc_id", col("text"), k = 2, minJ = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -76,6 +78,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("operator-scoped caches are released after the consuming action (no block leak)") {
+    requireTestdata()
     val docs01 = Tables.table(spark, "/root/testdata/sf0.001", "documents")
     def cachedBlocks: Int =
       spark.sparkContext.getRDDStorageInfo.count(_.numCachedPartitions > 0)
@@ -146,6 +149,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("lshNearDupPairs: verified subset of exact near-dup pairs, recall measured") {
+    requireTestdata()
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", minCos = 0.45)
       .select("id_a", "id_b", "cosine")
@@ -171,6 +175,25 @@ class DedupSimilaritySpec extends SparkSpec {
         s"strong-pair recall ${strongHit.toDouble / strong.size}")
   }
 
+  test("oracle coupling canary: every oracled embeddings fixture stays under the 8x8 auto band") {
+    // q_embed_neardup_lsh registers the AUTO config while its DuckDB
+    // oracle hard-codes 8 planes x 8 tables — sound only while every
+    // oracled fixture keeps <= 20k vectors (lshConfigFor's first
+    // breakpoint). This canary turns that invisible coupling into a
+    // named failure: if a larger fixture is ever oracled, pin the
+    // registration or regenerate the oracle SQL for the new config.
+    requireTestdata()
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val n = Tables.table(spark, dir, "embeddings").count()
+        assert(Similarity.lshConfigFor(n) === ((8, 8)),
+          s"$sf has $n vectors: auto LSH leaves the oracle's pinned 8x8 band — " +
+            "update q_embed_neardup_lsh's registration/oracle together")
+      }
+    }
+  }
+
   test("lshConfigFor pins the measured breakpoints and extrapolates the rule") {
     // measured (BASELINE.md crossover table): 8×8 fastest up to ~20k
     // vectors, 12×16 wins from there through the measured 60k point
@@ -188,6 +211,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("lshNearDupPairs auto default equals the pinned 8x8 config below the crossover") {
+    requireTestdata()
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     def run(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
       df.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
@@ -230,6 +254,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.ivfConfigFor(Long.MaxValue) === ((65536, 8192))) // ceiling clamp
     // an explicitly pinned nProbe survives auto nlist: results from
     // the auto form with nProbe pinned equal the fully pinned form
+    requireTestdata()
     val vecs = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val q = vecs.filter(col("vec_id") % 50 === 0)
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -156,6 +156,7 @@ class IngestorCliSpec extends SparkSpec {
   }
 
   test("curate mode: documents dir → 4-stage pipeline → packed parquet") {
+    requireTestdata()
     val dir = Files.createTempDirectory("graft-cli-curate").toString
     val out = s"$dir/packed"
     val (docsIn, docsOut) = {

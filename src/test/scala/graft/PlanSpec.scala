@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * scan, small dims broadcast, top-k avoids the full sort, partial
   * aggregation runs before the shuffle.
   */
-class PlanSpec extends SparkSpec {
+class PlanSpec extends SparkSpec with NeedsTestdata {
 
   private val sf = "/root/testdata/sf0.001"
   private def plan(df: DataFrame): String =

@@ -7,6 +7,7 @@ package graft
 class SparkEntrySpec extends SparkSpec {
 
   test("entry() flagship query returns rows on sf0.001") {
+    requireTestdata()
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
@@ -16,6 +17,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("registry is stable: every query runs and is deterministic on sf0.001") {
+    requireTestdata()
     val sf = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect().map(_.toString).toSeq

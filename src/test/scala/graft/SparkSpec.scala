@@ -8,9 +8,32 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   override def afterAll(): Unit = () // session shared across suites
+
+  /** Driver-generated parquet fixtures live outside the repo and are
+    * absent on CI runners. Call as the first statement of any test
+    * that reads them: the test CANCELS (visible in the report as
+    * canceled, not silently green) instead of failing on a machine
+    * without the fixtures.
+    */
+  protected def requireTestdata(): Unit =
+    assume(SparkSpec.testdataPresent,
+      "driver-generated /root/testdata not present — fixture-bound test skipped")
+}
+
+/** Mixin for suites where EVERY test reads the driver fixtures:
+  * cancels the whole suite's tests on machines without them.
+  */
+trait NeedsTestdata extends SparkSpec {
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    if (SparkSpec.testdataPresent) super.withFixture(test)
+    else org.scalatest.Canceled(new org.scalatest.exceptions.TestCanceledException(
+      "driver-generated /root/testdata not present — fixture-bound suite skipped", 0))
 }
 
 object SparkSpec {
+  lazy val testdataPresent: Boolean =
+    new java.io.File("/root/testdata/sf0.001").isDirectory
+
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-tests")
