@@ -35,7 +35,7 @@ object Dedup {
     * a correctness change: unpersisted plans simply re-evaluate).
     * One-shot and self-unregistering.
     */
-  private def releaseAfterAction(result: DataFrame, cached: DataFrame*): DataFrame = {
+  private[operators] def releaseAfterAction(result: DataFrame, cached: DataFrame*): DataFrame = {
     val spark = result.sparkSession
     val target = result.queryExecution.analyzed
     val listener = new QueryExecutionListener {

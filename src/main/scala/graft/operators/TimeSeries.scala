@@ -29,12 +29,19 @@ object TimeSeries {
 
   def resampleFill(
       df: DataFrame, key: String, bucket: Column, value: Column): DataFrame = {
+    // cached: the aggregate feeds BOTH the span derivation and the
+    // grid join, and Spark does not CSE the subtree across the two
+    // uses — uncached, the raw input would be scanned and aggregated
+    // twice (verified in the plan dump). The cache is the TINY
+    // (key, active-bucket) table, released after the consuming action
+    // (same listener lifecycle as Dedup's signature tables)
     val counts = df.groupBy(col(key), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"),
         // DECIMAL-exact sum then one rounded double division — the
         // same cross-engine determinism pattern as unigramLogProb
         round(sum(value.cast("decimal(38,6)")).cast("double") /
           count(lit(1)).cast("double"), 4).as("avg_value"))
+      .cache()
     val spans = counts.groupBy(col(key))
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
     val grid = spans.select(col(key),
@@ -43,8 +50,10 @@ object TimeSeries {
       .na.fill(0L, Seq("cnt"))
     val w = Window.partitionBy(col(key)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined
-      .withColumn("avg_ffill", last(col("avg_value"), ignoreNulls = true).over(w))
-      .drop("avg_value")
+    Dedup.releaseAfterAction(
+      joined
+        .withColumn("avg_ffill", last(col("avg_value"), ignoreNulls = true).over(w))
+        .drop("avg_value"),
+      counts)
   }
 }
