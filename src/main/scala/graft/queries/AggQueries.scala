@@ -19,6 +19,39 @@ object AggQueries {
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A9: PIVOT — daily event counts spread into one column per event
+    // type. The pivot values are PINNED (the generator's closed
+    // domain): an unpinned pivot runs an extra distinct job to
+    // discover columns and its column order is data-dependent —
+    // neither acceptable in a registered deterministic query
+    "q_pivot" -> ((s, d) => {
+      val types = Seq("login", "click", "purchase", "logout", "error")
+      table(s, d, "events")
+        .select(expr("(ts div 1000000000) div 86400").as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy(col("day"))
+    }),
+
+    // A10: UNPIVOT/melt — lineitem's four measures to long form; the
+    // inverse relational shape (Spark melt ↔ SQL UNION ALL oracle)
+    "q_unpivot" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("quantity"), col("extendedprice"),
+            col("discount"), col("tax")),
+          variableColumnName = "measure", valueColumnName = "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }),
+
     // O4: gap-filled hourly resampling per event type — the engine
     // side of ClickHouse "ORDER BY ... WITH FILL" over the reference's
     // events table: every hour between each type's first and last
@@ -137,6 +170,35 @@ object AggQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // A9: the portable form of PIVOT is conditional aggregation —
+    // identical cells, engine-neutral column names
+    "q_pivot" ->
+      """SELECT day,
+           CAST(count(*) FILTER (event_type = 'login') AS BIGINT) AS login,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'logout') AS BIGINT) AS logout,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+         FROM (SELECT CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day,
+             event_type FROM events)
+         GROUP BY day ORDER BY day""",
+    // A10: UNPIVOT's portable form is a UNION ALL of one arm per measure
+    "q_unpivot" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS quantity,
+             CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+             CAST(l_discount AS DOUBLE) AS discount,
+             CAST(l_tax AS DOUBLE) AS tax
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, measure, val FROM (
+           SELECT l_orderkey, l_linenumber, 'quantity' AS measure, quantity AS val FROM b
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM b
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'discount', discount FROM b
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'tax', tax FROM b)
+         ORDER BY l_orderkey, l_linenumber, measure""",
     "q_resample_fill" ->
       """WITH e AS (SELECT event_type,
              CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS bucket, value
