@@ -144,6 +144,22 @@ object AggQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // A5b: arbitrary GROUPING SETS — the general form rollup/cube
+    // specialize: (flag, status), (flag), (status) but NOT the grand
+    // total, a combination neither rollup nor cube expresses;
+    // grouping_id disambiguates which set produced each row (the
+    // NULL-vs-null-key ambiguity grouping sets introduce)
+    "q_grouping_sets" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // A7: conditional aggregation — error rate per user
     "q_count_if" -> ((s, d) => {
       table(s, d, "events")
@@ -250,6 +266,14 @@ object AggQueries {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    // grouping_id bit order: both engines number bits left-to-right
+    // over the grouping columns (flag=bit1, status=bit0)
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_count_if" ->
       """SELECT user_id, COUNT(*) AS n,
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
