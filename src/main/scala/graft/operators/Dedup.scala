@@ -23,40 +23,12 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Dedup {
 
-  /** Cache lifecycle for operator-scoped signature tables: unpersist
-    * `cached` right after the action CONSUMING `result` completes —
-    * the listener matches the finished QueryExecution's analyzed plan
-    * against `result`'s plan (subtree `sameResult`), so concurrent or
-    * interleaved unrelated actions on the session (streaming batches,
-    * other drivers) no longer evict the caches mid-flight. Safety
-    * valve: if the caller never executes `result`, the listener (and
-    * caches) would linger — after 64 non-matching completions it
-    * releases anyway, turning a leak into at worst a recompute (never
-    * a correctness change: unpersisted plans simply re-evaluate).
-    * One-shot and self-unregistering.
+  /** See [[CacheLifecycle.releaseAfterAction]] — extracted to a
+    * shared object once TimeSeries needed the same lifecycle; kept
+    * here as a forwarder for the three dedup call sites' locality.
     */
-  private[operators] def releaseAfterAction(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val spark = result.sparkSession
-    val target = result.queryExecution.analyzed
-    val listener = new QueryExecutionListener {
-      private val done = new AtomicBoolean(false)
-      private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
-      private def consumesResult(qe: QueryExecution): Boolean =
-        (try qe.analyzed.exists(_.sameResult(target))
-        catch { case _: Throwable => true }) ||
-          misses.incrementAndGet() >= 64
-      private def release(): Unit = if (done.compareAndSet(false, true)) {
-        cached.foreach(_.unpersist(blocking = false))
-        spark.listenerManager.unregister(this)
-      }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        if (consumesResult(qe)) release()
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        if (consumesResult(qe)) release()
-    }
-    spark.listenerManager.register(listener)
-    result
-  }
+  private def releaseAfterAction(result: DataFrame, cached: DataFrame*): DataFrame =
+    CacheLifecycle.releaseAfterAction(result, cached: _*)
 
   /** X1 exact dedup, deterministic winner: keep the row with the
     * minimum `keep` value per key group. (`dropDuplicates` keeps an

@@ -34,7 +34,7 @@ object TimeSeries {
     // uses — uncached, the raw input would be scanned and aggregated
     // twice (verified in the plan dump). The cache is the TINY
     // (key, active-bucket) table, released after the consuming action
-    // (same listener lifecycle as Dedup's signature tables)
+    // (see CacheLifecycle)
     val counts = df.groupBy(col(key), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"),
         // DECIMAL-exact sum then one rounded double division — the
@@ -50,7 +50,7 @@ object TimeSeries {
       .na.fill(0L, Seq("cnt"))
     val w = Window.partitionBy(col(key)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Dedup.releaseAfterAction(
+    CacheLifecycle.releaseAfterAction(
       joined
         .withColumn("avg_ffill", last(col("avg_value"), ignoreNulls = true).over(w))
         .drop("avg_value"),

@@ -20,12 +20,14 @@ object AggQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A9: PIVOT — daily event counts spread into one column per event
-    // type. The pivot values are PINNED (the generator's closed
-    // domain): an unpinned pivot runs an extra distinct job to
-    // discover columns and its column order is data-dependent —
-    // neither acceptable in a registered deterministic query
+    // type. The pivot values are PINNED to the batch events table's
+    // closed domain (click/error/purchase/signup/view at every SF —
+    // NOT the streaming SyntheticSource's action list): an unpinned
+    // pivot runs an extra distinct job to discover columns and its
+    // column order is data-dependent — neither acceptable in a
+    // registered deterministic query
     "q_pivot" -> ((s, d) => {
-      val types = Seq("login", "click", "purchase", "logout", "error")
+      val types = Seq("click", "error", "purchase", "signup", "view")
       table(s, d, "events")
         .select(expr("(ts div 1000000000) div 86400").as("day"), col("event_type"))
         .groupBy(col("day"))
@@ -190,11 +192,11 @@ object AggQueries {
     // identical cells, engine-neutral column names
     "q_pivot" ->
       """SELECT day,
-           CAST(count(*) FILTER (event_type = 'login') AS BIGINT) AS login,
            CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
            CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
-           CAST(count(*) FILTER (event_type = 'logout') AS BIGINT) AS logout,
-           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
          FROM (SELECT CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day,
              event_type FROM events)
          GROUP BY day ORDER BY day""",

@@ -55,6 +55,19 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     }
   }
 
+  test("A9 canary: the pivot's pinned values ARE the events table's event_type domain") {
+    // q_pivot (and its oracle) pin click/error/purchase/signup/view;
+    // a pinned pivot silently drops unlisted values, and the oracle
+    // shares the pin — so domain drift passes the value gate unseen.
+    // This names the coupling if the driver ever regenerates the
+    // fixture with a different domain
+    import spark.implicits._
+    val actual = Tables.table(spark, sf, "events")
+      .select("event_type").distinct().as[String].collect().toSet
+    assert(actual === Set("click", "error", "purchase", "signup", "view"),
+      "events.event_type domain changed — update q_pivot's pinned values AND its oracle")
+  }
+
   test("O4 resampleFill: dense grid per key, zero-filled gaps, forward-filled means") {
     // key a: buckets 10, 13 (gap 11-12); key b: single bucket
     val d = Seq(
