@@ -68,6 +68,50 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
       "events.event_type domain changed — update q_pivot's pinned values AND its oracle")
   }
 
+  test("O4 property: resampleFill equals an in-memory reference on random series") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val seriesGen = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        b <- Gen.choose(0L, 15L)   // small range → frequent gaps AND collisions
+        cents <- Gen.choose(1, 99999)
+      } yield (k, b, cents))
+    } yield rows
+    for (seed <- 1 to 10) {
+      val rows = seriesGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val expect = rows.groupBy { case (k, b, _) => (k, b) }.toSeq
+        .map { case ((k, b), g) =>
+          // mirror the operator's chain exactly: exact decimal sum →
+          // one double cast → double division → round(_, 4)
+          val sumD = (BigDecimal(g.map(_._3.toLong).sum) / 100).toDouble
+          val mean = BigDecimal.decimal(sumD / g.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (k, b, g.size.toLong, mean)
+        }
+        .groupBy(_._1).toSeq.flatMap { case (k, cells) =>
+          val byB = cells.map(c => c._2 -> c).toMap
+          val (mn, mx) = (cells.map(_._2).min, cells.map(_._2).max)
+          var lastMean = Double.NaN
+          (mn to mx).map { b =>
+            byB.get(b) match {
+              case Some((_, _, n, m)) => lastMean = m; (k, b, n, m)
+              case None => (k, b, 0L, lastMean)
+            }
+          }
+        }.toSet
+      val df = rows.map { case (k, b, c) => (k, b, c / 100.0) }
+        .toDF("k", "bkt", "v")
+      val got = graft.operators.TimeSeries
+        .resampleFill(df, "k", col("bkt"), col("v"))
+        .select("k", "bucket", "cnt", "avg_ffill")
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(got == expect, s"seed $seed rows: $rows")
+    }
+  }
+
   test("O4 resampleFill: dense grid per key, zero-filled gaps, forward-filled means") {
     // key a: buckets 10, 13 (gap 11-12); key b: single bucket
     val d = Seq(
