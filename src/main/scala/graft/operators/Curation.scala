@@ -475,6 +475,42 @@ object Curation {
       .drop("__s", "__prev")
   }
 
+  /** X17: overlapping token-window chunking — the embedding/RAG prep
+    * step (the other consumer of a curated corpus, next to [[packSequences]]'
+    * pretraining batcher): each document is cut into windows of
+    * `chunkTokens` tokens advancing by `chunkTokens - overlap`, so
+    * consecutive chunks share `overlap` tokens of context. A window
+    * is emitted only while it contributes at least one NEW token
+    * beyond the shared overlap (start + overlap < n), so short tails
+    * already fully covered by the previous window are not duplicated;
+    * every document yields at least one chunk. chunk_id is the
+    * window ordinal — (id, chunk_id) is the stable key an embedding
+    * store needs for idempotent re-runs.
+    *
+    * Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    *
+    * Scale: map-only — sequence + posexplode + slice inside the
+    * scan's project; output size = Σ ceil((n_d - overlap)/stride),
+    * the semantic chunk count. No shuffle, no UDF.
+    */
+  def chunkTokens(
+      df: DataFrame, id: String, text: Column,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap vs $chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = split(text, " ")
+    val n = size(toks).cast("long")
+    val starts = sequence(lit(0L),
+      greatest(n - lit(overlap.toLong + 1L), lit(0L)), lit(stride.toLong))
+    df.select(col(id), toks.as("__toks"), n.as("__n"),
+        posexplode(starts).as(Seq("chunk_id", "__start")))
+      .select(col(id), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(chunkTokens.toLong), col("__n") - col("__start")).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("__start") + 1L).cast("int"), lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** X10: concat-and-chunk sequence packing — the GPT-style
     * pretraining batcher: documents are laid end-to-end in a
     * deterministic order within each shard and the token stream is

@@ -133,6 +133,15 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X17: overlapping 32-token chunks advancing by 24 (8 shared
+    // context tokens) — the embedding-store prep over these
+    // 25-90-token docs yields 1-4 chunks each
+    "q_chunk_overlap" -> ((s, d) => {
+      Curation.chunkTokens(table(s, d, "documents"), "doc_id", col("text"),
+        chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // X15: token-budget selection — highest vocabulary-richness docs
     // until the budget is spent; the oracle is the naive global-sort
     // form, the implementation is the bucket-offset plan
@@ -395,6 +404,20 @@ object CurationQueries {
            CAST(length(clean_text) AS BIGINT) AS n_chars,
            clean_text <> r AS changed
          FROM n ORDER BY doc_id""",
+    // X17: generate_series start offsets (inclusive bound = the last
+    // start still contributing a new token), clamped list slice
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         s AS (SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(n - 9, 0), 24)) AS start
+           FROM t)
+         SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_id,
+           CAST(least(32, n - start) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[CAST(start + 1 AS INT):CAST(start + 32 AS INT)], ' ') AS chunk_text
+         FROM s ORDER BY doc_id, chunk_id""",
     // the oracle IS the naive global-sort semantics the bucket-offset
     // implementation must reproduce exactly
     "q_budget_select" ->

@@ -270,6 +270,28 @@ class CurationSpec extends SparkSpec {
     assert(clean == ((0.0, 0.0)))
   }
 
+  test("X17 chunkTokens: overlap shared, no redundant tail, short docs one chunk") {
+    // 10 tokens, chunk 4, overlap 2 (stride 2): starts while
+    // start + 2 < 10 → 0,2,4,6 (start 8's window adds no new token
+    // beyond... start 8: 8+2 < 10 false → excluded? 8+2=10 not < 10 →
+    // excluded; but tokens 9,10 ARE covered by start 6's window (7-10)
+    val d = docs(1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+    val out = Curation.chunkTokens(d, "doc_id", col("text"), chunkTokens = 4, overlap = 2)
+      .select("chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, "t3 t4 t5 t6"),
+      (2L, 4L, "t5 t6 t7 t8"),
+      (3L, 4L, "t7 t8 t9 t10")))
+    // a doc shorter than the overlap still yields exactly one chunk
+    val tiny = Curation.chunkTokens(docs(2L -> "only two"), "doc_id",
+      col("text"), chunkTokens = 4, overlap = 2)
+      .select("chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(tiny == Seq((0L, 2L, "only two")))
+  }
+
   test("X14 filterLines with an empty marker list keeps the other rules") {
     val out = Curation.filterLines(
       docs(1L -> "lorem ipsum stays now.\nshort"), col("text"),
