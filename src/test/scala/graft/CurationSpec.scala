@@ -292,6 +292,44 @@ class CurationSpec extends SparkSpec {
     assert(tiny == Seq((0L, 2L, "only two")))
   }
 
+  test("X17 property: chunking covers every token exactly, ids dense, overlap respected") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cfgGen = for {
+      n <- Gen.choose(1, 60)
+      chunk <- Gen.choose(2, 12)
+      overlap <- Gen.choose(0, chunk - 1)
+    } yield (n, chunk, overlap)
+    for (seed <- 1 to 15) {
+      val (n, chunk, overlap) = cfgGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val out = Curation.chunkTokens(docs(1L -> text), "doc_id", col("text"),
+        chunkTokens = chunk, overlap = overlap)
+        .select("chunk_id", "n_chunk_tokens", "chunk_text")
+        .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+      val stride = chunk - overlap
+      // ids dense from 0; each chunk's tokens are the expected window
+      out.zipWithIndex.foreach { case ((cid, nt, txt), i) =>
+        assert(cid == i.toLong, s"seed $seed ids not dense: $out")
+        val start = i * stride
+        val want = (start + 1 to math.min(start + chunk, n)).map(i => s"w$i")
+        assert(txt == want.mkString(" "), s"seed $seed chunk $i window")
+        assert(nt == want.size.toLong)
+      }
+      // full coverage: union of windows is exactly 1..n
+      val covered = out.flatMap(_._3.split(" ")).toSet
+      assert(covered == (1 to n).map(i => s"w$i").toSet, s"seed $seed coverage")
+      // no fully-redundant window: every chunk past the first adds a
+      // token the previous window did not contain
+      out.sliding(2).foreach {
+        case Seq((_, _, a), (_, _, b)) =>
+          assert(b.split(" ").toSet.diff(a.split(" ").toSet).nonEmpty,
+            s"seed $seed redundant tail window")
+        case _ => ()
+      }
+    }
+  }
+
   test("X14 filterLines with an empty marker list keeps the other rules") {
     val out = Curation.filterLines(
       docs(1L -> "lorem ipsum stays now.\nshort"), col("text"),
