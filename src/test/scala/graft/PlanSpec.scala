@@ -176,6 +176,23 @@ class PlanSpec extends SparkSpec with NeedsTestdata {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("X17: chunking is generate-over-scan — no exchange except the presentation sort") {
+    val p = plan(SparkEntry.queries("q_chunk_overlap")(spark, sf))
+    assert(p.contains("Generate posexplode"), s"expected posexplode windows:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"chunking must not shuffle beyond the final orderBy:\n$p")
+  }
+
+  test("A9: pivot plans partial+final aggregation, no distinct-discovery job") {
+    val p = plan(SparkEntry.queries("q_pivot")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pivot counts must combine map-side:\n$p")
+    // pinned values: the plan is a single agg over the scan — an
+    // unpinned pivot would show a separate collect-distinct subtree
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"pinned pivot must scan once:\n$p")
+  }
+
   test("J2e: a selective dim predicate injects a runtime bloom pre-filter on the fact side") {
     // at 100 TB a shuffle join against a filtered dim moves the WHOLE
     // fact table unless the dim's selectivity reaches the fact scan;
