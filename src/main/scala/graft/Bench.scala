@@ -70,14 +70,27 @@ object Bench {
       val good = times.filter(_._2).map(_._1)
       name -> (if (good.nonEmpty) good.min else times.map(_._1).min)
     }
+    // per-query cross-pass spread (max/min over successful passes,
+    // 2 dp): a noisy-neighbor window inflates SOME passes, so spread
+    // >> 1 flags a min taken during external load — machine-readable,
+    // where before only the BASELINE.md prose protocol (per-pass
+    // totals in the 40-50s quiet band) could catch it
+    val spreads = ordered.map { case (name, _) =>
+      val good = perPass.map(_.toMap.apply(name)).filter(_._2).map(_._1)
+      name -> (if (good.size >= 2 && good.min > 0) good.max / good.min else 1.0)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val maxSpread = f"${spreads.map(_._2).max}%.2f"
     val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val passTotals = perPass.map(_.map(_._2._1).sum).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
-        s""""passes":$passTotals,"protocol":"min-of-$passes","sf":"$sfDir"}"""
+        s""""passes":$passTotals,"spread":$sp,"max_spread":$maxSpread,""" +
+        s""""protocol":"min-of-$passes","sf":"$sfDir"}"""
     println(line)
     System.err.println(line)
     Files.writeString(Paths.get("BENCH_OUT.json"), line + "\n")

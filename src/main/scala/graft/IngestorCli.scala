@@ -149,11 +149,17 @@ object IngestorCli {
   def run(spark: SparkSession, a: Args): IngestionMetrics = {
     if (a.mode == "curate") {
       // batch job — no stream, no listener; the summary line is the
-      // observability surface
+      // observability surface. --otlp has no effect here (span export
+      // is wired to the streaming listener) — say so rather than
+      // silently ignoring the flag
+      if (a.otlp.isDefined) System.err.println(
+        "[ingestor] --otlp is ignored in curate mode (no streaming spans)")
       val outDir =
         if (a.sink.startsWith("parquet:")) a.sink.stripPrefix("parquet:")
         else sys.error(s"curate mode writes parquet only, got: ${a.sink}")
       curate(spark, a.input, outDir)
+      // placeholder for the batch arm: never registered as a listener,
+      // all counters zero — NOT a measured-empty streaming run
       return new IngestionMetrics()
     }
     // real OTLP/HTTP span export when --otlp is given (reference runs

@@ -29,8 +29,12 @@ object CacheLifecycle {
       private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
       private def consumesResult(qe: QueryExecution): Boolean =
         (try qe.analyzed.exists(_.sameResult(target))
-        catch { case _: Throwable => true }) ||
-          misses.incrementAndGet() >= 64
+        catch {
+          // a broken plan comparison must not leak the caches, but
+          // fatal throwables (VM errors, interrupts) propagate — a
+          // listener callback must never swallow those
+          case scala.util.control.NonFatal(_) => true
+        }) || misses.incrementAndGet() >= 64
       private def release(): Unit = if (done.compareAndSet(false, true)) {
         cached.foreach(_.unpersist(blocking = false))
         spark.listenerManager.unregister(this)

@@ -154,7 +154,9 @@ object Curation {
     * (doc, line) → weighted sum per doc). No wide shuffle.
     */
   def lineRepetitionStats(df: DataFrame, id: String, text: Column): DataFrame = {
-    val lines = df.select(col(id), split(text, "\n").as("ls"))
+    // null text counts as one empty line (stats 0.0), never a dropped
+    // doc — the inner join below would otherwise silently lose the row
+    val lines = df.select(col(id), split(coalesce(text, lit("")), "\n").as("ls"))
     val base = lines.select(col(id),
       size(col("ls")).cast("long").as("n_lines"),
       round(lit(1.0) - size(array_distinct(col("ls"))).cast("double") /
@@ -499,7 +501,10 @@ object Curation {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens): $overlap vs $chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = split(text, " ")
+    // null text is one empty-string token, so the doc still yields its
+    // one chunk (NULL starts would make posexplode drop the row and
+    // break the every-doc-chunks guarantee above)
+    val toks = split(coalesce(text, lit("")), " ")
     val n = size(toks).cast("long")
     val starts = sequence(lit(0L),
       greatest(n - lit(overlap.toLong + 1L), lit(0L)), lit(stride.toLong))

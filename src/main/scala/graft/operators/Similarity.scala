@@ -165,18 +165,19 @@ object Similarity {
     * plan-build time — metadata-cheap for a parquet-backed scan, but
     * for a derived frame (filters, joins upstream) it executes the
     * whole upstream pipeline once just to size buckets. Chained
-    * callers should pass explicit planes/tables (or count once
-    * themselves and reuse it).
+    * callers should pass explicit planes/tables, or pass `nHint` —
+    * a caller-known (or catalog-stats-derived) corpus size that
+    * feeds [[lshConfigFor]] WITHOUT any plan-build-time job.
     */
   def lshNearDupPairs(
       df: DataFrame, id: String, vec: String,
       minCos: Double, planes: Int = 0, dim: Int, tables: Int = 0,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, nHint: Long = 0L): DataFrame = {
     val (np, nt) =
       if (planes > 0) (planes, if (tables > 0) tables else 4)
       else {
         // auto planes must not discard an explicitly pinned tables
-        val (autoP, autoT) = lshConfigFor(df.count())
+        val (autoP, autoT) = lshConfigFor(autoSize(df, nHint))
         (autoP, if (tables > 0) tables else autoT)
       }
     val buckets = (v: Column) =>
@@ -246,16 +247,26 @@ object Similarity {
 
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, nlist: Int = 0, nProbe: Int = 0): DataFrame = {
+      k: Int, nlist: Int = 0, nProbe: Int = 0, nHint: Long = 0L): DataFrame = {
     val (nl, np) =
       if (nlist > 0) (nlist, if (nProbe > 0) nProbe else math.max(1, nlist / 8))
       else {
         // auto nlist must not discard an explicitly pinned nProbe
-        val (autoL, autoP) = ivfConfigFor(corpus.count())
+        val (autoL, autoP) = ivfConfigFor(autoSize(corpus, nHint))
         (autoL, if (nProbe > 0) nProbe else autoP)
       }
     ivfTopKPinned(corpus, queries, id, vec, k, nl, np)
   }
+
+  /** Corpus size for the auto-config rules without an eager job when
+    * the caller already knows it: `nHint > 0` wins outright; otherwise
+    * fall back to the (plan-build-time, eager) `df.count()` that the
+    * scaladocs of the auto paths document as the cost of autosizing.
+    * At 100 TB pass the hint — a catalog rowCount, a manifest line
+    * count, or one count done once and reused across calls.
+    */
+  private def autoSize(df: DataFrame, nHint: Long): Long =
+    if (nHint > 0L) nHint else df.count()
 
   private def ivfTopKPinned(
       corpus: DataFrame, queries: DataFrame, id: String, vec: String,
@@ -335,15 +346,18 @@ object Similarity {
     * @param planes 0 (default) sizes (planes, tables) from a corpus
     *               count via [[lshConfigFor]] — the measured scale
     *               rule; pass explicit values to pin a recall point
+    * @param nHint  caller-known corpus size: skips the autosizing
+    *               count job entirely (see [[lshNearDupPairs]])
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, planes: Int = 0, dim: Int, tables: Int = 0): DataFrame = {
+      k: Int, planes: Int = 0, dim: Int, tables: Int = 0,
+      nHint: Long = 0L): DataFrame = {
     val (np, nt) =
       if (planes > 0) (planes, if (tables > 0) tables else 1)
       else {
         // auto planes must not discard an explicitly pinned tables
-        val (autoP, autoT) = lshConfigFor(corpus.count())
+        val (autoP, autoT) = lshConfigFor(autoSize(corpus, nHint))
         (autoP, if (tables > 0) tables else autoT)
       }
     val buckets = (v: Column) =>

@@ -69,6 +69,20 @@ object AggQueries {
         value = col("value"))
         .orderBy(col("event_type"), col("bucket"))
     }),
+    // O4 STEP/INTERPOLATE arm: 10-minute buckets, fill grid every 6
+    // buckets (hourly) — ClickHouse `WITH FILL ... STEP 6 INTERPOLATE`.
+    // Observed off-stride buckets are kept (grid ∪ observed) and the
+    // hourly fill rows interpolate the mean linearly between the
+    // surrounding observed points
+    "q_resample_step" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      graft.operators.TimeSeries.resampleFill(
+        ev, "event_type",
+        bucket = expr("(ts div 1000000000) div 600"),
+        value = col("value"),
+        step = 6L, interpolate = true)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
     // A3/A6 flagship: TPC-H Q1 shape over lineitem.
     // The discounted-price terms multiply in EXACT decimal arithmetic:
     // casting a computed double product to decimal rounds half-up at a
@@ -234,6 +248,39 @@ object AggQueries {
            last_value(avg_value IGNORE NULLS) OVER (PARTITION BY event_type
              ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS avg_ffill
          FROM j ORDER BY event_type, bucket""",
+    "q_resample_step" ->
+      """WITH e AS (SELECT event_type,
+             CAST(epoch_ns(ts) // 1000000000 // 600 AS BIGINT) AS bucket, value
+           FROM events),
+         c AS (SELECT event_type, bucket, count(*) AS cnt,
+             round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 4) AS avg_value
+           FROM e GROUP BY event_type, bucket),
+         s AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+           FROM c GROUP BY event_type),
+         g AS (SELECT event_type, unnest(generate_series(mn, mx, 6)) AS bucket FROM s
+           UNION SELECT event_type, bucket FROM c),
+         j AS (SELECT g.event_type, g.bucket, coalesce(c.cnt, 0) AS cnt, c.avg_value
+           FROM g LEFT JOIN c USING (event_type, bucket)),
+         k AS (SELECT event_type, bucket, cnt, avg_value,
+             last_value(avg_value IGNORE NULLS) OVER wp AS avg_ffill,
+             last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER wp AS pb,
+             last_value(avg_value IGNORE NULLS) OVER wp AS pv,
+             first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER wn AS nb,
+             first_value(avg_value IGNORE NULLS) OVER wn AS nv
+           FROM j
+           WINDOW wp AS (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+             wn AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_type, bucket, CAST(cnt AS BIGINT) AS cnt, avg_ffill,
+           CASE WHEN nb IS NULL THEN pv
+                WHEN nb = pb THEN pv
+                ELSE floor((pv + (nv - pv) * CAST(bucket - pb AS DOUBLE)
+                  / CAST(nb - pb AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+           END AS avg_interp
+         FROM k ORDER BY event_type, bucket""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -75,12 +75,29 @@ class IngestionMetrics(
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
     if (e.exception.isDefined) errorsTotal.incrementAndGet()
     terminationsTotal.incrementAndGet()
-    terminatedIds.add(e.id.toString)
+    val id = e.id.toString
+    terminated.computeIfAbsent(id, _ => new java.util.concurrent.CountDownLatch(1))
+      .countDown()
+    terminatedOrder.add(id)
+    // bound the map on a long-lived shared listener: never-awaited
+    // terminations are evicted oldest-first past the cap (an id in
+    // `terminatedOrder` has already terminated, so evicting it can
+    // only affect an awaiter arriving >maxTerminatedIds terminations
+    // late — not a real pattern; in-flight awaiters hold their latch
+    // reference and are unaffected)
+    while (terminated.size > maxTerminatedIds) {
+      val old = terminatedOrder.poll()
+      if (old == null) return
+      terminated.remove(old)
+    }
   }
 
   val terminationsTotal = new AtomicLong(0L)
-  private val terminatedIds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val maxTerminatedIds = 4096
+  private val terminated = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CountDownLatch]()
+  private val terminatedOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   /** Block until `n` query-terminated events have been DELIVERED to
     * this listener (not merely posted). The listener bus is FIFO per
@@ -100,14 +117,18 @@ class IngestionMetrics(
     * termination event. On a shared session (the test suite, any app
     * running several streams) the counter form can be satisfied by an
     * unrelated query's termination still queued on the async bus —
-    * the id form cannot.
+    * the id form cannot. Parks on a per-id CountDownLatch (no
+    * busy-poll); a successfully awaited id is removed from the map,
+    * which together with the eviction cap keeps the listener bounded
+    * over an arbitrarily long life.
     */
   def awaitTerminated(queryId: java.util.UUID, timeoutMs: Long): Boolean = {
-    val deadline = System.currentTimeMillis + timeoutMs
     val id = queryId.toString
-    while (!terminatedIds.contains(id) && System.currentTimeMillis < deadline)
-      Thread.sleep(20L)
-    terminatedIds.contains(id)
+    val latch = terminated.computeIfAbsent(
+      id, _ => new java.util.concurrent.CountDownLatch(1))
+    val ok = latch.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (ok) terminated.remove(id)
+    ok
   }
 
   /** Prometheus text-format 0.0.4 dump (scrape/debug surface): `le`

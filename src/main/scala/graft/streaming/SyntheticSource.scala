@@ -59,7 +59,14 @@ object SyntheticSource {
     * (cmd/root.go:143-146); "park forever" maps to the driver process
     * staying alive after stop().
     */
-  def runBounded(query: StreamingQuery, durationMs: Long): Unit = {
+  def runBounded(query: StreamingQuery, durationMs: Long): Unit =
+    runBounded(query, durationMs, drainGraceMs = 10000L)
+
+  /** As [[runBounded]], with the drain watchdog's grace period a
+    * parameter (tests shorten it; long production runs may widen it
+    * proportionally to `durationMs`).
+    */
+  def runBounded(query: StreamingQuery, durationMs: Long, drainGraceMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + durationMs
     while (System.currentTimeMillis() < deadline && query.isActive)
       Thread.sleep(Math.min(100L, Math.max(1L, deadline - System.currentTimeMillis())))
@@ -73,14 +80,22 @@ object SyntheticSource {
       // drain may also sink rows the rate source generated AFTER the
       // deadline (generation is wall-clock-driven and cannot be
       // frozen), so bounded-run row counts are >= rate*duration, not
-      // ==; (b) the drain is WATCHDOG-bounded by a fixed 10 s grace —
+      // ==; (b) the drain is WATCHDOG-bounded by `drainGraceMs` —
       // against a source whose micro-batches run slower than
       // generation, processAllAvailable never sees noNewData and an
-      // unbounded drain would block forever while compounding (a)
+      // unbounded drain would block forever while compounding (a).
+      // When the watchdog fires it WARNS: rows generated but not yet
+      // sunk at that moment are dropped, a truncation the caller
+      // should be able to see in the logs rather than infer.
       val watchdog = new Thread(() => {
         try {
-          Thread.sleep(10000L)
-          if (query.isActive) query.stop()
+          Thread.sleep(drainGraceMs)
+          if (query.isActive) {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"runBounded: drain exceeded ${drainGraceMs}ms grace; " +
+                "stopping mid-drain — generated-but-unsunk rows are dropped")
+            query.stop()
+          }
         } catch { case _: InterruptedException => () }
       }, "runBounded-watchdog")
       watchdog.setDaemon(true)

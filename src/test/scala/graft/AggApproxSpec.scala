@@ -129,4 +129,30 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
       ("a", 13L, 1L, 9.0),
       ("b", 20L, 1L, 2.0)))  // span of one: no gaps invented
   }
+
+  test("O4 STEP/INTERPOLATE: grid ∪ observed, linear interp between observed points") {
+    // key a: observed at 0 (v=2), 7 (v=10); step 3 → grid 0,3,6 ∪ {7}.
+    // interp at 3: 2 + 8*3/7 = 5.4286; at 6: 2 + 8*6/7 = 8.8571
+    val d = Seq(("a", 0L, 2.0), ("a", 7L, 10.0)).toDF("k", "bkt", "v")
+    val out = graft.operators.TimeSeries
+      .resampleFill(d, "k", col("bkt"), col("v"), step = 3L, interpolate = true)
+      .orderBy("k", "bucket")
+      .select("k", "bucket", "cnt", "avg_ffill", "avg_interp")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 0L, 1L, 2.0, 2.0),
+      ("a", 3L, 0L, 2.0, 5.4286),    // fill row: linear between 0 and 7
+      ("a", 6L, 0L, 2.0, 8.8571),
+      ("a", 7L, 1L, 10.0, 10.0)))    // observed off-stride bucket kept
+    // off-stride final observation: observed 0 (v=1) and 4 (v=3) with
+    // step 3 → grid {0,3} ∪ {4}; the fill row at 3 interpolates
+    // 1 + 2*3/4 = 2.5 and the observed row at 4 keeps its exact mean
+    val d2 = Seq(("a", 0L, 1.0), ("a", 4L, 3.0)).toDF("k", "bkt", "v")
+    val out2 = graft.operators.TimeSeries
+      .resampleFill(d2, "k", col("bkt"), col("v"), step = 3L, interpolate = true)
+      .orderBy("k", "bucket")
+      .select("bucket", "cnt", "avg_interp")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out2 == Seq((0L, 1L, 1.0), (3L, 0L, 2.5), (4L, 1L, 3.0)))
+  }
 }

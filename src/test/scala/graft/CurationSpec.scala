@@ -292,6 +292,19 @@ class CurationSpec extends SparkSpec {
     assert(tiny == Seq((0L, 2L, "only two")))
   }
 
+  test("null text never drops a doc: chunkTokens one empty chunk, line stats zeroed") {
+    val nullDoc = Seq((1L, null: String)).toDF("doc_id", "text")
+    val chunk = Curation.chunkTokens(nullDoc, "doc_id", col("text"),
+      chunkTokens = 4, overlap = 2)
+      .select("chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(chunk == Seq((0L, 1L, "")))
+    val rep = Curation.lineRepetitionStats(nullDoc, "doc_id", col("text"))
+      .select("n_lines", "dup_line_frac", "dup_line_char_frac")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(rep == Seq((1L, 0.0, 0.0)))
+  }
+
   test("X17 property: chunking covers every token exactly, ids dense, overlap respected") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -229,6 +229,61 @@ class DedupSimilaritySpec extends SparkSpec {
       s"16-table auto-planes run lost pairs the 8-table run found")
   }
 
+  test("nHint: auto-config paths build with zero jobs when the corpus size is hinted") {
+    // a range-backed frame (NOT a LocalRelation) so an autosizing
+    // count() must launch a real Spark job — the thing nHint removes
+    val vecs = spark.range(64).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => sin(col("id") * 0.7 + d).cast("float")).as("embedding"))
+    val q = vecs.filter(col("vec_id") % 16 === 0)
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(js.jobId)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // marker protocol: build the plan, then run one marker action.
+      // The listener bus delivers JobStart events in submission order,
+      // so once the marker's job is visible, any build-time job would
+      // be too. Returns the number of non-marker jobs.
+      def jobsDuring(build: => Any): Int = {
+        jobs.clear()
+        build
+        // RDD count = exactly ONE job (a DataFrame count is 2+ under
+        // AQE: shuffle map stage + result stage each get a job)
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        val deadline = System.currentTimeMillis() + 10000
+        var last = -1
+        while (System.currentTimeMillis() < deadline &&
+          (jobs.isEmpty || jobs.size != last)) {
+          last = jobs.size; Thread.sleep(50)
+        }
+        assert(!jobs.isEmpty, "marker job never observed")
+        jobs.size - 1
+      }
+      assert(jobsDuring(Similarity.lshNearDupPairs(
+        vecs, "vec_id", "embedding", minCos = 0.9, dim = 16, nHint = 64L)) === 0)
+      assert(jobsDuring(Similarity.lshTopK(
+        vecs, q, "vec_id", "embedding", k = 3, dim = 16, nHint = 64L)) === 0)
+      assert(jobsDuring(Similarity.ivfTopK(
+        vecs, q, "vec_id", "embedding", k = 3, nHint = 64L)) === 0)
+      // without the hint the auto branch pays exactly the documented
+      // plan-build-time count job
+      assert(jobsDuring(Similarity.lshNearDupPairs(
+        vecs, "vec_id", "embedding", minCos = 0.9, dim = 16)) >= 1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the hint changes only WHEN the size is learned, not results
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(
+      pairs(Similarity.lshNearDupPairs(
+        vecs, "vec_id", "embedding", minCos = 0.9, dim = 16, nHint = 64L)) ===
+      pairs(Similarity.lshNearDupPairs(
+        vecs, "vec_id", "embedding", minCos = 0.9, dim = 16)))
+  }
+
   test("lshNearDupPairs recalls essentially all TRUE near-dups (cos~1 synthetic pairs)") {
     // the real corpus has no high-cosine pairs, so the operating
     // regime (dedup of genuine near-duplicates) is proven here:
