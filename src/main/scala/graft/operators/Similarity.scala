@@ -237,6 +237,17 @@ object Similarity {
     * the recall/throughput middle of the dial, cells-scanned ≈
     * |corpus|·nProbe/nlist ≈ |corpus|/8 per query. Callers pin
     * explicit values to move along the recall curve.
+    *
+    * MEASURED (BASELINE.md round-8 IVF table, ScaleBench ann paths):
+    * the rule beats brute-force top-k 2.4× at 60k vectors with
+    * recall@10 0.56 (hard-asserted at 30×, alongside a 0.5 recall
+    * floor), while half/double-nlist brackets land within 25% — the
+    * dial is flat near the optimum. Crossover vs brute force is
+    * ~20k vectors for a 5%-of-corpus query mix: below that, use
+    * [[bruteForceTopK]]. For top-k, prefer this tier over [[lshTopK]]
+    * at every measured size (the LSH bucket rule is tuned for
+    * near-dup pair mining, and its top-k recall collapses as the
+    * corpus grows — 0.09 at 60k).
     */
   def ivfConfigFor(n: Long): (Int, Int) = {
     val pow = math.round(
@@ -331,6 +342,15 @@ object Similarity {
   /** Approximate top-k: LSH-bucketed join (same sign-pattern bucket
     * in at least one of `tables` independent hyperplane families),
     * then exact cosine rank within the candidate set.
+    *
+    * Tier guidance, measured (BASELINE.md round-8 IVF table): for
+    * top-k retrieval this path LOSES to both [[bruteForceTopK]] and
+    * [[ivfTopK]] at every measured size (0.85→18.3 s base→30× with
+    * recall@10 collapsing to 0.09) — random-hyperplane buckets sized
+    * by [[lshConfigFor]] only collide near-duplicates, and a top-10
+    * neighborhood mostly sits at moderate cosine. Use it when the
+    * task IS near-dup-grade (high-cosine k-NN); otherwise [[ivfTopK]]
+    * past ~20k vectors, [[bruteForceTopK]] below.
     *
     * OR-amplification: a neighbor is a candidate if ANY table's
     * `planes`-bit sign pattern matches, so recall at fixed bucket
