@@ -110,6 +110,15 @@ object ScaleBench {
 
     val bigDir = scaledDir(spark, baseDir, factor)
 
+    def emb(dir: String) = Tables.table(spark, dir, "embeddings")
+    // deterministic 5% query subset — same selection rule as the
+    // registered q_ann_* queries, proportional at every factor
+    def annQ(dir: String) = emb(dir).filter(col("vec_id") % 20 === 0)
+    // corpus sizes once, outside every timed thunk (the auto paths
+    // then take them as nHint — the production calling convention)
+    val embN: Map[String, Long] =
+      Map(baseDir -> emb(baseDir).count(), bigDir -> emb(bigDir).count())
+
     // half of the sf0.1 corpus's ~270k tokens, scaled with the factor
     // so the budget cut lands mid-distribution at every size
     def budgetFor(dir: String): Long =
@@ -222,11 +231,39 @@ object ScaleBench {
             org.apache.spark.sql.expressions.Window.currentRow)
         d.withColumn("cum", sum(col("nt")).over(w))
           .where(col("cum") <= budget).count()
-      }))
+      })) ++ {
+      // round-8: the IVF tier measured (ivfConfigFor was the only
+      // auto-scale rule with no measurement behind it). Identical
+      // query set and k for all five paths; ann_ivf_auto is the sqrt
+      // rule under test, the half/double pins bracket it so a losing
+      // auto nlist is VISIBLE in the table rather than asserted away;
+      // ann_lsh_auto is the other approximate tier for the crossover
+      // row. Counts are |Q|·k for every path — recall is measured
+      // separately (untimed) below.
+      val (autoNl, _) = Similarity.ivfConfigFor(embN(dir))
+      Seq(
+        "ann_brute" -> (() => Similarity.bruteForceTopK(
+          emb(dir), annQ(dir), "vec_id", "embedding", k = 10).count()),
+        "ann_ivf_auto" -> (() => Similarity.ivfTopK(
+          emb(dir), annQ(dir), "vec_id", "embedding", k = 10,
+          nHint = embN(dir)).count()),
+        "ann_ivf_half" -> (() => Similarity.ivfTopK(
+          emb(dir), annQ(dir), "vec_id", "embedding", k = 10,
+          nlist = math.max(16, autoNl / 2)).count()),
+        "ann_ivf_double" -> (() => Similarity.ivfTopK(
+          emb(dir), annQ(dir), "vec_id", "embedding", k = 10,
+          nlist = autoNl * 2).count()),
+        "ann_lsh_auto" -> (() => Similarity.lshTopK(
+          emb(dir), annQ(dir), "vec_id", "embedding", k = 10, dim = 64,
+          nHint = embN(dir)).count()))
+    }
 
+    // comma-separated alternatives, each a substring match — e.g.
+    // "embed_lsh12,embed_lsh_auto" picks exactly those two paths
     val pathFilter = sys.env.get("SPARK_GRAFT_SCALE_PATHS")
     def selected(dir: String): Seq[(String, () => Long)] =
-      paths(dir).filter { case (n, _) => pathFilter.forall(n.contains) }
+      paths(dir).filter { case (n, _) =>
+        pathFilter.forall(_.split(',').exists(n.contains)) }
 
     // warmup at the small base: codegen/JIT compile per plan shape
     selected(baseDir).foreach { case (_, run) => run() }
@@ -245,8 +282,36 @@ object ScaleBench {
         (name, best, rows)
       }
 
+    // recall@k of the approximate ANN tiers vs the exact top-k —
+    // measured OUTSIDE the timing loop (the timed counts are |Q|·k
+    // for every path, so speed alone would reward returning garbage)
+    def annRecall(dir: String): Seq[(String, Double)] =
+      if (!selected(dir).exists(_._1.startsWith("ann_"))) Seq.empty
+      else {
+        val brute = Similarity.bruteForceTopK(
+          emb(dir), annQ(dir), "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id").cache()
+        val denom = brute.count().toDouble
+        def recall(df: org.apache.spark.sql.DataFrame): Double =
+          math.round(df.select("query_id", "neighbor_id")
+            .intersect(brute).count() / denom * 10000) / 10000.0
+        val out = Seq(
+          "ann_ivf_auto" -> recall(Similarity.ivfTopK(
+            emb(dir), annQ(dir), "vec_id", "embedding", k = 10,
+            nHint = embN(dir))),
+          "ann_lsh_auto" -> recall(Similarity.lshTopK(
+            emb(dir), annQ(dir), "vec_id", "embedding", k = 10, dim = 64,
+            nHint = embN(dir))))
+        out.foreach { case (n, r) =>
+          System.err.println(f"[scale] $dir $n recall@10 = $r%.4f") }
+        brute.unpersist()
+        out
+      }
+
     val baseRes = measure(baseDir)
+    val baseRecall = annRecall(baseDir)
     val bigRes = measure(bigDir)
+    val bigRecall = annRecall(bigDir)
 
     // the auto config's reason to exist: past the crossover it must
     // beat the all-pairs form (a pinned 8×8 measurably does NOT at
@@ -259,6 +324,19 @@ object ScaleBench {
       if (factor >= 30 && a >= e) throw new AssertionError(
         f"auto LSH config must beat all-pairs at ${factor}x: $a%.2fs >= $e%.2fs")
     }
+    // same contract for the IVF tier: the auto nlist/nProbe must beat
+    // exact brute-force top-k past the crossover, at useful recall
+    // (floor set just under the measured base-corpus recall — a config
+    // that "wins" by probing near-empty cells fails here)
+    for (i <- bigMap.get("ann_ivf_auto"); b <- bigMap.get("ann_brute")) {
+      System.err.println(
+        f"[scale] auto IVF $i%.2fs vs brute top-k $b%.2fs at ${factor}x")
+      if (factor >= 30 && i >= b) throw new AssertionError(
+        f"auto IVF config must beat brute-force top-k at ${factor}x: $i%.2fs >= $b%.2fs")
+    }
+    for ((n, r) <- bigRecall if factor >= 30 && n == "ann_ivf_auto")
+      if (r < 0.5) throw new AssertionError(
+        f"auto IVF recall@10 collapsed at ${factor}x: $r%.4f < 0.5")
 
     // X15: the bucketed plan must reproduce the naive global-prefix
     // semantics exactly at every measured size
@@ -271,11 +349,12 @@ object ScaleBench {
         s"$pair select: bucketed $b rows != naive $n rows")
     }
 
-    def block(res: Seq[(String, Double, Long)]): String =
-      res.map { case (n, s, c) => s""""${n}_s":$s,"${n}_pairs":$c""" }.mkString(",")
+    def block(res: Seq[(String, Double, Long)], rec: Seq[(String, Double)]): String =
+      (res.map { case (n, s, c) => s""""${n}_s":$s,"${n}_pairs":$c""" } ++
+        rec.map { case (n, r) => s""""${n}_recall":$r""" }).mkString(",")
     val line =
       s"""{"metric":"lsh_crossover","factor":$factor,"passes":$passes,""" +
-        s""""base":{${block(baseRes)}},"scaled":{${block(bigRes)}},""" +
+        s""""base":{${block(baseRes, baseRecall)}},"scaled":{${block(bigRes, bigRecall)}},""" +
         s""""base_dir":"$baseDir","scaled_dir":"$bigDir"}"""
     println(line)
     System.err.println(line)

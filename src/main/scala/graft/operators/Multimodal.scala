@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   * columns with a typed metadata struct, and feature extraction runs
   * batch-shaped over partitions (SURVEY.md §2.10 X5).
   *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked deterministic FAKE decode; everything around it —
-  * schema, Dataset encoding, partition-parallel batch execution,
+  * The container has no native image/audio codecs, so [[decodeStub]]
+  * is a clearly-marked deterministic FAKE decode; everything around
+  * it — schema, Dataset encoding, partition-parallel batch execution,
   * feature schema — is the real Spark plumbing a production decode
   * UDF would drop into (swap `decodeStub` for an actual codec call;
   * the `mapPartitions` boundary amortizes per-batch model/codec init
-  * exactly like `mapInPandas` does in PySpark).
+  * exactly like `mapInPandas` does in PySpark). One REAL decode path
+  * exists alongside the stub: [[decodePng]]/[[extractImageFeatures]]
+  * decode actual PNG bytes with the JDK's own `javax.imageio` through
+  * the identical seam — proof the boundary carries real binary work.
+  * The stub stays because it is value-level oracle-able in DuckDB
+  * (`q_multimodal`), which a pixel decode is not.
   *
   * Scale: decode is a narrow map stage — no shuffle, scales linearly
   * with partitions; binary payloads never pass through a wide
@@ -63,6 +68,62 @@ object Multimodal {
         it.map { r =>
           val (crc, f0, f1) = decodeStub(r.payload)
           MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, crc, f0, f1)
+        }
+      }
+  }
+
+  case class ImageFeatures(
+      doc_id: Long, mime: String, width: Int, height: Int,
+      avg_r: Double, avg_g: Double, avg_b: Double)
+
+  /** REAL decode for one format: PNG via `javax.imageio` — pure JVM,
+    * no native codec, present in every stock JDK — so the
+    * `mapPartitions` seam demonstrably carries actual binary decode
+    * work, not only the [[decodeStub]] arithmetic. Returns None for
+    * payloads that are not decodable images (callers keep or drop).
+    */
+  def decodePng(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var r = 0L; var g = 0L; var b = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        Some((w, h, r / n, g / n, b / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Image feature extraction over the media table — the same
+    * partition-batched shape as [[extractFeatures]], with the REAL
+    * PNG decoder in the hot seat: width/height/mean-channel features
+    * per decodable payload; undecodable rows are dropped (they carry
+    * no pixel features). Per-partition init disables ImageIO's
+    * file-backed cache once per batch — exactly the kind of
+    * amortized setup the mapPartitions boundary exists for.
+    */
+  def extractImageFeatures(
+      spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition init
+        it.flatMap { r =>
+          decodePng(r.payload).map { case (w, h, ar, ag, ab) =>
+            ImageFeatures(r.doc_id, r.mime, w, h, ar, ag, ab)
+          }
         }
       }
   }

@@ -55,6 +55,37 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     }
   }
 
+  test("X5: REAL PNG decode through the mapPartitions seam recovers pixel truth") {
+    // build genuine PNG byte arrays in-memory with the SAME JDK codec
+    // family a production pipeline would use: a 4x2 solid red image
+    // and a 2x2 half-black/half-white checker; plus one garbage
+    // payload that must be dropped, not crash the partition
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = png(4, 2)((_, _) => 0xFF0000)
+    val checker = png(2, 2)((x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xFFFFFF)
+    val media = Seq(
+      (1L, red), (2L, checker), (3L, "not a png".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("image/png").as("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lit("und").as("lang")))
+    val out = Multimodal.extractImageFeatures(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L), "garbage payload must drop, PNGs must decode")
+    assert(out(1L).width === 4 && out(1L).height === 2)
+    assert(out(1L).avg_r === 255.0 && out(1L).avg_g === 0.0 && out(1L).avg_b === 0.0)
+    assert(out(2L).width === 2 && out(2L).height === 2)
+    // two black + two white pixels → every channel averages 127.5
+    assert(out(2L).avg_r === 127.5 && out(2L).avg_g === 127.5 && out(2L).avg_b === 127.5)
+  }
+
   test("A9 canary: the pivot's pinned values ARE the events table's event_type domain") {
     // q_pivot (and its oracle) pin click/error/purchase/signup/view;
     // a pinned pivot silently drops unlisted values, and the oracle
