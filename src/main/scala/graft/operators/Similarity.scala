@@ -32,13 +32,18 @@ object Similarity {
     *  - ~20k–100k: 12 planes × 16 tables (at 60k vectors, 8×8 loses
     *    to brute force 2.9× while 12×16 wins 2.2× — clustered corpora
     *    flood fixed-granularity buckets, so 2^planes must track |D|);
-    *  - beyond the measured range, extrapolate the same rule: the
-    *    measured step 20k→100k (5× data) added 4 planes (16× buckets)
-    *    and doubled tables, so each further 4× in |D| adds 2 planes
-    *    (4× buckets, keeping per-bucket occupancy flat) and doubles
-    *    tables (recall compensation: recall ≈ 1-(1-p^planes)^tables),
-    *    capped at 28 planes / 128 tables — past that, per-row hash
-    *    cost dominates and IVF is the better tier.
+    *  - beyond, the same rule continued: the measured step 20k→100k
+    *    (5× data) added 4 planes (16× buckets) and doubled tables, so
+    *    each further 4× in |D| adds 2 planes (4× buckets, keeping
+    *    per-bucket occupancy flat) and doubles tables (recall
+    *    compensation: recall ≈ 1-(1-p^planes)^tables), capped at
+    *    28 planes / 128 tables — past that, per-row hash cost
+    *    dominates and IVF is the better tier. The first extrapolated
+    *    tier is now MEASURED at 200k vectors (BASELINE.md round-8):
+    *    14×32 beats the pinned 12×16 2.6× and all-pairs 8.6×, while
+    *    the degenerate 8×8 no longer merely loses — it fills ~70 GB
+    *    of candidate shuffle spill and dies. The rule is a disk-
+    *    robustness guard as much as a speed dial.
     *
     * This is the library DEFAULT for [[lshNearDupPairs]] and
     * [[lshTopK]] (planes = 0 sentinel): without it a pinned config
