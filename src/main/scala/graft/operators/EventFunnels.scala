@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ClickHouse parametric-aggregate analytics over the events table —
+  * `windowFunnel` and `retention`, the canonical dashboard queries the
+  * reference's append-only `events_db.events` sink exists to serve
+  * (`/root/reference/internal/ingestion/clickhouse.go:74`,
+  * `internal/model/event.go:5-10`; the function family is public
+  * ClickHouse SQL surface).
+  *
+  * Both are per-user aggregations: ONE shuffle keyed on the user
+  * column, then whole-partition window minima (funnel) or plain
+  * conditional aggregation (retention). No collect_list, no per-user
+  * fold state, no UDAF — at 100 TB the funnel is N unordered
+  * partition-window passes stacked on a single user-keyed exchange
+  * (Catalyst runs them over one sort, same shape as the resample
+  * window stack in PLANS.md).
+  */
+object EventFunnels {
+
+  /** First-touch window funnel: for each user, how many funnel steps
+    * completed IN ORDER within `window` time units of the user's
+    * EARLIEST step-1 event. Level times are defined closed-form:
+    *
+    *   t1 = min ts of a step-1 event
+    *   tk = min ts of a step-k event with tk >= t(k-1) and tk <= t1 + window
+    *
+    * and the level is the largest k with tk defined. This is the
+    * deterministic "first-touch" member of the ClickHouse
+    * `windowFunnel` family: ClickHouse explores every chain start,
+    * first-touch anchors the window at the earliest entry — the
+    * standard dashboard conversion definition, and closed-form means
+    * both engines compute it from the same conditional minima (full
+    * value-level oracle, no fold-order sensitivity). Ties at the same
+    * timestamp count (non-strict >=), matching the oracle SQL.
+    *
+    * An event matches the FIRST step condition it satisfies; users
+    * with no step event at all do not appear (enter-the-funnel
+    * population), while users entering at step >= 2 only report
+    * level 0.
+    *
+    * Returns (user, level).
+    */
+  def windowFunnel(
+      events: DataFrame, user: String, ts: Column, window: Long,
+      steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel needs at least one step")
+    val step = steps.zipWithIndex.foldRight(lit(0)) {
+      case ((c, i), els) => when(c, i + 1).otherwise(els)
+    }
+    val base = events
+      .select(col(user), ts.cast("long").as("__t"), step.as("__step"))
+      .where(col("__step") >= 1)
+    val w = Window.partitionBy(col(user))
+    val withLevels = (2 to steps.size).foldLeft(
+      base.withColumn("__l1",
+        min(when(col("__step") === 1, col("__t"))).over(w))) { (df, k) =>
+      df.withColumn(s"__l$k",
+        min(when(col("__step") === k &&
+          col(s"__l${k - 1}").isNotNull &&
+          col("__t") >= col(s"__l${k - 1}") &&
+          col("__t") <= col("__l1") + window, col("__t"))).over(w))
+    }
+    val level = (steps.size to 1 by -1).foldRight(lit(0)) {
+      case (k, els) => when(col(s"__l$k").isNotNull, k).otherwise(els)
+    }
+    // every __lk is partition-constant, so level is identical on all
+    // of a user's rows — max() just collapses them
+    withLevels.groupBy(col(user)).agg(max(level).as("level"))
+  }
+
+  /** ClickHouse `retention`: per user, flag f_k = "some event
+    * satisfies condition k", and the result column r_k = f_1 AND f_k
+    * (r_1 = f_1) — cohort retention anchored on the first condition.
+    * One conditional-max aggregation per condition on a single
+    * user-keyed shuffle. Returns (user, r1..rN) as 0/1 longs.
+    */
+  def retention(
+      events: DataFrame, user: String, conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val aggs = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, 1L).otherwise(0L)).as(s"__f${i + 1}")
+    }
+    val flags = events.groupBy(col(user)).agg(aggs.head, aggs.tail: _*)
+    val outs = col(user) +: conds.indices.map { i =>
+      (if (i == 0) col("__f1")
+       else col("__f1") * col(s"__f${i + 1}")).as(s"r${i + 1}")
+    }
+    flags.select(outs: _*)
+  }
+}

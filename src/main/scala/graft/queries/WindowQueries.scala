@@ -132,6 +132,40 @@ object WindowQueries {
         .withColumn("duration_s", col("t1") - col("t0"))
         .select(col("user_id"), col("session_id"), col("n_events"), col("duration_s"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // W6: first-touch window funnel (ClickHouse windowFunnel family)
+    // view → click → purchase within 24h of the user's first view;
+    // output = users per completed level
+    "q_funnel" -> ((s, d) => {
+      graft.operators.EventFunnels.windowFunnel(
+        table(s, d, "events"), "user_id",
+        ts = graft.Tables.epochSeconds(col("ts")), window = 86400L,
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("level"))
+    }),
+
+    // W7: cohort retention (ClickHouse retention family) — users
+    // active on span-day 1 still active on day k, k = 1..7
+    "q_retention" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"),
+          to_date(graft.Tables.tsSeconds(col("ts"))).as("day"))
+      // 1-row broadcast of the span's first day — no driver collect
+      val d0 = ev.agg(min(col("day")).as("d0"))
+      val idx = ev.crossJoin(broadcast(d0))
+        .select(col("user_id"), (datediff(col("day"), col("d0")) + 1).as("dk"))
+      val flags = graft.operators.EventFunnels.retention(
+        idx, "user_id", (1 to 7).map(k => col("dk") === k))
+      flags.select(col("user_id"),
+        explode(array((1 to 7).map(k =>
+          struct(lit(k.toLong).as("day_k"), col(s"r$k").as("flag"))): _*)).as("x"))
+        .groupBy(col("x.day_k").as("day_k"))
+        .agg(sum(col("x.flag")).as("n_retained"))
+        .orderBy(col("day_k"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -198,5 +232,51 @@ object WindowQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g)
          SELECT user_id, session_id, COUNT(*) AS n_events,
            MAX(ep) - MIN(ep) AS duration_s
-         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""")
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+           CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             WHEN 'purchase' THEN 3 ELSE 0 END AS step
+         FROM events
+         WHERE event_type IN ('view', 'click', 'purchase')),
+         a AS (SELECT user_id, t, step,
+             min(CASE WHEN step = 1 THEN t END)
+               OVER (PARTITION BY user_id) AS l1 FROM e),
+         b AS (SELECT *, min(CASE WHEN step = 2 AND l1 IS NOT NULL
+               AND t >= l1 AND t <= l1 + 86400 THEN t END)
+             OVER (PARTITION BY user_id) AS l2 FROM a),
+         c AS (SELECT *, min(CASE WHEN step = 3 AND l2 IS NOT NULL
+               AND t >= l2 AND t <= l1 + 86400 THEN t END)
+             OVER (PARTITION BY user_id) AS l3 FROM b),
+         u AS (SELECT user_id,
+             max(CASE WHEN l3 IS NOT NULL THEN 3 WHEN l2 IS NOT NULL THEN 2
+               WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS level
+           FROM c GROUP BY user_id)
+         SELECT CAST(level AS INT) AS level, count(*) AS n_users
+         FROM u GROUP BY level ORDER BY level""",
+    "q_retention" ->
+      """WITH e AS (SELECT user_id,
+           CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+         m AS (SELECT min(day) AS d0 FROM e),
+         x AS (SELECT user_id, date_diff('day', d0, day) + 1 AS dk FROM e, m),
+         f AS (SELECT user_id,
+             max(CASE WHEN dk = 1 THEN 1 ELSE 0 END) AS f1,
+             max(CASE WHEN dk = 2 THEN 1 ELSE 0 END) AS f2,
+             max(CASE WHEN dk = 3 THEN 1 ELSE 0 END) AS f3,
+             max(CASE WHEN dk = 4 THEN 1 ELSE 0 END) AS f4,
+             max(CASE WHEN dk = 5 THEN 1 ELSE 0 END) AS f5,
+             max(CASE WHEN dk = 6 THEN 1 ELSE 0 END) AS f6,
+             max(CASE WHEN dk = 7 THEN 1 ELSE 0 END) AS f7
+           FROM x GROUP BY user_id)
+         SELECT CAST(day_k AS BIGINT) AS day_k,
+           CAST(sum(flag) AS BIGINT) AS n_retained FROM (
+           SELECT 1 AS day_k, f1 AS flag FROM f
+           UNION ALL SELECT 2, f1 * f2 FROM f
+           UNION ALL SELECT 3, f1 * f3 FROM f
+           UNION ALL SELECT 4, f1 * f4 FROM f
+           UNION ALL SELECT 5, f1 * f5 FROM f
+           UNION ALL SELECT 6, f1 * f6 FROM f
+           UNION ALL SELECT 7, f1 * f7 FROM f)
+         GROUP BY day_k ORDER BY day_k""")
 }

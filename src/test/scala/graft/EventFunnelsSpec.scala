@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.EventFunnels
+import org.apache.spark.sql.functions._
+
+/** W6/W7 — ClickHouse-family windowFunnel + retention semantics on
+  * hand-built event sequences (the registered q_funnel / q_retention
+  * carry the value-level DuckDB oracles; these pin the corner cases).
+  */
+class EventFunnelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def funnel(rows: Seq[(String, Long, String)], window: Long = 100L) =
+    EventFunnels.windowFunnel(
+      rows.toDF("u", "t", "a"), "u", col("t"), window,
+      steps = Seq(col("a") === "s1", col("a") === "s2", col("a") === "s3"))
+      .as[(String, Int)].collect().toMap
+
+  test("windowFunnel: completed chain, out-of-order, window-expired, late entry") {
+    val out = funnel(Seq(
+      // A: full chain inside the window
+      ("A", 10L, "s1"), ("A", 20L, "s2"), ("A", 30L, "s3"),
+      // B: s2 BEFORE the first s1 — never counts toward a chain
+      ("B", 10L, "s2"), ("B", 20L, "s1"),
+      // C: s2 past t1 + window
+      ("C", 10L, "s1"), ("C", 200L, "s2"),
+      // D: enters at step 2 only — level 0 (first-touch anchors on s1)
+      ("D", 10L, "s2"), ("D", 20L, "s3"),
+      // E: s3 arrives before s2 — only 2 levels complete in order
+      ("E", 10L, "s1"), ("E", 15L, "s3"), ("E", 20L, "s2")))
+    assert(out === Map("A" -> 3, "B" -> 1, "C" -> 1, "D" -> 0, "E" -> 2))
+  }
+
+  test("windowFunnel: window anchors at the FIRST step-1 event; same-ts ties count") {
+    // first-touch: the window runs from t=10 even though a second s1
+    // at t=150 would have admitted the s2 at t=200
+    val strict = funnel(Seq(
+      ("A", 10L, "s1"), ("A", 150L, "s1"), ("A", 200L, "s2")))
+    assert(strict === Map("A" -> 1))
+    // non-strict comparisons: s2 at exactly t1 + window and s3 at the
+    // same timestamp as s2 both count
+    val ties = funnel(Seq(
+      ("A", 10L, "s1"), ("A", 110L, "s2"), ("A", 110L, "s3")))
+    assert(ties === Map("A" -> 3))
+  }
+
+  test("windowFunnel: an event matches its FIRST satisfied step condition") {
+    val df = Seq(("A", 10L, 5.0), ("A", 20L, 5.0)).toDF("u", "t", "v")
+    // both conditions true for every event: each event tags as step 1,
+    // so step 2 never fires
+    val out = EventFunnels.windowFunnel(df, "u", col("t"), 100L,
+      steps = Seq(col("v") > 0, col("v") > 0))
+      .as[(String, Int)].collect().toMap
+    assert(out === Map("A" -> 1))
+  }
+
+  test("retention: r_k = f_1 AND f_k, anchored on the first condition") {
+    val df = Seq(
+      ("A", 1), ("A", 3),          // active day 1 and 3
+      ("B", 2), ("B", 3),          // NOT active day 1 → all zeros
+      ("C", 1), ("C", 2), ("C", 3) // active all three days
+    ).toDF("u", "d")
+    val out = EventFunnels.retention(df, "u",
+      conds = (1 to 3).map(k => col("d") === k))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      "A" -> ((1L, 0L, 1L)),
+      "B" -> ((0L, 0L, 0L)),
+      "C" -> ((1L, 1L, 1L))))
+  }
+}
