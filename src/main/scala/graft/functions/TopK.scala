@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** ClickHouse `topK(k)` / `approx_top_k`: approximate heavy hitters
+  * as a typed Aggregator implementing the Misra–Gries frequent-items
+  * summary (Misra & Gries 1982) with the mergeable-summaries merge
+  * (Agarwal et al., PODS 2012): pointwise-sum both counter sets, then
+  * subtract the (capacity+1)-th largest count from every counter and
+  * drop the non-positive ones. That merge is associative and
+  * commutative, so Spark runs this as partial+final aggregation —
+  * fixed `capacity`-bounded state per partition, one tiny struct per
+  * group on the shuffle. This is THE sketch shape for "top domains /
+  * top tokens over 100 TB": memory is O(capacity) regardless of
+  * cardinality.
+  *
+  * Guarantees (standard MG bounds): every reported count is an
+  * undercount by at most n/(capacity+1) where n is the stream size;
+  * any item with true frequency > n/(capacity+1) is retained. When
+  * `capacity >= distinct(items)` no decrement ever fires and the
+  * result is EXACT — the registered `q_topk_freq` runs in that regime,
+  * which is what makes it value-oracle-able; the approximate regime is
+  * spec-tested on skewed data instead (TopKSpec).
+  *
+  * Output order: (count desc, item asc) — total, engine-portable.
+  */
+object TopK {
+  case class Buf(counts: Map[String, Long])
+  case class Item(item: String, cnt: Long)
+  case class Out(items: Seq[Item])
+}
+
+class TopK(k: Int, capacity: Int)
+    extends Aggregator[String, TopK.Buf, TopK.Out] {
+  import TopK._
+  require(k >= 1 && capacity >= k, "need capacity >= k >= 1")
+
+  override def zero: Buf = Buf(Map.empty)
+
+  override def reduce(b: Buf, item: String): Buf =
+    if (item == null) b
+    else b.counts.get(item) match {
+      case Some(c) => Buf(b.counts.updated(item, c + 1))
+      case None if b.counts.size < capacity =>
+        Buf(b.counts.updated(item, 1L))
+      case None =>
+        // classic MG step: a full summary and a new item decrement
+        // every counter; zeros fall out
+        Buf(b.counts.flatMap { case (i, c) =>
+          if (c > 1) Some(i -> (c - 1)) else None
+        })
+    }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    val summed = b.counts.foldLeft(a.counts) { case (m, (i, c)) =>
+      m.updated(i, m.getOrElse(i, 0L) + c)
+    }
+    if (summed.size <= capacity) Buf(summed)
+    else {
+      // subtract the (capacity+1)-th largest count, drop <= 0
+      val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      Buf(summed.flatMap { case (i, c) =>
+        if (c - cut > 0) Some(i -> (c - cut)) else None
+      })
+    }
+  }
+
+  override def finish(r: Buf): Out = Out(
+    r.counts.toSeq
+      .map { case (i, c) => Item(i, c) }
+      .sortBy(it => (-it.cnt, it.item))
+      .take(k))
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Out] = Encoders.product[Out]
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse aggregate-combinator surface — `groupArray(N)`,
+  * `groupUniqArray`, `sumMap` — over the reference's ingested tables
+  * (the analytics ClickHouse serves once rows land via
+  * `/root/reference/internal/ingestion/clickhouse.go:74,107`; the
+  * function family is public ClickHouse SQL surface).
+  *
+  * Determinism discipline: ClickHouse's own groupArray is
+  * fold-order-dependent ("values are added in an indeterminate
+  * order") — useless for a value-oracled engine. Every combinator
+  * here imposes a caller-supplied total order INSIDE the aggregate
+  * (sort_array over collected structs), so the result is a pure
+  * function of the input set. One user-keyed partial+final
+  * aggregation each — collect_list/collect_set partial-aggregate
+  * map-side, so the shuffle carries per-group arrays, not rows.
+  *
+  * Scale bound (same as ClickHouse's): per-group state is the
+  * group's collected values — callers cap it with `limit` semantics
+  * at the query level when groups can be pathological.
+  */
+object AggCombinators {
+
+  /** `groupArray`: values as an array ordered by `order` (made total
+    * by appending the value itself as the last sort key), optionally
+    * truncated to the first `limit` elements — ClickHouse
+    * `groupArray(limit)(v)` with a deterministic order. Use inside
+    * `.agg(...)`.
+    */
+  def groupArray(value: Column, order: Seq[Column],
+      limit: Option[Int] = None): Column = {
+    val fields = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+      value.as("__v")
+    val sorted = sort_array(collect_list(struct(fields: _*)))
+    val vals = transform(sorted, e => e("__v"))
+    limit.fold(vals)(n => slice(vals, 1, n))
+  }
+
+  /** `groupUniqArray`: distinct values, ascending — collect_set's
+    * nondeterministic order repaired by array_sort. Use inside
+    * `.agg(...)`.
+    */
+  def groupUniqArray(value: Column): Column = array_sort(collect_set(value))
+
+  /** `sumMap`: per group-key, point-wise sum of a map column — the
+    * ClickHouse `sumMap(m)` combinator. Explode → re-aggregate →
+    * reassemble sorted-by-key, so map equality is structural.
+    * Two partial+final aggregations keyed (group, mapKey) then
+    * (group); both partial-aggregate map-side, and the second's
+    * state is the group's distinct key set (the map's natural size).
+    * Returns `keys :+ sum_map`.
+    */
+  def sumMap(df: DataFrame, keys: Seq[String], mapCol: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    df.select(keyCols :+ explode(mapCol): _*)
+      .groupBy(keyCols :+ col("key"): _*)
+      .agg(sum(col("value")).as("__s"))
+      .groupBy(keyCols: _*)
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("key"), col("__s")))))
+        .as("sum_map"))
+  }
+}

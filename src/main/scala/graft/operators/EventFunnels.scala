@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ClickHouse parametric-aggregate analytics over the events table —
-  * `windowFunnel` and `retention`, the canonical dashboard queries the
+  * `windowFunnel`, `retention`, and `sequenceMatch`/`sequenceCount`,
+  * the canonical dashboard queries the
   * reference's append-only `events_db.events` sink exists to serve
   * (`/root/reference/internal/ingestion/clickhouse.go:74`,
   * `internal/model/event.go:5-10`; the function family is public
@@ -70,6 +71,78 @@ object EventFunnels {
     // every __lk is partition-constant, so level is identical on all
     // of a user's rows — max() just collapses them
     withLevels.groupBy(col(user)).agg(max(level).as("level"))
+  }
+
+  /** ClickHouse `sequenceMatch(pattern)(ts, cond1..condN)`: per user,
+    * does the time-ordered event sequence match `pattern`? Events are
+    * tagged with the FIRST condition they satisfy (1-based); following
+    * ClickHouse, events matching no condition are dropped before the
+    * sequence is formed (pass `keepUnmatched = true` to keep them as
+    * step 0). The per-user sequence becomes a digit string ordered by
+    * (ts, tieBreak, step) — a total order, so both engines build the
+    * identical string — and `pattern` is a plain regex over the digit
+    * alphabet: ClickHouse `(?1).*(?2)` is written `1.*2`.
+    *
+    * Scale shape: ONE shuffle keyed on the user column; per-group
+    * state is that user's condition-matching events — the same bound
+    * ClickHouse's own sequence functions carry (they buffer the
+    * group's (ts, cond) pairs in memory). Dashboard sequences are
+    * short; a user with millions of matching events would need
+    * pre-aggregation regardless of engine. Returns (user, seq_match:
+    * 0/1 long).
+    */
+  def sequenceMatch(
+      events: DataFrame, user: String, ts: Column, tieBreak: Column,
+      conds: Seq[Column], pattern: String,
+      keepUnmatched: Boolean = false): DataFrame =
+    sequenceStrings(events, user, ts, tieBreak, conds, keepUnmatched)
+      .select(col(user),
+        when(regexp_like(col("__seq"), lit(pattern)), 1L).otherwise(0L)
+          .as("seq_match"))
+
+  /** ClickHouse `sequenceCount`: number of NON-OVERLAPPING matches of
+    * `pattern` in the user's ordered sequence, scanning left to right
+    * (use lazy quantifiers — `1.*?2` — so each match completes at the
+    * earliest opportunity, the standard maximal-count form). Same
+    * one-shuffle shape and per-group bound as [[sequenceMatch]].
+    * Returns (user, seq_count long).
+    */
+  def sequenceCount(
+      events: DataFrame, user: String, ts: Column, tieBreak: Column,
+      conds: Seq[Column], pattern: String,
+      keepUnmatched: Boolean = false): DataFrame =
+    sequenceStrings(events, user, ts, tieBreak, conds, keepUnmatched)
+      .select(col(user),
+        regexp_count(col("__seq"), lit(pattern)).cast("long")
+          .as("seq_count"))
+
+  /** Per-user ordered step-digit string: tag each event with the first
+    * condition it satisfies, drop (or keep, as '0') unmatched events,
+    * sort each user's (ts, tieBreak, step) triples, and join the step
+    * digits. sort_array over the collected structs keeps the whole
+    * group-then-order step inside ONE user-keyed aggregation — no
+    * second window shuffle.
+    */
+  private def sequenceStrings(
+      events: DataFrame, user: String, ts: Column, tieBreak: Column,
+      conds: Seq[Column], keepUnmatched: Boolean): DataFrame = {
+    require(conds.nonEmpty && conds.size <= 9,
+      "sequenceMatch/Count support 1..9 conditions (digit alphabet)")
+    val step = conds.zipWithIndex.foldRight(lit(0)) {
+      case ((c, i), els) => when(c, i + 1).otherwise(els)
+    }
+    val digits = array((0 to conds.size).map(i => lit(i.toString)): _*)
+    val tagged = events
+      .select(col(user), ts.cast("long").as("__t"),
+        tieBreak.cast("long").as("__tie"), step.as("__step"))
+    val kept = if (keepUnmatched) tagged else tagged.where(col("__step") >= 1)
+    kept
+      .groupBy(col(user))
+      .agg(sort_array(collect_list(struct(
+        col("__t"), col("__tie"), col("__step")))).as("__evs"))
+      .withColumn("__seq", array_join(
+        transform(col("__evs"), e => element_at(digits, e("__step") + 1)), ""))
+      .drop("__evs")
   }
 
   /** ClickHouse `retention`: per user, flag f_k = "some event

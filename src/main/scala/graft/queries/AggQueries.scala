@@ -19,6 +19,53 @@ object AggQueries {
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A11: groupArray(5) + groupUniqArray (ClickHouse aggregate
+    // combinators, determinism repaired — order imposed INSIDE the
+    // aggregate): each user's first five event types in time order,
+    // plus their sorted distinct type set; serialized for the oracle
+    "q_group_array" -> ((s, d) => {
+      table(s, d, "events")
+        .select(col("user_id"), graft.Tables.epochSeconds(col("ts")).as("ep"),
+          col("event_id"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(graft.operators.AggCombinators.groupArray(
+            col("event_type"), Seq(col("ep"), col("event_id")), Some(5)), ",")
+            .as("first5"),
+          array_join(graft.operators.AggCombinators.groupUniqArray(
+            col("event_type")), ",").as("uniq_types"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A12: sumMap — per user, event_type → exact decimal value sum as
+    // a map (point-wise map merge); entries sorted by key and
+    // serialized so the map is value-comparable across engines
+    "q_sum_map" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"),
+          map(col("event_type"), col("value").cast("decimal(18,2)")).as("m"))
+      graft.operators.AggCombinators.sumMap(ev, Seq("user_id"), col("m"))
+        .select(col("user_id"),
+          array_join(transform(map_entries(col("sum_map")),
+            e => concat(e("key"), lit(":"), e("value").cast("string"))), ",")
+            .as("spend_map"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A13: topK heavy hitters — the Misra–Gries sketch Aggregator
+    // (functions.TopK) run in its exact regime (capacity 64 >> 5
+    // distinct event types), so the sketch output IS the exact top-3
+    // and the plain GROUP BY oracle applies; the approximate regime
+    // is spec-tested (TopKSpec) where no oracle can exist
+    "q_topk_freq" -> ((s, d) => {
+      val tk = udaf(new graft.functions.TopK(3, 64))
+      table(s, d, "events")
+        .agg(tk(col("event_type")).as("tk"))
+        .select(explode(col("tk.items")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.cnt").as("n"))
+        .orderBy(col("n").desc, col("event_type"))
+    }),
+
     // A9: PIVOT — daily event counts spread into one column per event
     // type. The pivot values are PINNED to the batch events table's
     // closed domain (click/error/purchase/signup/view at every SF —
@@ -202,6 +249,26 @@ object AggQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_group_array" ->
+      """WITH t AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+           event_id, event_type FROM events)
+         SELECT user_id,
+           array_to_string((list(event_type ORDER BY ep, event_id))[1:5], ',') AS first5,
+           array_to_string(list(DISTINCT event_type ORDER BY event_type), ',') AS uniq_types
+         FROM t GROUP BY user_id ORDER BY user_id""",
+    "q_sum_map" ->
+      """WITH t AS (SELECT user_id, event_type,
+           CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         g AS (SELECT user_id, event_type, SUM(v) AS s
+           FROM t GROUP BY user_id, event_type)
+         SELECT user_id,
+           string_agg(event_type || ':' || CAST(s AS VARCHAR), ','
+             ORDER BY event_type) AS spend_map
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_topk_freq" ->
+      """SELECT event_type, count(*) AS n FROM events
+         GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""",
     // A9: the portable form of PIVOT is conditional aggregation —
     // identical cells, engine-neutral column names
     "q_pivot" ->

@@ -148,6 +148,34 @@ object WindowQueries {
         .orderBy(col("level"))
     }),
 
+    // W8: sequenceMatch (ClickHouse sequence family) — did the user
+    // ever view → click → purchase, in time order, anything between?
+    // Output = users per match flag (0/1)
+    "q_sequence_match" -> ((s, d) => {
+      graft.operators.EventFunnels.sequenceMatch(
+        table(s, d, "events"), "user_id",
+        ts = graft.Tables.epochSeconds(col("ts")), tieBreak = col("event_id"),
+        conds = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        pattern = "1.*2.*3")
+        .groupBy(col("seq_match")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("seq_match"))
+    }),
+
+    // W8b: sequenceCount — non-overlapping view→purchase conversions
+    // per user (lazy quantifier: each match closes at the earliest
+    // purchase, the maximal-count scan)
+    "q_sequence_count" -> ((s, d) => {
+      graft.operators.EventFunnels.sequenceCount(
+        table(s, d, "events"), "user_id",
+        ts = graft.Tables.epochSeconds(col("ts")), tieBreak = col("event_id"),
+        conds = Seq(col("event_type") === "view",
+          col("event_type") === "purchase"),
+        pattern = "1.*?2")
+        .orderBy(col("user_id"))
+    }),
+
     // W7: cohort retention (ClickHouse retention family) — users
     // active on span-day 1 still active on day k, k = 1..7
     "q_retention" -> ((s, d) => {
@@ -255,6 +283,32 @@ object WindowQueries {
            FROM c GROUP BY user_id)
          SELECT CAST(level AS INT) AS level, count(*) AS n_users
          FROM u GROUP BY level ORDER BY level""",
+    "q_sequence_match" ->
+      """WITH e AS (SELECT user_id, event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+           CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             WHEN 'purchase' THEN 3 ELSE 0 END AS step
+         FROM events),
+         s AS (SELECT user_id,
+             string_agg(CAST(step AS VARCHAR), '' ORDER BY t, event_id, step) AS sq
+           FROM e WHERE step >= 1 GROUP BY user_id),
+         m AS (SELECT user_id,
+             CASE WHEN regexp_matches(sq, '1.*2.*3') THEN 1 ELSE 0 END AS seq_match
+           FROM s)
+         SELECT CAST(seq_match AS BIGINT) AS seq_match, count(*) AS n_users
+         FROM m GROUP BY seq_match ORDER BY seq_match""",
+    "q_sequence_count" ->
+      """WITH e AS (SELECT user_id, event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+           CASE event_type WHEN 'view' THEN 1 WHEN 'purchase' THEN 2
+             ELSE 0 END AS step
+         FROM events),
+         s AS (SELECT user_id,
+             string_agg(CAST(step AS VARCHAR), '' ORDER BY t, event_id, step) AS sq
+           FROM e WHERE step >= 1 GROUP BY user_id)
+         SELECT user_id,
+           CAST(len(regexp_extract_all(sq, '1.*?2')) AS BIGINT) AS seq_count
+         FROM s ORDER BY user_id""",
     "q_retention" ->
       """WITH e AS (SELECT user_id,
            CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

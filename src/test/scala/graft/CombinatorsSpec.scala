@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.AggCombinators
+import org.apache.spark.sql.functions._
+
+/** A11–A13 — ClickHouse aggregate combinators (groupArray /
+  * groupUniqArray / sumMap) and the TopK Misra–Gries sketch. The
+  * registered q_group_array / q_sum_map / q_topk_freq carry the
+  * value-level oracles; these pin determinism, merge behavior, and
+  * the sketch's approximation bounds (which have no SQL oracle).
+  */
+class CombinatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupArray: imposed order + limit, stable under repartition") {
+    val df = Seq(
+      ("A", 3L, "c"), ("A", 1L, "a"), ("A", 2L, "b"), ("A", 4L, "d"),
+      ("B", 1L, "x")).toDF("k", "o", "v").repartition(7)
+    val out = df.groupBy(col("k"))
+      .agg(array_join(AggCombinators.groupArray(
+        col("v"), Seq(col("o")), Some(3)), ",").as("a"))
+      .as[(String, String)].collect().toMap
+    assert(out === Map("A" -> "a,b,c", "B" -> "x"))
+  }
+
+  test("groupArray: ties on the order key fall back to the value itself — total order") {
+    val df = Seq(("A", 1L, "z"), ("A", 1L, "a")).toDF("k", "o", "v")
+    val out = df.groupBy(col("k"))
+      .agg(array_join(AggCombinators.groupArray(col("v"), Seq(col("o")), None), ",")
+        .as("a"))
+      .as[(String, String)].collect().toMap
+    assert(out === Map("A" -> "a,z"))
+  }
+
+  test("groupUniqArray: sorted distinct") {
+    val df = Seq(("A", "b"), ("A", "a"), ("A", "b")).toDF("k", "v")
+    val out = df.groupBy(col("k"))
+      .agg(array_join(AggCombinators.groupUniqArray(col("v")), ",").as("a"))
+      .as[(String, String)].collect().toMap
+    assert(out === Map("A" -> "a,b"))
+  }
+
+  test("sumMap: point-wise merge over disjoint and overlapping keys") {
+    val df = Seq(
+      ("A", Map("x" -> 1L, "y" -> 2L)),
+      ("A", Map("y" -> 3L, "z" -> 4L)),
+      ("B", Map("x" -> 5L))).toDF("k", "m").repartition(5)
+    val out = AggCombinators.sumMap(df, Seq("k"), col("m"))
+      .select(col("k"), col("sum_map"))
+      .as[(String, Map[String, Long])].collect().toMap
+    assert(out === Map(
+      "A" -> Map("x" -> 1L, "y" -> 5L, "z" -> 4L),
+      "B" -> Map("x" -> 5L)))
+    // entry order inside the map is sorted by key (structural equality
+    // across engines depends on it)
+    val keys = AggCombinators.sumMap(df, Seq("k"), col("m"))
+      .where(col("k") === "A")
+      .select(map_keys(col("sum_map"))).as[Seq[String]].head()
+    assert(keys === Seq("x", "y", "z"))
+  }
+
+  test("TopK: exact regime (capacity >= cardinality) reproduces exact counts") {
+    val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(10)("c") ++ Seq.fill(5)("d")
+    val df = items.toDF("v").repartition(8)
+    val tk = udaf(new graft.functions.TopK(3, 16))
+    val out = df.agg(tk(col("v")).as("t"))
+      .select(explode(col("t.items")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a", 40L), ("b", 25L), ("c", 10L)))
+  }
+
+  test("TopK: approximate regime keeps the heavy hitter within the MG bound") {
+    // skewed stream: one item at 50%, a long tail of singletons;
+    // capacity 8 << 101 distinct values
+    val n = 2000
+    val items = Seq.fill(n / 2)("hot") ++
+      (0 until n / 2).map(i => s"tail-${i % 100}")
+    val df = items.toDF("v").repartition(8)
+    val tk = udaf(new graft.functions.TopK(1, 8))
+    val Seq((item, cnt)) = df.agg(tk(col("v")).as("t"))
+      .select(explode(col("t.items")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .as[(String, Long)].collect().toSeq
+    // any item with true frequency > n/(capacity+1) must be retained,
+    // and its reported count is an undercount by at most n/(cap+1)
+    assert(item === "hot")
+    assert(cnt <= n / 2)
+    assert(cnt >= n / 2 - n / 9)
+  }
+
+  test("TopK: merge trims to capacity with the (cap+1)-th-largest subtraction") {
+    import graft.functions.TopK
+    val agg = new TopK(2, 2)
+    val a = TopK.Buf(Map("x" -> 10L, "y" -> 6L))
+    val b = TopK.Buf(Map("z" -> 5L, "y" -> 1L))
+    // summed: x=10 y=7 z=5 → cut = 3rd largest = 5 → x=5 y=2
+    val m = agg.merge(a, b)
+    assert(m.counts === Map("x" -> 5L, "y" -> 2L))
+    // result order: count desc then item asc
+    val out = agg.finish(TopK.Buf(Map("b" -> 3L, "a" -> 3L, "c" -> 9L)))
+    assert(out.items === Seq(TopK.Item("c", 9L), TopK.Item("a", 3L)))
+  }
+}

@@ -3,9 +3,10 @@ package graft
 import graft.operators.EventFunnels
 import org.apache.spark.sql.functions._
 
-/** W6/W7 — ClickHouse-family windowFunnel + retention semantics on
-  * hand-built event sequences (the registered q_funnel / q_retention
-  * carry the value-level DuckDB oracles; these pin the corner cases).
+/** W6/W7/W8 — ClickHouse-family windowFunnel + retention +
+  * sequenceMatch/sequenceCount semantics on hand-built event sequences
+  * (the registered q_funnel / q_retention / q_sequence_* carry the
+  * value-level DuckDB oracles; these pin the corner cases).
   */
 class EventFunnelsSpec extends SparkSpec {
   import spark.implicits._
@@ -52,6 +53,70 @@ class EventFunnelsSpec extends SparkSpec {
       steps = Seq(col("v") > 0, col("v") > 0))
       .as[(String, Int)].collect().toMap
     assert(out === Map("A" -> 1))
+  }
+
+  private def seqDf(rows: Seq[(String, Long, String)]) =
+    rows.zipWithIndex.map { case ((u, t, a), i) => (u, t, i.toLong, a) }
+      .toDF("u", "t", "id", "a")
+
+  test("sequenceMatch: ordered occurrence with events in between; unmatched dropped") {
+    val df = seqDf(Seq(
+      ("A", 10L, "view"), ("A", 20L, "error"), ("A", 30L, "purchase"),
+      ("B", 10L, "purchase"), ("B", 20L, "view"), // wrong order
+      ("C", 10L, "view"))) // never purchases
+    val out = EventFunnels.sequenceMatch(df, "u", col("t"), col("id"),
+      conds = Seq(col("a") === "view", col("a") === "purchase"),
+      pattern = "1.*2")
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("A" -> 1L, "B" -> 0L, "C" -> 0L))
+  }
+
+  test("sequenceMatch: adjacency pattern vs keepUnmatched interleaver") {
+    val rows = Seq(
+      ("A", 10L, "view"), ("A", 20L, "error"), ("A", 30L, "purchase"))
+    val adjacent = (keep: Boolean) =>
+      EventFunnels.sequenceMatch(seqDf(rows), "u", col("t"), col("id"),
+        conds = Seq(col("a") === "view", col("a") === "purchase"),
+        pattern = "12", keepUnmatched = keep)
+        .as[(String, Long)].collect().toMap
+    // default (ClickHouse) semantics: the error event vanishes, so
+    // view/purchase ARE adjacent; keepUnmatched interposes a '0'
+    assert(adjacent(false) === Map("A" -> 1L))
+    assert(adjacent(true) === Map("A" -> 0L))
+  }
+
+  test("sequenceCount: non-overlapping left-to-right matches; ties order by tieBreak") {
+    val df = seqDf(Seq(
+      // A: v p v p → 2 matches; the stray purchase between pairs
+      ("A", 10L, "view"), ("A", 20L, "purchase"),
+      ("A", 30L, "view"), ("A", 40L, "purchase"),
+      // B: v v p → lazy scan closes ONE match at the first purchase
+      ("B", 10L, "view"), ("B", 20L, "view"), ("B", 30L, "purchase")))
+    val out = EventFunnels.sequenceCount(df, "u", col("t"), col("id"),
+      conds = Seq(col("a") === "view", col("a") === "purchase"),
+      pattern = "1.*?2")
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("A" -> 2L, "B" -> 1L))
+  }
+
+  test("sequence string is ordered by (ts, tieBreak) — same-ts ties are deterministic") {
+    // two events at the same timestamp: tieBreak (id) decides, so the
+    // sequence is view(id=0) then purchase(id=1) → a match; with the
+    // ids swapped it is not
+    val match1 = EventFunnels.sequenceMatch(
+      Seq(("A", 10L, 0L, "view"), ("A", 10L, 1L, "purchase"))
+        .toDF("u", "t", "id", "a"),
+      "u", col("t"), col("id"),
+      conds = Seq(col("a") === "view", col("a") === "purchase"),
+      pattern = "1.*2").as[(String, Long)].collect().toMap
+    val match2 = EventFunnels.sequenceMatch(
+      Seq(("A", 10L, 1L, "view"), ("A", 10L, 0L, "purchase"))
+        .toDF("u", "t", "id", "a"),
+      "u", col("t"), col("id"),
+      conds = Seq(col("a") === "view", col("a") === "purchase"),
+      pattern = "1.*2").as[(String, Long)].collect().toMap
+    assert(match1 === Map("A" -> 1L))
+    assert(match2 === Map("A" -> 0L))
   }
 
   test("retention: r_k = f_1 AND f_k, anchored on the first condition") {
