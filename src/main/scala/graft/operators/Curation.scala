@@ -71,6 +71,38 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** X6b: Bloom-prefiltered decontamination — EXACTLY the same result
+    * as [[decontaminate]] (the verify join removes the Bloom's false
+    * positives; a Bloom filter has no false negatives), but the
+    * corpus's clean n-grams are dropped by a map-only bitmap probe
+    * INSIDE the scan stage before any join.
+    *
+    * Why it matters at 100 TB: the broadcast-join form hands every
+    * corpus gram to a hash-table probe whose build side costs ~50+
+    * bytes per benchmark gram per executor; the Bloom bitmap is
+    * ~1.25 bytes per gram (10 bits), two orders smaller, and the
+    * surviving candidate stream entering the real join is FP-rate ×
+    * clean-grams plus the true hits — so the join's probe volume
+    * collapses from |corpus grams| to ~|hits|. Same
+    * candidates-then-verify discipline as every sketch path here.
+    * The bitmap build collects the BENCHMARK side's gram hashes
+    * (bounded by the benchmark's size — the side that is MBs by
+    * definition, same assumption the broadcast makes).
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: Column, n: Int): DataFrame = {
+    val benchGrams = Dedup.explodedShingles(benchmark, id, text, n)
+      .select(col("shingle")).distinct()
+    val bloom = graft.functions.Bloom.build(benchGrams, col("shingle"))
+    val candidates = Dedup.explodedShingles(corpus, id, text, n)
+      .where(graft.functions.Bloom.mightContain(bloom, col("shingle")))
+    candidates
+      .join(broadcast(benchGrams), "shingle")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** X7: repetition statistics — the Gopher-style (Rae et al. 2021,
     * §A1.1) repetition signals that survive a single-line corpus:
     * duplicate-word fraction (1 - distinct/total tokens) and the

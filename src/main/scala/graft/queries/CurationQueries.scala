@@ -189,6 +189,20 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X6b: the SAME decontamination through the Bloom prefilter —
+    // identical result by construction (no false negatives + verify
+    // join kills false positives), so it shares q_decontaminate's
+    // oracle text; the point is the map-only bitmap probe that drops
+    // clean grams inside the scan stage before any join
+    "q_decontam_bloom" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Curation.decontaminateBloom(
+        corpus = docs.where(col("doc_id") % 10 =!= 0),
+        benchmark = docs.where(col("doc_id") % 10 === 0),
+        id = "doc_id", text = col("text"), n = DecontamN)
+        .orderBy(col("doc_id"))
+    }),
+
     // X7: Gopher-style repetition flags, corpus-calibrated thresholds
     "q_quality_repetition" -> ((s, d) => {
       Curation.repetitionStats(table(s, d, "documents"), "doc_id", col("text"),
@@ -273,6 +287,17 @@ object CurationQueries {
     s"""CASE WHEN source IN (${highQ.map(x => s"'$x'").mkString(", ")}) THEN 1.0
           WHEN source IN (${midQ.map(x => s"'$x'").mkString(", ")}) THEN 0.5
           ELSE 0.25 END"""
+
+  private val decontamOracle: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - ${DecontamN - 2}),
+           i -> array_to_string(t[CAST(i AS INT):CAST(i + ${DecontamN - 1} AS INT)], ' ')))) AS ng
+         FROM tk WHERE len(t) >= $DecontamN),
+       bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0),
+       corp AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 <> 0)
+       SELECT doc_id, count(*) AS n_hits
+       FROM corp JOIN bench USING (ng)
+       GROUP BY doc_id ORDER BY doc_id"""
 
   private val oracleRepetition: String =
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -432,16 +457,9 @@ object CurationQueries {
          SELECT doc_id, score, n_tokens, cum_tokens
          FROM o WHERE cum_tokens <= $BudgetTokens ORDER BY doc_id""",
     "q_curation_pipeline" -> pipelineOracle,
-    "q_decontaminate" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - ${DecontamN - 2}),
-             i -> array_to_string(t[CAST(i AS INT):CAST(i + ${DecontamN - 1} AS INT)], ' ')))) AS ng
-           FROM tk WHERE len(t) >= $DecontamN),
-         bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0),
-         corp AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 <> 0)
-         SELECT doc_id, count(*) AS n_hits
-         FROM corp JOIN bench USING (ng)
-         GROUP BY doc_id ORDER BY doc_id""",
+    "q_decontaminate" -> decontamOracle,
+    // X6b: Bloom arm returns the identical exact result — same oracle
+    "q_decontam_bloom" -> decontamOracle,
     "q_quality_repetition" -> oracleRepetition,
     "q_pii_scrub" -> oraclePii,
     "q_split_assign" -> oracleSplit,
