@@ -119,6 +119,19 @@ object ScaleBench {
     val embN: Map[String, Long] =
       Map(baseDir -> emb(baseDir).count(), bigDir -> emb(bigDir).count())
 
+    // X6b decontam pair inputs: the corpus grows with the factor, the
+    // benchmark stays FIXED at the replica-0 holdout slice (derived
+    // replicas suffix every token, so only replica-0 corpus docs can
+    // hit it) — the production regime: benchmark MBs, corpus TBs,
+    // hit count constant while clean-gram volume scales
+    val baseMaxDoc = Tables.table(spark, baseDir, "documents")
+      .agg(max(col("doc_id"))).head.getLong(0)
+    def decontamCorpus(dir: String) =
+      Tables.table(spark, dir, "documents").where(col("doc_id") % 10 =!= 0)
+    def decontamBench(dir: String) =
+      Tables.table(spark, dir, "documents")
+        .where(col("doc_id") % 10 === 0 && col("doc_id") <= baseMaxDoc)
+
     // half of the sf0.1 corpus's ~270k tokens, scaled with the factor
     // so the budget cut lands mid-distribution at every size
     def budgetFor(dir: String): Long =
@@ -179,6 +192,17 @@ object ScaleBench {
         Dedup.minhashNearDup(Tables.table(spark, dir, "documents"),
           "doc_id", col("text"), k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5),
         "id_a", "id_b").count()),
+      // round-8: X6b decontam pair — identical inputs and n; the join
+      // form probes EVERY corpus gram into the broadcast hash table,
+      // the bloom form drops clean grams with the map-only bitmap
+      // probe first (row counts hard-asserted equal below — the bloom
+      // arm's whole claim is exactness)
+      "decontam_join" -> (() => graft.operators.Curation.decontaminate(
+        decontamCorpus(dir), decontamBench(dir), "doc_id", col("text"),
+        n = graft.queries.CurationQueries.DecontamN).count()),
+      "decontam_bloom" -> (() => graft.operators.Curation.decontaminateBloom(
+        decontamCorpus(dir), decontamBench(dir), "doc_id", col("text"),
+        n = graft.queries.CurationQueries.DecontamN).count()),
       // round-7 addition: the 4-stage composite curation pipeline
       // exactly as registered (scrub → repetition-filter → split →
       // pack in one Catalyst plan) — count = packed corpus rows,
@@ -347,6 +371,11 @@ object ScaleBench {
         b <- m.get(s"${pair}_bucketed"); n <- m.get(s"${pair}_naive")
       } if (b != n) throw new AssertionError(
         s"$pair select: bucketed $b rows != naive $n rows")
+      // X6b: the Bloom prefilter must be invisible in the result at
+      // every measured size — same contaminated-doc count as the join
+      for (b <- m.get("decontam_bloom"); j <- m.get("decontam_join"))
+        if (b != j) throw new AssertionError(
+          s"decontam: bloom $b rows != join $j rows")
     }
 
     def block(res: Seq[(String, Double, Long)], rec: Seq[(String, Double)]): String =

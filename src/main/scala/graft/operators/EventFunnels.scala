@@ -47,7 +47,31 @@ object EventFunnels {
     */
   def windowFunnel(
       events: DataFrame, user: String, ts: Column, window: Long,
-      steps: Seq[Column]): DataFrame = {
+      steps: Seq[Column]): DataFrame =
+    windowFunnel(events, user, ts, window, steps,
+      strictIncrease = false, strictOrder = false)
+
+  /** [[windowFunnel]] with ClickHouse's strict modes:
+    *
+    *  - `strictIncrease` ('strict_increase'): level times must
+    *    strictly increase — `tk > t(k-1)` instead of `>=`, so
+    *    same-timestamp ties no longer chain.
+    *  - `strictOrder` ('strict_order'): no OTHER tracked event may
+    *    fall strictly between t(k-1) and tk — an interloper kills the
+    *    chain at level k-1. (Events matching no step condition are
+    *    dropped before the scan, per the default semantics, so only
+    *    step events can interlope; keep ClickHouse's "any event
+    *    interrupts" reading by tagging the relevant conditions.)
+    *
+    * Both stay closed-form: strict order adds one conditional
+    * partition-count per level BETWEEN the already-computed minima —
+    * a second Window pass riding the SAME user-keyed exchange and
+    * sort, still zero extra shuffles, still value-oracle-able.
+    */
+  def windowFunnel(
+      events: DataFrame, user: String, ts: Column, window: Long,
+      steps: Seq[Column], strictIncrease: Boolean,
+      strictOrder: Boolean): DataFrame = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
     val step = steps.zipWithIndex.foldRight(lit(0)) {
       case ((c, i), els) => when(c, i + 1).otherwise(els)
@@ -56,21 +80,38 @@ object EventFunnels {
       .select(col(user), ts.cast("long").as("__t"), step.as("__step"))
       .where(col("__step") >= 1)
     val w = Window.partitionBy(col(user))
+    def after(t: Column, prev: Column): Column =
+      if (strictIncrease) t > prev else t >= prev
     val withLevels = (2 to steps.size).foldLeft(
       base.withColumn("__l1",
         min(when(col("__step") === 1, col("__t"))).over(w))) { (df, k) =>
       df.withColumn(s"__l$k",
         min(when(col("__step") === k &&
           col(s"__l${k - 1}").isNotNull &&
-          col("__t") >= col(s"__l${k - 1}") &&
+          after(col("__t"), col(s"__l${k - 1}")) &&
           col("__t") <= col("__l1") + window, col("__t"))).over(w))
     }
+    // strict order: count interlopers strictly inside each
+    // (l(k-1), lk) gap — partition-constant like the minima, so the
+    // whole check is one more stacked Window on the same sort
+    val withGuards =
+      if (!strictOrder) withLevels
+      else (2 to steps.size).foldLeft(withLevels) { (df, k) =>
+        df.withColumn(s"__x$k",
+          sum(when(col("__t") > col(s"__l${k - 1}") &&
+            col("__t") < col(s"__l$k"), 1L).otherwise(0L)).over(w))
+      }
+    def clean(k: Int): Column =
+      if (!strictOrder) lit(true)
+      else (2 to k).map(j => coalesce(col(s"__x$j"), lit(0L)) === 0L)
+        .foldLeft(lit(true))(_ && _)
     val level = (steps.size to 1 by -1).foldRight(lit(0)) {
-      case (k, els) => when(col(s"__l$k").isNotNull, k).otherwise(els)
+      case (k, els) =>
+        when(col(s"__l$k").isNotNull && clean(k), k).otherwise(els)
     }
-    // every __lk is partition-constant, so level is identical on all
-    // of a user's rows — max() just collapses them
-    withLevels.groupBy(col(user)).agg(max(level).as("level"))
+    // every __lk/__xk is partition-constant, so level is identical on
+    // all of a user's rows — max() just collapses them
+    withGuards.groupBy(col(user)).agg(max(level).as("level"))
   }
 
   /** ClickHouse `sequenceMatch(pattern)(ts, cond1..condN)`: per user,

@@ -55,6 +55,35 @@ class EventFunnelsSpec extends SparkSpec {
     assert(out === Map("A" -> 1))
   }
 
+  private def strictFunnel(rows: Seq[(String, Long, String)],
+      inc: Boolean, ord: Boolean) =
+    EventFunnels.windowFunnel(
+      rows.toDF("u", "t", "a"), "u", col("t"), 100L,
+      steps = Seq(col("a") === "s1", col("a") === "s2", col("a") === "s3"),
+      strictIncrease = inc, strictOrder = ord)
+      .as[(String, Int)].collect().toMap
+
+  test("strict_increase: same-timestamp ties no longer chain") {
+    val rows = Seq(("A", 10L, "s1"), ("A", 10L, "s2"), ("A", 20L, "s3"))
+    assert(funnel(rows) === Map("A" -> 3)) // non-strict: tie chains
+    assert(strictFunnel(rows, inc = true, ord = false) === Map("A" -> 1))
+  }
+
+  test("strict_order: an intervening tracked event kills the chain at its level") {
+    // s1 ... s3(interloper) ... s2: the s3 between l1 and l2 breaks
+    // the s1->s2 transition, so strict order stops at level 1 (the
+    // default mode reaches 2 — and would reach 3 were s3 after s2)
+    val rows = Seq(("A", 10L, "s1"), ("A", 15L, "s3"), ("A", 20L, "s2"))
+    assert(funnel(rows) === Map("A" -> 2))
+    assert(strictFunnel(rows, inc = false, ord = true) === Map("A" -> 1))
+    // a second s1 between l1 and l2 is also an interloper
+    val rpt = Seq(("B", 10L, "s1"), ("B", 12L, "s1"), ("B", 20L, "s2"))
+    assert(strictFunnel(rpt, inc = false, ord = true) === Map("B" -> 1))
+    // clean chains are untouched by either mode
+    val ok = Seq(("C", 10L, "s1"), ("C", 20L, "s2"), ("C", 30L, "s3"))
+    assert(strictFunnel(ok, inc = true, ord = true) === Map("C" -> 3))
+  }
+
   private def seqDf(rows: Seq[(String, Long, String)]) =
     rows.zipWithIndex.map { case ((u, t, a), i) => (u, t, i.toLong, a) }
       .toDF("u", "t", "id", "a")
