@@ -75,3 +75,65 @@ class TopK(k: Int, capacity: Int)
   override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
   override def outputEncoder: Encoder[Out] = Encoders.product[Out]
 }
+
+/** ClickHouse `topKWeighted`: heavy hitters by SUMMED WEIGHT rather
+  * than occurrence count — "top domains by token volume", "top
+  * sources by bytes". Same Misra–Gries summary generalized the
+  * standard way (each arrival adds its weight; a full summary and a
+  * new item subtract the minimum counter, dropping non-positive ones
+  * — still an undercount by at most W/(capacity+1) of total weight),
+  * and the identical mergeable-summaries merge. Exact when capacity
+  * ≥ cardinality, like [[TopK]] — the regime the registered query
+  * runs in. Negative/null weights are ignored (weights are
+  * volumes).
+  */
+class TopKWeighted(k: Int, capacity: Int)
+    extends Aggregator[(String, Long), TopK.Buf, TopK.Out] {
+  import TopK._
+  require(k >= 1 && capacity >= k, "need capacity >= k >= 1")
+
+  override def zero: Buf = Buf(Map.empty)
+
+  override def reduce(b: Buf, in: (String, Long)): Buf = {
+    val (item, weight) = in
+    if (item == null || weight <= 0L) b
+    else b.counts.get(item) match {
+      case Some(c) => Buf(b.counts.updated(item, c + weight))
+      case None if b.counts.size < capacity =>
+        Buf(b.counts.updated(item, weight))
+      case None =>
+        // weighted MG step: subtract the smaller of (min counter,
+        // arriving weight); the remainder of the arrival (if any)
+        // enters at its surplus
+        val minC = b.counts.values.min
+        val dec = math.min(minC, weight)
+        val kept = b.counts.flatMap { case (i, c) =>
+          if (c - dec > 0) Some(i -> (c - dec)) else None
+        }
+        if (weight - dec > 0) Buf(kept.updated(item, weight - dec))
+        else Buf(kept)
+    }
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    val summed = b.counts.foldLeft(a.counts) { case (m, (i, c)) =>
+      m.updated(i, m.getOrElse(i, 0L) + c)
+    }
+    if (summed.size <= capacity) Buf(summed)
+    else {
+      val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      Buf(summed.flatMap { case (i, c) =>
+        if (c - cut > 0) Some(i -> (c - cut)) else None
+      })
+    }
+  }
+
+  override def finish(r: Buf): Out = Out(
+    r.counts.toSeq
+      .map { case (i, c) => Item(i, c) }
+      .sortBy(it => (-it.cnt, it.item))
+      .take(k))
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Out] = Encoders.product[Out]
+}

@@ -66,6 +66,18 @@ object AggQueries {
         .orderBy(col("n").desc, col("event_type"))
     }),
 
+    // A13b: topKWeighted — top sources by character VOLUME, the
+    // weighted Misra–Gries arm, same exact-regime oracle discipline
+    // (capacity 64 >> 20 sources)
+    "q_topk_weighted" -> ((s, d) => {
+      val tk = udaf(new graft.functions.TopKWeighted(3, 64))
+      table(s, d, "documents")
+        .agg(tk(col("source"), col("n_chars").cast("long")).as("tk"))
+        .select(explode(col("tk.items")).as("e"))
+        .select(col("e.item").as("source"), col("e.cnt").as("total_chars"))
+        .orderBy(col("total_chars").desc, col("source"))
+    }),
+
     // A9: PIVOT — daily event counts spread into one column per event
     // type. The pivot values are PINNED to the batch events table's
     // closed domain (click/error/purchase/signup/view at every SF —
@@ -269,6 +281,10 @@ object AggQueries {
     "q_topk_freq" ->
       """SELECT event_type, count(*) AS n FROM events
          GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""",
+    "q_topk_weighted" ->
+      """SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         GROUP BY source ORDER BY total_chars DESC, source LIMIT 3""",
     // A9: the portable form of PIVOT is conditional aggregation —
     // identical cells, engine-neutral column names
     "q_pivot" ->

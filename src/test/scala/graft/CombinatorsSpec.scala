@@ -90,6 +90,33 @@ class CombinatorsSpec extends SparkSpec {
     assert(cnt >= n / 2 - n / 9)
   }
 
+  test("TopKWeighted: exact regime sums weights; null/non-positive weights ignored") {
+    val df = Seq(
+      ("a", 10L), ("a", 5L), ("b", 40L), ("c", 1L), ("b", -7L), ("c", 0L))
+      .toDF("v", "w").repartition(4)
+    val tk = udaf(new graft.functions.TopKWeighted(2, 8))
+    val out = df.agg(tk(col("v"), col("w")).as("t"))
+      .select(explode(col("t.items")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("b", 40L), ("a", 15L)))
+  }
+
+  test("TopKWeighted: approximate regime keeps the weight-heavy item") {
+    // one item carries half the total weight; tail of 100 light items
+    val rows = Seq.fill(200)(("hot", 50L)) ++
+      (0 until 1000).map(i => (s"tail-${i % 100}", 10L))
+    val total = rows.map(_._2).sum
+    val df = rows.toDF("v", "w").repartition(8)
+    val tk = udaf(new graft.functions.TopKWeighted(1, 8))
+    val Seq((item, cnt)) = df.agg(tk(col("v"), col("w")).as("t"))
+      .select(explode(col("t.items")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .as[(String, Long)].collect().toSeq
+    assert(item === "hot")
+    assert(cnt <= 10000L && cnt >= 10000L - total / 9)
+  }
+
   test("TopK: merge trims to capacity with the (cap+1)-th-largest subtraction") {
     import graft.functions.TopK
     val agg = new TopK(2, 2)

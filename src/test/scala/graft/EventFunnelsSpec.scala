@@ -148,6 +148,33 @@ class EventFunnelsSpec extends SparkSpec {
     assert(match2 === Map("A" -> 0L))
   }
 
+  test("property: sequenceCount agrees with an in-memory regex over sorted events") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 20) {
+      val nUsers = 1 + rnd.nextInt(5)
+      val rows = (0 until 60).map { i =>
+        (s"u${rnd.nextInt(nUsers)}", rnd.nextInt(30).toLong, i.toLong,
+          Seq("view", "click", "purchase", "error")(rnd.nextInt(4)))
+      }
+      val expected = rows
+        .map { case (u, t, id, a) =>
+          (u, t, id, a match {
+            case "view" => 1; case "purchase" => 2; case _ => 0 }) }
+        .filter(_._4 >= 1)
+        .groupBy(_._1)
+        .map { case (u, evs) =>
+          val s = evs.sortBy(e => (e._2, e._3, e._4)).map(_._4).mkString
+          u -> "1.*?2".r.findAllIn(s).length.toLong
+        }
+      val got = EventFunnels.sequenceCount(
+        rows.toDF("u", "t", "id", "a"), "u", col("t"), col("id"),
+        conds = Seq(col("a") === "view", col("a") === "purchase"),
+        pattern = "1.*?2")
+        .as[(String, Long)].collect().toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("retention: r_k = f_1 AND f_k, anchored on the first condition") {
     val df = Seq(
       ("A", 1), ("A", 3),          // active day 1 and 3
