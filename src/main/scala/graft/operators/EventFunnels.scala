@@ -114,6 +114,32 @@ object EventFunnels {
     withGuards.groupBy(col(user)).agg(max(level).as("level"))
   }
 
+  /** The closed form of [[windowFunnel]] as a plain Scala fold over
+    * one user's (t, step) events — the SINGLE definition the
+    * streaming arm (`streaming.StreamingFunnel`) executes per group
+    * and the property tests cross-check the Catalyst form against.
+    * Order-insensitive by construction (minima and counts over the
+    * set), so out-of-order arrival cannot change the answer.
+    */
+  def levelOf(events: Seq[(Long, Int)], nSteps: Int, window: Long,
+      strictIncrease: Boolean = false,
+      strictOrder: Boolean = false): Int = {
+    val l = new Array[Option[Long]](nSteps + 1)
+    l(1) = events.collect { case (t, 1) => t }
+      .foldLeft(Option.empty[Long])((a, t) => Some(a.fold(t)(math.min(_, t))))
+    for (k <- 2 to nSteps) {
+      def ok(t: Long): Boolean = l(k - 1).exists(p =>
+        (if (strictIncrease) t > p else t >= p) && t <= l(1).get + window)
+      l(k) = events.collect { case (t, s) if s == k && ok(t) => t }
+        .foldLeft(Option.empty[Long])((a, t) => Some(a.fold(t)(math.min(_, t))))
+    }
+    def clean(k: Int): Boolean = !strictOrder || (2 to k).forall { j =>
+      events.count { case (t, _) =>
+        l(j - 1).exists(t > _) && l(j).exists(t < _) } == 0
+    }
+    (nSteps to 1 by -1).find(k => l(k).isDefined && clean(k)).getOrElse(0)
+  }
+
   /** ClickHouse `sequenceMatch(pattern)(ts, cond1..condN)`: per user,
     * does the time-ordered event sequence match `pattern`? Events are
     * tagged with the FIRST condition they satisfy (1-based); following

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.operators.EventFunnels
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** ST10: streaming `windowFunnel` — the batch operator's exact
+  * semantics (first-touch anchoring, optional strict modes) computed
+  * incrementally over an event stream, robust to OUT-OF-ORDER arrival
+  * within the watermark.
+  *
+  * Design: the closed form is order-insensitive (minima and counts
+  * over a set — `EventFunnels.levelOf`, shared verbatim with the
+  * batch property tests), so the streaming arm buffers each user's
+  * step-tagged events and evaluates the fold ONCE, when the
+  * event-time watermark passes the user's last activity plus `hold`.
+  * One final (user, level) row per user, Append semantics.
+  *
+  * 100 TB state posture (SURVEY §7's streaming watch item):
+  *  - only CONDITION-matching events enter state (the same pre-filter
+  *    as batch);
+  *  - once a step-1 anchor exists, events past `anchor + window` are
+  *    never buffered — a late-arriving EARLIER anchor only shrinks
+  *    that bound, so the prune is always safe;
+  *  - the whole buffer is evicted at the event-time timeout, so state
+  *    is bounded by (funnel window ∪ watermark horizon) per active
+  *    user, never by history. The eviction is spec-audited via
+  *    `stateOperators.numRowsTotal` draining to zero
+  *    (StreamingSpec ST10), the same audit the ST7 dedup state gets.
+  */
+object StreamingFunnel {
+
+  /** Per-user buffered step events (epoch-second, step). */
+  case class FunnelState(events: Seq[(Long, Int)])
+
+  /** `events` must carry an event-time column `tsCol` with a
+    * watermark REQUIRED by the EventTimeTimeout (set here from
+    * `watermark`). `steps` are the funnel conditions, first match
+    * tags the event (identical to batch). Returns a streaming
+    * Dataset of (user, level), one row per user emitted when the
+    * watermark passes last-activity + `hold`.
+    */
+  def funnelLevels(
+      events: DataFrame, user: String, tsCol: String,
+      window: Long, steps: Seq[Column],
+      watermark: String = "10 seconds", hold: Long = 10L,
+      strictIncrease: Boolean = false,
+      strictOrder: Boolean = false): Dataset[(String, Int)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val nSteps = steps.size
+    val step = steps.zipWithIndex.foldRight(lit(0)) {
+      case ((c, i), els) => when(c, i + 1).otherwise(els)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(user).cast("string").as("u"), col(tsCol).as("ts"),
+        step.as("step"))
+      .where(col("step") >= 1)
+      .as[(String, java.sql.Timestamp, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (String, Int)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (u, it, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val evs = state.getOption.map(_.events).getOrElse(Seq.empty)
+            state.remove()
+            Iterator.single((u, EventFunnels.levelOf(
+              evs, nSteps, window, strictIncrease, strictOrder)))
+          } else {
+            val incoming = it.map(e => (e._2.getTime / 1000L, e._3)).toSeq
+            val merged = state.getOption.map(_.events).getOrElse(Seq.empty) ++
+              incoming
+            // anchor-bound prune: with an anchor a = min step-1 time,
+            // events past a + window can never contribute (a can only
+            // move EARLIER on late data, shrinking the bound further)
+            val anchor = merged.collect { case (t, 1) => t }
+              .foldLeft(Option.empty[Long])((a, t) =>
+                Some(a.fold(t)(math.min(_, t))))
+            val kept = anchor.fold(merged)(a =>
+              merged.filter { case (t, _) => t <= a + window })
+            state.update(FunnelState(kept))
+            val lastSeenMs = merged.map(_._1).max * 1000L
+            state.setTimeoutTimestamp(lastSeenMs + hold * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+}

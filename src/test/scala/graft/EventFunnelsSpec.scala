@@ -84,6 +84,27 @@ class EventFunnelsSpec extends SparkSpec {
     assert(strictFunnel(ok, inc = true, ord = true) === Map("C" -> 3))
   }
 
+  test("property: Catalyst windowFunnel agrees with levelOf across random streams and modes") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 10; inc <- Seq(false, true); ord <- Seq(false, true)) {
+      val rows = (0 until 40).map { _ =>
+        (s"u${rnd.nextInt(4)}", rnd.nextInt(25).toLong,
+          s"s${1 + rnd.nextInt(3)}")
+      }
+      val expected = rows.groupBy(_._1).map { case (u, evs) =>
+        u -> EventFunnels.levelOf(
+          evs.map(e => (e._2, e._3.drop(1).toInt)), nSteps = 3,
+          window = 10L, strictIncrease = inc, strictOrder = ord)
+      }
+      val got = EventFunnels.windowFunnel(
+        rows.toDF("u", "t", "a"), "u", col("t"), 10L,
+        steps = Seq(col("a") === "s1", col("a") === "s2", col("a") === "s3"),
+        strictIncrease = inc, strictOrder = ord)
+        .as[(String, Int)].collect().toMap
+      assert(got === expected, s"trial $trial inc=$inc ord=$ord")
+    }
+  }
+
   private def seqDf(rows: Seq[(String, Long, String)]) =
     rows.zipWithIndex.map { case ((u, t, a), i) => (u, t, i.toLong, a) }
       .toDF("u", "t", "id", "a")

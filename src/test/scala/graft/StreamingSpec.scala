@@ -577,6 +577,60 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("ST10: streaming funnel matches the batch operator on out-of-order input; state drains to zero") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // fixture: same corner-case users the batch spec pins, delivered
+    // OUT OF ORDER and split across two micro-batches
+    val fixture = Seq(
+      ("A", 1030L, "purchase"), ("A", 1010L, "view"), ("A", 1020L, "click"),
+      ("B", 1020L, "view"), ("B", 1010L, "click"), // wrong order
+      ("C", 1010L, "view"), ("C", 99999L, "click"), // window expired
+      ("D", 1010L, "view")) // enters, never converts
+    val steps = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+    val in = MemoryStream[(String, Timestamp, String)]
+    val out = StreamingFunnel.funnelLevels(
+      in.toDF().toDF("user_id", "ts", "event_type"), "user_id", "ts",
+      // the watermark horizon must cover the fixture's disorder: batch
+      // 2 carries events 20 s older than batch 1's max — a 600 s
+      // horizon admits them; anything older would be dropped as late
+      // (the documented contract, same as every watermarked operator)
+      window = 86400L, steps = steps,
+      watermark = "600 seconds", hold = 10L)
+    val q = out.toDF().toDF("user_id", "level")
+      .writeStream.format("memory").queryName("st10funnel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = fixture.splitAt(4)
+      in.addData(b1.map { case (u, t, a) => (u, ts(t), a) }: _*)
+      q.processAllAvailable()
+      in.addData(b2.map { case (u, t, a) => (u, ts(t), a) }: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every user's last-activity+hold
+      // (two batches: one to carry the new max event time, one so the
+      // updated watermark fires the timeouts)
+      in.addData(("zz", ts(500000L), "view"))
+      q.processAllAvailable()
+      in.addData(("zz2", ts(900000L), "view"))
+      q.processAllAvailable()
+      val streamed = spark.table("st10funnel")
+        .where(!col("user_id").startsWith("zz"))
+        .as[(String, Int)].collect().toMap
+      val batch = graft.operators.EventFunnels.windowFunnel(
+        fixture.toDF("u", "t", "a"), "u", col("t"), 86400L,
+        steps = Seq(col("a") === "view", col("a") === "click",
+          col("a") === "purchase"))
+        .as[(String, Int)].collect().toMap
+      assert(batch === Map("A" -> 3, "B" -> 1, "C" -> 1, "D" -> 1))
+      assert(streamed === batch)
+      // eviction audit: every fixture user timed out and was removed;
+      // only the watermark-advancing sentinels may remain
+      assert(stateRows(q) <= 2L,
+        s"funnel state not drained: ${stateRows(q)} rows")
+    } finally q.stop()
+  }
 }
 
 /** Executor-side capture for the per-partition POST spec: statics
