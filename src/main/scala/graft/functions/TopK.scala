@@ -34,46 +34,20 @@ object TopK {
 class TopK(k: Int, capacity: Int)
     extends Aggregator[String, TopK.Buf, TopK.Out] {
   import TopK._
-  require(k >= 1 && capacity >= k, "need capacity >= k >= 1")
 
-  override def zero: Buf = Buf(Map.empty)
+  // the unit-count summary IS the weighted one at weight 1: with every
+  // counter >= 1, min(minCounter, 1) = 1, which is exactly the classic
+  // MG decrement-all step — so the whole algorithm lives once, in
+  // TopKWeighted, and this class only adapts the input type
+  private val weighted = new TopKWeighted(k, capacity)
 
+  override def zero: Buf = weighted.zero
   override def reduce(b: Buf, item: String): Buf =
-    if (item == null) b
-    else b.counts.get(item) match {
-      case Some(c) => Buf(b.counts.updated(item, c + 1))
-      case None if b.counts.size < capacity =>
-        Buf(b.counts.updated(item, 1L))
-      case None =>
-        // classic MG step: a full summary and a new item decrement
-        // every counter; zeros fall out
-        Buf(b.counts.flatMap { case (i, c) =>
-          if (c > 1) Some(i -> (c - 1)) else None
-        })
-    }
-
-  override def merge(a: Buf, b: Buf): Buf = {
-    val summed = b.counts.foldLeft(a.counts) { case (m, (i, c)) =>
-      m.updated(i, m.getOrElse(i, 0L) + c)
-    }
-    if (summed.size <= capacity) Buf(summed)
-    else {
-      // subtract the (capacity+1)-th largest count, drop <= 0
-      val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
-      Buf(summed.flatMap { case (i, c) =>
-        if (c - cut > 0) Some(i -> (c - cut)) else None
-      })
-    }
-  }
-
-  override def finish(r: Buf): Out = Out(
-    r.counts.toSeq
-      .map { case (i, c) => Item(i, c) }
-      .sortBy(it => (-it.cnt, it.item))
-      .take(k))
-
-  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
-  override def outputEncoder: Encoder[Out] = Encoders.product[Out]
+    weighted.reduce(b, (item, 1L))
+  override def merge(a: Buf, b: Buf): Buf = weighted.merge(a, b)
+  override def finish(r: Buf): Out = weighted.finish(r)
+  override def bufferEncoder: Encoder[Buf] = weighted.bufferEncoder
+  override def outputEncoder: Encoder[Out] = weighted.outputEncoder
 }
 
 /** ClickHouse `topKWeighted`: heavy hitters by SUMMED WEIGHT rather

@@ -51,16 +51,20 @@ object AggCombinators {
     * Two partial+final aggregations keyed (group, mapKey) then
     * (group); both partial-aggregate map-side, and the second's
     * state is the group's distinct key set (the map's natural size).
-    * Returns `keys :+ sum_map`.
+    * Groups whose maps are all empty/null survive with an empty map
+    * (explode_outer keeps their row as a null entry; collect_list
+    * drops the null struct, and map_from_entries of the empty array
+    * is `{}`) — ClickHouse keeps such groups too. Returns
+    * `keys :+ sum_map`.
     */
   def sumMap(df: DataFrame, keys: Seq[String], mapCol: Column): DataFrame = {
     val keyCols = keys.map(col)
-    df.select(keyCols :+ explode(mapCol): _*)
+    df.select(keyCols :+ explode_outer(mapCol): _*)
       .groupBy(keyCols :+ col("key"): _*)
       .agg(sum(col("value")).as("__s"))
       .groupBy(keyCols: _*)
-      .agg(map_from_entries(
-        sort_array(collect_list(struct(col("key"), col("__s")))))
+      .agg(map_from_entries(sort_array(collect_list(
+        when(col("key").isNotNull, struct(col("key"), col("__s"))))))
         .as("sum_map"))
   }
 }

@@ -92,15 +92,20 @@ object Curation {
   def decontaminateBloom(
       corpus: DataFrame, benchmark: DataFrame,
       id: String, text: Column, n: Int): DataFrame = {
+    // cached: consumed twice — materialized by the bitmap build's
+    // collect, reused as the verify join's build side (without the
+    // cache the benchmark shingle pipeline would run two full jobs);
+    // released by the action that consumes the result
     val benchGrams = Dedup.explodedShingles(benchmark, id, text, n)
-      .select(col("shingle")).distinct()
+      .select(col("shingle")).distinct().cache()
     val bloom = graft.functions.Bloom.build(benchGrams, col("shingle"))
     val candidates = Dedup.explodedShingles(corpus, id, text, n)
       .where(graft.functions.Bloom.mightContain(bloom, col("shingle")))
-    candidates
+    val out = candidates
       .join(broadcast(benchGrams), "shingle")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_hits"))
+    CacheLifecycle.releaseAfterAction(out, benchGrams)
   }
 
   /** X7: repetition statistics — the Gopher-style (Rae et al. 2021,

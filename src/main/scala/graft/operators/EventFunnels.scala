@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object EventFunnels {
 
+  /** First-match step tagging: an event tags as the FIRST condition
+    * it satisfies (1-based), 0 when none match. The single definition
+    * every funnel/sequence arm shares — batch (`windowFunnel`,
+    * `sequenceStrings`) and streaming (`StreamingFunnel`) parity
+    * depends on this being one expression, not three copies.
+    */
+  def stepTag(steps: Seq[Column]): Column =
+    steps.zipWithIndex.foldRight(lit(0)) {
+      case ((c, i), els) => when(c, i + 1).otherwise(els)
+    }
+
   /** First-touch window funnel: for each user, how many funnel steps
     * completed IN ORDER within `window` time units of the user's
     * EARLIEST step-1 event. Level times are defined closed-form:
@@ -73,11 +84,8 @@ object EventFunnels {
       steps: Seq[Column], strictIncrease: Boolean,
       strictOrder: Boolean): DataFrame = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
-    val step = steps.zipWithIndex.foldRight(lit(0)) {
-      case ((c, i), els) => when(c, i + 1).otherwise(els)
-    }
     val base = events
-      .select(col(user), ts.cast("long").as("__t"), step.as("__step"))
+      .select(col(user), ts.cast("long").as("__t"), stepTag(steps).as("__step"))
       .where(col("__step") >= 1)
     val w = Window.partitionBy(col(user))
     def after(t: Column, prev: Column): Column =
@@ -195,13 +203,10 @@ object EventFunnels {
       conds: Seq[Column], keepUnmatched: Boolean): DataFrame = {
     require(conds.nonEmpty && conds.size <= 9,
       "sequenceMatch/Count support 1..9 conditions (digit alphabet)")
-    val step = conds.zipWithIndex.foldRight(lit(0)) {
-      case ((c, i), els) => when(c, i + 1).otherwise(els)
-    }
     val digits = array((0 to conds.size).map(i => lit(i.toString)): _*)
     val tagged = events
       .select(col(user), ts.cast("long").as("__t"),
-        tieBreak.cast("long").as("__tie"), step.as("__step"))
+        tieBreak.cast("long").as("__tie"), stepTag(conds).as("__step"))
     val kept = if (keepUnmatched) tagged else tagged.where(col("__step") >= 1)
     kept
       .groupBy(col(user))

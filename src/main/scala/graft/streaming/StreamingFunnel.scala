@@ -22,7 +22,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    as batch);
   *  - once a step-1 anchor exists, events past `anchor + window` are
   *    never buffered — a late-arriving EARLIER anchor only shrinks
-  *    that bound, so the prune is always safe;
+  *    that bound, so the prune is always safe; without an anchor,
+  *    events below the current watermark are pruned instead (any
+  *    future anchor must pass the late filter, so nothing below the
+  *    watermark can ever sit inside a chain);
   *  - the whole buffer is evicted at the event-time timeout, so state
   *    is bounded by (funnel window ∪ watermark horizon) per active
   *    user, never by history. The eviction is spec-audited via
@@ -31,8 +34,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingFunnel {
 
-  /** Per-user buffered step events (epoch-second, step). */
-  case class FunnelState(events: Seq[(Long, Int)])
+  /** Per-user buffered step events (epoch-second, step) plus the
+    * user's true last-activity time. `lastSeen` is persisted rather
+    * than re-derived from `events` because the buffer is PRUNED —
+    * recomputing it from pruned events could move the timeout
+    * earlier than real activity and emit prematurely.
+    */
+  case class FunnelState(events: Seq[(Long, Int)], lastSeen: Long)
 
   /** `events` must carry an event-time column `tsCol` with a
     * watermark REQUIRED by the EventTimeTimeout (set here from
@@ -51,13 +59,10 @@ object StreamingFunnel {
     import spark.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
     val nSteps = steps.size
-    val step = steps.zipWithIndex.foldRight(lit(0)) {
-      case ((c, i), els) => when(c, i + 1).otherwise(els)
-    }
     events
       .withWatermark(tsCol, watermark)
       .select(col(user).cast("string").as("u"), col(tsCol).as("ts"),
-        step.as("step"))
+        EventFunnels.stepTag(steps).as("step"))
       .where(col("step") >= 1)
       .as[(String, java.sql.Timestamp, Int)]
       .groupByKey(_._1)
@@ -71,19 +76,33 @@ object StreamingFunnel {
               evs, nSteps, window, strictIncrease, strictOrder)))
           } else {
             val incoming = it.map(e => (e._2.getTime / 1000L, e._3)).toSeq
-            val merged = state.getOption.map(_.events).getOrElse(Seq.empty) ++
-              incoming
+            val prior = state.getOption
+            val merged = prior.map(_.events).getOrElse(Seq.empty) ++ incoming
             // anchor-bound prune: with an anchor a = min step-1 time,
             // events past a + window can never contribute (a can only
-            // move EARLIER on late data, shrinking the bound further)
+            // move EARLIER on late data, shrinking the bound further).
+            // WITHOUT an anchor, events below the current watermark
+            // are equally dead: any future anchor passes the late
+            // filter (t >= watermark), and contributing to any level
+            // or interloper count requires t >= anchor — so the
+            // buffer stays watermark-bounded even for users that
+            // never fire step 1.
             val anchor = merged.collect { case (t, 1) => t }
               .foldLeft(Option.empty[Long])((a, t) =>
                 Some(a.fold(t)(math.min(_, t))))
-            val kept = anchor.fold(merged)(a =>
-              merged.filter { case (t, _) => t <= a + window })
-            state.update(FunnelState(kept))
-            val lastSeenMs = merged.map(_._1).max * 1000L
-            state.setTimeoutTimestamp(lastSeenMs + hold * 1000L)
+            val kept = anchor match {
+              case Some(a) => merged.filter { case (t, _) => t <= a + window }
+              case None =>
+                val wmS = state.getCurrentWatermarkMs() / 1000L
+                merged.filter { case (t, _) => t >= wmS }
+            }
+            // lastSeen is monotone (true activity, immune to pruning)
+            // so the timeout never regresses to an earlier instant
+            val lastSeen = math.max(
+              prior.map(_.lastSeen).getOrElse(Long.MinValue),
+              incoming.map(_._1).max)
+            state.update(FunnelState(kept, lastSeen))
+            state.setTimeoutTimestamp(lastSeen * 1000L + hold * 1000L)
             Iterator.empty
           }
       }

@@ -59,6 +59,15 @@ class CombinatorsSpec extends SparkSpec {
     assert(keys === Seq("x", "y", "z"))
   }
 
+  test("sumMap: groups with only empty maps survive with an empty map") {
+    val df = Seq(
+      ("A", Map("x" -> 1L)),
+      ("B", Map.empty[String, Long])).toDF("k", "m")
+    val out = AggCombinators.sumMap(df, Seq("k"), col("m"))
+      .as[(String, Map[String, Long])].collect().toMap
+    assert(out === Map("A" -> Map("x" -> 1L), "B" -> Map.empty[String, Long]))
+  }
+
   test("TopK: exact regime (capacity >= cardinality) reproduces exact counts") {
     val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
       Seq.fill(10)("c") ++ Seq.fill(5)("d")

@@ -631,6 +631,63 @@ class StreamingSpec extends SparkSpec {
         s"funnel state not drained: ${stateRows(q)} rows")
     } finally q.stop()
   }
+
+  test("ST10 state audit: an anchor-less user's buffer is watermark-pruned, not history-sized") {
+    // a user that clicks forever but never views has no step-1 anchor,
+    // so the anchor+window prune can't fire — the watermark prune must
+    // bound the buffer instead of letting it grow with history
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, String)]
+    val out = StreamingFunnel.funnelLevels(
+      in.toDF().toDF("user_id", "ts", "event_type"), "user_id", "ts",
+      window = 86400L,
+      steps = Seq(col("event_type") === "view",
+        col("event_type") === "click"),
+      watermark = "10 seconds", hold = 1000000L) // hold >> test span: never times out
+    val q = out.toDF().toDF("user_id", "level")
+      .writeStream.format("memory").queryName("st10anchorless")
+      .outputMode(OutputMode.Append()).start()
+    def stateBytes(): Long =
+      q.recentProgress.reverse.collectFirst {
+        case p if p.stateOperators.nonEmpty =>
+          p.stateOperators.map(_.memoryUsedBytes).sum
+      }.getOrElse(-1L)
+    try {
+      // 12 batches × 200 clicks, event time advancing 1000 s per batch
+      // against a 10 s watermark: an unpruned buffer ends at 2 400
+      // events; the watermark prune holds ~1–2 batches' worth
+      val bytes = (0 until 12).map { b =>
+        val base = (b + 1) * 1000L
+        in.addData((0 until 200).map(i => ("u", ts(base + i), "click")): _*)
+        q.processAllAvailable()
+        (stateRows(q), stateBytes())
+      }
+      assert(bytes.last._1 === 1L, s"unexpected state rows: $bytes")
+      // growth check: if the buffer accumulated history, state memory
+      // at batch 12 would be ~6× batch 2's (2400 vs 400 events);
+      // pruned, both hold the same ~1–2-batch buffer
+      val early = bytes(1)._2
+      val late = bytes.last._2
+      assert(late <= early * 3,
+        s"anchor-less buffer grew with history: $bytes")
+    } finally q.stop()
+  }
+
+  test("ST10 unit: watermark prune keeps anchor-less buffers bounded and levels correct") {
+    // pure-function check of the prune invariant via levelOf: events
+    // below the watermark can never join a chain once an anchor must
+    // pass the late filter — dropping them never changes the level
+    val events = (0 until 100).map(i => (1000L + i, 2)) // clicks only
+    val wm = 1080L
+    val kept = events.filter(_._1 >= wm)
+    val lateAnchor = (wm, 1) // earliest anchor that can still arrive
+    val full = graft.operators.EventFunnels.levelOf(
+      events :+ lateAnchor, nSteps = 2, window = 86400L)
+    val pruned = graft.operators.EventFunnels.levelOf(
+      kept :+ lateAnchor, nSteps = 2, window = 86400L)
+    assert(full === pruned)
+    assert(kept.size < events.size) // the prune actually removed rows
+  }
 }
 
 /** Executor-side capture for the per-partition POST spec: statics
