@@ -193,6 +193,55 @@ class PlanSpec extends SparkSpec with NeedsTestdata {
       s"pinned pivot must scan once:\n$p")
   }
 
+  test("W6: the funnel's window stack rides ONE user-keyed exchange + sort") {
+    val p = plan(SparkEntry.queries("q_funnel")(spark, sf))
+    // three dependent Window operators (l1..l3) but a single Sort and
+    // a single hashpartitioning(user_id) exchange feeding them; the
+    // only other exchanges are the tiny level histogram + presentation
+    assert("Window".r.findAllIn(p).size >= 3, s"expected stacked windows:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"funnel must exchange on user exactly once:\n$p")
+    assert("Sort \\[user_id".r.findAllIn(p).size <= 1,
+      s"the window stack must reuse one sort:\n$p")
+  }
+
+  test("W8: sequenceCount groups-then-orders inside ONE ObjectHashAggregate — no window shuffle") {
+    val p = plan(SparkEntry.queries("q_sequence_count")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), s"expected collect_list agg:\n$p")
+    assert(!p.contains("Window"), s"sequence build must not use a window:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"one user exchange + presentation sort only:\n$p")
+  }
+
+  test("A13: the topK sketch exchanges O(capacity) buffers, not rows") {
+    val p = plan(SparkEntry.queries("q_topk_freq")(spark, sf))
+    assert(p.contains("partial_topk"), s"expected partial sketch agg:\n$p")
+    assert(p.contains("SinglePartition"),
+      s"final agg merges per-task buffers on one partition:\n$p")
+    // the sketch replaces a per-key groupBy: no hashpartitioning of
+    // the item column anywhere
+    assert(!p.contains("hashpartitioning(event_type"),
+      s"sketch must not shuffle by item:\n$p")
+  }
+
+  test("X6b: the Bloom probe is a codegen filter inside the corpus scan stage") {
+    requireTestdata()
+    val docs = graft.Tables.table(spark, sf, "documents")
+    val p = plan(graft.operators.Curation.decontaminateBloom(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0),
+      "doc_id", col("text"), 6))
+    assert(p.contains("getbit"), s"expected bitmap probe:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected verify join:\n$p")
+    // the probe must sit BELOW the join (filter side), i.e. inside
+    // the same codegen stage as the corpus explode — no exchange
+    // between the scan and the bloom filter
+    val probeIdx = p.indexOf("getbit")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(probeIdx > joinIdx,
+      s"probe should appear under the join in the plan tree:\n$p")
+  }
+
   test("J2e: a selective dim predicate injects a runtime bloom pre-filter on the fact side") {
     // at 100 TB a shuffle join against a filtered dim moves the WHOLE
     // fact table unless the dim's selectivity reaches the fact scan;
