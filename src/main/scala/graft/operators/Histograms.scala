@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Equi-depth (equal-height) histogram — the deterministic member of
+  * the ClickHouse `histogram()` family (ClickHouse's adaptive variant
+  * is seed-dependent "for illustration only" per its own docs; the
+  * quantile-edged form is the one a dashboard can assert on).
+  *
+  * Two aggregations: (1) per group, the exact continuous quantiles
+  * 0/n..n/n as bin edges — one partial+final agg, edges rounded so
+  * both engines emit identical doubles (the q_quantiles-proven
+  * parity); (2) the tiny edge table broadcast back onto the corpus,
+  * bin assigned by counting interior edges below the value (a
+  * codegen HOF over a ≤n-element array, map-only), then one
+  * (group, bin) partial+final count. The corpus is scanned twice but
+  * never shuffled except by the final small aggregation — at 100 TB
+  * the edge table is |groups|·(bins+1) doubles, always broadcastable.
+  */
+object Histograms {
+
+  /** Returns (groupKeys..., bin ∈ 1..bins, lo, hi, n_rows): per
+    * group, `bins` equal-population bins with quantile edges; a value
+    * equal to an interior edge falls in the LOWER bin (v > e strict).
+    */
+  def equiDepth(df: DataFrame, groupKeys: Seq[String], value: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val keyCols = groupKeys.map(col)
+    // null measures carry no histogram information — dropped (the
+    // quantile agg would ignore them anyway; dropping keeps the bin
+    // assignment total)
+    val base = df.select(keyCols :+ value.cast("double").as("__hv"): _*)
+      .where(col("__hv").isNotNull)
+    val qs = (0 to bins).map(i => i.toDouble / bins).mkString(", ")
+    val edges = base
+      .groupBy(keyCols: _*)
+      .agg(expr(
+        s"transform(percentile(__hv, array($qs)), e -> round(e, 4))")
+        .as("__edges"))
+    base
+      .join(broadcast(edges), groupKeys)
+      .withColumn("bin",
+        (size(filter(slice(col("__edges"), 2, bins - 1),
+          e => col("__hv") > e)) + 1).cast("long"))
+      .groupBy(keyCols :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(edges), groupKeys)
+      .select(keyCols ++ Seq(
+        col("bin"),
+        element_at(col("__edges"), col("bin").cast("int")).as("lo"),
+        element_at(col("__edges"), col("bin").cast("int") + 1).as("hi"),
+        col("n_rows")): _*)
+  }
+}

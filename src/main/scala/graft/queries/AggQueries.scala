@@ -78,6 +78,14 @@ object AggQueries {
         .orderBy(col("total_chars").desc, col("source"))
     }),
 
+    // A2c: equi-depth histogram — quantile-edged bins per event type
+    // (the deterministic member of ClickHouse's histogram() family)
+    "q_histogram_eq" -> ((s, d) => {
+      graft.operators.Histograms.equiDepth(
+        table(s, d, "events"), Seq("event_type"), col("value"), bins = 4)
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
     // A9: PIVOT — daily event counts spread into one column per event
     // type. The pivot values are PINNED to the batch events table's
     // closed domain (click/error/purchase/signup/view at every SF —
@@ -285,6 +293,20 @@ object AggQueries {
       """SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents
          GROUP BY source ORDER BY total_chars DESC, source LIMIT 3""",
+    "q_histogram_eq" ->
+      """WITH s AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         e AS (SELECT event_type,
+             list_transform(quantile_cont(value, [0.0, 0.25, 0.5, 0.75, 1.0]),
+               x -> round(x, 4)) AS edges
+           FROM s GROUP BY event_type),
+         a AS (SELECT s.event_type, s.value, e.edges,
+             len(list_filter(e.edges[2:4], x -> s.value > x)) + 1 AS bin
+           FROM s JOIN e USING (event_type))
+         SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           edges[CAST(bin AS INT)] AS lo, edges[CAST(bin AS INT) + 1] AS hi,
+           count(*) AS n_rows
+         FROM a GROUP BY event_type, bin, lo, hi
+         ORDER BY event_type, bin""",
     // A9: the portable form of PIVOT is conditional aggregation —
     // identical cells, engine-neutral column names
     "q_pivot" ->

@@ -68,6 +68,27 @@ class CombinatorsSpec extends SparkSpec {
     assert(out === Map("A" -> Map("x" -> 1L), "B" -> Map.empty[String, Long]))
   }
 
+  test("equiDepth histogram: equal populations, covering edges, interior ties go low") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val out = graft.operators.Histograms.equiDepth(df, Seq("k"), col("v"), 4)
+      .orderBy(col("bin"))
+      .select(col("bin"), col("lo"), col("hi"), col("n_rows"))
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    // 100 uniform values into 4 quantile bins: 25 each; edges are the
+    // exact continuous quantiles of 1..100
+    assert(out.map(_._4) === Seq(25L, 25L, 25L, 25L))
+    assert(out.head._2 === 1.0 && out.last._3 === 100.0)
+    // adjacent bins share an edge
+    assert(out.sliding(2).forall { case Seq(a, b) => a._3 === b._2 })
+    // a value exactly ON an interior edge lands in the LOWER bin
+    val tied = graft.operators.Histograms.equiDepth(
+      Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 3.0)).toDF("k", "v"),
+      Seq("k"), col("v"), 2)
+      .orderBy(col("bin"))
+      .select(col("bin"), col("n_rows")).as[(Long, Long)].collect().toSeq
+    assert(tied === Seq((1L, 3L), (2L, 1L))) // both 2.0s (= median) go low
+  }
+
   test("TopK: exact regime (capacity >= cardinality) reproduces exact counts") {
     val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
       Seq.fill(10)("c") ++ Seq.fill(5)("d")
