@@ -81,6 +81,23 @@ object ScaleBench {
     }.reduce(_ unionByName _)
   }
 
+  /** factor× events: user population replicated with offset ids, each
+    * replica carrying the base table's exact per-user event streams —
+    * so every per-user analytic (funnel level, sequence count,
+    * retention flag) is IDENTICAL across replicas and scaled totals
+    * are exactly factor× the base totals (hard-asserted below).
+    */
+  def deriveEvents(ev: DataFrame, factor: Int): DataFrame = {
+    val maxU = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+    val maxE = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+    (0 until factor).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * maxE)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * maxU)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Derive-and-cache the factor× corpus under java.io.tmpdir. */
   def scaledDir(spark: SparkSession, baseDir: String, factor: Int): String = {
     // v2 = Rademacher-mask embedding derivation (see scaladoc)
@@ -91,6 +108,12 @@ object ScaleBench {
         .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
       deriveEmbeddings(Tables.table(spark, baseDir, "embeddings"), factor, dim = 64)
         .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    // events arrived in round 8 — an independent guard so pre-existing
+    // cached corpora gain the table without re-deriving the rest
+    if (!Files.isDirectory(Paths.get(s"$out/events.parquet"))) {
+      deriveEvents(Tables.table(spark, baseDir, "events"), factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     }
     out
   }
@@ -192,6 +215,29 @@ object ScaleBench {
         Dedup.minhashNearDup(Tables.table(spark, dir, "documents"),
           "doc_id", col("text"), k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5),
         "id_a", "id_b").count()),
+      // round-8: the ClickHouse analytics family at scale — per-user
+      // replicated event streams, so the scaled answer is exactly
+      // factor× the base answer per level (hard-asserted below);
+      // interesting quantity: wall time tracks the ONE user-keyed
+      // shuffle each operator performs
+      "funnel_levels" -> (() => {
+        val ev = Tables.table(spark, dir, "events")
+        graft.operators.EventFunnels.windowFunnel(
+          ev, "user_id", Tables.epochSeconds(col("ts")), 86400L,
+          steps = Seq(col("event_type") === "view",
+            col("event_type") === "click",
+            col("event_type") === "purchase"))
+          .where(col("level") >= 2).count()
+      }),
+      "sequence_counts" -> (() => {
+        val ev = Tables.table(spark, dir, "events")
+        graft.operators.EventFunnels.sequenceCount(
+          ev, "user_id", Tables.epochSeconds(col("ts")), col("event_id"),
+          conds = Seq(col("event_type") === "view",
+            col("event_type") === "purchase"),
+          pattern = "1.*?2")
+          .agg(sum(col("seq_count"))).head.getLong(0)
+      }),
       // round-8: X6b decontam pair — identical inputs and n; the join
       // form probes EVERY corpus gram into the broadcast hash table,
       // the bloom form drops clean grams with the map-only bitmap
@@ -376,6 +422,16 @@ object ScaleBench {
       for (b <- m.get("decontam_bloom"); j <- m.get("decontam_join"))
         if (b != j) throw new AssertionError(
           s"decontam: bloom $b rows != join $j rows")
+    }
+    // W6/W8 at scale: replicated per-user streams ⇒ scaled analytics
+    // are exactly factor× the base — any drift is an operator bug
+    {
+      val bm = baseRes.map { case (n, _, c) => n -> c }.toMap
+      val sm = bigRes.map { case (n, _, c) => n -> c }.toMap
+      for (p <- Seq("funnel_levels", "sequence_counts");
+           b <- bm.get(p); s <- sm.get(p))
+        if (s != b * factor) throw new AssertionError(
+          s"$p: scaled $s != ${factor}x base $b")
     }
 
     def block(res: Seq[(String, Double, Long)], rec: Seq[(String, Double)]): String =
