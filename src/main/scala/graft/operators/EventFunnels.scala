@@ -148,6 +148,18 @@ object EventFunnels {
     (nSteps to 1 by -1).find(k => l(k).isDefined && clean(k)).getOrElse(0)
   }
 
+  /** In-memory closed form of [[sequenceCount]] for one user's
+    * (t, tie, step) events — the streaming arm's per-group compute;
+    * the Catalyst form's property test uses the same digit-string
+    * construction. Order-insensitive: the string is built from the
+    * SORTED set.
+    */
+  def sequenceCountOf(events: Seq[(Long, Long, Int)],
+      pattern: String): Long = {
+    val s = events.sorted.map(_._3).mkString
+    pattern.r.findAllIn(s).length.toLong
+  }
+
   /** ClickHouse `sequenceMatch(pattern)(ts, cond1..condN)`: per user,
     * does the time-ordered event sequence match `pattern`? Events are
     * tagged with the FIRST condition they satisfy (1-based); following

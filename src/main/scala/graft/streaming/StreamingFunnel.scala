@@ -42,6 +42,11 @@ object StreamingFunnel {
     */
   case class FunnelState(events: Seq[(Long, Int)], lastSeen: Long)
 
+  /** Sequence-arm state: (t, tie, step) triples — the tie-break rides
+    * along so same-timestamp ordering matches the batch operator.
+    */
+  case class SeqState(events: Seq[(Long, Long, Int)], lastSeen: Long)
+
   /** `events` must carry an event-time column `tsCol` with a
     * watermark REQUIRED by the EventTimeTimeout (set here from
     * `watermark`). `steps` are the funnel conditions, first match
@@ -102,6 +107,54 @@ object StreamingFunnel {
               prior.map(_.lastSeen).getOrElse(Long.MinValue),
               incoming.map(_._1).max)
             state.update(FunnelState(kept, lastSeen))
+            state.setTimeoutTimestamp(lastSeen * 1000L + hold * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** ST10b: streaming `sequenceCount` — same skeleton (buffer
+    * condition events, evaluate the shared closed form at watermark
+    * timeout, Append one (user, count) row). Unlike the funnel there
+    * is no window bound to prune against and every buffered event
+    * contributes to the final count, so state is the user's
+    * condition-matching events for the life of their activity burst —
+    * the bound ClickHouse's own sequence functions carry; it is
+    * released wholesale at the timeout. `tie` disambiguates
+    * same-timestamp ordering exactly as the batch operator's
+    * tieBreak.
+    */
+  def sequenceCounts(
+      events: DataFrame, user: String, tsCol: String, tie: Column,
+      conds: Seq[Column], pattern: String,
+      watermark: String = "10 seconds", hold: Long = 10L): Dataset[(String, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(conds.nonEmpty && conds.size <= 9,
+      "sequence patterns support 1..9 conditions")
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(user).cast("string").as("u"), col(tsCol).as("ts"),
+        tie.cast("long").as("tie"), EventFunnels.stepTag(conds).as("step"))
+      .where(col("step") >= 1)
+      .as[(String, java.sql.Timestamp, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeqState, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (u, it, state: GroupState[SeqState]) =>
+          if (state.hasTimedOut) {
+            val evs = state.getOption.map(_.events).getOrElse(Seq.empty)
+            state.remove()
+            Iterator.single((u, EventFunnels.sequenceCountOf(evs, pattern)))
+          } else {
+            val incoming = it.map(e =>
+              (e._2.getTime / 1000L, e._3, e._4)).toSeq
+            val prior = state.getOption
+            val merged = prior.map(_.events).getOrElse(Seq.empty) ++ incoming
+            val lastSeen = math.max(
+              prior.map(_.lastSeen).getOrElse(Long.MinValue),
+              incoming.map(_._1).max)
+            state.update(SeqState(merged, lastSeen))
             state.setTimeoutTimestamp(lastSeen * 1000L + hold * 1000L)
             Iterator.empty
           }

@@ -184,8 +184,9 @@ class EventFunnelsSpec extends SparkSpec {
         .filter(_._4 >= 1)
         .groupBy(_._1)
         .map { case (u, evs) =>
-          val s = evs.sortBy(e => (e._2, e._3, e._4)).map(_._4).mkString
-          u -> "1.*?2".r.findAllIn(s).length.toLong
+          // the same shared fold the streaming arm executes per group
+          u -> EventFunnels.sequenceCountOf(
+            evs.map(e => (e._2, e._3, e._4)), "1.*?2")
         }
       val got = EventFunnels.sequenceCount(
         rows.toDF("u", "t", "id", "a"), "u", col("t"), col("id"),

@@ -673,6 +673,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST10b: streaming sequenceCount matches the batch operator; state drains") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val fixture = Seq(
+      // A: v p v p out of order -> 2; B: v v p -> 1; C: p only -> 0
+      ("A", 1030L, 3L, "view"), ("A", 1010L, 1L, "view"),
+      ("A", 1020L, 2L, "purchase"), ("A", 1040L, 4L, "purchase"),
+      ("B", 1010L, 5L, "view"), ("B", 1020L, 6L, "view"),
+      ("B", 1030L, 7L, "purchase"),
+      ("C", 1010L, 8L, "purchase"))
+    val conds = Seq(col("event_type") === "view",
+      col("event_type") === "purchase")
+    val in = MemoryStream[(String, Timestamp, Long, String)]
+    val out = StreamingFunnel.sequenceCounts(
+      in.toDF().toDF("user_id", "ts", "eid", "event_type"),
+      "user_id", "ts", tie = col("eid"), conds = conds,
+      pattern = "1.*?2", watermark = "600 seconds", hold = 10L)
+    val q = out.toDF().toDF("user_id", "n")
+      .writeStream.format("memory").queryName("st10bseq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = fixture.splitAt(3)
+      in.addData(b1.map { case (u, t, i, a) => (u, ts(t), i, a) }: _*)
+      q.processAllAvailable()
+      in.addData(b2.map { case (u, t, i, a) => (u, ts(t), i, a) }: _*)
+      q.processAllAvailable()
+      in.addData(("zz", ts(500000L), 99L, "view"))
+      q.processAllAvailable()
+      in.addData(("zz2", ts(900000L), 100L, "view"))
+      q.processAllAvailable()
+      val streamed = spark.table("st10bseq")
+        .where(!col("user_id").startsWith("zz"))
+        .as[(String, Long)].collect().toMap
+      val batch = graft.operators.EventFunnels.sequenceCount(
+        fixture.toDF("u", "t", "eid", "a"), "u", col("t"), col("eid"),
+        conds = Seq(col("a") === "view", col("a") === "purchase"),
+        pattern = "1.*?2")
+        .as[(String, Long)].collect().toMap
+      assert(batch === Map("A" -> 2L, "B" -> 1L, "C" -> 0L))
+      assert(streamed === batch)
+      assert(stateRows(q) <= 2L,
+        s"sequence state not drained: ${stateRows(q)} rows")
+    } finally q.stop()
+  }
+
   test("ST10 unit: watermark prune keeps anchor-less buffers bounded and levels correct") {
     // pure-function check of the prune invariant via levelOf: events
     // below the watermark can never join a chain once an anchor must
