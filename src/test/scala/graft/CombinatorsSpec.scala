@@ -147,6 +147,48 @@ class CombinatorsSpec extends SparkSpec {
     assert(cnt <= 10000L && cnt >= 10000L - total / 9)
   }
 
+  test("property: MG guarantees survive arbitrary partition splits and merge trees") {
+    // the partial-aggregation correctness claim: however Spark splits
+    // the stream into partitions and merges the partial summaries,
+    // (a) every reported count is an undercount by at most
+    // n/(capacity+1), and (b) any item with true frequency above that
+    // threshold is retained. 30 seeded trials, random zipf-ish data,
+    // random split points, left-leaning AND right-leaning merge trees.
+    import graft.functions.TopK
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 30) {
+      val cap = 4 + rnd.nextInt(12)
+      val agg = new TopK(cap, cap)
+      val n = 500 + rnd.nextInt(1500)
+      val stream = (0 until n).map { _ =>
+        val r = rnd.nextDouble()
+        if (r < 0.4) "heavy-0"
+        else if (r < 0.6) "heavy-1"
+        else s"tail-${rnd.nextInt(200)}"
+      }
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nSplits = 1 + rnd.nextInt(8)
+      val cuts = (Seq(0, n) ++ (0 until nSplits).map(_ => rnd.nextInt(n)))
+        .distinct.sorted
+      val parts = cuts.zip(cuts.tail).map { case (a, b) =>
+        stream.slice(a, b).foldLeft(agg.zero)(agg.reduce)
+      }
+      val merged =
+        if (trial % 2 == 0) parts.reduceLeft(agg.merge)
+        else parts.reduceRight(agg.merge)
+      val bound = n / (cap + 1)
+      merged.counts.foreach { case (item, c) =>
+        val t = truth.getOrElse(item, 0L)
+        assert(c <= t, s"trial $trial: $item overcounted $c > $t")
+        assert(c >= t - bound, s"trial $trial: $item undercount $c < $t - $bound")
+      }
+      truth.filter(_._2 > bound).keys.foreach { item =>
+        assert(merged.counts.contains(item),
+          s"trial $trial: heavy item $item (freq ${truth(item)} > $bound) lost")
+      }
+    }
+  }
+
   test("TopK: merge trims to capacity with the (cap+1)-th-largest subtraction") {
     import graft.functions.TopK
     val agg = new TopK(2, 2)

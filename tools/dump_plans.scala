@@ -21,7 +21,9 @@ val picks = Seq(
   "q_resample_step" -> "O4 STEP/INTERPOLATE arm -- same agg-first shape; the stride grid unions the OBSERVED buckets (one extra distinct over output-grid-sized rows, skipped entirely at step=1), and interpolation adds prev/next-observed tracking on the SAME (key, bucket) exchange as the forward fill: the plan has ONE Exchange before the window stack, and the three Window operators (ffill+prev share the preceding frame, next needs the following frame) reuse that one sort -- INTERPOLATE costs zero extra shuffles",
   "q_funnel" -> "W6 windowFunnel -- the level minima are N stacked whole-partition Window operators over ONE user-keyed Exchange + Sort (each level consumes the previous, so they stay separate operators, but none re-sorts or re-shuffles); the per-user max(level) agg rides the SAME user hash with no exchange, and the only other shuffle is the final level histogram -- (levels+1) rows per task",
   "q_sequence_count" -> "W8 sequenceCount -- group-then-order WITHOUT a window shuffle: sort_array(collect_list(struct(t, tie, step))) builds each user's ordered digit string inside ONE ObjectHashAggregate (partial collect map-side, final after the single user-keyed Exchange); the regex count is a map-only project on the aggregate output",
-  "q_topk_freq" -> "A13 topK sketch -- the Misra-Gries Aggregator plans as partial ObjectHashAggregate -> single-partition final: every partition reduces to an O(capacity) counter map, so the Exchange moves 32 tiny structs (one per task), not rows -- the 100 TB heavy-hitters shape (contrast: exact GROUP BY event_type shuffles |distinct| rows, fine here, fatal at high cardinality)")
+  "q_topk_freq" -> "A13 topK sketch -- the Misra-Gries Aggregator plans as partial ObjectHashAggregate -> single-partition final: every partition reduces to an O(capacity) counter map, so the Exchange moves 32 tiny structs (one per task), not rows -- the 100 TB heavy-hitters shape (contrast: exact GROUP BY event_type shuffles |distinct| rows, fine here, fatal at high cardinality)",
+  "q_histogram_eq" -> "A2c equi-depth histogram -- two deliberate corpus passes: pass 1 collapses to |groups| quantile-edge rows (partial+final percentile agg), pass 2 re-scans with the edge table BROADCAST back (BroadcastHashJoin, no corpus shuffle) and assigns bins via a codegen HOF over the <=5-element edge array; the only row-count-sized exchange is the final (group, bin) partial+final count -- at 100 TB the edge table is |groups|x(bins+1) doubles, always broadcastable",
+  "q_decontam_bloom" -> "X6b Bloom decontamination -- the bitmap probe (xxhash64 double hashing + getbit on one array<long> plan constant) sits INSIDE the corpus scan's filter stage, below the verify BroadcastHashJoin: clean grams die in the scan without ever reaching the join, and the join's probe volume is ~|hits| + FP%*|clean| instead of |corpus grams|; the benchmark side is computed once (cached across the bitmap build and the join build side)")
 val sb = new StringBuilder
 sb ++= "# PLANS -- physical-plan evidence for the 100 TB posture\n\n"
 sb ++= "`explain(\"formatted\")` output (sf0.001 inputs; plan shape is scale-independent).\n"
@@ -29,6 +31,9 @@ sb ++= "Generated by tools/dump_plans -- regenerate after operator changes.\n"
 for ((name, why) <- picks) {
   val df = SparkEntry.queries(name)(spark, sf)
   val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // elide giant array literals (the Bloom bitmap constant) -- the
+    // shape matters here, not 64k longs of bitmap
+    .replaceAll("\\[[-0-9,\\s]{500,}\\]", "[<large array literal elided>]")
   sb ++= s"\n## $name\n\n$why\n\n```\n$plan```\n"
 }
 Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
