@@ -54,4 +54,42 @@ object EventAnalytics {
       events: DataFrame, staticDim: DataFrame,
       eventKey: Column, dimKey: Column): DataFrame =
     events.join(broadcast(staticDim), eventKey === dimKey, "left")
+
+  /** ST10c: streaming cohort retention — the W7 dashboard served
+    * incrementally. Deliberately NOT `flatMapGroupsWithState`: keyed
+    * on (tumbling cohort window, user), the conditional-max flags are
+    * an ordinary streaming aggregation, so Spark's own watermark
+    * eviction bounds the state (a bare `groupBy(user)` would grow
+    * with the user population FOREVER — the unbounded-keyed-state
+    * trap SURVEY §7 warns about; the cohort window in the key is what
+    * makes eviction possible).
+    *
+    * Cohorts are epoch-aligned `spanDays`-day tumbling windows (the
+    * alignment Spark's `window()` uses), so the in-window day index
+    * is computable BEFORE the aggregation: dk = pmod(epoch-day,
+    * span) + 1. Output per (cohort start, user): r_k = f_1 AND f_k,
+    * k = 1..spanDays — identical flag algebra to the batch
+    * `EventFunnels.retention`, cross-checked in the spec.
+    */
+  def cohortRetention(
+      events: DataFrame, tsCol: String, userCol: String,
+      spanDays: Int = 7, watermark: String = "10 minutes"): DataFrame = {
+    require(spanDays >= 1 && spanDays <= 31, "spanDays in 1..31")
+    val day = datediff(col(tsCol).cast("date"),
+      to_date(lit("1970-01-01")))
+    val dk = (pmod(day, lit(spanDays)) + 1).as("__dk")
+    val flags = (1 to spanDays).map(k =>
+      max(when(col("__dk") === k, 1L).otherwise(0L)).as(s"__f$k"))
+    val agged = events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(userCol), dk)
+      .groupBy(window(col(tsCol), s"$spanDays days").as("cohort"),
+        col(userCol))
+      .agg(flags.head, flags.tail: _*)
+    val outs = Seq(col("cohort.start").as("cohort_start"), col(userCol)) ++
+      (1 to spanDays).map { k =>
+        (if (k == 1) col("__f1") else col("__f1") * col(s"__f$k")).as(s"r$k")
+      }
+    agged.select(outs: _*)
+  }
 }

@@ -718,6 +718,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST10c: streaming cohort retention matches the batch flag algebra; windows evict") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // epoch-aligned 7-day cohort starting at day 0; users active on
+    // in-window days 1/3 (A), 2/3 (B, not day 1 -> all zeros), 1..3 (C)
+    def at(dayIdx: Long, hour: Long) = ts(dayIdx * 86400L + hour * 3600L)
+    val fixture = Seq(
+      ("A", at(0, 1)), ("A", at(2, 1)),
+      ("B", at(1, 1)), ("B", at(2, 1)),
+      ("C", at(0, 1)), ("C", at(1, 1)), ("C", at(2, 1)))
+    val in = MemoryStream[(String, Timestamp)]
+    val out = EventAnalytics.cohortRetention(
+      in.toDF().toDF("user_id", "ts"), "ts", "user_id",
+      spanDays = 7, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("st10cret")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(fixture.map { case (u, t) => (u, t) }: _*)
+      q.processAllAvailable()
+      // close the cohort window: advance the watermark past day 7
+      in.addData(("zz", at(40, 1)))
+      q.processAllAvailable()
+      in.addData(("zz2", at(80, 1)))
+      q.processAllAvailable()
+      val streamed = spark.table("st10cret")
+        .where(!col("user_id").startsWith("zz"))
+        .select(col("user_id"), col("r1"), col("r2"), col("r3"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // the batch operator on the same in-window day indexes
+      val batch = graft.operators.EventFunnels.retention(
+        fixture.map { case (u, t) =>
+          (u, t.getTime / 1000L / 86400L % 7 + 1) }.toDF("u", "dk"),
+        "u", conds = (1 to 3).map(k => col("dk") === k))
+        .select(col("u"), col("r1"), col("r2"), col("r3"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(batch === Map(
+        "A" -> ((1L, 0L, 1L)), "B" -> ((0L, 0L, 0L)), "C" -> ((1L, 1L, 1L))))
+      assert(streamed === batch)
+      // closed cohort windows evict: only the sentinels' open windows
+      // may hold state
+      assert(stateRows(q) <= 2L,
+        s"closed cohort state not evicted: ${stateRows(q)} rows")
+    } finally q.stop()
+  }
+
   test("ST10 unit: watermark prune keeps anchor-less buffers bounded and levels correct") {
     // pure-function check of the prune invariant via levelOf: events
     // below the watermark can never join a chain once an anchor must
