@@ -88,8 +88,9 @@ object ScaleBench {
     * are exactly factor× the base totals (hard-asserted below).
     */
   def deriveEvents(ev: DataFrame, factor: Int): DataFrame = {
-    val maxU = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
-    val maxE = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+    val maxes = ev.agg(max(col("user_id")), max(col("event_id"))).head
+    val maxU = maxes.getLong(0) + 1L
+    val maxE = maxes.getLong(1) + 1L
     (0 until factor).map { k =>
       ev.select(
         (col("event_id") + lit(k * maxE)).as("event_id"), col("ts"),
@@ -236,7 +237,8 @@ object ScaleBench {
           conds = Seq(col("event_type") === "view",
             col("event_type") === "purchase"),
           pattern = "1.*?2")
-          .agg(sum(col("seq_count"))).head.getLong(0)
+          // coalesce: sum over zero matching users is null, not 0
+          .agg(coalesce(sum(col("seq_count")), lit(0L))).head.getLong(0)
       }),
       // round-8: X6b decontam pair — identical inputs and n; the join
       // form probes EVERY corpus gram into the broadcast hash table,

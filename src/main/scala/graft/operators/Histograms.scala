@@ -39,18 +39,26 @@ object Histograms {
       .agg(expr(
         s"transform(percentile(__hv, array($qs)), e -> round(e, 4))")
         .as("__edges"))
-    base
-      .join(broadcast(edges), groupKeys)
+    // null-SAFE equality on the group keys: a null group is a group
+    // like any other and must keep its bins (a plain equi-join would
+    // silently drop it)
+    val b = base.as("__b")
+    val e = edges.as("__e")
+    val joinCond = groupKeys
+      .map(k => col(s"__b.$k") <=> col(s"__e.$k"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val binned = b.join(broadcast(e), joinCond)
+      .select(groupKeys.map(k => col(s"__b.$k")) ++ Seq(
+        col("__b.__hv").as("__hv"), col("__e.__edges").as("__edges")): _*)
       .withColumn("bin",
         (size(filter(slice(col("__edges"), 2, bins - 1),
           e => col("__hv") > e)) + 1).cast("long"))
-      .groupBy(keyCols :+ col("bin"): _*)
+    // lo/hi ride the aggregation key (functionally dependent on
+    // (group, bin)) — no second edge join
+    binned
+      .withColumn("lo", element_at(col("__edges"), col("bin").cast("int")))
+      .withColumn("hi", element_at(col("__edges"), col("bin").cast("int") + 1))
+      .groupBy(keyCols ++ Seq(col("bin"), col("lo"), col("hi")): _*)
       .agg(count(lit(1)).as("n_rows"))
-      .join(broadcast(edges), groupKeys)
-      .select(keyCols ++ Seq(
-        col("bin"),
-        element_at(col("__edges"), col("bin").cast("int")).as("lo"),
-        element_at(col("__edges"), col("bin").cast("int") + 1).as("hi"),
-        col("n_rows")): _*)
   }
 }

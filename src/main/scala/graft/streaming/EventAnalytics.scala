@@ -66,8 +66,12 @@ object EventAnalytics {
     *
     * Cohorts are epoch-aligned `spanDays`-day tumbling windows (the
     * alignment Spark's `window()` uses), so the in-window day index
-    * is computable BEFORE the aggregation: dk = pmod(epoch-day,
-    * span) + 1. Output per (cohort start, user): r_k = f_1 AND f_k,
+    * is computable BEFORE the aggregation — from EPOCH SECONDS, not
+    * a date cast: `cast(ts as long)` is timezone-independent exactly
+    * like `window()`'s UTC-epoch alignment, where a session-timezone
+    * `cast(ts as date)` would disagree with the window boundaries in
+    * any non-UTC session. dk = pmod(epochS, span·86400) div 86400
+    * + 1. Output per (cohort start, user): r_k = f_1 AND f_k,
     * k = 1..spanDays — identical flag algebra to the batch
     * `EventFunnels.retention`, cross-checked in the spec.
     */
@@ -75,9 +79,9 @@ object EventAnalytics {
       events: DataFrame, tsCol: String, userCol: String,
       spanDays: Int = 7, watermark: String = "10 minutes"): DataFrame = {
     require(spanDays >= 1 && spanDays <= 31, "spanDays in 1..31")
-    val day = datediff(col(tsCol).cast("date"),
-      to_date(lit("1970-01-01")))
-    val dk = (pmod(day, lit(spanDays)) + 1).as("__dk")
+    val inWindowS = pmod(col(tsCol).cast("long"), lit(spanDays * 86400L))
+    val dk = ((inWindowS - pmod(inWindowS, lit(86400L))) / lit(86400L))
+      .cast("int").+(1).as("__dk")
     val flags = (1 to spanDays).map(k =>
       max(when(col("__dk") === k, 1L).otherwise(0L)).as(s"__f$k"))
     val agged = events

@@ -87,6 +87,14 @@ class CombinatorsSpec extends SparkSpec {
       .orderBy(col("bin"))
       .select(col("bin"), col("n_rows")).as[(Long, Long)].collect().toSeq
     assert(tied === Seq((1L, 3L), (2L, 1L))) // both 2.0s (= median) go low
+    // a NULL group key is a group like any other — null-safe join
+    val nullKeyed = graft.operators.Histograms.equiDepth(
+      Seq((Option.empty[String], 1.0), (None, 2.0), (Some("g"), 5.0))
+        .toDF("k", "v"),
+      Seq("k"), col("v"), 2)
+      .groupBy(col("k")).agg(sum(col("n_rows")).as("n"))
+      .as[(Option[String], Long)].collect().toMap
+    assert(nullKeyed === Map(None -> 2L, Some("g") -> 1L))
   }
 
   test("TopK: exact regime (capacity >= cardinality) reproduces exact counts") {

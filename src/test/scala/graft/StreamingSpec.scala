@@ -765,6 +765,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST10c unit: the cohort day index is timezone-independent, matching window() alignment") {
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // in a non-UTC session a date-cast day index would disagree with
+      // window()'s UTC-epoch alignment: 1970-01-08 01:00 UTC is day 1
+      // of cohort [day7, day14) but casts to 1970-01-07 New York local
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = Seq(("u", ts(7L * 86400L + 3600L))).toDF("user_id", "ts")
+      val out = EventAnalytics.cohortRetention(
+        df, "ts", "user_id", spanDays = 7, watermark = "1 hour")
+        .select(col("user_id"), col("r1")).as[(String, Long)].collect().toMap
+      assert(out === Map("u" -> 1L),
+        "day-1 activity must set r1 regardless of session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("ST10 unit: watermark prune keeps anchor-less buffers bounded and levels correct") {
     // pure-function check of the prune invariant via levelOf: events
     // below the watermark can never join a chain once an anchor must
