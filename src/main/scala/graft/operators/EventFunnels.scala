@@ -148,6 +148,43 @@ object EventFunnels {
     (nSteps to 1 by -1).find(k => l(k).isDefined && clean(k)).getOrElse(0)
   }
 
+  /** ClickHouse `sequenceMatch`'s time-bounded chain —
+    * `(?1)(?t<=g1)(?2)(?t<=g2)(?3)` — as first-touch chained minima:
+    * unlike [[windowFunnel]]'s single window anchored at t1, each
+    * step must land within `maxGaps(k-2)` of the PREVIOUS step's
+    * time:
+    *
+    *   t1 = min ts of a step-1 event
+    *   tk = min ts of a step-k event in [t(k-1), t(k-1) + g(k-1)]
+    *
+    * Same one-shuffle stacked-window machinery, same value-level
+    * oracle-ability. Returns (user, level).
+    */
+  def gapFunnel(
+      events: DataFrame, user: String, ts: Column,
+      steps: Seq[Column], maxGaps: Seq[Long]): DataFrame = {
+    require(steps.size >= 2 && maxGaps.size == steps.size - 1,
+      "need one maxGap per step transition")
+    val base = events
+      .select(col(user), ts.cast("long").as("__t"), stepTag(steps).as("__step"))
+      .where(col("__step") >= 1)
+    val w = Window.partitionBy(col(user))
+    val withLevels = (2 to steps.size).foldLeft(
+      base.withColumn("__l1",
+        min(when(col("__step") === 1, col("__t"))).over(w))) { (df, k) =>
+      df.withColumn(s"__l$k",
+        min(when(col("__step") === k &&
+          col(s"__l${k - 1}").isNotNull &&
+          col("__t") >= col(s"__l${k - 1}") &&
+          col("__t") <= col(s"__l${k - 1}") + maxGaps(k - 2), col("__t")))
+          .over(w))
+    }
+    val level = (steps.size to 1 by -1).foldRight(lit(0)) {
+      case (k, els) => when(col(s"__l$k").isNotNull, k).otherwise(els)
+    }
+    withLevels.groupBy(col(user)).agg(max(level).as("level"))
+  }
+
   /** In-memory closed form of [[sequenceCount]] for one user's
     * (t, tie, step) events — the streaming arm's per-group compute;
     * the Catalyst form's property test uses the same digit-string

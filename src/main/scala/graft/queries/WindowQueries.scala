@@ -163,6 +163,21 @@ object WindowQueries {
         .orderBy(col("level"))
     }),
 
+    // W6c: gapped chain (ClickHouse sequenceMatch time conditions
+    // `(?1)(?t<=3600)(?2)(?t<=3600)(?3)`) — each step within an hour
+    // of the PREVIOUS step, not windowFunnel's single anchor window
+    "q_funnel_gap" -> ((s, d) => {
+      graft.operators.EventFunnels.gapFunnel(
+        table(s, d, "events"), "user_id",
+        ts = graft.Tables.epochSeconds(col("ts")),
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        maxGaps = Seq(3600L, 3600L))
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("level"))
+    }),
+
     // W8: sequenceMatch (ClickHouse sequence family) — did the user
     // ever view → click → purchase, in time order, anything between?
     // Output = users per match flag (0/1)
@@ -291,6 +306,28 @@ object WindowQueries {
              OVER (PARTITION BY user_id) AS l2 FROM a),
          c AS (SELECT *, min(CASE WHEN step = 3 AND l2 IS NOT NULL
                AND t >= l2 AND t <= l1 + 86400 THEN t END)
+             OVER (PARTITION BY user_id) AS l3 FROM b),
+         u AS (SELECT user_id,
+             max(CASE WHEN l3 IS NOT NULL THEN 3 WHEN l2 IS NOT NULL THEN 2
+               WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS level
+           FROM c GROUP BY user_id)
+         SELECT CAST(level AS INT) AS level, count(*) AS n_users
+         FROM u GROUP BY level ORDER BY level""",
+    "q_funnel_gap" ->
+      """WITH e AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+           CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             WHEN 'purchase' THEN 3 ELSE 0 END AS step
+         FROM events
+         WHERE event_type IN ('view', 'click', 'purchase')),
+         a AS (SELECT user_id, t, step,
+             min(CASE WHEN step = 1 THEN t END)
+               OVER (PARTITION BY user_id) AS l1 FROM e),
+         b AS (SELECT *, min(CASE WHEN step = 2 AND l1 IS NOT NULL
+               AND t >= l1 AND t <= l1 + 3600 THEN t END)
+             OVER (PARTITION BY user_id) AS l2 FROM a),
+         c AS (SELECT *, min(CASE WHEN step = 3 AND l2 IS NOT NULL
+               AND t >= l2 AND t <= l2 + 3600 THEN t END)
              OVER (PARTITION BY user_id) AS l3 FROM b),
          u AS (SELECT user_id,
              max(CASE WHEN l3 IS NOT NULL THEN 3 WHEN l2 IS NOT NULL THEN 2

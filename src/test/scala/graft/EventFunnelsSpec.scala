@@ -84,6 +84,22 @@ class EventFunnelsSpec extends SparkSpec {
     assert(strictFunnel(ok, inc = true, ord = true) === Map("C" -> 3))
   }
 
+  test("gapFunnel: per-step gap bounds vs windowFunnel's single anchor window") {
+    val rows = Seq(
+      // A: each step within gap of the previous — full chain even
+      // though s3 is far past t1 (windowFunnel with window=15 stops at 2)
+      ("A", 10L, "s1"), ("A", 20L, "s2"), ("A", 30L, "s3"),
+      // B: s2 arrives past the s1->s2 gap — chain dies at 1
+      ("B", 10L, "s1"), ("B", 40L, "s2"))
+    val out = EventFunnels.gapFunnel(
+      rows.toDF("u", "t", "a"), "u", col("t"),
+      steps = Seq(col("a") === "s1", col("a") === "s2", col("a") === "s3"),
+      maxGaps = Seq(15L, 15L))
+      .as[(String, Int)].collect().toMap
+    assert(out === Map("A" -> 3, "B" -> 1))
+    assert(funnel(rows.take(3), window = 15L) === Map("A" -> 2))
+  }
+
   test("property: Catalyst windowFunnel agrees with levelOf across random streams and modes") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 10; inc <- Seq(false, true); ord <- Seq(false, true)) {
