@@ -149,40 +149,65 @@ object EventFunnels {
   }
 
   /** ClickHouse `sequenceMatch`'s time-bounded chain —
-    * `(?1)(?t<=g1)(?2)(?t<=g2)(?3)` — as first-touch chained minima:
-    * unlike [[windowFunnel]]'s single window anchored at t1, each
-    * step must land within `maxGaps(k-2)` of the PREVIOUS step's
-    * time:
+    * `(?1)(?t<=g1)(?2)(?t<=g2)(?3)` — with TRUE existence semantics:
+    * the level is the largest k for which SOME chain t1 <= t2 <= …
+    * <= tk exists with each t(j) within `maxGaps(j-2)` of t(j-1)
+    * (ClickHouse's backtracking matcher explores every assignment;
+    * greedy chained minima would under-report — a later step-j event
+    * can enable a chain the earliest one cannot).
     *
-    *   t1 = min ts of a step-1 event
-    *   tk = min ts of a step-k event in [t(k-1), t(k-1) + g(k-1)]
+    * Exact scalar DP, O(events·levels) per user: scan the user's
+    * events in (t, step) order keeping, per level k, the MAXIMUM
+    * achievable chain time m(k). Processing in time order makes the
+    * max sufficient: any achievable t(k-1) is <= the current t, so
+    * "some achievable t(k-1) in [t - gap, t]" ⇔ "m(k-1) >= t - gap".
     *
-    * Same one-shuffle stacked-window machinery, same value-level
-    * oracle-ability. Returns (user, level).
+    * Shape: the same group-then-order-inside-one-aggregation as the
+    * sequence operators (sort_array over collected structs), then the
+    * DP as a codegen-free but UDF-free `aggregate` HOF over the
+    * sorted array — ONE user-keyed ObjectHashAggregate, no window,
+    * no second shuffle. Per-group state = that user's step events,
+    * the family's documented bound. Returns (user, level).
     */
   def gapFunnel(
       events: DataFrame, user: String, ts: Column,
       steps: Seq[Column], maxGaps: Seq[Long]): DataFrame = {
     require(steps.size >= 2 && maxGaps.size == steps.size - 1,
       "need one maxGap per step transition")
-    val base = events
+    val n = steps.size
+    // gaps re-indexed so element_at(gaps, k-1) is the (k-1)->k bound;
+    // slot 0 (level 1) is never read but keeps indices 1-based
+    val gapsLit = typedlit(0L +: maxGaps)
+    val init = array_repeat(lit(null).cast("long"), n)
+    val evs = sort_array(collect_list(struct(col("__t"), col("__step"))))
+    val dp = aggregate(evs, init, (acc, e) =>
+      transform(sequence(lit(1), lit(n)), k =>
+        when(e("__step") === k &&
+          (k === 1 ||
+            (element_at(acc, k - 1).isNotNull &&
+              e("__t") <= element_at(acc, k - 1) + element_at(gapsLit, k))),
+          e("__t"))
+          .otherwise(element_at(acc, k))))
+    events
       .select(col(user), ts.cast("long").as("__t"), stepTag(steps).as("__step"))
       .where(col("__step") >= 1)
-    val w = Window.partitionBy(col(user))
-    val withLevels = (2 to steps.size).foldLeft(
-      base.withColumn("__l1",
-        min(when(col("__step") === 1, col("__t"))).over(w))) { (df, k) =>
-      df.withColumn(s"__l$k",
-        min(when(col("__step") === k &&
-          col(s"__l${k - 1}").isNotNull &&
-          col("__t") >= col(s"__l${k - 1}") &&
-          col("__t") <= col(s"__l${k - 1}") + maxGaps(k - 2), col("__t")))
-          .over(w))
+      .groupBy(col(user))
+      .agg(size(filter(dp, x => x.isNotNull)).cast("int").as("level"))
+  }
+
+  /** In-memory reference of [[gapFunnel]]'s DP — the property test's
+    * cross-check. Same (t, step)-ordered scan, same max-per-level
+    * update.
+    */
+  def gapLevelOf(events: Seq[(Long, Int)], nSteps: Int,
+      maxGaps: Seq[Long]): Int = {
+    val m = Array.fill[Option[Long]](nSteps + 1)(None)
+    events.sortBy(e => (e._1, e._2)).foreach { case (t, s) =>
+      if (s >= 1 && s <= nSteps &&
+        (s == 1 || m(s - 1).exists(p => t <= p + maxGaps(s - 2))))
+        m(s) = Some(t)
     }
-    val level = (steps.size to 1 by -1).foldRight(lit(0)) {
-      case (k, els) => when(col(s"__l$k").isNotNull, k).otherwise(els)
-    }
-    withLevels.groupBy(col(user)).agg(max(level).as("level"))
+    (nSteps to 1 by -1).find(k => m(k).isDefined).getOrElse(0)
   }
 
   /** In-memory closed form of [[sequenceCount]] for one user's

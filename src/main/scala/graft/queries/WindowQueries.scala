@@ -314,25 +314,35 @@ object WindowQueries {
          SELECT CAST(level AS INT) AS level, count(*) AS n_users
          FROM u GROUP BY level ORDER BY level""",
     "q_funnel_gap" ->
-      """WITH e AS (SELECT user_id,
+      """WITH RECURSIVE e AS (SELECT user_id,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
            CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
              WHEN 'purchase' THEN 3 ELSE 0 END AS step
          FROM events
          WHERE event_type IN ('view', 'click', 'purchase')),
-         a AS (SELECT user_id, t, step,
-             min(CASE WHEN step = 1 THEN t END)
-               OVER (PARTITION BY user_id) AS l1 FROM e),
-         b AS (SELECT *, min(CASE WHEN step = 2 AND l1 IS NOT NULL
-               AND t >= l1 AND t <= l1 + 3600 THEN t END)
-             OVER (PARTITION BY user_id) AS l2 FROM a),
-         c AS (SELECT *, min(CASE WHEN step = 3 AND l2 IS NOT NULL
-               AND t >= l2 AND t <= l2 + 3600 THEN t END)
-             OVER (PARTITION BY user_id) AS l3 FROM b),
-         u AS (SELECT user_id,
-             max(CASE WHEN l3 IS NOT NULL THEN 3 WHEN l2 IS NOT NULL THEN 2
-               WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS level
-           FROM c GROUP BY user_id)
+         o AS (SELECT user_id, t, step,
+             row_number() OVER (PARTITION BY user_id ORDER BY t, step) AS rn
+           FROM e),
+         -- forward scan keeping the MAX achievable chain time per
+         -- level: existence semantics (backtracking parity), where
+         -- greedy minima would under-report
+         scan AS (
+           SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS m1,
+                  CAST(NULL AS BIGINT) AS m2, CAST(NULL AS BIGINT) AS m3
+           FROM (SELECT DISTINCT user_id FROM o)
+           UNION ALL
+           SELECT o.user_id, o.rn,
+             CASE WHEN o.step = 1 THEN o.t ELSE s.m1 END,
+             CASE WHEN o.step = 2 AND s.m1 IS NOT NULL
+                  AND o.t <= s.m1 + 3600 THEN o.t ELSE s.m2 END,
+             CASE WHEN o.step = 3 AND s.m2 IS NOT NULL
+                  AND o.t <= s.m2 + 3600 THEN o.t ELSE s.m3 END
+           FROM scan s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1),
+         last AS (SELECT user_id, max(rn) AS mr FROM scan GROUP BY user_id),
+         u AS (SELECT s.user_id,
+             CASE WHEN m3 IS NOT NULL THEN 3 WHEN m2 IS NOT NULL THEN 2
+               WHEN m1 IS NOT NULL THEN 1 ELSE 0 END AS level
+           FROM scan s JOIN last l ON s.user_id = l.user_id AND s.rn = l.mr)
          SELECT CAST(level AS INT) AS level, count(*) AS n_users
          FROM u GROUP BY level ORDER BY level""",
     "q_funnel_strict" ->

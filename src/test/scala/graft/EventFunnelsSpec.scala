@@ -84,6 +84,13 @@ class EventFunnelsSpec extends SparkSpec {
     assert(strictFunnel(ok, inc = true, ord = true) === Map("C" -> 3))
   }
 
+  private def gapF(rows: Seq[(String, Long, String)], gaps: Seq[Long]) =
+    EventFunnels.gapFunnel(
+      rows.toDF("u", "t", "a"), "u", col("t"),
+      steps = Seq(col("a") === "s1", col("a") === "s2", col("a") === "s3"),
+      maxGaps = gaps)
+      .as[(String, Int)].collect().toMap
+
   test("gapFunnel: per-step gap bounds vs windowFunnel's single anchor window") {
     val rows = Seq(
       // A: each step within gap of the previous — full chain even
@@ -91,13 +98,36 @@ class EventFunnelsSpec extends SparkSpec {
       ("A", 10L, "s1"), ("A", 20L, "s2"), ("A", 30L, "s3"),
       // B: s2 arrives past the s1->s2 gap — chain dies at 1
       ("B", 10L, "s1"), ("B", 40L, "s2"))
-    val out = EventFunnels.gapFunnel(
-      rows.toDF("u", "t", "a"), "u", col("t"),
-      steps = Seq(col("a") === "s1", col("a") === "s2", col("a") === "s3"),
-      maxGaps = Seq(15L, 15L))
-      .as[(String, Int)].collect().toMap
-    assert(out === Map("A" -> 3, "B" -> 1))
+    assert(gapF(rows, Seq(15L, 15L)) === Map("A" -> 3, "B" -> 1))
     assert(funnel(rows.take(3), window = 15L) === Map("A" -> 2))
+  }
+
+  test("gapFunnel: EXISTENCE semantics — a later step event enables the chain greedy minima would kill") {
+    // the chain 0 -> 9 -> 18 satisfies both 10-gaps; greedy chained
+    // minima would lock t2 = 5 and report level 2
+    val rows = Seq(
+      ("A", 0L, "s1"), ("A", 5L, "s2"), ("A", 9L, "s2"), ("A", 18L, "s3"))
+    assert(gapF(rows, Seq(10L, 10L)) === Map("A" -> 3))
+    // existence anchors anywhere, not first-touch: a later s1 restarts
+    val restart = Seq(
+      ("B", 0L, "s1"), ("B", 100L, "s1"), ("B", 105L, "s2"), ("B", 110L, "s3"))
+    assert(gapF(restart, Seq(10L, 10L)) === Map("B" -> 3))
+  }
+
+  test("property: Catalyst gapFunnel agrees with the gapLevelOf DP on random streams") {
+    val rnd = new scala.util.Random(19)
+    for (trial <- 0 until 15) {
+      val gaps = Seq(1L + rnd.nextInt(8), 1L + rnd.nextInt(8))
+      val rows = (0 until 50).map { _ =>
+        (s"u${rnd.nextInt(4)}", rnd.nextInt(30).toLong,
+          s"s${1 + rnd.nextInt(3)}")
+      }
+      val expected = rows.groupBy(_._1).map { case (u, evs) =>
+        u -> EventFunnels.gapLevelOf(
+          evs.map(e => (e._2, e._3.drop(1).toInt)), nSteps = 3, gaps)
+      }
+      assert(gapF(rows, gaps) === expected, s"trial $trial gaps=$gaps")
+    }
   }
 
   test("property: Catalyst windowFunnel agrees with levelOf across random streams and modes") {
