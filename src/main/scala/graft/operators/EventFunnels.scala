@@ -195,6 +195,60 @@ object EventFunnels {
       .agg(size(filter(dp, x => x.isNotNull)).cast("int").as("level"))
   }
 
+  /** ClickHouse `windowFunnel`'s DEFAULT (any-anchor existence)
+    * semantics: the largest k for which some ordered chain exists
+    * with t_k <= t_1 + window — every step-1 event is a candidate
+    * anchor, where [[windowFunnel]] deliberately anchors at the
+    * earliest (the deterministic first-touch dashboard definition;
+    * both now exist, documented side by side).
+    *
+    * Exact scalar DP, the anchor-tracking sibling of [[gapFunnel]]'s:
+    * scan in (t, step) order keeping, per level k, the MAXIMUM anchor
+    * t_1 over all achievable level-k chains. An event (t, step k)
+    * extends some chain iff m1(k-1) >= t - window — the max-anchor
+    * chain is optimal because the window test is monotone in the
+    * anchor, and it stays optimal for every future extension. Same
+    * one-ObjectHashAggregate shape as the other sequence operators.
+    * Returns (user, level).
+    */
+  def windowFunnelAny(
+      events: DataFrame, user: String, ts: Column, window: Long,
+      steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "windowFunnelAny needs at least one step")
+    val n = steps.size
+    val init = array_repeat(lit(null).cast("long"), n)
+    val evs = sort_array(collect_list(struct(col("__t"), col("__step"))))
+    // acc(k) = max anchor t1 over achievable level-k chains
+    val dp = aggregate(evs, init, (acc, e) =>
+      transform(sequence(lit(1), lit(n)), k =>
+        when(e("__step") === k && k === 1,
+          greatest(coalesce(element_at(acc, k), e("__t")), e("__t")))
+          .when(e("__step") === k && k > 1 &&
+            element_at(acc, k - 1).isNotNull &&
+            e("__t") <= element_at(acc, k - 1) + window,
+            greatest(coalesce(element_at(acc, k), element_at(acc, k - 1)),
+              element_at(acc, k - 1)))
+          .otherwise(element_at(acc, k))))
+    events
+      .select(col(user), ts.cast("long").as("__t"), stepTag(steps).as("__step"))
+      .where(col("__step") >= 1)
+      .groupBy(col(user))
+      .agg(size(filter(dp, x => x.isNotNull)).cast("int").as("level"))
+  }
+
+  /** In-memory reference of [[windowFunnelAny]]'s anchor DP. */
+  def anyLevelOf(events: Seq[(Long, Int)], nSteps: Int,
+      window: Long): Int = {
+    val m = Array.fill[Option[Long]](nSteps + 1)(None)
+    events.sortBy(e => (e._1, e._2)).foreach { case (t, s) =>
+      if (s == 1) m(1) = Some(math.max(m(1).getOrElse(Long.MinValue), t))
+      else if (s >= 2 && s <= nSteps &&
+        m(s - 1).exists(a => t <= a + window))
+        m(s) = Some(math.max(m(s).getOrElse(Long.MinValue), m(s - 1).get))
+    }
+    (nSteps to 1 by -1).find(k => m(k).isDefined).getOrElse(0)
+  }
+
   /** In-memory reference of [[gapFunnel]]'s DP — the property test's
     * cross-check. Same (t, step)-ordered scan, same max-per-level
     * update.

@@ -178,6 +178,20 @@ object WindowQueries {
         .orderBy(col("level"))
     }),
 
+    // W6d: any-anchor funnel — ClickHouse windowFunnel's DEFAULT
+    // semantics (every step-1 event is a candidate chain start),
+    // beside W6's deterministic first-touch dashboard form
+    "q_funnel_any" -> ((s, d) => {
+      graft.operators.EventFunnels.windowFunnelAny(
+        table(s, d, "events"), "user_id",
+        ts = graft.Tables.epochSeconds(col("ts")), window = 86400L,
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("level"))
+    }),
+
     // W8: sequenceMatch (ClickHouse sequence family) — did the user
     // ever view → click → purchase, in time order, anything between?
     // Output = users per match flag (0/1)
@@ -373,6 +387,41 @@ object WindowQueries {
                WHEN l2 IS NOT NULL AND coalesce(x2, 0) = 0 THEN 2
                WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS level
            FROM g GROUP BY user_id)
+         SELECT CAST(level AS INT) AS level, count(*) AS n_users
+         FROM u GROUP BY level ORDER BY level""",
+    "q_funnel_any" ->
+      """WITH RECURSIVE e AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+           CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             WHEN 'purchase' THEN 3 ELSE 0 END AS step
+         FROM events
+         WHERE event_type IN ('view', 'click', 'purchase')),
+         o AS (SELECT user_id, t, step,
+             row_number() OVER (PARTITION BY user_id ORDER BY t, step) AS rn
+           FROM e),
+         -- forward scan keeping the MAX anchor t1 per level: the
+         -- any-anchor existence DP (the window test is monotone in
+         -- the anchor, so the max-anchor chain dominates)
+         scan AS (
+           SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS m1,
+                  CAST(NULL AS BIGINT) AS m2, CAST(NULL AS BIGINT) AS m3
+           FROM (SELECT DISTINCT user_id FROM o)
+           UNION ALL
+           SELECT o.user_id, o.rn,
+             CASE WHEN o.step = 1 THEN greatest(coalesce(s.m1, o.t), o.t)
+                  ELSE s.m1 END,
+             CASE WHEN o.step = 2 AND s.m1 IS NOT NULL
+                  AND o.t <= s.m1 + 86400
+                  THEN greatest(coalesce(s.m2, s.m1), s.m1) ELSE s.m2 END,
+             CASE WHEN o.step = 3 AND s.m2 IS NOT NULL
+                  AND o.t <= s.m2 + 86400
+                  THEN greatest(coalesce(s.m3, s.m2), s.m2) ELSE s.m3 END
+           FROM scan s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1),
+         last AS (SELECT user_id, max(rn) AS mr FROM scan GROUP BY user_id),
+         u AS (SELECT s.user_id,
+             CASE WHEN m3 IS NOT NULL THEN 3 WHEN m2 IS NOT NULL THEN 2
+               WHEN m1 IS NOT NULL THEN 1 ELSE 0 END AS level
+           FROM scan s JOIN last l ON s.user_id = l.user_id AND s.rn = l.mr)
          SELECT CAST(level AS INT) AS level, count(*) AS n_users
          FROM u GROUP BY level ORDER BY level""",
     "q_sequence_match" ->

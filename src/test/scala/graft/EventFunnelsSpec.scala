@@ -114,6 +114,56 @@ class EventFunnelsSpec extends SparkSpec {
     assert(gapF(restart, Seq(10L, 10L)) === Map("B" -> 3))
   }
 
+  private def anyF(rows: Seq[(String, Long, String)], window: Long) =
+    EventFunnels.windowFunnelAny(
+      rows.toDF("u", "t", "a"), "u", col("t"), window,
+      steps = Seq(col("a") === "s1", col("a") === "s2", col("a") === "s3"))
+      .as[(String, Int)].collect().toMap
+
+  test("windowFunnelAny: every step-1 event anchors — late fast chains count") {
+    // first-touch anchors at t=0 whose window [0,10] admits nothing;
+    // the any-anchor form finds the 1000->1001->1002 chain
+    val rows = Seq(
+      ("A", 0L, "s1"), ("A", 1000L, "s1"),
+      ("A", 1001L, "s2"), ("A", 1002L, "s3"))
+    assert(funnel(rows, window = 10L) === Map("A" -> 1))
+    assert(anyF(rows, 10L) === Map("A" -> 3))
+    // a mixed case: the later anchor helps level 2 but its own window
+    // still bounds level 3
+    val mixed = Seq(
+      ("B", 0L, "s1"), ("B", 100L, "s1"), ("B", 105L, "s2"),
+      ("B", 300L, "s3"))
+    assert(anyF(mixed, 10L) === Map("B" -> 2))
+  }
+
+  test("property: windowFunnelAny == anyLevelOf DP == brute-force chain enumeration") {
+    // brute force enumerates every (e1, e2, e3) chain — validates the
+    // DP's max-anchor argument itself, not just Catalyst-vs-Scala
+    def brute(evs: Seq[(Long, Int)], w: Long): Int = {
+      val byStep = (1 to 3).map(k => evs.collect { case (t, `k`) => t })
+      val l3 = byStep(0).exists(a => byStep(1).exists(b => b >= a &&
+        byStep(2).exists(c => c >= b && c <= a + w)))
+      val l2 = byStep(0).exists(a => byStep(1).exists(b =>
+        b >= a && b <= a + w))
+      if (l3) 3 else if (l2) 2 else if (byStep(0).nonEmpty) 1 else 0
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 15) {
+      val window = 2L + rnd.nextInt(12)
+      val rows = (0 until 50).map { _ =>
+        (s"u${rnd.nextInt(4)}", rnd.nextInt(30).toLong,
+          s"s${1 + rnd.nextInt(3)}")
+      }
+      val perUser = rows.groupBy(_._1)
+        .map { case (u, evs) => u -> evs.map(e => (e._2, e._3.drop(1).toInt)) }
+      val viaBrute = perUser.map { case (u, evs) => u -> brute(evs, window) }
+      val viaDp = perUser.map { case (u, evs) =>
+        u -> EventFunnels.anyLevelOf(evs, nSteps = 3, window) }
+      assert(viaDp === viaBrute, s"trial $trial window=$window (DP vs brute)")
+      assert(anyF(rows, window) === viaBrute, s"trial $trial window=$window")
+    }
+  }
+
   test("property: Catalyst gapFunnel agrees with the gapLevelOf DP on random streams") {
     val rnd = new scala.util.Random(19)
     for (trial <- 0 until 15) {
