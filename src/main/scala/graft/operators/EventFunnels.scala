@@ -174,20 +174,34 @@ object EventFunnels {
       steps: Seq[Column], maxGaps: Seq[Long]): DataFrame = {
     require(steps.size >= 2 && maxGaps.size == steps.size - 1,
       "need one maxGap per step transition")
-    val n = steps.size
-    // gaps re-indexed so element_at(gaps, k-1) is the (k-1)->k bound;
-    // slot 0 (level 1) is never read but keeps indices 1-based
+    // prepended 0L keeps indices aligned with the 1-based level k:
+    // element_at(gapsLit, k) is the (k-1)->k transition bound (the
+    // k=1 slot is never read — level 1 has no incoming transition)
     val gapsLit = typedlit(0L +: maxGaps)
+    chainDp(events, user, ts, steps, (acc, e, k) =>
+      when(e("__step") === k &&
+        (k === 1 ||
+          (element_at(acc, k - 1).isNotNull &&
+            e("__t") <= element_at(acc, k - 1) + element_at(gapsLit, k))),
+        e("__t"))
+        .otherwise(element_at(acc, k)))
+  }
+
+  /** Shared scalar-DP scaffolding for the chain operators: sort each
+    * user's (t, step) events inside ONE user-keyed aggregation, fold
+    * the caller's per-event merge over them with an `aggregate` HOF
+    * (acc = one nullable long per level, null = unreachable; the
+    * non-null slots always form a prefix), and count the prefix as
+    * the level. The merge receives (acc, event, k) per level slot.
+    */
+  private def chainDp(
+      events: DataFrame, user: String, ts: Column, steps: Seq[Column],
+      merge: (Column, Column, Column) => Column): DataFrame = {
+    val n = steps.size
     val init = array_repeat(lit(null).cast("long"), n)
     val evs = sort_array(collect_list(struct(col("__t"), col("__step"))))
     val dp = aggregate(evs, init, (acc, e) =>
-      transform(sequence(lit(1), lit(n)), k =>
-        when(e("__step") === k &&
-          (k === 1 ||
-            (element_at(acc, k - 1).isNotNull &&
-              e("__t") <= element_at(acc, k - 1) + element_at(gapsLit, k))),
-          e("__t"))
-          .otherwise(element_at(acc, k))))
+      transform(sequence(lit(1), lit(n)), k => merge(acc, e, k)))
     events
       .select(col(user), ts.cast("long").as("__t"), stepTag(steps).as("__step"))
       .where(col("__step") >= 1)
@@ -215,25 +229,16 @@ object EventFunnels {
       events: DataFrame, user: String, ts: Column, window: Long,
       steps: Seq[Column]): DataFrame = {
     require(steps.nonEmpty, "windowFunnelAny needs at least one step")
-    val n = steps.size
-    val init = array_repeat(lit(null).cast("long"), n)
-    val evs = sort_array(collect_list(struct(col("__t"), col("__step"))))
     // acc(k) = max anchor t1 over achievable level-k chains
-    val dp = aggregate(evs, init, (acc, e) =>
-      transform(sequence(lit(1), lit(n)), k =>
-        when(e("__step") === k && k === 1,
-          greatest(coalesce(element_at(acc, k), e("__t")), e("__t")))
-          .when(e("__step") === k && k > 1 &&
-            element_at(acc, k - 1).isNotNull &&
-            e("__t") <= element_at(acc, k - 1) + window,
-            greatest(coalesce(element_at(acc, k), element_at(acc, k - 1)),
-              element_at(acc, k - 1)))
-          .otherwise(element_at(acc, k))))
-    events
-      .select(col(user), ts.cast("long").as("__t"), stepTag(steps).as("__step"))
-      .where(col("__step") >= 1)
-      .groupBy(col(user))
-      .agg(size(filter(dp, x => x.isNotNull)).cast("int").as("level"))
+    chainDp(events, user, ts, steps, (acc, e, k) =>
+      when(e("__step") === k && k === 1,
+        greatest(coalesce(element_at(acc, k), e("__t")), e("__t")))
+        .when(e("__step") === k && k > 1 &&
+          element_at(acc, k - 1).isNotNull &&
+          e("__t") <= element_at(acc, k - 1) + window,
+          greatest(coalesce(element_at(acc, k), element_at(acc, k - 1)),
+            element_at(acc, k - 1)))
+        .otherwise(element_at(acc, k)))
   }
 
   /** In-memory reference of [[windowFunnelAny]]'s anchor DP. */

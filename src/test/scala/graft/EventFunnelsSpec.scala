@@ -164,7 +164,18 @@ class EventFunnelsSpec extends SparkSpec {
     }
   }
 
-  test("property: Catalyst gapFunnel agrees with the gapLevelOf DP on random streams") {
+  test("property: gapFunnel == gapLevelOf DP == brute-force chain enumeration") {
+    // brute force validates the DP itself (twin-vs-twin checks are
+    // how the original greedy form's bug survived its own test)
+    def brute(evs: Seq[(Long, Int)], gaps: Seq[Long]): Int = {
+      val byStep = (1 to 3).map(k => evs.collect { case (t, `k`) => t })
+      val l3 = byStep(0).exists(a => byStep(1).exists(b =>
+        b >= a && b <= a + gaps(0) && byStep(2).exists(c =>
+          c >= b && c <= b + gaps(1))))
+      val l2 = byStep(0).exists(a => byStep(1).exists(b =>
+        b >= a && b <= a + gaps(0)))
+      if (l3) 3 else if (l2) 2 else if (byStep(0).nonEmpty) 1 else 0
+    }
     val rnd = new scala.util.Random(19)
     for (trial <- 0 until 15) {
       val gaps = Seq(1L + rnd.nextInt(8), 1L + rnd.nextInt(8))
@@ -172,11 +183,13 @@ class EventFunnelsSpec extends SparkSpec {
         (s"u${rnd.nextInt(4)}", rnd.nextInt(30).toLong,
           s"s${1 + rnd.nextInt(3)}")
       }
-      val expected = rows.groupBy(_._1).map { case (u, evs) =>
-        u -> EventFunnels.gapLevelOf(
-          evs.map(e => (e._2, e._3.drop(1).toInt)), nSteps = 3, gaps)
-      }
-      assert(gapF(rows, gaps) === expected, s"trial $trial gaps=$gaps")
+      val perUser = rows.groupBy(_._1)
+        .map { case (u, evs) => u -> evs.map(e => (e._2, e._3.drop(1).toInt)) }
+      val viaBrute = perUser.map { case (u, evs) => u -> brute(evs, gaps) }
+      val viaDp = perUser.map { case (u, evs) =>
+        u -> EventFunnels.gapLevelOf(evs, nSteps = 3, gaps) }
+      assert(viaDp === viaBrute, s"trial $trial gaps=$gaps (DP vs brute)")
+      assert(gapF(rows, gaps) === viaBrute, s"trial $trial gaps=$gaps")
     }
   }
 
