@@ -23,7 +23,8 @@ val picks = Seq(
   "q_sequence_count" -> "W8 sequenceCount -- group-then-order WITHOUT a window shuffle: sort_array(collect_list(struct(t, tie, step))) builds each user's ordered digit string inside ONE ObjectHashAggregate (partial collect map-side, final after the single user-keyed Exchange); the regex count is a map-only project on the aggregate output",
   "q_topk_freq" -> "A13 topK sketch -- the Misra-Gries Aggregator plans as partial ObjectHashAggregate -> single-partition final: every partition reduces to an O(capacity) counter map, so the Exchange moves 32 tiny structs (one per task), not rows -- the 100 TB heavy-hitters shape (contrast: exact GROUP BY event_type shuffles |distinct| rows, fine here, fatal at high cardinality)",
   "q_histogram_eq" -> "A2c equi-depth histogram -- two deliberate corpus passes: pass 1 collapses to |groups| quantile-edge rows (partial+final percentile agg), pass 2 re-scans with the edge table BROADCAST back (BroadcastHashJoin, no corpus shuffle) and assigns bins via a codegen HOF over the <=5-element edge array; the only row-count-sized exchange is the final (group, bin) partial+final count -- at 100 TB the edge table is |groups|x(bins+1) doubles, always broadcastable",
-  "q_decontam_bloom" -> "X6b Bloom decontamination -- the bitmap probe (xxhash64 double hashing + getbit on one array<long> plan constant) sits INSIDE the corpus scan's filter stage, below the verify BroadcastHashJoin: clean grams die in the scan without ever reaching the join, and the join's probe volume is ~|hits| + FP%*|clean| instead of |corpus grams|; the benchmark side is computed once (cached across the bitmap build and the join build side)")
+  "q_decontam_bloom" -> "X6b Bloom decontamination -- the bitmap probe (xxhash64 double hashing + getbit on one array<long> plan constant) sits INSIDE the corpus scan's filter stage, below the verify BroadcastHashJoin: clean grams die in the scan without ever reaching the join, and the join's probe volume is ~|hits| + FP%*|clean| instead of |corpus grams|; the benchmark side is computed once (cached across the bitmap build and the join build side)",
+  "q_funnel_any" -> "W6d any-anchor funnel -- the exact existence DP (max anchor per level) runs as an aggregate() HOF over sort_array(collect_list(struct(t, step))) INSIDE one user-keyed ObjectHashAggregate: partial collect map-side, single Exchange, the whole per-user scan evaluated in the final aggregate's projection -- no Window operator, no second shuffle; the level histogram is the only other (tiny) exchange. Same shape carries q_funnel_gap's per-step-gap DP")
 val sb = new StringBuilder
 sb ++= "# PLANS -- physical-plan evidence for the 100 TB posture\n\n"
 sb ++= "`explain(\"formatted\")` output (sf0.001 inputs; plan shape is scale-independent).\n"
