@@ -91,7 +91,19 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
         s""""passes":$passTotals,"spread":$sp,"max_spread":$maxSpread,""" +
         s""""protocol":"min-of-$passes","sf":"$sfDir"}"""
+    // The full line is long (per-query time + spread maps for ~100
+    // queries) and the driver's stdout capture has truncated it
+    // mid-JSON two rounds running. Emit a SHORT, complete totals-only
+    // line both before and after the full line: whichever end the
+    // capture keeps, a parseable headline survives. The file copy
+    // always holds the full record.
+    val headline =
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},""" +
+        s""""errors":$errs,"passes":$passTotals,"max_spread":$maxSpread,""" +
+        s""""protocol":"min-of-$passes","sf":"$sfDir"}"""
+    println(headline)
     println(line)
+    println(headline)
     System.err.println(line)
     Files.writeString(Paths.get("BENCH_OUT.json"), line + "\n")
     spark.stop()

@@ -39,10 +39,29 @@ object Bloom {
     * the next power of two of bitsPerItem·n, clamped to [2^16, 2^26]
     * (8 KB – 8 MB of plan constant).
     */
+  /** Driver-side guard on the collected member set, mirroring
+    * `spark.sql.autoBroadcastJoinThreshold`'s role for broadcast
+    * joins: fail fast with a clear message instead of a driver OOM
+    * when a caller passes a "benchmark" side that isn't small. 32 M
+    * distinct members ≈ 512 MB of collected hash pairs — already past
+    * the point where the bitmap (capped at 8 MB) saturates and the
+    * filter is pure FP noise, so the cap costs no legitimate caller.
+    */
+  val defaultMaxMembers: Long = 32L * 1024 * 1024
+
   def build(df: DataFrame, value: Column, bitsPerItem: Int = 10,
-      k: Int = 3): Filter = {
-    val hashes = df.select(h1(value).as("h1"), h2(value).as("h2"))
-      .distinct().collect()
+      k: Int = 3, maxMembers: Long = defaultMaxMembers): Filter = {
+    // count first (distributed, cheap) so an oversized build side is
+    // a clear error, never a driver OOM mid-collect
+    val distinctMembers =
+      df.select(h1(value).as("h1"), h2(value).as("h2")).distinct()
+    val nDistinct = distinctMembers.count()
+    require(nDistinct <= maxMembers,
+      s"Bloom.build: member set has $nDistinct distinct values, over the " +
+        s"$maxMembers cap — the build side must be small (it is collected " +
+        "to the driver, like a broadcast join's small side); raise " +
+        "maxMembers only if the driver has the heap for it")
+    val hashes = distinctMembers.collect()
     val n = math.max(1L, hashes.length.toLong)
     val bits = math.min(1L << 26,
       math.max(1L << 16, java.lang.Long.highestOneBit(bitsPerItem * n) * 2))

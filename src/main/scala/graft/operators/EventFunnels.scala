@@ -27,10 +27,69 @@ object EventFunnels {
     * every funnel/sequence arm shares — batch (`windowFunnel`,
     * `sequenceStrings`) and streaming (`StreamingFunnel`) parity
     * depends on this being one expression, not three copies.
+    *
+    * SEMANTIC RESTRICTION (every operator in this file defaults to
+    * it): with OVERLAPPING step conditions an event serves only its
+    * first satisfied step, so it cannot also advance a later step —
+    * ClickHouse's windowFunnel/sequenceMatch record EVERY satisfied
+    * condition per event. Disjoint conditions (the dashboard norm)
+    * are unaffected; ClickHouse-parity callers with non-disjoint
+    * conditions pass `multiTag = true`, which expands each event into
+    * one row per satisfied condition ([[multiTagSteps]]). Note
+    * ClickHouse's own 'strict_dedup' mode exists precisely to turn
+    * that default multi-tagging OFF.
     */
   def stepTag(steps: Seq[Column]): Column =
     steps.zipWithIndex.foldRight(lit(0)) {
       case ((c, i), els) => when(c, i + 1).otherwise(els)
+    }
+
+  /** Multi-tag step tagging: ALL 1-based step indices the event
+    * satisfies (ClickHouse's per-condition recording). Empty array
+    * when none match.
+    */
+  def multiTagSteps(steps: Seq[Column]): Column =
+    filter(array(steps.zipWithIndex.map { case (c, i) =>
+      when(c, lit(i + 1)).otherwise(lit(null).cast("int"))
+    }: _*), x => x.isNotNull)
+
+  /** Shared (user, __t, __step) projection: first-match tagging by
+    * default; `multiTag` explodes one row per satisfied condition
+    * (explode drops events matching nothing, preserving the
+    * unmatched-events-dropped default).
+    */
+  private def taggedBase(events: DataFrame, user: String, ts: Column,
+      steps: Seq[Column], multiTag: Boolean): DataFrame =
+    if (!multiTag)
+      events
+        .select(col(user), ts.cast("long").as("__t"),
+          stepTag(steps).as("__step"))
+        .where(col("__step") >= 1)
+    else
+      events
+        .select(col(user), ts.cast("long").as("__t"),
+          explode(multiTagSteps(steps)).as("__step"))
+
+  /** Skew guard: keep each user's EARLIEST `cap` rows by the given
+    * total-order sort key (a prefix in event-time order), so one
+    * pathological user (a bot with millions of step events) cannot
+    * balloon a single aggregation group — per-user state is bounded
+    * at `cap` rows by a filter that runs BEFORE any collect. The
+    * row_number window repartitions on the same user key the
+    * downstream aggregation uses, so the guard adds a sort but no
+    * extra shuffle. `cap <= 0` disables. The capped answer is
+    * deterministic and documented: the operator's exact semantics
+    * over the user's first `cap` step-events (rows tied on the full
+    * sort key are interchangeable for every DP in this file, so
+    * row_number's tie choice cannot change the result).
+    */
+  private def capPerUser(base: DataFrame, user: String, cap: Int,
+      order: Seq[Column]): DataFrame =
+    if (cap <= 0) base
+    else {
+      val w = Window.partitionBy(col(user)).orderBy(order: _*)
+      base.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= cap).drop("__rn")
     }
 
   /** First-touch window funnel: for each user, how many funnel steps
@@ -78,15 +137,22 @@ object EventFunnels {
     * partition-count per level BETWEEN the already-computed minima —
     * a second Window pass riding the SAME user-keyed exchange and
     * sort, still zero extra shuffles, still value-oracle-able.
+    *
+    * `multiTag` switches to ClickHouse's per-condition tagging for
+    * overlapping step conditions ([[stepTag]]'s restriction note);
+    * `maxEventsPerUser` is the skew guard ([[capPerUser]]): the
+    * funnel over each user's earliest `maxEventsPerUser` step-events,
+    * bounding per-user state.
     */
   def windowFunnel(
       events: DataFrame, user: String, ts: Column, window: Long,
       steps: Seq[Column], strictIncrease: Boolean,
-      strictOrder: Boolean): DataFrame = {
+      strictOrder: Boolean, multiTag: Boolean = false,
+      maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
-    val base = events
-      .select(col(user), ts.cast("long").as("__t"), stepTag(steps).as("__step"))
-      .where(col("__step") >= 1)
+    val base = capPerUser(
+      taggedBase(events, user, ts, steps, multiTag),
+      user, maxEventsPerUser, Seq(col("__t"), col("__step")))
     val w = Window.partitionBy(col(user))
     def after(t: Column, prev: Column): Column =
       if (strictIncrease) t > prev else t >= prev
@@ -171,20 +237,22 @@ object EventFunnels {
     */
   def gapFunnel(
       events: DataFrame, user: String, ts: Column,
-      steps: Seq[Column], maxGaps: Seq[Long]): DataFrame = {
+      steps: Seq[Column], maxGaps: Seq[Long],
+      multiTag: Boolean = false, maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.size >= 2 && maxGaps.size == steps.size - 1,
       "need one maxGap per step transition")
     // prepended 0L keeps indices aligned with the 1-based level k:
     // element_at(gapsLit, k) is the (k-1)->k transition bound (the
     // k=1 slot is never read — level 1 has no incoming transition)
     val gapsLit = typedlit(0L +: maxGaps)
-    chainDp(events, user, ts, steps, (acc, e, k) =>
-      when(e("__step") === k &&
-        (k === 1 ||
-          (element_at(acc, k - 1).isNotNull &&
-            e("__t") <= element_at(acc, k - 1) + element_at(gapsLit, k))),
-        e("__t"))
-        .otherwise(element_at(acc, k)))
+    chainDp(events, user, ts, steps, multiTag, maxEventsPerUser,
+      (acc, e, k) =>
+        when(e("__step") === k &&
+          (k === 1 ||
+            (element_at(acc, k - 1).isNotNull &&
+              e("__t") <= element_at(acc, k - 1) + element_at(gapsLit, k))),
+          e("__t"))
+          .otherwise(element_at(acc, k)))
   }
 
   /** Shared scalar-DP scaffolding for the chain operators: sort each
@@ -196,15 +264,15 @@ object EventFunnels {
     */
   private def chainDp(
       events: DataFrame, user: String, ts: Column, steps: Seq[Column],
+      multiTag: Boolean, maxEventsPerUser: Int,
       merge: (Column, Column, Column) => Column): DataFrame = {
     val n = steps.size
     val init = array_repeat(lit(null).cast("long"), n)
     val evs = sort_array(collect_list(struct(col("__t"), col("__step"))))
     val dp = aggregate(evs, init, (acc, e) =>
       transform(sequence(lit(1), lit(n)), k => merge(acc, e, k)))
-    events
-      .select(col(user), ts.cast("long").as("__t"), stepTag(steps).as("__step"))
-      .where(col("__step") >= 1)
+    capPerUser(taggedBase(events, user, ts, steps, multiTag),
+      user, maxEventsPerUser, Seq(col("__t"), col("__step")))
       .groupBy(col(user))
       .agg(size(filter(dp, x => x.isNotNull)).cast("int").as("level"))
   }
@@ -227,10 +295,12 @@ object EventFunnels {
     */
   def windowFunnelAny(
       events: DataFrame, user: String, ts: Column, window: Long,
-      steps: Seq[Column]): DataFrame = {
+      steps: Seq[Column], multiTag: Boolean = false,
+      maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.nonEmpty, "windowFunnelAny needs at least one step")
     // acc(k) = max anchor t1 over achievable level-k chains
-    chainDp(events, user, ts, steps, (acc, e, k) =>
+    chainDp(events, user, ts, steps, multiTag, maxEventsPerUser,
+      (acc, e, k) =>
       when(e("__step") === k && k === 1,
         greatest(coalesce(element_at(acc, k), e("__t")), e("__t")))
         .when(e("__step") === k && k > 1 &&
@@ -302,8 +372,10 @@ object EventFunnels {
   def sequenceMatch(
       events: DataFrame, user: String, ts: Column, tieBreak: Column,
       conds: Seq[Column], pattern: String,
-      keepUnmatched: Boolean = false): DataFrame =
-    sequenceStrings(events, user, ts, tieBreak, conds, keepUnmatched)
+      keepUnmatched: Boolean = false,
+      multiTag: Boolean = false, maxEventsPerUser: Int = 0): DataFrame =
+    sequenceStrings(events, user, ts, tieBreak, conds, keepUnmatched,
+      multiTag, maxEventsPerUser)
       .select(col(user),
         when(regexp_like(col("__seq"), lit(pattern)), 1L).otherwise(0L)
           .as("seq_match"))
@@ -318,8 +390,10 @@ object EventFunnels {
   def sequenceCount(
       events: DataFrame, user: String, ts: Column, tieBreak: Column,
       conds: Seq[Column], pattern: String,
-      keepUnmatched: Boolean = false): DataFrame =
-    sequenceStrings(events, user, ts, tieBreak, conds, keepUnmatched)
+      keepUnmatched: Boolean = false,
+      multiTag: Boolean = false, maxEventsPerUser: Int = 0): DataFrame =
+    sequenceStrings(events, user, ts, tieBreak, conds, keepUnmatched,
+      multiTag, maxEventsPerUser)
       .select(col(user),
         regexp_count(col("__seq"), lit(pattern)).cast("long")
           .as("seq_count"))
@@ -333,15 +407,23 @@ object EventFunnels {
     */
   private def sequenceStrings(
       events: DataFrame, user: String, ts: Column, tieBreak: Column,
-      conds: Seq[Column], keepUnmatched: Boolean): DataFrame = {
+      conds: Seq[Column], keepUnmatched: Boolean,
+      multiTag: Boolean = false, maxEventsPerUser: Int = 0): DataFrame = {
     require(conds.nonEmpty && conds.size <= 9,
       "sequenceMatch/Count support 1..9 conditions (digit alphabet)")
+    require(!(multiTag && keepUnmatched),
+      "multiTag drops unmatched events by construction")
     val digits = array((0 to conds.size).map(i => lit(i.toString)): _*)
     val tagged = events
       .select(col(user), ts.cast("long").as("__t"),
-        tieBreak.cast("long").as("__tie"), stepTag(conds).as("__step"))
-    val kept = if (keepUnmatched) tagged else tagged.where(col("__step") >= 1)
-    kept
+        tieBreak.cast("long").as("__tie"),
+        (if (multiTag) explode(multiTagSteps(conds))
+         else stepTag(conds)).as("__step"))
+    val kept =
+      if (keepUnmatched || multiTag) tagged
+      else tagged.where(col("__step") >= 1)
+    capPerUser(kept, user, maxEventsPerUser,
+      Seq(col("__t"), col("__tie"), col("__step")))
       .groupBy(col(user))
       .agg(sort_array(collect_list(struct(
         col("__t"), col("__tie"), col("__step")))).as("__evs"))

@@ -34,10 +34,20 @@ object Histograms {
     val base = df.select(keyCols :+ value.cast("double").as("__hv"): _*)
       .where(col("__hv").isNotNull)
     val qs = (0 to bins).map(i => i.toDouble / bins).mkString(", ")
+    // floor-based 4-dp edge rounding, NOT round(): quantile
+    // interpolation can land on exact decimal halves, where Spark's
+    // BigDecimal HALF_UP and DuckDB's float rint disagree by one
+    // ulp-of-1e-4 (the exact hazard TimeSeries.resampleFill documents);
+    // floor(e·1e4 + 0.5)/1e4 is the same IEEE op sequence in both
+    // engines → bit-identical edges, stable bin counts
     val edges = base
       .groupBy(keyCols: _*)
       .agg(expr(
-        s"transform(percentile(__hv, array($qs)), e -> round(e, 4))")
+        // 'd' suffixes: Spark parses bare 10000.0 as a DECIMAL
+        // literal, and bigint-floor / decimal division would emit
+        // decimal edges — the doubles must stay doubles end to end
+        s"transform(percentile(__hv, array($qs)), " +
+          "e -> floor(e * 10000.0d + 0.5d) / 10000.0d)")
         .as("__edges"))
     // null-SAFE equality on the group keys: a null group is a group
     // like any other and must keep its bins (a plain equi-join would

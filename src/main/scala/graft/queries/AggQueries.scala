@@ -297,7 +297,7 @@ object AggQueries {
       """WITH s AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
          e AS (SELECT event_type,
              list_transform(quantile_cont(value, [0.0, 0.25, 0.5, 0.75, 1.0]),
-               x -> round(x, 4)) AS edges
+               x -> floor(x * 10000.0 + 0.5) / 10000.0) AS edges
            FROM s GROUP BY event_type),
          a AS (SELECT s.event_type, s.value, e.edges,
              len(list_filter(e.edges[2:4], x -> s.value > x)) + 1 AS bin

@@ -192,6 +192,38 @@ object WindowQueries {
         .orderBy(col("level"))
     }),
 
+    // W6e: multi-tag funnel — OVERLAPPING step conditions (step 1 is
+    // view-or-click, step 2 is click) under ClickHouse's
+    // every-satisfied-condition tagging: one click event serves both
+    // steps, where the first-match default would under-report
+    "q_funnel_multi" -> ((s, d) => {
+      graft.operators.EventFunnels.windowFunnel(
+        table(s, d, "events"), "user_id",
+        ts = graft.Tables.epochSeconds(col("ts")), window = 86400L,
+        steps = Seq(col("event_type").isin("view", "click"),
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        strictIncrease = false, strictOrder = false, multiTag = true)
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("level"))
+    }),
+
+    // W6f: skew-guarded gapped funnel — the DP over each user's
+    // EARLIEST 20 step-events only (deterministic truncation on
+    // (t, step)); bounds the per-user collect_list state a
+    // pathological hot user would otherwise balloon
+    "q_funnel_capped" -> ((s, d) => {
+      graft.operators.EventFunnels.gapFunnel(
+        table(s, d, "events"), "user_id",
+        ts = graft.Tables.epochSeconds(col("ts")),
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        maxGaps = Seq(3600L, 3600L), maxEventsPerUser = 20)
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("level"))
+    }),
+
     // W8: sequenceMatch (ClickHouse sequence family) — did the user
     // ever view → click → purchase, in time order, anything between?
     // Output = users per match flag (0/1)
@@ -416,6 +448,62 @@ object WindowQueries {
              CASE WHEN o.step = 3 AND s.m2 IS NOT NULL
                   AND o.t <= s.m2 + 86400
                   THEN greatest(coalesce(s.m3, s.m2), s.m2) ELSE s.m3 END
+           FROM scan s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1),
+         last AS (SELECT user_id, max(rn) AS mr FROM scan GROUP BY user_id),
+         u AS (SELECT s.user_id,
+             CASE WHEN m3 IS NOT NULL THEN 3 WHEN m2 IS NOT NULL THEN 2
+               WHEN m1 IS NOT NULL THEN 1 ELSE 0 END AS level
+           FROM scan s JOIN last l ON s.user_id = l.user_id AND s.rn = l.mr)
+         SELECT CAST(level AS INT) AS level, count(*) AS n_users
+         FROM u GROUP BY level ORDER BY level""",
+    "q_funnel_multi" ->
+      """WITH e AS (
+           SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             1 AS step FROM events WHERE event_type IN ('view', 'click')
+           UNION ALL
+           SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             2 AS step FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             3 AS step FROM events WHERE event_type = 'purchase'),
+         a AS (SELECT user_id, t, step,
+             min(CASE WHEN step = 1 THEN t END)
+               OVER (PARTITION BY user_id) AS l1 FROM e),
+         b AS (SELECT *, min(CASE WHEN step = 2 AND l1 IS NOT NULL
+               AND t >= l1 AND t <= l1 + 86400 THEN t END)
+             OVER (PARTITION BY user_id) AS l2 FROM a),
+         c AS (SELECT *, min(CASE WHEN step = 3 AND l2 IS NOT NULL
+               AND t >= l2 AND t <= l1 + 86400 THEN t END)
+             OVER (PARTITION BY user_id) AS l3 FROM b),
+         u AS (SELECT user_id,
+             max(CASE WHEN l3 IS NOT NULL THEN 3 WHEN l2 IS NOT NULL THEN 2
+               WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS level
+           FROM c GROUP BY user_id)
+         SELECT CAST(level AS INT) AS level, count(*) AS n_users
+         FROM u GROUP BY level ORDER BY level""",
+    "q_funnel_capped" ->
+      """WITH RECURSIVE e AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+           CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             WHEN 'purchase' THEN 3 ELSE 0 END AS step
+         FROM events
+         WHERE event_type IN ('view', 'click', 'purchase')),
+         -- the skew guard: each user's earliest 20 step-events only;
+         -- the prefix keeps rn consecutive so the scan still walks it
+         o AS (SELECT * FROM (SELECT user_id, t, step,
+             row_number() OVER (PARTITION BY user_id ORDER BY t, step) AS rn
+           FROM e) WHERE rn <= 20),
+         scan AS (
+           SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS m1,
+                  CAST(NULL AS BIGINT) AS m2, CAST(NULL AS BIGINT) AS m3
+           FROM (SELECT DISTINCT user_id FROM o)
+           UNION ALL
+           SELECT o.user_id, o.rn,
+             CASE WHEN o.step = 1 THEN o.t ELSE s.m1 END,
+             CASE WHEN o.step = 2 AND s.m1 IS NOT NULL
+                  AND o.t <= s.m1 + 3600 THEN o.t ELSE s.m2 END,
+             CASE WHEN o.step = 3 AND s.m2 IS NOT NULL
+                  AND o.t <= s.m2 + 3600 THEN o.t ELSE s.m3 END
            FROM scan s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1),
          last AS (SELECT user_id, max(rn) AS mr FROM scan GROUP BY user_id),
          u AS (SELECT s.user_id,

@@ -128,6 +128,12 @@ class IngestionMetrics(
       id, _ => new java.util.concurrent.CountDownLatch(1))
     val ok = latch.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     if (ok) terminated.remove(id)
+    // timed-out waits on queries that never terminate would otherwise
+    // pin their latch forever (eviction only drains ids that reached
+    // terminatedOrder); drop our own un-counted latch — remove(k, v)
+    // can't race away a latch the listener has since counted down and
+    // a later event for this id just re-creates one
+    else if (latch.getCount > 0) terminated.remove(id, latch)
     ok
   }
 

@@ -55,6 +55,91 @@ class EventFunnelsSpec extends SparkSpec {
     assert(out === Map("A" -> 1))
   }
 
+  test("multiTag: overlapping step conditions serve EVERY satisfied step (ClickHouse parity)") {
+    // both conditions true for every event: first-match stops at 1
+    // (previous test); multiTag reaches 2 — and a SINGLE event
+    // satisfying both steps chains through itself at its own
+    // timestamp under the non-strict compare, exactly ClickHouse's
+    // default (its strict_dedup mode exists to forbid this)
+    val df = Seq(("A", 10L, 5.0), ("A", 20L, 5.0)).toDF("u", "t", "v")
+    val out = EventFunnels.windowFunnel(df, "u", col("t"), 100L,
+      steps = Seq(col("v") > 0, col("v") > 0),
+      strictIncrease = false, strictOrder = false, multiTag = true)
+      .as[(String, Int)].collect().toMap
+    assert(out === Map("A" -> 2))
+    val one = EventFunnels.windowFunnel(
+      Seq(("B", 10L, 5.0)).toDF("u", "t", "v"), "u", col("t"), 100L,
+      steps = Seq(col("v") > 0, col("v") > 0),
+      strictIncrease = false, strictOrder = false, multiTag = true)
+      .as[(String, Int)].collect().toMap
+    assert(one === Map("B" -> 2))
+    // strictIncrease composes: the same event can no longer chain
+    // into itself (t > t fails), so a lone dual-tagged event stays 1
+    val strict = EventFunnels.windowFunnel(
+      Seq(("B", 10L, 5.0)).toDF("u", "t", "v"), "u", col("t"), 100L,
+      steps = Seq(col("v") > 0, col("v") > 0),
+      strictIncrease = true, strictOrder = false, multiTag = true)
+      .as[(String, Int)].collect().toMap
+    assert(strict === Map("B" -> 1))
+  }
+
+  test("multiTag sequences: one digit per satisfied condition, ordered by (t, tie, step)") {
+    // a single 'click' satisfies cond1 (view-or-click) AND cond2
+    // (click): multiTag emits digits "12" (a match); the first-match
+    // default emits only "1" (no match)
+    val df = Seq(("A", 10L, 0L, "click")).toDF("u", "t", "id", "a")
+    val conds = Seq(col("a").isin("view", "click"), col("a") === "click")
+    val multi = EventFunnels.sequenceMatch(df, "u", col("t"), col("id"),
+      conds, pattern = "12", multiTag = true)
+      .as[(String, Long)].collect().toMap
+    val first = EventFunnels.sequenceMatch(df, "u", col("t"), col("id"),
+      conds, pattern = "12")
+      .as[(String, Long)].collect().toMap
+    assert(multi === Map("A" -> 1L))
+    assert(first === Map("A" -> 0L))
+  }
+
+  test("maxEventsPerUser: funnel over the user's EARLIEST cap step-events; one shuffle; bounded pre-agg state") {
+    // pathological hot user: thousands of step-1 events, the chain
+    // completing s2/s3 only at the tail — the cap's documented answer
+    // is the DP over the first `cap` events in (t, step) order, so
+    // the hot user reports 1 while an unaffected user keeps its 3
+    val hot = (0 until 5000).map { i =>
+      ("H", i.toLong,
+        if (i < 4998) "s1" else if (i == 4998) "s2" else "s3")
+    }
+    val cold = Seq(("C", 0L, "s1"), ("C", 1L, "s2"), ("C", 2L, "s3"))
+    def gapCap(cap: Int) = EventFunnels.gapFunnel(
+      (hot ++ cold).toDF("u", "t", "a"), "u", col("t"),
+      steps = Seq(col("a") === "s1", col("a") === "s2", col("a") === "s3"),
+      maxGaps = Seq(10000L, 10000L), maxEventsPerUser = cap)
+    assert(gapCap(0).as[(String, Int)].collect().toMap ===
+      Map("H" -> 3, "C" -> 3))
+    val capped = gapCap(100)
+    assert(capped.as[(String, Int)].collect().toMap ===
+      Map("H" -> 1, "C" -> 3))
+    // the capped answer IS the closed form over the earliest 100
+    val prefix = hot.map(e => (e._2, e._3.drop(1).toInt))
+      .sorted.take(100)
+    assert(EventFunnels.gapLevelOf(prefix, nSteps = 3,
+      Seq(10000L, 10000L)) === 1)
+    // scale shape: the guard's row_number window rides the SAME
+    // user-keyed exchange the aggregation uses — one shuffle total,
+    // and the truncating filter runs BEFORE the collect_list, so
+    // per-user aggregation state is bounded at cap rows
+    val plan = capped.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("row_number"), plan)
+    // windowFunnel's minima form takes the same guard
+    val wf = EventFunnels.windowFunnel(
+      (hot ++ cold).toDF("u", "t", "a"), "u", col("t"), 10000L,
+      steps = Seq(col("a") === "s1", col("a") === "s2", col("a") === "s3"),
+      strictIncrease = false, strictOrder = false,
+      maxEventsPerUser = 100)
+      .as[(String, Int)].collect().toMap
+    assert(wf === Map("H" -> 1, "C" -> 3))
+  }
+
   private def strictFunnel(rows: Seq[(String, Long, String)],
       inc: Boolean, ord: Boolean) =
     EventFunnels.windowFunnel(
