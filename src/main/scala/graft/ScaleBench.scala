@@ -327,6 +327,14 @@ object ScaleBench {
           nlist = autoNl * 2).count()),
         "ann_lsh_auto" -> (() => Similarity.lshTopK(
           emb(dir), annQ(dir), "vec_id", "embedding", k = 10, dim = 64,
+          nHint = embN(dir)).count()),
+        // round-9: the retrieval tier — Lloyd-trained centroids,
+        // nProbe = nlist/2, per-cell prune. Timed INCLUDING its two
+        // training scans (the honest one-shot cost; serving amortizes
+        // them across query batches). Contract asserted below:
+        // recall@10 >= 0.9 at 30x while still beating brute force.
+        "ann_ivf_serving" -> (() => Similarity.ivfTopKServing(
+          emb(dir), annQ(dir), "vec_id", "embedding", k = 10,
           nHint = embN(dir)).count()))
     }
 
@@ -373,6 +381,9 @@ object ScaleBench {
             nHint = embN(dir))),
           "ann_lsh_auto" -> recall(Similarity.lshTopK(
             emb(dir), annQ(dir), "vec_id", "embedding", k = 10, dim = 64,
+            nHint = embN(dir))),
+          "ann_ivf_serving" -> recall(Similarity.ivfTopKServing(
+            emb(dir), annQ(dir), "vec_id", "embedding", k = 10,
             nHint = embN(dir))))
         out.foreach { case (n, r) =>
           System.err.println(f"[scale] $dir $n recall@10 = $r%.4f") }
@@ -409,6 +420,19 @@ object ScaleBench {
     for ((n, r) <- bigRecall if factor >= 30 && n == "ann_ivf_auto")
       if (r < 0.5) throw new AssertionError(
         f"auto IVF recall@10 collapsed at ${factor}x: $r%.4f < 0.5")
+    // the serving tier's whole contract: retrieval-grade recall AND
+    // still cheaper than exact brute force, both at scale — a config
+    // that buys recall by scanning everything fails the time arm, one
+    // that wins the clock with mining-grade recall fails the floor
+    for (s <- bigMap.get("ann_ivf_serving"); b <- bigMap.get("ann_brute")) {
+      System.err.println(
+        f"[scale] serving IVF $s%.2fs vs brute top-k $b%.2fs at ${factor}x")
+      if (factor >= 30 && s >= b) throw new AssertionError(
+        f"serving IVF must beat brute-force top-k at ${factor}x: $s%.2fs >= $b%.2fs")
+    }
+    for ((n, r) <- bigRecall if factor >= 30 && n == "ann_ivf_serving")
+      if (r < 0.9) throw new AssertionError(
+        f"serving IVF recall@10 below the retrieval floor at ${factor}x: $r%.4f < 0.9")
 
     // X15: the bucketed plan must reproduce the naive global-prefix
     // semantics exactly at every measured size

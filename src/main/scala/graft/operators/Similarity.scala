@@ -274,6 +274,47 @@ object Similarity {
     ivfTopKPinned(corpus, queries, id, vec, k, nl, np)
   }
 
+  /** The RETRIEVAL-grade IVF tier: [[ivfTopK]]'s pipeline with
+    * (1) Lloyd-trained centroids ([[trainCentroids]]) in place of the
+    * raw sample — cells shaped like the data's clusters instead of a
+    * uniform draw, (2) a wider default probe (nProbe = nlist/2 — the
+    * serving contract is recall first), and (3) the per-cell prune
+    * ([[ivfPipeline]]) so the wide probe's ranking work stays in
+    * nProbe·|Q| small sorts. The mining tier ([[ivfTopK]]) stays
+    * as-is: sampled centroids keep it value-oracle-able and its
+    * 0.5-ish recall is adequate for near-dup mining at a quarter of
+    * the probe work.
+    *
+    * MEASURED (RecallCurve at 30× = 60k vectors, nlist 256,
+    * BASELINE.md round-9 table): recall@10 by probed fraction at 2
+    * Lloyd iters — 1/8: 0.59, 1/4: 0.78, 3/8: 0.88, **1/2: 0.94**;
+    * doubling iters to 4 adds ≤ 0.01 everywhere. Total work at the
+    * 1/2 default ≈ 0.75× brute force (probe |Q|·|C|/2 dots +
+    * assignment and training ≈ 3·|C|·nlist), so the tier beats exact
+    * search while clearing the 0.9 retrieval floor — both
+    * hard-asserted in ScaleBench at 30×. On corpora with real
+    * cluster structure the same recall arrives at narrower probes
+    * (the spec's clustered fixture hits 0.9+ at nProbe = nlist/4);
+    * this synthetic corpus is the weak-structure worst case.
+    *
+    * Cost honesty: training runs `iters` corpus scans UP FRONT
+    * (eager jobs at call time, exactly like k-means). For a serving
+    * index the train cost amortizes over every query batch; pass
+    * `iters = 0` to fall back to sampled centroids.
+    */
+  def ivfTopKServing(
+      corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nlist: Int = 0, nProbe: Int = 0, iters: Int = 2,
+      nHint: Long = 0L): DataFrame = {
+    val nl =
+      if (nlist > 0) nlist else ivfConfigFor(autoSize(corpus, nHint))._1
+    val np = if (nProbe > 0) nProbe else math.max(1, nl / 2)
+    val cents =
+      if (iters <= 0) sampleCentroids(corpus, id, vec, nl)
+      else trainCentroids(corpus, id, vec, nl, iters)
+    ivfPipeline(corpus, queries, id, vec, k, np, cents, perCellPrune = true)
+  }
+
   /** Corpus size for the auto-config rules without an eager job when
     * the caller already knows it: `nHint > 0` wins outright; otherwise
     * fall back to the (plan-build-time, eager) `df.count()` that the
@@ -284,22 +325,104 @@ object Similarity {
   private def autoSize(df: DataFrame, nHint: Long): Long =
     if (nHint > 0L) nHint else df.count()
 
-  private def ivfTopKPinned(
-      corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, nlist: Int, nProbe: Int): DataFrame = {
-    // deterministic centroids WITHOUT an eager count() (which would
-    // fire a full scan job every time the query is merely built): the
-    // nlist lowest rows under a pseudo-random hash rank — a uniform,
-    // lazy, single-pass TakeOrdered over the corpus. The rank hash is
-    // md5-based (NOT Spark's xxhash64) so the selection is
-    // engine-portable and the whole operator has a value-level oracle.
+  /** Deterministic sampled centroids WITHOUT an eager count() (which
+    * would fire a full scan job every time the query is merely
+    * built): the nlist lowest rows under a pseudo-random hash rank —
+    * a uniform, lazy, single-pass TakeOrdered over the corpus. The
+    * rank hash is md5-based (NOT Spark's xxhash64) so the selection
+    * is engine-portable and the sampled-centroid operator has a
+    * value-level oracle.
+    */
+  private def sampleCentroids(
+      corpus: DataFrame, id: String, vec: String, nlist: Int): DataFrame = {
     val hashRank = pmod(
       conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10).cast("long"),
       lit(1000003L))
-    val cents = broadcast(
-      corpus.select(col(id).as("cent_id"), col(vec).as("cent_vec"))
-        .orderBy(hashRank, col(id))
-        .limit(nlist))
+    corpus.select(col(id).as("cent_id"), col(vec).as("cent_vec"))
+      .orderBy(hashRank, col(id))
+      .limit(nlist)
+  }
+
+  /** Lloyd-iterated (k-means) centroid refinement over the sampled
+    * seeds — the quality step the SERVING tier needs: sampled
+    * centroids make recall-adequate cells for near-dup mining, but
+    * retrieval-grade recall requires cells shaped like the data's
+    * actual clusters (measured: recall@10 0.56 at 60k vectors with
+    * sampled centroids at nProbe = nlist/8).
+    *
+    * Each iteration: assign every corpus vector to its nearest
+    * centroid by cosine (broadcast centroids, map-only over the big
+    * side — the same narrow scan the query pipeline runs), then
+    * recompute each cell's per-dimension MEAN. The mean is
+    * accumulated in DECIMAL (posexplode to (cell, dim) rows, exact
+    * associative addition), so the trained centroids are
+    * bit-deterministic across runs and partitionings — float sum
+    * reassociation cannot leak into cell boundaries. Cell identity
+    * stays the seed centroid's id throughout; cells that lose all
+    * members drop out (standard k-means emptying).
+    *
+    * Scale shape: per iteration, one |corpus|·nlist codegen dot scan
+    * + one shuffle of |corpus|·dim narrow (cell, dim, value) rows.
+    * Centroids materialize to the driver between iterations
+    * (nlist·dim floats — KBs; the lineage would otherwise double per
+    * iteration), exactly how distributed k-means keeps its state.
+    */
+  def trainCentroids(
+      corpus: DataFrame, id: String, vec: String, nlist: Int,
+      iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    var cents = sampleCentroids(corpus, id, vec, nlist)
+    for (_ <- 0 until iters) {
+      val b = broadcast(cents)
+      val n = VectorFns.norm2(col("cv")) * VectorFns.norm2(col("cent_vec"))
+      // per-ROW argmax (grouped on the id, not the vector: duplicate
+      // vectors must each contribute to their cell's mean)
+      val assigned = corpus.select(col(id).as("__vid"), col(vec).as("cv"))
+        .join(b, expr("true"))
+        .withColumn("__d", when(n === 0.0, 0.0)
+          .otherwise(VectorFns.dot(col("cv"), col("cent_vec")) / n))
+        .groupBy(col("__vid"))
+        .agg(min_by(
+          struct(col("cv").as("v"), col("cent_id").as("c")),
+          struct((-col("__d")).as("nd"), col("cent_id").as("c"))).as("__w"))
+        .select(col("__w.v").as("cv"), col("__w.c").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("__i", "__v")))
+        .groupBy(col("cell"), col("__i"))
+        .agg(avg(col("__v").cast("decimal(30,12)")).as("__m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__i"), col("__m")))),
+          x => x("__m").cast("float")).as("cent_vec"))
+        .select(col("cell").as("cent_id"), col("cent_vec"))
+      val rows = means.collect()
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), means.schema)
+    }
+    cents
+  }
+
+  private def ivfTopKPinned(
+      corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nlist: Int, nProbe: Int): DataFrame =
+    ivfPipeline(corpus, queries, id, vec, k, nProbe,
+      sampleCentroids(corpus, id, vec, nlist), perCellPrune = false)
+
+  /** The probe/score/rank pipeline shared by the mining and serving
+    * tiers, parameterized by the centroid table. `perCellPrune` adds
+    * a per-(query, cell) top-k stage before the global ranking:
+    * provably identical output (the global top-k over probed cells
+    * takes at most k rows from any one cell, and both stages rank by
+    * the same (rounded cosine desc, neighbor_id) total order), but
+    * the heavy sort runs over nProbe·|Q| small partitions instead of
+    * |Q| partitions of nProbe·|corpus|/nlist rows — the shape that
+    * matters when the serving tier probes WIDE.
+    */
+  private def ivfPipeline(
+      corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nProbe: Int, centroids: DataFrame,
+      perCellPrune: Boolean): DataFrame = {
+    val cents = broadcast(centroids)
     def assign(df: DataFrame, idOut: String, vecOut: String, keep: Int): DataFrame = {
       val n = VectorFns.norm2(col(vecOut)) * VectorFns.norm2(col("cent_vec"))
       val scored = df.select(col(id).as(idOut), col(vec).as(vecOut))
@@ -337,9 +460,17 @@ object Similarity {
         when(col("qn") * col("cn") === 0.0, 0.0)
           .otherwise(VectorFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
         6))
+    val pruned =
+      if (!perCellPrune) scored
+      else {
+        val wc = Window.partitionBy(col("query_id"), col("cell"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        scored.withColumn("__cr", row_number().over(wc))
+          .filter(col("__cr") <= k).drop("__cr")
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }

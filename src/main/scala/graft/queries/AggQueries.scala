@@ -52,6 +52,25 @@ object AggQueries {
         .orderBy(col("user_id"))
     }),
 
+    // A14: incremental materialized aggregate (Summing/Aggregating
+    // MergeTree semantics) — the merge-algebra face: three ingest
+    // slices partial-aggregated independently, merged, finalized.
+    // The oracle is the DIRECT aggregate over all rows — the
+    // operator's defining law (slice-invariance), checked value-level
+    "q_matview" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val slices = (0 until 3).map(i =>
+        ev.where(pmod(xxhash64(col("event_id")), lit(3)) === i))
+      val partials = slices.map(sl => graft.operators.MatView.partialState(
+        sl, Seq("event_type"), col("value"), col("user_id")))
+      val merged = graft.operators.MatView.mergeStates(
+        partials.reduce(_ unionByName _), Seq("event_type"))
+      graft.operators.MatView.finalizeState(merged, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"), col("sum_v"),
+          col("min_v"), col("max_v"), col("avg_v"))
+        .orderBy(col("event_type"))
+    }),
+
     // A13: topK heavy hitters — the Misra–Gries sketch Aggregator
     // (functions.TopK) run in its exact regime (capacity 64 >> 5
     // distinct event types), so the sketch output IS the exact top-3
@@ -286,6 +305,13 @@ object AggQueries {
            string_agg(event_type || ':' || CAST(s AS VARCHAR), ','
              ORDER BY event_type) AS spend_map
          FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_matview" ->
+      """SELECT event_type, count(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sum_v,
+           min(value) AS min_v, max(value) AS max_v,
+           round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 4) AS avg_v
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_topk_freq" ->
       """SELECT event_type, count(*) AS n FROM events
          GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""",

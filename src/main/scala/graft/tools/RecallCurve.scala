@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.{ScaleBench, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall-vs-time curve for the IVF serving tier: sweeps
+  * (nProbe fraction, Lloyd iters) at a base corpus and an N× derived
+  * corpus and prints one line per point — the measurement behind
+  * `ivfTopKServing`'s default dials (BASELINE.md records the table).
+  *
+  * Usage: runMain graft.tools.RecallCurve [baseDir] [factor]
+  */
+object RecallCurve {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(30)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = if (factor <= 1) baseDir
+      else ScaleBench.scaledDir(spark, baseDir, factor)
+    val emb = Tables.table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 20 === 0)
+    val n = emb.count()
+    val (nl, _) = Similarity.ivfConfigFor(n)
+    val brute = Similarity.bruteForceTopK(
+      emb, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").cache()
+    val t0 = System.nanoTime(); brute.count()
+    val bruteS = (System.nanoTime() - t0) / 1e9
+    val denom = brute.count().toDouble
+    System.err.println(f"[curve] $dir n=$n nlist=$nl brute=$bruteS%.2fs")
+    for (iters <- Seq(2, 4); num <- Seq(1, 2, 3, 4)) {
+      val np = math.max(1, nl * num / 8)
+      val t1 = System.nanoTime()
+      val got = Similarity.ivfTopKServing(emb, q, "vec_id", "embedding",
+        k = 10, nlist = nl, nProbe = np, iters = iters)
+        .select("query_id", "neighbor_id")
+      val hits = got.intersect(brute).count()
+      val dt = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        f"[curve] iters=$iters nProbe=$np (${num}/8): " +
+          f"recall@10=${hits / denom}%.4f time=$dt%.2fs (brute $bruteS%.2fs)")
+    }
+    spark.stop()
+  }
+}

@@ -86,6 +86,76 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     assert(out(2L).avg_r === 127.5 && out(2L).avg_g === 127.5 && out(2L).avg_b === 127.5)
   }
 
+  test("X5: REAL JPEG decode through the SAME seam (magic-byte dispatch) recovers pixel truth") {
+    // JPEG is lossy, so the pixel-truth fixture is a solid-color
+    // image: DCT of a constant block is the constant, so the decoded
+    // channel means land within a couple of quantization steps
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, jpeg(8, 8, 0x4080C0)))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("image/jpeg").as("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lit("und").as("lang")))
+    val out = Multimodal.extractImageFeatures(spark, media).collect()
+    assert(out.length === 1)
+    val f = out.head
+    assert(f.width === 8 && f.height === 8)
+    assert(math.abs(f.avg_r - 0x40) <= 4.0, s"avg_r=${f.avg_r}")
+    assert(math.abs(f.avg_g - 0x80) <= 4.0, s"avg_g=${f.avg_g}")
+    assert(math.abs(f.avg_b - 0xC0) <= 4.0, s"avg_b=${f.avg_b}")
+    // and the direct decode call agrees with the Dataset path
+    assert(Multimodal.decodeImage(jpeg(8, 8, 0x4080C0)).isDefined)
+  }
+
+  test("X5: REAL frame sampling over an animated GIF — every Nth frame, pixel truth per frame") {
+    // six solid-color frames (GIF palettes are lossless for solids)
+    // written with the stock JDK GIF sequence writer; everyN = 2 must
+    // sample frames 0, 2, 4 with each frame's own color
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF, 0x000000, 0xFF00FF)
+    def gif(frames: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { rgb =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      bos.toByteArray
+    }
+    val media = Seq((7L, gif(colors, 4, 3)), (8L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("image/gif").as("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lit("und").as("lang")))
+    val out = Multimodal.sampleFrameImages(spark, media, everyN = 2)
+      .collect().map(f => f.frame_no -> f).toMap
+    assert(out.keySet === Set(0, 2, 4), "everyN=2 over 6 frames; junk dropped")
+    for ((fno, f) <- out) {
+      val c = colors(fno)
+      assert(f.width === 4 && f.height === 3)
+      assert(f.avg_r === ((c >> 16) & 0xff).toDouble, s"frame $fno r")
+      assert(f.avg_g === ((c >> 8) & 0xff).toDouble, s"frame $fno g")
+      assert(f.avg_b === (c & 0xff).toDouble, s"frame $fno b")
+    }
+    // all six frames decode when unsampled
+    assert(Multimodal.decodeFrames(gif(colors, 4, 3)).size === 6)
+  }
+
   test("A9 canary: the pivot's pinned values ARE the events table's event_type domain") {
     // q_pivot (and its oracle) pin click/error/purchase/signup/view;
     // a pinned pivot silently drops unlisted values, and the oracle

@@ -343,6 +343,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("ivfTopKServing: full probe == brute force exactly (per-cell prune is lossless)") {
+    // with nProbe = nlist every cell is probed, so the serving tier
+    // must reproduce the exact ranking whatever the centroids look
+    // like — this pins both the trained-centroid plumbing and the
+    // per-cell prune's identity argument (global top-k takes at most
+    // k rows from any one cell)
+    val vecs = (0L until 120L).map(i =>
+      (i, Seq.tabulate(16)(d => math.sin(i * 0.37 + d * 1.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 12 === 0)
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val serve = Similarity.ivfTopKServing(vecs, q, "vec_id", "embedding",
+      k = 5, nlist = 8, nProbe = 8, iters = 2)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(serve === bf)
+  }
+
+  test("trainCentroids: DECIMAL-exact means are bit-deterministic across runs") {
+    val vecs = (0L until 150L).map(i =>
+      (i, Seq.tabulate(16)(d => math.cos(i * 0.91 + d * 0.53).toFloat)))
+      .toDF("vec_id", "embedding").repartition(7)
+    def train() = Similarity.trainCentroids(
+      vecs, "vec_id", "embedding", nlist = 8, iters = 2)
+      .select("cent_id", "cent_vec").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    assert(train() === train())
+  }
+
+  test("ivfTopKServing: retrieval-grade recall on a clustered corpus at a narrow probe") {
+    // 8 well-separated clusters (one-hot-pair directions + small
+    // noise): the serving tier at nProbe = nlist/4 = 2 must recover
+    // essentially the whole true neighborhood — the contract the
+    // ScaleBench assertion enforces on the real corpus at 30×
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Seq.tabulate(16) { d =>
+        val base = if (d == 2 * c || d == 2 * c + 1) 1.0f else 0.0f
+        base + (rnd.nextFloat() - 0.5f) * 0.1f
+      })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 10 === 0)
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val serve = Similarity.ivfTopKServing(vecs, q, "vec_id", "embedding",
+      k = 5, nlist = 8, nProbe = 2, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = serve.count(bf.contains).toDouble / bf.size.toDouble
+    assert(recall >= 0.9, s"serving recall@5 = $recall")
+  }
+
   test("langId picks the stopword-majority language; 'und' when nothing hits") {
     val df = Seq(
       (1L, "the cat is in the house and it is warm"),
