@@ -51,17 +51,19 @@ object Bloom {
 
   def build(df: DataFrame, value: Column, bitsPerItem: Int = 10,
       k: Int = 3, maxMembers: Long = defaultMaxMembers): Filter = {
-    // count first (distributed, cheap) so an oversized build side is
-    // a clear error, never a driver OOM mid-collect
-    val distinctMembers =
-      df.select(h1(value).as("h1"), h2(value).as("h2")).distinct()
-    val nDistinct = distinctMembers.count()
-    require(nDistinct <= maxMembers,
-      s"Bloom.build: member set has $nDistinct distinct values, over the " +
-        s"$maxMembers cap — the build side must be small (it is collected " +
-        "to the driver, like a broadcast join's small side); raise " +
-        "maxMembers only if the driver has the heap for it")
-    val hashes = distinctMembers.collect()
+    // guard WITHOUT a second aggregate job: collect through a
+    // cap+1-row limit, so driver memory is bounded by the cap itself
+    // (the documented budget) and an oversized build side surfaces as
+    // a clear error, never an unbounded collect — a separate count()
+    // probe would double the build's scan work (measured: it did)
+    val cap = math.min(maxMembers, Int.MaxValue - 2L).toInt
+    val hashes = df.select(h1(value).as("h1"), h2(value).as("h2"))
+      .distinct().limit(cap + 1).collect()
+    require(hashes.length <= cap,
+      s"Bloom.build: member set exceeds the $maxMembers-distinct cap — " +
+        "the build side must be small (it is collected to the driver, " +
+        "like a broadcast join's small side); raise maxMembers only if " +
+        "the driver has the heap for it")
     val n = math.max(1L, hashes.length.toLong)
     val bits = math.min(1L << 26,
       math.max(1L << 16, java.lang.Long.highestOneBit(bitsPerItem * n) * 2))

@@ -20,6 +20,16 @@ class BloomSpec extends SparkSpec {
     assert(hits === 500L)
   }
 
+  test("member cap fails fast with a clear error, under the cap builds normally") {
+    val members = (0 until 200).map(i => s"m-$i").toDF("v")
+    val e = intercept[IllegalArgumentException](
+      Bloom.build(members, col("v"), maxMembers = 100L))
+    assert(e.getMessage.contains("cap"))
+    // at exactly the cap the build succeeds (the +1 probe row is the
+    // overflow detector, not part of the budget)
+    assert(Bloom.build(members, col("v"), maxMembers = 200L).bits > 0)
+  }
+
   test("false-positive rate on disjoint probes stays near the design point") {
     val f = Bloom.build((0 until 500).map(i => s"member-$i").toDF("v"), col("v"))
     val probes = (0 until 2000).map(i => s"other-$i")
