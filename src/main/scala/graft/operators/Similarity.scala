@@ -147,6 +147,90 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** X18 SemDeDup — clustering-bounded semantic deduplication over an
+    * embedding column (the public SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest of `nlist`
+    * centroids, then form near-duplicate pairs ONLY inside a cell and
+    * flag the survivor-rule loser of each pair. With nlist ≈ √n (the
+    * [[ivfConfigFor]] default) the pair mass drops from |D|² to
+    * ~|D|²/nlist ≈ |D|^1.5 under even cells — the bound that makes
+    * embedding-cosine dedup tractable at web scale, at the cost of
+    * missing cross-cell pairs (the paper's accepted trade; the
+    * LSH-blocked [[lshNearDupPairs]] is the recall-dialed alternative).
+    *
+    * Output: one row per input vector — (id, cell, is_dup ∈ {0,1}).
+    * Survivor rules, both deterministic:
+    *  - default: a vector is a duplicate iff a SMALLER-id vector in
+    *    its cell is within `minCos` (the min-id convention every
+    *    dedup operator here uses — value-oracle-able).
+    *  - `keepFarthest = true`: the paper's rule — of each near-dup
+    *    pair, keep the member FARTHER from its centroid (lower
+    *    assignment cosine; the "edge of the cluster" example), flag
+    *    the closer one; ties fall back to min-id.
+    *
+    * Centroids: `iters = 0` (default) uses the md5-rank sampled
+    * centroids ([[sampleCentroids]] — engine-portable, so the whole
+    * operator has a value-level DuckDB oracle); `iters > 0` Lloyd-
+    * trains them ([[trainCentroids]]) for cells shaped like the data's
+    * clusters — better within-cell recall, same output contract,
+    * spec-verified against the brute-force reference instead.
+    *
+    * Scale shape: assignment is the IVF scan (corpus × broadcast
+    * centroids, map-only over the big side, partial-agg argmax),
+    * computed ONCE and operator-scope cached (it feeds both pair
+    * sides and the output join — uncached the plan re-runs the
+    * centroid scan three times); the pair join shuffles once on the
+    * cell id and the quadratic work is confined to within-cell
+    * blocks. No global window, no driver loop.
+    */
+  def semDedup(
+      df: DataFrame, id: String, vec: String, minCos: Double,
+      nlist: Int = 0, iters: Int = 0, keepFarthest: Boolean = false,
+      nHint: Long = 0L): DataFrame = {
+    val nl = if (nlist > 0) nlist else ivfConfigFor(autoSize(df, nHint))._1
+    val cents = broadcast(
+      if (iters <= 0) sampleCentroids(df, id, vec, nl)
+      else trainCentroids(df, id, vec, nl, iters))
+    val n = VectorFns.norm2(col("v")) * VectorFns.norm2(col("cent_vec"))
+    // nearest-centroid assignment: same argmax-by-(d desc, cent_id asc)
+    // as the IVF pipeline, carrying the assignment cosine for the
+    // keepFarthest rule
+    val cells = df.select(col(id).as("__vid"), col(vec).as("v"))
+      .join(cents, expr("true"))
+      .withColumn("__d", when(n === 0.0, 0.0)
+        .otherwise(VectorFns.dot(col("v"), col("cent_vec")) / n))
+      .groupBy(col("__vid"))
+      .agg(min_by(
+        struct(col("v").as("v"), col("cent_id").as("c"), col("__d").as("d")),
+        struct((-col("__d")).as("nd"), col("cent_id").as("c"))).as("__w"))
+      .select(col("__vid"), col("__w.v").as("v"), col("__w.c").as("cell"),
+        col("__w.d").as("cdist"))
+      .cache()
+    val a = cells.select(col("cell"), col("__vid").as("id_a"),
+      col("v").as("va"), col("cdist").as("da"),
+      VectorFns.norm2(col("v")).as("na"))
+    val b = cells.select(col("cell"), col("__vid").as("id_b"),
+      col("v").as("vb"), col("cdist").as("db"),
+      VectorFns.norm2(col("v")).as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(VectorFns.dot(col("va"), col("vb")) /
+            (col("na") * col("nb"))), 6))
+      .filter(col("cosine") >= minCos)
+    val dups = (
+      if (!keepFarthest) pairs.select(col("id_b").as("__dup"))
+      else pairs.select(
+        when(col("da") > col("db"), col("id_a"))
+          .when(col("db") > col("da"), col("id_b"))
+          .otherwise(col("id_b")).as("__dup"))).distinct()
+    val out = cells.join(dups, cells("__vid") === dups("__dup"), "left")
+      .select(col("__vid").as(id), col("cell"),
+        col("__dup").isNotNull.cast("int").as("is_dup"))
+    CacheLifecycle.releaseAfterAction(out, cells)
+  }
+
   /** LSH-blocked near-duplicate pairs — the 100 TB form of
     * [[nearDupPairs]]: candidates are pairs sharing a (table, bucket)
     * key in ANY of `tables` independent hyperplane families

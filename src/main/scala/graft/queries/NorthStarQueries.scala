@@ -173,6 +173,19 @@ object NorthStarQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // X18 SemDeDup: clustering-bounded semantic dedup — nearest-of-16
+    // sampled centroids (the md5-rank sample the IVF oracle already
+    // pins, so cell assignment is engine-portable), then the near-dup
+    // pair rule ONLY within a cell. nlist = 16 is pinned to match the
+    // oracle's LIMIT 16 (the ivfConfigFor auto value at the oracled
+    // SFs); minCos = 0.45 matches q_embed_neardup so the flag set is
+    // exactly "global near-dup pairs that share a cell"
+    "q_semdedup" -> ((s, d) => {
+      Similarity.semDedup(table(s, d, "embeddings"), "vec_id", "embedding",
+        minCos = 0.45, nlist = 16)
+        .orderBy(col("vec_id"))
+    }),
+
     // X6 semantic decontamination: corpus vectors above 0.40 cosine of
     // any benchmark (vec_id % 20 == 0) vector — catches paraphrased
     // benchmark leakage with no verbatim n-gram overlap (the
@@ -429,6 +442,40 @@ object NorthStarQueries {
            AND c.vec_id <> q.vec_id),
     """ + scoreTail + topKTail(5)
 
+  /** q_semdedup oracle: the annIvfSql centroid sample + nearest-cell
+    * assignment (same unrounded argmax), within-cell pairs scored with
+    * the shared exact-cosine tail, min-id survivor rule — a vector is
+    * a duplicate iff a smaller-id cell-mate is within the threshold.
+    */
+  private val semDedupSql = embedCte +
+    """,
+       cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e
+         ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT % 1000003,
+           vec_id
+         LIMIT 16),
+       asg AS (SELECT vec_id, v, cent_id,
+           CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END AS d
+         FROM (SELECT e.vec_id, e.v, c.cent_id,
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+               i -> e.v[CAST(i AS INT)] * c.cent_vec[CAST(i AS INT)])), (x, y) -> x + y) AS dp,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+               i -> e.v[CAST(i AS INT)] * e.v[CAST(i AS INT)])), (x, y) -> x + y)) AS na,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.cent_vec)+1),
+               i -> c.cent_vec[CAST(i AS INT)] * c.cent_vec[CAST(i AS INT)])), (x, y) -> x + y)) AS nb
+           FROM e CROSS JOIN cents c) sub),
+       cell AS (SELECT vec_id, v, cent_id AS cell FROM (
+           SELECT vec_id, v, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id ASC) AS rn
+           FROM asg) WHERE rn = 1),
+       pr AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.v AS qv, b.v AS cv
+         FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    """ + scoreTail + """,
+       dups AS (SELECT DISTINCT neighbor_id AS vec_id FROM cs WHERE cosine >= 0.45)
+       SELECT c.vec_id, c.cell,
+         CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+       FROM cell c LEFT JOIN dups d ON d.vec_id = c.vec_id
+       ORDER BY c.vec_id"""
+
   /** MinHash-LSH candidates + exact-Jaccard-verify oracle, shared by
     * q_dedup_minhash (minJ=0.8, 4×3) and q_ngram_jaccard (minJ=0.5,
     * 8×2) — the registered n-gram Jaccard IS the verify pass over LSH
@@ -604,6 +651,7 @@ object NorthStarQueries {
     "q_decon_semantic" -> deconSemanticSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_semdedup" -> semDedupSql,
     "q_embed_neardup_lsh" -> embedLshPairsSql,
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

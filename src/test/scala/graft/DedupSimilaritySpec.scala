@@ -397,6 +397,118 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"serving recall@5 = $recall")
   }
 
+  test("semDedup matches a brute-force reference on random corpora, both survivor rules") {
+    // plain-Scala replica of the full pipeline: md5-rank sampled
+    // centroids, nearest-cell argmax by (cos desc, cent_id asc),
+    // within-cell pairs at round(cos, 6) >= minCos, both survivor
+    // rules — the same kind of brute-force oracle the funnel DPs use
+    def md5Rank(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000003L
+    }
+    def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cosD(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))
+      if (n == 0.0) 0.0 else dotD(a, b) / n
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def reference(vecs: Seq[(Long, Seq[Float])], nlist: Int, minCos: Double,
+        keepFarthest: Boolean): Map[Long, (Long, Int)] = {
+      val cents = vecs.sortBy { case (i, _) => (md5Rank(i), i) }.take(nlist)
+      val cells = vecs.map { case (i, v) =>
+        // the +0.0 normalizes -0.0 so the zero-vector tie matches
+        // Spark's (-0.0 == 0.0) comparison semantics
+        val (cid, d) = cents.map { case (ci, cv) => (ci, cosD(v, cv)) }
+          .minBy { case (ci, dd) => (-dd + 0.0, ci) }
+        (i, v, cid, d)
+      }
+      val dups = (for {
+        (ia, va, ca, da) <- cells; (ib, vb, cb, db) <- cells
+        if ia < ib && ca == cb && round6(cosD(va, vb)) >= minCos
+      } yield
+        if (!keepFarthest) ib
+        else if (da > db) ia else ib).toSet
+      cells.map { case (i, _, c, _) => i -> ((c, if (dups(i)) 1 else 0)) }.toMap
+    }
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map(i =>
+      (i, Seq.tabulate(8)(_ => (rnd.nextDouble() * 2 - 1).toFloat)))
+    val exactCopies = base.take(6).map { case (i, v) => (i + 500L, v) }
+    val nearCopies = base.slice(6, 12).map { case (i, v) =>
+      (i + 600L, v.map(x => x * 1.01f + 0.003f)) }
+    val corpus = base ++ exactCopies ++ nearCopies :+
+      (999L, Seq.fill(8)(0.0f))   // zero vector: cosine-0 everywhere
+    val df = corpus.toDF("vec_id", "embedding").repartition(5)
+    for (nlist <- Seq(1, 4, 8); kf <- Seq(false, true)) {
+      val got = Similarity.semDedup(df, "vec_id", "embedding",
+        minCos = 0.8, nlist = nlist, keepFarthest = kf)
+        .select("vec_id", "cell", "is_dup").as[(Long, Long, Int)]
+        .collect().map { case (i, c, f) => i -> ((c, f)) }.toMap
+      assert(got === reference(corpus, nlist, 0.8, kf),
+        s"nlist=$nlist keepFarthest=$kf")
+    }
+    // identical-copy pairs are exact centroid-distance ties: the
+    // keepFarthest tie-break must fall back to min-id (flag the copy)
+    val kfOut = Similarity.semDedup(df, "vec_id", "embedding",
+      minCos = 0.999, nlist = 1, keepFarthest = true)
+      .filter(col("is_dup") === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(base.take(6).map(_._1 + 500L).toSet.subsetOf(kfOut))
+    assert(base.take(6).map(_._1).toSet.intersect(kfOut).isEmpty)
+  }
+
+  test("semDedup with nlist=1 equals the global near-dup rule; trained cells keep the contract") {
+    val rnd = new scala.util.Random(3)
+    val vecs = ((0L until 80L).map(i =>
+      (i, Seq.tabulate(8)(_ => (rnd.nextDouble() * 2 - 1).toFloat))) ++
+      (0L until 10L).map { i =>
+        (i + 300L, Seq.tabulate(8)(d =>
+          (math.sin(i * 0.9 + d).toFloat * 1.005f)))
+      } ++ (0L until 10L).map { i =>
+        (i + 400L, Seq.tabulate(8)(d => math.sin(i * 0.9 + d).toFloat))
+      }).toDF("vec_id", "embedding")
+    // one cell == every near-dup pair is in scope: flagged set must be
+    // exactly the larger ids of nearDupPairs at the same threshold
+    val globalDups = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      minCos = 0.9).select("id_b").as[Long].collect().toSet
+    val oneCell = Similarity.semDedup(vecs, "vec_id", "embedding",
+      minCos = 0.9, nlist = 1)
+      .filter(col("is_dup") === 1).select("vec_id").as[Long].collect().toSet
+    assert(oneCell === globalDups)
+    // Lloyd-trained cells (iters=2): same output contract — one row
+    // per vector, and every flag is witnessed by a smaller-id
+    // cell-mate within the threshold (verified against the raw
+    // vectors, not trusting the operator's own cosines)
+    val raw = vecs.as[(Long, Seq[Float])].collect().toMap
+    def cosD(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      val n = math.sqrt(na) * math.sqrt(nb)
+      if (n == 0.0) 0.0 else dp / n
+    }
+    val trained = Similarity.semDedup(vecs, "vec_id", "embedding",
+      minCos = 0.9, nlist = 8, iters = 2)
+      .select("vec_id", "cell", "is_dup").as[(Long, Long, Int)].collect()
+    assert(trained.length === raw.size)
+    val cellsOf = trained.groupBy(_._2)
+    trained.filter(_._3 == 1).foreach { case (i, c, _) =>
+      val witnesses = cellsOf(c).filter(m => m._1 < i &&
+        cosD(raw(m._1), raw(i)) >= 0.9 - 1e-9)
+      assert(witnesses.nonEmpty, s"flagged $i in cell $c with no witness")
+    }
+  }
+
   test("langId picks the stopword-majority language; 'und' when nothing hits") {
     val df = Seq(
       (1L, "the cat is in the house and it is warm"),
