@@ -16,11 +16,19 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    // read as a timestamp; read it as a nanosecond LongType instead
-    // (runtime-settable legacy conf) and derive times via epochSeconds.
+    // Fixture generations have typed events.ts two ways: parquet
+    // TIMESTAMP(NANOS), which Spark 4 refuses to read as a timestamp
+    // (the legacy conf reads it as a nanosecond LongType), and plain
+    // timestamp[us] (TIMESTAMP_NTZ). Downstream code is written against
+    // one contract — ts is nanos-since-epoch as LongType — so normalize
+    // a timestamp-typed ts here: under the pinned-UTC session,
+    // unix_micros over the NTZ→TZ cast is the same wall-clock instant.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (df.columns.contains("ts") &&
+        df.schema("ts").dataType.typeName.startsWith("timestamp"))
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    else df
   }
 
   /** events.ts (nanos-as-long) → epoch seconds. The ns value (~1.7e18

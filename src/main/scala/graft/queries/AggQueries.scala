@@ -65,8 +65,12 @@ object AggQueries {
         sl, Seq("event_type"), col("value"), col("user_id")))
       val merged = graft.operators.MatView.mergeStates(
         partials.reduce(_ unionByName _), Seq("event_type"))
+      // sum_v stays DECIMAL(38,6) inside the operator (exactness is the
+      // merge law); serialize it to its fixed-scale string form for the
+      // cross-engine compare — same convention as q_sum_map
       graft.operators.MatView.finalizeState(merged, Seq("event_type"))
-        .select(col("event_type"), col("n_rows"), col("sum_v"),
+        .select(col("event_type"), col("n_rows"),
+          col("sum_v").cast("string").as("sum_v"),
           col("min_v"), col("max_v"), col("avg_v"))
         .orderBy(col("event_type"))
     }),
@@ -307,7 +311,7 @@ object AggQueries {
          FROM g GROUP BY user_id ORDER BY user_id""",
     "q_matview" ->
       """SELECT event_type, count(*) AS n_rows,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sum_v,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_v,
            min(value) AS min_v, max(value) AS max_v,
            round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
              / count(*), 4) AS avg_v
