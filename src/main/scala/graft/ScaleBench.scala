@@ -199,6 +199,15 @@ object ScaleBench {
       "embed_lsh_auto" -> (() => Similarity.lshNearDupPairs(
         Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
         minCos = 0.45, dim = 64).count()),
+      // round-10: X18 SemDeDup at scale — same minCos as the exact
+      // all-pairs path above, auto √n nlist. The operator's whole
+      // claim is tractability: within-cell pair mass ≈ |D|²/nlist
+      // instead of |D|² (hard-asserted below at >=30x: must beat the
+      // all-pairs form on the clock). Count = flagged duplicates.
+      "semdedup_auto" -> (() => Similarity.semDedup(
+        Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+        minCos = 0.45, nHint = embN(dir))
+        .where(col("is_dup") === 1).count()),
       "ngram_exact" -> (() => Dedup.ngramJaccard(
         Tables.table(spark, dir, "documents"), "doc_id", col("text"),
         k = 2, minJ = 0.5).count()),
@@ -391,10 +400,36 @@ object ScaleBench {
         out
       }
 
+    // X18 pair-mass evidence, measured OUTSIDE the timing loop: the
+    // |D|²/nlist bound is about cell occupancy, so compute it from the
+    // assignment alone (no within-cell pair join). Logs measured
+    // Σ n_c·(n_c−1)/2 next to the even-cell prediction and the
+    // all-pairs mass — the constants behind the semdedup_auto wall row.
+    def semDedupMass(dir: String): Seq[(String, Double)] =
+      if (!selected(dir).exists(_._1 == "semdedup_auto")) Seq.empty
+      else {
+        val n = embN(dir)
+        val nl = Similarity.ivfConfigFor(n)._1
+        val mass = Similarity.semDedupCells(
+          emb(dir), "vec_id", "embedding", nHint = n)
+          .groupBy(col("cell")).count()
+          .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0)
+        val allPairs = n.toDouble * (n - 1) / 2
+        val even = allPairs / nl
+        System.err.println(
+          f"[scale] $dir semdedup pair mass = $mass%.0f " +
+            f"(even-cell |D|^2/nlist = $even%.0f, all-pairs = $allPairs%.0f, nlist = $nl)")
+        Seq("semdedup_pair_mass" -> mass,
+          "semdedup_even_cell_mass" -> even,
+          "semdedup_allpairs_mass" -> allPairs)
+      }
+
     val baseRes = measure(baseDir)
     val baseRecall = annRecall(baseDir)
+    val baseMass = semDedupMass(baseDir)
     val bigRes = measure(bigDir)
     val bigRecall = annRecall(bigDir)
+    val bigMass = semDedupMass(bigDir)
 
     // the auto config's reason to exist: past the crossover it must
     // beat the all-pairs form (a pinned 8×8 measurably does NOT at
@@ -406,6 +441,17 @@ object ScaleBench {
         f"[scale] auto LSH $a%.2fs vs all-pairs $e%.2fs at ${factor}x")
       if (factor >= 30 && a >= e) throw new AssertionError(
         f"auto LSH config must beat all-pairs at ${factor}x: $a%.2fs >= $e%.2fs")
+    }
+    // X18's tractability contract: clustering-bounded pair mass must
+    // translate into wall time — past the crossover semDedup must beat
+    // the all-pairs near-dup form on the same corpus at the same
+    // threshold (it does strictly less pair work at the same assignment
+    // cost shape), or the |D|^1.5 story is just arithmetic
+    for (sd <- bigMap.get("semdedup_auto"); e <- bigMap.get("embed_exact")) {
+      System.err.println(
+        f"[scale] semdedup $sd%.2fs vs all-pairs $e%.2fs at ${factor}x")
+      if (factor >= 30 && sd >= e) throw new AssertionError(
+        f"semDedup must beat all-pairs near-dup at ${factor}x: $sd%.2fs >= $e%.2fs")
     }
     // same contract for the IVF tier: the auto nlist/nProbe must beat
     // exact brute-force top-k past the crossover, at useful recall
@@ -460,12 +506,15 @@ object ScaleBench {
           s"$p: scaled $s != ${factor}x base $b")
     }
 
-    def block(res: Seq[(String, Double, Long)], rec: Seq[(String, Double)]): String =
+    def block(res: Seq[(String, Double, Long)], rec: Seq[(String, Double)],
+        mass: Seq[(String, Double)]): String =
       (res.map { case (n, s, c) => s""""${n}_s":$s,"${n}_pairs":$c""" } ++
-        rec.map { case (n, r) => s""""${n}_recall":$r""" }).mkString(",")
+        rec.map { case (n, r) => s""""${n}_recall":$r""" } ++
+        mass.map { case (n, m) => s""""$n":$m""" }).mkString(",")
     val line =
       s"""{"metric":"lsh_crossover","factor":$factor,"passes":$passes,""" +
-        s""""base":{${block(baseRes, baseRecall)}},"scaled":{${block(bigRes, bigRecall)}},""" +
+        s""""base":{${block(baseRes, baseRecall, baseMass)}},""" +
+        s""""scaled":{${block(bigRes, bigRecall, bigMass)}},""" +
         s""""base_dir":"$baseDir","scaled_dir":"$bigDir"}"""
     println(line)
     System.err.println(line)

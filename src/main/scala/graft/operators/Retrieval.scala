@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X19 BM25 lexical retrieval — score a bag-of-words query against a
+  * document corpus with Okapi BM25 (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework: BM25 and Beyond") and return the
+  * top-k documents. The lexical complement of the ANN tier
+  * ([[Similarity]]): ANN retrieves by embedding geometry, BM25 by exact
+  * term statistics — a training-data pipeline needs both (hard-negative
+  * mining, hybrid retrieval, benchmark-query decontamination by
+  * retrieval rank).
+  *
+  * Per matched (doc, term):
+  *   idf(t) = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))   (Lucene form —
+  *     nonnegative for any df, unlike the raw Robertson idf)
+  *   s(d,t) = idf(t) · tf · (k1+1) / (tf + k1 · (1 - b + b · dl/avgdl))
+  * and score(d) = Σ_t s(d,t) over the query's distinct terms.
+  *
+  * Scale shape (the 100 TB posture):
+  *  - the corpus scan filters to query terms BEFORE any shuffle — the
+  *    `isin` predicate sits inside the exploded projection, so the only
+  *    doc-keyed aggregation runs over matched postings (|matches|, not
+  *    |corpus tokens| rows). No posting list materialization, no global
+  *    index: BM25-as-a-query, the shape a one-off mining pass wants.
+  *  - corpus stats (N, avgdl) are one tiny aggregate broadcast back;
+  *    per-term df is a |terms|-row aggregate, also broadcast. Both are
+  *    partial-aggregated map-side before their one narrow shuffle.
+  *  - the doc-length side is |docs|-rows (id, dl): broadcast at test
+  *    SF; at corpus scale it becomes a doc-keyed shuffle join against
+  *    the matched tf side — the one unavoidable corpus-cardinality
+  *    exchange of index-free BM25 (an inverted index trades it for
+  *    build cost; out of scope for a one-off mining pass).
+  *  - final top-k is TakeOrderedAndProject (orderBy + limit fuse), no
+  *    global sort materialization.
+  *
+  * Determinism: every INPUT to the score expression is exact (tf, df,
+  * N, dl are integer counts — their double sums are exact, so avgdl is
+  * too), and the per-term score is one fixed-shape IEEE expression tree
+  * — bit-identical cross-engine. The only order-sensitive step would be
+  * the per-doc SUM of term scores (double addition is not associative,
+  * and shuffle order is arbitrary), so that sum runs DECIMAL-exact over
+  * per-term scores rounded to 9 places — summation order can never
+  * leak into the score (the X13 unigram-LM convention). Ties break on
+  * doc id. `dl` counts ALL tokens of the doc (not just matches) per
+  * the standard definition.
+  */
+object Retrieval {
+
+  def bm25TopK(
+      docs: DataFrame, id: String, text: Column, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: empty query")
+    val toks = docs.select(col(id).as("__did"),
+      explode(split(text, " ")).as("tok"))
+    // postings for the query terms only — the filter rides inside the
+    // generate/project, so everything downstream is |matches|-sized
+    val matched = toks.where(col("tok").isin(terms.map(lit): _*))
+    val tf = matched.groupBy(col("__did"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = docs.select(col(id).as("__did"),
+      size(split(text, " ")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val dfreq = matched.select(col("__did"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("dfc"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(dl, "__did")
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", idf * col("tf") * lit(k1 + 1.0) / norm)
+      .groupBy(col("__did"))
+      .agg(round(sum(round(col("__s"), 9).cast("decimal(28,9)"))
+        .cast("double"), 6).as("score"),
+        count(lit(1)).cast("long").as("n_terms"))
+      .select(col("__did").as(id), col("score"), col("n_terms"))
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+}

@@ -183,19 +183,22 @@ object Similarity {
     * cell id and the quadratic work is confined to within-cell
     * blocks. No global window, no driver loop.
     */
-  def semDedup(
-      df: DataFrame, id: String, vec: String, minCos: Double,
-      nlist: Int = 0, iters: Int = 0, keepFarthest: Boolean = false,
-      nHint: Long = 0L): DataFrame = {
+  /** The SemDeDup nearest-centroid cell assignment, shared by
+    * [[semDedup]] and the ScaleBench pair-mass measurement (which
+    * needs cell OCCUPANCY without paying for the within-cell pair
+    * join): (__vid, v, cell, cdist). Same argmax-by-(d desc, cent_id
+    * asc) as the IVF pipeline; map-only over the corpus against
+    * broadcast centroids, one partial-aggregatable shuffle.
+    */
+  private[graft] def semDedupCells(
+      df: DataFrame, id: String, vec: String,
+      nlist: Int = 0, iters: Int = 0, nHint: Long = 0L): DataFrame = {
     val nl = if (nlist > 0) nlist else ivfConfigFor(autoSize(df, nHint))._1
     val cents = broadcast(
       if (iters <= 0) sampleCentroids(df, id, vec, nl)
       else trainCentroids(df, id, vec, nl, iters))
     val n = VectorFns.norm2(col("v")) * VectorFns.norm2(col("cent_vec"))
-    // nearest-centroid assignment: same argmax-by-(d desc, cent_id asc)
-    // as the IVF pipeline, carrying the assignment cosine for the
-    // keepFarthest rule
-    val cells = df.select(col(id).as("__vid"), col(vec).as("v"))
+    df.select(col(id).as("__vid"), col(vec).as("v"))
       .join(cents, expr("true"))
       .withColumn("__d", when(n === 0.0, 0.0)
         .otherwise(VectorFns.dot(col("v"), col("cent_vec")) / n))
@@ -205,7 +208,16 @@ object Similarity {
         struct((-col("__d")).as("nd"), col("cent_id").as("c"))).as("__w"))
       .select(col("__vid"), col("__w.v").as("v"), col("__w.c").as("cell"),
         col("__w.d").as("cdist"))
-      .cache()
+  }
+
+  def semDedup(
+      df: DataFrame, id: String, vec: String, minCos: Double,
+      nlist: Int = 0, iters: Int = 0, keepFarthest: Boolean = false,
+      nHint: Long = 0L): DataFrame = {
+    // nearest-centroid assignment, carrying the assignment cosine for
+    // the keepFarthest rule; cached — it feeds both pair sides and the
+    // output join
+    val cells = semDedupCells(df, id, vec, nlist, iters, nHint).cache()
     val a = cells.select(col("cell"), col("__vid").as("id_a"),
       col("v").as("va"), col("cdist").as("da"),
       VectorFns.norm2(col("v")).as("na"))

@@ -293,6 +293,17 @@ object NorthStarQueries {
         .filter(col("rnk") <= 5)
         .select(col("doc_id"), col("tok"), col("tfidf"), col("rnk"))
         .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // X19: BM25 lexical retrieval — rare term ("dup", df≈6% of docs)
+    // plus two common terms, top-25. The lexical complement of the
+    // q_ann_* embedding tier; the corpus scan filters to the query's
+    // terms before any shuffle (see Retrieval scaladoc for the 100 TB
+    // shape)
+    "q_bm25" -> ((s, d) => {
+      graft.operators.Retrieval.bm25TopK(
+        table(s, d, "documents"), "doc_id", col("text"),
+        terms = Seq("dup", "vector", "spark"), k = 25)
     }))
 
   /** Embeddings cast to double lists — the opening CTE every vector
@@ -759,5 +770,23 @@ object NorthStarQueries {
                ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rnk
            FROM scored WHERE doc_id < 50)
          SELECT doc_id, tok, tfidf, rnk FROM r WHERE rnk <= 5
-         ORDER BY doc_id, rnk""")
+         ORDER BY doc_id, rnk""",
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         m AS (SELECT doc_id, tok FROM toks WHERE tok IN ('dup', 'vector', 'spark')),
+         tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM m GROUP BY doc_id, tok),
+         dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfc FROM m GROUP BY tok),
+         sc AS (SELECT tf.doc_id,
+             ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+           FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+           JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN st),
+         g AS (SELECT doc_id,
+             round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, score, n_terms FROM g
+         ORDER BY score DESC, doc_id LIMIT 25""")
 }

@@ -45,6 +45,7 @@ object DumpPlans {
       "q_funnel_capped" -> "W6f skew-guarded funnel -- the maxEventsPerUser row_number Window rides the SAME user-keyed Exchange the DP aggregate uses (ONE hashpartitioning(user) exchange in the whole plan), and its rn <= cap Filter sits BETWEEN the window and the ObjectHashAggregate: per-user collect_list state is bounded at cap rows before any collect happens -- the hot-user guard costs a sort, never a shuffle",
       "q_funnel_multi" -> "W6e multi-tag funnel -- ClickHouse every-satisfied-condition tagging is a Generate (explode of the <=nSteps-element satisfied-step array) INSIDE the scan's narrow stage, below the one user-keyed Exchange: overlapping conditions multiply rows by at most the step count BEFORE the shuffle, and the stacked window minima shape is identical to q_funnel's from the Exchange up",
       "q_matview" -> "A14 incremental materialized aggregate -- each ingest slice collapses to |keys| state rows via its own partial+final aggregate (map-side combine), the Union then feeds the merge aggregate whose input is 3x|keys| STATE rows, not data rows: the merge stage's exchange moves kilobytes at any corpus size -- the asymmetry AggregatingMergeTree exists for (ObjectHashAggregate carries the HLL binary union)",
+      "q_bm25" -> "X19 BM25 retrieval -- the isin(query terms) Filter sits directly on the exploded token Generate inside the corpus scan's narrow stage, so every downstream exchange is |matched postings|-sized, never |corpus tokens|; corpus stats (N, avgdl) and per-term df are broadcast tiny aggregates (BroadcastHashJoin / BroadcastNestedLoopJoin over 1-row and |terms|-row sides); the per-doc score sum is one partial+final aggregate over matches and the top-k is TakeOrderedAndProject -- no global sort, no posting-list materialization",
       "q_semdedup" -> "X18 SemDeDup -- centroid assignment is the IVF shape (corpus x BroadcastNestedLoopJoin(centroids), partial-agg min_by argmax: no window, no corpus sort), computed ONCE into an operator-scoped cache (InMemoryTableScan feeds both pair sides and the output join; CacheLifecycle releases it after the consuming action); the pair stage shuffles on hashpartitioning(cell) and the quadratic cosine work runs inside cell-local SortMergeJoin blocks (|D|^2/nlist pair mass at the sqrt-n default); the dup-flag join is id-only (vectors never re-shuffle) and the distinct dup-id side is aggregate-bounded, broadcastable at scale")
     val sb = new StringBuilder
     sb ++= "# PLANS -- physical-plan evidence for the 100 TB posture\n\n"
