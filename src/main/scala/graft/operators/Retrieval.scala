@@ -48,6 +48,53 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** X19b Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009,
+    * "Reciprocal Rank Fusion outperforms Condorcet and individual
+    * Rank Learning Methods"): merge N ranked candidate lists into one
+    * by score(d) = Σ_lists 1/(c + rank_list(d)), the standard way a
+    * hybrid retrieval pipeline combines a lexical (BM25) and a vector
+    * (ANN) ranking without score calibration — only RANKS cross the
+    * fusion boundary, so the lists' score scales never need to agree.
+    *
+    * Input lists are (id, score) frames; ranks are assigned here as
+    * row_number over (score desc, id) — deterministic under ties and
+    * identical cross-engine. A document absent from a list contributes
+    * nothing for it (the RRF convention). The fused score sums
+    * DECIMAL-exact over per-list terms rounded to 9 places (order-free,
+    * the X13 convention), then rounds to 6 for the output.
+    *
+    * Scale shape: each input list is already top-k-bounded by its
+    * producer (k·|lists| rows total — driver-scale), so every window
+    * and the fusion join run on bounded inputs regardless of corpus
+    * size; the heavy lifting stays in the producers. `union of lists →
+    * groupBy id` is one tiny shuffle.
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame], id: String, score: String, k: Int,
+      c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no input rankings")
+    val ranked = lists.zipWithIndex.map { case (df, i) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(score).desc, col(id))
+      // per-list global window: input is a top-k list (bounded), so
+      // the single-partition sort is over k rows, never the corpus
+      df.select(col(id).as("__fid"),
+        row_number().over(w).cast("double").as("__r"),
+        lit(i).as("__list"))
+    }
+    ranked.reduce(_ unionByName _)
+      .withColumn("__term", round(lit(1.0) / (lit(c.toDouble) + col("__r")), 9)
+        .cast("decimal(28,9)"))
+      .groupBy(col("__fid"))
+      .agg(round(sum(col("__term")).cast("double"), 6).as("rrf_score"),
+        count(lit(1)).cast("long").as("n_lists"),
+        min(col("__r")).cast("long").as("best_rank"))
+      .select(col("__fid").as(id), col("rrf_score"), col("n_lists"),
+        col("best_rank"))
+      .orderBy(col("rrf_score").desc, col(id))
+      .limit(k)
+  }
+
   def bm25TopK(
       docs: DataFrame, id: String, text: Column, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -304,6 +304,24 @@ object NorthStarQueries {
       graft.operators.Retrieval.bm25TopK(
         table(s, d, "documents"), "doc_id", col("text"),
         terms = Seq("dup", "vector", "spark"), k = 25)
+    }),
+
+    // X19b: hybrid retrieval — BM25 top-50 (lexical) fused with the
+    // cosine top-50 for one query vector (semantic) by reciprocal-rank
+    // fusion; only ranks cross the fusion boundary, so the two score
+    // scales never need calibration. Shared id universe: the fixture's
+    // doc_id/vec_id ranges overlap, the hybrid-mining join key
+    "q_hybrid_rrf" -> ((s, d) => {
+      val lex = graft.operators.Retrieval.bm25TopK(
+        table(s, d, "documents"), "doc_id", col("text"),
+        terms = Seq("dup", "vector", "spark"), k = 50)
+        .select(col("doc_id").as("id"), col("score"))
+      val emb = table(s, d, "embeddings")
+      val sem = Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.where(col("vec_id") === 0),
+        id = "vec_id", vec = "embedding", k = 50)
+        .select(col("neighbor_id").as("id"), col("cosine").as("score"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, sem), "id", "score", k = 25)
     }))
 
   /** Embeddings cast to double lists — the opening CTE every vector
@@ -788,5 +806,51 @@ object NorthStarQueries {
              CAST(COUNT(*) AS BIGINT) AS n_terms
            FROM sc GROUP BY doc_id)
          SELECT doc_id, score, n_terms FROM g
-         ORDER BY score DESC, doc_id LIMIT 25""")
+         ORDER BY score DESC, doc_id LIMIT 25""",
+    "q_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         m AS (SELECT doc_id, tok FROM toks WHERE tok IN ('dup', 'vector', 'spark')),
+         tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM m GROUP BY doc_id, tok),
+         dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfc FROM m GROUP BY tok),
+         bsc AS (SELECT tf.doc_id,
+             ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+           FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+           JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN st),
+         g AS (SELECT doc_id,
+             round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score
+           FROM bsc GROUP BY doc_id),
+         lex AS (SELECT doc_id AS id, score FROM g
+           ORDER BY score DESC, doc_id LIMIT 50),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         pr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
+           FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> q.vec_id),
+         sc AS (SELECT query_id, neighbor_id,
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1),
+               i -> qv[CAST(i AS INT)] * cv[CAST(i AS INT)])), (x, y) -> x + y) AS dp,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1),
+               i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)])), (x, y) -> x + y)) AS na,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(cv)+1),
+               i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])), (x, y) -> x + y)) AS nb
+           FROM pr),
+         cs AS (SELECT neighbor_id,
+             round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS cosine
+           FROM sc),
+         sem AS (SELECT neighbor_id AS id, cosine AS score FROM cs
+           ORDER BY cosine DESC, neighbor_id LIMIT 50),
+         lexr AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS DOUBLE) AS r
+           FROM lex),
+         semr AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS DOUBLE) AS r
+           FROM sem),
+         u AS (SELECT * FROM lexr UNION ALL SELECT * FROM semr),
+         f AS (SELECT id,
+             round(CAST(SUM(CAST(round(1.0 / (60.0 + r), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS rrf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_lists,
+             CAST(MIN(r) AS BIGINT) AS best_rank
+           FROM u GROUP BY id)
+         SELECT id, rrf_score, n_lists, best_rank FROM f
+         ORDER BY rrf_score DESC, id LIMIT 25""")
 }

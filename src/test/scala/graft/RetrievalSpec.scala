@@ -59,6 +59,34 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq(3L, 7L))
   }
 
+  test("rrfFuse: scores, membership counts, and ranks match the formula") {
+    // list A ranks: 10 (r1), 20 (r2), 30 (r3); list B: 20 (r1), 40 (r2)
+    val a = Seq((10L, 5.0), (20L, 3.0), (30L, 1.0)).toDF("id", "s")
+    val b = Seq((20L, 0.9), (40L, 0.7)).toDF("id", "s")
+    val out = graft.operators.Retrieval.rrfFuse(Seq(a, b), "id", "s", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    def t(r: Int) = BigDecimal(1.0 / (60.0 + r))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def s(rs: Int*) = rs.map(t).sum.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    // doc 20 is in both lists — must fuse above every single-list doc
+    val expected = Seq(
+      (20L, s(2, 1), 2L, 1L),
+      (10L, s(1), 1L, 1L),
+      (40L, s(2), 1L, 2L),
+      (30L, s(3), 1L, 3L))
+    assert(out.toSeq == expected, s"got ${out.toSeq}")
+  }
+
+  test("rrfFuse: ties in fused score break on id") {
+    // identical single-doc lists at the same rank → equal rrf scores
+    val a = Seq((9L, 1.0)).toDF("id", "s")
+    val b = Seq((4L, 1.0)).toDF("id", "s")
+    val out = graft.operators.Retrieval.rrfFuse(Seq(a, b), "id", "s", k = 5)
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(4L, 9L))
+  }
+
   test("registered query q_bm25 returns k rows with the rare term on top") {
     requireTestdata()
     val out = SparkEntry.queries("q_bm25")(spark, "/root/testdata/sf0.001")
