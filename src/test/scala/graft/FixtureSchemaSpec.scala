@@ -57,6 +57,20 @@ class FixtureSchemaSpec extends NeedsTestdata {
       "props" -> StringType))
   }
 
+  test("events: the normalized contract holds at EVERY fixture SF " +
+      "(driver verifies at sf0.01 and benches at sf0.1 — a drift in " +
+      "one dir alone must still fail here)") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(dir).isDirectory) {
+        val schema = Tables.table(spark, dir, "events").schema
+        assert(schema("ts").dataType == LongType,
+          s"$sf/events.ts: normalized type is ${schema("ts").dataType}, " +
+            "expected LongType — Tables.table normalization missed this encoding")
+      }
+    }
+  }
+
   test("events: raw ts column is a known encoding (ntz / tz / nanos-long)") {
     // read WITHOUT normalization to pin what the driver actually wrote
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
