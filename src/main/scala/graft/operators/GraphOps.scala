@@ -135,4 +135,36 @@ object GraphOps {
       .select(col("node").as(id))
     docs.join(losers, Seq(id), "left_anti")
   }
+
+  /** Quality-weighted cluster survivor — [[dedupByCluster]] with the
+    * survivor rule a production pipeline actually wants: per near-dup
+    * cluster keep the member with the HIGHEST `score` (tie → minimum
+    * id), not the arbitrary min-id member. The min-id rule exists for
+    * oracle-ability; this rule keeps the longest/cleanest/highest-LM
+    * copy of each duplicated document, which is the whole point of
+    * choosing a survivor.
+    *
+    * Scale: identical shape to [[dedupByCluster]] plus one
+    * cluster-keyed partial-agg argmax over the CLUSTER MEMBERS only
+    * (the duplicated mass, not the corpus): members join their scores
+    * (id-keyed, co-partitioned with the label table), `min_by` over
+    * (−score, id) picks the winner with map-side combine — no window,
+    * no per-cluster sort. The corpus still shuffles at most once in
+    * the final anti-join.
+    */
+  def dedupByClusterBest(
+      docs: DataFrame, id: String, score: Column,
+      pairs: DataFrame, src: String, dst: String,
+      maxIters: Int = 20): DataFrame = {
+    val members = connectedComponents(pairs, src, dst, maxIters)
+    val scored = members.join(
+      docs.select(col(id).as("node"), score.as("__q")), Seq("node"))
+    val winners = scored.groupBy(col("comp"))
+      .agg(min_by(col("node"), struct((-col("__q")).as("nq"), col("node")))
+        .as("winner"))
+    val losers = scored.join(winners, Seq("comp"))
+      .where(col("node") =!= col("winner"))
+      .select(col("node").as(id))
+    docs.join(losers, Seq(id), "left_anti")
+  }
 }

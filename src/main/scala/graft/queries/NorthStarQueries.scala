@@ -95,6 +95,20 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X2b quality-weighted survivor: same clusters as
+    // q_dedup_survivors, but each cluster keeps its HIGHEST-n_chars
+    // member (tie → min id) — the survivor rule a production pipeline
+    // wants (longest copy), vs the oracle-simple min-id rule above
+    "q_dedup_best" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val pairs = Dedup.minhashNearDup(docs, "doc_id", col("text"),
+        k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5)
+      GraphOps.dedupByClusterBest(docs, "doc_id", col("n_chars"),
+        pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X2 span-level dedup: ExactSubstr (Lee et al. 2022) — verbatim
     // cross-doc 8-gram spans removed everywhere but one keeper doc,
     // each doc's unique remainder preserved (see Dedup scaladoc)
@@ -602,6 +616,22 @@ object NorthStarQueries {
            UNION
            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
          losers AS (SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node)
+         SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE
+         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2)})),
+         sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         reach(node, lbl) AS (
+           SELECT DISTINCT a, a FROM sym
+           UNION
+           SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+         memb AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+         scored AS (SELECT m.node, m.comp, d.n_chars FROM memb m
+           JOIN documents d ON d.doc_id = m.node),
+         rk AS (SELECT node, comp, row_number() OVER (PARTITION BY comp
+             ORDER BY n_chars DESC, node) AS rn FROM scored),
+         losers AS (SELECT node FROM rk WHERE rn > 1)
          SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
     "q_vocab" ->

@@ -83,4 +83,17 @@ class GraphOpsSpec extends SparkSpec {
     // 4 is in no pair: survives as its own singleton
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
+
+  test("dedupByClusterBest keeps the max-score member, tie → min id") {
+    // cluster {1,2,3}: scores 10/30/20 → 2 wins on score;
+    // cluster {5,6}: scores 7/7 → 5 wins the tie on id;
+    // 4 isolated → survives regardless of its low score
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 1L),
+      (5L, 7L), (6L, 7L)).toDF("doc_id", "quality")
+    val pairs = edges(1L -> 2L, 2L -> 3L, 5L -> 6L)
+    val kept = GraphOps.dedupByClusterBest(
+      docs, "doc_id", col("quality"), pairs, "src", "dst")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L, 5L))
+  }
 }
