@@ -366,6 +366,49 @@ object Curation {
           count(lit(1)).cast("double")).as("avg_logprob"))
   }
 
+  /** X13c: bigram LM quality scoring — one rung up the n-gram ladder
+    * from [[unigramLogProb]] toward CCNet's real 5-gram LM: a
+    * document's score is its mean bigram conditional log-prob
+    * (1/(n−1)) Σ ln p(w_i | w_{i−1}) under the corpus's own MLE bigram
+    * model, p(w_i|w_{i−1}) = c(w_{i−1} w_i) / c(w_{i−1} ·). Scoring
+    * the same corpus the model is built from means every scored bigram
+    * has count ≥ 1 — MLE needs no smoothing and the score is exact and
+    * reproducible anywhere. The bigram mean separates "typical words
+    * in atypical ORDER" from the unigram score's "atypical words" —
+    * the repetitive/templated-junk axis unigrams cannot see. Docs with
+    * fewer than two tokens have no bigram and are not returned.
+    * Returns (id, n_bigrams, avg_logprob2).
+    *
+    * Scale: the conditioning counts c(w_{i−1} ·) come from re-
+    * aggregating the BIGRAM table by its first token — never a second
+    * corpus scan. Like the unigram table, the bigram table can be
+    * huge on raw web text (it grows with corpus diversity, not size
+    * bound), so both score joins are deliberately AQE-unhinted:
+    * broadcast when small at runtime, shuffle join when not. One
+    * corpus scan, three token-keyed partial aggs, one doc-keyed
+    * partial mean; the corpus never self-joins.
+    */
+  def bigramLogProb(df: DataFrame, id: String, text: Column): DataFrame = {
+    val toks = df.select(col(id), split(text, " ").as("t"))
+    val bis = toks
+      .where(size(col("t")) >= 2)
+      .select(col(id), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
+      .select(col(id), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bis.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val lp = c12.join(c1, "w1")
+      .select(col("w1"), col("w2"), log(col("c12") / col("c1")).as("lp"))
+    bis.join(lp, Seq("w1", "w2"))
+      .groupBy(col(id))
+      // DECIMAL-exact sum, same law as unigramLogProb: double summation
+      // order is partition-dependent and must not leak into the score
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp").cast("decimal(38,15)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logprob2"))
+  }
+
   /** X13b: CCNet-style head/middle/tail quality bucketing (Wenzek et
     * al. 2020, §4.3) — each domain's documents are split into equal
     * thirds by quality score ("head" = best third), the shape CCNet

@@ -264,6 +264,17 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X13c: bigram LM quality score — the word-ORDER quality axis
+    // (mean bigram conditional log-prob under the corpus's own MLE
+    // bigram model); unigrams see atypical words, this sees typical
+    // words in atypical order
+    "q_bigram_quality" -> ((s, d) => {
+      Curation.bigramLogProb(table(s, d, "documents"), "doc_id", col("text"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logprob2"), 6).as("avg_logprob2"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X12: deterministic stratified sample — exactly 10 docs per
     // (lang, source) cell by md5 rank; eval-set construction
     "q_stratified_sample" -> ((s, d) => {
@@ -503,6 +514,26 @@ object CurationQueries {
            round(CAST(sum(CAST(lp AS DECIMAL(38,15))) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
          FROM tok JOIN lp USING (token)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // same ln() parity class as the unigram score; both count tables
+    // are integer-valued doubles (sums exact in any order), the
+    // per-doc sum is DECIMAL-exact
+    "q_bigram_quality" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bi AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+               i -> {'w1': t[CAST(i AS INT)], 'w2': t[CAST(i + 1 AS INT)]})) AS b
+           FROM tk WHERE len(t) >= 2),
+         b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+           FROM b2 GROUP BY w1, w2),
+         c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+         lp AS (SELECT c12.w1, c12.w2, ln(c12 / c1) AS lp
+           FROM c12 JOIN c1 USING (w1))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(lp AS DECIMAL(38,15))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_logprob2
+         FROM b2 JOIN lp USING (w1, w2)
          GROUP BY doc_id ORDER BY doc_id""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source FROM (

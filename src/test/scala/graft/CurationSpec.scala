@@ -173,6 +173,44 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(0)._3 - expected) < 1e-9)
   }
 
+  test("X13c bigramLogProb matches the hand-computed MLE bigram model") {
+    val d = Seq(
+      (1L, "a b a c"),  // bigrams: ab, ba, ac
+      (2L, "a b"),      // bigram: ab
+      (3L, "z"))        // no bigram — excluded
+      .toDF("doc_id", "text")
+    val out = Curation.bigramLogProb(d, "doc_id", col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "avg_logprob2")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L), "single-token doc must be absent")
+    assert(out.map(_._2).toSeq == Seq(3L, 1L))
+    // c(ab)=2, c(ba)=1, c(ac)=1; c(a·)=3, c(b·)=1
+    val d1 = (math.log(2.0 / 3.0) + math.log(1.0) + math.log(1.0 / 3.0)) / 3.0
+    val d2 = math.log(2.0 / 3.0)
+    assert(math.abs(out(0)._3 - d1) < 1e-9)
+    assert(math.abs(out(1)._3 - d2) < 1e-9)
+  }
+
+  test("X13c bigram score separates scrambled word order from typical order") {
+    // same unigram distribution in every doc — the unigram score is
+    // blind here; the bigram score must rank the repeated canonical
+    // order above the scrambled outlier
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the"))
+      .toDF("doc_id", "text")
+    val uni = Curation.unigramLogProb(d, "doc_id", col("text"))
+      .orderBy("doc_id").select("avg_logprob").as[Double].collect()
+    assert(uni.distinct.length == 1, "unigram score must be blind to order")
+    val bi = Curation.bigramLogProb(d, "doc_id", col("text"))
+      .orderBy("doc_id").select("avg_logprob2").as[Double].collect()
+    assert(bi(3) < bi(0), s"scrambled doc must score lower: ${bi.toSeq}")
+    assert(bi(0) == bi(1) && bi(1) == bi(2))
+  }
+
   test("X12 stratifiedSample takes exactly k per stratum, deterministically") {
     val d = spark.range(1000)
       .selectExpr("id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS g")
