@@ -4,9 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** J6: as-of join — for each left row, the single latest right row with
-  * the same key and rightTime <= leftTime. Spark has no native as-of
-  * join, so this composes built-ins (SURVEY.md §2.3 J6).
+/** J6: as-of join — for each left row, the single closest right row
+  * with the same key on the chosen side of leftTime. Spark has no
+  * native as-of join, so this composes built-ins (SURVEY.md §2.3 J6).
+  * All four ClickHouse ASOF inequalities are covered
+  * (`direction`/`strict`): backward inclusive `rt <= lt` (the ASOF
+  * default, latest-at-or-before wins), backward strict `rt < lt`,
+  * forward inclusive `rt >= lt` (earliest-at-or-after), forward
+  * strict `rt > lt`.
   *
   * Two formulations:
   *
@@ -40,8 +45,12 @@ object AsOfJoin {
     * @param leftTime  event-time column on `left`
     * @param rightTime event-time column on `right`
     * @param rightTiebreak breaks ties among right rows at equal time
-    *                     (latest wins by this column, e.g. a unique id)
+    *                     (backward: LATEST wins by this column;
+    *                      forward: EARLIEST wins — the mirror rule)
     * @param rightPayload  right columns to carry onto left rows
+    * @param direction "backward" (rt ≤/< lt, the ASOF default) or
+    *                  "forward" (rt ≥/> lt)
+    * @param strict    exclude the equal-time right row (< / > forms)
     */
   def asofJoin(
       left: DataFrame,
@@ -50,7 +59,11 @@ object AsOfJoin {
       leftTime: Column,
       rightTime: Column,
       rightTiebreak: Column,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String],
+      direction: String = "backward",
+      strict: Boolean = false): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be backward|forward, got $direction")
     // the tiebreak keeps its NATIVE type in the union schema — a blind
     // cast("long") would null out e.g. string tiebreaks and make the
     // equal-timestamp winner nondeterministic. Resolve the type against
@@ -59,9 +72,13 @@ object AsOfJoin {
     require(
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(tbType),
       s"as-of tiebreak must be an orderable column, got ${tbType.simpleString}")
+    // side ordering encodes the inequality's strictness: inclusive
+    // sorts the right row FIRST at equal time (the left row's running
+    // carry sees it), strict sorts the left row first (it doesn't)
+    val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)
     val l = left
       .withColumn("__t", leftTime)
-      .withColumn("__side", lit(1)) // left sorts AFTER right at equal t
+      .withColumn("__side", lit(leftSide))
       .withColumn("__tb", lit(null).cast(tbType))
       .withColumn("__r", lit(null).cast(
         s"struct<${rightPayload.map(c => s"$c:string").mkString(",")}>"))
@@ -69,7 +86,7 @@ object AsOfJoin {
     // callers cast back (query layer outputs strings anyway — O3).
     val r = right
       .withColumn("__t", rightTime)
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightSide))
       .withColumn("__tb", rightTiebreak)
       .withColumn("__r", struct(rightPayload.map(c => col(c).cast("string").as(c)): _*))
       .select((Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__r")) ): _*)
@@ -80,13 +97,24 @@ object AsOfJoin {
       .unionByName(r.withColumns(lCols.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap),
         allowMissingColumns = false)
 
+    // backward walks time ascending (running carry = latest right so
+    // far); forward walks it DESCENDING (running carry = earliest right
+    // still ahead). The tiebreak mirrors: walking toward the left row,
+    // the LAST right seen at a tied time must be the winner — max tb
+    // going forward in time, min tb going backward in time.
+    val ordering =
+      if (direction == "backward")
+        Seq(col("__t").asc, col("__side").asc, col("__tb").asc)
+      else
+        Seq(col("__t").desc, col("__side").asc, col("__tb").desc)
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("__last", last(when(col("__side") === 0, col("__r")), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__last",
+        last(when(col("__side") === rightSide, col("__r")), ignoreNulls = true).over(w))
+      .filter(col("__side") === leftSide)
       .drop("__side", "__tb", "__r", "__t")
       .withColumnRenamed("__last", "asof")
   }

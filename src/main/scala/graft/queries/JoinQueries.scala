@@ -108,6 +108,49 @@ object JoinQueries {
         .orderBy(col("pid"))
     }),
 
+    // J6b: forward as-of — for each purchase, the EARLIEST click of
+    // the same user at or after the purchase time (ClickHouse ASOF's
+    // >= arm; same union + running-window plan walking time descending)
+    "q_join_asof_fwd" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ep", graft.Tables.epochSeconds(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ep").as("pep"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"), col("ep").as("cep"))
+      AsOfJoin.asofJoin(
+        left = purchases, right = clicks, key = "user_id",
+        leftTime = col("pep"), rightTime = col("cep"),
+        rightTiebreak = col("cid"), rightPayload = Seq("cid", "cep"),
+        direction = "forward")
+        .filter(col("asof").isNotNull)
+        .select(col("pid"), col("user_id"),
+          col("asof.cid").cast("long").as("cid"),
+          (col("asof.cep").cast("long") - col("pep")).as("gap_s"))
+        .orderBy(col("pid"))
+    }),
+
+    // J6c: strict backward as-of — the < arm: an equal-time click no
+    // longer matches its purchase (side-ordering flip, same plan)
+    "q_join_asof_strict" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ep", graft.Tables.epochSeconds(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ep").as("pep"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"), col("ep").as("cep"))
+      AsOfJoin.asofJoin(
+        left = purchases, right = clicks, key = "user_id",
+        leftTime = col("pep"), rightTime = col("cep"),
+        rightTiebreak = col("cid"), rightPayload = Seq("cid", "cep"),
+        direction = "backward", strict = true)
+        .filter(col("asof").isNotNull)
+        .select(col("pid"), col("user_id"),
+          col("asof.cid").cast("long").as("cid"),
+          (col("pep") - col("asof.cep").cast("long")).as("gap_s"))
+        .orderBy(col("pid"))
+    }),
+
     // J2b: TPC-H Q3 shape — filter both fact sides, join, aggregate,
     // global top-k (TakeOrderedAndProject over the aggregate)
     "q_join_q3" -> ((s, d) => {
@@ -222,6 +265,30 @@ object JoinQueries {
            SELECT p.pid, p.user_id, c.cid, p.pep, c.cep,
              row_number() OVER (PARTITION BY p.pid ORDER BY c.cep DESC, c.cid DESC) AS rn
            FROM p JOIN c ON p.user_id = c.user_id AND c.cep <= p.pep)
+         WHERE rn = 1 ORDER BY pid""",
+    "q_join_asof_fwd" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pep
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS cid, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS cep
+           FROM events WHERE event_type = 'click')
+         SELECT pid, user_id, cid, cep - pep AS gap_s FROM (
+           SELECT p.pid, p.user_id, c.cid, p.pep, c.cep,
+             row_number() OVER (PARTITION BY p.pid ORDER BY c.cep ASC, c.cid ASC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.cep >= p.pep)
+         WHERE rn = 1 ORDER BY pid""",
+    "q_join_asof_strict" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pep
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS cid, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS cep
+           FROM events WHERE event_type = 'click')
+         SELECT pid, user_id, cid, pep - cep AS gap_s FROM (
+           SELECT p.pid, p.user_id, c.cid, p.pep, c.cep,
+             row_number() OVER (PARTITION BY p.pid ORDER BY c.cep DESC, c.cid DESC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.cep < p.pep)
          WHERE rn = 1 ORDER BY pid""",
     "q_join_q3" ->
       """SELECT l_orderkey,

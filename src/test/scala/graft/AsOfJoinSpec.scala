@@ -75,4 +75,62 @@ class AsOfJoinSpec extends SparkSpec {
       }
     }
   }
+
+  test("forward and strict arms agree with a join+window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val arms = Seq(
+      // (direction, strict, join predicate, reference rank ordering)
+      ("forward", false, (lt: org.apache.spark.sql.Column, rt: org.apache.spark.sql.Column) => rt >= lt,
+        Seq(col("rt").asc, col("cid").asc)),
+      ("forward", true, (lt: org.apache.spark.sql.Column, rt: org.apache.spark.sql.Column) => rt > lt,
+        Seq(col("rt").asc, col("cid").asc)),
+      ("backward", true, (lt: org.apache.spark.sql.Column, rt: org.apache.spark.sql.Column) => rt < lt,
+        Seq(col("rt").desc, col("cid").desc)))
+    for (seed <- 1 to 5; (dir, strict, cond, ord) <- arms) {
+      val ls = sideGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val rs = sideGen.apply(Gen.Parameters.default, Seed(seed.toLong + 100)).get
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "lt")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("cid", "k", "rt")
+
+      val fast = AsOfJoin.asofJoin(left, right, "k",
+        leftTime = col("lt"), rightTime = col("rt"),
+        rightTiebreak = col("cid"), rightPayload = Seq("cid"),
+        direction = dir, strict = strict)
+        .select(col("pid"), col("asof.cid").cast("long").as("cid"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .toMap
+
+      val w = Window.partitionBy(col("pid")).orderBy(ord: _*)
+      val slow = left.join(right, left("k") === right("k") && cond(col("lt"), col("rt")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("pid"), col("cid"))
+        .collect().map(r => (r.getLong(0), Some(r.getLong(1)))).toMap
+
+      ls.indices.foreach { i =>
+        val pid = i.toLong
+        slow.get(pid) match {
+          case Some(c) => assert(fast(pid) === c, s"$dir strict=$strict seed=$seed pid=$pid")
+          case None => assert(fast(pid).isEmpty,
+            s"$dir strict=$strict seed=$seed pid=$pid should be unmatched")
+        }
+      }
+    }
+  }
+
+  test("equal-time right row: inclusive matches it, strict skips it") {
+    val left = Seq((1L, 0L, 10L)).toDF("pid", "k", "lt")
+    val right = Seq((7L, 0L, 10L), (3L, 0L, 4L)).toDF("cid", "k", "rt")
+    def run(dir: String, strict: Boolean) =
+      AsOfJoin.asofJoin(left, right, "k",
+        leftTime = col("lt"), rightTime = col("rt"),
+        rightTiebreak = col("cid"), rightPayload = Seq("cid"),
+        direction = dir, strict = strict)
+        .select(col("asof.cid").cast("long")).as[Option[Long]].collect().head
+    assert(run("backward", strict = false) === Some(7L)) // equal-t click
+    assert(run("backward", strict = true) === Some(3L))  // earlier click
+    assert(run("forward", strict = false) === Some(7L))  // equal-t click
+    assert(run("forward", strict = true) === None)       // nothing after
+  }
 }
