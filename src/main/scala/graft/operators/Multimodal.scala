@@ -117,6 +117,40 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
     decodePng(payload)
 
+  /** REAL resize through the same seam — decode (magic-byte dispatch,
+    * any ImageIO format), NEAREST-NEIGHBOR rescale to exactly
+    * `w` × `h`, re-encode as PNG (lossless, so the resample is the
+    * only pixel transformation). Nearest-neighbor is chosen for
+    * determinism: no filter kernel, every output pixel is a copy of
+    * one input pixel, so solid regions stay bit-exact (the property
+    * the spec pins). Returns None for undecodable payloads — same
+    * keep-or-drop contract as [[decodeImage]]. Closes the
+    * "[[resizeStub]] is the only resize" gap; the stub stays as the
+    * byte-domain oracle-able arm.
+    */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    // misconfiguration fails fast; only PAYLOAD problems map to None
+    require(w > 0 && h > 0, s"resize target must be positive, got ${w}x$h")
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Some(out.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** REAL multi-frame decode: every frame of an animated GIF (or any
     * multi-image container `javax.imageio` has a reader for), with
     * per-frame channel means — the actual decode behind

@@ -86,6 +86,39 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     assert(out(2L).avg_r === 127.5 && out(2L).avg_g === 127.5 && out(2L).avg_b === 127.5)
   }
 
+  test("X5: REAL resize through the same seam — exact dims, pixel-exact solid regions") {
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // solid image: nearest-neighbor must keep every pixel bit-exact at
+    // ANY target size (each output pixel copies some input pixel)
+    val green = png(6, 4)((_, _) => 0x00FF00)
+    val down = Multimodal.resizeImage(green, 3, 2).get
+    val downDecoded = Multimodal.decodeImage(down).get
+    assert(downDecoded == ((3, 2, 0.0, 255.0, 0.0)), s"got $downDecoded")
+    val up = Multimodal.resizeImage(green, 12, 8).get
+    assert(Multimodal.decodeImage(up).get == ((12, 8, 0.0, 255.0, 0.0)))
+    // 2x2-quadrant image (each quadrant 2x2 solid) downsized 2x: every
+    // output pixel samples inside its own quadrant — all four exact
+    val quads = png(4, 4)((x, y) =>
+      (if (y < 2) if (x < 2) 0xFF0000 else 0x00FF00
+       else if (x < 2) 0x0000FF else 0xFFFFFF))
+    val q2 = Multimodal.resizeImage(quads, 2, 2).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(q2))
+    assert((img.getRGB(0, 0) & 0xFFFFFF) == 0xFF0000)
+    assert((img.getRGB(1, 0) & 0xFFFFFF) == 0x00FF00)
+    assert((img.getRGB(0, 1) & 0xFFFFFF) == 0x0000FF)
+    assert((img.getRGB(1, 1) & 0xFFFFFF) == 0xFFFFFF)
+    // contract edges: garbage drops (None), not crashes; bad target fails fast
+    assert(Multimodal.resizeImage("junk".getBytes("UTF-8"), 2, 2).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.resizeImage(green, 0, 2))
+  }
+
   test("X5: REAL JPEG decode through the SAME seam (magic-byte dispatch) recovers pixel truth") {
     // JPEG is lossy, so the pixel-truth fixture is a solid-color
     // image: DCT of a constant block is the constant, so the decoded
