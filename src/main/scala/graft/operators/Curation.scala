@@ -454,6 +454,42 @@ object Curation {
       .drop("__rk")
   }
 
+  /** X12b: WEIGHTED sampling without replacement — the A-Res scheme
+    * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    * reservoir"): each row gets key u^(1/w) for u uniform on (0,1] and
+    * weight w > 0, and the top-k keys per stratum are an exact
+    * probability-proportional-to-weight sample without replacement.
+    * The uniform draw is the md5 hash of the id (not `rand()`), so
+    * like [[stratifiedSample]] the sample is reproducible across runs,
+    * engines, and re-shards — but inclusion probability now follows a
+    * QUALITY/size weight, the "sample the best-ish, not uniformly"
+    * primitive data mixing actually uses.
+    *
+    * Rows with null or non-positive weight are excluded (they have no
+    * defined inclusion probability). Engine portability: u and w feed
+    * libm `pow`, whose last ulp is not pinned across engines, so the
+    * rank key is ROUNDED to 9 decimals with the id as tiebreak — the
+    * same order-portability rule as [[qualityBuckets]]; a boundary tie
+    * resolves to the smaller id in any engine.
+    *
+    * Scale: identical shape to [[stratifiedSample]] — map-only key
+    * computation, one hash-partitioned window per stratum, rank <= k.
+    */
+  def weightedSample(
+      df: DataFrame, id: String, strata: Seq[String], weight: Column,
+      k: Int): DataFrame = {
+    val u = (hashBucket(col(id), 1000000000) + 1).cast("double") /
+      lit(1000000000.0)
+    val key = round(pow(u, lit(1.0) / weight.cast("double")), 9)
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("__ky").desc, col(id))
+    df.where(weight.isNotNull && weight.cast("double") > 0.0)
+      .withColumn("__ky", key)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__ky", "__rk")
+  }
+
   /** Line-level boilerplate markers (C4's blocklist spirit): a line
     * mentioning javascript, the lorem-ipsum filler, or a curly brace
     * (code/markup leakage) is dropped wholesale. Lowercased substring

@@ -284,6 +284,16 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X12b: weighted sampling without replacement (A-Res) — 20 docs
+    // per lang with inclusion probability ∝ n_chars; the quality-
+    // weighted complement of q_stratified_sample's uniform draw
+    "q_weighted_sample" -> ((s, d) => {
+      Curation.weightedSample(table(s, d, "documents"), "doc_id",
+        strata = Seq("lang"), weight = col("n_chars"), k = 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X10: concat-and-chunk sequence packing, per-source shards
     "q_pack_sequences" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -535,6 +545,20 @@ object CurationQueries {
              / CAST(count(*) AS DOUBLE), 6) AS avg_logprob2
          FROM b2 JOIN lp USING (w1, w2)
          GROUP BY doc_id ORDER BY doc_id""",
+    // pow() parity: like ln(), libm pow's last ulp is unpinned across
+    // engines — the rank key is rounded to 9 dp with id tiebreak, so
+    // the ORDER (hence the selected set) is engine-portable
+    "q_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars,
+           round(pow(
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000000 + 1 AS DOUBLE)
+               / 1000000000.0,
+             1.0 / CAST(n_chars AS DOUBLE)), 9) AS ky
+           FROM documents WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0.0),
+         r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY ky DESC, doc_id) AS rn
+           FROM s)
+         SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20 ORDER BY doc_id""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source FROM (
            SELECT doc_id, lang, source,

@@ -211,6 +211,34 @@ class CurationSpec extends SparkSpec {
     assert(bi(0) == bi(1) && bi(1) == bi(2))
   }
 
+  test("X12b weightedSample: k per stratum, weight-dominant, reproducible") {
+    val d = (0L until 50L).map { i =>
+      // 5 heavy rows (ids 0-4, weight 1000) vs 45 light (weight 0.01):
+      // A-Res keys u^(1/1000) ≈ 1 vs u^100 ≈ 0 — heavies must win
+      (i, if (i < 5) 1000.0 else 0.01, if (i % 2 == 0) "a" else "b")
+    }.toDF("doc_id", "w", "g")
+    val sel = Curation.weightedSample(d, "doc_id", Seq.empty, col("w"), k = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(sel.toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+      s"heavy-weight rows must dominate selection, got ${sel.toSeq}")
+    // exactly k per stratum when strata are larger than k
+    val perG = Curation.weightedSample(d, "doc_id", Seq("g"), col("w"), k = 7)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(perG == Map("a" -> 7L, "b" -> 7L))
+    // reproducible: same input → same sample (hash draw, not rand())
+    val again = Curation.weightedSample(d, "doc_id", Seq("g"), col("w"), k = 7)
+      .select("doc_id").as[Long].collect().sorted
+    val first = Curation.weightedSample(d, "doc_id", Seq("g"), col("w"), k = 7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq == first.toSeq)
+    // null / non-positive weights are excluded, never sampled
+    val withBad = d.union(Seq((100L, 0.0, "a"), (101L, -3.0, "b"))
+      .toDF("doc_id", "w", "g"))
+    val selBad = Curation.weightedSample(withBad, "doc_id", Seq.empty, col("w"), k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!selBad.contains(100L) && !selBad.contains(101L))
+  }
+
   test("X12 stratifiedSample takes exactly k per stratum, deterministically") {
     val d = spark.range(1000)
       .selectExpr("id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS g")
