@@ -95,6 +95,71 @@ object Retrieval {
       .limit(k)
   }
 
+  /** X19c BM25 retrieval JOIN — every row of `queries` is a
+    * bag-of-words query, scored against the whole corpus; returns the
+    * top-k corpus docs per query. The many-query generalization of
+    * [[bm25TopK]] and the retrieval-rank face of decontamination /
+    * hard-negative mining: queries = benchmark or anchor documents,
+    * output = the corpus docs a retriever would surface for each —
+    * exactly the pairs to drop (decon) or mine (negatives).
+    *
+    * Scoring is identical to [[bm25TopK]] per (query, doc) pair over
+    * the INTERSECTION of their term sets (query terms are distinct —
+    * a query mentioning a word twice doesn't double its idf weight;
+    * corpus-side tf does the frequency work, the standard BM25 query
+    * model).
+    *
+    * Scale shape: the production regime is benchmark ≪ corpus, the
+    * same asymmetry as `Curation.decontaminate` — the distinct
+    * (query, term) set is broadcast, so corpus postings are filtered
+    * AT the broadcast join with no corpus-side shuffle until the
+    * (query, doc)-keyed partial aggregate over MATCHED postings; the
+    * per-query top-k window partitions by query (query count =
+    * parallelism floor). The corpus-cardinality (id, dl) join is the
+    * same unavoidable exchange [[bm25TopK]] documents.
+    */
+  def bm25JoinTopK(
+      corpus: DataFrame, corpusId: String, corpusText: Column,
+      queries: DataFrame, queryId: String, queryText: Column,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = queries.select(col(queryId).as("__qid"),
+      explode(split(queryText, " ")).as("tok")).distinct()
+    val toks = corpus.select(col(corpusId).as("__did"),
+      explode(split(corpusText, " ")).as("tok"))
+    // postings filtered at the broadcast join: only terms some query
+    // mentions survive to the aggregate
+    val matched = toks.join(broadcast(qTerms), "tok")
+    val tf = matched.groupBy(col("__qid"), col("__did"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = corpus.select(col(corpusId).as("__did"),
+      size(split(corpusText, " ")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // df over the CORPUS (the collection being searched), one row per
+    // surviving term — tiny, broadcast
+    val dfreq = matched.select(col("__did"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("dfc"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val scored = tf.join(dl, "__did")
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", idf * col("tf") * lit(k1 + 1.0) / norm)
+      .groupBy(col("__qid"), col("__did"))
+      .agg(round(sum(round(col("__s"), 9).cast("decimal(28,9)"))
+        .cast("double"), 6).as("score"),
+        count(lit(1)).cast("long").as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col("__did"))
+    scored.withColumn("__rk", row_number().over(w).cast("long"))
+      .where(col("__rk") <= k)
+      .select(col("__qid").as(queryId), col("__did").as(corpusId),
+        col("score"), col("n_terms"), col("__rk").as("rnk"))
+  }
+
   def bm25TopK(
       docs: DataFrame, id: String, text: Column, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -320,6 +320,21 @@ object NorthStarQueries {
         terms = Seq("dup", "vector", "spark"), k = 25)
     }),
 
+    // X19c: BM25 retrieval JOIN — every ~97th doc acts as a benchmark
+    // query against the whole corpus, top-5 retrieved per query (the
+    // retrieval-rank face of decontamination: each query's rank-1 hit
+    // is itself, the rest are its lexical near-neighbors)
+    "q_bm25_join" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val bench = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.operators.Retrieval.bm25JoinTopK(
+        corpus = docs, corpusId = "doc_id", corpusText = col("text"),
+        queries = bench, queryId = "bench_id", queryText = col("text"),
+        k = 5)
+        .orderBy(col("bench_id"), col("rnk"))
+    }),
+
     // X19b: hybrid retrieval — BM25 top-50 (lexical) fused with the
     // cosine top-50 for one query vector (semantic) by reciprocal-rank
     // fusion; only ranks cross the fusion boundary, so the two score
@@ -837,6 +852,33 @@ object NorthStarQueries {
            FROM sc GROUP BY doc_id)
          SELECT doc_id, score, n_terms FROM g
          ORDER BY score DESC, doc_id LIMIT 25""",
+    "q_bm25_join" ->
+      """WITH q AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0),
+         qt AS (SELECT DISTINCT bench_id, tok FROM
+           (SELECT bench_id, unnest(string_split(text, ' ')) AS tok FROM q)),
+         toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         m AS (SELECT qt.bench_id, toks.doc_id, toks.tok FROM toks JOIN qt USING (tok)),
+         tf AS (SELECT bench_id, doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM m GROUP BY bench_id, doc_id, tok),
+         dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfc
+           FROM m GROUP BY tok),
+         sc AS (SELECT tf.bench_id, tf.doc_id,
+             ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+           FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+           JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN st),
+         g AS (SELECT bench_id, doc_id,
+             round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+           FROM sc GROUP BY bench_id, doc_id),
+         r AS (SELECT bench_id, doc_id, score, n_terms,
+             CAST(row_number() OVER (PARTITION BY bench_id
+               ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+           FROM g)
+         SELECT bench_id, doc_id, score, n_terms, rnk FROM r
+         WHERE rnk <= 5 ORDER BY bench_id, rnk""",
     "q_hybrid_rrf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          m AS (SELECT doc_id, tok FROM toks WHERE tok IN ('dup', 'vector', 'spark')),

@@ -87,6 +87,31 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq(4L, 9L))
   }
 
+  test("bm25JoinTopK: single query reduces exactly to bm25TopK on its distinct terms") {
+    val q = Seq((9L, "a b a")).toDF("bench_id", "text")
+    val join = graft.operators.Retrieval.bm25JoinTopK(
+      docs, "doc_id", col("text"), q, "bench_id", col("text"), k = 10)
+      .select("doc_id", "score", "n_terms")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    val single = graft.operators.Retrieval.bm25TopK(
+      docs, "doc_id", col("text"), Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(join.toSeq == single.toSeq,
+      s"join form drifted from the single-query form: $join vs $single")
+  }
+
+  test("bm25JoinTopK: a query's rank-1 retrieval is itself when it is in the corpus") {
+    val bench = docs.where(col("doc_id").isin(1L, 3L))
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val out = graft.operators.Retrieval.bm25JoinTopK(
+      docs, "doc_id", col("text"), bench, "bench_id", col("text"), k = 2)
+      .where(col("rnk") === 1)
+      .select("bench_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 3L -> 3L),
+      s"self-match must dominate: $out")
+  }
+
   test("registered query q_bm25 returns k rows with the rare term on top") {
     requireTestdata()
     val out = SparkEntry.queries("q_bm25")(spark, "/root/testdata/sf0.001")
