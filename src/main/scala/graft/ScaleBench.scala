@@ -254,6 +254,16 @@ object ScaleBench {
       // the bloom form drops clean grams with the map-only bitmap
       // probe first (row counts hard-asserted equal below — the bloom
       // arm's whole claim is exactness)
+      // round-10: X19c retrieval join at scale — same fixed replica-0
+      // benchmark slice as the decontam pair (derived replicas suffix
+      // every token, so only replica-0 postings survive the broadcast
+      // term filter): corpus grows with the factor, matched-postings
+      // volume stays ~constant, wall should track the map-only
+      // scan+explode, not the corpus-squared retrieval surface
+      "bm25_join" -> (() => graft.operators.Retrieval.bm25JoinTopK(
+        Tables.table(spark, dir, "documents"), "doc_id", col("text"),
+        decontamBench(dir).select(col("doc_id").as("bench_id"), col("text")),
+        "bench_id", col("text"), k = 5).count()),
       "decontam_join" -> (() => graft.operators.Curation.decontaminate(
         decontamCorpus(dir), decontamBench(dir), "doc_id", col("text"),
         n = graft.queries.CurationQueries.DecontamN).count()),
