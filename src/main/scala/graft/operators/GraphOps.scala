@@ -152,6 +152,31 @@ object GraphOps {
     * no per-cluster sort. The corpus still shuffles at most once in
     * the final anti-join.
     */
+  /** Near-dup cluster diagnostics — the report a dedup pipeline reads
+    * before committing to a survivor rule: for each cluster SIZE, how
+    * many clusters have it and how many documents they hold. Sizes
+    * count PAIRED nodes only (singletons never enter the pair table;
+    * their count is `|corpus| − Σ docs_in_clusters`, a subtraction the
+    * caller can do against its own corpus count). The duplicated mass
+    * = Σ (size − 1) over clusters = docs a min-survivor dedup would
+    * drop.
+    *
+    * Scale: CC's output is one row per paired node (the duplicated
+    * mass, not the corpus); both aggregations after it are partial-agg
+    * shuffles over that bounded set, the second over ≤ max-cluster-size
+    * distinct keys.
+    */
+  def clusterSizeStats(
+      pairs: DataFrame, src: String, dst: String,
+      maxIters: Int = 20): DataFrame = {
+    connectedComponents(pairs, src, dst, maxIters)
+      .groupBy(col("comp")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("size")).as("n_docs"))
+      .select(col("size"), col("n_clusters"), col("n_docs"))
+  }
+
   def dedupByClusterBest(
       docs: DataFrame, id: String, score: Column,
       pairs: DataFrame, src: String, dst: String,

@@ -109,6 +109,17 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X2c dedup diagnostics: cluster-size histogram over the same
+    // pair table — the "how much mass is duplicated" report read
+    // before choosing a survivor rule (Σ (size−1)·n_clusters = docs a
+    // min-survivor dedup drops)
+    "q_cluster_stats" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDup(table(s, d, "documents"), "doc_id",
+        col("text"), k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5)
+      GraphOps.clusterSizeStats(pairs, "id_a", "id_b")
+        .orderBy(col("size"))
+    }),
+
     // X2 span-level dedup: ExactSubstr (Lee et al. 2022) — verbatim
     // cross-doc 8-gram spans removed everywhere but one keeper doc,
     // each doc's unique remainder preserved (see Dedup scaladoc)
@@ -633,6 +644,19 @@ object NorthStarQueries {
          losers AS (SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node)
          SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
+    "q_cluster_stats" ->
+      s"""WITH RECURSIVE
+         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2)})),
+         sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         reach(node, lbl) AS (
+           SELECT DISTINCT a, a FROM sym
+           UNION
+           SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+         memb AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+         cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS size FROM memb GROUP BY comp)
+         SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * size AS BIGINT) AS n_docs
+         FROM cs GROUP BY size ORDER BY size""",
     "q_dedup_best" ->
       s"""WITH RECURSIVE
          e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2)})),

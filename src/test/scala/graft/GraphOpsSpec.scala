@@ -84,6 +84,15 @@ class GraphOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("clusterSizeStats: histogram over paired nodes only") {
+    // clusters: {1,2,3} size 3, {5,6} size 2, {8,9} size 2; 4 unpaired
+    val pairs = edges(1L -> 2L, 2L -> 3L, 5L -> 6L, 8L -> 9L)
+    val out = GraphOps.clusterSizeStats(pairs, "src", "dst")
+      .orderBy("size")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((2L, 2L, 4L), (3L, 1L, 3L)))
+  }
+
   test("dedupByClusterBest keeps the max-score member, tie → min id") {
     // cluster {1,2,3}: scores 10/30/20 → 2 wins on score;
     // cluster {5,6}: scores 7/7 → 5 wins the tie on id;
