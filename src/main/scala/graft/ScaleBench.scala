@@ -423,7 +423,10 @@ object ScaleBench {
         val mass = Similarity.semDedupCells(
           emb(dir), "vec_id", "embedding", nHint = n)
           .groupBy(col("cell")).count()
-          .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0)
+          // coalesce: sum over zero cells is null (empty embeddings
+          // dir would otherwise NPE the getDouble)
+          .agg(coalesce(sum(col("count") * (col("count") - 1) / 2),
+            lit(0.0))).head.getDouble(0)
         val allPairs = n.toDouble * (n - 1) / 2
         val even = allPairs / nl
         System.err.println(

@@ -466,11 +466,17 @@ object Curation {
     * primitive data mixing actually uses.
     *
     * Rows with null or non-positive weight are excluded (they have no
-    * defined inclusion probability). Engine portability: u and w feed
-    * libm `pow`, whose last ulp is not pinned across engines, so the
-    * rank key is ROUNDED to 9 decimals with the id as tiebreak — the
-    * same order-portability rule as [[qualityBuckets]]; a boundary tie
-    * resolves to the smaller id in any engine.
+    * defined inclusion probability). The rank key is the LOG-domain
+    * A-Res key ln(u)/w (max-k on it selects the same set as max-k on
+    * u^(1/w) — ln is monotone — but never saturates: u^(1/w) collapses
+    * toward 1.0 as w grows, so a fixed-precision rounding of it
+    * degrades to a min-id sample once w ≳ 1e9, while ln(u)/w keeps its
+    * order at any weight magnitude). Engine portability: libm `ln`'s
+    * last ulp is not pinned across engines, so ln(u) is ROUNDED to 9
+    * decimals BEFORE the (correctly-rounded IEEE) division by w, with
+    * the id as tiebreak — the same order-portability rule as
+    * [[qualityBuckets]]; a boundary tie resolves to the smaller id in
+    * any engine.
     *
     * Scale: identical shape to [[stratifiedSample]] — map-only key
     * computation, one hash-partitioned window per stratum, rank <= k.
@@ -480,7 +486,7 @@ object Curation {
       k: Int): DataFrame = {
     val u = (hashBucket(col(id), 1000000000) + 1).cast("double") /
       lit(1000000000.0)
-    val key = round(pow(u, lit(1.0) / weight.cast("double")), 9)
+    val key = round(log(u), 9) / weight.cast("double")
     val w = Window.partitionBy(strata.map(col): _*)
       .orderBy(col("__ky").desc, col(id))
     df.where(weight.isNotNull && weight.cast("double") > 0.0)

@@ -136,22 +136,6 @@ object GraphOps {
     docs.join(losers, Seq(id), "left_anti")
   }
 
-  /** Quality-weighted cluster survivor — [[dedupByCluster]] with the
-    * survivor rule a production pipeline actually wants: per near-dup
-    * cluster keep the member with the HIGHEST `score` (tie → minimum
-    * id), not the arbitrary min-id member. The min-id rule exists for
-    * oracle-ability; this rule keeps the longest/cleanest/highest-LM
-    * copy of each duplicated document, which is the whole point of
-    * choosing a survivor.
-    *
-    * Scale: identical shape to [[dedupByCluster]] plus one
-    * cluster-keyed partial-agg argmax over the CLUSTER MEMBERS only
-    * (the duplicated mass, not the corpus): members join their scores
-    * (id-keyed, co-partitioned with the label table), `min_by` over
-    * (−score, id) picks the winner with map-side combine — no window,
-    * no per-cluster sort. The corpus still shuffles at most once in
-    * the final anti-join.
-    */
   /** Near-dup cluster diagnostics — the report a dedup pipeline reads
     * before committing to a survivor rule: for each cluster SIZE, how
     * many clusters have it and how many documents they hold. Sizes
@@ -177,6 +161,33 @@ object GraphOps {
       .select(col("size"), col("n_clusters"), col("n_docs"))
   }
 
+  /** Quality-weighted cluster survivor — [[dedupByCluster]] with the
+    * survivor rule a production pipeline actually wants: per near-dup
+    * cluster keep the member with the HIGHEST `score` (tie → minimum
+    * id), not the arbitrary min-id member. The min-id rule exists for
+    * oracle-ability; this rule keeps the longest/cleanest/highest-LM
+    * copy of each duplicated document, which is the whole point of
+    * choosing a survivor.
+    *
+    * Contract: every node in `pairs` must appear in `docs` (the pair
+    * table is derived FROM the corpus, so this holds by construction
+    * for every X2/X3 producer); a paired id missing from `docs` would
+    * silently leave its cluster via the inner membership join. Rows
+    * with a null `score` are excluded from the winner contest (a null
+    * would otherwise sort ahead of every real score under the struct
+    * ordering and steal the survivorship) but still lose to whichever
+    * scored member wins — the conservative reading of "no defined
+    * quality"; a cluster whose members are ALL unscored elects no
+    * winner and is kept whole.
+    *
+    * Scale: identical shape to [[dedupByCluster]] plus one
+    * cluster-keyed partial-agg argmax over the CLUSTER MEMBERS only
+    * (the duplicated mass, not the corpus): members join their scores
+    * (id-keyed, co-partitioned with the label table), `min_by` over
+    * (−score, id) picks the winner with map-side combine — no window,
+    * no per-cluster sort. The corpus still shuffles at most once in
+    * the final anti-join.
+    */
   def dedupByClusterBest(
       docs: DataFrame, id: String, score: Column,
       pairs: DataFrame, src: String, dst: String,
@@ -184,7 +195,10 @@ object GraphOps {
     val members = connectedComponents(pairs, src, dst, maxIters)
     val scored = members.join(
       docs.select(col(id).as("node"), score.as("__q")), Seq("node"))
-    val winners = scored.groupBy(col("comp"))
+    // winner contest over non-null scores only: a null __q negates to
+    // null, and nulls sort FIRST in ascending struct comparison, so an
+    // unguarded min_by would crown the unscored member
+    val winners = scored.where(col("__q").isNotNull).groupBy(col("comp"))
       .agg(min_by(col("node"), struct((-col("__q")).as("nq"), col("node")))
         .as("winner"))
     val losers = scored.join(winners, Seq("comp"))

@@ -63,11 +63,20 @@ object Retrieval {
     * DECIMAL-exact over per-list terms rounded to 9 places (order-free,
     * the X13 convention), then rounds to 6 for the output.
     *
-    * Scale shape: each input list is already top-k-bounded by its
-    * producer (k·|lists| rows total — driver-scale), so every window
-    * and the fusion join run on bounded inputs regardless of corpus
-    * size; the heavy lifting stays in the producers. `union of lists →
-    * groupBy id` is one tiny shuffle.
+    * CONTRACT: each input list must be top-k-bounded by its producer —
+    * an unbounded frame funnels through this function's per-list
+    * global (single-partition) rank window and would serialize the
+    * corpus through one task. Bounded-ness is the producer's job
+    * (`bm25TopK`/`annTopK` emit ≤ k rows) and is not re-checked here;
+    * id-uniqueness WITHIN a list, however, is enforced — a duplicate
+    * id would inflate `n_lists` and double-count its fused score, so
+    * each list is collapsed to its best (smallest) rank per id before
+    * fusion.
+    *
+    * Scale shape: with the bounded contract, every window and the
+    * fusion join run on k·|lists| rows regardless of corpus size; the
+    * heavy lifting stays in the producers. `union of lists → groupBy
+    * id` is one tiny shuffle.
     */
   def rrfFuse(
       lists: Seq[DataFrame], id: String, score: String, k: Int,
@@ -77,10 +86,13 @@ object Retrieval {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col(score).desc, col(id))
       // per-list global window: input is a top-k list (bounded), so
-      // the single-partition sort is over k rows, never the corpus
+      // the single-partition sort is over k rows, never the corpus.
+      // groupBy/min collapses duplicate ids to their best rank (a
+      // no-op for well-formed producers, insurance otherwise)
       df.select(col(id).as("__fid"),
-        row_number().over(w).cast("double").as("__r"),
-        lit(i).as("__list"))
+        row_number().over(w).cast("double").as("__r"))
+        .groupBy(col("__fid")).agg(min(col("__r")).as("__r"))
+        .withColumn("__list", lit(i))
     }
     ranked.reduce(_ unionByName _)
       .withColumn("__term", round(lit(1.0) / (lit(c.toDouble) + col("__r")), 9)

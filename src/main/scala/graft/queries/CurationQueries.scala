@@ -545,15 +545,15 @@ object CurationQueries {
              / CAST(count(*) AS DOUBLE), 6) AS avg_logprob2
          FROM b2 JOIN lp USING (w1, w2)
          GROUP BY doc_id ORDER BY doc_id""",
-    // pow() parity: like ln(), libm pow's last ulp is unpinned across
-    // engines — the rank key is rounded to 9 dp with id tiebreak, so
-    // the ORDER (hence the selected set) is engine-portable
+    // ln() parity: libm ln's last ulp is unpinned across engines — the
+    // log-domain A-Res key rounds ln(u) to 9 dp BEFORE the correctly-
+    // rounded IEEE division by w, id tiebreak, so the ORDER (hence the
+    // selected set) is engine-portable at any weight magnitude
     "q_weighted_sample" ->
       """WITH s AS (SELECT doc_id, lang, n_chars,
-           round(pow(
+           round(ln(
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000000 + 1 AS DOUBLE)
-               / 1000000000.0,
-             1.0 / CAST(n_chars AS DOUBLE)), 9) AS ky
+               / 1000000000.0), 9) / CAST(n_chars AS DOUBLE) AS ky
            FROM documents WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0.0),
          r AS (SELECT doc_id, lang, n_chars,
              row_number() OVER (PARTITION BY lang ORDER BY ky DESC, doc_id) AS rn
