@@ -73,15 +73,36 @@ object GraphOps {
       .union(pairs.select(col(dst).as("a"), col(src).as("b")))
       .localCheckpoint()
 
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // Round 1 fused into initialization: with round-0 labels all
+    // identities, the first neighbor-min is label_1(a) = min(a,
+    // min_nbr(a)) — one aggregation over sym, no label join — and the
+    // first pointer jump resolves identities, contributing nothing.
+    // Fusing drops a distinct + two joins + one checkpoint from every
+    // call (near-dup graphs converge in 3-5 rounds, so this is a
+    // ~25% round-cost cut).
+    var labels = sym.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("comp"))
       .localCheckpoint()
-    var iters = 0
+    // semi-naive (frontier) propagation: min-label flows over a
+    // monotone semiring, so a neighbor whose label did NOT change last
+    // round contributes exactly what it already contributed — only
+    // CHANGED labels can lower anything this round. Joining edges
+    // against the frontier instead of the full label table shrinks the
+    // per-round matched-edge volume toward the still-active components
+    // (after round 1 most labels are final in real near-dup graphs),
+    // and once the frontier drops under the AQE broadcast threshold
+    // the edge join stops shuffling entirely. The fused first round
+    // changed exactly the labels now differing from their node id.
+    var frontier = labels.where(col("comp") =!= col("node"))
+    var iters = 1
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
-      // smallest label among my neighbors (map-side partial min, one
-      // shuffle keyed on the node id)
-      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+      // smallest CHANGED label among my neighbors (map-side partial
+      // min, one shuffle keyed on the node id; unchanged neighbors'
+      // contributions are already folded into `comp` from prior
+      // rounds)
+      val nbrMin = sym.join(frontier, sym("b") === frontier("node"))
         .groupBy(sym("a").as("node"))
         .agg(min(col("comp")).as("nmin"))
       val stepped = labels.join(nbrMin, Seq("node"), "left")
@@ -106,6 +127,11 @@ object GraphOps {
       }
       val prev = labels
       labels = next.select(col("node"), col("newcomp").as("comp"))
+      // next round's frontier: nodes whose label just dropped (their
+      // new value is what unchanged neighbors haven't seen). A cheap
+      // filter over the round's checkpoint — no extra job or shuffle.
+      frontier = next.where(col("newcomp") =!= col("comp"))
+        .select(col("node"), col("newcomp").as("comp"))
       prev.unpersist()
       iters += 1
     }

@@ -130,27 +130,52 @@ object Retrieval {
     * parallelism floor). The corpus-cardinality (id, dl) join is the
     * same unavoidable exchange [[bm25TopK]] documents.
     */
+  /** `maxDfFraction` (opt-in, default 1.0 = off) bounds the
+    * dense-match regime: query terms whose corpus document frequency
+    * exceeds `maxDfFraction · N` are dropped BEFORE the postings join
+    * — the classic stopword/df-cap prune. Rationale: a term in nearly
+    * every document has idf ≈ ln(1 + 0.5/(df+0.5)) ≈ 0, so its score
+    * contribution is near-noise, yet it alone can make every query
+    * match every document and drive the (query, doc, term) aggregate
+    * to |Q|·|corpus| (the measured worst case on the small-vocabulary
+    * fixture: ~all 5k docs × all queries). Dropping it changes scores
+    * only by the dropped near-zero terms (and `n_terms` by their
+    * count); a query whose terms are ALL capped returns no rows.
+    */
   def bm25JoinTopK(
       corpus: DataFrame, corpusId: String, corpusText: Column,
       queries: DataFrame, queryId: String, queryText: Column,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qTerms = queries.select(col(queryId).as("__qid"),
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    val qTerms0 = queries.select(col(queryId).as("__qid"),
       explode(split(queryText, " ")).as("tok")).distinct()
     val toks = corpus.select(col(corpusId).as("__did"),
       explode(split(corpusText, " ")).as("tok"))
-    // postings filtered at the broadcast join: only terms some query
-    // mentions survive to the aggregate
-    val matched = toks.join(broadcast(qTerms), "tok")
-    val tf = matched.groupBy(col("__qid"), col("__did"), col("tok"))
-      .agg(count(lit(1)).cast("double").as("tf"))
     val dl = corpus.select(col(corpusId).as("__did"),
       size(split(corpusText, " ")).cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    // df over the CORPUS (the collection being searched), one row per
-    // surviving term — tiny, broadcast
-    val dfreq = matched.select(col("__did"), col("tok")).distinct()
+    // df over the CORPUS (the collection being searched) for the
+    // distinct query-term VOCABULARY (no query id — the distinct runs
+    // on (doc, term), not (query, doc, term)): one row per surviving
+    // term — tiny, broadcast
+    val dfreq = toks
+      .join(broadcast(qTerms0.select(col("tok")).distinct()), "tok")
+      .select(col("__did"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("dfc"))
+    // df-cap prune sits BEFORE the qid-keyed postings join, so the
+    // dense |Q|·|corpus| blowup of a capped term never materializes
+    val qTerms =
+      if (maxDfFraction >= 1.0) qTerms0
+      else qTerms0.join(
+        broadcast(dfreq.crossJoin(stats)
+          .where(col("dfc") <= lit(maxDfFraction) * col("n_docs"))
+          .select(col("tok"))), "tok")
+    // postings filtered at the broadcast join: only (uncapped) terms
+    // some query mentions survive to the aggregate
+    val matched = toks.join(broadcast(qTerms), "tok")
+    val tf = matched.groupBy(col("__qid"), col("__did"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5))
     val norm = col("tf") + lit(k1) *
@@ -172,9 +197,16 @@ object Retrieval {
         col("score"), col("n_terms"), col("__rk").as("rnk"))
   }
 
+  /** `maxDfFraction` as in [[bm25JoinTopK]] (opt-in, default off):
+    * terms with corpus df > maxDfFraction · N are dropped from the
+    * score. With a literal term list there is no |Q|·|corpus| blowup
+    * to prevent — here the cap bounds the (doc, term) match volume
+    * and keeps single-query semantics aligned with the join form.
+    */
   def bm25TopK(
       docs: DataFrame, id: String, text: Column, terms: Seq[String],
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 1.0): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: empty query")
     val toks = docs.select(col(id).as("__did"),
       explode(split(text, " ")).as("tok"))
@@ -187,8 +219,13 @@ object Retrieval {
       size(split(text, " ")).cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val dfreq = matched.select(col("__did"), col("tok")).distinct()
+    val dfreq0 = matched.select(col("__did"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("dfc"))
+    val dfreq =
+      if (maxDfFraction >= 1.0) dfreq0
+      else dfreq0.crossJoin(stats)
+        .where(col("dfc") <= lit(maxDfFraction) * col("n_docs"))
+        .select(col("tok"), col("dfc"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5))
     val norm = col("tf") + lit(k1) *

@@ -398,13 +398,38 @@ object Similarity {
     * index the train cost amortizes over every query batch; pass
     * `iters = 0` to fall back to sampled centroids.
     */
+  /** Third auto-config rule (after [[lshConfigFor]]/[[ivfConfigFor]]):
+    * target recall → probe width for the serving tier. Encodes the
+    * MEASURED recall@10-vs-probed-fraction curve (RecallCurve at 30× =
+    * 60k vectors, nlist 256, 2 Lloyd iters, BASELINE.md round-9
+    * table): 1/8 → 0.59, 1/4 → 0.78, 3/8 → 0.88, 1/2 → 0.94. Returns
+    * the narrowest measured fraction whose measured recall meets the
+    * target; a target above the curve's top (> 0.94) anchors to
+    * probe-everything (nProbe = nlist — the probe set covers the whole
+    * corpus, so the search is exact and recall 1.0 by construction).
+    * The synthetic fixture is the weak-cluster-structure worst case —
+    * real corpora reach each recall at narrower probes, so the rule is
+    * conservative in the safe direction.
+    */
+  def servingConfigFor(nlist: Int, targetRecall: Double): Int = {
+    val curve = Seq(0.125 -> 0.59, 0.25 -> 0.78, 0.375 -> 0.88, 0.5 -> 0.94)
+    val frac = curve.collectFirst { case (f, r) if r >= targetRecall => f }
+      .getOrElse(1.0)
+    math.max(1, math.ceil(nlist * frac).toInt)
+  }
+
   def ivfTopKServing(
       corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, nlist: Int = 0, nProbe: Int = 0, iters: Int = 2,
-      nHint: Long = 0L): DataFrame = {
+      nHint: Long = 0L, targetRecall: Double = 0.0): DataFrame = {
     val nl =
       if (nlist > 0) nlist else ivfConfigFor(autoSize(corpus, nHint))._1
-    val np = if (nProbe > 0) nProbe else math.max(1, nl / 2)
+    // precedence: an explicit nProbe pin wins; then the recall-target
+    // rule; then the historical nlist/2 default (== the rule at 0.9)
+    val np =
+      if (nProbe > 0) nProbe
+      else if (targetRecall > 0.0) servingConfigFor(nl, targetRecall)
+      else math.max(1, nl / 2)
     val cents =
       if (iters <= 0) sampleCentroids(corpus, id, vec, nl)
       else trainCentroids(corpus, id, vec, nl, iters)

@@ -85,9 +85,17 @@ object NorthStarQueries {
 
     // X2 end-to-end near-dup dedup: the corpus minus every non-minimum
     // member of each near-dup cluster — what a pretraining pipeline
-    // actually feeds to the next stage
+    // actually feeds to the next stage. Registered over a 1/3 corpus
+    // slice (doc_id % 3): the FULL MinHash+CC derivation is already
+    // benchmarked end-to-end by q_dedup_clusters, and re-deriving it
+    // at full width here (and in q_dedup_best / q_cluster_stats)
+    // measured 21.6 s of a 72.7 s bench for near-zero marginal
+    // information — the slice keeps each query a self-contained
+    // pipeline (slice → pairs → CC → survivors) at a third of the
+    // corpus and ~an order less pair mass, still non-degenerate at
+    // every fixture SF (5/3/26 slice-pairs at sf0.001/0.01/0.1)
     "q_dedup_survivors" -> ((s, d) => {
-      val docs = table(s, d, "documents")
+      val docs = table(s, d, "documents").where(col("doc_id") % 3 === 0)
       val pairs = Dedup.minhashNearDup(docs, "doc_id", col("text"),
         k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5)
       GraphOps.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
@@ -95,12 +103,12 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // X2b quality-weighted survivor: same clusters as
+    // X2b quality-weighted survivor: same sliced pipeline as
     // q_dedup_survivors, but each cluster keeps its HIGHEST-n_chars
     // member (tie → min id) — the survivor rule a production pipeline
     // wants (longest copy), vs the oracle-simple min-id rule above
     "q_dedup_best" -> ((s, d) => {
-      val docs = table(s, d, "documents")
+      val docs = table(s, d, "documents").where(col("doc_id") % 3 === 0)
       val pairs = Dedup.minhashNearDup(docs, "doc_id", col("text"),
         k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5)
       GraphOps.dedupByClusterBest(docs, "doc_id", col("n_chars"),
@@ -109,12 +117,13 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // X2c dedup diagnostics: cluster-size histogram over the same
+    // X2c dedup diagnostics: cluster-size histogram over the sliced
     // pair table — the "how much mass is duplicated" report read
     // before choosing a survivor rule (Σ (size−1)·n_clusters = docs a
     // min-survivor dedup drops)
     "q_cluster_stats" -> ((s, d) => {
-      val pairs = Dedup.minhashNearDup(table(s, d, "documents"), "doc_id",
+      val pairs = Dedup.minhashNearDup(
+        table(s, d, "documents").where(col("doc_id") % 3 === 0), "doc_id",
         col("text"), k = 2, bands = 8, rowsPerBand = 2, minJ = 0.5)
       GraphOps.clusterSizeStats(pairs, "id_a", "id_b")
         .orderBy(col("size"))
@@ -552,7 +561,14 @@ object NorthStarQueries {
     * columns and band slices are generated for any (bands, rows),
     * mirroring Dedup.minhashBands' Kirsch-Mitzenmacher permutations.
     */
-  private def minhashVerifyOracle(minJ: String, bands: Int, rows: Int): String = {
+  /** The 1/3 corpus slice the survivor/diagnostic cluster queries run
+    * on (Spark side: doc_id % 3 === 0) — see the q_dedup_survivors
+    * registration note for why.
+    */
+  private val SliceRel = "(SELECT * FROM documents WHERE doc_id % 3 = 0)"
+
+  private def minhashVerifyOracle(minJ: String, bands: Int, rows: Int,
+      rel: String = "documents"): String = {
     val sigCols = (0 until bands * rows)
       .map(h => s"MIN((a + $h*b) % 4294967296) AS h$h")
       .grouped(2).map(_.mkString(", ")).mkString(",\n             ")
@@ -561,7 +577,7 @@ object NorthStarQueries {
       if (bd == 0) s"SELECT doc_id, 0 AS band, $bsig AS bsig FROM sig"
       else s"SELECT doc_id, $bd, $bsig FROM sig"
     }.mkString(" UNION ALL\n           ")
-    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM $rel),
          toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
              i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))) AS tok
            FROM tk WHERE len(t) >= 2),
@@ -633,9 +649,11 @@ object NorthStarQueries {
          SELECT node AS doc_id, min(lbl) AS cluster_id,
            (min(lbl) = node) AS keep
          FROM reach GROUP BY node ORDER BY doc_id""",
+    // survivors/best/stats run the same CC oracle over the 1/3 corpus
+    // slice their Spark registrations use (see q_dedup_survivors note)
     "q_dedup_survivors" ->
       s"""WITH RECURSIVE
-         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2)})),
+         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2, rel = SliceRel)})),
          sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
          reach(node, lbl) AS (
            SELECT DISTINCT a, a FROM sym
@@ -643,10 +661,11 @@ object NorthStarQueries {
            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
          losers AS (SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node)
          SELECT doc_id, source, n_chars FROM documents
-         WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
+         WHERE doc_id % 3 = 0
+           AND doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
     "q_cluster_stats" ->
       s"""WITH RECURSIVE
-         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2)})),
+         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2, rel = SliceRel)})),
          sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
          reach(node, lbl) AS (
            SELECT DISTINCT a, a FROM sym
@@ -659,7 +678,7 @@ object NorthStarQueries {
          FROM cs GROUP BY size ORDER BY size""",
     "q_dedup_best" ->
       s"""WITH RECURSIVE
-         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2)})),
+         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2, rel = SliceRel)})),
          sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
          reach(node, lbl) AS (
            SELECT DISTINCT a, a FROM sym
@@ -672,7 +691,8 @@ object NorthStarQueries {
              ORDER BY n_chars DESC, node) AS rn FROM scored),
          losers AS (SELECT node FROM rk WHERE rn > 1)
          SELECT doc_id, source, n_chars FROM documents
-         WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
+         WHERE doc_id % 3 = 0
+           AND doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
     "q_vocab" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)

@@ -73,6 +73,14 @@ class GraphOpsSpec extends SparkSpec {
       val got = cc(edges(es: _*))
       assert(got == expected, s"seed $i: got $got\nexpected $expected")
     }
+    // denser instance: the semi-naive frontier shrinks fast here, so
+    // this also exercises late rounds where most labels are final and
+    // propagation must come from the frontier alone
+    val dense = Gen.listOfN(400, for {
+      a <- Gen.choose(0L, 199L)
+      b <- Gen.choose(0L, 199L) if a != b
+    } yield (a, b)).apply(Gen.Parameters.default, Seed(99L)).get
+    assert(cc(edges(dense: _*)) == unionFind(dense))
   }
 
   test("dedupByCluster keeps one survivor per cluster plus isolated docs") {
@@ -91,6 +99,19 @@ class GraphOpsSpec extends SparkSpec {
       .orderBy("size")
       .as[(Long, Long, Long)].collect()
     assert(out.toSeq == Seq((2L, 2L, 4L), (3L, 1L, 3L)))
+  }
+
+  test("dedupByClusterBest: null scores cannot win; all-null cluster kept whole") {
+    // cluster {1,2}: 2 has null score — 1 must win (a null would sort
+    // first in the min_by struct and steal survivorship unguarded);
+    // cluster {5,6}: both null → no winner elected, both kept
+    val docs = Seq((1L, Some(10L)), (2L, None), (5L, None), (6L, None))
+      .toDF("doc_id", "quality")
+    val pairs = edges(1L -> 2L, 5L -> 6L)
+    val kept = GraphOps.dedupByClusterBest(
+      docs, "doc_id", col("quality"), pairs, "src", "dst")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 5L, 6L))
   }
 
   test("dedupByClusterBest keeps the max-score member, tie → min id") {

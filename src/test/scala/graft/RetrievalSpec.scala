@@ -112,6 +112,72 @@ class RetrievalSpec extends SparkSpec {
       s"self-match must dominate: $out")
   }
 
+  test("bm25TopK df-cap: dense terms drop out, scores equal the rare-term-only query") {
+    // df(a)=df(b)=0.5, df(c)=0.75 on the 4-doc corpus — cap at 0.6
+    // removes exactly c, so the capped 3-term query must be
+    // row-identical to the uncapped 2-term query
+    val capped = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+      terms = Seq("a", "b", "c"), k = 10, maxDfFraction = 0.6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val pruned = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+      terms = Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(capped.toSeq == pruned.toSeq,
+      s"capped ${capped.toSeq} vs manually pruned ${pruned.toSeq}")
+  }
+
+  test("bm25TopK df-cap default (1.0) changes nothing") {
+    val off = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+      terms = Seq("a", "b", "c"), k = 10, maxDfFraction = 1.0)
+      .collect().toSeq
+    val default = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+      terms = Seq("a", "b", "c"), k = 10)
+      .collect().toSeq
+    assert(off == default)
+  }
+
+  test("bm25JoinTopK df-cap: capped terms never reach scoring; all-capped queries vanish") {
+    // query 9 shares only dense term c (df 0.75) → vanishes at cap
+    // 0.6; query 8 keeps its rare terms and must score as if its
+    // text had been pruned to them by hand
+    val q = Seq((8L, "a b c"), (9L, "c")).toDF("bench_id", "text")
+    val capped = Retrieval.bm25JoinTopK(
+      docs, "doc_id", col("text"), q, "bench_id", col("text"), k = 10,
+      maxDfFraction = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(!capped.exists(_._1 == 9L), s"all-capped query survived: ${capped.toSeq}")
+    val handPruned = Retrieval.bm25JoinTopK(
+      docs, "doc_id", col("text"),
+      Seq((8L, "a b")).toDF("bench_id", "text"), "bench_id", col("text"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(capped.toSeq == handPruned.toSeq,
+      s"capped ${capped.toSeq} vs hand-pruned ${handPruned.toSeq}")
+  }
+
+  test("fixture df-cap: capped retrieval join equals the rare-term-only join") {
+    requireTestdata()
+    // measured fixture df profile (sf0.001): 30 of 31 vocabulary terms
+    // sit at df 0.75-0.83, only "dup" is rare (0.05) — cap 0.7 prunes
+    // scoring to exactly the rare term, so the capped join must be
+    // row-identical to querying lit("dup"), restricted to benchmark
+    // docs that contain it (the rest vanish per the all-capped rule)
+    val docsTbl = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docsTbl.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val capped = Retrieval.bm25JoinTopK(
+      docsTbl, "doc_id", col("text"), bench, "bench_id", col("text"),
+      k = 5, maxDfFraction = 0.7)
+      .orderBy(col("bench_id"), col("rnk")).collect().toSeq
+    val dupOnly = Retrieval.bm25JoinTopK(
+      docsTbl, "doc_id", col("text"),
+      bench.where(array_contains(split(col("text"), " "), "dup"))
+        .select(col("bench_id"), lit("dup").as("text")),
+      "bench_id", col("text"), k = 5)
+      .orderBy(col("bench_id"), col("rnk")).collect().toSeq
+    assert(capped.nonEmpty && capped == dupOnly,
+      s"capped (${capped.size} rows) drifted from rare-term-only (${dupOnly.size} rows)")
+  }
+
   test("registered query q_bm25 returns k rows with the rare term on top") {
     requireTestdata()
     val out = SparkEntry.queries("q_bm25")(spark, "/root/testdata/sf0.001")
