@@ -211,6 +211,97 @@ object Multimodal {
       }
   }
 
+  case class AudioFeatures(
+      doc_id: Long, mime: String, sample_rate: Double, channels: Int,
+      n_frames: Long, duration_sec: Double, rms: Seq[Double])
+
+  /** REAL audio decode via `javax.sound.sampled` — pure JVM, present
+    * in every stock JDK, no native codec — the audio counterpart of
+    * [[decodePng]]: the SAME magic-byte dispatch idea (the WAV/AIFF/AU
+    * reader is chosen from the payload's own header) through the same
+    * keep-or-drop contract. Decodes PCM WAV (8-bit signed/unsigned,
+    * 16-bit either endianness) and returns (sampleRate, channels,
+    * nFrames, duration seconds, per-channel RMS on the [-1, 1]
+    * full-scale) — the features an audio curation pass filters on
+    * (silence/clipping detection, duration budgeting). None for
+    * payloads that are not decodable audio.
+    */
+  def decodeWav(
+      payload: Array[Byte]): Option[(Double, Int, Long, Double, Seq[Double])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok =
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+            (bits == 8 || bits == 16)
+        if (!ok) None
+        else {
+          val channels = fmt.getChannels
+          val bytesPer = bits / 8
+          val frameSize = fmt.getFrameSize
+          val big = fmt.isBigEndian
+          val unsigned =
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bytes = ais.readAllBytes()
+          val nFrames = bytes.length.toLong / frameSize
+          val sumSq = new Array[Double](channels)
+          var f = 0L
+          while (f < nFrames) {
+            val base = (f * frameSize).toInt
+            var c = 0
+            while (c < channels) {
+              val o = base + c * bytesPer
+              val v =
+                if (bits == 8) {
+                  val raw = if (unsigned) (bytes(o) & 0xff) - 128 else bytes(o).toInt
+                  raw / 128.0
+                } else {
+                  val (lo, hi) = if (big) (o + 1, o) else (o, o + 1)
+                  val raw = ((bytes(hi).toInt << 8) | (bytes(lo) & 0xff)).toShort
+                  val centered = if (unsigned) raw - 32768 else raw.toInt
+                  centered / 32768.0
+                }
+              sumSq(c) += v * v
+              c += 1
+            }
+            f += 1
+          }
+          val rms = sumSq.toSeq.map(s =>
+            if (nFrames == 0) 0.0 else math.sqrt(s / nFrames))
+          val rate = fmt.getSampleRate.toDouble
+          Some((rate, channels, nFrames,
+            if (rate == 0) 0.0 else nFrames / rate, rms))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio feature extraction over the media table — the same
+    * partition-batched shape as [[extractImageFeatures]] with the REAL
+    * WAV decoder in the hot seat; undecodable rows are dropped. The
+    * variable-length `rms` seq (one entry per channel) rides the
+    * Dataset encoder as an array column — per-channel stats stay
+    * queryable with `element_at`/`aggregate` downstream.
+    */
+  def extractAudioFeatures(
+      spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition init seam (codec/model handle would go here)
+        it.flatMap { r =>
+          decodeWav(r.payload).map { case (rate, ch, nf, dur, rms) =>
+            AudioFeatures(r.doc_id, r.mime, rate, ch, nf, dur, rms)
+          }
+        }
+      }
+  }
+
   /** STUB — "resize": deterministic byte-domain downsample to
     * `targetBytes` (stride sampling). A real deployment decodes,
     * resizes pixels, re-encodes; the Spark shape — narrow

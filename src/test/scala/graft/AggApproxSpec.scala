@@ -86,6 +86,64 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     assert(out(2L).avg_r === 127.5 && out(2L).avg_g === 127.5 && out(2L).avg_b === 127.5)
   }
 
+  test("X5: REAL WAV decode through the same seam recovers sample truth") {
+    // build genuine RIFF/WAVE byte arrays in-memory with the SAME JDK
+    // codec family (javax.sound.sampled) a production pipeline would
+    // use: a full-scale 16-bit square wave (RMS exactly 1.0 on the
+    // full-scale [-1,1] axis), digital silence, and a stereo file
+    // whose channels carry DIFFERENT amplitudes — plus one garbage
+    // payload that must drop, not crash the partition
+    import javax.sound.sampled._
+    def wav(rate: Float, samples: Array[Array[Short]]): Array[Byte] = {
+      val channels = samples.length
+      val n = samples(0).length
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](n * channels * 2)
+      for (f <- 0 until n; c <- 0 until channels) {
+        val v = samples(c)(f)
+        val o = (f * channels + c) * 2
+        pcm(o) = (v & 0xff).toByte
+        pcm(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 100 frames of ±32768-adjacent full scale: alternating +32767/-32768
+    // has RMS ≈ 1.0 (32767.5/32768 squared-mean — assert to 1e-4)
+    val square = Array.tabulate(100)(i =>
+      if (i % 2 == 0) Short.MaxValue else Short.MinValue)
+    val silence = Array.fill[Short](50)(0)
+    // stereo: left at half scale (16384 → RMS 0.5), right silent
+    val left = Array.fill[Short](80)(16384)
+    val right = Array.fill[Short](80)(0)
+    val media = Seq(
+      (1L, wav(8000f, Array(square))),
+      (2L, wav(16000f, Array(silence))),
+      (3L, wav(8000f, Array(left, right))),
+      (4L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("audio/wav").as("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lit("und").as("lang")))
+    val out = Multimodal.extractAudioFeatures(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "garbage payload must drop, WAVs must decode")
+    assert(out(1L).sample_rate === 8000.0 && out(1L).channels === 1)
+    assert(out(1L).n_frames === 100L)
+    assert(math.abs(out(1L).duration_sec - 100.0 / 8000.0) < 1e-9)
+    assert(math.abs(out(1L).rms.head - 1.0) < 1e-4,
+      s"full-scale square RMS drifted: ${out(1L).rms}")
+    assert(out(2L).rms === Seq(0.0))
+    assert(out(2L).sample_rate === 16000.0 && out(2L).n_frames === 50L)
+    assert(out(3L).channels === 2 && out(3L).rms.size === 2)
+    assert(math.abs(out(3L).rms.head - 0.5) < 1e-4,
+      s"half-scale left RMS drifted: ${out(3L).rms}")
+    assert(out(3L).rms(1) === 0.0, s"silent right channel: ${out(3L).rms}")
+  }
+
   test("X5: REAL resize through the same seam — exact dims, pixel-exact solid regions") {
     def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(

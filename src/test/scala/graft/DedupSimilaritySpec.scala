@@ -321,6 +321,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(auto === pinned)
   }
 
+  test("servingConfigFor: measured recall curve, monotone, exact-search anchor") {
+    // the measured 30x curve points (nlist 256): narrowest fraction
+    // whose measured recall@10 clears the target
+    assert(Similarity.servingConfigFor(256, 0.55) === 32)   // 1/8 → 0.59
+    assert(Similarity.servingConfigFor(256, 0.59) === 32)
+    assert(Similarity.servingConfigFor(256, 0.60) === 64)   // 1/4 → 0.78
+    assert(Similarity.servingConfigFor(256, 0.85) === 96)   // 3/8 → 0.88
+    assert(Similarity.servingConfigFor(256, 0.90) === 128)  // 1/2 → 0.94
+    assert(Similarity.servingConfigFor(256, 0.94) === 128)
+    // above the measured curve: probe everything (exact, recall 1.0)
+    assert(Similarity.servingConfigFor(256, 0.95) === 256)
+    assert(Similarity.servingConfigFor(256, 1.0) === 256)
+    // monotone in the target, never below 1, for any nlist
+    for (nl <- Seq(1, 16, 256, 4096)) {
+      val widths = Seq(0.1, 0.5, 0.6, 0.8, 0.9, 0.99)
+        .map(Similarity.servingConfigFor(nl, _))
+      assert(widths === widths.sorted, s"nlist $nl: $widths not monotone")
+      assert(widths.head >= 1 && widths.last <= nl)
+    }
+    // the rule at the 0.9 contract equals the historical nlist/2
+    // default, so ivfTopKServing's behavior is unchanged at the floor
+    assert(Similarity.servingConfigFor(256, 0.9) === 256 / 2)
+  }
+
   test("ivfTopK: exact cosines, high recall vs brute force at nProbe=4/16") {
     val vecs = (0L until 200L).map(i =>
       (i, Seq.tabulate(16)(d => math.sin(i * 0.37 + d * 1.1).toFloat)))
