@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * (`direction`/`strict`): backward inclusive `rt <= lt` (the ASOF
   * default, latest-at-or-before wins), backward strict `rt < lt`,
   * forward inclusive `rt >= lt` (earliest-at-or-after), forward
-  * strict `rt > lt`.
+  * strict `rt > lt`; [[asofJoinNearest]] adds the fifth arm, pandas
+  * merge_asof's `nearest` (min |rt - lt|, equidistant tie → backward).
   *
   * Two formulations:
   *
@@ -117,6 +118,86 @@ object AsOfJoin {
       .filter(col("__side") === leftSide)
       .drop("__side", "__tb", "__r", "__t")
       .withColumnRenamed("__last", "asof")
+  }
+
+  /** J6d: NEAREST as-of (pandas `merge_asof(direction="nearest")`) —
+    * for each left row, the right row of the same key closest in
+    * ABSOLUTE time distance; an equidistant tie prefers the backward
+    * (at-or-before) row, and ties at one timestamp fall to the same
+    * mirror tiebreak rule as the directional arms (backward: max
+    * `rightTiebreak`; forward: min).
+    *
+    * Single-pass plan: the same union as [[asofJoin]], ONE shuffle and
+    * ONE sort (time asc, right-before-left at equal time), with TWO
+    * window frames over that sort — a running backward carry
+    * (`last` over unboundedPreceding..current) and a forward probe
+    * (`first` over current..unboundedFollowing) — then a per-row
+    * pick of the smaller gap. Equal-time right rows sort before the
+    * left row, so only the backward frame sees them; that is correct,
+    * not a miss: their gap is 0 and the tie rule prefers backward.
+    * Never materializes L×R_match; same skew caveat as [[asofJoin]].
+    *
+    * @param rightTimeField name of the `rightPayload` field holding
+    *        the right time (payload fields are carried as strings;
+    *        gaps compare in double — exact for epoch-seconds ranges)
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: Column,
+      rightTime: Column,
+      rightTiebreak: Column,
+      rightPayload: Seq[String],
+      rightTimeField: String): DataFrame = {
+    require(rightPayload.contains(rightTimeField),
+      s"rightTimeField $rightTimeField must be one of rightPayload")
+    val tbType = right.select(rightTiebreak).schema.head.dataType
+    require(
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(tbType),
+      s"as-of tiebreak must be an orderable column, got ${tbType.simpleString}")
+    // inclusive ordering: right rows sort before left at equal time
+    val (leftSide, rightSide) = (1, 0)
+    val l = left
+      .withColumn("__t", leftTime)
+      .withColumn("__side", lit(leftSide))
+      .withColumn("__tb", lit(null).cast(tbType))
+      .withColumn("__r", lit(null).cast(
+        s"struct<${rightPayload.map(c => s"$c:string").mkString(",")}>"))
+    val r = right
+      .withColumn("__t", rightTime)
+      .withColumn("__side", lit(rightSide))
+      .withColumn("__tb", rightTiebreak)
+      .withColumn("__r", struct(rightPayload.map(c => col(c).cast("string").as(c)): _*))
+      .select(col(key), col("__t"), col("__side"), col("__tb"), col("__r"))
+    val lCols = l.columns.filterNot(Set(key, "__t", "__side", "__tb", "__r").contains)
+    val unioned = l.select((Seq(col(key), col("__t"), col("__side"), col("__tb"), col("__r"))
+        ++ lCols.map(col)): _*)
+      .unionByName(r.withColumns(lCols.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap),
+        allowMissingColumns = false)
+    // one sort serves both frames; __tb asc makes the backward carry's
+    // last-seen = max tb and the forward probe's first-seen = min tb —
+    // exactly the directional arms' mirror rule
+    val ordering = Seq(col("__t").asc, col("__side").asc, col("__tb").asc)
+    val wb = Window.partitionBy(col(key)).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key)).orderBy(ordering: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val onlyRight = when(col("__side") === rightSide, col("__r"))
+    val picked = unioned
+      .withColumn("__b", last(onlyRight, ignoreNulls = true).over(wb))
+      .withColumn("__f", first(onlyRight, ignoreNulls = true).over(wf))
+      .filter(col("__side") === leftSide)
+    val lt = col("__t").cast("double")
+    val bGap = abs(lt - col("__b").getField(rightTimeField).cast("double"))
+    val fGap = abs(col("__f").getField(rightTimeField).cast("double") - lt)
+    picked
+      .withColumn("asof",
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(bGap <= fGap, col("__b"))
+          .otherwise(col("__f")))
+      .drop("__side", "__tb", "__r", "__t", "__b", "__f")
   }
 
   /** Join + per-left-row top-1 window. Quadratic in matches-per-key —

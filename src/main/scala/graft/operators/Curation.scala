@@ -665,4 +665,98 @@ object Curation {
       .withColumn("pack_id", expr(s"start_offset div $budget"))
       .withColumn("pack_pos", col("start_offset") % budget)
   }
+
+  /** X20: corpus-level boilerplate line removal — the cross-document
+    * half of line cleaning (CCNet, Wenzek et al. 2020 §3.1 dedups
+    * paragraphs by hash ACROSS shards; C4's within-page rules are
+    * [[filterLines]]): a line that occurs in at least
+    * `minDocFrac` of all documents is boilerplate (nav bars, cookie
+    * banners, footers) and is dropped from EVERY document. Returns
+    * (id, n_lines, n_kept, clean_text) with line order preserved.
+    *
+    * Line identity is the exact string — duplicate lines WITHIN one
+    * document count once toward the document frequency.
+    *
+    * Scale: the doc-frequency pass is a line-keyed partial aggregation
+    * (distinct (line, doc) then count per line — both map-side
+    * combinable); the frequent set is PROVABLY driver-sized — at most
+    * avgLinesPerDoc / minDocFrac distinct lines can each appear in
+    * ≥ minDocFrac·N docs (Σ dc ≤ total line occurrences), a few
+    * hundred at web-corpus shapes — so the anti join back carries an
+    * explicit broadcast hint, never a shuffle of the corpus by line.
+    * The order-preserving reassembly is a doc-keyed agg over
+    * (pos, line) structs. At 100 TB the shuffle rows of the frequency
+    * pass can be narrowed by hashing lines to 128-bit keys first
+    * (md5), trading a no-collision assumption for ~10× narrower
+    * exchange — the string form here is the collision-free default.
+    */
+  def dropBoilerplateLines(
+      df: DataFrame, id: String, text: Column,
+      minDocFrac: Double = 0.15): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1,
+      s"minDocFrac must be in (0, 1]: $minDocFrac")
+    // null text = one empty line, same contract as lineRepetitionStats:
+    // the doc keeps its output row, never silently drops
+    val lines = df.select(col(id), split(coalesce(text, lit("")), "\n").as("__ls"))
+    val exploded = lines.select(col(id),
+      posexplode(col("__ls")).as(Seq("__pos", "__line")))
+    // 1-row doc count kept in-plan (no driver round trip) and
+    // broadcast into the threshold predicate
+    val nDocs = lines.agg(count(lit(1)).as("__n_docs"))
+    val boiler = exploded.groupBy(col("__line"))
+      .agg(countDistinct(col(id)).as("__dc"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__dc") >= ceil(col("__n_docs") * lit(minDocFrac)))
+      .select(col("__line"))
+    val kept = exploded.join(broadcast(boiler), Seq("__line"), "left_anti")
+    val regrouped = kept.groupBy(col(id)).agg(
+      count(lit(1)).as("__n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        x => x.getField("__line")), "\n").as("__clean"))
+    // left join from the full doc set: a doc whose every line is
+    // boilerplate still appears, with an empty clean_text
+    lines.select(col(id), size(col("__ls")).cast("long").as("n_lines"))
+      .join(regrouped, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
+  /** X21: deterministic global shuffle + sharding — the write-side
+    * ordering pass of a pretraining data pipeline: every example gets
+    * a pseudo-random but fully reproducible (shard, pos) address,
+    * decorrelated from ingest order, so training readers stream shards
+    * sequentially yet see a well-mixed example order (the "global
+    * shuffle" of T5/GPT data pipelines, done once at write time
+    * because shuffling 100 TB at read time is infeasible).
+    *
+    * key = md5(seed-id) gives the permutation; shard = the key's first
+    * 8 hex chars mod nShards (the same engine-portable md5 arithmetic
+    * as [[hashBucket]]/X9, DuckDB
+    * `('0x' || substr(key, 1, 8))::UBIGINT % n`); pos = rank of the
+    * key within the shard. Changing `seed` yields an independent
+    * permutation — epochs can reshuffle by re-keying.
+    *
+    * Returns (id, shard, pos).
+    *
+    * Scale: one shuffle on `shard` + a per-shard sort — exactly
+    * Spark's `repartition($"shard").sortWithinPartitions($"key")`
+    * write path. The window is partitioned by shard, so parallelism =
+    * nShards; choose nShards so a shard is one output file
+    * (file-sized, thousands at 100 TB) and the per-shard sort stays
+    * in-memory. No global order-by-only window ever forms.
+    */
+  def shuffleShard(
+      df: DataFrame, id: String, seed: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val key = md5(concat_ws("-", lit(seed), col(id).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(id))
+    df.select(col(id), key.as("__key"))
+      .withColumn("shard",
+        (conv(substring(col("__key"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(id), col("shard"), col("pos"))
+  }
 }

@@ -302,6 +302,26 @@ object CurationQueries {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("start_offset"), col("pack_id"), col("pack_pos"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X20: corpus-level boilerplate removal over the derived page —
+    // cross-document line frequency. "short line" (every doc), the
+    // lorem/javascript/nav markers (1/3, 1/5, 1/2 of docs) and the
+    // constant "ends without punct" closer (1/4) all cross the 15%
+    // document-frequency threshold and vanish corpus-wide; each doc's
+    // own text lines (near-dup clusters are far below 15%) survive
+    "q_boilerplate_lines" -> ((s, d) => {
+      Curation.dropBoilerplateLines(withPage(table(s, d, "documents")),
+        "doc_id", col("page"), minDocFrac = 0.15)
+        .orderBy(col("doc_id"))
+    }),
+
+    // X21: deterministic global shuffle into 8 training shards —
+    // md5-keyed permutation, (shard, pos) addresses
+    "q_shuffle_shard" -> ((s, d) => {
+      Curation.shuffleShard(table(s, d, "documents"), "doc_id",
+        seed = "train", nShards = 8)
+        .orderBy(col("shard"), col("pos"))
     }))
 
   private val rateSql =
@@ -591,5 +611,33 @@ object CurationQueries {
          SELECT doc_id, source, n_tokens, start_offset,
            CAST(start_offset // $PackBudget AS BIGINT) AS pack_id,
            CAST(start_offset % $PackBudget AS BIGINT) AS pack_pos
-         FROM o ORDER BY doc_id""")
+         FROM o ORDER BY doc_id""",
+    // X20: the threshold multiplies in DOUBLE on both sides (DuckDB
+    // decimal literals would be exact where Spark's lit(0.15) is not;
+    // 3n/20's 0.05 granularity keeps ceil() boundary-safe either way)
+    "q_boilerplate_lines" ->
+      s"""WITH pg AS (SELECT doc_id, $pageSql AS page FROM documents),
+         ls AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg),
+         ex AS (SELECT doc_id, unnest(lines) AS line FROM ls),
+         fq AS (SELECT line, count(DISTINCT doc_id) AS dc FROM ex GROUP BY line),
+         th AS (SELECT ceil(CAST(count(*) AS DOUBLE) * CAST(0.15 AS DOUBLE)) AS min_dc FROM pg),
+         fl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS bl
+           FROM fq CROSS JOIN th WHERE dc >= min_dc),
+         k AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+             list_filter(lines, l -> NOT list_contains(bl, l)) AS kept
+           FROM ls CROSS JOIN fl)
+         SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, chr(10)) AS clean_text
+         FROM k ORDER BY doc_id""",
+    // X21: same md5-hex arithmetic as X9's split oracle; binary
+    // collation on ASCII hex makes the within-shard order portable
+    "q_shuffle_shard" ->
+      """WITH k AS (SELECT doc_id,
+             md5('train-' || CAST(doc_id AS VARCHAR)) AS ky FROM documents),
+         s AS (SELECT doc_id, ky,
+             CAST(('0x' || substr(ky, 1, 8))::UBIGINT % 8 AS INT) AS shard
+           FROM k)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ky, doc_id) AS BIGINT) AS pos
+         FROM s ORDER BY shard, pos""")
 }

@@ -151,6 +151,30 @@ object JoinQueries {
         .orderBy(col("pid"))
     }),
 
+    // J6d: nearest as-of — for each purchase, the click of the same
+    // user closest in absolute time, either direction; equidistant
+    // tie → the backward (at-or-before) click. Single union + one
+    // sort + two window frames; from_past marks the chosen side
+    "q_join_asof_near" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ep", graft.Tables.epochSeconds(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ep").as("pep"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"), col("ep").as("cep"))
+      AsOfJoin.asofJoinNearest(
+        left = purchases, right = clicks, key = "user_id",
+        leftTime = col("pep"), rightTime = col("cep"),
+        rightTiebreak = col("cid"), rightPayload = Seq("cid", "cep"),
+        rightTimeField = "cep")
+        .filter(col("asof").isNotNull)
+        .select(col("pid"), col("user_id"),
+          col("asof.cid").cast("long").as("cid"),
+          abs(col("pep") - col("asof.cep").cast("long")).as("gap_s"),
+          (col("asof.cep").cast("long") <= col("pep")).as("from_past"))
+        .orderBy(col("pid"))
+    }),
+
     // J2b: TPC-H Q3 shape — filter both fact sides, join, aggregate,
     // global top-k (TakeOrderedAndProject over the aggregate)
     "q_join_q3" -> ((s, d) => {
@@ -289,6 +313,27 @@ object JoinQueries {
            SELECT p.pid, p.user_id, c.cid, p.pep, c.cep,
              row_number() OVER (PARTITION BY p.pid ORDER BY c.cep DESC, c.cid DESC) AS rn
            FROM p JOIN c ON p.user_id = c.user_id AND c.cep < p.pep)
+         WHERE rn = 1 ORDER BY pid""",
+    // J6d: the candidate set is unconstrained (both directions); rank
+    // by absolute gap, then side (backward first), then the side's
+    // mirror tiebreak — backward max cid, forward min cid
+    "q_join_asof_near" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pep
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS cid, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS cep
+           FROM events WHERE event_type = 'click')
+         SELECT pid, user_id, cid, abs(cep - pep) AS gap_s,
+           cep <= pep AS from_past
+         FROM (
+           SELECT p.pid, p.user_id, c.cid, p.pep, c.cep,
+             row_number() OVER (PARTITION BY p.pid ORDER BY
+               abs(c.cep - p.pep) ASC,
+               CASE WHEN c.cep <= p.pep THEN 0 ELSE 1 END ASC,
+               CASE WHEN c.cep <= p.pep THEN c.cid END DESC NULLS LAST,
+               c.cid ASC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id)
          WHERE rn = 1 ORDER BY pid""",
     "q_join_q3" ->
       """SELECT l_orderkey,

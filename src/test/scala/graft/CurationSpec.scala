@@ -573,4 +573,96 @@ class CurationSpec extends SparkSpec {
     val results = planned.select(col("doc_id")).as[Long].collect().toSet
     assert(results == naiveBudget(d, 100L).map(_._1))
   }
+
+  test("X20 dropBoilerplateLines drops cross-doc frequent lines, keeps order") {
+    // "footer" in 3 of 4 docs (75% >= 50% threshold) → dropped
+    // everywhere; unique lines survive in original order
+    val d = docs(
+      1L -> "alpha one.\nfooter\nbeta two.",
+      2L -> "gamma three.\nfooter",
+      3L -> "footer\ndelta four.",
+      4L -> "epsilon five.\nzeta six.")
+    val out = Curation.dropBoilerplateLines(d, "doc_id", col("text"), 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "alpha one.\nbeta two."),
+      (2L, 2L, 1L, "gamma three."),
+      (3L, 2L, 1L, "delta four."),
+      (4L, 2L, 2L, "epsilon five.\nzeta six.")))
+  }
+
+  test("X20 within-doc duplicate lines count once toward doc frequency") {
+    // "rep" occurs twice in doc 1 but in only 1 of 3 docs (33% < 50%):
+    // NOT boilerplate, both copies kept
+    val d = docs(
+      1L -> "rep\nrep\nown line.",
+      2L -> "other a.",
+      3L -> "other b.")
+    val out = Curation.dropBoilerplateLines(d, "doc_id", col("text"), 0.5)
+      .orderBy("doc_id").select("n_kept", "clean_text")
+      .as[(Long, String)].collect().toSeq
+    assert(out.head == ((3L, "rep\nrep\nown line.")))
+  }
+
+  test("X20 all-boilerplate doc survives with empty clean_text; null text kept") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "footer"), (2L, "footer"), (3L, "footer")
+    )).toDF("doc_id", "text")
+      .union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out = Curation.dropBoilerplateLines(d, "doc_id", col("text"), 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L), "no doc row may drop")
+    assert(out.take(3).forall(r => r._3 == 0L && r._4 == ""))
+    // the null doc's single empty line is only 1 of 4 docs → kept
+    assert(out(3) == ((4L, 1L, 1L, "")))
+  }
+
+  test("X20 plan: the frequent set broadcasts into the anti join") {
+    val d = docs((1L to 40L).map(i => i -> s"unique $i.\nfooter"): _*)
+    val plan = Curation.dropBoilerplateLines(d, "doc_id", col("text"), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"frequent lines must broadcast into the anti join:\n$plan")
+  }
+
+  test("X21 shuffleShard is a permutation: every id once, dense pos per shard") {
+    val d = docs((1L to 200L).map(i => i -> s"t$i"): _*)
+    val out = Curation.shuffleShard(d, "doc_id", "seed1", nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.map(_._1).toSet == (1L to 200L).toSet, "all ids exactly once")
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8), "shard in range")
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $sh pos must be dense 1..n")
+    }
+    // deterministic: an identical second run yields identical addresses
+    val again = Curation.shuffleShard(d, "doc_id", "seed1", nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("X21 a different seed yields an independent permutation") {
+    val d = docs((1L to 200L).map(i => i -> s"t$i"): _*)
+    def addr(seed: String) =
+      Curation.shuffleShard(d, "doc_id", seed, nShards = 8)
+        .select("doc_id", "shard", "pos").as[(Long, Int, Long)]
+        .collect().sortBy(_._1).toSeq
+    val a = addr("epoch-1")
+    val b = addr("epoch-2")
+    assert(a != b, "re-seeding must move documents")
+    val moved = a.zip(b).count { case (x, y) => x._2 != y._2 }
+    assert(moved > 100, s"most docs should change shard on re-seed, moved=$moved")
+  }
+
+  test("X21 plan: the per-shard rank partitions by shard, never globally") {
+    val d = docs((1L to 64L).map(i => i -> s"t$i"): _*)
+    val plan = Curation.shuffleShard(d, "doc_id", "s", nShards = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"),
+      s"window must partition by shard (parallel write path):\n$plan")
+  }
 }
