@@ -254,6 +254,42 @@ object ScaleBench {
           // coalesce: sum over zero matching users is null, not 0
           .agg(coalesce(sum(col("seq_count")), lit(0L))).head.getLong(0)
       }),
+      // round-11: X20 at scale — a constant appended line gives the
+      // frequency pass a 100%-df line to find at every factor while
+      // the replica-suffixed text lines stay far under the threshold;
+      // count = docs that lost a line == ALL docs (factor-exact,
+      // hard-asserted below). Cost shape under test: line-keyed
+      // partial agg + broadcast anti join + doc-keyed reassembly, all
+      // linear in the corpus
+      "boilerplate" -> (() => graft.operators.Curation.dropBoilerplateLines(
+        Tables.table(spark, dir, "documents")
+          .withColumn("page",
+            concat(col("text"), lit("\nsubscribe to our newsletter"))),
+        "doc_id", col("page"), minDocFrac = 0.15)
+        .where(col("n_kept") < col("n_lines")).count()),
+      // round-11: X21 at scale — the write-path shuffle+sort itself;
+      // the pos >= 1 filter forces the per-shard rank window (a bare
+      // count would let Catalyst prune it). Linear, one exchange
+      "shuffle_shard" -> (() => graft.operators.Curation.shuffleShard(
+        Tables.table(spark, dir, "documents"), "doc_id", "sb",
+        nShards = 64)
+        .where(col("pos") >= 1L).count()),
+      // round-11: J6d nearest as-of over the replicated event streams —
+      // per-user histories are identical across replicas, so matches
+      // are factor-exact (hard-asserted); cost = the one |L|+|R|
+      // user-keyed shuffle + sort with two window frames
+      "asof_near" -> (() => {
+        val ev = Tables.table(spark, dir, "events")
+          .withColumn("ep", Tables.epochSeconds(col("ts")))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"), col("ep").as("pep"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id"), col("ep").as("cep"))
+        graft.operators.AsOfJoin.asofJoinNearest(
+          p, c, "user_id", col("pep"), col("cep"),
+          col("cid"), Seq("cid", "cep"), "cep")
+          .where(col("asof").isNotNull).count()
+      }),
       // round-8: X6b decontam pair — identical inputs and n; the join
       // form probes EVERY corpus gram into the broadcast hash table,
       // the bloom form drops clean grams with the map-only bitmap
@@ -520,7 +556,10 @@ object ScaleBench {
     {
       val bm = baseRes.map { case (n, _, c) => n -> c }.toMap
       val sm = bigRes.map { case (n, _, c) => n -> c }.toMap
-      for (p <- Seq("funnel_levels", "sequence_counts");
+      // asof_near: replicated user streams; boilerplate/shuffle_shard:
+      // replicated docs with per-doc-exact counts — all factor-exact
+      for (p <- Seq("funnel_levels", "sequence_counts", "asof_near",
+             "boilerplate", "shuffle_shard");
            b <- bm.get(p); s <- sm.get(p))
         if (s != b * factor) throw new AssertionError(
           s"$p: scaled $s != ${factor}x base $b")

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** J5b: interval OVERLAP join — all pairs (l, r) whose closed
+  * intervals intersect: `lStart <= rEnd AND rStart <= lEnd` (touching
+  * endpoints count). The reference surface's range join (J5) classifies
+  * a POINT into bands; this joins two interval SETS — sessions ×
+  * campaign windows, spans × outage windows, ad impressions × flights.
+  *
+  * Spark plans the raw theta predicate as BroadcastNestedLoopJoin (or
+  * CartesianProduct when neither side fits a broadcast) — quadratic
+  * work that no partitioning distributes. This is the bucketized
+  * equi-join form distributed engines use for temporal/spatial
+  * overlap instead: explode each interval to the coarse time buckets
+  * it covers, equi-join on the bucket id, verify the exact overlap
+  * predicate, and emit each pair ONLY in the FIRST bucket the two
+  * intervals share (`bucket == max(floorDiv(lStart), floorDiv(rStart))`)
+  * — every overlapping pair shares that bucket exactly once, so no
+  * dedup shuffle is ever needed and the join's output is exact.
+  *
+  * Scale: exploded input = Σ ceil(len/bucketWidth + 1) rows; ONE
+  * equi-join shuffle on the bucket id; verify + first-bucket filters
+  * evaluate inside the join stage (codegen). `bucketWidth` is the
+  * dial — near the median interval length it balances the explode
+  * factor (longer intervals → more replicas) against per-bucket pair
+  * mass (wider buckets → more candidate pairs); both failure ends are
+  * visible in the explode count and the join's output rows metric. A
+  * pathological hot bucket (everything overlaps rush hour) is
+  * ordinary equi-join skew — AQE's skew split applies, which is
+  * precisely what a nested-loop plan forfeits.
+  */
+object IntervalJoin {
+
+  /** @param left   intervals probed (columns carried through)
+    * @param right  intervals joined against (columns carried through)
+    * @param bucketWidth time-axis bucket size, same unit as the bounds
+    *
+    * Bounds may be any numeric castable to long (epoch seconds the
+    * usual case); negative times are handled (true floor division via
+    * pmod, not truncating div). Requires lStart <= lEnd per row
+    * (callers with point events pass the same column twice).
+    */
+  def overlapJoin(
+      left: DataFrame, right: DataFrame,
+      lStart: Column, lEnd: Column,
+      rStart: Column, rEnd: Column,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // floor division exact for ANY sign: (x - pmod(x, w)) is an exact
+    // multiple of w and the double division below is integral (epoch
+    // magnitudes ≪ 2^53), unlike SQL `div` which truncates toward 0
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    val lb = left
+      .withColumn("__ls", lStart.cast("long"))
+      .withColumn("__le", lEnd.cast("long"))
+      .withColumn("__lbk", explode(sequence(fdiv(col("__ls")), fdiv(col("__le")))))
+    val rb = right
+      .withColumn("__rs", rStart.cast("long"))
+      .withColumn("__re", rEnd.cast("long"))
+      .withColumn("__rbk", explode(sequence(fdiv(col("__rs")), fdiv(col("__re")))))
+    lb.join(rb,
+        col("__lbk") === col("__rbk") &&
+          col("__ls") <= col("__re") && col("__rs") <= col("__le") &&
+          // first-shared-bucket rule: exactly-once emission, in-join
+          col("__lbk") === greatest(fdiv(col("__ls")), fdiv(col("__rs"))))
+      .drop("__ls", "__le", "__lbk", "__rs", "__re", "__rbk")
+  }
+}

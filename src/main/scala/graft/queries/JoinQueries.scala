@@ -88,6 +88,28 @@ object JoinQueries {
         .orderBy(col("band"))
     }),
 
+    // J5b: interval OVERLAP join — 2 h view windows × 3 h purchase
+    // windows over a 1/10 user subset (bounded but non-degenerate at
+    // every SF); bucketized equi-join, never a nested loop
+    "q_join_interval" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ep", graft.Tables.epochSeconds(col("ts")))
+        .filter(col("user_id") % 10 === 0)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("lid"), col("ep").as("ls"),
+          (col("ep") + 7200L).as("le"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("rid"), col("ep").as("rs"),
+          (col("ep") + 10800L).as("re"))
+      graft.operators.IntervalJoin.overlapJoin(
+        views, purchases, col("ls"), col("le"), col("rs"), col("re"),
+        bucketWidth = 7200L)
+        .select(col("lid"), col("rid"),
+          (least(col("le"), col("re")) - greatest(col("ls"), col("rs")))
+            .as("overlap_s"))
+        .orderBy(col("lid"), col("rid"))
+    }),
+
     // J6: as-of join — for each purchase, the latest click of the same
     // user at or before the purchase time (union + running-window form)
     "q_join_asof" -> ((s, d) => {
@@ -278,6 +300,19 @@ object JoinQueries {
            (960.0, 1000000000.0, 'high')) b(lo, hi, band)
          ON p_retailprice >= lo AND p_retailprice < hi
          GROUP BY band ORDER BY band""",
+    // J5b: the oracle is the raw theta join the bucketized plan must
+    // reproduce exactly (fine at oracle scale, quadratic at 100 TB)
+    "q_join_interval" ->
+      """WITH e AS (SELECT event_id, event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+           FROM events WHERE user_id % 10 = 0),
+         v AS (SELECT event_id AS lid, ep AS ls, ep + 7200 AS le
+           FROM e WHERE event_type = 'view'),
+         p AS (SELECT event_id AS rid, ep AS rs, ep + 10800 AS re
+           FROM e WHERE event_type = 'purchase')
+         SELECT lid, rid, least(le, re) - greatest(ls, rs) AS overlap_s
+         FROM v JOIN p ON ls <= re AND rs <= le
+         ORDER BY lid, rid""",
     "q_join_asof" ->
       """WITH p AS (SELECT event_id AS pid, user_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pep

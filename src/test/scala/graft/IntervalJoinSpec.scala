@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.IntervalJoin
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** J5b: the bucketized equi-join formulation must agree with the
+  * naive theta join on random intervals (including negative times and
+  * bucket widths far from the interval lengths), emit every pair
+  * exactly once without a dedup, and never plan a nested loop.
+  */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gen = Gen.listOfN(40, for {
+    s <- Gen.choose(-100L, 100L); len <- Gen.choose(0L, 50L)
+  } yield (s, s + len))
+
+  test("J5b overlap join equals the naive theta join on random intervals") {
+    for (seed <- 1 to 6; w <- Seq(7L, 30L, 1000L)) {
+      val ls = gen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val rs = gen.apply(Gen.Parameters.default, Seed(seed.toLong + 500)).get
+      val left = ls.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("lid", "ls", "le")
+      val right = rs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rid", "rs", "re")
+      val got = IntervalJoin.overlapJoin(left, right,
+        col("ls"), col("le"), col("rs"), col("re"), w)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      // exactly-once emission — the first-shared-bucket rule, not a dedup
+      assert(got.size == got.toSet.size, s"seed=$seed w=$w duplicate pairs")
+      val want = left.join(right,
+        col("ls") <= col("re") && col("rs") <= col("le"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got.toSet == want, s"seed=$seed w=$w")
+    }
+  }
+
+  test("J5b touching endpoints count, disjoint do not, negatives bucket correctly") {
+    val left = Seq((1L, -10L, 0L), (2L, 5L, 6L)).toDF("lid", "ls", "le")
+    val right = Seq((1L, 0L, 3L), (2L, 7L, 9L)).toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlapJoin(left, right,
+      col("ls"), col("le"), col("rs"), col("re"), 4L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L)))
+  }
+
+  test("J5b plan is an equi join, never a nested loop or cartesian") {
+    val left = (1L to 200L).map(i => (i, i * 10, i * 10 + 5)).toDF("lid", "ls", "le")
+    val right = (1L to 200L).map(i => (i, i * 10 + 3, i * 10 + 8)).toDF("rid", "rs", "re")
+    val plan = IntervalJoin.overlapJoin(left, right,
+      col("ls"), col("le"), col("rs"), col("re"), 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"overlap join must stay equi-keyed:\n$plan")
+  }
+}
