@@ -46,7 +46,11 @@ object DumpPlans {
       "q_funnel_multi" -> "W6e multi-tag funnel -- ClickHouse every-satisfied-condition tagging is a Generate (explode of the <=nSteps-element satisfied-step array) INSIDE the scan's narrow stage, below the one user-keyed Exchange: overlapping conditions multiply rows by at most the step count BEFORE the shuffle, and the stacked window minima shape is identical to q_funnel's from the Exchange up",
       "q_matview" -> "A14 incremental materialized aggregate -- each ingest slice collapses to |keys| state rows via its own partial+final aggregate (map-side combine), the Union then feeds the merge aggregate whose input is 3x|keys| STATE rows, not data rows: the merge stage's exchange moves kilobytes at any corpus size -- the asymmetry AggregatingMergeTree exists for (ObjectHashAggregate carries the HLL binary union)",
       "q_bm25" -> "X19 BM25 retrieval -- the isin(query terms) Filter sits directly on the exploded token Generate inside the corpus scan's narrow stage, so every downstream exchange is |matched postings|-sized, never |corpus tokens|; corpus stats (N, avgdl) and per-term df are broadcast tiny aggregates (BroadcastHashJoin / BroadcastNestedLoopJoin over 1-row and |terms|-row sides); the per-doc score sum is one partial+final aggregate over matches and the top-k is TakeOrderedAndProject -- no global sort, no posting-list materialization",
-      "q_semdedup" -> "X18 SemDeDup -- centroid assignment is the IVF shape (corpus x BroadcastNestedLoopJoin(centroids), partial-agg min_by argmax: no window, no corpus sort), computed ONCE into an operator-scoped cache (InMemoryTableScan feeds both pair sides and the output join; CacheLifecycle releases it after the consuming action); the pair stage shuffles on hashpartitioning(cell) and the quadratic cosine work runs inside cell-local SortMergeJoin blocks (|D|^2/nlist pair mass at the sqrt-n default); the dup-flag join is id-only (vectors never re-shuffle) and the distinct dup-id side is aggregate-bounded, broadcastable at scale")
+      "q_semdedup" -> "X18 SemDeDup -- centroid assignment is the IVF shape (corpus x BroadcastNestedLoopJoin(centroids), partial-agg min_by argmax: no window, no corpus sort), computed ONCE into an operator-scoped cache (InMemoryTableScan feeds both pair sides and the output join; CacheLifecycle releases it after the consuming action); the pair stage shuffles on hashpartitioning(cell) and the quadratic cosine work runs inside cell-local SortMergeJoin blocks (|D|^2/nlist pair mass at the sqrt-n default); the dup-flag join is id-only (vectors never re-shuffle) and the distinct dup-id side is aggregate-bounded, broadcastable at scale",
+      "q_join_interval" -> "J5b interval overlap join -- each interval side explodes to its covered time buckets inside its own narrow stage (Generate below the join), the join itself is EQUI on the bucket id with the exact-overlap verify and the first-shared-bucket exactly-once rule evaluated in the join condition: a hash/sort-merge join Spark can shuffle-partition and AQE can skew-split, where the raw theta predicate would plan BroadcastNestedLoopJoin and distribute nothing",
+      "q_join_asof_near" -> "J6d nearest as-of -- the same union + ONE user-keyed Exchange + ONE Sort as the directional arms; the backward running carry (last over preceding frame) and the forward probe (first over following frame) are two frames over that single sort inside the Window stage, and the smaller-gap pick is a map-only projection: no join, no second shuffle, |L|+|R| rows end to end",
+      "q_boilerplate_lines" -> "X20 cross-doc boilerplate -- the doc-frequency pass is the plan's one line-keyed exchange (partial distinct + count combine map-side over the exploded lines); the frequent set -- provably bounded by avgLinesPerDoc/minDocFrac -- broadcasts into a LeftAnti BroadcastHashJoin so the corpus is never shuffled by line for the removal; order-preserving reassembly is one doc-keyed ObjectHashAggregate over (pos, line) structs",
+      "q_shuffle_shard" -> "X21 training shuffle-shard -- ONE hashpartitioning(shard) Exchange + per-shard Sort + row_number Window: exactly the repartition(shard).sortWithinPartitions(key) write path a shard writer runs, parallelism = shard count, no global-order window anywhere")
     val sb = new StringBuilder
     sb ++= "# PLANS -- physical-plan evidence for the 100 TB posture\n\n"
     sb ++= "`explain(\"formatted\")` output (sf0.001 inputs; plan shape is scale-independent).\n"
