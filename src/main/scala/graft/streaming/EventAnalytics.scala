@@ -55,6 +55,34 @@ object EventAnalytics {
       eventKey: Column, dimKey: Column): DataFrame =
     events.join(broadcast(staticDim), eventKey === dimKey, "left")
 
+  /** ST8b: stream-STREAM join with an event-time interval constraint —
+    * e.g. clicks joined to the purchases that follow them within
+    * `horizon` (click-to-purchase attribution). Both sides carry
+    * watermarks and the join condition bounds rightTs inside
+    * [leftTs, leftTs + horizon]; that pair is what lets Spark derive a
+    * state watermark for EACH buffer and EVICT rows once the other
+    * side's watermark passes their interval end — without the time
+    * bound, stream-stream join state grows with all history (the
+    * unbounded-state trap, same class as a bare groupBy(user)). Inner
+    * join: a match emits as soon as both rows have arrived; the state
+    * drain is audited in the spec via the query's own
+    * stateOperators.numRowsTotal.
+    *
+    * Scale: state per key ≈ rows inside the watermark+horizon span —
+    * independent of history; the join shuffles both streams on the
+    * key (micro-batch-sized exchanges). Column names must be distinct
+    * across the two sides (the condition is built by name).
+    */
+  def joinStreamsWithin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      horizon: String, watermark: String = "10 minutes"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
+          s"AND $rightTs <= $leftTs + interval $horizon"))
+
   /** ST10c: streaming cohort retention — the W7 dashboard served
     * incrementally. Deliberately NOT `flatMapGroupsWithState`: keyed
     * on (tumbling cohort window, user), the conditional-max flags are

@@ -532,6 +532,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST8b: stream-stream interval join matches in-window pairs; state drains") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purch = MemoryStream[(Timestamp, Long, Long)]
+    val joined = EventAnalytics.joinStreamsWithin(
+      clicks.toDF().toDF("cts", "cuser", "cid"),
+      purch.toDF().toDF("pts", "puser", "pid"),
+      "cuser", "puser", "cts", "pts",
+      horizon = "10 minutes", watermark = "5 minutes")
+      .select(col("cid"), col("pid"))
+    val q = joined.writeStream.format("memory").queryName("st8b")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // realistic event times: timestamps near epoch 0 sit on the
+      // initial-watermark boundary and the interval-condition state
+      // math silently discards them (verified empirically)
+      val b = 1700000000L
+      clicks.addData((ts(b), 1L, 100L), (ts(b + 60), 2L, 101L), (ts(b), 3L, 102L))
+      purch.addData(
+        (ts(b + 300), 1L, 200L),   // user 1: 5 min after the click — match
+        (ts(b + 5000), 2L, 201L),  // user 2: 83 min after — outside horizon
+        (ts(b + 3), 4L, 202L))     // user 4: no click at all
+      q.processAllAvailable()
+      val out = spark.table("st8b").as[(Long, Long)].collect().toSet
+      assert(out === Set((100L, 200L)),
+        "only the within-horizon same-user pair may join")
+      val before = stateRows(q)
+      assert(before >= 4L, s"unmatched rows buffer in join state, got $before")
+      // advance BOTH watermarks far past every buffered interval end
+      // (disjoint users so no new matches) and tick twice: eviction
+      // happens on the trigger after the watermark moves
+      clicks.addData((ts(b + 100000), 8L, 998L))
+      purch.addData((ts(b + 100000), 9L, 999L))
+      q.processAllAvailable()
+      clicks.addData((ts(b + 110000), 8L, 997L))
+      purch.addData((ts(b + 110000), 9L, 996L))
+      q.processAllAvailable()
+      val after = stateRows(q)
+      assert(after < before, s"join state must evict expired rows: $after >= $before")
+      assert(after <= 4L, s"only the recent rows may remain buffered, got $after")
+    } finally q.stop()
+  }
+
   test("F2/F3: uuid and random uniform choice expressions (shape and domain)") {
     val df = spark.range(200).select(
       expr("uuid()").as("u"),
