@@ -355,6 +355,23 @@ object NorthStarQueries {
         .orderBy(col("bench_id"), col("rnk"))
     }),
 
+    // X19d: the df-cap arm as a first-class value-checked query — the
+    // production-bounded form of q_bm25_join. Cap 0.78 splits this
+    // fixture's dense band (30 terms at df 0.75–0.83): the densest
+    // terms drop BEFORE the postings join, the rest still score, so
+    // the result is non-degenerate at every SF while the |Q|·|corpus|
+    // worst case is bounded (measured 8.2 s → ~1 s at sf0.1)
+    "q_bm25_join_capped" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val bench = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.operators.Retrieval.bm25JoinTopK(
+        corpus = docs, corpusId = "doc_id", corpusText = col("text"),
+        queries = bench, queryId = "bench_id", queryText = col("text"),
+        k = 5, maxDfFraction = 0.78)
+        .orderBy(col("bench_id"), col("rnk"))
+    }),
+
     // X19b: hybrid retrieval — BM25 top-50 (lexical) fused with the
     // cosine top-50 for one query vector (semantic) by reciprocal-rank
     // fusion; only ranks cross the fusion boundary, so the two score
@@ -913,6 +930,39 @@ object NorthStarQueries {
                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
            FROM tf JOIN dl ON dl.doc_id = tf.doc_id
            JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN st),
+         g AS (SELECT bench_id, doc_id,
+             round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+           FROM sc GROUP BY bench_id, doc_id),
+         r AS (SELECT bench_id, doc_id, score, n_terms,
+             CAST(row_number() OVER (PARTITION BY bench_id
+               ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+           FROM g)
+         SELECT bench_id, doc_id, score, n_terms, rnk FROM r
+         WHERE rnk <= 5 ORDER BY bench_id, rnk""",
+    // X19d: identical formula; query terms with corpus df above
+    // 0.78·N are dropped before the postings join (the multiply runs
+    // in DOUBLE on both sides — same literal-parity note as X20)
+    "q_bm25_join_capped" ->
+      """WITH q AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0),
+         qt0 AS (SELECT DISTINCT bench_id, tok FROM
+           (SELECT bench_id, unnest(string_split(text, ' ')) AS tok FROM q)),
+         toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         dfall AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfc
+           FROM toks WHERE tok IN (SELECT DISTINCT tok FROM qt0) GROUP BY tok),
+         qt AS (SELECT qt0.bench_id, qt0.tok FROM qt0
+           JOIN dfall USING (tok) CROSS JOIN st
+           WHERE dfall.dfc <= CAST(0.78 AS DOUBLE) * st.n_docs),
+         m AS (SELECT qt.bench_id, toks.doc_id, toks.tok FROM toks JOIN qt USING (tok)),
+         tf AS (SELECT bench_id, doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM m GROUP BY bench_id, doc_id, tok),
+         sc AS (SELECT tf.bench_id, tf.doc_id,
+             ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+           FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+           JOIN dfall ON dfall.tok = tf.tok CROSS JOIN st),
          g AS (SELECT bench_id, doc_id,
              round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score,
              CAST(COUNT(*) AS BIGINT) AS n_terms
