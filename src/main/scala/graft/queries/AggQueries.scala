@@ -225,6 +225,29 @@ object AggQueries {
         .orderBy(col("day"))
     }),
 
+    // A15: cumulative distinct users per action — "users who have
+    // done X by day d", rewritten scale-right: an expanding-window
+    // COUNT(DISTINCT) rescans O(days · corpus); instead derive each
+    // user's FIRST day doing the action (one keyed partial agg — a
+    // user enters the cumulative count on that day, permanently) and
+    // prefix-sum the per-day first-touch counts. The window runs over
+    // ~|actions|·|days| aggregate rows, partitioned by action — never
+    // the corpus, never single-partition
+    "q_cumulative_users" -> ((s, d) => {
+      val firstDay = table(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(date_format(graft.Tables.tsSeconds(col("ts")), "yyyy-MM-dd"))
+          .as("day"))
+      val perDay = firstDay.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      perDay.withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // A2: bucketed latency-histogram analogue over the value measure
     "q_histogram" -> ((s, d) => {
       table(s, d, "events")
@@ -437,6 +460,16 @@ object AggQueries {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
          FROM events GROUP BY 1 ORDER BY day""",
+    "q_cumulative_users" ->
+      """WITH f AS (SELECT user_id, event_type,
+             min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day
+           FROM events GROUP BY user_id, event_type),
+         p AS (SELECT event_type, day, COUNT(*) AS new_users
+           FROM f GROUP BY event_type, day)
+         SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         FROM p ORDER BY event_type, day""",
     "q_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
