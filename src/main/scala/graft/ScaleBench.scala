@@ -290,6 +290,25 @@ object ScaleBench {
           col("cid"), Seq("cid", "cep"), "cep")
           .where(col("asof").isNotNull).count()
       }),
+      // round-11: J5b KEYED interval overlap join — per-user view
+      // windows × purchase windows; replicated user streams keep the
+      // per-key pair structure identical across replicas, so the
+      // overlap count is factor-exact (hard-asserted). Cost shape:
+      // explode to (user, bucket) equi keys, one shuffle, in-join
+      // verify — pair mass stays per-user-bounded as users multiply
+      "interval_overlap" -> (() => {
+        val ev = Tables.table(spark, dir, "events")
+          .withColumn("ep", Tables.epochSeconds(col("ts")))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("lid"), col("user_id").as("luser"),
+            col("ep").as("ls"), (col("ep") + 7200L).as("le"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("rid"), col("user_id").as("ruser"),
+            col("ep").as("rs"), (col("ep") + 10800L).as("re"))
+        graft.operators.IntervalJoin.overlapJoin(
+          v, p, col("ls"), col("le"), col("rs"), col("re"),
+          bucketWidth = 7200L, keys = Seq("luser" -> "ruser")).count()
+      }),
       // round-8: X6b decontam pair — identical inputs and n; the join
       // form probes EVERY corpus gram into the broadcast hash table,
       // the bloom form drops clean grams with the map-only bitmap
@@ -559,7 +578,7 @@ object ScaleBench {
       // asof_near: replicated user streams; boilerplate/shuffle_shard:
       // replicated docs with per-doc-exact counts — all factor-exact
       for (p <- Seq("funnel_levels", "sequence_counts", "asof_near",
-             "boilerplate", "shuffle_shard");
+             "boilerplate", "shuffle_shard", "interval_overlap");
            b <- bm.get(p); s <- sm.get(p))
         if (s != b * factor) throw new AssertionError(
           s"$p: scaled $s != ${factor}x base $b")

@@ -36,6 +36,12 @@ object IntervalJoin {
   /** @param left   intervals probed (columns carried through)
     * @param right  intervals joined against (columns carried through)
     * @param bucketWidth time-axis bucket size, same unit as the bounds
+    * @param keys   optional equi-key pairs (leftColName, rightColName)
+    *        ANDed into the join — the keyed form (sessions × campaign
+    *        windows PER USER); the join then hash-partitions on
+    *        (keys, bucket), so blocking tightens to same-key same-time
+    *        rows and per-key parallelism multiplies the bucket count.
+    *        Names must differ across sides (like the bound columns).
     *
     * Bounds may be any numeric castable to long (epoch seconds the
     * usual case); negative times are handled (true floor division via
@@ -46,7 +52,8 @@ object IntervalJoin {
       left: DataFrame, right: DataFrame,
       lStart: Column, lEnd: Column,
       rStart: Column, rEnd: Column,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     // floor division exact for ANY sign: (x - pmod(x, w)) is an exact
     // multiple of w and the double division below is integral (epoch
@@ -61,11 +68,14 @@ object IntervalJoin {
       .withColumn("__rs", rStart.cast("long"))
       .withColumn("__re", rEnd.cast("long"))
       .withColumn("__rbk", explode(sequence(fdiv(col("__rs")), fdiv(col("__re")))))
-    lb.join(rb,
-        col("__lbk") === col("__rbk") &&
-          col("__ls") <= col("__re") && col("__rs") <= col("__le") &&
-          // first-shared-bucket rule: exactly-once emission, in-join
-          col("__lbk") === greatest(fdiv(col("__ls")), fdiv(col("__rs"))))
+    val cond = keys.foldLeft(
+      col("__lbk") === col("__rbk") &&
+        col("__ls") <= col("__re") && col("__rs") <= col("__le") &&
+        // first-shared-bucket rule: exactly-once emission, in-join
+        col("__lbk") === greatest(fdiv(col("__ls")), fdiv(col("__rs")))) {
+      case (c, (lk, rk)) => c && col(lk) === col(rk)
+    }
+    lb.join(rb, cond)
       .drop("__ls", "__le", "__lbk", "__rs", "__re", "__rbk")
   }
 }

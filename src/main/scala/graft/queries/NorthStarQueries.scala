@@ -356,19 +356,23 @@ object NorthStarQueries {
     }),
 
     // X19d: the df-cap arm as a first-class value-checked query — the
-    // production-bounded form of q_bm25_join. Cap 0.78 splits this
-    // fixture's dense band (30 terms at df 0.75–0.83): the densest
-    // terms drop BEFORE the postings join, the rest still score, so
-    // the result is non-degenerate at every SF while the |Q|·|corpus|
-    // worst case is bounded (measured 8.2 s → ~1 s at sf0.1)
+    // production-bounded form of q_bm25_join, same protocol as the
+    // measured Bm25CapBench run (8.2 s → ~1 s at sf0.1): cap 0.7
+    // drops ALL of this fixture's dense band (df 0.75–0.83) before
+    // the postings join, and the query slice adds the rare-term
+    // ('dup', df 5%) docs to the %97 slice so the capped arm scores
+    // real matches at every SF — queries whose terms are all capped
+    // vanish per the operator contract
     "q_bm25_join_capped" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val bench = docs.where(col("doc_id") % 97 === 0)
+      val bench = docs
+        .where(col("doc_id") % 97 === 0 ||
+          array_contains(split(col("text"), " "), "dup"))
         .select(col("doc_id").as("bench_id"), col("text"))
       graft.operators.Retrieval.bm25JoinTopK(
         corpus = docs, corpusId = "doc_id", corpusText = col("text"),
         queries = bench, queryId = "bench_id", queryText = col("text"),
-        k = 5, maxDfFraction = 0.78)
+        k = 5, maxDfFraction = 0.7)
         .orderBy(col("bench_id"), col("rnk"))
     }),
 
@@ -941,10 +945,12 @@ object NorthStarQueries {
          SELECT bench_id, doc_id, score, n_terms, rnk FROM r
          WHERE rnk <= 5 ORDER BY bench_id, rnk""",
     // X19d: identical formula; query terms with corpus df above
-    // 0.78·N are dropped before the postings join (the multiply runs
+    // 0.7·N are dropped before the postings join (the multiply runs
     // in DOUBLE on both sides — same literal-parity note as X20)
     "q_bm25_join_capped" ->
-      """WITH q AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0),
+      """WITH q AS (SELECT doc_id AS bench_id, text FROM documents
+           WHERE doc_id % 97 = 0
+              OR list_contains(string_split(text, ' '), 'dup')),
          qt0 AS (SELECT DISTINCT bench_id, tok FROM
            (SELECT bench_id, unnest(string_split(text, ' ')) AS tok FROM q)),
          toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -954,7 +960,7 @@ object NorthStarQueries {
            FROM toks WHERE tok IN (SELECT DISTINCT tok FROM qt0) GROUP BY tok),
          qt AS (SELECT qt0.bench_id, qt0.tok FROM qt0
            JOIN dfall USING (tok) CROSS JOIN st
-           WHERE dfall.dfc <= CAST(0.78 AS DOUBLE) * st.n_docs),
+           WHERE dfall.dfc <= CAST(0.7 AS DOUBLE) * st.n_docs),
          m AS (SELECT qt.bench_id, toks.doc_id, toks.tok FROM toks JOIN qt USING (tok)),
          tf AS (SELECT bench_id, doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
            FROM m GROUP BY bench_id, doc_id, tok),

@@ -46,6 +46,36 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Set((1L, 1L)))
   }
 
+  test("J5b keyed overlap join restricts pairs to equal keys, matches the reference") {
+    val left = Seq((1L, 10L, 0L, 5L), (2L, 20L, 0L, 5L)).toDF("lid", "luser", "ls", "le")
+    val right = Seq((1L, 10L, 3L, 8L), (2L, 30L, 3L, 8L)).toDF("rid", "ruser", "rs", "re")
+    val got = IntervalJoin.overlapJoin(left, right,
+      col("ls"), col("le"), col("rs"), col("re"), 4L,
+      keys = Seq("luser" -> "ruser"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    // rid 2 overlaps in time but belongs to another key
+    assert(got == Set((1L, 1L)))
+    // randomized keyed equivalence vs the naive theta+key join
+    for (seed <- 1 to 4) {
+      val ls = gen.apply(org.scalacheck.Gen.Parameters.default,
+        Seed(seed.toLong)).get
+      val rs = gen.apply(org.scalacheck.Gen.Parameters.default,
+        Seed(seed.toLong + 900)).get
+      val l = ls.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, i.toLong % 3, a, b) }.toDF("lid", "luser", "ls", "le")
+      val r = rs.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, i.toLong % 3, a, b) }.toDF("rid", "ruser", "rs", "re")
+      val fast = IntervalJoin.overlapJoin(l, r,
+        col("ls"), col("le"), col("rs"), col("re"), 15L,
+        keys = Seq("luser" -> "ruser"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val want = l.join(r, col("luser") === col("ruser") &&
+          col("ls") <= col("re") && col("rs") <= col("le"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(fast == want, s"keyed seed=$seed")
+    }
+  }
+
   test("J5b plan is an equi join, never a nested loop or cartesian") {
     val left = (1L to 200L).map(i => (i, i * 10, i * 10 + 5)).toDF("lid", "ls", "le")
     val right = (1L to 200L).map(i => (i, i * 10 + 3, i * 10 + 8)).toDF("rid", "rs", "re")
