@@ -759,4 +759,78 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(id), col("shard"), col("pos"))
   }
+
+  /** X22: DSIR — Data Selection via Importance Resampling (Xie et
+    * al. 2023, arXiv:2302.03169): pick raw-corpus documents that look
+    * like a small TARGET domain (a benchmark, a curated high-quality
+    * set) by importance weight under hashed n-gram bag-of-words
+    * models. Features are word bigrams hashed into `buckets` bins
+    * (the paper's hashed n-gram trick — the model size is fixed at
+    * `buckets` regardless of vocabulary); the target and raw unigram-
+    * of-bigram distributions are estimated with add-one smoothing,
+    * and each raw document's log importance weight is
+    * Σ_features [ln p_target(b) − ln p_raw(b)] over its bigram
+    * OCCURRENCES. Returns (id, n_feats, logweight) for every raw
+    * (non-target) document with ≥ 1 bigram.
+    *
+    * All arithmetic is engine-portable by the X13 conventions: bucket
+    * assignment is the md5-based [[hashBucket]]; counts are exact
+    * integer-valued doubles; the smoothed ratios divide exact
+    * integers (IEEE-deterministic); ln is the same parity class as
+    * X13; the per-doc sum is DECIMAL-exact so partition order never
+    * leaks into the score. Top-k selection on (logweight desc, id) is
+    * the deterministic arm; the paper's sampled variant is exactly
+    * [[weightedSample]] fed with Gumbel-perturbed log weights.
+    *
+    * Scale (100 TB posture): both distribution tables have at most
+    * `buckets` rows — a CONSTANT — so they reduce through one
+    * bucket-keyed partial agg each (map-side combine; the shuffle
+    * carries ≤ buckets · partitions rows) and the log-ratio table is
+    * force-broadcast (bounded by `buckets`, never by data size).
+    * Scoring is explode → broadcast join → doc-keyed partial sum:
+    * one corpus scan for the distributions, one for the scores, zero
+    * corpus self-joins, no window anywhere.
+    */
+  def dsirLogWeights(
+      df: DataFrame,
+      id: String,
+      text: Column,
+      isTarget: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val toks = df.select(col(id), isTarget.as("__tgt"), split(text, " ").as("t"))
+    val feats = toks
+      .where(size(col("t")) >= 2)
+      .select(col(id), col("__tgt"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
+      .select(col(id), col("__tgt"),
+        hashBucket(concat_ws(" ", col("b.w1"), col("b.w2")), buckets).as("b"))
+    val rawC = feats.where(!col("__tgt"))
+      .groupBy("b").agg(count(lit(1)).cast("double").as("cr"))
+    val tgtC = feats.where(col("__tgt"))
+      .groupBy("b").agg(count(lit(1)).cast("double").as("ct"))
+    // totals are exact sums of integer-valued doubles (DECIMAL path,
+    // order-free); one row each, broadcast via the tiny cross join
+    val totals = rawC
+      .agg(sum(col("cr").cast("decimal(38,6)")).cast("double").as("Tr"))
+      .crossJoin(tgtC
+        .agg(coalesce(sum(col("ct").cast("decimal(38,6)")), lit(0))
+          .cast("double").as("Tt")))
+    // raw buckets left-join target counts: every scored feature comes
+    // from a raw doc, so the raw side covers the scoring domain; a
+    // bucket the target never hits contributes its smoothed floor
+    val logRatio = rawC
+      .join(tgtC, Seq("b"), "left")
+      .na.fill(0.0, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + 1) / (col("Tt") + buckets)) -
+          log((col("cr") + 1) / (col("Tr") + buckets))).as("lr"))
+    feats.where(!col("__tgt"))
+      .join(broadcast(logRatio), "b")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_feats"),
+        (sum(col("lr").cast("decimal(38,15)")).cast("double")).as("logweight"))
+  }
 }

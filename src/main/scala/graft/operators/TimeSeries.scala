@@ -102,4 +102,64 @@ object TimeSeries {
       }
     CacheLifecycle.releaseAfterAction(out, counts)
   }
+
+  /** W4c: rolling z-score anomaly detection over an integral series —
+    * the monitoring rule an observability plane runs on ingested
+    * volumes (reference §3.3 exposes exactly these counters): each
+    * (key, bucket) count is compared against its own trailing
+    * `lookback`-bucket baseline, z = (x − μ)/σ over the PRECEDING
+    * frame only (the current point must not contaminate its own
+    * baseline), flagged when |z| > `threshold`. Rows with fewer than
+    * `minN` trailing points (warm-up) or a degenerate baseline
+    * (σ² ≈ 0) get a null z / null flag rather than a false verdict.
+    *
+    * Engine-portable numerics: `value` must be integral (a count).
+    * The window aggregates are then sums of longs — exact in ANY
+    * accumulation order — and μ, σ², z derive from those exact
+    * integers through one fixed double expression tree, so two
+    * engines agree bit-for-bit before the round(6). (Contrast
+    * stddev_samp over doubles, whose partition-order-dependent
+    * summation is exactly what this formulation avoids.) Divisions
+    * are CASE-guarded for ANSI mode: empty/size-1 frames yield null,
+    * never DIVIDE_BY_ZERO.
+    *
+    * Scale: one (key, bucket)-keyed partial agg upstream of this (the
+    * caller buckets raw volume first — raw events never reach the
+    * window), then ONE hash-partition window per key over
+    * series-length rows. Series data is count-table-sized (keys ×
+    * buckets), orders of magnitude below the event volume it
+    * summarizes.
+    *
+    * Input: one row per (partition keys, `ord` bucket) with integral
+    * `value`. Output adds n_w, base_mean, z, is_anomaly.
+    */
+  def rollingZScore(
+      df: DataFrame,
+      keys: Seq[String],
+      ord: Column,
+      value: Column,
+      lookback: Int,
+      minN: Int = 3,
+      threshold: Double = 2.0): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2: $lookback")
+    require(minN >= 2, s"minN must be >= 2: $minN")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+      .rowsBetween(-lookback.toLong, -1L)
+    val d2 = (c: Column) => c.cast("double")
+    df.withColumn("__x", value.cast("long"))
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("__sm", sum(col("__x")).over(w))
+      .withColumn("__ss", sum(col("__x") * col("__x")).over(w))
+      .withColumn("base_mean",
+        when(col("n_w") >= 1, d2(col("__sm")) / d2(col("n_w"))))
+      .withColumn("__vr",
+        when(col("n_w") >= 2,
+          (d2(col("__ss")) - d2(col("__sm")) * d2(col("__sm")) / d2(col("n_w"))) /
+            d2(col("n_w") - 1)))
+      .withColumn("z",
+        when(col("n_w") >= minN && col("__vr") > 1e-9,
+          round((d2(col("__x")) - col("base_mean")) / sqrt(col("__vr")), 6)))
+      .withColumn("is_anomaly", abs(col("z")) > threshold)
+      .drop("__x", "__sm", "__ss", "__vr")
+  }
 }

@@ -71,4 +71,46 @@ object VersionedDedup {
       isDeleted: Column,
       tiebreak: Seq[Column] = Nil): DataFrame =
     latestByVersion(df, keys, version, tiebreak).filter(!isDeleted)
+
+  /** W1c: SCD Type-2 history — the temporal COMPLEMENT of
+    * [[currentState]]: instead of keeping only each key's latest
+    * version, turn the whole change log into validity intervals
+    * (Kimball's slowly-changing-dimension type 2, the standard
+    * warehouse shape a CDC feed like the reference's
+    * internal/ingestion/cdc.go:25-85 ultimately lands as). Each
+    * non-delete change row becomes one history row valid over
+    * [valid_from, valid_to): valid_from is the change's effective
+    * time, valid_to is the NEXT change's effective time for the same
+    * key (delete changes close their predecessor's interval but emit
+    * no row of their own), and a null valid_to marks the key's
+    * current, still-open version (`is_current`).
+    *
+    * `version` must totally order changes within a key (e.g. LSN);
+    * `effectiveTs` is the business time stamped on the interval
+    * bounds and need not equal the ordering column.
+    *
+    * Scale (100 TB posture): exactly ONE hash-partition shuffle on
+    * `keys` feeding one per-key window — identical cost to the
+    * flagship [[latestByVersion]]; the delete filter happens after
+    * `lead` (a delete's effective time must close the predecessor)
+    * but before any downstream exchange, so closed-by-delete rows
+    * never travel. Point-in-time lookup over the result is a plain
+    * range predicate (valid_from <= t < coalesce(valid_to, inf)),
+    * which Catalyst pushes into the scan when the history is stored
+    * partitioned by key or bucketed on it.
+    */
+  def scd2History(
+      df: DataFrame,
+      keys: Seq[String],
+      version: Column,
+      effectiveTs: Column,
+      isDelete: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version)
+    df.withColumn("valid_from", effectiveTs)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("__del", isDelete)
+      .filter(!col("__del"))
+      .drop("__del")
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -300,6 +300,25 @@ object AggQueries {
         .orderBy(col("user_id"))
     }),
 
+    // A15: exact percentile family — `percentile` with multiple cut
+    // points in ONE pass per group (sort-based within the aggregate
+    // buffer; the exact complement of A4's approx sketches). Both
+    // engines use the standard p·(n−1) linear-interpolation
+    // definition; round(6) absorbs the last-ulp interpolation
+    // arithmetic difference
+    "q_percentiles" -> ((s, d) => {
+      val p = expr("percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))")
+      table(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), p.as("pq"))
+        .select(col("event_type"), col("n"),
+          round(element_at(col("pq"), 1), 6).as("p25"),
+          round(element_at(col("pq"), 2), 6).as("p50"),
+          round(element_at(col("pq"), 3), 6).as("p90"),
+          round(element_at(col("pq"), 4), 6).as("p99"))
+        .orderBy(col("event_type"))
+    }),
+
     // A8: argmax-by-version via max_by — latest event per user
     // (partial-agg friendly alternative to the W1 window; see
     // VersionedDedup.latestByVersionAgg)
@@ -496,6 +515,13 @@ object AggQueries {
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
          round(SUM(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS error_rate
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+         round(quantile_cont(value, 0.25), 6) AS p25,
+         round(quantile_cont(value, 0.5),  6) AS p50,
+         round(quantile_cont(value, 0.9),  6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_latest_by" ->
       """SELECT user_id, MAX(event_id) AS last_event_id,
          arg_max(event_type, event_id) AS last_type,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables.table
 import graft.operators.Curation
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators over the `documents` table (SURVEY.md
@@ -294,6 +295,24 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X22: DSIR importance selection — top 400 raw docs whose hashed-
+    // bigram distribution best matches the benchmark target set
+    // (doc_id % 10 == 0, the X6 convention); 256 feature buckets.
+    // TakeOrderedAndProject does the global top-k; the rank window
+    // runs over the 400 surviving rows only (driver-side trivia,
+    // the q_vocab pattern)
+    "q_dsir_select" -> ((s, d) => {
+      Curation.dsirLogWeights(table(s, d, "documents"), "doc_id",
+        col("text"), isTarget = col("doc_id") % 10 === 0, buckets = 256)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("logweight"), 6).as("logweight"))
+        .orderBy(col("logweight").desc, col("doc_id")).limit(400)
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("logweight").desc, col("doc_id")))
+          .cast("long"))
+        .orderBy(col("rk"))
+    }),
+
     // X10: concat-and-chunk sequence packing, per-source shards
     "q_pack_sequences" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -579,6 +598,34 @@ object CurationQueries {
              row_number() OVER (PARTITION BY lang ORDER BY ky DESC, doc_id) AS rn
            FROM s)
          SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20 ORDER BY doc_id""",
+    // X22: same md5 bucket arithmetic as X9/X11; counts and totals
+    // are exact integers, the smoothed ratios divide exact integers
+    // (IEEE-deterministic), ln is the X13 parity class, per-doc sum
+    // DECIMAL-exact
+    "q_dsir_select" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS g
+               FROM tk WHERE len(t) >= 2),
+         fb AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % 256 AS BIGINT) AS b
+           FROM bi),
+         rawc AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM fb
+           WHERE doc_id % 10 <> 0 GROUP BY b),
+         tgtc AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM fb
+           WHERE doc_id % 10 = 0 GROUP BY b),
+         tot AS (SELECT
+             (SELECT CAST(sum(CAST(cr AS DECIMAL(38,6))) AS DOUBLE) FROM rawc) AS tr,
+             (SELECT CAST(coalesce(sum(CAST(ct AS DECIMAL(38,6))), 0) AS DOUBLE) FROM tgtc) AS tt),
+         lr AS (SELECT rawc.b AS b,
+             ln((coalesce(ct, 0) + 1) / (tt + 256)) - ln((cr + 1) / (tr + 256)) AS lr
+           FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tot),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             round(CAST(sum(CAST(lr AS DECIMAL(38,15))) AS DOUBLE), 6) AS logweight
+           FROM fb JOIN lr USING (b) WHERE doc_id % 10 <> 0 GROUP BY doc_id)
+         SELECT doc_id, n_feats, logweight,
+           CAST(row_number() OVER (ORDER BY logweight DESC, doc_id) AS BIGINT) AS rk
+         FROM sc ORDER BY rk LIMIT 400""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source FROM (
            SELECT doc_id, lang, source,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables.table
 import graft.operators.VersionedDedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,6 +32,23 @@ object WindowQueries {
           col("event_type").as("cur_type"), round(col("value"), 2).as("cur_value"),
           date_format(graft.Tables.tsSeconds(col("ts")), "yyyy-MM-dd HH:mm:ss").as("cur_ts"))
         .orderBy(col("user_id"))
+    }),
+
+    // W1c: SCD Type-2 history — the full validity-interval view of
+    // the same versioned upsert stream q_current_state collapses:
+    // every non-delete change becomes [valid_from, valid_to), a
+    // delete closes its predecessor, null valid_to = current
+    "q_scd2" -> ((s, d) => {
+      VersionedDedup.scd2History(
+        table(s, d, "events"),
+        keys = Seq("user_id"),
+        version = col("event_id"),
+        effectiveTs = graft.Tables.epochSeconds(col("ts")),
+        isDelete = col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("event_id"))
     }),
 
     // W2/O2: per-group top-N (top 3 users per event type by count)
@@ -64,6 +81,28 @@ object WindowQueries {
           sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
         .select(col("user_id"), col("event_id"), col("run_value"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // W4c: rolling z-score anomaly detection — daily event volume per
+    // type vs its trailing-7-day baseline; the monitoring query an
+    // observability plane (reference §3.3) runs over ingested counts.
+    // Engine-portable numerics: the window aggregates are SUMS OF
+    // LONGS (count, Σcnt, Σcnt²) — exact in any accumulation order —
+    // and mean/variance/z are derived from those exact integers with
+    // one fixed expression tree, so both engines produce the same
+    // doubles bit-for-bit before the round(6)
+    "q_anomaly" -> ((s, d) => {
+      val daily = table(s, d, "events")
+        .select(col("event_type"),
+          floor(graft.Tables.epochSeconds(col("ts")) / lit(86400.0))
+            .cast("long").as("day_id"))
+        .groupBy(col("event_type"), col("day_id")).agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.rollingZScore(daily,
+        keys = Seq("event_type"), ord = col("day_id"), value = col("cnt"),
+        lookback = 7, minN = 3, threshold = 2.0)
+        .select(col("event_type"), col("day_id"), col("cnt"),
+          round(col("base_mean"), 6).as("base_mean"), col("z"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("day_id"))
     }),
 
     // W5: ntile + percent_rank over value within type
@@ -281,6 +320,17 @@ object WindowQueries {
                FROM events)
          WHERE rn = 1 AND event_type <> 'error'
          ORDER BY user_id""",
+    // W1c: lead() must see delete rows (they close predecessors)
+    // before the delete filter drops them — same shape both engines
+    "q_scd2" ->
+      """WITH t AS (SELECT user_id, event_id, event_type, round(value, 2) AS value,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from FROM events),
+         w AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+               FROM t)
+         SELECT user_id, event_id, event_type, value, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+         FROM w WHERE event_type <> 'error'
+         ORDER BY user_id, event_id""",
     "q_rank_topn" ->
       """SELECT event_type, user_id, n, rn FROM (
            SELECT event_type, user_id, COUNT(*) AS n,
@@ -298,6 +348,36 @@ object WindowQueries {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_value
          FROM events ORDER BY user_id, event_id""",
+    // W4c: integer window sums (exact in any order) → one fixed
+    // double expression tree → round(6); NaN-vs-NULL at n_w<=1 never
+    // surfaces because vr only feeds the guarded CASE
+    "q_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(floor(CAST(epoch(date_trunc('second', ts)) AS BIGINT) / 86400.0) AS BIGINT) AS day_id,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, day_id, cnt,
+             count(*) OVER fr AS n_w,
+             sum(cnt) OVER fr AS sm,
+             sum(cnt * cnt) OVER fr AS ss
+           FROM daily
+           WINDOW fr AS (PARTITION BY event_type ORDER BY day_id
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         calc AS (SELECT *,
+             CASE WHEN n_w >= 1
+               THEN CAST(sm AS DOUBLE) / CAST(n_w AS DOUBLE) END AS mean,
+             CASE WHEN n_w >= 2
+               THEN (CAST(ss AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                 / CAST(n_w AS DOUBLE)) / CAST(n_w - 1 AS DOUBLE) END AS vr
+           FROM w),
+         z AS (SELECT *,
+             CASE WHEN n_w >= 3 AND vr > 1e-9
+               THEN round((CAST(cnt AS DOUBLE) - mean) / sqrt(vr), 6) END AS z
+           FROM calc)
+         SELECT event_type, day_id, cnt, round(mean, 6) AS base_mean, z,
+           (abs(z) > 2.0) AS is_anomaly
+         FROM z ORDER BY event_type, day_id""",
     "q_ntile" ->
       """SELECT event_id, event_type,
          CAST(ntile(4) OVER w AS BIGINT) AS quartile,

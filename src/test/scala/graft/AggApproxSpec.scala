@@ -347,4 +347,45 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
       .as[(Long, Long, Double)].collect().toSeq
     assert(out2 == Seq((0L, 1L, 1.0), (3L, 0L, 2.5), (4L, 1L, 3.0)))
   }
+
+  test("W4c rollingZScore: flags an injected spike, and only the spike") {
+    // jittered baseline (σ > 0) of 9/10/11 with one 100-count spike
+    val base = (0L until 20L).map(b => ("k", b, 10L + (b % 3) - 1L))
+    val series = base.map { case (k, b, c) => (k, b, if (b == 15L) 100L else c) }
+      .toDF("k", "bkt", "cnt")
+    val out = graft.operators.TimeSeries
+      .rollingZScore(series, Seq("k"), col("bkt"), col("cnt"), lookback = 7)
+      .select("bkt", "z", "is_anomaly").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toSeq.sortBy(_._1)
+    val flagged = out.collect { case (b, _, Some(true)) => b }
+    assert(flagged === Seq(15L), s"only the spike flags: $out")
+    // warm-up rows (< minN trailing points) stay null, not false alarms
+    assert(out.take(3).forall(_._2.isEmpty))
+    // the spike's z is huge and positive
+    assert(out.find(_._1 == 15L).flatMap(_._2).exists(_ > 10.0))
+  }
+
+  test("W4c rollingZScore: constant baseline (σ=0) yields null z, never NaN") {
+    val series = (0L until 10L).map(b => ("k", b, 5L)).toDF("k", "bkt", "cnt")
+    val out = graft.operators.TimeSeries
+      .rollingZScore(series, Seq("k"), col("bkt"), col("cnt"), lookback = 4)
+      .select("z").collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("W4c rollingZScore: baseline excludes the current point (PRECEDING frame)") {
+    // if the frame included the current row, the spike would inflate
+    // its own baseline and z would shrink; verify against hand math:
+    // trailing 4 of bucket 5 are 4,6,4,6 → μ=5, σ²=4/3
+    val series = Seq(("k", 1L, 4L), ("k", 2L, 6L), ("k", 3L, 4L),
+      ("k", 4L, 6L), ("k", 5L, 17L)).toDF("k", "bkt", "cnt")
+    val z = graft.operators.TimeSeries
+      .rollingZScore(series, Seq("k"), col("bkt"), col("cnt"),
+        lookback = 4, minN = 4)
+      .filter(col("bkt") === 5).select("z").head.getDouble(0)
+    val expect = (17.0 - 5.0) / math.sqrt(4.0 / 3.0)
+    assert(math.abs(z - expect) < 1e-4, s"z=$z expect=$expect")
+  }
 }

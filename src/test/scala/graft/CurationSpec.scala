@@ -665,4 +665,41 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(shard"),
       s"window must partition by shard (parallel write path):\n$plan")
   }
+
+  // X22 fixture: target (id % 10 == 0) speaks the "alpha beta ..."
+  // dialect; candidate 1 speaks it too, candidates 2-3 don't
+  private val dsirDocs = docs(
+    10L -> "alpha beta gamma delta alpha beta",
+    20L -> "alpha beta gamma delta epsilon",
+    1L -> "alpha beta gamma delta zeta",      // target-like candidate
+    2L -> "one two three four five six",      // off-target candidate
+    3L -> "seven eight nine ten eleven",      // off-target candidate
+    4L -> "solo")                             // < 2 tokens: no features
+
+  test("X22 dsirLogWeights: target-like docs outscore off-target docs") {
+    val out = Curation.dsirLogWeights(dsirDocs, "doc_id", col("text"),
+      isTarget = col("doc_id") % 10 === 0, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "targets and featureless docs excluded")
+    assert(out(1L) > out(2L) && out(1L) > out(3L),
+      s"target-dialect doc must score highest: $out")
+  }
+
+  test("X22 dsirLogWeights: n_feats counts bigram occurrences; deterministic") {
+    val run = () => Curation.dsirLogWeights(dsirDocs, "doc_id", col("text"),
+      isTarget = col("doc_id") % 10 === 0, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = run()
+    assert(a.map(x => x._1 -> x._2).toMap === Map(1L -> 4L, 2L -> 5L, 3L -> 4L))
+    assert(a === run(), "scores must be bit-identical across runs")
+  }
+
+  test("X22 dsirLogWeights: with no target docs every score uses the smoothed floor") {
+    // ct = 0 everywhere → lr(b) = ln(1/B) − ln((cr+1)/(Tr+B)): finite,
+    // well-defined; rarer buckets score HIGHER (less negative raw term)
+    val out = Curation.dsirLogWeights(dsirDocs.filter(col("doc_id") < 10),
+      "doc_id", col("text"), isTarget = lit(false), buckets = 64)
+      .collect()
+    assert(out.length === 3 && out.forall(r => !r.isNullAt(2)))
+  }
 }

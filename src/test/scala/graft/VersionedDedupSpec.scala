@@ -69,4 +69,66 @@ class VersionedDedupSpec extends SparkSpec {
       col("is_deleted") === 1).select("id").as[Long].collect().toSeq
     assert(out === Seq(2L))
   }
+
+  test("scd2History: intervals chain per key and match an in-memory reference") {
+    samples(8).foreach { rows =>
+      // version must totally order changes within a key
+      val uniq = rows.groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toList
+      val df = uniq.toDF("id", "_lsn", "_op", "is_deleted")
+      val out = VersionedDedup.scd2History(df, Seq("id"),
+        version = col("_lsn") * 10 + col("_op"),
+        effectiveTs = (col("_lsn") * 100 + col("_op")).cast("long"),
+        isDelete = col("is_deleted") === 1)
+        .select(col("id"), col("_lsn"), col("_op"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+        .toSet
+      val expect = uniq.groupBy(_._1).flatMap { case (id, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        sorted.zipWithIndex.collect {
+          case ((_, lsn, op, del), i) if del == 0 =>
+            val vt = if (i + 1 < sorted.size)
+              Some(sorted(i + 1)._2 * 100L + sorted(i + 1)._3) else None
+            (id, lsn, op, lsn * 100L + op, vt, vt.isEmpty)
+        }
+      }.toSet
+      assert(out === expect)
+    }
+  }
+
+  test("scd2History: is_current rows reproduce currentState exactly") {
+    samples(8).foreach { rows =>
+      val uniq = rows.groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toList
+      val df = uniq.toDF("id", "_lsn", "_op", "is_deleted")
+      val ver = col("_lsn") * 10 + col("_op")
+      val hist = VersionedDedup.scd2History(df, Seq("id"), ver,
+        effectiveTs = ver.cast("long"), isDelete = col("is_deleted") === 1)
+        .filter(col("is_current"))
+        .select("id", "_lsn", "_op").collect().map(_.toSeq).toSet
+      val cur = VersionedDedup.currentState(df, Seq("id"), col("_lsn"),
+        col("is_deleted") === 1, tiebreak = Seq(col("_op")))
+        .select("id", "_lsn", "_op").collect().map(_.toSeq).toSet
+      assert(hist === cur)
+    }
+  }
+
+  test("scd2History: a delete closes its predecessor and emits no row") {
+    val df = Seq(
+      (1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 0), // live, delete, re-insert
+      (2L, 4L, 0)                            // single live change
+    ).toDF("id", "_lsn", "is_deleted")
+    val out = VersionedDedup.scd2History(df, Seq("id"),
+      version = col("_lsn"), effectiveTs = col("_lsn") * 100L,
+      isDelete = col("is_deleted") === 1)
+      .select(col("id"), col("_lsn"), col("valid_from"), col("valid_to"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(out === Set(
+      (1L, 1L, 100L, Some(200L)), // closed BY the delete's effective time
+      (1L, 3L, 300L, None),       // re-insert opens a fresh current row
+      (2L, 4L, 400L, None)))
+  }
 }
