@@ -309,6 +309,38 @@ object ScaleBench {
           v, p, col("ls"), col("le"), col("rs"), col("re"),
           bucketWidth = 7200L, keys = Seq("luser" -> "ruser")).count()
       }),
+      // round-11: W1c SCD2 history — replicated user streams ⇒ the
+      // history row count (non-delete changes) is factor-exact
+      // (hard-asserted); cost = ONE user-keyed window shuffle, the
+      // flagship's own shape, linear in change volume
+      "scd2_history" -> (() => {
+        val ev = Tables.table(spark, dir, "events")
+        graft.operators.VersionedDedup.scd2History(ev, Seq("user_id"),
+          version = col("event_id"),
+          effectiveTs = Tables.epochSeconds(col("ts")),
+          isDelete = col("event_type") === "error").count()
+      }),
+      // round-11: X22 DSIR — the hashed-feature point at scale: both
+      // distribution tables stay ≤ 256 rows at ANY corpus size, so
+      // wall tracks the two corpus scans (explode + broadcast join +
+      // doc-keyed partial agg), never a growing model
+      "dsir_scores" -> (() => graft.operators.Curation.dsirLogWeights(
+        Tables.table(spark, dir, "documents"), "doc_id", col("text"),
+        isTarget = col("doc_id") % 10 === 0, buckets = 256).count()),
+      // round-11: W4c anomaly — raw volume collapses to the
+      // (type, day) count table BEFORE any window: output rows are
+      // CONSTANT as events multiply (hard-asserted below), the
+      // aggregate-sized-window contract
+      "anomaly_zscore" -> (() => {
+        val daily = Tables.table(spark, dir, "events")
+          .select(col("event_type"),
+            floor(Tables.epochSeconds(col("ts")) / lit(86400.0))
+              .cast("long").as("day_id"))
+          .groupBy(col("event_type"), col("day_id"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.operators.TimeSeries.rollingZScore(daily, Seq("event_type"),
+          col("day_id"), col("cnt"), lookback = 7).count()
+      }),
       // round-8: X6b decontam pair — identical inputs and n; the join
       // form probes EVERY corpus gram into the broadcast hash table,
       // the bloom form drops clean grams with the map-only bitmap
@@ -578,10 +610,18 @@ object ScaleBench {
       // asof_near: replicated user streams; boilerplate/shuffle_shard:
       // replicated docs with per-doc-exact counts — all factor-exact
       for (p <- Seq("funnel_levels", "sequence_counts", "asof_near",
-             "boilerplate", "shuffle_shard", "interval_overlap");
+             "boilerplate", "shuffle_shard", "interval_overlap",
+             "scd2_history");
            b <- bm.get(p); s <- sm.get(p))
         if (s != b * factor) throw new AssertionError(
           s"$p: scaled $s != ${factor}x base $b")
+      // W4c: the anomaly window runs over the (type, day) AGGREGATE
+      // table — its row count must stay CONSTANT as raw volume
+      // multiplies (same types, same day span at every factor)
+      for (b <- bm.get("anomaly_zscore"); s <- sm.get("anomaly_zscore"))
+        if (s != b) throw new AssertionError(
+          s"anomaly_zscore: scaled rows $s != base rows $b — the window " +
+            "input must be aggregate-sized, not volume-sized")
     }
 
     def block(res: Seq[(String, Double, Long)], rec: Seq[(String, Double)],

@@ -300,7 +300,7 @@ object AggQueries {
         .orderBy(col("user_id"))
     }),
 
-    // A15: exact percentile family — `percentile` with multiple cut
+    // A16: exact percentile family — `percentile` with multiple cut
     // points in ONE pass per group (sort-based within the aggregate
     // buffer; the exact complement of A4's approx sketches). Both
     // engines use the standard p·(n−1) linear-interpolation

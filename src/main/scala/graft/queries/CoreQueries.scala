@@ -91,9 +91,47 @@ object CoreQueries {
           expr("try_cast(event_type AS BIGINT)").as("bad_parse"),
           coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"), lit(-1L)).as("k_or_default"))
         .orderBy(col("event_id"))
+    }),
+
+    // L3: Z-order clustering key over (user_id, epoch-hour) — the
+    // Morton interleave a z-ordered write sorts by so file min/max
+    // stats prune on BOTH dimensions (Layout.zorder is the write
+    // path; this registers the code itself value-level — pure
+    // codegen'd integer shift/and/or, same expressions in the oracle)
+    "q_zorder" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("(ts div 1000000000) div 3600").as("hr"))
+      val zsorted = graft.sources.Layout.zorder(
+        ev, x = col("user_id"), y = col("hr"), tiebreak = col("event_id"))
+      zsorted.select(col("event_id"), col("user_id"), col("hr"), col("zval"))
+        .orderBy(col("zval"), col("event_id"))
     }))
 
   val oracles: Map[String, String] = Map(
+    // L3: identical integer arithmetic — `//` floor-div on nonneg
+    // longs, the spread-bits mask chain, interleave via << and |
+    "q_zorder" ->
+      """WITH e AS (SELECT event_id, user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS hr
+           FROM events),
+         b AS (SELECT min(user_id) AS xlo, max(user_id) AS xhi,
+                      min(hr) AS ylo, max(hr) AS yhi FROM e),
+         q AS (SELECT event_id, user_id, hr,
+             ((user_id - xlo) * 65535) // greatest(xhi - xlo, 1) AS qx,
+             ((hr - ylo) * 65535) // greatest(yhi - ylo, 1) AS qy
+           FROM e CROSS JOIN b),
+         s1 AS (SELECT *, (qx & 65535) AS ux1, (qy & 65535) AS uy1 FROM q),
+         s2 AS (SELECT *, ((ux1 | (ux1 << 8)) & 16711935) AS ux2,
+                          ((uy1 | (uy1 << 8)) & 16711935) AS uy2 FROM s1),
+         s3 AS (SELECT *, ((ux2 | (ux2 << 4)) & 252645135) AS ux3,
+                          ((uy2 | (uy2 << 4)) & 252645135) AS uy3 FROM s2),
+         s4 AS (SELECT *, ((ux3 | (ux3 << 2)) & 858993459) AS ux4,
+                          ((uy3 | (uy3 << 2)) & 858993459) AS uy4 FROM s3),
+         s5 AS (SELECT *, ((ux4 | (ux4 << 1)) & 1431655765) AS sx,
+                          ((uy4 | (uy4 << 1)) & 1431655765) AS sy FROM s4)
+         SELECT event_id, user_id, hr, (sx | (sy << 1)) AS zval
+         FROM s5 ORDER BY zval, event_id""",
     "q_scan_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          round(l_extendedprice, 2) AS price, l_returnflag

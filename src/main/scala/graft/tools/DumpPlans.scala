@@ -50,7 +50,11 @@ object DumpPlans {
       "q_join_interval" -> "J5b interval overlap join -- each interval side explodes to its covered time buckets inside its own narrow stage (Generate below the join), the join itself is EQUI on the bucket id with the exact-overlap verify and the first-shared-bucket exactly-once rule evaluated in the join condition: a hash/sort-merge join Spark can shuffle-partition and AQE can skew-split, where the raw theta predicate would plan BroadcastNestedLoopJoin and distribute nothing",
       "q_join_asof_near" -> "J6d nearest as-of -- the same union + ONE user-keyed Exchange + ONE Sort as the directional arms; the backward running carry (last over preceding frame) and the forward probe (first over following frame) are two frames over that single sort inside the Window stage, and the smaller-gap pick is a map-only projection: no join, no second shuffle, |L|+|R| rows end to end",
       "q_boilerplate_lines" -> "X20 cross-doc boilerplate -- the doc-frequency pass is the plan's one line-keyed exchange (partial distinct + count combine map-side over the exploded lines); the frequent set -- provably bounded by avgLinesPerDoc/minDocFrac -- broadcasts into a LeftAnti BroadcastHashJoin so the corpus is never shuffled by line for the removal; order-preserving reassembly is one doc-keyed ObjectHashAggregate over (pos, line) structs",
-      "q_shuffle_shard" -> "X21 training shuffle-shard -- ONE hashpartitioning(shard) Exchange + per-shard Sort + row_number Window: exactly the repartition(shard).sortWithinPartitions(key) write path a shard writer runs, parallelism = shard count, no global-order window anywhere")
+      "q_shuffle_shard" -> "X21 training shuffle-shard -- ONE hashpartitioning(shard) Exchange + per-shard Sort + row_number Window: exactly the repartition(shard).sortWithinPartitions(key) write path a shard writer runs, parallelism = shard count, no global-order window anywhere",
+      "q_scd2" -> "W1c SCD2 history -- identical plan skeleton to the W1 flagship: ONE hashpartitioning(user_id) Exchange + per-key Sort feeding a single Window (lead), the delete Filter applied after the window but before any further exchange; the validity-interval view costs exactly the current-state view's shuffle",
+      "q_dsir_select" -> "X22 DSIR -- both bucket-distribution aggregates collapse to <= 256 rows via partial+final HashAggregate (map-side combine over the exploded bigrams), the log-ratio table is a BroadcastHashJoin build side (bounded by the bucket constant, never by data), scoring is the second corpus scan -> broadcast join -> doc-keyed partial agg, and the top-400 is TakeOrderedAndProject -- no corpus self-join, no window over data rows",
+      "q_anomaly" -> "W4c rolling z-score -- raw events collapse to the (type, day) partial+final count agg FIRST; the z-score window (count/sum/sum-of-squares over the 7-PRECEDING frame) runs over that aggregate-sized table on one hashpartitioning(event_type) Exchange -- the window never sees event volume",
+      "q_zorder" -> "S8/L3 z-order -- the (min, max) bounds are a 1-row aggregate broadcast back (BroadcastNestedLoopJoin over the single row, never a collect); quantize + spread-bits + interleave are pure codegen'd integer ops inside one Project; the clustering sort is rangepartitioning(zval) -- the parallel write path, no single-partition sort")
     val sb = new StringBuilder
     sb ++= "# PLANS -- physical-plan evidence for the 100 TB posture\n\n"
     sb ++= "`explain(\"formatted\")` output (sf0.001 inputs; plan shape is scale-independent).\n"

@@ -45,4 +45,65 @@ class LayoutSpec extends SparkSpec {
       .as[Double].collect().head
     assert(v === 11.0)
   }
+
+  /** Reference Morton interleave: bit i of x → bit 2i, bit i of y →
+    * bit 2i+1.
+    */
+  private def mortonRef(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | ((x >> i & 1L) << (2 * i)) | ((y >> i & 1L) << (2 * i + 1))
+    }
+
+  test("L3 mortonCode matches the bit-by-bit reference on random points") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val out = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.mortonCode(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (x, y, z) =>
+      assert(z === mortonRef(x, y), s"morton($x, $y)")
+    }
+  }
+
+  test("L3 quantize: exact integer floor scaling onto [0, 2^bits)") {
+    val d = Seq(0L, 1L, 499L, 500L, 999L, 1000L).toDF("v")
+    val q = d.select(Layout.quantize(col("v"), lit(0L), lit(1000L), 4).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    // floor(v * 15 / 1000)
+    assert(q === Seq(0L, 0L, 7L, 7L, 14L, 15L))
+  }
+
+  test("L3 z-order file stats prune on BOTH dimensions; an x-sort can't") {
+    // 64×64 grid, 16 "files" (range partitions); per-file min/max of
+    // x and y are exactly the stats parquet footers would carry
+    val pts = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+      col("id").as("pid"))
+    def fileStats(df: org.apache.spark.sql.DataFrame): Array[(Long, Long, Long, Long)] =
+      df.withColumn("f", org.apache.spark.sql.functions.spark_partition_id())
+        .groupBy("f").agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val zStats = fileStats(Layout.zorder(
+      pts, col("x"), col("y"), col("pid"), partitions = 16))
+    val xStats = fileStats(
+      pts.repartitionByRange(16, col("x"), col("pid"))
+        .sortWithinPartitions(col("x"), col("pid")))
+    assert(zStats.length === 16 && xStats.length === 16)
+    // y-only predicate y ∈ [8, 15]: the x-sorted stripes all span the
+    // full y range (no pruning); z-order blocks are rectangles, so
+    // most files' y-range misses the band
+    def hits(st: Array[(Long, Long, Long, Long)],
+        xr: (Long, Long), yr: (Long, Long)): Int =
+      st.count { case (x0, x1, y0, y1) =>
+        x1 >= xr._1 && x0 <= xr._2 && y1 >= yr._1 && y0 <= yr._2 }
+    val yBand = ((0L, 63L), (8L, 15L))
+    val zY = hits(zStats, yBand._1, yBand._2)
+    val xY = hits(xStats, yBand._1, yBand._2)
+    assert(xY === 16, s"x-sorted layout cannot prune a y predicate: $xY")
+    assert(zY <= 8, s"z-order must skip most files on the y predicate: $zY")
+    // box predicate: both layouts prune, z-order at least as well
+    val zBox = hits(zStats, (8L, 15L), (8L, 15L))
+    assert(zBox <= 8, s"z-order box candidates: $zBox")
+  }
 }
