@@ -132,4 +132,51 @@ class RocksDbStateSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("ST12 under RocksDB: z-score alerts parity with batch, provider engaged") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      def cntOf(b: Long): Int = if (b == 18L) 30 else 3 + (b % 3).toInt
+      val fixture = for {
+        b <- 10L to 22L
+        i <- 0 until cntOf(b)
+      } yield ("click", b * 100L + i)
+      val in = MemoryStream[(String, Timestamp)]
+      val alerts = graft.streaming.StreamingAnomaly.zScoreAlerts(
+        in.toDF().toDF("event_type", "ts"), "event_type", "ts",
+        bucketSeconds = 100L, lookback = 7, watermark = "300 seconds")
+      val q = alerts.toDF()
+        .writeStream.format("memory").queryName("rocksz")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(fixture.map { case (k, t) => (k, ts(t)) }: _*)
+        q.processAllAvailable()
+        in.addData(("zz", ts(1000000L)))
+        q.processAllAvailable()
+        in.addData(("zz", ts(2000000L)))
+        q.processAllAvailable()
+        val streamed = spark.table("rocksz")
+          .where(col("key") === "click")
+          .collect().map(r => (r.getLong(1), (r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            if (r.isNullAt(4)) None else Some(r.getBoolean(4))))).toMap
+        val daily = fixture.toDF("k", "ep")
+          .select(col("k"), floor(col("ep") / lit(100.0)).cast("long").as("b"))
+          .groupBy("k", "b").agg(count(lit(1)).as("cnt"))
+        val batch = graft.operators.TimeSeries.rollingZScore(
+          daily, Seq("k"), col("b"), col("cnt"), lookback = 7)
+          .select("k", "b", "cnt", "z", "is_anomaly")
+          .collect().map(r => (r.getLong(1), (r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            if (r.isNullAt(4)) None else Some(r.getBoolean(4))))).toMap
+        assert(streamed === batch)
+        assert(streamed(18L)._3 === Some(true))
+        val (state, rocks) = stateAudit(q)
+        assert(rocks, "RocksDB provider not engaged")
+        // per key: ring (<= lookback entries) + open buckets only —
+        // 2 keys live, state must be O(keys), never O(events)
+        assert(state <= 4L, s"z-score state not ring-bounded: $state rows")
+      } finally q.stop()
+    }
+  }
 }

@@ -840,6 +840,65 @@ class StreamingSpec extends SparkSpec {
     assert(full === pruned)
     assert(kept.size < events.size) // the prune actually removed rows
   }
+
+  test("ST12: streaming z-score alerts match batch rollingZScore on out-of-order input") {
+    implicit val sq = spark.sqlContext
+    // 100-second buckets 10..25, jittered baseline 3/4/5 with a
+    // 40-count spike at bucket 20; events spread inside each bucket
+    def cntOf(b: Long): Int = if (b == 20L) 40 else 3 + (b % 3).toInt
+    val fixture = for {
+      b <- 10L to 25L
+      i <- 0 until cntOf(b)
+    } yield ("click", b * 100L + i)
+    val in = MemoryStream[(String, Timestamp)]
+    val alerts = StreamingAnomaly.zScoreAlerts(
+      in.toDF().toDF("event_type", "ts"), "event_type", "ts",
+      bucketSeconds = 100L, lookback = 7, watermark = "300 seconds")
+    val q = alerts.toDF()
+      .writeStream.format("memory").queryName("st12z")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three micro-batches; 3 events of bucket 15 are held back into
+      // batch 2 (disorder within the 300 s horizon) — bucket counts
+      // must land identically
+      val (b15Late, rest) = fixture.partition {
+        case (_, t) => t >= 1597L && t < 1600L }
+      val (chunk1, rest2) = rest.partition(_._2 < 1600L)
+      val (chunk2, chunk3) = rest2.partition(_._2 < 2100L)
+      in.addData(chunk1.map { case (k, t) => (k, ts(t)) }: _*)
+      q.processAllAvailable()
+      in.addData((chunk2 ++ b15Late).map { case (k, t) => (k, ts(t)) }: _*)
+      q.processAllAvailable()
+      in.addData(chunk3.map { case (k, t) => (k, ts(t)) }: _*)
+      q.processAllAvailable()
+      // two sentinel batches: carry the watermark forward, then fire
+      // the event-time timeouts that close the tail buckets
+      in.addData(("zz", ts(1000000L)))
+      q.processAllAvailable()
+      in.addData(("zz", ts(2000000L)))
+      q.processAllAvailable()
+      val streamed = spark.table("st12z")
+        .where(col("key") === "click")
+        .collect().map(r => (r.getLong(1), (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4))))).toMap
+      // batch twin on the identical events
+      val daily = fixture.toDF("k", "ep")
+        .select(col("k"), floor(col("ep") / lit(100.0)).cast("long").as("b"))
+        .groupBy("k", "b").agg(count(lit(1)).as("cnt"))
+      val batch = graft.operators.TimeSeries.rollingZScore(
+        daily, Seq("k"), col("b"), col("cnt"), lookback = 7)
+        .select("k", "b", "cnt", "z", "is_anomaly")
+        .collect().map(r => (r.getLong(1), (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4))))).toMap
+      assert(streamed === batch, s"streamed=$streamed\nbatch=$batch")
+      // the spike is flagged, warm-up rows are null verdicts
+      assert(streamed(20L)._3 === Some(true))
+      assert(streamed(10L)._2.isEmpty && streamed(11L)._2.isEmpty)
+      assert(streamed.count(_._2._3.contains(true)) === 1)
+    } finally q.stop()
+  }
 }
 
 /** Executor-side capture for the per-partition POST spec: statics
