@@ -161,6 +161,39 @@ object ScaleBench {
       Tables.table(spark, dir, "documents")
         .where(col("doc_id") % 10 === 0 && col("doc_id") <= baseMaxDoc)
 
+    // J9 inputs: the selective id list, materialized through a
+    // parquet boundary so the join sees an OPAQUE id set — derived
+    // inline, constraint inference would clone the defining predicate
+    // onto the fact side and defeat the comparison
+    def bloomIds(dir: String): DataFrame = {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-bloomids-" +
+        Paths.get(dir).getFileName.toString
+      if (!Files.isDirectory(Paths.get(out)))
+        Tables.table(spark, dir, "events")
+          .where(pmod(col("user_id"), lit(997L)) === 0L)
+          .select(col("user_id").as("uid")).distinct()
+          .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
+    // the J9 regime: no broadcast at either plan or AQE re-plan time
+    def withNoBroadcast[A](body: => A): A = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.getOption(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try body
+      finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        prevA match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+      }
+    }
+
     // half of the sf0.1 corpus's ~270k tokens, scaled with the factor
     // so the budget cut lands mid-distribution at every size
     def budgetFor(dir: String): Long =
@@ -340,6 +373,27 @@ object ScaleBench {
           .agg(count(lit(1)).as("cnt"))
         graft.operators.TimeSeries.rollingZScore(daily, Seq("event_type"),
           col("day_id"), col("cnt"), lookback = 7).count()
+      }),
+      // round-11: J9 bloom-pruned join pair — a ~0.1% id slice joined
+      // to the full event stream with broadcast DISABLED (the regime
+      // the operator exists for: a small side too big to broadcast ⇒
+      // both sides shuffle). The id list is MATERIALIZED through a
+      // parquet boundary: derived inline, Catalyst's constraint
+      // inference would copy the defining predicate onto the fact
+      // side and "plain" would silently prune too (measured — plain
+      // shuffled 4.3k rows, not 24M). The plain form exchanges every
+      // fact row; the pruned form kills non-members inside the scan.
+      // Counts hard-asserted equal (exactness); the contract is the
+      // exchange-volume cut measured in bloomJoinVolume
+      "bloomjoin_plain" -> (() => withNoBroadcast {
+        val ev = Tables.table(spark, dir, "events")
+        val ids = bloomIds(dir)
+        ev.join(ids, ev("user_id") === ids("uid")).count()
+      }),
+      "bloomjoin_pruned" -> (() => withNoBroadcast {
+        graft.operators.BloomJoin.prunedEquiJoin(
+          Tables.table(spark, dir, "events"), bloomIds(dir),
+          "user_id", "uid").count()
       }),
       // round-8: X6b decontam pair — identical inputs and n; the join
       // form probes EVERY corpus gram into the broadcast hash table,
@@ -530,12 +584,46 @@ object ScaleBench {
           "semdedup_allpairs_mass" -> allPairs)
       }
 
+    // J9 exchange-volume evidence, measured OUTSIDE the timing loop:
+    // the operator's claim is shuffle ROWS, which local[32]'s
+    // RAM-speed "network" hides from wall time. Sums shuffle records
+    // written across the job from task metrics.
+    def bloomJoinVolume(dir: String): Seq[(String, Double)] =
+      if (!selected(dir).exists(_._1.startsWith("bloomjoin"))) Seq.empty
+      else {
+        def shuffleRows(body: => Long): Long = {
+          val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+          val l = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.taskMetrics != null)
+                acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          }
+          spark.sparkContext.addSparkListener(l)
+          try { body; Thread.sleep(1000L) } // async listener-bus drain
+          finally spark.sparkContext.removeSparkListener(l)
+          acc.get()
+        }
+        withNoBroadcast {
+          val ev = Tables.table(spark, dir, "events")
+          val ids = bloomIds(dir)
+          val pl = shuffleRows(
+            ev.join(ids, ev("user_id") === ids("uid")).count())
+          val pr = shuffleRows(graft.operators.BloomJoin.prunedEquiJoin(
+            ev, ids, "user_id", "uid").count())
+          System.err.println(
+            s"[scale] $dir bloom join shuffle rows: plain=$pl pruned=$pr")
+          Seq("bloomjoin_plain_shuffle_rows" -> pl.toDouble,
+            "bloomjoin_pruned_shuffle_rows" -> pr.toDouble)
+        }
+      }
+
     val baseRes = measure(baseDir)
     val baseRecall = annRecall(baseDir)
-    val baseMass = semDedupMass(baseDir)
+    val baseMass = semDedupMass(baseDir) ++ bloomJoinVolume(baseDir)
     val bigRes = measure(bigDir)
     val bigRecall = annRecall(bigDir)
-    val bigMass = semDedupMass(bigDir)
+    val bigMass = semDedupMass(bigDir) ++ bloomJoinVolume(bigDir)
 
     // the auto config's reason to exist: past the crossover it must
     // beat the all-pairs form (a pinned 8×8 measurably does NOT at
@@ -601,10 +689,34 @@ object ScaleBench {
       for (b <- m.get("decontam_bloom"); j <- m.get("decontam_join"))
         if (b != j) throw new AssertionError(
           s"decontam: bloom $b rows != join $j rows")
+      // J9: same exactness contract for the generic bloom-pruned join
+      for (b <- m.get("bloomjoin_pruned"); j <- m.get("bloomjoin_plain"))
+        if (b != j) throw new AssertionError(
+          s"bloom join: pruned $b rows != plain $j rows")
+    }
+    // J9's reason to exist is EXCHANGE VOLUME, asserted below via
+    // bloomJoinVolume — on local[32] the "shuffle" is a RAM copy, so
+    // wall time cannot see the cut a real cluster's network would
+    // (measured: pruned wall ≈ 1.5x plain at 30x while moving 50x
+    // fewer exchange rows); walls stay logged, the volume is the
+    // contract
+    for (pr <- bigMap.get("bloomjoin_pruned"); pl <- bigMap.get("bloomjoin_plain"))
+      System.err.println(
+        f"[scale] bloom join wall $pr%.2fs vs plain $pl%.2fs at ${factor}x (volume is the contract)")
+    // the volume contract, hard-asserted: at scale the pruned form
+    // must move at most a tenth of the plain join's exchange rows
+    locally {
+      val vm = bigMass.toMap
+      for (pr <- vm.get("bloomjoin_pruned_shuffle_rows");
+           pl <- vm.get("bloomjoin_plain_shuffle_rows")) {
+        if (factor >= 30 && pr > pl / 10.0) throw new AssertionError(
+          f"bloom-pruned join exchange volume not cut at ${factor}x: " +
+            f"pruned $pr%.0f rows vs plain $pl%.0f rows")
+      }
     }
     // W6/W8 at scale: replicated per-user streams ⇒ scaled analytics
     // are exactly factor× the base — any drift is an operator bug
-    {
+    locally {
       val bm = baseRes.map { case (n, _, c) => n -> c }.toMap
       val sm = bigRes.map { case (n, _, c) => n -> c }.toMap
       // asof_near: replicated user streams; boilerplate/shuffle_shard:

@@ -199,6 +199,28 @@ object JoinQueries {
 
     // J2b: TPC-H Q3 shape — filter both fact sides, join, aggregate,
     // global top-k (TakeOrderedAndProject over the aggregate)
+    // J9: Bloom-pruned equi-join — one selective month of orders
+    // (~1% of the table) joined to lineitem; the bitmap probe drops
+    // non-matching lineitem rows inside the scan, before the join's
+    // exchange. Bit-identical to the plain join (no false negatives);
+    // the oracle IS the plain join
+    "q_join_bloom" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+      val orders = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-03-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      graft.operators.BloomJoin.prunedEquiJoin(
+        li, orders, "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(disc), 4).cast("double").as("revenue"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_join_q3" -> ((s, d) => {
       val disc = col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
@@ -370,6 +392,16 @@ object JoinQueries {
                c.cid ASC) AS rn
            FROM p JOIN c ON p.user_id = c.user_id)
          WHERE rn = 1 ORDER BY pid""",
+    // J9: the oracle is the PLAIN join — the Bloom prune must be
+    // invisible in the result
+    "q_join_bloom" ->
+      """SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_lines,
+         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+         GROUP BY o_orderkey, o_orderpriority
+         ORDER BY o_orderkey""",
     "q_join_q3" ->
       """SELECT l_orderkey,
          CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DOUBLE) AS revenue,

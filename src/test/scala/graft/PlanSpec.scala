@@ -274,4 +274,40 @@ class PlanSpec extends SparkSpec with NeedsTestdata {
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
     }
   }
+
+  test("J9: bloom-pruned join equals the plain join and probes below the join") {
+    requireTestdata()
+    val li = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val orders = Tables.table(spark, sf, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val pruned = graft.operators.BloomJoin.prunedEquiJoin(
+      li, orders, "l_orderkey", "o_orderkey")
+    val p = plan(pruned)
+    assert(p.contains("getbit"), s"expected bitmap probe:\n$p")
+    // probe sits on the big side's scan stage, under the join
+    assert(p.indexOf("getbit") > p.indexOf("Join"),
+      s"probe should appear under the join:\n$p")
+    val plainRows = li.join(orders,
+      li("l_orderkey") === orders("o_orderkey")).count()
+    assert(pruned.count() === plainRows,
+      "bloom pruning must be invisible in the result")
+    // the prune actually removed rows before the join at this
+    // selectivity (1-URGENT is ~1/5 of orders)
+    val kept = li.where(graft.functions.Bloom.mightContain(
+      graft.functions.Bloom.build(orders, col("o_orderkey")),
+      col("l_orderkey"))).count()
+    assert(kept < li.count(),
+      s"prefilter kept all ${li.count()} rows — no pruning happened")
+  }
+
+  test("J9: non-inner/semi join types are rejected (exactness guard)") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((1L, "y")).toDF("j", "w")
+    intercept[IllegalArgumentException] {
+      graft.operators.BloomJoin.prunedEquiJoin(a, b, "k", "j", "left")
+    }
+  }
 }
