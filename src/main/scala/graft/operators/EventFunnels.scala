@@ -149,6 +149,23 @@ object EventFunnels {
       steps: Seq[Column], strictIncrease: Boolean,
       strictOrder: Boolean, multiTag: Boolean = false,
       maxEventsPerUser: Int = 0): DataFrame = {
+    val (withGuards, level) = funnelCore(events, user, ts, window, steps,
+      strictIncrease, strictOrder, multiTag, maxEventsPerUser)
+    // every __lk/__xk is partition-constant, so level is identical on
+    // all of a user's rows — max() just collapses them
+    withGuards.groupBy(col(user)).agg(max(level).as("level"))
+  }
+
+  /** Shared closed-form core: the stacked level-minima windows and
+    * the achieved-level expression, all partition-constant on one
+    * user-keyed exchange. Both the level view ([[windowFunnel]]) and
+    * the latency view ([[windowFunnelTimes]]) collapse it.
+    */
+  private def funnelCore(
+      events: DataFrame, user: String, ts: Column, window: Long,
+      steps: Seq[Column], strictIncrease: Boolean,
+      strictOrder: Boolean, multiTag: Boolean,
+      maxEventsPerUser: Int): (DataFrame, Column) = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
     val base = capPerUser(
       taggedBase(events, user, ts, steps, multiTag),
@@ -183,9 +200,31 @@ object EventFunnels {
       case (k, els) =>
         when(col(s"__l$k").isNotNull && clean(k), k).otherwise(els)
     }
-    // every __lk/__xk is partition-constant, so level is identical on
-    // all of a user's rows — max() just collapses them
-    withGuards.groupBy(col(user)).agg(max(level).as("level"))
+    (withGuards, level)
+  }
+
+  /** W6g: funnel with level TIMES — the latency view: per user the
+    * achieved level, the anchor time t1 and the time of the deepest
+    * achieved level; `t_conv - t_anchor` over full-level users is the
+    * conversion-lag distribution a funnel dashboard quantiles (the
+    * axis `windowFunnel`'s level histogram is blind to). Identical
+    * plan shape to [[windowFunnel]]: the same stacked minima on ONE
+    * user-keyed exchange, one collapse agg. Returns (user, level,
+    * t_anchor, t_conv) — t_anchor/t_conv null for level-0 users.
+    */
+  def windowFunnelTimes(
+      events: DataFrame, user: String, ts: Column, window: Long,
+      steps: Seq[Column]): DataFrame = {
+    val (withGuards, level) = funnelCore(events, user, ts, window, steps,
+      strictIncrease = false, strictOrder = false, multiTag = false,
+      maxEventsPerUser = 0)
+    val tConv = (steps.size to 1 by -1).foldRight(lit(null).cast("long")) {
+      case (k, els) => when(level === k, col(s"__l$k")).otherwise(els)
+    }
+    withGuards.groupBy(col(user)).agg(
+      max(level).as("level"),
+      max(col("__l1")).as("t_anchor"),
+      max(tConv).as("t_conv"))
   }
 
   /** The closed form of [[windowFunnel]] as a plain Scala fold over

@@ -313,6 +313,28 @@ object CurationQueries {
         .orderBy(col("rk"))
     }),
 
+    // X23: corpus data card — the per-domain datasheet row (Gebru et
+    // al. 2021 "Datasheets for Datasets"; what a mixing/curation
+    // decision reads first): docs, token/char volume, language
+    // spread, length distribution. ONE scan, one partial+final agg —
+    // the report costs a groupBy regardless of corpus size
+    "q_data_card" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4)
+            .as("avg_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // X10: concat-and-chunk sequence packing, per-source shards
     "q_pack_sequences" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -598,6 +620,20 @@ object CurationQueries {
              row_number() OVER (PARTITION BY lang ORDER BY ky DESC, doc_id) AS rn
            FROM s)
          SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20 ORDER BY doc_id""",
+    // X23: integer sums (exact any order); the mean divides exact
+    // integers — identical double both engines before the round
+    "q_data_card" ->
+      """WITH t AS (SELECT source, lang, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT source, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+         FROM t GROUP BY source ORDER BY source""",
     // X22: same md5 bucket arithmetic as X9/X11; counts and totals
     // are exact integers, the smoothed ratios divide exact integers
     // (IEEE-deterministic), ln is the X13 parity class, per-doc sum

@@ -187,6 +187,24 @@ object WindowQueries {
         .orderBy(col("level"))
     }),
 
+    // W6g: funnel conversion LAG — per converting user the anchor
+    // time, the deepest-level time, and the latency between them;
+    // the distribution a funnel dashboard quantiles (via A16) and
+    // the axis the level histogram can't see. Same one-exchange
+    // stacked-minima plan as q_funnel
+    "q_funnel_time" -> ((s, d) => {
+      graft.operators.EventFunnels.windowFunnelTimes(
+        table(s, d, "events"), "user_id",
+        ts = graft.Tables.epochSeconds(col("ts")), window = 86400L,
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .where(col("level") >= 2)
+        .select(col("user_id"), col("level"), col("t_anchor"), col("t_conv"),
+          (col("t_conv") - col("t_anchor")).as("lag_s"))
+        .orderBy(col("user_id"))
+    }),
+
     // W6b: strict funnel — same steps under strict_order (an
     // intervening tracked event kills the chain) + strict_increase
     // (same-timestamp ties don't chain)
@@ -417,6 +435,31 @@ object WindowQueries {
          SELECT user_id, session_id, COUNT(*) AS n_events,
            MAX(ep) - MIN(ep) AS duration_s
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // W6g: the q_funnel stacked minima, collapsed per user with the
+    // deepest-level time instead of the level histogram
+    "q_funnel_time" ->
+      """WITH e AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+           CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             WHEN 'purchase' THEN 3 ELSE 0 END AS step
+         FROM events
+         WHERE event_type IN ('view', 'click', 'purchase')),
+         a AS (SELECT user_id, t, step,
+             min(CASE WHEN step = 1 THEN t END)
+               OVER (PARTITION BY user_id) AS l1 FROM e),
+         b AS (SELECT *, min(CASE WHEN step = 2 AND l1 IS NOT NULL
+               AND t >= l1 AND t <= l1 + 86400 THEN t END)
+             OVER (PARTITION BY user_id) AS l2 FROM a),
+         c AS (SELECT *, min(CASE WHEN step = 3 AND l2 IS NOT NULL
+               AND t >= l2 AND t <= l1 + 86400 THEN t END)
+             OVER (PARTITION BY user_id) AS l3 FROM b),
+         u AS (SELECT user_id, max(l1) AS l1, max(l2) AS l2, max(l3) AS l3
+           FROM c GROUP BY user_id)
+         SELECT user_id,
+           CAST(CASE WHEN l3 IS NOT NULL THEN 3 ELSE 2 END AS INT) AS level,
+           l1 AS t_anchor, coalesce(l3, l2) AS t_conv,
+           coalesce(l3, l2) - l1 AS lag_s
+         FROM u WHERE l2 IS NOT NULL ORDER BY user_id""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,

@@ -348,6 +348,25 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     assert(out2 == Seq((0L, 1L, 1.0), (3L, 0L, 2.5), (4L, 1L, 3.0)))
   }
 
+  test("A16 exact percentile: matches the p*(n-1) interpolation reference") {
+    val rnd = new scala.util.Random(3)
+    val xs = Seq.fill(257)(math.round(rnd.nextDouble() * 10000) / 100.0)
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    def ref(p: Double): Double = {
+      val s = xs.sorted
+      val idx = p * (s.size - 1)
+      val lo = idx.toInt
+      if (lo == s.size - 1) s(lo)
+      else s(lo) + (s(lo + 1) - s(lo)) * (idx - lo)
+    }
+    val got = xs.toDF("v")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("q"))
+      .head.getSeq[Double](0)
+    ps.zip(got).foreach { case (p, g) =>
+      assert(math.abs(g - ref(p)) < 1e-9, s"p=$p: $g vs ${ref(p)}")
+    }
+  }
+
   test("W4c rollingZScore: flags an injected spike, and only the spike") {
     // jittered baseline (σ > 0) of 9/10/11 with one 100-count spike
     val base = (0L until 20L).map(b => ("k", b, 10L + (b % 3) - 1L))

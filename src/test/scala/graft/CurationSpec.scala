@@ -694,6 +694,52 @@ class CurationSpec extends SparkSpec {
     assert(a === run(), "scores must be bit-identical across runs")
   }
 
+  test("X22 dsirLogWeights property: matches the in-memory reference on random corpora") {
+    // brute-force reference: same hashed-bigram / add-one-smoothing /
+    // log-ratio arithmetic, computed in plain Scala from first
+    // principles (only the md5 bucket is delegated to Spark — it IS
+    // the operator's portability contract)
+    val words = Vector("a", "b", "c", "dd", "ee", "ff", "gg")
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 40L).map { id =>
+      val n = 2 + rnd.nextInt(8)
+      (id, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val buckets = 32
+    val df = corpus.toDF("doc_id", "text")
+    // bucket of every distinct bigram, via the operator's own hash
+    val grams = corpus.flatMap { case (_, t) =>
+      val w = t.split(" "); w.zip(w.tail).map { case (x, y) => s"$x $y" }
+    }.distinct
+    val bucketOf = grams.toDF("g")
+      .select(col("g"), Curation.hashBucket(col("g"), buckets).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def feats(t: String): Seq[Long] = {
+      val w = t.split(" ")
+      w.zip(w.tail).map { case (x, y) => bucketOf(s"$x $y") }.toSeq
+    }
+    val isTgt = (id: Long) => id % 10 == 0
+    val raw = corpus.filterNot(c => isTgt(c._1)).flatMap(c => feats(c._2))
+    val tgt = corpus.filter(c => isTgt(c._1)).flatMap(c => feats(c._2))
+    val cr = raw.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val ct = tgt.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val (tr, tt) = (raw.size.toDouble, tgt.size.toDouble)
+    val expect = corpus.filterNot(c => isTgt(c._1)).map { case (id, t) =>
+      val lw = feats(t).map { b =>
+        math.log((ct.getOrElse(b, 0.0) + 1) / (tt + buckets)) -
+          math.log((cr(b) + 1) / (tr + buckets))
+      }.sum
+      id -> lw
+    }.toMap
+    val got = Curation.dsirLogWeights(df, "doc_id", col("text"),
+      isTarget = col("doc_id") % 10 === 0, buckets = buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (id, lw) =>
+      assert(math.abs(lw - expect(id)) < 1e-9, s"doc $id: $lw vs ${expect(id)}")
+    }
+  }
+
   test("X22 dsirLogWeights: with no target docs every score uses the smoothed floor") {
     // ct = 0 everywhere → lr(b) = ln(1/B) − ln((cr+1)/(Tr+B)): finite,
     // well-defined; rarer buckets score HIGHER (less negative raw term)

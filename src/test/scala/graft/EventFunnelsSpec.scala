@@ -406,4 +406,28 @@ class EventFunnelsSpec extends SparkSpec {
       "B" -> ((0L, 0L, 0L)),
       "C" -> ((1L, 1L, 1L))))
   }
+
+  test("W6g windowFunnelTimes: levels agree with windowFunnel; times are the chain minima") {
+    val rows = Seq(
+      ("A", 10L, "s1"), ("A", 20L, "s2"), ("A", 30L, "s3"), // full, lag 20
+      ("A", 5L, "s2"),                                      // pre-anchor noise
+      ("B", 10L, "s1"), ("B", 40L, "s2"),                   // level 2, lag 30
+      ("C", 10L, "s2"),                                     // level 0
+      ("D", 10L, "s1"))                                     // level 1, conv = anchor
+    val df = rows.toDF("u", "t", "a")
+    val steps = Seq(col("a") === "s1", col("a") === "s2", col("a") === "s3")
+    val times = EventFunnels.windowFunnelTimes(df, "u", col("t"), 100L, steps)
+      .collect().map(r => (r.getString(0), (r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(times === Map(
+      "A" -> ((3, Some(10L), Some(30L))),
+      "B" -> ((2, Some(10L), Some(40L))),
+      "C" -> ((0, None, None)),
+      "D" -> ((1, Some(10L), Some(10L)))))
+    // the level column is definitionally the windowFunnel level
+    val levels = EventFunnels.windowFunnel(df, "u", col("t"), 100L, steps)
+      .as[(String, Int)].collect().toMap
+    assert(times.view.mapValues(_._1).toMap === levels)
+  }
 }
