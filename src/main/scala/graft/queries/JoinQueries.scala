@@ -55,6 +55,22 @@ object JoinQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // J3b: FULL OUTER — the reconciliation join (rows on either side
+    // without a partner surface as nulls); customers×a filtered order
+    // slice so both null arms are populated
+    "q_join_full" -> ((s, d) => {
+      val c = table(s, d, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = table(s, d, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("c_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+    }),
+
     // J4a: left semi — customers having a very big order (EXISTS)
     "q_join_semi" -> ((s, d) => {
       table(s, d, "customer")
@@ -392,6 +408,16 @@ object JoinQueries {
                c.cid ASC) AS rn
            FROM p JOIN c ON p.user_id = c.user_id)
          WHERE rn = 1 ORDER BY pid""",
+    // J3b: DuckDB default nulls-last on ASC matches the Spark side's
+    // explicit asc_nulls_last
+    "q_join_full" ->
+      """SELECT c_custkey, c_mktsegment, o_orderkey,
+         round(o_totalprice, 2) AS price
+         FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0) c
+         FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+           WHERE o_totalprice > 400000.0) o
+         ON c.c_custkey = o.o_custkey
+         ORDER BY c_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""",
     // J9: the oracle is the PLAIN join — the Bloom prune must be
     // invisible in the result
     "q_join_bloom" ->

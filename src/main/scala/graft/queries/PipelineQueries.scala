@@ -101,6 +101,26 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // U2c: bag-semantics set ops — INTERSECT ALL keeps min(m, n)
+    // copies, EXCEPT ALL keeps m − n copies; the multiplicity
+    // semantics dedup-based U2 can't express (e.g. "click events
+    // beyond the matched purchase count")
+    "q_set_ops_all" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"),
+          (graft.Tables.epochSeconds(col("ts")) / lit(86400.0)).cast("long").as("day"))
+      val ia = side("click").intersectAll(side("purchase"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      val ea = side("click").exceptAll(side("purchase"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      ia.unionByName(ea)
+        .select(col("op"), col("user_id"), col("day"), col("n"))
+        .orderBy(col("op"), col("user_id"), col("day"))
+    }),
+
     // U2b: (user, day) pairs with a click but no purchase
     "q_except" -> ((s, d) => {
       val ev = table(s, d, "events")
@@ -157,6 +177,23 @@ object PipelineQueries {
          SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
          FROM events WHERE event_type = 'purchase'
          ORDER BY user_id, day""",
+    // U2c: both engines implement SQL bag semantics for the ALL forms
+    "q_set_ops_all" ->
+      """WITH c AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+           FROM events WHERE event_type = 'purchase'),
+         ia AS (SELECT user_id, day FROM c INTERSECT ALL SELECT user_id, day FROM p),
+         ea AS (SELECT user_id, day FROM c EXCEPT ALL SELECT user_id, day FROM p)
+         SELECT * FROM (
+           SELECT 'intersect_all' AS op, user_id, day, count(*) AS n
+           FROM ia GROUP BY user_id, day
+           UNION ALL
+           SELECT 'except_all' AS op, user_id, day, count(*) AS n
+           FROM ea GROUP BY user_id, day)
+         ORDER BY op, user_id, day""",
     "q_cdc_translate" -> (cdcRowsSql +
       """SELECT id, name, email, CAST(is_deleted AS INT) AS is_deleted,
          CAST(_op AS INT) AS _op, _lsn, _ts

@@ -105,6 +105,21 @@ object WindowQueries {
         .orderBy(col("event_type"), col("day_id"))
     }),
 
+    // W3b: first_value / last_value / nth_value — the session-frame
+    // navigation family (whole-partition frame so last_value is the
+    // true partition max position, not the running default)
+    "q_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("first_type", first(col("event_type")).over(w))
+        .withColumn("last_type", last(col("event_type")).over(w))
+        .withColumn("second_type", nth_value(col("event_type"), 2).over(w))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // W5: ntile + percent_rank over value within type
     "q_ntile" -> ((s, d) => {
       val w = Window.partitionBy(col("event_type"))
@@ -396,6 +411,16 @@ object WindowQueries {
          SELECT event_type, day_id, cnt, round(mean, 6) AS base_mean, z,
            (abs(z) > 2.0) AS is_anomaly
          FROM z ORDER BY event_type, day_id""",
+    // W3b: identical whole-partition frame spelled out on both sides
+    "q_first_last" ->
+      """SELECT user_id, event_id, event_type,
+         first_value(event_type) OVER w AS first_type,
+         last_value(event_type) OVER w AS last_type,
+         nth_value(event_type, 2) OVER w AS second_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id, event_id""",
     "q_ntile" ->
       """SELECT event_id, event_type,
          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
