@@ -54,7 +54,9 @@ object DumpPlans {
       "q_scd2" -> "W1c SCD2 history -- identical plan skeleton to the W1 flagship: ONE hashpartitioning(user_id) Exchange + per-key Sort feeding a single Window (lead), the delete Filter applied after the window but before any further exchange; the validity-interval view costs exactly the current-state view's shuffle",
       "q_dsir_select" -> "X22 DSIR -- both bucket-distribution aggregates collapse to <= 256 rows via partial+final HashAggregate (map-side combine over the exploded bigrams), the log-ratio table is a BroadcastHashJoin build side (bounded by the bucket constant, never by data), scoring is the second corpus scan -> broadcast join -> doc-keyed partial agg, and the top-400 is TakeOrderedAndProject -- no corpus self-join, no window over data rows",
       "q_anomaly" -> "W4c rolling z-score -- raw events collapse to the (type, day) partial+final count agg FIRST; the z-score window (count/sum/sum-of-squares over the 7-PRECEDING frame) runs over that aggregate-sized table on one hashpartitioning(event_type) Exchange -- the window never sees event volume",
-      "q_zorder" -> "S8/L3 z-order -- the (min, max) bounds are a 1-row aggregate broadcast back (BroadcastNestedLoopJoin over the single row, never a collect); quantize + spread-bits + interleave are pure codegen'd integer ops inside one Project; the clustering sort is rangepartitioning(zval) -- the parallel write path, no single-partition sort")
+      "q_zorder" -> "S8/L3 z-order -- the (min, max) bounds are a 1-row aggregate broadcast back (BroadcastNestedLoopJoin over the single row, never a collect); quantize + spread-bits + interleave are pure codegen'd integer ops inside one Project; the clustering sort is rangepartitioning(zval) -- the parallel write path, no single-partition sort",
+      "q_join_bloom" -> "J9 bloom-pruned join -- the xxhash64+getbit bitmap probe is a Filter inside the fact scan's codegen stage, BELOW the join: rows that cannot match die before the exchange, so the join moves ~|matches|+FP% instead of |fact| (the 30x task-metrics measurement: 3,000,056 -> 3,135 exchange rows); no false negatives makes the result bit-identical to the plain join, which IS the oracle",
+      "q_funnel_time" -> "W6g conversion lag -- the SAME funnelCore stacked-minima Window stack as q_funnel on ONE user-keyed Exchange + Sort; the latency view only changes the collapse aggregate (level, anchor, deepest-level time), so the marginal cost over the level histogram is zero shuffles")
     val sb = new StringBuilder
     sb ++= "# PLANS -- physical-plan evidence for the 100 TB posture\n\n"
     sb ++= "`explain(\"formatted\")` output (sf0.001 inputs; plan shape is scale-independent).\n"
