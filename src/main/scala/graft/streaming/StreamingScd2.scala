@@ -1,0 +1,168 @@
+package graft.streaming
+
+import graft.operators.VersionedDedup
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** ST13: streaming maintenance of the W1c SCD Type-2 history — the
+  * warehouse table a CDC feed like the reference's
+  * (internal/ingestion/cdc.go) lands as, kept current per micro-batch
+  * instead of rebuilt nightly (what dbt snapshots do in batch, done
+  * on the stream).
+  *
+  * Store layout under `stateDir`:
+  *
+  *   closed/delta-<version>/   append-only: intervals CLOSED by batch
+  *                             <version> — immutable once committed
+  *   open-<version>/           the current open interval per live key
+  *                             (current-state sized, rewritten per
+  *                             batch like the MatView state)
+  *   _CURRENT                  "<version> <batchId>" commit pointer
+  *
+  * Per batch: only the AFFECTED keys' open rows are re-derived — the
+  * open row re-enters [[VersionedDedup.scd2History]] as a change row
+  * alongside the batch's changes, so a new change closes it with
+  * exactly the batch operator's semantics; every other key's open row
+  * is carried over untouched, and closed history is never read, let
+  * alone rewritten. Exactly-once via the StreamingMatView commit
+  * protocol: write `closed/delta-<v+1>` and `open-<v+1>` fully, THEN
+  * atomically move the pointer; a replayed batchId ≤ pointer is a
+  * no-op, and a crash between the writes leaves orphans the replay
+  * overwrites (same version names).
+  *
+  * Contract: per-key change versions are non-decreasing ACROSS
+  * batches (the CDC log order a keyed Kafka topic delivers);
+  * disorder WITHIN a batch is handled by the operator's sort. The
+  * read face [[history]] = all closed deltas ∪ the open table, and
+  * equals the batch `scd2History` over every change ever ingested —
+  * the parity law the spec asserts, replay and crash windows
+  * included.
+  *
+  * Scale shape: per batch the work is |batch| + |affected open rows|
+  * for the re-derivation plus an open-table-sized rewrite — never
+  * O(history); closed history grows append-only, one delta dir per
+  * batch (compact offline by concatenating deltas).
+  */
+object StreamingScd2 {
+
+  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
+
+  /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
+  def readPointer(stateDir: String): (Long, Long) = {
+    val p = pointerPath(stateDir)
+    if (!Files.exists(p)) (0L, -1L)
+    else {
+      val parts = Files.readString(p).trim.split(" ")
+      (parts(0).toLong, parts(1).toLong)
+    }
+  }
+
+  private def writePointer(stateDir: String, version: Long,
+      batchId: Long): Unit = {
+    val tmp = Paths.get(stateDir, "_CURRENT.tmp")
+    Files.writeString(tmp, s"$version $batchId")
+    Files.move(tmp, pointerPath(stateDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def emptyLike(spark: SparkSession, template: DataFrame): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), template.schema)
+
+  /** The committed open-interval table (one row per live key). */
+  def readOpen(spark: SparkSession, stateDir: String,
+      template: DataFrame): DataFrame = {
+    val (v, _) = readPointer(stateDir)
+    if (v == 0L) emptyLike(spark, template)
+    else spark.read.parquet(s"$stateDir/open-$v")
+  }
+
+  /** All committed closed intervals (≤ pointer version: an orphan
+    * delta from a crash window is invisible until its commit).
+    */
+  def readClosed(spark: SparkSession, stateDir: String,
+      template: DataFrame): DataFrame = {
+    val (v, _) = readPointer(stateDir)
+    val dirs = (1L to v).map(i => s"$stateDir/closed/delta-$i")
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    if (dirs.isEmpty) emptyLike(spark, template)
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** The full SCD2 history at the current commit point — closed
+    * intervals plus the open row per live key.
+    */
+  def history(spark: SparkSession, stateDir: String,
+      template: DataFrame): DataFrame =
+    readClosed(spark, stateDir, template)
+      .unionByName(readOpen(spark, stateDir, template))
+
+  /** Fold ONE batch of change rows into the store. `batch` columns:
+    * `keys` ++ (versionCol, tsCol, deleteCol) ++ payload. Pure
+    * function of (committed state, batch, batchId); replays are
+    * no-ops. The produced rows carry the scd2History schema
+    * (batch columns + valid_from, valid_to, is_current).
+    */
+  def applyBatch(batch: DataFrame, keys: Seq[String],
+      versionCol: String, tsCol: String, deleteCol: String,
+      stateDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    Files.createDirectories(Paths.get(stateDir, "closed"))
+    val (curVer, lastBatch) = readPointer(stateDir)
+    if (batchId <= lastBatch) return
+    val hist = VersionedDedup.scd2History(
+      batch, keys, col(versionCol), col(tsCol).cast("long"),
+      col(deleteCol))
+    val open = readOpen(spark, stateDir, hist)
+    // open rows of AFFECTED keys re-enter the derivation as change
+    // rows — scd2History KEEPS the original change columns, so
+    // dropping its three derived columns restores the exact change
+    // row (same version, same ts); a batch change with a higher
+    // version then closes it exactly as the batch operator would.
+    // localCheckpoint: both the closed and the open write consume
+    // `redone` — without it the union + window runs twice.
+    val batchKeys = batch.select(keys.map(col): _*).distinct()
+    val affectedOpen = open.join(batchKeys, keys, "left_semi")
+      .drop("valid_from", "valid_to", "is_current")
+    val carried = open.join(batchKeys, keys, "left_anti")
+    val redone = VersionedDedup.scd2History(
+      batch.unionByName(
+        affectedOpen.select(batch.columns.map(col): _*)),
+      keys, col(versionCol), col(tsCol).cast("long"), col(deleteCol))
+      .localCheckpoint()
+    val next = curVer + 1
+    // overwrite-tolerant: a crash after the writes but before the
+    // pointer move leaves these exact dirs as orphans the replay
+    // must be able to rewrite
+    redone.where(!col("is_current")).write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/closed/delta-$next")
+    carried.unionByName(redone.where(col("is_current")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/open-$next")
+    writePointer(stateDir, next, batchId)
+    // prune open tables older than the crash-window predecessor
+    // (closed deltas are immutable history — never pruned)
+    for (old <- 1L until (next - 1L)) {
+      val dir = Paths.get(stateDir, s"open-$old")
+      if (Files.isDirectory(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+    }
+  }
+
+  /** The streaming sink: exactly-once per-micro-batch history
+    * maintenance via foreachBatch.
+    */
+  def maintain(stream: DataFrame, keys: Seq[String],
+      versionCol: String, tsCol: String, deleteCol: String,
+      stateDir: String, checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, keys, versionCol, tsCol, deleteCol,
+          stateDir, batchId)
+      }
+}

@@ -899,6 +899,56 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.count(_._2._3.contains(true)) === 1)
     } finally q.stop()
   }
+
+  test("ST13: streaming SCD2 equals the batch operator across batches; replay + crash windows") {
+    val dir = Files.createTempDirectory("scd2st").toString
+    val all = Seq(
+      (1L, 1L, 100L, false, "a"),
+      (1L, 2L, 200L, false, "b"),
+      (2L, 3L, 300L, false, "c"),
+      (1L, 4L, 400L, true, "d"),  // delete closes key 1
+      (3L, 5L, 500L, false, "e"),
+      (1L, 6L, 600L, false, "f"), // re-insert opens key 1 again
+      (2L, 7L, 700L, false, "g"))
+    def df(rows: Seq[(Long, Long, Long, Boolean, String)]) =
+      rows.toDF("id", "lsn", "ts", "del", "v")
+    def norm(d: org.apache.spark.sql.DataFrame) = d
+      .select("id", "lsn", "v", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5))).toSet
+    val expect = norm(graft.operators.VersionedDedup.scd2History(
+      df(all), Seq("id"), col("lsn"), col("ts"), col("del")))
+    val batches = Seq(all.take(3), all.slice(3, 5), all.drop(5))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingScd2.applyBatch(df(b), Seq("id"), "lsn", "ts", "del",
+        dir, i.toLong)
+    }
+    val tmpl = graft.operators.VersionedDedup.scd2History(
+      df(all), Seq("id"), col("lsn"), col("ts"), col("del"))
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect)
+    assert(StreamingScd2.readPointer(dir) === ((3L, 2L)))
+    // replaying the last batch is a no-op (pointer and rows stable)
+    StreamingScd2.applyBatch(df(batches.last), Seq("id"), "lsn", "ts",
+      "del", dir, 2L)
+    assert(StreamingScd2.readPointer(dir) === ((3L, 2L)))
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect)
+    // crash window: version-4 dirs were written but the pointer never
+    // moved — garbage orphans must be invisible now and fully
+    // overwritten by the replayed batch
+    val orphanRows = Seq((99L, 99L, 9900L, false, "zz"))
+    graft.operators.VersionedDedup.scd2History(df(orphanRows),
+      Seq("id"), col("lsn"), col("ts"), col("del"))
+      .write.parquet(s"$dir/closed/delta-4")
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect,
+      "orphan delta beyond the pointer must be invisible")
+    val b4 = Seq((3L, 8L, 800L, false, "h"))
+    StreamingScd2.applyBatch(df(b4), Seq("id"), "lsn", "ts", "del",
+      dir, 3L)
+    val expect2 = norm(graft.operators.VersionedDedup.scd2History(
+      df(all ++ b4), Seq("id"), col("lsn"), col("ts"), col("del")))
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect2)
+  }
 }
 
 /** Executor-side capture for the per-partition POST spec: statics
