@@ -79,16 +79,59 @@ object StreamingScd2 {
     else spark.read.parquet(s"$stateDir/open-$v")
   }
 
+  private def basePath(stateDir: String) = Paths.get(stateDir, "closed", "_BASE")
+
+  /** Compaction floor: deltas ≤ base are superseded by
+    * `closed/compact-<base>`; 0 = no compaction yet.
+    */
+  def readBase(stateDir: String): Long = {
+    val p = basePath(stateDir)
+    if (!Files.exists(p)) 0L else Files.readString(p).trim.toLong
+  }
+
   /** All committed closed intervals (≤ pointer version: an orphan
     * delta from a crash window is invisible until its commit).
+    * Reads the compacted run (if any) plus the deltas past it.
     */
   def readClosed(spark: SparkSession, stateDir: String,
       template: DataFrame): DataFrame = {
     val (v, _) = readPointer(stateDir)
-    val dirs = (1L to v).map(i => s"$stateDir/closed/delta-$i")
+    val base = readBase(stateDir)
+    val compact = Seq(s"$stateDir/closed/compact-$base")
+      .filter(_ => base > 0L)
+    val dirs = compact ++ (base + 1 to v).map(i => s"$stateDir/closed/delta-$i")
       .filter(d => Files.isDirectory(Paths.get(d)))
     if (dirs.isEmpty) emptyLike(spark, template)
     else spark.read.parquet(dirs: _*)
+  }
+
+  /** Fold the per-batch delta directories into one compacted run —
+    * the offline maintenance pass that keeps the closed-history file
+    * count O(1) instead of O(batches). Crash-safe by the same
+    * write-then-pointer discipline as the commit protocol: the new
+    * `compact-<v>` is written FULLY, then `closed/_BASE` moves
+    * atomically, and only then are the superseded delta/compact dirs
+    * deleted — a crash at any point leaves a readable store (orphan
+    * compact dirs beyond _BASE are invisible; stale deltas ≤ _BASE
+    * are ignored by [[readClosed]]).
+    */
+  def compactClosed(spark: SparkSession, stateDir: String,
+      template: DataFrame): Unit = {
+    val (v, _) = readPointer(stateDir)
+    val prevBase = readBase(stateDir)
+    if (v <= prevBase) return
+    readClosed(spark, stateDir, template)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/closed/compact-$v")
+    val tmp = Paths.get(stateDir, "closed", "_BASE.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, basePath(stateDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val stale = (1L to v).map(i => Paths.get(stateDir, "closed", s"delta-$i")) ++
+      Seq(prevBase).filter(_ > 0L).map(b => Paths.get(stateDir, "closed", s"compact-$b"))
+    stale.filter(Files.isDirectory(_)).foreach { dir =>
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
   }
 
   /** The full SCD2 history at the current commit point — closed

@@ -948,6 +948,23 @@ class StreamingSpec extends SparkSpec {
     val expect2 = norm(graft.operators.VersionedDedup.scd2History(
       df(all ++ b4), Seq("id"), col("lsn"), col("ts"), col("del")))
     assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect2)
+    // compaction: same rows, delta dirs folded into one compacted run
+    StreamingScd2.compactClosed(spark, dir, tmpl)
+    assert(StreamingScd2.readBase(dir) === 4L)
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect2)
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$dir/closed/delta-1")))
+    // an orphan compact dir beyond _BASE (crash before the pointer
+    // move) must be invisible
+    graft.operators.VersionedDedup.scd2History(df(orphanRows),
+      Seq("id"), col("lsn"), col("ts"), col("del"))
+      .write.parquet(s"$dir/closed/compact-9")
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect2)
+    // the store keeps absorbing batches after compaction
+    val b5 = Seq((1L, 9L, 900L, false, "i"))
+    StreamingScd2.applyBatch(df(b5), Seq("id"), "lsn", "ts", "del", dir, 4L)
+    val expect3 = norm(graft.operators.VersionedDedup.scd2History(
+      df(all ++ b4 ++ b5), Seq("id"), col("lsn"), col("ts"), col("del")))
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect3)
   }
 }
 
