@@ -113,4 +113,18 @@ object VersionedDedup {
       .drop("__del")
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** W1d: point-in-time (AS OF) slice of an SCD2 history — the query
+    * the history exists to answer: each key's version in force at
+    * instant `t`, i.e. valid_from ≤ t < valid_to (open intervals
+    * extend to +∞). `asOf(hist, +∞)` ≡ the `is_current` slice ≡
+    * [[currentState]]; at any earlier `t` it is the table as the
+    * warehouse saw it then — a plain range predicate Catalyst pushes
+    * into the scan (and into partition pruning when the history is
+    * stored partitioned on valid_from buckets), zero joins, zero
+    * windows.
+    */
+  def asOf(history: DataFrame, t: Column): DataFrame =
+    history.filter(col("valid_from") <= t &&
+      (col("valid_to").isNull || col("valid_to") > t))
 }

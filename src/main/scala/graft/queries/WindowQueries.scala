@@ -51,6 +51,23 @@ object WindowQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // W1d: point-in-time slice — the table as the warehouse saw it
+    // at 2024-01-15T00:00Z: one row per key whose interval covers
+    // the instant; a pure range predicate over the W1c history
+    "q_scd2_asof" -> ((s, d) => {
+      val hist = VersionedDedup.scd2History(
+        table(s, d, "events"),
+        keys = Seq("user_id"),
+        version = col("event_id"),
+        effectiveTs = graft.Tables.epochSeconds(col("ts")),
+        isDelete = col("event_type") === "error")
+      VersionedDedup.asOf(hist, lit(1705276800L))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          col("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // W2/O2: per-group top-N (top 3 users per event type by count)
     "q_rank_topn" -> ((s, d) => {
       val counts = table(s, d, "events")
@@ -363,6 +380,17 @@ object WindowQueries {
          SELECT user_id, event_id, event_type, value, valid_from, valid_to,
            (valid_to IS NULL) AS is_current
          FROM w WHERE event_type <> 'error'
+         ORDER BY user_id, event_id""",
+    // W1d: the W1c CTE with the covering-interval predicate
+    "q_scd2_asof" ->
+      """WITH t AS (SELECT user_id, event_id, event_type, round(value, 2) AS value,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from FROM events),
+         w AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+               FROM t)
+         SELECT user_id, event_id, event_type, value, valid_from, valid_to
+         FROM w WHERE event_type <> 'error'
+           AND valid_from <= 1705276800
+           AND (valid_to IS NULL OR valid_to > 1705276800)
          ORDER BY user_id, event_id""",
     "q_rank_topn" ->
       """SELECT event_type, user_id, n, rn FROM (

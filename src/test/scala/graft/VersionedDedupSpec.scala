@@ -114,6 +114,34 @@ class VersionedDedupSpec extends SparkSpec {
     }
   }
 
+  test("asOf: the +inf slice equals currentState; a mid-span slice picks covering intervals") {
+    samples(6).foreach { rows =>
+      val uniq = rows.groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toList
+      val df = uniq.toDF("id", "_lsn", "_op", "is_deleted")
+      val ver = col("_lsn") * 10 + col("_op")
+      val hist = VersionedDedup.scd2History(df, Seq("id"), ver,
+        effectiveTs = ver.cast("long"), isDelete = col("is_deleted") === 1)
+      val atInf = VersionedDedup.asOf(hist, lit(Long.MaxValue))
+        .select("id", "_lsn", "_op").collect().map(_.toSeq).toSet
+      val cur = VersionedDedup.currentState(df, Seq("id"), col("_lsn"),
+        col("is_deleted") === 1, tiebreak = Seq(col("_op")))
+        .select("id", "_lsn", "_op").collect().map(_.toSeq).toSet
+      assert(atInf === cur)
+      // any slice: exactly the rows whose interval covers the instant
+      val t = 105L
+      val sliced = VersionedDedup.asOf(hist, lit(t)).collect()
+      sliced.foreach { r =>
+        val vf = r.getLong(r.fieldIndex("valid_from"))
+        val vt = if (r.isNullAt(r.fieldIndex("valid_to"))) None
+          else Some(r.getLong(r.fieldIndex("valid_to")))
+        assert(vf <= t && vt.forall(_ > t))
+      }
+      // at most one covering interval per key
+      val keys = sliced.map(_.getLong(0)).toSeq
+      assert(keys.distinct.size === keys.size)
+    }
+  }
+
   test("scd2History: a delete closes its predecessor and emits no row") {
     val df = Seq(
       (1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 0), // live, delete, re-insert
