@@ -319,6 +319,43 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A17: correlation + regression per group — Pearson r and the
+    // least-squares line of value-vs-hour-of-day. Built-in corr()/
+    // regr_slope() accumulate DOUBLES in partition order (not
+    // reproducible cross-engine); instead the five sufficient
+    // statistics are DECIMAL-exact sums (order-free), and r/slope/
+    // intercept derive from those exact numbers through one fixed
+    // double expression tree — the X13/W4c numeric discipline
+    "q_corr" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("event_type"),
+          col("value").cast("decimal(18,2)").as("x"),
+          (pmod(graft.Tables.epochSeconds(col("ts")), lit(86400L)) / lit(3600L))
+            .cast("long").cast("decimal(18,2)").as("y"))
+      val d2 = (c: Column) => c.cast("double")
+      val agg = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,6)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,6)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,6)")).cast("double").as("syy"))
+      agg
+        .withColumn("cov_n", col("sxy") - col("sx") * col("sy") / d2(col("n")))
+        .withColumn("vx", col("sxx") - col("sx") * col("sx") / d2(col("n")))
+        .withColumn("vy", col("syy") - col("sy") * col("sy") / d2(col("n")))
+        .select(col("event_type"), col("n"),
+          when(col("vx") > 1e-9 && col("vy") > 1e-9,
+            round(col("cov_n") / sqrt(col("vx") * col("vy")), 6)).as("r"),
+          when(col("vx") > 1e-9,
+            round(col("cov_n") / col("vx"), 6)).as("slope"),
+          when(col("vx") > 1e-9,
+            round(col("sy") / d2(col("n")) -
+              (col("cov_n") / col("vx")) * (col("sx") / d2(col("n"))), 6))
+            .as("intercept"))
+        .orderBy(col("event_type"))
+    }),
+
     // A8: argmax-by-version via max_by — latest event per user
     // (partial-agg friendly alternative to the W1 window; see
     // VersionedDedup.latestByVersionAgg)
@@ -515,6 +552,34 @@ object AggQueries {
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
          round(SUM(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS error_rate
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // A17: exact DECIMAL sufficient statistics → one fixed double
+    // expression tree on both engines
+    "q_corr" ->
+      """WITH e AS (SELECT event_type,
+           CAST(value AS DECIMAL(18,2)) AS x,
+           CAST((CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400) // 3600
+             AS DECIMAL(18,2)) AS y
+         FROM events),
+         a AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+           FROM e GROUP BY event_type),
+         c AS (SELECT *,
+             sxy - sx * sy / CAST(n AS DOUBLE) AS cov_n,
+             sxx - sx * sx / CAST(n AS DOUBLE) AS vx,
+             syy - sy * sy / CAST(n AS DOUBLE) AS vy
+           FROM a)
+         SELECT event_type, n,
+           CASE WHEN vx > 1e-9 AND vy > 1e-9
+             THEN round(cov_n / sqrt(vx * vy), 6) END AS r,
+           CASE WHEN vx > 1e-9 THEN round(cov_n / vx, 6) END AS slope,
+           CASE WHEN vx > 1e-9
+             THEN round(sy / CAST(n AS DOUBLE)
+               - (cov_n / vx) * (sx / CAST(n AS DOUBLE)), 6) END AS intercept
+         FROM c ORDER BY event_type""",
     "q_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,
          round(quantile_cont(value, 0.25), 6) AS p25,

@@ -367,6 +367,36 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     }
   }
 
+  test("A17 exact-sum correlation agrees with Spark's corr/regr on random data") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(500)((math.round(rnd.nextDouble() * 10000) / 100.0,
+      rnd.nextInt(24).toDouble))
+    val df = rows.toDF("xv", "yv")
+    val builtin = df.agg(corr(col("xv"), col("yv")),
+      expr("regr_slope(yv, xv)"), expr("regr_intercept(yv, xv)"))
+      .head
+    // the registered query's formulation: exact decimal sums → one
+    // fixed double tree (x as decimal(18,2), y integral)
+    val a = df.select(col("xv").cast("decimal(18,2)").as("x"),
+      col("yv").cast("decimal(18,2)").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,6)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,6)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,6)")).cast("double").as("syy"))
+      .head
+    val n = a.getLong(0).toDouble
+    val (sx, sy, sxy, sxx, syy) =
+      (a.getDouble(1), a.getDouble(2), a.getDouble(3), a.getDouble(4), a.getDouble(5))
+    val cov = sxy - sx * sy / n
+    val vx = sxx - sx * sx / n
+    val vy = syy - sy * sy / n
+    assert(math.abs(cov / math.sqrt(vx * vy) - builtin.getDouble(0)) < 1e-9)
+    assert(math.abs(cov / vx - builtin.getDouble(1)) < 1e-9)
+    assert(math.abs(sy / n - (cov / vx) * (sx / n) - builtin.getDouble(2)) < 1e-9)
+  }
+
   test("W4c rollingZScore: flags an injected spike, and only the spike") {
     // jittered baseline (σ > 0) of 9/10/11 with one 100-count spike
     val base = (0L until 20L).map(b => ("k", b, 10L + (b % 3) - 1L))
