@@ -128,6 +128,29 @@ object JoinQueries {
 
     // J6: as-of join — for each purchase, the latest click of the same
     // user at or before the purchase time (union + running-window form)
+    // J6e: as-of with TOLERANCE (pandas merge_asof tolerance=1h) —
+    // the nearest-preceding match counts only within the horizon;
+    // stale matches fall to null but the LEFT ROW survives (outer
+    // semantics). Same one-shuffle union+window plan; the tolerance
+    // is a post-projection on the carried match time
+    "q_join_asof_tol" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ep", graft.Tables.epochSeconds(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ep").as("pep"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"), col("ep").as("cep"))
+      AsOfJoin.asofJoin(
+        left = purchases, right = clicks, key = "user_id",
+        leftTime = col("pep"), rightTime = col("cep"),
+        rightTiebreak = col("cid"), rightPayload = Seq("cid", "cep"))
+        .withColumn("gap", col("pep") - col("asof.cep").cast("long"))
+        .select(col("pid"), col("user_id"),
+          when(col("gap") <= 3600L, col("asof.cid").cast("long")).as("cid"),
+          when(col("gap") <= 3600L, col("gap")).as("gap_s"))
+        .orderBy(col("pid"))
+    }),
+
     "q_join_asof" -> ((s, d) => {
       val ev = table(s, d, "events")
         .withColumn("ep", graft.Tables.epochSeconds(col("ts")))
@@ -351,6 +374,24 @@ object JoinQueries {
          SELECT lid, rid, least(le, re) - greatest(ls, rs) AS overlap_s
          FROM v JOIN p ON ls <= re AND rs <= le
          ORDER BY lid, rid""",
+    // J6e: LEFT join keeps every purchase; the tolerance CASE mirrors
+    // the Spark projection exactly
+    "q_join_asof_tol" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pep
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS cid, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS cep
+           FROM events WHERE event_type = 'click'),
+         m AS (SELECT pid, user_id, cid, pep, cep FROM (
+           SELECT p.pid, p.user_id, c.cid, p.pep, c.cep,
+             row_number() OVER (PARTITION BY p.pid ORDER BY c.cep DESC, c.cid DESC) AS rn
+           FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cep <= p.pep)
+           WHERE rn = 1)
+         SELECT pid, user_id,
+           CASE WHEN pep - cep <= 3600 THEN cid END AS cid,
+           CASE WHEN pep - cep <= 3600 THEN pep - cep END AS gap_s
+         FROM m ORDER BY pid""",
     "q_join_asof" ->
       """WITH p AS (SELECT event_id AS pid, user_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pep
