@@ -93,16 +93,23 @@ object Bench {
         s""""protocol":"min-of-$passes","sf":"$sfDir"}"""
     // The full line is long (per-query time + spread maps for ~100
     // queries) and the driver's stdout capture has truncated it
-    // mid-JSON two rounds running. Emit a SHORT, complete totals-only
-    // line both before and after the full line: whichever end the
-    // capture keeps, a parseable headline survives. The file copy
-    // always holds the full record.
+    // mid-JSON two rounds running — r11's ~2 KB tail kept only the
+    // trailing fields. Emit SHORT, complete lines both before and
+    // after the full line: the headline (totals) and a top-10-by-wall
+    // line (the plan-audit evidence). Whichever end the capture
+    // keeps, both survive; the file copy always holds the full
+    // record.
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},""" +
         s""""errors":$errs,"passes":$passTotals,"max_spread":$maxSpread,""" +
         s""""protocol":"min-of-$passes","sf":"$sfDir"}"""
+    val top10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("""{"metric":"top10_by_wall","queries":{""", ",", "}}")
     println(headline)
+    println(top10)
     println(line)
+    println(top10)
     println(headline)
     System.err.println(line)
     Files.writeString(Paths.get("BENCH_OUT.json"), line + "\n")

@@ -106,15 +106,18 @@ object ScaleBench {
       Paths.get(baseDir).getFileName.toString
     if (!Files.isDirectory(Paths.get(s"$out/documents.parquet"))) {
       deriveDocuments(Tables.table(spark, baseDir, "documents"), factor)
-        .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
       deriveEmbeddings(Tables.table(spark, baseDir, "embeddings"), factor, dim = 64)
-        .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
     // events arrived in round 8 — an independent guard so pre-existing
     // cached corpora gain the table without re-deriving the rest
     if (!Files.isDirectory(Paths.get(s"$out/events.parquet"))) {
       deriveEvents(Tables.table(spark, baseDir, "events"), factor)
-        .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
     out
   }
@@ -166,9 +169,16 @@ object ScaleBench {
     // inline, constraint inference would clone the defining predicate
     // onto the fact side and defeat the comparison
     def bloomIds(dir: String): DataFrame = {
+      // cache key carries the source table's mtime so a regenerated
+      // corpus at the same path can't reuse stale ids, and reuse is
+      // gated on the _SUCCESS marker so a crash mid-write (partial
+      // dir, no marker) re-derives instead of silently reading junk —
+      // mode("overwrite") clears any partial leftovers
+      val srcMtime = Files.getLastModifiedTime(
+        Paths.get(s"$dir/events.parquet")).toMillis
       val out = s"${System.getProperty("java.io.tmpdir")}/graft-bloomids-" +
-        Paths.get(dir).getFileName.toString
-      if (!Files.isDirectory(Paths.get(out)))
+        s"${Paths.get(dir).getFileName.toString}-$srcMtime"
+      if (!Files.exists(Paths.get(s"$out/_SUCCESS")))
         Tables.table(spark, dir, "events")
           .where(pmod(col("user_id"), lit(997L)) === 0L)
           .select(col("user_id").as("uid")).distinct()
@@ -600,7 +610,20 @@ object ScaleBench {
                 acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
           }
           spark.sparkContext.addSparkListener(l)
-          try { body; Thread.sleep(1000L) } // async listener-bus drain
+          try {
+            body
+            // the listener bus is async: poll until the count is
+            // stable across two consecutive intervals (a fixed sleep
+            // under-counts when task-end events straggle under load)
+            var prev = -1L
+            var settle = 0
+            var waited = 0L
+            while (settle < 2 && waited < 30000L) {
+              Thread.sleep(250L); waited += 250L
+              val cur = acc.get()
+              if (cur == prev) settle += 1 else { settle = 0; prev = cur }
+            }
+          }
           finally spark.sparkContext.removeSparkListener(l)
           acc.get()
         }

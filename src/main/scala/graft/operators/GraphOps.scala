@@ -14,27 +14,32 @@ import org.apache.spark.sql.functions._
   * SURVEY.md §0); this is a north-star extension like the rest of
   * §2.10.
   *
-  * Algorithm: iterated min-label propagation with path halving — each
-  * round every node takes the smallest label among itself, its
-  * neighbors (one shuffle join + min-aggregate on the symmetrized
-  * edge table), and its current label's OWN label (a second join:
-  * pointer jumping). The pointer-jump step is what turns the naive
-  * O(diameter) round count into O(log diameter) — label distance to
-  * the component minimum better-than-doubles per round (the spec
-  * drives a 33-node path to a fixpoint in <=10 rounds) — the same
-  * doubling idea as the Hash-to-Min / two-phase CC algorithms of
-  * Rastogi et al. (ICDE 2013) and Kiveris et al. "Connected
-  * Components in MapReduce and Beyond" (SoCC 2014), recast as two
-  * DataFrame joins per round so Catalyst/AQE plan each one.
+  * Algorithm: min-label contraction (the star-contraction family of
+  * Kiveris et al. "Connected Components in MapReduce and Beyond",
+  * SoCC 2014; cf. Rastogi et al., ICDE 2013). Round 1 gives every
+  * node the min of itself and its neighbors (one aggregation over the
+  * symmetrized edge table), then CONTRACTS: every edge is rewritten
+  * to (label(a), label(b)), self-loops dropped, duplicates removed.
+  * Dense near-dup quasi-cliques — the dominant structure in an X2/X3
+  * pair table — collapse to their minimum in that single round, so
+  * the surviving edge table shrinks geometrically; later rounds
+  * repeat min + contract on the residue, with each round's relabel
+  * map resolved to a fixpoint by pointer-jumping over the (small)
+  * active-representative set before it is applied. This replaces the
+  * previous frontier-propagation form, whose floor was re-joining the
+  * FULL edge table every round: here the full table is touched once
+  * (the round-1 contraction) and every later round pays only for
+  * still-unmerged inter-cluster edges.
   *
-  * Scale posture at 100 TB: every round is two equi-joins keyed on
-  * node ids (shuffle-partitioned alike, no broadcast of anything
-  * O(|V|)), and the label set only ever shrinks toward component
-  * minima — no state grows. Near-dup graphs in practice are dense
-  * quasi-cliques of tiny diameter, so 3-5 rounds converge; the
-  * fixpoint check (`changed == 0`) is an `observe()` metric collected
-  * by the SAME job that materializes the round's checkpoint — one job
-  * per round, no separate count pass. Each round's result is
+  * Scale posture at 100 TB: the full edge table is shuffled a bounded
+  * number of times (symmetrize + round-1 min + the two round-1
+  * rewrite joins), never per-round; all per-round state (contracted
+  * edges, relabel maps) shrinks monotonically, and the global label
+  * table is only ever touched by a join against the per-round relabel
+  * map — which AQE broadcasts once the active set is small, the
+  * common case after round 1. Fixpoint checks (`edges == 0`, `changed
+  * == 0`) ride each round's `localCheckpoint` job as `observe()`
+  * metrics — no separate count pass. Each round's result is
   * `localCheckpoint`ed: iterative self-referential plans otherwise
   * grow the lineage exponentially and re-execute every prior round at
   * each action. On a multi-executor cluster prefer reliable
@@ -54,89 +59,126 @@ object GraphOps {
     * isolated ids — [[dedupByCluster]] handles this implicitly via its
     * anti-join).
     *
-    * Converges when no label changes; `maxIters` is a safety bound —
-    * with path halving, 20 rounds cover any component diameter up to
-    * ~2^20 hops, far past any real near-dup graph.
+    * Converges when the contracted edge table is empty; `maxIters` is
+    * a safety bound on contraction rounds — chains resolve by pointer
+    * halving within each round, so 20 rounds cover any residual
+    * diameter up to ~2^20 hops, far past any real near-dup graph.
     */
   def connectedComponents(
       pairs: DataFrame, src: String, dst: String,
       maxIters: Int = 20): DataFrame = {
+    def metricLong(o: org.apache.spark.sql.Observation, key: String): Long =
+      o.get.getOrElse(key, null) match {
+        case null => 0L // empty frame → no observed row → no change
+        case n: java.lang.Number => n.longValue()
+      }
     // symmetrize: min-label must flow both ways along an edge. No
-    // distinct — duplicate edges are harmless under min-aggregation
-    // and deduplicating them here would cost a full extra shuffle.
-    // localCheckpoint: `pairs` is usually the OUTPUT of a whole
-    // candidate+verify pipeline (LSH signatures, bucket join, exact
-    // verify); without materializing it here, every propagation round
-    // would re-execute that entire upstream pipeline twice (measured
-    // 11.6 s vs 4.2 s for q_dedup_clusters at sf0.1).
+    // distinct yet — the round-1 contraction below dedups in label
+    // space, where self-loops are already gone, so a distinct here
+    // would pay a full extra shuffle for volume the contraction drops
+    // anyway. localCheckpoint: `pairs` is usually the OUTPUT of a
+    // whole candidate+verify pipeline (LSH signatures, bucket join,
+    // exact verify); without materializing it here, the min pass and
+    // the two rewrite joins would each re-execute that entire
+    // upstream pipeline (measured 11.6 s vs 4.2 s for q_dedup_clusters
+    // at sf0.1 under the previous form).
     val sym = pairs.select(col(src).as("a"), col(dst).as("b"))
       .union(pairs.select(col(dst).as("a"), col(src).as("b")))
       .localCheckpoint()
 
-    // Round 1 fused into initialization: with round-0 labels all
-    // identities, the first neighbor-min is label_1(a) = min(a,
-    // min_nbr(a)) — one aggregation over sym, no label join — and the
-    // first pointer jump resolves identities, contributing nothing.
-    // Fusing drops a distinct + two joins + one checkpoint from every
-    // call (near-dup graphs converge in 3-5 rounds, so this is a
-    // ~25% round-cost cut).
+    // Round 1, fused: with round-0 labels all identities, the first
+    // min is label_1(a) = min(a, min_nbr(a)) — one aggregation over
+    // sym, no label join.
     var labels = sym.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("nmin"))
       .select(col("node"), least(col("node"), col("nmin")).as("comp"))
       .localCheckpoint()
-    // semi-naive (frontier) propagation: min-label flows over a
-    // monotone semiring, so a neighbor whose label did NOT change last
-    // round contributes exactly what it already contributed — only
-    // CHANGED labels can lower anything this round. Joining edges
-    // against the frontier instead of the full label table shrinks the
-    // per-round matched-edge volume toward the still-active components
-    // (after round 1 most labels are final in real near-dup graphs),
-    // and once the frontier drops under the AQE broadcast threshold
-    // the edge join stops shuffling entirely. The fused first round
-    // changed exactly the labels now differing from their node id.
-    var frontier = labels.where(col("comp") =!= col("node"))
+
+    // Round-1 contraction — the ONLY full-width edge pass: rewrite
+    // every edge to (label(a), label(b)), drop self-loops, dedup.
+    // Dense quasi-cliques whose min touches every member collapse
+    // here outright (all edges become self-loops), so the surviving
+    // table holds only inter-cluster / chain structure. Invariant
+    // kept from here on: every `comp` value is either a settled root
+    // (label(v) = v, no surviving edges) or a node still present in
+    // `edges` — so the per-round relabel fold below reaches every
+    // dangling pointer.
+    val e0 = org.apache.spark.sql.Observation("cc_edges_0")
+    var edges = sym
+      .join(labels.select(col("node").as("na"), col("comp").as("la")),
+        col("a") === col("na"))
+      .join(labels.select(col("node").as("nb"), col("comp").as("lb")),
+        col("b") === col("nb"))
+      .select(col("la").as("a"), col("lb").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .observe(e0, count(lit(1L)).as("edges"))
+      .localCheckpoint()
+    sym.unpersist()
+    var remaining = metricLong(e0, "edges")
     var iters = 1
-    var changed = 1L
-    while (changed > 0 && iters < maxIters) {
-      // smallest CHANGED label among my neighbors (map-side partial
-      // min, one shuffle keyed on the node id; unchanged neighbors'
-      // contributions are already folded into `comp` from prior
-      // rounds)
-      val nbrMin = sym.join(frontier, sym("b") === frontier("node"))
-        .groupBy(sym("a").as("node"))
-        .agg(min(col("comp")).as("nmin"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("c1"))
-      // path halving: follow my (new) label's OWN current label —
-      // comp values are node ids, so they resolve against `labels`
-      val ptr = labels.select(col("node").as("pnode"), col("comp").as("pcomp"))
-      // fixpoint check rides the checkpoint job as an observe() metric
-      // (verified: eager localCheckpoint fires CollectMetrics) — the
-      // previous separate count() doubled the job count per round
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$iters")
-      val next = stepped.join(ptr, stepped("c1") === ptr("pnode"), "left")
-        .select(col("node"), col("comp"),
-          least(col("c1"), coalesce(col("pcomp"), col("c1"))).as("newcomp"))
-        .observe(obs, sum(when(col("newcomp") =!= col("comp"), 1L)
-          .otherwise(0L)).as("changed"))
+    while (remaining > 0 && iters < maxIters) {
+      // min over contracted neighbors — a shuffle over the RESIDUAL
+      // edge table only, then pointer-halve the relabel map against
+      // itself until idempotent (nl(nl(n)) == nl(n)). The map's
+      // domain is the active representative set, which shrinks
+      // geometrically, so these self-joins are small; resolving fully
+      // here is what lets the label fold below stay a single join per
+      // round with no end-of-loop resolution pass.
+      var nl = edges.groupBy(col("a").as("n"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("n"), least(col("n"), col("mb")).as("c"))
         .localCheckpoint()
-      changed = obs.get.getOrElse("changed", null) match {
-        case null => 0L // empty label frame → no rows → no change
-        case n: java.lang.Number => n.longValue()
+      var chains = 1L
+      var hops = 0
+      while (chains > 0 && hops < maxIters) {
+        val o = org.apache.spark.sql.Observation(s"cc_ptr_${iters}_$hops")
+        val next = nl
+          .join(nl.select(col("n").as("rn"), col("c").as("rc")),
+            col("c") === col("rn"), "left")
+          .select(col("n"), col("c").as("c0"),
+            coalesce(col("rc"), col("c")).as("c"))
+          .observe(o, sum(when(col("c") =!= col("c0"), 1L).otherwise(0L))
+            .as("changed"))
+          .select(col("n"), col("c"))
+          .localCheckpoint()
+        chains = metricLong(o, "changed")
+        nl.unpersist()
+        nl = next
+        hops += 1
       }
+      // contract: rewrite surviving edges through the resolved map,
+      // drop self-loops (merged clusters vanish), dedup parallel
+      // edges. Fixpoint check rides the checkpoint job as observe().
+      val eo = org.apache.spark.sql.Observation(s"cc_edges_$iters")
+      val nextEdges = edges
+        .join(nl.select(col("n").as("na"), col("c").as("ca")),
+          col("a") === col("na"))
+        .join(nl.select(col("n").as("nb"), col("c").as("cb")),
+          col("b") === col("nb"))
+        .select(col("ca").as("a"), col("cb").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+        .observe(eo, count(lit(1L)).as("edges"))
+        .localCheckpoint()
+      // fold the round's relabels into the global table: comp values
+      // outside the map are settled roots and pass through. AQE
+      // broadcasts nl once the active set is small — the common case
+      // after round 1 — making this a map-side pass over labels.
       val prev = labels
-      labels = next.select(col("node"), col("newcomp").as("comp"))
-      // next round's frontier: nodes whose label just dropped (their
-      // new value is what unchanged neighbors haven't seen). A cheap
-      // filter over the round's checkpoint — no extra job or shuffle.
-      frontier = next.where(col("newcomp") =!= col("comp"))
-        .select(col("node"), col("newcomp").as("comp"))
+      labels = labels
+        .join(nl.select(col("n").as("rn"), col("c").as("rc")),
+          col("comp") === col("rn"), "left")
+        .select(col("node"), coalesce(col("rc"), col("comp")).as("comp"))
+        .localCheckpoint()
       prev.unpersist()
+      edges.unpersist()
+      nl.unpersist()
+      edges = nextEdges
+      remaining = metricLong(eo, "edges")
       iters += 1
     }
-    // the returned frame reads only the final checkpoint, never sym
-    sym.unpersist()
+    edges.unpersist()
     labels
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,11 +120,64 @@ object VersionedDedup {
     * extend to +∞). `asOf(hist, +∞)` ≡ the `is_current` slice ≡
     * [[currentState]]; at any earlier `t` it is the table as the
     * warehouse saw it then — a plain range predicate Catalyst pushes
-    * into the scan (and into partition pruning when the history is
-    * stored partitioned on valid_from buckets), zero joins, zero
-    * windows.
+    * into the scan, zero joins, zero windows. For histories stored
+    * with [[writeHistoryPartitioned]], [[asOfPartitioned]] adds the
+    * bucket bounds that turn the same predicate into directory-level
+    * partition pruning.
     */
   def asOf(history: DataFrame, t: Column): DataFrame =
     history.filter(col("valid_from") <= t &&
       (col("valid_to").isNull || col("valid_to") > t))
+
+  /** Sentinel valid_to bucket for OPEN intervals (valid_to null):
+    * sorts above every real epoch-second bucket, so open rows survive
+    * the `vt_bucket >= bucket(t)` pruning predicate for any t.
+    */
+  val openBucket: Long = Long.MaxValue / 2
+
+  private def bucketOf(c: Column, bucketSeconds: Long): Column =
+    // exact floorDiv as Column arithmetic (pmod is nonnegative, so
+    // the double division is of an exact multiple — no FP rounding
+    // for any epoch < 2^53)
+    ((c - pmod(c, lit(bucketSeconds))) / lit(bucketSeconds)).cast("long")
+
+  /** W1d storage face: write an SCD2 history partitioned on interval
+    * TIME BUCKETS — `vf_bucket = floorDiv(valid_from, bucketSeconds)`
+    * and `vt_bucket = floorDiv(valid_to, bucketSeconds)` (open
+    * intervals get [[openBucket]]) — so a point-in-time read prunes
+    * whole directories in BOTH directions: versions born after t
+    * (vf_bucket > bucket(t)) and versions dead before t
+    * (vt_bucket < bucket(t)) are never listed, let alone read. Only
+    * files whose interval range straddles t survive; at 100 TB of
+    * accumulated history that is the difference between scanning the
+    * full table and scanning roughly one bucket's worth of
+    * still-in-force rows. `bucketSeconds` sizes directories: one day
+    * (86400) for a CDC feed with day-scale version lifetimes.
+    */
+  def writeHistoryPartitioned(
+      history: DataFrame, path: String, bucketSeconds: Long,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    history
+      .withColumn("vf_bucket", bucketOf(col("valid_from"), bucketSeconds))
+      .withColumn("vt_bucket", coalesce(
+        bucketOf(col("valid_to"), bucketSeconds), lit(openBucket)))
+      .write.mode(mode).partitionBy("vf_bucket", "vt_bucket").parquet(path)
+
+  /** Point-in-time read over a [[writeHistoryPartitioned]] store.
+    * The row predicate is exactly [[asOf]]; the two bucket bounds are
+    * IMPLIED by it (valid_from ≤ t ⇒ vf_bucket ≤ bucket(t);
+    * valid_to > t or null ⇒ vt_bucket ≥ bucket(t)) but must be
+    * spelled out — Catalyst cannot infer a partition-column bound
+    * through the floor-div that derived it, so the reader states the
+    * derived bounds and the scan's partition filters do the pruning
+    * (asserted file-count-level in VersionedDedupSpec).
+    */
+  def asOfPartitioned(
+      spark: SparkSession, path: String, t: Long,
+      bucketSeconds: Long): DataFrame = {
+    val tb = Math.floorDiv(t, bucketSeconds)
+    asOf(spark.read.parquet(path), lit(t))
+      .where(col("vf_bucket") <= tb && col("vt_bucket") >= tb)
+      .drop("vf_bucket", "vt_bucket")
+  }
 }

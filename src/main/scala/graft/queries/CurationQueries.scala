@@ -627,8 +627,8 @@ object CurationQueries {
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
            FROM documents)
          SELECT source, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
            MIN(n_tokens) AS min_tokens,
            MAX(n_tokens) AS max_tokens,

@@ -345,17 +345,20 @@ object NorthStarQueries {
     // retrieval-rank face of decontamination: each query's rank-1 hit
     // is itself, the rest are its lexical near-neighbors)
     "q_bm25_join" -> ((s, d) => {
-      // repartition(32) BEFORE the dense expansion: the fixture
-      // corpus is ONE small parquet file (one row group → one scan
-      // task), and on this fully-shared vocabulary the |Q|·|D|
+      // repartition to cluster width BEFORE the dense expansion: the
+      // fixture corpus is ONE small parquet file (one row group → one
+      // scan task), and on this fully-shared vocabulary the |Q|·|D|
       // explode+join+partial-agg otherwise runs single-task until
       // the first exchange. One cheap corpus-sized exchange buys
-      // 32-way parallelism for the dense stage — measured ~2x (7.9 s →
+      // full parallelism for the dense stage — measured ~2x (7.9 s →
       // 3.7-4.4 s) at sf0.1; a no-op cost-wise on real many-file
-      // inputs. The MinHash family does NOT get this treatment:
-      // measured, its band-key exchange follows the explode so soon
-      // that the extra corpus exchange costs more than it buys
-      val docs = table(s, d, "documents").repartition(32)
+      // inputs. defaultParallelism, not a literal, so the same code
+      // sizes itself to a real cluster. The MinHash family does NOT
+      // get this treatment: measured, its band-key exchange follows
+      // the explode so soon that the extra corpus exchange costs more
+      // than it buys
+      val docs = table(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       val bench = docs.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
       graft.operators.Retrieval.bm25JoinTopK(

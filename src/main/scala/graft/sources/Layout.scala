@@ -102,11 +102,17 @@ object Layout {
     * the frame sorted for a z-ordered write: range-partitioned and
     * sorted by (zval, tiebreak). Write the result with
     * `.write.parquet(...)` — each output file then covers a rectangle
-    * of (x, y) space.
+    * of (x, y) space. `partitions` ≤ 0 (the default) sizes the write
+    * to the session's `defaultParallelism` — one file per core slot
+    * locally, one per executor slot on a cluster; pass an explicit
+    * count to target a file-size budget instead.
     */
   def zorder(
       df: DataFrame, x: Column, y: Column, tiebreak: Column,
-      bits: Int = 16, partitions: Int = 32): DataFrame = {
+      bits: Int = 16, partitions: Int = 0): DataFrame = {
+    val nParts =
+      if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
     val bounds = df.agg(
       min(x.cast("long")).as("xlo"), max(x.cast("long")).as("xhi"),
       min(y.cast("long")).as("ylo"), max(y.cast("long")).as("yhi"))
@@ -115,7 +121,7 @@ object Layout {
         quantize(x.cast("long"), col("xlo"), col("xhi"), bits),
         quantize(y.cast("long"), col("ylo"), col("yhi"), bits)))
       .drop("xlo", "xhi", "ylo", "yhi")
-    withZ.repartitionByRange(partitions, col("zval"), tiebreak)
+    withZ.repartitionByRange(nParts, col("zval"), tiebreak)
       .sortWithinPartitions(col("zval"), tiebreak)
   }
 }

@@ -32,9 +32,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * no-op, and a crash between the writes leaves orphans the replay
   * overwrites (same version names).
   *
-  * Contract: per-key change versions are non-decreasing ACROSS
-  * batches (the CDC log order a keyed Kafka topic delivers);
-  * disorder WITHIN a batch is handled by the operator's sort. The
+  * Contract: per-key versions are STRICTLY increasing for new
+  * changes across batches (the CDC log order a keyed Kafka topic
+  * delivers); disorder WITHIN a batch is handled by the operator's
+  * sort. An at-least-once feed may REDELIVER an already-applied
+  * change in a later batchId — [[applyBatch]] drops batch rows whose
+  * version is ≤ the key's committed open-row version before the
+  * re-derivation, so a redelivery can neither emit a spurious
+  * zero-length closed interval nor duplicate the open row. The
   * read face [[history]] = all closed deltas ∪ the open table, and
   * equals the batch `scd2History` over every change ever ingested —
   * the parity law the spec asserts, replay and crash windows
@@ -142,6 +147,17 @@ object StreamingScd2 {
     readClosed(spark, stateDir, template)
       .unionByName(readOpen(spark, stateDir, template))
 
+  /** Materialize the committed read face as a time-bucket-partitioned
+    * snapshot ([[VersionedDedup.writeHistoryPartitioned]]) — the
+    * serving layout for point-in-time queries: an AS OF read via
+    * [[VersionedDedup.asOfPartitioned]] then prunes every bucket the
+    * instant can't touch instead of scanning the whole store.
+    */
+  def writePartitionedSnapshot(spark: SparkSession, stateDir: String,
+      template: DataFrame, outPath: String, bucketSeconds: Long): Unit =
+    VersionedDedup.writeHistoryPartitioned(
+      history(spark, stateDir, template), outPath, bucketSeconds)
+
   /** Fold ONE batch of change rows into the store. `batch` columns:
     * `keys` ++ (versionCol, tsCol, deleteCol) ++ payload. Pure
     * function of (committed state, batch, batchId); replays are
@@ -159,6 +175,17 @@ object StreamingScd2 {
       batch, keys, col(versionCol), col(tsCol).cast("long"),
       col(deleteCol))
     val open = readOpen(spark, stateDir, hist)
+    // at-least-once guard: a redelivered change (version ≤ the key's
+    // committed open-row version) would tie the open row in the
+    // re-derivation window — nondeterministic order, a spurious
+    // zero-length closed interval, and a duplicated row. Only rows
+    // STRICTLY newer than the open version are new changes; a key
+    // whose batch rows are all stale stays in `carried` untouched.
+    val openVer = open.select(
+      (keys.map(col) :+ col(versionCol).as("__open_ver")): _*)
+    val fresh = batch.join(openVer, keys, "left")
+      .where(col("__open_ver").isNull || col(versionCol) > col("__open_ver"))
+      .drop("__open_ver")
     // open rows of AFFECTED keys re-enter the derivation as change
     // rows — scd2History KEEPS the original change columns, so
     // dropping its three derived columns restores the exact change
@@ -166,13 +193,13 @@ object StreamingScd2 {
     // version then closes it exactly as the batch operator would.
     // localCheckpoint: both the closed and the open write consume
     // `redone` — without it the union + window runs twice.
-    val batchKeys = batch.select(keys.map(col): _*).distinct()
+    val batchKeys = fresh.select(keys.map(col): _*).distinct()
     val affectedOpen = open.join(batchKeys, keys, "left_semi")
       .drop("valid_from", "valid_to", "is_current")
     val carried = open.join(batchKeys, keys, "left_anti")
     val redone = VersionedDedup.scd2History(
-      batch.unionByName(
-        affectedOpen.select(batch.columns.map(col): _*)),
+      fresh.unionByName(
+        affectedOpen.select(fresh.columns.map(col): _*)),
       keys, col(versionCol), col(tsCol).cast("long"), col(deleteCol))
       .localCheckpoint()
     val next = curVer + 1

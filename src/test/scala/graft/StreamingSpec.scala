@@ -965,6 +965,22 @@ class StreamingSpec extends SparkSpec {
     val expect3 = norm(graft.operators.VersionedDedup.scd2History(
       df(all ++ b4 ++ b5), Seq("id"), col("lsn"), col("ts"), col("del")))
     assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect3)
+    // at-least-once redelivery under a NEW batchId: the same change
+    // (key 1, lsn 9 — equal to the committed open-row version) must
+    // be dropped before the re-derivation, not tie the open row into
+    // a spurious zero-length closed interval + duplicate open row
+    StreamingScd2.applyBatch(df(b5), Seq("id"), "lsn", "ts", "del", dir, 5L)
+    assert(StreamingScd2.readPointer(dir) === ((6L, 5L)))
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect3,
+      "equal-version redelivery in a later batch must be a no-op on rows")
+    // ...and a stale mix (one redelivered, one genuinely new) applies
+    // only the new change
+    val b6 = Seq((1L, 9L, 900L, false, "i"), (2L, 10L, 1000L, false, "j"))
+    StreamingScd2.applyBatch(df(b6), Seq("id"), "lsn", "ts", "del", dir, 6L)
+    val expect4 = norm(graft.operators.VersionedDedup.scd2History(
+      df(all ++ b4 ++ b5 ++ Seq((2L, 10L, 1000L, false, "j"))),
+      Seq("id"), col("lsn"), col("ts"), col("del")))
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect4)
   }
 }
 

@@ -159,4 +159,54 @@ class VersionedDedupSpec extends SparkSpec {
       (1L, 3L, 300L, None),       // re-insert opens a fresh current row
       (2L, 4L, 400L, None)))
   }
+
+  /** Parquet files actually READ by `df` (post-partition-pruning):
+    * the FileSourceScan numFiles metric after execution —
+    * `df.inputFiles` lists the unpruned FileIndex and can't assert
+    * pruning.
+    */
+  private def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+  }
+
+  test("W1d storage face: bucket-partitioned history prunes files on an AS OF read") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2part").toString
+    // 10 keys × 10 versions at t = k*100: per key, intervals
+    // [k*100, (k+1)*100) for k<9 plus an open row at 900 — interval
+    // buckets at bucketSeconds=100 are (k, k+1) and (9, open)
+    val changes = (for { id <- 0L until 10L; k <- 0L until 10L }
+      yield (id, k, k * 100L, false)).toDF("id", "ver", "ts", "del")
+    val hist = VersionedDedup.scd2History(
+      changes, Seq("id"), col("ver"), col("ts"), col("del"))
+    VersionedDedup.writeHistoryPartitioned(hist, dir, bucketSeconds = 100L)
+    // AS OF t=250 (bucket 2): only interval-range dirs straddling
+    // bucket 2 survive pruning — (1,2) and (2,3) of the 10 present
+    val sliced = VersionedDedup.asOfPartitioned(spark, dir, 250L, 100L)
+    val full = spark.read.parquet(dir)
+    val fullFiles = filesScanned(full)
+    val slicedFiles = filesScanned(sliced)
+    assert(fullFiles >= 10L, s"expected >=10 partition dirs, saw $fullFiles")
+    assert(slicedFiles * 4 <= fullFiles,
+      s"as-of read must prune most files: $slicedFiles of $fullFiles")
+    // value parity with the in-memory asOf slice (modulo column order)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(r.fieldIndex("id")),
+      r.getLong(r.fieldIndex("ver")), r.getLong(r.fieldIndex("valid_from")))
+    val expect = VersionedDedup.asOf(hist, lit(250L)).collect().map(key).toSet
+    assert(sliced.collect().map(key).toSet === expect)
+    // the open-interval sentinel: an AS OF beyond every closed
+    // interval still finds the 10 open rows (vt_bucket = openBucket
+    // passes the lower bound for any t)
+    val late = VersionedDedup.asOfPartitioned(spark, dir, 5000L, 100L)
+    assert(late.count() === 10L)
+    assert(filesScanned(late) * 4 <= fullFiles)
+  }
 }
