@@ -416,8 +416,18 @@ object ScaleBench {
       // term filter): corpus grows with the factor, matched-postings
       // volume stays ~constant, wall should track the map-only
       // scan+explode, not the corpus-squared retrieval surface
+      // corpus repartitioned to cluster width before the dense
+      // expansion — the SAME fixture-shape mitigation the registered
+      // q_bm25_join carries (single parquet file → single scan task
+      // → the |Q|·|D| dense stage otherwise runs single-task until
+      // the first exchange; a no-op cost-wise on real many-file
+      // inputs). Without it the base slot measures the fixture's file
+      // count, not the operator (the stale 135-161 s base rows of the
+      // r11 artifacts)
       "bm25_join" -> (() => graft.operators.Retrieval.bm25JoinTopK(
-        Tables.table(spark, dir, "documents"), "doc_id", col("text"),
+        Tables.table(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism),
+        "doc_id", col("text"),
         decontamBench(dir).select(col("doc_id").as("bench_id"), col("text")),
         "bench_id", col("text"), k = 5).count()),
       "decontam_join" -> (() => graft.operators.Curation.decontaminate(
@@ -426,6 +436,26 @@ object ScaleBench {
       "decontam_bloom" -> (() => graft.operators.Curation.decontaminateBloom(
         decontamCorpus(dir), decontamBench(dir), "doc_id", col("text"),
         n = graft.queries.CurationQueries.DecontamN).count()),
+      // round-12: X6c graded decontam — same fixed benchmark slice;
+      // hit-doc count must equal the join form's at every factor
+      // (hard-asserted below) while the left join keeps every corpus
+      // doc in the denominator scan
+      "decontam_frac" -> (() => graft.operators.Curation.contaminationFraction(
+        decontamCorpus(dir), decontamBench(dir), "doc_id", col("text"),
+        n = graft.queries.CurationQueries.DecontamN)
+        .where(col("n_hits") > 0).count()),
+      // round-12: X24 at scale — the appended constant line is shared
+      // by EVERY doc across replicas (one global keeper), each doc's
+      // text line is replica-namespaced; count = docs losing a line =
+      // N·factor − 1 (law hard-asserted below). Cost shape under
+      // test: the 100%-df hot line must collapse in the map-side
+      // combine of the line-keyed min agg, never skew the semi join
+      "paragraph_dedup" -> (() => graft.operators.Curation.dedupParagraphs(
+        Tables.table(spark, dir, "documents")
+          .withColumn("page",
+            concat(col("text"), lit("\nsubscribe to our newsletter"))),
+        "doc_id", col("page"))
+        .where(col("n_kept") < col("n_lines")).count()),
       // round-7 addition: the 4-stage composite curation pipeline
       // exactly as registered (scrub → repetition-filter → split →
       // pack in one Catalyst plan) — count = packed corpus rows,
@@ -716,6 +746,20 @@ object ScaleBench {
       for (b <- m.get("bloomjoin_pruned"); j <- m.get("bloomjoin_plain"))
         if (b != j) throw new AssertionError(
           s"bloom join: pruned $b rows != plain $j rows")
+      // X6c: the graded form flags exactly the docs the join form
+      // counts (same grams, same benchmark) at every measured size
+      for (f <- m.get("decontam_frac"); j <- m.get("decontam_join"))
+        if (f != j) throw new AssertionError(
+          s"decontam: graded $f hit docs != join $j")
+    }
+    // X24: one global keeper for the shared line ⇒ docs losing a line
+    // = N·factor − 1 exactly (base measures N − 1)
+    locally {
+      val bm = baseRes.map { case (n, _, c) => n -> c }.toMap
+      val sm = bigRes.map { case (n, _, c) => n -> c }.toMap
+      for (b <- bm.get("paragraph_dedup"); s <- sm.get("paragraph_dedup"))
+        if (s != b * factor + (factor - 1)) throw new AssertionError(
+          s"paragraph_dedup: scaled $s != N*factor-1 (base $b, factor $factor)")
     }
     // J9's reason to exist is EXCHANGE VOLUME, asserted below via
     // bloomJoinVolume — on local[32] the "shuffle" is a RAM copy, so

@@ -108,6 +108,76 @@ object Curation {
     CacheLifecycle.releaseAfterAction(out, benchGrams)
   }
 
+  /** X6c: contamination DEGREE — [[decontaminate]]'s hit count graded
+    * into a per-document overlap fraction: of the doc's DISTINCT
+    * n-grams, what share appears anywhere in the benchmark. The
+    * binary form answers "is this doc tainted?"; this one supports
+    * the threshold policies evaluation reports actually use ("drop
+    * documents with >X% overlap", the n-gram overlap convention of
+    * GPT-3's appendix and the lm-eval decontamination tooling) and
+    * ranks the gray zone a 1-gram hit can't distinguish from a
+    * wholesale copy.
+    *
+    * Returns (id, n_grams, n_hits, overlap_frac) for every corpus doc
+    * long enough to have an n-gram; overlap_frac = n_hits/n_grams
+    * rounded to 4 dp (exact-integer division in double — the X13
+    * engine-portability convention).
+    *
+    * Scale: same shape as [[decontaminate]] — benchmark grams
+    * broadcast (MBs by definition), corpus side map-only explode +
+    * broadcast LEFT join (clean grams must still count in the
+    * denominator, so no inner-join prune here) + one doc-keyed
+    * partial agg; never shuffled by gram.
+    */
+  def contaminationFraction(
+      corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: Column, n: Int): DataFrame = {
+    val corpusGrams = Dedup.explodedShingles(corpus, id, text, n)
+    val benchGrams = Dedup.explodedShingles(benchmark, id, text, n)
+      .select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1L))
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("shingle"), "left")
+      .groupBy(col(id))
+      // explodedShingles is per-doc distinct already, so count(*) is
+      // the distinct gram count and the hit sum the distinct-shared
+      // count — no count_distinct shuffle
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("overlap_frac",
+        round(col("n_hits").cast("double") / col("n_grams"), 4))
+  }
+
+  /** X4b: out-of-vocabulary rate — per-document fraction of token
+    * OCCURRENCES not covered by a fixed vocabulary table: the
+    * pre-training sanity check run before committing to a tokenizer
+    * or a vocabulary truncation (a corpus slice with high OOV against
+    * the training vocab degrades to byte-fallback/<unk> mass).
+    * Occurrence-level, not distinct-token-level — a doc repeating one
+    * uncovered token is as damaged as one with many.
+    *
+    * Returns (id, n_tokens, n_oov, oov_frac); oov_frac rounds the
+    * exact-integer division to 4 dp (the X13 portability convention).
+    *
+    * Scale: vocabulary tables are bounded by construction (vocab
+    * size, not corpus size) → broadcast left join inside the exploded
+    * scan, one doc-keyed partial agg; the corpus is never shuffled by
+    * token.
+    */
+  def oovRate(
+      docs: DataFrame, id: String, text: Column,
+      vocab: DataFrame, token: String): DataFrame = {
+    val toks = docs.select(col(id), explode(split(text, " ")).as("__tok"))
+    val v = vocab.select(col(token).as("__tok")).distinct()
+      .withColumn("__in", lit(1L))
+    toks.join(broadcast(v), Seq("__tok"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** X7: repetition statistics — the Gopher-style (Rae et al. 2021,
     * §A1.1) repetition signals that survive a single-line corpus:
     * duplicate-word fraction (1 - distinct/total tokens) and the
@@ -716,6 +786,52 @@ object Curation {
         x => x.getField("__line")), "\n").as("__clean"))
     // left join from the full doc set: a doc whose every line is
     // boilerplate still appears, with an empty clean_text
+    lines.select(col(id), size(col("__ls")).cast("long").as("n_lines"))
+      .join(regrouped, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
+  /** X24: corpus-global paragraph/line dedup — CCNet's cross-shard
+    * paragraph deduplication (Wenzek et al. 2020 §3.1): every
+    * DISTINCT line is kept in exactly ONE place corpus-wide (its
+    * first occurrence: minimum doc id, then minimum position within
+    * that doc) and removed everywhere else. The frequency-threshold
+    * form ([[dropBoilerplateLines]]) removes a frequent line from ALL
+    * docs including the first; this is the keep-one complement —
+    * repeated mass is removed but never lost, the form a pretraining
+    * pipeline uses when the line is content (syndicated articles,
+    * quoted passages), not chrome.
+    *
+    * Returns (id, n_lines, n_kept, clean_text) for every input doc
+    * (all-duplicate docs survive with empty clean_text), clean_text
+    * reassembled in original line order.
+    *
+    * Scale shape: one line-keyed partial-agg shuffle (`min` over a
+    * (doc, pos) struct — map-side combine, so the hot keys a skewed
+    * line distribution produces, e.g. the empty line, collapse before
+    * the exchange) + one keeper semi-join keyed on the FULL
+    * (line, doc, pos) triple — every key matches at most one row, so
+    * the join inherits no line skew — + the doc-keyed reassembly agg.
+    * Never a window over the line key, never a global sort.
+    */
+  def dedupParagraphs(
+      df: DataFrame, id: String, text: Column): DataFrame = {
+    // null text = one empty line, same contract as the X20 pass
+    val lines = df.select(col(id), split(coalesce(text, lit("")), "\n").as("__ls"))
+    val exploded = lines.select(col(id),
+      posexplode(col("__ls")).as(Seq("__pos", "__line")))
+    val keeper = exploded.groupBy(col("__line"))
+      .agg(min(struct(col(id), col("__pos"))).as("__k"))
+      .select(col("__line"), col("__k").getField(id).as(id),
+        col("__k").getField("__pos").as("__pos"))
+    val kept = exploded.join(keeper, Seq("__line", id, "__pos"), "left_semi")
+    val regrouped = kept.groupBy(col(id)).agg(
+      count(lit(1)).as("__n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        x => x.getField("__line")), "\n").as("__clean"))
     lines.select(col(id), size(col("__ls")).cast("long").as("n_lines"))
       .join(regrouped, Seq(id), "left")
       .select(col(id), col("n_lines"),

@@ -72,18 +72,22 @@ object GraphOps {
         case null => 0L // empty frame → no observed row → no change
         case n: java.lang.Number => n.longValue()
       }
+    // materialize the pair table BEFORE symmetrizing: `pairs` is
+    // usually the OUTPUT of a whole candidate+verify pipeline (LSH
+    // signatures, bucket join, exact verify), and a union of two
+    // projections of the raw plan executes that pipeline once per
+    // branch — the single largest cost of every CC consumer, since
+    // the upstream dwarfs the graph work (measured at 30×: the
+    // pipeline is ~90% of cc_clusters wall). Checkpoint the pairs
+    // once; the symmetrized view then reads cached blocks twice.
+    val p0 = pairs.select(col(src).as("a"), col(dst).as("b"))
+      .localCheckpoint()
     // symmetrize: min-label must flow both ways along an edge. No
     // distinct yet — the round-1 contraction below dedups in label
     // space, where self-loops are already gone, so a distinct here
     // would pay a full extra shuffle for volume the contraction drops
-    // anyway. localCheckpoint: `pairs` is usually the OUTPUT of a
-    // whole candidate+verify pipeline (LSH signatures, bucket join,
-    // exact verify); without materializing it here, the min pass and
-    // the two rewrite joins would each re-execute that entire
-    // upstream pipeline (measured 11.6 s vs 4.2 s for q_dedup_clusters
-    // at sf0.1 under the previous form).
-    val sym = pairs.select(col(src).as("a"), col(dst).as("b"))
-      .union(pairs.select(col(dst).as("a"), col(src).as("b")))
+    // anyway.
+    val sym = p0.union(p0.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
 
     // Round 1, fused: with round-0 labels all identities, the first
@@ -115,6 +119,7 @@ object GraphOps {
       .observe(e0, count(lit(1L)).as("edges"))
       .localCheckpoint()
     sym.unpersist()
+    p0.unpersist()
     var remaining = metricLong(e0, "edges")
     var iters = 1
     while (remaining > 0 && iters < maxIters) {

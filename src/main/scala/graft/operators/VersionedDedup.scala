@@ -72,6 +72,36 @@ object VersionedDedup {
       tiebreak: Seq[Column] = Nil): DataFrame =
     latestByVersion(df, keys, version, tiebreak).filter(!isDeleted)
 
+  /** W1e: batch MERGE INTO — the CDC apply face as one operator
+    * (Delta/Iceberg `MERGE INTO target USING source` with the
+    * latest-wins source reduction): fold one change batch into a
+    * current-state table. The source is first reduced to its latest
+    * row per key (the W1 rule); then matched + delete removes the
+    * target row, matched + non-delete replaces it, unmatched +
+    * non-delete inserts, unmatched + delete is a no-op. `target`
+    * must be current-state shaped (≤ 1 row per key — e.g.
+    * [[currentState]] output); the result carries the target's
+    * columns and is itself current-state shaped, so batches chain:
+    * mergeInto(mergeInto(t, b1), b2) ≡ applying the concatenated log
+    * when versions are batch-monotone.
+    *
+    * Scale: the source is a CDC batch — MBs against a TB target — so
+    * the touched-key anti join broadcasts; the target is scanned
+    * once, never shuffled (no window over it, unlike re-running
+    * [[currentState]] over the full log), which is the operator's
+    * point: apply cost is O(target scan + batch), not O(history).
+    */
+  def mergeInto(
+      target: DataFrame, source: DataFrame, keys: Seq[String],
+      version: Column, isDelete: Column): DataFrame = {
+    val latest = latestByVersion(source, keys, version)
+    val touched = latest.select(keys.map(col): _*)
+    val upserts = latest.withColumn("__del", isDelete)
+      .filter(!col("__del"))
+      .select(target.columns.map(col): _*)
+    target.join(touched, keys, "left_anti").unionByName(upserts)
+  }
+
   /** W1c: SCD Type-2 history — the temporal COMPLEMENT of
     * [[currentState]]: instead of keeping only each key's latest
     * version, turn the whole change log into validity intervals

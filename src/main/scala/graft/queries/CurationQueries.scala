@@ -357,6 +357,28 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X6c: contamination degree — overlap FRACTION per corpus doc
+    // (same every-10th-doc benchmark slice as X6); clean docs appear
+    // with n_hits 0 so a threshold policy reads one table
+    "q_decontam_frac" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Curation.contaminationFraction(
+        corpus = docs.where(col("doc_id") % 10 =!= 0),
+        benchmark = docs.where(col("doc_id") % 10 === 0),
+        id = "doc_id", text = col("text"), n = DecontamN)
+        .orderBy(col("doc_id"))
+    }),
+
+    // X24: CCNet-style corpus-global paragraph dedup over the derived
+    // page — "short line" (every doc) and the modular marker lines
+    // survive only in their first containing doc; every doc's own
+    // text lines survive in place
+    "q_paragraph_dedup" -> ((s, d) => {
+      Curation.dedupParagraphs(withPage(table(s, d, "documents")),
+        "doc_id", col("page"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X21: deterministic global shuffle into 8 training shards —
     // md5-keyed permutation, (shard, pos) addresses
     "q_shuffle_shard" -> ((s, d) => {
@@ -540,6 +562,23 @@ object CurationQueries {
          FROM o WHERE cum_tokens <= $BudgetTokens ORDER BY doc_id""",
     "q_curation_pipeline" -> pipelineOracle,
     "q_decontaminate" -> decontamOracle,
+    // X6c: the graded form — LEFT join keeps clean grams in the
+    // denominator; sums cast to BIGINT (DuckDB sums to HUGEINT), the
+    // fraction divides exact integers in DOUBLE then rounds 4 dp
+    // (both engines round half-away-from-zero)
+    "q_decontam_frac" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - ${DecontamN - 2}),
+             i -> array_to_string(t[CAST(i AS INT):CAST(i + ${DecontamN - 1} AS INT)], ' ')))) AS ng
+           FROM tk WHERE len(t) >= $DecontamN),
+         bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0),
+         corp AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 <> 0)
+         SELECT c.doc_id AS doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS overlap_frac
+         FROM corp c LEFT JOIN bench b ON c.ng = b.ng
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
     // X6b: Bloom arm returns the identical exact result — same oracle
     "q_decontam_bloom" -> decontamOracle,
     "q_quality_repetition" -> oracleRepetition,
@@ -712,6 +751,29 @@ object CurationQueries {
          SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
            array_to_string(kept, chr(10)) AS clean_text
          FROM k ORDER BY doc_id""",
+    // X24: first occurrence = (min doc, then min pos in that doc),
+    // derived in two grouped steps (DuckDB min over a struct is not
+    // the lexicographic order Spark's struct min uses — two stages
+    // sidestep the difference); zipped unnests give (pos, line)
+    "q_paragraph_dedup" ->
+      s"""WITH pg AS (SELECT doc_id, $pageSql AS page FROM documents),
+         ls AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg),
+         ex AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos,
+             unnest(lines) AS line FROM ls),
+         k1 AS (SELECT line, min(doc_id) AS kd FROM ex GROUP BY line),
+         k2 AS (SELECT e.line AS line, e.doc_id AS kd, min(e.pos) AS kp
+           FROM ex e JOIN k1 ON e.line = k1.line AND e.doc_id = k1.kd
+           GROUP BY e.line, e.doc_id),
+         kept AS (SELECT e.doc_id, e.pos, e.line FROM ex e
+           JOIN k2 ON e.line = k2.line AND e.doc_id = k2.kd AND e.pos = k2.kp),
+         rg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             array_to_string(list(line ORDER BY pos), chr(10)) AS clean
+           FROM kept GROUP BY doc_id)
+         SELECT l.doc_id AS doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
+           coalesce(rg.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           coalesce(rg.clean, '') AS clean_text
+         FROM ls l LEFT JOIN rg ON l.doc_id = rg.doc_id
+         ORDER BY l.doc_id""",
     // X21: same md5-hex arithmetic as X9's split oracle; binary
     // collation on ASCII hex makes the within-shard order portable
     "q_shuffle_shard" ->

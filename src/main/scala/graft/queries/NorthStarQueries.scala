@@ -156,6 +156,20 @@ object NorthStarQueries {
         .orderBy(col("freq").desc, col("token"))
     }),
 
+    // X4b: OOV rate against the corpus's own top-256 vocabulary —
+    // the truncation-policy readout: what fraction of each doc's
+    // token OCCURRENCES a 256-token vocab fails to cover
+    "q_oov_rate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val vocab = docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(256)
+      graft.operators.Curation.oovRate(
+        docs, "doc_id", col("text"), vocab, "token")
+        .orderBy(col("doc_id"))
+    }),
+
     // X3: brute-force cosine top-10 for a deterministic query subset
     "q_cosine_topk" -> ((s, d) => {
       val e = table(s, d, "embeddings")
@@ -733,6 +747,17 @@ object NorthStarQueries {
          SELECT token, freq,
            CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) - 1 AS token_id
          FROM c ORDER BY freq DESC, token LIMIT 256""",
+    // X4b: same vocab construction; occurrence-level left join, sums
+    // cast to BIGINT, 4-dp rounded exact-integer division
+    "q_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         vc AS (SELECT token FROM (SELECT token, count(*) AS freq FROM tok
+                GROUP BY token ORDER BY freq DESC, token LIMIT 256)),
+         j AS (SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+               FROM tok t LEFT JOIN vc v ON t.token = v.token)
+         SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_frac
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
     // ExactSubstr span dedup; 1-based list positions (Spark side is
     // 0-based internally — positions never cross the engine boundary).
     // coalesce on array_to_string: DuckDB returns NULL for an empty

@@ -34,6 +34,29 @@ object WindowQueries {
         .orderBy(col("user_id"))
     }),
 
+    // W1e: batch MERGE INTO — even changes form the current-state
+    // target, odd changes are the batch; the batch's latest row per
+    // user wins (delete removes, upsert replaces/inserts), untouched
+    // users carry over. The oracle mirrors the merge construction,
+    // not a flat currentState over the union — the two differ
+    // whenever a user's target version exceeds the batch's (MERGE
+    // semantics: the batch is authoritative for matched keys)
+    "q_merge_upsert" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val target = VersionedDedup.currentState(
+        ev.where(col("event_id") % 2 === 0),
+        keys = Seq("user_id"),
+        version = col("event_id"),
+        isDeleted = col("event_type") === "error")
+      VersionedDedup.mergeInto(
+        target, ev.where(col("event_id") % 2 === 1), Seq("user_id"),
+        version = col("event_id"), isDelete = col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("cur_version"),
+          col("event_type").as("cur_type"),
+          round(col("value"), 2).as("cur_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // W1c: SCD Type-2 history — the full validity-interval view of
     // the same versioned upsert stream q_current_state collapses:
     // every non-delete change becomes [valid_from, valid_to), a
@@ -370,6 +393,25 @@ object WindowQueries {
                FROM events)
          WHERE rn = 1 AND event_type <> 'error'
          ORDER BY user_id""",
+    // W1e: the oracle mirrors the merge construction — target =
+    // current state of the even changes, source latest per key wins
+    // over it (delete removes, upsert replaces/inserts)
+    "q_merge_upsert" ->
+      """WITH tgt AS (SELECT user_id, event_id, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1 AND event_type <> 'error'),
+         src AS (SELECT user_id, event_id, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 1)
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM tgt WHERE user_id NOT IN (SELECT user_id FROM src)
+           UNION ALL
+           SELECT * FROM src WHERE event_type <> 'error')
+         SELECT user_id, event_id AS cur_version, event_type AS cur_type,
+           round(value, 2) AS cur_value
+         FROM merged ORDER BY user_id""",
     // W1c: lead() must see delete rows (they close predecessors)
     // before the delete filter drops them — same shape both engines
     "q_scd2" ->

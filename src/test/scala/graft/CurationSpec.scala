@@ -748,4 +748,86 @@ class CurationSpec extends SparkSpec {
       .collect()
     assert(out.length === 3 && out.forall(r => !r.isNullAt(2)))
   }
+
+  test("X6c contaminationFraction: hit share of distinct grams, clean docs at 0") {
+    // bigrams (n=2); doc 1 shares half its grams with the benchmark,
+    // doc 2 none, doc 3 all; doc 4 is too short for any bigram
+    val corpus = Seq(
+      (1L, "a b c x"),   // grams {a b, b c, c x}: hits {a b, b c}
+      (2L, "p q r"),     // grams {p q, q r}: 0 hits
+      (3L, "a b"),       // gram {a b}: 1 hit
+      (4L, "solo")       // no bigram → absent from the result
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.contaminationFraction(
+      corpus, bench, "doc_id", col("text"), n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> ((3L, 2L, 0.6667)), 2L -> ((2L, 0L, 0.0)),
+      3L -> ((1L, 1L, 1.0))))
+  }
+
+  test("X6c within-doc repeated grams count once (distinct-gram basis)") {
+    val corpus = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b")).toDF("doc_id", "text")
+    val out = Curation.contaminationFraction(
+      corpus, bench, "doc_id", col("text"), n = 2).collect()
+    // distinct bigrams of "a b a b a b" = {a b, b a}; one hits
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 2L && out.head.getLong(2) === 1L)
+    assert(out.head.getDouble(3) === 0.5)
+  }
+
+  test("X4b oovRate: occurrence-level coverage against a fixed vocab") {
+    val docs = Seq(
+      (1L, "a b a z"),  // 4 occurrences, z uncovered → 1/4
+      (2L, "a a a a"),  // fully covered
+      (3L, "q r")       // fully uncovered
+    ).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "c").toDF("token")
+    val out = Curation.oovRate(docs, "doc_id", col("text"), vocab, "token")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> ((4L, 1L, 0.25)), 2L -> ((4L, 0L, 0.0)), 3L -> ((2L, 2L, 1.0))))
+  }
+
+  test("X24 dedupParagraphs keeps each distinct line only at its first occurrence") {
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\ngamma"),       // loses "shared" to doc 1
+      (3L, "shared\nshared")       // all-dup doc: empty clean_text
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, "doc_id", col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 3L, "alpha\nshared\nbeta"),
+      (2L, 2L, 1L, "gamma"),
+      (3L, 2L, 0L, "")))
+  }
+
+  test("X24 within the keeper doc a repeated line survives once, at its first position") {
+    val docs = Seq(
+      (5L, "x\ny\nx\nz\nx"),
+      (6L, "x\nw")
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, "doc_id", col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq === Seq((5L, "x\ny\nz"), (6L, "w")))
+  }
+
+  test("X24 null text behaves as one empty line; the empty line dedups corpus-wide") {
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "a\n"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, "doc_id", col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 owns the empty line; doc 2's sole (empty) line dedups away;
+    // doc 3's trailing empty line (from the split) dedups, "a" survives
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, ""), (2L, 1L, 0L, ""), (3L, 2L, 1L, "a")))
+  }
 }

@@ -160,6 +160,52 @@ class VersionedDedupSpec extends SparkSpec {
       (2L, 4L, 400L, None)))
   }
 
+  test("W1e mergeInto: batch latest wins, delete removes, unmatched delete no-op") {
+    val target = Seq((1L, 2L, 0, "a"), (2L, 4L, 0, "b"))
+      .toDF("id", "_lsn", "is_deleted", "v")
+    val source = Seq(
+      (1L, 5L, 1, "x"),  // matched delete → key 1 removed
+      (3L, 6L, 0, "c"),  // unmatched upsert → inserted
+      (3L, 7L, 0, "d"),  // same key, higher version → wins the batch
+      (4L, 8L, 1, "y"),  // unmatched delete → no-op
+      (2L, 3L, 0, "e")   // matched, LOWER version: batch is still
+                         // authoritative for matched keys (MERGE)
+    ).toDF("id", "_lsn", "is_deleted", "v")
+    val out = VersionedDedup.mergeInto(target, source, Seq("id"),
+      col("_lsn"), col("is_deleted") === 1)
+      .select("id", "_lsn", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set((2L, 3L, "e"), (3L, 7L, "d")))
+  }
+
+  test("W1e mergeInto chains: batch-monotone versions reproduce currentState of the log") {
+    samples(6).foreach { rows =>
+      // version-disjoint split (h1 strictly below the pivot): a tied
+      // version straddling the boundary would make MERGE's
+      // batch-authoritative pick diverge from the flat tiebreak —
+      // batch-monotone is exactly the chaining precondition
+      val pivot = rows.map(_._2).sorted.apply(rows.length / 2)
+      val h1 = rows.filter(_._2 < pivot)
+      val h2 = rows.filter(_._2 >= pivot)
+      def df(rs: Seq[(Long, Long, Int, Int)]) =
+        rs.toDF("id", "_lsn", "_op", "is_deleted")
+      val t0 = VersionedDedup.currentState(df(h1), Seq("id"),
+        col("_lsn"), col("is_deleted") === 1, Seq(col("_op")))
+      // tiebreak-free merge needs strictly increasing versions per
+      // key in the batch half — dedup equal (id, lsn) keeping max op
+      // (the same total order the currentState tiebreak imposes)
+      val b = h2.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+      val merged = VersionedDedup.mergeInto(t0, df(b), Seq("id"),
+        col("_lsn"), col("is_deleted") === 1)
+        .select("id", "_lsn").as[(Long, Long)].collect().toMap
+      val all = h1 ++ b
+      val expect = VersionedDedup.currentState(df(all), Seq("id"),
+        col("_lsn"), col("is_deleted") === 1, Seq(col("_op")))
+        .select("id", "_lsn").as[(Long, Long)].collect().toMap
+      assert(merged === expect)
+    }
+  }
+
   /** Parquet files actually READ by `df` (post-partition-pruning):
     * the FileSourceScan numFiles metric after execution —
     * `df.inputFiles` lists the unpruned FileIndex and can't assert
