@@ -30,7 +30,7 @@ object DumpPlans {
       "q_join_q5" -> "J1b -- 6-table star+snowflake: dims broadcast, facts shuffle once each",
       "q_embed_neardup_lsh" -> "X3 scale path -- candidate stages shuffle id-only pairs (no vector payloads); vectors join back only for the cosine verify",
       "q_cdc_translate" -> "P1-P6 -- one narrow stage, from_json evaluated once behind the Generate barrier, consulted-fields-only envelope schema",
-      "q_strip_spans" -> "X2 span dedup -- grams shuffle as fixed-width md5 hashes, never w-token strings; stats via partial agg; corpus reconstructs map-only (q_dedup_clusters is iterative -- its per-round shape is 2 node-keyed joins, see GraphOps scaladoc)",
+      "q_strip_spans" -> "X2 span dedup -- grams shuffle as fixed-width md5 hashes, never w-token strings; stats via partial agg; corpus reconstructs map-only (q_dedup_clusters is iterative -- the pair pipeline materializes once, one full-width contraction pass rewrites edges to label space, later rounds touch only the shrinking residue, see GraphOps scaladoc)",
       "q_curation_pipeline" -> "X6-X13 composite -- scrub, repetition filter, split, pack fused into one plan: three column-pruned corpus scans (no CSE across join branches), doc_id-keyed equi-joins, repetition filter prunes before the shard-scoped packing window, no intermediate corpus materialized",
       "q_budget_select" -> "X15 -- global budget prefix WITHOUT a global sort: the only single-partition window runs over the per-score aggregate (|distinct scores| rows); offsets broadcast back onto the corpus, the __prev <= budget filter prunes whole score buckets before the corpus-side window, and that window exchanges hashpartitioning(score) -- parallel, never SinglePartition",
       "q_line_filter" -> "X14 -- C4 line cleaning is one map-only project over the scan: the only exchange is the registered query's final presentation orderBy (rangepartitioning); the operator itself never shuffles, asserted in CurationSpec. The higher-order filter lambda is interpreted but stays inside the scan's project stage",
@@ -56,7 +56,11 @@ object DumpPlans {
       "q_anomaly" -> "W4c rolling z-score -- raw events collapse to the (type, day) partial+final count agg FIRST; the z-score window (count/sum/sum-of-squares over the 7-PRECEDING frame) runs over that aggregate-sized table on one hashpartitioning(event_type) Exchange -- the window never sees event volume",
       "q_zorder" -> "S8/L3 z-order -- the (min, max) bounds are a 1-row aggregate broadcast back (BroadcastNestedLoopJoin over the single row, never a collect); quantize + spread-bits + interleave are pure codegen'd integer ops inside one Project; the clustering sort is rangepartitioning(zval) -- the parallel write path, no single-partition sort",
       "q_join_bloom" -> "J9 bloom-pruned join -- the xxhash64+getbit bitmap probe is a Filter inside the fact scan's codegen stage, BELOW the join: rows that cannot match die before the exchange, so the join moves ~|matches|+FP% instead of |fact| (the 30x task-metrics measurement: 3,000,056 -> 3,135 exchange rows); no false negatives makes the result bit-identical to the plain join, which IS the oracle",
-      "q_funnel_time" -> "W6g conversion lag -- the SAME funnelCore stacked-minima Window stack as q_funnel on ONE user-keyed Exchange + Sort; the latency view only changes the collapse aggregate (level, anchor, deepest-level time), so the marginal cost over the level histogram is zero shuffles")
+      "q_funnel_time" -> "W6g conversion lag -- the SAME funnelCore stacked-minima Window stack as q_funnel on ONE user-keyed Exchange + Sort; the latency view only changes the collapse aggregate (level, anchor, deepest-level time), so the marginal cost over the level histogram is zero shuffles",
+      "q_decontam_frac" -> "X6c graded decontamination -- same broadcast asymmetry as q_decontaminate but a LEFT BroadcastHashJoin (clean grams must reach the denominator), one doc-keyed partial+final agg computes count and hit-sum together; the fraction is a map-only projection on the aggregate output -- the corpus is exploded once and never shuffled by gram",
+      "q_paragraph_dedup" -> "X24 corpus-global paragraph dedup -- the keeper table is ONE line-keyed partial+final min(struct(doc,pos)) aggregate (hot lines -- the 100%-df empty/boilerplate lines -- collapse in the map-side combine before the exchange); the keep-decision is a LeftSemi join keyed on the full (line, doc, pos) triple, so every join key matches at most one row and line skew never reaches it; reassembly is the X20 doc-keyed (pos, line) struct-sort aggregate",
+      "q_merge_upsert" -> "W1e MERGE INTO -- the target is scanned once and NEVER windowed: the batch reduces to latest-per-key in its own (batch-sized) Window, its touched-key projection feeds a LeftAnti join against the target, and the survivors union in -- apply cost is O(target scan + batch) where re-running currentState over the concatenated log would re-shuffle and re-sort the full history every batch",
+      "q_oov_rate" -> "X4b OOV rate -- the vocab side collapses to 256 rows (partial+final count agg + TakeOrderedAndProject) and broadcasts; the corpus side is explode -> BroadcastHashJoin LEFT -> doc-keyed partial+final agg: occurrence-level coverage with zero token-keyed shuffles of the corpus")
     val sb = new StringBuilder
     sb ++= "# PLANS -- physical-plan evidence for the 100 TB posture\n\n"
     sb ++= "`explain(\"formatted\")` output (sf0.001 inputs; plan shape is scale-independent).\n"
