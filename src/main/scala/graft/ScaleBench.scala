@@ -99,26 +99,35 @@ object ScaleBench {
     }.reduce(_ unionByName _)
   }
 
-  /** Derive-and-cache the factor× corpus under java.io.tmpdir. */
+  /** Derive-and-cache the factor× corpus under java.io.tmpdir.
+    * Per-table reuse is gated on the write's _SUCCESS marker being
+    * NEWER than the base table (a crash mid-write leaves no marker; a
+    * driver-regenerated base leaves the cache older than its source —
+    * either way the table re-derives instead of silently serving a
+    * partial or stale corpus to the hard assertions downstream).
+    */
   def scaledDir(spark: SparkSession, baseDir: String, factor: Int): String = {
     // v2 = Rademacher-mask embedding derivation (see scaladoc)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-scale${factor}x-v2-" +
       Paths.get(baseDir).getFileName.toString
-    if (!Files.isDirectory(Paths.get(s"$out/documents.parquet"))) {
+    def stale(table: String): Boolean = {
+      val suc = Paths.get(s"$out/$table.parquet/_SUCCESS")
+      !Files.exists(suc) ||
+        Files.getLastModifiedTime(suc).toMillis <
+          Files.getLastModifiedTime(Paths.get(s"$baseDir/$table.parquet")).toMillis
+    }
+    if (stale("documents"))
       deriveDocuments(Tables.table(spark, baseDir, "documents"), factor)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (stale("embeddings"))
       deriveEmbeddings(Tables.table(spark, baseDir, "embeddings"), factor, dim = 64)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    }
-    // events arrived in round 8 — an independent guard so pre-existing
-    // cached corpora gain the table without re-deriving the rest
-    if (!Files.isDirectory(Paths.get(s"$out/events.parquet"))) {
+    if (stale("events"))
       deriveEvents(Tables.table(spark, baseDir, "events"), factor)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
-    }
     out
   }
 

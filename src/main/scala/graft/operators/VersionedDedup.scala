@@ -83,7 +83,9 @@ object VersionedDedup {
     * [[currentState]] output); the result carries the target's
     * columns and is itself current-state shaped, so batches chain:
     * mergeInto(mergeInto(t, b1), b2) ≡ applying the concatenated log
-    * when versions are batch-monotone.
+    * when versions are batch-monotone. `tiebreak` totalizes the
+    * within-batch winner when a batch can carry duplicate
+    * (key, version) rows — same contract as [[latestByVersion]].
     *
     * Scale: the source is a CDC batch — MBs against a TB target — so
     * the touched-key anti join broadcasts; the target is scanned
@@ -93,8 +95,9 @@ object VersionedDedup {
     */
   def mergeInto(
       target: DataFrame, source: DataFrame, keys: Seq[String],
-      version: Column, isDelete: Column): DataFrame = {
-    val latest = latestByVersion(source, keys, version)
+      version: Column, isDelete: Column,
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    val latest = latestByVersion(source, keys, version, tiebreak)
     val touched = latest.select(keys.map(col): _*)
     val upserts = latest.withColumn("__del", isDelete)
       .filter(!col("__del"))

@@ -19,6 +19,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *   open-<version>/           the current open interval per live key
   *                             (current-state sized, rewritten per
   *                             batch like the MatView state)
+  *   tomb-<version>/           keys whose LATEST committed change was
+  *                             a delete, with the delete's version —
+  *                             the at-least-once guard's memory for
+  *                             keys the open table can't see
   *   _CURRENT                  "<version> <batchId>" commit pointer
   *
   * Per batch: only the AFFECTED keys' open rows are re-derived — the
@@ -37,9 +41,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * delivers); disorder WITHIN a batch is handled by the operator's
   * sort. An at-least-once feed may REDELIVER an already-applied
   * change in a later batchId — [[applyBatch]] drops batch rows whose
-  * version is ≤ the key's committed open-row version before the
-  * re-derivation, so a redelivery can neither emit a spurious
-  * zero-length closed interval nor duplicate the open row. The
+  * version is ≤ the key's committed version (open row, or the
+  * tombstoned delete version for a key whose latest change was a
+  * delete) before the re-derivation, so a redelivery can neither
+  * emit a spurious zero-length closed interval, duplicate the open
+  * row, nor resurrect a deleted key. The
   * read face [[history]] = all closed deltas ∪ the open table, and
   * equals the batch `scd2History` over every change ever ingested —
   * the parity law the spec asserts, replay and crash windows
@@ -158,6 +164,20 @@ object StreamingScd2 {
     VersionedDedup.writeHistoryPartitioned(
       history(spark, stateDir, template), outPath, bucketSeconds)
 
+  /** The committed tombstone table (one row per key whose LATEST
+    * committed change was a delete: keys + the delete's version).
+    * Missing dir (pre-tombstone stores, or version 0) reads as empty
+    * — the guard then degrades to open-row-only, the old behavior.
+    */
+  def readTombs(spark: SparkSession, stateDir: String,
+      template: DataFrame): DataFrame = {
+    val (v, _) = readPointer(stateDir)
+    val dir = s"$stateDir/tomb-$v"
+    if (v == 0L || !Files.isDirectory(Paths.get(dir)))
+      emptyLike(spark, template)
+    else spark.read.parquet(dir)
+  }
+
   /** Fold ONE batch of change rows into the store. `batch` columns:
     * `keys` ++ (versionCol, tsCol, deleteCol) ++ payload. Pure
     * function of (committed state, batch, batchId); replays are
@@ -176,13 +196,22 @@ object StreamingScd2 {
       col(deleteCol))
     val open = readOpen(spark, stateDir, hist)
     // at-least-once guard: a redelivered change (version ≤ the key's
-    // committed open-row version) would tie the open row in the
-    // re-derivation window — nondeterministic order, a spurious
-    // zero-length closed interval, and a duplicated row. Only rows
-    // STRICTLY newer than the open version are new changes; a key
-    // whose batch rows are all stale stays in `carried` untouched.
+    // committed version) would tie the open row in the re-derivation
+    // window — nondeterministic order, a spurious zero-length closed
+    // interval, and a duplicated row — or, for a key whose latest
+    // committed change was a DELETE, resurrect the deleted key. The
+    // open table can't see deleted keys, so deletes leave a TOMBSTONE
+    // (keys + delete version) the guard unions in; only rows STRICTLY
+    // newer than the committed version are new changes, and a key
+    // whose batch rows are all stale stays untouched.
+    val tombTemplate = batch.select(
+      (keys.map(col) :+ col(versionCol)): _*).limit(0)
+    val tombs = readTombs(spark, stateDir, tombTemplate)
+      .localCheckpoint()
     val openVer = open.select(
       (keys.map(col) :+ col(versionCol).as("__open_ver")): _*)
+      .unionByName(tombs.select(
+        (keys.map(col) :+ col(versionCol).as("__open_ver")): _*))
     val fresh = batch.join(openVer, keys, "left")
       .where(col("__open_ver").isNull || col(versionCol) > col("__open_ver"))
       .drop("__open_ver")
@@ -210,11 +239,28 @@ object StreamingScd2 {
       .parquet(s"$stateDir/closed/delta-$next")
     carried.unionByName(redone.where(col("is_current")))
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/open-$next")
+    // tombstone maintenance: a touched key with no surviving current
+    // row was killed by this batch's (max-version) delete — record it
+    // so a later redelivery below that version can't resurrect it; a
+    // touched key that IS live again sheds any previous tombstone
+    // (revival); untouched tombstones carry over. Sized by the
+    // deleted-key population, not history; prune with a redelivery
+    // horizon offline if deletes dominate a workload.
+    val touchedLatest = fresh
+      .unionByName(affectedOpen.select(fresh.columns.map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col(versionCol)).as("__maxv"))
+    val liveKeys = redone.where(col("is_current"))
+      .select(keys.map(col): _*).distinct()
+    tombs.join(batchKeys, keys, "left_anti")
+      .unionByName(touchedLatest.join(liveKeys, keys, "left_anti")
+        .select((keys.map(col) :+ col("__maxv").as(versionCol)): _*))
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/tomb-$next")
     writePointer(stateDir, next, batchId)
-    // prune open tables older than the crash-window predecessor
+    // prune open/tomb tables older than the crash-window predecessor
     // (closed deltas are immutable history — never pruned)
-    for (old <- 1L until (next - 1L)) {
-      val dir = Paths.get(stateDir, s"open-$old")
+    for (old <- 1L until (next - 1L); pfx <- Seq("open", "tomb")) {
+      val dir = Paths.get(stateDir, s"$pfx-$old")
       if (Files.isDirectory(dir)) {
         Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.deleteIfExists(f))

@@ -977,10 +977,33 @@ class StreamingSpec extends SparkSpec {
     // only the new change
     val b6 = Seq((1L, 9L, 900L, false, "i"), (2L, 10L, 1000L, false, "j"))
     StreamingScd2.applyBatch(df(b6), Seq("id"), "lsn", "ts", "del", dir, 6L)
+    val applied6 = all ++ b4 ++ b5 ++ Seq((2L, 10L, 1000L, false, "j"))
     val expect4 = norm(graft.operators.VersionedDedup.scd2History(
-      df(all ++ b4 ++ b5 ++ Seq((2L, 10L, 1000L, false, "j"))),
-      Seq("id"), col("lsn"), col("ts"), col("del")))
+      df(applied6), Seq("id"), col("lsn"), col("ts"), col("del")))
     assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect4)
+    // tombstone arm: delete key 2, then redeliver an OLDER upsert for
+    // it under a new batchId — the open table no longer sees key 2,
+    // so only the tombstoned delete version can block resurrection
+    val b7 = Seq((2L, 11L, 1100L, true, "k"))
+    StreamingScd2.applyBatch(df(b7), Seq("id"), "lsn", "ts", "del", dir, 7L)
+    val expect5 = norm(graft.operators.VersionedDedup.scd2History(
+      df(applied6 ++ b7), Seq("id"), col("lsn"), col("ts"), col("del")))
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect5)
+    StreamingScd2.applyBatch(
+      df(Seq((2L, 10L, 1000L, false, "j"))), // stale redelivery
+      Seq("id"), "lsn", "ts", "del", dir, 8L)
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect5,
+      "a stale redelivery must not resurrect a deleted key")
+    // ...while a genuinely NEWER change does revive it (and sheds the
+    // tombstone: a later redelivery check must compare against the
+    // revived open row, exercised by the no-op replay after)
+    val b9 = Seq((2L, 12L, 1200L, false, "m"))
+    StreamingScd2.applyBatch(df(b9), Seq("id"), "lsn", "ts", "del", dir, 9L)
+    val expect6 = norm(graft.operators.VersionedDedup.scd2History(
+      df(applied6 ++ b7 ++ b9), Seq("id"), col("lsn"), col("ts"), col("del")))
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect6)
+    StreamingScd2.applyBatch(df(b9), Seq("id"), "lsn", "ts", "del", dir, 10L)
+    assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect6)
   }
 }
 

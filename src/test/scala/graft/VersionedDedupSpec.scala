@@ -189,18 +189,17 @@ class VersionedDedupSpec extends SparkSpec {
       val h2 = rows.filter(_._2 >= pivot)
       def df(rs: Seq[(Long, Long, Int, Int)]) =
         rs.toDF("id", "_lsn", "_op", "is_deleted")
+      // (op, del) tiebreak totalizes duplicate (id, lsn) rows — the
+      // generator can emit same-(id, lsn, op) rows differing only in
+      // the delete flag, and both sides must pick identically
+      val tb = Seq(col("_op"), col("is_deleted"))
       val t0 = VersionedDedup.currentState(df(h1), Seq("id"),
-        col("_lsn"), col("is_deleted") === 1, Seq(col("_op")))
-      // tiebreak-free merge needs strictly increasing versions per
-      // key in the batch half — dedup equal (id, lsn) keeping max op
-      // (the same total order the currentState tiebreak imposes)
-      val b = h2.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
-      val merged = VersionedDedup.mergeInto(t0, df(b), Seq("id"),
-        col("_lsn"), col("is_deleted") === 1)
+        col("_lsn"), col("is_deleted") === 1, tb)
+      val merged = VersionedDedup.mergeInto(t0, df(h2), Seq("id"),
+        col("_lsn"), col("is_deleted") === 1, tb)
         .select("id", "_lsn").as[(Long, Long)].collect().toMap
-      val all = h1 ++ b
-      val expect = VersionedDedup.currentState(df(all), Seq("id"),
-        col("_lsn"), col("is_deleted") === 1, Seq(col("_op")))
+      val expect = VersionedDedup.currentState(df(h1 ++ h2), Seq("id"),
+        col("_lsn"), col("is_deleted") === 1, tb)
         .select("id", "_lsn").as[(Long, Long)].collect().toMap
       assert(merged === expect)
     }
