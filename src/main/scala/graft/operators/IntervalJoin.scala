@@ -78,4 +78,47 @@ object IntervalJoin {
     lb.join(rb, cond)
       .drop("__ls", "__le", "__lbk", "__rs", "__re", "__rbk")
   }
+
+  /** J5c: point-in-range join — classify POINTS into (possibly
+    * overlapping) RANGES: every (point, range) pair with
+    * lo ≤ p < hi. The degenerate-but-ubiquitous cousin of
+    * [[overlapJoin]]: IP → geo block, price → tier, timestamp →
+    * maintenance window, score → band — whenever the range side is
+    * small Spark's broadcast handles it, but a LARGE range table
+    * (millions of IP blocks) turns the raw theta join into a
+    * nested-loop scan no partitioning distributes.
+    *
+    * Same bucketization cure, simpler: each range explodes to the
+    * buckets it covers, each point lives in exactly ONE bucket
+    * (`floor(p / bucketWidth)`), so the equi-join on the bucket id
+    * finds every qualifying pair exactly once — no first-shared-bucket
+    * rule, no dedup. Exactness does not depend on FP bucket
+    * arithmetic: division by a positive constant is IEEE-monotone, so
+    * lo ≤ p < hi pins p's bucket inside the range's exploded span,
+    * and the verify predicate in the join condition is exact.
+    *
+    * Scale: exploded ranges = Σ (len/bucketWidth + 2) rows; ONE
+    * equi-join shuffle keyed on the bucket id; `bucketWidth` near the
+    * median range length balances range replication against
+    * per-bucket candidate mass. Hot buckets are ordinary equi-join
+    * skew — AQE splits them.
+    */
+  def pointInRangeJoin(
+      points: DataFrame, p: Column,
+      ranges: DataFrame, lo: Column, hi: Column,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def fdiv(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    val pb = points
+      .withColumn("__p", p.cast("double"))
+      .withColumn("__pbk", fdiv(col("__p")))
+    val rb = ranges
+      .withColumn("__lo", lo.cast("double"))
+      .withColumn("__hi", hi.cast("double"))
+      .withColumn("__rbk",
+        explode(sequence(fdiv(col("__lo")), fdiv(col("__hi")))))
+    pb.join(rb, col("__pbk") === col("__rbk") &&
+        col("__p") >= col("__lo") && col("__p") < col("__hi"))
+      .drop("__p", "__pbk", "__lo", "__hi", "__rbk")
+  }
 }

@@ -162,4 +162,36 @@ object TimeSeries {
       .withColumn("is_anomaly", abs(col("z")) > threshold)
       .drop("__x", "__sm", "__ss", "__vr")
   }
+
+  /** W9: OHLC resample — the time-series downsampling bar every
+    * metrics/market pipeline draws: per (keys, time bucket) the
+    * FIRST value (open), max (high), min (low), LAST value (close)
+    * and row count. "First"/"last" order by (ts, `tie`) so
+    * same-second rows resolve deterministically (the W1 tiebreak
+    * discipline).
+    *
+    * Scale: ONE partial+final aggregate — `min_by`/`max_by` carry a
+    * (value, key) pair per group through the map-side combine, so
+    * the shuffle moves one candidate row per (keys, bucket) per
+    * input partition. Never a window, never a per-bucket sort; the
+    * naive first_value/last_value window formulation would shuffle
+    * and sort the full event volume for the same four numbers.
+    */
+  def ohlcResample(
+      df: DataFrame, keys: Seq[String], ts: Column, tie: Column,
+      value: Column, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive: $bucketSeconds")
+    val t = ts.cast("long")
+    val bucket = ((t - pmod(t, lit(bucketSeconds))) / bucketSeconds)
+      .cast("long")
+    df.withColumn("__t", t)
+      .withColumn("bucket", bucket)
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(
+        min_by(value, struct(col("__t"), tie)).as("open"),
+        max(value).as("high"),
+        min(value).as("low"),
+        max_by(value, struct(col("__t"), tie)).as("close"),
+        count(lit(1)).as("n"))
+  }
 }

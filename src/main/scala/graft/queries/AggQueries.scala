@@ -144,6 +144,22 @@ object AggQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
     }),
 
+    // W9: hourly OHLC bars per event type — first/last by (ts,
+    // event_id), high/low/count, all in ONE partial+final aggregate
+    // (no window, no per-bucket sort)
+    "q_ohlc" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      graft.operators.TimeSeries.ohlcResample(
+        ev, Seq("event_type"), graft.Tables.epochSeconds(col("ts")),
+        tie = col("event_id"), value = col("value"),
+        bucketSeconds = 3600L)
+        .select(col("event_type"), col("bucket"),
+          round(col("open"), 2).as("open"), round(col("high"), 2).as("high"),
+          round(col("low"), 2).as("low"), round(col("close"), 2).as("close"),
+          col("n"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // O4: gap-filled hourly resampling per event type — the engine
     // side of ClickHouse "ORDER BY ... WITH FILL" over the reference's
     // events table: every hour between each type's first and last
@@ -445,6 +461,29 @@ object AggQueries {
            UNION ALL
            SELECT l_orderkey, l_linenumber, 'tax', tax FROM b)
          ORDER BY l_orderkey, l_linenumber, measure""",
+    // W9: open/close via directional row_number windows — the naive
+    // formulation the one-aggregate Spark plan must reproduce; the
+    // tiebreak (ts, event_id) matches the min_by/max_by struct order
+    "q_ohlc" ->
+      """WITH e AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             event_id, value FROM events),
+         b AS (SELECT event_type, CAST((t - t % 3600) / 3600 AS BIGINT) AS bucket,
+             t, event_id, value FROM e),
+         w AS (SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket
+               ORDER BY t, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket
+               ORDER BY t DESC, event_id DESC) AS rn_d
+           FROM b)
+         SELECT event_type, bucket,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           count(*) AS n
+         FROM w GROUP BY event_type, bucket
+         ORDER BY event_type, bucket""",
     "q_resample_fill" ->
       """WITH e AS (SELECT event_type,
              CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS bucket, value

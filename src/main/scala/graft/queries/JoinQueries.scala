@@ -126,6 +126,23 @@ object JoinQueries {
         .orderBy(col("lid"), col("rid"))
     }),
 
+    // J5c: point-in-range join — order totals classified into 100
+    // OVERLAPPING price tiers ([k·2000, k·2000 + 2500): adjacent
+    // tiers share a 500-wide band, so boundary orders land in two);
+    // bucketized equi-join, each point in exactly one bucket
+    "q_join_point_range" -> ((s, d) => {
+      val pts = table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val tiers = s.range(0, 100).select(col("id").as("tier"),
+        (col("id") * 2000).cast("double").as("lo"),
+        (col("id") * 2000 + 2500).cast("double").as("hi"))
+      graft.operators.IntervalJoin.pointInRangeJoin(
+        pts, col("o_totalprice"), tiers, col("lo"), col("hi"),
+        bucketWidth = 2500.0)
+        .select(col("o_orderkey"), col("tier"))
+        .orderBy(col("o_orderkey"), col("tier"))
+    }),
+
     // J6: as-of join — for each purchase, the latest click of the same
     // user at or before the purchase time (union + running-window form)
     // J6e: as-of with TOLERANCE (pandas merge_asof tolerance=1h) —
@@ -374,6 +391,17 @@ object JoinQueries {
          SELECT lid, rid, least(le, re) - greatest(ls, rs) AS overlap_s
          FROM v JOIN p ON ls <= re AND rs <= le
          ORDER BY lid, rid""",
+    // J5c: the oracle is again the raw theta join; tier bounds are
+    // exact small integers, the comparison is double-vs-double
+    "q_join_point_range" ->
+      """SELECT o_orderkey, tier
+         FROM orders JOIN (
+           SELECT CAST(i AS BIGINT) AS tier,
+             CAST(i * 2000 AS DOUBLE) AS lo,
+             CAST(i * 2000 + 2500 AS DOUBLE) AS hi
+           FROM range(0, 100) t(i)) b
+         ON o_totalprice >= lo AND o_totalprice < hi
+         ORDER BY o_orderkey, tier""",
     // J6e: LEFT join keeps every purchase; the tolerance CASE mirrors
     // the Spark projection exactly
     "q_join_asof_tol" ->

@@ -60,7 +60,9 @@ object DumpPlans {
       "q_decontam_frac" -> "X6c graded decontamination -- same broadcast asymmetry as q_decontaminate but a LEFT BroadcastHashJoin (clean grams must reach the denominator), one doc-keyed partial+final agg computes count and hit-sum together; the fraction is a map-only projection on the aggregate output -- the corpus is exploded once and never shuffled by gram",
       "q_paragraph_dedup" -> "X24 corpus-global paragraph dedup -- the keeper table is ONE line-keyed partial+final min(struct(doc,pos)) aggregate (hot lines -- the 100%-df empty/boilerplate lines -- collapse in the map-side combine before the exchange); the keep-decision is a LeftSemi join keyed on the full (line, doc, pos) triple, so every join key matches at most one row and line skew never reaches it; reassembly is the X20 doc-keyed (pos, line) struct-sort aggregate",
       "q_merge_upsert" -> "W1e MERGE INTO -- the target is scanned once and NEVER windowed: the batch reduces to latest-per-key in its own (batch-sized) Window, its touched-key projection feeds a LeftAnti join against the target, and the survivors union in -- apply cost is O(target scan + batch) where re-running currentState over the concatenated log would re-shuffle and re-sort the full history every batch",
-      "q_oov_rate" -> "X4b OOV rate -- the vocab side collapses to 256 rows (partial+final count agg + TakeOrderedAndProject) and broadcasts; the corpus side is explode -> BroadcastHashJoin LEFT -> doc-keyed partial+final agg: occurrence-level coverage with zero token-keyed shuffles of the corpus")
+      "q_oov_rate" -> "X4b OOV rate -- the vocab side collapses to 256 rows (partial+final count agg + TakeOrderedAndProject) and broadcasts; the corpus side is explode -> BroadcastHashJoin LEFT -> doc-keyed partial+final agg: occurrence-level coverage with zero token-keyed shuffles of the corpus",
+      "q_join_point_range" -> "J5c point-in-range join -- ranges explode to covered buckets in their narrow stage (Generate below the join), each point computes its ONE bucket map-only, and the join is EQUI on the bucket id with the exact lo <= p < hi verify in the condition: a shuffle-partitionable hash join (AQE-skew-splittable) where the raw theta predicate would plan a nested loop; no dedup anywhere because a point has exactly one bucket",
+      "q_ohlc" -> "W9 OHLC resample -- ONE partial+final ObjectHashAggregate: min_by/max_by carry (value, (ts, tie)) pairs through the map-side combine so the exchange moves one candidate per (key, bucket) per task, and the plan contains zero Window operators -- the first/last-value window formulation would exchange and sort the full event volume for the same four numbers")
     val sb = new StringBuilder
     sb ++= "# PLANS -- physical-plan evidence for the 100 TB posture\n\n"
     sb ++= "`explain(\"formatted\")` output (sf0.001 inputs; plan shape is scale-independent).\n"

@@ -437,4 +437,34 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     val expect = (17.0 - 5.0) / math.sqrt(4.0 / 3.0)
     assert(math.abs(z - expect) < 1e-4, s"z=$z expect=$expect")
   }
+
+  test("W9 ohlcResample: first/last by (ts, tie), high/low/count per bucket") {
+    val df = Seq(
+      ("a", 11L, 1L, 5.0), ("a", 13L, 2L, 9.0), ("a", 13L, 3L, 2.0),
+      ("a", 19L, 4L, 7.0),                       // bucket 1: o=5 h=9 l=2 c=7
+      ("a", 21L, 5L, 4.0),                       // bucket 2: all 4.0
+      ("b", 12L, 6L, 1.0),
+      ("c", 10L, 1L, 3.0), ("c", 10L, 2L, 8.0)   // same-ts tie: tie col decides
+    ).toDF("k", "t", "tie", "v")
+    val out = graft.operators.TimeSeries
+      .ohlcResample(df, Seq("k"), col("t"), col("tie"), col("v"), 10L)
+      .orderBy("k", "bucket")
+      .select("k", "bucket", "open", "high", "low", "close", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      ("a", 1L, 5.0, 9.0, 2.0, 7.0, 4L),
+      ("a", 2L, 4.0, 4.0, 4.0, 4.0, 1L),
+      ("b", 1L, 1.0, 1.0, 1.0, 1.0, 1L),
+      ("c", 1L, 3.0, 8.0, 3.0, 8.0, 2L)))
+  }
+
+  test("W9 ohlcResample plans one aggregate, no Window") {
+    val df = (1L to 100L).map(i => ("k", i, i, i.toDouble))
+      .toDF("k", "t", "tie", "v")
+    val plan = graft.operators.TimeSeries
+      .ohlcResample(df, Seq("k"), col("t"), col("tie"), col("v"), 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"OHLC must not plan a window:\n$plan")
+  }
 }

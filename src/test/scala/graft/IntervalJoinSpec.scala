@@ -76,6 +76,43 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("J5c point-in-range equals the theta join; lo inclusive, hi exclusive; no dupes") {
+    for (seed <- 1 to 4; w <- Seq(3.0, 17.0, 500.0)) {
+      val rs = gen.apply(Gen.Parameters.default, Seed(seed.toLong + 900)).get
+      val ranges = rs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rid", "lo", "hi")
+      val pts = Gen.listOfN(60, Gen.choose(-120L, 120L))
+        .apply(Gen.Parameters.default, Seed(seed.toLong)).get
+        .zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble + 0.5) }
+        .toDF("pid", "p")
+      val got = IntervalJoin.pointInRangeJoin(pts, col("p"),
+        ranges, col("lo"), col("hi"), w)
+        .select("pid", "rid").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"seed=$seed w=$w duplicate pairs")
+      val want = pts.join(ranges, col("p") >= col("lo") && col("p") < col("hi"))
+        .select("pid", "rid").as[(Long, Long)].collect().toSet
+      assert(got.toSet == want, s"seed=$seed w=$w")
+    }
+    // boundary semantics, exactly: p == lo matches, p == hi does not
+    val b = IntervalJoin.pointInRangeJoin(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("pid", "p"), col("p"),
+      Seq((7L, 10.0, 20.0)).toDF("rid", "lo", "hi"),
+      col("lo"), col("hi"), 4.0)
+      .select("pid").as[Long].collect().toSeq
+    assert(b == Seq(1L))
+  }
+
+  test("J5c plan is an equi join, never a nested loop or cartesian") {
+    val pts = (1L to 300L).map(i => (i, i * 3.0)).toDF("pid", "p")
+    val ranges = (1L to 300L).map(i => (i, i * 5.0, i * 5.0 + 12.0))
+      .toDF("rid", "lo", "hi")
+    val plan = IntervalJoin.pointInRangeJoin(pts, col("p"),
+      ranges, col("lo"), col("hi"), 8.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"point-in-range join must stay equi-keyed:\n$plan")
+  }
+
   test("J5b plan is an equi join, never a nested loop or cartesian") {
     val left = (1L to 200L).map(i => (i, i * 10, i * 10 + 5)).toDF("lid", "ls", "le")
     val right = (1L to 200L).map(i => (i, i * 10 + 3, i * 10 + 8)).toDF("rid", "rs", "re")
