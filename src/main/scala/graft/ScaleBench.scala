@@ -361,6 +361,21 @@ object ScaleBench {
           v, p, col("ls"), col("le"), col("rs"), col("re"),
           bucketWidth = 7200L, keys = Seq("luser" -> "ruser")).count()
       }),
+      // round-12: J5c at scale — event values classified into 200
+      // overlapping tiers; replica values are identical, so the match
+      // count is factor-exact (hard-asserted). Cost shape: map-only
+      // point bucketing + one bucket-keyed equi-join against the
+      // (tiny, exploded) range side
+      "point_range" -> (() => {
+        val tiers = spark.range(0, 200).select(col("id").as("tier"),
+          (col("id") * 10 - 500).cast("double").as("lo"),
+          (col("id") * 10 - 500 + 25).cast("double").as("hi"))
+        graft.operators.IntervalJoin.pointInRangeJoin(
+          Tables.table(spark, dir, "events")
+            .select(col("event_id"), col("value")),
+          col("value"), tiers, col("lo"), col("hi"),
+          bucketWidth = 25.0).count()
+      }),
       // round-11: W1c SCD2 history — replicated user streams ⇒ the
       // history row count (non-delete changes) is factor-exact
       // (hard-asserted); cost = ONE user-keyed window shuffle, the
@@ -799,7 +814,7 @@ object ScaleBench {
       // replicated docs with per-doc-exact counts — all factor-exact
       for (p <- Seq("funnel_levels", "sequence_counts", "asof_near",
              "boilerplate", "shuffle_shard", "interval_overlap",
-             "scd2_history");
+             "scd2_history", "point_range");
            b <- bm.get(p); s <- sm.get(p))
         if (s != b * factor) throw new AssertionError(
           s"$p: scaled $s != ${factor}x base $b")
