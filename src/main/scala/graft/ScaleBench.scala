@@ -361,6 +361,16 @@ object ScaleBench {
           v, p, col("ls"), col("le"), col("rs"), col("re"),
           bucketWidth = 7200L, keys = Seq("luser" -> "ruser")).count()
       }),
+      // round-12: W9 at scale — hourly OHLC bars over the replicated
+      // event streams: same types and hour span at every factor, so
+      // the BAR COUNT stays constant as raw volume multiplies
+      // (hard-asserted below, the anomaly_zscore contract) — the
+      // whole point of the one-aggregate shape: the shuffle moves
+      // candidate rows per (type, bucket) per task, not events
+      "ohlc_bars" -> (() => graft.operators.TimeSeries.ohlcResample(
+        Tables.table(spark, dir, "events"), Seq("event_type"),
+        Tables.epochSeconds(col("ts")), tie = col("event_id"),
+        value = col("value"), bucketSeconds = 3600L).count()),
       // round-12: J5c at scale — event values classified into 200
       // overlapping tiers; replica values are identical, so the match
       // count is factor-exact (hard-asserted). Cost shape: map-only
@@ -825,6 +835,12 @@ object ScaleBench {
         if (s != b) throw new AssertionError(
           s"anomaly_zscore: scaled rows $s != base rows $b — the window " +
             "input must be aggregate-sized, not volume-sized")
+      // W9: same contract — bar count is (types × buckets), constant
+      // while the event volume under it multiplies
+      for (b <- bm.get("ohlc_bars"); s <- sm.get("ohlc_bars"))
+        if (s != b) throw new AssertionError(
+          s"ohlc_bars: scaled rows $s != base rows $b — OHLC output " +
+            "must be aggregate-sized, not volume-sized")
     }
 
     def block(res: Seq[(String, Double, Long)], rec: Seq[(String, Double)],
