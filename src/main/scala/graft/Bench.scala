@@ -79,11 +79,15 @@ object Bench {
       val good = perPass.map(_.toMap.apply(name)).filter(_._2).map(_._1)
       name -> (if (good.size >= 2 && good.min > 0) good.max / good.min else 1.0)
     }
+    // Locale.ROOT: f"" uses the JVM default locale, which under a
+    // comma-decimal locale (de_DE) would emit "1,23" — invalid JSON
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val maxSpread = f"${spreads.map(_._2).max}%.2f"
+    val maxSpread = f2(spreads.map(_._2).max)
     val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val passTotals = perPass.map(_.map(_._2._1).sum).mkString("[", ",", "]")
@@ -104,7 +108,7 @@ object Bench {
         s""""errors":$errs,"passes":$passTotals,"max_spread":$maxSpread,""" +
         s""""protocol":"min-of-$passes","sf":"$sfDir"}"""
     val top10 = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("""{"metric":"top10_by_wall","queries":{""", ",", "}}")
     println(headline)
     println(top10)

@@ -107,15 +107,18 @@ object ScaleBench {
     * partial or stale corpus to the hard assertions downstream).
     */
   def scaledDir(spark: SparkSession, baseDir: String, factor: Int): String = {
-    // v2 = Rademacher-mask embedding derivation (see scaladoc)
+    // v2 = Rademacher-mask embedding derivation (see scaladoc).
+    // The cache dir is KEYED on the base tables' mtimes (like
+    // bloomIds) rather than comparing mtimes in place: a regenerated
+    // base whose mtime is not strictly newer than a cached _SUCCESS
+    // (timestamp-preserving copy, same-granularity rewrite) would
+    // silently reuse a stale derived corpus under the in-place rule.
+    val gen = Seq("documents", "embeddings", "events").map(t =>
+      Files.getLastModifiedTime(Paths.get(s"$baseDir/$t.parquet")).toMillis).max
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-scale${factor}x-v2-" +
-      Paths.get(baseDir).getFileName.toString
-    def stale(table: String): Boolean = {
-      val suc = Paths.get(s"$out/$table.parquet/_SUCCESS")
-      !Files.exists(suc) ||
-        Files.getLastModifiedTime(suc).toMillis <
-          Files.getLastModifiedTime(Paths.get(s"$baseDir/$table.parquet")).toMillis
-    }
+      s"${Paths.get(baseDir).getFileName.toString}-$gen"
+    def stale(table: String): Boolean =
+      !Files.exists(Paths.get(s"$out/$table.parquet/_SUCCESS"))
     if (stale("documents"))
       deriveDocuments(Tables.table(spark, baseDir, "documents"), factor)
         .repartition(spark.sparkContext.defaultParallelism)

@@ -106,19 +106,45 @@ object IntervalJoin {
   def pointInRangeJoin(
       points: DataFrame, p: Column,
       ranges: DataFrame, lo: Column, hi: Column,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double,
+      keys: Seq[(String, String)] = Nil,
+      maxBucketsPerRange: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(maxBucketsPerRange > 0,
+      s"maxBucketsPerRange must be positive: $maxBucketsPerRange")
     def fdiv(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
     val pb = points
       .withColumn("__p", p.cast("double"))
       .withColumn("__pbk", fdiv(col("__p")))
+    // inverted ranges (hi < lo) match nothing by definition — drop
+    // them BEFORE the bucket explode, or sequence() would emit a
+    // descending junk bucket list (filtered by the verify predicate
+    // but wasted candidate work). The span guard turns the opaque
+    // deep-in-sequence() array-size error a range ≫ bucketWidth would
+    // hit into a clear misconfiguration message.
+    val nBuckets = fdiv(col("__hi")) - fdiv(col("__lo")) + 1
     val rb = ranges
       .withColumn("__lo", lo.cast("double"))
       .withColumn("__hi", hi.cast("double"))
-      .withColumn("__rbk",
-        explode(sequence(fdiv(col("__lo")), fdiv(col("__hi")))))
-    pb.join(rb, col("__pbk") === col("__rbk") &&
-        col("__p") >= col("__lo") && col("__p") < col("__hi"))
+      .where(col("__hi") >= col("__lo"))
+      .withColumn("__rbk", explode(
+        when(nBuckets <= maxBucketsPerRange,
+          sequence(fdiv(col("__lo")), fdiv(col("__hi"))))
+          .otherwise(raise_error(concat(
+            lit("pointInRangeJoin: a range spans "), nBuckets,
+            lit(s" buckets (> maxBucketsPerRange=$maxBucketsPerRange); " +
+              "raise bucketWidth toward the median range length or " +
+              "raise maxBucketsPerRange explicitly"))))))
+    // keys fold into the equi-condition, so the exchange hashes on
+    // (keys..., bucket): per-key range sets never collide in a
+    // bucket, and per-key parallelism multiplies the bucket count —
+    // same treatment as overlapJoin's keyed form
+    val cond = keys.foldLeft(
+      col("__pbk") === col("__rbk") &&
+        col("__p") >= col("__lo") && col("__p") < col("__hi")) {
+      case (c, (pk, rk)) => c && col(pk) === col(rk)
+    }
+    pb.join(rb, cond)
       .drop("__p", "__pbk", "__lo", "__hi", "__rbk")
   }
 }

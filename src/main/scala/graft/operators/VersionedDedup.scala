@@ -97,6 +97,12 @@ object VersionedDedup {
       target: DataFrame, source: DataFrame, keys: Seq[String],
       version: Column, isDelete: Column,
       tiebreak: Seq[Column] = Nil): DataFrame = {
+    // the upsert projection selects target.columns from the source —
+    // check the precondition here so a short batch fails with the
+    // missing names, not a generic unresolved-column AnalysisException
+    val missing = target.columns.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"mergeInto: source is missing target column(s): ${missing.mkString(", ")}")
     val latest = latestByVersion(source, keys, version, tiebreak)
     val touched = latest.select(keys.map(col): _*)
     val upserts = latest.withColumn("__del", isDelete)

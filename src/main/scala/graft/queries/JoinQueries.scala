@@ -143,6 +143,32 @@ object JoinQueries {
         .orderBy(col("o_orderkey"), col("tier"))
     }),
 
+    // J5c keyed: per-TENANT range classification — each order is
+    // classified only against the tier table of ITS priority class
+    // (50 overlapping tiers per class, bounds shifted 500 per class,
+    // so cross-class bounds disagree and a key leak would change the
+    // answer). The join hash-partitions on (key, bucket): per-key
+    // parallelism multiplies the bucket count and foreign-key ranges
+    // never collide in a bucket
+    "q_join_point_range_keyed" -> ((s, d) => {
+      val pts = table(s, d, "orders").select(col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("pnum"),
+        col("o_totalprice"))
+      val tiers = s.range(0, 250).select(
+        (col("id") % 5 + 1).cast("int").as("rnum"),
+        floor(col("id") / 5).as("tier"))
+        .select(col("rnum"), col("tier"),
+          (col("tier") * 4000 + (col("rnum") - 1) * 500)
+            .cast("double").as("lo"),
+          (col("tier") * 4000 + (col("rnum") - 1) * 500 + 5000)
+            .cast("double").as("hi"))
+      graft.operators.IntervalJoin.pointInRangeJoin(
+        pts, col("o_totalprice"), tiers, col("lo"), col("hi"),
+        bucketWidth = 5000.0, keys = Seq("pnum" -> "rnum"))
+        .select(col("o_orderkey"), col("tier"))
+        .orderBy(col("o_orderkey"), col("tier"))
+    }),
+
     // J6: as-of join — for each purchase, the latest click of the same
     // user at or before the purchase time (union + running-window form)
     // J6e: as-of with TOLERANCE (pandas merge_asof tolerance=1h) —
@@ -401,6 +427,19 @@ object JoinQueries {
              CAST(i * 2000 + 2500 AS DOUBLE) AS hi
            FROM range(0, 100) t(i)) b
          ON o_totalprice >= lo AND o_totalprice < hi
+         ORDER BY o_orderkey, tier""",
+    // J5c keyed: the raw theta+key join the keyed bucketized plan
+    // must reproduce; the class key is the priority's numeric prefix
+    "q_join_point_range_keyed" ->
+      """SELECT o_orderkey, tier
+         FROM orders JOIN (
+           SELECT CAST(i % 5 + 1 AS INT) AS rnum,
+             CAST(i // 5 AS BIGINT) AS tier,
+             CAST((i // 5) * 4000 + (i % 5) * 500 AS DOUBLE) AS lo,
+             CAST((i // 5) * 4000 + (i % 5) * 500 + 5000 AS DOUBLE) AS hi
+           FROM range(0, 250) t(i)) b
+         ON CAST(substring(o_orderpriority, 1, 1) AS INT) = rnum
+           AND o_totalprice >= lo AND o_totalprice < hi
          ORDER BY o_orderkey, tier""",
     // J6e: LEFT join keeps every purchase; the tolerance CASE mirrors
     // the Spark projection exactly

@@ -173,10 +173,23 @@ object StreamingScd2 {
       template: DataFrame): DataFrame = {
     val (v, _) = readPointer(stateDir)
     val dir = s"$stateDir/tomb-$v"
-    if (v == 0L || !Files.isDirectory(Paths.get(dir)))
+    if (v == 0L || !Files.isDirectory(Paths.get(dir))) {
+      // a PRE-tombstone store (nonzero version, no tomb dir) degrades
+      // to the open-row-only guard — correct for live keys but the
+      // deleted-key resurrection window is open again until the next
+      // batch writes tomb-<v+1>. Warn once so the degradation is
+      // visible instead of silent.
+      if (v > 0L && preTombWarned.compareAndSet(false, true))
+        System.err.println(
+          s"StreamingScd2: no tombstone table at $dir (pre-tombstone " +
+            "store?) — redelivery guard degraded to open-row-only for " +
+            "this batch; deleted-key redeliveries may resurrect")
       emptyLike(spark, template)
-    else spark.read.parquet(dir)
+    } else spark.read.parquet(dir)
   }
+
+  private val preTombWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Fold ONE batch of change rows into the store. `batch` columns:
     * `keys` ++ (versionCol, tsCol, deleteCol) ++ payload. Pure
@@ -186,7 +199,8 @@ object StreamingScd2 {
     */
   def applyBatch(batch: DataFrame, keys: Seq[String],
       versionCol: String, tsCol: String, deleteCol: String,
-      stateDir: String, batchId: Long): Unit = {
+      stateDir: String, batchId: Long,
+      redeliveryHorizon: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(stateDir, "closed"))
     val (curVer, lastBatch) = readPointer(stateDir)
@@ -252,7 +266,24 @@ object StreamingScd2 {
       .agg(max(col(versionCol)).as("__maxv"))
     val liveKeys = redone.where(col("is_current"))
       .select(keys.map(col): _*).distinct()
-    tombs.join(batchKeys, keys, "left_anti")
+    // redelivery-horizon pruning (optional): tombstones exist only to
+    // block redelivered changes with version ≤ the tombstoned delete;
+    // if the source guarantees redelivery within `h` version units of
+    // the head, a tombstone more than `h` below this batch's max
+    // version can never be hit again — drop it during the rewrite so
+    // the table is sized by the RECENT deleted-key population, not
+    // the cumulative one. No horizon (None) keeps every tombstone
+    // (the safe default for unbounded redelivery).
+    val carriedTombs = tombs.join(batchKeys, keys, "left_anti")
+    val prunedTombs = redeliveryHorizon match {
+      case Some(h) =>
+        val headRow = batch.agg(max(col(versionCol).cast("long"))).head()
+        if (headRow.isNullAt(0)) carriedTombs
+        else carriedTombs.where(
+          col(versionCol).cast("long") >= lit(headRow.getLong(0) - h))
+      case None => carriedTombs
+    }
+    prunedTombs
       .unionByName(touchedLatest.join(liveKeys, keys, "left_anti")
         .select((keys.map(col) :+ col("__maxv").as(versionCol)): _*))
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/tomb-$next")
@@ -273,12 +304,13 @@ object StreamingScd2 {
     */
   def maintain(stream: DataFrame, keys: Seq[String],
       versionCol: String, tsCol: String, deleteCol: String,
-      stateDir: String, checkpoint: String): DataStreamWriter[Row] =
+      stateDir: String, checkpoint: String,
+      redeliveryHorizon: Option[Long] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, keys, versionCol, tsCol, deleteCol,
-          stateDir, batchId)
+          stateDir, batchId, redeliveryHorizon)
       }
 }

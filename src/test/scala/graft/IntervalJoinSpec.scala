@@ -113,6 +113,66 @@ class IntervalJoinSpec extends SparkSpec {
       s"point-in-range join must stay equi-keyed:\n$plan")
   }
 
+  test("J5c keyed point-in-range equals the keyed theta join; plan keys on (key, bucket)") {
+    // per-tenant range classification: a point only matches ranges of
+    // ITS tenant, even when a foreign tenant's range covers the value
+    val pts = Seq((1L, 10L, 5.0), (2L, 20L, 5.0)).toDF("pid", "puser", "p")
+    val ranges = Seq((7L, 10L, 0.0, 10.0)).toDF("rid", "ruser", "lo", "hi")
+    val got0 = IntervalJoin.pointInRangeJoin(pts, col("p"),
+      ranges, col("lo"), col("hi"), 4.0, keys = Seq("puser" -> "ruser"))
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(got0 == Set((1L, 7L)))
+    // randomized keyed equivalence vs the naive theta+key join
+    for (seed <- 1 to 4; w <- Seq(3.0, 17.0)) {
+      val rs = gen.apply(Gen.Parameters.default, Seed(seed.toLong + 300)).get
+      val r = rs.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, i.toLong % 3, a, b) }.toDF("rid", "ruser", "lo", "hi")
+      val p = Gen.listOfN(60, Gen.choose(-120L, 120L))
+        .apply(Gen.Parameters.default, Seed(seed.toLong)).get
+        .zipWithIndex.map { case (v, i) =>
+          (i.toLong, i.toLong % 3, v.toDouble + 0.5) }.toDF("pid", "puser", "p")
+      val fast = IntervalJoin.pointInRangeJoin(p, col("p"),
+        r, col("lo"), col("hi"), w, keys = Seq("puser" -> "ruser"))
+        .select("pid", "rid").as[(Long, Long)].collect().toSeq
+      assert(fast.size == fast.toSet.size, s"keyed seed=$seed w=$w dup pairs")
+      val want = p.join(r, col("puser") === col("ruser") &&
+          col("p") >= col("lo") && col("p") < col("hi"))
+        .select("pid", "rid").as[(Long, Long)].collect().toSet
+      assert(fast.toSet == want, s"keyed seed=$seed w=$w")
+    }
+    // the exchange must hash on the COMPOSITE (key, bucket) — both
+    // columns appear in the equi-join key list, and no nested loop
+    val plan = IntervalJoin.pointInRangeJoin(
+      (1L to 300L).map(i => (i, i % 5, i * 3.0)).toDF("pid", "puser", "p"),
+      col("p"),
+      (1L to 300L).map(i => (i, i % 5, i * 5.0, i * 5.0 + 12.0))
+        .toDF("rid", "ruser", "lo", "hi"),
+      col("lo"), col("hi"), 8.0, keys = Seq("puser" -> "ruser"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"keyed point-in-range join must stay equi-keyed:\n$plan")
+    assert(plan.contains("puser") && plan.contains("__pbk"),
+      s"join key must carry both the tenant key and the bucket:\n$plan")
+  }
+
+  test("J5c inverted ranges match nothing; over-long ranges fail with a clear message") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    // hi < lo: dropped before the explode — no junk buckets, no rows
+    val inv = Seq((7L, 10.0, 0.0)).toDF("rid", "lo", "hi")
+    assert(IntervalJoin.pointInRangeJoin(pts, col("p"),
+      inv, col("lo"), col("hi"), 4.0).count() == 0L)
+    // span/bucketWidth over the cap: a clear misconfiguration error,
+    // not an opaque array-size failure deep inside sequence()
+    val long = Seq((7L, 0.0, 1e9)).toDF("rid", "lo", "hi")
+    val ex = intercept[Exception] {
+      IntervalJoin.pointInRangeJoin(pts, col("p"),
+        long, col("lo"), col("hi"), 1.0,
+        maxBucketsPerRange = 1000L).count()
+    }
+    assert(ex.getMessage.contains("maxBucketsPerRange"),
+      s"expected the guard message, got: ${ex.getMessage}")
+  }
+
   test("J5b plan is an equi join, never a nested loop or cartesian") {
     val left = (1L to 200L).map(i => (i, i * 10, i * 10 + 5)).toDF("lid", "ls", "le")
     val right = (1L to 200L).map(i => (i, i * 10 + 3, i * 10 + 8)).toDF("rid", "rs", "re")

@@ -1005,6 +1005,48 @@ class StreamingSpec extends SparkSpec {
     StreamingScd2.applyBatch(df(b9), Seq("id"), "lsn", "ts", "del", dir, 10L)
     assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect6)
   }
+
+  test("ST13: redelivery-horizon prunes dead tombstones, keeps live ones blocking") {
+    val dir = Files.createTempDirectory("scd2hz").toString
+    def df(rows: Seq[(Long, Long, Long, Boolean, String)]) =
+      rows.toDF("id", "lsn", "ts", "del", "v")
+    val tmpl = graft.operators.VersionedDedup.scd2History(
+      df(Seq((1L, 1L, 1L, false, "x"))), Seq("id"),
+      col("lsn"), col("ts"), col("del"))
+    val h = Some(5L)
+    // b0: insert keys 1,2; b1: delete both (tombstones at lsn 3,4)
+    StreamingScd2.applyBatch(df(Seq((1L, 1L, 100L, false, "a"),
+      (2L, 2L, 200L, false, "b"))), Seq("id"), "lsn", "ts", "del", dir, 0L, h)
+    StreamingScd2.applyBatch(df(Seq((1L, 3L, 300L, true, "c"),
+      (2L, 4L, 400L, true, "d"))), Seq("id"), "lsn", "ts", "del", dir, 1L, h)
+    def tombIds(): Set[Long] = StreamingScd2.readTombs(spark, dir,
+      df(Nil).select(col("id"), col("lsn")).limit(0))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tombIds() === Set(1L, 2L))
+    // b2 at head lsn 8: key 1's tombstone (lsn 3) falls below
+    // head − horizon = 3 (strict <) — kept; head 9 would drop it
+    StreamingScd2.applyBatch(df(Seq((3L, 8L, 800L, false, "e"))),
+      Seq("id"), "lsn", "ts", "del", dir, 2L, h)
+    assert(tombIds() === Set(1L, 2L))
+    // b3 at head lsn 10: horizon floor is 5 — key 1 (lsn 3) and
+    // key 2 (lsn 4) both age out
+    StreamingScd2.applyBatch(df(Seq((3L, 10L, 1000L, false, "f"))),
+      Seq("id"), "lsn", "ts", "del", dir, 3L, h)
+    assert(tombIds() === Set(), "aged-out tombstones must be pruned")
+    // a WITHIN-horizon stale redelivery is still blocked: delete key 3
+    // at lsn 11, then redeliver its lsn-10 upsert — tombstone (11) is
+    // within horizon of head 10? head=10 < 11 so kept; resurrection blocked
+    StreamingScd2.applyBatch(df(Seq((3L, 11L, 1100L, true, "g"))),
+      Seq("id"), "lsn", "ts", "del", dir, 4L, h)
+    val expect = StreamingScd2.history(spark, dir, tmpl)
+      .select("id", "lsn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    StreamingScd2.applyBatch(df(Seq((3L, 10L, 1000L, false, "f"))),
+      Seq("id"), "lsn", "ts", "del", dir, 5L, h)
+    val got = StreamingScd2.history(spark, dir, tmpl)
+      .select("id", "lsn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect,
+      "a within-horizon stale redelivery must not resurrect the deleted key")
+  }
 }
 
 /** Executor-side capture for the per-partition POST spec: statics

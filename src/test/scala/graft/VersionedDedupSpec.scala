@@ -176,6 +176,14 @@ class VersionedDedupSpec extends SparkSpec {
       .select("id", "_lsn", "v")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(out === Set((2L, 3L, "e"), (3L, 7L, "d")))
+    // schema precondition: a source missing a target column fails
+    // with the missing names, not an unresolved-column explosion
+    val short = Seq((1L, 9L, 0)).toDF("id", "_lsn", "is_deleted")
+    val ex = intercept[IllegalArgumentException] {
+      VersionedDedup.mergeInto(target, short, Seq("id"),
+        col("_lsn"), col("is_deleted") === 1)
+    }
+    assert(ex.getMessage.contains("v"), ex.getMessage)
   }
 
   test("W1e mergeInto chains: batch-monotone versions reproduce currentState of the log") {
