@@ -23,7 +23,14 @@ import org.apache.spark.sql.functions._
   *  - `min_v` / `max_v` — merged by min/max;
   *  - `hll_state` — a DataSketches HLL binary (Spark
   *    `hll_sketch_agg`), merged by `hll_union_agg` — the mergeable
-  *    approx-distinct every AggregatingMergeTree deployment carries.
+  *    approx-distinct every AggregatingMergeTree deployment carries;
+  *  - `kll_state` — a DataSketches KLL binary
+  *    ([[graft.functions.QuantileSketch]]), merged by the KLL union —
+  *    the mergeable quantile state (ClickHouse `quantilesState`),
+  *    which is what lets an incremental latency-percentile dashboard
+  *    (the reference's insert-latency histogram,
+  *    internal/metrics/metrics.go:18-24, kept as a matview) refresh
+  *    from state rows instead of re-scanning raw history.
   *
   * Laws (spec-pinned, and `q_matview`'s oracle checks the exact
   * columns value-level): for ANY partition of the input rows into
@@ -44,7 +51,7 @@ import org.apache.spark.sql.functions._
 object MatView {
 
   val stateCols: Seq[String] =
-    Seq("n_rows", "sum_v", "min_v", "max_v", "hll_state")
+    Seq("n_rows", "sum_v", "min_v", "max_v", "hll_state", "kll_state")
 
   /** One state row per key over a slice of input rows. `value` feeds
     * n/sum/min/max; `distinctOn` feeds the HLL approx-distinct.
@@ -59,7 +66,8 @@ object MatView {
       sum(value.cast("decimal(28,6)")).cast("decimal(38,6)").as("sum_v"),
       min(value.cast("double")).as("min_v"),
       max(value.cast("double")).as("max_v"),
-      hll_sketch_agg(distinctOn).as("hll_state"))
+      hll_sketch_agg(distinctOn).as("hll_state"),
+      graft.functions.QuantileSketch.kllAgg(value).as("kll_state"))
 
   /** Merge any union of state frames back to one state row per key.
     * Closed over the state schema, so chains of merges (nightly
@@ -71,7 +79,9 @@ object MatView {
       sum(col("sum_v")).cast("decimal(38,6)").as("sum_v"),
       min(col("min_v")).as("min_v"),
       max(col("max_v")).as("max_v"),
-      hll_union_agg(col("hll_state")).as("hll_state"))
+      hll_union_agg(col("hll_state")).as("hll_state"),
+      graft.functions.QuantileSketch.kllMergeAgg(col("kll_state"))
+        .as("kll_state"))
 
   /** The read face: derived columns a dashboard queries — avg from
     * the exact sum/count, the HLL estimate — while the raw state
@@ -83,5 +93,11 @@ object MatView {
       // double-rounded avg (not decimal division): engine-portable
       // and scale-stable, the q_current_state rounding convention
       round(col("sum_v").cast("double") / col("n_rows"), 4).as("avg_v"),
-      hll_sketch_estimate(col("hll_state")).as("approx_distinct")): _*)
+      hll_sketch_estimate(col("hll_state")).as("approx_distinct"),
+      graft.functions.QuantileSketch.kllQuantile(col("kll_state"), 0.5)
+        .as("p50_v"),
+      graft.functions.QuantileSketch.kllQuantile(col("kll_state"), 0.95)
+        .as("p95_v"),
+      graft.functions.QuantileSketch.kllQuantile(col("kll_state"), 0.99)
+        .as("p99_v")): _*)
 }

@@ -75,6 +75,29 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A14 quantile state: the KLL member of the matview algebra, run
+    // in its EXACT regime (every group holds <= ~55 values, far under
+    // k=200, so no compaction fires and the merged sketch retains
+    // every value) — which is what makes the inclusive-rank quantile
+    // value-oracle-able: estimate = sorted[ceil(q*n)] (1-based). The
+    // approximate regime is spec-tested (MatViewSpec) where no value
+    // oracle can exist.
+    "q_matview_quantiles" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .where(col("user_id") % 500 === 0 && col("value").isNotNull)
+      val slices = (0 until 3).map(i =>
+        ev.where(pmod(xxhash64(col("event_id")), lit(3)) === i))
+      val partials = slices.map(sl => graft.operators.MatView.partialState(
+        sl, Seq("event_type"), col("value"), col("user_id")))
+      val merged = graft.operators.MatView.mergeStates(
+        partials.reduce(_ unionByName _), Seq("event_type"))
+      graft.operators.MatView.finalizeState(merged, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"),
+          round(col("p50_v"), 4).as("p50_v"),
+          round(col("p95_v"), 4).as("p95_v"))
+        .orderBy(col("event_type"))
+    }),
+
     // A13: topK heavy hitters — the Misra–Gries sketch Aggregator
     // (functions.TopK) run in its exact regime (capacity 64 >> 5
     // distinct event types), so the sketch output IS the exact top-3
@@ -411,6 +434,15 @@ object AggQueries {
            round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
              / count(*), 4) AS avg_v
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the KLL inclusive-rank convention, exactly: smallest value
+    // whose inclusive rank >= q == the ceil(q*n)-th sorted value
+    "q_matview_quantiles" ->
+      """WITH t AS (SELECT event_type, value FROM events
+           WHERE user_id % 500 = 0 AND value IS NOT NULL)
+         SELECT event_type, count(*) AS n_rows,
+           round(list_sort(list(value))[CAST(ceil(0.50*count(*)) AS INT)], 4) AS p50_v,
+           round(list_sort(list(value))[CAST(ceil(0.95*count(*)) AS INT)], 4) AS p95_v
+         FROM t GROUP BY event_type ORDER BY event_type""",
     "q_topk_freq" ->
       """SELECT event_type, count(*) AS n FROM events
          GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""",
