@@ -1006,6 +1006,61 @@ class StreamingSpec extends SparkSpec {
     assert(norm(StreamingScd2.history(spark, dir, tmpl)) === expect6)
   }
 
+  test("ST-W9: streaming OHLC bars equal the batch resample over out-of-order input") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("ohlcst").toString
+    val ckpt = Files.createTempDirectory("ohlcck").toString
+    // 240 rows, 3 symbols, 10 one-minute buckets, SHUFFLED — so every
+    // micro-batch carries late rows for bars earlier batches opened,
+    // and the merge's out-of-order claim is actually exercised
+    val rnd = new scala.util.Random(47)
+    val all = rnd.shuffle((0 until 240).map { i =>
+      (s"s${i % 3}", rnd.nextInt(600).toLong, i.toLong,
+        math.round(rnd.nextDouble() * 10000.0) / 100.0)
+    })
+    def bars(d: org.apache.spark.sql.DataFrame) = d
+      .select("sym", "bucket", "open", "high", "low", "close", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    val expect = bars(graft.operators.TimeSeries.ohlcResample(
+      all.toDF("sym", "ts", "id", "price"), Seq("sym"),
+      col("ts"), col("id"), col("price"), 60L))
+    val in = MemoryStream[(String, Long, Long, Double)]
+    val q = StreamingOhlc.maintain(
+      in.toDF().toDF("sym", "ts", "id", "price"),
+      Seq("sym"), col("ts"), col("id"), col("price"), 60L,
+      dir, ckpt).start()
+    try {
+      for (b <- all.grouped(80)) {
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val tmpl = StreamingOhlc.partialBars(all.take(1).toDF("sym", "ts", "id", "price"),
+      Seq("sym"), col("ts"), col("id"), col("price"), 60L)
+    def state() = bars(StreamingOhlc.finalizeBars(
+      StreamingOhlc.readBars(spark, dir, tmpl), Seq("sym")))
+    assert(state() === expect,
+      "streamed bars must equal the batch ohlcResample over all rows")
+    // replay of a committed batch is a no-op on rows and pointer
+    val ptr = StreamingOhlc.readPointer(dir)
+    StreamingOhlc.applyBatch(all.take(80).toDF("sym", "ts", "id", "price"),
+      Seq("sym"), col("ts"), col("id"), col("price"), 60L, dir, 0L)
+    assert(StreamingOhlc.readPointer(dir) === ptr)
+    assert(state() === expect)
+    // crash window: an orphan next-version dir is overwritten, not
+    // double-counted
+    Files.createDirectories(java.nio.file.Paths.get(dir, s"state-${ptr._1 + 1}"))
+    val late = Seq(("s0", 599L, 999L, 123.45))
+    StreamingOhlc.applyBatch(late.toDF("sym", "ts", "id", "price"),
+      Seq("sym"), col("ts"), col("id"), col("price"), 60L, dir, ptr._2 + 1)
+    val expect2 = bars(graft.operators.TimeSeries.ohlcResample(
+      (all ++ late).toDF("sym", "ts", "id", "price"), Seq("sym"),
+      col("ts"), col("id"), col("price"), 60L))
+    assert(state() === expect2)
+  }
+
   test("ST13: redelivery-horizon prunes dead tombstones, keeps live ones blocking") {
     val dir = Files.createTempDirectory("scd2hz").toString
     def df(rows: Seq[(Long, Long, Long, Boolean, String)]) =
