@@ -98,6 +98,36 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A18: theta-sketch set algebra (ClickHouse uniqTheta family) —
+    // audience overlap over PRE-AGGREGATED states: per-segment
+    // sketches built slice-wise, union-merged, then intersected /
+    // differenced at read time without touching raw rows again. Run
+    // in the exact regime (segment cardinalities ~20-200 << 2^12
+    // retained hashes, so no sampling and every estimate is an exact
+    // integer — value-oracle-able); the sampling regime is
+    // spec-tested (AggApproxSpec) where no value oracle can exist.
+    "q_theta_segments" -> ((s, d) => {
+      import graft.functions.ThetaSketch._
+      val ev = table(s, d, "events").where(col("user_id") % 7 === 0)
+      val buyer = when(
+        col("event_type") === "purchase" && col("value") >= 100,
+        col("user_id").cast("string"))
+      val errorer = when(
+        col("event_type") === "error" && col("value") >= 100,
+        col("user_id").cast("string"))
+      val partials = (0 until 3).map(i =>
+        ev.where(pmod(xxhash64(col("event_id")), lit(3)) === i)
+          .agg(thetaAgg(buyer).as("sa"), thetaAgg(errorer).as("sb")))
+      partials.reduce(_ unionByName _)
+        .agg(thetaUnionAgg(col("sa")).as("sa"),
+          thetaUnionAgg(col("sb")).as("sb"))
+        .select(
+          round(thetaEstimate(col("sa"))).cast("long").as("n_buyers"),
+          round(thetaEstimate(col("sb"))).cast("long").as("n_errorers"),
+          round(thetaIntersect(col("sa"), col("sb"))).cast("long").as("n_both"),
+          round(thetaDiff(col("sa"), col("sb"))).cast("long").as("n_buyers_only"))
+    }),
+
     // A13: topK heavy hitters — the Misra–Gries sketch Aggregator
     // (functions.TopK) run in its exact regime (capacity 64 >> 5
     // distinct event types), so the sketch output IS the exact top-3
@@ -443,6 +473,19 @@ object AggQueries {
            round(list_sort(list(value))[CAST(ceil(0.50*count(*)) AS INT)], 4) AS p50_v,
            round(list_sort(list(value))[CAST(ceil(0.95*count(*)) AS INT)], 4) AS p95_v
          FROM t GROUP BY event_type ORDER BY event_type""",
+    // exact-regime theta set algebra == plain distinct-set arithmetic
+    "q_theta_segments" ->
+      """WITH e AS (SELECT user_id, event_type, value FROM events
+           WHERE user_id % 7 = 0),
+         a AS (SELECT DISTINCT user_id FROM e
+           WHERE event_type = 'purchase' AND value >= 100),
+         b AS (SELECT DISTINCT user_id FROM e
+           WHERE event_type = 'error' AND value >= 100)
+         SELECT (SELECT count(*) FROM a) AS n_buyers,
+           (SELECT count(*) FROM b) AS n_errorers,
+           (SELECT count(*) FROM a JOIN b USING(user_id)) AS n_both,
+           (SELECT count(*) FROM a
+             WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_buyers_only""",
     "q_topk_freq" ->
       """SELECT event_type, count(*) AS n FROM events
          GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""",

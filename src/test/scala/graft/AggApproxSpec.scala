@@ -34,6 +34,66 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
       s"exact=$exact approx=$approx range=[$lo,$hi]")
   }
 
+  test("A18 theta sketches: exact regime — estimates and set ops are exact, any slicing merges to the direct state") {
+    import graft.functions.ThetaSketch._
+    val rnd = new scala.util.Random(11)
+    // two overlapping string sets, each well under 2^12 retained
+    val rows = (0 until 3000).map { i =>
+      val u = s"u${rnd.nextInt(500)}"
+      (i.toLong, u, rnd.nextInt(2) == 0, rnd.nextInt(3) == 0)
+    }
+    val df = rows.toDF("id", "u", "in_a", "in_b")
+    val expectA = rows.filter(_._3).map(_._2).toSet
+    val expectB = rows.filter(_._4).map(_._2).toSet
+    def readOut(st: org.apache.spark.sql.DataFrame) = st.select(
+      round(thetaEstimate(col("sa"))).cast("long"),
+      round(thetaEstimate(col("sb"))).cast("long"),
+      round(thetaIntersect(col("sa"), col("sb"))).cast("long"),
+      round(thetaDiff(col("sa"), col("sb"))).cast("long"))
+      .as[(Long, Long, Long, Long)].collect().head
+    val direct = df.agg(
+      thetaAgg(when(col("in_a"), col("u"))).as("sa"),
+      thetaAgg(when(col("in_b"), col("u"))).as("sb"))
+    val want = (expectA.size.toLong, expectB.size.toLong,
+      (expectA intersect expectB).size.toLong,
+      (expectA diff expectB).size.toLong)
+    assert(readOut(direct) === want)
+    // slice-invariance through the union agg, any partition
+    for (nSlices <- Seq(2, 5)) {
+      val partials = rows.groupBy(_._1 % nSlices).values.toSeq.map(sl =>
+        sl.toDF("id", "u", "in_a", "in_b").agg(
+          thetaAgg(when(col("in_a"), col("u"))).as("sa"),
+          thetaAgg(when(col("in_b"), col("u"))).as("sb")))
+      val merged = partials.reduce(_ unionByName _).agg(
+        thetaUnionAgg(col("sa")).as("sa"),
+        thetaUnionAgg(col("sb")).as("sb"))
+      assert(readOut(merged) === want, s"nSlices=$nSlices")
+    }
+  }
+
+  test("A18 theta sketches: sampling regime stays within relative-error bounds") {
+    import graft.functions.ThetaSketch._
+    // 60k distinct per set, 50% overlap: far past 2^12 — sampling is
+    // live. lgK=12 bounds |A| error at ~1.6% (1/sqrt(4096)) per
+    // sketch; intersections compound, so 10% is the spec floor.
+    val n = 60000
+    val df = spark.range(0, n * 3 / 2).select(
+      concat(lit("v"), col("id")).as("u"),
+      (col("id") < n).as("in_a"),
+      (col("id") >= n / 2).as("in_b"))
+    val (ea, eb, ei, ed) = df.agg(
+      thetaAgg(when(col("in_a"), col("u"))).as("sa"),
+      thetaAgg(when(col("in_b"), col("u"))).as("sb"))
+      .select(thetaEstimate(col("sa")), thetaEstimate(col("sb")),
+        thetaIntersect(col("sa"), col("sb")),
+        thetaDiff(col("sa"), col("sb")))
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(math.abs(ea - n) / n < 0.05, s"|A| est $ea")
+    assert(math.abs(eb - n) / n < 0.05, s"|B| est $eb")
+    assert(math.abs(ei - n / 2) / (n / 2) < 0.10, s"|A∩B| est $ei")
+    assert(math.abs(ed - n / 2) / (n / 2) < 0.10, s"|A\\B| est $ed")
+  }
+
   test("X5: resize stub bounds output and keeps identity for small payloads") {
     val small = Array[Byte](1, 2, 3)
     assert(Multimodal.resizeStub(small, 10) === small)
