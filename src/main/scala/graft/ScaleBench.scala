@@ -596,6 +596,14 @@ object ScaleBench {
       selected(dir).map { case (name, run) =>
         var rows = 0L
         val best = (1 to passes).map { _ =>
+          // measurement hygiene: each path starts from a clean heap so
+          // a memory-heavy predecessor (the all-pairs embed paths at
+          // 30×+ allocate tens of GB) can't tax a later path's
+          // measurement with its garbage — paths are contracts, not a
+          // combined workload, and the cross-path assertion margins
+          // (serving-vs-brute) were measurably order-sensitive without
+          // this
+          System.gc()
           val t0 = System.nanoTime()
           rows = run()
           spark.catalog.clearCache()

@@ -37,16 +37,24 @@ object RecallCurve {
     val bruteS = (System.nanoTime() - t0) / 1e9
     val denom = brute.count().toDouble
     System.err.println(f"[curve] $dir n=$n nlist=$nl brute=$bruteS%.2fs")
-    for (iters <- Seq(2, 4); num <- Seq(1, 2, 3, 4)) {
-      val np = math.max(1, nl * num / 8)
+    // sweep nlist alongside the probe fraction: finer cells cost more
+    // assignment (corpus × nlist dots) but probe fewer vectors per
+    // query at equal fraction — the trade the serving dial rides
+    val nlMuls = sys.env.get("SPARK_GRAFT_CURVE_NLMUL")
+      .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1))
+    val itersSeq = sys.env.get("SPARK_GRAFT_CURVE_ITERS")
+      .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(2, 4))
+    for (m <- nlMuls; iters <- itersSeq; num <- Seq(1, 2, 3, 4)) {
+      val nlm = nl * m
+      val np = math.max(1, nlm * num / 8)
       val t1 = System.nanoTime()
       val got = Similarity.ivfTopKServing(emb, q, "vec_id", "embedding",
-        k = 10, nlist = nl, nProbe = np, iters = iters)
+        k = 10, nlist = nlm, nProbe = np, iters = iters)
         .select("query_id", "neighbor_id")
       val hits = got.intersect(brute).count()
       val dt = (System.nanoTime() - t1) / 1e9
       System.err.println(
-        f"[curve] iters=$iters nProbe=$np (${num}/8): " +
+        f"[curve] nlist=$nlm iters=$iters nProbe=$np (${num}/8): " +
           f"recall@10=${hits / denom}%.4f time=$dt%.2fs (brute $bruteS%.2fs)")
     }
     spark.stop()
