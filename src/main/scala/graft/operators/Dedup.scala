@@ -153,53 +153,53 @@ object Dedup {
     // persisted signature dataset every LSH system materializes)
     val sh = explodedShingles(df, id, text, k).cache()
     val bandsDf = minhashBandsFromShingles(sh, id, bands, rowsPerBand).cache()
+    // cached: read twice (the gram-set id restriction below + the
+    // verify joins) — uncached, the band self-join would run twice
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"), Seq("band", "sig"))
       .filter(col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
+      .cache()
     // Verify-stage scale design. Banding over-generates by design
     // (measured: 10.2M candidates verify down to 25.6k pairs at the
     // 100× tier), so the verify stage — not candidate generation —
     // owns the wall at scale, and it must NEVER multiply candidates
-    // by per-doc shingle counts. Three LOSSLESS moves (the emitted
+    // by per-doc shingle counts. Two LOSSLESS moves (the emitted
     // pair set is bit-identical to the naive verify):
-    //  1. length-ratio prefilter on SKINNY rows: |A∩B|/|A∪B| <=
-    //     min(n_a,n_b)/max(n_a,n_b), so a pair failing the ratio
-    //     bound is dropped from two long-column joins before any
-    //     gram data is hauled for it.
-    //  2. per-doc HASHED gram-set arrays: each surviving pair joins
+    //  1. per-doc HASHED gram-set arrays: each candidate pair joins
     //     two fixed-width xxhash64 arrays (one doc's set ≈ tens of
-    //     longs) and computes the exact intersection size inline
-    //     with codegen'd array_intersect — the shuffle moves
-    //     |pairs| + |cand docs| rows, not the |pairs| × |shingles|
-    //     row explosion of an inverted-index verify join (measured
-    //     104s → the array form at the same tier). A false
-    //     intersection needs a 64-bit collision INSIDE one pair's
-    //     gram sets (~n²/2^65 — negligible next to the md5 stance
-    //     above).
-    //  3. only docs surviving the prefilter enter the gram-set
-    //     aggregation — the id set is bounded by 2·|pairs|, so it
-    //     broadcasts and the restriction is a map-side semi-join
-    //     over the cached explode, never a shuffle of the corpus.
-    val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
-    // cached: read twice (gram-set id restriction + the verify joins)
-    // — uncached, the band self-join would run twice
-    val pre = cand
-      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .filter(least(col("n_a"), col("n_b")).cast("double") >=
-        lit(minJ) * greatest(col("n_a"), col("n_b")).cast("double"))
-      .cache()
-    val candIds = pre.select(col("id_a").as(id))
-      .union(pre.select(col("id_b").as(id))).distinct()
+    //     longs); the length-ratio bound (|A∩B|/|A∪B| <=
+    //     min(n_a,n_b)/max(n_a,n_b) — Catalyst evaluates the Filter
+    //     on the array sizes before the intersect projection) kills
+    //     hopeless pairs, then codegen'd array_intersect computes
+    //     the exact intersection inline. The shuffle moves |pairs| +
+    //     |cand docs| rows, not the |pairs| × |shingles| row
+    //     explosion of an inverted-index verify join (measured 104s
+    //     → ~10s at the 100× tier). A false intersection needs a
+    //     64-bit collision INSIDE one pair's gram sets (~n²/2^65 —
+    //     negligible next to the md5 stance above). A skinny-row
+    //     prefilter via a separate sizes join was measured SLOWER at
+    //     every tier: two extra |pairs|-sized joins cost more than
+    //     hauling arrays for the ~20% of pairs the ratio bound drops.
+    //  2. only docs that appear in a candidate pair enter the
+    //     gram-set aggregation — the id set is bounded by 2·|pairs|,
+    //     so it broadcasts and the restriction is a map-side
+    //     semi-join over the cached explode, never a shuffle of the
+    //     corpus.
+    val candIds = cand.select(col("id_a").as(id))
+      .union(cand.select(col("id_b").as(id))).distinct()
     val gsets = sh
       .join(broadcast(candIds), Seq(id), "left_semi")
       .select(col(id), xxhash64(col("shingle")).as("__gh"))
       .groupBy(col(id)).agg(collect_list(col("__gh")).as("__gs"))
-    releaseAfterAction(pre
+    releaseAfterAction(cand
       .join(gsets.select(col(id).as("id_a"), col("__gs").as("__ga")), "id_a")
       .join(gsets.select(col(id).as("id_b"), col("__gs").as("__gb")), "id_b")
+      .withColumn("n_a", size(col("__ga")).cast("long"))
+      .withColumn("n_b", size(col("__gb")).cast("long"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(minJ) * greatest(col("n_a"), col("n_b")).cast("double"))
       .withColumn("inter",
         size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .withColumn("jaccard",
@@ -207,7 +207,7 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJ)
       .select(col("id_a"), col("id_b"), col("jaccard")),
-      pre, bandsDf, sh)
+      cand, bandsDf, sh)
   }
 
   /** SimHash signature: 64-bit sign-of-weighted-sum over the doc's

@@ -46,24 +46,20 @@ object ProfileLsh {
       .distinct()
       .cache()
     t("band self-join candidates")(cand.count())
-    val sizes = sh.groupBy(col("doc_id")).agg(count("*").as("n_sh"))
-    val pre = cand
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .filter(least(col("n_a"), col("n_b")).cast("double") >=
-        lit(minJ) * greatest(col("n_a"), col("n_b")).cast("double"))
-      .cache()
-    t("length-ratio prefilter")(pre.count())
-    val candIds = pre.select(col("id_a").as("doc_id"))
-      .union(pre.select(col("id_b").as("doc_id"))).distinct()
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val gsets = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), xxhash64(col("shingle")).as("__gh"))
       .groupBy(col("doc_id")).agg(collect_list(col("__gh")).as("__gs"))
       .cache()
     t("gram-set arrays (cand docs only)")(gsets.count())
-    val out = pre
+    val out = cand
       .join(gsets.select(col("doc_id").as("id_a"), col("__gs").as("__ga")), "id_a")
       .join(gsets.select(col("doc_id").as("id_b"), col("__gs").as("__gb")), "id_b")
+      .withColumn("n_a", size(col("__ga")).cast("long"))
+      .withColumn("n_b", size(col("__gb")).cast("long"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(minJ) * greatest(col("n_a"), col("n_b")).cast("double"))
       .withColumn("inter",
         size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .withColumn("jaccard",
