@@ -106,9 +106,55 @@ object CoreQueries {
         ev, x = col("user_id"), y = col("hr"), tiebreak = col("event_id"))
       zsorted.select(col("event_id"), col("user_id"), col("hr"), col("zval"))
         .orderBy(col("zval"), col("event_id"))
+    }),
+
+    // L4: MergeTree TTL GROUP BY lifecycle — raw events for the last
+    // 7 days, daily per-type rollup beyond, the cutoff pinned at the
+    // table's max timestamp (one consistent asOf, how a TTL merge
+    // materializes). Totals are policy-invariant: Σ n_rows and
+    // Σ sum_v equal the raw table's (the TtlSpec law); the oracle
+    // checks the full output value-level
+    "q_ttl_rollup" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ep", graft.Tables.epochSeconds(col("ts")))
+      val mx = ev.agg(max(col("ep")).as("__asof"))
+      graft.operators.Ttl.rollup(
+        ev.crossJoin(broadcast(mx)), Seq("event_type"), col("event_id"),
+        col("ep"), col("value"),
+        ttlSeconds = 7L * 86400, bucketSeconds = 86400L,
+        asOf = col("__asof"))
+        .select(col("event_type"), col("row_id"), col("ts"),
+          col("n_rows"), col("sum_v").cast("string").as("sum_v"),
+          col("min_v"), col("max_v"), col("is_rolled"))
+        .orderBy(col("event_type"), col("ts"),
+          coalesce(col("row_id"), lit(-1L)))
     }))
 
   val oracles: Map[String, String] = Map(
+    // L4: both regimes written out — fresh rows as degenerate
+    // aggregates of themselves, old rows as per-(type, day) groups;
+    // sum_v rides the DECIMAL(28,6)->(38,6) exact-sum convention
+    "q_ttl_rollup" ->
+      """WITH t AS (SELECT event_type, event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep, value
+           FROM events),
+         m AS (SELECT max(ep) AS mx FROM t),
+         fresh AS (SELECT event_type, event_id AS row_id, ep AS ts,
+             CAST(1 AS BIGINT) AS n_rows,
+             CAST(CAST(CAST(value AS DECIMAL(28,6)) AS DECIMAL(38,6)) AS VARCHAR) AS sum_v,
+             CAST(value AS DOUBLE) AS min_v, CAST(value AS DOUBLE) AS max_v,
+             false AS is_rolled
+           FROM t CROSS JOIN m WHERE ep + 604800 >= mx),
+         old AS (SELECT event_type, CAST(NULL AS BIGINT) AS row_id,
+             ep - ep % 86400 AS ts, count(*) AS n_rows,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_v,
+             min(CAST(value AS DOUBLE)) AS min_v,
+             max(CAST(value AS DOUBLE)) AS max_v,
+             true AS is_rolled
+           FROM t CROSS JOIN m WHERE ep + 604800 < mx
+           GROUP BY event_type, ep - ep % 86400)
+         SELECT * FROM (SELECT * FROM fresh UNION ALL SELECT * FROM old)
+         ORDER BY event_type, ts, coalesce(row_id, -1)""",
     // L3: identical integer arithmetic — `//` floor-div on nonneg
     // longs, the spread-bits mask chain, interleave via << and |
     "q_zorder" ->

@@ -106,4 +106,50 @@ class LayoutSpec extends SparkSpec {
     val zBox = hits(zStats, (8L, 15L), (8L, 15L))
     assert(zBox <= 8, s"z-order box candidates: $zBox")
   }
+
+  test("L4 TTL: expire keeps the ClickHouse boundary; rollup preserves totals exactly") {
+    import graft.operators.Ttl
+    val rnd = new scala.util.Random(23)
+    // 500 rows over 20 "days" of 100s each, 3 keys
+    val rows = (0 until 500).map(i =>
+      (i.toLong, s"k${i % 3}", rnd.nextInt(2000).toLong,
+        rnd.nextInt(10000) / 100.0))
+    val df = rows.toDF("id", "k", "ep", "v")
+    val asOf = lit(2000L)
+    // expire: a row expires when ts + ttl < asOf — ts = 1000 at
+    // ttl = 1000 is exactly at the boundary and SURVIVES
+    val kept = Ttl.expire(df, col("ep"), 1000L, asOf)
+      .select("id").as[Long].collect().toSet
+    assert(kept === rows.filter(r => r._3 + 1000 >= 2000).map(_._1).toSet)
+    assert(Ttl.expire(df.where(col("ep") === 1000L), col("ep"), 1000L, asOf)
+      .count() === rows.count(_._3 == 1000L))
+    // rollup: Σ n_rows and Σ sum_v invariant under the policy, fresh
+    // rows are bit-identical degenerate aggregates, rolled rows
+    // aggregate per (key, bucket)
+    val out = Ttl.rollup(df, Seq("k"), col("id"), col("ep"), col("v"),
+      ttlSeconds = 1000L, bucketSeconds = 100L, asOf = asOf)
+    assert(out.agg(sum(col("n_rows"))).head.getLong(0) === 500L)
+    val totalGot = out.agg(sum(col("sum_v")).cast("string")).head.getString(0)
+    val totalWant = df.agg(sum(col("v").cast("decimal(28,6)"))
+      .cast("string")).head.getString(0)
+    assert(BigDecimal(totalGot) === BigDecimal(totalWant))
+    val freshGot = out.where(!col("is_rolled"))
+      .select(col("row_id"), col("ts"), col("min_v"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(freshGot === rows.filter(r => r._3 + 1000 >= 2000)
+      .map(r => (r._1, r._3, r._4)).toSet)
+    // every rolled row sits strictly below the cutoff, one per
+    // (key, bucket), with null row ids
+    val rolled = out.where(col("is_rolled"))
+      .select(col("k"), col("ts"), col("row_id").isNull, col("n_rows"))
+      .collect()
+    assert(rolled.forall(_.getBoolean(2)))
+    assert(rolled.forall(_.getLong(1) < 1000L))
+    val perBucket = rows.filter(r => r._3 + 1000 < 2000)
+      .groupBy(r => (r._2, r._3 / 100 * 100))
+    assert(rolled.map(r => (r.getString(0), r.getLong(1))).toSet ===
+      perBucket.keySet)
+    assert(rolled.map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+      === perBucket.map { case (kb, rs) => kb -> rs.size.toLong })
+  }
 }
