@@ -128,6 +128,22 @@ object AggQueries {
           round(thetaDiff(col("sa"), col("sb"))).cast("long").as("n_buyers_only"))
     }),
 
+    // A4b: uniqUpTo — exact distinct users per (type, day) up to 50,
+    // the 51 sentinel beyond, with state bounded at 51 witnesses per
+    // group (a cardinality spike can't balloon the exchange). Unlike
+    // the sketch families this is value-oracle-able in BOTH regimes:
+    // least(count(DISTINCT), N+1) reproduces the cap exactly
+    "q_uniq_upto" -> ((s, d) => {
+      val u = udaf(new graft.functions.UniqUpTo(50),
+        org.apache.spark.sql.Encoders.STRING)
+      table(s, d, "events")
+        .withColumn("day",
+          floor(graft.Tables.epochSeconds(col("ts")) / 86400L).cast("long"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(u(col("user_id").cast("string")).as("n_users_upto"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // A13: topK heavy hitters — the Misra–Gries sketch Aggregator
     // (functions.TopK) run in its exact regime (capacity 64 >> 5
     // distinct event types), so the sketch output IS the exact top-3
@@ -486,6 +502,11 @@ object AggQueries {
            (SELECT count(*) FROM a JOIN b USING(user_id)) AS n_both,
            (SELECT count(*) FROM a
              WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_buyers_only""",
+    "q_uniq_upto" ->
+      """SELECT event_type,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+           least(count(DISTINCT user_id), 51) AS n_users_upto
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
     "q_topk_freq" ->
       """SELECT event_type, count(*) AS n FROM events
          GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""",

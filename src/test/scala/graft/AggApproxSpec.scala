@@ -71,6 +71,28 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     }
   }
 
+  test("A4b uniqUpTo: exact to N, sentinel N+1 beyond, capped state, slice-invariant") {
+    val u = udaf(new graft.functions.UniqUpTo(5),
+      org.apache.spark.sql.Encoders.STRING)
+    // below the cap: exact; above: exactly N+1; nulls skipped
+    val rows = Seq(
+      ("a", "u1"), ("a", "u2"), ("a", "u2"), ("a", null),
+      ("b", "u1"), ("b", "u2"), ("b", "u3"), ("b", "u4"),
+      ("b", "u5"), ("b", "u6"), ("b", "u7"))
+    val got = rows.toDF("k", "x").groupBy("k").agg(u(col("x")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 2L, "b" -> 6L))
+    // slice invariance across a forced repartition (the merge path):
+    // per-partition partials saturate independently, the final merge
+    // must still land on exact-or-sentinel
+    val big = (0 until 2000).map(i => ("k", s"u${i % 4}")) ++
+      (0 until 2000).map(i => ("s", s"u$i"))
+    val got2 = big.toDF("k", "x").repartition(16)
+      .groupBy("k").agg(u(col("x")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got2 === Map("k" -> 4L, "s" -> 6L))
+  }
+
   test("A18 theta sketches: sampling regime stays within relative-error bounds") {
     import graft.functions.ThetaSketch._
     // 60k distinct per set, 50% overlap: far past 2^12 — sampling is
