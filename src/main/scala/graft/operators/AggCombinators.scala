@@ -57,6 +57,31 @@ object AggCombinators {
     * is `{}`) — ClickHouse keeps such groups too. Returns
     * `keys :+ sum_map`.
     */
+  /** `sumForEach`: per group-key, element-wise sum of an array column
+    * — ClickHouse's `-ForEach` combinator applied to `sum`, the
+    * aggregate that folds a table of equal-length vectors (feature
+    * counts per position, per-dimension embedding stats) into one
+    * vector per group. Position-keyed re-aggregation of the exploded
+    * elements, then reassembly sorted by position — the same
+    * mergeable two-level shape as [[sumMap]] (positions ARE map keys
+    * here), so both levels partial-aggregate map-side and the shuffle
+    * carries (group × dim) partial sums, never rows. Ragged inputs
+    * follow ClickHouse: the result has the length of the LONGEST
+    * array, shorter arrays contributing nothing to the tail
+    * positions. Null/empty-array groups survive with an empty array.
+    * Returns `keys :+ sum_foreach` (1-indexed order preserved).
+    */
+  def sumForEach(df: DataFrame, keys: Seq[String], arr: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    df.select(keyCols :+ posexplode_outer(arr): _*)
+      .groupBy(keyCols :+ col("pos"): _*)
+      .agg(sum(col("col")).as("__s"))
+      .groupBy(keyCols: _*)
+      .agg(transform(sort_array(collect_list(
+        when(col("pos").isNotNull, struct(col("pos"), col("__s"))))),
+        e => e("__s")).as("sum_foreach"))
+  }
+
   def sumMap(df: DataFrame, keys: Seq[String], mapCol: Column): DataFrame = {
     val keyCols = keys.map(col)
     df.select(keyCols :+ explode_outer(mapCol): _*)

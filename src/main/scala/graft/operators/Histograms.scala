@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Equi-depth (equal-height) histogram — the deterministic member of
@@ -70,5 +71,53 @@ object Histograms {
       .withColumn("hi", element_at(col("__edges"), col("bin").cast("int") + 1))
       .groupBy(keyCols ++ Seq(col("bin"), col("lo"), col("hi")): _*)
       .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Exact weighted quantiles — ClickHouse `quantileExactWeighted`
+    * (the repeat-count quantile every latency histogram with bucket
+    * counts needs): per group, quantile q is the SMALLEST value v
+    * whose cumulative weight reaches q · total weight — the
+    * left-continuous inverse CDF, ClickHouse's own rule. Weights must
+    * be integral (repeat counts), so the threshold comparison
+    * `cum ≥ q·tot` is exact decimal arithmetic — no interpolation, no
+    * float accumulation, hence engine-portable without rounding.
+    *
+    * One hash-partition window per group over the (value, tiebreak)
+    * sort computes cumulative and total weight in a single sort pass
+    * (Catalyst collapses the two frames onto one sort); one
+    * partial+final aggregate then takes, per quantile, the min value
+    * past its threshold. The sort is the exact algorithm's inherent
+    * cost (same as ClickHouse's, which materializes and sorts the
+    * (value, weight) pairs per group); pre-aggregating duplicate
+    * values into weights upstream is exactly how callers bound it.
+    *
+    * Output: groupKeys :+ one `wq_<label>` column per requested
+    * quantile (label = q with the dot stripped, e.g. 0.5 → wq_50).
+    */
+  def weightedQuantiles(df: DataFrame, groupKeys: Seq[String],
+      value: Column, weight: Column, tiebreak: Seq[Column],
+      qs: Seq[BigDecimal]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1]: $qs")
+    val keyCols = groupKeys.map(col)
+    val base = df
+      .select(keyCols ++ Seq(value.as("__wv"), weight.cast("long").as("__w")) ++
+        tiebreak.zipWithIndex.map { case (c, i) => c.as(s"__tb$i") }: _*)
+      .where(col("__wv").isNotNull && col("__w") > 0)
+    val wCum = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__wv") +: tiebreak.indices.map(i => col(s"__tb$i")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(keyCols: _*)
+    val cum = base
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+    val aggs = qs.map { q =>
+      val label = (q * 100).bigDecimal.stripTrailingZeros.toPlainString
+        .replace(".", "_")
+      min(when(col("__cum").cast("decimal(38,6)") >=
+        lit(q.bigDecimal).cast("decimal(38,6)") * col("__tot"), col("__wv")))
+        .as(s"wq_$label")
+    }
+    cum.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -163,6 +163,61 @@ object TimeSeries {
       .drop("__x", "__sm", "__ss", "__vr")
   }
 
+  /** Counter semantics over a per-key sample stream — ClickHouse
+    * `deltaSum` fused with the Prometheus `increase`/`rate` pair, the
+    * query an observability backend answers over every monotonic
+    * counter the reference ingests (its own insert counters,
+    * reference internal/metrics/metrics.go:10-24, are this shape):
+    * per key, order samples by `ord`, sum only the POSITIVE deltas
+    * between consecutive samples (a drop is a counter reset — the
+    * restarted process re-counts from 0, and the pre-reset total must
+    * not be subtracted), count the resets, and derive the average
+    * per-second rate over the observed span.
+    *
+    * Engine-portable numerics: samples are cast to DECIMAL(18,6)
+    * BEFORE differencing, so each delta is exact and the positive-
+    * delta sum is a DECIMAL(38,6) — exact in any accumulation order
+    * (the double formulation would make the sum partition-order
+    * dependent). The rate is one guarded double division rounded at
+    * the end.
+    *
+    * Scale: one hash-partition window per key (the unavoidable
+    * per-key sort — deltas are adjacency facts), then one
+    * partial+final aggregate that collapses to ONE row per key before
+    * the second exchange. Sample volume reaches exactly one shuffle,
+    * once; for a 100 TB metrics store pre-bucketed by (key, window)
+    * the same fold runs per bucket and the per-bucket partials merge
+    * by addition — deltaSum's state is mergeable because only the
+    * boundary sample pair spans buckets.
+    *
+    * Output: keys :+ (n_samples, n_resets, delta_sum, span_s,
+    * rate_per_s).
+    */
+  def deltaSum(
+      df: DataFrame,
+      keys: Seq[String],
+      ord: Seq[Column],
+      ts: Column,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val v = value.cast("decimal(18,6)")
+    df.withColumn("__v", v)
+      .withColumn("__ts", ts.cast("long"))
+      .withColumn("__d", col("__v") - lag(col("__v"), 1).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_samples"),
+        count(when(col("__d") < 0, lit(1))).as("n_resets"),
+        coalesce(sum(when(col("__d") > 0, col("__d"))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"))
+          .as("delta_sum"),
+        (max(col("__ts")) - min(col("__ts"))).as("span_s"))
+      .withColumn("rate_per_s",
+        when(col("span_s") > 0,
+          round(col("delta_sum").cast("double") /
+            col("span_s").cast("double"), 6)))
+  }
+
   /** W9: OHLC resample — the time-series downsampling bar every
     * metrics/market pipeline draws: per (keys, time bucket) the
     * FIRST value (open), max (high), min (low), LAST value (close)

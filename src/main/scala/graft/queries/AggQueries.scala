@@ -144,6 +144,38 @@ object AggQueries {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // A16b: quantileExactWeighted — per event type, the weighted
+    // median and p90 of value under per-row repeat counts (weight =
+    // user_id%5+1, a deterministic integral weight): smallest value
+    // whose cumulative weight reaches q·total, exact decimal
+    // threshold arithmetic — no interpolation, no float accumulation
+    "q_weighted_quantile" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("event_type"), round(col("value"), 2).as("v"),
+          (col("user_id") % 5 + 1).as("w"), col("event_id"))
+      graft.operators.Histograms.weightedQuantiles(ev, Seq("event_type"),
+        value = col("v"), weight = col("w"), tiebreak = Seq(col("event_id")),
+        qs = Seq(BigDecimal("0.5"), BigDecimal("0.9")))
+        .orderBy(col("event_type"))
+    }),
+
+    // A12b: sumForEach — element-wise vector sum per label over the
+    // embeddings table, in fixed-point (floor(x·1e6) as LONG per
+    // element): float sums are accumulation-order-dependent, integer
+    // sums are exact in any order, and the float→double→floor op
+    // sequence is the same IEEE arithmetic in every engine
+    "q_sum_foreach" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+        .select(col("label"),
+          transform(col("embedding"),
+            x => floor(x * lit(1000000.0)).cast("long")).as("fp"))
+      graft.operators.AggCombinators.sumForEach(e, Seq("label"), col("fp"))
+        .select(col("label"),
+          array_join(transform(col("sum_foreach"), x => x.cast("string")), ",")
+            .as("dims"))
+        .orderBy(col("label"))
+    }),
+
     // A13: topK heavy hitters — the Misra–Gries sketch Aggregator
     // (functions.TopK) run in its exact regime (capacity 64 >> 5
     // distinct event types), so the sketch output IS the exact top-3
@@ -489,6 +521,32 @@ object AggQueries {
            round(list_sort(list(value))[CAST(ceil(0.50*count(*)) AS INT)], 4) AS p50_v,
            round(list_sort(list(value))[CAST(ceil(0.95*count(*)) AS INT)], 4) AS p95_v
          FROM t GROUP BY event_type ORDER BY event_type""",
+    // A16b: left-continuous inverse CDF under integral weights —
+    // cum/tot window then min-past-threshold, identical both engines
+    "q_weighted_quantile" ->
+      """WITH b AS (SELECT event_type, round(value,2) AS v,
+             user_id % 5 + 1 AS w, event_id FROM events),
+         c AS (SELECT event_type, v, w,
+             sum(w) OVER (PARTITION BY event_type ORDER BY v, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY event_type) AS tot FROM b)
+         SELECT event_type,
+           min(v) FILTER (WHERE cum >= 0.5 * tot) AS wq_50,
+           min(v) FILTER (WHERE cum >= 0.9 * tot) AS wq_90
+         FROM c GROUP BY event_type ORDER BY event_type""",
+    // A12b: generate_subscripts aligns with unnest in DuckDB (pos is
+    // 1-based there, 0-based in Spark — only the ORDER matters).
+    // CAST(x AS DOUBLE) is load-bearing: DuckDB evaluates
+    // float × decimal-literal in FLOAT, flooring a float-rounded
+    // product one ulp away from Spark's double arithmetic
+    "q_sum_foreach" ->
+      """WITH f AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x FROM embeddings),
+         g AS (SELECT label, pos,
+             sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS s
+           FROM f GROUP BY label, pos)
+         SELECT label, string_agg(CAST(s AS VARCHAR), ',' ORDER BY pos) AS dims
+         FROM g GROUP BY label ORDER BY label""",
     // exact-regime theta set algebra == plain distinct-set arithmetic
     "q_theta_segments" ->
       """WITH e AS (SELECT user_id, event_type, value FROM events

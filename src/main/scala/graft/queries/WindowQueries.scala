@@ -57,6 +57,94 @@ object WindowQueries {
         .orderBy(col("user_id"))
     }),
 
+    // W1f: ClickHouse CollapsingMergeTree FINAL over the canonical
+    // sign-writer stream derived from events: every state (non-error
+    // event) is written +1 and cancelled by a -1 copy when its
+    // successor arrives; a stream ending in 'error' is a delete — a
+    // final cancel with no replacement. FINAL keeps each user's
+    // latest uncancelled state; deleted users net to 0 and vanish
+    "q_collapse_final" -> ((s, d) => {
+      val ev = table(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), round(col("value"), 2).as("value"))
+      val states = ev.where(col("event_type") =!= "error")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val packed = struct(col("event_id"), col("event_type"), col("value"))
+      val plus = states.withColumn("sign", lit(1))
+      val cancel = states
+        .withColumn("__p", lag(packed, 1).over(w))
+        .where(col("__p").isNotNull)
+        .select(col("user_id"), col("__p.event_id").as("event_id"),
+          col("__p.event_type").as("event_type"), col("__p.value").as("value"),
+          lit(-1).as("sign"))
+      val deleted = ev.groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).as("__lt"))
+        .where(col("__lt") === "error").select(col("user_id"))
+      val del = states.groupBy(col("user_id"))
+        .agg(max_by(packed, col("event_id")).as("__r"))
+        .join(deleted, Seq("user_id"), "left_semi")
+        .select(col("user_id"), col("__r.event_id").as("event_id"),
+          col("__r.event_type").as("event_type"), col("__r.value").as("value"),
+          lit(-1).as("sign"))
+      graft.operators.Collapsing.collapseFinal(
+        plus.unionByName(cancel).unionByName(del),
+        keys = Seq("user_id"), sign = col("sign"), ordCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W1g: VersionedCollapsingMergeTree FINAL — same writer stream,
+    // but the delete cancel is MIS-TARGETED at the user's FIRST
+    // state (out-of-order delivery, the failure mode the versioned
+    // engine exists for). Sign arithmetic alone would annihilate the
+    // latest state; version matching annihilates only the (user,
+    // version) pair it names, so the latest state survives — except
+    // for single-state deleted users, whose one version nets to 0
+    "q_collapse_versioned" -> ((s, d) => {
+      val ev = table(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), round(col("value"), 2).as("value"))
+      val states = ev.where(col("event_type") =!= "error")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val packed = struct(col("event_id"), col("event_type"), col("value"))
+      val plus = states.withColumn("sign", lit(1))
+      val cancel = states
+        .withColumn("__p", lag(packed, 1).over(w))
+        .where(col("__p").isNotNull)
+        .select(col("user_id"), col("__p.event_id").as("event_id"),
+          col("__p.event_type").as("event_type"), col("__p.value").as("value"),
+          lit(-1).as("sign"))
+      val deleted = ev.groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).as("__lt"))
+        .where(col("__lt") === "error").select(col("user_id"))
+      val del = states.groupBy(col("user_id"))
+        .agg(min_by(packed, col("event_id")).as("__r"))
+        .join(deleted, Seq("user_id"), "left_semi")
+        .select(col("user_id"), col("__r.event_id").as("event_id"),
+          col("__r.event_type").as("event_type"), col("__r.value").as("value"),
+          lit(-1).as("sign"))
+      graft.operators.Collapsing.collapseVersionedFinal(
+        plus.unionByName(cancel).unionByName(del),
+        keys = Seq("user_id"), sign = col("sign"), versionCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Counter semantics (ClickHouse deltaSum + Prometheus rate): per
+    // user, the event values read as a counter gauge sampled at event
+    // times — sum positive deltas only (a drop is a counter reset),
+    // count the resets, derive the mean per-second rate over the span
+    "q_delta_sum" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          graft.Tables.epochSeconds(col("ts")).as("ep"), col("value"))
+      graft.operators.TimeSeries.deltaSum(ev, Seq("user_id"),
+        ord = Seq(col("ep"), col("event_id")), ts = col("ep"),
+        value = col("value"))
+        .select(col("user_id"), col("n_samples"), col("n_resets"),
+          col("delta_sum").cast("string").as("delta_sum"),
+          col("span_s"), col("rate_per_s"))
+        .orderBy(col("user_id"))
+    }),
+
     // W1c: SCD Type-2 history — the full validity-interval view of
     // the same versioned upsert stream q_current_state collapses:
     // every non-delete change becomes [valid_from, valid_to), a
@@ -412,6 +500,79 @@ object WindowQueries {
          SELECT user_id, event_id AS cur_version, event_type AS cur_type,
            round(value, 2) AS cur_value
          FROM merged ORDER BY user_id""",
+    // W1f: the oracle mirrors the sign-writer construction, then
+    // applies the CollapsingMergeTree FINAL rule directly: net sign
+    // per user decides survival, the latest +1 row is the survivor
+    "q_collapse_final" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value FROM events),
+         states AS (SELECT * FROM ev WHERE event_type <> 'error'),
+         plus AS (SELECT user_id, event_id, event_type, value, 1 AS sign FROM states),
+         prevs AS (SELECT user_id, lag(event_id) OVER w AS event_id,
+                          lag(event_type) OVER w AS event_type, lag(value) OVER w AS value
+                   FROM states WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         cancel AS (SELECT user_id, event_id, event_type, value, -1 AS sign
+                    FROM prevs WHERE event_id IS NOT NULL),
+         last_ev AS (SELECT user_id, arg_max(event_type, event_id) AS lt FROM ev GROUP BY user_id),
+         latest_state AS (SELECT user_id, arg_max(event_id, event_id) AS event_id,
+                                 arg_max(event_type, event_id) AS event_type,
+                                 arg_max(value, event_id) AS value
+                          FROM states GROUP BY user_id),
+         del AS (SELECT ls.user_id, ls.event_id, ls.event_type, ls.value, -1 AS sign
+                 FROM latest_state ls JOIN last_ev le ON ls.user_id = le.user_id
+                 WHERE le.lt = 'error'),
+         feed AS (SELECT * FROM plus UNION ALL SELECT * FROM cancel UNION ALL SELECT * FROM del),
+         fin AS (SELECT user_id, sum(sign) AS net,
+                        arg_max(event_id, event_id) FILTER (WHERE sign = 1) AS event_id,
+                        arg_max(event_type, event_id) FILTER (WHERE sign = 1) AS event_type,
+                        arg_max(value, event_id) FILTER (WHERE sign = 1) AS value
+                 FROM feed GROUP BY user_id)
+         SELECT user_id, event_id, event_type, value FROM fin WHERE net > 0
+         ORDER BY user_id""",
+    // W1g: per-(user, version) nets, then the latest surviving
+    // version per user — the version-matched collapse rule
+    "q_collapse_versioned" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value FROM events),
+         states AS (SELECT * FROM ev WHERE event_type <> 'error'),
+         plus AS (SELECT user_id, event_id, event_type, value, 1 AS sign FROM states),
+         prevs AS (SELECT user_id, lag(event_id) OVER w AS event_id,
+                          lag(event_type) OVER w AS event_type, lag(value) OVER w AS value
+                   FROM states WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         cancel AS (SELECT user_id, event_id, event_type, value, -1 AS sign
+                    FROM prevs WHERE event_id IS NOT NULL),
+         last_ev AS (SELECT user_id, arg_max(event_type, event_id) AS lt FROM ev GROUP BY user_id),
+         first_state AS (SELECT user_id, arg_min(event_id, event_id) AS event_id,
+                                arg_min(event_type, event_id) AS event_type,
+                                arg_min(value, event_id) AS value
+                         FROM states GROUP BY user_id),
+         del AS (SELECT fs.user_id, fs.event_id, fs.event_type, fs.value, -1 AS sign
+                 FROM first_state fs JOIN last_ev le ON fs.user_id = le.user_id
+                 WHERE le.lt = 'error'),
+         feed AS (SELECT * FROM plus UNION ALL SELECT * FROM cancel UNION ALL SELECT * FROM del),
+         perv AS (SELECT user_id, event_id, sum(sign) AS net,
+                         max(event_type) FILTER (WHERE sign = 1) AS event_type,
+                         max(value) FILTER (WHERE sign = 1) AS value
+                  FROM feed GROUP BY user_id, event_id)
+         SELECT user_id, arg_max(event_id, event_id) AS event_id,
+                arg_max(event_type, event_id) AS event_type,
+                arg_max(value, event_id) AS value
+         FROM perv WHERE net > 0 GROUP BY user_id ORDER BY user_id""",
+    // deltaSum: decimal-exact positive-delta sums (order-free), one
+    // guarded double division rounded at the end
+    "q_delta_sum" ->
+      """WITH t AS (SELECT user_id, event_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+                 CAST(value AS DECIMAL(18,6)) AS v FROM events),
+         w AS (SELECT user_id, ep, v,
+                 v - lag(v) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS d FROM t),
+         a AS (SELECT user_id, count(*) AS n_samples,
+                 count(*) FILTER (WHERE d < 0) AS n_resets,
+                 coalesce(sum(d) FILTER (WHERE d > 0), 0) AS ds,
+                 max(ep) - min(ep) AS span_s
+               FROM w GROUP BY user_id)
+         SELECT user_id, n_samples, n_resets,
+           CAST(CAST(ds AS DECIMAL(38,6)) AS VARCHAR) AS delta_sum, span_s,
+           CASE WHEN span_s > 0 THEN round(CAST(ds AS DOUBLE) / CAST(span_s AS DOUBLE), 6) END AS rate_per_s
+         FROM a ORDER BY user_id""",
     // W1c: lead() must see delete rows (they close predecessors)
     // before the delete filter drops them — same shape both engines
     "q_scd2" ->

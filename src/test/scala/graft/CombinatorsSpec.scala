@@ -68,6 +68,69 @@ class CombinatorsSpec extends SparkSpec {
     assert(out === Map("A" -> Map("x" -> 1L), "B" -> Map.empty[String, Long]))
   }
 
+  test("sumForEach: element-wise sums; ragged arrays pad to the longest; empty groups keep an empty array") {
+    val df = Seq(
+      ("A", Seq(1L, 2L, 3L)),
+      ("A", Seq(10L, 20L)),        // ragged: contributes nothing at pos 3
+      ("B", Seq.empty[Long]),
+      ("B", Seq(7L))).toDF("k", "a").repartition(5)
+    val out = AggCombinators.sumForEach(df, Seq("k"), col("a"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(out === Map("A" -> Seq(11L, 22L, 3L), "B" -> Seq(7L)))
+    val empties = AggCombinators.sumForEach(
+      Seq(("C", Seq.empty[Long]), ("C", Seq.empty[Long])).toDF("k", "a"),
+      Seq("k"), col("a")).as[(String, Seq[Long])].collect().toMap
+    assert(empties === Map("C" -> Seq.empty[Long]))
+  }
+
+  test("deltaSum: positive deltas only, resets counted, rate over span; single sample -> zero sum, null rate") {
+    // counter 10 -> 13 -> 2 (reset) -> 5 over t = 0, 10, 20, 30:
+    // delta_sum = 3 + 3 = 6, one reset, span 30, rate 0.2
+    val df = Seq(
+      ("c1", 0L, 10.0), ("c1", 10L, 13.0), ("c1", 20L, 2.0), ("c1", 30L, 5.0),
+      ("c2", 5L, 42.0)).toDF("k", "t", "v").repartition(3)
+    val out = graft.operators.TimeSeries.deltaSum(
+      df, Seq("k"), ord = Seq(col("t")), ts = col("t"), value = col("v"))
+      .select(col("k"), col("n_samples"), col("n_resets"),
+        col("delta_sum").cast("double"), col("span_s"), col("rate_per_s"))
+      .as[(String, Long, Long, Double, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("c1") === (("c1", 4L, 1L, 6.0, 30L, Some(0.2))))
+    assert(out("c2") === (("c2", 1L, 0L, 0.0, 0L, None)))
+  }
+
+  test("weightedQuantiles: cumulative-weight rule, exact thresholds, repeat-count equivalence") {
+    // values 1..4 with weights 1,1,6,2 (total 10): cum = 1,2,8,10
+    // wq(0.5) -> first cum >= 5  -> value 3
+    // wq(0.2) -> first cum >= 2  -> value 2 (exact threshold hit)
+    // wq(1.0) -> the max value   -> 4
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 6L), ("g", 4.0, 2L))
+      .toDF("k", "v", "w").repartition(3)
+    val out = graft.operators.Histograms.weightedQuantiles(
+      df, Seq("k"), col("v"), col("w"), tiebreak = Seq(col("v")),
+      qs = Seq(BigDecimal("0.2"), BigDecimal("0.5"), BigDecimal("1.0")))
+      .select(col("wq_20"), col("wq_50"), col("wq_100"))
+      .as[(Double, Double, Double)].head()
+    assert(out === ((2.0, 3.0, 4.0)))
+    // the defining equivalence: integral weights == physical repeats
+    val repeated = Seq.fill(1)(1.0) ++ Seq.fill(1)(2.0) ++
+      Seq.fill(6)(3.0) ++ Seq.fill(2)(4.0)
+    val viaRepeats = graft.operators.Histograms.weightedQuantiles(
+      repeated.map(("g", _, 1L)).toDF("k", "v", "w"),
+      Seq("k"), col("v"), col("w"), tiebreak = Seq(col("v")),
+      qs = Seq(BigDecimal("0.2"), BigDecimal("0.5"), BigDecimal("1.0")))
+      .select(col("wq_20"), col("wq_50"), col("wq_100"))
+      .as[(Double, Double, Double)].head()
+    assert(viaRepeats === out)
+    // non-positive / null weights are dropped, not summed
+    val guarded = graft.operators.Histograms.weightedQuantiles(
+      Seq(("g", 0.5, 0L), ("g", 1.0, 1L)).toDF("k", "v", "w"),
+      Seq("k"), col("v"), col("w"), tiebreak = Seq(col("v")),
+      qs = Seq(BigDecimal("0.5")))
+      .select(col("wq_50")).as[Double].head()
+    assert(guarded === 1.0)
+  }
+
   test("equiDepth histogram: equal populations, covering edges, interior ties go low") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
     val out = graft.operators.Histograms.equiDepth(df, Seq("k"), col("v"), 4)
