@@ -218,6 +218,93 @@ object TimeSeries {
             col("span_s").cast("double"), 6)))
   }
 
+  /** Mergeable [[deltaSum]] state over a slice of the sample stream —
+    * the partial/merge/finalize algebra that makes counter analytics
+    * incremental at 100 TB: fold each time-partition of the metrics
+    * store once, keep one state row per (key, partition), and answer
+    * any partition-aligned range query by merging states instead of
+    * re-reading samples (the MatView discipline, A14).
+    *
+    * Unlike the OHLC/matview states this one is NOT order-free:
+    * deltas are adjacency facts, so two slices merge EXACTLY iff
+    * their `ord` ranges are disjoint (e.g. day-partitioned samples —
+    * the natural layout). The merge stitches the one boundary delta
+    * (next slice's first sample minus this slice's last) that the
+    * per-slice folds could not see. Overlapping slices violate the
+    * precondition and are the caller's bug, same contract as
+    * ClickHouse's deltaSum merge ("values must not overlap").
+    *
+    * State: n_samples, n_resets, pos_sum, lo_ord/hi_ord (slice
+    * bounds), first_v/last_v (boundary samples), min_ts/max_ts.
+    * [[mergeDeltaSumStates]] output is itself a state — merges
+    * compose hierarchically (partition → day → month).
+    */
+  def deltaSumState(
+      df: DataFrame,
+      keys: Seq[String],
+      ord: Seq[Column],
+      ts: Column,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val o = struct(ord.zipWithIndex.map { case (c, i) => c.as(s"o$i") }: _*)
+    df.withColumn("__v", value.cast("decimal(18,6)"))
+      .withColumn("__ts", ts.cast("long"))
+      .withColumn("__o", o)
+      .withColumn("__d", col("__v") - lag(col("__v"), 1).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_samples"),
+        count(when(col("__d") < 0, lit(1))).as("n_resets"),
+        coalesce(sum(when(col("__d") > 0, col("__d"))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)")).as("pos_sum"),
+        min(col("__o")).as("lo_ord"),
+        max(col("__o")).as("hi_ord"),
+        min_by(col("__v"), col("__o")).as("first_v"),
+        max_by(col("__v"), col("__o")).as("last_v"),
+        min(col("__ts")).as("min_ts"),
+        max(col("__ts")).as("max_ts"))
+  }
+
+  /** Merge ord-range-disjoint [[deltaSumState]] rows to one state per
+    * key: order slices by lo_ord, add each boundary delta (first_v of
+    * a slice minus last_v of its predecessor) into the positive-delta
+    * sum / reset count, and recombine the bounds. One window over
+    * |states| rows (slice-count sized, not sample-count) + one
+    * partial+final aggregate.
+    */
+  def mergeDeltaSumStates(states: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("lo_ord"))
+    states
+      .withColumn("__bd", col("first_v") - lag(col("last_v"), 1).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n_samples")).as("n_samples"),
+        (sum(col("n_resets")) +
+          count(when(col("__bd") < 0, lit(1)))).as("n_resets"),
+        (coalesce(sum(col("pos_sum")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)")) +
+          coalesce(sum(when(col("__bd") > 0, col("__bd"))),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)")))
+          .cast("decimal(38,6)").as("pos_sum"),
+        min(col("lo_ord")).as("lo_ord"),
+        max(col("hi_ord")).as("hi_ord"),
+        min_by(col("first_v"), col("lo_ord")).as("first_v"),
+        max_by(col("last_v"), col("hi_ord")).as("last_v"),
+        min(col("min_ts")).as("min_ts"),
+        max(col("max_ts")).as("max_ts"))
+  }
+
+  /** Read face: a merged state rendered as the [[deltaSum]] answer. */
+  def finalizeDeltaSum(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ Seq(
+      col("n_samples"), col("n_resets"),
+      col("pos_sum").as("delta_sum"),
+      (col("max_ts") - col("min_ts")).as("span_s")): _*)
+      .withColumn("rate_per_s",
+        when(col("span_s") > 0,
+          round(col("delta_sum").cast("double") /
+            col("span_s").cast("double"), 6)))
+
   /** W9: OHLC resample — the time-series downsampling bar every
     * metrics/market pipeline draws: per (keys, time bucket) the
     * FIRST value (open), max (high), min (low), LAST value (close)
