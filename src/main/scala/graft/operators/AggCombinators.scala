@@ -69,27 +69,31 @@ object AggCombinators {
     * follow ClickHouse: the result has the length of the LONGEST
     * array, shorter arrays contributing nothing to the tail
     * positions. Null/empty-array groups survive with an empty array.
-    * Returns `keys :+ sum_foreach` (1-indexed order preserved).
+    * Returns `keys :+ sum_foreach` (element order preserved; Spark's
+    * posexplode position is 0-based, but only the order matters —
+    * position never surfaces in the output). The intermediate explode
+    * columns are aliased `__pos`/`__elem` so grouping keys named
+    * `pos`/`col` cannot collide.
     */
   def sumForEach(df: DataFrame, keys: Seq[String], arr: Column): DataFrame = {
     val keyCols = keys.map(col)
-    df.select(keyCols :+ posexplode_outer(arr): _*)
-      .groupBy(keyCols :+ col("pos"): _*)
-      .agg(sum(col("col")).as("__s"))
+    df.select(keyCols :+ posexplode_outer(arr).as(Seq("__pos", "__elem")): _*)
+      .groupBy(keyCols :+ col("__pos"): _*)
+      .agg(sum(col("__elem")).as("__s"))
       .groupBy(keyCols: _*)
       .agg(transform(sort_array(collect_list(
-        when(col("pos").isNotNull, struct(col("pos"), col("__s"))))),
+        when(col("__pos").isNotNull, struct(col("__pos"), col("__s"))))),
         e => e("__s")).as("sum_foreach"))
   }
 
   def sumMap(df: DataFrame, keys: Seq[String], mapCol: Column): DataFrame = {
     val keyCols = keys.map(col)
-    df.select(keyCols :+ explode_outer(mapCol): _*)
-      .groupBy(keyCols :+ col("key"): _*)
-      .agg(sum(col("value")).as("__s"))
+    df.select(keyCols :+ explode_outer(mapCol).as(Seq("__k", "__v")): _*)
+      .groupBy(keyCols :+ col("__k"): _*)
+      .agg(sum(col("__v")).as("__s"))
       .groupBy(keyCols: _*)
       .agg(map_from_entries(sort_array(collect_list(
-        when(col("key").isNotNull, struct(col("key"), col("__s"))))))
+        when(col("__k").isNotNull, struct(col("__k"), col("__s"))))))
         .as("sum_map"))
   }
 }

@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
   */
 object Collapsing {
 
+  /** When `sign` is a plain column reference, its name — so the
+    * vestigial constant sign column can be excluded from the FINAL
+    * payload. A computed sign expression has no column to exclude.
+    */
+  private def signName(sign: Column): Option[String] =
+    org.apache.spark.sql.graftshim.ColumnBridge.expression(sign) match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case _ => None
+    }
+
   /** CollapsingMergeTree `FINAL`: per `keys`, keep the `ordCols`-latest
     * `sign = +1` row iff the key's net sign is positive (a writer that
     * cancelled every state — net ≤ 0 — leaves nothing; duplicate
@@ -38,15 +49,20 @@ object Collapsing {
     * that a writer bug, not an engine guarantee). `sign` must evaluate
     * to +1/-1; `ordCols` is the lexicographic version vector that makes
     * "latest" total (same contract as VersionedDedup.latestByVersionAgg).
-    * Output: `keys` then the winner's payload columns (sign dropped —
-    * a FINAL row is by definition an uncancelled +1).
+    * Output: `keys` then the winner's payload columns. When `sign` is a
+    * plain column reference it is dropped from the payload (a FINAL row
+    * is by definition an uncancelled +1, so the column would be the
+    * constant 1); a computed sign expression leaves the input columns
+    * untouched.
     */
   def collapseFinal(
       df: DataFrame,
       keys: Seq[String],
       sign: Column,
       ordCols: Seq[String]): DataFrame = {
-    val payload = df.columns.filterNot(keys.contains).toSeq
+    val drop = signName(sign)
+    val payload =
+      df.columns.filterNot(c => keys.contains(c) || drop.contains(c)).toSeq
     val packed = struct(payload.map(col): _*)
     val ord = struct(ordCols.map(col): _*)
     // max_by skips null ordering values, so gating BOTH arguments on
@@ -70,20 +86,31 @@ object Collapsing {
     * stacked partial+final aggregates, both map-side-combining; the
     * first's state is one candidate struct + a long per (key, version),
     * the second's one per key.
+    *
+    * Candidate rule within one (keys, version): by the ClickHouse write
+    * contract every surviving `+1` row of a version is an identical
+    * copy, so the default picks any state row (constant ordering —
+    * works for any payload type, including non-orderable maps). Callers
+    * whose writers CAN emit distinct duplicates pass `ordCols` to make
+    * the pick deterministic; those columns must then be orderable.
     */
   def collapseVersionedFinal(
       df: DataFrame,
       keys: Seq[String],
       sign: Column,
-      versionCols: Seq[String]): DataFrame = {
-    val payload =
-      df.columns.filterNot(c => keys.contains(c) || versionCols.contains(c)).toSeq
+      versionCols: Seq[String],
+      ordCols: Seq[String] = Nil): DataFrame = {
+    val drop = signName(sign)
+    val payload = df.columns.filterNot(c =>
+      keys.contains(c) || versionCols.contains(c) || drop.contains(c)).toSeq
     val packed = struct(payload.map(col): _*)
+    val candOrd: Column =
+      if (ordCols.isEmpty) lit(1) else struct(ordCols.map(col): _*)
     val perVersion = df
       .groupBy((keys ++ versionCols).map(col): _*)
       .agg(
         sum(sign).as("__net"),
-        max_by(when(sign === 1, packed), when(sign === 1, packed)).as("__row"))
+        max_by(when(sign === 1, packed), when(sign === 1, candOrd)).as("__row"))
       .filter(col("__net") > 0 && col("__row").isNotNull)
     val ver = struct(versionCols.map(col): _*)
     val full = struct((versionCols.map(col) :+ col("__row")): _*)

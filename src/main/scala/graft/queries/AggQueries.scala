@@ -538,15 +538,22 @@ object AggQueries {
     // 1-based there, 0-based in Spark — only the ORDER matters).
     // CAST(x AS DOUBLE) is load-bearing: DuckDB evaluates
     // float × decimal-literal in FLOAT, flooring a float-rounded
-    // product one ulp away from Spark's double arithmetic
+    // product one ulp away from Spark's double arithmetic.
+    // The distinct-label left join matches Spark's empty/null-array
+    // semantics: sumForEach keeps such groups with an empty array
+    // (dims = ''), while a bare unnest would drop their label
     "q_sum_foreach" ->
       """WITH f AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
              unnest(embedding) AS x FROM embeddings),
          g AS (SELECT label, pos,
              sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS s
-           FROM f GROUP BY label, pos)
-         SELECT label, string_agg(CAST(s AS VARCHAR), ',' ORDER BY pos) AS dims
-         FROM g GROUP BY label ORDER BY label""",
+           FROM f GROUP BY label, pos),
+         a AS (SELECT label,
+             string_agg(CAST(s AS VARCHAR), ',' ORDER BY pos) AS dims
+           FROM g GROUP BY label),
+         l AS (SELECT DISTINCT label FROM embeddings)
+         SELECT l.label, coalesce(a.dims, '') AS dims
+         FROM l LEFT JOIN a USING (label) ORDER BY label""",
     // exact-regime theta set algebra == plain distinct-set arithmetic
     "q_theta_segments" ->
       """WITH e AS (SELECT user_id, event_type, value FROM events

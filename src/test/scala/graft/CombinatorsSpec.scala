@@ -99,6 +99,48 @@ class CombinatorsSpec extends SparkSpec {
     assert(out("c2") === (("c2", 1L, 0L, 0.0, 0L, None)))
   }
 
+  test("deltaSumState: merge of ord-disjoint slices == whole-stream deltaSum, incl. a boundary-straddling reset") {
+    import graft.operators.TimeSeries
+    // c1: 10 -> 13 | 2 (reset straddles the slice boundary) -> 5 | 9
+    // c2: 100 | (absent) | 90 (reset seen only via the boundary delta)
+    val rows = Seq(
+      ("c1", 0L, 10.0), ("c1", 10L, 13.0),   // slice A: t < 15
+      ("c1", 20L, 2.0), ("c1", 30L, 5.0),    // slice B: 15 <= t < 35
+      ("c1", 40L, 9.0),                      // slice C: t >= 35
+      ("c2", 5L, 100.0), ("c2", 50L, 90.0))
+    val df = rows.toDF("k", "t", "v").repartition(3)
+    val direct = TimeSeries.deltaSum(
+      df, Seq("k"), ord = Seq(col("t")), ts = col("t"), value = col("v"))
+      .select(col("k"), col("n_samples"), col("n_resets"),
+        col("delta_sum").cast("double"), col("span_s"), col("rate_per_s"))
+      .as[(String, Long, Long, Double, Long, Option[Double])]
+      .collect().toSet
+    val slices = Seq(
+      df.where(col("t") < 15), df.where(col("t") >= 15 && col("t") < 35),
+      df.where(col("t") >= 35))
+    val states = slices.map(s => TimeSeries.deltaSumState(
+      s, Seq("k"), ord = Seq(col("t")), ts = col("t"), value = col("v")))
+    val merged = TimeSeries.mergeDeltaSumStates(
+      states.reduce(_ unionByName _), Seq("k"))
+    val viaStates = TimeSeries.finalizeDeltaSum(merged, Seq("k"))
+      .select(col("k"), col("n_samples"), col("n_resets"),
+        col("delta_sum").cast("double"), col("span_s"), col("rate_per_s"))
+      .as[(String, Long, Long, Double, Long, Option[Double])]
+      .collect().toSet
+    assert(viaStates === direct)
+    // hierarchical composition: merge of (merge of A,B) with C == flat merge
+    val ab = TimeSeries.mergeDeltaSumStates(
+      states(0).unionByName(states(1)), Seq("k"))
+    val nested = TimeSeries.finalizeDeltaSum(
+      TimeSeries.mergeDeltaSumStates(ab.unionByName(states(2)), Seq("k")),
+      Seq("k"))
+      .select(col("k"), col("n_samples"), col("n_resets"),
+        col("delta_sum").cast("double"), col("span_s"), col("rate_per_s"))
+      .as[(String, Long, Long, Double, Long, Option[Double])]
+      .collect().toSet
+    assert(nested === direct)
+  }
+
   test("weightedQuantiles: cumulative-weight rule, exact thresholds, repeat-count equivalence") {
     // values 1..4 with weights 1,1,6,2 (total 10): cum = 1,2,8,10
     // wq(0.5) -> first cum >= 5  -> value 3
