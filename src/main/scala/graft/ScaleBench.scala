@@ -461,7 +461,23 @@ object ScaleBench {
       // inputs). Without it the base slot measures the fixture's file
       // count, not the operator (the stale 135-161 s base rows of the
       // r11 artifacts)
+      // pinned EXACT (maxDfFraction = 1.0): the base/scaled pair-count
+      // parity contract needs uncapped semantics at every size
       "bm25_join" -> (() => graft.operators.Retrieval.bm25JoinTopK(
+        Tables.table(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism),
+        "doc_id", col("text"),
+        decontamBench(dir).select(col("doc_id").as("bench_id"), col("text")),
+        "bench_id", col("text"), k = 5, maxDfFraction = 1.0).count()),
+      // round-14: the library DEFAULT (auto df-cap, Retrieval.dfCapFor)
+      // on the same inputs. Contract asserted below: at BASE (shared
+      // vocabulary — the garbage-dense regime, df 0.75-0.83) the rule
+      // engages and must beat the exact arm's wall; at SCALE (replica-
+      // namespaced tokens — every match informative, max df fraction
+      // ~3%) the rule must be INERT: pair count identical to exact.
+      // That pair of checks is the quality bound made executable — the
+      // cap fires exactly when what it drops is near-noise score mass
+      "bm25_join_auto" -> (() => graft.operators.Retrieval.bm25JoinTopK(
         Tables.table(spark, dir, "documents")
           .repartition(spark.sparkContext.defaultParallelism),
         "doc_id", col("text"),
@@ -772,6 +788,31 @@ object ScaleBench {
       if (r < servingTarget) throw new AssertionError(
         f"serving IVF recall@10 below the retrieval floor at ${factor}x: " +
           f"$r%.4f < $servingTarget%.2f")
+
+    // X19c auto df-cap, both arms of the quality bound: at BASE the
+    // shared-vocabulary dense regime must be CUT (auto beats exact —
+    // the rule engaged and removed the |Q|·|corpus| aggregate); at
+    // SCALE the namespaced corpus has no above-cap term, so the rule
+    // must be INERT (pair counts identical — informative matches are
+    // never dropped)
+    {
+      val baseTime = baseRes.map { case (n, s, _) => n -> s }.toMap
+      for (a <- baseTime.get("bm25_join_auto"); e <- baseTime.get("bm25_join")) {
+        System.err.println(
+          f"[scale] base bm25 auto-cap $a%.2fs vs exact $e%.2fs")
+        if (a >= e) throw new AssertionError(
+          f"auto df-cap must beat exact BM25 join on the dense base " +
+            f"fixture: $a%.2fs >= $e%.2fs")
+      }
+      val bigCnt = bigRes.map { case (n, _, c) => n -> c }.toMap
+      for (a <- bigCnt.get("bm25_join_auto"); e <- bigCnt.get("bm25_join")) {
+        System.err.println(
+          s"[scale] scaled bm25 auto-cap pairs=$a vs exact pairs=$e")
+        if (a != e) throw new AssertionError(
+          s"auto df-cap dropped informative matches at ${factor}x: " +
+            s"$a pairs != exact $e")
+      }
+    }
 
     // X15: the bucketed plan must reproduce the naive global-prefix
     // semantics exactly at every measured size

@@ -48,6 +48,42 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Fourth auto-config rule (after `Similarity.lshConfigFor` /
+    * `ivfConfigFor` / `servingConfigFor`): the df-cap fraction for the
+    * BM25 dense-match regime, by corpus size. Below `AutoDfCapMinDocs`
+    * documents the cap is OFF (1.0) — small-corpus scoring stays exact
+    * and every oracle SF is bit-unchanged; above it, terms in more
+    * than 70% of documents are dropped before the postings join.
+    *
+    * Quality bound (why 0.7 is safe): a term with df = 0.7·N has
+    * idf = ln(1 + 0.3/0.7) ≈ 0.36 versus ≈ ln(N/df) for informative
+    * terms — its per-doc contribution is bounded by 0.36·(k1+1), and
+    * because it appears in ~every candidate it shifts mostly the
+    * LEVEL of scores, not the ranking (rank agreement vs uncapped is
+    * hard-asserted in RetrievalSpec on the dense-band fixture).
+    * Measured (Bm25CapBench, BASELINE.md): on the worst-case
+    * shared-vocabulary fixture the 0.7 cap cuts the dense
+    * |Q|·|corpus| aggregate 8.2 s → ~1 s at sf0.1 while keeping
+    * top-1 picks and sub-cap rankings.
+    *
+    * This is the library DEFAULT for [[bm25JoinTopK]] (negative
+    * `maxDfFraction` sentinel): the rule is evaluated INSIDE the plan
+    * against the already-computed corpus-stats aggregate (a 1-row
+    * broadcast), so choosing the cap costs zero extra jobs and the
+    * same code sizes itself from sf0.001 to a 100 TB corpus.
+    */
+  def dfCapFor(nDocs: Long): Double =
+    if (nDocs <= AutoDfCapMinDocs) 1.0 else 0.7
+
+  /** Corpus-size floor below which the auto df-cap stays off: under
+    * ~1000 docs a 70%-df term still carries usable signal relative to
+    * the tiny collection, and the dense aggregate is bounded by the
+    * corpus itself — capping buys nothing and perturbs exact small-
+    * corpus scoring (the sf0.001/sf0.01 oracle regimes stay exact on
+    * the default path by construction).
+    */
+  val AutoDfCapMinDocs: Long = 1000L
+
   /** X19b Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009,
     * "Reciprocal Rank Fusion outperforms Condorcet and individual
     * Rank Learning Methods"): merge N ranked candidate lists into one
@@ -130,23 +166,30 @@ object Retrieval {
     * parallelism floor). The corpus-cardinality (id, dl) join is the
     * same unavoidable exchange [[bm25TopK]] documents.
     */
-  /** `maxDfFraction` (opt-in, default 1.0 = off) bounds the
-    * dense-match regime: query terms whose corpus document frequency
-    * exceeds `maxDfFraction · N` are dropped BEFORE the postings join
-    * — the classic stopword/df-cap prune. Rationale: a term in nearly
-    * every document has idf ≈ ln(1 + 0.5/(df+0.5)) ≈ 0, so its score
-    * contribution is near-noise, yet it alone can make every query
-    * match every document and drive the (query, doc, term) aggregate
-    * to |Q|·|corpus| (the measured worst case on the small-vocabulary
+  /** `maxDfFraction` bounds the dense-match regime: query terms whose
+    * corpus document frequency exceeds `maxDfFraction · N` are dropped
+    * BEFORE the postings join — the classic stopword/df-cap prune.
+    * Rationale: a term in nearly every document has
+    * idf ≈ ln(1 + 0.5/(df+0.5)) ≈ 0, so its score contribution is
+    * near-noise, yet it alone can make every query match every
+    * document and drive the (query, doc, term) aggregate to
+    * |Q|·|corpus| (the measured worst case on the small-vocabulary
     * fixture: ~all 5k docs × all queries). Dropping it changes scores
     * only by the dropped near-zero terms (and `n_terms` by their
     * count); a query whose terms are ALL capped returns no rows.
+    *
+    * Default is the AUTO rule ([[dfCapFor]], negative sentinel):
+    * off below [[AutoDfCapMinDocs]] docs, 0.7 at corpus scale — the
+    * threshold is evaluated in-plan against the broadcast corpus
+    * stats, so no extra job runs. Pass 1.0 to force exact scoring at
+    * any size, or an explicit fraction to pin the cap (the registered
+    * `q_bm25_join_capped` pins 0.7 for oracle determinism).
     */
   def bm25JoinTopK(
       corpus: DataFrame, corpusId: String, corpusText: Column,
       queries: DataFrame, queryId: String, queryText: Column,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      maxDfFraction: Double = 1.0): DataFrame = {
+      maxDfFraction: Double = -1.0): DataFrame = {
     val qTerms0 = queries.select(col(queryId).as("__qid"),
       explode(split(queryText, " ")).as("tok")).distinct()
     val toks = corpus.select(col(corpusId).as("__did"),
@@ -164,13 +207,24 @@ object Retrieval {
       .select(col("__did"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("dfc"))
     // df-cap prune sits BEFORE the qid-keyed postings join, so the
-    // dense |Q|·|corpus| blowup of a capped term never materializes
+    // dense |Q|·|corpus| blowup of a capped term never materializes.
+    // The AUTO sentinel resolves IN-PLAN from the broadcast 1-row
+    // stats aggregate (dfCapFor mirrored as a when(): off below the
+    // doc floor, 0.7 above) — zero extra jobs to pick the cap
+    val capExpr: Column =
+      if (maxDfFraction < 0.0)
+        when(col("n_docs") > AutoDfCapMinDocs, lit(0.7)).otherwise(lit(1.0))
+      else lit(maxDfFraction)
     val qTerms =
       if (maxDfFraction >= 1.0) qTerms0
       else qTerms0.join(
         broadcast(dfreq.crossJoin(stats)
-          .where(col("dfc") <= lit(maxDfFraction) * col("n_docs"))
+          .where(col("dfc") <= capExpr * col("n_docs"))
           .select(col("tok"))), "tok")
+    // NOTE: under the AUTO sentinel, query terms absent from the
+    // corpus are also pruned here (dfreq only lists present terms) —
+    // they can never match a posting or contribute score, so results
+    // are identical to the uncapped path below the doc floor
     // postings filtered at the broadcast join: only (uncapped) terms
     // some query mentions survive to the aggregate
     val matched = toks.join(broadcast(qTerms), "tok")

@@ -375,10 +375,14 @@ object NorthStarQueries {
         .repartition(s.sparkContext.defaultParallelism)
       val bench = docs.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
+      // maxDfFraction pinned to 1.0 (exact): this is the UNCAPPED
+      // oracle arm — the library default is the auto df-cap rule
+      // (Retrieval.dfCapFor), which above 1000 docs would cap this
+      // fixture's dense band and diverge from the uncapped SQL oracle
       graft.operators.Retrieval.bm25JoinTopK(
         corpus = docs, corpusId = "doc_id", corpusText = col("text"),
         queries = bench, queryId = "bench_id", queryText = col("text"),
-        k = 5)
+        k = 5, maxDfFraction = 1.0)
         .orderBy(col("bench_id"), col("rnk"))
     }),
 

@@ -178,6 +178,56 @@ class RetrievalSpec extends SparkSpec {
       s"capped (${capped.size} rows) drifted from rare-term-only (${dupOnly.size} rows)")
   }
 
+  test("auto df-cap (default): identical to exact below the doc floor, absent query terms inert") {
+    // 4-doc corpus << AutoDfCapMinDocs: the in-plan rule must resolve
+    // to cap-off, and the auto path's present-terms prune (query terms
+    // not in the corpus never match anyway) must not perturb results
+    val q = Seq((8L, "a b zzz_not_in_corpus"), (9L, "c")).toDF("bench_id", "text")
+    val auto = Retrieval.bm25JoinTopK(
+      docs, "doc_id", col("text"), q, "bench_id", col("text"), k = 10)
+      .orderBy(col("bench_id"), col("rnk")).collect().toSeq
+    val exact = Retrieval.bm25JoinTopK(
+      docs, "doc_id", col("text"), q, "bench_id", col("text"), k = 10,
+      maxDfFraction = 1.0)
+      .orderBy(col("bench_id"), col("rnk")).collect().toSeq
+    assert(auto == exact, s"auto drifted below the floor: $auto vs $exact")
+  }
+
+  test("auto df-cap: engages above the doc floor and preserves the informative ranking (quality bound)") {
+    // Non-degenerate 1200-doc corpus: a 100%-df dense band ("the of
+    // and", above the 0.7 cap) over informative topic terms (df 0.25,
+    // kept). Constant dl and constant dense tf make the dense band
+    // pure score LEVEL, so the quality bound is exact here: capped
+    // ranking must equal uncapped ranking bit-for-bit, while n_terms
+    // witnesses that the dense terms really were dropped from scoring.
+    val topics = Seq("alpha", "beta", "gamma", "delta")
+    val corpus = (0 until 1200).map { i =>
+      val topic = topics(i % 4)
+      val reps = (i / 4) % 3 + 1
+      (i.toLong,
+        "the of and " + (Seq.fill(reps)(topic) ++
+          Seq.fill(3 - reps)("pad")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = Seq(
+      (9000L, "the of and alpha"), (9001L, "the of and gamma"))
+      .toDF("bench_id", "text")
+    def run(cap: Double) = Retrieval.bm25JoinTopK(
+      corpus, "doc_id", col("text"), queries, "bench_id", col("text"),
+      k = 5, maxDfFraction = cap)
+      .orderBy(col("bench_id"), col("rnk"))
+      .select("bench_id", "doc_id", "rnk", "n_terms")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val auto = run(-1.0)   // the default sentinel
+    val exact = run(1.0)
+    assert(auto.map(t => (t._1, t._2, t._3)) ==
+      exact.map(t => (t._1, t._2, t._3)),
+      s"auto cap changed the ranking: $auto vs $exact")
+    // the cap engaged: top docs score on the topic term alone (1)
+    // where the exact arm also counts the 3 dense terms (4)
+    assert(auto.forall(_._4 == 1L), s"dense terms survived the cap: $auto")
+    assert(exact.forall(_._4 == 4L), s"exact arm lost terms: $exact")
+  }
+
   test("registered query q_bm25 returns k rows with the rare term on top") {
     requireTestdata()
     val out = SparkEntry.queries("q_bm25")(spark, "/root/testdata/sf0.001")
