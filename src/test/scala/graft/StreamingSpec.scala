@@ -1061,6 +1061,156 @@ class StreamingSpec extends SparkSpec {
     assert(state() === expect2)
   }
 
+  test("ST-W1f: streaming collapse FINAL equals the batch operator over shuffled sign batches") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("collst").toString
+    val ckpt = Files.createTempDirectory("collck").toString
+    // 40 keys × up to 5 states each: every state +1 is cancelled by a
+    // -1 copy when its successor exists; keys ≡ 0 (mod 5) end deleted
+    // (final cancel, no replacement). The whole stream is SHUFFLED so
+    // cancels routinely arrive batches before/after their states —
+    // the commutative-state claim under test
+    val rnd = new scala.util.Random(31)
+    val all = rnd.shuffle((0 until 40).flatMap { k =>
+      val nStates = k % 5 + 1
+      val states = (1 to nStates).map(v =>
+        (k.toLong, v.toLong, s"p$k-$v", 1))
+      val cancels = (1 until nStates).map(v =>
+        (k.toLong, v.toLong, s"p$k-$v", -1))
+      val del = if (k % 5 == 0)
+        Seq((k.toLong, nStates.toLong, s"p$k-$nStates", -1)) else Seq.empty
+      states ++ cancels ++ del
+    })
+    def df(rows: Seq[(Long, Long, String, Int)]) =
+      rows.toDF("k", "ver", "payload", "sign")
+    def viewOf(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "ver", "payload")
+        .as[(Long, Long, String)].collect().toSet
+    val expect = viewOf(graft.operators.Collapsing.collapseFinal(
+      df(all), Seq("k"), col("sign"), Seq("ver")))
+    assert(expect.nonEmpty && expect.size < 40) // deletions really occurred
+    val in = MemoryStream[(Long, Long, String, Int)]
+    val q = StreamingCollapse.maintain(
+      in.toDF().toDF("k", "ver", "payload", "sign"),
+      Seq("k"), "sign", Seq("ver"), dir, ckpt).start()
+    try {
+      for (b <- all.grouped(45)) {
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val tmpl = StreamingCollapse.partialState(
+      df(all.take(1)), Seq("k"), "sign", Seq("ver"))
+    def state() = viewOf(StreamingCollapse.finalizeState(
+      StreamingCollapse.readState(spark, dir, tmpl), Seq("k")))
+    assert(state() === expect,
+      "streamed FINAL view must equal batch collapseFinal over all rows")
+    // replay of a committed batch is a no-op on rows and pointer
+    val ptr = StreamingCollapse.readPointer(dir)
+    StreamingCollapse.applyBatch(df(all.take(45)), Seq("k"), "sign",
+      Seq("ver"), dir, 0L)
+    assert(StreamingCollapse.readPointer(dir) === ptr)
+    assert(state() === expect)
+    // crash window: an orphan next-version dir is overwritten; a late
+    // +1 resurrects a fully-deleted key (net climbs back above 0)
+    Files.createDirectories(java.nio.file.Paths.get(dir, s"state-${ptr._1 + 1}"))
+    val resurrect = Seq((0L, 9L, "p0-reborn", 1))
+    StreamingCollapse.applyBatch(df(resurrect), Seq("k"), "sign",
+      Seq("ver"), dir, ptr._2 + 1)
+    val expect2 = viewOf(graft.operators.Collapsing.collapseFinal(
+      df(all ++ resurrect), Seq("k"), col("sign"), Seq("ver")))
+    assert(state() === expect2)
+    assert(state().exists(r => r._1 == 0L && r._3 == "p0-reborn"))
+  }
+
+  test("ST-W4d: streaming deltaSum equals batch over in-watermark disorder; closes slices, drops beyond-horizon rows, compacts") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("dsumst").toString
+    val ckpt = Files.createTempDirectory("dsumck").toString
+    // two counters sampled every 10 s over 600 s; c1 resets twice.
+    // Rows are shuffled WITHIN each micro-batch (disorder inside the
+    // 120 s watermark delay) while batches advance in time — the
+    // contract under which no row is late beyond the horizon
+    val samples = (0 until 60).map { i =>
+      val t = i * 10L
+      Seq(("c1", t, 1000L + i, (i % 25) * 3.0),      // resets at i=25,50
+        ("c2", t, 2000L + i, i * 7.0))
+    }
+    val rnd = new scala.util.Random(53)
+    val batches = samples.grouped(12).map(g => rnd.shuffle(g.flatten)).toSeq
+    val all = batches.flatten
+    def df(rows: Seq[(String, Long, Long, Double)]) =
+      rows.toDF("k", "t", "id", "v")
+    def totalsOf(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("k"), col("n_samples"), col("n_resets"),
+        col("delta_sum").cast("double"), col("span_s"), col("rate_per_s"))
+      .as[(String, Long, Long, Double, Long, Option[Double])]
+      .collect().toSet
+    val expect = totalsOf(graft.operators.TimeSeries.deltaSum(
+      df(all), Seq("k"), ord = Seq(col("t"), col("id")),
+      ts = col("t"), value = col("v")))
+    val in = MemoryStream[(String, Long, Long, Double)]
+    val q = StreamingDeltaSum.maintain(
+      in.toDF().toDF("k", "t", "id", "v"),
+      Seq("k"), col("t"), col("id"), col("v"),
+      sliceSeconds = 60L, delaySeconds = 120L, dir, ckpt).start()
+    try {
+      for (b <- batches) {
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def totals() = totalsOf(
+      StreamingDeltaSum.currentTotals(spark, dir, Seq("k")))
+    assert(totals() === expect,
+      "streamed totals must equal batch deltaSum over all samples")
+    // slices really closed (the fold is not just one big pending blob):
+    // max ts 590, wm = 470 → slices 0..6 (ends 60..420) are closed
+    val (ver, lastBatch, wm) = StreamingDeltaSum.readPointer(dir)
+    assert(wm === 470L, s"watermark drifted: $wm")
+    val closedRows = spark.read.parquet(s"$dir/state-$ver/closed").count()
+    assert(closedRows === 14L, s"expected 7 closed slices x 2 keys: $closedRows")
+    // replay of a committed batch is a no-op on state and pointer
+    StreamingDeltaSum.applyBatch(df(batches.head), Seq("k"), col("t"),
+      col("id"), col("v"), 60L, 120L, dir, 0L)
+    assert(StreamingDeltaSum.readPointer(dir) === ((ver, lastBatch, wm)))
+    assert(totals() === expect)
+    // a row beyond the watermark horizon (slice already closed) is
+    // DROPPED: totals unchanged, pointer advances
+    StreamingDeltaSum.applyBatch(df(Seq(("c1", 30L, 9999L, 1e6))),
+      Seq("k"), col("t"), col("id"), col("v"), 60L, 120L, dir,
+      lastBatch + 1)
+    assert(totals() === expect, "late-beyond-horizon row must be dropped")
+    // crash window: an orphan next-version dir is overwritten, and an
+    // in-horizon sample folds in (extends c2 above its last value)
+    val ptr2 = StreamingDeltaSum.readPointer(dir)
+    Files.createDirectories(
+      java.nio.file.Paths.get(dir, s"state-${ptr2._1 + 1}"))
+    val fresh = Seq(("c2", 600L, 3000L, 500.0))
+    StreamingDeltaSum.applyBatch(df(fresh), Seq("k"), col("t"),
+      col("id"), col("v"), 60L, 120L, dir, ptr2._2 + 1)
+    val expect2 = totalsOf(graft.operators.TimeSeries.deltaSum(
+      df(all ++ fresh), Seq("k"), ord = Seq(col("t"), col("id")),
+      ts = col("t"), value = col("v")))
+    assert(totals() === expect2)
+    // compaction: read face invariant, closed table folds to 1 row/key
+    StreamingDeltaSum.compactClosed(spark, dir, Seq("k"))
+    assert(totals() === expect2, "compaction must not change the read face")
+    val (ver3, _, _) = StreamingDeltaSum.readPointer(dir)
+    assert(spark.read.parquet(s"$dir/state-$ver3/closed").count() === 2L)
+    // closed-only read face: the Prometheus staleness posture — equals
+    // the batch fold over samples in closed slices only
+    val wmNow = StreamingDeltaSum.readPointer(dir)._3
+    val closedOnly = totalsOf(StreamingDeltaSum.currentTotals(
+      spark, dir, Seq("k"), includeOpen = false))
+    val expectClosed = totalsOf(graft.operators.TimeSeries.deltaSum(
+      df((all ++ fresh).filter { case (_, t, _, _) =>
+        (t / 60L + 1L) * 60L <= wmNow }),
+      Seq("k"), ord = Seq(col("t"), col("id")),
+      ts = col("t"), value = col("v")))
+    assert(closedOnly === expectClosed)
+  }
+
   test("ST13: redelivery-horizon prunes dead tombstones, keeps live ones blocking") {
     val dir = Files.createTempDirectory("scd2hz").toString
     def df(rows: Seq[(Long, Long, Long, Boolean, String)]) =
