@@ -107,6 +107,90 @@ class LayoutSpec extends SparkSpec {
     assert(zBox <= 8, s"z-order box candidates: $zBox")
   }
 
+  /** Parquet files actually READ (post-partition-pruning): the
+    * FileSourceScan numFiles metric after execution.
+    */
+  private def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+  }
+
+  test("L4 TTL maintenance: rolls only newly-aged partitions, fresh unread; totals invariant; idempotent replay") {
+    import graft.operators.Ttl
+    val path = java.nio.file.Files.createTempDirectory("ttlstore").toString
+    val rnd = new scala.util.Random(29)
+    // 600 rows over buckets 0..19 (100 s each), 3 keys
+    val rows = (0 until 600).map(i =>
+      (i.toLong, s"k${i % 3}", rnd.nextInt(2000).toLong,
+        rnd.nextInt(10000) / 100.0))
+    Ttl.writeFresh(rows.toDF("id", "k", "ep", "v"), Seq("k"),
+      col("id"), col("ep"), col("v"), bucketSeconds = 100L, path = path)
+    def totals() = {
+      val t = Ttl.readStore(spark, path)
+        .agg(sum(col("n_rows")), sum(col("sum_v")).cast("string")).head
+      (t.getLong(0), BigDecimal(t.getString(1)))
+    }
+    val raw = totals()
+    assert(raw._1 === 600L)
+    // pass 1 at asOf = 2000, ttl = 1000: buckets with (b+1)*100 <=
+    // 1000 are fully aged -> b <= 9 rolled, 10..19 untouched
+    val (slice1, aged1) = Ttl.agedSlice(spark, path, 1000L, 100L, 2000L)
+    assert(aged1 === 9L)
+    val allFiles = filesScanned(spark.read.parquet(s"$path/data"))
+    val sliceFiles = filesScanned(slice1)
+    assert(sliceFiles > 0 && sliceFiles < allFiles,
+      s"aged slice must prune fresh partitions: $sliceFiles of $allFiles")
+    assert(slice1.select(max(col("p_bucket"))).head.getLong(0) <= 9L)
+    Ttl.maintainRollup(spark, path, Seq("k"), 1000L, 100L, asOf = 2000L)
+    assert(Ttl.rolledThrough(path) === 9L)
+    assert(totals() === raw, "totals must be invariant under the policy")
+    // the maintained store == the query-face rollup at the partition-
+    // snapped cutoff ((rolledThrough+1)*bucket + ttl), row for row
+    def view(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("k"), col("row_id"), col("ts"), col("n_rows"),
+        col("sum_v").cast("string"), col("min_v"), col("max_v"),
+        col("is_rolled"))
+      .as[(String, Option[Long], Long, Long, String, Double, Double, Boolean)]
+      .collect().toSet
+    val snapped = Ttl.rollup(rows.toDF("id", "k", "ep", "v"), Seq("k"),
+      col("id"), col("ep"), col("v"), ttlSeconds = 1000L,
+      bucketSeconds = 100L, asOf = lit((9L + 1L) * 100L + 1000L))
+    assert(view(Ttl.readStore(spark, path)) === view(snapped))
+    // replay with the same asOf: nothing newly aged -> no-op
+    Ttl.maintainRollup(spark, path, Seq("k"), 1000L, 100L, asOf = 2000L)
+    assert(Ttl.rolledThrough(path) === 9L)
+    assert(view(Ttl.readStore(spark, path)) === view(snapped))
+    // pass 2 at a later asOf reads ONLY the newly-aged band (10..14),
+    // never the already-rolled or still-fresh partitions
+    val (slice2, aged2) = Ttl.agedSlice(spark, path, 1000L, 100L, 2500L)
+    assert(aged2 === 14L)
+    val b2 = slice2.select(min(col("p_bucket")), max(col("p_bucket"))).head
+    assert(b2.getLong(0) >= 10L && b2.getLong(1) <= 14L)
+    assert(filesScanned(slice2) < sliceFiles,
+      "pass 2 must read fewer partitions than pass 1's full aged band")
+    Ttl.maintainRollup(spark, path, Seq("k"), 1000L, 100L, asOf = 2500L)
+    assert(Ttl.rolledThrough(path) === 14L)
+    assert(totals() === raw)
+    // crash healing: re-rolling an already-rolled band reproduces it
+    // bit-identically (the aggregate is closed under re-application)
+    val before = view(Ttl.readStore(spark, path))
+    // simulate the crashed pass: pointer forced back, then re-run
+    val ptr = java.nio.file.Paths.get(path, "_ROLLED")
+    java.nio.file.Files.writeString(ptr, "9")
+    Ttl.maintainRollup(spark, path, Seq("k"), 1000L, 100L, asOf = 2500L)
+    assert(Ttl.rolledThrough(path) === 14L)
+    assert(view(Ttl.readStore(spark, path)) === before)
+    assert(totals() === raw)
+  }
+
   test("L4 TTL: expire keeps the ClickHouse boundary; rollup preserves totals exactly") {
     import graft.operators.Ttl
     val rnd = new scala.util.Random(23)
