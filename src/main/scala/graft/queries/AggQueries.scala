@@ -202,6 +202,81 @@ object AggQueries {
         .orderBy(col("total_chars").desc, col("source"))
     }),
 
+    // A19: intervalLengthSum — per user cohort, the union length of
+    // the event intervals [ep, ep + (event_id%7+1)*30): overlapping
+    // and touching intervals merge (gaps-and-islands), so the result
+    // is covered seconds, not summed lengths
+    "q_interval_length_sum" -> ((s, d) => {
+      val ep = graft.Tables.epochSeconds(col("ts"))
+      val iv = table(s, d, "events").select(
+        (col("user_id") % 25).as("grp"), ep.as("s"),
+        (ep + (col("event_id") % 7 + 1) * 30).as("e"))
+      graft.operators.IntervalAgg.intervalLengthSum(
+        iv, Seq("grp"), col("s"), col("e"))
+        .orderBy(col("grp"))
+    }),
+
+    // A19b: maxIntersections(+Position) — the same interval set's peak
+    // concurrency and the first instant it is reached (half-open
+    // sweep: an end at p closes before a start at p opens)
+    "q_max_intersections" -> ((s, d) => {
+      val ep = graft.Tables.epochSeconds(col("ts"))
+      val iv = table(s, d, "events").select(
+        (col("user_id") % 25).as("grp"), ep.as("s"),
+        (ep + (col("event_id") % 7 + 1) * 30).as("e"))
+      graft.operators.IntervalAgg.maxIntersections(
+        iv, Seq("grp"), col("s"), col("e"))
+        .orderBy(col("grp"))
+    }),
+
+    // A20: Shannon entropy of the user-activity distribution per event
+    // type — count-only rewrite H = log2(n) − Σ c·log2(c)/n, terms
+    // rounded to 9 and summed as DECIMAL (order-free exact)
+    "q_entropy" -> ((s, d) => {
+      graft.operators.StatsAgg.entropy(
+        table(s, d, "events"), Seq("event_type"), col("user_id"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A20b: Cramér's V association between event type and value band
+    // per day-of-week — χ² over exact contingency counts, the same
+    // round-9 DECIMAL term discipline; null values form their own band
+    "q_cramers_v" -> ((s, d) => {
+      val ep = graft.Tables.epochSeconds(col("ts"))
+      val ev = table(s, d, "events").select(
+        pmod(floor(ep / 86400L), lit(7)).cast("long").as("dow"),
+        col("event_type"),
+        when(col("value").isNotNull,
+          least(floor(col("value") / 200.0), lit(4.0))).cast("long")
+          .as("band"))
+      graft.operators.StatsAgg.cramersV(
+        ev, Seq("dow"), col("event_type"), col("band"))
+        .orderBy(col("dow"))
+    }),
+
+    // A21: boundingRatio — per event type, the slope between the
+    // earliest and latest (ts, value) points, endpoints made total by
+    // the event_id tiebreak (the W1 discipline)
+    "q_bounding_ratio" -> ((s, d) => {
+      graft.operators.StatsAgg.boundingRatio(
+        table(s, d, "events"), Seq("event_type"),
+        x = graft.Tables.epochSeconds(col("ts")), y = col("value"),
+        tie = col("event_id"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A22: groupBitAnd/Or/Xor — ClickHouse's bitwise aggregate trio
+    // over user ids per event type; Spark's builtin bit_and/bit_or/
+    // bit_xor plan as ordinary partial+final hash aggregates
+    "q_bit_agg" -> ((s, d) => {
+      table(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(bit_and(col("user_id")).as("b_and"),
+          bit_or(col("user_id")).as("b_or"),
+          bit_xor(col("user_id")).as("b_xor"))
+        .orderBy(col("event_type"))
+    }),
+
     // A2c: equi-depth histogram — quantile-edged bins per event type
     // (the deterministic member of ClickHouse's histogram() family)
     "q_histogram_eq" -> ((s, d) => {
@@ -579,6 +654,127 @@ object AggQueries {
       """SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents
          GROUP BY source ORDER BY total_chars DESC, source LIMIT 3""",
+    // A19: same gaps-and-islands sweep; aggregate outputs are
+    // invariant under (s, e) tie order, so the window is total enough
+    "q_interval_length_sum" ->
+      """WITH iv AS (SELECT user_id % 25 AS grp,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+               + (event_id % 7 + 1) * 30 AS e
+           FROM events),
+         m AS (SELECT grp, s, e,
+             max(e) OVER (PARTITION BY grp ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM iv),
+         isl AS (SELECT grp, s, e,
+             sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY grp ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM m),
+         g AS (SELECT grp, island, count(*) AS n, max(e) - min(s) AS len
+           FROM isl GROUP BY grp, island)
+         SELECT grp, CAST(sum(n) AS BIGINT) AS n_intervals,
+           count(*) AS n_islands, CAST(sum(len) AS BIGINT) AS union_len
+         FROM g GROUP BY grp ORDER BY grp""",
+    // A19b: (p, d) sweep — run-value SETS per tie block are
+    // permutation-invariant, so max and first-max-position agree
+    "q_max_intersections" ->
+      """WITH iv AS (SELECT user_id % 25 AS grp,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+               + (event_id % 7 + 1) * 30 AS e
+           FROM events),
+         pts AS (SELECT grp, s AS p, 1 AS d FROM iv
+           UNION ALL SELECT grp, e AS p, -1 AS d FROM iv),
+         r AS (SELECT grp, p, d,
+             sum(d) OVER (PARTITION BY grp ORDER BY p, d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM pts),
+         mx AS (SELECT grp, max(run) AS mxv FROM r GROUP BY grp)
+         SELECT r.grp, CAST(mx.mxv AS BIGINT) AS max_intersections,
+           CAST(min(CASE WHEN r.run = mx.mxv THEN r.p END) AS BIGINT)
+             AS position
+         FROM r JOIN mx ON r.grp = mx.grp
+         GROUP BY r.grp, mx.mxv ORDER BY r.grp""",
+    // A20: identical count-only formula, log2 on exact integer counts,
+    // round-9 DECIMAL term sums
+    "q_entropy" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS c
+           FROM events GROUP BY event_type, user_id),
+         t AS (SELECT event_type,
+             CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) AS term, c
+           FROM c)
+         SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows,
+           count(*) AS n_categories,
+           round(log2(CAST(sum(c) AS DOUBLE))
+             - CAST(sum(term) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             AS entropy
+         FROM t GROUP BY event_type ORDER BY event_type""",
+    // A20b: χ² via the observed-cells-only identity
+    // Σ(o−e)²/e = Σ o²·n/(ra·cb) − n (empty cells contribute 0 to the
+    // o²/e sum and Σe telescopes to n), round-9 DECIMAL term sums; NULL value = its own band, the
+    // null guard pinned explicitly (least() skips nulls in BOTH
+    // engines, which would silently fold nulls into band 4)
+    "q_cramers_v" ->
+      """WITH e AS (SELECT
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 % 7
+               AS dow,
+             event_type,
+             CAST(CASE WHEN value IS NOT NULL THEN
+                 least(floor(CAST(value AS DOUBLE) / 200.0), 4.0) END
+               AS BIGINT) AS band
+           FROM events),
+         cells AS (SELECT dow, event_type AS a, band AS b, count(*) AS o
+           FROM e GROUP BY dow, event_type, band),
+         m AS (SELECT dow, a, b, o,
+             sum(o) OVER (PARTITION BY dow, a) AS ra,
+             sum(o) OVER (PARTITION BY dow, b) AS cb,
+             sum(o) OVER (PARTITION BY dow) AS n
+           FROM cells),
+         t AS (SELECT dow, a, b, o, n,
+             CAST(round(
+               CAST(o AS DOUBLE) * CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+               / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)),
+               9) AS DECIMAL(28,9)) AS term
+           FROM m)
+         SELECT dow, CAST(max(n) AS BIGINT) AS n_rows,
+           round(greatest(CAST(sum(term) AS DOUBLE) - CAST(max(n) AS DOUBLE),
+             0.0), 6) AS chi2,
+           CASE WHEN least(count(DISTINCT a), count(DISTINCT b)) > 1 THEN
+             round(sqrt(
+               greatest(CAST(sum(term) AS DOUBLE) - CAST(max(n) AS DOUBLE),
+                 0.0) / CAST(max(n) AS DOUBLE)
+               / CAST(least(count(DISTINCT a), count(DISTINCT b)) - 1
+                   AS DOUBLE)), 6)
+           END AS cramers_v
+         FROM t GROUP BY dow ORDER BY dow""",
+    // A21: endpoint picks via directional row_number (the q_ohlc
+    // tiebreak pattern); degenerate spans yield null
+    "q_bounding_ratio" ->
+      """WITH e AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             event_id, value FROM events),
+         w AS (SELECT *,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY t, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY t DESC, event_id DESC) AS rn_d
+           FROM e)
+         SELECT event_type,
+           CAST(min(t) AS BIGINT) AS x_lo, CAST(max(t) AS BIGINT) AS x_hi,
+           CASE WHEN max(t) > min(t) THEN
+             round((max(CASE WHEN rn_d = 1 THEN CAST(value AS DOUBLE) END)
+               - max(CASE WHEN rn_a = 1 THEN CAST(value AS DOUBLE) END))
+               / CAST(max(t) - min(t) AS DOUBLE), 6)
+           END AS bounding_ratio
+         FROM w GROUP BY event_type ORDER BY event_type""",
+    "q_bit_agg" ->
+      """SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS b_and,
+           CAST(bit_or(user_id) AS BIGINT) AS b_or,
+           CAST(bit_xor(user_id) AS BIGINT) AS b_xor
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_histogram_eq" ->
       """WITH s AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
          e AS (SELECT event_type,
