@@ -86,6 +86,81 @@ object AggCombinators {
         e => e("__s")).as("sum_foreach"))
   }
 
+  /** `groupArrayMovingSum(window)` / `groupArrayMovingAvg(window)`:
+    * per group, the array of trailing-`window` moving sums (or avgs)
+    * of `value` in caller-supplied `order` — ClickHouse's moving
+    * combinator pair with the same determinism repair as
+    * [[groupArray]] (the order is imposed INSIDE the aggregate, made
+    * total by appending the value). Sums are computed in the exact
+    * DECIMAL type of the input value (cast upstream — the caller owns
+    * the money-vs-double decision); the avg face divides each exact
+    * window sum by its actual window width (shorter at the head, the
+    * ClickHouse convention) in one fixed double tree.
+    *
+    * Shape: ONE partial+final collect aggregation per group (the
+    * shuffle carries per-group arrays), then a map-only `transform`
+    * over the group-length array computes the prefix differences —
+    * per-element cost O(window) via `slice`+`aggregate`, never a
+    * second shuffle or a window operator. Group size is the caller's
+    * scale bound, exactly as for [[groupArray]].
+    */
+  def groupArrayMovingSum(value: Column, order: Seq[Column],
+      window: Int): Column = {
+    require(window > 0, s"window must be positive: $window")
+    val fields = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+      value.as("__v")
+    val sorted = transform(
+      sort_array(collect_list(struct(fields: _*))), e => e("__v"))
+    // moving sum at 1-based position i = Σ sorted[max(1, i-window+1)..i]
+    transform(sorted, (_, idx) => {
+      val i = idx + 1
+      val lo = greatest(i - window + 1, lit(1))
+      aggregate(slice(sorted, lo, i - lo + 1),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+        (acc, x) => acc + x.cast("decimal(38,6)"))
+    })
+  }
+
+  /** The avg face of [[groupArrayMovingSum]]: each exact window sum
+    * divided by its actual width, rounded to 6.
+    */
+  def groupArrayMovingAvg(value: Column, order: Seq[Column],
+      window: Int): Column = {
+    val sums = groupArrayMovingSum(value, order, window)
+    transform(sums, (s, idx) => {
+      val i = idx + 1
+      val width = least(i, lit(window)).cast("double")
+      round(s.cast("double") / width, 6)
+    })
+  }
+
+  /** `exponentialMovingAverage`: the classic series EMA folded in
+    * caller-imposed total order — ema_1 = v_1, ema_i = α·v_i +
+    * (1−α)·ema_{i−1} — as ONE aggregate expression: sorted collect,
+    * then `aggregate` over the tail seeded with the head. A recursive
+    * definition has no order-free rewrite, so determinism comes from
+    * imposing the fold order INSIDE the aggregate (the groupArray
+    * discipline); the per-step expression is the same two-multiply-
+    * one-add IEEE tree in any engine that folds the same order
+    * (DuckDB's `list_reduce` — the oracle — does), so results are
+    * bit-identical, not merely close. Group size is the caller's
+    * scale bound, as for every collect-based combinator. Null values
+    * must be filtered upstream (a null poisons the fold).
+    */
+  def exponentialMovingAverage(value: Column, order: Seq[Column],
+      alpha: Double): Column = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    val fields = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+      value.cast("double").as("__v")
+    val sorted = transform(
+      sort_array(collect_list(struct(fields: _*))), e => e("__v"))
+    when(size(sorted) > 0,
+      aggregate(
+        slice(sorted, lit(2), greatest(size(sorted) - 1, lit(0))),
+        element_at(sorted, 1),
+        (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc))
+  }
+
   def sumMap(df: DataFrame, keys: Seq[String], mapCol: Column): DataFrame = {
     val keyCols = keys.map(col)
     df.select(keyCols :+ explode_outer(mapCol).as(Seq("__k", "__v")): _*)

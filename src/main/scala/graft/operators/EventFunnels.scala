@@ -477,6 +477,40 @@ object EventFunnels {
     * One conditional-max aggregation per condition on a single
     * user-keyed shuffle. Returns (user, r1..rN) as 0/1 longs.
     */
+  /** W6h: `sequenceNextNode` (ClickHouse, forward / first_match arm):
+    * per key, the event value that immediately FOLLOWS the first
+    * event satisfying `matchCond` in (ts, tie) order — "what do users
+    * do right after signing up", the next-step read the funnel family
+    * (W6) does not answer. Keys with no match, or whose first match
+    * is the last event, yield a null `next_node` (matched tells the
+    * two cases apart).
+    *
+    * Shape: one whole-partition window (min matched ord) + one
+    * aggregate on the SAME key hash — the window's exchange is the
+    * only shuffle, and the aggregate's min-struct carries one
+    * candidate per key per partition map-side. (ts, tie) must totally
+    * order each key's events (the W1 tiebreak discipline), which
+    * makes both the match pick and the successor pick deterministic.
+    * Output: keys :+ (matched, match_t, next_node).
+    */
+  def sequenceNextNode(df: DataFrame, keys: Seq[String], ts: Column,
+      tie: Column, event: Column, matchCond: Column): DataFrame = {
+    val ord = struct(ts.cast("long").as("t"), tie.as("k"))
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__ord", ord)
+      .withColumn("__ev", event)
+      .withColumn("__m", min(when(matchCond, col("__ord"))).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min(col("__m")).as("__mm"),
+        min(when(col("__ord") > col("__m"),
+          struct(col("__ord"), col("__ev").as("e")))).as("__n"))
+      .select((keys.map(col) ++ Seq(
+        col("__mm").isNotNull.as("matched"),
+        col("__mm.t").as("match_t"),
+        col("__n.e").as("next_node"))): _*)
+  }
+
   def retention(
       events: DataFrame, user: String, conds: Seq[Column]): DataFrame = {
     require(conds.nonEmpty, "retention needs at least one condition")

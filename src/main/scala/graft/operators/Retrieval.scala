@@ -201,7 +201,13 @@ object Retrieval {
     // df over the CORPUS (the collection being searched) for the
     // distinct query-term VOCABULARY (no query id — the distinct runs
     // on (doc, term), not (query, doc, term)): one row per surviving
-    // term — tiny, broadcast
+    // term — tiny, broadcast. Computed ONCE for every arm: the
+    // cap keep-list CARRIES dfc through the postings join (it is
+    // functional on the term, so it rides the tf grouping for free),
+    // which both feeds the idf downstream without a second dfreq
+    // materialization — the first auto-arm cut an extra full-corpus
+    // explode here, measured +8 s at 100× — and prunes query terms
+    // absent from the corpus (no posting, no score: results identical)
     val dfreq = toks
       .join(broadcast(qTerms0.select(col("tok")).distinct()), "tok")
       .select(col("__did"), col("tok")).distinct()
@@ -215,27 +221,21 @@ object Retrieval {
       if (maxDfFraction < 0.0)
         when(col("n_docs") > AutoDfCapMinDocs, lit(0.7)).otherwise(lit(1.0))
       else lit(maxDfFraction)
-    val qTerms =
-      if (maxDfFraction >= 1.0) qTerms0
-      else qTerms0.join(
-        broadcast(dfreq.crossJoin(stats)
-          .where(col("dfc") <= capExpr * col("n_docs"))
-          .select(col("tok"))), "tok")
-    // NOTE: under the AUTO sentinel, query terms absent from the
-    // corpus are also pruned here (dfreq only lists present terms) —
-    // they can never match a posting or contribute score, so results
-    // are identical to the uncapped path below the doc floor
+    val keep = dfreq.crossJoin(stats)
+      .where(col("dfc") <= capExpr * col("n_docs"))
+      .select(col("tok"), col("dfc"))
+    val qTerms = qTerms0.join(broadcast(keep), "tok")
     // postings filtered at the broadcast join: only (uncapped) terms
     // some query mentions survive to the aggregate
     val matched = toks.join(broadcast(qTerms), "tok")
-    val tf = matched.groupBy(col("__qid"), col("__did"), col("tok"))
+    val tf = matched.groupBy(col("__qid"), col("__did"), col("tok"),
+        col("dfc"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5))
     val norm = col("tf") + lit(k1) *
       (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
     val scored = tf.join(dl, "__did")
-      .join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("__s", idf * col("tf") * lit(k1 + 1.0) / norm)
       .groupBy(col("__qid"), col("__did"))

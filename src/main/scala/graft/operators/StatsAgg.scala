@@ -104,6 +104,111 @@ object StatsAgg {
       .drop("__r", "__c", "__sum")
   }
 
+  /** Exact-moment shape statistics per key — ClickHouse `skewPop` /
+    * `kurtPop`. Spark's builtin `skewness`/`kurtosis` accumulate
+    * doubles in partition order (cross-engine irreproducible, the A17
+    * problem), so this computes the four POWER SUMS S1..S4 of the
+    * fixed-point value w = floor(v·10^scale) as exact DECIMAL(38,0)
+    * integers — order-free — and derives the central moments through
+    * one fixed double expression tree:
+    *
+    *   m2 = S2/n − μ²,  m3 = S3/n − 3μS2/n + 2μ³,
+    *   m4 = S4/n − 4μS3/n + 6μ²S2/n − 3μ⁴
+    *   skew_pop = m3/m2^1.5, kurt_pop = m4/m2²  (null when m2 ≈ 0)
+    *
+    * The fixed-point floor is the q_sum_foreach convention (floor of
+    * the same IEEE product is identical in every engine, where
+    * rounding half-cases are not). w magnitudes must keep n·w⁴ inside
+    * DECIMAL(38) — with scale 2 and |v| ≤ 10⁵ that allows ~10⁹ rows
+    * per group. Nulls are skipped. Output: keys :+ (n_rows, mean,
+    * skew_pop, kurt_pop), mean/skew/kurt rounded to 6.
+    */
+  def moments(df: DataFrame, keys: Seq[String], value: Column,
+      scale: Int = 2): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    val w = floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
+    val out = df.where(value.isNotNull)
+      .withColumn("__w", w)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__w")).as("__s1"),
+        sum(col("__w") * col("__w")).as("__s2"),
+        sum(col("__w") * col("__w") * col("__w")).as("__s3"),
+        sum(col("__w") * col("__w") * col("__w") * col("__w")).as("__s4"))
+    val n = col("n_rows").cast("double")
+    val s1 = col("__s1").cast("double") / lit(factor)
+    val s2 = col("__s2").cast("double") / lit(factor * factor)
+    val s3 = col("__s3").cast("double") / lit(factor * factor * factor)
+    val s4 = col("__s4").cast("double") / lit(factor * factor * factor * factor)
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m3 = s3 / n - lit(3.0) * mu * s2 / n + lit(2.0) * mu * mu * mu
+    val m4 = s4 / n - lit(4.0) * mu * s3 / n +
+      lit(6.0) * mu * mu * s2 / n - lit(3.0) * mu * mu * mu * mu
+    out.select((keys.map(col) ++ Seq(
+      col("n_rows"),
+      round(mu, 6).as("mean"),
+      when(m2 > 1e-12, round(m3 / sqrt(m2 * m2 * m2), 6)).as("skew_pop"),
+      when(m2 > 1e-12, round(m4 / (m2 * m2), 6)).as("kurt_pop"))): _*)
+  }
+
+  /** Welch's unequal-variance t statistic between two cohorts per
+    * key — ClickHouse `welchTTest`'s t value plus the
+    * Welch–Satterthwaite degrees of freedom (the p-value needs the
+    * incomplete beta function, out of scope — the t and df are the
+    * reproducible algebra; a consumer applies any t-distribution
+    * table). `cohort` must be a boolean: true rows form sample 1,
+    * false rows sample 2; null cohorts and null values are skipped.
+    *
+    *   t  = (μ1 − μ2) / sqrt(v1/n1 + v2/n2)   (vi = unbiased variance)
+    *   df = (v1/n1 + v2/n2)² / ((v1/n1)²/(n1−1) + (v2/n2)²/(n2−1))
+    *
+    * Same exact fixed-point power-sum discipline as [[moments]]; one
+    * (keys) partial+final aggregate with conditional sums — cohorts
+    * never shuffle separately. Keys where either cohort has < 2
+    * samples or zero variance yield nulls. Output: keys :+ (n1, n2,
+    * mean1, mean2, t_stat, df), doubles rounded to 6.
+    */
+  def welchTTest(df: DataFrame, keys: Seq[String], value: Column,
+      cohort: Column, scale: Int = 2): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    val w = floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
+    def side(flag: Boolean, c: Column) = sum(when(cohort === flag, c))
+    val out = df.where(value.isNotNull && cohort.isNotNull)
+      .withColumn("__w", w)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(when(cohort === true, lit(1))).as("n1"),
+        count(when(cohort === false, lit(1))).as("n2"),
+        side(true, col("__w")).as("__a1"),
+        side(true, col("__w") * col("__w")).as("__b1"),
+        side(false, col("__w")).as("__a2"),
+        side(false, col("__w") * col("__w")).as("__b2"))
+    def stats(nC: Column, aC: Column, bC: Column) = {
+      val n = nC.cast("double")
+      val s1 = aC.cast("double") / lit(factor)
+      val s2 = bC.cast("double") / lit(factor * factor)
+      val mu = s1 / n
+      // unbiased: Σ(w−μ)²/(n−1) = (S2 − n·μ²)/(n−1)
+      val v = (s2 - n * mu * mu) / (n - lit(1.0))
+      (mu, v)
+    }
+    val (mu1, v1) = stats(col("n1"), col("__a1"), col("__b1"))
+    val (mu2, v2) = stats(col("n2"), col("__a2"), col("__b2"))
+    val se2 = v1 / col("n1").cast("double") + v2 / col("n2").cast("double")
+    val dfW = se2 * se2 / (
+      (v1 / col("n1").cast("double")) * (v1 / col("n1").cast("double")) /
+        (col("n1").cast("double") - lit(1.0)) +
+      (v2 / col("n2").cast("double")) * (v2 / col("n2").cast("double")) /
+        (col("n2").cast("double") - lit(1.0)))
+    val ok = col("n1") > 1 && col("n2") > 1 && se2 > lit(1e-12)
+    out.select((keys.map(col) ++ Seq(
+      col("n1"), col("n2"),
+      round(mu1, 6).as("mean1"), round(mu2, 6).as("mean2"),
+      when(ok, round((mu1 - mu2) / sqrt(se2), 6)).as("t_stat"),
+      when(ok, round(dfW, 6)).as("df"))): _*)
+  }
+
   /** `boundingRatio`: the slope of the line between the leftmost and
     * rightmost points of the group — (y at max x − y at min x) /
     * (max x − min x). Endpoint picks are made total with `tie` (the

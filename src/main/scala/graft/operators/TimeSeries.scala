@@ -319,6 +319,86 @@ object TimeSeries {
     * naive first_value/last_value window formulation would shuffle
     * and sort the full event volume for the same four numbers.
     */
+  /** W10: largestTriangleThreeBuckets — the ClickHouse LTTB
+    * downsampler (Steinarsson 2013, "Downsampling Time Series for
+    * Visual Representation"): reduce each key's (x, y) series to
+    * `nOut` points keeping the first and last and, per interior
+    * bucket, the point forming the largest triangle with the
+    * previously SELECTED point and the next bucket's centroid — the
+    * visually-faithful downsample a dashboard draws.
+    *
+    * The selection is inherently SEQUENTIAL per key (each pick
+    * depends on the previous pick), so no order-free aggregate
+    * exists: the series is collected sorted into one aggregate state
+    * (group-sized, exactly the memory bound ClickHouse's own
+    * aggregate state pays) and a scalar fold runs ONCE PER KEY over
+    * that array — the legitimate read-face-UDF use: |keys|
+    * invocations over downsample-input arrays, never a per-input-row
+    * UDF in the scan path. Area ties keep the earliest point
+    * (strict >), making the pick deterministic; callers pre-filter
+    * null x/y. Output: keys :+ (x, y, pos) exploded back to rows,
+    * pos = 0-based selection index.
+    */
+  def lttb(df: DataFrame, keys: Seq[String], x: Column, y: Column,
+      nOut: Int): DataFrame = {
+    require(nOut >= 2, s"nOut must be >= 2: $nOut")
+    val sel = udf((pts: Seq[org.apache.spark.sql.Row]) => {
+      val p = pts.map(r => (r.getDouble(0), r.getDouble(1)))
+      lttbSelect(p, nOut)
+    })
+    df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(x.cast("double").as("x"), y.cast("double").as("y"))))
+        .as("__pts"))
+      .withColumn("__sel", sel(col("__pts")))
+      .select((keys.map(col) :+
+        posexplode(col("__sel")).as(Seq("pos", "__p"))): _*)
+      .select((keys.map(col) ++ Seq(
+        col("__p._1").as("x"), col("__p._2").as("y"),
+        col("pos").cast("long").as("pos"))): _*)
+  }
+
+  /** The scalar LTTB fold — public so the spec can law-check the
+    * Spark plumbing against the same reference it property-tests.
+    */
+  def lttbSelect(points: Seq[(Double, Double)],
+      nOut: Int): Seq[(Double, Double)] = {
+    val m = points.size
+    if (m <= nOut || m <= 2 || nOut <= 2)
+      return if (m <= nOut) points
+      else Seq(points.head, points.last)
+    val buckets = nOut - 2
+    val out = scala.collection.mutable.ArrayBuffer(points.head)
+    var anchor = 0
+    var i = 0
+    while (i < buckets) {
+      val lo = 1 + (i.toLong * (m - 2) / buckets).toInt
+      val hi = 1 + ((i + 1).toLong * (m - 2) / buckets).toInt
+      val nLo = hi
+      val nHi = if (i == buckets - 1) m
+        else 1 + ((i + 2).toLong * (m - 2) / buckets).toInt
+      var cx = 0.0; var cy = 0.0
+      var j = nLo
+      while (j < nHi) { cx += points(j)._1; cy += points(j)._2; j += 1 }
+      val w = nHi - nLo
+      cx /= w; cy /= w
+      val (ax, ay) = points(anchor)
+      var best = lo; var bestArea = -1.0
+      j = lo
+      while (j < hi) {
+        val (px, py) = points(j)
+        val area = math.abs((ax - cx) * (py - ay) - (ax - px) * (cy - ay))
+        if (area > bestArea) { bestArea = area; best = j }
+        j += 1
+      }
+      out += points(best)
+      anchor = best
+      i += 1
+    }
+    out += points.last
+    out.toSeq
+  }
+
   def ohlcResample(
       df: DataFrame, keys: Seq[String], ts: Column, tie: Column,
       value: Column, bucketSeconds: Long): DataFrame = {

@@ -265,6 +265,76 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A17b: skewPop/kurtPop — exact-moment shape statistics (Spark's
+    // builtin skewness/kurtosis accumulate doubles in partition order,
+    // cross-engine irreproducible): power sums of the fixed-point
+    // value as DECIMAL(38,0), moments via one fixed double tree
+    "q_moments" -> ((s, d) => {
+      graft.operators.StatsAgg.moments(
+        table(s, d, "events"), Seq("event_type"), col("value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A17c: Welch's t between even- and odd-user cohorts per event
+    // type — t and the Welch–Satterthwaite df from the same exact
+    // power sums (the p-value needs the incomplete beta; out of scope)
+    "q_welch_ttest" -> ((s, d) => {
+      graft.operators.StatsAgg.welchTTest(
+        table(s, d, "events"), Seq("event_type"), col("value"),
+        cohort = col("user_id") % 2 === 0)
+        .orderBy(col("event_type"))
+    }),
+
+    // A23: groupArrayMovingAvg(3) — each user's trailing-3 moving
+    // average of value in (ts, event_id) order, exact DECIMAL window
+    // sums divided by actual width; serialized for the oracle
+    "q_moving_avg" -> ((s, d) => {
+      table(s, d, "events")
+        .where(col("value").isNotNull)
+        .select(col("user_id"), graft.Tables.epochSeconds(col("ts")).as("ep"),
+          col("event_id"), col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          graft.operators.AggCombinators.groupArrayMovingAvg(
+            col("v"), Seq(col("ep"), col("event_id")), window = 3),
+          // fixed-scale DECIMAL serialization: double-to-string
+          // sci-notation thresholds differ across engines
+          x => x.cast("decimal(28,6)").cast("string")), ",").as("mv"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A24: exponentialMovingAverage(0.3) — per user, the EMA of the
+    // value series in (ts, event_id) order; the fold order is imposed
+    // inside the aggregate and the per-step IEEE tree matches the
+    // oracle's list_reduce exactly, so the compare is bit-level
+    "q_ema" -> ((s, d) => {
+      table(s, d, "events")
+        .where(col("value").isNotNull)
+        .select(col("user_id"), graft.Tables.epochSeconds(col("ts")).as("ep"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(round(graft.operators.AggCombinators.exponentialMovingAverage(
+          col("value"), Seq(col("ep"), col("event_id")), alpha = 0.3), 6)
+          .as("ema"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W10: LTTB downsample — each event type's (epoch, value) series
+    // reduced to 20 visually-faithful points. The sequential pick has
+    // no SQL oracle (driver records the rows-only check); the
+    // IntervalStatsSpec laws pin endpoints, size, monotone x, and
+    // scalar-reference equality
+    "q_lttb" -> ((s, d) => {
+      graft.operators.TimeSeries.lttb(
+        table(s, d, "events")
+          .where(col("value").isNotNull)
+          .select(col("event_type"),
+            (graft.Tables.epochSeconds(col("ts")) * 1000000 +
+              col("event_id")).as("xx"), col("value")),
+        Seq("event_type"), x = col("xx"), y = col("value"), nOut = 20)
+        .orderBy(col("event_type"), col("pos"))
+    }),
+
     // A22: groupBitAnd/Or/Xor — ClickHouse's bitwise aggregate trio
     // over user ids per event type; Spark's builtin bit_and/bit_or/
     // bit_xor plan as ordinary partial+final hash aggregates
@@ -769,6 +839,112 @@ object AggQueries {
                / CAST(max(t) - min(t) AS DOUBLE), 6)
            END AS bounding_ratio
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // A17b: HUGEINT power sums (exact, like Spark's DECIMAL(38,0));
+    // hugeint→double and decimal→double both round-to-nearest the
+    // same exact integer, so the moment tree sees identical inputs
+    "q_moments" ->
+      """WITH w AS (SELECT event_type,
+             CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT event_type, count(*) AS n_rows,
+             sum(w) AS s1, sum(w*w) AS s2, sum(w*w*w) AS s3,
+             sum(w*w*w*w) AS s4
+           FROM w GROUP BY event_type),
+         m AS (SELECT event_type, n_rows,
+             CAST(n_rows AS DOUBLE) AS n,
+             CAST(s1 AS DOUBLE) / 100.0 AS d1,
+             CAST(s2 AS DOUBLE) / 10000.0 AS d2,
+             CAST(s3 AS DOUBLE) / 1000000.0 AS d3,
+             CAST(s4 AS DOUBLE) / 100000000.0 AS d4
+           FROM s),
+         mm AS (SELECT event_type, n_rows, n, d1 / n AS mu,
+             d2 / n - (d1/n) * (d1/n) AS m2,
+             d3 / n - 3.0 * (d1/n) * d2 / n + 2.0 * (d1/n)*(d1/n)*(d1/n)
+               AS m3,
+             d4 / n - 4.0 * (d1/n) * d3 / n
+               + 6.0 * (d1/n)*(d1/n) * d2 / n
+               - 3.0 * (d1/n)*(d1/n)*(d1/n)*(d1/n) AS m4
+           FROM m)
+         SELECT event_type, n_rows, round(mu, 6) AS mean,
+           CASE WHEN m2 > 1e-12
+             THEN round(m3 / sqrt(m2*m2*m2), 6) END AS skew_pop,
+           CASE WHEN m2 > 1e-12
+             THEN round(m4 / (m2*m2), 6) END AS kurt_pop
+         FROM mm ORDER BY event_type""",
+    // A17c: same exact power-sum algebra, conditional per cohort
+    "q_welch_ttest" ->
+      """WITH w AS (SELECT event_type, user_id % 2 = 0 AS c,
+             CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT event_type,
+             count(*) FILTER (WHERE c) AS n1,
+             count(*) FILTER (WHERE NOT c) AS n2,
+             sum(w) FILTER (WHERE c) AS a1,
+             sum(w*w) FILTER (WHERE c) AS b1,
+             sum(w) FILTER (WHERE NOT c) AS a2,
+             sum(w*w) FILTER (WHERE NOT c) AS b2
+           FROM w GROUP BY event_type),
+         m AS (SELECT event_type, n1, n2,
+             CAST(a1 AS DOUBLE) / 100.0 / CAST(n1 AS DOUBLE) AS mu1,
+             CAST(a2 AS DOUBLE) / 100.0 / CAST(n2 AS DOUBLE) AS mu2,
+             (CAST(b1 AS DOUBLE) / 10000.0
+               - CAST(n1 AS DOUBLE)
+                 * (CAST(a1 AS DOUBLE)/100.0/CAST(n1 AS DOUBLE))
+                 * (CAST(a1 AS DOUBLE)/100.0/CAST(n1 AS DOUBLE)))
+               / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+             (CAST(b2 AS DOUBLE) / 10000.0
+               - CAST(n2 AS DOUBLE)
+                 * (CAST(a2 AS DOUBLE)/100.0/CAST(n2 AS DOUBLE))
+                 * (CAST(a2 AS DOUBLE)/100.0/CAST(n2 AS DOUBLE)))
+               / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+           FROM s),
+         t AS (SELECT event_type, n1, n2, mu1, mu2, v1, v2,
+             v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+           FROM m)
+         SELECT event_type, n1, n2,
+           round(mu1, 6) AS mean1, round(mu2, 6) AS mean2,
+           CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 1e-12
+             THEN round((mu1 - mu2) / sqrt(se2), 6) END AS t_stat,
+           CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 1e-12
+             THEN round(se2 * se2 / (
+               (v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                 / (CAST(n1 AS DOUBLE) - 1.0)
+               + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+                 / (CAST(n2 AS DOUBLE) - 1.0)), 6) END AS df
+         FROM t ORDER BY event_type""",
+    // A23: exact DECIMAL trailing-window sums / width; the window
+    // frame is the same trailing-3 rows in both engines
+    "q_moving_avg" ->
+      """WITH e AS (SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+             event_id, CAST(value AS DECIMAL(18,2)) AS v
+           FROM events WHERE value IS NOT NULL),
+         m AS (SELECT user_id, ep, event_id,
+             CAST(CAST(round(
+               CAST(CAST(sum(v) OVER win AS DECIMAL(38,6)) AS DOUBLE)
+               / CAST(least(row_number() OVER win, 3) AS DOUBLE), 6)
+               AS DECIMAL(28,6)) AS VARCHAR) AS mv
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY ep, event_id, v
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         SELECT user_id,
+           string_agg(CAST(mv AS VARCHAR), ',' ORDER BY ep, event_id, v)
+             AS mv
+         FROM m GROUP BY user_id ORDER BY user_id""",
+    // A24: list_reduce folds in the same order over the same doubles
+    // — the CASTs keep DuckDB's lambda in DOUBLE (bare 0.3 literals
+    // are DECIMAL there and would truncate every step)
+    "q_ema" ->
+      """WITH e AS (SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+             event_id, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL)
+         SELECT user_id,
+           round(list_reduce(
+             CAST(list(v ORDER BY ep, event_id) AS DOUBLE[]),
+             (acc, x) -> CAST(0.3 AS DOUBLE) * x
+               + CAST(0.7 AS DOUBLE) * acc), 6) AS ema
+         FROM e GROUP BY user_id ORDER BY user_id""",
     "q_bit_agg" ->
       """SELECT event_type,
            CAST(bit_and(user_id) AS BIGINT) AS b_and,

@@ -319,6 +319,20 @@ object WindowQueries {
     // W6: first-touch window funnel (ClickHouse windowFunnel family)
     // view → click → purchase within 24h of the user's first view;
     // output = users per completed level
+    // W6h: sequenceNextNode (forward/first_match) — the event type
+    // each user fires immediately after their first signup; one
+    // whole-partition window + one aggregate on the same user hash
+    "q_sequence_next" -> ((s, d) => {
+      graft.operators.EventFunnels.sequenceNextNode(
+        table(s, d, "events").select(col("user_id"),
+          graft.Tables.epochSeconds(col("ts")).as("ep"),
+          col("event_id"), col("event_type")),
+        Seq("user_id"), ts = col("ep"), tie = col("event_id"),
+        event = col("event_type"),
+        matchCond = col("event_type") === "signup")
+        .orderBy(col("user_id"))
+    }),
+
     "q_funnel" -> ((s, d) => {
       graft.operators.EventFunnels.windowFunnel(
         table(s, d, "events"), "user_id",
@@ -716,6 +730,24 @@ object WindowQueries {
            l1 AS t_anchor, coalesce(l3, l2) AS t_conv,
            coalesce(l3, l2) - l1 AS lag_s
          FROM u WHERE l2 IS NOT NULL ORDER BY user_id""",
+    // W6h: the (t, event_id) struct order encoded as one BIGINT
+    // (valid while event_id < 1e9 — true at every oracle SF), so
+    // arg_min's pick is the same successor the Spark struct-min takes
+    "q_sequence_next" ->
+      """WITH e AS (SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             event_id, event_type FROM events),
+         m AS (SELECT user_id, min(CASE WHEN event_type = 'signup'
+               THEN t * 1000000000 + event_id END) AS mk
+           FROM e GROUP BY user_id),
+         j AS (SELECT e.user_id, e.event_type,
+             e.t * 1000000000 + e.event_id AS k, m.mk
+           FROM e JOIN m USING (user_id))
+         SELECT user_id, mk IS NOT NULL AS matched,
+           CAST(mk // 1000000000 AS BIGINT) AS match_t,
+           arg_min(event_type, k)
+             FILTER (WHERE mk IS NOT NULL AND k > mk) AS next_node
+         FROM j GROUP BY user_id, mk ORDER BY user_id""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,

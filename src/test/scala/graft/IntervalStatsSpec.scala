@@ -93,6 +93,139 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out("d")._3 === None)
   }
 
+  test("moments: symmetric → skew 0; uniform kurtosis 1.8-ish; constant → null; matches scalar reference") {
+    // symmetric triple {−1, 0, 1} per key: μ=0, m2=2/3, m3=0, m4=2/3
+    // → skew 0, kurt = (2/3)/(4/9) = 1.5
+    val sym = Seq(("s", -1.0), ("s", 0.0), ("s", 1.0))
+    val const = Seq(("c", 5.0), ("c", 5.0))
+    // asymmetric set checked against a straight-line scalar computation
+    val asymVals = Seq(1.25, 2.5, 2.5, 7.75, 11.0)
+    val asym = asymVals.map(("a", _))
+    val out = graft.operators.StatsAgg.moments(
+      (sym ++ const ++ asym).toDF("k", "v"), Seq("k"), col("v"))
+      .select("k", "n_rows", "mean", "skew_pop", "kurt_pop")
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("s") === (("s", 3L, 0.0, Some(0.0), Some(1.5))))
+    assert(out("c")._4 === None && out("c")._5 === None)
+    val n = asymVals.size.toDouble
+    val mu = asymVals.sum / n
+    val m2 = asymVals.map(v => (v - mu) * (v - mu)).sum / n
+    val m3 = asymVals.map(v => math.pow(v - mu, 3)).sum / n
+    val m4 = asymVals.map(v => math.pow(v - mu, 4)).sum / n
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out("a")._4.get === r6(m3 / math.sqrt(m2 * m2 * m2)))
+    assert(out("a")._5.get === r6(m4 / (m2 * m2)))
+  }
+
+  test("welchTTest: equal samples → t 0; known two-sample case matches the scalar formula") {
+    val a = Seq(10.0, 12.0, 14.0)           // cohort true
+    val b = Seq(1.0, 2.0, 3.0, 4.0)         // cohort false
+    val rows = a.map(("k", true, _)) ++ b.map(("k", false, _)) ++
+      Seq(("z", true, 5.0), ("z", false, 5.0), ("z", true, 7.0),
+        ("z", false, 7.0))
+    val out = graft.operators.StatsAgg.welchTTest(
+      rows.toDF("k", "c", "v"), Seq("k"), col("v"), col("c"))
+      .select("k", "n1", "n2", "t_stat", "df")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    def varU(xs: Seq[Double]) = {
+      val mu = xs.sum / xs.size
+      xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1)
+    }
+    val se2 = varU(a) / a.size + varU(b) / b.size
+    val t = (a.sum / a.size - b.sum / b.size) / math.sqrt(se2)
+    val dfW = se2 * se2 / (
+      math.pow(varU(a) / a.size, 2) / (a.size - 1) +
+        math.pow(varU(b) / b.size, 2) / (b.size - 1))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out("k")._2 === 3L && out("k")._3 === 4L)
+    assert(out("k")._4.get === r6(t))
+    assert(out("k")._5.get === r6(dfW))
+    assert(out("z")._4.get === 0.0)
+  }
+
+  test("groupArrayMovingSum/Avg: trailing window, short head, imposed order, repartition-stable") {
+    import graft.operators.AggCombinators
+    val df = Seq(("k", 3L, "3.00"), ("k", 1L, "1.00"), ("k", 2L, "2.00"),
+      ("k", 4L, "10.00"))
+      .toDF("k", "o", "vs")
+      .withColumn("v", col("vs").cast("decimal(18,2)")).repartition(5)
+    val out = df.groupBy(col("k"))
+      .agg(
+        array_join(transform(AggCombinators.groupArrayMovingSum(
+          col("v"), Seq(col("o")), 2), x => x.cast("string")), "|").as("ms"),
+        array_join(transform(AggCombinators.groupArrayMovingAvg(
+          col("v"), Seq(col("o")), 2), x => x.cast("string")), "|").as("ma"))
+      .select("ms", "ma").as[(String, String)].head()
+    // sums: 1, 1+2, 2+3, 3+10; avgs: 1/1, 3/2, 5/2, 13/2
+    assert(out._1 === "1.000000|3.000000|5.000000|13.000000")
+    assert(out._2 === "1.0|1.5|2.5|6.5")
+  }
+
+  test("sequenceNextNode: next after first match; match-at-tail and no-match yield null") {
+    val df = Seq(
+      ("u1", 10L, 1L, "view"), ("u1", 20L, 2L, "signup"),
+      ("u1", 20L, 3L, "click"), ("u1", 30L, 4L, "purchase"),
+      ("u2", 5L, 1L, "signup"),                 // match is last event
+      ("u3", 5L, 1L, "view"))                   // no match
+      .toDF("u", "t", "id", "ev")
+    val out = graft.operators.EventFunnels.sequenceNextNode(
+      df, Seq("u"), col("t"), col("id"), col("ev"),
+      matchCond = col("ev") === "signup")
+      .select("u", "matched", "match_t", "next_node")
+      .as[(String, Boolean, Option[Long], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    // same-second successor resolves by the id tiebreak (id 3 > id 2)
+    assert(out("u1") === (("u1", true, Some(20L), Some("click"))))
+    assert(out("u2") === (("u2", true, Some(5L), None)))
+    assert(out("u3") === (("u3", false, None, None)))
+  }
+
+  test("exponentialMovingAverage: matches the scalar fold in imposed order; single element is itself; repartition-stable") {
+    import graft.operators.AggCombinators
+    val vals = Seq(1.0, 2.0, 4.0, 8.0, 3.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) } :+
+      (("one", 0L, 42.0))
+    val out = rows.toDF("k", "o", "v").repartition(7)
+      .groupBy(col("k"))
+      .agg(AggCombinators.exponentialMovingAverage(
+        col("v"), Seq(col("o")), alpha = 0.3).as("ema"))
+      .select("k", "ema").as[(String, Double)].collect().toMap
+    val ref = vals.tail.foldLeft(vals.head)((acc, x) => 0.3 * x + 0.7 * acc)
+    assert(out("k") === ref)       // bit-exact: same fold, same order
+    assert(out("one") === 42.0)
+    // order really is imposed: reversed input order, same result
+    val rev = rows.reverse.toDF("k", "o", "v")
+      .groupBy(col("k"))
+      .agg(AggCombinators.exponentialMovingAverage(
+        col("v"), Seq(col("o")), alpha = 0.3).as("ema"))
+      .select("k", "ema").as[(String, Double)].collect().toMap
+    assert(rev("k") === ref)
+  }
+
+  test("lttb: endpoints kept, exact output size, monotone x, Spark path == scalar reference; passthrough when small") {
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(17)
+    val series = (0 until 500).map(i =>
+      (i.toDouble, math.sin(i / 20.0) * 100 + rnd.nextDouble()))
+    val df = series.map { case (x, y) => ("k", x, y) }.toDF("k", "x", "y")
+      .repartition(9)
+    val out = TimeSeries.lttb(df, Seq("k"), col("x"), col("y"), nOut = 24)
+      .orderBy(col("pos"))
+      .select("x", "y").as[(Double, Double)].collect().toSeq
+    assert(out.size === 24)
+    assert(out.head === series.head && out.last === series.last)
+    assert(out.map(_._1) === out.map(_._1).sorted, "x must stay monotone")
+    assert(out === TimeSeries.lttbSelect(series, 24),
+      "Spark path must equal the scalar reference")
+    // m <= nOut: the series passes through untouched
+    val small = TimeSeries.lttb(df, Seq("k"), col("x"), col("y"), nOut = 600)
+      .orderBy(col("pos")).select("x", "y")
+      .as[(Double, Double)].collect().toSeq
+    assert(small === series)
+  }
+
   test("boundingRatio: endpoint slope with deterministic tiebreak; degenerate span = null") {
     val df = Seq(
       // slope (40-10)/(30-0) = 1.0; the tied x=30 rows resolve by tie
