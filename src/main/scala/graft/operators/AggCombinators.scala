@@ -161,14 +161,53 @@ object AggCombinators {
         (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc))
   }
 
-  def sumMap(df: DataFrame, keys: Seq[String], mapCol: Column): DataFrame = {
+  def sumMap(df: DataFrame, keys: Seq[String], mapCol: Column): DataFrame =
+    foldMap(df, keys, mapCol, sum, "sum_map")
+
+  /** `minMap` / `maxMap`: point-wise min/max of a map column per
+    * group — the other two ClickHouse map combinators next to
+    * [[sumMap]], same two-level explode → re-aggregate → reassemble
+    * shape and the same empty-map and structural-equality semantics.
+    */
+  def minMap(df: DataFrame, keys: Seq[String], mapCol: Column): DataFrame =
+    foldMap(df, keys, mapCol, min, "min_map")
+
+  def maxMap(df: DataFrame, keys: Seq[String], mapCol: Column): DataFrame =
+    foldMap(df, keys, mapCol, max, "max_map")
+
+  private def foldMap(df: DataFrame, keys: Seq[String], mapCol: Column,
+      agg: Column => Column, outName: String): DataFrame = {
     val keyCols = keys.map(col)
     df.select(keyCols :+ explode_outer(mapCol).as(Seq("__k", "__v")): _*)
       .groupBy(keyCols :+ col("__k"): _*)
-      .agg(sum(col("__v")).as("__s"))
+      .agg(agg(col("__v")).as("__s"))
       .groupBy(keyCols: _*)
       .agg(map_from_entries(sort_array(collect_list(
         when(col("__k").isNotNull, struct(col("__k"), col("__s"))))))
-        .as("sum_map"))
+        .as(outName))
+  }
+
+  /** `avgWeighted`: exact weighted mean Σ(v·w)/Σ(w) — both sums in
+    * DECIMAL (order-free exact; v cast at `scale`, integral weights),
+    * one guarded double division rounded to 6. Null values/weights
+    * and non-positive weights drop, as in [[graft.operators.Histograms
+    * .weightedQuantiles]]; an all-dropped group yields null. One
+    * partial+final aggregate. Use inside `.agg(...)` via the returned
+    * (sum, weight) pair — or the DataFrame face here.
+    */
+  def avgWeighted(df: DataFrame, keys: Seq[String], value: Column,
+      weight: Column): DataFrame = {
+    val ok = value.isNotNull && weight.isNotNull && weight > 0
+    val v = when(ok, value.cast("decimal(18,6)"))
+    val w = when(ok, weight.cast("long"))
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        sum(v * w).cast("decimal(38,6)").as("__vw"),
+        sum(w).as("__w"))
+      .select((keys.map(col) ++ Seq(
+        coalesce(col("__w"), lit(0L)).as("w_total"),
+        when(col("__w") > 0,
+          round(col("__vw").cast("double") / col("__w").cast("double"), 6))
+          .as("avg_weighted"))): _*)
   }
 }

@@ -52,6 +52,32 @@ object AggQueries {
         .orderBy(col("user_id"))
     }),
 
+    // A12c: minMap + maxMap — the other two ClickHouse map
+    // combinators, point-wise per-type value extrema as maps; sorted
+    // entries serialized (the q_sum_map convention)
+    "q_minmax_map" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"),
+          map(col("event_type"), col("value").cast("decimal(18,2)")).as("m"))
+      def ser(c: Column) = array_join(transform(map_entries(c),
+        e => concat(e("key"), lit(":"), e("value").cast("string"))), ",")
+      val mn = graft.operators.AggCombinators.minMap(ev, Seq("user_id"), col("m"))
+      val mx = graft.operators.AggCombinators.maxMap(ev, Seq("user_id"), col("m"))
+      mn.join(mx, Seq("user_id"))
+        .select(col("user_id"), ser(col("min_map")).as("mins"),
+          ser(col("max_map")).as("maxs"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A25: avgWeighted — exact weighted mean per event type under the
+    // q_weighted_quantile weight convention (user_id%5+1)
+    "q_avg_weighted" -> ((s, d) => {
+      graft.operators.AggCombinators.avgWeighted(
+        table(s, d, "events"), Seq("event_type"), col("value"),
+        weight = col("user_id") % 5 + 1)
+        .orderBy(col("event_type"))
+    }),
+
     // A14: incremental materialized aggregate (Summing/Aggregating
     // MergeTree semantics) — the merge-algebra face: three ingest
     // slices partial-aggregated independently, merged, finalized.
@@ -650,6 +676,26 @@ object AggQueries {
            string_agg(event_type || ':' || CAST(s AS VARCHAR), ','
              ORDER BY event_type) AS spend_map
          FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_minmax_map" ->
+      """WITH t AS (SELECT user_id, event_type,
+           CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         g AS (SELECT user_id, event_type, min(v) AS mn, max(v) AS mx
+           FROM t GROUP BY user_id, event_type)
+         SELECT user_id,
+           string_agg(event_type || ':' || CAST(mn AS VARCHAR), ','
+             ORDER BY event_type) AS mins,
+           string_agg(event_type || ':' || CAST(mx AS VARCHAR), ','
+             ORDER BY event_type) AS maxs
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_avg_weighted" ->
+      """SELECT event_type,
+           CAST(coalesce(sum(CASE WHEN value IS NOT NULL
+             THEN user_id % 5 + 1 END), 0) AS BIGINT) AS w_total,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))
+               * (user_id % 5 + 1)) AS DOUBLE)
+             / CAST(sum(CASE WHEN value IS NOT NULL
+                 THEN user_id % 5 + 1 END) AS DOUBLE), 6) AS avg_weighted
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_matview" ->
       """SELECT event_type, count(*) AS n_rows,
            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_v,

@@ -68,6 +68,38 @@ class CombinatorsSpec extends SparkSpec {
     assert(out === Map("A" -> Map("x" -> 1L), "B" -> Map.empty[String, Long]))
   }
 
+  test("minMap/maxMap: point-wise extrema over overlapping keys; empty-map groups survive") {
+    val df = Seq(
+      ("a", Map("x" -> 3.0, "y" -> 1.0)),
+      ("a", Map("x" -> 1.0, "z" -> 5.0)),
+      ("b", Map.empty[String, Double]))
+      .toDF("k", "m").repartition(3)
+    val mn = AggCombinators.minMap(df, Seq("k"), col("m"))
+      .select(col("k"), map_entries(col("min_map")).cast("string"))
+      .as[(String, String)].collect().toMap
+    val mx = AggCombinators.maxMap(df, Seq("k"), col("m"))
+      .select(col("k"), map_entries(col("max_map")).cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(mn("a") === "[{x, 1.0}, {y, 1.0}, {z, 5.0}]")
+    assert(mx("a") === "[{x, 3.0}, {y, 1.0}, {z, 5.0}]")
+    assert(mn("b") === "[]" && mx("b") === "[]")
+  }
+
+  test("avgWeighted: exact decimal sums, null/non-positive weights and null values drop; empty group -> null") {
+    val df = Seq(
+      ("a", Some(10.0), Some(1L)), ("a", Some(20.0), Some(3L)),
+      ("a", Some(99.0), Some(0L)),          // non-positive weight drops
+      ("a", Some(99.0), None),              // null weight drops
+      ("a", None, Some(5L)),                // null value drops
+      ("z", None, Some(1L)))                // all dropped -> null avg
+      .toDF("k", "v", "w")
+    val out = AggCombinators.avgWeighted(df, Seq("k"), col("v"), col("w"))
+      .select("k", "w_total", "avg_weighted")
+      .as[(String, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", 4L, Some((10.0 + 60.0) / 4.0))))
+    assert(out("z") === (("z", 0L, None)))
+  }
+
   test("sumForEach: element-wise sums; ragged arrays pad to the longest; empty groups keep an empty array") {
     val df = Seq(
       ("A", Seq(1L, 2L, 3L)),
