@@ -172,29 +172,9 @@ object StatsAgg {
   def welchTTest(df: DataFrame, keys: Seq[String], value: Column,
       cohort: Column, scale: Int = 2): DataFrame = {
     val factor = math.pow(10.0, scale)
-    val w = floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
-    def side(flag: Boolean, c: Column) = sum(when(cohort === flag, c))
-    val out = df.where(value.isNotNull && cohort.isNotNull)
-      .withColumn("__w", w)
-      .groupBy(keys.map(col): _*)
-      .agg(
-        count(when(cohort === true, lit(1))).as("n1"),
-        count(when(cohort === false, lit(1))).as("n2"),
-        side(true, col("__w")).as("__a1"),
-        side(true, col("__w") * col("__w")).as("__b1"),
-        side(false, col("__w")).as("__a2"),
-        side(false, col("__w") * col("__w")).as("__b2"))
-    def stats(nC: Column, aC: Column, bC: Column) = {
-      val n = nC.cast("double")
-      val s1 = aC.cast("double") / lit(factor)
-      val s2 = bC.cast("double") / lit(factor * factor)
-      val mu = s1 / n
-      // unbiased: Σ(w−μ)²/(n−1) = (S2 − n·μ²)/(n−1)
-      val v = (s2 - n * mu * mu) / (n - lit(1.0))
-      (mu, v)
-    }
-    val (mu1, v1) = stats(col("n1"), col("__a1"), col("__b1"))
-    val (mu2, v2) = stats(col("n2"), col("__a2"), col("__b2"))
+    val out = cohortSums(df, keys, value, cohort, factor)
+    val (mu1, v1) = cohortStats(col("n1"), col("__a1"), col("__b1"), factor)
+    val (mu2, v2) = cohortStats(col("n2"), col("__a2"), col("__b2"), factor)
     val se2 = v1 / col("n1").cast("double") + v2 / col("n2").cast("double")
     val dfW = se2 * se2 / (
       (v1 / col("n1").cast("double")) * (v1 / col("n1").cast("double")) /
@@ -207,6 +187,173 @@ object StatsAgg {
       round(mu1, 6).as("mean1"), round(mu2, 6).as("mean2"),
       when(ok, round((mu1 - mu2) / sqrt(se2), 6)).as("t_stat"),
       when(ok, round(dfW, 6)).as("df"))): _*)
+  }
+
+  /** Student's pooled-variance t statistic between two cohorts per
+    * key — ClickHouse `studentTTest`, the equal-variance companion to
+    * [[welchTTest]] (same cohort convention, same exact conditional
+    * power sums, same single partial+final aggregate):
+    *
+    *   sp² = ((n1−1)v1 + (n2−1)v2) / (n1+n2−2)
+    *   t   = (μ1 − μ2) / sqrt(sp²·(1/n1 + 1/n2)),  df = n1+n2−2
+    *
+    * Keys where either cohort is empty, n1+n2 < 3, or the pooled
+    * variance vanishes yield null t. Output: keys :+ (n1, n2, mean1,
+    * mean2, t_stat, df), doubles rounded to 6.
+    */
+  def studentTTest(df: DataFrame, keys: Seq[String], value: Column,
+      cohort: Column, scale: Int = 2): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    val out = cohortSums(df, keys, value, cohort, factor)
+    val (mu1, v1) = cohortStats(col("n1"), col("__a1"), col("__b1"), factor)
+    val (mu2, v2) = cohortStats(col("n2"), col("__a2"), col("__b2"), factor)
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val dfS = n1 + n2 - lit(2.0)
+    val sp2 = ((n1 - lit(1.0)) * v1 + (n2 - lit(1.0)) * v2) / dfS
+    val se2 = sp2 * (lit(1.0) / n1 + lit(1.0) / n2)
+    val ok = col("n1") > 0 && col("n2") > 0 && col("n1") + col("n2") > 2 &&
+      se2 > lit(1e-12)
+    out.select((keys.map(col) ++ Seq(
+      col("n1"), col("n2"),
+      round(mu1, 6).as("mean1"), round(mu2, 6).as("mean2"),
+      when(ok, round((mu1 - mu2) / sqrt(se2), 6)).as("t_stat"),
+      when(col("n1") + col("n2") > 2, dfS.cast("long")).as("df"))): _*)
+  }
+
+  /** Shared cohort machinery for the two-sample t tests: one
+    * partial+final aggregate carrying each cohort's exact fixed-point
+    * S1/S2 power sums ([[moments]] discipline) as conditional sums —
+    * the cohorts never shuffle apart.
+    */
+  private def cohortSums(df: DataFrame, keys: Seq[String], value: Column,
+      cohort: Column, factor: Double): DataFrame = {
+    val w = floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
+    def side(flag: Boolean, c: Column) = sum(when(cohort === flag, c))
+    df.where(value.isNotNull && cohort.isNotNull)
+      .withColumn("__w", w)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(when(cohort === true, lit(1))).as("n1"),
+        count(when(cohort === false, lit(1))).as("n2"),
+        side(true, col("__w")).as("__a1"),
+        side(true, col("__w") * col("__w")).as("__b1"),
+        side(false, col("__w")).as("__a2"),
+        side(false, col("__w") * col("__w")).as("__b2"))
+  }
+
+  /** (mean, unbiased variance) from one cohort's exact power sums:
+    * Σ(w−μ)²/(n−1) = (S2 − n·μ²)/(n−1). */
+  private def cohortStats(nC: Column, aC: Column, bC: Column,
+      factor: Double): (Column, Column) = {
+    val n = nC.cast("double")
+    val s1 = aC.cast("double") / lit(factor)
+    val s2 = bC.cast("double") / lit(factor * factor)
+    val mu = s1 / n
+    (mu, (s2 - n * mu * mu) / (n - lit(1.0)))
+  }
+
+  /** Spearman rank correlation per key — ClickHouse `rankCorr`.
+    * Ties take the average (fractional) rank; the repro trick is that
+    * DOUBLED average ranks are exact integers:
+    *
+    *   2·avgrank = 2·minrank + peers − 1
+    *
+    * (minrank from `rank()`, peers from a RANGE `CURRENT ROW`-to-
+    * `CURRENT ROW` frame count over the SAME sort — all x-equal rows
+    * are frame peers, so no extra window exchange). Pearson's formula
+    * over the doubled ranks equals Spearman's ρ exactly (correlation
+    * is scale-invariant), and all five sums are exact DECIMAL
+    * integers — the [[moments]] discipline; the final ρ is one fixed
+    * double tree, bit-identical cross-engine. Null x or y rows drop
+    * (pairwise deletion, as in ClickHouse).
+    *
+    * Plan: ONE hash exchange on keys, two sorts (x-ranks, y-ranks)
+    * reusing it, one partial+final aggregate on the same key hash —
+    * rank correlation at the cost of one shuffle. A constant margin
+    * (all x equal or all y equal) yields null. Output: keys :+
+    * (n_rows, rank_corr), ρ rounded to 6.
+    */
+  def rankCorr(df: DataFrame, keys: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    val base = df.where(x.isNotNull && y.isNotNull)
+      .select((keys.map(col) :+ x.as("__x")) :+ y.as("__y"): _*)
+    def rank2(v: String) = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(v))
+      val peers = count(lit(1))
+        .over(w.rangeBetween(Window.currentRow, Window.currentRow))
+      (rank().over(w).cast("long") * 2 + peers - 1).cast("decimal(19,0)")
+    }
+    val ranked = base
+      .withColumn("__rx", rank2("__x"))
+      .withColumn("__ry", rank2("__y"))
+    val agg = ranked.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"))
+    val n = col("n_rows").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    val cov = n * d("__sxy") - d("__sx") * d("__sy")
+    agg.select((keys.map(col) ++ Seq(
+      col("n_rows"),
+      when(varX > lit(0.0) && varY > lit(0.0),
+        round(cov / sqrt(varX) / sqrt(varY), 6)).as("rank_corr"))): _*)
+  }
+
+  /** Mann–Whitney U rank-sum test between two cohorts per key —
+    * ClickHouse `mannWhitneyUTest`'s U statistics plus the
+    * tie-corrected normal z (the p-value is one erfc away, out of
+    * scope — the [[welchTTest]] posture). Same cohort convention as
+    * the t tests; ranks run over the POOLED sample with [[rankCorr]]'s
+    * exact doubled-average-rank machinery, so 2·R1 (doubled cohort-1
+    * rank sum) is an exact integer and
+    *
+    *   U1 = R1 − n1(n1+1)/2,  U2 = n1·n2 − U1
+    *   z  = (U1 − n1n2/2) / sqrt( n1n2/12 · (n+1 − ΣT/(n(n−1))) )
+    *
+    * with the tie term ΣT = Σ_groups(t³−t) folded as the exact
+    * per-row sum Σ_rows(t²−1) (each of the t peer rows contributes
+    * t²−1). No continuity correction (ClickHouse's default). Plan:
+    * one key exchange, one sort, one aggregate. Keys with an empty
+    * cohort or an all-tied sample (σ = 0) yield null z. Output:
+    * keys :+ (n1, n2, u1, u2, z_stat), u/z rounded to 6.
+    */
+  def mannWhitneyUTest(df: DataFrame, keys: Seq[String], value: Column,
+      cohort: Column): DataFrame = {
+    val base = df.where(value.isNotNull && cohort.isNotNull)
+      .select((keys.map(col) :+ value.as("__v")) :+ cohort.as("__c"): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+    val peers = count(lit(1))
+      .over(w.rangeBetween(Window.currentRow, Window.currentRow))
+    val ranked = base
+      .withColumn("__r2",
+        (rank().over(w).cast("long") * 2 + peers - 1).cast("decimal(19,0)"))
+      .withColumn("__tt",
+        peers.cast("decimal(19,0)") * peers.cast("decimal(19,0)") - 1)
+    val agg = ranked.groupBy(keys.map(col): _*)
+      .agg(
+        count(when(col("__c") === true, lit(1))).as("n1"),
+        count(when(col("__c") === false, lit(1))).as("n2"),
+        sum(when(col("__c") === true, col("__r2"))).as("__r1x2"),
+        sum(col("__tt")).as("__ties"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val n = n1 + n2
+    val u1 = (col("__r1x2").cast("double") - n1 * (n1 + lit(1.0))) / lit(2.0)
+    val sigma2 = n1 * n2 / lit(12.0) *
+      (n + lit(1.0) - col("__ties").cast("double") / (n * (n - lit(1.0))))
+    val ok = col("n1") > 0 && col("n2") > 0 && sigma2 > lit(1e-12)
+    agg.select((keys.map(col) ++ Seq(
+      col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0, round(u1, 6)).as("u1"),
+      when(col("n1") > 0 && col("n2") > 0,
+        round(n1 * n2 - u1, 6)).as("u2"),
+      when(ok, round((u1 - n1 * n2 / lit(2.0)) / sqrt(sigma2), 6))
+        .as("z_stat"))): _*)
   }
 
   /** `boundingRatio`: the slope of the line between the leftmost and

@@ -311,6 +311,36 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A17d: Student's pooled-variance t between the same cohorts —
+    // the equal-variance companion, same exact conditional power sums
+    "q_student_ttest" -> ((s, d) => {
+      graft.operators.StatsAgg.studentTTest(
+        table(s, d, "events"), Seq("event_type"), col("value"),
+        cohort = col("user_id") % 2 === 0)
+        .orderBy(col("event_type"))
+    }),
+
+    // A26: Spearman rank correlation between value and user id per
+    // event type — doubled average ranks are exact integers, Pearson
+    // over them is Spearman exactly
+    "q_rank_corr" -> ((s, d) => {
+      graft.operators.StatsAgg.rankCorr(
+        table(s, d, "events"), Seq("event_type"),
+        x = col("value"), y = col("user_id"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A26b: Mann–Whitney U between even- and odd-user cohorts per
+    // event type — pooled-sample doubled ranks, tie-corrected z
+    "q_mann_whitney" -> ((s, d) => {
+      graft.operators.StatsAgg.mannWhitneyUTest(
+        table(s, d, "events")
+          .where(col("user_id").isNotNull),
+        Seq("event_type"), col("value"),
+        cohort = col("user_id") % 2 === 0)
+        .orderBy(col("event_type"))
+    }),
+
     // A23: groupArrayMovingAvg(3) — each user's trailing-3 moving
     // average of value in (ts, event_id) order, exact DECIMAL window
     // sums divided by actual width; serialized for the oracle
@@ -958,6 +988,115 @@ object AggQueries {
                + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
                  / (CAST(n2 AS DOUBLE) - 1.0)), 6) END AS df
          FROM t ORDER BY event_type""",
+    // A17d: same conditional power sums, pooled variance
+    "q_student_ttest" ->
+      """WITH w AS (SELECT event_type, user_id % 2 = 0 AS c,
+             CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT event_type,
+             count(*) FILTER (WHERE c) AS n1,
+             count(*) FILTER (WHERE NOT c) AS n2,
+             sum(w) FILTER (WHERE c) AS a1,
+             sum(w*w) FILTER (WHERE c) AS b1,
+             sum(w) FILTER (WHERE NOT c) AS a2,
+             sum(w*w) FILTER (WHERE NOT c) AS b2
+           FROM w GROUP BY event_type),
+         m AS (SELECT event_type, n1, n2,
+             CAST(a1 AS DOUBLE) / 100.0 / CAST(n1 AS DOUBLE) AS mu1,
+             CAST(a2 AS DOUBLE) / 100.0 / CAST(n2 AS DOUBLE) AS mu2,
+             (CAST(b1 AS DOUBLE) / 10000.0
+               - CAST(n1 AS DOUBLE)
+                 * (CAST(a1 AS DOUBLE)/100.0/CAST(n1 AS DOUBLE))
+                 * (CAST(a1 AS DOUBLE)/100.0/CAST(n1 AS DOUBLE)))
+               / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+             (CAST(b2 AS DOUBLE) / 10000.0
+               - CAST(n2 AS DOUBLE)
+                 * (CAST(a2 AS DOUBLE)/100.0/CAST(n2 AS DOUBLE))
+                 * (CAST(a2 AS DOUBLE)/100.0/CAST(n2 AS DOUBLE)))
+               / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+           FROM s),
+         t AS (SELECT event_type, n1, n2, mu1, mu2,
+             ((CAST(n1 AS DOUBLE) - 1.0) * v1
+               + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)
+               * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))
+               AS se2
+           FROM m)
+         SELECT event_type, n1, n2,
+           round(mu1, 6) AS mean1, round(mu2, 6) AS mean2,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2 AND se2 > 1e-12
+             THEN round((mu1 - mu2) / sqrt(se2), 6) END AS t_stat,
+           CASE WHEN n1 + n2 > 2
+             THEN CAST(n1 + n2 - 2 AS BIGINT) END AS df
+         FROM t ORDER BY event_type""",
+    // A26: doubled average ranks (2·minrank + peers − 1, exact
+    // integers) → Pearson over exact HUGEINT sums; one fixed double
+    // tree mirrored operand-for-operand
+    "q_rank_corr" ->
+      """WITH e AS (SELECT event_type, value AS x, user_id AS y
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         r AS (SELECT event_type,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+               + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+               + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+           FROM e),
+         s AS (SELECT event_type, count(*) AS n_rows,
+             sum(CAST(rx AS HUGEINT)) AS sx,
+             sum(CAST(ry AS HUGEINT)) AS sy,
+             sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+             sum(CAST(ry AS HUGEINT) * ry) AS syy,
+             sum(CAST(rx AS HUGEINT) * ry) AS sxy
+           FROM r GROUP BY event_type),
+         v AS (SELECT event_type, n_rows,
+             CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+             CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+           FROM s)
+         SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+           CASE WHEN vx > 0.0 AND vy > 0.0
+             THEN round(cv / sqrt(vx) / sqrt(vy), 6) END AS rank_corr
+         FROM v ORDER BY event_type""",
+    // A26b: pooled-sample doubled ranks; tie term Σ(t³−t) folded as
+    // the per-row Σ(t²−1)
+    "q_mann_whitney" ->
+      """WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         r AS (SELECT event_type, c,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+               + count(*) OVER (PARTITION BY event_type, v) - 1 AS r2,
+             count(*) OVER (PARTITION BY event_type, v) AS t
+           FROM e),
+         s AS (SELECT event_type,
+             count(*) FILTER (WHERE c) AS n1,
+             count(*) FILTER (WHERE NOT c) AS n2,
+             sum(CAST(r2 AS HUGEINT)) FILTER (WHERE c) AS r1x2,
+             sum(CAST(t AS HUGEINT) * t - 1) AS ties
+           FROM r GROUP BY event_type),
+         u AS (SELECT event_type, n1, n2,
+             CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+             CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd,
+             (CAST(r1x2 AS DOUBLE)
+               - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+               AS u1,
+             CAST(ties AS DOUBLE) AS td
+           FROM s),
+         z AS (SELECT event_type, n1, n2, u1,
+             n1d * n2d - u1 AS u2,
+             n1d * n2d / 12.0
+               * (nd + 1.0 - td / (nd * (nd - 1.0))) AS sigma2,
+             n1d, n2d
+           FROM u)
+         SELECT event_type, n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN round(u1, 6) END AS u1,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN round(u2, 6) END AS u2,
+           CASE WHEN n1 > 0 AND n2 > 0 AND sigma2 > 1e-12
+             THEN round((u1 - n1d * n2d / 2.0) / sqrt(sigma2), 6)
+           END AS z_stat
+         FROM z ORDER BY event_type""",
     // A23: exact DECIMAL trailing-window sums / width; the window
     // frame is the same trailing-3 rows in both engines
     "q_moving_avg" ->

@@ -145,6 +145,88 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out("z")._4.get === 0.0)
   }
 
+  test("studentTTest: balanced cohorts → identical to Welch; known pooled case matches the scalar formula") {
+    val a = Seq(10.0, 12.0, 14.0)
+    val b = Seq(1.0, 2.0, 3.0, 4.0)
+    val rows = a.map(("k", true, _)) ++ b.map(("k", false, _)) ++
+      // balanced cohorts: Welch's se² = (v1+v2)/n = Student's se² exactly
+      Seq(("z", true, 5.0), ("z", false, 4.0), ("z", true, 9.0),
+        ("z", false, 6.0), ("z", true, 2.0), ("z", false, 8.0))
+    val df = rows.toDF("k", "c", "v").repartition(3)
+    val st = graft.operators.StatsAgg.studentTTest(
+      df, Seq("k"), col("v"), col("c"))
+      .select("k", "n1", "n2", "t_stat", "df")
+      .as[(String, Long, Long, Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    def varU(xs: Seq[Double]) = {
+      val mu = xs.sum / xs.size
+      xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1)
+    }
+    val sp2 = ((a.size - 1) * varU(a) + (b.size - 1) * varU(b)) /
+      (a.size + b.size - 2)
+    val t = (a.sum / a.size - b.sum / b.size) /
+      math.sqrt(sp2 * (1.0 / a.size + 1.0 / b.size))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(st("k")._4.get === r6(t) && st("k")._5.get === (a.size + b.size - 2L))
+    val welchZ = graft.operators.StatsAgg.welchTTest(
+      df, Seq("k"), col("v"), col("c"))
+      .where(col("k") === "z").select("t_stat").as[Double].head()
+    assert(st("z")._4.get === welchZ)
+  }
+
+  test("rankCorr: monotone → 1, reversed → -1, constant margin → null, invariant under monotone transform") {
+    val xs = Seq(1.0, 2.0, 5.0, 9.0, 9.0, 12.0)
+    val rows = xs.zipWithIndex.map { case (x, i) => ("up", x, i.toDouble) } ++
+      xs.zipWithIndex.map { case (x, i) => ("dn", x, -i.toDouble) } ++
+      xs.map(("flat", _, 3.0))
+    val df = rows.toDF("k", "x", "y").repartition(4)
+    val out = graft.operators.StatsAgg.rankCorr(df, Seq("k"), col("x"), col("y"))
+      .select("k", "rank_corr").as[(String, Option[Double])]
+      .collect().toMap
+    // x has one tie (9.0 twice) against strictly monotone y, so |ρ| < 1
+    assert(out("up").get > 0.98 && out("up").get < 1.0)
+    assert(out("dn").get === -out("up").get)
+    assert(out("flat").isEmpty)
+    // Spearman sees only ranks: exp(x) has the same ranks as x
+    val tr = graft.operators.StatsAgg.rankCorr(
+      df.withColumn("x", exp(col("x"))), Seq("k"), col("x"), col("y"))
+      .select("k", "rank_corr").as[(String, Option[Double])].collect().toMap
+    assert(tr === out)
+    // strictly monotone, tie-free → exactly 1
+    val strict = graft.operators.StatsAgg.rankCorr(
+      Seq(("s", 1.0, 10.0), ("s", 2.0, 20.0), ("s", 7.0, 70.0))
+        .toDF("k", "x", "y"), Seq("k"), col("x"), col("y"))
+      .select("rank_corr").as[Double].head()
+    assert(strict === 1.0)
+  }
+
+  test("mannWhitneyUTest: U1+U2 = n1·n2, cohort swap mirrors U and flips z; hand-computed tied case") {
+    // hand case: true = {1, 2, 2}, false = {2, 3}
+    // pooled sorted: 1(r1), 2,2,2 (avg rank 3), 3 (r5)
+    // R1 = 1 + 3 + 3 = 7, U1 = 7 − 3·4/2 = 1, U2 = 3·2 − 1 = 5
+    val rows = Seq(("k", true, 1.0), ("k", true, 2.0), ("k", true, 2.0),
+      ("k", false, 2.0), ("k", false, 3.0))
+    val df = rows.toDF("k", "c", "v").repartition(2)
+    val out = graft.operators.StatsAgg.mannWhitneyUTest(
+      df, Seq("k"), col("v"), col("c"))
+      .select("n1", "n2", "u1", "u2", "z_stat")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(out._1 === 3L && out._2 === 2L)
+    assert(out._3 === 1.0 && out._4 === 5.0)
+    val sw = graft.operators.StatsAgg.mannWhitneyUTest(
+      df.withColumn("c", !col("c")), Seq("k"), col("v"), col("c"))
+      .select("u1", "u2", "z_stat")
+      .as[(Double, Double, Double)].head()
+    assert(sw._1 === out._4 && sw._2 === out._3 && sw._3 === -out._5)
+    // all-tied sample: σ = 0 → null z; the cross-cohort tie counts
+    // half, so U1 = avgrank 1.5 − 1·2/2 = 0.5
+    val tied = graft.operators.StatsAgg.mannWhitneyUTest(
+      Seq(("t", true, 5.0), ("t", false, 5.0)).toDF("k", "c", "v"),
+      Seq("k"), col("v"), col("c"))
+      .select("u1", "z_stat").as[(Double, Option[Double])].head()
+    assert(tied._1 === 0.5 && tied._2.isEmpty)
+  }
+
   test("groupArrayMovingSum/Avg: trailing window, short head, imposed order, repartition-stable") {
     import graft.operators.AggCombinators
     val df = Seq(("k", 3L, "3.00"), ("k", 1L, "1.00"), ("k", 2L, "2.00"),
