@@ -104,6 +104,95 @@ object StatsAgg {
       .drop("__r", "__c", "__sum")
   }
 
+  /** The full categorical-association panel per key — ClickHouse's
+    * `cramersV` / `cramersVBiasCorrected` / `contingency` / `theilsU`
+    * in one operator over one shared contingency core ([[cramersV]]
+    * stays as the single-statistic face):
+    *
+    *   φ² = χ²/n                       (χ² via the o²·n/(ra·cb) identity)
+    *   V  = sqrt(φ² / (min(r,c) − 1))
+    *   V⁺ = sqrt(max(0, φ² − (r−1)(c−1)/(n−1)) / (min(r̃,c̃) − 1)),
+    *        r̃ = r − (r−1)²/(n−1)       (Bergsma 2013 bias correction)
+    *   C  = sqrt(χ² / (χ² + n))        (Pearson's contingency coefficient)
+    *   U(a|b) = (H(a) + H(b) − H(a,b)) / H(a)   (uncertainty coefficient;
+    *        H(a|b) = H(a,b) − H(b) eliminated, count-only entropies)
+    *
+    * One corpus scan: the (keys, a, b) cell count is the only pass
+    * over input rows; margins ride the cell table's windows, and the
+    * marginal-entropy terms attach to ONE representative row per
+    * margin group (a `row_number` on the SAME margin partitioning —
+    * no extra pass, no distinct-margin join back to the corpus), so
+    * the closing fold is a single keys-level aggregate. All counts
+    * exact, every log/χ² term round-9 DECIMAL-summed (the [[entropy]]
+    * discipline); mutual information clamped at 0 and U at 1 — the
+    * identities hold exactly, the clamps kill round-9 residue (and
+    * the −0.0 hash hazard). Degenerate margins: r = c = 1 yields null
+    * V/V⁺/U; H(a) = 0 yields null U(a|b). Output: keys :+ (n_rows,
+    * chi2, cramers_v, cramers_v_bc, contingency, theils_u_ab,
+    * theils_u_ba), round-6.
+    */
+  def association(df: DataFrame, keys: Seq[String], a: Column,
+      b: Column): DataFrame = {
+    val cells = df.groupBy((keys.map(col) :+ a.as("__a")) :+ b.as("__b"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val wa = Window.partitionBy((keys.map(col) :+ col("__a")): _*)
+    val wb = Window.partitionBy((keys.map(col) :+ col("__b")): _*)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    def term9(c: Column) = round(c, 9).cast("decimal(28,9)")
+    def clogc(c: Column) =
+      term9(c.cast("double") * log2(c.cast("double")))
+    val annotated = cells
+      .withColumn("__ra", sum(col("__o")).over(wa))
+      .withColumn("__cb", sum(col("__o")).over(wb))
+      .withColumn("__n", sum(col("__o")).over(wk))
+      // one representative row per margin group carries its entropy
+      // term — row_number rides the SAME margin partitioning (the
+      // pick is order-free: the term only depends on the margin sum)
+      .withColumn("__rna", row_number().over(wa.orderBy(col("__b"))))
+      .withColumn("__rnb", row_number().over(wb.orderBy(col("__a"))))
+    val agg = annotated
+      .withColumn("__tchi", term9(
+        col("__o").cast("double") * col("__o").cast("double") *
+          col("__n").cast("double") /
+          (col("__ra").cast("double") * col("__cb").cast("double"))))
+      .withColumn("__tab", clogc(col("__o")))
+      .withColumn("__ta", when(col("__rna") === 1, clogc(col("__ra"))))
+      .withColumn("__tb", when(col("__rnb") === 1, clogc(col("__cb"))))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n_rows"),
+        count_distinct(col("__a")).as("__r"),
+        count_distinct(col("__b")).as("__c"),
+        sum(col("__tchi")).as("__schi"),
+        sum(col("__tab")).as("__sab"),
+        sum(col("__ta")).as("__sa"),
+        sum(col("__tb")).as("__sb"))
+    val n = col("n_rows").cast("double")
+    val r = col("__r").cast("double")
+    val c = col("__c").cast("double")
+    val chi2 = greatest(col("__schi").cast("double") - n, lit(0.0))
+    def h(s: String) = log2(n) - col(s).cast("double") / n
+    val (ha, hb, hab) = (h("__sa"), h("__sb"), h("__sab"))
+    val mi = greatest(ha + hb - hab, lit(0.0))
+    val phi2 = chi2 / n
+    val kMin = least(col("__r"), col("__c"))
+    val phi2p = greatest(phi2 - (r - 1.0) * (c - 1.0) / (n - 1.0), lit(0.0))
+    val rT = r - (r - 1.0) * (r - 1.0) / (n - 1.0)
+    val cT = c - (c - 1.0) * (c - 1.0) / (n - 1.0)
+    val bcDen = least(rT, cT) - lit(1.0)
+    agg.select((keys.map(col) ++ Seq(
+      col("n_rows"),
+      round(chi2, 6).as("chi2"),
+      when(kMin > 1L, round(sqrt(phi2 / (kMin.cast("double") - 1.0)), 6))
+        .as("cramers_v"),
+      when(col("n_rows") > 1L && bcDen > lit(0.0),
+        round(sqrt(phi2p / bcDen), 6)).as("cramers_v_bc"),
+      round(sqrt(chi2 / (chi2 + n)), 6).as("contingency"),
+      when(ha > lit(0.0), round(least(mi / ha, lit(1.0)), 6))
+        .as("theils_u_ab"),
+      when(hb > lit(0.0), round(least(mi / hb, lit(1.0)), 6))
+        .as("theils_u_ba"))): _*)
+  }
+
   /** Exact-moment shape statistics per key — ClickHouse `skewPop` /
     * `kurtPop`. Spark's builtin `skewness`/`kurtosis` accumulate
     * doubles in partition order (cross-engine irreproducible, the A17

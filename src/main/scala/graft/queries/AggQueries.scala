@@ -280,6 +280,22 @@ object AggQueries {
         .orderBy(col("dow"))
     }),
 
+    // A20c: the full association panel over the q_cramers_v triple —
+    // χ², V, bias-corrected V, contingency coefficient, Theil's U
+    // both directions, one corpus scan
+    "q_association" -> ((s, d) => {
+      val ep = graft.Tables.epochSeconds(col("ts"))
+      val ev = table(s, d, "events").select(
+        pmod(floor(ep / 86400L), lit(7)).cast("long").as("dow"),
+        col("event_type"),
+        when(col("value").isNotNull,
+          least(floor(col("value") / 200.0), lit(4.0))).cast("long")
+          .as("band"))
+      graft.operators.StatsAgg.association(
+        ev, Seq("dow"), col("event_type"), col("band"))
+        .orderBy(col("dow"))
+    }),
+
     // A21: boundingRatio — per event type, the slope between the
     // earliest and latest (ts, value) points, endpoints made total by
     // the event_id tiebreak (the W1 discipline)
@@ -895,6 +911,79 @@ object AggQueries {
                    AS DOUBLE)), 6)
            END AS cramers_v
          FROM t GROUP BY dow ORDER BY dow""",
+    // A20c: same cell/margin machinery; marginal-entropy terms attach
+    // to one representative row per margin group (order-free pick —
+    // the term depends only on the margin sum); every tree mirrored
+    // operand-for-operand
+    "q_association" ->
+      """WITH e AS (SELECT
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 % 7
+               AS dow,
+             event_type,
+             CAST(CASE WHEN value IS NOT NULL THEN
+                 least(floor(CAST(value AS DOUBLE) / 200.0), 4.0) END
+               AS BIGINT) AS band
+           FROM events),
+         cells AS (SELECT dow, event_type AS a, band AS b, count(*) AS o
+           FROM e GROUP BY dow, event_type, band),
+         m AS (SELECT dow, a, b, o,
+             sum(o) OVER (PARTITION BY dow, a) AS ra,
+             sum(o) OVER (PARTITION BY dow, b) AS cb,
+             sum(o) OVER (PARTITION BY dow) AS n,
+             row_number() OVER (PARTITION BY dow, a ORDER BY b) AS rna,
+             row_number() OVER (PARTITION BY dow, b ORDER BY a) AS rnb
+           FROM cells),
+         t AS (SELECT dow, a, b, n,
+             CAST(round(
+               CAST(o AS DOUBLE) * CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+               / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) AS tchi,
+             CAST(round(CAST(o AS DOUBLE) * log2(CAST(o AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) AS tab,
+             CASE WHEN rna = 1 THEN
+               CAST(round(CAST(ra AS DOUBLE) * log2(CAST(ra AS DOUBLE)), 9)
+                 AS DECIMAL(28,9)) END AS ta,
+             CASE WHEN rnb = 1 THEN
+               CAST(round(CAST(cb AS DOUBLE) * log2(CAST(cb AS DOUBLE)), 9)
+                 AS DECIMAL(28,9)) END AS tb
+           FROM m),
+         s AS (SELECT dow, max(n) AS n_rows,
+             count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+             sum(tchi) AS schi, sum(tab) AS sab,
+             sum(ta) AS sa, sum(tb) AS sb
+           FROM t GROUP BY dow),
+         f AS (SELECT dow, n_rows, r, c,
+             CAST(n_rows AS DOUBLE) AS nd,
+             CAST(r AS DOUBLE) AS rd, CAST(c AS DOUBLE) AS cd,
+             greatest(CAST(schi AS DOUBLE) - CAST(n_rows AS DOUBLE), 0.0)
+               AS chi2,
+             log2(CAST(n_rows AS DOUBLE))
+               - CAST(sa AS DOUBLE) / CAST(n_rows AS DOUBLE) AS ha,
+             log2(CAST(n_rows AS DOUBLE))
+               - CAST(sb AS DOUBLE) / CAST(n_rows AS DOUBLE) AS hb,
+             log2(CAST(n_rows AS DOUBLE))
+               - CAST(sab AS DOUBLE) / CAST(n_rows AS DOUBLE) AS hab
+           FROM s),
+         g AS (SELECT dow, n_rows, r, c, nd, rd, cd, chi2, ha, hb,
+             greatest(ha + hb - hab, 0.0) AS mi,
+             greatest(chi2 / nd - (rd - 1.0) * (cd - 1.0) / (nd - 1.0),
+               0.0) AS phi2p,
+             least(rd - (rd - 1.0) * (rd - 1.0) / (nd - 1.0),
+               cd - (cd - 1.0) * (cd - 1.0) / (nd - 1.0)) - 1.0 AS bcden
+           FROM f)
+         SELECT dow, CAST(n_rows AS BIGINT) AS n_rows,
+           round(chi2, 6) AS chi2,
+           CASE WHEN least(r, c) > 1 THEN
+             round(sqrt(chi2 / nd
+               / (CAST(least(r, c) AS DOUBLE) - 1.0)), 6) END AS cramers_v,
+           CASE WHEN n_rows > 1 AND bcden > 0.0 THEN
+             round(sqrt(phi2p / bcden), 6) END AS cramers_v_bc,
+           round(sqrt(chi2 / (chi2 + nd)), 6) AS contingency,
+           CASE WHEN ha > 0.0 THEN round(least(mi / ha, 1.0), 6) END
+             AS theils_u_ab,
+           CASE WHEN hb > 0.0 THEN round(least(mi / hb, 1.0), 6) END
+             AS theils_u_ba
+         FROM g ORDER BY dow""",
     // A21: endpoint picks via directional row_number (the q_ohlc
     // tiebreak pattern); degenerate spans yield null
     "q_bounding_ratio" ->

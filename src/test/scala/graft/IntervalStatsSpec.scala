@@ -93,6 +93,41 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out("d")._3 === None)
   }
 
+  test("association: perfect = V 1/U 1, independence = all 0, degenerate margins null; V face agrees") {
+    // perfect: a determines b bijectively (2 categories, balanced)
+    val perfect = Seq.fill(4)(("p", "x", "1")) ++ Seq.fill(4)(("p", "y", "2"))
+    // independent: uniform product table over 2×2
+    val indep = for { a <- Seq("x", "y"); b <- Seq("1", "2"); _ <- 1 to 3 }
+      yield ("i", a, b)
+    // degenerate: a constant, b varies
+    val degen = Seq(("d", "only", "1"), ("d", "only", "2"))
+    val df = (perfect ++ indep ++ degen).toDF("k", "a", "b").repartition(3)
+    val out = graft.operators.StatsAgg.association(
+      df, Seq("k"), col("a"), col("b"))
+      .select("k", "chi2", "cramers_v", "cramers_v_bc", "contingency",
+        "theils_u_ab", "theils_u_ba")
+      .as[(String, Double, Option[Double], Option[Double], Double,
+        Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val p = out("p")
+    // χ² = n·(k−1) = 8, C = sqrt(8/16) = sqrt(.5)
+    assert(p._2 === 8.0 && p._3.get === 1.0)
+    assert(p._5 === math.round(math.sqrt(0.5) * 1e6) / 1e6)
+    assert(p._6.get === 1.0 && p._7.get === 1.0)
+    val i = out("i")
+    assert(i._2 === 0.0 && i._3.get === 0.0 && i._4.get === 0.0 &&
+      i._5 === 0.0 && i._6.get === 0.0 && i._7.get === 0.0)
+    val dg = out("d")
+    // constant a: no association to measure; H(a)=0 → U(a|b) null,
+    // U(b|a) = 0 (b varies, mi = 0)
+    assert(dg._3.isEmpty && dg._6.isEmpty && dg._7.get === 0.0)
+    // the single-statistic face agrees with the panel
+    val vFace = graft.operators.StatsAgg.cramersV(
+      df, Seq("k"), col("a"), col("b"))
+      .select("k", "cramers_v").as[(String, Option[Double])].collect().toMap
+    assert(out.map { case (k, r) => k -> r._3 } === vFace)
+  }
+
   test("moments: symmetric → skew 0; uniform kurtosis 1.8-ish; constant → null; matches scalar reference") {
     // symmetric triple {−1, 0, 1} per key: μ=0, m2=2/3, m3=0, m4=2/3
     // → skew 0, kurt = (2/3)/(4/9) = 1.5
