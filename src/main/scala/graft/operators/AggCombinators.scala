@@ -161,6 +161,82 @@ object AggCombinators {
         (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc))
   }
 
+  /** ClickHouse's `exponentialTimeDecayedSum` — the TIME-aware decay
+    * read (the gap between points sets the decay, not the step
+    * count, unlike [[exponentialMovingAverage]]): at each point k of
+    * the t-ordered series,
+    *
+    *   S_k = Σ_{i≤k} x_i · 2^(−(t_k−t_i)/halflife)
+    *
+    * folded as the linear recurrence S_k = S_{k−1}·2^(−Δt/h) + x_k in
+    * caller-imposed order (ClickHouse's λ form is exp(−Δt/λ); base-2
+    * halflife here, λ = h/ln 2). Returns the per-row running series
+    * as an array in `order` order. Determinism: when Δt/h is an
+    * integer (bucket t to the halflife grid), every decay factor is
+    * an EXACT power of two, so each step is exact IEEE scaling + add
+    * and the series is bit-identical in any engine folding the same
+    * order — the regime the oracle query runs in; fractional Δt/h is
+    * supported but pow() may differ by ulps across libm
+    * implementations. Group size is the caller's scale bound (the
+    * collect-combinator posture); per-element emit makes the fold
+    * O(n²) in group size — a per-key read face, not a corpus pass.
+    * Null values must be filtered upstream.
+    */
+  def exponentialTimeDecayedSum(value: Column, time: Column,
+      order: Seq[Column], halflife: Double): Column =
+    timeDecayedSeries(value, time, order, halflife)((s, _, _) => s)
+
+  /** The count face: C_k = Σ_{i≤k} 2^(−(t_k−t_i)/h) — ClickHouse
+    * `exponentialTimeDecayedCount` (the value column is ignored
+    * beyond row existence). */
+  def exponentialTimeDecayedCount(time: Column, order: Seq[Column],
+      halflife: Double): Column =
+    timeDecayedSeries(lit(1.0), time, order, halflife)((_, c, _) => c)
+
+  /** The avg face: S_k/C_k — ClickHouse `exponentialTimeDecayedAvg`,
+    * a proper time-weighted mean of the recent past. */
+  def exponentialTimeDecayedAvg(value: Column, time: Column,
+      order: Seq[Column], halflife: Double): Column =
+    timeDecayedSeries(value, time, order, halflife)((s, c, _) => s / c)
+
+  /** The max face: M_k = max_{i≤k} x_i·2^(−(t_k−t_i)/h), folded as
+    * M_k = max(M_{k−1}·2^(−Δt/h), x_k) — ClickHouse
+    * `exponentialTimeDecayedMax`. */
+  def exponentialTimeDecayedMax(value: Column, time: Column,
+      order: Seq[Column], halflife: Double): Column =
+    timeDecayedSeries(value, time, order, halflife)((_, _, m) => m)
+
+  /** Shared fold for the four `exponentialTimeDecayed*` faces: one
+    * sorted collect per group, one `aggregate` carrying
+    * (t, S, C, M, out) — the three decay states ride a single pass
+    * regardless of which face reads them (Catalyst prunes nothing
+    * here, but the states are three doubles; the array is the cost).
+    */
+  private def timeDecayedSeries(value: Column, time: Column,
+      order: Seq[Column], halflife: Double)(
+      emit: (Column, Column, Column) => Column): Column = {
+    require(halflife > 0.0, s"halflife must be positive: $halflife")
+    val fields = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } ++
+      Seq(time.cast("double").as("__t"), value.cast("double").as("__v"))
+    val sorted = sort_array(collect_list(struct(fields: _*)))
+    val h1 = element_at(sorted, 1)
+    when(size(sorted) > 0,
+      aggregate(
+        slice(sorted, lit(2), greatest(size(sorted) - 1, lit(0))),
+        struct(h1("__t").as("t"), h1("__v").as("s"), lit(1.0).as("c"),
+          h1("__v").as("m"),
+          array(emit(h1("__v"), lit(1.0), h1("__v"))).as("out")),
+        (acc, e) => {
+          val d = pow(lit(2.0), (acc("t") - e("__t")) / lit(halflife))
+          val s = acc("s") * d + e("__v")
+          val c = acc("c") * d + lit(1.0)
+          val m = greatest(acc("m") * d, e("__v"))
+          struct(e("__t").as("t"), s.as("s"), c.as("c"), m.as("m"),
+            concat(acc("out"), array(emit(s, c, m))).as("out"))
+        },
+        acc => acc("out")))
+  }
+
   def sumMap(df: DataFrame, keys: Seq[String], mapCol: Column): DataFrame =
     foldMap(df, keys, mapCol, sum, "sum_map")
 

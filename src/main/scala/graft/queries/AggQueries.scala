@@ -391,6 +391,34 @@ object AggQueries {
         .orderBy(col("user_id"))
     }),
 
+    // A24b: exponentialTimeDecayed{Sum,Avg,Max} over hour-bucketed
+    // events per user — Δt/halflife integral (halflife = 1 bucket),
+    // so every decay factor is an exact power of two and the fold is
+    // bit-identical to the oracle's recursive-CTE recurrence
+    "q_time_decay" -> ((s, d) => {
+      import graft.operators.AggCombinators._
+      val hr = floor(graft.Tables.epochSeconds(col("ts")) / 3600L).as("hr")
+      val ev = table(s, d, "events")
+        .where(col("value").isNotNull)
+        .select(col("user_id"), hr, col("event_id"), col("value"))
+      // fixed-point micro-units: the decayed doubles are bit-identical
+      // cross-engine, but round(x, 6) is NOT (Spark rounds the exact
+      // decimal expansion, DuckDB rounds x*1e6) — floor(x*1e6) is the
+      // same two IEEE ops in both engines
+      def ser(c: Column) = array_join(transform(c,
+        x => floor(x * lit(1000000.0)).cast("string")), ",")
+      val ord = Seq(col("hr"), col("event_id"))
+      ev.groupBy(col("user_id"))
+        .agg(
+          ser(exponentialTimeDecayedSum(col("value"), col("hr"), ord, 1.0))
+            .as("decayed_sum"),
+          ser(exponentialTimeDecayedAvg(col("value"), col("hr"), ord, 1.0))
+            .as("decayed_avg"),
+          ser(exponentialTimeDecayedMax(col("value"), col("hr"), ord, 1.0))
+            .as("decayed_max"))
+        .orderBy(col("user_id"))
+    }),
+
     // W10: LTTB downsample — each event type's (epoch, value) series
     // reduced to 20 visually-faithful points. The sequential pick has
     // no SQL oracle (driver records the rows-only check); the
@@ -1219,6 +1247,37 @@ object AggQueries {
              (acc, x) -> CAST(0.3 AS DOUBLE) * x
                + CAST(0.7 AS DOUBLE) * acc), 6) AS ema
          FROM e GROUP BY user_id ORDER BY user_id""",
+    // A24b: the same linear recurrences, folded in identical order by
+    // a recursive CTE; Δt/h integral → decay factors are exact powers
+    // of two, each step exact IEEE scaling + add → bit-identical
+    "q_time_decay" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS hr,
+             CAST(value AS DOUBLE) AS x
+           FROM events WHERE value IS NOT NULL),
+         r AS (SELECT user_id, hr, x,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY hr, event_id) AS rn
+           FROM e),
+         f AS (
+           SELECT user_id, rn, hr, x, x AS s, CAST(1.0 AS DOUBLE) AS c,
+             x AS m
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.rn, r.hr, r.x,
+             f.s * pow(2.0, CAST(f.hr - r.hr AS DOUBLE) / 1.0) + r.x,
+             f.c * pow(2.0, CAST(f.hr - r.hr AS DOUBLE) / 1.0) + 1.0,
+             greatest(f.m * pow(2.0, CAST(f.hr - r.hr AS DOUBLE) / 1.0),
+               r.x)
+           FROM r JOIN f ON r.user_id = f.user_id AND r.rn = f.rn + 1)
+         SELECT user_id,
+           string_agg(CAST(CAST(floor(s * 1000000.0) AS BIGINT)
+             AS VARCHAR), ',' ORDER BY rn) AS decayed_sum,
+           string_agg(CAST(CAST(floor(s / c * 1000000.0) AS BIGINT)
+             AS VARCHAR), ',' ORDER BY rn) AS decayed_avg,
+           string_agg(CAST(CAST(floor(m * 1000000.0) AS BIGINT)
+             AS VARCHAR), ',' ORDER BY rn) AS decayed_max
+         FROM f GROUP BY user_id ORDER BY user_id""",
     "q_bit_agg" ->
       """SELECT event_type,
            CAST(bit_and(user_id) AS BIGINT) AS b_and,

@@ -321,6 +321,46 @@ class IntervalStatsSpec extends SparkSpec {
     assert(rev("k") === ref)
   }
 
+  test("exponentialTimeDecayed*: halflife semantics, time-weighted avg, max decay; scalar reference at fractional Δt/h; repartition-stable") {
+    import graft.operators.AggCombinators._
+    // points at t = 0, 1, 3 with halflife 1: each gap decays by 2^-Δt
+    val df = Seq(("k", 0.0, 8.0), ("k", 1.0, 2.0), ("k", 3.0, 4.0))
+      .toDF("k", "t", "v").repartition(2)
+    def run(c: org.apache.spark.sql.Column) =
+      df.groupBy("k").agg(c.as("out")).select("out")
+        .as[Seq[Double]].head()
+    val s = run(exponentialTimeDecayedSum(col("v"), col("t"),
+      Seq(col("t")), 1.0))
+    assert(s === Seq(8.0, 8.0 / 2 + 2.0, (8.0 / 2 + 2.0) / 4 + 4.0))
+    val cnt = run(exponentialTimeDecayedCount(col("t"), Seq(col("t")), 1.0))
+    assert(cnt === Seq(1.0, 1.5, 1.5 / 4 + 1.0))
+    val avg = run(exponentialTimeDecayedAvg(col("v"), col("t"),
+      Seq(col("t")), 1.0))
+    assert(avg === s.zip(cnt).map { case (a, b) => a / b })
+    val mx = run(exponentialTimeDecayedMax(col("v"), col("t"),
+      Seq(col("t")), 1.0))
+    assert(mx === Seq(8.0, 4.0, 4.0))   // 8 halves to 4 > 2; 4/4=1 < 4
+    // fractional Δt/h against an independent scalar fold
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 60).map(i => (i * 0.37 + rnd.nextDouble() * 0.1,
+      rnd.nextDouble() * 10 - 3)).sortBy(_._1)
+    val h = 2.5
+    val expect = pts.tail.scanLeft((pts.head._1, pts.head._2)) {
+      case ((tp, sp), (t, x)) => (t, sp * math.pow(2.0, (tp - t) / h) + x)
+    }.map(_._2)
+    val got = pts.toDF("t", "v").withColumn("k", lit("z")).repartition(3)
+      .groupBy("k")
+      .agg(exponentialTimeDecayedSum(col("v"), col("t"), Seq(col("t")), h)
+        .as("out"))
+      .select("out").as[Seq[Double]].head()
+    // fractional Δt/h is ulp-reproducible only (pow is not correctly
+    // rounded — the documented regime boundary; integer Δt/h above is
+    // exact-equality checked)
+    assert(got.size === expect.size)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= 1e-12 * math.max(1.0, math.abs(e))) }
+  }
+
   test("lttb: endpoints kept, exact output size, monotone x, Spark path == scalar reference; passthrough when small") {
     import graft.operators.TimeSeries
     val rnd = new scala.util.Random(17)
