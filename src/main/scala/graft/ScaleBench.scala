@@ -561,6 +561,53 @@ object ScaleBench {
             org.apache.spark.sql.expressions.Window.currentRow)
         d.withColumn("cum", sum(col("nt")).over(w))
           .where(col("cum") <= budget).count()
+      }),
+      // round-14: A19 at scale — session intervals per user; user
+      // population grows with the factor (offset-id replicas), so the
+      // per-key window stays constant-size while key parallelism
+      // multiplies: the shape that survives 100 TB. Output = users.
+      "interval_union" -> (() => {
+        val ev = Tables.table(spark, dir, "events")
+          .withColumn("ep", Tables.epochSeconds(col("ts")))
+        graft.operators.IntervalAgg.intervalLengthSum(
+          ev, Seq("user_id"), col("ep"), col("ep") + 1800L).count()
+      }),
+      // round-14: A20c — cell-bounded association panel: the cell
+      // table is ≤ 7·5·6 rows at EVERY factor, so wall must track the
+      // single corpus scan (hard contract: output rows constant)
+      "assoc_panel" -> (() => {
+        val ep = Tables.epochSeconds(col("ts"))
+        val ev = Tables.table(spark, dir, "events").select(
+          pmod(floor(ep / 86400L), lit(7)).cast("long").as("dow"),
+          col("event_type"),
+          when(col("value").isNotNull,
+            least(floor(col("value") / 200.0), lit(4.0))).cast("long")
+            .as("band"))
+        graft.operators.StatsAgg.association(
+          ev, Seq("dow"), col("event_type"), col("band")).count()
+      }),
+      // round-14: A26 — the HONEST wall: 5 event types means 5 window
+      // tasks each sorting factor×(N/5) rows; rankCorr's scale bound
+      // is per-key series size through one task (any SQL engine's
+      // window shares it). Keyed per (event_type, user bucket) the
+      // same operator parallelizes; this path pins the worst case.
+      "rank_corr" -> (() => graft.operators.StatsAgg.rankCorr(
+        Tables.table(spark, dir, "events"), Seq("event_type"),
+        x = col("value"), y = col("user_id")).count()),
+      // round-14: A24b — per-user decayed series: group size constant
+      // across factors (offset-id replicas), the collect-combinator
+      // contract; output rows = users
+      "time_decay" -> (() => {
+        val ev = Tables.table(spark, dir, "events")
+          .where(col("value").isNotNull)
+          .select(col("user_id"),
+            floor(Tables.epochSeconds(col("ts")) / 3600L).as("hr"),
+            col("event_id"), col("value"))
+        ev.groupBy(col("user_id"))
+          .agg(graft.operators.AggCombinators.exponentialTimeDecayedSum(
+            col("value"), col("hr"), Seq(col("hr"), col("event_id")), 1.0)
+            .as("s"))
+          .count()
       })) ++ {
       // round-8: the IVF tier measured (ivfConfigFor was the only
       // auto-scale rule with no measurement behind it). Identical

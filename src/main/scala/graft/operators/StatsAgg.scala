@@ -445,6 +445,88 @@ object StatsAgg {
         .as("z_stat"))): _*)
   }
 
+  /** ROC AUC per key — ClickHouse `arrayAUC`, as a proper distributed
+    * aggregate over (score, label) rows. The rank-sum identity
+    * AUC = U₁/(n₁·n₂) ([[mannWhitneyUTest]]'s U with positives as
+    * sample 1, ties at half credit) COLLAPSES TO DISTINCT-SCORE
+    * CELLS: a cell at score v with p positives, q negatives and
+    * exclusive prefix count cb contributes p·(2·cb + (p+q) + 1) to
+    * the doubled rank sum — so the plan is one (keys, score)
+    * partial+final count over the input (raw volume reaches one
+    * shuffle, once), one cumulative window over CELL-cardinality
+    * rows, one keys fold; every quantity an exact integer until the
+    * final division. Null scores/labels drop. A key with an empty
+    * class yields null. Output: keys :+ (n_pos, n_neg, auc), round-6.
+    */
+  def auc(df: DataFrame, keys: Seq[String], score: Column,
+      label: Column): DataFrame = {
+    val cells = df.where(score.isNotNull && label.isNotNull)
+      .groupBy(keys.map(col) :+ score.as("__v"): _*)
+      .agg(count(when(label === true, lit(1))).as("__p"),
+        count(when(label === false, lit(1))).as("__q"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+    val cb = coalesce(sum(col("__p") + col("__q"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val agg = cells
+      .withColumn("__r1x2", col("__p").cast("decimal(19,0)") *
+        (cb * 2 + col("__p") + col("__q") + 1).cast("decimal(19,0)"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__q")).as("n_neg"),
+        sum(col("__r1x2")).as("__s"))
+    val n1 = col("n_pos").cast("double")
+    val n2 = col("n_neg").cast("double")
+    val u1 = (col("__s").cast("double") - n1 * (n1 + lit(1.0))) / lit(2.0)
+    agg.select((keys.map(col) ++ Seq(
+      col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(u1 / (n1 * n2), 6)).as("auc"))): _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov D statistic per key — ClickHouse
+    * `kolmogorovSmirnovTest`'s D (the p-value is an asymptotic series,
+    * out of scope — the [[welchTTest]] posture):
+    *
+    *   D = max_v |F₁(v) − F₂(v)|
+    *     = max_v |cum₁(v)·n₂ − cum₂(v)·n₁| / (n₁·n₂)
+    *
+    * evaluated at distinct-value boundaries over the same
+    * (keys, value) CELL collapse as [[auc]] — the numerator is an
+    * exact integer at every boundary, so the max is deterministic and
+    * only the final division touches doubles. One corpus-count pass,
+    * one cell-table cumulative window, one keys fold. Keys with an
+    * empty cohort yield null. Output: keys :+ (n1, n2, d_stat),
+    * round-6.
+    */
+  def ksTest(df: DataFrame, keys: Seq[String], value: Column,
+      cohort: Column): DataFrame = {
+    val cells = df.where(value.isNotNull && cohort.isNotNull)
+      .groupBy(keys.map(col) :+ value.as("__v"): _*)
+      .agg(count(when(cohort === true, lit(1))).as("__p"),
+        count(when(cohort === false, lit(1))).as("__q"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+    val inc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val agg = cells
+      .withColumn("__cp", sum(col("__p")).over(inc))
+      .withColumn("__cq", sum(col("__q")).over(inc))
+      .withColumn("__n1", sum(col("__p")).over(whole))
+      .withColumn("__n2", sum(col("__q")).over(whole))
+      .withColumn("__d", abs(
+        col("__cp").cast("decimal(19,0)") * col("__n2").cast("decimal(19,0)")
+          - col("__cq").cast("decimal(19,0)") *
+            col("__n1").cast("decimal(19,0)")))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+        max(col("__d")).as("__dmax"))
+    agg.select((keys.map(col) ++ Seq(
+      col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0,
+        round(col("__dmax").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")), 6))
+        .as("d_stat"))): _*)
+  }
+
   /** `boundingRatio`: the slope of the line between the leftmost and
     * rightmost points of the group — (y at max x − y at min x) /
     * (max x − min x). Endpoint picks are made total with `tie` (the

@@ -357,6 +357,28 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A27: ROC AUC of value as a classifier for the even-user cohort
+    // per event type — rank-sum identity collapsed to distinct-score
+    // cells, exact integers until the final division
+    "q_auc" -> ((s, d) => {
+      graft.operators.StatsAgg.auc(
+        table(s, d, "events").where(col("user_id").isNotNull),
+        Seq("event_type"), score = col("value"),
+        label = col("user_id") % 2 === 0)
+        .orderBy(col("event_type"))
+    }),
+
+    // A27b: two-sample Kolmogorov–Smirnov D between the cohorts'
+    // value distributions — exact integer numerator at every
+    // distinct-value boundary
+    "q_ks_test" -> ((s, d) => {
+      graft.operators.StatsAgg.ksTest(
+        table(s, d, "events").where(col("user_id").isNotNull),
+        Seq("event_type"), col("value"),
+        cohort = col("user_id") % 2 === 0)
+        .orderBy(col("event_type"))
+    }),
+
     // A23: groupArrayMovingAvg(3) — each user's trailing-3 moving
     // average of value in (ts, event_id) order, exact DECIMAL window
     // sums divided by actual width; serialized for the oracle
@@ -1214,6 +1236,54 @@ object AggQueries {
              THEN round((u1 - n1d * n2d / 2.0) / sqrt(sigma2), 6)
            END AS z_stat
          FROM z ORDER BY event_type""",
+    // A27: same cell collapse — p·(2·cb + t + 1) doubled rank sums
+    "q_auc" ->
+      """WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         cells AS (SELECT event_type, v,
+             count(*) FILTER (WHERE c) AS p,
+             count(*) FILTER (WHERE NOT c) AS q
+           FROM e GROUP BY event_type, v),
+         m AS (SELECT event_type, p, q,
+             coalesce(sum(p + q) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM cells),
+         s AS (SELECT event_type, sum(p) AS n1, sum(q) AS n2,
+             sum(CAST(p AS HUGEINT) * (2 * cb + p + q + 1)) AS s2r
+           FROM m GROUP BY event_type)
+         SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             round(((CAST(s2r AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) END AS auc
+         FROM s ORDER BY event_type""",
+    // A27b: exact |cum1·n2 − cum2·n1| max at distinct-value cells
+    "q_ks_test" ->
+      """WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         cells AS (SELECT event_type, v,
+             count(*) FILTER (WHERE c) AS p,
+             count(*) FILTER (WHERE NOT c) AS q
+           FROM e GROUP BY event_type, v),
+         m AS (SELECT event_type,
+             sum(p) OVER win AS cp, sum(q) OVER win AS cq,
+             sum(p) OVER (PARTITION BY event_type) AS n1,
+             sum(q) OVER (PARTITION BY event_type) AS n2
+           FROM cells
+           WINDOW win AS (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         s AS (SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+             max(abs(CAST(cp AS HUGEINT) * n2 - CAST(cq AS HUGEINT) * n1))
+               AS dmax
+           FROM m GROUP BY event_type)
+         SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             round(CAST(dmax AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) END
+             AS d_stat
+         FROM s ORDER BY event_type""",
     // A23: exact DECIMAL trailing-window sums / width; the window
     // frame is the same trailing-3 rows in both engines
     "q_moving_avg" ->

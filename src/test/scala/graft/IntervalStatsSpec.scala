@@ -262,6 +262,59 @@ class IntervalStatsSpec extends SparkSpec {
     assert(tied._1 === 0.5 && tied._2.isEmpty)
   }
 
+  test("auc: perfect = 1, inverted = 0, all-tied = 0.5; equals U1/(n1·n2); empty class null") {
+    val perfect = Seq(("p", 0.9, true), ("p", 0.8, true), ("p", 0.3, false),
+      ("p", 0.1, false))
+    val invert = perfect.map { case (_, s, l) => ("i", s, !l) }
+    val tied = Seq(("t", 5.0, true), ("t", 5.0, true), ("t", 5.0, false))
+    val one = Seq(("o", 1.0, true))
+    val df = (perfect ++ invert ++ tied ++ one).toDF("k", "s", "l")
+      .repartition(3)
+    val out = graft.operators.StatsAgg.auc(df, Seq("k"), col("s"), col("l"))
+      .select("k", "auc").as[(String, Option[Double])].collect().toMap
+    assert(out("p").get === 1.0 && out("i").get === 0.0 &&
+      out("t").get === 0.5 && out("o").isEmpty)
+    // rank-sum identity: AUC == U1/(n1·n2) from the pooled-rank face
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map(i =>
+      ("r", rnd.nextDouble() * (if (i % 3 == 0) 2 else 1), i % 3 == 0))
+    val rdf = rows.toDF("k", "s", "l").repartition(4)
+    val a = graft.operators.StatsAgg.auc(rdf, Seq("k"), col("s"), col("l"))
+      .select("auc").as[Double].head()
+    val u = graft.operators.StatsAgg.mannWhitneyUTest(
+      rdf, Seq("k"), col("s"), col("l"))
+      .select("n1", "n2", "u1").as[(Long, Long, Double)].head()
+    assert(a === math.round(u._3 / (u._1 * u._2) * 1e6) / 1e6)
+  }
+
+  test("ksTest: disjoint supports = 1, identical samples = 0, matches scalar reference, cohort-swap invariant") {
+    val disjoint = Seq.tabulate(5)(i => ("d", i.toDouble, true)) ++
+      Seq.tabulate(5)(i => ("d", 100.0 + i, false))
+    val same = Seq(1.0, 2.0, 3.0).flatMap(v =>
+      Seq(("s", v, true), ("s", v, false)))
+    val df = (disjoint ++ same).toDF("k", "v", "c").repartition(3)
+    val out = graft.operators.StatsAgg.ksTest(df, Seq("k"), col("v"), col("c"))
+      .select("k", "d_stat").as[(String, Double)].collect().toMap
+    assert(out("d") === 1.0 && out("s") === 0.0)
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map(i =>
+      ("r", math.floor(rnd.nextDouble() * 40 + (if (i % 2 == 0) 8 else 0)),
+        i % 2 == 0))
+    val rdf = rows.toDF("k", "v", "c").repartition(4)
+    val got = graft.operators.StatsAgg.ksTest(rdf, Seq("k"), col("v"),
+      col("c")).select("d_stat").as[Double].head()
+    // scalar reference: max over distinct values of |F1 - F2|
+    val (pos, neg) = (rows.filter(_._3).map(_._2), rows.filterNot(_._3).map(_._2))
+    val expect = rows.map(_._2).distinct.map(v =>
+      math.abs(pos.count(_ <= v).toDouble / pos.size -
+        neg.count(_ <= v).toDouble / neg.size)).max
+    assert(got === math.round(expect * 1e6) / 1e6)
+    val sw = graft.operators.StatsAgg.ksTest(
+      rdf.withColumn("c", !col("c")), Seq("k"), col("v"), col("c"))
+      .select("d_stat").as[Double].head()
+    assert(sw === got)
+  }
+
   test("groupArrayMovingSum/Avg: trailing window, short head, imposed order, repartition-stable") {
     import graft.operators.AggCombinators
     val df = Seq(("k", 3L, "3.00"), ("k", 1L, "1.00"), ("k", 2L, "2.00"),
