@@ -342,6 +342,102 @@ object StatsAgg {
     (mu, (s2 - n * mu * mu) / (n - lit(1.0)))
   }
 
+  /** One-way ANOVA F statistic per key — ClickHouse
+    * `analysisOfVariance` (the k-cohort extension of [[studentTTest]]:
+    * "do these k groups share a mean?"):
+    *
+    *   SSB = Σ_g S1g²/ng − S1²/n,  SSW = S2 − Σ_g S1g²/ng
+    *   F   = (SSB/(k−1)) / (SSW/(n−k)),  df = (k−1, n−k)
+    *
+    * computed over per-group exact fixed-point power sums (the
+    * [[moments]] discipline): stage 1 is a (keys, group) partial+final
+    * aggregate carrying (ng, S1g, S2g) — raw volume reaches one
+    * shuffle, once; stage 2 folds GROUP-cardinality rows per key. The
+    * only non-integer quantity, S1g²/ng, is one fixed double tree per
+    * group, round-9 DECIMAL-summed (the [[cramersV]] term discipline),
+    * and F is scale-invariant so the fixed-point w-units never
+    * descale. NULL group is its own cohort (as in GROUP BY); null
+    * values drop. Keys with k < 2, n ≤ k, or zero within-variance
+    * yield null F. Output: keys :+ (n_rows, n_groups, f_stat, df1,
+    * df2), F rounded to 6.
+    */
+  def anova(df: DataFrame, keys: Seq[String], value: Column,
+      group: Column, scale: Int = 2): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    val w = floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
+    val groups = df.where(value.isNotNull)
+      .withColumn("__w", w)
+      .groupBy(keys.map(col) :+ group.as("__g"): _*)
+      .agg(count(lit(1)).as("__ng"), sum(col("__w")).as("__s1"),
+        sum(col("__w") * col("__w")).as("__s2"))
+    val s1d = col("__s1").cast("double")
+    val term = round(s1d * s1d / col("__ng").cast("double"), 9)
+      .cast("decimal(38,9)")
+    val agg = groups
+      .withColumn("__t", term)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__ng")).as("n_rows"), count(lit(1)).as("n_groups"),
+        sum(col("__s1")).as("__a"), sum(col("__s2")).as("__b"),
+        sum(col("__t")).as("__p"))
+    val n = col("n_rows").cast("double")
+    val k = col("n_groups").cast("double")
+    val a = col("__a").cast("double")
+    val p = col("__p").cast("double")
+    val ssb = greatest(p - a * a / n, lit(0.0))
+    val ssw = greatest(col("__b").cast("double") - p, lit(0.0))
+    val ok = col("n_groups") > 1 && col("n_rows") > col("n_groups") &&
+      ssw > lit(1e-9)
+    agg.select((keys.map(col) ++ Seq(
+      col("n_rows"), col("n_groups"),
+      when(ok, round((ssb / (k - lit(1.0))) / (ssw / (n - k)), 6))
+        .as("f_stat"),
+      when(col("n_groups") > 1, (col("n_groups") - 1).cast("long"))
+        .as("df1"),
+      when(col("n_rows") > col("n_groups"),
+        (col("n_rows") - col("n_groups")).cast("long")).as("df2"))): _*)
+  }
+
+  /** Weight-of-evidence and information value per category — the
+    * ClickHouse `categoricalInformationValue` read ("how predictive is
+    * this categorical feature of a binary label"), emitted as the full
+    * per-category WOE table every filtering-model iteration inspects:
+    *
+    *   WOE_c = ln( (pos_c/posTot) / (neg_c/negTot) )
+    *   IV_c  = (pos_c/posTot − neg_c/negTot) · WOE_c,  IV = Σ_c IV_c
+    *
+    * One corpus scan into a (keys, category) conditional-count
+    * aggregate; label totals ride a keys window over CATEGORY-
+    * cardinality rows; WOE/IV are fixed double trees over exact
+    * counts, the per-category IV term round-9 DECIMAL-summed into the
+    * keys-level total (the [[association]] discipline) so `iv_total`
+    * is order-free. A category with an empty cell (pos_c = 0 or
+    * neg_c = 0) has undefined WOE — null, excluded from the total, as
+    * is a key with an empty label side. Null labels drop; a NULL
+    * category is a real category. Output: keys :+ (category, n_pos,
+    * n_neg, woe, iv, iv_total), round-6.
+    */
+  def informationValue(df: DataFrame, keys: Seq[String], category: Column,
+      label: Column): DataFrame = {
+    val cells = df.where(label.isNotNull)
+      .groupBy(keys.map(col) :+ category.as("category"): _*)
+      .agg(count(when(label === true, lit(1))).as("n_pos"),
+        count(when(label === false, lit(1))).as("n_neg"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val pt = sum(col("n_pos")).over(wk)
+    val nt = sum(col("n_neg")).over(wk)
+    val rp = col("n_pos").cast("double") / pt.cast("double")
+    val rn = col("n_neg").cast("double") / nt.cast("double")
+    val woe = log(rp / rn)
+    val defined = col("n_pos") > 0 && col("n_neg") > 0 && pt > 0 && nt > 0
+    val ivTerm = when(defined,
+      round((rp - rn) * woe, 9).cast("decimal(28,9)"))
+    cells
+      .withColumn("woe", when(defined, round(woe, 6)))
+      .withColumn("iv", when(defined, round((rp - rn) * woe, 6)))
+      .withColumn("iv_total",
+        round(sum(ivTerm).over(wk).cast("double"), 6))
+  }
+
   /** Spearman rank correlation per key — ClickHouse `rankCorr`.
     * Ties take the average (fractional) rank; the repro trick is that
     * DOUBLED average ranks are exact integers:

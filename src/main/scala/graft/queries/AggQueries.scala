@@ -379,6 +379,28 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A28: one-way ANOVA — do the 4 user-id cohorts share a mean
+    // value per event type; per-group exact power sums, F from the
+    // round-9-summed S1g²/ng terms
+    "q_anova" -> ((s, d) => {
+      graft.operators.StatsAgg.anova(
+        table(s, d, "events"), Seq("event_type"), col("value"),
+        group = col("user_id") % 4)
+        .orderBy(col("event_type"))
+    }),
+
+    // A29: WOE / information value of the value band as a predictor
+    // of the even-user label per event type; NULL value is a real
+    // category (nulls-first ordering pinned cross-engine)
+    "q_info_value" -> ((s, d) => {
+      graft.operators.StatsAgg.informationValue(
+        table(s, d, "events"), Seq("event_type"),
+        category = when(col("value").isNotNull,
+          least(floor(col("value") / 200.0), lit(4.0))).cast("long"),
+        label = col("user_id") % 2 === 0)
+        .orderBy(col("event_type"), col("category").asc_nulls_first)
+    }),
+
     // A23: groupArrayMovingAvg(3) — each user's trailing-3 moving
     // average of value in (ts, event_id) order, exact DECIMAL window
     // sums divided by actual width; serialized for the oracle
@@ -1284,6 +1306,68 @@ object AggQueries {
                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) END
              AS d_stat
          FROM s ORDER BY event_type""",
+    // A28: identical per-group power sums and round-9 term discipline
+    "q_anova" ->
+      """WITH e AS (SELECT event_type, user_id % 4 AS g,
+             CAST(floor(value * 100.0) AS HUGEINT) AS w
+           FROM events WHERE value IS NOT NULL),
+         grp AS (SELECT event_type, g, count(*) AS ng,
+             sum(w) AS s1, sum(w * w) AS s2
+           FROM e GROUP BY event_type, g),
+         t AS (SELECT event_type, ng, s1, s2,
+             CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(ng AS DOUBLE), 9) AS DECIMAL(38,9)) AS tm
+           FROM grp),
+         a AS (SELECT event_type, sum(ng) AS n, count(*) AS k,
+             sum(s1) AS sa, sum(s2) AS sb, sum(tm) AS p
+           FROM t GROUP BY event_type),
+         f AS (SELECT event_type, n, k,
+             greatest(CAST(p AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                 / CAST(n AS DOUBLE), 0.0) AS ssb,
+             greatest(CAST(sb AS DOUBLE) - CAST(p AS DOUBLE), 0.0) AS ssw
+           FROM a)
+         SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           CAST(k AS BIGINT) AS n_groups,
+           CASE WHEN k > 1 AND n > k AND ssw > 1e-9
+             THEN round((ssb / (CAST(k AS DOUBLE) - 1.0))
+               / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+             END AS f_stat,
+           CASE WHEN k > 1 THEN CAST(k - 1 AS BIGINT) END AS df1,
+           CASE WHEN n > k THEN CAST(n - k AS BIGINT) END AS df2
+         FROM f ORDER BY event_type""",
+    // A29: same cell counts, keys-window totals, ln WOE trees; the
+    // iv_total round-9 DECIMAL window sum mirrors Spark's
+    "q_info_value" ->
+      """WITH e AS (SELECT event_type,
+             CASE WHEN value IS NOT NULL THEN
+               CAST(least(floor(value / 200.0), 4.0) AS BIGINT)
+               END AS category,
+             user_id % 2 = 0 AS lbl
+           FROM events WHERE user_id IS NOT NULL),
+         cells AS (SELECT event_type, category,
+             count(*) FILTER (WHERE lbl) AS n_pos,
+             count(*) FILTER (WHERE NOT lbl) AS n_neg
+           FROM e GROUP BY event_type, category),
+         m AS (SELECT event_type, category, n_pos, n_neg,
+             sum(n_pos) OVER (PARTITION BY event_type) AS pt,
+             sum(n_neg) OVER (PARTITION BY event_type) AS nt
+           FROM cells),
+         w AS (SELECT event_type, category, n_pos, n_neg,
+             n_pos > 0 AND n_neg > 0 AND pt > 0 AND nt > 0 AS defined,
+             CAST(n_pos AS DOUBLE) / CAST(pt AS DOUBLE) AS rp,
+             CAST(n_neg AS DOUBLE) / CAST(nt AS DOUBLE) AS rn
+           FROM m)
+         SELECT event_type, category,
+           n_pos, n_neg,
+           CASE WHEN defined THEN round(ln(rp / rn), 6) END AS woe,
+           CASE WHEN defined
+             THEN round((rp - rn) * ln(rp / rn), 6) END AS iv,
+           round(CAST(sum(CASE WHEN defined THEN
+               CAST(round((rp - rn) * ln(rp / rn), 9) AS DECIMAL(28,9))
+               END) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+             AS iv_total
+         FROM w ORDER BY event_type, category NULLS FIRST""",
     // A23: exact DECIMAL trailing-window sums / width; the window
     // frame is the same trailing-3 rows in both engines
     "q_moving_avg" ->

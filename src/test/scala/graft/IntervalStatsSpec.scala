@@ -315,6 +315,67 @@ class IntervalStatsSpec extends SparkSpec {
     assert(sw === got)
   }
 
+  test("anova: equal means = 0, matches scalar reference, F = t² at k = 2, degenerate keys null") {
+    // equal group means, nonzero within-variance → SSB = 0 → F = 0
+    val eq = Seq(1.0, 2.0, 3.0).flatMap(v => Seq(("e", "g1", v), ("e", "g2", v)))
+    // one group only → null F; zero within-variance → null F
+    val deg = Seq(("one", "g1", 1.0), ("one", "g1", 2.0),
+      ("zv", "g1", 5.0), ("zv", "g2", 7.0))
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 240).map(i =>
+      ("r", s"g${i % 3}", math.floor(rnd.nextDouble() * 100) / 100.0 + (i % 3) * 0.5))
+    val df = (eq ++ deg ++ rows).toDF("k", "g", "v").repartition(4)
+    val out = StatsAgg.anova(df, Seq("k"), col("v"), col("g"))
+      .select("k", "f_stat").as[(String, Option[Double])].collect().toMap
+    assert(out("e").get === 0.0 && out("one").isEmpty && out("zv").isEmpty)
+    // scalar reference over the random key (fixed-point w = floor(100v))
+    val w = rows.map(r => (r._2, math.floor(r._3 * 100)))
+    val byG = w.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val n = w.size.toDouble; val k = byG.size.toDouble
+    val grand = w.map(_._2).sum / n
+    val ssb = byG.map(g => g.size * math.pow(g.sum / g.size - grand, 2)).sum
+    val ssw = byG.map(g => { val m = g.sum / g.size; g.map(x => (x - m) * (x - m)).sum }).sum
+    val expect = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(out("r").get - expect) < 1e-4)
+    // k = 2: F equals the Student pooled t squared
+    val two = rows.map(r => (r._1, r._2 == "g0", r._3)).toDF("k", "c", "v")
+    val t = StatsAgg.studentTTest(two, Seq("k"), col("v"), col("c"))
+      .select("t_stat").as[Double].head()
+    val f2 = StatsAgg.anova(rows.map(r => (r._1, r._2 == "g0", r._3))
+      .toDF("k", "g", "v"), Seq("k"), col("v"), col("g"))
+      .select("f_stat").as[Double].head()
+    assert(math.abs(f2 - t * t) < 1e-3)
+  }
+
+  test("informationValue: hand-computed WOE/IV, label-swap negates WOE, zero cells null and excluded from total") {
+    // cat a: 3 pos / 1 neg of totals (4 pos, 3 neg); cat b: 1/2; cat z: 0 neg
+    val df = (Seq.fill(3)(("k", "a", true)) ++ Seq(("k", "a", false)) ++
+      Seq(("k", "b", true)) ++ Seq.fill(2)(("k", "b", false)) ++
+      Seq(("k", "z", true), ("k", "z", true)))
+      .toDF("k", "c", "l").repartition(3)
+    val out = StatsAgg.informationValue(df, Seq("k"), col("c"), col("l"))
+      .select("category", "woe", "iv", "iv_total")
+      .as[(String, Option[Double], Option[Double], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (pt, nt) = (6.0, 3.0)
+    def woe(p: Double, q: Double) = math.log((p / pt) / (q / nt))
+    def iv(p: Double, q: Double) = (p / pt - q / nt) * woe(p, q)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out("a")._2.get === r6(woe(3, 1)) && out("a")._3.get === r6(iv(3, 1)))
+    assert(out("b")._2.get === r6(woe(1, 2)))
+    assert(out("z")._2.isEmpty && out("z")._3.isEmpty)
+    val total = r6(math.round(iv(3, 1) * 1e9) / 1e9 +
+      math.round(iv(1, 2) * 1e9) / 1e9)
+    assert(out.values.forall(_._4 === total))
+    // label swap: WOE negates per category, IV (and the total) invariant
+    val sw = StatsAgg.informationValue(df.withColumn("l", !col("l")),
+      Seq("k"), col("c"), col("l"))
+      .select("category", "woe", "iv_total")
+      .as[(String, Option[Double], Double)].collect().map(r => r._1 -> r).toMap
+    assert(sw("a")._2.get === -out("a")._2.get &&
+      sw("b")._2.get === -out("b")._2.get && sw("a")._3 === total)
+  }
+
   test("groupArrayMovingSum/Avg: trailing window, short head, imposed order, repartition-stable") {
     import graft.operators.AggCombinators
     val df = Seq(("k", 3L, "3.00"), ("k", 1L, "1.00"), ("k", 2L, "2.00"),
