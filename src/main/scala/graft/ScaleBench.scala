@@ -562,6 +562,19 @@ object ScaleBench {
         d.withColumn("cum", sum(col("nt")).over(w))
           .where(col("cum") <= budget).count()
       }),
+      // round-14 X12c pair: stratified sampling with FEW strata (5
+      // event types) — the window form's parallelism floor is the
+      // stratum count, so 5 tasks each sort factor×(N/5) rows; the
+      // bounded-aggregate form map-combines every partition to ≤ k
+      // candidates and never sorts raw volume. Same winner set
+      // (CurationSpec law); this pair prices the shapes.
+      "sample_window" -> (() => graft.operators.Curation.stratifiedSample(
+        Tables.table(spark, dir, "events"), "event_id",
+        Seq("event_type"), k = 10).count()),
+      "sample_bounded" -> (() =>
+        graft.operators.Curation.stratifiedSampleBounded(
+          Tables.table(spark, dir, "events"), "event_id",
+          Seq("event_type"), k = 10).count()),
       // round-14: A19 at scale — session intervals per user; user
       // population grows with the factor (offset-id replicas), so the
       // per-key window stays constant-size while key parallelism

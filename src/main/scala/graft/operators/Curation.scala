@@ -524,6 +524,37 @@ object Curation {
       .drop("__rk")
   }
 
+  /** X12c: [[stratifiedSample]]'s BOUNDED-STATE execution shape — the
+    * same md5-rank winner set (equivalence law in CurationSpec)
+    * computed as a partial+final `functions.BoundedSample` aggregate
+    * instead of a per-stratum window sort. The window form's
+    * parallelism floor is the stratum count: at 5 strata, 5 tasks each
+    * sort 20% of the corpus. Here the map side combines every input
+    * partition down to ≤ k candidates per stratum, the shuffle carries
+    * only those, and no task ever sorts raw volume — the shape that
+    * holds when strata are few and the corpus is 100 TB. Prefer the
+    * window form when k is large or callers need the full sampled
+    * rows in place; prefer this to feed an id-list broadcast
+    * semi-join.
+    *
+    * Output: strata :+ (`rank`, id-as-string named after `id`), one
+    * row per winner, ascending (rank, id) per stratum.
+    */
+  def stratifiedSampleBounded(
+      df: DataFrame, id: String, strata: Seq[String], k: Int): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BoundedSample(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING))
+    df.groupBy(strata.map(col): _*)
+      .agg(agg(md5(col(id).cast("string")), col(id).cast("string"))
+        .as("__s"))
+      .select((strata.map(col) :+ explode(col("__s.items")).as("__e")): _*)
+      .select((strata.map(col) :+ col("__e.rank").as("rank")) :+
+        col("__e.item").as(id): _*)
+  }
+
   /** X12b: WEIGHTED sampling without replacement — the A-Res scheme
     * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
     * reservoir"): each row gets key u^(1/w) for u uniform on (0,1] and

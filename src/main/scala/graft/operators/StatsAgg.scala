@@ -310,6 +310,37 @@ object StatsAgg {
       when(col("n1") + col("n2") > 2, dfS.cast("long")).as("df"))): _*)
   }
 
+  /** Two-sample mean z test per key — ClickHouse `meanZTest`: the
+    * KNOWN-variance member of the test panel (variances are inputs,
+    * not estimates — the regime of a long-running metric whose
+    * population variance is established):
+    *
+    *   z = (μ1 − μ2) / sqrt(σ1²/n1 + σ2²/n2)
+    *
+    * Same cohort convention and exact conditional power-sum aggregate
+    * as [[welchTTest]]/[[studentTTest]] (the S2 sums are carried but
+    * unused — the shared core stays one code path). Keys with an
+    * empty cohort yield null. Output: keys :+ (n1, n2, mean1, mean2,
+    * z_stat), round-6.
+    */
+  def meanZTest(df: DataFrame, keys: Seq[String], value: Column,
+      cohort: Column, var1: Double, var2: Double,
+      scale: Int = 2): DataFrame = {
+    require(var1 > 0 && var2 > 0, "population variances must be positive")
+    val factor = math.pow(10.0, scale)
+    val out = cohortSums(df, keys, value, cohort, factor)
+    val (mu1, _) = cohortStats(col("n1"), col("__a1"), col("__b1"), factor)
+    val (mu2, _) = cohortStats(col("n2"), col("__a2"), col("__b2"), factor)
+    val se2 = lit(var1) / col("n1").cast("double") +
+      lit(var2) / col("n2").cast("double")
+    val ok = col("n1") > 0 && col("n2") > 0
+    out.select((keys.map(col) ++ Seq(
+      col("n1"), col("n2"),
+      when(col("n1") > 0, round(mu1, 6)).as("mean1"),
+      when(col("n2") > 0, round(mu2, 6)).as("mean2"),
+      when(ok, round((mu1 - mu2) / sqrt(se2), 6)).as("z_stat"))): _*)
+  }
+
   /** Shared cohort machinery for the two-sample t tests: one
     * partial+final aggregate carrying each cohort's exact fixed-point
     * S1/S2 power sums ([[moments]] discipline) as conditional sums —
@@ -555,11 +586,32 @@ object StatsAgg {
     * class yields null. Output: keys :+ (n_pos, n_neg, auc), round-6.
     */
   def auc(df: DataFrame, keys: Seq[String], score: Column,
-      label: Column): DataFrame = {
-    val cells = df.where(score.isNotNull && label.isNotNull)
+      label: Column): DataFrame =
+    aucFromCells(scoreCells(df, keys, score, label), keys)
+
+  /** The (keys, distinct-score) → (positive count, negative count)
+    * cell table [[auc]] and [[ksTest]] fold over — exposed because it
+    * is a SUMMABLE STATE: cells of disjoint row slices merge by
+    * [[mergeScoreCells]] into exactly the whole-input cells (counts
+    * add), which is what lets a streaming job maintain the cell table
+    * per micro-batch ([[graft.streaming.StreamingScoreMonitor]]) and
+    * serve live AUC/KS reads from CELL-cardinality state instead of
+    * re-scanning score history. Null scores/labels drop.
+    */
+  def scoreCells(df: DataFrame, keys: Seq[String], score: Column,
+      label: Column): DataFrame =
+    df.where(score.isNotNull && label.isNotNull)
       .groupBy(keys.map(col) :+ score.as("__v"): _*)
       .agg(count(when(label === true, lit(1))).as("__p"),
         count(when(label === false, lit(1))).as("__q"))
+
+  /** Merge any union of [[scoreCells]] frames: counts add per cell. */
+  def mergeScoreCells(cells: DataFrame, keys: Seq[String]): DataFrame =
+    cells.groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__p")).as("__p"), sum(col("__q")).as("__q"))
+
+  /** [[auc]]'s fold over an existing cell table. */
+  def aucFromCells(cells: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
     val cb = coalesce(sum(col("__p") + col("__q"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
@@ -594,11 +646,11 @@ object StatsAgg {
     * round-6.
     */
   def ksTest(df: DataFrame, keys: Seq[String], value: Column,
-      cohort: Column): DataFrame = {
-    val cells = df.where(value.isNotNull && cohort.isNotNull)
-      .groupBy(keys.map(col) :+ value.as("__v"): _*)
-      .agg(count(when(cohort === true, lit(1))).as("__p"),
-        count(when(cohort === false, lit(1))).as("__q"))
+      cohort: Column): DataFrame =
+    ksFromCells(scoreCells(df, keys, value, cohort), keys)
+
+  /** [[ksTest]]'s fold over an existing cell table. */
+  def ksFromCells(cells: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
     val inc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = w.rowsBetween(Window.unboundedPreceding,

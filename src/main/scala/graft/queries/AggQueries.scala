@@ -379,6 +379,25 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A17e: meanZTest — the known-variance member of the test panel;
+    // population variances are inputs (pinned at the fixture's design
+    // variance), means from the shared exact cohort power sums
+    "q_mean_ztest" -> ((s, d) => {
+      graft.operators.StatsAgg.meanZTest(
+        table(s, d, "events"), Seq("event_type"), col("value"),
+        cohort = col("user_id") % 2 === 0, var1 = 80000.0, var2 = 80000.0)
+        .orderBy(col("event_type"))
+    }),
+
+    // X12c: bounded-state stratified sample — same md5-rank winner
+    // set as the window form (q_strat_sample's rule), carried as O(k)
+    // aggregate state instead of a per-stratum sort
+    "q_sample_bounded" -> ((s, d) => {
+      graft.operators.Curation.stratifiedSampleBounded(
+        table(s, d, "events"), "event_id", Seq("event_type"), 5)
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // A28: one-way ANOVA — do the 4 user-id cohorts share a mean
     // value per event type; per-group exact power sums, F from the
     // round-9-summed S1g²/ng terms
@@ -1306,6 +1325,41 @@ object AggQueries {
                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) END
              AS d_stat
          FROM s ORDER BY event_type""",
+    // A17e: the q_student_ttest cohort sums with the known-variance z
+    "q_mean_ztest" ->
+      """WITH w AS (SELECT event_type, user_id % 2 = 0 AS c,
+             CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT event_type,
+             count(*) FILTER (WHERE c) AS n1,
+             count(*) FILTER (WHERE NOT c) AS n2,
+             sum(w) FILTER (WHERE c) AS a1,
+             sum(w) FILTER (WHERE NOT c) AS a2
+           FROM w GROUP BY event_type),
+         m AS (SELECT event_type, n1, n2,
+             CAST(a1 AS DOUBLE) / 100.0 / CAST(n1 AS DOUBLE) AS mu1,
+             CAST(a2 AS DOUBLE) / 100.0 / CAST(n2 AS DOUBLE) AS mu2,
+             80000.0 / CAST(n1 AS DOUBLE)
+               + 80000.0 / CAST(n2 AS DOUBLE) AS se2
+           FROM s)
+         SELECT event_type, n1, n2,
+           CASE WHEN n1 > 0 THEN round(mu1, 6) END AS mean1,
+           CASE WHEN n2 > 0 THEN round(mu2, 6) END AS mean2,
+           CASE WHEN n1 > 0 AND n2 > 0
+             THEN round((mu1 - mu2) / sqrt(se2), 6) END AS z_stat
+         FROM m ORDER BY event_type""",
+    // X12c: the identical min-5-by-md5-rank winner set, via the
+    // window formulation DuckDB can express
+    "q_sample_bounded" ->
+      """SELECT event_type, rank, event_id FROM (
+           SELECT event_type,
+             md5(CAST(event_id AS VARCHAR)) AS rank,
+             CAST(event_id AS VARCHAR) AS event_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)),
+                 CAST(event_id AS VARCHAR)) AS rn
+           FROM events) t
+         WHERE rn <= 5 ORDER BY event_type, rank""",
     // A28: identical per-group power sums and round-9 term discipline
     "q_anova" ->
       """WITH e AS (SELECT event_type, user_id % 4 AS g,

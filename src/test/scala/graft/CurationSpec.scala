@@ -254,6 +254,25 @@ class CurationSpec extends SparkSpec {
     assert(s1.select("doc_id").except(s2.select("doc_id")).count() == 0)
   }
 
+  test("X12c stratifiedSampleBounded: identical winner set to the window form, repartition-stable, small strata whole") {
+    val d = spark.range(2000)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS g")
+      .repartition(8)
+    val win = Curation.stratifiedSample(d.toDF(), "doc_id", Seq("g"), k = 9)
+      .select($"g", $"doc_id".cast("string"))
+    val agg = Curation.stratifiedSampleBounded(d.toDF(), "doc_id", Seq("g"), k = 9)
+      .select($"g", $"doc_id")
+    assert(win.except(agg).count() === 0 && agg.except(win).count() === 0)
+    assert(agg.count() === 18)
+    // stratum smaller than k: whole stratum, ascending (rank, id)
+    val tiny = Curation.stratifiedSampleBounded(
+      d.where($"doc_id" < 3).toDF(), "doc_id", Seq("g"), k = 9)
+    assert(tiny.count() === 3)
+    val ranks = tiny.where($"g" === "b").select("rank").as[String].collect()
+    assert(ranks.sorted.toSeq === ranks.toSeq)
+  }
+
   test("X10 packSequences: chunk arithmetic, shard isolation, budget bounds") {
     val d = Seq(
       ("s1", 1L, 100), ("s1", 2L, 100), ("s1", 3L, 100), ("s1", 4L, 30),

@@ -347,6 +347,23 @@ class IntervalStatsSpec extends SparkSpec {
     assert(math.abs(f2 - t * t) < 1e-3)
   }
 
+  test("meanZTest: matches scalar reference, empty cohort nulls z but keeps the other mean") {
+    val rows = Seq(("k", true, 1.0), ("k", true, 2.0), ("k", true, 6.0),
+      ("k", false, 3.0), ("k", false, 5.0),
+      ("solo", true, 4.0))
+    val df = rows.toDF("k", "c", "v").repartition(3)
+    val out = StatsAgg.meanZTest(df, Seq("k"), col("v"), col("c"),
+      var1 = 2.0, var2 = 3.0)
+      .select("k", "mean1", "mean2", "z_stat")
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val (mu1, mu2) = (3.0, 4.0)
+    val z = (mu1 - mu2) / math.sqrt(2.0 / 3 + 3.0 / 2)
+    assert(out("k")._4.get === math.round(z * 1e6) / 1e6)
+    assert(out("solo")._2.get === 4.0 && out("solo")._3.isEmpty &&
+      out("solo")._4.isEmpty)
+  }
+
   test("informationValue: hand-computed WOE/IV, label-swap negates WOE, zero cells null and excluded from total") {
     // cat a: 3 pos / 1 neg of totals (4 pos, 3 neg); cat b: 1/2; cat z: 0 neg
     val df = (Seq.fill(3)(("k", "a", true)) ++ Seq(("k", "a", false)) ++

@@ -1252,6 +1252,60 @@ class StreamingSpec extends SparkSpec {
     assert(got === expect,
       "a within-horizon stale redelivery must not resurrect the deleted key")
   }
+
+  test("ST-A27: streaming score monitor serves the batch AUC/KS over out-of-order batches") {
+    import graft.operators.StatsAgg
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("scorest").toString
+    val ckpt = Files.createTempDirectory("scoreck").toString
+    // quantized (round-2) scores so the cell table is bounded — the
+    // operator's documented contract; SHUFFLED so micro-batches carry
+    // late rows for cells earlier batches opened
+    val rnd = new scala.util.Random(11)
+    val all = rnd.shuffle((0 until 300).map { i =>
+      (s"m${i % 2}", math.round(rnd.nextDouble() * 100) / 100.0, i % 3 == 0)
+    })
+    def df(rows: Seq[(String, Double, Boolean)]) = rows.toDF("k", "s", "l")
+    def aucOf(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "auc").as[(String, Double)].collect().toMap
+    def ksOf(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "d_stat").as[(String, Double)].collect().toMap
+    val expectAuc = aucOf(StatsAgg.auc(df(all), Seq("k"), col("s"), col("l")))
+    val expectKs = ksOf(StatsAgg.ksTest(df(all), Seq("k"), col("s"), col("l")))
+    val in = MemoryStream[(String, Double, Boolean)]
+    val q = StreamingScoreMonitor.maintain(
+      in.toDF().toDF("k", "s", "l"), Seq("k"), col("s"), col("l"),
+      dir, ckpt).start()
+    try {
+      for (b <- all.grouped(100)) {
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val tmpl = StatsAgg.scoreCells(df(all.take(1)), Seq("k"), col("s"), col("l"))
+    assert(aucOf(StreamingScoreMonitor.currentAuc(spark, dir, Seq("k"), tmpl))
+      === expectAuc,
+      "streamed cells must serve the batch AUC over all rows")
+    assert(ksOf(StreamingScoreMonitor.currentKs(spark, dir, Seq("k"), tmpl))
+      === expectKs)
+    // replay of a committed batch is a no-op on cells and pointer
+    val ptr = StreamingScoreMonitor.readPointer(dir)
+    StreamingScoreMonitor.applyBatch(df(all.take(100)), Seq("k"),
+      col("s"), col("l"), dir, 0L)
+    assert(StreamingScoreMonitor.readPointer(dir) === ptr)
+    assert(aucOf(StreamingScoreMonitor.currentAuc(spark, dir, Seq("k"), tmpl))
+      === expectAuc)
+    // crash window: an orphan next-version dir is overwritten, not
+    // double-counted
+    Files.createDirectories(java.nio.file.Paths.get(dir, s"state-${ptr._1 + 1}"))
+    val late = Seq(("m0", 0.5, true), ("m0", 0.5, false), ("m0", 0.99, true))
+    StreamingScoreMonitor.applyBatch(df(late), Seq("k"), col("s"), col("l"),
+      dir, ptr._2 + 1)
+    val expect2 = aucOf(StatsAgg.auc(df(all ++ late), Seq("k"),
+      col("s"), col("l")))
+    assert(aucOf(StreamingScoreMonitor.currentAuc(spark, dir, Seq("k"), tmpl))
+      === expect2)
+  }
 }
 
 /** Executor-side capture for the per-partition POST spec: statics
