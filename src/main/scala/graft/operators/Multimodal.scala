@@ -211,6 +211,110 @@ object Multimodal {
       }
   }
 
+  /** X5b: perceptual average-hash (aHash) of a decoded image — the
+    * 64-bit signature behind image NEAR-dup detection (byte-exact
+    * image dedup is X1's hash; a re-encoded, resized, or
+    * slightly-retouched copy needs a PERCEPTUAL key). The classic
+    * aHash: partition the raster into an 8×8 grid, take each cell's
+    * mean ITU-R BT.601 luma (0.299r + 0.587g + 0.114b), set bit i
+    * (big-endian) iff cell i's mean exceeds the global mean of cell
+    * means. Computed directly from the raster with exact
+    * integer-indexed block membership (`(y*8)/h`) — no Graphics2D
+    * filter kernel in the path, so the hash is deterministic for a
+    * given decoded raster. None for undecodable payloads or images
+    * smaller than the 8×8 grid (some cells would be empty — too small
+    * to carry perceptual structure anyway).
+    */
+  def imageAvgHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Double](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            val c = cy * 8 + x * 8 / w
+            sums(c) += lum
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        var tot = 0.0
+        while (i < 64) { sums(i) /= counts(i); tot += sums(i); i += 1 }
+        val mean = tot / 64.0
+        var bits = 0L
+        i = 0
+        while (i < 64) {
+          if (sums(i) > mean) bits |= (1L << (63 - i))
+          i += 1
+        }
+        Some(bits)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** The [[imageAvgHash]] signatures of a media table, through the
+    * same `mapPartitions` codec seam as [[extractImageFeatures]] —
+    * map-only, keep-or-drop, full scan parallelism.
+    */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap(r => imageAvgHash(r.payload).map(ImageHash(r.doc_id, _)))
+      }
+  }
+
+  /** X5b: image near-dup pairs — Hamming-band LSH over [[imageAvgHash]]
+    * signatures (the X2 SimHash machinery applied to the image
+    * modality): 8 bands × 8 bits for candidates, exact
+    * `bit_count(xor)` ≤ `maxHamming` verified per pair.
+    *
+    * For `maxHamming` ≤ 7 the banding is LOSSLESS by pigeonhole —
+    * a pair differing in ≤ 7 bits cannot touch all 8 bands, so at
+    * least one band matches exactly and the pair is a candidate
+    * (spec-pinned). Scale shape: band self-join bounded by band-bucket
+    * sizes (never all-pairs), verify is codegen'd integer xor/popcount
+    * on the candidate set only — the decode cost is one map-only pass,
+    * paid once.
+    */
+  def imageNearDup(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"banding is lossless only for maxHamming in [0,7], got $maxHamming")
+    // cached: the band self-join would otherwise decode both sides
+    val sig = imageHashes(spark, media).toDF().cache()
+    val bandArr = array((0 until 8).map(b =>
+      shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L))): _*)
+    val bands = sig.select(col("doc_id"), col("ahash"),
+      posexplode(bandArr).as(Seq("band", "bsig")))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bsig"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("a.ahash").as("ha"),
+        col("b.doc_id").as("id_b"), col("b.ahash").as("hb"))
+      .distinct()
+    val ham = bit_count(col("ha").bitwiseXOR(col("hb")))
+    CacheLifecycle.releaseAfterAction(
+      cand.withColumn("hamming", ham.cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming")),
+      sig)
+  }
+
   case class AudioFeatures(
       doc_id: Long, mime: String, sample_rate: Double, channels: Int,
       n_frames: Long, duration_sec: Double, rms: Seq[Double])

@@ -168,6 +168,44 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     assert(out(2L).avg_r === 127.5 && out(2L).avg_g === 127.5 && out(2L).avg_b === 127.5)
   }
 
+  test("X5b imageAvgHash + imageNearDup: 7-bit pair found (pigeonhole-lossless), inverted image excluded, garbage drops") {
+    // 8×8 images put each PIXEL in its own aHash cell, so the 64 hash
+    // bits are under direct control: base = even pixels white (bit
+    // set), near = base with SEVEN white pixels flipped black
+    // (Hamming exactly 7 — the banding's pigeonhole losslessness
+    // boundary), inv = all bits flipped (Hamming 64)
+    def png8(bit: Int => Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (i <- 0 until 64)
+        img.setRGB(i % 8, i / 8, if (bit(i)) 0xFFFFFF else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = (i: Int) => i % 2 == 0
+    val near = (i: Int) => if (i < 14 && i % 2 == 0) false else base(i)
+    val inv = (i: Int) => !base(i)
+    val media = Seq(
+      (1L, png8(base)), (2L, png8(near)), (3L, png8(inv)),
+      (4L, "not an image".getBytes("UTF-8")), (5L, png8(base)))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("image/png").as("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lit("und").as("lang")))
+      .repartition(3)
+    val hashes = Multimodal.imageHashes(spark, media)
+      .collect().map(h => h.doc_id -> h.ahash).toMap
+    assert(hashes.keySet === Set(1L, 2L, 3L, 5L), "garbage must drop")
+    assert(hashes(1L) === hashes(5L), "identical payloads hash equal")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) === 7)
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) === 64)
+    val pairs = Multimodal.imageNearDup(spark, media, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 7L), (1L, 5L, 0L), (2L, 5L, 7L)),
+      "the 7-bit pair must survive banding; the inverted image must not pair")
+  }
+
   test("X5: REAL WAV decode through the same seam recovers sample truth") {
     // build genuine RIFF/WAVE byte arrays in-memory with the SAME JDK
     // codec family (javax.sound.sampled) a production pipeline would
