@@ -293,19 +293,34 @@ object Multimodal {
     * paid once.
     */
   def imageNearDup(spark: SparkSession, media: DataFrame,
-      maxHamming: Int = 5): DataFrame = {
+      maxHamming: Int = 5): DataFrame =
+    hammingNearDup(
+      imageHashes(spark, media).toDF().withColumnRenamed("ahash", "hash"),
+      maxHamming)
+
+  /** Shared Hamming-band pair machinery over any (doc_id, hash)
+    * 64-bit-signature frame — [[imageNearDup]] and [[audioNearDup]]
+    * are this on their modality's perceptual hash: 8 bands × 8 bits
+    * candidates, exact codegen'd `bit_count(xor)` ≤ `maxHamming`
+    * verify. For `maxHamming` ≤ 7 the banding is LOSSLESS by
+    * pigeonhole — a pair differing in ≤ 7 bits cannot touch all 8
+    * bands, so at least one band matches exactly (spec-pinned at the
+    * boundary). Band self-join bounded by band-bucket sizes, never
+    * all-pairs.
+    */
+  def hammingNearDup(sig0: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"banding is lossless only for maxHamming in [0,7], got $maxHamming")
     // cached: the band self-join would otherwise decode both sides
-    val sig = imageHashes(spark, media).toDF().cache()
+    val sig = sig0.select(col("doc_id"), col("hash")).cache()
     val bandArr = array((0 until 8).map(b =>
-      shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L))): _*)
-    val bands = sig.select(col("doc_id"), col("ahash"),
+      shiftright(col("hash"), b * 8).bitwiseAND(lit(255L))): _*)
+    val bands = sig.select(col("doc_id"), col("hash"),
       posexplode(bandArr).as(Seq("band", "bsig")))
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "bsig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("a.ahash").as("ha"),
-        col("b.doc_id").as("id_b"), col("b.ahash").as("hb"))
+      .select(col("a.doc_id").as("id_a"), col("a.hash").as("ha"),
+        col("b.doc_id").as("id_b"), col("b.hash").as("hb"))
       .distinct()
     val ham = bit_count(col("ha").bitwiseXOR(col("hb")))
     CacheLifecycle.releaseAfterAction(
@@ -314,6 +329,108 @@ object Multimodal {
         .select(col("id_a"), col("id_b"), col("hamming")),
       sig)
   }
+
+  /** X5c: energy-envelope fingerprint of decoded audio — the audio
+    * member of the perceptual-hash family ([[imageAvgHash]]'s
+    * construction on the time axis): mono-mix the PCM frames, split
+    * them into 64 equal windows by exact integer membership
+    * (`(frame*64)/nFrames`), take each window's mean |amplitude| on
+    * the [-1, 1] full scale, set bit i (big-endian) iff window i's
+    * energy exceeds the mean of window energies. Robust to
+    * re-encoding, level-preserving trims, and sample-rate-preserving
+    * copies; featureless audio (digital silence, constant tone) hashes
+    * to 0 — the same degeneracy solid-color images have under aHash.
+    * None for undecodable payloads or clips shorter than 64 frames.
+    * Same PCM subset as [[decodeWav]] (8/16-bit, either endianness).
+    */
+  def audioEnvelopeHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok =
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+            (bits == 8 || bits == 16)
+        if (!ok) None
+        else {
+          val channels = fmt.getChannels
+          val bytesPer = bits / 8
+          val frameSize = fmt.getFrameSize
+          val big = fmt.isBigEndian
+          val unsigned =
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bytes = ais.readAllBytes()
+          val nFrames = bytes.length.toLong / frameSize
+          if (nFrames < 64) None
+          else {
+            val sums = new Array[Double](64)
+            val counts = new Array[Long](64)
+            var f = 0L
+            while (f < nFrames) {
+              val base = (f * frameSize).toInt
+              var mix = 0.0
+              var c = 0
+              while (c < channels) {
+                val o = base + c * bytesPer
+                val v =
+                  if (bits == 8) {
+                    val raw =
+                      if (unsigned) (bytes(o) & 0xff) - 128 else bytes(o).toInt
+                    raw / 128.0
+                  } else {
+                    val (lo, hi) = if (big) (o + 1, o) else (o, o + 1)
+                    val raw =
+                      ((bytes(hi).toInt << 8) | (bytes(lo) & 0xff)).toShort
+                    val centered = if (unsigned) raw - 32768 else raw.toInt
+                    centered / 32768.0
+                  }
+                mix += v
+                c += 1
+              }
+              val w = (f * 64L / nFrames).toInt
+              sums(w) += math.abs(mix / channels)
+              counts(w) += 1
+              f += 1
+            }
+            var i = 0
+            var tot = 0.0
+            while (i < 64) { sums(i) /= counts(i); tot += sums(i); i += 1 }
+            val mean = tot / 64.0
+            var out = 0L
+            i = 0
+            while (i < 64) {
+              if (sums(i) > mean) out |= (1L << (63 - i))
+              i += 1
+            }
+            Some(out)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  case class AudioHash(doc_id: Long, hash: Long)
+
+  /** The [[audioEnvelopeHash]] signatures of a media table, through
+    * the same `mapPartitions` codec seam.
+    */
+  def audioHashes(spark: SparkSession, media: DataFrame): Dataset[AudioHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap(r =>
+        audioEnvelopeHash(r.payload).map(AudioHash(r.doc_id, _))))
+  }
+
+  /** X5c: audio near-dup pairs — [[hammingNearDup]] over
+    * [[audioEnvelopeHash]] signatures.
+    */
+  def audioNearDup(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 5): DataFrame =
+    hammingNearDup(audioHashes(spark, media).toDF(), maxHamming)
 
   case class AudioFeatures(
       doc_id: Long, mime: String, sample_rate: Double, channels: Int,

@@ -206,6 +206,61 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
       "the 7-bit pair must survive banding; the inverted image must not pair")
   }
 
+  test("X5c audioEnvelopeHash + audioNearDup: 7-bit pair found, inverted envelope excluded, short/garbage drop") {
+    // 64 windows × 16 frames put each WINDOW under direct bit
+    // control: loud window = alternating ±16384 (mean |amp| 0.5),
+    // quiet = digital silence — the audio twin of the X5b 8×8 trick
+    import javax.sound.sampled._
+    def wav(loud: Int => Boolean): Array[Byte] = {
+      val pcm = new Array[Byte](64 * 16 * 2)
+      for (w <- 0 until 64; f <- 0 until 16) {
+        val v: Short =
+          if (!loud(w)) 0
+          else if (f % 2 == 0) 16384 else -16384
+        val o = (w * 16 + f) * 2
+        pcm(o) = (v & 0xff).toByte
+        pcm(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 64L * 16L)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val base = (w: Int) => w % 2 == 0
+    val near = (w: Int) => if (w < 14 && w % 2 == 0) false else base(w)
+    val inv = (w: Int) => !base(w)
+    // a 32-frame clip is below the 64-frame floor → dropped
+    val short16 = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](64)), fmt, 32L)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, wav(base)), (2L, wav(near)), (3L, wav(inv)),
+      (4L, "not audio".getBytes("UTF-8")), (5L, wav(base)),
+      (6L, short16))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("audio/wav").as("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lit("und").as("lang")))
+      .repartition(3)
+    val hashes = Multimodal.audioHashes(spark, media)
+      .collect().map(h => h.doc_id -> h.hash).toMap
+    assert(hashes.keySet === Set(1L, 2L, 3L, 5L),
+      "garbage and sub-64-frame clips must drop")
+    assert(hashes(1L) === hashes(5L))
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) === 7)
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) === 64)
+    val pairs = Multimodal.audioNearDup(spark, media, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 7L), (1L, 5L, 0L), (2L, 5L, 7L)))
+  }
+
   test("X5: REAL WAV decode through the same seam recovers sample truth") {
     // build genuine RIFF/WAVE byte arrays in-memory with the SAME JDK
     // codec family (javax.sound.sampled) a production pipeline would
