@@ -630,6 +630,54 @@ object StatsAgg {
         round(u1 / (n1 * n2), 6)).as("auc"))): _*)
   }
 
+  /** Area under the precision-recall curve (average precision) per
+    * key — ClickHouse `arrayAUCPR`'s read as a distributed aggregate,
+    * the imbalanced-classes companion to [[auc]] over the SAME
+    * [[scoreCells]] state (so [[graft.streaming.StreamingScoreMonitor]]
+    * serves it live for free). Convention (stated, since engines
+    * differ on ties): cells are processed in DESCENDING score order
+    * as tie-blocks and
+    *
+    *   AP = Σ_blocks ΔR_i · P_i
+    *      = Σ_i p_i · cumTP_i / (totP · (cumTP_i + cumFP_i))
+    *
+    * with P_i the precision at the block's cumulative counts — the
+    * step/average-precision convention (trapezoid variants differ
+    * only within tie-blocks). Every input to the per-cell double tree
+    * is an exact integer; terms are round-9 DECIMAL-summed (the
+    * [[cramersV]] discipline) so the fold is order-free. Keys with no
+    * positives yield null. Output: keys :+ (n_pos, n_neg, pr_auc),
+    * round-6.
+    */
+  def prAuc(df: DataFrame, keys: Seq[String], score: Column,
+      label: Column): DataFrame =
+    prAucFromCells(scoreCells(df, keys, score, label), keys)
+
+  /** [[prAuc]]'s fold over an existing cell table. */
+  def prAucFromCells(cells: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val annotated = cells
+      .withColumn("__ctp", sum(col("__p")).over(w))
+      .withColumn("__call", sum(col("__p") + col("__q")).over(w))
+      .withColumn("__totp", sum(col("__p")).over(wk))
+      .withColumn("__totn", sum(col("__q")).over(wk))
+    val term = when(col("__p") > 0, round(
+      col("__p").cast("double") * col("__ctp").cast("double") /
+        (col("__totp").cast("double") * col("__call").cast("double")),
+      9).cast("decimal(28,9)"))
+    annotated
+      .withColumn("__t", term)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__totp")).as("n_pos"), max(col("__totn")).as("n_neg"),
+        sum(col("__t")).as("__s"))
+      .select((keys.map(col) ++ Seq(
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0, round(col("__s").cast("double"), 6))
+          .as("pr_auc"))): _*)
+  }
+
   /** Two-sample Kolmogorov–Smirnov D statistic per key — ClickHouse
     * `kolmogorovSmirnovTest`'s D (the p-value is an asymptotic series,
     * out of scope — the [[welchTTest]] posture):

@@ -368,6 +368,17 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A27c: PR-AUC (average precision) of value as a classifier for
+    // the even-user cohort — same cell collapse as q_auc, descending
+    // tie-block convention, round-9 summed terms
+    "q_pr_auc" -> ((s, d) => {
+      graft.operators.StatsAgg.prAuc(
+        table(s, d, "events").where(col("user_id").isNotNull),
+        Seq("event_type"), score = col("value"),
+        label = col("user_id") % 2 === 0)
+        .orderBy(col("event_type"))
+    }),
+
     // A27b: two-sample Kolmogorov–Smirnov D between the cohorts'
     // value distributions — exact integer numerator at every
     // distinct-value boundary
@@ -1298,6 +1309,35 @@ object AggQueries {
              round(((CAST(s2r AS DOUBLE)
                  - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0)
                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) END AS auc
+         FROM s ORDER BY event_type""",
+    // A27c: identical desc-ordered cell windows and round-9 terms
+    "q_pr_auc" ->
+      """WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         cells AS (SELECT event_type, v,
+             count(*) FILTER (WHERE c) AS p,
+             count(*) FILTER (WHERE NOT c) AS q
+           FROM e GROUP BY event_type, v),
+         m AS (SELECT event_type, p,
+             sum(p) OVER win AS ctp, sum(p + q) OVER win AS call,
+             sum(p) OVER (PARTITION BY event_type) AS totp,
+             sum(q) OVER (PARTITION BY event_type) AS totn
+           FROM cells
+           WINDOW win AS (PARTITION BY event_type ORDER BY v DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t AS (SELECT event_type, totp, totn,
+             CASE WHEN p > 0 THEN CAST(round(
+               CAST(p AS DOUBLE) * CAST(ctp AS DOUBLE)
+                 / (CAST(totp AS DOUBLE) * CAST(call AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) END AS tm
+           FROM m),
+         s AS (SELECT event_type, max(totp) AS n_pos, max(totn) AS n_neg,
+             sum(tm) AS sm
+           FROM t GROUP BY event_type)
+         SELECT event_type,
+           CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0
+             THEN round(CAST(sm AS DOUBLE), 6) END AS pr_auc
          FROM s ORDER BY event_type""",
     // A27b: exact |cum1·n2 − cum2·n1| max at distinct-value cells
     "q_ks_test" ->

@@ -69,6 +69,13 @@ object StreamingScoreMonitor {
       keys: Seq[String], template: DataFrame): DataFrame =
     StatsAgg.aucFromCells(readCells(spark, stateDir, template), keys)
 
+  /** Current PR-AUC (average precision) served from the maintained
+    * cells — the same state, no extra maintenance cost.
+    */
+  def currentPrAuc(spark: SparkSession, stateDir: String,
+      keys: Seq[String], template: DataFrame): DataFrame =
+    StatsAgg.prAucFromCells(readCells(spark, stateDir, template), keys)
+
   /** Current KS D statistic served from the maintained cells. */
   def currentKs(spark: SparkSession, stateDir: String,
       keys: Seq[String], template: DataFrame): DataFrame =

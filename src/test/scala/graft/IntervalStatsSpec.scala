@@ -287,6 +287,35 @@ class IntervalStatsSpec extends SparkSpec {
     assert(a === math.round(u._3 / (u._1 * u._2) * 1e6) / 1e6)
   }
 
+  test("prAuc: perfect = 1, all-tied = base rate, matches scalar AP reference, no positives null") {
+    val perfect = Seq(("p", 0.9, true), ("p", 0.8, true), ("p", 0.3, false))
+    val tied = Seq(("t", 5.0, true), ("t", 5.0, false), ("t", 5.0, false),
+      ("t", 5.0, false))
+    val negOnly = Seq(("n", 1.0, false), ("n", 2.0, false))
+    val df = (perfect ++ tied ++ negOnly).toDF("k", "s", "l").repartition(3)
+    val out = graft.operators.StatsAgg.prAuc(df, Seq("k"), col("s"), col("l"))
+      .select("k", "pr_auc").as[(String, Option[Double])].collect().toMap
+    assert(out("p").get === 1.0 && out("t").get === 0.25 &&
+      out("n").isEmpty)
+    // scalar reference: desc tie-block average precision
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 250).map(i =>
+      ("r", math.floor(rnd.nextDouble() * 50),
+        rnd.nextDouble() < (if (i % 4 == 0) 0.8 else 0.2)))
+    val rdf = rows.toDF("k", "s", "l").repartition(4)
+    val got = graft.operators.StatsAgg.prAuc(rdf, Seq("k"), col("s"),
+      col("l")).select("pr_auc").as[Double].head()
+    val totP = rows.count(_._3).toDouble
+    val blocks = rows.groupBy(_._2).toSeq.sortBy(-_._1)
+      .map { case (_, rs) => (rs.count(_._3), rs.size) }
+    val (_, _, ap) = blocks.foldLeft((0L, 0L, 0.0)) {
+      case ((ctp, call, acc), (p, n)) =>
+        val (ctp2, call2) = (ctp + p, call + n)
+        (ctp2, call2, acc + (if (p > 0) p * ctp2 / (totP * call2) else 0.0))
+    }
+    assert(math.abs(got - ap) < 1e-5)
+  }
+
   test("ksTest: disjoint supports = 1, identical samples = 0, matches scalar reference, cohort-swap invariant") {
     val disjoint = Seq.tabulate(5)(i => ("d", i.toDouble, true)) ++
       Seq.tabulate(5)(i => ("d", 100.0 + i, false))

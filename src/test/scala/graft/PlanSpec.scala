@@ -85,6 +85,21 @@ class PlanSpec extends SparkSpec with NeedsTestdata {
     assert(p.contains("TakeOrderedAndProject"), s"centroids via TakeOrdered:\n$p")
   }
 
+  test("A28: ANOVA is two hash aggregates end to end — no Window touches raw volume") {
+    val p = plan(SparkEntry.queries("q_anova")(spark, sf))
+    assert(!p.contains("Window"), s"ANOVA must not plan a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected two partial+final aggregate pairs:\n$p")
+  }
+
+  test("X12c: bounded sample plans an ObjectHashAggregate; no Window over raw volume") {
+    val p = plan(SparkEntry.queries("q_sample_bounded")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the BoundedSample aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"the bounded form must not fall back to a window sort:\n$p")
+  }
+
   test("X3: LSH ANN joins bucket keys with a broadcast query side, no cross product") {
     val p = plan(SparkEntry.queries("q_ann_lsh")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"bucket join should broadcast queries:\n$p")

@@ -1288,6 +1288,12 @@ class StreamingSpec extends SparkSpec {
       "streamed cells must serve the batch AUC over all rows")
     assert(ksOf(StreamingScoreMonitor.currentKs(spark, dir, Seq("k"), tmpl))
       === expectKs)
+    val expectPr = StatsAgg.prAuc(df(all), Seq("k"), col("s"), col("l"))
+      .select("k", "pr_auc").as[(String, Double)].collect().toMap
+    assert(StreamingScoreMonitor.currentPrAuc(spark, dir, Seq("k"), tmpl)
+      .select("k", "pr_auc").as[(String, Double)].collect().toMap
+      === expectPr,
+      "the same cell state must serve PR-AUC with no extra maintenance")
     // replay of a committed batch is a no-op on cells and pointer
     val ptr = StreamingScoreMonitor.readPointer(dir)
     StreamingScoreMonitor.applyBatch(df(all.take(100)), Seq("k"),
