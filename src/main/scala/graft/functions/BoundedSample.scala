@@ -33,6 +33,51 @@ object BoundedSample {
   val ord: Ordering[Item] = Ordering.by(i => (i.rank, i.item))
 }
 
+/** ClickHouse `groupArraySorted(k)`: the k smallest (rank, item)
+  * pairs per group under NUMERIC rank order — [[BoundedSample]]'s
+  * bounded mergeable summary with a long rank instead of a hash, so
+  * it is the bounded-state execution shape for per-group top-k
+  * (negate the rank for largest-k). The window `row_number() <= k`
+  * form sorts every group's full volume through one task per group;
+  * this carries O(k) state per group per partition through a
+  * partial+final ObjectHashAggregate. Null ranks/items skip; output
+  * ascending (rank, item).
+  */
+object BoundedTopK {
+  case class Item(rank: Long, item: String)
+  case class Buf(items: Seq[Item])
+  case class Out(items: Seq[Item])
+
+  val ord: Ordering[Item] = Ordering.by(i => (i.rank, i.item))
+}
+
+class BoundedTopK(k: Int)
+    extends Aggregator[(java.lang.Long, String), BoundedTopK.Buf,
+      BoundedTopK.Out] {
+  import BoundedTopK._
+  require(k >= 1, "need k >= 1")
+
+  override def zero: Buf = Buf(Vector.empty)
+
+  override def reduce(b: Buf, in: (java.lang.Long, String)): Buf = {
+    val (rank, item) = in
+    if (rank == null || item == null) b
+    else {
+      val it = Item(rank, item)
+      if (b.items.size >= k && ord.gteq(it, b.items.last)) b
+      else Buf((b.items :+ it).sorted(ord).take(k))
+    }
+  }
+
+  override def merge(a: Buf, b: Buf): Buf =
+    Buf((a.items ++ b.items).sorted(ord).take(k))
+
+  override def finish(r: Buf): Out = Out(r.items)
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Out] = Encoders.product[Out]
+}
+
 class BoundedSample(n: Int)
     extends Aggregator[(String, String), BoundedSample.Buf,
       BoundedSample.Out] {

@@ -39,6 +39,30 @@ object AggCombinators {
     limit.fold(vals)(n => slice(vals, 1, n))
   }
 
+  /** `groupArraySorted(k)` (ClickHouse): the k smallest (rank, item)
+    * rows per key as a BOUNDED mergeable aggregate
+    * ([[graft.functions.BoundedTopK]]). Unlike [[groupArray]]'s limit
+    * arm — which collects the WHOLE group, then slices — the state
+    * never exceeds k per group per input partition, so a hot key
+    * cannot balloon the exchange and no task sorts raw volume (the
+    * X12c execution shape with a numeric rank; negate the rank for
+    * largest-k). Null rank or item rows skip. Output: keys :+
+    * (rank, item-as-string), ascending (rank, item) per key.
+    */
+  def groupArraySorted(df: DataFrame, keys: Seq[String], rank: Column,
+      item: Column, k: Int): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BoundedTopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.LONG,
+        org.apache.spark.sql.Encoders.STRING))
+    df.groupBy(keys.map(col): _*)
+      .agg(agg(rank.cast("long"), item.cast("string")).as("__s"))
+      .select((keys.map(col) :+ explode(col("__s.items")).as("__e")): _*)
+      .select((keys.map(col) :+ col("__e.rank").as("rank")) :+
+        col("__e.item").as("item"): _*)
+  }
+
   /** `groupUniqArray`: distinct values, ascending — collect_set's
     * nondeterministic order repaired by array_sort. Use inside
     * `.agg(...)`.

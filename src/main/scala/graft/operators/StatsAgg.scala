@@ -653,6 +653,39 @@ object StatsAgg {
       label: Column): DataFrame =
     prAucFromCells(scoreCells(df, keys, score, label), keys)
 
+  /** Full ROC curve per key — ClickHouse `arrayROCCurve`: one row per
+    * distinct score threshold t (every cell of [[scoreCells]]), with
+    * the exact confusion counts and rates after classifying
+    * score ≥ t as positive. The dashboard read behind A27's single
+    * number — and served live from the same maintained cell state.
+    * Counts exact integers; tpr/fpr round-6 of an exact-integer
+    * division; an empty class nulls its rate. Output: keys :+
+    * (threshold, n_tp, n_fp, tpr, fpr), one row per distinct score.
+    */
+  def rocCurve(df: DataFrame, keys: Seq[String], score: Column,
+      label: Column): DataFrame =
+    rocCurveFromCells(scoreCells(df, keys, score, label), keys)
+
+  /** [[rocCurve]]'s fold over an existing cell table. */
+  def rocCurveFromCells(cells: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    cells
+      .withColumn("n_tp", sum(col("__p")).over(w))
+      .withColumn("n_fp", sum(col("__q")).over(w))
+      .withColumn("__totp", sum(col("__p")).over(wk))
+      .withColumn("__totn", sum(col("__q")).over(wk))
+      .select((keys.map(col) ++ Seq(
+        col("__v").as("threshold"), col("n_tp"), col("n_fp"),
+        when(col("__totp") > 0, round(
+          col("n_tp").cast("double") / col("__totp").cast("double"), 6))
+          .as("tpr"),
+        when(col("__totn") > 0, round(
+          col("n_fp").cast("double") / col("__totn").cast("double"), 6))
+          .as("fpr"))): _*)
+  }
+
   /** [[prAuc]]'s fold over an existing cell table. */
   def prAucFromCells(cells: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)

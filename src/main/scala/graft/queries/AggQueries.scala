@@ -379,6 +379,27 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A27d: the full ROC curve at decile thresholds — exact confusion
+    // counts per threshold from the same cell collapse
+    "q_roc_curve" -> ((s, d) => {
+      graft.operators.StatsAgg.rocCurve(
+        table(s, d, "events").where(col("user_id").isNotNull),
+        Seq("event_type"), score = floor(col("value") / 10.0),
+        label = col("user_id") % 2 === 0)
+        .orderBy(col("event_type"), col("threshold"))
+    }),
+
+    // A30: groupArraySorted(5) — per type the 5 smallest
+    // (fixed-point value, event_id) rows via the bounded-state
+    // aggregate; the oracle is the window row_number formulation
+    "q_group_sorted" -> ((s, d) => {
+      graft.operators.AggCombinators.groupArraySorted(
+        table(s, d, "events").where(col("value").isNotNull),
+        Seq("event_type"), rank = floor(col("value") * 100).cast("long"),
+        item = col("event_id"), k = 5)
+        .orderBy(col("event_type"), col("rank"), col("item"))
+    }),
+
     // A27b: two-sample Kolmogorov–Smirnov D between the cohorts'
     // value distributions — exact integer numerator at every
     // distinct-value boundary
@@ -1339,6 +1360,42 @@ object AggQueries {
            CASE WHEN n_pos > 0
              THEN round(CAST(sm AS DOUBLE), 6) END AS pr_auc
          FROM s ORDER BY event_type""",
+    // A27d: identical desc cumulative windows over decile cells
+    "q_roc_curve" ->
+      """WITH e AS (SELECT event_type, floor(value / 10.0) AS v,
+             user_id % 2 = 0 AS c
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         cells AS (SELECT event_type, v,
+             count(*) FILTER (WHERE c) AS p,
+             count(*) FILTER (WHERE NOT c) AS q
+           FROM e GROUP BY event_type, v),
+         m AS (SELECT event_type, v,
+             sum(p) OVER win AS n_tp, sum(q) OVER win AS n_fp,
+             sum(p) OVER (PARTITION BY event_type) AS totp,
+             sum(q) OVER (PARTITION BY event_type) AS totn
+           FROM cells
+           WINDOW win AS (PARTITION BY event_type ORDER BY v DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, v AS threshold,
+           CAST(n_tp AS BIGINT) AS n_tp, CAST(n_fp AS BIGINT) AS n_fp,
+           CASE WHEN totp > 0 THEN
+             round(CAST(n_tp AS DOUBLE) / CAST(totp AS DOUBLE), 6)
+             END AS tpr,
+           CASE WHEN totn > 0 THEN
+             round(CAST(n_fp AS DOUBLE) / CAST(totn AS DOUBLE), 6)
+             END AS fpr
+         FROM m ORDER BY event_type, threshold""",
+    // A30: the window row_number formulation of the same winner set
+    "q_group_sorted" ->
+      """SELECT event_type, rank, item FROM (
+           SELECT event_type,
+             CAST(floor(value * 100.0) AS BIGINT) AS rank,
+             CAST(event_id AS VARCHAR) AS item,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY CAST(floor(value * 100.0) AS BIGINT),
+                 CAST(event_id AS VARCHAR)) AS rn
+           FROM events WHERE value IS NOT NULL) t
+         WHERE rn <= 5 ORDER BY event_type, rank, item""",
     // A27b: exact |cum1·n2 − cum2·n1| max at distinct-value cells
     "q_ks_test" ->
       """WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c

@@ -81,6 +81,11 @@ object StreamingScoreMonitor {
       keys: Seq[String], template: DataFrame): DataFrame =
     StatsAgg.ksFromCells(readCells(spark, stateDir, template), keys)
 
+  /** Current full ROC curve served from the maintained cells. */
+  def currentRocCurve(spark: SparkSession, stateDir: String,
+      keys: Seq[String], template: DataFrame): DataFrame =
+    StatsAgg.rocCurveFromCells(readCells(spark, stateDir, template), keys)
+
   /** Fold ONE micro-batch of scored rows into the cell store;
     * replays (batchId <= pointer's) are no-ops.
     */

@@ -346,4 +346,30 @@ class CombinatorsSpec extends SparkSpec {
     val out = agg.finish(TopK.Buf(Map("b" -> 3L, "a" -> 3L, "c" -> 9L)))
     assert(out.items === Seq(TopK.Item("c", 9L), TopK.Item("a", 3L)))
   }
+
+  test("groupArraySorted: equals the window row_number form, repartition-stable, small groups whole, nulls skip") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 400).map(i =>
+      (s"g${i % 3}", rnd.nextInt(50).toLong, i.toLong))
+    val df = rows.toDF("g", "r", "id").repartition(7)
+    val got = graft.operators.AggCombinators.groupArraySorted(
+      df, Seq("g"), col("r"), col("id"), k = 6)
+      .as[(String, Long, String)].collect().toSet
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("r"), col("id").cast("string"))
+    val expect = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 6)
+      .select(col("g"), col("r"), col("id").cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    assert(got === expect && got.size === 18)
+    // a group smaller than k yields the whole group; null ranks skip
+    val tiny = Seq(("t", Some(2L), 1L), ("t", Some(1L), 2L),
+      ("t", None, 3L))
+      .toDF("g", "r", "id")
+    val t = graft.operators.AggCombinators.groupArraySorted(
+      tiny, Seq("g"), col("r"), col("id"), k = 6)
+      .as[(String, Long, String)].collect().toSeq
+    assert(t === Seq(("t", 1L, "2"), ("t", 2L, "1")))
+  }
 }

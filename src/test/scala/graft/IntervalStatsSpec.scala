@@ -316,6 +316,26 @@ class IntervalStatsSpec extends SparkSpec {
     assert(math.abs(got - ap) < 1e-5)
   }
 
+  test("rocCurve: exact counts per threshold, terminal point (1,1), perfect classifier hugs the axis") {
+    val rows = Seq(("k", 3.0, true), ("k", 3.0, true), ("k", 2.0, false),
+      ("k", 1.0, true), ("k", 1.0, false))
+    val out = graft.operators.StatsAgg.rocCurve(
+      rows.toDF("k", "s", "l").repartition(3), Seq("k"), col("s"), col("l"))
+      .orderBy(col("threshold").desc)
+      .select("threshold", "n_tp", "n_fp", "tpr", "fpr")
+      .as[(Double, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      (3.0, 2L, 0L, 0.666667, 0.0),
+      (2.0, 2L, 1L, 0.666667, 0.5),
+      (1.0, 3L, 2L, 1.0, 1.0)))
+    // perfect classifier: the curve reaches tpr = 1 while fpr = 0
+    val perfect = Seq(("p", 9.0, true), ("p", 8.0, true), ("p", 1.0, false))
+    val pts = graft.operators.StatsAgg.rocCurve(
+      perfect.toDF("k", "s", "l"), Seq("k"), col("s"), col("l"))
+      .select("tpr", "fpr").as[(Double, Double)].collect().toSet
+    assert(pts.contains((1.0, 0.0)))
+  }
+
   test("ksTest: disjoint supports = 1, identical samples = 0, matches scalar reference, cohort-swap invariant") {
     val disjoint = Seq.tabulate(5)(i => ("d", i.toDouble, true)) ++
       Seq.tabulate(5)(i => ("d", 100.0 + i, false))

@@ -1294,6 +1294,10 @@ class StreamingSpec extends SparkSpec {
       .select("k", "pr_auc").as[(String, Double)].collect().toMap
       === expectPr,
       "the same cell state must serve PR-AUC with no extra maintenance")
+    val expectRoc = StatsAgg.rocCurve(df(all), Seq("k"), col("s"), col("l"))
+      .collect().map(_.toSeq).toSet
+    assert(StreamingScoreMonitor.currentRocCurve(spark, dir, Seq("k"), tmpl)
+      .collect().map(_.toSeq).toSet === expectRoc)
     // replay of a committed batch is a no-op on cells and pointer
     val ptr = StreamingScoreMonitor.readPointer(dir)
     StreamingScoreMonitor.applyBatch(df(all.take(100)), Seq("k"),
