@@ -711,6 +711,80 @@ object StatsAgg {
           .as("pr_auc"))): _*)
   }
 
+  /** Brier score per key — the proper scoring rule for probabilistic
+    * predictions (Brier 1950): mean squared error between predicted
+    * probability and the 0/1 outcome,
+    *
+    *   B = Σ_cells (p·(1−v)² + q·v²) / n
+    *
+    * over the SAME [[scoreCells]] state as [[auc]] (so the streaming
+    * monitor serves it live). Scores are expected in [0, 1] — the
+    * formula is plain MSE for anything else (documented, not
+    * enforced). Per-cell terms are one fixed double tree over exact
+    * counts, round-9 DECIMAL-summed; 0 is a perfect forecaster, 0.25
+    * the uninformed-0.5 baseline. Output: keys :+ (n_rows, brier),
+    * round-6.
+    */
+  def brierScore(df: DataFrame, keys: Seq[String], score: Column,
+      label: Column): DataFrame =
+    brierFromCells(scoreCells(df, keys, score, label), keys)
+
+  /** [[brierScore]]'s fold over an existing cell table. */
+  def brierFromCells(cells: DataFrame, keys: Seq[String]): DataFrame = {
+    val v = col("__v").cast("double")
+    val term = round(
+      col("__p").cast("double") * (lit(1.0) - v) * (lit(1.0) - v) +
+        col("__q").cast("double") * v * v, 9).cast("decimal(28,9)")
+    cells
+      .withColumn("__t", term)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__p") + col("__q")).as("n_rows"),
+        sum(col("__t")).as("__s"))
+      .select((keys.map(col) ++ Seq(
+        col("n_rows"),
+        when(col("n_rows") > 0, round(
+          col("__s").cast("double") / col("n_rows").cast("double"), 6))
+          .as("brier"))): _*)
+  }
+
+  /** Calibration (reliability) table per key — "when the model says
+    * 0.7, does 70% actually happen": predicted probabilities bucketed
+    * into `bins` equal-width bins over [0, 1], each bin reporting its
+    * exact count, mean predicted score, and observed positive rate.
+    * Computed over the SAME [[scoreCells]] state (streaming-servable);
+    * the bin's score mass Σ v·(p+q) is round-9 DECIMAL-summed, counts
+    * exact. Scores at 1.0 fold into the top bin (the half-open-grid
+    * edge case); out-of-[0,1] scores clamp to the edge bins. Output:
+    * keys :+ (bin, n_rows, n_pos, mean_score, pos_rate), round-6.
+    */
+  def calibrationCurve(df: DataFrame, keys: Seq[String], score: Column,
+      label: Column, bins: Int = 10): DataFrame =
+    calibrationFromCells(scoreCells(df, keys, score, label), keys, bins)
+
+  /** [[calibrationCurve]]'s fold over an existing cell table. */
+  def calibrationFromCells(cells: DataFrame, keys: Seq[String],
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "need bins >= 1")
+    val v = col("__v").cast("double")
+    val bin = least(greatest(floor(v * bins).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    val mass = round(v * (col("__p") + col("__q")).cast("double"), 9)
+      .cast("decimal(28,9)")
+    cells
+      .withColumn("bin", bin)
+      .withColumn("__m", mass)
+      .groupBy(keys.map(col) :+ col("bin"): _*)
+      .agg(sum(col("__p") + col("__q")).as("n_rows"),
+        sum(col("__p")).as("n_pos"),
+        sum(col("__m")).as("__s"))
+      .select((keys.map(col) ++ Seq(
+        col("bin"), col("n_rows"), col("n_pos"),
+        round(col("__s").cast("double") / col("n_rows").cast("double"), 6)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n_rows").cast("double"), 6)
+          .as("pos_rate"))): _*)
+  }
+
   /** Two-sample Kolmogorov–Smirnov D statistic per key — ClickHouse
     * `kolmogorovSmirnovTest`'s D (the p-value is an asymptotic series,
     * out of scope — the [[welchTTest]] posture):

@@ -400,6 +400,29 @@ object AggQueries {
         .orderBy(col("event_type"), col("rank"), col("item"))
     }),
 
+    // A27e: Brier score — the value's percent residue as a
+    // probability forecast of the even-user outcome; MSE from exact
+    // cell counts, round-9 summed terms
+    "q_brier" -> ((s, d) => {
+      graft.operators.StatsAgg.brierScore(
+        table(s, d, "events").where(col("user_id").isNotNull),
+        Seq("event_type"),
+        score = (floor(col("value")) % 100) / 100.0,
+        label = col("user_id") % 2 === 0)
+        .orderBy(col("event_type"))
+    }),
+
+    // A27f: calibration/reliability table — 10 equal-width bins of
+    // the same probability forecast, exact counts, round-9 score mass
+    "q_calibration" -> ((s, d) => {
+      graft.operators.StatsAgg.calibrationCurve(
+        table(s, d, "events").where(col("user_id").isNotNull),
+        Seq("event_type"),
+        score = (floor(col("value")) % 100) / 100.0,
+        label = col("user_id") % 2 === 0, bins = 10)
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
     // A27b: two-sample Kolmogorov–Smirnov D between the cohorts'
     // value distributions — exact integer numerator at every
     // distinct-value boundary
@@ -1396,6 +1419,48 @@ object AggQueries {
                  CAST(event_id AS VARCHAR)) AS rn
            FROM events WHERE value IS NOT NULL) t
          WHERE rn <= 5 ORDER BY event_type, rank, item""",
+    // A27e: identical cell counts and round-9 MSE terms
+    "q_brier" ->
+      """WITH e AS (SELECT event_type, (floor(value) % 100) / 100.0 AS v,
+             user_id % 2 = 0 AS c
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         cells AS (SELECT event_type, v,
+             count(*) FILTER (WHERE c) AS p,
+             count(*) FILTER (WHERE NOT c) AS q
+           FROM e GROUP BY event_type, v),
+         t AS (SELECT event_type, p + q AS nn,
+             CAST(round(CAST(p AS DOUBLE) * (1.0 - v) * (1.0 - v)
+               + CAST(q AS DOUBLE) * v * v, 9) AS DECIMAL(28,9)) AS tm
+           FROM cells),
+         s AS (SELECT event_type, sum(nn) AS n, sum(tm) AS sm
+           FROM t GROUP BY event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n > 0 THEN
+             round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS brier
+         FROM s ORDER BY event_type""",
+    // A27f: same bins, exact counts, round-9 score mass
+    "q_calibration" ->
+      """WITH e AS (SELECT event_type, (floor(value) % 100) / 100.0 AS v,
+             user_id % 2 = 0 AS c
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         cells AS (SELECT event_type, v,
+             count(*) FILTER (WHERE c) AS p,
+             count(*) FILTER (WHERE NOT c) AS q
+           FROM e GROUP BY event_type, v),
+         b AS (SELECT event_type,
+             least(greatest(CAST(floor(v * 10) AS BIGINT), 0), 9) AS bin,
+             p, q,
+             CAST(round(v * CAST(p + q AS DOUBLE), 9) AS DECIMAL(28,9))
+               AS m
+           FROM cells),
+         g AS (SELECT event_type, bin, sum(p + q) AS n, sum(p) AS np,
+             sum(m) AS sm
+           FROM b GROUP BY event_type, bin)
+         SELECT event_type, bin, CAST(n AS BIGINT) AS n_rows,
+           CAST(np AS BIGINT) AS n_pos,
+           round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_score,
+           round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate
+         FROM g ORDER BY event_type, bin""",
     // A27b: exact |cum1·n2 − cum2·n1| max at distinct-value cells
     "q_ks_test" ->
       """WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c

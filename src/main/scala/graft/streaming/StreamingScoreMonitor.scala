@@ -81,6 +81,17 @@ object StreamingScoreMonitor {
       keys: Seq[String], template: DataFrame): DataFrame =
     StatsAgg.ksFromCells(readCells(spark, stateDir, template), keys)
 
+  /** Current Brier score served from the maintained cells. */
+  def currentBrier(spark: SparkSession, stateDir: String,
+      keys: Seq[String], template: DataFrame): DataFrame =
+    StatsAgg.brierFromCells(readCells(spark, stateDir, template), keys)
+
+  /** Current calibration table served from the maintained cells. */
+  def currentCalibration(spark: SparkSession, stateDir: String,
+      keys: Seq[String], template: DataFrame, bins: Int = 10): DataFrame =
+    StatsAgg.calibrationFromCells(readCells(spark, stateDir, template),
+      keys, bins)
+
   /** Current full ROC curve served from the maintained cells. */
   def currentRocCurve(spark: SparkSession, stateDir: String,
       keys: Seq[String], template: DataFrame): DataFrame =

@@ -336,6 +336,39 @@ class IntervalStatsSpec extends SparkSpec {
     assert(pts.contains((1.0, 0.0)))
   }
 
+  test("brierScore: perfect = 0, uninformed 0.5 = 0.25, matches scalar MSE; calibration bins exact") {
+    val perfect = Seq(("p", 1.0, true), ("p", 1.0, true), ("p", 0.0, false))
+    val half = Seq(("h", 0.5, true), ("h", 0.5, false))
+    val df = (perfect ++ half).toDF("k", "s", "l").repartition(2)
+    val out = graft.operators.StatsAgg.brierScore(df, Seq("k"),
+      col("s"), col("l"))
+      .select("k", "brier").as[(String, Double)].collect().toMap
+    assert(out("p") === 0.0 && out("h") === 0.25)
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map(i =>
+      ("r", rnd.nextInt(101) / 100.0, i % 3 == 0))
+    val got = graft.operators.StatsAgg.brierScore(
+      rows.toDF("k", "s", "l").repartition(4), Seq("k"), col("s"), col("l"))
+      .select("brier").as[Double].head()
+    val mse = rows.map { case (_, s, l) =>
+      val y = if (l) 1.0 else 0.0; (s - y) * (s - y)
+    }.sum / rows.size
+    assert(math.abs(got - mse) < 1e-5)
+    // calibration: two bins under direct control, 1.0 folds into the
+    // top bin, mean_score and pos_rate exact
+    val cal = Seq(("c", 0.05, true), ("c", 0.05, false),
+      ("c", 0.95, true), ("c", 1.0, true))
+      .toDF("k", "s", "l")
+    val bins = graft.operators.StatsAgg.calibrationCurve(
+      cal, Seq("k"), col("s"), col("l"), bins = 10)
+      .select("bin", "n_rows", "n_pos", "mean_score", "pos_rate")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(bins.keySet === Set(0L, 9L))
+    assert(bins(0L) === ((0L, 2L, 1L, 0.05, 0.5)))
+    assert(bins(9L) === ((9L, 2L, 2L, 0.975, 1.0)))
+  }
+
   test("ksTest: disjoint supports = 1, identical samples = 0, matches scalar reference, cohort-swap invariant") {
     val disjoint = Seq.tabulate(5)(i => ("d", i.toDouble, true)) ++
       Seq.tabulate(5)(i => ("d", 100.0 + i, false))

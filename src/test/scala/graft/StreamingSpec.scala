@@ -1298,6 +1298,15 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(StreamingScoreMonitor.currentRocCurve(spark, dir, Seq("k"), tmpl)
       .collect().map(_.toSeq).toSet === expectRoc)
+    val expectBr = StatsAgg.brierScore(df(all), Seq("k"), col("s"), col("l"))
+      .select("k", "brier").as[(String, Double)].collect().toMap
+    assert(StreamingScoreMonitor.currentBrier(spark, dir, Seq("k"), tmpl)
+      .select("k", "brier").as[(String, Double)].collect().toMap
+      === expectBr)
+    val expectCal = StatsAgg.calibrationCurve(df(all), Seq("k"),
+      col("s"), col("l")).collect().map(_.toSeq).toSet
+    assert(StreamingScoreMonitor.currentCalibration(spark, dir, Seq("k"),
+      tmpl).collect().map(_.toSeq).toSet === expectCal)
     // replay of a committed batch is a no-op on cells and pointer
     val ptr = StreamingScoreMonitor.readPointer(dir)
     StreamingScoreMonitor.applyBatch(df(all.take(100)), Seq("k"),
