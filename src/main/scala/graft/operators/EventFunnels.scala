@@ -511,6 +511,65 @@ object EventFunnels {
         col("__n.e").as("next_node"))): _*)
   }
 
+  /** W10: conversion attribution — for every conversion event, the
+    * source (touch) event credited under the FIRST-touch and
+    * LAST-touch rules within a lookback window: the read behind
+    * "which channel gets the purchase". Both rules in one pass.
+    *
+    * Shape (deliberately NOT a per-user ordered window): conversions
+    * become [ep − lookback, ep] ranges and sources are points in the
+    * keyed point-in-range bucket join ([[IntervalJoin.pointInRangeJoin]]
+    * — per-(user, bucket) hash exchange, candidate pairs bounded by
+    * bucket co-residence, no per-user sort of raw volume), then ONE
+    * partial+final `min_by`/`max_by` aggregate per conversion picks
+    * the first/last touch deterministically by (ep, tie, type) — the
+    * W1 tiebreak discipline, immune to the RANGE-frame tie ambiguity
+    * a window formulation has. Conversions with no touch in the
+    * window survive with null attribution (left join back — the
+    * unattributed share IS the metric's denominator). Same-second
+    * touches count (source ep ≤ conversion ep, inclusive).
+    * Output: (user, conv_ep, conv_tie, first_type, first_ep,
+    * last_type, last_ep).
+    */
+  def attribution(events: DataFrame, user: String, ts: Column, tie: Column,
+      eventType: Column, conversion: String, sources: Seq[String],
+      lookbackSecs: Long, bucketWidth: Double = 86400.0): DataFrame = {
+    require(sources.nonEmpty && !sources.contains(conversion),
+      "sources must be non-empty and exclude the conversion type")
+    require(lookbackSecs > 0, "lookback must be positive")
+    val convs = events.where(eventType === conversion)
+      .select(col(user).as("__cu"), ts.cast("long").as("conv_ep"),
+        tie.as("conv_tie"))
+    val touches = events.where(eventType.isin(sources: _*))
+      .select(col(user).as("__su"), ts.cast("long").as("__sep"),
+        tie.as("__stie"), eventType.as("__stype"))
+    val paired = IntervalJoin.pointInRangeJoin(
+      points = touches, p = col("__sep"),
+      ranges = convs.withColumn("__lo",
+        (col("conv_ep") - lookbackSecs).cast("double"))
+        .withColumn("__hi2", (col("conv_ep") + 1L).cast("double")),
+      lo = col("__lo"), hi = col("__hi2"),
+      bucketWidth = bucketWidth,
+      keys = Seq("__su" -> "__cu"))
+    val ord = struct(col("__sep"), col("__stie"), col("__stype"))
+    val picked = paired
+      .groupBy(col("__cu"), col("conv_ep"), col("conv_tie"))
+      .agg(
+        min_by(struct(col("__stype"), col("__sep")), ord).as("__f"),
+        max_by(struct(col("__stype"), col("__sep")), ord).as("__l"))
+    // renamed join keys: picked descends from convs, so a by-column
+    // self-join would hit ambiguous-attribute resolution
+    val p2 = picked.select(col("__cu").as("__pu"),
+      col("conv_ep").as("__pep"), col("conv_tie").as("__ptie"),
+      col("__f"), col("__l"))
+    convs.join(p2,
+        col("__cu") === col("__pu") && col("conv_ep") === col("__pep") &&
+          col("conv_tie") === col("__ptie"), "left")
+      .select(col("__cu").as(user), col("conv_ep"), col("conv_tie"),
+        col("__f.__stype").as("first_type"), col("__f.__sep").as("first_ep"),
+        col("__l.__stype").as("last_type"), col("__l.__sep").as("last_ep"))
+  }
+
   def retention(
       events: DataFrame, user: String, conds: Seq[Column]): DataFrame = {
     require(conds.nonEmpty, "retention needs at least one condition")

@@ -468,6 +468,19 @@ object WindowQueries {
 
     // W7: cohort retention (ClickHouse retention family) — users
     // active on span-day 1 still active on day k, k = 1..7
+    // W10: first/last-touch attribution — every purchase credited to
+    // its first and last click/view/signup touch within 24h, via the
+    // keyed point-in-range bucket join + one min_by/max_by aggregate
+    "q_attribution" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ep", graft.Tables.epochSeconds(col("ts")))
+      graft.operators.EventFunnels.attribution(ev, "user_id",
+        ts = col("ep"), tie = col("event_id"),
+        eventType = col("event_type"), conversion = "purchase",
+        sources = Seq("click", "signup", "view"), lookbackSecs = 86400L)
+        .orderBy(col("user_id"), col("conv_ep"), col("conv_tie"))
+    }),
+
     "q_retention" -> ((s, d) => {
       val ev = table(s, d, "events")
         .select(col("user_id"),
@@ -949,6 +962,36 @@ object WindowQueries {
          SELECT user_id,
            CAST(len(regexp_extract_all(sq, '1.*?2')) AS BIGINT) AS seq_count
          FROM s ORDER BY user_id""",
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+             event_type
+           FROM events),
+         c AS (SELECT user_id, ep AS conv_ep, event_id AS conv_tie
+           FROM e WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, ep AS sep, event_id AS stie,
+             event_type AS stype
+           FROM e WHERE event_type IN ('click', 'signup', 'view')),
+         j AS (SELECT c.user_id, c.conv_ep, c.conv_tie,
+             s.stype, s.sep, s.stie
+           FROM c JOIN s ON s.user_id = c.user_id
+             AND s.sep >= c.conv_ep - 86400 AND s.sep <= c.conv_ep),
+         p AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id, conv_ep, conv_tie
+               ORDER BY sep, stie, stype) AS rf,
+             row_number() OVER (PARTITION BY user_id, conv_ep, conv_tie
+               ORDER BY sep DESC, stie DESC, stype DESC) AS rl
+           FROM j),
+         f AS (SELECT user_id, conv_ep, conv_tie,
+             stype AS first_type, sep AS first_ep FROM p WHERE rf = 1),
+         l AS (SELECT user_id, conv_ep, conv_tie,
+             stype AS last_type, sep AS last_ep FROM p WHERE rl = 1)
+         SELECT c.user_id, c.conv_ep, c.conv_tie,
+           f.first_type, f.first_ep, l.last_type, l.last_ep
+         FROM c
+           LEFT JOIN f USING (user_id, conv_ep, conv_tie)
+           LEFT JOIN l USING (user_id, conv_ep, conv_tie)
+         ORDER BY user_id, conv_ep, conv_tie""",
     "q_retention" ->
       """WITH e AS (SELECT user_id,
            CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

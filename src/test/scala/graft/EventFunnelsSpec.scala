@@ -407,6 +407,34 @@ class EventFunnelsSpec extends SparkSpec {
       "C" -> ((1L, 1L, 1L))))
   }
 
+  test("W10 attribution: lookback bounds, same-second touch counts, unattributed survives, first/last distinct") {
+    val rows = Seq(
+      // user A: touch outside lookback (t=5), touches inside (t=100
+      // click, t=150 view), same-second touch at the conversion
+      // (t=200 signup) → first=click@100, last=signup@200
+      ("A", 5L, 1L, "click"), ("A", 100L, 2L, "click"),
+      ("A", 150L, 3L, "view"), ("A", 200L, 4L, "signup"),
+      ("A", 200L, 5L, "purchase"),
+      // a later touch must NOT attribute backwards
+      ("A", 300L, 6L, "click"),
+      // user B: conversion with no touch in window → unattributed
+      ("B", 1000L, 7L, "purchase"), ("B", 2000L, 8L, "view"),
+      // user C's touches must not leak into A/B
+      ("C", 190L, 9L, "view"))
+    val df = rows.toDF("u", "ep", "id", "t").repartition(3)
+    val out = EventFunnels.attribution(df, "u", col("ep"), col("id"),
+      col("t"), "purchase", Seq("click", "signup", "view"),
+      lookbackSecs = 150L, bucketWidth = 60.0)
+      .select("u", "conv_ep", "first_type", "first_ep", "last_type",
+        "last_ep")
+      .as[(String, Long, Option[String], Option[Long], Option[String],
+        Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(out("A") === (("A", 200L, Some("click"), Some(100L),
+      Some("signup"), Some(200L))))
+    assert(out("B") === (("B", 1000L, None, None, None, None)))
+    assert(out.size === 2)
+  }
+
   test("W6g windowFunnelTimes: levels agree with windowFunnel; times are the chain minima") {
     val rows = Seq(
       ("A", 10L, "s1"), ("A", 20L, "s2"), ("A", 30L, "s3"), // full, lag 20
