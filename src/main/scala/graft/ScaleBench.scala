@@ -575,6 +575,28 @@ object ScaleBench {
         graft.operators.Curation.stratifiedSampleBounded(
           Tables.table(spark, dir, "events"), "event_id",
           Seq("event_type"), k = 10).count()),
+      // round-14: A27 family at scale — the score-cell collapse:
+      // raw volume reaches ONE (keys, score) count shuffle; the AUC +
+      // KS + Brier + PR folds run over cell-cardinality rows (decile
+      // scores → ≤ 5×101 cells at EVERY factor), so wall must track
+      // the single scan. Output rows constant (hard contract).
+      "score_panel" -> (() => {
+        val ev = Tables.table(spark, dir, "events")
+          .where(col("user_id").isNotNull)
+        val cells = graft.operators.StatsAgg.scoreCells(ev,
+          Seq("event_type"), floor(col("value") / 10.0),
+          col("user_id") % 2 === 0).cache()
+        val n = graft.operators.StatsAgg.aucFromCells(cells, Seq("event_type"))
+          .count() +
+          graft.operators.StatsAgg.ksFromCells(cells, Seq("event_type"))
+            .count() +
+          graft.operators.StatsAgg.prAucFromCells(cells, Seq("event_type"))
+            .count() +
+          graft.operators.StatsAgg.brierFromCells(cells, Seq("event_type"))
+            .count()
+        cells.unpersist()
+        n
+      }),
       // round-14: A19 at scale — session intervals per user; user
       // population grows with the factor (offset-id replicas), so the
       // per-key window stays constant-size while key parallelism
