@@ -103,6 +103,50 @@ object TimeSeries {
     CacheLifecycle.releaseAfterAction(out, counts)
   }
 
+  /** W4e: Tukey-fence outliers — ClickHouse `seriesOutliersDetectTukey`
+    * as a distributed read: flag rows whose value falls outside
+    * [q1 − k·IQR, q3 + k·IQR] of their key's distribution. The ROBUST
+    * sibling of [[rollingZScore]] (quartiles shrug off the very tail
+    * mass a mean/σ baseline absorbs), and a whole-distribution read
+    * rather than a trailing-window one.
+    *
+    * Engine-portable numerics: quartiles are computed on the
+    * fixed-point long w = floor(v·10^scale) with the standard p·(n−1)
+    * linear interpolation (the A16 convention) — interpolated values
+    * land on the exact binary grid {.0, .25, .5, .75}, k·IQR at
+    * k = 1.5 stays on the .125 grid, so the fence COMPARISONS are
+    * exact in any engine; only the reported fences divide back to
+    * value units (round-6). Null values drop.
+    *
+    * Scale: one (keys) partial+final percentile aggregate (state
+    * bounded by distinct fixed-point values per key — cell-bounded
+    * for bounded-precision inputs), broadcast of the |keys|-row fence
+    * table back onto the corpus, map-only flag — two scans, NO
+    * per-key sort of raw volume. Output: outlier rows with
+    * (lo_fence, hi_fence) appended.
+    */
+  def tukeyOutliers(df: DataFrame, keys: Seq[String], value: Column,
+      k: Double = 1.5, scale: Int = 2): DataFrame = {
+    require(k > 0, s"fence multiplier must be positive: $k")
+    val factor = math.pow(10.0, scale)
+    val withW = df
+      .withColumn("__w", floor(value.cast("double") * lit(factor)))
+      .where(col("__w").isNotNull)
+    val iqr = col("__q3") - col("__q1")
+    val fences = withW
+      .groupBy(keys.map(col): _*)
+      .agg(expr("percentile(__w, 0.25D)").as("__q1"),
+        expr("percentile(__w, 0.75D)").as("__q3"))
+      .select((keys.map(col) ++ Seq(
+        (col("__q1") - lit(k) * iqr).as("__lo"),
+        (col("__q3") + lit(k) * iqr).as("__hi"))): _*)
+    withW.join(broadcast(fences), keys)
+      .where(col("__w") < col("__lo") || col("__w") > col("__hi"))
+      .withColumn("lo_fence", round(col("__lo") / lit(factor), 6))
+      .withColumn("hi_fence", round(col("__hi") / lit(factor), 6))
+      .drop("__w", "__lo", "__hi")
+  }
+
   /** W4c: rolling z-score anomaly detection over an integral series —
     * the monitoring rule an observability plane runs on ingested
     * volumes (reference §3.3 exposes exactly these counters): each

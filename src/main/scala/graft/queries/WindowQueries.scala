@@ -468,6 +468,17 @@ object WindowQueries {
 
     // W7: cohort retention (ClickHouse retention family) — users
     // active on span-day 1 still active on day k, k = 1..7
+    // W4e: Tukey-fence outliers — rows outside [q1−1.5·IQR, q3+1.5·IQR]
+    // of their type's value distribution; exact fixed-point quartile
+    // grid makes the fence comparisons engine-exact
+    "q_tukey" -> ((s, d) => {
+      graft.operators.TimeSeries.tukeyOutliers(
+        table(s, d, "events")
+          .select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), col("value"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     // W10: first/last-touch attribution — every purchase credited to
     // its first and last click/view/signup touch within 24h, via the
     // keyed point-in-range bucket join + one min_by/max_by aggregate
@@ -962,6 +973,21 @@ object WindowQueries {
          SELECT user_id,
            CAST(len(regexp_extract_all(sq, '1.*?2')) AS BIGINT) AS seq_count
          FROM s ORDER BY user_id""",
+    "q_tukey" ->
+      """WITH w AS (SELECT event_type, event_id, value,
+             floor(CAST(value AS DOUBLE) * 100.0) AS wv
+           FROM events WHERE value IS NOT NULL),
+         q AS (SELECT event_type,
+             quantile_cont(wv, 0.25) AS q1, quantile_cont(wv, 0.75) AS q3
+           FROM w GROUP BY event_type),
+         f AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi FROM q)
+         SELECT w.event_type, w.event_id, w.value,
+           round(lo / 100.0, 6) AS lo_fence,
+           round(hi / 100.0, 6) AS hi_fence
+         FROM w JOIN f USING (event_type)
+         WHERE w.wv < f.lo OR w.wv > f.hi
+         ORDER BY w.event_type, w.event_id""",
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,

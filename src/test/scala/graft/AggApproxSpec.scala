@@ -613,6 +613,31 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     assert(math.abs(z - expect) < 1e-4, s"z=$z expect=$expect")
   }
 
+  test("W4e tukeyOutliers: flags exactly the planted tail, exact fences, robust to the outlier itself") {
+    // 15 values 10.00..10.14 plus one planted spike: q1/q3 sit in the
+    // bulk, so the spike is flagged and NOTHING else; the spike
+    // cannot drag the fences (robustness — contrast a mean/σ rule)
+    val bulk = (0 until 15).map(i => ("k", i.toLong, 10.0 + i * 0.01))
+    val spike = Seq(("k", 99L, 500.0))
+    val df = (bulk ++ spike).toDF("g", "id", "v").repartition(3)
+    val out = graft.operators.TimeSeries.tukeyOutliers(
+      df, Seq("g"), col("v"))
+      .select("id", "lo_fence", "hi_fence")
+      .as[(Long, Double, Double)].collect()
+    assert(out.map(_._1).toSet === Set(99L), s"only the spike flags: ${out.toSeq}")
+    // exact fence check: w = 1000..1014, 500000; p·(n−1) with n=16:
+    // q1 at idx 3.75, q3 at idx 11.25 → interpolated on the .25 grid
+    val w = (bulk ++ spike).map(r => math.floor(r._3 * 100)).sorted
+    def quant(p: Double): Double = {
+      val idx = p * (w.size - 1)
+      val lo = w(idx.toInt); val hi = w(math.ceil(idx).toInt)
+      lo + (idx - idx.toInt) * (hi - lo)
+    }
+    val iqr = quant(0.75) - quant(0.25)
+    assert(out.head._2 === math.round((quant(0.25) - 1.5 * iqr) / 100.0 * 1e6) / 1e6)
+    assert(out.head._3 === math.round((quant(0.75) + 1.5 * iqr) / 100.0 * 1e6) / 1e6)
+  }
+
   test("W9 ohlcResample: first/last by (ts, tie), high/low/count per bucket") {
     val df = Seq(
       ("a", 11L, 1L, 5.0), ("a", 13L, 2L, 9.0), ("a", 13L, 3L, 2.0),
