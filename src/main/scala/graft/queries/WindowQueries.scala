@@ -248,14 +248,16 @@ object WindowQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
-    // W5: ntile + percent_rank over value within type
+    // W5: ntile + percent_rank + cume_dist over value within type —
+    // the three distribution-position window functions on one sort
     "q_ntile" -> ((s, d) => {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("value").asc, col("event_id").asc)
       table(s, d, "events")
         .select(col("event_id"), col("event_type"),
           ntile(4).over(w).cast("long").as("quartile"),
-          round(percent_rank().over(w), 6).as("pr"))
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
         .orderBy(col("event_id"))
     }),
 
@@ -693,7 +695,8 @@ object WindowQueries {
     "q_ntile" ->
       """SELECT event_id, event_type,
          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-         round(percent_rank() OVER w, 6) AS pr
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd
          FROM events
          WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
          ORDER BY event_id""",
