@@ -63,6 +63,34 @@ object AggCombinators {
         col("__e.item").as("item"): _*)
   }
 
+  /** `groupArrayIntersect` (ClickHouse): the values present in EVERY
+    * row's array per key. Null arrays drop (no vote); an empty array
+    * participates and therefore forces an empty intersection — the
+    * ClickHouse semantics. Returns EXPLODED (keys, `item`) rows
+    * (ascending per key) rather than an array value, so the result
+    * joins/filters without a second explode.
+    *
+    * Shape: per-row `array_distinct` then one (keys, value)
+    * partial+final count (a value's count == the key's row count ⟺
+    * present in every row), the |keys|-row totals joined back —
+    * NO row-id machinery, no collect, nothing order-sensitive; both
+    * aggregates map-side combine.
+    */
+  def groupArrayIntersect(df: DataFrame, keys: Seq[String],
+      arr: Column): DataFrame = {
+    val rows = df.where(arr.isNotNull)
+      .select(keys.map(col) :+ array_distinct(arr).as("__a"): _*)
+    val totals = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val counts = rows
+      .select(keys.map(col) :+ explode(col("__a")).as("item"): _*)
+      .groupBy(keys.map(col) :+ col("item"): _*)
+      .agg(count(lit(1)).as("__c"))
+    counts.join(broadcast(totals), keys)
+      .where(col("__c") === col("__n"))
+      .select(keys.map(col) :+ col("item"): _*)
+  }
+
   /** `groupUniqArray`: distinct values, ascending — collect_set's
     * nondeterministic order repaired by array_sort. Use inside
     * `.agg(...)`.

@@ -103,6 +103,23 @@ object TimeSeries {
     CacheLifecycle.releaseAfterAction(out, counts)
   }
 
+  /** W4f: `nonNegativeDerivative` (ClickHouse window function) — the
+    * per-sample rate of a counter gauge: (v − v_prev)/(t − t_prev),
+    * clamped at 0 (a drop is a counter reset, not a negative rate —
+    * the [[deltaSum]] convention read per-row instead of folded).
+    * First row per key, or a repeated timestamp, yields null. The
+    * division is one fixed double tree over exact inputs, round-6.
+    * One keys exchange, one (ord) sort, one lag window.
+    */
+  def nonNegativeDerivative(df: DataFrame, keys: Seq[String],
+      ord: Seq[Column], ts: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val dv = value.cast("double") - lag(value.cast("double"), 1).over(w)
+    val dt = ts.cast("long") - lag(ts.cast("long"), 1).over(w)
+    df.withColumn("deriv_per_s",
+      when(dt > 0, round(greatest(dv, lit(0.0)) / dt.cast("double"), 6)))
+  }
+
   /** W4e: Tukey-fence outliers — ClickHouse `seriesOutliersDetectTukey`
     * as a distributed read: flag rows whose value falls outside
     * [q1 − k·IQR, q3 + k·IQR] of their key's distribution. The ROBUST

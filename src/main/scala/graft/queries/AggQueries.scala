@@ -475,6 +475,22 @@ object AggQueries {
         .orderBy(col("event_type"), col("category").asc_nulls_first)
     }),
 
+    // A31: groupArrayIntersect — per user, the event types present in
+    // EVERY active week's type set (weekly arrays built first, then
+    // the count==row-count intersection; exploded output)
+    "q_array_intersect" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"),
+          floor(graft.Tables.epochSeconds(col("ts")) / 604800L)
+            .cast("long").as("week"),
+          col("event_type"))
+      val daily = ev.groupBy(col("user_id"), col("week"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      graft.operators.AggCombinators.groupArrayIntersect(
+        daily, Seq("user_id"), col("types"))
+        .orderBy(col("user_id"), col("item"))
+    }),
+
     // A23: groupArrayMovingAvg(3) — each user's trailing-3 moving
     // average of value in (ts, event_id) order, exact DECIMAL window
     // sums divided by actual width; serialized for the oracle
@@ -1522,6 +1538,22 @@ object AggQueries {
                  CAST(event_id AS VARCHAR)) AS rn
            FROM events) t
          WHERE rn <= 5 ORDER BY event_type, rank""",
+    // A31: a type is in the intersection iff its distinct-week count
+    // equals the user's active-week count
+    "q_array_intersect" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800
+               AS wk,
+             event_type
+           FROM events),
+         nd AS (SELECT user_id, count(DISTINCT wk) AS n FROM d
+           GROUP BY user_id),
+         c AS (SELECT user_id, event_type AS item,
+             count(DISTINCT wk) AS cd
+           FROM d GROUP BY user_id, event_type)
+         SELECT c.user_id, c.item
+         FROM c JOIN nd USING (user_id) WHERE c.cd = nd.n
+         ORDER BY user_id, item""",
     // A28: identical per-group power sums and round-9 term discipline
     "q_anova" ->
       """WITH e AS (SELECT event_type, user_id % 4 AS g,

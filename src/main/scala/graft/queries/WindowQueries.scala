@@ -470,6 +470,21 @@ object WindowQueries {
 
     // W7: cohort retention (ClickHouse retention family) — users
     // active on span-day 1 still active on day k, k = 1..7
+    // W4f: nonNegativeDerivative — per-sample counter rate, drops
+    // clamp to 0 (a reset, not a negative rate); null on first sample
+    // or repeated timestamp
+    "q_derivative" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          graft.Tables.epochSeconds(col("ts")).as("ep"), col("value"))
+      graft.operators.TimeSeries.nonNegativeDerivative(ev, Seq("user_id"),
+        ord = Seq(col("ep"), col("event_id")), ts = col("ep"),
+        value = col("value"))
+        .select(col("user_id"), col("event_id"), col("ep"),
+          col("deriv_per_s"))
+        .orderBy(col("user_id"), col("ep"), col("event_id"))
+    }),
+
     // W4e: Tukey-fence outliers — rows outside [q1−1.5·IQR, q3+1.5·IQR]
     // of their type's value distribution; exact fixed-point quartile
     // grid makes the fence comparisons engine-exact
@@ -976,6 +991,20 @@ object WindowQueries {
          SELECT user_id,
            CAST(len(regexp_extract_all(sq, '1.*?2')) AS BIGINT) AS seq_count
          FROM s ORDER BY user_id""",
+    "q_derivative" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+             CAST(value AS DOUBLE) AS v
+           FROM events),
+         w AS (SELECT user_id, event_id, ep, v,
+             lag(v) OVER win AS pv, lag(ep) OVER win AS pt
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY ep, event_id))
+         SELECT user_id, event_id, ep,
+           CASE WHEN ep - pt > 0 THEN
+             round(greatest(v - pv, 0.0) / CAST(ep - pt AS DOUBLE), 6)
+             END AS deriv_per_s
+         FROM w ORDER BY user_id, ep, event_id""",
     "q_tukey" ->
       """WITH w AS (SELECT event_type, event_id, value,
              floor(CAST(value AS DOUBLE) * 100.0) AS wv

@@ -347,6 +347,39 @@ class CombinatorsSpec extends SparkSpec {
     assert(out.items === Seq(TopK.Item("c", 9L), TopK.Item("a", 3L)))
   }
 
+  test("groupArrayIntersect: set semantics, empty array annihilates, null array abstains, duplicates don't double-vote") {
+    import graft.operators.AggCombinators
+    val df = Seq(
+      ("a", Seq("x", "y", "x")), ("a", Seq("y", "x")), ("a", Seq("y", "z")),
+      ("e", Seq("p")), ("e", Seq.empty[String]),
+      ("n", Seq("q"))).toDF("k", "arr")
+      .unionByName(Seq(("n", null.asInstanceOf[Seq[String]]))
+        .toDF("k", "arr"))
+      .repartition(3)
+    val out = AggCombinators.groupArrayIntersect(df, Seq("k"), col("arr"))
+      .as[(String, String)].collect().toSet
+    // a: y in all three rows; x misses row 3 (its in-row duplicate
+    // must not compensate); e: the empty array kills everything;
+    // n: the null row abstains, leaving {q}
+    assert(out === Set(("a", "y"), ("n", "q")))
+  }
+
+  test("nonNegativeDerivative: rate per second, resets clamp to 0, first sample and repeated ts null") {
+    import graft.operators.TimeSeries
+    val df = Seq(("k", 0L, 1L, 10.0), ("k", 10L, 2L, 30.0),
+      ("k", 10L, 3L, 31.0), ("k", 20L, 4L, 5.0), ("k", 25L, 5L, 6.0))
+      .toDF("k", "ep", "id", "v").repartition(2)
+    val out = TimeSeries.nonNegativeDerivative(df, Seq("k"),
+      Seq(col("ep"), col("id")), col("ep"), col("v"))
+      .select("id", "deriv_per_s")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty)                  // first sample
+    assert(out(2L).get === 2.0)              // (30-10)/10
+    assert(out(3L).isEmpty)                  // repeated ts
+    assert(out(4L).get === 0.0)              // reset clamps
+    assert(out(5L).get === 0.2)              // (6-5)/5
+  }
+
   test("groupArraySorted: equals the window row_number form, repartition-stable, small groups whole, nulls skip") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(17)
