@@ -103,6 +103,47 @@ object TimeSeries {
     CacheLifecycle.releaseAfterAction(out, counts)
   }
 
+  /** A2d: PromQL `histogram_quantile` — the quantile read over
+    * BUCKETED counts (le upper bound → per-bucket count), the query
+    * every observability backend runs on exactly the latency
+    * histogram the reference exports (Prometheus histogram semantics:
+    * linear interpolation inside the target bucket, lower bound 0 for
+    * the first bucket, an infinite target bucket reports the highest
+    * finite bound). Input is per-bucket (NON-cumulative) counts —
+    * the shape a Spark aggregation produces; the cumulative view is
+    * one window over BUCKET-cardinality rows.
+    *
+    * All ranks/counts are exact integers until the single
+    * interpolation tree (round-6). Keys with zero observations yield
+    * null. Plan: one keys exchange, a bucket-table window, one
+    * min_by fold — raw volume never enters (the caller buckets
+    * first).
+    */
+  def histogramQuantile(df: DataFrame, keys: Seq[String], le: Column,
+      cnt: Column, q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1]: $q")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__le"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val annotated = df
+      .select(keys.map(col) :+ le.cast("double").as("__le") :+
+        cnt.cast("long").as("__c"): _*)
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wk))
+      .withColumn("__prevle",
+        coalesce(lag(col("__le"), 1).over(w), lit(0.0)))
+    val rank = lit(q) * col("__n").cast("double")
+    val interp = col("__prevle") + (col("__le") - col("__prevle")) *
+      (rank - (col("__cum") - col("__c")).cast("double")) /
+      col("__c").cast("double")
+    val value = when(col("__le") === lit(Double.PositiveInfinity),
+      col("__prevle")).otherwise(interp)
+    annotated
+      .where(col("__n") > 0 && col("__cum").cast("double") >= rank)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n_obs"),
+        min_by(round(value, 6), col("__le")).as("quantile"))
+  }
+
   /** W4f: `nonNegativeDerivative` (ClickHouse window function) — the
     * per-sample rate of a counter gauge: (v − v_prev)/(t − t_prev),
     * clamped at 0 (a drop is a counter reset, not a negative rate —

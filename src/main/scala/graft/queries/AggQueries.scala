@@ -475,6 +475,28 @@ object AggQueries {
         .orderBy(col("event_type"), col("category").asc_nulls_first)
     }),
 
+    // A2d: PromQL histogram_quantile p95 over the bucketed value
+    // histogram (the reference's latency-histogram read) — full
+    // boundary grid incl. zero buckets for Prometheus-identical
+    // interpolation
+    "q_hist_quantile" -> ((s, d) => {
+      val bounds = Seq(1.0, 5.0, 10.0, 50.0, 100.0, 200.0, 500.0)
+      val ev = table(s, d, "events").where(col("value").isNotNull)
+      val le = bounds.foldRight(lit(Double.PositiveInfinity)) {
+        (b, acc) => when(col("value") <= b, lit(b)).otherwise(acc)
+      }
+      val counts = ev.groupBy(col("event_type"), le.as("le"))
+        .agg(count(lit(1)).as("cnt"))
+      val grid = ev.select("event_type").distinct()
+        .select(col("event_type"), explode(array(
+          (bounds :+ Double.PositiveInfinity).map(lit): _*)).as("le"))
+      val full = grid.join(counts, Seq("event_type", "le"), "left")
+        .na.fill(0L, Seq("cnt"))
+      graft.operators.TimeSeries.histogramQuantile(full,
+        Seq("event_type"), col("le"), col("cnt"), q = 0.95)
+        .orderBy(col("event_type"))
+    }),
+
     // A31: groupArrayIntersect — per user, the event types present in
     // EVERY active week's type set (weekly arrays built first, then
     // the count==row-count intersection; exploded output)
@@ -1538,6 +1560,44 @@ object AggQueries {
                  CAST(event_id AS VARCHAR)) AS rn
            FROM events) t
          WHERE rn <= 5 ORDER BY event_type, rank""",
+    // A2d: identical grid, cumulative windows, and interpolation tree
+    "q_hist_quantile" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+         b(le) AS (VALUES (1.0),(5.0),(10.0),(50.0),(100.0),(200.0),
+           (500.0),(CAST('infinity' AS DOUBLE))),
+         a AS (SELECT event_type,
+             CASE WHEN v <= 1.0 THEN 1.0 WHEN v <= 5.0 THEN 5.0
+               WHEN v <= 10.0 THEN 10.0 WHEN v <= 50.0 THEN 50.0
+               WHEN v <= 100.0 THEN 100.0 WHEN v <= 200.0 THEN 200.0
+               WHEN v <= 500.0 THEN 500.0
+               ELSE CAST('infinity' AS DOUBLE) END AS le
+           FROM e),
+         c AS (SELECT event_type, le, count(*) AS cnt FROM a
+           GROUP BY 1, 2),
+         g AS (SELECT t.event_type, b.le, coalesce(c.cnt, 0) AS cnt
+           FROM (SELECT DISTINCT event_type FROM e) t
+           CROSS JOIN b
+           LEFT JOIN c ON c.event_type = t.event_type AND c.le = b.le),
+         m AS (SELECT event_type, le, cnt,
+             sum(cnt) OVER win AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n,
+             coalesce(lag(le) OVER win, 0.0) AS prevle
+           FROM g
+           WINDOW win AS (PARTITION BY event_type ORDER BY le)),
+         s AS (SELECT event_type, n, le, prevle, cnt, cum,
+             row_number() OVER (PARTITION BY event_type ORDER BY le)
+               AS rn
+           FROM m
+           WHERE n > 0 AND CAST(cum AS DOUBLE)
+             >= 0.95 * CAST(n AS DOUBLE))
+         SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+           round(CASE WHEN isinf(le) THEN prevle
+             ELSE prevle + (le - prevle)
+               * (0.95 * CAST(n AS DOUBLE)
+                 - CAST(cum - cnt AS DOUBLE))
+               / CAST(cnt AS DOUBLE) END, 6) AS quantile
+         FROM s WHERE rn = 1 ORDER BY event_type""",
     // A31: a type is in the intersection iff its distinct-week count
     // equals the user's active-week count
     "q_array_intersect" ->

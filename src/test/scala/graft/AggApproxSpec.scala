@@ -422,6 +422,34 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     assert(Multimodal.decodeFrames(gif(colors, 4, 3)).size === 6)
   }
 
+  test("A2d histogramQuantile: hand interpolation, infinite target bucket caps at highest finite bound, empty key absent") {
+    // key a: counts 2/6/2 in (0,1]/(1,5]/(5,10] → p50 rank 5 lands in
+    // (1,5] with prevCum 2: 1 + 4·(5−2)/6 = 3.0
+    val rows = Seq(
+      ("a", 1.0, 2L), ("a", 5.0, 6L), ("a", 10.0, 2L),
+      ("a", Double.PositiveInfinity, 0L),
+      // key i: mass in the +Inf bucket → p95 reports 10.0
+      ("i", 1.0, 1L), ("i", 10.0, 1L),
+      ("i", Double.PositiveInfinity, 8L),
+      // key z: all-zero buckets → no output row
+      ("z", 1.0, 0L), ("z", Double.PositiveInfinity, 0L))
+    val df = rows.toDF("k", "le", "cnt").repartition(3)
+    val p50 = graft.operators.TimeSeries.histogramQuantile(
+      df, Seq("k"), col("le"), col("cnt"), q = 0.5)
+      .select("k", "quantile").as[(String, Double)].collect().toMap
+    assert(p50("a") === 3.0)
+    val p95 = graft.operators.TimeSeries.histogramQuantile(
+      df, Seq("k"), col("le"), col("cnt"), q = 0.95)
+      .select("k", "quantile").as[(String, Double)].collect().toMap
+    assert(p95("i") === 10.0)
+    assert(!p50.contains("z") && !p95.contains("z"))
+    // q = 1 is the exact upper bound of the last nonempty finite bucket
+    val p100 = graft.operators.TimeSeries.histogramQuantile(
+      df, Seq("k"), col("le"), col("cnt"), q = 1.0)
+      .select("k", "quantile").as[(String, Double)].collect().toMap
+    assert(p100("a") === 10.0)
+  }
+
   test("A9 canary: the pivot's pinned values ARE the events table's event_type domain") {
     // q_pivot (and its oracle) pin click/error/purchase/signup/view;
     // a pinned pivot silently drops unlisted values, and the oracle
