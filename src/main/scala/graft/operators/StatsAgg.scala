@@ -785,6 +785,36 @@ object StatsAgg {
           .as("pos_rate"))): _*)
   }
 
+  /** Expected calibration error per key — the scalar summary of
+    * [[calibrationCurve]] (Naeini et al. 2015's ECE):
+    *
+    *   ECE = Σ_bins (n_b/n) · |pos_rate_b − mean_score_b|
+    *
+    * folded over the same cells/bins (streaming-served like the rest
+    * of the panel). The per-bin |·| term is one fixed double tree
+    * over exact counts and the round-9-summed score mass, itself
+    * round-9 DECIMAL-summed into the total. 0 = perfectly calibrated.
+    * Output: keys :+ (n_rows, ece), round-6.
+    */
+  def expectedCalibrationError(df: DataFrame, keys: Seq[String],
+      score: Column, label: Column, bins: Int = 10): DataFrame =
+    eceFromCells(scoreCells(df, keys, score, label), keys, bins)
+
+  /** [[expectedCalibrationError]]'s fold over an existing cell table. */
+  def eceFromCells(cells: DataFrame, keys: Seq[String],
+      bins: Int = 10): DataFrame = {
+    val cal = calibrationFromCells(cells, keys, bins)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val n = sum(col("n_rows")).over(wk)
+    val term = round(col("n_rows").cast("double") / n.cast("double") *
+      abs(col("pos_rate") - col("mean_score")), 9).cast("decimal(28,9)")
+    cal
+      .withColumn("__t", term)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        round(sum(col("__t")).cast("double"), 6).as("ece"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov D statistic per key — ClickHouse
     * `kolmogorovSmirnovTest`'s D (the p-value is an asymptotic series,
     * out of scope — the [[welchTTest]] posture):

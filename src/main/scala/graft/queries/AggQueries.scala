@@ -423,6 +423,17 @@ object AggQueries {
         .orderBy(col("event_type"), col("bin"))
     }),
 
+    // A27g: expected calibration error — the scalar summary of
+    // q_calibration's table, same bins, round-9 summed terms
+    "q_ece" -> ((s, d) => {
+      graft.operators.StatsAgg.expectedCalibrationError(
+        table(s, d, "events").where(col("user_id").isNotNull),
+        Seq("event_type"),
+        score = (floor(col("value")) % 100) / 100.0,
+        label = col("user_id") % 2 === 0, bins = 10)
+        .orderBy(col("event_type"))
+    }),
+
     // A27b: two-sample Kolmogorov–Smirnov D between the cohorts'
     // value distributions — exact integer numerator at every
     // distinct-value boundary
@@ -1499,6 +1510,39 @@ object AggQueries {
            round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_score,
            round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate
          FROM g ORDER BY event_type, bin""",
+    // A27g: the q_calibration bins folded with the same round-6 bin
+    // columns, then round-9 weighted-gap terms
+    "q_ece" ->
+      """WITH e AS (SELECT event_type, (floor(value) % 100) / 100.0 AS v,
+             user_id % 2 = 0 AS c
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         cells AS (SELECT event_type, v,
+             count(*) FILTER (WHERE c) AS p,
+             count(*) FILTER (WHERE NOT c) AS q
+           FROM e GROUP BY event_type, v),
+         b AS (SELECT event_type,
+             least(greatest(CAST(floor(v * 10) AS BIGINT), 0), 9) AS bin,
+             p, q,
+             CAST(round(v * CAST(p + q AS DOUBLE), 9) AS DECIMAL(28,9))
+               AS m
+           FROM cells),
+         g AS (SELECT event_type, bin, sum(p + q) AS n, sum(p) AS np,
+             sum(m) AS sm
+           FROM b GROUP BY event_type, bin),
+         r AS (SELECT event_type, n,
+             round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS mean_score,
+             round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS pos_rate,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+           FROM g),
+         t AS (SELECT event_type, n, tot,
+             CAST(round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+               * abs(pos_rate - mean_score), 9) AS DECIMAL(28,9)) AS tm
+           FROM r)
+         SELECT event_type, CAST(sum(n) AS BIGINT) AS n_rows,
+           round(CAST(sum(tm) AS DOUBLE), 6) AS ece
+         FROM t GROUP BY event_type ORDER BY event_type""",
     // A27b: exact |cum1·n2 − cum2·n1| max at distinct-value cells
     "q_ks_test" ->
       """WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c

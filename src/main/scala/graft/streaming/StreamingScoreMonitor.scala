@@ -92,6 +92,11 @@ object StreamingScoreMonitor {
     StatsAgg.calibrationFromCells(readCells(spark, stateDir, template),
       keys, bins)
 
+  /** Current expected calibration error served from the cells. */
+  def currentEce(spark: SparkSession, stateDir: String,
+      keys: Seq[String], template: DataFrame, bins: Int = 10): DataFrame =
+    StatsAgg.eceFromCells(readCells(spark, stateDir, template), keys, bins)
+
   /** Current full ROC curve served from the maintained cells. */
   def currentRocCurve(spark: SparkSession, stateDir: String,
       keys: Seq[String], template: DataFrame): DataFrame =

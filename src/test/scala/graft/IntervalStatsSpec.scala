@@ -369,6 +369,20 @@ class IntervalStatsSpec extends SparkSpec {
     assert(bins(9L) === ((9L, 2L, 2L, 0.975, 1.0)))
   }
 
+  test("expectedCalibrationError: perfectly calibrated = 0, hand-computed gap, weights by bin mass") {
+    // bin 0.0-0.1 at score 0.05 with 1/20 positives, bin 0.9-1.0 at
+    // 0.95 with 19/20 positives → perfectly calibrated, ECE 0
+    val cal = (Seq.fill(1)(("c", 0.05, true)) ++ Seq.fill(19)(("c", 0.05, false)) ++
+      Seq.fill(19)(("c", 0.95, true)) ++ Seq.fill(1)(("c", 0.95, false)))
+    // overconfident: all at 0.95, only half positive → |0.5−0.95| = 0.45
+    val over = Seq.fill(2)(("o", 0.95, true)) ++ Seq.fill(2)(("o", 0.95, false))
+    val df = (cal ++ over).toDF("k", "s", "l").repartition(3)
+    val out = graft.operators.StatsAgg.expectedCalibrationError(
+      df, Seq("k"), col("s"), col("l"))
+      .select("k", "ece").as[(String, Double)].collect().toMap
+    assert(out("c") === 0.0 && out("o") === 0.45)
+  }
+
   test("ksTest: disjoint supports = 1, identical samples = 0, matches scalar reference, cohort-swap invariant") {
     val disjoint = Seq.tabulate(5)(i => ("d", i.toDouble, true)) ++
       Seq.tabulate(5)(i => ("d", 100.0 + i, false))

@@ -1307,6 +1307,12 @@ class StreamingSpec extends SparkSpec {
       col("s"), col("l")).collect().map(_.toSeq).toSet
     assert(StreamingScoreMonitor.currentCalibration(spark, dir, Seq("k"),
       tmpl).collect().map(_.toSeq).toSet === expectCal)
+    val expectEce = StatsAgg.expectedCalibrationError(df(all), Seq("k"),
+      col("s"), col("l")).select("k", "ece")
+      .as[(String, Double)].collect().toMap
+    assert(StreamingScoreMonitor.currentEce(spark, dir, Seq("k"), tmpl)
+      .select("k", "ece").as[(String, Double)].collect().toMap
+      === expectEce)
     // replay of a committed batch is a no-op on cells and pointer
     val ptr = StreamingScoreMonitor.readPointer(dir)
     StreamingScoreMonitor.applyBatch(df(all.take(100)), Seq("k"),
