@@ -279,4 +279,50 @@ object GraphOps {
       .select(col("node").as(id))
     docs.join(losers, Seq(id), "left_anti")
   }
+
+  /** X2e: triangle enumeration over an undirected edge set — the
+    * cluster-SHAPE read on the near-dup pair graph: connected
+    * components say "these belong together", triangle density says
+    * HOW (a star — one template page linking near-copies — has zero
+    * triangles; a true clique of mutual near-dups is triangle-dense),
+    * which is the confidence signal behind choosing a survivor rule.
+    *
+    * Algorithm: the degree-ordered "forward" method (Schank & Wagner
+    * 2005) as three equi-joins — orient every edge toward the higher
+    * (degree, id) rank, form wedges at each source between its two
+    * out-neighbours ordered by rank, close each wedge with the
+    * oriented (v → w) edge. Each triangle's vertices have a unique
+    * rank order, so it is emitted EXACTLY once; the orientation
+    * bounds per-vertex out-degree by O(√|E|), which is what caps the
+    * wedge volume on the skewed degree distributions dedup graphs
+    * have (a naive id-ordered wedge join explodes on one hub vertex).
+    * No window, no collect — degree table + three shuffled equi-joins.
+    * Output: one row per triangle, vertices as (a, b, c) ascending.
+    */
+  def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val und = edges
+      .select(least(col(src), col(dst)).as("u"),
+        greatest(col(src), col(dst)).as("v"))
+      .where(col("u") < col("v")).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+    val uLower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withDeg.select(
+      when(uLower, col("u")).otherwise(col("v")).as("s"),
+      when(uLower, col("v")).otherwise(col("u")).as("t"),
+      when(uLower, col("dv")).otherwise(col("du")).as("dt"))
+    val wedges = oriented.select(col("s"), col("t").as("w1"), col("dt").as("d1"))
+      .join(oriented.select(col("s"), col("t").as("w2"), col("dt").as("d2")),
+        Seq("s"))
+      .where(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
+    wedges
+      .join(oriented.select(col("t").as("w2"), col("s").as("w1")),
+        Seq("w1", "w2"), "left_semi")
+      .select(array_sort(array(col("s"), col("w1"), col("w2"))).as("__t"))
+      .select(col("__t")(0).as("a"), col("__t")(1).as("b"),
+        col("__t")(2).as("c"))
+  }
 }

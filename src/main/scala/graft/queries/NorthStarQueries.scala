@@ -51,6 +51,16 @@ object NorthStarQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // X2e: triangles in the near-dup pair graph — the cluster-shape
+    // read (star vs clique) behind survivor-rule confidence; the
+    // degree-ordered forward enumeration, emitted once per triangle
+    "q_triangles" -> ((s, d) => {
+      val pairs = Dedup.simhashNearDup(table(s, d, "documents"),
+        "doc_id", col("text"), maxHamming = 12)
+      graft.operators.GraphOps.triangles(pairs, "id_a", "id_b")
+        .orderBy(col("a"), col("b"), col("c"))
+    }),
+
     // X2: n-gram Jaccard at minJ=0.5, registered as the scale path:
     // EXACT Jaccard verification restricted to MinHash-LSH candidate
     // pairs. Banding is matched to THIS threshold: 8 bands × 2 rows →
@@ -463,6 +473,35 @@ object NorthStarQueries {
          SELECT query_id, neighbor_id, cosine, rnk FROM r
          WHERE rnk <= $k ORDER BY query_id, rnk"""
 
+  private val simhashPairsCte =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+             i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))) AS tok
+           FROM tk WHERE len(t) >= 2),
+         h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+         b AS (SELECT doc_id, hx, unnest(range(0, 64)) AS j FROM h),
+         v AS (SELECT doc_id, j,
+             CASE WHEN CAST(floor((strpos('0123456789abcdef',
+                 substr(hx, CAST(j // 4 AS INT) + 1, 1)) - 1)
+               / power(2, 3 - (j % 4))) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS vote
+           FROM b),
+         bits AS (SELECT doc_id, j, CASE WHEN SUM(vote) > 0 THEN '1' ELSE '0' END AS bitc
+           FROM v GROUP BY doc_id, j),
+         sig AS (SELECT doc_id, string_agg(bitc, '' ORDER BY j) AS simhash
+           FROM bits GROUP BY doc_id),
+         bands AS (SELECT doc_id, simhash, bb AS band, substr(simhash, bb * 8 + 1, 8) AS bsig
+           FROM sig CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(bb)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sig_a,
+             b2.doc_id AS id_b, b2.simhash AS sig_b
+           FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bsig = b2.bsig
+             AND a.doc_id < b2.doc_id),
+         pairs AS (SELECT id_a, id_b, hamming FROM (
+           SELECT id_a, id_b,
+             CAST(len(list_filter(range(1, 65),
+               i -> substr(sig_a, CAST(i AS INT), 1) <> substr(sig_b, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+           FROM cand)
+         WHERE hamming <= 12)"""
+
   private val cosineSql = embedCte +
     """,
        pr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
@@ -801,33 +840,18 @@ object NorthStarQueries {
          SELECT doc_id, string_agg(bitc, '' ORDER BY j) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
     "q_simhash_pairs" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
-             i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))) AS tok
-           FROM tk WHERE len(t) >= 2),
-         h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
-         b AS (SELECT doc_id, hx, unnest(range(0, 64)) AS j FROM h),
-         v AS (SELECT doc_id, j,
-             CASE WHEN CAST(floor((strpos('0123456789abcdef',
-                 substr(hx, CAST(j // 4 AS INT) + 1, 1)) - 1)
-               / power(2, 3 - (j % 4))) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS vote
-           FROM b),
-         bits AS (SELECT doc_id, j, CASE WHEN SUM(vote) > 0 THEN '1' ELSE '0' END AS bitc
-           FROM v GROUP BY doc_id, j),
-         sig AS (SELECT doc_id, string_agg(bitc, '' ORDER BY j) AS simhash
-           FROM bits GROUP BY doc_id),
-         bands AS (SELECT doc_id, simhash, bb AS band, substr(simhash, bb * 8 + 1, 8) AS bsig
-           FROM sig CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(bb)),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sig_a,
-             b2.doc_id AS id_b, b2.simhash AS sig_b
-           FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bsig = b2.bsig
-             AND a.doc_id < b2.doc_id)
-         SELECT id_a, id_b, hamming FROM (
-           SELECT id_a, id_b,
-             CAST(len(list_filter(range(1, 65),
-               i -> substr(sig_a, CAST(i AS INT), 1) <> substr(sig_b, CAST(i AS INT), 1))) AS BIGINT) AS hamming
-           FROM cand)
-         WHERE hamming <= 12 ORDER BY id_a, id_b""",
+      (simhashPairsCte + """
+         SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b"""),
+    // X2e: the identical pair set closed into triangles by the
+    // id-ordered 3-join (same triple set as the degree-ordered Spark
+    // enumeration — output is the canonical sorted triple)
+    "q_triangles" ->
+      (simhashPairsCte + """
+         SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         FROM pairs e1
+           JOIN pairs e2 ON e2.id_a = e1.id_b
+           JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+         ORDER BY a, b, c"""),
     "q_cosine_topk" -> (cosineSql + topKTail(10)),
     "q_decon_semantic" -> deconSemanticSql,
     "q_ann_lsh" -> annLshSql,

@@ -126,4 +126,33 @@ class GraphOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 4L, 5L))
   }
+
+  test("triangles: K4 has 4, star has 0, each triangle emitted once, matches brute force on a random graph") {
+    // K4 on {1,2,3,4}: all 6 edges (deliberately duplicated and
+    // reversed — canonicalization must absorb both)
+    val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 2L -> 1L, 3L -> 1L)
+    val t4 = GraphOps.triangles(k4, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t4 === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+    // a hub star has many wedges but zero triangles
+    val star = edges((1L to 8L).map(i => 0L -> i): _*)
+    assert(GraphOps.triangles(star, "src", "dst").count() === 0L)
+    // brute-force parity on a random graph (incl. a hub)
+    val rnd = new scala.util.Random(29)
+    val es = (0 until 120).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+    val got = GraphOps.triangles(es.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    val und = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .toSet
+    val vs = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = (for {
+      a <- vs; b <- vs if a < b && und((a, b))
+      c <- vs if b < c && und((b, c)) && und((a, c))
+    } yield (a, b, c)).toSet
+    assert(got === brute && brute.nonEmpty)
+  }
 }
