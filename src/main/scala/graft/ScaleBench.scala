@@ -575,6 +575,19 @@ object ScaleBench {
         graft.operators.Curation.stratifiedSampleBounded(
           Tables.table(spark, dir, "events"), "event_id",
           Seq("event_type"), k = 10).count()),
+      // round-14 X2e: triangles on the LSH near-dup pair graph — the
+      // pair derivation dominates (band-bounded, the X2 contract);
+      // the degree-oriented wedge join itself runs over |pairs| rows.
+      // Output = triangle count. NOTE: unlike Jaccard, simhash
+      // signatures are NOT invariant under the replica token remap
+      // (md5 bit votes change), so the scaled count is same-order,
+      // not exactly factor×, by construction.
+      "triangles" -> (() => {
+        val pairs = Dedup.simhashNearDup(
+          Tables.table(spark, dir, "documents"), "doc_id", col("text"),
+          maxHamming = 12)
+        graft.operators.GraphOps.triangles(pairs, "id_a", "id_b").count()
+      }),
       // round-14: A27 family at scale — the score-cell collapse:
       // raw volume reaches ONE (keys, score) count shuffle; the AUC +
       // KS + Brier + PR folds run over cell-cardinality rows (decile

@@ -325,4 +325,31 @@ object GraphOps {
       .select(col("__t")(0).as("a"), col("__t")(1).as("b"),
         col("__t")(2).as("c"))
   }
+
+  /** X2e: local clustering coefficient per node — triangles through
+    * the node over its wedge capacity deg·(deg−1)/2: the per-node
+    * form of the cluster-shape read (a template hub scores ~0, a
+    * clique member 1). Derived from [[triangles]] (one explode + one
+    * count per node) joined onto the degree table; degree-1 nodes
+    * have no wedges → null coefficient. Output: (node, degree,
+    * n_triangles, coeff round-6).
+    */
+  def clusteringCoefficient(edges: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val und = edges
+      .select(least(col(src), col(dst)).as("u"),
+        greatest(col(src), col(dst)).as("v"))
+      .where(col("u") < col("v")).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val perNode = triangles(edges, src, dst)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn("coeff",
+        when(col("degree") > 1, round(
+          col("n_triangles").cast("double") * 2.0 /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6)))
+  }
 }

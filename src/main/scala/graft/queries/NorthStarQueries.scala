@@ -61,6 +61,16 @@ object NorthStarQueries {
         .orderBy(col("a"), col("b"), col("c"))
     }),
 
+    // X2e: local clustering coefficient of the same pair graph —
+    // per-node triangles over wedge capacity, the star-vs-clique
+    // score per document
+    "q_clustering_coeff" -> ((s, d) => {
+      val pairs = Dedup.simhashNearDup(table(s, d, "documents"),
+        "doc_id", col("text"), maxHamming = 12)
+      graft.operators.GraphOps.clusteringCoefficient(pairs, "id_a", "id_b")
+        .orderBy(col("node"))
+    }),
+
     // X2: n-gram Jaccard at minJ=0.5, registered as the scale path:
     // EXACT Jaccard verification restricted to MinHash-LSH candidate
     // pairs. Banding is matched to THIS threshold: 8 bands × 2 rows →
@@ -842,6 +852,28 @@ object NorthStarQueries {
     "q_simhash_pairs" ->
       (simhashPairsCte + """
          SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b"""),
+    // X2e: per-node triangle counts from the same 3-join, degrees
+    // from the pair table
+    "q_clustering_coeff" ->
+      (simhashPairsCte + """,
+         tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+           FROM pairs e1
+             JOIN pairs e2 ON e2.id_a = e1.id_b
+             JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+         tn AS (SELECT node, count(*) AS n_triangles FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY node),
+         dg AS (SELECT node, count(*) AS degree FROM (
+             SELECT id_a AS node FROM pairs
+             UNION ALL SELECT id_b FROM pairs) GROUP BY node)
+         SELECT dg.node, dg.degree,
+           coalesce(tn.n_triangles, 0) AS n_triangles,
+           CASE WHEN dg.degree > 1 THEN
+             round(CAST(coalesce(tn.n_triangles, 0) AS DOUBLE) * 2.0
+               / CAST(dg.degree * (dg.degree - 1) AS DOUBLE), 6)
+             END AS coeff
+         FROM dg LEFT JOIN tn USING (node) ORDER BY node"""),
     // X2e: the identical pair set closed into triangles by the
     // id-ordered 3-join (same triple set as the degree-ordered Spark
     // enumeration — output is the canonical sorted triple)

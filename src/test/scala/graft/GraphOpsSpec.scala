@@ -155,4 +155,19 @@ class GraphOpsSpec extends SparkSpec {
     } yield (a, b, c)).toSet
     assert(got === brute && brute.nonEmpty)
   }
+
+  test("clusteringCoefficient: clique members 1, hub 0, degree-1 null") {
+    // triangle {1,2,3} plus a pendant 4-1 and a hub 0 joined to both
+    // sides of nothing (star 0-{5,6,7})
+    val g = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 1L,
+      0L -> 5L, 0L -> 6L, 0L -> 7L)
+    val out = GraphOps.clusteringCoefficient(g, "src", "dst")
+      .select("node", "degree", "n_triangles", "coeff")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(2L) === ((2L, 2L, 1L, Some(1.0))))
+    assert(out(1L) === ((1L, 3L, 1L, Some(math.round(2.0 / 6 * 1e6) / 1e6))))
+    assert(out(0L) === ((0L, 3L, 0L, Some(0.0))))
+    assert(out(4L)._4.isEmpty && out(4L)._2 === 1L)
+  }
 }
