@@ -300,10 +300,20 @@ object GraphOps {
     * Output: one row per triangle, vertices as (a, b, c) ascending.
     */
   def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
+    // cached: the edge set feeds the degree count and both sides of
+    // the wedge/closure joins — without the cache an expensive
+    // upstream pair pipeline (LSH near-dup) re-derives per reference
     val und = edges
       .select(least(col(src), col(dst)).as("u"),
         greatest(col(src), col(dst)).as("v"))
-      .where(col("u") < col("v")).distinct()
+      .where(col("u") < col("v")).distinct().cache()
+    CacheLifecycle.releaseAfterAction(trianglesFromUnd(und), und)
+  }
+
+  /** [[triangles]] over an already-canonicalized (u < v, distinct)
+    * edge frame; the caller owns caching.
+    */
+  private def trianglesFromUnd(und: DataFrame): DataFrame = {
     val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -339,17 +349,18 @@ object GraphOps {
     val und = edges
       .select(least(col(src), col(dst)).as("u"),
         greatest(col(src), col(dst)).as("v"))
-      .where(col("u") < col("v")).distinct()
+      .where(col("u") < col("v")).distinct().cache()
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    val perNode = triangles(edges, src, dst)
+    val perNode = trianglesFromUnd(und)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    deg.join(perNode, Seq("node"), "left")
+    val out = deg.join(perNode, Seq("node"), "left")
       .na.fill(0L, Seq("n_triangles"))
       .withColumn("coeff",
         when(col("degree") > 1, round(
           col("n_triangles").cast("double") * 2.0 /
             (col("degree") * (col("degree") - 1)).cast("double"), 6)))
+    CacheLifecycle.releaseAfterAction(out, und)
   }
 }
