@@ -534,23 +534,8 @@ object EventFunnels {
   def attribution(events: DataFrame, user: String, ts: Column, tie: Column,
       eventType: Column, conversion: String, sources: Seq[String],
       lookbackSecs: Long, bucketWidth: Double = 86400.0): DataFrame = {
-    require(sources.nonEmpty && !sources.contains(conversion),
-      "sources must be non-empty and exclude the conversion type")
-    require(lookbackSecs > 0, "lookback must be positive")
-    val convs = events.where(eventType === conversion)
-      .select(col(user).as("__cu"), ts.cast("long").as("conv_ep"),
-        tie.as("conv_tie"))
-    val touches = events.where(eventType.isin(sources: _*))
-      .select(col(user).as("__su"), ts.cast("long").as("__sep"),
-        tie.as("__stie"), eventType.as("__stype"))
-    val paired = IntervalJoin.pointInRangeJoin(
-      points = touches, p = col("__sep"),
-      ranges = convs.withColumn("__lo",
-        (col("conv_ep") - lookbackSecs).cast("double"))
-        .withColumn("__hi2", (col("conv_ep") + 1L).cast("double")),
-      lo = col("__lo"), hi = col("__hi2"),
-      bucketWidth = bucketWidth,
-      keys = Seq("__su" -> "__cu"))
+    val (convs, paired) = touchPairs(events, user, ts, tie, eventType,
+      conversion, sources, lookbackSecs, bucketWidth)
     val ord = struct(col("__sep"), col("__stie"), col("__stype"))
     val picked = paired
       .groupBy(col("__cu"), col("conv_ep"), col("conv_tie"))
@@ -568,6 +553,79 @@ object EventFunnels {
       .select(col("__cu").as(user), col("conv_ep"), col("conv_tie"),
         col("__f.__stype").as("first_type"), col("__f.__sep").as("first_ep"),
         col("__l.__stype").as("last_type"), col("__l.__sep").as("last_ep"))
+  }
+
+  /** Shared W10 machinery: (conversions, in-window touch pairs). */
+  private def touchPairs(events: DataFrame, user: String, ts: Column,
+      tie: Column, eventType: Column, conversion: String,
+      sources: Seq[String], lookbackSecs: Long,
+      bucketWidth: Double): (DataFrame, DataFrame) = {
+    require(sources.nonEmpty && !sources.contains(conversion),
+      "sources must be non-empty and exclude the conversion type")
+    require(lookbackSecs > 0, "lookback must be positive")
+    val convs = events.where(eventType === conversion)
+      .select(col(user).as("__cu"), ts.cast("long").as("conv_ep"),
+        tie.as("conv_tie"))
+    val touches = events.where(eventType.isin(sources: _*))
+      .select(col(user).as("__su"), ts.cast("long").as("__sep"),
+        tie.as("__stie"), eventType.as("__stype"))
+    val paired = IntervalJoin.pointInRangeJoin(
+      points = touches, p = col("__sep"),
+      ranges = convs.withColumn("__lo",
+        (col("conv_ep") - lookbackSecs).cast("double"))
+        .withColumn("__hi2", (col("conv_ep") + 1L).cast("double")),
+      lo = col("__lo"), hi = col("__hi2"),
+      bucketWidth = bucketWidth,
+      keys = Seq("__su" -> "__cu"))
+    (convs, paired)
+  }
+
+  /** W10b: MULTI-touch attribution — total credit per source type
+    * under the position-based models every marketing stack offers
+    * next to first/last-touch:
+    *
+    *  - `linear`: each of a conversion's n in-window touches gets 1/n;
+    *  - `u_shaped` (position-based 40/40/20): first 0.4, last 0.4,
+    *    the n−2 middles split 0.2 (n = 1 → 1.0, n = 2 → 0.5 each).
+    *
+    * Every conversion distributes EXACTLY 1.0 of credit, so
+    * Σ credit = attributed conversions (spec-pinned law). Touch order
+    * within a conversion is the W10 (ep, tie, type) total order via
+    * one row_number over the PAIR table (pairs-cardinality, bounded
+    * by lookback matches — never raw volume); per-touch weights are
+    * fixed double trees round-9 DECIMAL-summed ([[graft.operators.StatsAgg]]
+    * discipline). Output: (source_type, n_touches, credit round-6).
+    */
+  def attributionWeighted(events: DataFrame, user: String, ts: Column,
+      tie: Column, eventType: Column, conversion: String,
+      sources: Seq[String], lookbackSecs: Long,
+      model: String = "linear",
+      bucketWidth: Double = 86400.0): DataFrame = {
+    require(model == "linear" || model == "u_shaped",
+      s"unknown attribution model: $model")
+    val (_, paired) = touchPairs(events, user, ts, tie, eventType,
+      conversion, sources, lookbackSecs, bucketWidth)
+    val convKey = Seq(col("__cu"), col("conv_ep"), col("conv_tie"))
+    val w = Window.partitionBy(convKey: _*)
+      .orderBy(col("__sep"), col("__stie"), col("__stype"))
+    val wn = Window.partitionBy(convKey: _*)
+    val ranked = paired
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+    val n = col("__n").cast("double")
+    val weight = model match {
+      case "linear" => lit(1.0) / n
+      case "u_shaped" =>
+        when(col("__n") === 1, lit(1.0))
+          .when(col("__n") === 2, lit(0.5))
+          .when(col("__rk") === 1 || col("__rk") === col("__n"), lit(0.4))
+          .otherwise(lit(0.2) / (n - lit(2.0)))
+    }
+    ranked
+      .withColumn("__w9", round(weight, 9).cast("decimal(28,9)"))
+      .groupBy(col("__stype").as("source_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("__w9")).cast("double"), 6).as("credit"))
   }
 
   def retention(

@@ -509,6 +509,30 @@ object WindowQueries {
         .orderBy(col("user_id"), col("conv_ep"), col("conv_tie"))
     }),
 
+    // W10b: multi-touch attribution — linear (1/n per touch) and
+    // U-shaped (40/40/20 position-based) credit per source type;
+    // every conversion distributes exactly 1.0
+    "q_attribution_linear" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ep", graft.Tables.epochSeconds(col("ts")))
+      graft.operators.EventFunnels.attributionWeighted(ev, "user_id",
+        ts = col("ep"), tie = col("event_id"),
+        eventType = col("event_type"), conversion = "purchase",
+        sources = Seq("click", "signup", "view"), lookbackSecs = 86400L,
+        model = "linear")
+        .orderBy(col("source_type"))
+    }),
+    "q_attribution_ushaped" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("ep", graft.Tables.epochSeconds(col("ts")))
+      graft.operators.EventFunnels.attributionWeighted(ev, "user_id",
+        ts = col("ep"), tie = col("event_id"),
+        eventType = col("event_type"), conversion = "purchase",
+        sources = Seq("click", "signup", "view"), lookbackSecs = 86400L,
+        model = "u_shaped")
+        .orderBy(col("source_type"))
+    }),
+
     "q_retention" -> ((s, d) => {
       val ev = table(s, d, "events")
         .select(col("user_id"),
@@ -1020,6 +1044,62 @@ object WindowQueries {
          FROM w JOIN f USING (event_type)
          WHERE w.wv < f.lo OR w.wv > f.hi
          ORDER BY w.event_type, w.event_id""",
+    "q_attribution_linear" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+             event_type
+           FROM events),
+         c AS (SELECT user_id, ep AS conv_ep, event_id AS conv_tie
+           FROM e WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, ep AS sep, event_id AS stie,
+             event_type AS stype
+           FROM e WHERE event_type IN ('click', 'signup', 'view')),
+         j AS (SELECT c.user_id, c.conv_ep, c.conv_tie,
+             s.stype, s.sep, s.stie
+           FROM c JOIN s ON s.user_id = c.user_id
+             AND s.sep >= c.conv_ep - 86400 AND s.sep <= c.conv_ep),
+         p AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id, conv_ep, conv_tie
+               ORDER BY sep, stie, stype) AS rk,
+             count(*) OVER (PARTITION BY user_id, conv_ep, conv_tie)
+               AS n
+           FROM j),
+         t AS (SELECT stype,
+             CAST(round(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9))
+               AS w9
+           FROM p)
+         SELECT stype AS source_type, count(*) AS n_touches,
+           round(CAST(sum(w9) AS DOUBLE), 6) AS credit
+         FROM t GROUP BY stype ORDER BY source_type""",
+    "q_attribution_ushaped" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+             event_type
+           FROM events),
+         c AS (SELECT user_id, ep AS conv_ep, event_id AS conv_tie
+           FROM e WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, ep AS sep, event_id AS stie,
+             event_type AS stype
+           FROM e WHERE event_type IN ('click', 'signup', 'view')),
+         j AS (SELECT c.user_id, c.conv_ep, c.conv_tie,
+             s.stype, s.sep, s.stie
+           FROM c JOIN s ON s.user_id = c.user_id
+             AND s.sep >= c.conv_ep - 86400 AND s.sep <= c.conv_ep),
+         p AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id, conv_ep, conv_tie
+               ORDER BY sep, stie, stype) AS rk,
+             count(*) OVER (PARTITION BY user_id, conv_ep, conv_tie)
+               AS n
+           FROM j),
+         t AS (SELECT stype,
+             CAST(round(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+               WHEN rk = 1 OR rk = n THEN 0.4
+               ELSE 0.2 / (CAST(n AS DOUBLE) - 2.0) END, 9)
+               AS DECIMAL(28,9)) AS w9
+           FROM p)
+         SELECT stype AS source_type, count(*) AS n_touches,
+           round(CAST(sum(w9) AS DOUBLE), 6) AS credit
+         FROM t GROUP BY stype ORDER BY source_type""",
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,

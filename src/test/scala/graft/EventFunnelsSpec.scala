@@ -435,6 +435,34 @@ class EventFunnelsSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("W10b attributionWeighted: credit conserves per conversion, hand-computed linear and U-shaped weights") {
+    val rows = Seq(
+      // conv A@100 with 4 touches: click@10, view@20, click@30, signup@40
+      ("A", 10L, 1L, "click"), ("A", 20L, 2L, "view"),
+      ("A", 30L, 3L, "click"), ("A", 40L, 4L, "signup"),
+      ("A", 100L, 5L, "purchase"),
+      // conv B@50 with 1 touch; conv C with none (no credit at all)
+      ("B", 45L, 6L, "view"), ("B", 50L, 7L, "purchase"),
+      ("C", 900L, 8L, "purchase"))
+    val df = rows.toDF("u", "ep", "id", "t").repartition(3)
+    def run(model: String) = EventFunnels.attributionWeighted(
+      df, "u", col("ep"), col("id"), col("t"), "purchase",
+      Seq("click", "signup", "view"), lookbackSecs = 200L, model = model)
+      .select("source_type", "credit")
+      .as[(String, Double)].collect().toMap
+    val lin = run("linear")
+    // A distributes 1.0 over 4 touches, B 1.0 over 1 → click 0.5,
+    // view 0.25 + 1.0, signup 0.25; total = 2 attributed conversions
+    assert(lin("click") === 0.5 && lin("signup") === 0.25 &&
+      lin("view") === 1.25)
+    assert(math.abs(lin.values.sum - 2.0) < 1e-9)
+    val u = run("u_shaped")
+    // A: first click@10 0.4, last signup@40 0.4, middles view/click 0.1
+    // each; B: view 1.0
+    assert(u("click") === 0.5 && u("signup") === 0.4 && u("view") === 1.1)
+    assert(math.abs(u.values.sum - 2.0) < 1e-9)
+  }
+
   test("W6g windowFunnelTimes: levels agree with windowFunnel; times are the chain minima") {
     val rows = Seq(
       ("A", 10L, "s1"), ("A", 20L, "s2"), ("A", 30L, "s3"), // full, lag 20
