@@ -555,6 +555,33 @@ object EventFunnels {
         col("__l.__stype").as("last_type"), col("__l.__sep").as("last_ep"))
   }
 
+  /** W6i: the BACKWARD arm of [[sequenceNextNode]] — ClickHouse
+    * `sequenceNextNode('backward', 'last_match')`: "what did users do
+    * right BEFORE X" (the step into churn/purchase, where the forward
+    * arm reads the step out of signup). Mirror construction: the LAST
+    * match (max (ts, tie)) and the max event struct strictly before
+    * it — same single keys exchange, same one-candidate-per-partition
+    * map-side combine, match-at-head keys distinguished by (matched,
+    * null prev_node). Output: keys :+ (matched, match_t, prev_node).
+    */
+  def sequencePrevNode(df: DataFrame, keys: Seq[String], ts: Column,
+      tie: Column, event: Column, matchCond: Column): DataFrame = {
+    val ord = struct(ts.cast("long").as("t"), tie.as("k"))
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__ord", ord)
+      .withColumn("__ev", event)
+      .withColumn("__m", max(when(matchCond, col("__ord"))).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(col("__m")).as("__mm"),
+        max(when(col("__ord") < col("__m"),
+          struct(col("__ord"), col("__ev").as("e")))).as("__p"))
+      .select((keys.map(col) ++ Seq(
+        col("__mm").isNotNull.as("matched"),
+        col("__mm.t").as("match_t"),
+        col("__p.e").as("prev_node"))): _*)
+  }
+
   /** Shared W10 machinery: (conversions, in-window touch pairs). */
   private def touchPairs(events: DataFrame, user: String, ts: Column,
       tie: Column, eventType: Column, conversion: String,

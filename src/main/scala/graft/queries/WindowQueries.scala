@@ -335,6 +335,19 @@ object WindowQueries {
         .orderBy(col("user_id"))
     }),
 
+    // W6i: what each user did right BEFORE their LAST purchase —
+    // the backward/last_match arm of sequenceNextNode
+    "q_sequence_prev" -> ((s, d) => {
+      graft.operators.EventFunnels.sequencePrevNode(
+        table(s, d, "events").select(col("user_id"),
+          graft.Tables.epochSeconds(col("ts")).as("ep"),
+          col("event_id"), col("event_type")),
+        Seq("user_id"), ts = col("ep"), tie = col("event_id"),
+        event = col("event_type"),
+        matchCond = col("event_type") === "purchase")
+        .orderBy(col("user_id"))
+    }),
+
     "q_funnel" -> ((s, d) => {
       graft.operators.EventFunnels.windowFunnel(
         table(s, d, "events"), "user_id",
@@ -813,6 +826,22 @@ object WindowQueries {
            CAST(mk // 1000000000 AS BIGINT) AS match_t,
            arg_min(event_type, k)
              FILTER (WHERE mk IS NOT NULL AND k > mk) AS next_node
+         FROM j GROUP BY user_id, mk ORDER BY user_id""",
+    // W6i: the mirrored encoding — max match key, arg_max below it
+    "q_sequence_prev" ->
+      """WITH e AS (SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             event_id, event_type FROM events),
+         m AS (SELECT user_id, max(CASE WHEN event_type = 'purchase'
+               THEN t * 1000000000 + event_id END) AS mk
+           FROM e GROUP BY user_id),
+         j AS (SELECT e.user_id, e.event_type,
+             e.t * 1000000000 + e.event_id AS k, m.mk
+           FROM e JOIN m USING (user_id))
+         SELECT user_id, mk IS NOT NULL AS matched,
+           CAST(mk // 1000000000 AS BIGINT) AS match_t,
+           arg_max(event_type, k)
+             FILTER (WHERE mk IS NOT NULL AND k < mk) AS prev_node
          FROM j GROUP BY user_id, mk ORDER BY user_id""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id,

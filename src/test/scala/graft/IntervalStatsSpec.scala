@@ -443,6 +443,33 @@ class IntervalStatsSpec extends SparkSpec {
     assert(math.abs(f2 - t * t) < 1e-3)
   }
 
+  test("sequencePrevNode: last match wins, head-match null prev, no-match unmatched, same-ts tie deterministic") {
+    import graft.operators.EventFunnels
+    val rows = Seq(
+      // a: two purchases; the LAST (t=30) anchors; prev = view@20
+      ("a", 10L, 1L, "purchase"), ("a", 20L, 2L, "view"),
+      ("a", 30L, 3L, "purchase"), ("a", 40L, 4L, "click"),
+      // h: match is the very first event → matched, null prev
+      ("h", 5L, 5L, "purchase"), ("h", 9L, 6L, "view"),
+      // n: no match at all
+      ("n", 1L, 7L, "view"),
+      // t: two candidates at the SAME second before the match — the
+      // (t, tie) struct max picks the higher event_id deterministically
+      ("t", 50L, 8L, "view"), ("t", 50L, 9L, "click"),
+      ("t", 60L, 10L, "purchase"))
+    val out = EventFunnels.sequencePrevNode(
+      rows.toDF("u", "ep", "id", "e").repartition(3),
+      Seq("u"), col("ep"), col("id"), col("e"),
+      col("e") === "purchase")
+      .select("u", "matched", "match_t", "prev_node")
+      .as[(String, Boolean, Option[Long], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", true, Some(30L), Some("view"))))
+    assert(out("h") === (("h", true, Some(5L), None)))
+    assert(out("n") === (("n", false, None, None)))
+    assert(out("t") === (("t", true, Some(60L), Some("click"))))
+  }
+
   test("meanZTest: matches scalar reference, empty cohort nulls z but keeps the other mean") {
     val rows = Seq(("k", true, 1.0), ("k", true, 2.0), ("k", true, 6.0),
       ("k", false, 3.0), ("k", false, 5.0),
