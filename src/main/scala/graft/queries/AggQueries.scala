@@ -586,18 +586,23 @@ object AggQueries {
         .orderBy(col("user_id"))
     }),
 
-    // W10: LTTB downsample — each event type's (epoch, value) series
-    // reduced to 20 visually-faithful points. The sequential pick has
-    // no SQL oracle (driver records the rows-only check); the
-    // IntervalStatsSpec laws pin endpoints, size, monotone x, and
-    // scalar-reference equality
+    // W11: LTTB downsample — each event type's (epoch, value) series
+    // reduced to 20 visually-faithful points. The sequential pick IS
+    // SQL-oracle-able (recursive CTE carrying the anchor, the
+    // q_funnel_gap/q_ema precedent); the inputs are scaled so every
+    // bucket-centroid sum stays under 2^53 and is therefore EXACT in
+    // doubles on both engines — the argmax comparisons are then
+    // bit-identical with no summation-order sensitivity (x = epoch
+    // seconds ~1.7e9 × ~111 pts/bucket ≈ 2e11; y = floor(value*1e6)
+    // ≤ 4.9e8 × 111 ≈ 5.4e10). The IntervalStatsSpec laws still pin
+    // endpoints, size, monotone x, and scalar-reference equality
     "q_lttb" -> ((s, d) => {
       graft.operators.TimeSeries.lttb(
         table(s, d, "events")
           .where(col("value").isNotNull)
           .select(col("event_type"),
-            (graft.Tables.epochSeconds(col("ts")) * 1000000 +
-              col("event_id")).as("xx"), col("value")),
+            graft.Tables.epochSeconds(col("ts")).as("xx"),
+            floor(col("value") * 1000000).as("value")),
         Seq("event_type"), x = col("xx"), y = col("value"), nOut = 20)
         .orderBy(col("event_type"), col("pos"))
     }),
@@ -1448,7 +1453,7 @@ object AggQueries {
            FROM cells
            WINDOW win AS (PARTITION BY event_type ORDER BY v DESC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT event_type, v AS threshold,
+         SELECT event_type, CAST(v AS BIGINT) AS threshold,
            CAST(n_tp AS BIGINT) AS n_tp, CAST(n_fp AS BIGINT) AS n_fp,
            CASE WHEN totp > 0 THEN
              round(CAST(n_tp AS DOUBLE) / CAST(totp AS DOUBLE), 6)
@@ -1457,6 +1462,62 @@ object AggQueries {
              round(CAST(n_fp AS DOUBLE) / CAST(totn AS DOUBLE), 6)
              END AS fpr
          FROM m ORDER BY event_type, threshold""",
+    // W11: the LTTB sequential pick as a recursive CTE carrying the
+    // anchor index (the q_funnel_gap DP / q_ema fold precedent).
+    // Exactness contract: every bucket-centroid sum stays under 2^53
+    // (inputs scaled in the registered query), so sum()/count() here
+    // equals the engine's left-fold bit-for-bit with no
+    // summation-order sensitivity; the per-bucket argmax is then
+    // ORDER BY area DESC, idx ASC LIMIT 1 == the engine's strict->
+    // earliest-tie rule
+    "q_lttb" ->
+      """WITH RECURSIVE pts AS (
+           SELECT event_type, x, y,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY x, y) - 1 AS idx,
+             count(*) OVER (PARTITION BY event_type) AS m
+           FROM (SELECT event_type,
+               CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS x,
+               CAST(floor(value * 1000000) AS DOUBLE) AS y
+             FROM events WHERE value IS NOT NULL)),
+         big AS (SELECT DISTINCT event_type, m FROM pts WHERE m > 20),
+         bkt AS (
+           SELECT b.event_type, i.i,
+             1 + (i.i * (b.m - 2)) // 18 AS lo,
+             1 + ((i.i + 1) * (b.m - 2)) // 18 AS hi,
+             CASE WHEN i.i = 17 THEN b.m
+               ELSE 1 + ((i.i + 2) * (b.m - 2)) // 18 END AS nhi
+           FROM big b, (SELECT unnest(range(18)) AS i) i),
+         cent AS (
+           SELECT k.event_type, k.i, k.lo, k.hi,
+             sum(p.x) / count(*) AS cx, sum(p.y) / count(*) AS cy
+           FROM bkt k JOIN pts p ON p.event_type = k.event_type
+             AND p.idx >= k.hi AND p.idx < k.nhi
+           GROUP BY k.event_type, k.i, k.lo, k.hi),
+         sel AS (
+           SELECT event_type, 0 AS step, 0 AS anchor FROM big
+           UNION ALL
+           SELECT s.event_type, s.step + 1,
+             (SELECT p.idx
+              FROM cent c, pts a, pts p
+              WHERE c.event_type = s.event_type AND c.i = s.step
+                AND a.event_type = s.event_type AND a.idx = s.anchor
+                AND p.event_type = s.event_type
+                AND p.idx >= c.lo AND p.idx < c.hi
+              ORDER BY abs((a.x - c.cx) * (p.y - a.y)
+                - (a.x - p.x) * (c.cy - a.y)) DESC, p.idx ASC
+              LIMIT 1) AS anchor
+           FROM sel s WHERE s.step < 18),
+         picks AS (
+           SELECT event_type, step AS pos, anchor AS idx FROM sel
+           UNION ALL
+           SELECT event_type, 19 AS pos, m - 1 AS idx FROM big
+           UNION ALL
+           SELECT event_type, idx AS pos, idx FROM pts WHERE m <= 20)
+         SELECT q.event_type, p.x, p.y, CAST(q.pos AS BIGINT) AS pos
+         FROM picks q JOIN pts p
+           ON p.event_type = q.event_type AND p.idx = q.idx
+         ORDER BY q.event_type, pos""",
     // A30: the window row_number formulation of the same winner set
     "q_group_sorted" ->
       """SELECT event_type, rank, item FROM (
