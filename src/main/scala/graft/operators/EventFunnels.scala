@@ -648,8 +648,34 @@ object EventFunnels {
           .when(col("__rk") === 1 || col("__rk") === col("__n"), lit(0.4))
           .otherwise(lit(0.2) / (n - lit(2.0)))
     }
+    // The EXACTLY-1.0 law needs a remainder carrier: round(w, 9)
+    // truncates 1/n and 0.2/(n−2), and the per-conversion residue
+    // (e.g. 3×0.333333333 = 0.999999999) would accumulate across
+    // conversions into each source_type's credit. The last touch by
+    // the (ep, tie, type) order takes 1 − Σ(other rounded weights),
+    // closed-form per model — per-conversion credit is then exactly
+    // 1.000000000 in DECIMAL(28,9).
+    // operand precisions kept small — decimal(10,0) × decimal(10,9)
+    // yields decimal(21,9), lossless; wider operands would push the
+    // product past precision 38 and Spark would silently truncate the
+    // scale to 6, defeating the 9-place exactness
+    val one = lit(BigDecimal(1)).cast("decimal(28,9)")
+    val othersRounded = model match {
+      case "linear" =>
+        (col("__n") - 1).cast("decimal(10,0)") *
+          round(lit(1.0) / n, 9).cast("decimal(10,9)")
+      case "u_shaped" =>
+        when(col("__n") === 1, lit(BigDecimal(0)).cast("decimal(28,9)"))
+          .when(col("__n") === 2, lit(BigDecimal("0.5")).cast("decimal(28,9)"))
+          .otherwise(lit(BigDecimal("0.4")).cast("decimal(28,9)") +
+            (col("__n") - 2).cast("decimal(10,0)") *
+              round(lit(0.2) / (n - lit(2.0)), 9).cast("decimal(10,9)"))
+    }
     ranked
-      .withColumn("__w9", round(weight, 9).cast("decimal(28,9)"))
+      .withColumn("__w9",
+        when(col("__rk") === col("__n"),
+          (one - othersRounded).cast("decimal(28,9)"))
+          .otherwise(round(weight, 9).cast("decimal(28,9)")))
       .groupBy(col("__stype").as("source_type"))
       .agg(count(lit(1)).as("n_touches"),
         round(sum(col("__w9")).cast("double"), 6).as("credit"))

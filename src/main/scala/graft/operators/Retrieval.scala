@@ -184,6 +184,14 @@ object Retrieval {
     * stats, so no extra job runs. Pass 1.0 to force exact scoring at
     * any size, or an explicit fraction to pin the cap (the registered
     * `q_bm25_join_capped` pins 0.7 for oracle determinism).
+    *
+    * BEHAVIOR CHANGE (since the auto rule landed): the default was
+    * previously exact scoring (1.0). A caller on a corpus over
+    * [[AutoDfCapMinDocs]] documents now has terms with df > 70%
+    * silently dropped — scores, `n_terms`, and (for queries whose
+    * terms are ALL that dense) result membership can differ from the
+    * old default. Pass `maxDfFraction = 1.0` explicitly to keep the
+    * old behavior.
     */
   def bm25JoinTopK(
       corpus: DataFrame, corpusId: String, corpusText: Column,
@@ -295,5 +303,122 @@ object Retrieval {
       .select(col("__did").as(id), col("score"), col("n_terms"))
       .orderBy(col("score").desc, col(id))
       .limit(k)
+  }
+
+  /** X19e: the partitioned-postings index — the inverted-index trade
+    * the [[bm25JoinTopK]] scaladoc names. Build ONCE per corpus
+    * version; retrieve MANY times without ever touching the corpus
+    * again.
+    *
+    * Build: postings pre-aggregated to one row per (term, doc) —
+    * (tok, doc, tf) with the doc length `dl` and the term's corpus
+    * document frequency `dfc` DENORMALIZED onto the row — written
+    * hash-partitioned on the term (`pb = pmod(xxhash64(tok),
+    * nBuckets)`) and term-sorted within files, plus a 1-row stats
+    * table (n_docs, avgdl, n_buckets). Denormalizing dl and dfc costs
+    * one extra column pair on a (term, doc)-cardinality table and
+    * removes BOTH query-time joins that make index-free BM25 pay a
+    * corpus-cardinality exchange per retrieval: the (id, dl) join and
+    * the df aggregate each run once, here.
+    *
+    * Query: the per-retrieval plan reads ONLY the postings partitions
+    * containing some query term — the pruning keys are ≤ n_buckets
+    * literals (a bounded driver-side collect, the Bloom-cap
+    * convention), so partition pruning is static and the scan volume
+    * is (query-vocabulary buckets / n_buckets) of the postings table,
+    * with term-sorted row groups pruning further via tok min/max.
+    * Matched postings then run the IDENTICAL score tree to
+    * [[bm25JoinTopK]] (same operand order, same round-9 DECIMAL sum),
+    * so indexed and index-free results are bit-equal at equal cap
+    * settings (RetrievalSpec pins this).
+    *
+    * Scale shape (the 100 TB posture): build is the one corpus pass
+    * (explode → two aggregates → one doc-keyed and one term-keyed
+    * shuffle); `nBuckets` is the parallelism/pruning dial — size it so
+    * a bucket's postings fit an executor's scan appetite (thousands at
+    * 100 TB). Query-time cost is matched-postings-sized, independent
+    * of corpus growth when the query vocabulary is stable — exactly
+    * the regime the r14 scale measurement flagged (21-24 s re-exploding
+    * a 30-100× corpus per retrieval; the index amortizes that pass).
+    */
+  def buildPostingsIndex(corpus: DataFrame, corpusId: String,
+      corpusText: Column, outDir: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val toks = corpus.select(col(corpusId).as("__did"),
+      explode(split(corpusText, " ")).as("tok"))
+    val dl = corpus.select(col(corpusId).as("__did"),
+      size(split(corpusText, " ")).cast("double").as("dl"))
+    val tf = toks.groupBy(col("__did"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // df from the (doc, term) table — one row per pair already, so the
+    // distinct is free; full vocabulary (the index serves any query)
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("dfc"))
+    val postings = tf.join(dl, "__did")
+      .join(dfreq, "tok")
+      .withColumn("pb", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+    postings
+      .repartition(col("pb"))
+      .sortWithinPartitions(col("tok"), col("__did"))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$outDir/postings")
+    // stats written LAST — its _SUCCESS is the index's completeness
+    // marker (callers gate reuse on it, the scaledDir convention)
+    dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
+  /** Retrieval against a [[buildPostingsIndex]] index — semantics
+    * identical to [[bm25JoinTopK]] on the index's corpus (same BM25
+    * tree, same df-cap contract including the AUTO sentinel default,
+    * same top-k tie-break), with the corpus replaced by the pruned
+    * postings scan. See [[buildPostingsIndex]] for the cost shape.
+    */
+  def bm25JoinTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      corpusId: String, queries: DataFrame, queryId: String,
+      queryText: Column, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = -1.0): DataFrame = {
+    // 1-row stats read — bounded driver-side control structure
+    val st = spark.read.parquet(s"$indexDir/stats").head
+    val nDocs = st.getAs[Double]("n_docs")
+    val avgdl = st.getAs[Double]("avgdl")
+    val nBuckets = st.getAs[Int]("n_buckets")
+    val cap =
+      if (maxDfFraction < 0.0) dfCapFor(nDocs.toLong) else maxDfFraction
+    val qTerms = queries.select(col(queryId).as("__qid"),
+      explode(split(queryText, " ")).as("tok")).distinct()
+    // ≤ n_buckets literal partition keys: static pruning, never a scan
+    // of buckets no query term hashes into
+    val qb = qTerms
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("pb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .where(if (qb.isEmpty) lit(false) else col("pb").isin(qb: _*))
+    val matched = postings
+      .where(col("dfc") <= lit(cap) * lit(nDocs))
+      .join(broadcast(qTerms), "tok")
+    // IDENTICAL expression trees to bm25JoinTopK (operand order
+    // included) — stats enter as literals carrying the same values the
+    // direct arm computes in-plan, so scores are bit-equal
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("dfc") + 0.5) / (col("dfc") + 0.5))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+    val scored = matched
+      .withColumn("__s", idf * col("tf") * lit(k1 + 1.0) / norm)
+      .groupBy(col("__qid"), col("__did"))
+      .agg(round(sum(round(col("__s"), 9).cast("decimal(28,9)"))
+        .cast("double"), 6).as("score"),
+        count(lit(1)).cast("long").as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col("__did"))
+    scored.withColumn("__rk", row_number().over(w).cast("long"))
+      .where(col("__rk") <= k)
+      .select(col("__qid").as(queryId), col("__did").as(corpusId),
+        col("score"), col("n_terms"), col("__rk").as("rnk"))
   }
 }

@@ -83,9 +83,13 @@ object StatsAgg {
     withMargins
       .withColumn("__t", term)
       .groupBy(keys.map(col): _*)
+      // count_distinct over a STRUCT wrapper: the struct itself is
+      // never null, so a NULL category counts as the real row/column
+      // it is (bare count_distinct(__a) would skip it, undercounting
+      // min(r,c)−1 and inflating V past 1 on {NULL, x} dimensions)
       .agg(max(col("__n")).as("n_rows"),
-        count_distinct(col("__a")).as("__r"),
-        count_distinct(col("__b")).as("__c"),
+        count_distinct(struct(col("__a"))).as("__r"),
+        count_distinct(struct(col("__b"))).as("__c"),
         sum(col("__t")).as("__sum"))
       // greatest(…, 0): the identity is ≥ 0 exactly, but the round-9
       // term truncation can land a hair below zero — and a -0.0 here
@@ -159,9 +163,13 @@ object StatsAgg {
       .withColumn("__ta", when(col("__rna") === 1, clogc(col("__ra"))))
       .withColumn("__tb", when(col("__rnb") === 1, clogc(col("__cb"))))
       .groupBy(keys.map(col): _*)
+      // r/c ride the existing representative-row markers, which are
+      // null-inclusive (row_number partitions keep the NULL category
+      // as a real group; bare count_distinct would drop it and
+      // desynchronize r/c from the entropy terms that DO include it)
       .agg(max(col("__n")).as("n_rows"),
-        count_distinct(col("__a")).as("__r"),
-        count_distinct(col("__b")).as("__c"),
+        sum(when(col("__rna") === 1, 1L)).as("__r"),
+        sum(when(col("__rnb") === 1, 1L)).as("__c"),
         sum(col("__tchi")).as("__schi"),
         sum(col("__tab")).as("__sab"),
         sum(col("__ta")).as("__sa"),
@@ -216,7 +224,11 @@ object StatsAgg {
       scale: Int = 2): DataFrame = {
     val factor = math.pow(10.0, scale)
     val w = floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
-    val out = df.where(value.isNotNull)
+    // value.isNotNull alone lets NaN through, and Spark's
+    // floor(NaN) is 0 — the row would be counted in n_rows with a
+    // fabricated zero in every power sum, silently corrupting the
+    // moments; drop it explicitly
+    val out = df.where(value.isNotNull && !isnan(value.cast("double")))
       .withColumn("__w", w)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
@@ -350,7 +362,10 @@ object StatsAgg {
       cohort: Column, factor: Double): DataFrame = {
     val w = floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
     def side(flag: Boolean, c: Column) = sum(when(cohort === flag, c))
-    df.where(value.isNotNull && cohort.isNotNull)
+    // NaN floors to a fabricated 0 fixed-point — drop the row rather
+    // than count it against zeroed power-sum mass
+    df.where(value.isNotNull && !isnan(value.cast("double")) &&
+        cohort.isNotNull)
       .withColumn("__w", w)
       .groupBy(keys.map(col): _*)
       .agg(
@@ -396,7 +411,9 @@ object StatsAgg {
       group: Column, scale: Int = 2): DataFrame = {
     val factor = math.pow(10.0, scale)
     val w = floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
-    val groups = df.where(value.isNotNull)
+    // NaN floors to a fabricated 0 fixed-point — drop the row rather
+    // than count it against zeroed power-sum mass
+    val groups = df.where(value.isNotNull && !isnan(value.cast("double")))
       .withColumn("__w", w)
       .groupBy(keys.map(col) :+ group.as("__g"): _*)
       .agg(count(lit(1)).as("__ng"), sum(col("__w")).as("__s1"),

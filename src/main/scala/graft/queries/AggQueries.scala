@@ -1100,17 +1100,21 @@ object AggQueries {
                / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)),
                9) AS DECIMAL(28,9)) AS term
            FROM m)
-         SELECT dow, CAST(max(n) AS BIGINT) AS n_rows,
-           round(greatest(CAST(sum(term) AS DOUBLE) - CAST(max(n) AS DOUBLE),
-             0.0), 6) AS chi2,
-           CASE WHEN least(count(DISTINCT a), count(DISTINCT b)) > 1 THEN
-             round(sqrt(
-               greatest(CAST(sum(term) AS DOUBLE) - CAST(max(n) AS DOUBLE),
-                 0.0) / CAST(max(n) AS DOUBLE)
-               / CAST(least(count(DISTINCT a), count(DISTINCT b)) - 1
-                   AS DOUBLE)), 6)
+         SELECT dow, CAST(n_rows AS BIGINT) AS n_rows,
+           round(chi2, 6) AS chi2,
+           CASE WHEN rc > 1 THEN
+             round(sqrt(chi2 / CAST(n_rows AS DOUBLE)
+               / CAST(rc - 1 AS DOUBLE)), 6)
            END AS cramers_v
-         FROM t GROUP BY dow ORDER BY dow""",
+         FROM (SELECT dow, max(n) AS n_rows,
+             least(count(DISTINCT a)
+                 + max(CASE WHEN a IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT b)
+                 + max(CASE WHEN b IS NULL THEN 1 ELSE 0 END)) AS rc,
+             greatest(CAST(sum(term) AS DOUBLE) - CAST(max(n) AS DOUBLE),
+               0.0) AS chi2
+           FROM t GROUP BY dow)
+         ORDER BY dow""",
     // A20c: same cell/margin machinery; marginal-entropy terms attach
     // to one representative row per margin group (order-free pick —
     // the term depends only on the margin sum); every tree mirrored
@@ -1148,7 +1152,10 @@ object AggQueries {
                  AS DECIMAL(28,9)) END AS tb
            FROM m),
          s AS (SELECT dow, max(n) AS n_rows,
-             count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+             count(DISTINCT a)
+               + max(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS r,
+             count(DISTINCT b)
+               + max(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS c,
              sum(tchi) AS schi, sum(tab) AS sab,
              sum(ta) AS sa, sum(tb) AS sb
            FROM t GROUP BY dow),

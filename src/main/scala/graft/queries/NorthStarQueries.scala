@@ -427,6 +427,32 @@ object NorthStarQueries {
         .orderBy(col("bench_id"), col("rnk"))
     }),
 
+    // X19e: the partitioned-postings index arm — build once (cached
+    // under tmpdir keyed on the corpus mtime, gated on the stats
+    // _SUCCESS marker: the scaledDir/bloomIds convention), then
+    // retrieve with the SAME %97 bench slice and exact scoring as
+    // q_bm25_join. Semantics-preserving by construction (identical
+    // score trees over identical matched postings), so the oracle is
+    // q_bm25_join's SQL verbatim — the value gate proves the index
+    // path changes the COST shape, not the answer
+    "q_bm25_indexed" -> ((s, d) => {
+      val srcMtime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bm25idx-" +
+        s"${java.nio.file.Paths.get(d).getFileName.toString}-$srcMtime"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$idx/stats/_SUCCESS")))
+        graft.operators.Retrieval.buildPostingsIndex(
+          table(s, d, "documents"), "doc_id", col("text"), idx)
+      val bench = table(s, d, "documents")
+        .where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.operators.Retrieval.bm25JoinTopKIndexed(
+        s, idx, "doc_id", bench, "bench_id", col("text"),
+        k = 5, maxDfFraction = 1.0)
+        .orderBy(col("bench_id"), col("rnk"))
+    }),
+
     // X19b: hybrid retrieval — BM25 top-50 (lexical) fused with the
     // cosine top-50 for one query vector (semantic) by reciprocal-rank
     // fusion; only ranks cross the fusion boundary, so the two score
@@ -1016,6 +1042,35 @@ object NorthStarQueries {
          SELECT doc_id, score, n_terms FROM g
          ORDER BY score DESC, doc_id LIMIT 25""",
     "q_bm25_join" ->
+      """WITH q AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0),
+         qt AS (SELECT DISTINCT bench_id, tok FROM
+           (SELECT bench_id, unnest(string_split(text, ' ')) AS tok FROM q)),
+         toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         m AS (SELECT qt.bench_id, toks.doc_id, toks.tok FROM toks JOIN qt USING (tok)),
+         tf AS (SELECT bench_id, doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM m GROUP BY bench_id, doc_id, tok),
+         dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfc
+           FROM m GROUP BY tok),
+         sc AS (SELECT tf.bench_id, tf.doc_id,
+             ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+           FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+           JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN st),
+         g AS (SELECT bench_id, doc_id,
+             round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+           FROM sc GROUP BY bench_id, doc_id),
+         r AS (SELECT bench_id, doc_id, score, n_terms,
+             CAST(row_number() OVER (PARTITION BY bench_id
+               ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+           FROM g)
+         SELECT bench_id, doc_id, score, n_terms, rnk FROM r
+         WHERE rnk <= 5 ORDER BY bench_id, rnk""",
+    // X19e: the indexed arm is semantics-preserving vs q_bm25_join
+    // (same slice, same exact cap) — the oracle is the same SQL
+    "q_bm25_indexed" ->
       """WITH q AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0),
          qt AS (SELECT DISTINCT bench_id, tok FROM
            (SELECT bench_id, unnest(string_split(text, ' ')) AS tok FROM q)),

@@ -1094,8 +1094,14 @@ object WindowQueries {
                AS n
            FROM j),
          t AS (SELECT stype,
-             CAST(round(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9))
-               AS w9
+             CASE WHEN rk = n THEN
+               CAST(1 AS DECIMAL(28,9))
+                 - CAST(n - 1 AS DECIMAL(10,0))
+                   * CAST(round(1.0 / CAST(n AS DOUBLE), 9)
+                       AS DECIMAL(10,9))
+             ELSE
+               CAST(round(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9))
+             END AS w9
            FROM p)
          SELECT stype AS source_type, count(*) AS n_touches,
            round(CAST(sum(w9) AS DOUBLE), 6) AS credit
@@ -1121,10 +1127,21 @@ object WindowQueries {
                AS n
            FROM j),
          t AS (SELECT stype,
-             CAST(round(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
-               WHEN rk = 1 OR rk = n THEN 0.4
-               ELSE 0.2 / (CAST(n AS DOUBLE) - 2.0) END, 9)
-               AS DECIMAL(28,9)) AS w9
+             CASE WHEN rk = n THEN
+               CAST(1 AS DECIMAL(28,9)) -
+                 CASE WHEN n = 1 THEN CAST(0 AS DECIMAL(28,9))
+                   WHEN n = 2 THEN CAST(0.5 AS DECIMAL(28,9))
+                   ELSE CAST(0.4 AS DECIMAL(28,9))
+                     + CAST(n - 2 AS DECIMAL(10,0))
+                       * CAST(round(0.2 / (CAST(n AS DOUBLE) - 2.0), 9)
+                           AS DECIMAL(10,9))
+                 END
+             ELSE
+               CAST(round(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+                 WHEN rk = 1 THEN 0.4
+                 ELSE 0.2 / (CAST(n AS DOUBLE) - 2.0) END, 9)
+                 AS DECIMAL(28,9))
+             END AS w9
            FROM p)
          SELECT stype AS source_type, count(*) AS n_touches,
            round(CAST(sum(w9) AS DOUBLE), 6) AS credit

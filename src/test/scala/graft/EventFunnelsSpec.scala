@@ -463,6 +463,34 @@ class EventFunnelsSpec extends SparkSpec {
     assert(math.abs(u.values.sum - 2.0) < 1e-9)
   }
 
+  test("W10b attributionWeighted: conservation is EXACT under non-terminating weights (remainder carrier)") {
+    // n = 3 linear: round9(1/3) × 3 = 0.999999999 — without the
+    // remainder carrier the residue accumulates across conversions.
+    // All touches share one type so the law reads directly off credit.
+    val lin3 = Seq(
+      ("A", 10L, 1L, "click"), ("A", 20L, 2L, "click"),
+      ("A", 30L, 3L, "click"), ("A", 100L, 4L, "purchase"))
+    val lin = EventFunnels.attributionWeighted(
+      lin3.toDF("u", "ep", "id", "t"), "u", col("ep"), col("id"),
+      col("t"), "purchase", Seq("click"), lookbackSecs = 200L,
+      model = "linear")
+      .select("credit").as[Double].head()
+    assert(lin == 1.0, s"linear n=3 credit not exact: $lin")
+    // n = 5 u_shaped: middles round9(0.2/3) = 0.066666667 ×3 =
+    // 0.200000001; the last touch carries 0.399999999 so the
+    // conversion still distributes exactly 1.0
+    val u5 = Seq(
+      ("B", 10L, 1L, "view"), ("B", 20L, 2L, "view"),
+      ("B", 30L, 3L, "view"), ("B", 40L, 4L, "view"),
+      ("B", 50L, 5L, "view"), ("B", 100L, 6L, "purchase"))
+    val u = EventFunnels.attributionWeighted(
+      u5.toDF("u", "ep", "id", "t"), "u", col("ep"), col("id"),
+      col("t"), "purchase", Seq("view"), lookbackSecs = 200L,
+      model = "u_shaped")
+      .select("credit").as[Double].head()
+    assert(u == 1.0, s"u_shaped n=5 credit not exact: $u")
+  }
+
   test("W6g windowFunnelTimes: levels agree with windowFunnel; times are the chain minima") {
     val rows = Seq(
       ("A", 10L, "s1"), ("A", 20L, "s2"), ("A", 30L, "s3"), // full, lag 20

@@ -128,6 +128,49 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out.map { case (k, r) => k -> r._3 } === vFace)
   }
 
+  test("cramersV/association: a NULL category is a real column — perfect {x→1, y→NULL} gives V 1, not degenerate") {
+    // b is fully determined by a, but one of b's two categories is
+    // NULL: null-exclusive distinct counting would see c = 1, declare
+    // the table degenerate (V null), and desynchronize r/c from the
+    // chi2/entropy terms that DO count the NULL cell
+    val rows = Seq.fill(5)(("p", "x", Option("1"))) ++
+      Seq.fill(5)(("p", "y", Option.empty[String]))
+    val df = rows.toDF("k", "a", "b").repartition(3)
+    val v = StatsAgg.cramersV(df, Seq("k"), col("a"), col("b"))
+      .select("n_rows", "chi2", "cramers_v")
+      .as[(Long, Double, Option[Double])].head()
+    assert(v === ((10L, 10.0, Some(1.0))))
+    val p = graft.operators.StatsAgg.association(
+      df, Seq("k"), col("a"), col("b"))
+      .select("cramers_v", "cramers_v_bc", "theils_u_ab", "theils_u_ba")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(p._1 === Some(1.0) && p._3 === Some(1.0) && p._4 === Some(1.0))
+    // bias-corrected V stays within [0, 1] now that r/c count the
+    // NULL column (the undercount could push V past 1)
+    assert(p._2.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("moments: a NaN value drops entirely — never counted in n_rows against absent power-sum mass") {
+    val df = Seq(("k", 1.0), ("k", 3.0), ("k", Double.NaN)).toDF("k", "v")
+    val out = graft.operators.StatsAgg.moments(df, Seq("k"), col("v"))
+      .select("n_rows", "mean").as[(Long, Double)].head()
+    assert(out === ((2L, 2.0)))
+    // same discipline in the cohort machinery (t tests) and ANOVA
+    val t = graft.operators.StatsAgg.welchTTest(
+      Seq(("k", true, 1.0), ("k", true, Double.NaN), ("k", true, 3.0),
+        ("k", false, 1.0), ("k", false, 3.0)).toDF("k", "c", "v"),
+      Seq("k"), col("v"), col("c"))
+      .select("n1", "n2").as[(Long, Long)].head()
+    assert(t === ((2L, 2L)))
+    val a = graft.operators.StatsAgg.anova(
+      Seq(("k", "g1", 1.0), ("k", "g1", Double.NaN), ("k", "g2", 2.0))
+        .toDF("k", "g", "v"),
+      Seq("k"), col("v"), col("g"))
+      .select("n_rows").as[Long].head()
+    assert(a === 2L)
+  }
+
   test("moments: symmetric → skew 0; uniform kurtosis 1.8-ish; constant → null; matches scalar reference") {
     // symmetric triple {−1, 0, 1} per key: μ=0, m2=2/3, m3=0, m4=2/3
     // → skew 0, kurt = (2/3)/(4/9) = 1.5

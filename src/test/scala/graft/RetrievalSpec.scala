@@ -228,6 +228,78 @@ class RetrievalSpec extends SparkSpec {
     assert(exact.forall(_._4 == 4L), s"exact arm lost terms: $exact")
   }
 
+  test("postings index: indexed retrieval equals the direct join bit-for-bit (exact and auto cap)") {
+    // the auto-cap fixture shape: a 100%-df dense band over
+    // informative topic terms, 1200 docs (above the auto floor so the
+    // sentinel arm exercises the cap on BOTH paths)
+    val topics = Seq("alpha", "beta", "gamma", "delta")
+    val corpus = (0 until 1200).map { i =>
+      val topic = topics(i % 4)
+      val reps = (i / 4) % 3 + 1
+      (i.toLong,
+        "the of and " + (Seq.fill(reps)(topic) ++
+          Seq.fill(3 - reps)("pad")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = Seq(
+      (9000L, "the of and alpha"), (9001L, "the of and gamma"))
+      .toDF("bench_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-bm25idx-spec").toString
+    Retrieval.buildPostingsIndex(
+      corpus, "doc_id", col("text"), idx, nBuckets = 16)
+    def direct(cap: Double) = Retrieval.bm25JoinTopK(
+      corpus, "doc_id", col("text"), queries, "bench_id", col("text"),
+      k = 5, maxDfFraction = cap)
+      .orderBy(col("bench_id"), col("rnk"))
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    def indexed(cap: Double) = Retrieval.bm25JoinTopKIndexed(
+      spark, idx, "doc_id", queries, "bench_id", col("text"),
+      k = 5, maxDfFraction = cap)
+      .orderBy(col("bench_id"), col("rnk"))
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    val (dx, ix) = (direct(1.0), indexed(1.0))
+    assert(dx.nonEmpty && ix == dx, s"exact arms diverged: $ix vs $dx")
+    val (da, ia) = (direct(-1.0), indexed(-1.0))
+    assert(ia == da, s"auto arms diverged: $ia vs $da")
+    // the auto arm really capped (n_terms 1 vs the exact arm's 4) —
+    // parity above wasn't two uncapped runs agreeing by accident
+    assert(da.forall(_._4 == 1L) && dx.forall(_._4 == 4L))
+  }
+
+  test("postings index: partition pruning keeps non-query buckets unread; no-vocabulary query is empty") {
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, s"tok$i shared")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-bm25idx-prune").toString
+    Retrieval.buildPostingsIndex(
+      corpus, "doc_id", col("text"), idx, nBuckets = 16)
+    val q = Seq((1L, "tok7")).toDF("bench_id", "text")
+    val out = Retrieval.bm25JoinTopKIndexed(
+      spark, idx, "doc_id", q, "bench_id", col("text"), k = 5,
+      maxDfFraction = 1.0)
+    // static partition pruning: the scan carries a PartitionFilters
+    // entry on the bucket column — non-matching pb directories are
+    // never listed into the scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pb"),
+      s"no partition pruning in plan:\n$plan")
+    assert(out.collect().map(_.getLong(1)).toSeq == Seq(7L))
+    // a query whose vocabulary misses the index entirely: its bucket
+    // is scanned but nothing joins — zero rows
+    val none = Retrieval.bm25JoinTopKIndexed(
+      spark, idx, "doc_id",
+      Seq((2L, "zzz_absent")).toDF("bench_id", "text"),
+      "bench_id", col("text"), k = 5, maxDfFraction = 1.0)
+    assert(none.count() == 0L)
+    // no queries at all: the isin list is empty → lit(false), still a
+    // well-formed empty result
+    val empty = Retrieval.bm25JoinTopKIndexed(
+      spark, idx, "doc_id",
+      Seq.empty[(Long, String)].toDF("bench_id", "text"),
+      "bench_id", col("text"), k = 5, maxDfFraction = 1.0)
+    assert(empty.count() == 0L)
+  }
+
   test("registered query q_bm25 returns k rows with the rare term on top") {
     requireTestdata()
     val out = SparkEntry.queries("q_bm25")(spark, "/root/testdata/sf0.001")
