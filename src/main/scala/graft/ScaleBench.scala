@@ -197,6 +197,26 @@ object ScaleBench {
           .write.mode("overwrite").parquet(out)
       spark.read.parquet(out)
     }
+    // X19e: partitioned-postings index per corpus — mtime-keyed cache
+    // gated on the stats _SUCCESS marker (buildPostingsIndex writes it
+    // last), the bloomIds convention. Build cost is paid once per
+    // corpus version and logged; the timed thunks then measure the
+    // amortized retrieval path, which is the operator's whole claim.
+    def bm25IndexDir(dir: String): String = {
+      val srcMtime = Files.getLastModifiedTime(
+        Paths.get(s"$dir/documents.parquet")).toMillis
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-bm25idx-" +
+        s"${Paths.get(dir).getFileName.toString}-$srcMtime"
+      if (!Files.exists(Paths.get(s"$out/stats/_SUCCESS"))) {
+        val t0 = System.nanoTime()
+        graft.operators.Retrieval.buildPostingsIndex(
+          Tables.table(spark, dir, "documents"), "doc_id", col("text"), out)
+        System.err.println(
+          f"[scale] $dir bm25 index build: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      out
+    }
+
     // the J9 regime: no broadcast at either plan or AQE re-plan time
     def withNoBroadcast[A](body: => A): A = {
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -483,6 +503,18 @@ object ScaleBench {
         "doc_id", col("text"),
         decontamBench(dir).select(col("doc_id").as("bench_id"), col("text")),
         "bench_id", col("text"), k = 5).count()),
+      // round-15: X19e — the same retrieval against the partitioned-
+      // postings index (built once per corpus version OUTSIDE the
+      // timed thunk; build walls logged separately). Pinned exact so
+      // the pair count must equal bm25_join's at every factor
+      // (hard-asserted below); the contract under test is the COST
+      // shape — query wall tracks matched postings, not the corpus
+      // re-explode the direct arms pay (the r14 21-24 s scale finding)
+      "bm25_join_indexed" -> (() =>
+        graft.operators.Retrieval.bm25JoinTopKIndexed(
+          spark, bm25IndexDir(dir), "doc_id",
+          decontamBench(dir).select(col("doc_id").as("bench_id"), col("text")),
+          "bench_id", col("text"), k = 5, maxDfFraction = 1.0).count()),
       "decontam_join" -> (() => graft.operators.Curation.decontaminate(
         decontamCorpus(dir), decontamBench(dir), "doc_id", col("text"),
         n = graft.queries.CurationQueries.DecontamN).count()),
@@ -703,6 +735,13 @@ object ScaleBench {
     selected(baseDir).foreach { case (_, run) => run() }
     spark.catalog.clearCache()
 
+    // X19e: build both corpora's postings indexes BEFORE the timed
+    // passes (cached on disk, so the scaled pass-1 thunk finds them
+    // built; build walls logged by the helper)
+    if (selected(baseDir).exists(_._1 == "bm25_join_indexed")) {
+      bm25IndexDir(baseDir); bm25IndexDir(bigDir)
+    }
+
     def measure(dir: String): Seq[(String, Double, Long)] =
       selected(dir).map { case (name, run) =>
         var rows = 0L
@@ -827,12 +866,95 @@ object ScaleBench {
         }
       }
 
+    // X19c/X19e: the GENUINELY DENSE scaled corpus — replicas keep the
+    // original tokens (doc_id offset only), so the base fixture's
+    // dense band (df fraction 0.75-0.83) survives scaling and the auto
+    // df-cap must ENGAGE at scale, the arm the r14 measurement could
+    // not exercise (the namespaced replicas dilute every df fraction
+    // under the 0.7 threshold, so the cap was correctly inert there —
+    // this fixture is the other half of the regime map).
+    def denseDocsDir(): String = {
+      val gen = Files.getLastModifiedTime(
+        Paths.get(s"$baseDir/documents.parquet")).toMillis
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-dense${factor}x-" +
+        s"${Paths.get(baseDir).getFileName.toString}-$gen"
+      if (!Files.exists(Paths.get(s"$out/documents.parquet/_SUCCESS"))) {
+        val docs = Tables.table(spark, baseDir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+        (0 until factor).map(k => docs.select(
+            (col("doc_id") + lit(k * maxId)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      }
+      out
+    }
+    def bm25Dense(): Seq[(String, Double)] =
+      if (!selected(baseDir).exists(_._1.startsWith("bm25_join"))) Seq.empty
+      else {
+        val dir = denseDocsDir()
+        val docs = Tables.table(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val bench = decontamBench(dir)
+          .select(col("doc_id").as("bench_id"), col("text"))
+        // evidence the dense regime is REAL at scale: the max df
+        // fraction among query terms must sit above the 0.7 cap
+        val qv = bench.select(explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val nD = docs.count().toDouble
+        val maxDf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .join(broadcast(qv), "tok").distinct()
+          .groupBy(col("tok")).count()
+          .agg(max(col("count"))).head.getLong(0) / nD
+        if (maxDf <= 0.7) throw new AssertionError(
+          f"dense fixture lost its dense band: max query-term df " +
+            f"fraction $maxDf%.3f <= 0.7")
+        def time(body: => Long): (Double, Long) = {
+          System.gc()
+          val t0 = System.nanoTime()
+          val n = body
+          spark.catalog.clearCache()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (autoS, autoN) = time(graft.operators.Retrieval.bm25JoinTopK(
+          docs, "doc_id", col("text"), bench, "bench_id", col("text"),
+          k = 5).count())
+        val (pinS, pinN) = time(graft.operators.Retrieval.bm25JoinTopK(
+          docs, "doc_id", col("text"), bench, "bench_id", col("text"),
+          k = 5, maxDfFraction = 0.7).count())
+        // the auto rule must resolve to the pinned cap here (same
+        // pairs) — engagement, not coincidence, is what's asserted:
+        // the dense band exists (maxDf check above) and the rule caps
+        // it exactly as the pinned arm does
+        if (autoN != pinN) throw new AssertionError(
+          s"auto df-cap diverged from the pinned 0.7 cap on the dense " +
+            s"corpus: $autoN pairs != $pinN")
+        val (idxS, idxN) = time(
+          graft.operators.Retrieval.bm25JoinTopKIndexed(
+            spark, bm25IndexDir(dir), "doc_id", bench, "bench_id",
+            col("text"), k = 5).count())
+        if (idxN != autoN) throw new AssertionError(
+          s"indexed auto arm diverged on the dense corpus: $idxN pairs " +
+            s"!= direct $autoN")
+        System.err.println(
+          f"[scale] dense ${factor}x bm25: auto $autoS%.2fs/$autoN pairs, " +
+            f"pinned $pinS%.2fs, indexed $idxS%.2fs (max df $maxDf%.3f)")
+        Seq("bm25dense_auto_s" -> autoS,
+          "bm25dense_auto_pairs" -> autoN.toDouble,
+          "bm25dense_pinned_s" -> pinS,
+          "bm25dense_indexed_s" -> idxS,
+          "bm25dense_max_df_fraction" -> maxDf)
+      }
+
     val baseRes = measure(baseDir)
     val baseRecall = annRecall(baseDir)
     val baseMass = semDedupMass(baseDir) ++ bloomJoinVolume(baseDir)
     val bigRes = measure(bigDir)
     val bigRecall = annRecall(bigDir)
-    val bigMass = semDedupMass(bigDir) ++ bloomJoinVolume(bigDir)
+    val bigMass = semDedupMass(bigDir) ++ bloomJoinVolume(bigDir) ++
+      bm25Dense()
 
     // the auto config's reason to exist: past the crossover it must
     // beat the all-pairs form (a pinned 8×8 measurably does NOT at
@@ -906,6 +1028,24 @@ object ScaleBench {
         if (a != e) throw new AssertionError(
           s"auto df-cap dropped informative matches at ${factor}x: " +
             s"$a pairs != exact $e")
+      }
+      // X19e exactness: the indexed arm is pinned exact, so its pairs
+      // must equal the direct exact arm's at every factor
+      val baseCnt = baseRes.map { case (n, _, c) => n -> c }.toMap
+      for (m <- Seq(baseCnt, bigCnt);
+           i <- m.get("bm25_join_indexed"); e <- m.get("bm25_join"))
+        if (i != e) throw new AssertionError(
+          s"indexed BM25 diverged from the direct join: $i pairs != $e")
+      // X19e cost shape: past the crossover the amortized retrieval
+      // must beat the direct arm's corpus re-explode — the r14 scale
+      // finding this operator exists to close
+      for (i <- bigMap.get("bm25_join_indexed");
+           e <- bigMap.get("bm25_join")) {
+        System.err.println(
+          f"[scale] scaled bm25 indexed $i%.2fs vs direct exact $e%.2fs")
+        if (factor >= 30 && i >= e) throw new AssertionError(
+          f"indexed BM25 must beat the direct join at ${factor}x: " +
+            f"$i%.2fs >= $e%.2fs")
       }
     }
 

@@ -51,6 +51,33 @@ object NorthStarQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // X5b: the image/audio near-dup pair machinery value-oracled —
+    // the decode stays spec-land (DuckDB has no image codec), so the
+    // signature fixture is synthesized deterministically from md5
+    // nibbles with PLANTED near-dup groups: 4 variants per group at
+    // hamming 0/1/2/6 from the group base (variant masks are literal
+    // bit flips), and the SHARED Multimodal.hammingNearDup machinery
+    // (8×8 Hamming bands + exact bit_count verify, the same code path
+    // q_multimodal's real aHash signatures ride) runs unchanged at
+    // maxHamming 5 — each complete group contributes exactly the
+    // {0-1, 0-2, 1-2} pair triangle, and the 6-bit variant stays out
+    "q_image_neardup" -> ((s, d) => {
+      val hx = md5(concat(lit("img"),
+        floor(col("doc_id") / 4).cast("long").cast("string")))
+      val s1 = conv(substring(hx, 1, 8), 16, 10).cast("long")
+      val s2 = conv(substring(hx, 9, 8), 16, 10).cast("long")
+      val v = pmod(col("doc_id"), lit(4))
+      val mask = when(v === 0, lit(0L))
+        .when(v === 1, lit(8L))
+        .when(v === 2, lit(8L | (1L << 17)))
+        .otherwise(lit((1L << 5) | (1L << 21) | (1L << 40) |
+          (1L << 52) | (1L << 60) | (1L << 62)))
+      val sig = table(s, d, "documents").select(col("doc_id"),
+        shiftleft(s1, 32).bitwiseOR(s2).bitwiseXOR(mask).as("hash"))
+      graft.operators.Multimodal.hammingNearDup(sig, maxHamming = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // X2e: triangles in the near-dup pair graph — the cluster-shape
     // read (star vs clique) behind survivor-rule confidence; the
     // degree-ordered forward enumeration, emitted once per triangle
@@ -878,6 +905,47 @@ object NorthStarQueries {
     "q_simhash_pairs" ->
       (simhashPairsCte + """
          SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b"""),
+    // X5b: the engine's 64-bit long signature mirrored as a 64-char
+    // bit string (bitstring position j = long bit 63-j, so the
+    // variant masks' long bits {3}, {3,17}, {5,21,40,52,60,62} flip
+    // positions {60}, {60,46}, {58,42,23,11,3,1}); the engine's band
+    // b covers long bits 8b..8b+7 = the SAME eight 8-char windows
+    // substr enumerates (relabeled bb = 7-b), so candidate sets and
+    // the exact-hamming verify agree window-for-window
+    "q_image_neardup" ->
+      """WITH h AS (SELECT doc_id,
+             md5('img' || CAST(doc_id // 4 AS VARCHAR)) AS hx
+           FROM documents),
+         b AS (SELECT doc_id, hx, unnest(range(0, 64)) AS j FROM h),
+         v AS (SELECT doc_id, j,
+             CAST(floor((strpos('0123456789abcdef',
+                 substr(hx, CAST(j // 4 AS INT) + 1, 1)) - 1)
+               / power(2, 3 - (j % 4))) AS BIGINT) % 2 AS mb
+           FROM b),
+         f AS (SELECT doc_id, j,
+             CASE WHEN (doc_id % 4 = 1 AND j = 60)
+                 OR (doc_id % 4 = 2 AND j IN (60, 46))
+                 OR (doc_id % 4 = 3 AND j IN (58, 42, 23, 11, 3, 1))
+               THEN CAST(1 - mb AS VARCHAR)
+               ELSE CAST(mb AS VARCHAR) END AS bitc
+           FROM v),
+         sig AS (SELECT doc_id, string_agg(bitc, '' ORDER BY j) AS bits
+           FROM f GROUP BY doc_id),
+         bands AS (SELECT doc_id, bits, bb AS band,
+             substr(bits, bb * 8 + 1, 8) AS bsig
+           FROM sig CROSS JOIN
+             (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(bb)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, a.bits AS ba,
+             b2.doc_id AS id_b, b2.bits AS bb2
+           FROM bands a JOIN bands b2 ON a.band = b2.band
+             AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id)
+         SELECT id_a, id_b, hamming FROM (
+           SELECT id_a, id_b,
+             CAST(len(list_filter(range(1, 65),
+               i -> substr(ba, CAST(i AS INT), 1)
+                 <> substr(bb2, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+           FROM cand)
+         WHERE hamming <= 5 ORDER BY id_a, id_b""",
     // X2e: per-node triangle counts from the same 3-join, degrees
     // from the pair table
     "q_clustering_coeff" ->

@@ -93,6 +93,86 @@ class AggApproxSpec extends SparkSpec with NeedsTestdata {
     assert(got2 === Map("k" -> 4L, "s" -> 6L))
   }
 
+  test("A18 streaming theta store: per-batch folds equal the batch aggregate; replay no-op; crash heal; set algebra live") {
+    import graft.streaming.StreamingTheta
+    val rnd = new scala.util.Random(23)
+    // (id, segment, user) — overlapping user sets per segment, well
+    // inside the exact regime so every estimate must be EXACT
+    val all = (0 until 900).map { i =>
+      (i.toLong, if (rnd.nextInt(2) == 0) "buy" else "err",
+        s"u${rnd.nextInt(300)}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("theta-store").toString
+    def template = StreamingTheta.partialState(
+      all.take(1).toDF("id", "seg", "u"), Seq("seg"), col("u"))
+    def estimates() = StreamingTheta.currentEstimates(
+      spark, dir, Seq("seg"), template)
+      .as[(String, Long)].collect().toMap
+    val batches = all.grouped(300).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingTheta.applyBatch(b.toDF("id", "seg", "u"),
+        Seq("seg"), col("u"), dir, batchId = i.toLong)
+      val seen = all.take((i + 1) * 300)
+      val expect = seen.groupBy(_._2).map { case (s, rs) =>
+        s -> rs.map(_._3).distinct.size.toLong }
+      assert(estimates() === expect, s"batch $i")
+    }
+    // replay of a committed batch must change nothing
+    val before = estimates()
+    StreamingTheta.applyBatch(batches(1).toDF("id", "seg", "u"),
+      Seq("seg"), col("u"), dir, batchId = 1L)
+    assert(estimates() === before)
+    assert(StreamingTheta.readPointer(dir) === ((3L, 2L)))
+    // crash-window orphan heals on the next apply
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "state-4"))
+    StreamingTheta.applyBatch(
+      Seq((9000L, "buy", "u_new")).toDF("id", "seg", "u"),
+      Seq("seg"), col("u"), dir, batchId = 3L)
+    assert(StreamingTheta.readPointer(dir) === ((4L, 3L)))
+    val versions = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("state-")).sorted.toSeq
+    assert(versions === Seq("state-3", "state-4"))
+    // the set-algebra read face answers exactly from state alone
+    val ext = all :+ ((9000L, "buy", "u_new"))
+    val aSet = ext.filter(_._2 == "buy").map(_._3).toSet
+    val bSet = ext.filter(_._2 == "err").map(_._3).toSet
+    val alg = StreamingTheta.segmentAlgebra(
+      spark, dir, "seg", "buy", "err", template)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(alg === ((aSet.size.toLong, bSet.size.toLong,
+      (aSet intersect bSet).size.toLong, (aSet diff bSet).size.toLong)))
+  }
+
+  test("A18 streaming theta store: end-to-end through foreachBatch on a MemoryStream") {
+    import graft.streaming.StreamingTheta
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("theta-ms").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("theta-ck").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingTheta.maintain(
+      in.toDF().toDF("id", "seg", "u"), Seq("seg"), col("u"),
+      dir, ckpt).start()
+    val rnd = new scala.util.Random(29)
+    val all = (0 until 400).map(i =>
+      (i.toLong, if (i % 3 == 0) "buy" else "err", s"u${rnd.nextInt(120)}"))
+    try {
+      in.addData(all.take(250): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(250): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val template = StreamingTheta.partialState(
+      all.take(1).toDF("id", "seg", "u"), Seq("seg"), col("u"))
+    val got = StreamingTheta.currentEstimates(
+      spark, dir, Seq("seg"), template)
+      .as[(String, Long)].collect().toMap
+    val expect = all.groupBy(_._2).map { case (s, rs) =>
+      s -> rs.map(_._3).distinct.size.toLong }
+    assert(got === expect)
+  }
+
   test("A18 theta sketches: sampling regime stays within relative-error bounds") {
     import graft.functions.ThetaSketch._
     // 60k distinct per set, 50% overlap: far past 2^12 — sampling is
