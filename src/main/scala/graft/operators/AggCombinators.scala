@@ -63,6 +63,36 @@ object AggCombinators {
         col("__e.item").as("item"): _*)
   }
 
+  /** `groupArrayLast(k)` (ClickHouse): the LAST k (rank, item) rows
+    * per key under the rank order — the tail mirror of
+    * [[groupArraySorted]], same bounded mergeable state
+    * ([[graft.functions.BoundedTopK]] on the NEGATED rank keeps the k
+    * largest with O(k) state per group per partition; a hot key
+    * cannot balloon the exchange and no task sorts raw volume). Ties
+    * at equal rank keep the ascending-smallest item (deterministic,
+    * the groupArraySorted rule). Null rank or item rows skip.
+    * Output: keys :+ (rank, item-as-string), ascending (rank, item)
+    * per key — the kept set is the tail, the emission order the
+    * natural read order.
+    */
+  def groupArrayLast(df: DataFrame, keys: Seq[String], rank: Column,
+      item: Column, k: Int): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BoundedTopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.LONG,
+        org.apache.spark.sql.Encoders.STRING))
+    df.groupBy(keys.map(col): _*)
+      .agg(agg((-rank.cast("long")).cast("long"), item.cast("string"))
+        .as("__s"))
+      .select((keys.map(col) :+
+        explode(sort_array(transform(col("__s.items"), e =>
+          struct((-e("rank")).as("rank"), e("item").as("item")))))
+          .as("__e")): _*)
+      .select((keys.map(col) :+ col("__e.rank").as("rank")) :+
+        col("__e.item").as("item"): _*)
+  }
+
   /** `groupArrayIntersect` (ClickHouse): the values present in EVERY
     * row's array per key. Null arrays drop (no vote); an empty array
     * participates and therefore forces an empty intersection — the
@@ -96,6 +126,59 @@ object AggCombinators {
     * `.agg(...)`.
     */
   def groupUniqArray(value: Column): Column = array_sort(collect_set(value))
+
+  /** A32 `sparkbar(buckets)` (ClickHouse): per key, an inline unicode
+    * bar chart of Σy over `buckets` equal x-intervals — the
+    * one-glance series read a monitoring table renders next to its
+    * numbers. Determinism convention (oracle-mirrored): x and y must
+    * be integral (y ≥ 0 — counts/sums), bucket membership is exact
+    * integer arithmetic b = (x − min_x)·buckets div (max_x − min_x + 1)
+    * over the KEY's own range, and the glyph level is
+    * ceil(8·s / max_s) computed as (8s + max_s − 1) div max_s on
+    * exact longs — so the rendered string is bit-identical in any
+    * engine (ClickHouse's own float scaling is not). Empty and
+    * zero-sum buckets render ' '.
+    *
+    * Shape: one (keys, bucket) partial+final sum, then ONE keys-level
+    * aggregate packing the ≤ `buckets` sums into a map — raw volume
+    * reaches one shuffle, once; the render is a map-only transform
+    * over a buckets-length sequence. Output: keys :+ (x_min, x_max,
+    * bar).
+    */
+  def sparkbar(df: DataFrame, keys: Seq[String], x: Column, y: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= 1024,
+      s"buckets must be in [1, 1024]: $buckets")
+    val glyphs = "▁▂▃▄▅▆▇█"
+    val base = df
+      .select((keys.map(col) :+ x.cast("long").as("__x")) :+
+        y.cast("long").as("__y"): _*)
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val ranges = base.groupBy(keys.map(col): _*)
+      .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+    val sums = base.join(broadcast(ranges), keys)
+      .withColumn("__b",
+        ((col("__x") - col("__lo")) * buckets /
+          (col("__hi") - col("__lo") + 1L)).cast("long"))
+      .groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(sum(col("__y")).as("__s"),
+        max(col("__lo")).as("__lo"), max(col("__hi")).as("__hi"))
+    val level = (c: Column) =>
+      ((c * 8L + col("__mx") - 1L) / col("__mx")).cast("int")
+    sums.groupBy(keys.map(col): _*)
+      .agg(map_from_entries(collect_list(
+          struct(col("__b"), col("__s")))).as("__m"),
+        max(col("__s")).as("__mx"),
+        max(col("__lo")).as("x_min"), max(col("__hi")).as("x_max"))
+      .withColumn("bar", concat_ws("",
+        transform(sequence(lit(0L), lit(buckets - 1L)), i => {
+          val s = element_at(col("__m"), i)
+          when(s.isNull || s <= 0L || col("__mx") <= 0L, lit(" "))
+            .otherwise(lit(glyphs).substr(level(s), lit(1)))
+        })))
+      .select((keys.map(col) ++ Seq(
+        col("x_min"), col("x_max"), col("bar"))): _*)
+  }
 
   /** `sumMap`: per group-key, point-wise sum of a map column — the
     * ClickHouse `sumMap(m)` combinator. Explode → re-aggregate →

@@ -557,40 +557,48 @@ object Similarity {
     * |Q| partitions of nProbe·|corpus|/nlist rows — the shape that
     * matters when the serving tier probes WIDE.
     */
-  private def ivfPipeline(
-      corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, nProbe: Int, centroids: DataFrame,
-      perCellPrune: Boolean): DataFrame = {
-    val cents = broadcast(centroids)
-    def assign(df: DataFrame, idOut: String, vecOut: String, keep: Int): DataFrame = {
-      val n = VectorFns.norm2(col(vecOut)) * VectorFns.norm2(col("cent_vec"))
-      val scored = df.select(col(id).as(idOut), col(vec).as(vecOut))
-        .join(cents, expr("true"))
-        .withColumn("__d", when(n === 0.0, 0.0)
-          .otherwise(VectorFns.dot(col(vecOut), col("cent_vec")) / n))
-      if (keep == 1) {
-        // argmax by (__d desc, cent_id asc) as a partial-aggregatable
-        // min_by over a totally-ordered key — winner identical to the
-        // window formulation, without sorting every (row, centroid)
-        // pair inside each partition-by group. Only the DISTANCE is
-        // negated (always a double); the cent_id tiebreak stays in its
-        // natural ascending order, so string/any-orderable id columns
-        // work here exactly as they do on the keep>1 window path
-        scored.groupBy(col(idOut))
-          .agg(min_by(
-            struct(col(vecOut).as("v"), col("cent_id").as("c")),
-            struct((-col("__d")).as("nd"), col("cent_id").as("c"))).as("__w"))
-          .select(col(idOut), col("__w.v").as(vecOut), col("__w.c").as("cell"))
-      } else {
-        val w = Window.partitionBy(col(idOut))
-          .orderBy(col("__d").desc, col("cent_id").asc)
-        scored.withColumn("__r", row_number().over(w))
-          .filter(col("__r") <= keep)
-          .select(col(idOut), col(vecOut), col("cent_id").as("cell"))
-      }
+  /** Nearest-centroid assignment (shared by the pipeline, the index
+    * build, and the indexed query path — ONE expression tree, so the
+    * persisted-index results are bit-equal to the in-memory tiers').
+    * keep = 1: argmax by (__d desc, cent_id asc) as a
+    * partial-aggregatable min_by over a totally-ordered key — winner
+    * identical to the window formulation, without sorting every
+    * (row, centroid) pair inside each partition-by group. Only the
+    * DISTANCE is negated (always a double); the cent_id tiebreak
+    * stays in its natural ascending order, so string/any-orderable id
+    * columns work on both paths.
+    */
+  private def assignCells(df: DataFrame, id: String, vec: String,
+      cents: DataFrame, idOut: String, vecOut: String,
+      keep: Int): DataFrame = {
+    val n = VectorFns.norm2(col(vecOut)) * VectorFns.norm2(col("cent_vec"))
+    val scored = df.select(col(id).as(idOut), col(vec).as(vecOut))
+      .join(cents, expr("true"))
+      .withColumn("__d", when(n === 0.0, 0.0)
+        .otherwise(VectorFns.dot(col(vecOut), col("cent_vec")) / n))
+    if (keep == 1) {
+      scored.groupBy(col(idOut))
+        .agg(min_by(
+          struct(col(vecOut).as("v"), col("cent_id").as("c")),
+          struct((-col("__d")).as("nd"), col("cent_id").as("c"))).as("__w"))
+        .select(col(idOut), col("__w.v").as(vecOut), col("__w.c").as("cell"))
+    } else {
+      val w = Window.partitionBy(col(idOut))
+        .orderBy(col("__d").desc, col("cent_id").asc)
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .select(col(idOut), col(vecOut), col("cent_id").as("cell"))
     }
-    val corpusCells = assign(corpus, "neighbor_id", "cv", keep = 1)
-    val queryCells = assign(queries, "query_id", "qv", keep = nProbe)
+  }
+
+  /** Probe + score + rank over a PRE-ASSIGNED corpus cell table —
+    * the half of [[ivfPipeline]] the persisted index amortizes the
+    * other half of. See [[ivfPipeline]] for the prune-identity note.
+    */
+  private def ivfScorePipeline(
+      corpusCells: DataFrame, queryCells0: DataFrame, k: Int,
+      perCellPrune: Boolean): DataFrame = {
+    val queryCells = queryCells0
       .withColumn("qn", VectorFns.norm2(col("qv")))
     val corpusN = corpusCells.withColumn("cn", VectorFns.norm2(col("cv")))
     val scored = corpusN.join(queryCells, Seq("cell"))
@@ -612,6 +620,104 @@ object Similarity {
     pruned.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** The probe/score/rank pipeline shared by the mining and serving
+    * tiers, parameterized by the centroid table. `perCellPrune` adds
+    * a per-(query, cell) top-k stage before the global ranking:
+    * provably identical output (the global top-k over probed cells
+    * takes at most k rows from any one cell, and both stages rank by
+    * the same (rounded cosine desc, neighbor_id) total order), but
+    * the heavy sort runs over nProbe·|Q| small partitions instead of
+    * |Q| partitions of nProbe·|corpus|/nlist rows — the shape that
+    * matters when the serving tier probes WIDE.
+    */
+  private def ivfPipeline(
+      corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nProbe: Int, centroids: DataFrame,
+      perCellPrune: Boolean): DataFrame = {
+    val cents = broadcast(centroids)
+    val corpusCells = assignCells(corpus, id, vec, cents,
+      "neighbor_id", "cv", keep = 1)
+    val queryCells = assignCells(queries, id, vec, cents,
+      "query_id", "qv", keep = nProbe)
+    ivfScorePipeline(corpusCells, queryCells, k, perCellPrune)
+  }
+
+  /** X3e: the persisted IVF index — the vector-tier sibling of the
+    * BM25 partitioned-postings trade ([[graft.operators.Retrieval]]
+    * X19e): build ONCE per corpus version, serve MANY query batches
+    * without re-paying the two per-call corpus costs every in-memory
+    * tier carries — Lloyd training (eager jobs) and the full-corpus
+    * nearest-centroid assignment (nlist dot products PER CORPUS ROW,
+    * the dominant scan at any real size).
+    *
+    * Layout under `outDir`:
+    *   centroids/  nlist (cent_id, cent_vec) rows — the trained
+    *               codebook, KBs, broadcast at query time
+    *   cells/      the corpus as (neighbor_id, cv, cell) PARTITIONED
+    *               BY cell — a query batch reads only its probed
+    *               cells (static partition pruning over ≤ nlist
+    *               literal keys, the X19e convention)
+    *   stats/      1 row (nlist, n_corpus) — written LAST, its
+    *               _SUCCESS is the index's completeness marker
+    *
+    * Training/assignment use the SAME deterministic machinery as
+    * [[ivfTopKServing]] ([[trainCentroids]] is bit-deterministic:
+    * hash-sampled training set, DECIMAL cell means), and the query
+    * path runs the SAME score tree — so the indexed results are
+    * bit-equal to a fresh serving call at equal (nlist, nProbe, iters)
+    * (spec-pinned). Pass `iters = 0` for the sampled-centroid
+    * (mining-tier, value-oracle-able) codebook.
+    */
+  def buildIvfIndex(corpus: DataFrame, id: String, vec: String,
+      outDir: String, nlist: Int = 0, iters: Int = 2,
+      nHint: Long = 0L): Unit = {
+    val total = autoSize(corpus, nHint)
+    val nl = if (nlist > 0) nlist else ivfConfigFor(total)._1
+    val cents =
+      if (iters <= 0) sampleCentroids(corpus, id, vec, nl)
+      else trainCentroids(corpus, id, vec, nl, iters, nHint)
+    val b = broadcast(cents)
+    assignCells(corpus, id, vec, b, "neighbor_id", "cv", keep = 1)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/cells")
+    cents.write.mode("overwrite").parquet(s"$outDir/centroids")
+    corpus.sparkSession.range(1).select(
+      lit(nl).as("nlist"), lit(total).as("n_corpus"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
+  /** Retrieval against a [[buildIvfIndex]] index — semantics
+    * identical to the in-memory tiers on the same codebook (same
+    * assignment and score trees; per-cell prune on, which is
+    * output-identical by the [[ivfPipeline]] note). nProbe resolution
+    * follows [[ivfTopKServing]]: explicit pin > recall-target rule >
+    * nlist/2. The cells read is partition-pruned to the query batch's
+    * probed cells.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, id: String, vec: String, k: Int,
+      nProbe: Int = 0, targetRecall: Double = 0.0): DataFrame = {
+    val st = spark.read.parquet(s"$indexDir/stats").head
+    val nl = st.getAs[Int]("nlist")
+    val np =
+      if (nProbe > 0) nProbe
+      else if (targetRecall > 0.0) servingConfigFor(nl, targetRecall)
+      else math.max(1, nl / 2)
+    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val queryCells = assignCells(queries, id, vec, cents,
+      "query_id", "qv", keep = np)
+    // probed cells across the batch: ≤ nlist literal partition keys
+    // (bounded driver-side control, the X19e convention)
+    val probed = queryCells.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .where(if (probed.isEmpty) lit(false)
+        else col("cell").isin(probed: _*))
+    ivfScorePipeline(cells, queryCells, k, perCellPrune = true)
   }
 
   /** Approximate top-k: LSH-bucketed join (same sign-pattern bucket

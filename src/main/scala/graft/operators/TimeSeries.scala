@@ -161,6 +161,118 @@ object TimeSeries {
       when(dt > 0, round(greatest(dv, lit(0.0)) / dt.cast("double"), 6)))
   }
 
+  /** W4g: PromQL counter statistics — `irate` / `resets` / `changes`
+    * per key in ONE pass, the instantaneous reads over a counter
+    * series next to [[deltaSum]]'s folded total (reference §3.3's
+    * counters are exactly this shape; PromQL spec: Prometheus
+    * functions documentation, public).
+    *
+    *  - `resets`: samples strictly below their predecessor (each is a
+    *    counter restart);
+    *  - `changes`: samples different from their predecessor;
+    *  - `irate`: the rate between the LAST TWO samples, with the
+    *    PromQL reset rule — a drop means the counter restarted, so
+    *    the post-reset raw value (not the negative delta) is the
+    *    increase. Null when the key has < 2 samples or the last two
+    *    share a timestamp.
+    *
+    * Plan shape: one keys exchange + one (ord) sort feeding a single
+    * lag Window, then ONE partial+final aggregate — the last row's
+    * (Δv, Δt, v) arrives via `max_by` on the SAME sort order, so no
+    * reverse-order second sort exists. All counts exact; irate is one
+    * fixed double tree over exact deltas, round-6. Output: keys :+
+    * (n_samples, resets, changes, t_last, irate).
+    */
+  def counterStats(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+      ts: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val v = value.cast("double")
+    val t = ts.cast("long")
+    val annotated = df
+      .withColumn("__v", v)
+      .withColumn("__t", t)
+      .withColumn("__pv", lag(v, 1).over(w))
+      .withColumn("__dt", t - lag(t, 1).over(w))
+      .withColumn("__ord", struct(ord: _*))
+    val lastRow = max_by(
+      struct(col("__t"), col("__v"), col("__pv"), col("__dt")),
+      col("__ord"))
+    val agg = annotated
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("__v") < col("__pv"), 1L).otherwise(0L)).as("resets"),
+        sum(when(col("__v") =!= col("__pv"), 1L).otherwise(0L))
+          .as("changes"),
+        lastRow.as("__last"))
+    val lv = col("__last.__v"); val lpv = col("__last.__pv")
+    val ldt = col("__last.__dt")
+    val inc = when(lv < lpv, lv).otherwise(lv - lpv)
+    agg.select((keys.map(col) ++ Seq(
+      col("n_samples"), col("resets"), col("changes"),
+      col("__last.__t").as("t_last"),
+      when(ldt > 0L, round(inc / ldt.cast("double"), 6))
+        .as("irate"))): _*)
+  }
+
+  /** W4h: `predict_linear` / `deriv` — per-key least-squares over the
+    * (t, v) series and the extrapolation `horizonSecs` past the key's
+    * last sample (the PromQL pair behind every "disk full in N hours"
+    * alert).
+    *
+    * Exact-sum discipline (the [[graft.operators.StatsAgg]] moments
+    * convention): t is re-based on the GLOBAL min timestamp (one
+    * broadcast 1-row aggregate — keeps Σt'² inside DECIMAL(38) at any
+    * per-key volume where raw epoch² would overflow), v is
+    * fixed-point floor(v·10^scale), and the five sums (n, Σt, Σv,
+    * Σtv, Σt²) accumulate as DECIMAL(38,0) integers — order-free. The
+    * slope/intercept numerators n·Σtv − Σt·Σv and n·Σt² − (Σt)² are
+    * computed IN DECIMAL (exact — the double subtraction of
+    * near-equal magnitudes would lose the signal), and only the final
+    * ratios run in doubles, round-6. Keys with < 2 samples or a
+    * degenerate time spread yield nulls.
+    *
+    * Plan: ONE partial+final hash aggregate over the annotated scan +
+    * the t0/t_max broadcast — no window, no per-key sort. Output:
+    * keys :+ (n_samples, deriv_per_s, predict).
+    */
+  def predictLinear(df: DataFrame, keys: Seq[String], ts: Column,
+      value: Column, horizonSecs: Long, scale: Int = 2): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    val t = ts.cast("long")
+    val base = df
+      .withColumn("__t", t)
+      .withColumn("__w",
+        floor(value.cast("double") * lit(factor)).cast("decimal(38,0)"))
+      .where(col("__w").isNotNull && !isnan(value.cast("double")))
+    val t0row = base.agg(min(col("__t")).as("__t0"))
+    val ann = base.crossJoin(broadcast(t0row))
+      .withColumn("__tr", (col("__t") - col("__t0")).cast("decimal(38,0)"))
+    val agg = ann.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__tr")).as("__st"),
+        sum(col("__w")).as("__sv"),
+        sum(col("__tr") * col("__w")).as("__stv"),
+        sum(col("__tr") * col("__tr")).as("__stt"),
+        max(col("__t")).as("__tmax"),
+        max(col("__t0")).as("__t0"))
+    // numerators/denominator EXACT in decimal; only the ratios are
+    // doubles. Spark caps the product scale, so operands stay (38,0).
+    val num = (col("__n") * col("__stv") - col("__st") * col("__sv"))
+      .cast("double")
+    val den = (col("__n") * col("__stt") - col("__st") * col("__st"))
+      .cast("double")
+    val slope = num / den                       // fixed-point v units/s
+    val mean = col("__sv").cast("double") / col("__n").cast("double")
+    val meanT = col("__st").cast("double") / col("__n").cast("double")
+    val atT = (col("__tmax") - col("__t0") + lit(horizonSecs)).cast("double")
+    val ok = col("__n").cast("long") > 1L && den > lit(0.0)
+    agg.select((keys.map(col) ++ Seq(
+      col("__n").cast("long").as("n_samples"),
+      when(ok, round(slope / lit(factor), 6)).as("deriv_per_s"),
+      when(ok, round((mean + slope * (atT - meanT)) / lit(factor), 6))
+        .as("predict"))): _*)
+  }
+
   /** W4e: Tukey-fence outliers — ClickHouse `seriesOutliersDetectTukey`
     * as a distributed read: flag rows whose value falls outside
     * [q1 − k·IQR, q3 + k·IQR] of their key's distribution. The ROBUST

@@ -400,6 +400,29 @@ object AggQueries {
         .orderBy(col("event_type"), col("rank"), col("item"))
     }),
 
+    // A30b: groupArrayLast(5) — the LAST five events per type by
+    // event_id (insertion order), bounded O(k) state per group per
+    // partition (BoundedTopK on the negated rank)
+    "q_group_last" -> ((s, d) => {
+      graft.operators.AggCombinators.groupArrayLast(
+        table(s, d, "events").where(col("value").isNotNull),
+        Seq("event_type"), rank = col("event_id"),
+        item = floor(col("value") * 100).cast("long"), k = 5)
+        .orderBy(col("event_type"), col("rank"), col("item"))
+    }),
+
+    // A32: sparkbar(20) — per type, the 20-bucket unicode bar chart
+    // of daily event counts; exact integer bucket membership and
+    // glyph levels make the rendered string engine-portable
+    "q_sparkbar" -> ((s, d) => {
+      val ev = table(s, d, "events").select(col("event_type"),
+        floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+          .cast("long").as("day"))
+      graft.operators.AggCombinators.sparkbar(
+        ev, Seq("event_type"), x = col("day"), y = lit(1L), buckets = 20)
+        .orderBy(col("event_type"))
+    }),
+
     // A27e: Brier score — the value's percent residue as a
     // probability forecast of the even-user outcome; MSE from exact
     // cell counts, round-9 summed terms
@@ -1525,6 +1548,45 @@ object AggQueries {
          FROM picks q JOIN pts p
            ON p.event_type = q.event_type AND p.idx = q.idx
          ORDER BY q.event_type, pos""",
+    // A30b: row_number over the DESC rank picks the same tail set;
+    // event_id is unique so the boundary has no ties to break
+    "q_group_last" ->
+      """SELECT event_type, rank, item FROM (
+           SELECT event_type, event_id AS rank,
+             CAST(CAST(floor(value * 100.0) AS BIGINT) AS VARCHAR) AS item,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY event_id DESC) AS rn
+           FROM events WHERE value IS NOT NULL) t
+         WHERE rn <= 5 ORDER BY event_type, rank, item""",
+    // A32: identical integer bucket/level arithmetic; the grid cross
+    // join renders empty buckets as spaces, string_agg ordered by
+    // bucket reassembles the bar
+    "q_sparkbar" ->
+      """WITH e AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS x
+           FROM events),
+         r AS (SELECT event_type, min(x) AS lo, max(x) AS hi
+           FROM e GROUP BY event_type),
+         s AS (SELECT e.event_type,
+             ((x - lo) * 20) // (hi - lo + 1) AS b,
+             CAST(count(*) AS BIGINT) AS sm
+           FROM e JOIN r USING (event_type)
+           GROUP BY e.event_type, ((x - lo) * 20) // (hi - lo + 1)),
+         m AS (SELECT event_type, max(sm) AS mx FROM s GROUP BY event_type),
+         grid AS (SELECT r.event_type, r.lo, r.hi, gb.b
+           FROM r CROSS JOIN (SELECT unnest(range(20)) AS b) gb),
+         ch AS (SELECT g.event_type, g.lo, g.hi, g.b,
+             CASE WHEN s.sm IS NULL OR s.sm <= 0 OR m.mx <= 0 THEN ' '
+               ELSE substr('▁▂▃▄▅▆▇█',
+                 CAST((s.sm * 8 + m.mx - 1) // m.mx AS INT), 1)
+             END AS c
+           FROM grid g
+           LEFT JOIN s ON s.event_type = g.event_type AND s.b = g.b
+           JOIN m ON m.event_type = g.event_type)
+         SELECT event_type, max(lo) AS x_min, max(hi) AS x_max,
+           string_agg(c, '' ORDER BY b) AS bar
+         FROM ch GROUP BY event_type ORDER BY event_type""",
     // A30: the window row_number formulation of the same winner set
     "q_group_sorted" ->
       """SELECT event_type, rank, item FROM (

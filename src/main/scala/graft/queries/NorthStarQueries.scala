@@ -323,6 +323,30 @@ object NorthStarQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // X3e: the persisted IVF index arm — build once (cached under
+    // tmpdir keyed on the corpus mtime, stats/_SUCCESS-gated: the
+    // q_bm25_indexed convention), serve from the partition-pruned
+    // cells table. iters = 0 pins the md5-sampled codebook, so this
+    // is q_ann_ivf's exact result through the index path (per-cell
+    // prune is output-identical per the Similarity proof) and the
+    // oracle is q_ann_ivf's SQL verbatim
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      val srcMtime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivfidx-" +
+        s"${java.nio.file.Paths.get(d).getFileName.toString}-$srcMtime"
+      val e = table(s, d, "embeddings")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$idx/stats/_SUCCESS")))
+        Similarity.buildIvfIndex(e, "vec_id", "embedding", idx,
+          nlist = 16, iters = 0)
+      Similarity.ivfTopKIndexed(s, idx,
+        queries = e.filter(col("vec_id") % 20 === 0),
+        id = "vec_id", vec = "embedding", k = 5, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // X4: language-ID heuristic (stopword argmax)
     "q_langid" -> ((s, d) => {
       table(s, d, "documents")
@@ -982,6 +1006,9 @@ object NorthStarQueries {
     "q_decon_semantic" -> deconSemanticSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
+    // X3e: the indexed arm is semantics-preserving vs q_ann_ivf
+    // (same codebook, same trees) — the oracle is the same SQL
+    "q_ann_ivf_indexed" -> annIvfSql,
     "q_semdedup" -> semDedupSql,
     "q_embed_neardup_lsh" -> embedLshPairsSql,
     "q_embed_neardup" ->

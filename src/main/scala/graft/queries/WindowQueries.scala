@@ -498,6 +498,32 @@ object WindowQueries {
         .orderBy(col("user_id"), col("ep"), col("event_id"))
     }),
 
+    // W4g: PromQL counter stats — irate/resets/changes per user
+    // series in one lag window + one aggregate (the last row's deltas
+    // arrive via max_by on the same sort, no reverse-order window)
+    "q_counter_stats" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .where(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          graft.Tables.epochSeconds(col("ts")).as("ep"), col("value"))
+      graft.operators.TimeSeries.counterStats(ev, Seq("user_id"),
+        ord = Seq(col("ep"), col("event_id")), ts = col("ep"),
+        value = col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W4h: predict_linear/deriv — per-type least-squares over the
+    // (t, value) series, extrapolated 1h past the last sample; exact
+    // DECIMAL power sums (globally re-based t), no window at all
+    "q_predict_linear" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("event_type"),
+          graft.Tables.epochSeconds(col("ts")).as("ep"), col("value"))
+      graft.operators.TimeSeries.predictLinear(ev, Seq("event_type"),
+        ts = col("ep"), value = col("value"), horizonSecs = 3600L)
+        .orderBy(col("event_type"))
+    }),
+
     // W4e: Tukey-fence outliers — rows outside [q1−1.5·IQR, q3+1.5·IQR]
     // of their type's value distribution; exact fixed-point quartile
     // grid makes the fence comparisons engine-exact
@@ -1044,6 +1070,59 @@ object WindowQueries {
          SELECT user_id,
            CAST(len(regexp_extract_all(sq, '1.*?2')) AS BIGINT) AS seq_count
          FROM s ORDER BY user_id""",
+    // W4g: same lag window; the last row's deltas picked by the
+    // descending row_number (engine: max_by on the ascending sort)
+    "q_counter_stats" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+             CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+         w AS (SELECT user_id, ep, event_id, v,
+             lag(v) OVER win AS pv,
+             ep - lag(ep) OVER win AS dt,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ep DESC, event_id DESC) AS rnd
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY ep, event_id))
+         SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(count(*) FILTER (WHERE v < pv) AS BIGINT) AS resets,
+           CAST(count(*) FILTER (WHERE v <> pv) AS BIGINT) AS changes,
+           max(CASE WHEN rnd = 1 THEN ep END) AS t_last,
+           max(CASE WHEN rnd = 1 AND dt > 0 THEN
+             round((CASE WHEN v < pv THEN v ELSE v - pv END)
+               / CAST(dt AS DOUBLE), 6) END) AS irate
+         FROM w GROUP BY user_id ORDER BY user_id""",
+    // W4h: identical HUGEINT power sums (exact, like the engine's
+    // DECIMAL(38,0)); numerators subtracted exact, ratios in double
+    "q_predict_linear" ->
+      """WITH e AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
+           FROM events WHERE value IS NOT NULL),
+         t0 AS (SELECT min(t) AS tz FROM e),
+         a AS (SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(t - tz AS HUGEINT)) AS st,
+             sum(w) AS sv,
+             sum(CAST(t - tz AS HUGEINT) * w) AS stv,
+             sum(CAST(t - tz AS HUGEINT) * CAST(t - tz AS HUGEINT)) AS stt,
+             max(t) AS tmax, max(tz) AS tz
+           FROM e CROSS JOIN t0 GROUP BY event_type),
+         f AS (SELECT event_type, n, tmax, tz,
+             CAST(n * stv - st * sv AS DOUBLE) AS num,
+             CAST(n * stt - st * st AS DOUBLE) AS den,
+             CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS meanv,
+             CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS meant
+           FROM a)
+         SELECT event_type, CAST(n AS BIGINT) AS n_samples,
+           CASE WHEN n > 1 AND den > 0.0 THEN
+             round(num / den / 100.0, 6) END AS deriv_per_s,
+           CASE WHEN n > 1 AND den > 0.0 THEN
+             round((meanv + num / den
+               * (CAST(tmax - tz + 3600 AS DOUBLE) - meant)) / 100.0, 6)
+             END AS predict
+         FROM f ORDER BY event_type""",
     "q_derivative" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,

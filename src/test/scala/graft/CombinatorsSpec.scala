@@ -32,6 +32,51 @@ class CombinatorsSpec extends SparkSpec {
     assert(out === Map("A" -> "a,z"))
   }
 
+  test("groupArrayLast: the tail k under rank order, ascending emission, bounded-state merge stable under repartition") {
+    val df = Seq(
+      ("A", 1L, "a"), ("A", 2L, "b"), ("A", 3L, "c"), ("A", 4L, "d"),
+      ("A", 5L, "e"),
+      ("B", 9L, "x"),
+      ("C", 7L, null.asInstanceOf[String]), ("C", 6L, "y"))
+      .toDF("k", "r", "v").repartition(7)
+    val out = AggCombinators.groupArrayLast(
+      df, Seq("k"), rank = col("r"), item = col("v"), k = 3)
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(out === Seq(
+      ("A", 3L, "c"), ("A", 4L, "d"), ("A", 5L, "e"),
+      ("B", 9L, "x"),
+      ("C", 6L, "y")))  // null item skips, leaving the lone survivor
+    // boundary ties keep the ascending-smallest item (the
+    // groupArraySorted rule, mirrored)
+    val tied = Seq(("T", 1L, "m"), ("T", 2L, "z"), ("T", 2L, "a"))
+      .toDF("k", "r", "v")
+    val got = AggCombinators.groupArrayLast(
+      tied, Seq("k"), col("r"), col("v"), k = 2)
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(got === Seq(("T", 2L, "a"), ("T", 2L, "z")))
+  }
+
+  test("sparkbar: exact integer levels, empty buckets blank, full bar at the max bucket") {
+    // key A: 4 x-points over [0, 19] with 20 buckets → bucket == x;
+    // counts 1/2/4 land at exact levels ceil(8s/4): 2, 4, 8
+    val rows = Seq.fill(1)(("A", 0L)) ++ Seq.fill(2)(("A", 7L)) ++
+      Seq.fill(4)(("A", 19L)) ++ Seq(("B", 5L))
+    val df = rows.toDF("k", "x").repartition(5)
+    val out = AggCombinators.sparkbar(
+      df, Seq("k"), x = col("x"), y = lit(1L), buckets = 20)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, lo, hi, bar) = out("A")
+    assert(lo == 0L && hi == 19L && bar.length == 20)
+    assert(bar.charAt(0) == '▂' && bar.charAt(7) == '▄' &&
+      bar.charAt(19) == '█', s"bar=[$bar]")
+    assert(bar.count(_ == ' ') == 17)
+    // single-point key: its one bucket is the max → full block
+    val (_, blo, bhi, bbar) = out("B")
+    assert(blo == 5L && bhi == 5L && bbar.charAt(0) == '█' &&
+      bbar.drop(1).forall(_ == ' '))
+  }
+
   test("groupUniqArray: sorted distinct") {
     val df = Seq(("A", "b"), ("A", "a"), ("A", "b")).toDF("k", "v")
     val out = df.groupBy(col("k"))

@@ -387,6 +387,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(serve === bf)
   }
 
+  test("persisted IVF index: indexed retrieval equals a fresh serving call bit-for-bit; probed cells prune the read") {
+    val vecs = (0L until 150L).map(i =>
+      (i, Seq.tabulate(16)(d => math.sin(i * 0.53 + d * 0.77).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 15 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivfidx-spec").toString
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", idx,
+      nlist = 8, iters = 2)
+    val indexed = Similarity.ivfTopKIndexed(spark, idx, q,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // trainCentroids is bit-deterministic, so a FRESH serving call at
+    // the same (nlist, nProbe, iters) trains the identical codebook —
+    // the index path must reproduce it exactly
+    val serve = Similarity.ivfTopKServing(vecs, q, "vec_id", "embedding",
+      k = 5, nlist = 8, nProbe = 4, iters = 2)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(indexed.nonEmpty && indexed === serve)
+    // the cells read carries a partition filter on the probed cells
+    val plan = Similarity.ivfTopKIndexed(spark, idx, q,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning on the cells read:\n$plan")
+  }
+
   test("trainCentroids: DECIMAL-exact means are bit-deterministic across runs") {
     val vecs = (0L until 150L).map(i =>
       (i, Seq.tabulate(16)(d => math.cos(i * 0.91 + d * 0.53).toFloat)))

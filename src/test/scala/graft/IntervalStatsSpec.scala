@@ -128,6 +128,62 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out.map { case (k, r) => k -> r._3 } === vFace)
   }
 
+  test("counterStats: resets/changes counted against predecessors; irate honors the PromQL reset rule; degenerate keys null") {
+    import graft.operators.TimeSeries
+    val rows = Seq(
+      // k1: 10 → 14 → 14 → 4 (reset) → 6; last pair (4→6, dt 10)
+      ("k1", 0L, 1L, 10.0), ("k1", 10L, 2L, 14.0), ("k1", 20L, 3L, 14.0),
+      ("k1", 30L, 4L, 4.0), ("k1", 40L, 5L, 6.0),
+      // k2: reset ON the last step → irate = post-reset RAW value / dt
+      ("k2", 0L, 6L, 100.0), ("k2", 50L, 7L, 8.0),
+      // k3: single sample → null irate
+      ("k3", 0L, 8L, 1.0),
+      // k4: last two share a timestamp → null irate (tie by id)
+      ("k4", 0L, 9L, 1.0), ("k4", 5L, 10L, 2.0), ("k4", 5L, 11L, 3.0))
+    val out = TimeSeries.counterStats(
+      rows.toDF("k", "t", "id", "v"), Seq("k"),
+      ord = Seq(col("t"), col("id")), ts = col("t"), value = col("v"))
+      .select("k", "n_samples", "resets", "changes", "t_last", "irate")
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("k1") === (("k1", 5L, 1L, 3L, 40L, Some(0.2))))
+    assert(out("k2") === (("k2", 2L, 1L, 1L, 50L, Some(8.0 / 50))))
+    assert(out("k3") === (("k3", 1L, 0L, 0L, 0L, None)))
+    assert(out("k4")._6 === None)
+  }
+
+  test("predictLinear: exact line recovered exactly; degenerate spread/size null; matches a scalar least-squares") {
+    import graft.operators.TimeSeries
+    // v = 2 + 0.5·t on integral points — slope/prediction land exactly
+    val line = (0 until 10).map(i => ("lin", i.toLong * 100L,
+      2.0 + 0.5 * i * 100))
+    val flat = Seq(("flat", 7L, 3.0), ("flat", 7L, 5.0))  // zero spread
+    val single = Seq(("one", 0L, 9.0))
+    val noisy = Seq(("n", 0L, 1.0), ("n", 10L, 2.5),
+      ("n", 20L, 2.0), ("n", 30L, 4.25))
+    val out = TimeSeries.predictLinear(
+      (line ++ flat ++ single ++ noisy).toDF("k", "t", "v"), Seq("k"),
+      ts = col("t"), value = col("v"), horizonSecs = 100L)
+      .select("k", "n_samples", "deriv_per_s", "predict")
+      .as[(String, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("lin")._3.get === 0.5)
+    // last sample t=900, horizon 100 → v(1000) = 502 exactly
+    assert(out("lin")._4.get === 502.0)
+    assert(out("flat")._3 === None && out("one")._3 === None)
+    // scalar reference on the noisy set (fixed-point w = floor(v*100))
+    val ws = noisy.map { case (_, t, v) => (t.toDouble, math.floor(v * 100)) }
+    val n = ws.size.toDouble
+    val st = ws.map(_._1).sum; val sv = ws.map(_._2).sum
+    val stv = ws.map(p => p._1 * p._2).sum
+    val stt = ws.map(p => p._1 * p._1).sum
+    val slope = (n * stv - st * sv) / (n * stt - st * st)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out("n")._3.get === r6(slope / 100.0))
+    val predict = (sv / n + slope * ((30.0 + 100.0) - st / n)) / 100.0
+    assert(out("n")._4.get === r6(predict))
+  }
+
   test("cramersV/association: a NULL category is a real column — perfect {x→1, y→NULL} gives V 1, not degenerate") {
     // b is fully determined by a, but one of b's two categories is
     // NULL: null-exclusive distinct counting would see c = 1, declare
