@@ -899,4 +899,105 @@ object StatsAgg {
             (col("__hi.x") - col("__lo.x")).cast("double"), 6))
           .as("bounding_ratio"))): _*)
   }
+
+  /** A33: Gini coefficient per key — the inequality read a
+    * training-data pipeline runs over token budgets, domain masses,
+    * and quality scores ("is 1% of the sources carrying 90% of the
+    * tokens?"). Standard rank form over ascending values:
+    *
+    *   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx),  i = 1..n
+    *
+    * over the NONNEGATIVE fixed-point w = floor(v·10^scale) (negative
+    * values have no Gini; such rows drop, as do null/NaN). Rank ties
+    * are harmless by construction — equal w values contribute the
+    * same Σi·w whatever order the window assigns them — so the per-key
+    * sort needs no tiebreak and is engine-portable. Both sums are
+    * exact DECIMAL(38,0); the closing ratio is one fixed double tree,
+    * round-6; keys with zero mass yield null.
+    *
+    * Scale: ONE keys exchange + per-key sort (inherent to the exact
+    * rank statistic — the A16b exact-quantile cost), the rank window
+    * and the closing partial+final aggregate riding that single sort.
+    */
+  def gini(df: DataFrame, keys: Seq[String], value: Column,
+      scale: Int = 2): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    val base = df
+      .where(value.isNotNull && !isnan(value.cast("double")))
+      .withColumn("__w",
+        floor(value.cast("double") * lit(factor)).cast("decimal(38,0)"))
+      .where(col("__w") >= 0)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__w"))
+    val n = col("n_rows").cast("double")
+    val s = col("__s").cast("double")
+    base
+      .withColumn("__i", row_number().over(w).cast("decimal(38,0)"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__w")).as("__s"),
+        sum(col("__i") * col("__w")).as("__si"))
+      .select((keys.map(col) ++ Seq(
+        col("n_rows"),
+        when(col("__s") > 0,
+          round((lit(2.0) * col("__si").cast("double") -
+            (n + 1.0) * s) / (n * s), 6)).as("gini"))): _*)
+  }
+
+  /** A34: corrMatrix — ClickHouse's pairwise-correlation aggregate
+    * over an array column's leading `dims` positions per key: the
+    * feature-redundancy read over embedding dimensions or per-doc
+    * feature vectors. Emitted EXPLODED as (keys, i, j, corr) for
+    * i ≤ j (the upper triangle; the diagonal is 1 wherever the
+    * dimension varies) rather than a nested array-of-arrays, so the
+    * result filters/joins directly.
+    *
+    * The A17 exact-sufficient-statistics discipline: elements enter
+    * as the fixed-point w = floor(v·10^6) (float→double is exact, the
+    * product is one deterministic IEEE op, floor lands on an
+    * integer), the five sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * exact DECIMALs, and r derives through one fixed double tree,
+    * round-6; degenerate variance yields null. Rows whose array is
+    * null or shorter than `dims` drop (ragged tails would desync the
+    * pair grid).
+    *
+    * Shape: the pair grid is built INSIDE one projection
+    * (dims·(dims+1)/2 structs per row, a Generate below the
+    * aggregate), then ONE (keys, i, j) partial+final hash aggregate —
+    * raw volume reaches one shuffle carrying pair-grid partial sums.
+    */
+  def corrMatrix(df: DataFrame, keys: Seq[String], arr: Column,
+      dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims must be in [1, 64]: $dims")
+    val wAt = (i: Column) =>
+      floor(element_at(arr, (i + 1).cast("int")).cast("double") *
+        lit(1000000.0)).cast("decimal(38,0)")
+    val pairs = flatten(transform(sequence(lit(0), lit(dims - 1)), i =>
+      transform(sequence(i, lit(dims - 1)), j =>
+        struct(i.cast("long").as("i"), j.cast("long").as("j"),
+          wAt(i).as("x"), wAt(j).as("y")))))
+    val exploded = df
+      .where(arr.isNotNull && size(arr) >= dims)
+      .select((keys.map(col) :+ explode(pairs).as("__p")): _*)
+      .select((keys.map(col) ++ Seq(col("__p.i").as("i"),
+        col("__p.j").as("j"), col("__p.x").as("__x"),
+        col("__p.y").as("__y"))): _*)
+    val n = col("__n").cast("double")
+    val (sx, sy) = (col("__sx").cast("double"), col("__sy").cast("double"))
+    val (sxy, sxx, syy) = (col("__sxy").cast("double"),
+      col("__sxx").cast("double"), col("__syy").cast("double"))
+    val cov = sxy - sx * sy / n
+    val vx = sxx - sx * sx / n
+    val vy = syy - sy * sy / n
+    exploded
+      .groupBy((keys.map(col) ++ Seq(col("i"), col("j"))): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .select((keys.map(col) ++ Seq(col("i"), col("j"),
+        col("__n").as("n_rows"),
+        when(vx > lit(0.0) && vy > lit(0.0),
+          round(cov / sqrt(vx * vy), 6)).as("corr"))): _*)
+  }
 }

@@ -400,6 +400,48 @@ object AggQueries {
         .orderBy(col("event_type"), col("rank"), col("item"))
     }),
 
+    // A33: Gini coefficient of the value mass per event type — the
+    // inequality read over exact fixed-point rank sums; one per-key
+    // sort (the exact-rank-statistic cost), everything else exact
+    "q_gini" -> ((s, d) => {
+      graft.operators.StatsAgg.gini(
+        table(s, d, "events"), Seq("event_type"), col("value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A34: corrMatrix over the embeddings' leading 6 dimensions per
+    // label — the upper-triangle pairwise correlations from one
+    // in-projection pair grid and one (label, i, j) hash aggregate
+    "q_corr_matrix" -> ((s, d) => {
+      graft.operators.StatsAgg.corrMatrix(
+        table(s, d, "embeddings"), Seq("label"), col("embedding"),
+        dims = 6)
+        .orderBy(col("label"), col("i"), col("j"))
+    }),
+
+    // W4i: quantile_over_time — the PromQL *_over_time read: per
+    // (type, day), count, exact-DECIMAL mean, and the continuous
+    // p50/p95 of value (the A16 exact-percentile machinery re-keyed
+    // by the time bucket)
+    "q_quantile_over_time" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long").as("day")
+      val p = expr("percentile(value, array(0.5D, 0.95D))")
+      table(s, d, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"), day, col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("__s"),
+          p.as("__pq"))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("__s").cast("double") / col("n").cast("double"), 6)
+            .as("avg_v"),
+          round(element_at(col("__pq"), 1), 6).as("p50"),
+          round(element_at(col("__pq"), 2), 6).as("p95"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // A30b: groupArrayLast(5) — the LAST five events per type by
     // event_id (insertion order), bounded O(k) state per group per
     // partition (BoundedTopK on the negated rank)
@@ -1548,6 +1590,69 @@ object AggQueries {
          FROM picks q JOIN pts p
            ON p.event_type = q.event_type AND p.idx = q.idx
          ORDER BY q.event_type, pos""",
+    // A33: identical rank form; ties need no tiebreak (equal w values
+    // contribute the same i·w in any order); HUGEINT mirror sums
+    "q_gini" ->
+      """WITH e AS (SELECT event_type,
+             CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+         f AS (SELECT event_type, w,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY w) AS HUGEINT) AS i
+           FROM e WHERE w >= 0),
+         a AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             sum(w) AS s, sum(i * w) AS si
+           FROM f GROUP BY event_type)
+         SELECT event_type, n_rows,
+           CASE WHEN s > 0 THEN
+             round((2.0 * CAST(si AS DOUBLE)
+               - (CAST(n_rows AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+               / (CAST(n_rows AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+           END AS gini
+         FROM a ORDER BY event_type""",
+    // A34: the same pair grid via cross-joined ranges (j >= i), the
+    // q_corr exact-sufficient-statistics tree per (label, i, j)
+    "q_corr_matrix" ->
+      """WITH p AS (SELECT label, ii.i AS i, jj.j AS j,
+             CAST(floor(CAST(embedding[CAST(ii.i AS INT) + 1] AS DOUBLE)
+               * 1000000.0) AS HUGEINT) AS x,
+             CAST(floor(CAST(embedding[CAST(jj.j AS INT) + 1] AS DOUBLE)
+               * 1000000.0) AS HUGEINT) AS y
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(6)) AS i) ii
+           CROSS JOIN (SELECT unnest(range(6)) AS j) jj
+           WHERE jj.j >= ii.i AND embedding IS NOT NULL
+             AND len(embedding) >= 6),
+         a AS (SELECT label, i, j, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+           FROM p GROUP BY label, i, j),
+         c AS (SELECT label, i, j, n_rows,
+             sxy - sx * sy / CAST(n_rows AS DOUBLE) AS cov_n,
+             sxx - sx * sx / CAST(n_rows AS DOUBLE) AS vx,
+             syy - sy * sy / CAST(n_rows AS DOUBLE) AS vy
+           FROM a)
+         SELECT label, i, j, n_rows,
+           CASE WHEN vx > 0.0 AND vy > 0.0 THEN
+             round(cov_n / sqrt(vx * vy), 6) END AS corr
+         FROM c ORDER BY label, i, j""",
+    // W4i: straight quantile_cont per (type, day); the mean rides
+    // exact DECIMAL sums
+    "q_quantile_over_time" ->
+      """SELECT event_type,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+             AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_v,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95
+         FROM events WHERE value IS NOT NULL
+         GROUP BY event_type, day ORDER BY event_type, day""",
     // A30b: row_number over the DESC rank picks the same tail set;
     // event_id is unique so the boundary has no ties to break
     "q_group_last" ->

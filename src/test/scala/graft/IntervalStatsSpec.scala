@@ -128,6 +128,49 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out.map { case (k, r) => k -> r._3 } === vFace)
   }
 
+  test("gini: equality → 0, single holder → (n−1)/n, scalar reference, negatives/nulls/NaN drop") {
+    import graft.operators.StatsAgg
+    val eq = Seq.fill(8)(("eq", 5.0))
+    val one = Seq(("one", 10.0)) ++ Seq.fill(9)(("one", 0.0))
+    val ref = Seq(1.0, 2.0, 3.0, 10.0).map(("r", _))
+    val dirty = Seq(("d", 1.0), ("d", -3.0), ("d", Double.NaN),
+      ("d", 3.0))
+    val out = StatsAgg.gini(
+      (eq ++ one ++ ref ++ dirty).toDF("k", "v"), Seq("k"), col("v"))
+      .select("k", "n_rows", "gini")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("eq") === (("eq", 8L, Some(0.0))))
+    assert(out("one") === (("one", 10L, Some(0.9))))
+    // scalar: sorted x = 100,200,300,1000 (fixed-point), Σx=1600,
+    // Σi·x = 100+400+900+4000 = 5400 → G = (10800 − 5·1600)/(4·1600)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out("r")._3.get === r6((10800.0 - 8000.0) / 6400.0))
+    // negative and NaN rows dropped: n = 2 over {1.0, 3.0}
+    assert(out("d")._2 === 2L)
+  }
+
+  test("corrMatrix: diagonal 1, perfect ±linear dims ±1, constant dim null, matches builtin corr") {
+    import graft.operators.StatsAgg
+    val rnd = new scala.util.Random(31)
+    // dim0 random; dim1 = 2·dim0 (corr 1); dim2 = −dim0 (corr −1);
+    // dim3 constant (degenerate)
+    val rows = (0 until 50).map { _ =>
+      val x = rnd.nextInt(1000) / 100.0
+      ("k", Seq(x.toFloat, (2 * x).toFloat, (-x).toFloat, 7.0f))
+    }
+    val out = StatsAgg.corrMatrix(
+      rows.toDF("k", "emb"), Seq("k"), col("emb"), dims = 4)
+      .select("i", "j", "corr")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((0L, 0L)) === Some(1.0) && out((1L, 1L)) === Some(1.0))
+    assert(out((0L, 1L)) === Some(1.0))
+    assert(out((0L, 2L)) === Some(-1.0) && out((1L, 2L)) === Some(-1.0))
+    assert(out((0L, 3L)) === None && out((3L, 3L)) === None)
+    assert(out.size === 10)  // the 4·5/2 upper triangle
+  }
+
   test("counterStats: resets/changes counted against predecessors; irate honors the PromQL reset rule; degenerate keys null") {
     import graft.operators.TimeSeries
     val rows = Seq(
