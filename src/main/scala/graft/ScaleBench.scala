@@ -348,6 +348,41 @@ object ScaleBench {
           // coalesce: sum over zero matching users is null, not 0
           .agg(coalesce(sum(col("seq_count")), lit(0L))).head.getLong(0)
       }),
+      // round-15: W4g/W8b — per-user rows, factor-exact under the
+      // replicated streams (hard-asserted below); cost = the ONE
+      // user-keyed exchange+sort each carries
+      "counter_stats" -> (() => graft.operators.TimeSeries.counterStats(
+        Tables.table(spark, dir, "events").where(col("value").isNotNull),
+        Seq("user_id"),
+        ord = Seq(Tables.epochSeconds(col("ts")), col("event_id")),
+        ts = Tables.epochSeconds(col("ts")), value = col("value"))
+        .count()),
+      "sequence_events" -> (() =>
+        graft.operators.EventFunnels.sequenceMatchEvents(
+          Tables.table(spark, dir, "events"), "user_id",
+          Tables.epochSeconds(col("ts")), 86400L,
+          steps = Seq(col("event_type") === "view",
+            col("event_type") === "click",
+            col("event_type") === "purchase"))
+          .where(col("level") >= 2).count()),
+      // round-15: W4h/A33 — constant per-type output while raw volume
+      // multiplies (hard-asserted below); predict_linear is the
+      // window-free one-aggregate shape, gini pays the honest
+      // per-key sort of raw volume (the exact-rank cost)
+      "predict_linear" -> (() => graft.operators.TimeSeries.predictLinear(
+        Tables.table(spark, dir, "events")
+          .select(col("event_type"),
+            Tables.epochSeconds(col("ts")).as("ep"), col("value")),
+        Seq("event_type"), ts = col("ep"), value = col("value"),
+        horizonSecs = 3600L).count()),
+      "gini" -> (() => graft.operators.StatsAgg.gini(
+        Tables.table(spark, dir, "events"), Seq("event_type"),
+        col("value")).count()),
+      // round-15: A34 — pair-grid aggregate over the embeddings;
+      // output constant (labels × 21 upper-triangle pairs)
+      "corr_matrix" -> (() => graft.operators.StatsAgg.corrMatrix(
+        Tables.table(spark, dir, "embeddings"), Seq("label"),
+        col("embedding"), dims = 6).count()),
       // round-11: X20 at scale — a constant appended line gives the
       // frequency pass a 100%-df line to find at every factor while
       // the replica-suffixed text lines stay far under the threshold;
@@ -1163,10 +1198,18 @@ object ScaleBench {
       // replicated docs with per-doc-exact counts — all factor-exact
       for (p <- Seq("funnel_levels", "sequence_counts", "asof_near",
              "boilerplate", "shuffle_shard", "interval_overlap",
-             "scd2_history", "point_range");
+             "scd2_history", "point_range", "counter_stats",
+             "sequence_events");
            b <- bm.get(p); s <- sm.get(p))
         if (s != b * factor) throw new AssertionError(
           s"$p: scaled $s != ${factor}x base $b")
+      // round-15: constant-output contracts — per-type / per-(label,
+      // pair) aggregates must not grow with raw volume
+      for (p <- Seq("predict_linear", "gini", "corr_matrix");
+           b <- bm.get(p); s <- sm.get(p))
+        if (s != b) throw new AssertionError(
+          s"$p: scaled rows $s != base rows $b — output must be " +
+            "aggregate-sized, not volume-sized")
       // W4c: the anomaly window runs over the (type, day) AGGREGATE
       // table — its row count must stay CONSTANT as raw volume
       // multiplies (same types, same day span at every factor)

@@ -227,6 +227,28 @@ object EventFunnels {
       max(tConv).as("t_conv"))
   }
 
+  /** W8b: `sequenceMatchEvents` (ClickHouse) — the EVENT TIMES of the
+    * earliest satisfying chain, one column per step: where W6g
+    * reports only the anchor and the deepest time, this emits the
+    * whole matched chain (the "which exact events converted this
+    * user" read an attribution audit wants). The earliest chain IS
+    * the W6 stacked minima, so the operator is the same funnelCore on
+    * ONE user-keyed exchange with a wider collapse aggregate — zero
+    * extra plan. Returns (user, level, t_1..t_n), t_k null beyond the
+    * reached level.
+    */
+  def sequenceMatchEvents(
+      events: DataFrame, user: String, ts: Column, window: Long,
+      steps: Seq[Column]): DataFrame = {
+    val (withGuards, level) = funnelCore(events, user, ts, window, steps,
+      strictIncrease = false, strictOrder = false, multiTag = false,
+      maxEventsPerUser = 0)
+    val stepTimes = (1 to steps.size).map(k =>
+      max(col(s"__l$k")).as(s"t_$k"))
+    withGuards.groupBy(col(user))
+      .agg(max(level).as("level"), stepTimes: _*)
+  }
+
   /** The closed form of [[windowFunnel]] as a plain Scala fold over
     * one user's (t, step) events — the SINGLE definition the
     * streaming arm (`streaming.StreamingFunnel`) executes per group

@@ -359,6 +359,19 @@ object WindowQueries {
         .orderBy(col("level"))
     }),
 
+    // W8b: sequenceMatchEvents — the whole matched chain's per-step
+    // event times (the earliest chain = the W6 stacked minima), one
+    // user-keyed exchange, zero extra plan over the level read
+    "q_sequence_events" -> ((s, d) => {
+      graft.operators.EventFunnels.sequenceMatchEvents(
+        table(s, d, "events"), "user_id",
+        ts = graft.Tables.epochSeconds(col("ts")), window = 86400L,
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     // W6g: funnel conversion LAG — per converting user the anchor
     // time, the deepest-level time, and the latency between them;
     // the distribution a funnel dashboard quantiles (via A16) and
@@ -891,6 +904,29 @@ object WindowQueries {
            FROM c GROUP BY user_id)
          SELECT CAST(level AS INT) AS level, count(*) AS n_users
          FROM u GROUP BY level ORDER BY level""",
+    // W8b: the q_funnel chained-minima CTE emitting the chain itself
+    "q_sequence_events" ->
+      """WITH e AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+           CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             WHEN 'purchase' THEN 3 ELSE 0 END AS step
+         FROM events
+         WHERE event_type IN ('view', 'click', 'purchase')),
+         a AS (SELECT user_id, t, step,
+             min(CASE WHEN step = 1 THEN t END)
+               OVER (PARTITION BY user_id) AS l1 FROM e),
+         b AS (SELECT *, min(CASE WHEN step = 2 AND l1 IS NOT NULL
+               AND t >= l1 AND t <= l1 + 86400 THEN t END)
+             OVER (PARTITION BY user_id) AS l2 FROM a),
+         c AS (SELECT *, min(CASE WHEN step = 3 AND l2 IS NOT NULL
+               AND t >= l2 AND t <= l1 + 86400 THEN t END)
+             OVER (PARTITION BY user_id) AS l3 FROM b)
+         SELECT user_id,
+           CAST(max(CASE WHEN l3 IS NOT NULL THEN 3
+             WHEN l2 IS NOT NULL THEN 2
+             WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS level,
+           max(l1) AS t_1, max(l2) AS t_2, max(l3) AS t_3
+         FROM c GROUP BY user_id ORDER BY user_id""",
     "q_funnel_gap" ->
       """WITH RECURSIVE e AS (SELECT user_id,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,

@@ -491,6 +491,30 @@ class EventFunnelsSpec extends SparkSpec {
     assert(u == 1.0, s"u_shaped n=5 credit not exact: $u")
   }
 
+  test("W8b sequenceMatchEvents: the whole earliest chain's times; nulls beyond the level; agrees with windowFunnelTimes") {
+    val rows = Seq(
+      ("A", 10L, "s1"), ("A", 20L, "s2"), ("A", 30L, "s3"), // full chain
+      ("A", 5L, "s2"),                                      // pre-anchor noise
+      ("B", 10L, "s1"), ("B", 40L, "s2"),                   // level 2
+      ("C", 10L, "s2"))                                     // level 0
+    val df = rows.toDF("u", "t", "a")
+    val steps = Seq(col("a") === "s1", col("a") === "s2", col("a") === "s3")
+    val out = EventFunnels.sequenceMatchEvents(df, "u", col("t"), 100L, steps)
+      .as[(String, Int, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("A") === (("A", 3, Some(10L), Some(20L), Some(30L))))
+    assert(out("B") === (("B", 2, Some(10L), Some(40L), None)))
+    assert(out("C") === (("C", 0, None, None, None)))
+    // anchor/deepest agree with the W6g read by construction
+    val times = EventFunnels.windowFunnelTimes(df, "u", col("t"), 100L, steps)
+      .as[(String, Int, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    for ((u, (_, lvl, t1, t2, t3)) <- out) {
+      assert(times(u)._2 == lvl && times(u)._3 == t1)
+      assert(times(u)._4 == Seq(t1, t2, t3).take(lvl).lastOption.flatten)
+    }
+  }
+
   test("W6g windowFunnelTimes: levels agree with windowFunnel; times are the chain minima") {
     val rows = Seq(
       ("A", 10L, "s1"), ("A", 20L, "s2"), ("A", 30L, "s3"), // full, lag 20
