@@ -300,6 +300,112 @@ class RetrievalSpec extends SparkSpec {
     assert(empty.count() == 0L)
   }
 
+  test("streaming postings store: per-batch folds equal the batch join bit-for-bit; replay no-op; crash heal; compact invariant") {
+    import graft.streaming.StreamingPostings
+    val topics = Seq("alpha", "beta", "gamma", "delta")
+    val corpus = (0 until 400).map { i =>
+      (i.toLong, "the of " + topics(i % 4) + " " + topics((i / 4) % 4))
+    }
+    val queries = Seq((9000L, "alpha gamma"), (9001L, "the beta"))
+      .toDF("bench_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-postings-store").toString
+    def fromStore(cap: Double) = StreamingPostings.bm25TopKFromStore(
+      spark, store, "doc_id", queries, "bench_id", col("text"),
+      k = 5, maxDfFraction = cap)
+      .orderBy(col("bench_id"), col("rnk"))
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    def direct(upto: Int, cap: Double) = Retrieval.bm25JoinTopK(
+      corpus.take(upto).toDF("doc_id", "text"), "doc_id", col("text"),
+      queries, "bench_id", col("text"), k = 5, maxDfFraction = cap)
+      .orderBy(col("bench_id"), col("rnk"))
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    // empty store: well-formed empty result
+    assert(fromStore(1.0).isEmpty)
+    // two batches, parity after EACH commit (df/stats re-summed)
+    StreamingPostings.applyBatch(
+      corpus.take(250).toDF("doc_id", "text"), "doc_id", col("text"),
+      store, batchId = 0L)
+    assert(fromStore(1.0) == direct(250, 1.0))
+    StreamingPostings.applyBatch(
+      corpus.drop(250).toDF("doc_id", "text"), "doc_id", col("text"),
+      store, batchId = 1L)
+    val full = fromStore(1.0)
+    assert(full.nonEmpty && full == direct(400, 1.0))
+    // the df-cap arm agrees too (store caps on the SUMMED df)
+    assert(fromStore(0.6) == direct(400, 0.6))
+    // replay of a committed batch changes nothing
+    StreamingPostings.applyBatch(
+      corpus.take(250).toDF("doc_id", "text"), "doc_id", col("text"),
+      store, batchId = 1L)
+    assert(fromStore(1.0) == full)
+    // crash window: a batch dir written but never committed (pointer
+    // unmoved) is invisible to readers and healed by the re-apply
+    val extra = Seq((9100L, "alpha fresh")).toDF("doc_id", "text")
+    val junk = new java.io.File(s"$store/postings/batch-2")
+    junk.mkdirs()
+    assert(fromStore(1.0) == full)
+    StreamingPostings.applyBatch(extra, "doc_id", col("text"),
+      store, batchId = 2L)
+    val withExtra = fromStore(1.0)
+    assert(withExtra != full)
+    // compact: one base dir, identical answers, watermark advanced
+    StreamingPostings.compact(spark, store)
+    assert(fromStore(1.0) == withExtra)
+    val (_, _, _, _, through) = StreamingPostings.readPointer(store)
+    assert(through == 2L)
+    val dirs = new java.io.File(s"$store/postings").listFiles()
+      .map(_.getName).filter(n => n.startsWith("batch-") ||
+        n.startsWith("base-")).sorted.toSeq
+    assert(dirs == Seq("base-2"), s"dirs=$dirs")
+    // ingest continues after compaction
+    StreamingPostings.applyBatch(
+      Seq((9200L, "gamma gamma beta")).toDF("doc_id", "text"),
+      "doc_id", col("text"), store, batchId = 3L)
+    val expect = Retrieval.bm25JoinTopK(
+      (corpus ++ Seq((9100L, "alpha fresh"), (9200L, "gamma gamma beta")))
+        .toDF("doc_id", "text"),
+      "doc_id", col("text"), queries, "bench_id", col("text"),
+      k = 5, maxDfFraction = 1.0)
+      .orderBy(col("bench_id"), col("rnk"))
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(fromStore(1.0) == expect)
+  }
+
+  test("streaming postings store: end-to-end through foreachBatch on a MemoryStream") {
+    import graft.streaming.StreamingPostings
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-postings-ms").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-postings-ck").toString
+    val docs = (0 until 120).map(i =>
+      (i.toLong, s"tok${i % 7} shared tok${i % 3}"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingPostings.maintain(
+      in.toDF().toDF("doc_id", "text"), "doc_id", col("text"),
+      store, ckpt).start()
+    try {
+      in.addData(docs.take(70): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(70): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val queries = Seq((1L, "tok1 tok2")).toDF("bench_id", "text")
+    val got = StreamingPostings.bm25TopKFromStore(
+      spark, store, "doc_id", queries, "bench_id", col("text"),
+      k = 5, maxDfFraction = 1.0)
+      .orderBy(col("bench_id"), col("rnk"))
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    val want = Retrieval.bm25JoinTopK(
+      docs.toDF("doc_id", "text"), "doc_id", col("text"),
+      queries, "bench_id", col("text"), k = 5, maxDfFraction = 1.0)
+      .orderBy(col("bench_id"), col("rnk"))
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("registered query q_bm25 returns k rows with the rare term on top") {
     requireTestdata()
     val out = SparkEntry.queries("q_bm25")(spark, "/root/testdata/sf0.001")
