@@ -832,6 +832,43 @@ object ScaleBench {
         (name, best, rows)
       }
 
+    // round-16 (r15 finding #1): a single noisy window must never be
+    // able to withhold the closing regression artifact. Cross-path
+    // WALL assertions are thin-margin by nature (serving-IVF vs brute
+    // flipped at 30× on a window whose noise was visible in untouched
+    // arms), so an inversion triggers an immediate in-assertion
+    // retry: both arms re-timed back-to-back min-of-2 on the same
+    // window, and only a REPRODUCED inversion throws. Factor-exact
+    // and recall-floor contracts stay unconditionally hard — this
+    // indulgence is for walls only.
+    def retime(dir: String, name: String): Option[Double] =
+      selected(dir).find(_._1 == name).map { case (_, run) =>
+        (1 to 2).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          run()
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+    def assertFaster(dir: String, m: Map[String, Double],
+        fast: String, slow: String, label: String): Unit =
+      for (f <- m.get(fast); s <- m.get(slow)) {
+        System.err.println(
+          f"[scale] $label: $fast $f%.2fs vs $slow $s%.2fs at ${factor}x")
+        if (factor >= 30 && f >= s) {
+          System.err.println(
+            s"[scale] $label inverted — re-timing both arms min-of-2")
+          val f2 = retime(dir, fast).getOrElse(f)
+          val s2 = retime(dir, slow).getOrElse(s)
+          System.err.println(
+            f"[scale] $label retry: $fast $f2%.2fs vs $slow $s2%.2fs")
+          if (f2 >= s2) throw new AssertionError(
+            f"$label: $fast must beat $slow at ${factor}x " +
+              f"(reproduced on retry): $f2%.2fs >= $s2%.2fs")
+        }
+      }
+
     // recall@k of the approximate ANN tiers vs the exact top-k —
     // measured OUTSIDE the timing loop (the timed counts are |Q|·k
     // for every path, so speed alone would reward returning garbage)
@@ -1004,9 +1041,13 @@ object ScaleBench {
         if (autoN != pinN) throw new AssertionError(
           s"auto df-cap diverged from the pinned 0.7 cap on the dense " +
             s"corpus: $autoN pairs != $pinN")
+        // index built OUTSIDE the timed thunk (the bm25_join_indexed
+        // convention): the metric is the amortized retrieval, not the
+        // one-off build — which is logged separately by the helper
+        val idxDir = bm25IndexDir(dir)
         val (idxS, idxN) = time(
           graft.operators.Retrieval.bm25JoinTopKIndexed(
-            spark, bm25IndexDir(dir), "doc_id", bench, "bench_id",
+            spark, idxDir, "doc_id", bench, "bench_id",
             col("text"), k = 5).count())
         if (idxN != autoN) throw new AssertionError(
           s"indexed auto arm diverged on the dense corpus: $idxN pairs " +
@@ -1034,46 +1075,31 @@ object ScaleBench {
     // 30×). Hard assertion, not a logged trend — this is the check
     // that the measured scale rule stayed wired to the default path.
     val bigMap = bigRes.map { case (n, s, _) => n -> s }.toMap
-    for (a <- bigMap.get("embed_lsh_auto"); e <- bigMap.get("embed_exact")) {
-      System.err.println(
-        f"[scale] auto LSH $a%.2fs vs all-pairs $e%.2fs at ${factor}x")
-      if (factor >= 30 && a >= e) throw new AssertionError(
-        f"auto LSH config must beat all-pairs at ${factor}x: $a%.2fs >= $e%.2fs")
-    }
+    assertFaster(bigDir, bigMap, "embed_lsh_auto", "embed_exact",
+      "auto LSH vs all-pairs")
     // X18's tractability contract: clustering-bounded pair mass must
     // translate into wall time — past the crossover semDedup must beat
     // the all-pairs near-dup form on the same corpus at the same
     // threshold (it does strictly less pair work at the same assignment
     // cost shape), or the |D|^1.5 story is just arithmetic
-    for (sd <- bigMap.get("semdedup_auto"); e <- bigMap.get("embed_exact")) {
-      System.err.println(
-        f"[scale] semdedup $sd%.2fs vs all-pairs $e%.2fs at ${factor}x")
-      if (factor >= 30 && sd >= e) throw new AssertionError(
-        f"semDedup must beat all-pairs near-dup at ${factor}x: $sd%.2fs >= $e%.2fs")
-    }
+    assertFaster(bigDir, bigMap, "semdedup_auto", "embed_exact",
+      "semdedup vs all-pairs")
     // same contract for the IVF tier: the auto nlist/nProbe must beat
     // exact brute-force top-k past the crossover, at useful recall
     // (floor set just under the measured base-corpus recall — a config
     // that "wins" by probing near-empty cells fails here)
-    for (i <- bigMap.get("ann_ivf_auto"); b <- bigMap.get("ann_brute")) {
-      System.err.println(
-        f"[scale] auto IVF $i%.2fs vs brute top-k $b%.2fs at ${factor}x")
-      if (factor >= 30 && i >= b) throw new AssertionError(
-        f"auto IVF config must beat brute-force top-k at ${factor}x: $i%.2fs >= $b%.2fs")
-    }
+    assertFaster(bigDir, bigMap, "ann_ivf_auto", "ann_brute",
+      "auto IVF vs brute top-k")
     for ((n, r) <- bigRecall if factor >= 30 && n == "ann_ivf_auto")
       if (r < 0.5) throw new AssertionError(
         f"auto IVF recall@10 collapsed at ${factor}x: $r%.4f < 0.5")
     // the serving tier's whole contract: retrieval-grade recall AND
     // still cheaper than exact brute force, both at scale — a config
     // that buys recall by scanning everything fails the time arm, one
-    // that wins the clock with mining-grade recall fails the floor
-    for (s <- bigMap.get("ann_ivf_serving"); b <- bigMap.get("ann_brute")) {
-      System.err.println(
-        f"[scale] serving IVF $s%.2fs vs brute top-k $b%.2fs at ${factor}x")
-      if (factor >= 30 && s >= b) throw new AssertionError(
-        f"serving IVF must beat brute-force top-k at ${factor}x: $s%.2fs >= $b%.2fs")
-    }
+    // that wins the clock with mining-grade recall fails the floor.
+    // THE known-thin margin (the r15 flake) — retry-hardened.
+    assertFaster(bigDir, bigMap, "ann_ivf_serving", "ann_brute",
+      "serving IVF vs brute top-k")
     for ((n, r) <- bigRecall if factor >= 30 && n == "ann_ivf_serving")
       if (r < servingTarget) throw new AssertionError(
         f"serving IVF recall@10 below the retrieval floor at ${factor}x: " +
@@ -1081,13 +1107,8 @@ object ScaleBench {
     // X3e: the persisted index must beat the per-call serving tier on
     // the clock (it skips training + the full-corpus assignment) while
     // holding the same recall floor (same codebook by determinism)
-    for (i <- bigMap.get("ann_ivf_indexed"); s <- bigMap.get("ann_ivf_serving")) {
-      System.err.println(
-        f"[scale] indexed IVF $i%.2fs vs serving $s%.2fs at ${factor}x")
-      if (factor >= 30 && i >= s) throw new AssertionError(
-        f"indexed IVF must beat the serving tier at ${factor}x: " +
-          f"$i%.2fs >= $s%.2fs")
-    }
+    assertFaster(bigDir, bigMap, "ann_ivf_indexed", "ann_ivf_serving",
+      "indexed IVF vs serving")
     for ((n, r) <- bigRecall if factor >= 30 && n == "ann_ivf_indexed")
       if (r < servingTarget) throw new AssertionError(
         f"indexed IVF recall@10 below the retrieval floor at ${factor}x: " +
@@ -1104,9 +1125,20 @@ object ScaleBench {
       for (a <- baseTime.get("bm25_join_auto"); e <- baseTime.get("bm25_join")) {
         System.err.println(
           f"[scale] base bm25 auto-cap $a%.2fs vs exact $e%.2fs")
-        if (a >= e) throw new AssertionError(
-          f"auto df-cap must beat exact BM25 join on the dense base " +
-            f"fixture: $a%.2fs >= $e%.2fs")
+        if (a >= e) {
+          // retry-hardened like the scaled wall contracts (this one
+          // asserts at EVERY factor, so it can't ride assertFaster's
+          // factor >= 30 gate)
+          System.err.println(
+            "[scale] base bm25 auto-cap inverted — re-timing min-of-2")
+          val a2 = retime(baseDir, "bm25_join_auto").getOrElse(a)
+          val e2 = retime(baseDir, "bm25_join").getOrElse(e)
+          System.err.println(
+            f"[scale] base bm25 retry: auto $a2%.2fs vs exact $e2%.2fs")
+          if (a2 >= e2) throw new AssertionError(
+            f"auto df-cap must beat exact BM25 join on the dense base " +
+              f"fixture (reproduced on retry): $a2%.2fs >= $e2%.2fs")
+        }
       }
       val bigCnt = bigRes.map { case (n, _, c) => n -> c }.toMap
       for (a <- bigCnt.get("bm25_join_auto"); e <- bigCnt.get("bm25_join")) {
@@ -1126,14 +1158,8 @@ object ScaleBench {
       // X19e cost shape: past the crossover the amortized retrieval
       // must beat the direct arm's corpus re-explode — the r14 scale
       // finding this operator exists to close
-      for (i <- bigMap.get("bm25_join_indexed");
-           e <- bigMap.get("bm25_join")) {
-        System.err.println(
-          f"[scale] scaled bm25 indexed $i%.2fs vs direct exact $e%.2fs")
-        if (factor >= 30 && i >= e) throw new AssertionError(
-          f"indexed BM25 must beat the direct join at ${factor}x: " +
-            f"$i%.2fs >= $e%.2fs")
-      }
+      assertFaster(bigDir, bigMap, "bm25_join_indexed", "bm25_join",
+        "indexed BM25 vs direct join")
     }
 
     // X15: the bucketed plan must reproduce the naive global-prefix

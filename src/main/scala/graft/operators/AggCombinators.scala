@@ -133,11 +133,11 @@ object AggCombinators {
     * numbers. Determinism convention (oracle-mirrored): x and y must
     * be integral (y ≥ 0 — counts/sums), bucket membership is exact
     * integer arithmetic b = (x − min_x)·buckets div (max_x − min_x + 1)
-    * over the KEY's own range, and the glyph level is
-    * ceil(8·s / max_s) computed as (8s + max_s − 1) div max_s on
-    * exact longs — so the rendered string is bit-identical in any
-    * engine (ClickHouse's own float scaling is not). Empty and
-    * zero-sum buckets render ' '.
+    * over the KEY's own range (integral `div`, DECIMAL-widened
+    * operands), and the glyph level is ceil(8·s / max_s) on exact
+    * DECIMAL integers — so the rendered string is bit-identical in
+    * any engine at any magnitude (ClickHouse's own float scaling is
+    * not). Empty and zero-sum buckets render ' '.
     *
     * Shape: one (keys, bucket) partial+final sum, then ONE keys-level
     * aggregate packing the ≤ `buckets` sums into a map — raw volume
@@ -156,15 +156,32 @@ object AggCombinators {
       .where(col("__x").isNotNull && col("__y").isNotNull)
     val ranges = base.groupBy(keys.map(col): _*)
       .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
-    val sums = base.join(broadcast(ranges), keys)
-      .withColumn("__b",
-        ((col("__x") - col("__lo")) * buckets /
-          (col("__hi") - col("__lo") + 1L)).cast("long"))
+    // NO broadcast hint on the range table: it is |keys|-cardinality
+    // and unbounded, so forcing it onto every executor's heap is an
+    // OOM hazard at high key cardinality — AQE broadcasts it anyway
+    // whenever it is actually small
+    val sums = base.join(ranges, keys)
+      // bucket membership on the EXACT integer grid: `div` is
+      // integral division (never the double `/`-then-cast, which is
+      // inexact past 2^53); the numerator widens to DECIMAL so
+      // (x − lo)·buckets cannot overflow a long at extreme ranges
+      .withColumn("__b", expr(
+        s"CAST(((CAST(__x AS DECIMAL(38,0)) - __lo) * $buckets) div " +
+          "(CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"))
       .groupBy((keys.map(col) :+ col("__b")): _*)
       .agg(sum(col("__y")).as("__s"),
         max(col("__lo")).as("__lo"), max(col("__hi")).as("__hi"))
-    val level = (c: Column) =>
-      ((c * 8L + col("__mx") - 1L) / col("__mx")).cast("int")
+    // glyph level = ceil(8s/mx), computed WITHOUT division: the
+    // smallest L in 1..8 with 8s ≤ L·mx, found by counting satisfied
+    // thresholds — exact DECIMAL products (8s can overflow a long
+    // past 2^60), so the rendered string really is bit-identical in
+    // any engine at any magnitude
+    val level = (c: Column) => {
+      val s8 = c.cast("decimal(38,0)") * lit(8)
+      (lit(9) - size(filter(sequence(lit(1), lit(8)),
+        l => s8 <= l.cast("decimal(38,0)") *
+          col("__mx").cast("decimal(38,0)")))).cast("int")
+    }
     sums.groupBy(keys.map(col): _*)
       .agg(map_from_entries(collect_list(
           struct(col("__b"), col("__s")))).as("__m"),

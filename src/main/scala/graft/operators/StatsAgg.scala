@@ -957,8 +957,13 @@ object StatsAgg {
     * integer), the five sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
     * exact DECIMALs, and r derives through one fixed double tree,
     * round-6; degenerate variance yields null. Rows whose array is
-    * null or shorter than `dims` drop (ragged tails would desync the
-    * pair grid).
+    * null, shorter than `dims`, or carries a null/NaN element inside
+    * the leading `dims` positions drop WHOLE (the moments `!isnan`
+    * convention): a NaN element would floor-cast to a null decimal
+    * that count() still counts while the power sums skip — n would
+    * silently desync from the sufficient statistics. Complete-row
+    * semantics also keep n identical across every (i, j) pair of a
+    * key, so the matrix is internally consistent.
     *
     * Shape: the pair grid is built INSIDE one projection
     * (dims·(dims+1)/2 structs per row, a Generate below the
@@ -976,7 +981,9 @@ object StatsAgg {
         struct(i.cast("long").as("i"), j.cast("long").as("j"),
           wAt(i).as("x"), wAt(j).as("y")))))
     val exploded = df
-      .where(arr.isNotNull && size(arr) >= dims)
+      .where(arr.isNotNull && size(arr) >= dims &&
+        forall(slice(arr, 1, dims),
+          e => e.isNotNull && !isnan(e.cast("double"))))
       .select((keys.map(col) :+ explode(pairs).as("__p")): _*)
       .select((keys.map(col) ++ Seq(col("__p.i").as("i"),
         col("__p.j").as("j"), col("__p.x").as("__x"),

@@ -243,7 +243,11 @@ object TimeSeries {
       .withColumn("__t", t)
       .withColumn("__w",
         floor(value.cast("double") * lit(factor)).cast("decimal(38,0)"))
-      .where(col("__w").isNotNull && !isnan(value.cast("double")))
+      // __t must be non-null too: a null-ts row would enter n via
+      // count() yet drop out of Σt/Σtv/Σt² (null __tr), silently
+      // corrupting the least-squares fit with an inconsistent n
+      .where(col("__w").isNotNull && !isnan(value.cast("double")) &&
+        col("__t").isNotNull)
     val t0row = base.agg(min(col("__t")).as("__t0"))
     val ann = base.crossJoin(broadcast(t0row))
       .withColumn("__tr", (col("__t") - col("__t0")).cast("decimal(38,0)"))

@@ -1624,7 +1624,9 @@ object AggQueries {
            CROSS JOIN (SELECT unnest(range(6)) AS i) ii
            CROSS JOIN (SELECT unnest(range(6)) AS j) jj
            WHERE jj.j >= ii.i AND embedding IS NOT NULL
-             AND len(embedding) >= 6),
+             AND len(embedding) >= 6
+             AND len(list_filter(embedding[1:6], e -> e IS NULL
+               OR isnan(CAST(e AS DOUBLE)))) = 0),
          a AS (SELECT label, i, j, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
              CAST(sum(x * y) AS DOUBLE) AS sxy,

@@ -1135,7 +1135,7 @@ object WindowQueries {
       """WITH e AS (SELECT event_type,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
              CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
-           FROM events WHERE value IS NOT NULL),
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
          t0 AS (SELECT min(t) AS tz FROM e),
          a AS (SELECT event_type,
              CAST(count(*) AS HUGEINT) AS n,

@@ -198,13 +198,27 @@ object StreamingPostings {
     val qTerms = queries.select(col(queryId).as("__qid"),
       explode(split(queryText, " ")).as("tok")).distinct()
     val dirs = committedBatchDirs(storeDir)
-    if (ver == 0L || dirs.isEmpty)
+    if (ver == 0L || dirs.isEmpty) {
+      // the degenerate schema must match the non-empty path, where
+      // __did carries the INGESTED id type (string corpora exist) —
+      // any batch dir on disk witnesses it (the posting schema is
+      // stable across batches, committed or not); only a store that
+      // has never been written falls back to long
+      val didType = {
+        val root = new java.io.File(storeDir, "postings")
+        Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.isDirectory).sortBy(_.getName).headOption
+          .flatMap(d => scala.util.Try(
+            spark.read.parquet(d.getPath).schema("__did").dataType).toOption)
+          .getOrElse(org.apache.spark.sql.types.LongType)
+      }
       return qTerms.where(lit(false))
         .select(col("__qid").as(queryId),
-          lit(null).cast("long").as(corpusId),
+          lit(null).cast(didType).as(corpusId),
           lit(null).cast("double").as("score"),
           lit(null).cast("long").as("n_terms"),
           lit(null).cast("long").as("rnk"))
+    }
     val nDocs = nDocsL.toDouble
     val avgdl = sumDl.toDouble / nDocs
     val cap =

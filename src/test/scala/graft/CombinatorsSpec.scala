@@ -77,6 +77,33 @@ class CombinatorsSpec extends SparkSpec {
       bbar.drop(1).forall(_ == ' '))
   }
 
+  test("sparkbar: bucket/level arithmetic stays exact past 2^53 — no double-division drift") {
+    // x spans [0, 2^60): double division by (hi−lo+1) would round
+    // near-boundary points into the wrong bucket. 2^60 / 4 buckets =
+    // 2^58 per bucket; x = 2^58 − 1 is the last point of bucket 0 and
+    // x = 2^58 the first of bucket 1 — exact integral div must split
+    // them. y = 2^61-ish sums exercise the 8s product past long range
+    // via the DECIMAL widening (level stays ceil(8s/mx) exactly).
+    val q = 1L << 58
+    val rows = Seq(
+      ("K", 0L, 1L << 61),          // bucket 0, the max sum
+      ("K", q - 1L, 1L),            // still bucket 0
+      ("K", q, (1L << 59) + 1L),    // bucket 1: level ceil(8s/mx) = 3
+      ("K", 4L * q - 1L, 1L))       // last bucket pins hi
+    val out = AggCombinators.sparkbar(
+      rows.toDF("k", "x", "y"), Seq("k"),
+      x = col("x"), y = col("y"), buckets = 4)
+      .as[(String, Long, Long, String)].collect().head
+    val (_, lo, hi, bar) = out
+    assert(lo == 0L && hi == 4L * q - 1L && bar.length == 4)
+    // bucket 0 holds the max (level 8 = full block) — the q−1 point
+    // merged into it, NOT bucket 1
+    assert(bar.charAt(0) == '█', s"bar=[$bar]")
+    // bucket 1: s = 2^59+1, mx = 2^61+1 → 8s/mx just over 2 → level 3
+    assert(bar.charAt(1) == '▃', s"bar=[$bar]")
+    assert(bar.charAt(2) == ' ' && bar.charAt(3) == '▁', s"bar=[$bar]")
+  }
+
   test("groupUniqArray: sorted distinct") {
     val df = Seq(("A", "b"), ("A", "a"), ("A", "b")).toDF("k", "v")
     val out = df.groupBy(col("k"))

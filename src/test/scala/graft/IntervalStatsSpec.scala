@@ -171,6 +171,36 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out.size === 10)  // the 4·5/2 upper triangle
   }
 
+  test("corrMatrix: a null/NaN ELEMENT drops the row whole — n stays in sync with the power sums") {
+    import graft.operators.StatsAgg
+    // 4 clean rows on an exact line (corr 1), plus one row with a NaN
+    // in dim0 and one with a null in dim1: both must drop WHOLE, not
+    // half-enter via count() while the sums skip the null decimal
+    val clean = Seq(1.0f, 2.0f, 3.0f, 4.0f).map(x =>
+      ("k", Seq(x, 2 * x)))
+    // build with an explicit schema so the null element survives
+    val rows = clean.map { case (k, a) =>
+      org.apache.spark.sql.Row(k, a.map(Float.box)) } ++ Seq(
+      org.apache.spark.sql.Row("k", Seq(Float.box(Float.NaN), Float.box(10.0f))),
+      org.apache.spark.sql.Row("k", Seq(Float.box(5.0f), null)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("emb",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = StatsAgg.corrMatrix(df, Seq("k"), col("emb"), dims = 2)
+      .select("i", "j", "n_rows", "corr")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // every pair sees exactly the 4 clean rows; the line is exact
+    assert(out((0L, 0L)) === ((4L, Some(1.0))))
+    assert(out((0L, 1L)) === ((4L, Some(1.0))))
+    assert(out((1L, 1L)) === ((4L, Some(1.0))))
+  }
+
   test("counterStats: resets/changes counted against predecessors; irate honors the PromQL reset rule; degenerate keys null") {
     import graft.operators.TimeSeries
     val rows = Seq(
@@ -225,6 +255,24 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out("n")._3.get === r6(slope / 100.0))
     val predict = (sv / n + slope * ((30.0 + 100.0) - st / n)) / 100.0
     assert(out("n")._4.get === r6(predict))
+  }
+
+  test("predictLinear: a null-ts row is excluded whole — n stays consistent with the time sums") {
+    import graft.operators.TimeSeries
+    // the same exact line plus a null-timestamp row: were it counted
+    // in n while dropping out of Σt/Σtv/Σt², the fit would corrupt
+    val line = (0 until 10).map(i => ("lin", Option(i.toLong * 100L),
+      2.0 + 0.5 * i * 100))
+    val rows = line :+ (("lin", Option.empty[Long], 999.0))
+    val out = TimeSeries.predictLinear(
+      rows.toDF("k", "t", "v"), Seq("k"),
+      ts = col("t"), value = col("v"), horizonSecs = 100L)
+      .select("k", "n_samples", "deriv_per_s", "predict")
+      .as[(String, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("lin")._2 === 10L)
+    assert(out("lin")._3.get === 0.5)
+    assert(out("lin")._4.get === 502.0)
   }
 
   test("cramersV/association: a NULL category is a real column — perfect {x→1, y→NULL} gives V 1, not degenerate") {

@@ -372,6 +372,42 @@ class RetrievalSpec extends SparkSpec {
     assert(fromStore(1.0) == expect)
   }
 
+  test("streaming postings store: the degenerate empty-store schema follows the ingested id type") {
+    import graft.streaming.StreamingPostings
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val queries = Seq((1L, "alpha")).toDF("bench_id", "text")
+    def read(store: String) = StreamingPostings.bm25TopKFromStore(
+      spark, store, "doc_id", queries, "bench_id", col("text"), k = 5)
+    // a STRING-id corpus: the empty-window read (all batch dirs on
+    // disk, pointer not yet moved — the crash window) must carry the
+    // string id type, not a hardcoded long
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-postings-sid").toString
+    StreamingPostings.applyBatch(
+      Seq(("d-1", "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", col("text"), store, batchId = 0L)
+    val committed = read(store)
+    assert(committed.schema("doc_id").dataType === StringType)
+    // simulate the pre-commit view: drop the pointer, keep the dir
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(store, "_CURRENT"))
+    val degenerate = read(store)
+    assert(degenerate.count() == 0L)
+    // names + types must match (nullability legitimately differs:
+    // the degenerate path's null literals are nullable)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(degenerate) === shape(committed),
+      s"degenerate ${degenerate.schema} != committed ${committed.schema}")
+    // union-ability is the point of the contract
+    assert(degenerate.unionByName(committed).count() == committed.count())
+    // a virgin store (nothing ever written) still returns the
+    // documented long default
+    val virgin = java.nio.file.Files
+      .createTempDirectory("graft-postings-virgin").toString
+    assert(read(virgin).schema("doc_id").dataType === LongType)
+  }
+
   test("streaming postings store: end-to-end through foreachBatch on a MemoryStream") {
     import graft.streaming.StreamingPostings
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
