@@ -143,6 +143,49 @@ object Retrieval {
       .limit(k)
   }
 
+  /** X19f: per-query RRF — [[rrfFuse]] generalized to a BATCH of
+    * queries, the production read of a hybrid retrieval service:
+    * each query's lexical list ([[bm25JoinTopKIndexed]]) and vector
+    * list ([[graft.operators.Similarity.ivfTopKIndexed]]) fuse
+    * independently, per query. Same term arithmetic (round-9 DECIMAL
+    * per-list terms, round-6 fused score), same duplicate-id collapse
+    * per (query, list); rank windows partition BY QUERY, so the
+    * bounded contract becomes per-query: every window sorts ≤ k rows
+    * within its query partition and |Q| is the parallelism floor —
+    * no single-partition funnel at any query-batch size.
+    *
+    * Output: (queryId, id, rrf_score, n_lists, best_rank, rnk) —
+    * top-`k` per query by (rrf_score desc, id).
+    */
+  def rrfFusePerQuery(
+      lists: Seq[DataFrame], queryId: String, id: String, score: String,
+      k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFusePerQuery: no input rankings")
+    val ranked = lists.map { df =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__qid"))
+        .orderBy(col(score).desc, col("__fid"))
+      df.select(col(queryId).as("__qid"), col(id).as("__fid"), col(score))
+        .withColumn("__r", row_number().over(w).cast("double"))
+        .groupBy(col("__qid"), col("__fid")).agg(min(col("__r")).as("__r"))
+    }
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("rrf_score").desc, col("__fid"))
+    ranked.reduce(_ unionByName _)
+      .withColumn("__term",
+        round(lit(1.0) / (lit(c.toDouble) + col("__r")), 9)
+          .cast("decimal(28,9)"))
+      .groupBy(col("__qid"), col("__fid"))
+      .agg(round(sum(col("__term")).cast("double"), 6).as("rrf_score"),
+        count(lit(1)).cast("long").as("n_lists"),
+        min(col("__r")).cast("long").as("best_rank"))
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("__qid").as(queryId), col("__fid").as(id),
+        col("rrf_score"), col("n_lists"), col("best_rank"), col("rnk"))
+  }
+
   /** X19c BM25 retrieval JOIN — every row of `queries` is a
     * bag-of-words query, scored against the whole corpus; returns the
     * top-k corpus docs per query. The many-query generalization of

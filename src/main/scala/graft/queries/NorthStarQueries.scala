@@ -520,6 +520,51 @@ object NorthStarQueries {
         id = "vec_id", vec = "embedding", k = 50)
         .select(col("neighbor_id").as("id"), col("cosine").as("score"))
       graft.operators.Retrieval.rrfFuse(Seq(lex, sem), "id", "score", k = 25)
+    }),
+
+    // X19f: hybrid retrieval over BOTH persisted indexes — the
+    // production read a serving deployment actually runs: the %97
+    // query slice retrieves top-50 lexically from the q_bm25_indexed
+    // postings index and top-50 semantically from the
+    // q_ann_ivf_indexed IVF index (shared doc_id/vec_id universe),
+    // fused PER QUERY by reciprocal-rank fusion. Both index builds
+    // ride the same mtime-keyed caches as their single-arm queries,
+    // so the per-run cost is two pruned index reads + a k-bounded
+    // fusion
+    "q_hybrid_indexed" -> ((s, d) => {
+      val docMtime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
+      val bmIdx = s"${System.getProperty("java.io.tmpdir")}/graft-bm25idx-" +
+        s"${java.nio.file.Paths.get(d).getFileName.toString}-$docMtime"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$bmIdx/stats/_SUCCESS")))
+        graft.operators.Retrieval.buildPostingsIndex(
+          table(s, d, "documents"), "doc_id", col("text"), bmIdx)
+      val embMtime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      val ivfIdx = s"${System.getProperty("java.io.tmpdir")}/graft-ivfidx-" +
+        s"${java.nio.file.Paths.get(d).getFileName.toString}-$embMtime"
+      val e = table(s, d, "embeddings")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$ivfIdx/stats/_SUCCESS")))
+        Similarity.buildIvfIndex(e, "vec_id", "embedding", ivfIdx,
+          nlist = 16, iters = 0)
+      val bench = table(s, d, "documents")
+        .where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val lex = graft.operators.Retrieval.bm25JoinTopKIndexed(
+        s, bmIdx, "doc_id", bench, "bench_id", col("text"),
+        k = 50, maxDfFraction = 1.0)
+        .select(col("bench_id").as("query_id"), col("doc_id").as("id"),
+          col("score"))
+      val sem = Similarity.ivfTopKIndexed(s, ivfIdx,
+        queries = e.filter(col("vec_id") % 97 === 0),
+        id = "vec_id", vec = "embedding", k = 50, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("cosine").as("score"))
+      graft.operators.Retrieval.rrfFusePerQuery(
+        Seq(lex, sem), "query_id", "id", "score", k = 10)
+        .orderBy(col("query_id"), col("rnk"))
     }))
 
   /** Embeddings cast to double lists — the opening CTE every vector
@@ -1272,5 +1317,95 @@ object NorthStarQueries {
              CAST(MIN(r) AS BIGINT) AS best_rank
            FROM u GROUP BY id)
          SELECT id, rrf_score, n_lists, best_rank FROM f
-         ORDER BY rrf_score DESC, id LIMIT 25""")
+         ORDER BY rrf_score DESC, id LIMIT 25""",
+    // X19f: both arms are the single-arm oracles verbatim (the %97
+    // bm25 join at k=50; the nlist-16/nProbe-4 IVF probe at k=50 on
+    // the %97 query slice), fused per query with the q_hybrid_rrf
+    // term arithmetic
+    "q_hybrid_indexed" ->
+      """WITH q AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0),
+         qt AS (SELECT DISTINCT bench_id, tok FROM
+           (SELECT bench_id, unnest(string_split(text, ' ')) AS tok FROM q)),
+         toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         m AS (SELECT qt.bench_id, toks.doc_id, toks.tok FROM toks JOIN qt USING (tok)),
+         tf AS (SELECT bench_id, doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM m GROUP BY bench_id, doc_id, tok),
+         dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfc
+           FROM m GROUP BY tok),
+         bsc AS (SELECT tf.bench_id, tf.doc_id,
+             ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+           FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+           JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN st),
+         g AS (SELECT bench_id, doc_id,
+             round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score
+           FROM bsc GROUP BY bench_id, doc_id),
+         lex AS (SELECT bench_id AS query_id, doc_id AS id, score FROM (
+             SELECT bench_id, doc_id, score,
+               row_number() OVER (PARTITION BY bench_id
+                 ORDER BY score DESC, doc_id) AS rn
+             FROM g) WHERE rn <= 50),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT % 1000003,
+             vec_id
+           LIMIT 16),
+         asg AS (SELECT vec_id, v, cent_id,
+             CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END AS d
+           FROM (SELECT e.vec_id, e.v, c.cent_id,
+               list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+                 i -> e.v[CAST(i AS INT)] * c.cent_vec[CAST(i AS INT)])), (x, y) -> x + y) AS dp,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+                 i -> e.v[CAST(i AS INT)] * e.v[CAST(i AS INT)])), (x, y) -> x + y)) AS na,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.cent_vec)+1),
+                 i -> c.cent_vec[CAST(i AS INT)] * c.cent_vec[CAST(i AS INT)])), (x, y) -> x + y)) AS nb
+             FROM e CROSS JOIN cents c) sub),
+         corpus_cell AS (SELECT vec_id, v, cent_id AS cell FROM (
+             SELECT vec_id, v, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id ASC) AS rn
+             FROM asg) WHERE rn = 1),
+         query_cell AS (SELECT vec_id, v, cent_id AS cell FROM (
+             SELECT vec_id, v, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id ASC) AS rn
+             FROM asg WHERE vec_id % 97 = 0) WHERE rn <= 4),
+         pr AS (SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id, q2.v AS qv, c.v AS cv
+           FROM query_cell q2 JOIN corpus_cell c ON q2.cell = c.cell
+             AND c.vec_id <> q2.vec_id),
+         sc AS (SELECT query_id, neighbor_id,
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1),
+               i -> qv[CAST(i AS INT)] * cv[CAST(i AS INT)])), (x, y) -> x + y) AS dp,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1),
+               i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)])), (x, y) -> x + y)) AS na,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(cv)+1),
+               i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])), (x, y) -> x + y)) AS nb
+           FROM pr),
+         cs AS (SELECT query_id, neighbor_id,
+             round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS cosine
+           FROM sc),
+         sem AS (SELECT query_id, neighbor_id AS id, cosine AS score FROM (
+             SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rn
+             FROM cs) WHERE rn <= 50),
+         lexr AS (SELECT query_id, id, CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, id) AS DOUBLE) AS r
+           FROM lex),
+         semr AS (SELECT query_id, id, CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, id) AS DOUBLE) AS r
+           FROM sem),
+         u AS (SELECT * FROM lexr UNION ALL SELECT * FROM semr),
+         f AS (SELECT query_id, id,
+             round(CAST(SUM(CAST(round(1.0 / (60.0 + r), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS rrf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_lists,
+             CAST(MIN(r) AS BIGINT) AS best_rank
+           FROM u GROUP BY query_id, id),
+         rr AS (SELECT query_id, id, rrf_score, n_lists, best_rank,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, id) AS BIGINT) AS rnk
+           FROM f)
+         SELECT query_id, id, rrf_score, n_lists, best_rank, rnk FROM rr
+         WHERE rnk <= 10 ORDER BY query_id, rnk""")
 }

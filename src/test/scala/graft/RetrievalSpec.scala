@@ -87,6 +87,47 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq(4L, 9L))
   }
 
+  test("rrfFusePerQuery: per-query independence, dup collapse, and the single-query reduction to rrfFuse") {
+    // two queries, two lists; q1's doc 20 appears in both lists, q2's
+    // lists are disjoint — fusion must never leak ranks across queries
+    val a = Seq((1L, 10L, 5.0), (1L, 20L, 3.0), (2L, 50L, 9.0))
+      .toDF("q", "id", "s")
+    val b = Seq((1L, 20L, 0.9), (2L, 60L, 0.8), (2L, 50L, 0.2))
+      .toDF("q", "id", "s")
+    val out = graft.operators.Retrieval.rrfFusePerQuery(
+      Seq(a, b), "q", "id", "s", k = 10)
+      .orderBy(col("q"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    def t(r: Int) = BigDecimal(1.0 / (60.0 + r))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def s(rs: Int*) = rs.map(t).sum.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val expected = Seq(
+      (1L, 20L, s(2, 1), 2L, 1L, 1L),
+      (1L, 10L, s(1), 1L, 1L, 2L),
+      (2L, 50L, s(1, 2), 2L, 1L, 1L),
+      (2L, 60L, s(1), 1L, 1L, 2L))
+    assert(out.toSeq == expected, s"got ${out.toSeq}")
+    // a duplicate id WITHIN one query's list collapses to its best rank
+    val dup = Seq((1L, 7L, 9.0), (1L, 7L, 1.0)).toDF("q", "id", "s")
+    val d = graft.operators.Retrieval.rrfFusePerQuery(
+      Seq(dup), "q", "id", "s", k = 5)
+      .select("id", "rrf_score", "n_lists").collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(d.toSeq == Seq((7L, s(1), 1L)))
+    // single query: fused scores/ranks equal the global rrfFuse's
+    val ga = Seq((10L, 5.0), (20L, 3.0)).toDF("id", "s")
+    val gb = Seq((20L, 0.9), (40L, 0.7)).toDF("id", "s")
+    val g = graft.operators.Retrieval.rrfFuse(Seq(ga, gb), "id", "s", k = 10)
+      .select("id", "rrf_score").as[(Long, Double)].collect().toSet
+    val pq = graft.operators.Retrieval.rrfFusePerQuery(
+      Seq(ga.withColumn("q", lit(1L)), gb.withColumn("q", lit(1L))),
+      "q", "id", "s", k = 10)
+      .select("id", "rrf_score").as[(Long, Double)].collect().toSet
+    assert(pq == g)
+  }
+
   test("bm25JoinTopK: single query reduces exactly to bm25TopK on its distinct terms") {
     val q = Seq((9L, "a b a")).toDF("bench_id", "text")
     val join = graft.operators.Retrieval.bm25JoinTopK(
