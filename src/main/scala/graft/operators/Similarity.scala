@@ -720,6 +720,255 @@ object Similarity {
     ivfScorePipeline(cells, queryCells, k, perCellPrune = true)
   }
 
+  /** X3f: product-quantization (PQ) compressed residuals for the
+    * persisted IVF index — the standard public next step past
+    * IVF-flat (Jégou, Douze & Schmid 2011, "Product Quantization for
+    * Nearest Neighbor Search": IVFADC) and the real 100 TB lever:
+    * the SCAN-phase representation of each cell shrinks from
+    * dim·4 bytes/vector to m code bytes (+1 float norm) — ~16× less
+    * IO/memory on the probed-cell scan at the default (m = 8,
+    * dim = 64) — while the exact vectors stay partitioned by cell for
+    * the candidate re-rank, so FINAL scores are exact.
+    *
+    * Layout under `outDir` — the [[buildIvfIndex]] layout plus two:
+    *   centroids/  the coarse codebook (trained like X3e)
+    *   cells/      exact vectors partitioned by cell (the re-rank side)
+    *   pqcodes/    (neighbor_id, code[m], norm) partitioned by cell —
+    *               the compressed scan side
+    *   pq/         the m×ks sub-codebooks (sub, code, cb_vec)
+    *   stats/      (nlist, n_corpus, m, ks, dsub); _SUCCESS last
+    *
+    * Quantization is of RESIDUALS r = v − centroid(cell) (the IVFADC
+    * convention — residuals concentrate near 0, so a small codebook
+    * covers them): each of the m dsub-wide subvectors of r maps to
+    * its nearest (L2) codeword, argmin computed as
+    * argmax(dot − |cb|²/2) via the same min_by discipline as
+    * [[assignCells]]. Sub-codebooks seed from a deterministic
+    * md5-rank sample of ks residual rows (the [[sampleCentroids]]
+    * convention, clamped to the corpus size) and refine with
+    * `pqIters` Lloyd passes per subspace over a ~40-points-per-
+    * codeword hash sample — all m subspaces in ONE keyed frame, cell
+    * means in DECIMAL (the [[trainCentroids]] discipline), so the
+    * codebooks are bit-deterministic and the training cost is bounded
+    * by the codebook size, not the corpus.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, id: String, vec: String,
+      outDir: String, nlist: Int = 0, iters: Int = 2, m: Int = 8,
+      ks: Int = 256, pqIters: Int = 2, nHint: Long = 0L): Unit = {
+    val spark = corpus.sparkSession
+    val total = autoSize(corpus, nHint)
+    val nl = if (nlist > 0) nlist else ivfConfigFor(total)._1
+    val cents =
+      if (iters <= 0) sampleCentroids(corpus, id, vec, nl)
+      else trainCentroids(corpus, id, vec, nl, iters, nHint)
+    val b = broadcast(cents)
+    val cells = assignCells(corpus, id, vec, b, "neighbor_id", "cv",
+      keep = 1)
+    val dim = corpus.select(size(col(vec))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m = $m")
+    val dsub = dim / m
+    // residuals: v − coarse centroid of the vector's cell
+    val resid = cells
+      .join(b.select(col("cent_id").as("cell"), col("cent_vec")), "cell")
+      .withColumn("rv", zip_with(col("cv"), col("cent_vec"),
+        (x, c) => (x.cast("double") - c.cast("double")).cast("float")))
+    // deterministic sub-codebook SEEDS: ks md5-rank-sampled residual
+    // rows; codeword c of sub s = sample row c's s-th subvector.
+    // Driver-side collect is bounded: ks rows × dim floats (KBs), an
+    // index-build control structure like trainCentroids' per-iteration
+    // codebook
+    val hashRank = pmod(
+      conv(substring(md5(col("neighbor_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(1000003L))
+    val sampled = resid
+      .select(col("neighbor_id"), col("rv"))
+      .orderBy(hashRank, col("neighbor_id"))
+      .limit(ks)
+      .select(col("rv")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val ksEff = sampled.length
+    import spark.implicits._
+    def cbDf(rows: Seq[(Int, Int, Seq[Float])]) =
+      rows.toDF("sub", "code", "cb_vec")
+        .withColumn("cb_half",
+          VectorFns.dot(col("cb_vec"), col("cb_vec")) / 2.0)
+    var cbRows: Seq[(Int, Int, Seq[Float])] = for {
+      s <- 0 until m; c <- 0 until ksEff
+    } yield (s, c, sampled(c).slice(s * dsub, (s + 1) * dsub).toSeq)
+    // Lloyd refinement per subspace (all m subspaces ride ONE frame
+    // keyed by sub) over a ~40-points-per-codeword hash sample — the
+    // trainCentroids discipline: sampled seeds alone leave residual
+    // quantization too coarse for useful candidate ordering, two
+    // k-means passes shape the codewords like the residual mass. Cell
+    // means accumulate in DECIMAL → bit-deterministic codebooks.
+    val target = ksEff.toLong * 40
+    val train =
+      if (total <= target) resid
+      else resid.where(pmod(xxhash64(col("neighbor_id")), lit(1000003L)) <
+        lit(math.max(1L, (target * 1000003L) / total)))
+    val trainSubs = train.select(col("neighbor_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("rv"), j * lit(dsub) + 1, lit(dsub))))
+        .as(Seq("sub", "subv")))
+    for (_ <- 0 until pqIters.max(0)) {
+      val assigned = trainSubs.join(broadcast(cbDf(cbRows)), "sub")
+        .withColumn("__d",
+          VectorFns.dot(col("subv"), col("cb_vec")) - col("cb_half"))
+        .groupBy(col("neighbor_id"), col("sub"))
+        .agg(min_by(struct(col("code"), col("subv")),
+          struct((-col("__d")).as("nd"), col("code"))).as("__w"))
+        .select(col("sub"), col("__w.code").as("code"),
+          col("__w.subv").as("subv"))
+      val means = assigned
+        .select(col("sub"), col("code"),
+          posexplode(col("subv")).as(Seq("__i", "__v")))
+        .groupBy(col("sub"), col("code"), col("__i"))
+        .agg(avg(col("__v").cast("decimal(30,12)")).as("__m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__i"), col("__m")))),
+          x => x("__m").cast("float")).as("cb_vec"))
+        .collect()
+      cbRows = means.map(r =>
+        (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
+    }
+    val cb = cbDf(cbRows)
+    // encode: per (row, sub) the nearest codeword by L2 ⇔
+    // argmax(dot(subv, cb) − |cb|²/2); then pack codes sub-ordered
+    val subs = resid.select(col("neighbor_id"), col("cell"),
+      VectorFns.norm2(col("cv")).as("norm"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("rv"), j * lit(dsub) + 1, lit(dsub))))
+        .as(Seq("sub", "subv")))
+    val coded = subs.join(broadcast(cb), "sub")
+      .withColumn("__d",
+        VectorFns.dot(col("subv"), col("cb_vec")) - col("cb_half"))
+      .groupBy(col("neighbor_id"), col("sub"))
+      .agg(min_by(col("code"),
+          struct((-col("__d")).as("nd"), col("code"))).as("code"),
+        max(col("cell")).as("cell"), max(col("norm")).as("norm"))
+      .groupBy(col("neighbor_id"))
+      .agg(transform(
+          array_sort(collect_list(struct(col("sub"), col("code")))),
+          x => x("code")).as("code"),
+        max(col("cell")).as("cell"), max(col("norm")).as("norm"))
+    coded.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/pqcodes")
+    cells.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/cells")
+    cents.write.mode("overwrite").parquet(s"$outDir/centroids")
+    cb.drop("cb_half").write.mode("overwrite").parquet(s"$outDir/pq")
+    spark.range(1).select(
+      lit(nl).as("nlist"), lit(total).as("n_corpus"),
+      lit(m).as("m"), lit(ksEff).as("ks"), lit(dsub).as("dsub"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
+  /** Retrieval against a [[buildIvfPqIndex]] index: IVFADC with exact
+    * re-rank. Phase 1 (the cheap scan) reads ONLY pqcodes/ pruned to
+    * the probed cells and scores every row by asymmetric-distance
+    * lookup: approx_dot(q, v) ≈ dot(q, centroid(cell)) +
+    * Σ_s LUT_q[s][code_s], where LUT_q[s][c] = dot(q_s, cb[s][c]) is
+    * built once per query against the (m·ks·dsub)-float literal
+    * codebook — per scanned row the work is m array lookups, not a
+    * dim-wide dot. Phase 2 re-ranks the top `candMult·k` candidates
+    * per query (per-cell then global prune, the [[ivfScorePipeline]]
+    * discipline) EXACTLY against cells/ — the same rounded-cosine
+    * score tree as every other tier, so the final (query, neighbor,
+    * cosine, rank) rows are exact, and equal to the flat tiers'
+    * whenever the candidate set covers the probed-cell top-k (the
+    * registered query's spec-pinned regime).
+    *
+    * The 100 TB trade: phase 1's IO is the 16×-compressed codes;
+    * phase 2 touches candMult·k·|Q| rows via a broadcast semi-join
+    * against cell-pruned exact vectors. `candMult` dials candidate
+    * recall against re-rank cost.
+    */
+  def ivfPqTopK(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, id: String, vec: String, k: Int,
+      nProbe: Int = 0, targetRecall: Double = 0.0,
+      candMult: Int = 5): DataFrame = {
+    val st = spark.read.parquet(s"$indexDir/stats").head
+    val nl = st.getAs[Int]("nlist")
+    val m = st.getAs[Int]("m")
+    val dsub = st.getAs[Int]("dsub")
+    val np =
+      if (nProbe > 0) nProbe
+      else if (targetRecall > 0.0) servingConfigFor(nl, targetRecall)
+      else math.max(1, nl / 2)
+    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val queryCells = assignCells(queries, id, vec, cents,
+      "query_id", "qv", keep = np)
+    val probed = queryCells.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    // the sub-codebooks as ONE nested literal (m·ks·dsub floats —
+    // 64 KB at the 8×256×8 default): the LUT build is then a
+    // codegen'd transform per query row, no per-row join
+    val cbLocal = spark.read.parquet(s"$indexDir/pq")
+      .orderBy(col("sub"), col("code"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq)
+    val cbLit = typedLit(cbLocal)
+    val qLut = queryCells
+      .join(cents.select(col("cent_id").as("cell"), col("cent_vec")),
+        "cell")
+      .withColumn("qn", VectorFns.norm2(col("qv")))
+      .withColumn("__qc", VectorFns.dot(col("qv"), col("cent_vec")))
+      .withColumn("__lut",
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(element_at(cbLit, (s + 1).cast("int")), cbv =>
+            VectorFns.dot(
+              slice(col("qv"), s * lit(dsub) + 1, lit(dsub)), cbv))))
+      .drop("cent_vec")
+    val codes = spark.read.parquet(s"$indexDir/pqcodes")
+      .where(if (probed.isEmpty) lit(false)
+        else col("cell").isin(probed: _*))
+    val approx = codes.join(qLut, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__a", col("__qc") +
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(element_at(col("__lut"), (s + 1).cast("int")),
+            (element_at(col("code"), (s + 1).cast("int")) + 1).cast("int"))))
+      .withColumn("__ac", when(col("qn") * col("norm") === 0.0, 0.0)
+        .otherwise(col("__a") / (col("qn") * col("norm"))))
+    val candK = candMult * k
+    val wc = Window.partitionBy(col("query_id"), col("cell"))
+      .orderBy(col("__ac").desc, col("neighbor_id").asc)
+    val wg = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ac").desc, col("neighbor_id").asc)
+    val cand = approx
+      .withColumn("__cr", row_number().over(wc))
+      .filter(col("__cr") <= candK)
+      .withColumn("__gr", row_number().over(wg))
+      .filter(col("__gr") <= candK)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: the identical score tree as ivfScorePipeline, so
+    // PQ changes WHICH rows are scored, never how
+    val vecs = spark.read.parquet(s"$indexDir/cells")
+      .where(if (probed.isEmpty) lit(false)
+        else col("cell").isin(probed: _*))
+      .withColumn("cn", VectorFns.norm2(col("cv")))
+    val qVecs = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .withColumn("qn", VectorFns.norm2(col("qv")))
+    val scored = vecs
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .withColumn("cosine", round(
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(VectorFns.dot(col("qv"), col("cv")) /
+            (col("qn") * col("cn"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
   /** Approximate top-k: LSH-bucketed join (same sign-pattern bucket
     * in at least one of `tables` independent hyperplane families),
     * then exact cosine rank within the candidate set.

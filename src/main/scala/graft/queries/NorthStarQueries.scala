@@ -347,6 +347,38 @@ object NorthStarQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // X3f: the PQ-compressed arm of the SAME probe (md5 coarse
+    // codebook, 4 probed cells), exact re-rank on top — candMult is
+    // sized to the corpus (candK ≥ |corpus| ≥ probed population), so
+    // the gate runs the arm in its exhaustive-candidate regime at ANY
+    // SF: candidates = the whole probed set, the re-rank is the flat
+    // scoring, and the output is q_ann_ivf's verbatim. The gate thus
+    // proves the compressed scan/re-rank PLUMBING is exact; PQ's
+    // actual FILTERING quality (candMult ≪ probed) is a recall
+    // contract — measured at 30× in ScaleBench and pinned on a
+    // clustered fixture in the spec. This synthetic corpus's
+    // near-flat cosine spectrum (top-5 gaps ~0.003) is the
+    // approximation's worst case, which is exactly why the value gate
+    // must not depend on it
+    "q_ann_ivf_pq" -> ((s, d) => {
+      val srcMtime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-" +
+        s"${java.nio.file.Paths.get(d).getFileName.toString}-$srcMtime"
+      val e = table(s, d, "embeddings")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$idx/stats/_SUCCESS")))
+        Similarity.buildIvfPqIndex(e, "vec_id", "embedding", idx,
+          nlist = 16, iters = 0, m = 8, ks = 16)
+      val n = e.count()
+      Similarity.ivfPqTopK(s, idx,
+        queries = e.filter(col("vec_id") % 20 === 0),
+        id = "vec_id", vec = "embedding", k = 5, nProbe = 4,
+        candMult = (n / 5L + 1L).toInt)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // X4: language-ID heuristic (stopword argmax)
     "q_langid" -> ((s, d) => {
       table(s, d, "documents")
@@ -1054,6 +1086,8 @@ object NorthStarQueries {
     // X3e: the indexed arm is semantics-preserving vs q_ann_ivf
     // (same codebook, same trees) — the oracle is the same SQL
     "q_ann_ivf_indexed" -> annIvfSql,
+    // X3f: exact after re-rank on the same probe ⇒ the flat arm's SQL
+    "q_ann_ivf_pq" -> annIvfSql,
     "q_semdedup" -> semDedupSql,
     "q_embed_neardup_lsh" -> embedLshPairsSql,
     "q_embed_neardup" ->

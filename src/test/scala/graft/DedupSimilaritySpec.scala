@@ -416,6 +416,88 @@ class DedupSimilaritySpec extends SparkSpec {
       s"no partition pruning on the cells read:\n$plan")
   }
 
+  test("PQ index: exhaustive-candidate retrieval equals the flat index bit-for-bit; codes prune the read") {
+    val vecs = (0L until 150L).map(i =>
+      (i, Seq.tabulate(16)(d => math.sin(i * 0.53 + d * 0.77).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 15 === 0)
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft-ivfflat-spec").toString
+    val pq = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-spec").toString
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", flat,
+      nlist = 8, iters = 2)
+    Similarity.buildIvfPqIndex(vecs, "vec_id", "embedding", pq,
+      nlist = 8, iters = 2, m = 4, ks = 8)
+    // same deterministic coarse codebook ⇒ same probe; exhaustive
+    // candidates (candMult·k ≥ |corpus|) ⇒ the re-rank IS the flat
+    // scoring, so the outputs must be identical rows
+    val f = Similarity.ivfTopKIndexed(spark, flat, q,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val p = Similarity.ivfPqTopK(spark, pq, q,
+      "vec_id", "embedding", k = 5, nProbe = 4, candMult = 30)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(p.nonEmpty && p === f)
+    // both physical reads are partition-pruned to the probed cells
+    val plan = Similarity.ivfPqTopK(spark, pq, q,
+      "vec_id", "embedding", k = 5, nProbe = 2, candMult = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning on the pq reads:\n$plan")
+    // the compressed scan representation really is bytes-per-vector
+    // small: m int codes + 1 float norm vs dim floats
+    val codeRow = spark.read.parquet(s"$pq/pqcodes").head
+    assert(codeRow.getAs[Seq[Int]]("code").length === 4)
+  }
+
+  test("PQ index: a narrow candidate budget reaches retrieval-grade recall on a clustered corpus; scored rows are exact") {
+    // the filtering regime PQ exists for: on data with real cluster
+    // structure the ADC ordering resolves neighborhoods, so a small
+    // candidate budget (candMult·k ≪ probed population) must already
+    // recover most of the flat arm's top-k. EXACT equality is not the
+    // contract here — within a tight cluster the true cosine gaps
+    // (~1e-3) sit below residual-quantization resolution, which is
+    // precisely why IVFADC re-ranks — but every row PQ does emit must
+    // carry the exact cosine (the re-rank guarantee)
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Seq.tabulate(16) { d =>
+        val base = if (d == 2 * c || d == 2 * c + 1) 1.0f else 0.0f
+        base + (rnd.nextFloat() - 0.5f) * 0.1f
+      })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 10 === 0)
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft-ivfflat2-spec").toString
+    val pq = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq2-spec").toString
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", flat,
+      nlist = 8, iters = 2)
+    Similarity.buildIvfPqIndex(vecs, "vec_id", "embedding", pq,
+      nlist = 8, iters = 2, m = 8, ks = 32)
+    val f = Similarity.ivfTopKIndexed(spark, flat, q,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val p = Similarity.ivfPqTopK(spark, pq, q,
+      "vec_id", "embedding", k = 5, nProbe = 2, candMult = 4)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val fSet = f.map(r => (r._1, r._2)).toSet
+    val recall = p.count(r => fSet.contains((r._1, r._2))).toDouble /
+      fSet.size.toDouble
+    assert(recall >= 0.8, s"PQ recall@5 at candMult=4: $recall")
+    // the re-rank guarantee: every emitted (query, neighbor) carries
+    // the identical exact cosine the flat arm computes
+    val fCos = f.map(r => (r._1, r._2) -> r._3).toMap
+    for ((qid, nid, c) <- p if fCos.contains((qid, nid)))
+      assert(c === fCos((qid, nid)), s"cosine drift on ($qid, $nid)")
+  }
+
   test("trainCentroids: DECIMAL-exact means are bit-deterministic across runs") {
     val vecs = (0L until 150L).map(i =>
       (i, Seq.tabulate(16)(d => math.cos(i * 0.91 + d * 0.53).toFloat)))
