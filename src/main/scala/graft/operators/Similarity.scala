@@ -568,7 +568,7 @@ object Similarity {
     * stays in its natural ascending order, so string/any-orderable id
     * columns work on both paths.
     */
-  private def assignCells(df: DataFrame, id: String, vec: String,
+  private[graft] def assignCells(df: DataFrame, id: String, vec: String,
       cents: DataFrame, idOut: String, vecOut: String,
       keep: Int): DataFrame = {
     val n = VectorFns.norm2(col(vecOut)) * VectorFns.norm2(col("cent_vec"))
@@ -595,7 +595,7 @@ object Similarity {
     * the half of [[ivfPipeline]] the persisted index amortizes the
     * other half of. See [[ivfPipeline]] for the prune-identity note.
     */
-  private def ivfScorePipeline(
+  private[graft] def ivfScorePipeline(
       corpusCells: DataFrame, queryCells0: DataFrame, k: Int,
       perCellPrune: Boolean): DataFrame = {
     val queryCells = queryCells0
@@ -670,13 +670,20 @@ object Similarity {
     * (spec-pinned). Pass `iters = 0` for the sampled-centroid
     * (mining-tier, value-oracle-able) codebook.
     */
+  /** `centroids`: a PINNED codebook overrides training entirely (the
+    * streaming store's parity contract rides this — see
+    * [[graft.streaming.StreamingIvf]]); nlist then derives from it.
+    */
   def buildIvfIndex(corpus: DataFrame, id: String, vec: String,
       outDir: String, nlist: Int = 0, iters: Int = 2,
-      nHint: Long = 0L): Unit = {
+      nHint: Long = 0L, centroids: DataFrame = null): Unit = {
     val total = autoSize(corpus, nHint)
-    val nl = if (nlist > 0) nlist else ivfConfigFor(total)._1
+    val nl =
+      if (centroids != null) centroids.count().toInt
+      else if (nlist > 0) nlist else ivfConfigFor(total)._1
     val cents =
-      if (iters <= 0) sampleCentroids(corpus, id, vec, nl)
+      if (centroids != null) centroids
+      else if (iters <= 0) sampleCentroids(corpus, id, vec, nl)
       else trainCentroids(corpus, id, vec, nl, iters, nHint)
     val b = broadcast(cents)
     assignCells(corpus, id, vec, b, "neighbor_id", "cv", keep = 1)
