@@ -415,9 +415,28 @@ object Similarity {
     * The synthetic fixture is the weak-cluster-structure worst case —
     * real corpora reach each recall at narrower probes, so the rule is
     * conservative in the safe direction.
+    *
+    * `clustered = true` switches to the MEASURED planted-cluster curve
+    * (RecallCurve clustered mode at 30× = 60k vectors, 256 planted
+    * clusters, σ 0.15, nlist 256, 2 Lloyd iters — BASELINE.md round-16
+    * table): recall@10 = 1.0 at EVERY measured fraction down to 1/32,
+    * because trained cells align with the data's clusters and a
+    * query's whole neighborhood lives in its few nearest cells. The
+    * rule returns 1/8 rather than the fixture's 1/32 floor — real
+    * corpora have overlapping, unequal clusters, and 1/8 keeps a 4×
+    * probe margin while still cutting the wide-probe default's work
+    * 4× (measured 7.9 s vs 14.5 s at 30×). The weak-structure curve
+    * stays the DEFAULT: with no knowledge of corpus structure, the
+    * conservative assumption is the one that can only overshoot
+    * recall, never undershoot it.
     */
-  def servingConfigFor(nlist: Int, targetRecall: Double): Int = {
-    val curve = Seq(0.125 -> 0.59, 0.25 -> 0.78, 0.375 -> 0.88, 0.5 -> 0.94)
+  def servingConfigFor(nlist: Int, targetRecall: Double,
+      clustered: Boolean = false): Int = {
+    val curve =
+      if (clustered)
+        Seq(0.125 -> 1.0)
+      else
+        Seq(0.125 -> 0.59, 0.25 -> 0.78, 0.375 -> 0.88, 0.5 -> 0.94)
     val frac = curve.collectFirst { case (f, r) if r >= targetRecall => f }
       .getOrElse(1.0)
     math.max(1, math.ceil(nlist * frac).toInt)

@@ -343,6 +343,15 @@ class DedupSimilaritySpec extends SparkSpec {
     // the rule at the 0.9 contract equals the historical nlist/2
     // default, so ivfTopKServing's behavior is unchanged at the floor
     assert(Similarity.servingConfigFor(256, 0.9) === 256 / 2)
+    // the clustered curve (round-16 planted-cluster measurement:
+    // recall 1.0 at every fraction down to 1/32): nlist/8 for any
+    // reachable target, exact-search anchor above 1.0 never fires
+    assert(Similarity.servingConfigFor(256, 0.9, clustered = true) === 32)
+    assert(Similarity.servingConfigFor(256, 1.0, clustered = true) === 32)
+    // the flag can only NARROW the probe, never widen it
+    for (t <- Seq(0.5, 0.8, 0.9, 0.99))
+      assert(Similarity.servingConfigFor(256, t, clustered = true) <=
+        Similarity.servingConfigFor(256, t))
   }
 
   test("ivfTopK: exact cosines, high recall vs brute force at nProbe=4/16") {
