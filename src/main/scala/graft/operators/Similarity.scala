@@ -939,28 +939,56 @@ object Similarity {
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq)
     val cbLit = typedLit(cbLocal)
-    val qLut = queryCells
+    // the LUT payload (m·ks doubles, ~16 KB/query) must never ride
+    // the MULTIPLYING cell join — a sort-merge join deep-copies the
+    // buffered row per match, turning a 60k-row scan into tens of GB
+    // of row copies (measured 47 s at 30× before this split). So the
+    // pairing and the payload travel separately:
+    //  1. a SLIM (query_id, cell, __qc, qn) scalar table multiplies
+    //     against the codes scan (cheap rows through whatever join
+    //     AQE picks),
+    //  2. the one-row-per-query LUT table joins BROADCAST on
+    //     query_id — |Q|-sized build side, and under whole-stage
+    //     codegen the ADC fold reads the build row's array in place,
+    //     no per-match copy.
+    val qPairs = queryCells
       .join(cents.select(col("cent_id").as("cell"), col("cent_vec")),
         "cell")
-      .withColumn("qn", VectorFns.norm2(col("qv")))
-      .withColumn("__qc", VectorFns.dot(col("qv"), col("cent_vec")))
+      .select(col("query_id"), col("cell"),
+        VectorFns.dot(col("qv"), col("cent_vec")).as("__qc"),
+        VectorFns.norm2(col("qv")).as("qn"))
+    val qLut = queries
+      .select(col(id).as("query_id"), col(vec).as("qv"))
       .withColumn("__lut",
         transform(sequence(lit(0), lit(m - 1)), s =>
           transform(element_at(cbLit, (s + 1).cast("int")), cbv =>
             VectorFns.dot(
               slice(col("qv"), s * lit(dsub) + 1, lit(dsub)), cbv))))
-      .drop("cent_vec")
+      .select(col("query_id"), col("__lut"))
     val codes = spark.read.parquet(s"$indexDir/pqcodes")
       .where(if (probed.isEmpty) lit(false)
         else col("cell").isin(probed: _*))
-    val approx = codes.join(qLut, Seq("cell"))
+    // the ADC fold is UNROLLED over the m subspaces (m is a small
+    // build-time constant): element_at chains stay inside whole-stage
+    // codegen, where a higher-order `aggregate` would be a
+    // CodegenFallback that forces every joined row — 16 KB LUT
+    // included — to materialize for interpreted eval (measured: the
+    // HOF form cost ~25 s of row copies at 30× that the unrolled
+    // form doesn't pay)
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("__lut"), lit(s + 1)),
+        (element_at(col("code"), lit(s + 1)) + 1).cast("int")))
+      .reduce(_ + _)
+    val approx = codes.join(qPairs, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__a", col("__qc") +
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(element_at(col("__lut"), (s + 1).cast("int")),
-            (element_at(col("code"), (s + 1).cast("int")) + 1).cast("int"))))
+      .join(broadcast(qLut), Seq("query_id"))
+      .withColumn("__a", col("__qc") + adc)
       .withColumn("__ac", when(col("qn") * col("norm") === 0.0, 0.0)
         .otherwise(col("__a") / (col("qn") * col("norm"))))
+      // prune to scalars BEFORE the candidate windows (no wide
+      // payload on the window exchange)
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        col("__ac"))
     val candK = candMult * k
     val wc = Window.partitionBy(col("query_id"), col("cell"))
       .orderBy(col("__ac").desc, col("neighbor_id").asc)
