@@ -378,6 +378,21 @@ object ScaleBench {
       "gini" -> (() => graft.operators.StatsAgg.gini(
         Tables.table(spark, dir, "events"), Seq("event_type"),
         col("value")).count()),
+      // round-16: W12 — the decomposition runs over the (type, day)
+      // AGGREGATE grid, so its row count stays CONSTANT as raw volume
+      // multiplies (hard-asserted below) and its cost is one pre-agg
+      // of the events plus day-grid-sized work
+      "series_decompose" -> (() => {
+        val day = floor(Tables.epochSeconds(col("ts")) / 86400L)
+          .cast("long").as("day")
+        graft.operators.TimeSeries.seriesDecompose(
+          Tables.table(spark, dir, "events")
+            .select(col("event_type"), day)
+            .groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          Seq("event_type"), ord = col("day"), value = col("cnt"),
+          period = 7).count()
+      }),
       // round-15: A34 — pair-grid aggregate over the embeddings;
       // output constant (labels × 21 upper-triangle pairs)
       "corr_matrix" -> (() => graft.operators.StatsAgg.corrMatrix(
@@ -1231,7 +1246,8 @@ object ScaleBench {
           s"$p: scaled $s != ${factor}x base $b")
       // round-15: constant-output contracts — per-type / per-(label,
       // pair) aggregates must not grow with raw volume
-      for (p <- Seq("predict_linear", "gini", "corr_matrix");
+      for (p <- Seq("predict_linear", "gini", "corr_matrix",
+             "series_decompose");
            b <- bm.get(p); s <- sm.get(p))
         if (s != b) throw new AssertionError(
           s"$p: scaled rows $s != base rows $b — output must be " +

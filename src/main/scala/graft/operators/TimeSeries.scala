@@ -277,6 +277,100 @@ object TimeSeries {
         .as("predict"))): _*)
   }
 
+  /** W12: classical additive seasonal decomposition — the
+    * deterministic sibling of ClickHouse's `seriesDecomposeSTL`
+    * (which is loess-based and engine-private): per key, split a
+    * regular series into trend + seasonal + residual by the textbook
+    * moving-average method (Hyndman & Athanasopoulos, "Forecasting:
+    * Principles and Practice", §6.3 — the procedure STL refines):
+    *
+    *   trend_i    = centered moving average over w points
+    *                (w = period, forced odd by +1 — the equal-weight
+    *                convention; rows whose window leaves the series
+    *                get null trend, the standard edge rule)
+    *   seasonal_p = mean of (v − trend) over each phase
+    *                p = (rank − 1) mod period, re-centered so the
+    *                per-key seasonal indices sum to 0
+    *   residual_i = v_i − trend_i − seasonal_{p(i)}
+    *
+    * Exactness (the A17 discipline, engine-portable): v enters as the
+    * fixed-point w_fp = floor(v·10^scale) DECIMAL; the trend window
+    * sum is exact; the detrended numerator v_fp·w − Σwindow is an
+    * exact integer (no double subtraction of near-equal magnitudes);
+    * phase means divide exact integers in ONE double op each and are
+    * rounded to 9 before the DECIMAL(28,9) re-centering sum (the X13
+    * order-free convention) — so every emitted value is reproducible
+    * bit-for-bit in any engine. Rows with null ts/value or NaN drop.
+    *
+    * Plan shape: one key exchange carrying the series sort (the
+    * trend frame, the rank, and the total count all ride it), one
+    * (keys, phase)-keyed partial+final aggregate over PERIOD-sized
+    * output, one keys-level re-centering aggregate over ≤ period
+    * rows, and one broadcast-sized join of the seasonal indices back
+    * onto the rows — raw volume crosses the wire once.
+    */
+  def seriesDecompose(df: DataFrame, keys: Seq[String], ord: Column,
+      value: Column, period: Int, scale: Int = 6): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    val w = if (period % 2 == 1) period else period + 1
+    val h = w / 2
+    val factor = math.pow(10.0, scale)
+    val keyCols = keys.map(col)
+    val win = Window.partitionBy(keyCols: _*).orderBy(ord)
+    val frame = win.rowsBetween(-h, h)
+    val whole = Window.partitionBy(keyCols: _*)
+    val base = df
+      .where(ord.isNotNull && value.isNotNull &&
+        !isnan(value.cast("double")))
+      .withColumn("__ord", ord)
+      .withColumn("__v",
+        floor(value.cast("double") * lit(factor)).cast("decimal(38,0)"))
+      .withColumn("__rn", row_number().over(win))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__phase", pmod(col("__rn") - 1, lit(period)))
+      .withColumn("__tsum", sum(col("__v")).over(frame))
+      .withColumn("__tok",
+        col("__rn") > h && col("__rn") <= col("__n") - h)
+    val rows = base
+      .withColumn("trend", when(col("__tok"),
+        round(col("__tsum").cast("double") / lit(w.toDouble * factor), 6)))
+      // detrended numerator: v·w − Σwindow, an EXACT integer in units
+      // of 10^-scale/w
+      .withColumn("__dnum", when(col("__tok"),
+        col("__v") * lit(w) - col("__tsum")))
+    val seasonalRaw = rows
+      .where(col("__tok"))
+      .groupBy((keyCols :+ col("__phase")): _*)
+      .agg(sum(col("__dnum")).as("__a"), count(lit(1)).as("__m"))
+      .withColumn("__sraw",
+        round(col("__a").cast("double") /
+          (col("__m").cast("double") * lit(w.toDouble * factor)), 9)
+          .cast("decimal(28,9)"))
+    // re-centering mean: exact DECIMAL sum → ONE double division →
+    // round-9 back to DECIMAL (never decimal-by-decimal division,
+    // whose scale rules differ across engines)
+    val centered = seasonalRaw
+      .withColumn("__smean",
+        round(sum(col("__sraw")).over(Window.partitionBy(keyCols: _*))
+            .cast("double") /
+          count(lit(1)).over(Window.partitionBy(keyCols: _*))
+            .cast("double"), 9)
+          .cast("decimal(28,9)"))
+      .select((keyCols :+ col("__phase")) :+
+        round((col("__sraw") - col("__smean")).cast("double"), 6)
+          .as("seasonal"): _*)
+    rows
+      .join(centered, keys :+ "__phase")
+      .select((keyCols ++ Seq(
+        col("__ord").as("ord"),
+        round(col("__v").cast("double") / lit(factor), 6).as("value"),
+        col("trend"),
+        col("seasonal"),
+        when(col("trend").isNotNull,
+          round(col("__v").cast("double") / lit(factor) -
+            col("trend") - col("seasonal"), 6)).as("residual"))): _*)
+  }
+
   /** W4e: Tukey-fence outliers — ClickHouse `seriesOutliersDetectTukey`
     * as a distributed read: flag rows whose value falls outside
     * [q1 − k·IQR, q3 + k·IQR] of their key's distribution. The ROBUST

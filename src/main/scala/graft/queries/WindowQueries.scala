@@ -537,6 +537,24 @@ object WindowQueries {
         .orderBy(col("event_type"))
     }),
 
+    // W12: classical additive seasonal decomposition — per type, the
+    // daily event-count series split into trend (7-point centered MA)
+    // + weekly seasonal indices (phase means of the exact detrended
+    // numerators, re-centered) + residual; every emitted value rides
+    // the exact fixed-point machinery so the whole table value-oracles
+    "q_series_decompose" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long").as("day")
+      val daily = table(s, d, "events")
+        .select(col("event_type"), day)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.TimeSeries.seriesDecompose(
+        daily, Seq("event_type"), ord = col("day"),
+        value = col("cnt"), period = 7)
+        .orderBy(col("event_type"), col("ord"))
+    }),
+
     // W4e: Tukey-fence outliers — rows outside [q1−1.5·IQR, q3+1.5·IQR]
     // of their type's value distribution; exact fixed-point quartile
     // grid makes the fence comparisons engine-exact
@@ -1159,6 +1177,52 @@ object WindowQueries {
                * (CAST(tmax - tz + 3600 AS DOUBLE) - meant)) / 100.0, 6)
              END AS predict
          FROM f ORDER BY event_type""",
+    // W12: identical fixed-point machinery — HUGEINT window sums,
+    // exact detrended numerators, round-9 DECIMAL(28,9) phase means,
+    // one double division per emitted value
+    "q_series_decompose" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+           FROM events GROUP BY event_type, day),
+         fp AS (SELECT event_type, day,
+             CAST(floor(cnt * 1000000.0) AS HUGEINT) AS v
+           FROM daily),
+         b AS (SELECT event_type, day AS ord, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(v) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tsum
+           FROM fp),
+         r AS (SELECT *, (rn - 1) % 7 AS phase,
+             rn > 3 AND rn <= n - 3 AS tok FROM b),
+         t AS (SELECT *,
+             CASE WHEN tok THEN
+               round(CAST(tsum AS DOUBLE) / (7.0 * 1000000.0), 6)
+             END AS trend,
+             CASE WHEN tok THEN v * 7 - tsum END AS dnum FROM r),
+         sp AS (SELECT event_type, phase,
+             CAST(round(CAST(sum(dnum) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 7.0 * 1000000.0), 9)
+               AS DECIMAL(28,9)) AS sraw
+           FROM t WHERE tok GROUP BY event_type, phase),
+         sc AS (SELECT event_type, phase,
+             round(CAST(sraw - CAST(round(
+               CAST(sum(sraw) OVER (PARTITION BY event_type) AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE),
+               9) AS DECIMAL(28,9)) AS DOUBLE), 6) AS seasonal
+           FROM sp)
+         SELECT t.event_type, t.ord,
+           round(CAST(v AS DOUBLE) / 1000000.0, 6) AS value,
+           t.trend, sc.seasonal,
+           CASE WHEN t.trend IS NOT NULL THEN
+             round(CAST(v AS DOUBLE) / 1000000.0 - t.trend - sc.seasonal,
+               6) END AS residual
+         FROM t JOIN sc ON sc.event_type = t.event_type
+           AND sc.phase = t.phase
+         ORDER BY t.event_type, t.ord""",
     "q_derivative" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,

@@ -275,6 +275,47 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out("lin")._4.get === 502.0)
   }
 
+  test("seriesDecompose: exact recovery of a planted linear trend + zero-mean seasonal; edges null; indices sum to 0") {
+    import graft.operators.TimeSeries
+    // v_i = 10 + 0.5·i + s_{i mod 5} with Σs = 0: a 5-point centered
+    // MA of a linear+periodic series recovers the line EXACTLY in the
+    // interior, the detrended values ARE the seasonal, residual 0
+    val s = Seq(2.0, -1.0, 0.5, -3.0, 1.5)
+    val n = 30
+    val rows = (0 until n).map(i =>
+      ("k", i.toLong, 10.0 + 0.5 * i + s(i % 5)))
+    val out = TimeSeries.seriesDecompose(
+      rows.toDF("k", "t", "v"), Seq("k"), ord = col("t"),
+      value = col("v"), period = 5)
+      .select("ord", "value", "trend", "seasonal", "residual")
+      .as[(Long, Double, Option[Double], Double, Option[Double])]
+      .collect().sortBy(_._1)
+    assert(out.length === n)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    for ((ord, v, trend, seasonal, resid) <- out) {
+      val i = ord.toInt
+      assert(v === r6(10.0 + 0.5 * i + s(i % 5)))
+      assert(seasonal === r6(s(i % 5)), s"seasonal at $i")
+      if (i < 2 || i >= n - 2) {
+        // edge rows: no full window → trend and residual null
+        assert(trend.isEmpty && resid.isEmpty, s"edge at $i")
+      } else {
+        assert(trend === Some(r6(10.0 + 0.5 * i)), s"trend at $i")
+        assert(resid === Some(0.0), s"residual at $i")
+      }
+    }
+    // the seasonal indices sum to 0 across one period (re-centering)
+    val idx = out.take(5).map(_._4)
+    assert(math.abs(idx.sum) < 1e-9, s"indices $idx")
+    // even period: the window widens to period+1 and the same
+    // machinery runs (smoke — exactness of the odd case is the law)
+    val even = TimeSeries.seriesDecompose(
+      rows.toDF("k", "t", "v"), Seq("k"), ord = col("t"),
+      value = col("v"), period = 6)
+    assert(even.count() === n)
+    assert(even.where(col("trend").isNotNull).count() === n - 6)
+  }
+
   test("cramersV/association: a NULL category is a real column — perfect {x→1, y→NULL} gives V 1, not degenerate") {
     // b is fully determined by a, but one of b's two categories is
     // NULL: null-exclusive distinct counting would see c = 1, declare
