@@ -378,6 +378,19 @@ object ScaleBench {
       "gini" -> (() => graft.operators.StatsAgg.gini(
         Tables.table(spark, dir, "events"), Seq("event_type"),
         col("value")).count()),
+      // round-16: W13 — same constant-output contract as W12 (the
+      // ACF table is types × lags regardless of raw volume)
+      "autocorr" -> (() => {
+        val day = floor(Tables.epochSeconds(col("ts")) / 86400L)
+          .cast("long").as("day")
+        graft.operators.TimeSeries.autocorrelation(
+          Tables.table(spark, dir, "events")
+            .select(col("event_type"), day)
+            .groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          Seq("event_type"), ord = col("day"), value = col("cnt"),
+          maxLag = 10).count()
+      }),
       // round-16: W12 — the decomposition runs over the (type, day)
       // AGGREGATE grid, so its row count stays CONSTANT as raw volume
       // multiplies (hard-asserted below) and its cost is one pre-agg
@@ -1247,7 +1260,7 @@ object ScaleBench {
       // round-15: constant-output contracts — per-type / per-(label,
       // pair) aggregates must not grow with raw volume
       for (p <- Seq("predict_linear", "gini", "corr_matrix",
-             "series_decompose");
+             "series_decompose", "autocorr");
            b <- bm.get(p); s <- sm.get(p))
         if (s != b) throw new AssertionError(
           s"$p: scaled rows $s != base rows $b — output must be " +

@@ -371,6 +371,89 @@ object TimeSeries {
             col("trend") - col("seasonal"), 6)).as("residual"))): _*)
   }
 
+  /** W13: sample autocorrelation function — the deterministic
+    * arithmetic behind period detection (ClickHouse ships
+    * `seriesPeriodDetectFFT`; the ACF is the direct-form equivalent
+    * for the lag ranges a monitoring table cares about, and unlike an
+    * FFT it is exactly reproducible in any engine):
+    *
+    *   acf(k) = Σ_{i=1..n−k} (v_i − v̄)(v_{i+k} − v̄) / Σ (v_i − v̄)²
+    *
+    * Exactness: with the fixed-point v_fp and per-key (S = Σv, n),
+    * the centered term is computed as the EXACT integer c_i =
+    * v_i·n − S (multiplying the classic formula through by n² — both
+    * numerator and denominator scale by n², which cancels), so every
+    * lag's numerator and the lag-0 denominator are exact DECIMAL sums
+    * and acf is ONE double division, round-6. Degenerate (constant)
+    * series yield null acf.
+    *
+    * Plan shape: designed for AGGREGATED series (day/hour grids, the
+    * W12 input convention): one rank window per key, each row explodes
+    * to maxLag+1 (target-rank, lag) probes, ONE (keys, rank) equi-join
+    * pairs them, one (keys, lag) partial+final aggregate — grid-sized
+    * throughout, no per-lag pass.
+    */
+  def autocorrelation(df: DataFrame, keys: Seq[String], ord: Column,
+      value: Column, maxLag: Int, scale: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val factor = math.pow(10.0, scale)
+    val keyCols = keys.map(col)
+    val win = Window.partitionBy(keyCols: _*).orderBy(ord)
+    val base = df
+      .where(ord.isNotNull && value.isNotNull &&
+        !isnan(value.cast("double")))
+      .withColumn("__v",
+        floor(value.cast("double") * lit(factor)).cast("decimal(38,0)"))
+      .withColumn("__rn", row_number().over(win))
+    val stats = base.groupBy(keyCols: _*)
+      .agg(sum(col("__v")).as("__s"),
+        count(lit(1)).cast("decimal(38,0)").as("__n"))
+    val c = base.join(stats, keys)
+      .withColumn("__c", col("__v") * col("__n") - col("__s"))
+      .select((keyCols :+ col("__rn")) :+ col("__c"): _*)
+    val probes = c
+      .select((keyCols :+ col("__rn")) :+ col("__c").as("__ca"): _*)
+      .withColumn("__k", explode(sequence(lit(0), lit(maxLag))))
+      .withColumn("__rt", col("__rn") + col("__k"))
+      .drop("__rn")
+    val pairs = probes.join(
+      c.select((keyCols :+ col("__rn").as("__rt")) :+
+        col("__c").as("__cb"): _*),
+      keys :+ "__rt")
+    val nk = pairs.groupBy((keyCols :+ col("__k")): _*)
+      .agg(sum(col("__ca") * col("__cb")).as("__nk"),
+        count(lit(1)).cast("long").as("n_pairs"))
+    val d0 = nk.where(col("__k") === 0)
+      .select((keyCols :+ col("__nk").as("__d")): _*)
+    nk.join(d0, keys)
+      .select((keyCols ++ Seq(
+        col("__k").cast("long").as("lag"),
+        col("n_pairs"),
+        when(col("__d") > 0,
+          round(col("__nk").cast("double") / col("__d").cast("double"),
+            6)).as("acf"))): _*)
+  }
+
+  /** W13b: dominant-period pick off the ACF — the
+    * `seriesPeriodDetectFFT` read: the lag ≥ 2 with the highest
+    * autocorrelation (ties → smallest lag; lag 1 is excluded as the
+    * trivial adjacent-sample correlation). One argmax aggregate over
+    * the maxLag-sized ACF table. Keys whose series is degenerate
+    * (null acf everywhere) drop.
+    */
+  def periodDetect(df: DataFrame, keys: Seq[String], ord: Column,
+      value: Column, maxLag: Int, scale: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    autocorrelation(df, keys, ord, value, maxLag, scale)
+      .where(col("lag") >= 2 && col("acf").isNotNull)
+      .groupBy(keyCols: _*)
+      .agg(max_by(
+        struct(col("lag"), col("acf")),
+        struct(col("acf").as("a"), (-col("lag")).as("nl"))).as("__w"))
+      .select((keyCols ++ Seq(
+        col("__w.lag").as("period"), col("__w.acf").as("acf"))): _*)
+  }
+
   /** W4e: Tukey-fence outliers — ClickHouse `seriesOutliersDetectTukey`
     * as a distributed read: flag rows whose value falls outside
     * [q1 − k·IQR, q3 + k·IQR] of their key's distribution. The ROBUST

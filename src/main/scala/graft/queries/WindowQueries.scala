@@ -555,6 +555,37 @@ object WindowQueries {
         .orderBy(col("event_type"), col("ord"))
     }),
 
+    // W13: sample ACF over the daily event-count series, lags 0..10 —
+    // exact integer centered terms (v·n − S), one double division per
+    // lag, so the whole table value-oracles
+    "q_autocorr" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long").as("day")
+      val daily = table(s, d, "events")
+        .select(col("event_type"), day)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.TimeSeries.autocorrelation(
+        daily, Seq("event_type"), ord = col("day"),
+        value = col("cnt"), maxLag = 10)
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // W13b: the dominant-period pick off the same ACF — argmax over
+    // lag >= 2, ties to the smallest lag
+    "q_period_detect" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long").as("day")
+      val daily = table(s, d, "events")
+        .select(col("event_type"), day)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.TimeSeries.periodDetect(
+        daily, Seq("event_type"), ord = col("day"),
+        value = col("cnt"), maxLag = 10)
+        .orderBy(col("event_type"))
+    }),
+
     // W4e: Tukey-fence outliers — rows outside [q1−1.5·IQR, q3+1.5·IQR]
     // of their type's value distribution; exact fixed-point quartile
     // grid makes the fence comparisons engine-exact
@@ -1223,6 +1254,75 @@ object WindowQueries {
          FROM t JOIN sc ON sc.event_type = t.event_type
            AND sc.phase = t.phase
          ORDER BY t.event_type, t.ord""",
+    // W13: same exact-integer centering (v·n − S), HUGEINT products,
+    // one double division per lag
+    "q_autocorr" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+           FROM events GROUP BY event_type, day),
+         b AS (SELECT event_type, day,
+             CAST(floor(cnt * 1000000.0) AS HUGEINT) AS v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+           FROM daily),
+         st AS (SELECT event_type, sum(v) AS s,
+             CAST(count(*) AS HUGEINT) AS n
+           FROM b GROUP BY event_type),
+         c AS (SELECT b.event_type, rn, v * n - s AS cv
+           FROM b JOIN st USING (event_type)),
+         l AS (SELECT unnest(range(0, 11)) AS k),
+         p AS (SELECT a.event_type, l.k, a.cv AS ca, b2.cv AS cb
+           FROM c a CROSS JOIN l
+           JOIN c b2 ON b2.event_type = a.event_type
+             AND b2.rn = a.rn + l.k),
+         nk AS (SELECT event_type, k, sum(ca * cb) AS nkv,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM p GROUP BY event_type, k),
+         n0 AS (SELECT event_type, nkv AS d FROM nk WHERE k = 0)
+         SELECT nk.event_type, CAST(k AS BIGINT) AS lag, n_pairs,
+           CASE WHEN d > 0 THEN
+             round(CAST(nkv AS DOUBLE) / CAST(d AS DOUBLE), 6)
+           END AS acf
+         FROM nk JOIN n0 USING (event_type)
+         ORDER BY event_type, lag""",
+    // W13b: the argmax over the same ACF, lag >= 2, ties → smallest
+    "q_period_detect" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+           FROM events GROUP BY event_type, day),
+         b AS (SELECT event_type, day,
+             CAST(floor(cnt * 1000000.0) AS HUGEINT) AS v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+           FROM daily),
+         st AS (SELECT event_type, sum(v) AS s,
+             CAST(count(*) AS HUGEINT) AS n
+           FROM b GROUP BY event_type),
+         c AS (SELECT b.event_type, rn, v * n - s AS cv
+           FROM b JOIN st USING (event_type)),
+         l AS (SELECT unnest(range(0, 11)) AS k),
+         p AS (SELECT a.event_type, l.k, a.cv AS ca, b2.cv AS cb
+           FROM c a CROSS JOIN l
+           JOIN c b2 ON b2.event_type = a.event_type
+             AND b2.rn = a.rn + l.k),
+         nk AS (SELECT event_type, k, sum(ca * cb) AS nkv
+           FROM p GROUP BY event_type, k),
+         n0 AS (SELECT event_type, nkv AS d FROM nk WHERE k = 0),
+         acf AS (SELECT nk.event_type, CAST(k AS BIGINT) AS lag,
+             CASE WHEN d > 0 THEN
+               round(CAST(nkv AS DOUBLE) / CAST(d AS DOUBLE), 6)
+             END AS acf
+           FROM nk JOIN n0 USING (event_type)),
+         r AS (SELECT event_type, lag AS period, acf,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY acf DESC, lag ASC) AS rk
+           FROM acf WHERE lag >= 2 AND acf IS NOT NULL)
+         SELECT event_type, period, acf FROM r WHERE rk = 1
+         ORDER BY event_type""",
     "q_derivative" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,

@@ -316,6 +316,52 @@ class IntervalStatsSpec extends SparkSpec {
     assert(even.where(col("trend").isNotNull).count() === n - 6)
   }
 
+  test("autocorrelation/periodDetect: exact rational ACF of a pure periodic series; lag-0 is 1; the plant wins the argmax") {
+    import graft.operators.TimeSeries
+    // v_i = s_{i mod 5} with Σs = 0 over 30 points: acf(k) for k a
+    // multiple of 5 is exactly (n−k)/n, other lags are fixed rationals
+    // of the s cross-products — all land exactly on the round-6 grid
+    // after one double division of exact integers
+    val s = Seq(2.0, -1.0, 0.5, -3.0, 1.5)
+    val rows = (0 until 30).map(i => ("k", i.toLong, s(i % 5)))
+    val acf = TimeSeries.autocorrelation(
+      rows.toDF("k", "t", "v"), Seq("k"), ord = col("t"),
+      value = col("v"), maxLag = 10)
+      .select("lag", "n_pairs", "acf")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(acf(0L) === ((0L, 30L, Some(1.0))))
+    assert(acf(5L)._3 === Some(r6(25.0 / 30.0)))
+    assert(acf(10L)._3 === Some(r6(20.0 / 30.0)))
+    assert(acf(5L)._2 === 25L && acf(10L)._2 === 20L)
+    // scalar cross-check of a non-multiple lag
+    def ref(k: Int): Double = {
+      val v = (0 until 30).map(i => s(i % 5))
+      val num = (0 until 30 - k).map(i => v(i) * v(i + k)).sum
+      val den = v.map(x => x * x).sum
+      r6(num / den)
+    }
+    for (k <- Seq(1L, 2L, 3L, 7L)) assert(acf(k)._3 === Some(ref(k.toInt)))
+    // the period pick: argmax over lag >= 2 is the planted 5
+    val p = TimeSeries.periodDetect(
+      rows.toDF("k", "t", "v"), Seq("k"), ord = col("t"),
+      value = col("v"), maxLag = 10)
+      .select("period", "acf").as[(Long, Double)].head()
+    assert(p === ((5L, r6(25.0 / 30.0))))
+    // constant series: degenerate denominator → null acf everywhere,
+    // and the key drops out of periodDetect entirely
+    val flat = (0 until 12).map(i => ("c", i.toLong, 7.0))
+    val fa = TimeSeries.autocorrelation(
+      flat.toDF("k", "t", "v"), Seq("k"), ord = col("t"),
+      value = col("v"), maxLag = 4)
+      .select("acf").as[Option[Double]].collect()
+    assert(fa.forall(_.isEmpty))
+    assert(TimeSeries.periodDetect(
+      flat.toDF("k", "t", "v"), Seq("k"), ord = col("t"),
+      value = col("v"), maxLag = 4).count() === 0L)
+  }
+
   test("cramersV/association: a NULL category is a real column — perfect {x→1, y→NULL} gives V 1, not degenerate") {
     // b is fully determined by a, but one of b's two categories is
     // NULL: null-exclusive distinct counting would see c = 1, declare
