@@ -279,6 +279,40 @@ object Dedup {
       sig)
   }
 
+  /** X2f: edit-distance-verified near-dup pairs — the fuzzy-dedup
+    * arm whose verify metric is CHARACTER edit distance rather than
+    * shingle overlap: catches single-character noise (OCR errors,
+    * normalization drift, typo clusters) that k-shingle Jaccard
+    * dilutes across every overlapping gram. Candidates come from the
+    * X2 SimHash Hamming bands (never all-pairs); each candidate pair
+    * is verified with Spark's builtin `levenshtein` under a RATIO
+    * threshold evaluated in exact integers:
+    * edits·100 ≤ maxEditsPerHundred · max(len_a, len_b) — no double
+    * division, so the accept set is bit-identical in any engine.
+    *
+    * Scale: the verify is O(len_a·len_b) per CANDIDATE pair (the DP
+    * table), which is exactly why candidates must be banded first —
+    * the band join bounds pair mass, texts join back by id
+    * candidate-bounded, and production callers cap document length
+    * upstream (the standard fuzzy-dedup practice; whole-document
+    * distance on multi-MB docs is the wrong tool — use X2's shingle
+    * tiers there).
+    */
+  def editDistanceNearDup(df: DataFrame, id: String, text: Column,
+      maxEditsPerHundred: Int, bandHamming: Int = 12,
+      k: Int = 2): DataFrame = {
+    val cand = simhashNearDup(df, id, text, maxHamming = bandHamming, k)
+    val ta = df.select(col(id).as("id_a"), text.as("__ta"))
+    val tb = df.select(col(id).as("id_b"), text.as("__tb"))
+    cand.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("edits",
+        levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .where(col("edits") * 100 <=
+        lit(maxEditsPerHundred) *
+          greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("hamming"), col("edits"))
+  }
+
   /** X2 exact substring-span dedup (the ExactSubstr pass of Lee et
     * al., "Deduplicating Training Data Makes Language Models Better",
     * ACL 2022): a token span duplicated VERBATIM across documents is

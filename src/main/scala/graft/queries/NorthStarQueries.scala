@@ -51,6 +51,17 @@ object NorthStarQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // X2f: edit-distance-verified near-dup — the q_simhash_pairs
+    // candidates re-verified with levenshtein under an exact-integer
+    // ratio threshold (edits·100 ≤ 20·max(len)); catches character-
+    // noise duplicates that shingle Jaccard dilutes
+    "q_edit_neardup" -> ((s, d) => {
+      graft.operators.Dedup.editDistanceNearDup(
+        table(s, d, "documents"), "doc_id", col("text"),
+        maxEditsPerHundred = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // X5b: the image/audio near-dup pair machinery value-oracled —
     // the decode stays spec-land (DuckDB has no image codec), so the
     // signature fixture is synthesized deterministically from md5
@@ -1006,6 +1017,19 @@ object NorthStarQueries {
     "q_simhash_pairs" ->
       (simhashPairsCte + """
          SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b"""),
+    // X2f: the same candidate CTE, re-verified with levenshtein under
+    // the exact-integer ratio threshold (both engines' levenshtein is
+    // unit-cost insert/delete/substitute)
+    "q_edit_neardup" ->
+      (simhashPairsCte + """
+         SELECT p.id_a, p.id_b, p.hamming,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edits
+         FROM pairs p
+         JOIN documents a ON a.doc_id = p.id_a
+         JOIN documents b ON b.doc_id = p.id_b
+         WHERE levenshtein(a.text, b.text) * 100
+           <= 20 * greatest(len(a.text), len(b.text))
+         ORDER BY p.id_a, p.id_b"""),
     // X5b: the engine's 64-bit long signature mirrored as a 64-char
     // bit string (bitstring position j = long bit 63-j, so the
     // variant masks' long bits {3}, {3,17}, {5,21,40,52,60,62} flip

@@ -726,6 +726,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(both.map(r => (r._1, r._2)).toSeq == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("editDistanceNearDup: levenshtein ratio accepts the typo twin and rejects the doubled doc; edits match a scalar reference") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    // doc 2: one-character typo (edits 1, ratio ~1.6% → accept);
+    // doc 3: the SAME text doubled — the bigram BAG scales uniformly,
+    // so its SimHash equals doc 1's (hamming 0, a candidate by
+    // construction) while levenshtein = |base|+1 (ratio ~50% → the
+    // exact-integer threshold must reject it)
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("dog", "dof")),
+      (3L, base + " " + base)).toDF("doc_id", "text")
+    val out = Dedup.editDistanceNearDup(
+      docs, "doc_id", col("text"), maxEditsPerHundred = 20)
+      .select("id_a", "id_b", "edits")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 1L)), s"got $out")
+    // the doubled doc WAS a candidate (same simhash) — prove the
+    // rejection happened at the verify, not the banding
+    val cand = Dedup.simhashNearDup(
+      docs, "doc_id", col("text"), maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 3L)), s"candidates $cand")
+    // scalar levenshtein reference on the accepted pair
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    assert(lev(base, base.replace("dog", "dof")) === 1)
+    assert(lev(base, base + " " + base) === base.length + 1)
+  }
+
   test("stripRepeatedSpans removes a shared span everywhere but the keeper") {
     val d = Seq(
       (1L, "a b c d e unique1 tail1"),   // keeper of span "a b c d e"
