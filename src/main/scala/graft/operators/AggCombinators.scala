@@ -313,6 +313,62 @@ object AggCombinators {
         (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc))
   }
 
+  /** W14 / A23c: Holt's linear method (double exponential smoothing;
+    * Holt 1957, the PromQL `holt_winters` function and every
+    * monitoring stack's trend-aware forecast) — the [[
+    * exponentialMovingAverage]] recurrence extended with a trend
+    * state:
+    *
+    *   l_1 = v_1,  b_1 = v_2 − v_1
+    *   l_t = α·v_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   forecast(h) = l_n + h·b_n
+    *
+    * Same determinism argument as the EMA: the fold order is imposed
+    * INSIDE the aggregate and each step is a fixed IEEE op tree, so
+    * any engine folding the same order (DuckDB's recursive CTE — the
+    * oracle) produces bit-identical states; with α = β = 0.5 (the
+    * registered query's dials) every multiply is an exact
+    * power-of-two scaling, so the whole fold is exact arithmetic
+    * outright. Returns a struct column (n_samples, level, trend,
+    * forecast) for use inside `.agg(...)`; groups with fewer than 2
+    * points yield null level/trend/forecast (no trend is defined).
+    * Null values must be filtered upstream.
+    */
+  def holtLinear(value: Column, order: Seq[Column], alpha: Double,
+      beta: Double, horizon: Int): Column = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1]: $beta")
+    val fields = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+      value.cast("double").as("__v")
+    val sorted = transform(
+      sort_array(collect_list(struct(fields: _*))), e => e("__v"))
+    val n = size(sorted)
+    val init = struct(
+      element_at(sorted, 1).as("l"),
+      (element_at(sorted, 2) - element_at(sorted, 1)).as("b"))
+    // fold from t = 2 (the textbook iteration start; the t = 2 step
+    // is an arithmetic near-identity given this init, and folding it
+    // keeps the op sequence exactly the published recurrence)
+    val fold = aggregate(
+      slice(sorted, lit(2), greatest(n - 1, lit(0))),
+      init,
+      (acc, x) => {
+        val l2 = lit(alpha) * x +
+          lit(1.0 - alpha) * (acc("l") + acc("b"))
+        struct(l2.as("l"),
+          (lit(beta) * (l2 - acc("l")) +
+            lit(1.0 - beta) * acc("b")).as("b"))
+      })
+    val ok = n >= 2
+    struct(
+      n.cast("long").as("n_samples"),
+      when(ok, round(fold("l"), 6)).as("level"),
+      when(ok, round(fold("b"), 6)).as("trend"),
+      when(ok, round(fold("l") + lit(horizon.toDouble) * fold("b"), 6))
+        .as("forecast"))
+  }
+
   /** ClickHouse's `exponentialTimeDecayedSum` — the TIME-aware decay
     * read (the gap between points sets the decay, not the step
     * count, unlike [[exponentialMovingAverage]]): at each point k of

@@ -623,6 +623,27 @@ object AggQueries {
         .orderBy(col("user_id"))
     }),
 
+    // W14: Holt's linear method (double exponential smoothing) — per
+    // user, trend-aware level/trend states + a 5-step forecast; with
+    // α = β = 0.5 every multiply is an exact power-of-two scaling, so
+    // the fold is exact arithmetic and the compare is bit-level
+    "q_holt_linear" -> ((s, d) => {
+      table(s, d, "events")
+        .where(col("value").isNotNull)
+        .select(col("user_id"), graft.Tables.epochSeconds(col("ts")).as("ep"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(graft.operators.AggCombinators.holtLinear(
+          col("value"), Seq(col("ep"), col("event_id")),
+          alpha = 0.5, beta = 0.5, horizon = 5).as("__h"))
+        .select(col("user_id"),
+          col("__h.n_samples").as("n_samples"),
+          col("__h.level").as("level"),
+          col("__h.trend").as("trend"),
+          col("__h.forecast").as("forecast"))
+        .orderBy(col("user_id"))
+    }),
+
     // A24b: exponentialTimeDecayed{Sum,Avg,Max} over hour-bucketed
     // events per user — Δt/halflife integral (halflife = 1 bucket),
     // so every decay factor is an exact power of two and the fold is
@@ -1990,6 +2011,39 @@ object AggQueries {
              (acc, x) -> CAST(0.3 AS DOUBLE) * x
                + CAST(0.7 AS DOUBLE) * acc), 6) AS ema
          FROM e GROUP BY user_id ORDER BY user_id""",
+    // W14: the same coupled (l, b) recurrence folded in identical
+    // order by a recursive CTE; α = β = 0.5 ⇒ exact power-of-two
+    // scalings, bit-identical states
+    "q_holt_linear" ->
+      """WITH RECURSIVE e AS (SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+             event_id, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+         r AS (SELECT user_id, v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ep, event_id) AS rn
+           FROM e),
+         cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM r GROUP BY user_id),
+         f AS (
+           SELECT a.user_id, CAST(1 AS BIGINT) AS rn,
+             a.v AS l, b.v - a.v AS b
+           FROM r a JOIN r b ON b.user_id = a.user_id
+             AND a.rn = 1 AND b.rn = 2
+           UNION ALL
+           SELECT r.user_id, f.rn + 1,
+             0.5 * r.v + 0.5 * (f.l + f.b),
+             0.5 * ((0.5 * r.v + 0.5 * (f.l + f.b)) - f.l) + 0.5 * f.b
+           FROM r JOIN f ON r.user_id = f.user_id AND r.rn = f.rn + 1),
+         last AS (SELECT f.user_id, f.l, f.b
+           FROM f JOIN cnt ON cnt.user_id = f.user_id AND f.rn = cnt.n)
+         SELECT cnt.user_id, cnt.n AS n_samples,
+           CASE WHEN cnt.n >= 2 THEN round(l.l, 6) END AS level,
+           CASE WHEN cnt.n >= 2 THEN round(l.b, 6) END AS trend,
+           CASE WHEN cnt.n >= 2 THEN round(l.l + 5.0 * l.b, 6)
+             END AS forecast
+         FROM cnt LEFT JOIN last l ON l.user_id = cnt.user_id
+         ORDER BY cnt.user_id""",
     // A24b: the same linear recurrences, folded in identical order by
     // a recursive CTE; Δt/h integral → decay factors are exact powers
     // of two, each step exact IEEE scaling + add → bit-identical

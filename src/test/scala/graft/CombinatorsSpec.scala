@@ -104,6 +104,38 @@ class CombinatorsSpec extends SparkSpec {
     assert(bar.charAt(2) == ' ' && bar.charAt(3) == '▁', s"bar=[$bar]")
   }
 
+  test("holtLinear: a perfect line is tracked exactly; noisy series matches a scalar fold; single point null") {
+    import graft.operators.AggCombinators
+    // law: on v_i = a + c·i with α = β = 0.5, induction from the
+    // (l₁ = v₁, b₁ = c) init keeps l_t = v_t and b_t = c EXACTLY at
+    // every step, so forecast(h) = v_n + h·c
+    val line = (0 until 20).map(i => ("lin", i.toLong, 3.25 + 0.5 * i))
+    val noisy = Seq(("n", 0L, 1.0), ("n", 1L, 4.0), ("n", 2L, 2.0),
+      ("n", 3L, 8.0), ("n", 4L, 5.0))
+    val single = Seq(("one", 0L, 9.0))
+    val out = (line ++ noisy ++ single).toDF("k", "t", "v")
+      .groupBy(col("k"))
+      .agg(AggCombinators.holtLinear(col("v"), Seq(col("t")),
+        alpha = 0.5, beta = 0.5, horizon = 4).as("h"))
+      .select(col("k"), col("h.n_samples"), col("h.level"),
+        col("h.trend"), col("h.forecast"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("lin") === (("lin", 20L, Some(3.25 + 0.5 * 19),
+      Some(0.5), Some(3.25 + 0.5 * 19 + 4 * 0.5))))
+    assert(out("one") === (("one", 1L, None, None, None)))
+    // scalar reference fold on the noisy series (same op order)
+    var (l, b) = (1.0, 4.0 - 1.0)
+    for (x <- Seq(4.0, 2.0, 8.0, 5.0)) {
+      val l2 = 0.5 * x + 0.5 * (l + b)
+      b = 0.5 * (l2 - l) + 0.5 * b
+      l = l2
+    }
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out("n")._3 === Some(r6(l)) && out("n")._4 === Some(r6(b)))
+    assert(out("n")._5 === Some(r6(l + 4 * b)))
+  }
+
   test("groupUniqArray: sorted distinct") {
     val df = Seq(("A", "b"), ("A", "a"), ("A", "b")).toDF("k", "v")
     val out = df.groupBy(col("k"))
