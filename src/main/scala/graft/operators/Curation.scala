@@ -980,4 +980,133 @@ object Curation {
       .agg(count(lit(1)).as("n_feats"),
         (sum(col("lr").cast("decimal(38,15)")).cast("double")).as("logweight"))
   }
+
+  /** Merge every non-overlapping adjacent (a, b) symbol pair into the
+    * concatenated symbol, LEFT TO RIGHT — the BPE merge-application
+    * primitive, as one codegen-able fold over the symbol array
+    * (state = (emitted prefix, one pending symbol); the finish lambda
+    * flushes the pending symbol).
+    */
+  private def mergePair(sym: Column, a: String, b: String): Column = {
+    val empty = array().cast("array<string>")
+    aggregate(sym,
+      struct(empty.as("out"), lit(null).cast("string").as("pend")),
+      (acc, s) =>
+        when(acc("pend") === lit(a) && s === lit(b),
+          struct(concat(acc("out"), array(lit(a + b))).as("out"),
+            lit(null).cast("string").as("pend")))
+        .otherwise(struct(
+          when(acc("pend").isNull, acc("out"))
+            .otherwise(concat(acc("out"), array(acc("pend")))).as("out"),
+          s.as("pend"))),
+      acc => when(acc("pend").isNull, acc("out"))
+        .otherwise(concat(acc("out"), array(acc("pend")))))
+  }
+
+  /** X25: byte-pair-encoding merge TRAINING (Sennrich, Haddow & Birch
+    * 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units" — the algorithm behind every GPT/Llama-family tokenizer):
+    * learn the `merges` highest-frequency adjacent-symbol merges over
+    * the corpus. Returns the merge table
+    * (rank, left, right, merged, pair_count) in learning order —
+    * the artifact a tokenizer ships.
+    *
+    * The scale insight that makes BPE training distributable: after
+    * ONE corpus pass collapses text to the DISTINCT-WORD frequency
+    * table, every iteration runs on that vocabulary-sized table —
+    * pair counting is an explode + (a, b)-keyed partial+final
+    * aggregate weighted by word frequency, the argmax is a 1-row
+    * TakeOrdered (ties broken (count desc, left, right) — fully
+    * deterministic), and the merge application is the [[mergePair]]
+    * fold. Corpus size only ever affects the first pass. Per
+    * iteration the symbol table is localCheckpoint-truncated (the
+    * GraphOps iterative-lineage discipline — k chained HOF folds
+    * would otherwise nest the expression tree k deep).
+    *
+    * Words are character sequences with the classic `</w>`
+    * end-of-word marker appended as its own symbol, so merges can
+    * learn word-final units without crossing word boundaries.
+    * Non-SQL-expressible (iterative argmax) ⇒ spec-verified against a
+    * scalar reference; the registered query is rows-checked.
+    */
+  def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 10000, s"merges out of range: $merges")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(split(text, " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(
+        transform(sequence(lit(1), length(col("w"))),
+          i => substring(col("w"), i, lit(1))),
+        array(lit("</w>"))).as("sym"), col("cnt"))
+    var cur = words.localCheckpoint()
+    val learned = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    var done = false
+    for (r <- 1 to merges if !done) {
+      val pairs = cur
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1))).as("p"))
+        .select(col("p").getField("0").as("a"),
+          col("p").getField("1").as("b"), col("cnt"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (pairs.isEmpty || pairs.head.getLong(2) < 2) done = true
+      else {
+        val (a, b, n) = (pairs.head.getString(0), pairs.head.getString(1),
+          pairs.head.getLong(2))
+        learned += ((r, a, b, n))
+        cur = cur.select(mergePair(col("sym"), a, b).as("sym"),
+          col("cnt")).localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast("long"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"),
+        col("pair_count"))
+  }
+
+  /** X25b: apply a learned merge table to a corpus — the SEGMENT face
+    * of [[bpeTrain]]: tokenize each document into BPE subword units
+    * by replaying the merges in rank order. The fold is inherently
+    * sequential per word, so it runs as a scalar function over the
+    * DISTINCT-WORD table (vocabulary-sized — the documented read-face
+    * posture, one invocation per distinct word, never per token) and
+    * joins back broadcast-style. Returns (id, n_words, n_tokens,
+    * tokens) with tokens in document order.
+    */
+  def bpeSegment(df: DataFrame, id: String, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seg = udf { (w: String) =>
+      var sym = (w.map(_.toString) :+ "</w>").toVector
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        sym = out.result()
+      }
+      sym
+    }
+    val vocab = df.select(explode(split(text, " ")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+      .withColumn("__toks", seg(col("w")))
+    df.select(col(id), posexplode(split(text, " ")).as(Seq("__pos", "w")))
+      .where(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("__toks"))).cast("long").as("n_tokens"),
+        flatten(transform(array_sort(collect_list(
+          struct(col("__pos"), col("__toks")))),
+          e => e("__toks"))).as("tokens"))
+  }
 }

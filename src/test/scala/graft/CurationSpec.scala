@@ -849,4 +849,95 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, 1L, 1L, ""), (2L, 1L, 0L, ""), (3L, 2L, 1L, "a")))
   }
+
+  /** Scalar reference BPE: same </w> convention, same position-level
+    * pair counting (overlaps included), same (count desc, a, b)
+    * tie-break, same left-to-right non-overlapping merge, same < 2
+    * stop rule.
+    */
+  private def refBpe(words: Seq[(String, Long)],
+      k: Int): Seq[(Long, String, String, String, Long)] = {
+    var syms = words.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ "</w>", c) }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, String, Long)]
+    var done = false
+    for (r <- 1 to k if !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      for ((s, c) <- syms; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) =
+          counts.getOrElse((s(i), s(i + 1)), 0L) + c
+      val best = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some(((a, b), n)) if n >= 2 =>
+          out += ((r.toLong, a, b, a + b, n))
+          syms = syms.map { case (s, c) =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                nb += (a + b); i += 2
+              } else { nb += s(i); i += 1 }
+            }
+            (nb.result(), c)
+          }
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("X25 bpeTrain matches the scalar reference merge-for-merge on the classic corpus; stops when no pair repeats") {
+    // the Sennrich et al. walk-through corpus shape: shared stems and
+    // suffixes force a deterministic, meaningful merge order
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest widest widest")).toDF("doc_id", "text")
+    val got = Curation.bpeTrain(docs, col("text"), merges = 12)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val words = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 2L)
+    val want = refBpe(words, 12)
+    assert(got === want, s"\ngot  $got\nwant $want")
+    // the learned table is non-trivial: 'est</w>' or a prefix of it
+    // must appear among the merges (the corpus's dominant suffix)
+    assert(got.exists(m => m._4.contains("es")), s"merges $got")
+    // stop rule: an all-unique corpus learns nothing
+    val none = Curation.bpeTrain(
+      Seq((1L, "ab cd ef")).toDF("doc_id", "text"), col("text"),
+      merges = 5)
+    assert(none.count() === 0L)
+  }
+
+  test("X25b bpeSegment reconstructs every word and counts subword tokens consistently") {
+    val docs = Seq(
+      (1L, "low lower"),
+      (2L, "newest widest newest"),
+      (3L, "zzz")).toDF("doc_id", "text")
+    val merges = Curation.bpeTrain(docs, col("text"), merges = 8)
+      .orderBy("rank")
+      .select("left", "right").as[(String, String)].collect().toSeq
+    val out = Curation.bpeSegment(docs, "doc_id", col("text"), merges)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_tokens", "tokens")
+      .as[(Long, Long, Long, Seq[String])].collect()
+    assert(out.map(_._2).toSeq === Seq(2L, 3L, 1L))
+    for ((id, _, nTok, toks) <- out) {
+      assert(nTok === toks.length)
+      // concatenating a doc's tokens and stripping the markers
+      // reproduces its words in order
+      val rebuilt = toks.mkString("").split("</w>").filter(_.nonEmpty)
+      val want = Seq("low lower", "newest widest newest", "zzz")(
+        id.toInt - 1).split(" ")
+      assert(rebuilt.toSeq === want.toSeq, s"doc $id: $toks")
+    }
+    // an unseen word segments to characters + marker (merges only
+    // apply where learned pairs occur)
+    val z = out.find(_._1 == 3L).get._4
+    assert(z.forall(t => t.length <= "zz".length + 4))
+  }
 }
