@@ -353,6 +353,50 @@ object StatsAgg {
       when(ok, round((mu1 - mu2) / sqrt(se2), 6)).as("z_stat"))): _*)
   }
 
+  /** A35: paired t test per key — the repeated-measures member of the
+    * test panel (scipy `ttest_rel`; ClickHouse users build it from
+    * `studentTTest` over differences): for row-paired observations
+    * (x, y), the one-sample t of the differences,
+    *
+    *   d̄ = Σd/n,  s_d² = (Σd² − n·d̄²)/(n−1),
+    *   t = d̄ / sqrt(s_d²/n),  df = n − 1
+    *
+    * The difference enters as the EXACT integer
+    * w_d = floor(x·10^s) − floor(y·10^s) (two fixed-point floors, one
+    * exact DECIMAL subtraction — never a double difference of
+    * near-equal magnitudes), and both power sums ride ONE
+    * partial+final hash aggregate (the [[moments]] discipline).
+    * Rows with a null/NaN side drop whole (pairing requires both);
+    * n < 2 or vanishing s_d yields null t. Output: keys :+
+    * (n_pairs, mean_diff, t_stat, df), round-6.
+    */
+  def pairedTTest(df: DataFrame, keys: Seq[String], x: Column,
+      y: Column, scale: Int = 2): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    def fp(c: Column) =
+      floor(c.cast("double") * lit(factor)).cast("decimal(38,0)")
+    val base = df
+      .where(x.isNotNull && !isnan(x.cast("double")) &&
+        y.isNotNull && !isnan(y.cast("double")))
+      .withColumn("__d", fp(x) - fp(y))
+    val out = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__d")).as("__s1"),
+        sum(col("__d") * col("__d")).as("__s2"))
+    val n = col("n_pairs").cast("double")
+    val s1 = col("__s1").cast("double") / lit(factor)
+    val s2 = col("__s2").cast("double") / lit(factor * factor)
+    val mu = s1 / n
+    val vd = (s2 - n * mu * mu) / (n - lit(1.0))
+    val ok = col("n_pairs") > 1 && vd > lit(1e-12)
+    out.select((keys.map(col) ++ Seq(
+      col("n_pairs"),
+      when(col("n_pairs") > 0, round(mu, 6)).as("mean_diff"),
+      when(ok, round(mu / sqrt(vd / n), 6)).as("t_stat"),
+      when(col("n_pairs") > 1,
+        (col("n_pairs") - 1).cast("long")).as("df"))): _*)
+  }
+
   /** Shared cohort machinery for the two-sample t tests: one
     * partial+final aggregate carrying each cohort's exact fixed-point
     * S1/S2 power sums ([[moments]] discipline) as conditional sums —

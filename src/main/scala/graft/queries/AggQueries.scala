@@ -336,6 +336,23 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A35: paired t test — each event paired with its user-stream
+    // predecessor (the repeated-measures design: "do values trend
+    // within user streams, per type?"); differences enter as exact
+    // integer fixed-point subtractions, one hash aggregate
+    "q_paired_ttest" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(graft.Tables.epochSeconds(col("ts")), col("event_id"))
+      val ev = table(s, d, "events")
+        .where(col("value").isNotNull)
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .where(col("prev").isNotNull)
+      graft.operators.StatsAgg.pairedTTest(
+        ev, Seq("event_type"), x = col("value"), y = col("prev"))
+        .orderBy(col("event_type"))
+    }),
+
     // A26: Spearman rank correlation between value and user id per
     // event type — doubled average ranks are exact integers, Pearson
     // over them is Spearman exactly
@@ -1370,6 +1387,39 @@ object AggQueries {
                + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
                  / (CAST(n2 AS DOUBLE) - 1.0)), 6) END AS df
          FROM t ORDER BY event_type""",
+    // A35: the same lag pairing, exact HUGEINT difference sums
+    "q_paired_ttest" ->
+      """WITH e AS (SELECT event_type, user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+             CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+         p AS (SELECT event_type, v,
+             lag(v) OVER (PARTITION BY user_id
+               ORDER BY ep, event_id) AS pv
+           FROM e),
+         d AS (SELECT event_type,
+             CAST(floor(v * 100.0) AS HUGEINT)
+               - CAST(floor(pv * 100.0) AS HUGEINT) AS wd
+           FROM p WHERE pv IS NOT NULL),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(wd) AS s1, sum(wd * wd) AS s2
+           FROM d GROUP BY event_type),
+         m AS (SELECT event_type, n_pairs,
+             CAST(s1 AS DOUBLE) / 100.0 / CAST(n_pairs AS DOUBLE) AS mu,
+             (CAST(s2 AS DOUBLE) / 10000.0
+               - CAST(n_pairs AS DOUBLE)
+                 * (CAST(s1 AS DOUBLE)/100.0/CAST(n_pairs AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE)/100.0/CAST(n_pairs AS DOUBLE)))
+               / (CAST(n_pairs AS DOUBLE) - 1.0) AS vd
+           FROM s)
+         SELECT event_type, n_pairs,
+           CASE WHEN n_pairs > 0 THEN round(mu, 6) END AS mean_diff,
+           CASE WHEN n_pairs > 1 AND vd > 1e-12 THEN
+             round(mu / sqrt(vd / CAST(n_pairs AS DOUBLE)), 6)
+           END AS t_stat,
+           CASE WHEN n_pairs > 1 THEN CAST(n_pairs - 1 AS BIGINT)
+             END AS df
+         FROM m ORDER BY event_type""",
     // A17d: same conditional power sums, pooled variance
     "q_student_ttest" ->
       """WITH w AS (SELECT event_type, user_id % 2 = 0 AS c,

@@ -362,6 +362,29 @@ class IntervalStatsSpec extends SparkSpec {
       value = col("v"), maxLag = 4).count() === 0L)
   }
 
+  test("pairedTTest: matches the scalar one-sample-t-of-differences; null on n=1, zero variance, and NaN pairs") {
+    import graft.operators.StatsAgg
+    // hand-computable pairs: d = (1.0, 2.0, 3.0, 6.0) → d̄ = 3,
+    // s_d² = (1+4+9+36 − 4·9)/3 = 14/3, t = 3/sqrt(14/12)
+    val rows = Seq(
+      ("k", 5.0, 4.0), ("k", 7.0, 5.0), ("k", 10.0, 7.0), ("k", 9.0, 3.0),
+      ("one", 2.0, 1.0),                       // single pair → null t
+      ("flat", 4.0, 1.0), ("flat", 6.0, 3.0),  // constant d → null t
+      ("nan", 1.0, Double.NaN), ("nan", 8.0, 6.0), ("nan", 5.0, 2.0))
+    val out = StatsAgg.pairedTTest(
+      rows.toDF("g", "x", "y"), Seq("g"), x = col("x"), y = col("y"))
+      .select("g", "n_pairs", "mean_diff", "t_stat", "df")
+      .as[(String, Long, Option[Double], Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    val t = 3.0 / math.sqrt((14.0 / 3.0) / 4.0)
+    assert(out("k") === (("k", 4L, Some(3.0), Some(r6(t)), Some(3L))))
+    assert(out("one") === (("one", 1L, Some(1.0), None, None)))
+    assert(out("flat")._4 === None)  // zero-variance differences
+    // the NaN pair dropped WHOLE: n = 2 over the clean pairs (d = 2, 3)
+    assert(out("nan")._2 === 2L && out("nan")._3 === Some(2.5))
+  }
+
   test("cramersV/association: a NULL category is a real column — perfect {x→1, y→NULL} gives V 1, not degenerate") {
     // b is fully determined by a, but one of b's two categories is
     // NULL: null-exclusive distinct counting would see c = 1, declare
