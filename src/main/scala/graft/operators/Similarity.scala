@@ -855,8 +855,16 @@ object Similarity {
           array_sort(collect_list(struct(col("__i"), col("__m")))),
           x => x("__m").cast("float")).as("cb_vec"))
         .collect()
-      cbRows = means.map(r =>
-        (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
+      // a codeword that attracts zero training points keeps its
+      // PREVIOUS vector instead of vanishing from the codebook: code
+      // values must stay dense 0..ksEff-1 because ivfPqTopK's LUT
+      // lookup is POSITIONAL over the code-sorted codebook
+      // (element_at(lut[s], code+1)) — dropping an empty code would
+      // shift every higher code onto the wrong LUT entry
+      val updated = means.map(r =>
+        ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2))).toMap
+      cbRows = cbRows.map { case (s, c, v) =>
+        (s, c, updated.getOrElse((s, c), v)) }
     }
     val cb = cbDf(cbRows)
     // encode: per (row, sub) the nearest codeword by L2 ⇔

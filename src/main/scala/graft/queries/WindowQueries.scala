@@ -1216,7 +1216,8 @@ object WindowQueries {
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
                AS day,
              CAST(count(*) AS DOUBLE) AS cnt
-           FROM events GROUP BY event_type, day),
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, day),
          fp AS (SELECT event_type, day,
              CAST(floor(cnt * 1000000.0) AS HUGEINT) AS v
            FROM daily),
@@ -1261,7 +1262,8 @@ object WindowQueries {
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
                AS day,
              CAST(count(*) AS DOUBLE) AS cnt
-           FROM events GROUP BY event_type, day),
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, day),
          b AS (SELECT event_type, day,
              CAST(floor(cnt * 1000000.0) AS HUGEINT) AS v,
              row_number() OVER (PARTITION BY event_type ORDER BY day)
@@ -1293,7 +1295,8 @@ object WindowQueries {
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
                AS day,
              CAST(count(*) AS DOUBLE) AS cnt
-           FROM events GROUP BY event_type, day),
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, day),
          b AS (SELECT event_type, day,
              CAST(floor(cnt * 1000000.0) AS HUGEINT) AS v,
              row_number() OVER (PARTITION BY event_type ORDER BY day)

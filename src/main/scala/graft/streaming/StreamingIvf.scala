@@ -20,7 +20,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *       (neighbor_id, cv), cell-partitioned exactly like the batch
   *       index — vectors are append-only, so a batch's assignment
   *       under a frozen codebook never needs rewriting
-  *   cells/base-<id>/cell=N/    the compacted form ([[compact]])
+  *   cells/base-<through>-<centVer>/cell=N/   the compacted form
+  *       ([[compact]]/[[retrain]]) — centVer in the name keeps every
+  *       rewrite version-distinct from the dirs it reads
   *   _CURRENT   "<version> <batchId> <nCorpus> <compactedThrough> <centVer>"
   *
   * Commit protocol: write the batch's cell dirs (and, on the first
@@ -48,6 +50,17 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * rebuilds the codebook over everything ingested and reassigns the
   * corpus into one new base (a compaction with new cell boundaries),
   * atomically: readers see the old view until the pointer moves.
+  *
+  * SINGLE WRITER — like [[StreamingPostings]], the store assumes ONE
+  * writer at a time across [[applyBatch]]/[[compact]]/[[retrain]]
+  * (the streaming query's foreachBatch is naturally serial;
+  * maintenance ops run between batches, never concurrently with
+  * one). Each maintenance op reads the pointer ONCE and derives its
+  * whole view (dir list + written-back pointer) from that snapshot,
+  * so it can never sweep a batch it didn't fold; CONCURRENT writers
+  * would still race at the pointer move itself and are out of
+  * contract. Readers are always safe — they see whichever committed
+  * pointer the atomic move exposes.
   */
 object StreamingIvf {
 
@@ -75,18 +88,25 @@ object StreamingIvf {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Committed cell directories at the current pointer — the
+  /** Committed cell directories under a pointer SNAPSHOT — the
     * [[StreamingPostings]] rule: the compacted base (if any) +
-    * per-batch dirs above the watermark.
+    * per-batch dirs above the watermark. Takes the pointer as an
+    * argument (never re-reads it) so one maintenance op derives its
+    * whole view from a single read — see the single-writer note in
+    * the object scaladoc. Base dirs are named
+    * `base-<through>-<centVer>`: version-distinct, so [[retrain]]
+    * never overwrites a path it is lazily reading from.
     */
-  private def committedCellDirs(storeDir: String): Seq[String] = {
-    val (_, lastBatch, _, compactedThrough, _) = readPointer(storeDir)
+  private def committedCellDirs(storeDir: String,
+      ptr: (Long, Long, Long, Long, Long)): Seq[String] = {
+    val (_, lastBatch, _, compactedThrough, centVer) = ptr
     val root = new java.io.File(storeDir, "cells")
     if (!root.isDirectory || lastBatch < 0) Seq.empty
     else {
       val base =
         if (compactedThrough < 0) Seq.empty
-        else Seq(new java.io.File(root, s"base-$compactedThrough").getPath)
+        else Seq(new java.io.File(root,
+          s"base-$compactedThrough-$centVer").getPath)
       val batches = root.listFiles().toSeq
         .filter { d =>
           d.isDirectory && d.getName.startsWith("batch-") &&
@@ -153,8 +173,9 @@ object StreamingIvf {
   def ivfTopKFromStore(spark: SparkSession, storeDir: String,
       queries: DataFrame, id: String, vec: String, k: Int,
       nProbe: Int = 0, targetRecall: Double = 0.0): DataFrame = {
-    val (ver, _, _, _, centVer) = readPointer(storeDir)
-    val dirs = committedCellDirs(storeDir)
+    val ptr = readPointer(storeDir)
+    val (ver, _, _, _, centVer) = ptr
+    val dirs = committedCellDirs(storeDir, ptr)
     if (ver == 0L || dirs.isEmpty || centVer == 0L) {
       // degenerate schema matches the non-empty path: neighbor_id
       // carries the ingested vector-id type — witnessed by any cell
@@ -200,13 +221,17 @@ object StreamingIvf {
     * are ignored + re-swept).
     */
   def compact(spark: SparkSession, storeDir: String): Unit = {
-    val dirs = committedCellDirs(storeDir)
-    val (ver, lastBatch, nCorpus, _, centVer) = readPointer(storeDir)
+    // ONE pointer read per maintenance op: the dir list and the
+    // written-back pointer both derive from this snapshot (see the
+    // single-writer note in the object scaladoc)
+    val ptr = readPointer(storeDir)
+    val (ver, lastBatch, nCorpus, _, centVer) = ptr
+    val dirs = committedCellDirs(storeDir, ptr)
     if (dirs.size > 1) {
       dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
         .repartition(col("cell"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
-        .parquet(s"$storeDir/cells/base-$lastBatch")
+        .parquet(s"$storeDir/cells/base-$lastBatch-$centVer")
       writePointer(storeDir, ver, lastBatch, nCorpus, lastBatch, centVer)
     }
     sweep(storeDir)
@@ -221,8 +246,10 @@ object StreamingIvf {
     */
   def retrain(spark: SparkSession, storeDir: String, nlist: Int = 0,
       iters: Int = 2): Unit = {
-    val dirs = committedCellDirs(storeDir)
-    val (ver, lastBatch, nCorpus, _, centVer) = readPointer(storeDir)
+    // ONE pointer read per maintenance op (single-writer contract)
+    val ptr = readPointer(storeDir)
+    val (ver, lastBatch, nCorpus, _, centVer) = ptr
+    val dirs = committedCellDirs(storeDir, ptr)
     if (dirs.isEmpty) return
     val all = dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
       .select(col("neighbor_id"), col("cv"))
@@ -232,12 +259,17 @@ object StreamingIvf {
     val newCv = centVer + 1
     cents.write.mode(SaveMode.Overwrite)
       .parquet(s"$storeDir/centroids-$newCv")
+    // the new base is written under the NEW codebook version —
+    // base-<through>-<centVer> naming keeps the output path distinct
+    // from every input dir, so retraining a store that is already
+    // compacted through lastBatch (the natural compact-then-retrain
+    // drift response) never overwrites the path it lazily reads from
     Similarity.assignCells(all, "neighbor_id", "cv",
         broadcast(centroids(spark, storeDir, newCv)),
         "neighbor_id", "cv", keep = 1)
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
-      .parquet(s"$storeDir/cells/base-$lastBatch")
+      .parquet(s"$storeDir/cells/base-$lastBatch-$newCv")
     writePointer(storeDir, ver + 1, lastBatch, nCorpus, lastBatch, newCv)
     sweep(storeDir)
   }
@@ -255,9 +287,16 @@ object StreamingIvf {
           (d.getName.startsWith("batch-") &&
             d.getName.stripPrefix("batch-").toLongOption
               .exists(_ <= through)) ||
-          (d.getName.startsWith("base-") &&
-            d.getName.stripPrefix("base-").toLongOption
-              .exists(_ < through)))
+          (d.getName.startsWith("base-") && {
+            // base-<through>-<centVer>: superseded when its watermark
+            // is behind the pointer's, or same watermark under an
+            // OLD codebook version (a completed retrain's input base)
+            val parts = d.getName.stripPrefix("base-").split("-")
+            val t = parts.headOption.flatMap(_.toLongOption)
+            val c = parts.lift(1).flatMap(_.toLongOption)
+            t.exists(tv => tv < through ||
+              (tv == through && !c.contains(centVer)))
+          }))
       }.foreach { d =>
         Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.deleteIfExists(f))

@@ -42,6 +42,15 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * ingested (spec-pinned, replay and crash included). [[compact]]
   * folds committed batch dirs into one (the streaming stores'
   * compaction convention) without changing any answer.
+  *
+  * SINGLE WRITER — the store assumes ONE writer at a time across
+  * [[applyBatch]]/[[compact]] (foreachBatch is naturally serial;
+  * maintenance runs between batches). Each maintenance op reads the
+  * pointer ONCE and derives its whole view from that snapshot, so it
+  * can never sweep a batch it didn't fold; concurrent writers would
+  * still race at the pointer move itself and are out of contract.
+  * Readers are always safe — the atomic pointer move exposes only
+  * committed views.
   */
 object StreamingPostings {
 
@@ -71,13 +80,19 @@ object StreamingPostings {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Committed posting directories at the current pointer: the
+  /** Committed posting directories under a pointer SNAPSHOT: the
     * compacted base (if any) + per-batch dirs ABOVE the compaction
     * watermark — per-batch dirs at or below it are post-commit
     * garbage a crashed cleanup may have left, and are ignored.
+    * Takes the pointer as an argument (never re-reads it) so one
+    * maintenance op derives its whole view from a single read — a
+    * commit landing between two pointer reads could otherwise be
+    * swept without being folded (see the single-writer note in the
+    * object scaladoc).
     */
-  private def committedBatchDirs(storeDir: String): Seq[String] = {
-    val (_, lastBatch, _, _, compactedThrough) = readPointer(storeDir)
+  private def committedBatchDirs(storeDir: String,
+      ptr: (Long, Long, Long, Long, Long)): Seq[String] = {
+    val (_, lastBatch, _, _, compactedThrough) = ptr
     val root = new java.io.File(storeDir, "postings")
     if (!root.isDirectory || lastBatch < 0) Seq.empty
     else {
@@ -155,9 +170,11 @@ object StreamingPostings {
     * [[committedBatchDirs]] ignores and the next compact sweeps.
     */
   def compact(spark: SparkSession, storeDir: String): Unit = {
-    val dirs = committedBatchDirs(storeDir)
-    val (ver, lastBatch, nDocs, sumDl, compactedThrough) =
-      readPointer(storeDir)
+    // ONE pointer read per maintenance op: the dir list and the
+    // written-back pointer both derive from this snapshot
+    val ptr = readPointer(storeDir)
+    val dirs = committedBatchDirs(storeDir, ptr)
+    val (ver, lastBatch, nDocs, sumDl, compactedThrough) = ptr
     if (dirs.size > 1) {
       val all = dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
       all.repartition(col("pb"))
@@ -166,8 +183,9 @@ object StreamingPostings {
         .parquet(s"$storeDir/postings/base-$lastBatch")
       writePointer(storeDir, ver, lastBatch, nDocs, sumDl, lastBatch)
     }
-    // post-commit cleanup (also sweeps leftovers of crashed cleanups)
-    val (_, _, _, _, through) = readPointer(storeDir)
+    // post-commit cleanup (also sweeps leftovers of crashed cleanups);
+    // the watermark is lastBatch if we just compacted, else unchanged
+    val through = if (dirs.size > 1) lastBatch else compactedThrough
     val root = new java.io.File(storeDir, "postings")
     if (root.isDirectory && through >= 0)
       root.listFiles().toSeq.filter { d =>
@@ -197,7 +215,7 @@ object StreamingPostings {
     val (ver, _, nDocsL, sumDl, _) = readPointer(storeDir)
     val qTerms = queries.select(col(queryId).as("__qid"),
       explode(split(queryText, " ")).as("tok")).distinct()
-    val dirs = committedBatchDirs(storeDir)
+    val dirs = committedBatchDirs(storeDir, readPointer(storeDir))
     if (ver == 0L || dirs.isEmpty) {
       // the degenerate schema must match the non-empty path, where
       // __did carries the INGESTED id type (string corpora exist) —

@@ -507,6 +507,48 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(c === fCos((qid, nid)), s"cosine drift on ($qid, $nid)")
   }
 
+  test("PQ index: empty Lloyd clusters keep their codewords — codes stay dense so the positional LUT lookup stays aligned") {
+    // only 4 distinct vectors ⇒ at most 4 distinct residuals per
+    // subspace, so most of the ks=8 seed codewords attract ZERO
+    // training points in the Lloyd passes (ties assign to the lowest
+    // code). Empty codes must be RETAINED (previous vector kept), not
+    // dropped: pqcodes stores code VALUES while the serving LUT
+    // indexes the code-sorted codebook POSITIONALLY — a dropped code
+    // would shift every higher code onto the wrong LUT entry and
+    // silently corrupt the ADC candidate ordering
+    val vecs = (0L until 120L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(16)(d =>
+        if (d % 4 == c) 1.0f else 0.1f * c))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 20 === 0)
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft-ivfflat3-spec").toString
+    val pq = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq3-spec").toString
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", flat,
+      nlist = 2, iters = 2)
+    Similarity.buildIvfPqIndex(vecs, "vec_id", "embedding", pq,
+      nlist = 2, iters = 2, m = 4, ks = 8)
+    // the codebook stays COMPLETE: m·ks rows, codes dense 0..ks−1
+    val cb = spark.read.parquet(s"$pq/pq")
+      .select("sub", "code").as[(Int, Int)].collect()
+    assert(cb.length === 4 * 8, s"codebook rows: ${cb.length}")
+    for (s <- 0 until 4)
+      assert(cb.filter(_._1 == s).map(_._2).sorted.toSeq ==
+        (0 until 8).toSeq, s"sub $s codes not dense 0..7")
+    // and the exhaustive-candidate regime still equals the flat index
+    val f = Similarity.ivfTopKIndexed(spark, flat, q,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val p = Similarity.ivfPqTopK(spark, pq, q,
+      "vec_id", "embedding", k = 5, nProbe = 2, candMult = 40)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(p.nonEmpty && p === f)
+  }
+
   test("trainCentroids: DECIMAL-exact means are bit-deterministic across runs") {
     val vecs = (0L until 150L).map(i =>
       (i, Seq.tabulate(16)(d => math.cos(i * 0.91 + d * 0.53).toFloat)))

@@ -79,7 +79,7 @@ class StreamingIvfSpec extends SparkSpec {
     val dirs = new java.io.File(s"$store/cells").listFiles()
       .map(_.getName).filter(d => d.startsWith("batch-") ||
         d.startsWith("base-")).sorted.toSeq
-    assert(dirs == Seq("base-2"), s"dirs=$dirs")
+    assert(dirs == Seq("base-2-1"), s"dirs=$dirs")
     // ingest continues after compaction, parity preserved
     StreamingIvf.applyBatch(
       vecsSlice(170L, 180L).toDF("vec_id", "embedding"),
@@ -109,6 +109,20 @@ class StreamingIvfSpec extends SparkSpec {
       vecsSlice(150L, 160L).toDF("vec_id", "embedding"),
       "vec_id", "embedding", store, batchId = 2L)
     assert(fromStore(store) == freshIndex(store, 160L))
+    // compact-THEN-retrain (the natural drift response): the retrain
+    // input IS the compacted base — the version-distinct base naming
+    // (base-<through>-<centVer>) keeps the rewrite off the path it is
+    // lazily reading from, so this must succeed and stay exact
+    StreamingIvf.compact(spark, store)
+    StreamingIvf.retrain(spark, store, nlist = 8, iters = 2)
+    val (_, _, n2, through2, cv3) = StreamingIvf.readPointer(store)
+    assert(cv3 == cvAfter + 1 && through2 == 2L && n2 == 160L)
+    assert(fromStore(store) == freshIndex(store, 160L))
+    // exactly one base survives, named under the NEW codebook version
+    val dirs2 = new java.io.File(s"$store/cells").listFiles()
+      .map(_.getName).filter(d => d.startsWith("batch-") ||
+        d.startsWith("base-")).sorted.toSeq
+    assert(dirs2 == Seq(s"base-2-$cv3"), s"dirs=$dirs2")
   }
 
   test("ST15: the degenerate empty-store schema follows the ingested id type; virgin store takes the query side's") {
