@@ -479,6 +479,100 @@ object Curation {
           count(lit(1)).cast("double")).as("avg_logprob2"))
   }
 
+  /** X13d: interpolated Kneser–Ney trigram LM quality score — the
+    * smoothed-n-gram rung of the CCNet ladder (Wenzek et al. 2020 use
+    * a KenLM 5-gram; Kneser & Ney 1995; Chen & Goodman 1999's
+    * interpolated form with one fixed discount D):
+    *
+    *   p(w|u,v) = max(c(uvw)−D, 0)/c(uv·) + D·N1+(uv·)/c(uv·)·p(w|v)
+    *   p(w|v)   = max(N1+(·vw)−D, 0)/N1+(·v·)
+    *                + D·N1+(v·)/N1+(·v·)·p_cont(w)
+    *   p_cont(w) = N1+(·w) / N1+(··)
+    *
+    * This is the quality axis the MLE arms ([[unigramLogProb]],
+    * [[bigramLogProb]]) miss: MLE rewards ANY seen n-gram at its raw
+    * frequency — a document of once-seen (typo-like) trigrams scores
+    * as if those continuations were reliable — while KN discounts
+    * every observed count by D and redistributes that mass through
+    * the continuation-count backoff, so rare-context text is scored
+    * by how DIVERSELY its parts continue, not by single co-occurrence
+    * accidents.
+    *
+    * Exactness: every model quantity is an exact integer count
+    * (trigram counts, context totals, continuation-type counts — all
+    * derived from ONE trigram-type table, so the model is
+    * self-consistent at document boundaries); D = 0.75 is exactly
+    * representable, the probability is one fixed double expression
+    * tree over those integers (each op correctly rounded ⇒ identical
+    * bits both engines), the per-doc sum of ln p is DECIMAL-exact
+    * (order-free), and sum-to-1 over the vocabulary holds exactly in
+    * the rationals (spec law). Same ln() last-ulp parity class as the
+    * MLE arms, rounded at the query face.
+    *
+    * Scale: one corpus explode into trigram positions; every model
+    * table is TYPE-sized (distinct trigrams and their group-bys —
+    * vocabulary-scale, not position-scale); scoring is type-keyed
+    * joins back to positions plus a doc-keyed partial agg — zero
+    * corpus self-joins, no driver-side model. Joins stay AQE-unhinted
+    * (the X13c convention): type tables can exceed broadcast size on
+    * real corpora.
+    */
+  def kneserNeyLogProb(df: DataFrame, id: String, text: Column,
+      discount: Double = 0.75): DataFrame = {
+    val d = lit(discount)
+    val toks = df.select(col(id), split(text, " ").as("t"))
+    val tris = toks
+      .where(size(col("t")) >= 3)
+      .select(col(id), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 2).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 2).as("w2"),
+        slice(col("t"), lit(3), size(col("t")) - 2).as("w3"))).as("g"))
+      .select(col(id), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+    // the ONE position-scale aggregation; everything below is
+    // type-sized
+    val t3 = tris.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).cast("double").as("c3"))
+    // highest order: context total c(uv·) and distinct-continuation
+    // count N1+(uv·)
+    val ctx = t3.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("c2"),
+        count(lit(1)).cast("double").as("n1p"))
+    // middle order, continuation counts over trigram TYPES:
+    // N1+(·vw) = distinct u preceding (v,w); N1+(·v·) = distinct
+    // (u,w) around v
+    val nvw = t3.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).cast("double").as("nvw"))
+    val nvdot = t3.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("double").as("nvdot"))
+    // bigram TYPE set (v,w): N1+(v·), N1+(·w), N1+(··)
+    val t2 = t3.select(col("w2"), col("w3")).distinct()
+    val nfol = t2.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("double").as("nfol"))
+    val nend = t2.groupBy(col("w3"))
+      .agg(count(lit(1)).cast("double").as("nend"))
+    val tot = t2.agg(count(lit(1)).cast("double").as("ntypes"))
+    val scored = t3
+      .join(ctx, Seq("w1", "w2"))
+      .join(nvw, Seq("w2", "w3"))
+      .join(nvdot, Seq("w2"))
+      .join(nfol, Seq("w2"))
+      .join(nend, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", log(
+        greatest(col("c3") - d, lit(0.0)) / col("c2") +
+          (d * col("n1p") / col("c2")) *
+          (greatest(col("nvw") - d, lit(0.0)) / col("nvdot") +
+            (d * col("nfol") / col("nvdot")) *
+            (col("nend") / col("ntypes")))))
+      .select(col("w1"), col("w2"), col("w3"), col("lp"))
+    tris.join(scored, Seq("w1", "w2", "w3"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_trigrams"),
+        (sum(col("lp").cast("decimal(38,15)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logprob_kn"))
+  }
+
   /** X13b: CCNet-style head/middle/tail quality bucketing (Wenzek et
     * al. 2020, §4.3) — each domain's documents are split into equal
     * thirds by quality score ("head" = best third), the shape CCNet

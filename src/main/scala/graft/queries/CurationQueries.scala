@@ -276,6 +276,17 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X13d: interpolated Kneser-Ney trigram quality score — the
+    // SMOOTHED rung of the CCNet ladder: discounts every observed
+    // trigram count and redistributes the mass through continuation-
+    // count backoff, the axis MLE scores miss on once-seen n-grams
+    "q_kn_trigram_quality" -> ((s, d) => {
+      Curation.kneserNeyLogProb(table(s, d, "documents"), "doc_id", col("text"))
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("avg_logprob_kn"), 6).as("avg_logprob_kn"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X12: deterministic stratified sample — exactly 10 docs per
     // (lang, source) cell by md5 rank; eval-set construction
     "q_stratified_sample" -> ((s, d) => {
@@ -644,6 +655,46 @@ object CurationQueries {
            round(CAST(sum(CAST(lp AS DECIMAL(38,15))) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS avg_logprob2
          FROM b2 JOIN lp USING (w1, w2)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // X13d: every model quantity is an exact integer count from ONE
+    // trigram-type table; D = 0.75 exactly representable; identical
+    // fixed double tree both sides (same ln() parity class as the MLE
+    // arms); per-doc sum DECIMAL-exact
+    "q_kn_trigram_quality" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tri AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> {'w1': t[CAST(i AS INT)], 'w2': t[CAST(i + 1 AS INT)],
+                     'w3': t[CAST(i + 2 AS INT)]})) AS g
+           FROM tk WHERE len(t) >= 3),
+         t3g AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tri),
+         t3 AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c3
+           FROM t3g GROUP BY w1, w2, w3),
+         ctx AS (SELECT w1, w2, sum(c3) AS c2,
+             CAST(count(*) AS DOUBLE) AS n1p
+           FROM t3 GROUP BY w1, w2),
+         nvw AS (SELECT w2, w3, CAST(count(*) AS DOUBLE) AS nvw
+           FROM t3 GROUP BY w2, w3),
+         nvdot AS (SELECT w2, CAST(count(*) AS DOUBLE) AS nvdot
+           FROM t3 GROUP BY w2),
+         t2 AS (SELECT DISTINCT w2, w3 FROM t3),
+         nfol AS (SELECT w2, CAST(count(*) AS DOUBLE) AS nfol
+           FROM t2 GROUP BY w2),
+         nend AS (SELECT w3, CAST(count(*) AS DOUBLE) AS nend
+           FROM t2 GROUP BY w3),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS ntypes FROM t2),
+         lp AS (SELECT w1, w2, w3,
+             ln(greatest(c3 - 0.75, 0.0) / c2 +
+               (0.75 * n1p / c2) *
+               (greatest(nvw - 0.75, 0.0) / nvdot +
+                 (0.75 * nfol / nvdot) * (nend / ntypes))) AS lp
+           FROM t3 JOIN ctx USING (w1, w2) JOIN nvw USING (w2, w3)
+             JOIN nvdot USING (w2) JOIN nfol USING (w2)
+             JOIN nend USING (w3) CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(CAST(sum(CAST(lp AS DECIMAL(38,15))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_logprob_kn
+         FROM t3g JOIN lp USING (w1, w2, w3)
          GROUP BY doc_id ORDER BY doc_id""",
     // ln() parity: libm ln's last ulp is unpinned across engines — the
     // log-domain A-Res key rounds ln(u) to 9 dp BEFORE the correctly-

@@ -211,6 +211,94 @@ class CurationSpec extends SparkSpec {
     assert(bi(0) == bi(1) && bi(1) == bi(2))
   }
 
+  test("X13d kneserNeyLogProb matches a scalar interpolated-KN reference; p sums to 1 over the vocabulary per context") {
+    val docs = Seq(
+      (1L, "a b c a b d"),
+      (2L, "a b c a b c"),
+      (3L, "b a c d a b"),
+      (4L, "c c a b c a"))
+    val d = docs.toDF("doc_id", "text")
+    // scalar interpolated-KN reference (Chen & Goodman 1999, fixed
+    // D = 0.75), all counts from the trigram-type table exactly as
+    // the operator derives them
+    val D = 0.75
+    val tris = docs.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      (0 until w.length - 2).map(i => (id, (w(i), w(i + 1), w(i + 2))))
+    }
+    val c3 = tris.map(_._2).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toDouble }
+    val t3types = c3.keySet
+    val c2 = t3types.groupBy(t => (t._1, t._2))
+      .map { case (k, ts) => k -> ts.toSeq.map(c3).sum }
+    val n1p = t3types.groupBy(t => (t._1, t._2))
+      .map { case (k, ts) => k -> ts.size.toDouble }
+    val nvw = t3types.groupBy(t => (t._2, t._3))
+      .map { case (k, ts) => k -> ts.size.toDouble }
+    val nvdot = t3types.groupBy(_._2)
+      .map { case (k, ts) => k -> ts.size.toDouble }
+    val t2types = t3types.map(t => (t._2, t._3))
+    val nfol = t2types.groupBy(_._1)
+      .map { case (k, ts) => k -> ts.size.toDouble }
+    val nend = t2types.groupBy(_._2)
+      .map { case (k, ts) => k -> ts.size.toDouble }
+    val ntypes = t2types.size.toDouble
+    def p1(w: String) = nend.getOrElse(w, 0.0) / ntypes
+    def p2(v: String, w: String) =
+      math.max(nvw.getOrElse((v, w), 0.0) - D, 0.0) / nvdot(v) +
+        D * nfol(v) / nvdot(v) * p1(w)
+    def p3(u: String, v: String, w: String) =
+      math.max(c3.getOrElse((u, v, w), 0.0) - D, 0.0) / c2((u, v)) +
+        D * n1p((u, v)) / c2((u, v)) * p2(v, w)
+    val expected = tris.groupBy(_._1).map { case (id, ts) =>
+      id -> ts.map(t => math.log(p3(t._2._1, t._2._2, t._2._3))).sum /
+        ts.size
+    }
+    val out = Curation.kneserNeyLogProb(d, "doc_id", col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_trigrams", "avg_logprob_kn")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    for ((id, n, s) <- out) {
+      assert(n == 4L)
+      assert(math.abs(s - expected(id)) < 1e-9,
+        s"doc $id: $s vs ${expected(id)}")
+    }
+    // the distribution law: for every SEEN context (u,v), p(·|u,v)
+    // sums to exactly 1 over the whole vocabulary — unseen
+    // continuations carry pure backoff mass, which is precisely the
+    // mass the discount removed from the seen ones
+    val vocab = docs.flatMap(_._2.split(" ")).distinct
+    for ((u, v) <- c2.keys) {
+      val s = vocab.map(w => p3(u, v, w)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"sum over vocab for ($u,$v): $s")
+    }
+  }
+
+  test("X13d KN discounts once-seen trigrams strictly below their MLE estimate") {
+    // context (a,b) continues three ways: p twice, q and r once each.
+    // MLE scores doc2 at mean(ln 1, ln 1/4); KN discounts the
+    // singleton head term to (1-0.75)/4 and the redistributed backoff
+    // mass cannot make it up in a diverse context — the axis the MLE
+    // arms miss on once-seen (typo-like) n-grams
+    val docs = Seq(
+      (1L, "x a b p"),
+      (2L, "x a b q"),
+      (3L, "x a b r"),
+      (4L, "x a b p"))
+    val d = docs.toDF("doc_id", "text")
+    val out = Curation.kneserNeyLogProb(d, "doc_id", col("text"))
+      .orderBy("doc_id").select("avg_logprob_kn").as[Double].collect()
+    // identical docs score identically; the repeated continuation
+    // outranks the singletons; q and r are count-symmetric
+    assert(out(0) == out(3))
+    assert(out(0) > out(1), s"repeated must outrank singleton: ${out.toSeq}")
+    assert(out(1) == out(2))
+    // strictly below the MLE trigram mean for the singleton doc
+    val mleDoc2 = (math.log(1.0) + math.log(1.0 / 4.0)) / 2.0
+    assert(out(1) < mleDoc2, s"KN ${out(1)} must discount below MLE $mleDoc2")
+  }
+
   test("X12b weightedSample: k per stratum, weight-dominant, reproducible") {
     val d = (0L until 50L).map { i =>
       // 5 heavy rows (ids 0-4, weight 1000) vs 45 light (weight 0.01):
