@@ -1103,4 +1103,171 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** The measured per-corpus-row overhead of the persisted-index arm
+    * over brute force, in dot-product equivalents: probed-cell index
+    * read + query-batch assignment + the deeper plan. Pinned by the
+    * r16 fixed-|Q| artifacts and the round-17 30× sweep
+    * (SCALE_OUT_30x_tier_r17.json): at |Q| = 100, f = 1/2 the probe
+    * saves 50 dots/row and loses (brute 1.3 s vs indexed 3.3 s at
+    * 60k rows ⇒ overhead ≈ 2.0 s ≈ 200 dots/row at the measured
+    * ~0.2 µs/dot); at |Q| = 3000, f = 1/8 it saves 2625 and wins
+    * 6.4×. 200 sits at the measured boundary.
+    */
+  private val K_INDEXED = 200.0
+
+  /** X3g: cost-based retrieval-tier chooser — the crossover between
+    * brute / train-per-call IVF ("serving") / persisted-index IVF
+    * ("indexed") encoded as a measured rule, the [[lshConfigFor]] /
+    * [[ivfConfigFor]] precedent. Before this rule existed the
+    * artifacts DOCUMENTED the crossover (r16: "at |Q|=100 brute wins
+    * outright; at |Q|=3000 clustered the narrow probe wins 6.4×")
+    * but callers had to know which tier to call.
+    *
+    * The model, in one currency (dot-products per corpus row):
+    * brute scores |Q| dots/row. An IVF probe at fraction
+    * f = nProbe/nlist scores |Q|·f, SAVING |Q|·(1−f); against that
+    * the indexed arm pays [[K_INDEXED]] dots/row of overhead, and the
+    * serving arm additionally re-pays codebook training + full-corpus
+    * assignment — (iters+1) ≈ 3 assignment scans at nlist dots/row.
+    * So:
+    *   indexed wins iff |Q|·(1−f) > K_INDEXED
+    *   serving wins iff |Q|·(1−f) > K_INDEXED + 3·nlist
+    * with f from [[servingConfigFor]]'s recall curve (weak-structure
+    * by default — the conservative curve that can only overshoot
+    * recall). Both thresholds reproduce the observed regimes: the
+    * serving margin at the 30× proportional slice (|Q|=3000, f=1/2:
+    * saved 1500 vs threshold ~968) is thin — exactly the measured
+    * "serving-beats-brute is thin-margin flaky" note.
+    *
+    * |Q| and |D| are the counts the caller already has (catalog
+    * rowCounts at 100 TB); `clustered` narrows f via the planted-
+    * cluster curve — let [[annTierAuto]] estimate it instead of
+    * asserting it.
+    */
+  def annTierFor(nCorpus: Long, nQueries: Long, hasIndex: Boolean,
+      targetRecall: Double = 0.9, clustered: Boolean = false): AnnTier = {
+    val nl = ivfConfigFor(nCorpus)._1
+    val np = servingConfigFor(nl, targetRecall, clustered)
+    val saved = nQueries.toDouble * (1.0 - np.toDouble / nl)
+    if (hasIndex) {
+      if (saved > K_INDEXED) AnnTier.Indexed(np) else AnnTier.Brute
+    } else if (saved > K_INDEXED + 3.0 * nl) AnnTier.Serving(nl, np)
+    else AnnTier.Brute
+  }
+
+  /** Bounded structure probe behind [[annTierAuto]] — measures
+    * whether the corpus has the cluster structure that makes the
+    * narrow-probe curve safe, instead of requiring the caller to
+    * assert it (the r16 gap: `servingConfigFor(clustered = true)`
+    * was caller-asserted).
+    *
+    * Statistic: the mean ASSIGNMENT MARGIN — best-centroid cosine
+    * minus second-best — over a ≤ `sampleN` hash sample against 16
+    * md5-rank sampled centroids. On clustered data a vector sits
+    * decisively inside one cell (large margin), which is precisely
+    * the property that makes its neighbors co-resident and a narrow
+    * probe sufficient; on unstructured data best ≈ second
+    * (margin ~0) and narrow probes lose recall. Threshold 0.15
+    * separates the planted-cluster fixture (measured margin ≈ 0.36 —
+    * duplicate same-cluster centroid samples keep it well below the
+    * within-cluster cosine) from the weak sin-lattice fixture
+    * (≈ 0.06), ~2.5× on each side (both spec-pinned).
+    *
+    * Cost: one bounded sample scan + 16-row broadcast — thousands of
+    * dots, amortized invisibly into any decision large enough for
+    * the answer to matter ([[annTierAuto]] only calls it when the
+    * weak- and clustered-curve decisions DISAGREE).
+    */
+  def estimateClustered(corpus: DataFrame, id: String, vec: String,
+      nHint: Long = 0L, sampleN: Int = 4096,
+      minMargin: Double = 0.15): Boolean =
+    clusterMargin(corpus, id, vec, nHint, sampleN) >= minMargin
+
+  /** The raw statistic behind [[estimateClustered]] (exposed for the
+    * spec's fixture pinning): mean best-minus-second centroid-cosine
+    * margin over a bounded hash sample.
+    */
+  private[graft] def clusterMargin(corpus: DataFrame, id: String,
+      vec: String, nHint: Long = 0L, sampleN: Int = 4096): Double = {
+    val n = autoSize(corpus, nHint)
+    val samp =
+      (if (n <= sampleN) corpus
+       else corpus.where(
+         pmod(xxhash64(col(id)), lit(1000003L)) <
+           lit(math.max(1L, (sampleN.toLong * 1000003L) / n))))
+        .select(col(id).as("__sid"), col(vec).as("__sv"))
+    val cents = broadcast(sampleCentroids(samp, "__sid", "__sv", 16))
+    val nn = VectorFns.norm2(col("__sv")) * VectorFns.norm2(col("cent_vec"))
+    val scored = samp.join(cents, expr("true"))
+      .withColumn("__c", when(nn === 0.0, 0.0)
+        .otherwise(VectorFns.dot(col("__sv"), col("cent_vec")) / nn))
+    val w = Window.partitionBy(col("__sid"))
+      .orderBy(col("__c").desc, col("cent_id").asc)
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= 2)
+      .groupBy(col("__sid"))
+      .agg((max(when(col("__r") === 1, col("__c"))) -
+        max(when(col("__r") === 2, col("__c")))).as("__m"))
+      .agg(avg(col("__m"))).head.getDouble(0)
+  }
+
+  /** [[annTierFor]] with the structure question answered by
+    * measurement: probe [[estimateClustered]] ONLY when the weak- and
+    * clustered-curve decisions disagree (when they agree, structure
+    * cannot change the call and the probe's cost is pure waste).
+    * An explicit `clustered` pin skips the probe entirely.
+    */
+  def annTierAuto(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, hasIndex: Boolean, nHint: Long = 0L,
+      qHint: Long = 0L, targetRecall: Double = 0.9,
+      clustered: Option[Boolean] = None): AnnTier = {
+    val n = autoSize(corpus, nHint)
+    val nq = autoSize(queries, qHint)
+    clustered match {
+      case Some(cl) => annTierFor(n, nq, hasIndex, targetRecall, cl)
+      case None =>
+        val weak = annTierFor(n, nq, hasIndex, targetRecall, clustered = false)
+        val strong = annTierFor(n, nq, hasIndex, targetRecall, clustered = true)
+        if (weak == strong) weak
+        else annTierFor(n, nq, hasIndex, targetRecall,
+          estimateClustered(corpus, id, vec, nHint = n))
+    }
+  }
+
+  /** X3g dispatch face: one ANN entry point that runs whatever tier
+    * [[annTierAuto]] picks — the production caller's "just retrieve"
+    * API. All tiers emit the same (query_id, neighbor_id, cosine,
+    * rank) shape with the same rounded-cosine + id-tiebreak ordering,
+    * so the choice is semantics-transparent at full probe and a
+    * recall contract otherwise. Pass `indexDir` when a persisted
+    * [[buildIvfIndex]] index exists — the chooser then weighs the
+    * indexed arm; without it only brute/serving compete.
+    */
+  def annTopKAuto(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, indexDir: String = null, nHint: Long = 0L,
+      qHint: Long = 0L, targetRecall: Double = 0.9,
+      clustered: Option[Boolean] = None): DataFrame =
+    annTierAuto(corpus, queries, id, vec, hasIndex = indexDir != null,
+      nHint, qHint, targetRecall, clustered) match {
+      case AnnTier.Brute =>
+        bruteForceTopK(corpus, queries, id, vec, k)
+      case AnnTier.Serving(nl, np) =>
+        ivfTopKServing(corpus, queries, id, vec, k,
+          nlist = nl, nProbe = np, nHint = nHint)
+      case AnnTier.Indexed(np) =>
+        ivfTopKIndexed(corpus.sparkSession, indexDir, queries,
+          id, vec, k, nProbe = np)
+    }
+}
+
+/** The ANN execution tiers [[Similarity.annTierFor]] chooses among:
+  * exact brute force, train-per-call IVF at (nlist, nProbe), or the
+  * persisted [[Similarity.buildIvfIndex]] index at nProbe.
+  */
+sealed trait AnnTier
+object AnnTier {
+  case object Brute extends AnnTier
+  final case class Serving(nlist: Int, nProbe: Int) extends AnnTier
+  final case class Indexed(nProbe: Int) extends AnnTier
 }

@@ -390,6 +390,21 @@ object NorthStarQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // X3g: the cost-based tier chooser's dispatch face. At every test
+    // SF the decision is the interesting part of the gate: |Q| = |D|/20
+    // sits far under the measured indexed crossover (saved dots/row
+    // << K_INDEXED), so the chooser MUST pick brute — the value oracle
+    // is the exact brute-force SQL, and a wrong tier pick at this
+    // regime surfaces as a value/hash mismatch (the IVF tiers probe
+    // subsets) or a perf regression, not silence
+    "q_ann_auto" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      Similarity.annTopKAuto(e, queries = e.filter(col("vec_id") % 20 === 0),
+        id = "vec_id", vec = "embedding", k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // X4: language-ID heuristic (stopword argmax)
     "q_langid" -> ((s, d) => {
       table(s, d, "documents")
@@ -1104,6 +1119,9 @@ object NorthStarQueries {
            JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
          ORDER BY a, b, c"""),
     "q_cosine_topk" -> (cosineSql + topKTail(10)),
+    // X3g: at the oracled SFs the chooser's correct tier is brute —
+    // the oracle is the brute-force SQL verbatim
+    "q_ann_auto" -> (cosineSql + topKTail(10)),
     "q_decon_semantic" -> deconSemanticSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,

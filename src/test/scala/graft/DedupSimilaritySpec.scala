@@ -549,6 +549,100 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(p.nonEmpty && p === f)
   }
 
+  test("X3g annTierFor: the measured crossover decision table") {
+    import graft.operators.AnnTier
+    // 60k corpus (the 30x artifact scale): nlist 256, weak probe 128
+    // (f=1/2), clustered probe 32 (f=1/8)
+    // |Q|=100: saved 50 dots/row < the 200 overhead -> brute, exactly
+    // the measured regime where brute wins outright (1.3s vs 3.3s)
+    assert(Similarity.annTierFor(60000L, 100L, hasIndex = true)
+      === AnnTier.Brute)
+    assert(Similarity.annTierFor(60000L, 100L, hasIndex = false)
+      === AnnTier.Brute)
+    // |Q|=3000: saved 1500 > 200 -> indexed (measured 6.4x win on the
+    // clustered corpus; wide-probe also wins in the pair-bound regime)
+    assert(Similarity.annTierFor(60000L, 3000L, hasIndex = true)
+      === AnnTier.Indexed(128))
+    assert(Similarity.annTierFor(60000L, 3000L, hasIndex = true,
+      clustered = true) === AnnTier.Indexed(32))
+    // no index: serving must additionally clear training+assignment
+    // (~3·nlist = 768) — |Q|=3000 clears it (the measured thin-margin
+    // serving win at the proportional slice), |Q|=1500 does not
+    assert(Similarity.annTierFor(60000L, 3000L, hasIndex = false)
+      === AnnTier.Serving(256, 128))
+    assert(Similarity.annTierFor(60000L, 1500L, hasIndex = false)
+      === AnnTier.Brute)
+    // clustered narrows the probe, pulling the indexed crossover in:
+    // at |Q|=250 the weak curve stays brute (saved 125 < 200) while
+    // the clustered curve flips to indexed (saved 219 > 200)
+    assert(Similarity.annTierFor(60000L, 250L, hasIndex = true,
+      clustered = false) === AnnTier.Brute)
+    assert(Similarity.annTierFor(60000L, 250L, hasIndex = true,
+      clustered = true) === AnnTier.Indexed(32))
+  }
+
+  test("X3g estimateClustered: measured margins separate planted structure from the weak lattice") {
+    val weak = (0L until 400L).map(i =>
+      (i, Seq.tabulate(16)(d => math.sin(i * 0.53 + d * 0.77).toFloat)))
+      .toDF("vec_id", "embedding")
+    val rnd = new scala.util.Random(19)
+    val planted = (0L until 400L).map { i =>
+      val c = (i % 8).toInt
+      (i, Seq.tabulate(16) { d =>
+        val base = if (d == 2 * c || d == 2 * c + 1) 1.0f else 0.0f
+        base + (rnd.nextFloat() - 0.5f) * 0.1f
+      })
+    }.toDF("vec_id", "embedding")
+    val mWeak = Similarity.clusterMargin(weak, "vec_id", "embedding")
+    val mPlanted = Similarity.clusterMargin(planted, "vec_id", "embedding")
+    // pinned measured values: ~0.06 vs ~0.36, threshold 0.15 between
+    assert(mWeak < 0.10, s"weak margin drifted: $mWeak")
+    assert(mPlanted > 0.25, s"planted margin drifted: $mPlanted")
+    assert(!Similarity.estimateClustered(weak, "vec_id", "embedding"))
+    assert(Similarity.estimateClustered(planted, "vec_id", "embedding"))
+  }
+
+  test("X3g annTopKAuto dispatches to the chosen tier and is bit-equal to calling it directly") {
+    import graft.operators.AnnTier
+    val vecs = (0L until 150L).map(i =>
+      (i, Seq.tabulate(16)(d => math.sin(i * 0.53 + d * 0.77).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 15 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-tierauto-spec").toString
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", idx,
+      nlist = 16, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    // |Q|=10 at 150 rows: brute (saved 5 dots/row << 200) — equals
+    // bruteForceTopK bit-for-bit
+    assert(Similarity.annTierAuto(vecs, q, "vec_id", "embedding",
+      hasIndex = true) === AnnTier.Brute)
+    assert(rows(Similarity.annTopKAuto(vecs, q, "vec_id", "embedding",
+      k = 5, indexDir = idx)) ===
+      rows(Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)))
+    // a qHint above the crossover flips the decision to the index
+    // (nlist 16 from the 150-row corpus, weak probe 8) — the dispatch
+    // must be bit-equal to the direct indexed call
+    assert(Similarity.annTierAuto(vecs, q, "vec_id", "embedding",
+      hasIndex = true, qHint = 1000L,
+      clustered = Some(false)) === AnnTier.Indexed(8))
+    assert(rows(Similarity.annTopKAuto(vecs, q, "vec_id", "embedding",
+      k = 5, indexDir = idx, qHint = 1000L, clustered = Some(false))) ===
+      rows(Similarity.ivfTopKIndexed(spark, idx, q,
+        "vec_id", "embedding", k = 5, nProbe = 8)))
+    // without an index the same hint lands on serving (saved 500 >
+    // 200 + 3·16) — bit-equal to the direct serving call
+    assert(Similarity.annTierAuto(vecs, q, "vec_id", "embedding",
+      hasIndex = false, qHint = 1000L,
+      clustered = Some(false)) === AnnTier.Serving(16, 8))
+    assert(rows(Similarity.annTopKAuto(vecs, q, "vec_id", "embedding",
+      k = 5, qHint = 1000L, clustered = Some(false))) ===
+      rows(Similarity.ivfTopKServing(vecs, q, "vec_id", "embedding",
+        k = 5, nlist = 16, nProbe = 8)))
+  }
+
   test("trainCentroids: DECIMAL-exact means are bit-deterministic across runs") {
     val vecs = (0L until 150L).map(i =>
       (i, Seq.tabulate(16)(d => math.cos(i * 0.91 + d * 0.53).toFloat)))
