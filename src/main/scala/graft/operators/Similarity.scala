@@ -1107,14 +1107,18 @@ object Similarity {
   /** The measured per-corpus-row overhead of the persisted-index arm
     * over brute force, in dot-product equivalents: probed-cell index
     * read + query-batch assignment + the deeper plan. Pinned by the
-    * r16 fixed-|Q| artifacts and the round-17 30× sweep
-    * (SCALE_OUT_30x_tier_r17.json): at |Q| = 100, f = 1/2 the probe
-    * saves 50 dots/row and loses (brute 1.3 s vs indexed 3.3 s at
-    * 60k rows ⇒ overhead ≈ 2.0 s ≈ 200 dots/row at the measured
-    * ~0.2 µs/dot); at |Q| = 3000, f = 1/8 it saves 2625 and wins
-    * 6.4×. 200 sits at the measured boundary.
+    * round-17 30× sweep (SCALE_OUT_30x_tier_r17.json, 60k rows,
+    * f = 1/2): saved dots/row at the swept |Q| = 50/125/500/1000 gave
+    * brute/indexed walls 1.6/3.5, 2.8/5.2, 7.7–8.4/9.2–11.2,
+    * 48–83/12–13 s — brute still (narrowly) ahead at saved = 500,
+    * indexed decisively ahead at saved = 1000 (brute's top-k window
+    * shuffle starts SPILLING around 120M pair rows, so its wall goes
+    * superlinear exactly where the index's probed scan doesn't). 600
+    * sits mid-bracket; the r16 fixed-|Q| artifacts (brute wins at
+    * saved = 50, clustered-indexed wins 6.4× at saved = 2625) land on
+    * the same sides.
     */
-  private val K_INDEXED = 200.0
+  private val K_INDEXED = 600.0
 
   /** X3g: cost-based retrieval-tier chooser — the crossover between
     * brute / train-per-call IVF ("serving") / persisted-index IVF
@@ -1137,8 +1141,8 @@ object Similarity {
     * by default — the conservative curve that can only overshoot
     * recall). Both thresholds reproduce the observed regimes: the
     * serving margin at the 30× proportional slice (|Q|=3000, f=1/2:
-    * saved 1500 vs threshold ~968) is thin — exactly the measured
-    * "serving-beats-brute is thin-margin flaky" note.
+    * saved 1500 vs threshold 600 + 768 = 1368) is thin — exactly the
+    * measured "serving-beats-brute is thin-margin flaky" note.
     *
     * |Q| and |D| are the counts the caller already has (catalog
     * rowCounts at 100 TB); `clustered` narrows f via the planted-

@@ -553,32 +553,40 @@ class DedupSimilaritySpec extends SparkSpec {
     import graft.operators.AnnTier
     // 60k corpus (the 30x artifact scale): nlist 256, weak probe 128
     // (f=1/2), clustered probe 32 (f=1/8)
-    // |Q|=100: saved 50 dots/row < the 200 overhead -> brute, exactly
-    // the measured regime where brute wins outright (1.3s vs 3.3s)
+    // |Q|=100: saved 50 dots/row << the 600 overhead -> brute, exactly
+    // the measured regime where brute wins outright (1.6s vs 3.5s)
     assert(Similarity.annTierFor(60000L, 100L, hasIndex = true)
       === AnnTier.Brute)
     assert(Similarity.annTierFor(60000L, 100L, hasIndex = false)
       === AnnTier.Brute)
-    // |Q|=3000: saved 1500 > 200 -> indexed (measured 6.4x win on the
-    // clustered corpus; wide-probe also wins in the pair-bound regime)
+    // |Q|=3000: saved 1500 > 600 -> indexed (measured 6.4x win on the
+    // clustered corpus; wide-probe also wins in the pair-bound regime
+    // where brute's top-k window shuffle spills)
     assert(Similarity.annTierFor(60000L, 3000L, hasIndex = true)
       === AnnTier.Indexed(128))
     assert(Similarity.annTierFor(60000L, 3000L, hasIndex = true,
       clustered = true) === AnnTier.Indexed(32))
     // no index: serving must additionally clear training+assignment
-    // (~3·nlist = 768) — |Q|=3000 clears it (the measured thin-margin
-    // serving win at the proportional slice), |Q|=1500 does not
+    // (~3·nlist = 768, threshold 1368) — |Q|=3000 clears it (the
+    // measured thin-margin serving win at the proportional slice),
+    // |Q|=1500 does not
     assert(Similarity.annTierFor(60000L, 3000L, hasIndex = false)
       === AnnTier.Serving(256, 128))
     assert(Similarity.annTierFor(60000L, 1500L, hasIndex = false)
       === AnnTier.Brute)
     // clustered narrows the probe, pulling the indexed crossover in:
-    // at |Q|=250 the weak curve stays brute (saved 125 < 200) while
-    // the clustered curve flips to indexed (saved 219 > 200)
-    assert(Similarity.annTierFor(60000L, 250L, hasIndex = true,
+    // at |Q|=750 the weak curve stays brute (saved 375 < 600) while
+    // the clustered curve flips to indexed (saved 656 > 600)
+    assert(Similarity.annTierFor(60000L, 750L, hasIndex = true,
       clustered = false) === AnnTier.Brute)
-    assert(Similarity.annTierFor(60000L, 250L, hasIndex = true,
+    assert(Similarity.annTierFor(60000L, 750L, hasIndex = true,
       clustered = true) === AnnTier.Indexed(32))
+    // the measured bracket itself: brute still ahead at |Q|=1000
+    // (saved 500), indexed decisively ahead at |Q|=2000 (saved 1000)
+    assert(Similarity.annTierFor(60000L, 1000L, hasIndex = true)
+      === AnnTier.Brute)
+    assert(Similarity.annTierFor(60000L, 2000L, hasIndex = true)
+      === AnnTier.Indexed(128))
   }
 
   test("X3g estimateClustered: measured margins separate planted structure from the weak lattice") {
@@ -626,19 +634,19 @@ class DedupSimilaritySpec extends SparkSpec {
     // (nlist 16 from the 150-row corpus, weak probe 8) — the dispatch
     // must be bit-equal to the direct indexed call
     assert(Similarity.annTierAuto(vecs, q, "vec_id", "embedding",
-      hasIndex = true, qHint = 1000L,
+      hasIndex = true, qHint = 2000L,
       clustered = Some(false)) === AnnTier.Indexed(8))
     assert(rows(Similarity.annTopKAuto(vecs, q, "vec_id", "embedding",
-      k = 5, indexDir = idx, qHint = 1000L, clustered = Some(false))) ===
+      k = 5, indexDir = idx, qHint = 2000L, clustered = Some(false))) ===
       rows(Similarity.ivfTopKIndexed(spark, idx, q,
         "vec_id", "embedding", k = 5, nProbe = 8)))
-    // without an index the same hint lands on serving (saved 500 >
-    // 200 + 3·16) — bit-equal to the direct serving call
+    // without an index the same hint lands on serving (saved 1000 >
+    // 600 + 3·16) — bit-equal to the direct serving call
     assert(Similarity.annTierAuto(vecs, q, "vec_id", "embedding",
-      hasIndex = false, qHint = 1000L,
+      hasIndex = false, qHint = 2000L,
       clustered = Some(false)) === AnnTier.Serving(16, 8))
     assert(rows(Similarity.annTopKAuto(vecs, q, "vec_id", "embedding",
-      k = 5, qHint = 1000L, clustered = Some(false))) ===
+      k = 5, qHint = 2000L, clustered = Some(false))) ===
       rows(Similarity.ivfTopKServing(vecs, q, "vec_id", "embedding",
         k = 5, nlist = 16, nProbe = 8)))
   }
