@@ -369,6 +369,84 @@ object AggCombinators {
         .as("forecast"))
   }
 
+  /** W14b: additive Holt–Winters (triple exponential smoothing;
+    * Winters 1960; Hyndman & Athanasopoulos, "Forecasting: Principles
+    * and Practice" §7.3) — [[holtLinear]] extended with a length-`m`
+    * seasonal state, the form behind every seasonal capacity
+    * forecast:
+    *
+    *   init (the standard simple convention):
+    *     l_m = mean(v_1..v_m)
+    *     b_m = (mean(v_{m+1}..v_{2m}) − mean(v_1..v_m)) / m
+    *     s_i = v_i − l_m                       for i = 1..m
+    *   for t = m+1..n:
+    *     l_t = α(v_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *     b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *     s_t = γ(v_t − l_{t−1} − b_{t−1}) + (1−γ)·s_{t−m}
+    *   forecast(1) = l_n + b_n + s_{n+1−m}
+    *
+    * The seasonal state rides the fold accumulator as an m-slot
+    * QUEUE (head = s_{t−m}, the index the recurrences read): each
+    * step drops the head and appends s_t, so the accumulator stays
+    * m+2 doubles regardless of series length. Same determinism
+    * argument as [[holtLinear]]: fold order imposed inside the
+    * aggregate, each step one fixed IEEE op tree (the oracle's
+    * recursive CTE folds the identical tree; the seed sums fold from
+    * the first element exactly like DuckDB's list_reduce) — and with
+    * α = β = γ = 0.5 every multiply is an exact power-of-two scaling.
+    * EXACTNESS LAW (spec): a constant-plus-seasonal integer series is
+    * forecast exactly — l stays at the seasonal mean, b at 0, s at
+    * the demeaned pattern, and forecast(1) reproduces the next value
+    * bit-for-bit. Groups with fewer than 2m points yield null states
+    * (the init needs two full periods). Null values must be filtered
+    * upstream.
+    */
+  def holtWinters(value: Column, order: Seq[Column], alpha: Double,
+      beta: Double, gamma: Double, period: Int): Column = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1]: $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0, 1]: $gamma")
+    require(period >= 2, s"period must be >= 2: $period")
+    val m = period
+    val fields = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+      value.cast("double").as("__v")
+    val sorted = transform(
+      sort_array(collect_list(struct(fields: _*))), e => e("__v"))
+    val n = size(sorted)
+    val mD = lit(m.toDouble)
+    val head = slice(sorted, 1, m)
+    val second = slice(sorted, m + 1, m)
+    // seed sums fold from the FIRST element (list_reduce semantics:
+    // ((v1+v2)+..) — keeps -0.0 handling identical to the oracle)
+    def seqSum(a: Column) = aggregate(
+      slice(a, 2, m - 1), element_at(a, 1), (acc, x) => acc + x)
+    val l0 = seqSum(head) / mD
+    val b0 = (seqSum(second) / mD - l0) / mD
+    val s0 = transform(head, x => x - l0)
+    val init = struct(l0.as("l"), b0.as("b"), s0.as("s"))
+    val fold = aggregate(
+      slice(sorted, lit(m + 1), greatest(n - m, lit(0))),
+      init,
+      (acc, x) => {
+        val sOld = element_at(acc("s"), 1)
+        val l2 = lit(alpha) * (x - sOld) +
+          lit(1.0 - alpha) * (acc("l") + acc("b"))
+        val b2 = lit(beta) * (l2 - acc("l")) + lit(1.0 - beta) * acc("b")
+        val s2 = lit(gamma) * (x - acc("l") - acc("b")) +
+          lit(1.0 - gamma) * sOld
+        struct(l2.as("l"), b2.as("b"),
+          concat(slice(acc("s"), 2, m - 1), array(s2)).as("s"))
+      })
+    val ok = n >= 2 * m
+    struct(
+      n.cast("long").as("n_samples"),
+      when(ok, round(fold("l"), 6)).as("level"),
+      when(ok, round(fold("b"), 6)).as("trend"),
+      when(ok, round(element_at(fold("s"), 1), 6)).as("season_next"),
+      when(ok, round(fold("l") + fold("b") + element_at(fold("s"), 1), 6))
+        .as("forecast"))
+  }
+
   /** ClickHouse's `exponentialTimeDecayedSum` — the TIME-aware decay
     * read (the gap between points sets the decay, not the step
     * count, unlike [[exponentialMovingAverage]]): at each point k of

@@ -661,6 +661,28 @@ object AggQueries {
         .orderBy(col("user_id"))
     }),
 
+    // W14b: additive Holt-Winters (triple exponential smoothing) —
+    // per user, level/trend + a 7-slot seasonal queue; α = β = γ =
+    // 0.5 makes every multiply an exact power-of-two scaling and the
+    // compare bit-level
+    "q_holt_winters" -> ((s, d) => {
+      table(s, d, "events")
+        .where(col("value").isNotNull)
+        .select(col("user_id"), graft.Tables.epochSeconds(col("ts")).as("ep"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(graft.operators.AggCombinators.holtWinters(
+          col("value"), Seq(col("ep"), col("event_id")),
+          alpha = 0.5, beta = 0.5, gamma = 0.5, period = 7).as("__h"))
+        .select(col("user_id"),
+          col("__h.n_samples").as("n_samples"),
+          col("__h.level").as("level"),
+          col("__h.trend").as("trend"),
+          col("__h.season_next").as("season_next"),
+          col("__h.forecast").as("forecast"))
+        .orderBy(col("user_id"))
+    }),
+
     // A24b: exponentialTimeDecayed{Sum,Avg,Max} over hour-bucketed
     // events per user — Δt/halflife integral (halflife = 1 bucket),
     // so every decay factor is an exact power of two and the fold is
@@ -2094,6 +2116,52 @@ object AggQueries {
              END AS forecast
          FROM cnt LEFT JOIN last l ON l.user_id = cnt.user_id
          ORDER BY cnt.user_id""",
+    // W14b: the same coupled (l, b, s-queue) recurrence folded in
+    // identical order by a recursive CTE carrying the seasonal array;
+    // α = β = γ = 0.5 ⇒ exact power-of-two scalings, bit-identical;
+    // the seed sums are list_reduce (fold from the first element),
+    // mirrored exactly by the Spark side
+    "q_holt_winters" ->
+      """WITH RECURSIVE e AS (SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+             event_id, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+         r AS (SELECT user_id, v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ep, event_id) AS rn
+           FROM e),
+         ls AS (SELECT user_id, list(v ORDER BY rn) AS vs,
+             CAST(count(*) AS BIGINT) AS n
+           FROM r GROUP BY user_id),
+         ini AS (SELECT user_id, n,
+             list_reduce(vs[1:7], (a, x) -> a + x) / 7.0 AS l0,
+             (list_reduce(vs[8:14], (a, x) -> a + x) / 7.0
+               - list_reduce(vs[1:7], (a, x) -> a + x) / 7.0) / 7.0 AS b0,
+             list_transform(vs[1:7],
+               x -> x - list_reduce(vs[1:7], (a, x2) -> a + x2) / 7.0) AS s0
+           FROM ls),
+         f AS (
+           SELECT user_id, CAST(7 AS BIGINT) AS rn, l0 AS l, b0 AS b,
+             CAST(s0 AS DOUBLE[]) AS s
+           FROM ini
+           UNION ALL
+           SELECT r.user_id, f.rn + 1,
+             0.5 * (r.v - f.s[1]) + 0.5 * (f.l + f.b),
+             0.5 * ((0.5 * (r.v - f.s[1]) + 0.5 * (f.l + f.b)) - f.l)
+               + 0.5 * f.b,
+             list_append(f.s[2:],
+               0.5 * (r.v - f.l - f.b) + 0.5 * f.s[1])
+           FROM r JOIN f ON r.user_id = f.user_id AND r.rn = f.rn + 1),
+         last AS (SELECT f.user_id, f.l, f.b, f.s
+           FROM f JOIN ls ON ls.user_id = f.user_id AND f.rn = ls.n)
+         SELECT ls.user_id, ls.n AS n_samples,
+           CASE WHEN ls.n >= 14 THEN round(l.l, 6) END AS level,
+           CASE WHEN ls.n >= 14 THEN round(l.b, 6) END AS trend,
+           CASE WHEN ls.n >= 14 THEN round(l.s[1], 6) END AS season_next,
+           CASE WHEN ls.n >= 14 THEN round(l.l + l.b + l.s[1], 6)
+             END AS forecast
+         FROM ls LEFT JOIN last l ON l.user_id = ls.user_id
+         ORDER BY ls.user_id""",
     // A24b: the same linear recurrences, folded in identical order by
     // a recursive CTE; Δt/h integral → decay factors are exact powers
     // of two, each step exact IEEE scaling + add → bit-identical

@@ -136,6 +136,52 @@ class CombinatorsSpec extends SparkSpec {
     assert(out("n")._5 === Some(r6(l + 4 * b)))
   }
 
+  test("holtWinters: a constant-plus-seasonal series is forecast exactly; arbitrary series matches a scalar fold; short series null") {
+    import graft.operators.AggCombinators
+    // exactness law: v_t = c + seas_{t mod m} with integer values and
+    // Σ seas = 0 — the init recovers l = c, b = 0, s = seas exactly,
+    // every step is a fixed point of the recurrence, and forecast(1)
+    // reproduces the next value bit-for-bit
+    val seas = Seq(-3.0, -1.0, 0.0, 1.0, 3.0, 2.0, -2.0)
+    val c = 100.0
+    val season = (0 until 21).map(i => ("s", i.toLong, c + seas(i % 7)))
+    val noisy = (0 until 16).map(i =>
+      ("n", i.toLong, Seq(1.0, 4.0, 2.0, 8.0, 5.0, 3.0, 9.0, 6.0)(i % 8)
+        + 0.25 * i))
+    val short = (0 until 13).map(i => ("sh", i.toLong, i.toDouble))
+    val out = (season ++ noisy ++ short).toDF("k", "t", "v")
+      .groupBy(col("k"))
+      .agg(AggCombinators.holtWinters(col("v"), Seq(col("t")),
+        alpha = 0.5, beta = 0.5, gamma = 0.5, period = 7).as("h"))
+      .select(col("k"), col("h.n_samples"), col("h.level"),
+        col("h.trend"), col("h.season_next"), col("h.forecast"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // after 21 points the next value is v_21 = c + seas(0)
+    assert(out("s") === (("s", 21L, Some(c), Some(0.0),
+      Some(seas(21 % 7)), Some(c + seas(21 % 7)))))
+    // fewer than 2m points: null states
+    assert(out("sh") === (("sh", 13L, None, None, None, None)))
+    // scalar reference fold (same op order, same init convention)
+    val vs = noisy.map(_._3)
+    val m = 7
+    var l = vs.take(m).reduce(_ + _) / m
+    var b = (vs.slice(m, 2 * m).reduce(_ + _) / m - l) / m
+    var s = vs.take(m).map(_ - l).toVector
+    for (x <- vs.drop(m)) {
+      val sOld = s.head
+      val l2 = 0.5 * (x - sOld) + 0.5 * (l + b)
+      val b2 = 0.5 * (l2 - l) + 0.5 * b
+      val s2 = 0.5 * (x - l - b) + 0.5 * sOld
+      l = l2; b = b2; s = s.tail :+ s2
+    }
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out("n")._3 === Some(r6(l)) && out("n")._4 === Some(r6(b)))
+    assert(out("n")._5 === Some(r6(s.head)))
+    assert(out("n")._6 === Some(r6(l + b + s.head)))
+  }
+
   test("groupUniqArray: sorted distinct") {
     val df = Seq(("A", "b"), ("A", "a"), ("A", "b")).toDF("k", "v")
     val out = df.groupBy(col("k"))
