@@ -519,9 +519,23 @@ object Curation {
     */
   def kneserNeyLogProb(df: DataFrame, id: String, text: Column,
       discount: Double = 0.75): DataFrame = {
-    val d = lit(discount)
+    val tris = knTrigrams(df, id, text)
+    // the ONE position-scale aggregation; everything below is
+    // type-sized
+    val t3 = tris.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).cast("double").as("c3"))
+    knScoreDocs(tris, knModelLogProbs(t3, discount), id)
+  }
+
+  /** The KN scoring pipeline's three shared stages — exposed so the
+    * streaming counts store ([[graft.streaming.StreamingNgramLm]])
+    * scores through the IDENTICAL code path as the batch operator
+    * (parity is then structural, not coincidental).
+    */
+  private[graft] def knTrigrams(df: DataFrame, id: String,
+      text: Column): DataFrame = {
     val toks = df.select(col(id), split(text, " ").as("t"))
-    val tris = toks
+    toks
       .where(size(col("t")) >= 3)
       .select(col(id), explode(arrays_zip(
         slice(col("t"), lit(1), size(col("t")) - 2).as("w1"),
@@ -529,10 +543,16 @@ object Curation {
         slice(col("t"), lit(3), size(col("t")) - 2).as("w3"))).as("g"))
       .select(col(id), col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
-    // the ONE position-scale aggregation; everything below is
-    // type-sized
-    val t3 = tris.groupBy("w1", "w2", "w3")
-      .agg(count(lit(1)).cast("double").as("c3"))
+  }
+
+  /** Per-trigram-type interpolated-KN log-probs from a (w1, w2, w3,
+    * c3) count table — every model quantity derives from `t3` alone,
+    * so ANY exact producer of the counts (one batch aggregation, a
+    * streaming summable store) yields bit-identical scores.
+    */
+  private[graft] def knModelLogProbs(t3: DataFrame,
+      discount: Double): DataFrame = {
+    val d = lit(discount)
     // highest order: context total c(uv·) and distinct-continuation
     // count N1+(uv·)
     val ctx = t3.groupBy("w1", "w2")
@@ -566,12 +586,22 @@ object Curation {
             (d * col("nfol") / col("nvdot")) *
             (col("nend") / col("ntypes")))))
       .select(col("w1"), col("w2"), col("w3"), col("lp"))
-    tris.join(scored, Seq("w1", "w2", "w3"))
+    scored
+  }
+
+  /** Doc-keyed DECIMAL-exact mean of the per-trigram log-probs —
+    * trigram positions not present in the model table are dropped
+    * (impossible corpus-internally; for out-of-corpus docs scored
+    * against a store, the mean covers the in-model positions and
+    * `n_trigrams` says how many scored).
+    */
+  private[graft] def knScoreDocs(tris: DataFrame, lp: DataFrame,
+      id: String): DataFrame =
+    tris.join(lp, Seq("w1", "w2", "w3"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_trigrams"),
         (sum(col("lp").cast("decimal(38,15)")).cast("double") /
           count(lit(1)).cast("double")).as("avg_logprob_kn"))
-  }
 
   /** X13b: CCNet-style head/middle/tail quality bucketing (Wenzek et
     * al. 2020, §4.3) — each domain's documents are split into equal
