@@ -405,6 +405,21 @@ object NorthStarQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // X26: PCA whitening of the embedding table — fit (one
+    // DECIMAL-exact moment pass + driver Jacobi) then the codegen'd
+    // projection; not SQL-expressible (the eigendecomposition), so
+    // this rides the driver's rows-only check — the value laws live
+    // in PcaSpec (planted axes, orthonormality, scalar bit parity,
+    // unit whitened variance, bit-determinism)
+    "q_pca_project" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      val m = graft.operators.Pca.fit(e, "embedding", k = 4)
+      graft.operators.Pca.project(e, "embedding", m, whiten = true)
+        .select(col("vec_id"),
+          transform(col("pca"), x => round(x, 6)).as("pca"))
+        .orderBy(col("vec_id"))
+    }),
+
     // X4: language-ID heuristic (stopword argmax)
     "q_langid" -> ((s, d) => {
       table(s, d, "documents")
