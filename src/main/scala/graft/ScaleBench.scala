@@ -406,6 +406,33 @@ object ScaleBench {
           Seq("event_type"), ord = col("day"), value = col("cnt"),
           period = 7).count()
       }),
+      // round-17: X13d — one position explode, every model table
+      // TYPE-sized, type-keyed score joins; output = scoreable docs
+      // (factor-exact on replicated documents, hard-asserted below)
+      "kn_trigram" -> (() => graft.operators.Curation.kneserNeyLogProb(
+        Tables.table(spark, dir, "documents"), "doc_id",
+        col("text")).count()),
+      // round-17: W14b — per-user collect + O(series) fold; users are
+      // namespaced per replica, so output is factor-exact while each
+      // group's series (hence fold depth) stays base-sized
+      "holt_winters" -> (() => Tables.table(spark, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("user_id"), Tables.epochSeconds(col("ts")).as("ep"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(graft.operators.AggCombinators.holtWinters(
+          col("value"), Seq(col("ep"), col("event_id")),
+          alpha = 0.5, beta = 0.5, gamma = 0.5, period = 7).as("h"))
+        .count()),
+      // round-17: X26 — fit (one dim²-cell moment pass + driver
+      // Jacobi) AND the codegen projection, both inside the thunk:
+      // the honest fit+transform cost; output = corpus rows
+      "pca_project" -> (() => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val m = graft.operators.Pca.fit(e, "embedding", k = 4)
+        graft.operators.Pca.project(e, "embedding", m, whiten = true)
+          .count()
+      }),
       // round-15: A34 — pair-grid aggregate over the embeddings;
       // output constant (labels × 21 upper-triangle pairs)
       "corr_matrix" -> (() => graft.operators.StatsAgg.corrMatrix(
@@ -1253,7 +1280,10 @@ object ScaleBench {
       for (p <- Seq("funnel_levels", "sequence_counts", "asof_near",
              "boilerplate", "shuffle_shard", "interval_overlap",
              "scd2_history", "point_range", "counter_stats",
-             "sequence_events");
+             "sequence_events",
+             // round-17: replicated docs / namespaced users / corpus
+             // rows — all factor-exact
+             "kn_trigram", "holt_winters", "pca_project");
            b <- bm.get(p); s <- sm.get(p))
         if (s != b * factor) throw new AssertionError(
           s"$p: scaled $s != ${factor}x base $b")
