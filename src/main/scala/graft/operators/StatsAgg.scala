@@ -1051,4 +1051,116 @@ object StatsAgg {
         when(vx > lit(0.0) && vy > lit(0.0),
           round(cov / sqrt(vx * vy), 6)).as("corr"))): _*)
   }
+
+  /** A36: Kruskal–Wallis H test per key — ClickHouse
+    * `kruskalWallisTest`: the k-group generalization of
+    * [[mannWhitneyUTest]] (does any of k cohorts stochastically
+    * dominate?), with the standard tie correction (Kruskal & Wallis
+    * 1952):
+    *
+    *   H  = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+    *   H' = H / (1 − ΣT/(N³−N)),   ΣT = Σ_ties(t³−t)
+    *
+    * Exactness: pooled DOUBLED average ranks (the [[rankCorr]]
+    * machinery — 2·rank + peers − 1, an exact integer), so each
+    * group's doubled rank sum 2R_g is an exact DECIMAL and
+    * R_g²/n_g = (2R_g)²/(4n_g). The tie term folds as the exact
+    * per-row Σ(t²−1), the [[mannWhitneyUTest]] identity. The only
+    * order-sensitive step — summing the k per-group double terms —
+    * is made deterministic by folding them in GROUP-LABEL ORDER
+    * (sort_array + aggregate, the W14 fold discipline; the oracle's
+    * ordered list_reduce folds the identical tree).
+    *
+    * Plan: one rank window over the pooled sample per key, one
+    * (keys, group) aggregate, one keys aggregate whose collect_list
+    * state is GROUP-cardinality (k entries, never rows). Keys with
+    * fewer than 2 groups or an all-tied pooled sample (the correction
+    * denominator vanishes) yield null H. Output: keys :+ (n_rows,
+    * n_groups, h_stat), tie-corrected, round-6.
+    */
+  def kruskalWallis(df: DataFrame, keys: Seq[String], value: Column,
+      group: Column): DataFrame = {
+    val base = df.where(value.isNotNull && group.isNotNull)
+      .select((keys.map(col) :+ value.as("__v")) :+
+        group.cast("string").as("__g"): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+    val peers = count(lit(1))
+      .over(w.rangeBetween(Window.currentRow, Window.currentRow))
+    val ranked = base
+      .withColumn("__r2",
+        (rank().over(w).cast("long") * 2 + peers - 1).cast("decimal(19,0)"))
+      .withColumn("__tt",
+        peers.cast("decimal(19,0)") * peers.cast("decimal(19,0)") - 1)
+    val byGroup = ranked.groupBy((keys.map(col) :+ col("__g")): _*)
+      .agg(count(lit(1)).as("__ng"), sum(col("__r2")).as("__rg"))
+    val byKey = ranked.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("__tt")).as("__ties"))
+    // fold Σ (2R_g)²/(4n_g) in group-label order — k-entry state
+    val folded = byGroup.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_groups"),
+        aggregate(
+          sort_array(collect_list(
+            struct(col("__g"), col("__ng"), col("__rg")))),
+          lit(0.0),
+          (acc, e) => acc + e("__rg").cast("double") *
+            e("__rg").cast("double") /
+            (lit(4.0) * e("__ng").cast("double"))).as("__hsum"))
+    val n = col("n_rows").cast("double")
+    val h = lit(12.0) / (n * (n + lit(1.0))) * col("__hsum") -
+      lit(3.0) * (n + lit(1.0))
+    val corr = lit(1.0) -
+      col("__ties").cast("double") / (n * n * n - n)
+    val ok = col("n_groups") >= 2 && col("n_rows") >= 2 &&
+      corr > lit(1e-12)
+    folded.join(byKey, keys)
+      .select((keys.map(col) ++ Seq(
+        col("n_rows"), col("n_groups"),
+        when(ok, round(h / corr, 6)).as("h_stat"))): _*)
+  }
+
+  /** A37: Jarque–Bera normality test per key (Jarque & Bera 1980) —
+    * the closing member of the distribution-shape family, computed
+    * directly off [[moments]]' exact fixed-point power sums:
+    *
+    *   JB = n/6 · (g1² + (g2 − 3)²/4)
+    *
+    * with g1 = m3/m2^1.5 (population skewness) and g2 = m4/m2²
+    * (population kurtosis) — large JB rejects normality. Same single
+    * partial+final aggregate and fixed double tree as [[moments]];
+    * keys with vanishing variance yield null. Output: keys :+
+    * (n_rows, skew_pop, kurt_pop, jb_stat), round-6.
+    */
+  def jarqueBera(df: DataFrame, keys: Seq[String], value: Column,
+      scale: Int = 2): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    val w = floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
+    val out = df.where(value.isNotNull && !isnan(value.cast("double")))
+      .withColumn("__w", w)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__w")).as("__s1"),
+        sum(col("__w") * col("__w")).as("__s2"),
+        sum(col("__w") * col("__w") * col("__w")).as("__s3"),
+        sum(col("__w") * col("__w") * col("__w") * col("__w")).as("__s4"))
+    val n = col("n_rows").cast("double")
+    val s1 = col("__s1").cast("double") / lit(factor)
+    val s2 = col("__s2").cast("double") / lit(factor * factor)
+    val s3 = col("__s3").cast("double") / lit(factor * factor * factor)
+    val s4 = col("__s4").cast("double") / lit(factor * factor * factor * factor)
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m3 = s3 / n - lit(3.0) * mu * s2 / n + lit(2.0) * mu * mu * mu
+    val m4 = s4 / n - lit(4.0) * mu * s3 / n +
+      lit(6.0) * mu * mu * s2 / n - lit(3.0) * mu * mu * mu * mu
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val g2 = m4 / (m2 * m2)
+    val jb = n / lit(6.0) *
+      (g1 * g1 + (g2 - lit(3.0)) * (g2 - lit(3.0)) / lit(4.0))
+    val ok = m2 > lit(1e-12)
+    out.select((keys.map(col) ++ Seq(
+      col("n_rows"),
+      when(ok, round(g1, 6)).as("skew_pop"),
+      when(ok, round(g2, 6)).as("kurt_pop"),
+      when(ok, round(jb, 6)).as("jb_stat"))): _*)
+  }
 }

@@ -811,4 +811,104 @@ object TimeSeries {
         max_by(value, struct(col("__t"), tie)).as("close"),
         count(lit(1)).as("n"))
   }
+
+  /** W15: CUSUM changepoint estimate per key — the classic
+    * cumulative-sum location test (Page 1954; the at-most-one-change
+    * mean-shift estimator): the changepoint is the index maximizing
+    * |S_t|, S_t = Σ_{i≤t}(v_i − v̄), and the magnitude max|S_t| is the
+    * shift evidence a monitor thresholds. ClickHouse ships this read
+    * as part of its anomaly toolbox; here it is one window + one
+    * argmax over the aggregated series.
+    *
+    * Exactness: with fixed-point v and per-key totals (T = Σv, n),
+    * the statistic is computed as the EXACT integer
+    * D_t = n·C_t − t·T (C_t the prefix sum — multiplying S_t through
+    * by n), so the argmax ordering never touches a double; only the
+    * reported magnitude divides back to value units (max|S| =
+    * max|D|/n, one double division, round-6). Ties → smallest t.
+    * t ranges over 1..n−1 (D_n ≡ 0 is excluded — a "change after the
+    * last point" is no change). Keys with n < 2 drop.
+    *
+    * Plan shape: the W12/W13 aggregated-series convention — one rank
+    * window per key over GRID-sized rows, one keys aggregate for
+    * (T, n), one broadcast-size join back, one argmax aggregate. Raw
+    * volume pays exactly one upstream pre-aggregation.
+    */
+  def cusumChangepoint(df: DataFrame, keys: Seq[String], ord: Column,
+      value: Column, scale: Int = 6): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    val keyCols = keys.map(col)
+    val win = Window.partitionBy(keyCols: _*).orderBy(ord)
+    val base = df
+      .where(ord.isNotNull && value.isNotNull &&
+        !isnan(value.cast("double")))
+      .withColumn("__ord", ord)
+      .withColumn("__v",
+        floor(value.cast("double") * lit(factor)).cast("decimal(38,0)"))
+      .withColumn("__rn", row_number().over(win).cast("decimal(38,0)"))
+      .withColumn("__c", sum(col("__v"))
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stats = base.groupBy(keyCols: _*)
+      .agg(sum(col("__v")).as("__t"),
+        count(lit(1)).cast("decimal(38,0)").as("__n"))
+    base.join(stats, keys)
+      .where(col("__rn") < col("__n"))
+      .withColumn("__d", col("__c") * col("__n") - col("__rn") * col("__t"))
+      .groupBy(keyCols: _*)
+      .agg(max_by(
+          struct(col("__ord"), col("__d"), col("__rn")),
+          struct(abs(col("__d")).as("a"), (-col("__rn")).as("nr"))).as("__w"),
+        max(col("__n")).as("__nn"))
+      .select((keyCols ++ Seq(
+        col("__nn").cast("long").as("n_rows"),
+        col("__w.__ord").as("cp_ord"),
+        round(abs(col("__w.__d")).cast("double") /
+          (col("__nn").cast("double") * lit(factor)), 6)
+          .as("cusum_abs"))): _*)
+  }
+
+  /** X27: Theil–Sen slope estimator per key (Theil 1950; Sen 1968) —
+    * the ROBUST trend read (median of all pairwise slopes; breakdown
+    * point ~29% vs least-squares' 0%), the companion [[counterStats]]
+    * and `predictLinear` need when the series carries outliers the
+    * mean-based slope would chase.
+    *
+    * Exactness: each pairwise slope divides an exact integer value
+    * delta by an exact integer ord delta (ONE IEEE division — engine
+    * deterministic), then quantizes to the fixed-point grid
+    * (floor·10^scale, the [[tukeyOutliers]] convention) so the median
+    * interpolation runs over integers and lands on the exact binary
+    * .5 grid. Reported slope divides back to value units, round-6.
+    *
+    * Plan shape: designed for AGGREGATED series (the W12/W13 grid
+    * convention): one (keys)-keyed self-join producing the m(m−1)/2
+    * ordered pairs per key — GRID-sized squared, never raw volume
+    * (a 365-point daily grid is 66k pairs; raw events never touch the
+    * join) — then one exact-percentile aggregate. Keys with < 2
+    * points drop.
+    */
+  def theilSen(df: DataFrame, keys: Seq[String], ord: Column,
+      value: Column, scale: Int = 6): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    val base = df
+      .where(ord.isNotNull && value.isNotNull &&
+        !isnan(value.cast("double")))
+      .select((keys.map(col) :+ ord.cast("long").as("__o")) :+
+        floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
+          .as("__v"): _*)
+    val a = base.select((keys.map(col) :+ col("__o").as("__oa")) :+
+      col("__v").as("__va"): _*)
+    val b = base.select((keys.map(col) :+ col("__o").as("__ob")) :+
+      col("__v").as("__vb"): _*)
+    a.join(b, keys).where(col("__ob") > col("__oa"))
+      .withColumn("__s",
+        floor((col("__vb") - col("__va")).cast("double") /
+          (col("__ob") - col("__oa")).cast("double")))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(__s, 0.5D)").as("__med"))
+      .select((keys.map(col) ++ Seq(
+        col("n_pairs"),
+        round(col("__med") / lit(factor), 6).as("slope"))): _*)
+  }
 }

@@ -374,6 +374,26 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A36: Kruskal–Wallis H across three user cohorts per event
+    // type — pooled doubled ranks, tie-corrected, the k-group double
+    // sum folded in group-label order so it is engine-deterministic
+    "q_kruskal_wallis" -> ((s, d) => {
+      graft.operators.StatsAgg.kruskalWallis(
+        table(s, d, "events")
+          .where(col("user_id").isNotNull),
+        Seq("event_type"), col("value"),
+        group = col("user_id") % 3)
+        .orderBy(col("event_type"))
+    }),
+
+    // A37: Jarque–Bera normality test off the exact fixed-point
+    // power sums — the moments machinery closed into one statistic
+    "q_jarque_bera" -> ((s, d) => {
+      graft.operators.StatsAgg.jarqueBera(
+        table(s, d, "events"), Seq("event_type"), col("value"))
+        .orderBy(col("event_type"))
+    }),
+
     // A27: ROC AUC of value as a classifier for the even-user cohort
     // per event type — rank-sum identity collapsed to distinct-score
     // cells, exact integers until the final division
@@ -1551,6 +1571,77 @@ object AggQueries {
              THEN round((u1 - n1d * n2d / 2.0) / sqrt(sigma2), 6)
            END AS z_stat
          FROM z ORDER BY event_type""",
+    // A36: pooled doubled ranks; Σ(2R_g)²/(4n_g) folded via ordered
+    // list_reduce to mirror the Spark-side group-ordered aggregate
+    "q_kruskal_wallis" ->
+      """WITH e AS (SELECT event_type, value AS v,
+             CAST(user_id % 3 AS VARCHAR) AS g
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         r AS (SELECT event_type, g,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+               + count(*) OVER (PARTITION BY event_type, v) - 1 AS r2,
+             count(*) OVER (PARTITION BY event_type, v) AS t
+           FROM e),
+         ga AS (SELECT event_type, g, count(*) AS ng,
+             sum(CAST(r2 AS HUGEINT)) AS rg
+           FROM r GROUP BY event_type, g),
+         ka AS (SELECT event_type, count(*) AS n_rows,
+             sum(CAST(t AS HUGEINT) * t - 1) AS ties
+           FROM r GROUP BY event_type),
+         f AS (SELECT event_type, count(*) AS n_groups,
+             list_reduce(
+               list(CAST(rg AS DOUBLE) * CAST(rg AS DOUBLE)
+                 / (4.0 * CAST(ng AS DOUBLE)) ORDER BY g),
+               (a, b) -> a + b) AS hsum
+           FROM ga GROUP BY event_type),
+         h AS (SELECT f.event_type, ka.n_rows, f.n_groups,
+             CAST(ka.n_rows AS DOUBLE) AS n, hsum,
+             CAST(ka.ties AS DOUBLE) AS td
+           FROM f JOIN ka USING (event_type))
+         SELECT event_type, n_rows, n_groups,
+           CASE WHEN n_groups >= 2 AND n_rows >= 2
+             AND 1.0 - td / (n * n * n - n) > 1e-12
+           THEN round(
+             (12.0 / (n * (n + 1.0)) * hsum - 3.0 * (n + 1.0))
+               / (1.0 - td / (n * n * n - n)), 6)
+           END AS h_stat
+         FROM h ORDER BY event_type""",
+    // A37: the q_moments power-sum tree extended to g1/g2 and
+    // JB = n/6·(g1² + (g2−3)²/4)
+    "q_jarque_bera" ->
+      """WITH w AS (SELECT event_type,
+             CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT event_type, count(*) AS n_rows,
+             sum(w) AS s1, sum(w*w) AS s2, sum(w*w*w) AS s3,
+             sum(w*w*w*w) AS s4
+           FROM w GROUP BY event_type),
+         m AS (SELECT event_type, n_rows,
+             CAST(n_rows AS DOUBLE) AS n,
+             CAST(s1 AS DOUBLE) / 100.0 AS d1,
+             CAST(s2 AS DOUBLE) / 10000.0 AS d2,
+             CAST(s3 AS DOUBLE) / 1000000.0 AS d3,
+             CAST(s4 AS DOUBLE) / 100000000.0 AS d4
+           FROM s),
+         mm AS (SELECT event_type, n_rows, n,
+             d2 / n - (d1/n) * (d1/n) AS m2,
+             d3 / n - 3.0 * (d1/n) * d2 / n + 2.0 * (d1/n)*(d1/n)*(d1/n)
+               AS m3,
+             d4 / n - 4.0 * (d1/n) * d3 / n
+               + 6.0 * (d1/n)*(d1/n) * d2 / n
+               - 3.0 * (d1/n)*(d1/n)*(d1/n)*(d1/n) AS m4
+           FROM m),
+         g AS (SELECT event_type, n_rows, n, m2,
+             m3 / sqrt(m2*m2*m2) AS g1,
+             m4 / (m2*m2) AS g2
+           FROM mm)
+         SELECT event_type, n_rows,
+           CASE WHEN m2 > 1e-12 THEN round(g1, 6) END AS skew_pop,
+           CASE WHEN m2 > 1e-12 THEN round(g2, 6) END AS kurt_pop,
+           CASE WHEN m2 > 1e-12 THEN round(
+             n / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0), 6)
+           END AS jb_stat
+         FROM g ORDER BY event_type""",
     // A27: same cell collapse — p·(2·cb + t + 1) doubled rank sums
     "q_auc" ->
       """WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c

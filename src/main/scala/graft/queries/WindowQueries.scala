@@ -586,6 +586,34 @@ object WindowQueries {
         .orderBy(col("event_type"))
     }),
 
+    // W15: CUSUM changepoint over the daily event-count series —
+    // argmax on the exact integer D_t = n·C_t − t·T, ties → earliest
+    "q_cusum" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long").as("day")
+      val daily = table(s, d, "events")
+        .select(col("event_type"), day)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.TimeSeries.cusumChangepoint(
+        daily, Seq("event_type"), ord = col("day"), value = col("cnt"))
+        .orderBy(col("event_type"))
+    }),
+
+    // X27: Theil–Sen robust slope over the same daily grid —
+    // grid-sized pairwise slopes, fixed-point-quantized exact median
+    "q_theil_sen" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long").as("day")
+      val daily = table(s, d, "events")
+        .select(col("event_type"), day)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.TimeSeries.theilSen(
+        daily, Seq("event_type"), ord = col("day"), value = col("cnt"))
+        .orderBy(col("event_type"))
+    }),
+
     // W4e: Tukey-fence outliers — rows outside [q1−1.5·IQR, q3+1.5·IQR]
     // of their type's value distribution; exact fixed-point quartile
     // grid makes the fence comparisons engine-exact
@@ -1326,6 +1354,56 @@ object WindowQueries {
            FROM acf WHERE lag >= 2 AND acf IS NOT NULL)
          SELECT event_type, period, acf FROM r WHERE rk = 1
          ORDER BY event_type""",
+    // W15: exact integer D_t = n·C_t − t·T; argmax |D|, ties earliest
+    "q_cusum" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, day),
+         b AS (SELECT event_type, day,
+             CAST(floor(cnt * 1000000.0) AS HUGEINT) AS v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn,
+             sum(CAST(floor(cnt * 1000000.0) AS HUGEINT))
+               OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM daily),
+         st AS (SELECT event_type, sum(v) AS t,
+             CAST(count(*) AS HUGEINT) AS n
+           FROM b GROUP BY event_type),
+         d AS (SELECT b.event_type, b.day, rn,
+             c * n - CAST(rn AS HUGEINT) * t AS dd, n
+           FROM b JOIN st USING (event_type)
+           WHERE CAST(rn AS HUGEINT) < n),
+         p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(dd) DESC, rn ASC) AS pick
+           FROM d)
+         SELECT event_type, CAST(n AS BIGINT) AS n_rows, day AS cp_ord,
+           round(CAST(abs(dd) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000.0), 6) AS cusum_abs
+         FROM p WHERE pick = 1 ORDER BY event_type""",
+    // X27: grid-sized pairwise slopes, one double division each,
+    // fixed-point-quantized before the exact interpolated median
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, day),
+         fp AS (SELECT event_type, day AS o,
+             CAST(floor(cnt * 1000000.0) AS HUGEINT) AS v
+           FROM daily),
+         p AS (SELECT a.event_type,
+             floor(CAST(b.v - a.v AS DOUBLE) / CAST(b.o - a.o AS DOUBLE))
+               AS s
+           FROM fp a JOIN fp b ON b.event_type = a.event_type
+             AND b.o > a.o)
+         SELECT event_type, count(*) AS n_pairs,
+           round(quantile_cont(s, 0.5) / 1000000.0, 6) AS slope
+         FROM p GROUP BY event_type ORDER BY event_type""",
     "q_derivative" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,

@@ -953,4 +953,117 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out("a") === (("a", 0L, 30L, Some(1.0))))
     assert(out("d") === (("d", 7L, 7L, None)))
   }
+
+  test("kruskalWallis: matches the scalar reference; H = z² at k = 2; single-group and all-tied null; repartition-stable") {
+    val rows = Seq(
+      ("k", "a", 1.0), ("k", "a", 2.0), ("k", "a", 3.0), ("k", "a", 2.0),
+      ("k", "b", 4.0), ("k", "b", 5.0), ("k", "b", 2.0),
+      ("k", "c", 6.0), ("k", "c", 7.0), ("k", "c", 5.0))
+    def run(rs: Seq[(String, String, Double)], parts: Int) =
+      StatsAgg.kruskalWallis(rs.toDF("k", "g", "v").repartition(parts),
+        Seq("k"), col("v"), col("g"))
+        .select("k", "n_rows", "n_groups", "h_stat")
+        .as[(String, Long, Long, Option[Double])].collect().head
+    val out = run(rows, 5)
+    // scalar reference: average ranks over the pooled sample, the
+    // textbook H, tie-corrected
+    def ref(groups: Map[String, Seq[Double]]): Double = {
+      val all = groups.values.flatten.toSeq.sorted
+      val n = all.size.toDouble
+      def avgRank(v: Double): Double =
+        (all.indexWhere(_ == v) + 1 + all.lastIndexWhere(_ == v) + 1) / 2.0
+      val hsum = groups.toSeq.sortBy(_._1).map { case (_, vs) =>
+        val r = vs.map(avgRank).sum; r * r / vs.size }.sum
+      val h = 12.0 / (n * (n + 1)) * hsum - 3.0 * (n + 1)
+      val ties = all.groupBy(identity).values
+        .map(g => math.pow(g.size.toDouble, 3) - g.size).sum
+      h / (1.0 - ties / (n * n * n - n))
+    }
+    val expect = ref(rows.groupBy(_._2).map {
+      case (g, rs) => g -> rs.map(_._3) })
+    assert(out._2 === 10L && out._3 === 3L)
+    assert(math.abs(out._4.get - expect) < 1e-5)
+    assert(run(rows, 2) === out, "repartition-stable")
+    // k = 2: tie-corrected H is exactly the Mann–Whitney z² (both
+    // normal approximations share the tie-corrected variance)
+    val two = rows.filter(_._2 != "c")
+    val h2 = run(two, 3)._4.get
+    val z = StatsAgg.mannWhitneyUTest(two.toDF("k", "g", "v"),
+      Seq("k"), col("v"), cohort = col("g") === "a")
+      .select("z_stat").as[Option[Double]].head().get
+    assert(math.abs(h2 - z * z) < 1e-4)
+    // single group and all-tied pooled sample → null H
+    assert(run(rows.filter(_._2 == "a"), 2)._4 === None)
+    assert(run(Seq(("k", "a", 5.0), ("k", "a", 5.0), ("k", "b", 5.0),
+      ("k", "b", 5.0)), 2)._4 === None)
+  }
+
+  test("jarqueBera: ±1 alternating series → skew 0, kurt 1, JB = n/6 exactly; matches the moments shape; constant null") {
+    val pm = (1 to 24).map(i => ("k", if (i % 2 == 0) 1.0 else -1.0)) ++
+      (1 to 5).map(_ => ("c", 7.0))
+    val out = StatsAgg.jarqueBera(pm.toDF("k", "v").repartition(4),
+      Seq("k"), col("v"))
+      .select("k", "n_rows", "skew_pop", "kurt_pop", "jb_stat")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // symmetric two-point mass at ±1: m2 = 1, m3 = 0, m4 = 1 →
+    // g1 = 0, g2 = 1, JB = n/6·(0 + (1−3)²/4) = n/6
+    assert(out("k")._2 === 24L)
+    assert(out("k")._3 === Some(0.0))
+    assert(out("k")._4 === Some(1.0))
+    assert(out("k")._5 === Some(math.rint(24.0 / 6.0 * 1e6) / 1e6))
+    // zero variance → all shape stats null
+    assert(out("c")._3 === None && out("c")._5 === None)
+    // cross-check against moments' g1/g2 on an arbitrary 2-decimal
+    // fixture (same power sums, same tree)
+    val rnd = new scala.util.Random(23)
+    val arb = (0 until 200).map(_ =>
+      ("z", math.rint(rnd.nextDouble() * 1000 - 500) / 100.0))
+    val jb = StatsAgg.jarqueBera(arb.toDF("k", "v"), Seq("k"), col("v"))
+      .select("skew_pop", "kurt_pop")
+      .as[(Option[Double], Option[Double])].head()
+    val mo = StatsAgg.moments(arb.toDF("k", "v"), Seq("k"), col("v"))
+      .select("skew_pop", "kurt_pop")
+      .as[(Option[Double], Option[Double])].head()
+    assert(jb === mo)
+  }
+
+  test("cusumChangepoint: planted mean shift found exactly; constant series → zero stat at earliest t; repartition-stable") {
+    import graft.operators.TimeSeries
+    val rows = (1 to 8).map(i =>
+      ("s", i.toLong, if (i <= 4) 0.0 else 10.0)) ++
+      (1 to 6).map(i => ("c", i.toLong, 5.0))
+    def run(parts: Int) =
+      TimeSeries.cusumChangepoint(rows.toDF("k", "o", "v")
+          .repartition(parts),
+        Seq("k"), ord = col("o"), value = col("v"))
+        .select("k", "n_rows", "cp_ord", "cusum_abs")
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+    val out = run(5)
+    // x̄ = 5: S_t = −5t for t ≤ 4, then recovers; max |S| = 20 at t = 4
+    assert(out("s") === (("s", 8L, 4L, 20.0)))
+    // constant: D_t ≡ 0, ties resolve to the earliest ord
+    assert(out("c") === (("c", 6L, 1L, 0.0)))
+    assert(run(2) === out, "repartition-stable")
+  }
+
+  test("theilSen: exact slope on a line despite an outlier; n_pairs = m(m−1)/2; fractional slopes quantize to the fixed-point grid") {
+    import graft.operators.TimeSeries
+    val line = (0 to 10).map(i =>
+      ("k", i.toLong, if (i == 5) 1000.0 else 3.0 * i + 1.0))
+    val out = TimeSeries.theilSen(line.toDF("k", "o", "v").repartition(4),
+      Seq("k"), ord = col("o"), value = col("v"))
+      .select("k", "n_pairs", "slope")
+      .as[(String, Long, Double)].collect().head
+    // 45 of 55 pairwise slopes are exactly 3; the outlier's 10 wild
+    // slopes split 5 high / 5 low — the median never leaves the line
+    assert(out === (("k", 55L, 3.0)))
+    // fractional slope: two points, slope 1/3 → floor to the 1e-6 grid
+    val frac = TimeSeries.theilSen(
+      Seq(("f", 0L, 0.0), ("f", 3L, 1.0)).toDF("k", "o", "v"),
+      Seq("k"), ord = col("o"), value = col("v"))
+      .select("n_pairs", "slope").as[(Long, Double)].head()
+    assert(frac === ((1L, 0.333333)))
+  }
 }
