@@ -1200,9 +1200,17 @@ object Curation {
     * by replaying the merges in rank order. The fold is inherently
     * sequential per word, so it runs as a scalar function over the
     * DISTINCT-WORD table (vocabulary-sized — the documented read-face
-    * posture, one invocation per distinct word, never per token) and
-    * joins back broadcast-style. Returns (id, n_words, n_tokens,
-    * tokens) with tokens in document order.
+    * posture, one invocation per distinct word, never per token).
+    *
+    * Assembly is MAP-SIDE (the X3f slim-pairs lesson, remeasured here
+    * at 30×: shuffling each word's token array per OCCURRENCE through
+    * a positional collect_list cost 25× the slim path's wall — the
+    * payload rode the multiplying shuffle): token arrays join once
+    * per (doc, DISTINCT word) into a per-doc lookup map, and the
+    * token stream re-expands in a PROJECTION over split(text), so
+    * the only per-occurrence array materialization is the output
+    * itself. Returns (id, n_words, n_tokens, tokens) with tokens in
+    * document order.
     */
   def bpeSegment(df: DataFrame, id: String, text: Column,
       merges: Seq[(String, String)]): DataFrame = {
@@ -1220,17 +1228,59 @@ object Curation {
       }
       sym
     }
-    val vocab = df.select(explode(split(text, " ")).as("w"))
-      .where(length(col("w")) > 0).distinct()
+    val words = df.select(col(id),
+      filter(split(text, " "), w => length(w) > 0).as("__words"))
+    val vocab = words
+      .select(explode(col("__words")).as("w")).distinct()
       .withColumn("__toks", seg(col("w")))
-    df.select(col(id), posexplode(split(text, " ")).as(Seq("__pos", "w")))
-      .where(length(col("w")) > 0)
+    val docMaps = words
+      .select(col(id), explode(array_distinct(col("__words"))).as("w"))
       .join(vocab, "w")
       .groupBy(col(id))
+      .agg(map_from_entries(
+        collect_list(struct(col("w"), col("__toks")))).as("__m"))
+    words.join(docMaps, id)
+      .select(col(id),
+        size(col("__words")).cast("long").as("n_words"),
+        flatten(transform(col("__words"),
+          w => element_at(col("__m"), w))).as("tokens"))
+      .select(col(id), col("n_words"),
+        size(col("tokens")).cast("long").as("n_tokens"), col("tokens"))
+  }
+
+  /** X25c: token-COUNT stats face of [[bpeSegment]] — (id, n_words,
+    * n_tokens) without ever materializing the token stream: the
+    * per-distinct-word subword count (one INT) joins the exploded
+    * word occurrences, so the multiplying shuffle carries integers
+    * only. A budget/packing pipeline counts tokens far more often
+    * than it reads them, and this face is measured FLAT at 30× corpus
+    * scale (BpeScale) where [[bpeSegment]] honestly pays its
+    * output-sized materialization cost. Identical n_words/n_tokens to
+    * [[bpeSegment]] (spec-pinned).
+    */
+  def bpeTokenCounts(df: DataFrame, id: String, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seg = udf { (w: String) =>
+      var sym = (w.map(_.toString) :+ "</w>").toVector
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        sym = out.result()
+      }
+      sym
+    }
+    val occ = df.select(col(id),
+      explode(filter(split(text, " "), w => length(w) > 0)).as("w"))
+    val vocab = occ.select(col("w")).distinct()
+      .withColumn("__n", size(seg(col("w"))).cast("long"))
+    occ.join(vocab, "w")
+      .groupBy(col(id))
       .agg(count(lit(1)).as("n_words"),
-        sum(size(col("__toks"))).cast("long").as("n_tokens"),
-        flatten(transform(array_sort(collect_list(
-          struct(col("__pos"), col("__toks")))),
-          e => e("__toks"))).as("tokens"))
+        sum(col("__n")).as("n_tokens"))
   }
 }

@@ -1027,5 +1027,12 @@ class CurationSpec extends SparkSpec {
     // apply where learned pairs occur)
     val z = out.find(_._1 == 3L).get._4
     assert(z.forall(t => t.length <= "zz".length + 4))
+    // X25c: the integer-only stats face agrees with the full segment
+    // face on every (n_words, n_tokens) — the flat-at-scale read
+    val counts = Curation.bpeTokenCounts(docs, "doc_id", col("text"),
+      merges)
+      .orderBy("doc_id").select("doc_id", "n_words", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(counts === out.map(r => (r._1, r._2, r._3)).toSeq)
   }
 }
