@@ -867,6 +867,124 @@ object TimeSeries {
           .as("cusum_abs"))): _*)
   }
 
+  /** W16: MAD-based modified z-score per row (Iglewicz & Hoaglin
+    * 1993, the 0.6745·(x − median)/MAD rule) — the missing member of
+    * the anomaly family: [[rollingZScore]] is a trailing mean/σ
+    * baseline, [[tukeyOutliers]] a quartile FENCE; this is the robust
+    * whole-distribution SCORE (a z each row can be ranked by, with
+    * the median/MAD location+scale that a heavy tail cannot drag the
+    * way it drags mean/σ).
+    *
+    * Engine-portable numerics (the [[tukeyOutliers]] grid argument,
+    * one level deeper): medians interpolate the fixed-point integer
+    * w = floor(v·10^scale) and land on the exact binary .5 grid;
+    * deviations |w − med| then sit on the .5 grid so the MAD lands on
+    * the .25 grid — every comparison input is exact in any engine,
+    * and z = 0.6745·(w − med)/mad is ONE fixed double tree. The
+    * reported z FLOOR-quantizes to the 1e-6 grid rather than
+    * round(6): the coarse exact input grids make z repeat across rows
+    * and land exactly on 6-decimal rounding boundaries, where
+    * engines' round-on-double implementations legitimately differ by
+    * one ulp — floor of the identical tree is exact everywhere. The
+    * outlier flag compares the unrounded |z| against `threshold`
+    * (exact inputs + identical tree ⇒ cross-engine identical flag).
+    * Keys with MAD = 0 (over half the mass on one value) yield null
+    * z/flag rather than a division blowup — the documented MAD
+    * degeneracy.
+    *
+    * Scale: two (keys) percentile aggregates (state bounded by
+    * distinct fixed-point values per key), each joined back broadcast
+    * (|keys|-row tables), flag map-only — three corpus scans, no
+    * per-key sort of raw volume. Output: input keys + (tie, value,
+    * robust_z, is_outlier).
+    */
+  def madZScore(df: DataFrame, keys: Seq[String], tie: Column,
+      value: Column, threshold: Double = 3.5, scale: Int = 2): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val factor = math.pow(10.0, scale)
+    val withW = df
+      .where(value.isNotNull && !isnan(value.cast("double")))
+      .select((keys.map(col) :+ tie.as("__tie")) :+ value.as("__v"): _*)
+      .withColumn("__w", floor(col("__v").cast("double") * lit(factor)))
+    val med = withW.groupBy(keys.map(col): _*)
+      .agg(expr("percentile(__w, 0.5D)").as("__med"))
+    val withDev = withW.join(broadcast(med), keys)
+      .withColumn("__dev", abs(col("__w") - col("__med")))
+    val mad = withDev.groupBy(keys.map(col): _*)
+      .agg(expr("percentile(__dev, 0.5D)").as("__mad"))
+    val z = lit(0.6745) * (col("__w") - col("__med")) / col("__mad")
+    withDev.join(broadcast(mad), keys)
+      .select((keys.map(col) ++ Seq(
+        col("__tie").as("tie"),
+        col("__v").as("value"),
+        when(col("__mad") > lit(0.0),
+          floor(z * lit(1000000.0)) / lit(1000000.0)).as("robust_z"),
+        when(col("__mad") > lit(0.0), abs(z) > lit(threshold))
+          .as("is_outlier"))): _*)
+  }
+
+  /** W17: forecast backtest accuracy per key — MAE, RMSE, and MASE
+    * (Hyndman & Koehler 2006, "Another look at measures of forecast
+    * accuracy") of a caller-provided one-step forecast column against
+    * actuals over an ordered series. MASE scales the forecast's MAE
+    * by the in-sample seasonal-naive MAE (the lag-`period` forecast),
+    * so 1.0 means "no better than repeating last season" — the
+    * evaluation face the W14/W14b forecast family needs to be
+    * honest about itself.
+    *
+    * Exactness: actual and forecast quantize to the fixed-point grid,
+    * so every |error| and squared error is an exact integer, the
+    * three error sums are exact DECIMALs (order-free), and each
+    * reported metric is one fixed double tree (round-6). Rows with a
+    * null forecast (e.g. the warm-up of a lag-based forecast) are
+    * excluded from MAE/RMSE; the seasonal-naive denominator runs over
+    * the rows with a lag-`period` predecessor. Keys with no scored
+    * rows drop; a zero seasonal-naive MAE (perfectly periodic
+    * actuals) yields null MASE.
+    *
+    * Scale: the W12/W13 aggregated-grid convention — one window per
+    * key over grid-sized rows, one aggregate. Output: keys +
+    * (n_scored, mae, rmse, mase).
+    */
+  def forecastAccuracy(df: DataFrame, keys: Seq[String], ord: Column,
+      actual: Column, forecast: Column, period: Int,
+      scale: Int = 6): DataFrame = {
+    require(period >= 1, s"period must be >= 1: $period")
+    val factor = math.pow(10.0, scale)
+    val keyCols = keys.map(col)
+    val win = Window.partitionBy(keyCols: _*).orderBy(ord)
+    def fp(c: Column) =
+      floor(c.cast("double") * lit(factor)).cast("decimal(38,0)")
+    val base = df
+      .where(ord.isNotNull && actual.isNotNull &&
+        !isnan(actual.cast("double")))
+      .withColumn("__a", fp(actual))
+      .withColumn("__f",
+        when(forecast.isNotNull && !isnan(forecast.cast("double")),
+          fp(forecast)))
+      .withColumn("__sn", lag(col("__a"), period).over(win))
+    val agg = base.groupBy(keyCols: _*)
+      .agg(
+        count(col("__f")).as("n_scored"),
+        sum(abs(col("__a") - col("__f"))).as("__se"),
+        sum((col("__a") - col("__f")) * (col("__a") - col("__f")))
+          .as("__se2"),
+        count(col("__sn")).as("__nsn"),
+        sum(abs(col("__a") - col("__sn"))).as("__ssn"))
+    val n = col("n_scored").cast("double")
+    val mae = col("__se").cast("double") / n / lit(factor)
+    val rmse = sqrt(col("__se2").cast("double") / n) / lit(factor)
+    val snMae = col("__ssn").cast("double") /
+      col("__nsn").cast("double") / lit(factor)
+    agg.where(col("n_scored") > 0)
+      .select((keyCols ++ Seq(
+        col("n_scored"),
+        round(mae, 6).as("mae"),
+        round(rmse, 6).as("rmse"),
+        when(col("__nsn") > 0 && col("__ssn") > 0,
+          round(mae / snMae, 6)).as("mase"))): _*)
+  }
+
   /** X27: Theil–Sen slope estimator per key (Theil 1950; Sen 1968) —
     * the ROBUST trend read (median of all pairwise slopes; breakdown
     * point ~29% vs least-squares' 0%), the companion [[counterStats]]

@@ -614,6 +614,35 @@ object WindowQueries {
         .orderBy(col("event_type"))
     }),
 
+    // W16: MAD modified z-score per row — median/MAD on the exact
+    // fixed-point grid, one fixed double tree for the score and flag
+    "q_mad_zscore" -> ((s, d) => {
+      graft.operators.TimeSeries.madZScore(
+        table(s, d, "events")
+          .select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), tie = col("event_id"), value = col("value"))
+        .orderBy(col("event_type"), col("tie"))
+    }),
+
+    // W17: one-step persistence forecast backtest over the daily
+    // grid — MAE/RMSE exact-integer error sums, MASE scaled by the
+    // in-sample weekly seasonal-naive
+    "q_forecast_acc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long").as("day")
+      val daily = table(s, d, "events")
+        .select(col("event_type"), day)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val withF = daily.withColumn("fc", lag(col("cnt"), 1).over(w))
+      graft.operators.TimeSeries.forecastAccuracy(
+        withF, Seq("event_type"), ord = col("day"),
+        actual = col("cnt"), forecast = col("fc"), period = 7)
+        .orderBy(col("event_type"))
+    }),
+
     // W4e: Tukey-fence outliers — rows outside [q1−1.5·IQR, q3+1.5·IQR]
     // of their type's value distribution; exact fixed-point quartile
     // grid makes the fence comparisons engine-exact
@@ -1384,6 +1413,60 @@ object WindowQueries {
            round(CAST(abs(dd) AS DOUBLE)
              / (CAST(n AS DOUBLE) * 1000000.0), 6) AS cusum_abs
          FROM p WHERE pick = 1 ORDER BY event_type""",
+    // W16: medians on the exact fixed-point grid (.5/.25 — the
+    // tukey argument one level deeper); identical z tree
+    "q_mad_zscore" ->
+      """WITH w AS (SELECT event_type, event_id AS tie, value,
+             floor(CAST(value AS DOUBLE) * 100.0) AS wv
+           FROM events WHERE value IS NOT NULL),
+         m AS (SELECT event_type, quantile_cont(wv, 0.5) AS med
+           FROM w GROUP BY event_type),
+         d AS (SELECT w.event_type, w.tie, w.value, w.wv, m.med,
+             abs(w.wv - m.med) AS dev
+           FROM w JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+           FROM d GROUP BY event_type)
+         SELECT d.event_type, d.tie, d.value,
+           CASE WHEN mad > 0.0
+             THEN floor(0.6745 * (wv - med) / mad * 1000000.0)
+               / 1000000.0 END AS robust_z,
+           CASE WHEN mad > 0.0
+             THEN abs(0.6745 * (wv - med) / mad) > 3.5 END AS is_outlier
+         FROM d JOIN md USING (event_type)
+         ORDER BY d.event_type, d.tie""",
+    // W17: exact-integer error sums; MASE = MAE / seasonal-naive MAE
+    "q_forecast_acc" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, day),
+         w AS (SELECT event_type, day,
+             CAST(floor(cnt * 1000000.0) AS HUGEINT) AS a,
+             lag(CAST(floor(cnt * 1000000.0) AS HUGEINT), 1)
+               OVER (PARTITION BY event_type ORDER BY day) AS f,
+             lag(CAST(floor(cnt * 1000000.0) AS HUGEINT), 7)
+               OVER (PARTITION BY event_type ORDER BY day) AS sn
+           FROM daily),
+         s AS (SELECT event_type,
+             count(f) AS n_scored,
+             sum(abs(a - f)) AS se,
+             sum((a - f) * (a - f)) AS se2,
+             count(sn) AS nsn,
+             sum(abs(a - sn)) AS ssn
+           FROM w GROUP BY event_type)
+         SELECT event_type, n_scored,
+           round(CAST(se AS DOUBLE) / CAST(n_scored AS DOUBLE)
+             / 1000000.0, 6) AS mae,
+           round(sqrt(CAST(se2 AS DOUBLE) / CAST(n_scored AS DOUBLE))
+             / 1000000.0, 6) AS rmse,
+           CASE WHEN nsn > 0 AND ssn > 0 THEN
+             round((CAST(se AS DOUBLE) / CAST(n_scored AS DOUBLE)
+                 / 1000000.0)
+               / (CAST(ssn AS DOUBLE) / CAST(nsn AS DOUBLE)
+                 / 1000000.0), 6) END AS mase
+         FROM s WHERE n_scored > 0 ORDER BY event_type""",
     // X27: grid-sized pairwise slopes, one double division each,
     // fixed-point-quantized before the exact interpolated median
     "q_theil_sen" ->

@@ -1048,6 +1048,63 @@ class IntervalStatsSpec extends SparkSpec {
     assert(run(2) === out, "repartition-stable")
   }
 
+  test("madZScore: hand-computed median/MAD on the exact grid; outlier flagged; MAD-degenerate key null; repartition-stable") {
+    import graft.operators.TimeSeries
+    val rows = (1 to 9).map(i => ("k", i.toLong, i.toDouble)) :+
+      (("k", 10L, 100.0)) // the outlier a mean/σ baseline would chase
+    val deg = (1 to 6).map(i => ("d", i.toLong, 5.0)) :+ (("d", 7L, 9.0))
+    def run(parts: Int) =
+      TimeSeries.madZScore((rows ++ deg).toDF("k", "id", "v")
+          .repartition(parts),
+        Seq("k"), tie = col("id"), value = col("v"))
+        .select("k", "tie", "robust_z", "is_outlier")
+        .as[(String, Long, Option[Double], Option[Boolean])]
+        .collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val out = run(5)
+    // fixed-point grid: wv = v·100, med = 550, MAD = 250; the scalar
+    // tree below is the operator's exact tree, so equality is exact
+    def zOf(v: Double) =
+      math.floor(0.6745 * (v * 100.0 - 550.0) / 250.0 * 1e6) / 1e6
+    assert(out(("k", 10L)) === ((Some(zOf(100.0)), Some(true))))
+    assert(out(("k", 1L)) === ((Some(zOf(1.0)), Some(false))))
+    assert(zOf(100.0) > 3.5 && math.abs(zOf(1.0)) < 3.5)
+    // over half the mass on one value → MAD = 0 → null score/flag
+    assert(out(("d", 7L)) === ((None, None)))
+    assert(run(2) === out, "repartition-stable")
+  }
+
+  test("forecastAccuracy: perfect forecast → 0s; hand-computed persistence case with MASE = 1 at period 1; zero seasonal MAE → null MASE") {
+    import graft.operators.TimeSeries
+    import org.apache.spark.sql.expressions.Window
+    def eval(rows: Seq[(String, Long, Double)], period: Int) = {
+      val w = Window.partitionBy(col("k")).orderBy(col("o"))
+      val df = rows.toDF("k", "o", "v")
+        .withColumn("f", lag(col("v"), 1).over(w))
+      TimeSeries.forecastAccuracy(df, Seq("k"), ord = col("o"),
+        actual = col("v"), forecast = col("f"), period = period)
+        .select("k", "n_scored", "mae", "rmse", "mase")
+        .as[(String, Long, Double, Double, Option[Double])]
+        .collect().map(r => r._1 -> r).toMap
+    }
+    // persistence on (2, 4, 8): errors 2 and 4 → MAE 3,
+    // RMSE √10; at period 1 the scale series IS the forecast → MASE 1
+    val p = eval(Seq(("k", 1L, 2.0), ("k", 2L, 4.0), ("k", 3L, 8.0)), 1)
+    assert(p("k")._2 === 2L && p("k")._3 === 3.0)
+    assert(math.abs(p("k")._4 - math.sqrt(10.0)) < 1e-6)
+    assert(p("k")._5 === Some(1.0))
+    // perfect forecast: evaluate v against itself
+    val perfect = TimeSeries.forecastAccuracy(
+      Seq(("k", 1L, 5.0), ("k", 2L, 7.0), ("k", 3L, 6.0)).toDF("k", "o", "v"),
+      Seq("k"), ord = col("o"), actual = col("v"),
+      forecast = col("v"), period = 1)
+      .select("mae", "rmse", "mase")
+      .as[(Double, Double, Option[Double])].head()
+    assert(perfect === ((0.0, 0.0, Some(0.0))))
+    // constant actuals: seasonal-naive MAE 0 → MASE null, MAE real
+    val const = eval(Seq(("k", 1L, 5.0), ("k", 2L, 5.0), ("k", 3L, 5.0)), 1)
+    assert(const("k")._3 === 0.0 && const("k")._5 === None)
+  }
+
   test("theilSen: exact slope on a line despite an outlier; n_pairs = m(m−1)/2; fractional slopes quantize to the fixed-point grid") {
     import graft.operators.TimeSeries
     val line = (0 to 10).map(i =>
