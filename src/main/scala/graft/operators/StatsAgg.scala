@@ -1118,6 +1118,77 @@ object StatsAgg {
         when(ok, round(h / corr, 6)).as("h_stat"))): _*)
   }
 
+  /** A38: Population Stability Index per key — THE standard
+    * distribution-drift statistic a model-serving monitor tracks
+    * (credit-scoring practice; the discrete KL symmetrization
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), current p vs reference q;
+    * rule of thumb: < 0.1 stable, > 0.25 action):
+    *
+    * Binning: `bins` equal-width bins over the REFERENCE cohort's
+    * fixed-point [min, max] (the serving convention — the bin edges
+    * are frozen by the reference); current-cohort values outside the
+    * reference range clamp to the edge bins. Bin assignment is
+    * integer arithmetic: floor((w − min)·bins / (max − min + 1)) with
+    * every operand an exact integer < 2^53, so the one double
+    * division is correctly rounded identically in any engine.
+    * Add-one smoothing (the X22 DSIR convention) keeps empty bins
+    * finite: p_i = (c_i + 1)/(N + bins). Each bin's term is one fixed
+    * double tree rounded to 9 and summed as DECIMAL (the [[entropy]]
+    * discipline — order-free). Keys with an empty cohort yield null.
+    *
+    * Plan: one corpus scan to the (keys, bin, cohort) cell counts
+    * (the reference min/max ride a broadcast |keys|-row table);
+    * everything after is bin-cardinality. Output: keys :+ (n_ref,
+    * n_cur, psi), round-6.
+    */
+  def psi(df: DataFrame, keys: Seq[String], value: Column,
+      isReference: Column, bins: Int, scale: Int = 2): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
+    val factor = math.pow(10.0, scale)
+    val base = df
+      .where(value.isNotNull && !isnan(value.cast("double")) &&
+        isReference.isNotNull)
+      .select((keys.map(col) :+
+        floor(value.cast("double") * lit(factor)).cast("long").as("__w")) :+
+        isReference.as("__ref"): _*)
+    val range = base.where(col("__ref"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("__w")).as("__lo"), max(col("__w")).as("__hi"))
+    val binned = base.join(broadcast(range), keys)
+      .withColumn("__bin",
+        greatest(lit(0L), least(lit(bins - 1L),
+          floor((col("__w") - col("__lo")).cast("double") * lit(bins) /
+            (col("__hi") - col("__lo") + 1L).cast("double"))
+            .cast("long"))))
+    val cells = binned
+      .groupBy((keys.map(col) :+ col("__bin")): _*)
+      .agg(count(when(col("__ref"), lit(1))).as("__cr"),
+        count(when(!col("__ref"), lit(1))).as("__cc"))
+    val totals = cells.groupBy(keys.map(col): _*)
+      .agg(sum(col("__cr")).as("n_ref"), sum(col("__cc")).as("n_cur"))
+    // the FULL bin grid per key: a bin empty in both cohorts still
+    // carries its smoothed (1+0)-vs-(1+0) term — dropping it would
+    // make the sum depend on which bins happened to be observed
+    val grid = totals
+      .withColumn("__bin", explode(sequence(lit(0L), lit(bins - 1L))))
+    val withT = grid.join(cells, keys :+ "__bin", "left")
+      .na.fill(0L, Seq("__cr", "__cc"))
+    val p = (col("__cc").cast("double") + lit(1.0)) /
+      (col("n_cur").cast("double") + lit(bins.toDouble))
+    val q = (col("__cr").cast("double") + lit(1.0)) /
+      (col("n_ref").cast("double") + lit(bins.toDouble))
+    val term = round((p - q) * log(p / q), 9).cast("decimal(28,9)")
+    withT
+      .withColumn("__t", term)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("__t")).as("__psi"))
+      .select((keys.map(col) ++ Seq(
+        col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          round(col("__psi").cast("double"), 6)).as("psi"))): _*)
+  }
+
   /** A37: Jarque–Bera normality test per key (Jarque & Bera 1980) —
     * the closing member of the distribution-shape family, computed
     * directly off [[moments]]' exact fixed-point power sums:

@@ -386,6 +386,19 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A38: PSI drift between the even-user (reference) and odd-user
+    // (current) value distributions per event type — frozen reference
+    // bin edges, integer bin assignment, add-one smoothing over the
+    // FULL bin grid, round-9 DECIMAL term sum
+    "q_psi" -> ((s, d) => {
+      graft.operators.StatsAgg.psi(
+        table(s, d, "events")
+          .where(col("user_id").isNotNull),
+        Seq("event_type"), col("value"),
+        isReference = col("user_id") % 2 === 0, bins = 10)
+        .orderBy(col("event_type"))
+    }),
+
     // A37: Jarque–Bera normality test off the exact fixed-point
     // power sums — the moments machinery closed into one statistic
     "q_jarque_bera" -> ((s, d) => {
@@ -1606,6 +1619,48 @@ object AggQueries {
                / (1.0 - td / (n * n * n - n)), 6)
            END AS h_stat
          FROM h ORDER BY event_type""",
+    // A38: reference-frozen equal-width bins, integer assignment,
+    // add-one smoothing over the full grid, round-9 DECIMAL sum
+    "q_psi" ->
+      """WITH e AS (SELECT event_type,
+             CAST(floor(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS w,
+             user_id % 2 = 0 AS ref
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         r AS (SELECT event_type, min(w) AS lo, max(w) AS hi
+           FROM e WHERE ref GROUP BY event_type),
+         b AS (SELECT e.event_type, ref,
+             greatest(0, least(9, CAST(floor(
+               CAST(w - lo AS DOUBLE) * 10
+                 / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT))) AS bin
+           FROM e JOIN r USING (event_type)),
+         c AS (SELECT event_type, bin,
+             count(*) FILTER (WHERE ref) AS cr,
+             count(*) FILTER (WHERE NOT ref) AS cc
+           FROM b GROUP BY event_type, bin),
+         t AS (SELECT event_type, sum(cr) AS n_ref, sum(cc) AS n_cur
+           FROM c GROUP BY event_type),
+         g AS (SELECT t.event_type, t.n_ref, t.n_cur, gs.bin,
+             coalesce(c.cr, 0) AS cr, coalesce(c.cc, 0) AS cc
+           FROM t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gs
+           LEFT JOIN c ON c.event_type = t.event_type
+             AND c.bin = gs.bin),
+         terms AS (SELECT event_type, n_ref, n_cur,
+             CAST(round(
+               ((CAST(cc AS DOUBLE) + 1.0)
+                   / (CAST(n_cur AS DOUBLE) + 10.0)
+                 - (CAST(cr AS DOUBLE) + 1.0)
+                   / (CAST(n_ref AS DOUBLE) + 10.0))
+               * ln(((CAST(cc AS DOUBLE) + 1.0)
+                   / (CAST(n_cur AS DOUBLE) + 10.0))
+                 / ((CAST(cr AS DOUBLE) + 1.0)
+                   / (CAST(n_ref AS DOUBLE) + 10.0))), 9)
+               AS DECIMAL(28,9)) AS t9
+           FROM g)
+         SELECT event_type, n_ref, n_cur,
+           CASE WHEN n_ref > 0 AND n_cur > 0
+             THEN round(CAST(sum(t9) AS DOUBLE), 6) END AS psi
+         FROM terms GROUP BY event_type, n_ref, n_cur
+         ORDER BY event_type""",
     // A37: the q_moments power-sum tree extended to g1/g2 and
     // JB = n/6·(g1² + (g2−3)²/4)
     "q_jarque_bera" ->

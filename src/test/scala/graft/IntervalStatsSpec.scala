@@ -1048,6 +1048,41 @@ class IntervalStatsSpec extends SparkSpec {
     assert(run(2) === out, "repartition-stable")
   }
 
+  test("psi: identical cohorts → exactly 0; planted shift matches the scalar reference; missing-cohort keys drop or null") {
+    // identical distributions: every bin has cr = cc and the totals
+    // match, so p = q exactly and every term is 0 — psi is 0.0, not
+    // merely small
+    val same = (1 to 100).flatMap(i =>
+      Seq(("k", true, (i % 10) * 1.0), ("k", false, (i % 10) * 1.0)))
+    // planted shift: uniform reference, all current mass clamps into
+    // the top edge bin
+    val shift = (1 to 100).map(i => ("s", true, (i % 10) * 1.0)) ++
+      (1 to 100).map(_ => ("s", false, 50.0)) ++
+      (1 to 10).map(i => ("r", true, i * 1.0)) // reference-only key
+    val out = StatsAgg.psi((same ++ shift).toDF("k", "ref", "v")
+        .repartition(5),
+      Seq("k"), col("v"), isReference = col("ref"), bins = 10)
+      .select("k", "n_ref", "n_cur", "psi")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(("k"))._4 === Some(0.0))
+    // scalar reference with the operator's exact tree: ref lands 10
+    // per bin, current 100 in bin 9; add-one smoothing, round-9 terms
+    val expect = {
+      def p(c: Long, n: Long) = (c.toDouble + 1.0) / (n.toDouble + 10.0)
+      val terms = (0 until 10).map { b =>
+        val (cc, cr) = (if (b == 9) 100L else 0L, 10L)
+        val t = (p(cc, 100) - p(cr, 100)) * math.log(p(cc, 100) / p(cr, 100))
+        BigDecimal(t).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (terms.sum.toDouble * 1e6).round / 1e6
+    }
+    assert(out(("s"))._4 === Some(expect))
+    assert(expect > 1.0, "a full-mass shift must scream")
+    // reference-only key: no current rows → null psi, counts kept
+    assert(out(("r")) === (("r", 10L, 0L, None)))
+  }
+
   test("madZScore: hand-computed median/MAD on the exact grid; outlier flagged; MAD-degenerate key null; repartition-stable") {
     import graft.operators.TimeSeries
     val rows = (1 to 9).map(i => ("k", i.toLong, i.toDouble)) :+
