@@ -433,6 +433,64 @@ object ScaleBench {
         graft.operators.Pca.project(e, "embedding", m, whiten = true)
           .count()
       }),
+      // round-17b: A36 — one pooled rank window over corpus rows +
+      // two aggregates; output = one row per type (constant,
+      // hard-asserted). The per-type window sort is the honest cost
+      "kruskal" -> (() => graft.operators.StatsAgg.kruskalWallis(
+        Tables.table(spark, dir, "events")
+          .where(col("user_id").isNotNull),
+        Seq("event_type"), col("value"), col("user_id") % 3).count()),
+      // round-17b: A37 — one partial+final power-sum aggregate;
+      // output constant
+      "jarque_bera" -> (() => graft.operators.StatsAgg.jarqueBera(
+        Tables.table(spark, dir, "events"), Seq("event_type"),
+        col("value")).count()),
+      // round-17b: W16 — two bounded percentile aggs broadcast back +
+      // a map-only flag; output = corpus rows (factor-exact)
+      "mad_zscore" -> (() => graft.operators.TimeSeries.madZScore(
+        Tables.table(spark, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), tie = col("event_id"),
+        value = col("value")).count()),
+      // round-17b: W15/X27/W17 — the daily-grid trio: raw volume pays
+      // one pre-aggregation, everything after runs grid-sized; output
+      // = one row per type (constant, hard-asserted)
+      "cusum" -> (() => {
+        val day = floor(Tables.epochSeconds(col("ts")) / 86400L)
+          .cast("long").as("day")
+        graft.operators.TimeSeries.cusumChangepoint(
+          Tables.table(spark, dir, "events")
+            .select(col("event_type"), day)
+            .groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          Seq("event_type"), ord = col("day"), value = col("cnt"))
+          .count()
+      }),
+      "theil_sen" -> (() => {
+        val day = floor(Tables.epochSeconds(col("ts")) / 86400L)
+          .cast("long").as("day")
+        graft.operators.TimeSeries.theilSen(
+          Tables.table(spark, dir, "events")
+            .select(col("event_type"), day)
+            .groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          Seq("event_type"), ord = col("day"), value = col("cnt"))
+          .count()
+      }),
+      "forecast_acc" -> (() => {
+        val day = floor(Tables.epochSeconds(col("ts")) / 86400L)
+          .cast("long").as("day")
+        val daily = Tables.table(spark, dir, "events")
+          .select(col("event_type"), day)
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).cast("double").as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))
+        graft.operators.TimeSeries.forecastAccuracy(
+          daily.withColumn("fc", lag(col("cnt"), 1).over(w)),
+          Seq("event_type"), ord = col("day"), actual = col("cnt"),
+          forecast = col("fc"), period = 7).count()
+      }),
       // round-15: A34 — pair-grid aggregate over the embeddings;
       // output constant (labels × 21 upper-triangle pairs)
       "corr_matrix" -> (() => graft.operators.StatsAgg.corrMatrix(
@@ -1283,14 +1341,20 @@ object ScaleBench {
              "sequence_events",
              // round-17: replicated docs / namespaced users / corpus
              // rows — all factor-exact
-             "kn_trigram", "holt_winters", "pca_project");
+             "kn_trigram", "holt_winters", "pca_project",
+             // round-17b: W16 scores every replicated event row
+             "mad_zscore");
            b <- bm.get(p); s <- sm.get(p))
         if (s != b * factor) throw new AssertionError(
           s"$p: scaled $s != ${factor}x base $b")
       // round-15: constant-output contracts — per-type / per-(label,
       // pair) aggregates must not grow with raw volume
       for (p <- Seq("predict_linear", "gini", "corr_matrix",
-             "series_decompose", "autocorr");
+             "series_decompose", "autocorr",
+             // round-17b: per-type test statistics and the daily-grid
+             // trio — one output row per type at every factor
+             "kruskal", "jarque_bera", "cusum", "theil_sen",
+             "forecast_acc");
            b <- bm.get(p); s <- sm.get(p))
         if (s != b) throw new AssertionError(
           s"$p: scaled rows $s != base rows $b — output must be " +
