@@ -1118,6 +1118,80 @@ object StatsAgg {
         when(ok, round(h / corr, 6)).as("h_stat"))): _*)
   }
 
+  /** A39: Friedman test per key (Friedman 1937) — the
+    * REPEATED-MEASURES k-group rank test: [[kruskalWallis]] asks "do
+    * the k cohorts differ?", Friedman asks it when every BLOCK (day,
+    * user, benchmark item) scores all k treatments, ranking WITHIN
+    * each block so between-block variation cancels:
+    *
+    *   Q  = 12/(n·k(k+1)) · Σ_j R_j² − 3n(k+1)
+    *   Q' = Q / (1 − ΣT/(n·k(k²−1))),  ΣT = Σ_blocks Σ_ties(t³−t)
+    *
+    * (R_j = treatment j's rank sum over the n blocks; identical
+    * rankings in every block give the exact maximum Q = n(k−1) — a
+    * spec law.) Input must be one row per (block, treatment) — the
+    * aggregated-grid convention; INCOMPLETE blocks (fewer than k
+    * treatments) are dropped per the complete-block design, k taken
+    * as the per-key distinct treatment count.
+    *
+    * Exactness: within-block DOUBLED average ranks (exact integers),
+    * rank sums exact DECIMAL, the tie term the per-row Σ(t²−1), and
+    * the k-term double fold ordered by treatment label (the A36
+    * discipline). Plan: two bounded completeness aggregates, one
+    * (keys, block) rank window, one (keys, treatment) aggregate, one
+    * keys fold with k-entry state. Keys with k < 2 or an all-tied
+    * design (C = 0) yield null. Output: keys :+ (n_blocks,
+    * n_treatments, q_stat), tie-corrected, round-6.
+    */
+  def friedman(df: DataFrame, keys: Seq[String], block: Column,
+      treatment: Column, value: Column): DataFrame = {
+    val base = df
+      .where(block.isNotNull && treatment.isNotNull && value.isNotNull)
+      .select(((keys.map(col) :+ block.as("__b")) :+
+        treatment.cast("string").as("__g")) :+ value.as("__v"): _*)
+    val kTab = base.groupBy(keys.map(col): _*)
+      .agg(count_distinct(col("__g")).as("__k"))
+    val bSize = base.groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__bs"))
+    val complete = base
+      .join(bSize, keys :+ "__b")
+      .join(broadcast(kTab), keys)
+      .where(col("__bs") === col("__k"))
+    val w = Window.partitionBy((keys.map(col) :+ col("__b")): _*)
+      .orderBy(col("__v"))
+    val peers = count(lit(1))
+      .over(w.rangeBetween(Window.currentRow, Window.currentRow))
+    val ranked = complete
+      .withColumn("__r2",
+        (rank().over(w).cast("long") * 2 + peers - 1).cast("decimal(19,0)"))
+      .withColumn("__tt",
+        peers.cast("decimal(19,0)") * peers.cast("decimal(19,0)") - 1)
+    val byTreat = ranked.groupBy((keys.map(col) :+ col("__g")): _*)
+      .agg(sum(col("__r2")).as("__rg"))
+    val byKey = ranked.groupBy(keys.map(col): _*)
+      .agg(count_distinct(col("__b")).as("n_blocks"),
+        sum(col("__tt")).as("__ties"), max(col("__k")).as("__kk"))
+    val folded = byTreat.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_treatments"),
+        aggregate(
+          sort_array(collect_list(struct(col("__g"), col("__rg")))),
+          lit(0.0),
+          (acc, e) => acc + e("__rg").cast("double") *
+            e("__rg").cast("double") / lit(4.0)).as("__qsum"))
+    val n = col("n_blocks").cast("double")
+    val k = col("__kk").cast("double")
+    val q = lit(12.0) / (n * k * (k + lit(1.0))) * col("__qsum") -
+      lit(3.0) * n * (k + lit(1.0))
+    val corr = lit(1.0) - col("__ties").cast("double") /
+      (n * k * (k * k - lit(1.0)))
+    val ok = col("__kk") >= 2 && col("n_blocks") >= 1 &&
+      corr > lit(1e-12)
+    folded.join(byKey, keys)
+      .select((keys.map(col) ++ Seq(
+        col("n_blocks"), col("n_treatments"),
+        when(ok, round(q / corr, 6)).as("q_stat"))): _*)
+  }
+
   /** A38: Population Stability Index per key — THE standard
     * distribution-drift statistic a model-serving monitor tracks
     * (credit-scoring practice; the discrete KL symmetrization

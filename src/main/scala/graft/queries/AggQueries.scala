@@ -386,6 +386,24 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A39: Friedman test — days are blocks, event types treatments,
+    // daily counts the scores: do the types keep the same volume
+    // ordering day after day? Within-block doubled ranks,
+    // treatment-ordered fold, tie-corrected
+    "q_friedman" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long").as("day")
+      val daily = table(s, d, "events")
+        .select(col("event_type"), day)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .withColumn("k", lit("all"))
+      graft.operators.StatsAgg.friedman(
+        daily, Seq("k"), block = col("day"),
+        treatment = col("event_type"), value = col("cnt"))
+        .orderBy(col("k"))
+    }),
+
     // A38: PSI drift between the even-user (reference) and odd-user
     // (current) value distributions per event type — frozen reference
     // bin edges, integer bin assignment, add-one smoothing over the
@@ -1619,6 +1637,52 @@ object AggQueries {
                / (1.0 - td / (n * n * n - n)), 6)
            END AS h_stat
          FROM h ORDER BY event_type""",
+    // A39: within-block doubled ranks over complete blocks only,
+    // treatment-ordered list_reduce fold, tie-corrected
+    "q_friedman" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, day),
+         d AS (SELECT 'all' AS k, day AS b, event_type AS g, cnt AS v
+           FROM daily),
+         kt AS (SELECT k, count(DISTINCT g) AS kk FROM d GROUP BY k),
+         bs AS (SELECT k, b, count(*) AS bsz FROM d GROUP BY k, b),
+         c AS (SELECT d.k, d.b, d.g, d.v, kt.kk
+           FROM d JOIN bs USING (k, b) JOIN kt USING (k)
+           WHERE bs.bsz = kt.kk),
+         r AS (SELECT k, b, g, kk,
+             2 * rank() OVER (PARTITION BY k, b ORDER BY v)
+               + count(*) OVER (PARTITION BY k, b, v) - 1 AS r2,
+             count(*) OVER (PARTITION BY k, b, v) AS t
+           FROM c),
+         bt AS (SELECT k, g, sum(CAST(r2 AS HUGEINT)) AS rg
+           FROM r GROUP BY k, g),
+         bk AS (SELECT k, count(DISTINCT b) AS n_blocks,
+             sum(CAST(t AS HUGEINT) * t - 1) AS ties, max(kk) AS kk
+           FROM r GROUP BY k),
+         f AS (SELECT k, count(*) AS n_treatments,
+             list_reduce(
+               list(CAST(rg AS DOUBLE) * CAST(rg AS DOUBLE) / 4.0
+                 ORDER BY g),
+               (a, b) -> a + b) AS qsum
+           FROM bt GROUP BY k),
+         z AS (SELECT f.k, bk.n_blocks, f.n_treatments, f.qsum,
+             CAST(bk.n_blocks AS DOUBLE) AS n,
+             CAST(bk.kk AS DOUBLE) AS kd,
+             CAST(bk.ties AS DOUBLE) AS td, bk.kk
+           FROM f JOIN bk USING (k))
+         SELECT k, n_blocks, n_treatments,
+           CASE WHEN kk >= 2 AND n_blocks >= 1
+             AND 1.0 - td / (n * kd * (kd * kd - 1.0)) > 1e-12
+           THEN round(
+             (12.0 / (n * kd * (kd + 1.0)) * qsum
+               - 3.0 * n * (kd + 1.0))
+               / (1.0 - td / (n * kd * (kd * kd - 1.0))), 6)
+           END AS q_stat
+         FROM z ORDER BY k""",
     // A38: reference-frozen equal-width bins, integer assignment,
     // add-one smoothing over the full grid, round-9 DECIMAL sum
     "q_psi" ->

@@ -1048,6 +1048,48 @@ class IntervalStatsSpec extends SparkSpec {
     assert(run(2) === out, "repartition-stable")
   }
 
+  test("friedman: identical per-block rankings → exact maximum n(k−1); tied fixture matches the scalar reference; incomplete blocks dropped; all-tied null") {
+    def run(rs: Seq[(String, Long, String, Double)]) =
+      StatsAgg.friedman(rs.toDF("k", "b", "g", "v").repartition(4),
+        Seq("k"), block = col("b"), treatment = col("g"),
+        value = col("v"))
+        .select("k", "n_blocks", "n_treatments", "q_stat")
+        .as[(String, Long, Long, Option[Double])].collect()
+        .map(r => r._1 -> r).toMap
+    // 6 blocks × 4 treatments, same ordering every block, no ties →
+    // Q = n(k−1) = 18 exactly; one incomplete block must drop
+    val mono = (for (b <- 1 to 6; j <- 1 to 4)
+      yield ("m", b.toLong, s"t$j", j.toDouble)) ++
+      Seq(("m", 99L, "t1", 1.0), ("m", 99L, "t2", 2.0))
+    assert(run(mono)("m") === (("m", 6L, 4L, Some(18.0))))
+    // tied fixture vs the scalar reference
+    val blocks = Seq(Seq(3.0, 1.0, 3.0), Seq(2.0, 2.0, 2.0),
+      Seq(5.0, 4.0, 1.0), Seq(7.0, 7.0, 9.0))
+    val tied = for ((bv, b) <- blocks.zipWithIndex; (v, j) <- bv.zipWithIndex)
+      yield ("x", b.toLong, s"t$j", v)
+    val expect = {
+      val (n, k) = (blocks.size, 3)
+      def avgRanks(vs: Seq[Double]) =
+        vs.map(v => (vs.count(_ < v) + 1 + vs.count(_ <= v)) / 2.0)
+      val rsum = Array.fill(k)(0.0)
+      var ties = 0.0
+      for (bv <- blocks) {
+        val r = avgRanks(bv)
+        for (j <- 0 until k) rsum(j) += r(j)
+        ties += bv.groupBy(identity).values
+          .map(g => math.pow(g.size.toDouble, 3) - g.size).sum
+      }
+      val q = 12.0 / (n * k * (k + 1)) * rsum.map(r => r * r).sum -
+        3.0 * n * (k + 1)
+      q / (1.0 - ties / (n.toDouble * k * (k * k - 1)))
+    }
+    assert(math.abs(run(tied)("x")._4.get - expect) < 1e-5)
+    // fully tied design: the correction denominator vanishes → null
+    val flat = for (b <- 1 to 3; j <- 1 to 3)
+      yield ("f", b.toLong, s"t$j", 5.0)
+    assert(run(flat)("f")._4 === None)
+  }
+
   test("psi: identical cohorts → exactly 0; planted shift matches the scalar reference; missing-cohort keys drop or null") {
     // identical distributions: every bin has cr = cc and the totals
     // match, so p = q exactly and every term is 0 — psi is 0.0, not
