@@ -985,6 +985,79 @@ object TimeSeries {
           round(mae / snMae, 6)).as("mase"))): _*)
   }
 
+  /** W18: Mann–Kendall trend test per key (Mann 1945; Kendall 1975) —
+    * the SIGNIFICANCE companion to [[theilSen]]'s magnitude (the
+    * standard pairing in trend analysis: MK decides whether a
+    * monotonic trend exists, Theil–Sen estimates its slope):
+    *
+    *   S   = Σ_{i<j} sign(v_j − v_i)
+    *   var = ( n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) ) / 18
+    *   z   = (S ∓ 1)/√var  (continuity-corrected; 0 when S = 0)
+    *   τ_b = S / √( (n0 − n1)(n0 − n2) ),  n0 = n(n−1)/2,
+    *         n1/n2 = Σ t(t−1)/2 over value/ord tie groups
+    *
+    * Exactness: every pair sign compares exact fixed-point integers,
+    * so S, the tie sums, n0/n1/n2 are all exact integers and each
+    * reported statistic is one fixed double tree (round-6). Keys with
+    * n < 2 drop (no pairs); all-tied values (var = 0) or a degenerate
+    * τ denominator yield nulls.
+    *
+    * Plan shape: the [[theilSen]] aggregated-grid posture — one
+    * (keys)-keyed self-join over GRID-sized rows for S, two bounded
+    * tie-group aggregates, one keys fold. Output: keys :+ (n_rows,
+    * s_stat, tau, z_stat).
+    */
+  def mannKendall(df: DataFrame, keys: Seq[String], ord: Column,
+      value: Column, scale: Int = 6): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    val base = df
+      .where(ord.isNotNull && value.isNotNull &&
+        !isnan(value.cast("double")))
+      .select((keys.map(col) :+ ord.cast("long").as("__o")) :+
+        floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
+          .as("__v"): _*)
+    val a = base.select((keys.map(col) :+ col("__o").as("__oa")) :+
+      col("__v").as("__va"): _*)
+    val b = base.select((keys.map(col) :+ col("__o").as("__ob")) :+
+      col("__v").as("__vb"): _*)
+    val s = a.join(b, keys).where(col("__ob") > col("__oa"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(signum((col("__vb") - col("__va")).cast("double"))
+        .cast("long")).as("s_stat"))
+    def tieSum(c: String) = base
+      .groupBy((keys.map(col) :+ col(c)): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__groups"),
+        sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5))
+          .as("__t25"),
+        sum(col("__t") * (col("__t") - 1)).as("__t2"))
+    val vt = tieSum("__v")
+      .select((keys.map(col) ++ Seq(col("__t25").as("__vt25"),
+        col("__t2").as("__vt2"))): _*)
+    val ot = tieSum("__o")
+      .select((keys.map(col) :+ col("__t2").as("__ot2")): _*)
+    val n = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val nD = col("n_rows").cast("double")
+    val sD = col("s_stat").cast("double")
+    val varS = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+      col("__vt25").cast("double")) / lit(18.0)
+    val n0 = nD * (nD - lit(1.0)) / lit(2.0)
+    val n1 = col("__vt2").cast("double") / lit(2.0)
+    val n2 = col("__ot2").cast("double") / lit(2.0)
+    val tauDen = (n0 - n1) * (n0 - n2)
+    val zRaw = when(col("s_stat") > 0, (sD - lit(1.0)) / sqrt(varS))
+      .when(col("s_stat") < 0, (sD + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    n.join(s, keys).join(vt, keys).join(ot, keys)
+      .select((keys.map(col) ++ Seq(
+        col("n_rows"), col("s_stat"),
+        when(tauDen > lit(0.0), round(sD / sqrt(tauDen), 6)).as("tau"),
+        when(col("n_rows") >= 2 && varS > lit(0.0), round(zRaw, 6))
+          .as("z_stat"))): _*)
+  }
+
   /** X27: Theil–Sen slope estimator per key (Theil 1950; Sen 1968) —
     * the ROBUST trend read (median of all pairwise slopes; breakdown
     * point ~29% vs least-squares' 0%), the companion [[counterStats]]

@@ -600,6 +600,21 @@ object WindowQueries {
         .orderBy(col("event_type"))
     }),
 
+    // W18: Mann–Kendall trend test over the same daily grid — exact
+    // integer pair signs and tie sums, the significance companion to
+    // the Theil–Sen magnitude
+    "q_mann_kendall" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long").as("day")
+      val daily = table(s, d, "events")
+        .select(col("event_type"), day)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.TimeSeries.mannKendall(
+        daily, Seq("event_type"), ord = col("day"), value = col("cnt"))
+        .orderBy(col("event_type"))
+    }),
+
     // X27: Theil–Sen robust slope over the same daily grid —
     // grid-sized pairwise slopes, fixed-point-quantized exact median
     "q_theil_sen" -> ((s, d) => {
@@ -1467,6 +1482,58 @@ object WindowQueries {
                / (CAST(ssn AS DOUBLE) / CAST(nsn AS DOUBLE)
                  / 1000000.0), 6) END AS mase
          FROM s WHERE n_scored > 0 ORDER BY event_type""",
+    // W18: exact integer pair signs, tie-corrected variance, tau-b
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, day),
+         fp AS (SELECT event_type, day AS o,
+             CAST(floor(cnt * 1000000.0) AS HUGEINT) AS v
+           FROM daily),
+         s AS (SELECT a.event_type,
+             sum(CAST(sign(CAST(b.v - a.v AS DOUBLE)) AS BIGINT))
+               AS s_stat
+           FROM fp a JOIN fp b ON b.event_type = a.event_type
+             AND b.o > a.o
+           GROUP BY a.event_type),
+         vt AS (SELECT event_type,
+             sum(t * (t - 1) * (2 * t + 5)) AS v25,
+             sum(t * (t - 1)) AS v2
+           FROM (SELECT event_type, v, count(*) AS t
+             FROM fp GROUP BY event_type, v)
+           GROUP BY event_type),
+         ot AS (SELECT event_type, sum(t * (t - 1)) AS o2
+           FROM (SELECT event_type, o, count(*) AS t
+             FROM fp GROUP BY event_type, o)
+           GROUP BY event_type),
+         nn AS (SELECT event_type, count(*) AS n_rows
+           FROM fp GROUP BY event_type),
+         z AS (SELECT nn.event_type, n_rows, s_stat,
+             CAST(n_rows AS DOUBLE) AS nd, CAST(s_stat AS DOUBLE) AS sd,
+             CAST(v25 AS DOUBLE) AS v25d, CAST(v2 AS DOUBLE) AS v2d,
+             CAST(o2 AS DOUBLE) AS o2d
+           FROM nn JOIN s USING (event_type) JOIN vt USING (event_type)
+             JOIN ot USING (event_type))
+         SELECT event_type, n_rows, s_stat,
+           CASE WHEN (nd * (nd - 1.0) / 2.0 - v2d / 2.0)
+               * (nd * (nd - 1.0) / 2.0 - o2d / 2.0) > 0.0
+             THEN round(sd / sqrt((nd * (nd - 1.0) / 2.0 - v2d / 2.0)
+               * (nd * (nd - 1.0) / 2.0 - o2d / 2.0)), 6) END AS tau,
+           CASE WHEN n_rows >= 2
+               AND (nd * (nd - 1.0) * (2.0 * nd + 5.0) - v25d) / 18.0
+                 > 0.0
+             THEN round(CASE
+               WHEN s_stat > 0 THEN (sd - 1.0)
+                 / sqrt((nd * (nd - 1.0) * (2.0 * nd + 5.0) - v25d)
+                   / 18.0)
+               WHEN s_stat < 0 THEN (sd + 1.0)
+                 / sqrt((nd * (nd - 1.0) * (2.0 * nd + 5.0) - v25d)
+                   / 18.0)
+               ELSE 0.0 END, 6) END AS z_stat
+         FROM z ORDER BY event_type""",
     // X27: grid-sized pairwise slopes, one double division each,
     // fixed-point-quantized before the exact interpolated median
     "q_theil_sen" ->

@@ -1182,6 +1182,50 @@ class IntervalStatsSpec extends SparkSpec {
     assert(const("k")._3 === 0.0 && const("k")._5 === None)
   }
 
+  test("mannKendall: monotone series → tau exactly ±1 with the textbook z; tied fixture matches the scalar reference; constant series nulls") {
+    import graft.operators.TimeSeries
+    def run(rs: Seq[(String, Long, Double)]) =
+      TimeSeries.mannKendall(rs.toDF("k", "o", "v").repartition(4),
+        Seq("k"), ord = col("o"), value = col("v"))
+        .select("k", "n_rows", "s_stat", "tau", "z_stat")
+        .as[(String, Long, Long, Option[Double], Option[Double])]
+        .collect().map(r => r._1 -> r).toMap
+    val up = (1 to 10).map(i => ("u", i.toLong, i * 2.0))
+    val down = (1 to 10).map(i => ("d", i.toLong, -i * 2.0))
+    val const = (1 to 8).map(i => ("c", i.toLong, 5.0))
+    val tied = Seq(1.0, 3.0, 2.0, 3.0, 5.0, 4.0, 4.0, 7.0)
+      .zipWithIndex.map { case (v, i) => ("t", i.toLong, v) }
+    val out = run(up ++ down ++ const ++ tied)
+    // strictly monotone, no ties: S = ±n(n−1)/2, tau = ±1, textbook z
+    val n = 10.0
+    val s = n * (n - 1) / 2
+    val zUp = (s - 1.0) / math.sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+    assert(out("u") === (("u", 10L, 45L, Some(1.0),
+      Some(math.rint(zUp * 1e6) / 1e6))))
+    assert(out("d")._3 === -45L && out("d")._4 === Some(-1.0))
+    // all-tied values: var and the tau denominator both vanish
+    assert(out("c") === (("c", 8L, 0L, None, None)))
+    // scalar reference with value ties (ords unique)
+    val expect = {
+      val vs = tied.map(_._3)
+      val m = vs.size
+      val sS = (for (i <- 0 until m; j <- i + 1 until m)
+        yield math.signum(vs(j) - vs(i)).toLong).sum
+      val tg = vs.groupBy(identity).values.map(_.size.toDouble)
+      val varS = (m * (m - 1) * (2 * m + 5) -
+        tg.map(t => t * (t - 1) * (2 * t + 5)).sum) / 18.0
+      val n0 = m * (m - 1) / 2.0
+      val n1 = tg.map(t => t * (t - 1) / 2.0).sum
+      val tau = sS / math.sqrt((n0 - n1) * (n0 - 0.0))
+      val z = if (sS > 0) (sS - 1.0) / math.sqrt(varS)
+        else if (sS < 0) (sS + 1.0) / math.sqrt(varS) else 0.0
+      (sS, tau, z)
+    }
+    assert(out("t")._3 === expect._1)
+    assert(math.abs(out("t")._4.get - expect._2) < 1e-5)
+    assert(math.abs(out("t")._5.get - expect._3) < 1e-5)
+  }
+
   test("theilSen: exact slope on a line despite an outlier; n_pairs = m(m−1)/2; fractional slopes quantize to the fixed-point grid") {
     import graft.operators.TimeSeries
     val line = (0 to 10).map(i =>
