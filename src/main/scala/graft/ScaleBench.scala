@@ -481,6 +481,7 @@ object ScaleBench {
         val day = floor(Tables.epochSeconds(col("ts")) / 86400L)
           .cast("long").as("day")
         val daily = Tables.table(spark, dir, "events")
+          .filter(col("ts").isNotNull)
           .select(col("event_type"), day)
           .groupBy(col("event_type"), col("day"))
           .agg(count(lit(1)).cast("double").as("cnt"))

@@ -222,6 +222,27 @@ object StatsAgg {
     */
   def moments(df: DataFrame, keys: Seq[String], value: Column,
       scale: Int = 2): DataFrame = {
+    val (out, mu, m2, m3, m4) = centralMoments(df, keys, value, scale)
+    out.select((keys.map(col) ++ Seq(
+      col("n_rows"),
+      round(mu, 6).as("mean"),
+      when(m2 > 1e-12, round(m3 / sqrt(m2 * m2 * m2), 6)).as("skew_pop"),
+      when(m2 > 1e-12, round(m4 / (m2 * m2), 6)).as("kurt_pop"))): _*)
+  }
+
+  /** Shared core of [[moments]] and [[jarqueBera]]: the exact
+    * DECIMAL(38,0) power-sum aggregate S1..S4 of w = floor(v·10^scale)
+    * and the fixed double expression tree for (μ, m2, m3, m4).
+    * DECIMAL(38) bound (documented on [[moments]]): n·w⁴ must fit —
+    * with scale 2 and |v| ≤ 10⁵ that allows ~10⁹ rows per group;
+    * overflow yields silent null sums, so callers inherit that bound.
+    * Returns the aggregated frame (keys :+ n_rows :+ __s1..__s4) and
+    * the derived column trees, built once so both consumers stay
+    * bit-identical.
+    */
+  private def centralMoments(df: DataFrame, keys: Seq[String],
+      value: Column, scale: Int)
+      : (DataFrame, Column, Column, Column, Column) = {
     val factor = math.pow(10.0, scale)
     val w = floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
     // value.isNotNull alone lets NaN through, and Spark's
@@ -246,11 +267,7 @@ object StatsAgg {
     val m3 = s3 / n - lit(3.0) * mu * s2 / n + lit(2.0) * mu * mu * mu
     val m4 = s4 / n - lit(4.0) * mu * s3 / n +
       lit(6.0) * mu * mu * s2 / n - lit(3.0) * mu * mu * mu * mu
-    out.select((keys.map(col) ++ Seq(
-      col("n_rows"),
-      round(mu, 6).as("mean"),
-      when(m2 > 1e-12, round(m3 / sqrt(m2 * m2 * m2), 6)).as("skew_pop"),
-      when(m2 > 1e-12, round(m4 / (m2 * m2), 6)).as("kurt_pop"))): _*)
+    (out, mu, m2, m3, m4)
   }
 
   /** Welch's unequal-variance t statistic between two cohorts per
@@ -1270,33 +1287,18 @@ object StatsAgg {
     *   JB = n/6 · (g1² + (g2 − 3)²/4)
     *
     * with g1 = m3/m2^1.5 (population skewness) and g2 = m4/m2²
-    * (population kurtosis) — large JB rejects normality. Same single
-    * partial+final aggregate and fixed double tree as [[moments]];
-    * keys with vanishing variance yield null. Output: keys :+
-    * (n_rows, skew_pop, kurt_pop, jb_stat), round-6.
+    * (population kurtosis) — large JB rejects normality. SHARES
+    * [[moments]]' power-sum aggregate and double tree (via
+    * centralMoments), so it inherits the same DECIMAL(38) bound:
+    * n·w⁴ must fit — scale 2 and |v| ≤ 10⁵ allows ~10⁹ rows per
+    * group, silent null on overflow. Keys with vanishing variance
+    * yield null. Output: keys :+ (n_rows, skew_pop, kurt_pop,
+    * jb_stat), round-6.
     */
   def jarqueBera(df: DataFrame, keys: Seq[String], value: Column,
       scale: Int = 2): DataFrame = {
-    val factor = math.pow(10.0, scale)
-    val w = floor(value.cast("double") * lit(factor)).cast("decimal(38,0)")
-    val out = df.where(value.isNotNull && !isnan(value.cast("double")))
-      .withColumn("__w", w)
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("__w")).as("__s1"),
-        sum(col("__w") * col("__w")).as("__s2"),
-        sum(col("__w") * col("__w") * col("__w")).as("__s3"),
-        sum(col("__w") * col("__w") * col("__w") * col("__w")).as("__s4"))
+    val (out, _, m2, m3, m4) = centralMoments(df, keys, value, scale)
     val n = col("n_rows").cast("double")
-    val s1 = col("__s1").cast("double") / lit(factor)
-    val s2 = col("__s2").cast("double") / lit(factor * factor)
-    val s3 = col("__s3").cast("double") / lit(factor * factor * factor)
-    val s4 = col("__s4").cast("double") / lit(factor * factor * factor * factor)
-    val mu = s1 / n
-    val m2 = s2 / n - mu * mu
-    val m3 = s3 / n - lit(3.0) * mu * s2 / n + lit(2.0) * mu * mu * mu
-    val m4 = s4 / n - lit(4.0) * mu * s3 / n +
-      lit(6.0) * mu * mu * s2 / n - lit(3.0) * mu * mu * mu * mu
     val g1 = m3 / sqrt(m2 * m2 * m2)
     val g2 = m4 / (m2 * m2)
     val jb = n / lit(6.0) *

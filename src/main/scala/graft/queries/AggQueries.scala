@@ -1701,7 +1701,9 @@ object AggQueries {
              count(*) FILTER (WHERE ref) AS cr,
              count(*) FILTER (WHERE NOT ref) AS cc
            FROM b GROUP BY event_type, bin),
-         t AS (SELECT event_type, sum(cr) AS n_ref, sum(cc) AS n_cur
+         t AS (SELECT event_type,
+             CAST(sum(cr) AS BIGINT) AS n_ref,
+             CAST(sum(cc) AS BIGINT) AS n_cur
            FROM c GROUP BY event_type),
          g AS (SELECT t.event_type, t.n_ref, t.n_cur, gs.bin,
              coalesce(c.cr, 0) AS cr, coalesce(c.cc, 0) AS cc

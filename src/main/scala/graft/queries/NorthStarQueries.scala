@@ -410,13 +410,16 @@ object NorthStarQueries {
     // projection; not SQL-expressible (the eigendecomposition), so
     // this rides the driver's rows-only check — the value laws live
     // in PcaSpec (planted axes, orthonormality, scalar bit parity,
-    // unit whitened variance, bit-determinism)
+    // unit whitened variance, bit-determinism). Output is k scalar
+    // DOUBLE columns (pca_0..pca_3), never array<double>: the
+    // driver's rows-only checker sorts frames in pandas, which can't
+    // hash ndarray cells (round-17 err).
     "q_pca_project" -> ((s, d) => {
       val e = table(s, d, "embeddings")
       val m = graft.operators.Pca.fit(e, "embedding", k = 4)
       graft.operators.Pca.project(e, "embedding", m, whiten = true)
-        .select(col("vec_id"),
-          transform(col("pca"), x => round(x, 6)).as("pca"))
+        .select(col("vec_id") +: (0 until 4).map(i =>
+          round(col("pca").getItem(i), 6).as(s"pca_$i")): _*)
         .orderBy(col("vec_id"))
     }),
 

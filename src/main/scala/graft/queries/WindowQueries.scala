@@ -647,6 +647,7 @@ object WindowQueries {
       val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
         .cast("long").as("day")
       val daily = table(s, d, "events")
+        .filter(col("ts").isNotNull)
         .select(col("event_type"), day)
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).cast("double").as("cnt"))
@@ -1494,8 +1495,8 @@ object WindowQueries {
              CAST(floor(cnt * 1000000.0) AS HUGEINT) AS v
            FROM daily),
          s AS (SELECT a.event_type,
-             sum(CAST(sign(CAST(b.v - a.v AS DOUBLE)) AS BIGINT))
-               AS s_stat
+             CAST(sum(CAST(sign(CAST(b.v - a.v AS DOUBLE)) AS BIGINT))
+               AS BIGINT) AS s_stat
            FROM fp a JOIN fp b ON b.event_type = a.event_type
              AND b.o > a.o
            GROUP BY a.event_type),

@@ -95,7 +95,12 @@ object StreamingHistogram {
     val next = curVer + 1
     merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     writePointer(stateDir, next, batchId)
-    for (old <- 1L until (next - 1L)) {
+    // Retain exactly state-next and state-(next-1) (the version a
+    // concurrent reader may still hold). Only state-(next-2) can have
+    // newly expired — every older version was removed by an earlier
+    // commit — so cleanup is O(1) per commit, not O(total batches).
+    val old = next - 2L
+    if (old >= 1L) {
       val dir = Paths.get(stateDir, s"state-$old")
       if (Files.isDirectory(dir)) {
         Files.walk(dir).sorted(java.util.Comparator.reverseOrder())

@@ -4,8 +4,11 @@
 Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 Reads <outDir>/<name>/ parquet (Spark result) + <outDir>/oracle_sql.json,
 registers each <sfDir>/<table>.parquet as a DuckDB view, runs the oracle
-SQL, and compares row count, schema (column names), and values
-(column-name-sorted, row-order-sensitive).
+SQL, and compares row count, schema (column names), DTYPES (the driver
+hashes typed values — a HUGEINT-vs-BIGINT pair fails its hash even when
+every Python value compares equal; round-17's q_psi/q_mann_kendall), and
+values at REPR level (repr('-0.0') != repr('0.0'): catches signed-zero
+divergence the == compare hides).
 """
 import sys, json, glob, os
 import duckdb
@@ -25,6 +28,7 @@ def main():
         try:
             spark_rel = con.sql(f"SELECT * FROM read_parquet('{rd}/*.parquet')")
             scols = spark_rel.columns
+            stypes = [str(t) for t in spark_rel.types]
             sdata = spark_rel.fetchall()
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
@@ -35,12 +39,22 @@ def main():
         try:
             orel = con.sql(oracle[name])
             ocols = orel.columns
+            otypes = [str(t) for t in orel.types]
             odata = orel.fetchall()
         except Exception as e:
             results[name] = f"ORACLE-SQL-FAIL {str(e)[:200]}"
             continue
         if sorted(scols) != sorted(ocols):
             results[name] = f"SCHEMA-MISMATCH spark={scols} oracle={ocols}"
+            continue
+        # the driver's hash is TYPED: compare dtypes per column name
+        # (Spark parquet type as read by DuckDB vs the oracle's type)
+        smap = dict(zip(scols, stypes))
+        omap = dict(zip(ocols, otypes))
+        dtype_bad = [f"{c}: spark={smap[c]} oracle={omap[c]}"
+                     for c in sorted(scols) if smap[c] != omap[c]]
+        if dtype_bad:
+            results[name] = f"DTYPE-MISMATCH {'; '.join(dtype_bad)}"
             continue
         # reorder columns by sorted name
         sidx = [scols.index(c) for c in sorted(scols)]
@@ -50,11 +64,16 @@ def main():
         if len(srows) != len(orows):
             results[name] = f"ROWCOUNT spark={len(srows)} oracle={len(orows)}"
             continue
-        if srows == orows:
+        # repr-level compare: 0.0 == -0.0 under ==, but the driver's
+        # value hash distinguishes them — so must we
+        sreprs = [tuple(map(repr, r)) for r in srows]
+        oreprs = [tuple(map(repr, r)) for r in orows]
+        if sreprs == oreprs:
             results[name] = f"OK rows={len(srows)}"
         else:
-            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
-            if sorted(map(repr, srows)) == sorted(map(repr, orows)):
+            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sreprs, oreprs))
+                     if a != b]
+            if sorted(sreprs) == sorted(oreprs):
                 results[name] = f"ORDER-ONLY-MISMATCH rows={len(srows)}"
             else:
                 i, a, b = diffs[0]
