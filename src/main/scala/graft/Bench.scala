@@ -46,7 +46,15 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     var errors = Set.empty[String]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // 1-min system loadavg sampled before each pass and after the
+    // last: makes the noise adjudication the per-pass totals enable
+    // (quiet band vs loaded window) machine-readable in the same JSON
+    // — r17's by-hand 269.6/199.7-vs-quiet-130 call, made a field
+    def loadavg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val perPass = (1 to passes).map { _ =>
+      loads += loadavg()
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // a failed query must be VISIBLE, not a fast fake success:
@@ -91,9 +99,11 @@ object Bench {
     val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val passTotals = perPass.map(_.map(_._2._1).sum).mkString("[", ",", "]")
+    loads += loadavg()
+    val loadArr = loads.map(f2).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
-        s""""passes":$passTotals,"spread":$sp,"max_spread":$maxSpread,""" +
+        s""""passes":$passTotals,"load":$loadArr,"spread":$sp,"max_spread":$maxSpread,""" +
         s""""protocol":"min-of-$passes","sf":"$sfDir"}"""
     // The full line is long (per-query time + spread maps for ~100
     // queries) and the driver's stdout capture has truncated it
@@ -105,7 +115,7 @@ object Bench {
     // record.
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},""" +
-        s""""errors":$errs,"passes":$passTotals,"max_spread":$maxSpread,""" +
+        s""""errors":$errs,"passes":$passTotals,"load":$loadArr,"max_spread":$maxSpread,""" +
         s""""protocol":"min-of-$passes","sf":"$sfDir"}"""
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f2(v) }

@@ -1186,7 +1186,44 @@ object Similarity {
   def estimateClustered(corpus: DataFrame, id: String, vec: String,
       nHint: Long = 0L, sampleN: Int = 4096,
       minMargin: Double = 0.15): Boolean =
-    clusterMargin(corpus, id, vec, nHint, sampleN) >= minMargin
+    memoizedMargin(corpus, id, vec, nHint, sampleN) >= minMargin
+
+  /** Session-lifetime memo of [[clusterMargin]], keyed by the corpus'
+    * CANONICALIZED analyzed plan (+ column names + sampleN): the probe
+    * measures a property of the corpus, so a serving loop that calls
+    * [[annTierAuto]] per query batch over the same frame must pay the
+    * sample scan ONCE, not per call (the r17 q_ann_auto driver-window
+    * finding). Canonicalized-plan identity is how Spark itself keys
+    * exchange/subquery reuse; it is exact for the same frame and for
+    * alias-differing rewrites of it. Bounded at 64 entries (evicting
+    * oldest — each entry holds a plan reference, so unbounded growth
+    * would pin lineage). Staleness hazard: files mutated in place
+    * under an identical plan mid-session would serve the old margin —
+    * acceptable because the margin only ever narrows/widens the PROBE
+    * of a recall-contract tier, never changes exact results.
+    */
+  private val marginMemo
+      : java.util.Map[(Any, String, String, Int), java.lang.Double] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Any, String, String, Int), java.lang.Double](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Any, String, String, Int), java.lang.Double])
+            : Boolean = size() > 64
+      })
+
+  private def memoizedMargin(corpus: DataFrame, id: String, vec: String,
+      nHint: Long, sampleN: Int): Double = {
+    val key = (corpus.queryExecution.analyzed.canonicalized: Any,
+      id, vec, sampleN)
+    val cached = marginMemo.get(key)
+    if (cached != null) cached.doubleValue()
+    else {
+      val m = clusterMargin(corpus, id, vec, nHint, sampleN)
+      marginMemo.put(key, java.lang.Double.valueOf(m))
+      m
+    }
+  }
 
   /** The raw statistic behind [[estimateClustered]] (exposed for the
     * spec's fixture pinning): mean best-minus-second centroid-cosine

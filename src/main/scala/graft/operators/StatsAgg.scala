@@ -350,7 +350,7 @@ object StatsAgg {
     * as [[welchTTest]]/[[studentTTest]] (the S2 sums are carried but
     * unused — the shared core stays one code path). Keys with an
     * empty cohort yield null. Output: keys :+ (n1, n2, mean1, mean2,
-    * z_stat), round-6.
+    * z_stat, p_value), round-6.
     */
   def meanZTest(df: DataFrame, keys: Seq[String], value: Column,
       cohort: Column, var1: Double, var2: Double,
@@ -363,11 +363,13 @@ object StatsAgg {
     val se2 = lit(var1) / col("n1").cast("double") +
       lit(var2) / col("n2").cast("double")
     val ok = col("n1") > 0 && col("n2") > 0
+    val zOut = when(ok, round((mu1 - mu2) / sqrt(se2), 6))
     out.select((keys.map(col) ++ Seq(
       col("n1"), col("n2"),
       when(col("n1") > 0, round(mu1, 6)).as("mean1"),
       when(col("n2") > 0, round(mu2, 6)).as("mean2"),
-      when(ok, round((mu1 - mu2) / sqrt(se2), 6)).as("z_stat"))): _*)
+      zOut.as("z_stat"),
+      graft.functions.NormalDist.twoSidedP(zOut).as("p_value"))): _*)
   }
 
   /** A35: paired t test per key — the repeated-measures member of the
@@ -600,8 +602,8 @@ object StatsAgg {
 
   /** Mann–Whitney U rank-sum test between two cohorts per key —
     * ClickHouse `mannWhitneyUTest`'s U statistics plus the
-    * tie-corrected normal z (the p-value is one erfc away, out of
-    * scope — the [[welchTTest]] posture). Same cohort convention as
+    * tie-corrected normal z and its two-sided normal p-value
+    * ([[graft.functions.NormalDist]]). Same cohort convention as
     * the t tests; ranks run over the POOLED sample with [[rankCorr]]'s
     * exact doubled-average-rank machinery, so 2·R1 (doubled cohort-1
     * rank sum) is an exact integer and
@@ -614,7 +616,7 @@ object StatsAgg {
     * t²−1). No continuity correction (ClickHouse's default). Plan:
     * one key exchange, one sort, one aggregate. Keys with an empty
     * cohort or an all-tied sample (σ = 0) yield null z. Output:
-    * keys :+ (n1, n2, u1, u2, z_stat), u/z rounded to 6.
+    * keys :+ (n1, n2, u1, u2, z_stat, p_value), u/z/p rounded to 6.
     */
   def mannWhitneyUTest(df: DataFrame, keys: Seq[String], value: Column,
       cohort: Column): DataFrame = {
@@ -641,13 +643,15 @@ object StatsAgg {
     val sigma2 = n1 * n2 / lit(12.0) *
       (n + lit(1.0) - col("__ties").cast("double") / (n * (n - lit(1.0))))
     val ok = col("n1") > 0 && col("n2") > 0 && sigma2 > lit(1e-12)
+    val zOut = when(ok,
+      round((u1 - n1 * n2 / lit(2.0)) / sqrt(sigma2), 6))
     agg.select((keys.map(col) ++ Seq(
       col("n1"), col("n2"),
       when(col("n1") > 0 && col("n2") > 0, round(u1, 6)).as("u1"),
       when(col("n1") > 0 && col("n2") > 0,
         round(n1 * n2 - u1, 6)).as("u2"),
-      when(ok, round((u1 - n1 * n2 / lit(2.0)) / sqrt(sigma2), 6))
-        .as("z_stat"))): _*)
+      zOut.as("z_stat"),
+      graft.functions.NormalDist.twoSidedP(zOut).as("p_value"))): _*)
   }
 
   /** ROC AUC per key — ClickHouse `arrayAUC`, as a proper distributed
@@ -1309,5 +1313,54 @@ object StatsAgg {
       when(ok, round(g1, 6)).as("skew_pop"),
       when(ok, round(g2, 6)).as("kurt_pop"),
       when(ok, round(jb, 6)).as("jb_stat"))): _*)
+  }
+
+  /** A40: Benjamini–Hochberg FDR adjustment across a hypothesis panel
+    * (Benjamini & Hochberg 1995, "Controlling the false discovery
+    * rate"): one input row per hypothesis with its p-value, output the
+    * ADJUSTED q-value
+    *
+    *   q_(i) = min_{j ≥ i} ( m · p_(j) / j ),  clamped at 1
+    *
+    * (p_(1) ≤ … ≤ p_(m) the sorted panel) — the step-up rule's
+    * adjusted values, so "alarm where q ≤ α" bounds the expected
+    * false-discovery PROPORTION at α across the panel. The test
+    * family this engine now ships (Welch/Student/meanZ, Mann–Whitney,
+    * Kruskal–Wallis, Friedman, Jarque–Bera, Mann–Kendall, PSI, CUSUM,
+    * paired t, ANOVA) makes per-key alarming need this: at 10⁵
+    * monitored keys, per-key α = 0.05 expects 5 000 false alarms; BH
+    * caps the rate instead.
+    *
+    * Determinism: rank ties on p break by `tie` (the O3 total-order
+    * rule), each arithmetic step is one double op over the round-6 p
+    * feed the driver gate already proves bit-identical, and the
+    * running min is order-free — so the q grid is engine-exact.
+    * Null-p rows drop (a degenerate upstream test is not a
+    * hypothesis).
+    *
+    * Scale: hypotheses are TEST OUTPUTS (|keys|-cardinality, never
+    * raw volume) — one window sort per family over panel-sized rows.
+    * `family` is the correction scope (e.g. one metric's keys);
+    * Seq.empty corrects one global panel (single-partition window —
+    * fine at panel size, by construction ≪ data size). Output:
+    * family :+ (tie, p_value, bh_rank, q_value), q round-6.
+    */
+  def fdrAdjust(df: DataFrame, family: Seq[String], p: Column,
+      tie: Column): DataFrame = {
+    val fam = family.map(col)
+    val base = df.where(p.isNotNull)
+      .select((fam :+ tie.as("tie")) :+ p.cast("double").as("p_value"): _*)
+    val wOrd = Window.partitionBy(fam: _*)
+      .orderBy(col("p_value").asc, col("tie").asc)
+    val wAll = Window.partitionBy(fam: _*)
+    base
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("bh_rank", row_number().over(wOrd).cast("long"))
+      .withColumn("q_value", round(least(lit(1.0),
+        min(col("p_value") * col("__m").cast("double") /
+          col("bh_rank").cast("double"))
+          .over(wOrd.rowsBetween(Window.currentRow,
+            Window.unboundedFollowing))), 6))
+      .drop("__m")
   }
 }

@@ -831,8 +831,14 @@ object TimeSeries {
     *
     * Plan shape: the W12/W13 aggregated-series convention — one rank
     * window per key over GRID-sized rows, one keys aggregate for
-    * (T, n), one broadcast-size join back, one argmax aggregate. Raw
-    * volume pays exactly one upstream pre-aggregation.
+    * (T, S2, n), one broadcast-size join back, one argmax aggregate.
+    * Raw volume pays exactly one upstream pre-aggregation.
+    *
+    * Output: keys :+ (n_rows, cp_ord, cusum_abs, p_approx) — p_approx
+    * is the Brownian-bridge tail 2·exp(−2b²), b = max|S|/(σ̂√n): the
+    * asymptotic significance read a monitor thresholds instead of a
+    * raw magnitude (and the feed [[graft.operators.StatsAgg.fdrAdjust]]
+    * expects). Null when σ̂ = 0.
     */
   def cusumChangepoint(df: DataFrame, keys: Seq[String], ord: Column,
       value: Column, scale: Int = 6): DataFrame = {
@@ -850,21 +856,37 @@ object TimeSeries {
         .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val stats = base.groupBy(keyCols: _*)
       .agg(sum(col("__v")).as("__t"),
+        sum(col("__v") * col("__v")).as("__s2"),
         count(lit(1)).cast("decimal(38,0)").as("__n"))
-    base.join(stats, keys)
+    val agg = base.join(stats, keys)
       .where(col("__rn") < col("__n"))
       .withColumn("__d", col("__c") * col("__n") - col("__rn") * col("__t"))
       .groupBy(keyCols: _*)
       .agg(max_by(
           struct(col("__ord"), col("__d"), col("__rn")),
           struct(abs(col("__d")).as("a"), (-col("__rn")).as("nr"))).as("__w"),
-        max(col("__n")).as("__nn"))
-      .select((keyCols ++ Seq(
-        col("__nn").cast("long").as("n_rows"),
-        col("__w.__ord").as("cp_ord"),
-        round(abs(col("__w.__d")).cast("double") /
-          (col("__nn").cast("double") * lit(factor)), 6)
-          .as("cusum_abs"))): _*)
+        max(col("__n")).as("__nn"),
+        max(col("__t")).as("__tt"),
+        max(col("__s2")).as("__ss2"))
+    // Brownian-bridge significance: under H0 (iid, variance σ²) the
+    // normalized CUSUM path S_⌊nu⌋/(σ√n) converges to a Brownian
+    // bridge, whose sup-|B| tail is the Kolmogorov series —
+    // P(sup|B| > b) ≈ 2·exp(−2b²) (first term; upper bound, exact to
+    // round-6 for b ≳ 1.1). b = max|D|/(σ·n^1.5) off the same exact
+    // integers as the statistic (σ² via power sums), one double tree,
+    // so the oracle reproduces it bit-for-bit. σ = 0 → null.
+    val nD = col("__nn").cast("double")
+    val maxD = abs(col("__w.__d")).cast("double")
+    val muFp = col("__tt").cast("double") / nD
+    val sigma2 = col("__ss2").cast("double") / nD - muFp * muFp
+    val b = maxD / (sqrt(sigma2) * nD * sqrt(nD))
+    agg.select((keyCols ++ Seq(
+      col("__nn").cast("long").as("n_rows"),
+      col("__w.__ord").as("cp_ord"),
+      round(maxD / (nD * lit(factor)), 6).as("cusum_abs"),
+      when(sigma2 > lit(0.0),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * b * b)), 6))
+        .as("p_approx"))): _*)
   }
 
   /** W16: MAD-based modified z-score per row (Iglewicz & Hoaglin
@@ -1005,7 +1027,7 @@ object TimeSeries {
     * Plan shape: the [[theilSen]] aggregated-grid posture — one
     * (keys)-keyed self-join over GRID-sized rows for S, two bounded
     * tie-group aggregates, one keys fold. Output: keys :+ (n_rows,
-    * s_stat, tau, z_stat).
+    * s_stat, tau, z_stat, p_value — two-sided normal, round-6).
     */
   def mannKendall(df: DataFrame, keys: Seq[String], ord: Column,
       value: Column, scale: Int = 6): DataFrame = {
@@ -1050,12 +1072,15 @@ object TimeSeries {
     val zRaw = when(col("s_stat") > 0, (sD - lit(1.0)) / sqrt(varS))
       .when(col("s_stat") < 0, (sD + lit(1.0)) / sqrt(varS))
       .otherwise(lit(0.0))
+    // the p-value reads the ROUNDED z the gate already proves
+    // bit-identical, so its cross-engine parity is inherited
+    val zOut = when(col("n_rows") >= 2 && varS > lit(0.0), round(zRaw, 6))
     n.join(s, keys).join(vt, keys).join(ot, keys)
       .select((keys.map(col) ++ Seq(
         col("n_rows"), col("s_stat"),
         when(tauDen > lit(0.0), round(sD / sqrt(tauDen), 6)).as("tau"),
-        when(col("n_rows") >= 2 && varS > lit(0.0), round(zRaw, 6))
-          .as("z_stat"))): _*)
+        zOut.as("z_stat"),
+        graft.functions.NormalDist.twoSidedP(zOut).as("p_value"))): _*)
   }
 
   /** X27: Theil–Sen slope estimator per key (Theil 1950; Sen 1968) —

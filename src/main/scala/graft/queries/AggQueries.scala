@@ -1078,9 +1078,40 @@ object AggQueries {
           round(max_by(col("value"), col("event_id")), 2).as("last_value"),
           count(lit(1)).as("n"))
         .orderBy(col("user_id"))
+    }),
+
+    // A40: Benjamini–Hochberg q-values across the live test panel —
+    // the meanZ, Mann–Whitney, and Mann–Kendall p-values per
+    // event_type corrected as ONE 15-hypothesis family, exactly the
+    // monitoring read that decides which per-key alarms to act on
+    "q_fdr_adjust" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      def tag(t: String, df: DataFrame) = df.select(
+        concat(lit(t), lit("|"), col("event_type")).as("hyp"),
+        col("p_value"))
+      val mz = graft.operators.StatsAgg.meanZTest(
+        ev, Seq("event_type"), col("value"),
+        cohort = col("user_id") % 2 === 0, var1 = 80000.0, var2 = 80000.0)
+      val mwu = graft.operators.StatsAgg.mannWhitneyUTest(
+        ev.where(col("user_id").isNotNull), Seq("event_type"),
+        col("value"), cohort = col("user_id") % 2 === 0)
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long").as("day")
+      val daily = ev.where(col("ts").isNotNull)
+        .select(col("event_type"), day)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val mk = graft.operators.TimeSeries.mannKendall(
+        daily, Seq("event_type"), ord = col("day"), value = col("cnt"))
+      val panel = tag("meanz", mz)
+        .unionByName(tag("mwu", mwu))
+        .unionByName(tag("mk", mk))
+      graft.operators.StatsAgg.fdrAdjust(
+        panel, Seq.empty, p = col("p_value"), tie = col("hyp"))
+        .orderBy(col("bh_rank"))
     }))
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q_group_array" ->
       """WITH t AS (SELECT user_id,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
@@ -1568,7 +1599,7 @@ object AggQueries {
     // A26b: pooled-sample doubled ranks; tie term Σ(t³−t) folded as
     // the per-row Σ(t²−1)
     "q_mann_whitney" ->
-      """WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c
+      ("""WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c
            FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
          r AS (SELECT event_type, c,
              2 * rank() OVER (PARTITION BY event_type ORDER BY v)
@@ -1594,14 +1625,18 @@ object AggQueries {
              n1d * n2d / 12.0
                * (nd + 1.0 - td / (nd * (nd - 1.0))) AS sigma2,
              n1d, n2d
-           FROM u)
-         SELECT event_type, n1, n2,
+           FROM u),
+         fin AS (SELECT event_type, n1, n2,
            CASE WHEN n1 > 0 AND n2 > 0 THEN round(u1, 6) END AS u1,
            CASE WHEN n1 > 0 AND n2 > 0 THEN round(u2, 6) END AS u2,
            CASE WHEN n1 > 0 AND n2 > 0 AND sigma2 > 1e-12
              THEN round((u1 - n1d * n2d / 2.0) / sqrt(sigma2), 6)
            END AS z_stat
-         FROM z ORDER BY event_type""",
+         FROM z)
+         SELECT event_type, n1, n2, u1, u2, z_stat,
+           """ + graft.functions.NormalDist.twoSidedPSql("z_stat") +
+      """ AS p_value
+         FROM fin ORDER BY event_type"""),
     // A36: pooled doubled ranks; Σ(2R_g)²/(4n_g) folded via ordered
     // list_reduce to mirror the Spark-side group-ordered aggregate
     "q_kruskal_wallis" ->
@@ -2113,7 +2148,7 @@ object AggQueries {
          FROM s ORDER BY event_type""",
     // A17e: the q_student_ttest cohort sums with the known-variance z
     "q_mean_ztest" ->
-      """WITH w AS (SELECT event_type, user_id % 2 = 0 AS c,
+      ("""WITH w AS (SELECT event_type, user_id % 2 = 0 AS c,
              CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
            FROM events WHERE value IS NOT NULL),
          s AS (SELECT event_type,
@@ -2127,13 +2162,17 @@ object AggQueries {
              CAST(a2 AS DOUBLE) / 100.0 / CAST(n2 AS DOUBLE) AS mu2,
              80000.0 / CAST(n1 AS DOUBLE)
                + 80000.0 / CAST(n2 AS DOUBLE) AS se2
-           FROM s)
-         SELECT event_type, n1, n2,
+           FROM s),
+         fin AS (SELECT event_type, n1, n2,
            CASE WHEN n1 > 0 THEN round(mu1, 6) END AS mean1,
            CASE WHEN n2 > 0 THEN round(mu2, 6) END AS mean2,
            CASE WHEN n1 > 0 AND n2 > 0
              THEN round((mu1 - mu2) / sqrt(se2), 6) END AS z_stat
-         FROM m ORDER BY event_type""",
+         FROM m)
+         SELECT event_type, n1, n2, mean1, mean2, z_stat,
+           """ + graft.functions.NormalDist.twoSidedPSql("z_stat") +
+      """ AS p_value
+         FROM fin ORDER BY event_type"""),
     // X12c: the identical min-5-by-md5-rank winner set, via the
     // window formulation DuckDB can express
     "q_sample_bounded" ->
@@ -2625,4 +2664,34 @@ object AggQueries {
          round(arg_max(value, event_id), 2) AS last_value,
          COUNT(*) AS n
          FROM events GROUP BY user_id ORDER BY user_id""")
+
+  /** A40 oracle: the three feed oracles verbatim as subqueries (their
+    * p-values are independently gate-proven), then the BH step-up rule
+    * as one rank window + one running min — the exact fdrAdjust tree.
+    */
+  val oracles: Map[String, String] = baseOracles +
+    ("q_fdr_adjust" ->
+      s"""WITH mz AS (SELECT 'meanz|' || event_type AS hyp, p_value
+           FROM (${baseOracles("q_mean_ztest")})),
+         mwu AS (SELECT 'mwu|' || event_type AS hyp, p_value
+           FROM (${baseOracles("q_mann_whitney")})),
+         mk AS (SELECT 'mk|' || event_type AS hyp, p_value
+           FROM (${WindowQueries.oracles("q_mann_kendall")})),
+         panel AS (SELECT * FROM mz UNION ALL SELECT * FROM mwu
+           UNION ALL SELECT * FROM mk),
+         fil AS (SELECT hyp AS tie, p_value FROM panel
+           WHERE p_value IS NOT NULL),
+         rk AS (SELECT tie, p_value,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (ORDER BY p_value ASC, tie ASC)
+               AS BIGINT) AS bh_rank
+           FROM fil),
+         q AS (SELECT tie, p_value, bh_rank,
+             round(least(1.0, min(p_value * CAST(m AS DOUBLE)
+                 / CAST(bh_rank AS DOUBLE))
+               OVER (ORDER BY p_value ASC, tie ASC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
+               AS q_value
+           FROM rk)
+         SELECT tie, p_value, bh_rank, q_value FROM q ORDER BY bh_rank""")
 }

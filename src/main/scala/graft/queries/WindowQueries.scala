@@ -1415,20 +1415,30 @@ object WindowQueries {
                OVER (PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
            FROM daily),
-         st AS (SELECT event_type, sum(v) AS t,
+         st AS (SELECT event_type, sum(v) AS t, sum(v * v) AS s2,
              CAST(count(*) AS HUGEINT) AS n
            FROM b GROUP BY event_type),
          d AS (SELECT b.event_type, b.day, rn,
-             c * n - CAST(rn AS HUGEINT) * t AS dd, n
+             c * n - CAST(rn AS HUGEINT) * t AS dd, n, t, s2
            FROM b JOIN st USING (event_type)
            WHERE CAST(rn AS HUGEINT) < n),
          p AS (SELECT *, row_number() OVER (PARTITION BY event_type
              ORDER BY abs(dd) DESC, rn ASC) AS pick
-           FROM d)
+           FROM d),
+         f AS (SELECT event_type, n, day, abs(dd) AS add,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(abs(dd) AS DOUBLE) AS maxd,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) AS sigma2
+           FROM p WHERE pick = 1)
          SELECT event_type, CAST(n AS BIGINT) AS n_rows, day AS cp_ord,
-           round(CAST(abs(dd) AS DOUBLE)
-             / (CAST(n AS DOUBLE) * 1000000.0), 6) AS cusum_abs
-         FROM p WHERE pick = 1 ORDER BY event_type""",
+           round(maxd / (nd * 1000000.0), 6) AS cusum_abs,
+           CASE WHEN sigma2 > 0.0 THEN round(least(1.0,
+             2.0 * exp(-2.0 * (maxd / (sqrt(sigma2) * nd * sqrt(nd)))
+               * (maxd / (sqrt(sigma2) * nd * sqrt(nd))))), 6) END
+             AS p_approx
+         FROM f ORDER BY event_type""",
     // W16: medians on the exact fixed-point grid (.5/.25 — the
     // tukey argument one level deeper); identical z tree
     "q_mad_zscore" ->
@@ -1485,7 +1495,7 @@ object WindowQueries {
          FROM s WHERE n_scored > 0 ORDER BY event_type""",
     // W18: exact integer pair signs, tie-corrected variance, tau-b
     "q_mann_kendall" ->
-      """WITH daily AS (SELECT event_type,
+      ("""WITH daily AS (SELECT event_type,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
                AS day,
              CAST(count(*) AS DOUBLE) AS cnt
@@ -1517,8 +1527,8 @@ object WindowQueries {
              CAST(v25 AS DOUBLE) AS v25d, CAST(v2 AS DOUBLE) AS v2d,
              CAST(o2 AS DOUBLE) AS o2d
            FROM nn JOIN s USING (event_type) JOIN vt USING (event_type)
-             JOIN ot USING (event_type))
-         SELECT event_type, n_rows, s_stat,
+             JOIN ot USING (event_type)),
+         fin AS (SELECT event_type, n_rows, s_stat,
            CASE WHEN (nd * (nd - 1.0) / 2.0 - v2d / 2.0)
                * (nd * (nd - 1.0) / 2.0 - o2d / 2.0) > 0.0
              THEN round(sd / sqrt((nd * (nd - 1.0) / 2.0 - v2d / 2.0)
@@ -1534,7 +1544,11 @@ object WindowQueries {
                  / sqrt((nd * (nd - 1.0) * (2.0 * nd + 5.0) - v25d)
                    / 18.0)
                ELSE 0.0 END, 6) END AS z_stat
-         FROM z ORDER BY event_type""",
+         FROM z)
+         SELECT event_type, n_rows, s_stat, tau, z_stat,
+           """ + graft.functions.NormalDist.twoSidedPSql("z_stat") +
+      """ AS p_value
+         FROM fin ORDER BY event_type"""),
     // X27: grid-sized pairwise slopes, one double division each,
     // fixed-point-quantized before the exact interpolated median
     "q_theil_sen" ->

@@ -651,6 +651,55 @@ class DedupSimilaritySpec extends SparkSpec {
         k = 5, nlist = 16, nProbe = 8)))
   }
 
+  test("X3g annTierAuto probe cost: zero jobs when the curves agree; memoized once per corpus when they disagree") {
+    // range-backed frames (NOT LocalRelations), so any eager probe or
+    // autosize count must launch a real Spark job the marker protocol
+    // counts — the r17 q_ann_auto driver-window finding, encoded
+    val vecs = spark.range(64).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => sin(col("id") * 1.39 + d).cast("float")).as("embedding"))
+    val q = vecs.filter(col("vec_id") % 16 === 0)
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(js.jobId)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def jobsDuring(build: => Any): Int = {
+        jobs.clear()
+        build
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        val deadline = System.currentTimeMillis() + 10000
+        var last = -1
+        while (System.currentTimeMillis() < deadline &&
+          (jobs.isEmpty || jobs.size != last)) {
+          last = jobs.size; Thread.sleep(50)
+        }
+        assert(!jobs.isEmpty, "marker job never observed")
+        jobs.size - 1
+      }
+      // the bench regime (sf0.1: |D|=2000, |Q|=100): weak and
+      // clustered curves BOTH say brute, so with size hints the
+      // decision costs zero jobs — no probe, no count, nothing
+      assert(jobsDuring(Similarity.annTierAuto(vecs, q, "vec_id",
+        "embedding", hasIndex = false, nHint = 2000L, qHint = 100L))
+        === 0, "agree regime must not probe")
+      // disagree regime (|D|=60k, |Q|=1000, indexed: weak says brute,
+      // clustered says indexed): the structure probe pays its bounded
+      // sample jobs exactly ONCE...
+      val first = jobsDuring(Similarity.annTierAuto(vecs, q, "vec_id",
+        "embedding", hasIndex = true, nHint = 60000L, qHint = 1000L))
+      assert(first >= 1, "disagree regime must probe")
+      // ...and the SAME corpus (canonicalized-plan identity) re-asked
+      // serves the memoized margin with zero jobs
+      assert(jobsDuring(Similarity.annTierAuto(vecs, q, "vec_id",
+        "embedding", hasIndex = true, nHint = 60000L, qHint = 1000L))
+        === 0, "second probe of the same corpus must hit the memo")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("trainCentroids: DECIMAL-exact means are bit-deterministic across runs") {
     val vecs = (0L until 150L).map(i =>
       (i, Seq.tabulate(16)(d => math.cos(i * 0.91 + d * 0.53).toFloat)))

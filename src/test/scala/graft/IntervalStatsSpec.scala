@@ -1244,4 +1244,139 @@ class IntervalStatsSpec extends SparkSpec {
       .select("n_pairs", "slope").as[(Long, Double)].head()
     assert(frac === ((1L, 0.333333)))
   }
+
+  /** The A&S 26.2.17 tree as plain Scala — the scalar reference the
+    * NormalDist Column tree must match bit-for-bit (same double ops).
+    */
+  private def refTwoSidedP(z: Double): Double = {
+    val x = math.abs(z)
+    val t = 1.0 / (1.0 + 0.2316419 * x)
+    val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+      t * (-1.821255978 + t * 1.330274429))))
+    val raw = 2.0 * (math.exp(-(x * x) / 2.0) * 0.3989422804014327 * poly)
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("NormalDist: known quantiles, symmetry, scalar-reference parity on a z grid, null passthrough") {
+    import graft.functions.NormalDist
+    val pos = Seq(0.1, 0.5, 1.0, 1.644854, 1.959964, 2.575829, 3.5)
+    val zs = (pos.map(-_) :+ 0.0) ++ pos
+    val df = zs.map(Tuple1(_)).toDF("z")
+      .select(col("z"), NormalDist.cdf(col("z")).as("phi"),
+        NormalDist.twoSidedP(col("z")).as("p"))
+    val rows = df.as[(Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // textbook anchors (A&S error < 7.5e-8, invisible at round-6)
+    assert(rows(0.0)._1 === 0.5)
+    assert(math.abs(rows(1.959964)._1 - 0.975) < 1e-6)
+    assert(math.abs(rows(1.959964)._2 - 0.05) < 1e-6)
+    assert(math.abs(rows(1.644854)._2 - 0.10) < 1e-6)
+    assert(math.abs(rows(2.575829)._2 - 0.01) < 1e-6)
+    // symmetry: Φ(−x) + Φ(x) = 1 on the rounded grid
+    zs.foreach { z =>
+      assert(math.abs(rows(z)._1 + rows(-z)._1 - 1.0) < 1.01e-6, s"z=$z") }
+    // two-sided p is even and matches the scalar tree exactly
+    zs.foreach { z =>
+      assert(rows(z)._2 === rows(-z)._2, s"z=$z")
+      assert(rows(z)._2 === refTwoSidedP(z), s"z=$z") }
+    // null z → null p (degenerate upstream test)
+    val np = Seq((1, Option.empty[Double])).toDF("k", "z")
+      .select(NormalDist.twoSidedP(col("z")).as("p"))
+      .collect().head
+    assert(np.isNullAt(0))
+  }
+
+  test("z-family p_value faces equal the NormalDist tree applied to the reported z") {
+    val ev = (0L until 400L).map { i =>
+      ("t", i, math.sin(i * 0.37) * 10.0 + (if (i % 2 == 0) 1.5 else 0.0))
+    }.toDF("k", "uid", "v")
+    val mz = StatsAgg.meanZTest(ev, Seq("k"), col("v"),
+      cohort = col("uid") % 2 === 0, var1 = 50.0, var2 = 50.0)
+      .select("z_stat", "p_value").as[(Double, Double)].head()
+    assert(mz._2 === refTwoSidedP(mz._1))
+    val mw = StatsAgg.mannWhitneyUTest(ev, Seq("k"), col("v"),
+      cohort = col("uid") % 2 === 0)
+      .select("z_stat", "p_value").as[(Double, Double)].head()
+    assert(mw._2 === refTwoSidedP(mw._1))
+    import graft.operators.TimeSeries
+    val mk = TimeSeries.mannKendall(
+      (0 to 30).map(i => ("k", i.toLong, i * 2.0 + (i % 3))).toDF("k", "o", "v"),
+      Seq("k"), ord = col("o"), value = col("v"))
+      .select("z_stat", "p_value").as[(Double, Double)].head()
+    assert(mk._2 === refTwoSidedP(mk._1))
+  }
+
+  test("cusumChangepoint p_approx: Brownian-bridge tail — planted shift significant, constant null, scalar parity") {
+    import graft.operators.TimeSeries
+    // strong planted mean shift at t=30 of 60: max|S| huge vs sigma
+    val shift = (0 until 60).map(i =>
+      ("s", i.toLong, if (i < 30) 10.0 else 20.0))
+    // same-variance series with NO shift (alternating): bridge stat tiny
+    val flat = (0 until 60).map(i =>
+      ("f", i.toLong, if (i % 2 == 0) 10.0 else 20.0))
+    // constant: sigma = 0 → null p
+    val const = (0 until 60).map(i => ("c", i.toLong, 7.0))
+    val out = TimeSeries.cusumChangepoint(
+      (shift ++ flat ++ const).toDF("k", "o", "v").repartition(4),
+      Seq("k"), ord = col("o"), value = col("v"))
+      .select("k", "n_rows", "cusum_abs", "p_approx")
+      .as[(String, Long, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("s")._4.get < 1e-6, s"planted shift not significant: ${out("s")}")
+    assert(out("f")._4.get > 0.5, s"no-shift series flagged: ${out("f")}")
+    assert(out("c")._4.isEmpty)
+    // scalar parity on the shift key: b = max|S|/(σ√n) off the exact
+    // fixed-point integers (scale 6), p = min(1, 2·exp(−2b²))
+    val vs = shift.map(_._3 * 1e6)
+    val n = vs.size
+    val tot = vs.sum
+    val prefix = vs.scanLeft(0.0)(_ + _).tail
+    val maxD = (1 until n).map(t => math.abs(n * prefix(t - 1) - t * tot)).max
+    val mu = tot / n
+    val sigma = math.sqrt(vs.map(v => v * v).sum / n - mu * mu)
+    val b = maxD / (sigma * n * math.sqrt(n.toDouble))
+    val pRef = BigDecimal(math.min(1.0, 2.0 * math.exp(-2.0 * b * b)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("s")._4.get === pRef)
+  }
+
+  test("fdrAdjust: matches the scalar BH step-up on a random panel; monotone; clamped; null p drops; families independent") {
+    val rnd = new scala.util.Random(41)
+    val panel = (0 until 40).map(i =>
+      ("fam" + (i % 2), f"h$i%02d",
+        if (i == 7) Option.empty[Double]
+        else Some(BigDecimal(rnd.nextDouble()).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val out = StatsAgg.fdrAdjust(
+      panel.toDF("fam", "h", "p").repartition(4),
+      Seq("fam"), p = col("p"), tie = col("h"))
+      .select("fam", "tie", "p_value", "bh_rank", "q_value")
+      .as[(String, String, Double, Long, Double)].collect()
+    // scalar BH per family
+    def refBH(ps: Seq[(String, Double)]): Map[String, Double] = {
+      val sorted = ps.sortBy(x => (x._2, x._1))
+      val m = sorted.size
+      val raw = sorted.zipWithIndex.map { case ((h, p), i) =>
+        (h, p * m / (i + 1)) }
+      // running min from the tail, clamp at 1
+      val qs = raw.scanRight(Double.MaxValue)((x, acc) =>
+        math.min(x._2, acc)).init
+      sorted.map(_._1).zip(qs.map(q => BigDecimal(math.min(1.0, q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    }
+    val byFam = panel.collect { case (f, h, Some(p)) => (f, h, p) }
+      .groupBy(_._1)
+    byFam.foreach { case (fam, hs) =>
+      val ref = refBH(hs.map(x => (x._2, x._3)))
+      val got = out.filter(_._1 == fam)
+      assert(got.length === hs.size, s"$fam: null-p row not dropped?")
+      got.foreach { case (_, h, _, _, q) =>
+        assert(q === ref(h), s"$fam/$h") }
+      // q monotone non-decreasing along bh_rank, all within [0,1]
+      val sorted = got.sortBy(_._4)
+      sorted.sliding(2).foreach { w =>
+        if (w.size == 2) assert(w(0)._5 <= w(1)._5) }
+      assert(sorted.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    }
+  }
 }
