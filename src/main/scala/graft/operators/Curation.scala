@@ -1258,6 +1258,341 @@ object Curation {
     * output-sized materialization cost. Identical n_words/n_tokens to
     * [[bpeSegment]] (spec-pinned).
     */
+  /** Viterbi segmentation of one word under a unigram piece model:
+    * best(i) = max_j best(j) + logP(w[j..i)), pieces bounded at
+    * `maxLen` chars. Deterministic tie-break: j ascends, so the
+    * LONGEST piece ending at i wins ties (strict > replaces).
+    * Unknown SINGLE characters score `unk` (the SentencePiece UNK
+    * posture — multi-char pieces must be in the model).
+    */
+  private[graft] def unigramViterbi(w: String, m: Map[String, Double],
+      maxLen: Int, unk: Double): Vector[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val from = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val lp = m.get(w.substring(j, i)) match {
+          case Some(v) => v
+          case None if i - j == 1 => unk
+          case None => Double.NegativeInfinity
+        }
+        val cand = best(j) + lp
+        if (cand > best(i)) { best(i) = cand; from(i) = j }
+        j += 1
+      }
+      i += 1
+    }
+    if (best(n) == Double.NegativeInfinity) Vector(w) // unsegmentable guard
+    else {
+      var k = n
+      var acc = List.empty[String]
+      while (k > 0) { val j = from(k); acc = w.substring(j, k) :: acc; k = j }
+      acc.toVector
+    }
+  }
+
+  /** The Viterbi SCORE of [[unigramViterbi]]'s best segmentation —
+    * the pruning loss needs it for "how well does the rest of the
+    * vocabulary cover this piece's string".
+    */
+  private def unigramViterbiScore(w: String, m: Map[String, Double],
+      maxLen: Int): Double = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        m.get(w.substring(j, i)).foreach { lp =>
+          val cand = best(j) + lp
+          if (cand > best(i)) best(i) = cand
+        }
+        j += 1
+      }
+      i += 1
+    }
+    best(n)
+  }
+
+  /** Soft-EM E-step for one word: EXPECTED piece counts under the
+    * current model via forward–backward over the segmentation lattice
+    * (Kudo 2018 §3.2's EM, per word). Log-space α/β with a fixed
+    * fold order, so the doubles are deterministic; expected count of
+    * arc (j→i) = exp(α_j + logP + β_i − Z). Returns (piece, e) sorted
+    * by piece, each e HALF_UP-quantized to 9 dp so the downstream
+    * DECIMAL fold is exact and order-free.
+    */
+  private[graft] def unigramExpectedCounts(w: String,
+      m: Map[String, Double], maxLen: Int): Seq[(String, Double)] = {
+    val n = w.length
+    def lse(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else { val hi = math.max(a, b); hi + math.log1p(math.exp(math.min(a, b) - hi)) }
+    val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var acc = Double.NegativeInfinity
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        m.get(w.substring(j, i)).foreach(lp => acc = lse(acc, alpha(j) + lp))
+        j += 1
+      }
+      alpha(i) = acc
+      i += 1
+    }
+    val z = alpha(n)
+    if (z == Double.NegativeInfinity) Seq.empty
+    else {
+      val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+      beta(n) = 0.0
+      var j0 = n - 1
+      while (j0 >= 0) {
+        var acc = Double.NegativeInfinity
+        var i0 = j0 + 1
+        val lim = math.min(n, j0 + maxLen)
+        while (i0 <= lim) {
+          m.get(w.substring(j0, i0)).foreach(lp => acc = lse(acc, lp + beta(i0)))
+          i0 += 1
+        }
+        beta(j0) = acc
+        j0 -= 1
+      }
+      val buf = scala.collection.mutable.HashMap.empty[String, Double]
+      var j = 0
+      while (j < n) {
+        var i2 = j + 1
+        val lim = math.min(n, j + maxLen)
+        while (i2 <= lim) {
+          val piece = w.substring(j, i2)
+          m.get(piece).foreach { lp =>
+            val e = math.exp(alpha(j) + lp + beta(i2) - z)
+            if (e > 0.0) buf.update(piece, buf.getOrElse(piece, 0.0) + e)
+          }
+          i2 += 1
+        }
+        j += 1
+      }
+      buf.toSeq.sortBy(_._1).map { case (p, e) =>
+        (p, BigDecimal(e).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }.filter(_._2 > 0.0)
+    }
+  }
+
+  /** X28: unigram-LM (SentencePiece) tokenizer TRAINING (Kudo 2018,
+    * "Subword Regularization"; Kudo & Richardson 2018) — the other
+    * half of the public tokenizer landscape next to X25's BPE: seed a
+    * large candidate vocabulary, alternate soft-EM re-estimation with
+    * likelihood-loss pruning until `vocabSize` pieces remain, and ship
+    * (piece, logP) — segmentation is then Viterbi under the model.
+    *
+    * The X25 distribution insight transfers DIRECTLY: ONE corpus pass
+    * collapses text to the DISTINCT-WORD frequency table, and every
+    * E-step is a vocabulary-sized scan — the per-word forward–backward
+    * (a ≤|w|·maxPieceLen lattice) runs as a scalar function once per
+    * DISTINCT word (the documented read-face posture), contributions
+    * enter as (9-dp-quantized e) × (exact word count) DECIMAL products
+    * so the piece-count fold is exact and order-free, and the M-step
+    * (normalize → log) runs on the driver over the piece table (the
+    * k-means centroids-to-driver pattern; probabilities quantize to
+    * 18-dp DECIMAL ratios so the model is INVARIANT under exact
+    * corpus replication — c/Σc = fc/fΣc on the decimal grid, the
+    * UnigramScale 30× identity). Corpus size only ever affects the
+    * first pass.
+    *
+    * Pruning (Kudo §3.2 step 3): for each multi-char piece, loss =
+    * c(p) · (logP(p) − altViterbi(p)) — the likelihood drop if p's
+    * occurrences re-segment with the REST of the vocabulary; keep the
+    * top pieces by (loss desc, piece asc) down to
+    * max(vocabSize, ⌊|V|·shrink⌋). Single characters are NEVER pruned
+    * (coverage guarantee; a char zeroed by quantization is re-floored
+    * at one 1e-9 quantum), so the reachable vocabulary floor is the
+    * corpus character set. Deterministic end to end: every ranking
+    * tie breaks on the piece string.
+    *
+    * Not SQL-expressible (iterative EM) ⇒ spec-verified against a
+    * scalar reference (CurationSpec); the registered query is
+    * rows-checked. Output: (piece, log_prob, exp_count, is_char) —
+    * the shipped model artifact.
+    */
+  def unigramLmTrain(df: DataFrame, text: Column, vocabSize: Int,
+      maxPieceLen: Int = 4, seedSize: Int = 400, emIters: Int = 2,
+      shrink: Double = 0.75): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 100000,
+      s"vocabSize out of range: $vocabSize")
+    require(maxPieceLen >= 2 && maxPieceLen <= 16,
+      s"maxPieceLen out of range: $maxPieceLen")
+    require(shrink > 0.0 && shrink < 1.0, s"shrink out of (0,1): $shrink")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(split(text, " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // candidate seed: every ≤ maxPieceLen substring of the distinct
+    // words, weighted by word frequency per occurrence position
+    val subs = words
+      .select(col("cnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), i =>
+          transform(
+            sequence(lit(1),
+              least(lit(maxPieceLen), length(col("w")) - i + 1)),
+            l => col("w").substr(i, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
+      .localCheckpoint()
+    val charSeed = subs.where(length(col("piece")) === 1)
+    val multiSeed = subs.where(length(col("piece")) > 1)
+      .orderBy(col("weight").desc, col("piece"))
+      .limit(seedSize)
+    def toCounts(d: DataFrame): Seq[(String, BigDecimal)] =
+      d.select(col("piece"), col("weight").cast("decimal(38,9)"))
+        .as[(String, java.math.BigDecimal)].collect().toSeq
+        .map { case (p, c) => (p, BigDecimal(c)) }
+    val charPieces = toCounts(charSeed).map(_._1).toSet
+    // the char coverage floor is RELATIVE (quantum × corpus word
+    // count) so it scales exactly with corpus replication — an
+    // absolute floor would break the UnigramScale model-identity
+    // invariant ((fc)/(fΣc) needs EVERY count term factor-exact)
+    val quantumFloor = BigDecimal("0.000000001") *
+      BigDecimal(words.agg(sum(col("cnt"))).head.getLong(0))
+
+    // M-step: counts → log-probs through an 18-dp DECIMAL ratio (the
+    // replication-invariance grid); quantized-to-zero pieces drop,
+    // chars re-floor at the relative quantum
+    def mStep(counts: Seq[(String, BigDecimal)]): Map[String, Double] = {
+      val floored = counts.map { case (p, c) =>
+        (p, if (c <= 0 && charPieces(p)) quantumFloor else c)
+      }.filter(_._2 > 0)
+      val total = floored.map(_._2).sum
+      floored.flatMap { case (p, c) =>
+        val prob = (c / total).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        if (prob > 0) Some(p -> math.log(prob.toDouble)) else None
+      }.toMap
+    }
+
+    // E-step: one vocabulary-sized distributed pass; exact fold
+    def eStep(model: Map[String, Double]): Seq[(String, BigDecimal)] = {
+      val bc = spark.sparkContext.broadcast(model)
+      val ml = maxPieceLen
+      val expU = udf((w: String) => unigramExpectedCounts(w, bc.value, ml))
+      // operand widths keep the product INSIDE precision 38 at scale
+      // 9 — decimal(20,9) × bigint would hit (41,9) and Spark then
+      // SILENTLY reduces the scale to 6, quantizing the fold.
+      // decimal(14,9) bounds per-word expected counts at 1e5 (words
+      // shorter than 100k chars); decimal(17,0) bounds a word's
+      // corpus count at 1e17
+      val agg = words
+        .select(col("cnt"), explode(expU(col("w"))).as("pe"))
+        .select(col("pe._1").as("piece"),
+          (col("pe._2").cast("decimal(14,9)") *
+            col("cnt").cast("decimal(17,0)")).as("c"))
+        .groupBy(col("piece"))
+        .agg(sum(col("c")).cast("decimal(38,9)").as("c"))
+        .as[(String, java.math.BigDecimal)].collect().toSeq
+        .map { case (p, c) => (p, BigDecimal(c)) }
+      // a char fully shadowed by longer pieces can quantize to zero
+      // mass — re-enter it at the relative quantum so coverage never
+      // breaks (and the floor scales with the corpus)
+      val present = agg.map(_._1).toSet
+      agg ++ charPieces.diff(present).toSeq.sorted
+        .map(p => (p, quantumFloor))
+    }
+
+    def prune(counts: Seq[(String, BigDecimal)],
+        model: Map[String, Double], target: Int)
+        : Seq[(String, BigDecimal)] = {
+      val (chars, multis) = counts.partition(p => charPieces(p._1))
+      val keepMulti = math.max(0, target - chars.size)
+      val ranked = multis.map { case (p, c) =>
+        val alt = unigramViterbiScore(p, model - p, maxPieceLen)
+        val loss =
+          if (alt == Double.NegativeInfinity) Double.MaxValue
+          else c.toDouble * (model.getOrElse(p, alt) - alt)
+        (p, c, loss)
+      }.sortBy(t => (-t._3, t._1))
+      chars ++ ranked.take(keepMulti).map(t => (t._1, t._2))
+    }
+
+    var counts = toCounts(charSeed) ++ toCounts(multiSeed)
+    var model = mStep(counts)
+    var rounds = 0
+    while (model.size > vocabSize &&
+      model.keysIterator.exists(p => !charPieces(p)) && rounds < 64) {
+      for (_ <- 1 to emIters) { counts = eStep(model); model = mStep(counts) }
+      val target = math.max(vocabSize,
+        math.floor(model.size * shrink).toInt)
+      counts = prune(counts, model, target)
+      model = mStep(counts)
+      rounds += 1
+    }
+    for (_ <- 1 to emIters) { counts = eStep(model); model = mStep(counts) }
+    val fm = model
+    counts.filter(c => fm.contains(c._1)).sortBy(_._1).map { case (p, c) =>
+      (p, fm(p), c.toDouble, charPieces(p))
+    }.toDF("piece", "log_prob", "exp_count", "is_char")
+  }
+
+  /** X28b: Viterbi SEGMENT face of [[unigramLmTrain]] — tokenize each
+    * document into max-likelihood pieces under the model. The fold is
+    * sequential per word, so it runs once per DISTINCT word and
+    * assembles map-side (the X25b posture, same shuffle shape).
+    * Returns (id, n_words, n_tokens, tokens) in document order.
+    */
+  def unigramLmSegment(df: DataFrame, id: String, text: Column,
+      model: Seq[(String, Double)]): DataFrame = {
+    val m = model.toMap
+    val maxLen = if (m.isEmpty) 1 else m.keysIterator.map(_.length).max
+    val unk = (if (m.isEmpty) 0.0 else m.valuesIterator.min) - 10.0
+    val seg = udf((w: String) => unigramViterbi(w, m, maxLen, unk))
+    val words = df.select(col(id),
+      filter(split(text, " "), w => length(w) > 0).as("__words"))
+    val vocab = words
+      .select(explode(col("__words")).as("w")).distinct()
+      .withColumn("__toks", seg(col("w")))
+    val docMaps = words
+      .select(col(id), explode(array_distinct(col("__words"))).as("w"))
+      .join(vocab, "w")
+      .groupBy(col(id))
+      .agg(map_from_entries(
+        collect_list(struct(col("w"), col("__toks")))).as("__m"))
+    words.join(docMaps, id)
+      .select(col(id),
+        size(col("__words")).cast("long").as("n_words"),
+        flatten(transform(col("__words"),
+          w => element_at(col("__m"), w))).as("tokens"))
+      .select(col(id), col("n_words"),
+        size(col("tokens")).cast("long").as("n_tokens"), col("tokens"))
+  }
+
+  /** X28c: token-COUNT stats face of [[unigramLmSegment]] — the X25c
+    * argument verbatim: the multiplying shuffle carries one INT per
+    * distinct word, never token arrays; identical n_words/n_tokens to
+    * the segment face (spec-pinned).
+    */
+  def unigramLmTokenCounts(df: DataFrame, id: String, text: Column,
+      model: Seq[(String, Double)]): DataFrame = {
+    val m = model.toMap
+    val maxLen = if (m.isEmpty) 1 else m.keysIterator.map(_.length).max
+    val unk = (if (m.isEmpty) 0.0 else m.valuesIterator.min) - 10.0
+    val segN = udf((w: String) => unigramViterbi(w, m, maxLen, unk).size)
+    val occ = df.select(col(id),
+      explode(filter(split(text, " "), w => length(w) > 0)).as("w"))
+    val vocab = occ.select(col("w")).distinct()
+      .withColumn("__n", segN(col("w")).cast("long"))
+    occ.join(vocab, "w")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__n")).as("n_tokens"))
+  }
+
   def bpeTokenCounts(df: DataFrame, id: String, text: Column,
       merges: Seq[(String, String)]): DataFrame = {
     val seg = udf { (w: String) =>

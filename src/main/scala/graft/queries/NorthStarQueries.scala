@@ -195,6 +195,21 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X28: unigram-LM (SentencePiece) tokenizer training over the
+    // documents corpus — soft-EM over the distinct-word table with
+    // loss-based pruning (Kudo 2018). EM is not SQL-expressible, so
+    // this is rows-checked; the value laws (scalar-reference parity,
+    // brute-force-lattice parity, Viterbi optimality) live in
+    // CurationSpec
+    "q_unigram_lm" -> ((s, d) => {
+      graft.operators.Curation.unigramLmTrain(
+        table(s, d, "documents"), col("text"),
+        vocabSize = 150, maxPieceLen = 4, seedSize = 300, emIters = 1)
+        .select(col("piece"), round(col("log_prob"), 6).as("log_prob"),
+          round(col("exp_count"), 6).as("exp_count"), col("is_char"))
+        .orderBy(col("piece"))
+    }),
+
     // X4 tokenizer prep: vocabulary building — top-256 tokens by
     // global frequency with deterministic rank ids (freq desc, token
     // asc tie-break). Scale: explode → partial-agg counts (map-side

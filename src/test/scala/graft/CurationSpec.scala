@@ -1035,4 +1035,191 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(counts === out.map(r => (r._1, r._2, r._3)).toSeq)
   }
+
+  // ----- X28: unigram-LM (SentencePiece) tokenizer training -----
+
+  /** Independent scalar E-step: BRUTE-FORCE enumeration of every
+    * segmentation (pieces ≤ maxLen), P(seg) = Π p(piece); expected
+    * count of piece = Σ_seg P(seg)·#occurrences / Σ_seg P(seg).
+    * Independent of the forward–backward lattice under test.
+    */
+  private def bruteExpected(w: String, m: Map[String, Double],
+      maxLen: Int): Map[String, Double] = {
+    def segs(s: String): Seq[Seq[String]] =
+      if (s.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(maxLen, s.length)).flatMap { l =>
+        val h = s.substring(0, l)
+        if (m.contains(h)) segs(s.substring(l)).map(h +: _) else Seq.empty
+      }
+    val all = segs(w)
+    val ps = all.map(seg => math.exp(seg.map(m).sum))
+    val z = ps.sum
+    val acc = scala.collection.mutable.Map.empty[String, Double]
+    for ((seg, p) <- all.zip(ps); piece <- seg)
+      acc(piece) = acc.getOrElse(piece, 0.0) + p / z
+    acc.toMap
+  }
+
+  test("X28 unigramExpectedCounts: forward-backward equals brute-force enumeration; Viterbi equals brute-force argmax") {
+    val model = Map("l" -> -3.0, "o" -> -3.2, "w" -> -3.4, "e" -> -3.1,
+      "r" -> -3.3, "s" -> -3.5, "t" -> -3.6,
+      "low" -> -1.2, "er" -> -1.8, "est" -> -1.9, "lo" -> -2.4,
+      "we" -> -2.6, "wer" -> -2.2)
+    for (w <- Seq("lower", "lowest", "low", "w", "lowerlowest")) {
+      val got = Curation.unigramExpectedCounts(w, model, 4).toMap
+      val want = bruteExpected(w, model, 4)
+      assert(got.keySet === want.keySet, s"word $w")
+      for ((p, e) <- want)
+        assert(math.abs(got(p) - e) < 1e-6, s"$w/$p: ${got(p)} vs $e")
+      // Viterbi picks the max-probability segmentation of the
+      // brute-force enumeration (unique argmax on this model)
+      def segs(s: String): Seq[Seq[String]] =
+        if (s.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(4, s.length)).flatMap { l =>
+          val h = s.substring(0, l)
+          if (model.contains(h)) segs(s.substring(l)).map(h +: _)
+          else Seq.empty
+        }
+      val best = segs(w).maxBy(seg => seg.map(model).sum)
+      assert(Curation.unigramViterbi(w, model, 4, -100.0) === best.toVector,
+        s"word $w")
+    }
+    // unknown single chars take the UNK score; multi-char pieces never
+    assert(Curation.unigramViterbi("lqw", model, 4, -50.0)
+      === Vector("l", "q", "w"))
+  }
+
+  test("X28 unigramLmTrain matches the scalar-reference loop piece-for-piece; learns the planted morphemes; chars survive; vocab bounded") {
+    val texts = Seq(
+      "low lower lowest low low slow slower",
+      "new newer newest news new knew",
+      "low new lower newer lowest newest")
+    val (vocabSize, maxLen, seedN, emIters, shrink) = (24, 4, 40, 2, 0.75)
+
+    // ---- scalar reference: the same algorithm as straight Scala
+    // folds (shared per-word lattice kernel; independent seed,
+    // aggregation, M-step, prune, and loop plumbing) ----
+    val wordCnt = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wordCnt; i <- 0 until w.length;
+         l <- 1 to math.min(maxLen, w.length - i)) {
+      val p = w.substring(i, i + l)
+      wts(p) = wts.getOrElse(p, 0L) + c
+    }
+    val charPieces = wts.keys.filter(_.length == 1).toSet
+    val quantum = BigDecimal("0.000000001") *
+      BigDecimal(wordCnt.values.sum)
+    def mStep(counts: Seq[(String, BigDecimal)]): Map[String, Double] = {
+      val floored = counts.map { case (p, c) =>
+        (p, if (c <= 0 && charPieces(p)) quantum else c) }
+        .filter(_._2 > 0)
+      val total = floored.map(_._2).sum
+      floored.flatMap { case (p, c) =>
+        val prob = (c / total).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        if (prob > 0) Some(p -> math.log(prob.toDouble)) else None
+      }.toMap
+    }
+    def eStep(model: Map[String, Double]): Seq[(String, BigDecimal)] = {
+      val acc = scala.collection.mutable.Map.empty[String, BigDecimal]
+      for ((w, c) <- wordCnt;
+           (p, e) <- Curation.unigramExpectedCounts(w, model, maxLen))
+        acc(p) = acc.getOrElse(p, BigDecimal(0)) + BigDecimal(e) * c
+      val present = acc.keySet.toSet
+      acc.toSeq ++ charPieces.diff(present).toSeq.sorted
+        .map(p => (p, quantum))
+    }
+    def viterbiScore(s: String, m: Map[String, Double]): Double = {
+      val n = s.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      best(0) = 0.0
+      for (i <- 1 to n; j <- math.max(0, i - maxLen) until i)
+        m.get(s.substring(j, i)).foreach { lp =>
+          if (best(j) + lp > best(i)) best(i) = best(j) + lp }
+      best(n)
+    }
+    def prune(counts: Seq[(String, BigDecimal)],
+        model: Map[String, Double], target: Int) = {
+      val (chars, multis) = counts.partition(p => charPieces(p._1))
+      val ranked = multis.map { case (p, c) =>
+        val alt = viterbiScore(p, model - p)
+        val loss = if (alt == Double.NegativeInfinity) Double.MaxValue
+          else c.toDouble * (model.getOrElse(p, alt) - alt)
+        (p, c, loss)
+      }.sortBy(t => (-t._3, t._1))
+      chars ++ ranked.take(math.max(0, target - chars.size))
+        .map(t => (t._1, t._2))
+    }
+    var counts: Seq[(String, BigDecimal)] =
+      charPieces.toSeq.sorted.map(p => (p, BigDecimal(wts(p)))) ++
+        wts.filter(_._1.length > 1).toSeq
+          .sortBy { case (p, c) => (-c, p) }.take(seedN)
+          .map { case (p, c) => (p, BigDecimal(c)) }
+    var model = mStep(counts)
+    var rounds = 0
+    while (model.size > vocabSize &&
+      model.keysIterator.exists(p => !charPieces(p)) && rounds < 64) {
+      for (_ <- 1 to emIters) { counts = eStep(model); model = mStep(counts) }
+      val target = math.max(vocabSize,
+        math.floor(model.size * shrink).toInt)
+      counts = prune(counts, model, target)
+      model = mStep(counts)
+      rounds += 1
+    }
+    for (_ <- 1 to emIters) { counts = eStep(model); model = mStep(counts) }
+    val ref = counts.filter(c => model.contains(c._1)).sortBy(_._1)
+      .map { case (p, c) => (p, model(p), c.toDouble) }
+
+    // ---- the distributed operator (repartitioned input) ----
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(5)
+    val got = Curation.unigramLmTrain(df, col("text"), vocabSize,
+      maxLen, seedN, emIters, shrink)
+      .select("piece", "log_prob", "exp_count")
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got === ref, "distributed train != scalar reference")
+    // the planted morphology is learned as whole pieces
+    val pieces = got.map(_._1).toSet
+    for (p <- Seq("low", "new", "er", "est"))
+      assert(pieces(p), s"morpheme $p not learned: $pieces")
+    // every corpus char survives; vocab within bound
+    assert(charPieces.subsetOf(pieces))
+    assert(got.size <= math.max(vocabSize, charPieces.size))
+    // bit-determinism across a second run
+    val again = Curation.unigramLmTrain(df.repartition(3), col("text"),
+      vocabSize, maxLen, seedN, emIters, shrink)
+      .select("piece", "log_prob", "exp_count")
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(again === got)
+  }
+
+  test("X28b/c unigramLmSegment reconstructs every word; token counts face agrees; unseen words fall back to chars") {
+    val train = docs(
+      (1L, "low lower lowest low low slow slower"),
+      (2L, "new newer newest news new knew"))
+    val model = Curation.unigramLmTrain(train, col("text"),
+      vocabSize = 24, maxPieceLen = 4, seedSize = 40, emIters = 2)
+      .select("piece", "log_prob").as[(String, Double)].collect().toSeq
+    val target = docs(
+      (1L, "low lower"), (2L, "newest lowest newer"), (3L, "zqzq"))
+    val out = Curation.unigramLmSegment(
+      target, "doc_id", col("text"), model)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_tokens", "tokens")
+      .as[(Long, Long, Long, Seq[String])].collect()
+    assert(out.map(_._2).toSeq === Seq(2L, 3L, 1L))
+    for ((id, _, nTok, toks) <- out) {
+      assert(nTok === toks.length)
+      val want = Seq("low lower", "newest lowest newer", "zqzq")(
+        id.toInt - 1).split(" ").mkString("")
+      assert(toks.mkString("") === want, s"doc $id: $toks")
+    }
+    // 'zqzq': z/q unseen → UNK single chars
+    assert(out.find(_._1 == 3L).get._4 === Seq("z", "q", "z", "q"))
+    val counts = Curation.unigramLmTokenCounts(
+      target, "doc_id", col("text"), model)
+      .orderBy("doc_id").select("doc_id", "n_words", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(counts === out.map(r => (r._1, r._2, r._3)).toSeq)
+  }
 }
