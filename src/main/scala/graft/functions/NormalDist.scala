@@ -73,4 +73,46 @@ object NormalDist {
     s"CASE WHEN $z IS NOT NULL THEN " +
       s"round(2.0 * (exp(-($x * $x) / 2.0) * $INV_SQRT_2PI * $poly), 6) END"
   }
+
+  /** One-sided upper-tail p = 1 − Φ(z), round-6; null passes through.
+    * Negative z routes through symmetry (1 − upperTail(−z)) so the
+    * polynomial always sees a non-negative argument.
+    */
+  def upperP(z: Column): Column =
+    when(z.isNotNull, round(
+      when(z >= 0, upperTail(z))
+        .otherwise(lit(1.0) - upperTail(-z)), 6))
+
+  /** χ²(df) upper-tail p-value via the Wilson–Hilferty (1931) normal
+    * approximation — the cube-root transform
+    * ((x/k)^(1/3) − (1 − 2/(9k))) / sqrt(2/(9k)) is approximately
+    * standard normal, so the chi-squared family (Kruskal–Wallis,
+    * Friedman, Jarque–Bera) gets p-values through the SAME Φ tree
+    * the z family uses. Both engines have cbrt; same round-6
+    * discipline. Accuracy a few 1e-3 absolute at small df (worst
+    * spec-anchored points: 2.8e-3 at k = 1, 2.3e-3 at k = 2) — a
+    * p_approx, and named as such. Null x passes through; requires
+    * k ≥ 1.
+    */
+  def chiSqUpperP(x: Column, k: Column): Column = {
+    val kd = k.cast("double")
+    val z = (cbrt(x / kd) - (lit(1.0) - lit(2.0) / (lit(9.0) * kd))) /
+      sqrt(lit(2.0) / (lit(9.0) * kd))
+    when(x.isNotNull && k.isNotNull && kd >= lit(1.0), upperP(z))
+  }
+
+  /** SQL mirror of [[chiSqUpperP]] — identical literals and operation
+    * order. `x` and `k` are SQL expression strings, atomic.
+    */
+  def chiSqUpperPSql(x: String, k: String): String = {
+    val kd = s"CAST($k AS DOUBLE)"
+    val z = s"((cbrt($x / $kd) - (1.0 - 2.0 / (9.0 * $kd))) " +
+      s"/ sqrt(2.0 / (9.0 * $kd)))"
+    val xx = s"(CASE WHEN $z >= 0 THEN $z ELSE -$z END)"
+    val t = s"(1.0 / (1.0 + $P * $xx))"
+    val poly = s"($t * ($B1 + $t * ($B2 + $t * ($B3 + $t * ($B4 + $t * $B5)))))"
+    val ut = s"(exp(-($xx * $xx) / 2.0) * $INV_SQRT_2PI * $poly)"
+    s"CASE WHEN $x IS NOT NULL AND $k IS NOT NULL AND $kd >= 1.0 THEN " +
+      s"round(CASE WHEN $z >= 0 THEN $ut ELSE 1.0 - $ut END, 6) END"
+  }
 }

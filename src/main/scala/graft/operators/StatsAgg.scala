@@ -1133,10 +1133,15 @@ object StatsAgg {
       col("__ties").cast("double") / (n * n * n - n)
     val ok = col("n_groups") >= 2 && col("n_rows") >= 2 &&
       corr > lit(1e-12)
+    // p off the ROUNDED H at df = k−1 (Wilson–Hilferty; H ≥ 0 so the
+    // transform is always in domain) — the FDR panel's feed
+    val hOut = when(ok, round(h / corr, 6))
     folded.join(byKey, keys)
       .select((keys.map(col) ++ Seq(
         col("n_rows"), col("n_groups"),
-        when(ok, round(h / corr, 6)).as("h_stat"))): _*)
+        hOut.as("h_stat"),
+        graft.functions.NormalDist.chiSqUpperP(hOut,
+          col("n_groups") - lit(1)).as("p_approx"))): _*)
   }
 
   /** A39: Friedman test per key (Friedman 1937) — the
@@ -1207,10 +1212,13 @@ object StatsAgg {
       (n * k * (k * k - lit(1.0)))
     val ok = col("__kk") >= 2 && col("n_blocks") >= 1 &&
       corr > lit(1e-12)
+    val qOut = when(ok, round(q / corr, 6))
     folded.join(byKey, keys)
       .select((keys.map(col) ++ Seq(
         col("n_blocks"), col("n_treatments"),
-        when(ok, round(q / corr, 6)).as("q_stat"))): _*)
+        qOut.as("q_stat"),
+        graft.functions.NormalDist.chiSqUpperP(qOut,
+          col("__kk") - lit(1)).as("p_approx"))): _*)
   }
 
   /** A38: Population Stability Index per key — THE standard
@@ -1308,11 +1316,14 @@ object StatsAgg {
     val jb = n / lit(6.0) *
       (g1 * g1 + (g2 - lit(3.0)) * (g2 - lit(3.0)) / lit(4.0))
     val ok = m2 > lit(1e-12)
+    val jbOut = when(ok, round(jb, 6))
     out.select((keys.map(col) ++ Seq(
       col("n_rows"),
       when(ok, round(g1, 6)).as("skew_pop"),
       when(ok, round(g2, 6)).as("kurt_pop"),
-      when(ok, round(jb, 6)).as("jb_stat"))): _*)
+      jbOut.as("jb_stat"),
+      graft.functions.NormalDist.chiSqUpperP(jbOut, lit(2))
+        .as("p_approx"))): _*)
   }
 
   /** A40: Benjamini–Hochberg FDR adjustment across a hypothesis panel

@@ -1640,7 +1640,7 @@ object AggQueries {
     // A36: pooled doubled ranks; Σ(2R_g)²/(4n_g) folded via ordered
     // list_reduce to mirror the Spark-side group-ordered aggregate
     "q_kruskal_wallis" ->
-      """WITH e AS (SELECT event_type, value AS v,
+      ("""WITH e AS (SELECT event_type, value AS v,
              CAST(user_id % 3 AS VARCHAR) AS g
            FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
          r AS (SELECT event_type, g,
@@ -1663,19 +1663,24 @@ object AggQueries {
          h AS (SELECT f.event_type, ka.n_rows, f.n_groups,
              CAST(ka.n_rows AS DOUBLE) AS n, hsum,
              CAST(ka.ties AS DOUBLE) AS td
-           FROM f JOIN ka USING (event_type))
-         SELECT event_type, n_rows, n_groups,
+           FROM f JOIN ka USING (event_type)),
+         fin AS (SELECT event_type, n_rows, n_groups,
            CASE WHEN n_groups >= 2 AND n_rows >= 2
              AND 1.0 - td / (n * n * n - n) > 1e-12
            THEN round(
              (12.0 / (n * (n + 1.0)) * hsum - 3.0 * (n + 1.0))
                / (1.0 - td / (n * n * n - n)), 6)
            END AS h_stat
-         FROM h ORDER BY event_type""",
+         FROM h)
+         SELECT event_type, n_rows, n_groups, h_stat,
+           """ + graft.functions.NormalDist.chiSqUpperPSql(
+        "h_stat", "(n_groups - 1)") +
+      """ AS p_approx
+         FROM fin ORDER BY event_type"""),
     // A39: within-block doubled ranks over complete blocks only,
     // treatment-ordered list_reduce fold, tie-corrected
     "q_friedman" ->
-      """WITH daily AS (SELECT event_type,
+      ("""WITH daily AS (SELECT event_type,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
                AS day,
              CAST(count(*) AS DOUBLE) AS cnt
@@ -1708,8 +1713,8 @@ object AggQueries {
              CAST(bk.n_blocks AS DOUBLE) AS n,
              CAST(bk.kk AS DOUBLE) AS kd,
              CAST(bk.ties AS DOUBLE) AS td, bk.kk
-           FROM f JOIN bk USING (k))
-         SELECT k, n_blocks, n_treatments,
+           FROM f JOIN bk USING (k)),
+         fin AS (SELECT k, n_blocks, n_treatments, kk,
            CASE WHEN kk >= 2 AND n_blocks >= 1
              AND 1.0 - td / (n * kd * (kd * kd - 1.0)) > 1e-12
            THEN round(
@@ -1717,7 +1722,12 @@ object AggQueries {
                - 3.0 * n * (kd + 1.0))
                / (1.0 - td / (n * kd * (kd * kd - 1.0))), 6)
            END AS q_stat
-         FROM z ORDER BY k""",
+         FROM z)
+         SELECT k, n_blocks, n_treatments, q_stat,
+           """ + graft.functions.NormalDist.chiSqUpperPSql(
+        "q_stat", "(kk - 1)") +
+      """ AS p_approx
+         FROM fin ORDER BY k"""),
     // A38: reference-frozen equal-width bins, integer assignment,
     // add-one smoothing over the full grid, round-9 DECIMAL sum
     "q_psi" ->
@@ -1765,7 +1775,7 @@ object AggQueries {
     // A37: the q_moments power-sum tree extended to g1/g2 and
     // JB = n/6·(g1² + (g2−3)²/4)
     "q_jarque_bera" ->
-      """WITH w AS (SELECT event_type,
+      ("""WITH w AS (SELECT event_type,
              CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
            FROM events WHERE value IS NOT NULL),
          s AS (SELECT event_type, count(*) AS n_rows,
@@ -1790,14 +1800,19 @@ object AggQueries {
          g AS (SELECT event_type, n_rows, n, m2,
              m3 / sqrt(m2*m2*m2) AS g1,
              m4 / (m2*m2) AS g2
-           FROM mm)
-         SELECT event_type, n_rows,
+           FROM mm),
+         fin AS (SELECT event_type, n_rows,
            CASE WHEN m2 > 1e-12 THEN round(g1, 6) END AS skew_pop,
            CASE WHEN m2 > 1e-12 THEN round(g2, 6) END AS kurt_pop,
            CASE WHEN m2 > 1e-12 THEN round(
              n / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0), 6)
            END AS jb_stat
-         FROM g ORDER BY event_type""",
+         FROM g)
+         SELECT event_type, n_rows, skew_pop, kurt_pop, jb_stat,
+           """ + graft.functions.NormalDist.chiSqUpperPSql(
+        "jb_stat", "2") +
+      """ AS p_approx
+         FROM fin ORDER BY event_type"""),
     // A27: same cell collapse — p·(2·cb + t + 1) doubled rank sums
     "q_auc" ->
       """WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c

@@ -1340,6 +1340,57 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out("s")._4.get === pRef)
   }
 
+  /** Scalar Wilson–Hilferty tree — same ops as NormalDist.chiSqUpperP. */
+  private def refChiP(x: Double, k: Double): Double = {
+    def ut(v: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * v)
+      val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+        t * (-1.821255978 + t * 1.330274429))))
+      math.exp(-(v * v) / 2.0) * 0.3989422804014327 * poly
+    }
+    val z = (math.cbrt(x / k) - (1.0 - 2.0 / (9.0 * k))) /
+      math.sqrt(2.0 / (9.0 * k))
+    val raw = if (z >= 0) ut(z) else 1.0 - ut(-z)
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("chiSqUpperP: Wilson-Hilferty hits the textbook chi-square quantiles; chi-family p_approx faces match the scalar tree") {
+    import graft.functions.NormalDist
+    // textbook upper-tail anchors (x = chi2inv(1-p, k)); W-H is an
+    // approximation — a few 1e-3 absolute at small df (worst
+    // measured here: 2.8e-3 at k=1, 2.3e-3 at k=2/p=0.1)
+    val anchors = Seq(
+      (3.841, 1.0, 0.05), (5.991, 2.0, 0.05), (7.815, 3.0, 0.05),
+      (9.488, 4.0, 0.05), (13.277, 4.0, 0.01), (4.605, 2.0, 0.10))
+    val got = anchors.map(Tuple3.unapply(_).get).map(_._1)
+      .zip(anchors.map(_._2))
+      .toDF("x", "k")
+      .select(NormalDist.chiSqUpperP(col("x"), col("k")).as("p"))
+      .as[Double].collect()
+    anchors.zip(got).foreach { case ((_, k, want), p) =>
+      assert(math.abs(p - want) < 4e-3, s"$p vs $want at k=$k") }
+    // the three chi-family operators report exactly the scalar tree
+    // applied to their rounded statistic
+    val ev = (0L until 300L).map { i =>
+      ("t", i, i % 3, math.sin(i * 0.61) * 9.0 + (i % 3) * 0.4)
+    }.toDF("k", "uid", "g", "v")
+    val kw = StatsAgg.kruskalWallis(ev, Seq("k"), col("v"),
+      group = col("g"))
+      .select("n_groups", "h_stat", "p_approx")
+      .as[(Long, Double, Double)].head()
+    assert(kw._3 === refChiP(kw._2, (kw._1 - 1).toDouble))
+    val jb = StatsAgg.jarqueBera(ev, Seq("k"), col("v"))
+      .select("jb_stat", "p_approx").as[(Double, Double)].head()
+    assert(jb._2 === refChiP(jb._1, 2.0))
+    val fr = StatsAgg.friedman(
+      (0 until 60).map(i => ("t", i / 3, "g" + (i % 3),
+        math.cos(i * 0.47) * 5.0 + (i % 3))).toDF("k", "b", "g", "v"),
+      Seq("k"), block = col("b"), treatment = col("g"), value = col("v"))
+      .select("n_treatments", "q_stat", "p_approx")
+      .as[(Long, Double, Double)].head()
+    assert(fr._3 === refChiP(fr._2, (fr._1 - 1).toDouble))
+  }
+
   test("fdrAdjust: matches the scalar BH step-up on a random panel; monotone; clamped; null p drops; families independent") {
     val rnd = new scala.util.Random(41)
     val panel = (0 until 40).map(i =>
