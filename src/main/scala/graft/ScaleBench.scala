@@ -452,6 +452,22 @@ object ScaleBench {
           .select(col("event_type"), col("event_id"), col("value")),
         Seq("event_type"), tie = col("event_id"),
         value = col("value")).count()),
+      // round-18: A40 — BH q-values over the per-row robust-z panel
+      // (the realistic monitoring feed: every scored row is a
+      // hypothesis). Cost shape under test: the madZScore feed + one
+      // rank window + one tail running-min per family over
+      // hypothesis-count rows; output = scored rows (factor-exact)
+      "fdr_madz" -> (() => {
+        val scored = graft.operators.TimeSeries.madZScore(
+          Tables.table(spark, dir, "events")
+            .select(col("event_type"), col("event_id"), col("value")),
+          Seq("event_type"), tie = col("event_id"), value = col("value"))
+        graft.operators.StatsAgg.fdrAdjust(
+          scored.withColumn("p",
+            graft.functions.NormalDist.twoSidedP(col("robust_z"))),
+          Seq("event_type"), p = col("p"), tie = col("tie"))
+          .count()
+      }),
       // round-17b: W15/X27/W17 — the daily-grid trio: raw volume pays
       // one pre-aggregation, everything after runs grid-sized; output
       // = one row per type (constant, hard-asserted)
@@ -1344,7 +1360,11 @@ object ScaleBench {
              // rows — all factor-exact
              "kn_trigram", "holt_winters", "pca_project",
              // round-17b: W16 scores every replicated event row
-             "mad_zscore");
+             "mad_zscore",
+             // round-18: A40 — every scored row is a hypothesis, and
+             // MAD degeneracy (the null-p drop) is distribution-shaped
+             // so it replicates exactly
+             "fdr_madz");
            b <- bm.get(p); s <- sm.get(p))
         if (s != b * factor) throw new AssertionError(
           s"$p: scaled $s != ${factor}x base $b")

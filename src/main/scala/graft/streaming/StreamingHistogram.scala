@@ -244,6 +244,30 @@ object StreamingHistogram {
     * bit-for-bit (spec-pinned). The serving read: stats are
     * |keys|-row broadcast, scoring map-only.
     */
+  /** ST19 read: FDR-CONTROLLED alarms off the store — [[scoreBatch]]'s
+    * robust z → two-sided normal p ([[graft.functions.NormalDist]]) →
+    * Benjamini–Hochberg q-values within each key family
+    * ([[graft.operators.StatsAgg.fdrAdjust]]). The deployment answer
+    * to "the robust-z monitor fires on 10⁵ keys — which alarms
+    * survive rate control?": alarm where q ≤ α bounds the expected
+    * false-discovery proportion at α. Stats are |keys|-row broadcast
+    * and the BH windows run over the SCORED batch (hypothesis count,
+    * not history). MAD-degenerate keys (null z → null p) drop — not
+    * hypotheses. Parity with the batch composition
+    * madZScore → p → fdrAdjust over everything ingested is
+    * spec-pinned. Output: keys :+ (tie, p_value, bh_rank, q_value).
+    */
+  def fdrScores(df: DataFrame, keys: Seq[String], tie: Column,
+      value: Column, spark: SparkSession, stateDir: String,
+      scale: Int = 2): DataFrame = {
+    val scored = scoreBatch(df, keys, tie, value, spark, stateDir,
+      scale = scale)
+    graft.operators.StatsAgg.fdrAdjust(
+      scored.withColumn("__p",
+        graft.functions.NormalDist.twoSidedP(col("robust_z"))),
+      keys, p = col("__p"), tie = col("tie"))
+  }
+
   def scoreBatch(df: DataFrame, keys: Seq[String], tie: Column,
       value: Column, spark: SparkSession, stateDir: String,
       threshold: Double = 3.5, scale: Int = 2): DataFrame = {

@@ -113,6 +113,35 @@ class StreamingHistogramSpec extends SparkSpec {
     assert(drifted._4.get > 0.25, "a half-shifted stream must alarm")
   }
 
+  test("ST19: fdrScores equals the batch madZScore → p → fdrAdjust composition; degenerate keys drop as hypotheses") {
+    import graft.operators.StatsAgg
+    val store = Files.createTempDirectory("graft-shist-fdr").toString
+    StreamingHistogram.applyBatch(df(rows), Seq("k"), col("v"), store, 0L)
+    val got = StreamingHistogram.fdrScores(df(rows), Seq("k"),
+      tie = col("id"), value = col("v"), spark, store)
+      .select("k", "tie", "p_value", "bh_rank", "q_value")
+      .as[(String, Long, Double, Long, Double)].collect().toSet
+    val want = StatsAgg.fdrAdjust(
+      TimeSeries.madZScore(df(rows), Seq("k"), tie = col("id"),
+        value = col("v"))
+        .withColumn("__p",
+          graft.functions.NormalDist.twoSidedP(col("robust_z"))),
+      Seq("k"), p = col("__p"), tie = col("tie"))
+      .select("k", "tie", "p_value", "bh_rank", "q_value")
+      .as[(String, Long, Double, Long, Double)].collect().toSet
+    assert(got.nonEmpty && got == want)
+    // the MAD-degenerate key contributes NO hypotheses
+    assert(!got.exists(_._1 == "d"))
+    // the planted extremes carry the family's smallest q
+    for (k <- Seq("a", "b")) {
+      val fam = got.filter(_._1 == k)
+      val top = fam.minBy(_._4)
+      assert(Set(1001L, 1002L).contains(top._2),
+        s"family $k top alarm: $top")
+      assert(fam.forall(r => r._5 >= top._5))
+    }
+  }
+
   test("ST17: MemoryStream end-to-end — maintain folds micro-batches; scoring matches batch over everything ingested") {
     val store = Files.createTempDirectory("graft-shist-e2e").toString
     val ckpt = Files.createTempDirectory("graft-shist-ckpt").toString
