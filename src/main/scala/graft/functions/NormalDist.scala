@@ -101,6 +101,47 @@ object NormalDist {
     when(x.isNotNull && k.isNotNull && kd >= lit(1.0), upperP(z))
   }
 
+  /** F(d1, d2) upper-tail p-value via the Paulson (1942) normal
+    * approximation (A&S 26.6.15) — the two-sided Wilson–Hilferty:
+    *
+    *   z = ((1 − 2/(9·d2))·F^(1/3) − (1 − 2/(9·d1)))
+    *       / sqrt(2/(9·d1) + F^(2/3)·2/(9·d2))
+    *
+    * Serves the ANOVA F directly and the t family through the exact
+    * identity P(|T_ν| > t) = P(F₁,ν > t²). Accuracy ~1e-3 at d1 ≥ 2;
+    * ≲3e-3 at d1 = 1 (the W–H k = 1 weakness — spec-anchored) — a
+    * p_approx. Null f passes through; requires d1, d2 ≥ 1.
+    */
+  def fUpperP(f: Column, d1: Column, d2: Column): Column = {
+    val a = d1.cast("double")
+    val b = d2.cast("double")
+    val c = cbrt(f)
+    val z = ((lit(1.0) - lit(2.0) / (lit(9.0) * b)) * c -
+      (lit(1.0) - lit(2.0) / (lit(9.0) * a))) /
+      sqrt(lit(2.0) / (lit(9.0) * a) + c * c * (lit(2.0) / (lit(9.0) * b)))
+    when(f.isNotNull && d1.isNotNull && d2.isNotNull &&
+      a >= lit(1.0) && b >= lit(1.0), upperP(z))
+  }
+
+  /** SQL mirror of [[fUpperP]] — identical literals and operation
+    * order. `f`, `d1`, `d2` are SQL expression strings, atomic.
+    */
+  def fUpperPSql(f: String, d1: String, d2: String): String = {
+    val a = s"CAST($d1 AS DOUBLE)"
+    val b = s"CAST($d2 AS DOUBLE)"
+    val z = s"(((1.0 - 2.0 / (9.0 * $b)) * cbrt($f) " +
+      s"- (1.0 - 2.0 / (9.0 * $a))) " +
+      s"/ sqrt(2.0 / (9.0 * $a) + cbrt($f) * cbrt($f) " +
+      s"* (2.0 / (9.0 * $b))))"
+    val xx = s"(CASE WHEN $z >= 0 THEN $z ELSE -$z END)"
+    val t = s"(1.0 / (1.0 + $P * $xx))"
+    val poly = s"($t * ($B1 + $t * ($B2 + $t * ($B3 + $t * ($B4 + $t * $B5)))))"
+    val ut = s"(exp(-($xx * $xx) / 2.0) * $INV_SQRT_2PI * $poly)"
+    s"CASE WHEN $f IS NOT NULL AND $d1 IS NOT NULL AND $d2 IS NOT NULL " +
+      s"AND $a >= 1.0 AND $b >= 1.0 THEN " +
+      s"round(CASE WHEN $z >= 0 THEN $ut ELSE 1.0 - $ut END, 6) END"
+  }
+
   /** SQL mirror of [[chiSqUpperP]] — identical literals and operation
     * order. `x` and `k` are SQL expression strings, atomic.
     */

@@ -300,11 +300,16 @@ object StatsAgg {
       (v2 / col("n2").cast("double")) * (v2 / col("n2").cast("double")) /
         (col("n2").cast("double") - lit(1.0)))
     val ok = col("n1") > 1 && col("n2") > 1 && se2 > lit(1e-12)
+    // two-sided t p through the EXACT identity P(|T_ν|>t) = P(F₁,ν>t²)
+    // off the rounded statistic pair the gate already proves
+    val tOut = when(ok, round((mu1 - mu2) / sqrt(se2), 6))
+    val dfOut = when(ok, round(dfW, 6))
     out.select((keys.map(col) ++ Seq(
       col("n1"), col("n2"),
       round(mu1, 6).as("mean1"), round(mu2, 6).as("mean2"),
-      when(ok, round((mu1 - mu2) / sqrt(se2), 6)).as("t_stat"),
-      when(ok, round(dfW, 6)).as("df"))): _*)
+      tOut.as("t_stat"), dfOut.as("df"),
+      graft.functions.NormalDist.fUpperP(tOut * tOut, lit(1L), dfOut)
+        .as("p_approx"))): _*)
   }
 
   /** Student's pooled-variance t statistic between two cohorts per
@@ -332,11 +337,14 @@ object StatsAgg {
     val se2 = sp2 * (lit(1.0) / n1 + lit(1.0) / n2)
     val ok = col("n1") > 0 && col("n2") > 0 && col("n1") + col("n2") > 2 &&
       se2 > lit(1e-12)
+    val tOut = when(ok, round((mu1 - mu2) / sqrt(se2), 6))
+    val dfOut = when(col("n1") + col("n2") > 2, dfS.cast("long"))
     out.select((keys.map(col) ++ Seq(
       col("n1"), col("n2"),
       round(mu1, 6).as("mean1"), round(mu2, 6).as("mean2"),
-      when(ok, round((mu1 - mu2) / sqrt(se2), 6)).as("t_stat"),
-      when(col("n1") + col("n2") > 2, dfS.cast("long")).as("df"))): _*)
+      tOut.as("t_stat"), dfOut.as("df"),
+      graft.functions.NormalDist.fUpperP(tOut * tOut, lit(1L), dfOut)
+        .as("p_approx"))): _*)
   }
 
   /** Two-sample mean z test per key — ClickHouse `meanZTest`: the
@@ -408,12 +416,15 @@ object StatsAgg {
     val mu = s1 / n
     val vd = (s2 - n * mu * mu) / (n - lit(1.0))
     val ok = col("n_pairs") > 1 && vd > lit(1e-12)
+    val tOut = when(ok, round(mu / sqrt(vd / n), 6))
+    val dfOut = when(col("n_pairs") > 1,
+      (col("n_pairs") - 1).cast("long"))
     out.select((keys.map(col) ++ Seq(
       col("n_pairs"),
       when(col("n_pairs") > 0, round(mu, 6)).as("mean_diff"),
-      when(ok, round(mu / sqrt(vd / n), 6)).as("t_stat"),
-      when(col("n_pairs") > 1,
-        (col("n_pairs") - 1).cast("long")).as("df"))): _*)
+      tOut.as("t_stat"), dfOut.as("df"),
+      graft.functions.NormalDist.fUpperP(tOut * tOut, lit(1L), dfOut)
+        .as("p_approx"))): _*)
   }
 
   /** Shared cohort machinery for the two-sample t tests: one
@@ -498,14 +509,15 @@ object StatsAgg {
     val ssw = greatest(col("__b").cast("double") - p, lit(0.0))
     val ok = col("n_groups") > 1 && col("n_rows") > col("n_groups") &&
       ssw > lit(1e-9)
+    val fOut = when(ok, round((ssb / (k - lit(1.0))) / (ssw / (n - k)), 6))
+    val d1 = when(col("n_groups") > 1, (col("n_groups") - 1).cast("long"))
+    val d2 = when(col("n_rows") > col("n_groups"),
+      (col("n_rows") - col("n_groups")).cast("long"))
     agg.select((keys.map(col) ++ Seq(
       col("n_rows"), col("n_groups"),
-      when(ok, round((ssb / (k - lit(1.0))) / (ssw / (n - k)), 6))
-        .as("f_stat"),
-      when(col("n_groups") > 1, (col("n_groups") - 1).cast("long"))
-        .as("df1"),
-      when(col("n_rows") > col("n_groups"),
-        (col("n_rows") - col("n_groups")).cast("long")).as("df2"))): _*)
+      fOut.as("f_stat"), d1.as("df1"), d2.as("df2"),
+      graft.functions.NormalDist.fUpperP(fOut, d1, d2)
+        .as("p_approx"))): _*)
   }
 
   /** Weight-of-evidence and information value per category — the

@@ -1452,7 +1452,7 @@ object AggQueries {
          FROM mm ORDER BY event_type""",
     // A17c: same exact power-sum algebra, conditional per cohort
     "q_welch_ttest" ->
-      """WITH w AS (SELECT event_type, user_id % 2 = 0 AS c,
+      ("""WITH w AS (SELECT event_type, user_id % 2 = 0 AS c,
              CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
            FROM events WHERE value IS NOT NULL),
          s AS (SELECT event_type,
@@ -1479,8 +1479,8 @@ object AggQueries {
            FROM s),
          t AS (SELECT event_type, n1, n2, mu1, mu2, v1, v2,
              v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
-           FROM m)
-         SELECT event_type, n1, n2,
+           FROM m),
+         fin AS (SELECT event_type, n1, n2,
            round(mu1, 6) AS mean1, round(mu2, 6) AS mean2,
            CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 1e-12
              THEN round((mu1 - mu2) / sqrt(se2), 6) END AS t_stat,
@@ -1490,10 +1490,15 @@ object AggQueries {
                  / (CAST(n1 AS DOUBLE) - 1.0)
                + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
                  / (CAST(n2 AS DOUBLE) - 1.0)), 6) END AS df
-         FROM t ORDER BY event_type""",
+         FROM t)
+         SELECT event_type, n1, n2, mean1, mean2, t_stat, df,
+           """ + graft.functions.NormalDist.fUpperPSql(
+        "(t_stat * t_stat)", "1", "df") +
+      """ AS p_approx
+         FROM fin ORDER BY event_type"""),
     // A35: the same lag pairing, exact HUGEINT difference sums
     "q_paired_ttest" ->
-      """WITH e AS (SELECT event_type, user_id, event_id,
+      ("""WITH e AS (SELECT event_type, user_id, event_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
              CAST(value AS DOUBLE) AS v
            FROM events WHERE value IS NOT NULL),
@@ -1515,18 +1520,23 @@ object AggQueries {
                  * (CAST(s1 AS DOUBLE)/100.0/CAST(n_pairs AS DOUBLE))
                  * (CAST(s1 AS DOUBLE)/100.0/CAST(n_pairs AS DOUBLE)))
                / (CAST(n_pairs AS DOUBLE) - 1.0) AS vd
-           FROM s)
-         SELECT event_type, n_pairs,
+           FROM s),
+         fin AS (SELECT event_type, n_pairs,
            CASE WHEN n_pairs > 0 THEN round(mu, 6) END AS mean_diff,
            CASE WHEN n_pairs > 1 AND vd > 1e-12 THEN
              round(mu / sqrt(vd / CAST(n_pairs AS DOUBLE)), 6)
            END AS t_stat,
            CASE WHEN n_pairs > 1 THEN CAST(n_pairs - 1 AS BIGINT)
              END AS df
-         FROM m ORDER BY event_type""",
+         FROM m)
+         SELECT event_type, n_pairs, mean_diff, t_stat, df,
+           """ + graft.functions.NormalDist.fUpperPSql(
+        "(t_stat * t_stat)", "1", "df") +
+      """ AS p_approx
+         FROM fin ORDER BY event_type"""),
     // A17d: same conditional power sums, pooled variance
     "q_student_ttest" ->
-      """WITH w AS (SELECT event_type, user_id % 2 = 0 AS c,
+      ("""WITH w AS (SELECT event_type, user_id % 2 = 0 AS c,
              CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
            FROM events WHERE value IS NOT NULL),
          s AS (SELECT event_type,
@@ -1557,14 +1567,19 @@ object AggQueries {
                / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)
                * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))
                AS se2
-           FROM m)
-         SELECT event_type, n1, n2,
+           FROM m),
+         fin AS (SELECT event_type, n1, n2,
            round(mu1, 6) AS mean1, round(mu2, 6) AS mean2,
            CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2 AND se2 > 1e-12
              THEN round((mu1 - mu2) / sqrt(se2), 6) END AS t_stat,
            CASE WHEN n1 + n2 > 2
              THEN CAST(n1 + n2 - 2 AS BIGINT) END AS df
-         FROM t ORDER BY event_type""",
+         FROM t)
+         SELECT event_type, n1, n2, mean1, mean2, t_stat, df,
+           """ + graft.functions.NormalDist.fUpperPSql(
+        "(t_stat * t_stat)", "1", "df") +
+      """ AS p_approx
+         FROM fin ORDER BY event_type"""),
     // A26: doubled average ranks (2·minrank + peers − 1, exact
     // integers) → Pearson over exact HUGEINT sums; one fixed double
     // tree mirrored operand-for-operand
@@ -2256,7 +2271,7 @@ object AggQueries {
          ORDER BY user_id, item""",
     // A28: identical per-group power sums and round-9 term discipline
     "q_anova" ->
-      """WITH e AS (SELECT event_type, user_id % 4 AS g,
+      ("""WITH e AS (SELECT event_type, user_id % 4 AS g,
              CAST(floor(value * 100.0) AS HUGEINT) AS w
            FROM events WHERE value IS NOT NULL),
          grp AS (SELECT event_type, g, count(*) AS ng,
@@ -2274,8 +2289,8 @@ object AggQueries {
                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
                  / CAST(n AS DOUBLE), 0.0) AS ssb,
              greatest(CAST(sb AS DOUBLE) - CAST(p AS DOUBLE), 0.0) AS ssw
-           FROM a)
-         SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           FROM a),
+         fin AS (SELECT event_type, CAST(n AS BIGINT) AS n_rows,
            CAST(k AS BIGINT) AS n_groups,
            CASE WHEN k > 1 AND n > k AND ssw > 1e-9
              THEN round((ssb / (CAST(k AS DOUBLE) - 1.0))
@@ -2283,7 +2298,12 @@ object AggQueries {
              END AS f_stat,
            CASE WHEN k > 1 THEN CAST(k - 1 AS BIGINT) END AS df1,
            CASE WHEN n > k THEN CAST(n - k AS BIGINT) END AS df2
-         FROM f ORDER BY event_type""",
+         FROM f)
+         SELECT event_type, n_rows, n_groups, f_stat, df1, df2,
+           """ + graft.functions.NormalDist.fUpperPSql(
+        "f_stat", "df1", "df2") +
+      """ AS p_approx
+         FROM fin ORDER BY event_type"""),
     // A29: same cell counts, keys-window totals, ln WOE trees; the
     // iv_total round-9 DECIMAL window sum mirrors Spark's
     "q_info_value" ->

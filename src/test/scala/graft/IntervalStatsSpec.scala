@@ -1391,6 +1391,66 @@ class IntervalStatsSpec extends SparkSpec {
     assert(fr._3 === refChiP(fr._2, (fr._1 - 1).toDouble))
   }
 
+  /** Scalar Paulson tree — same ops as NormalDist.fUpperP. */
+  private def refFP(f: Double, d1: Double, d2: Double): Double = {
+    def ut(v: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * v)
+      val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+        t * (-1.821255978 + t * 1.330274429))))
+      math.exp(-(v * v) / 2.0) * 0.3989422804014327 * poly
+    }
+    val c = math.cbrt(f)
+    val z = ((1.0 - 2.0 / (9.0 * d2)) * c - (1.0 - 2.0 / (9.0 * d1))) /
+      math.sqrt(2.0 / (9.0 * d1) + c * c * (2.0 / (9.0 * d2)))
+    val raw = if (z >= 0) ut(z) else 1.0 - ut(-z)
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("fUpperP: Paulson hits the textbook F and t quantiles; ANOVA/t-family p_approx faces match the scalar tree") {
+    import graft.functions.NormalDist
+    // F upper-tail anchors (x = Finv(1-p; d1, d2)) and the t identity
+    // P(|T_ν| > t) = P(F₁,ν > t²); Paulson error ≲3e-3 at d1 = 1
+    val anchors = Seq(
+      (3.49, 2.0, 20.0, 0.05), (2.40, 5.0, 50.0, 0.05),
+      (4.51, 3.0, 30.0, 0.01), (2.92, 3.0, 30.0, 0.05),
+      (2.228 * 2.228, 1.0, 10.0, 0.05),  // t(0.975, 10)
+      (2.042 * 2.042, 1.0, 30.0, 0.05),  // t(0.975, 30)
+      (2.750 * 2.750, 1.0, 30.0, 0.01))  // t(0.995, 30)
+    val got = anchors.map(a => (a._1, a._2, a._3))
+      .toDF("f", "d1", "d2")
+      .select(NormalDist.fUpperP(col("f"), col("d1"), col("d2")).as("p"))
+      .as[Double].collect()
+    anchors.zip(got).foreach { case ((_, d1, _, want), p) =>
+      assert(math.abs(p - want) < 4e-3, s"$p vs $want at d1=$d1") }
+    // operator faces: each p_approx is exactly the scalar tree applied
+    // to the rounded statistic pair
+    val ev = (0L until 400L).map { i =>
+      ("t", i, i % 4, math.sin(i * 0.83) * 8.0 + (i % 4) * 0.3)
+    }.toDF("k", "uid", "g", "v")
+    val an = StatsAgg.anova(ev, Seq("k"), col("v"), group = col("g"))
+      .select("f_stat", "df1", "df2", "p_approx")
+      .as[(Double, Long, Long, Double)].head()
+    assert(an._4 === refFP(an._1, an._2.toDouble, an._3.toDouble))
+    val we = StatsAgg.welchTTest(ev, Seq("k"), col("v"),
+      cohort = col("uid") % 2 === 0)
+      .select("t_stat", "df", "p_approx")
+      .as[(Double, Double, Double)].head()
+    assert(we._3 === refFP(we._1 * we._1, 1.0, we._2))
+    val st = StatsAgg.studentTTest(ev, Seq("k"), col("v"),
+      cohort = col("uid") % 2 === 0)
+      .select("t_stat", "df", "p_approx")
+      .as[(Double, Long, Double)].head()
+    assert(st._3 === refFP(st._1 * st._1, 1.0, st._2.toDouble))
+    val pt = StatsAgg.pairedTTest(
+      (0L until 200L).map(i =>
+        ("t", math.sin(i * 0.3) * 4.0, math.sin(i * 0.3) * 4.0 +
+          0.3 + (i % 5) * 0.11)).toDF("k", "x", "y"),
+      Seq("k"), x = col("x"), y = col("y"))
+      .select("t_stat", "df", "p_approx")
+      .as[(Double, Long, Double)].head()
+    assert(pt._3 === refFP(pt._1 * pt._1, 1.0, pt._2.toDouble))
+  }
+
   test("fdrAdjust: matches the scalar BH step-up on a random panel; monotone; clamped; null p drops; families independent") {
     val rnd = new scala.util.Random(41)
     val panel = (0 until 40).map(i =>
