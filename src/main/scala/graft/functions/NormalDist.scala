@@ -142,6 +142,51 @@ object NormalDist {
       s"round(CASE WHEN $z >= 0 THEN $ut ELSE 1.0 - $ut END, 6) END"
   }
 
+  /** Kolmogorov distribution tail Q_KS(λ) = P(sup|B| > λ) — the KS
+    * test's asymptotic p-value. The alternating series
+    * 2·Σ(−1)^{k−1}·exp(−2k²λ²) converges fast for large λ but needs
+    * many terms for small λ, so this uses the standard two-regime
+    * fixed tree (the Jacobi theta-function dual — both forms are
+    * textbook/Numerical-Recipes-standard):
+    *
+    *   λ <  1.18: p = 1 − √(2π)/λ · (e^{−π²/(8λ²)}
+    *                + e^{−9π²/(8λ²)} + e^{−25π²/(8λ²)})
+    *   λ ≥ 1.18: p = 2·(e^{−2λ²} − e^{−8λ²} + e^{−18λ²})
+    *
+    * Three terms bound the truncation error below 1e-8 on each side
+    * of the 1.18 crossover. Round-6; null λ passes through; λ ≤ 0
+    * clamps to p = 1.
+    */
+  def ksP(lambda: Column): Column = {
+    val l2 = lambda * lambda
+    val small = lit(1.0) - lit(2.5066282746310002) / lambda *
+      (exp(lit(-1.233700550136170) / l2) +
+        exp(lit(-11.10330495122553) / l2) +
+        exp(lit(-30.84251375340425) / l2))
+    val large = lit(2.0) * (exp(lit(-2.0) * l2) -
+      exp(lit(-8.0) * l2) + exp(lit(-18.0) * l2))
+    when(lambda.isNotNull, round(
+      when(lambda <= lit(0.0), lit(1.0))
+        .when(lambda < lit(1.18), greatest(lit(0.0), least(lit(1.0), small)))
+        .otherwise(large), 6))
+  }
+
+  /** SQL mirror of [[ksP]] — identical literals and operation order.
+    * `lambda` is a SQL expression string, atomic.
+    */
+  def ksPSql(lambda: String): String = {
+    val l2 = s"($lambda * $lambda)"
+    val small = s"(1.0 - 2.5066282746310002 / $lambda * " +
+      s"(exp(-1.233700550136170 / $l2) + exp(-11.10330495122553 / $l2) " +
+      s"+ exp(-30.84251375340425 / $l2)))"
+    val large = s"(2.0 * (exp(-2.0 * $l2) - exp(-8.0 * $l2) " +
+      s"+ exp(-18.0 * $l2)))"
+    s"CASE WHEN $lambda IS NOT NULL THEN round(CASE " +
+      s"WHEN $lambda <= 0.0 THEN 1.0 " +
+      s"WHEN $lambda < 1.18 THEN greatest(0.0, least(1.0, $small)) " +
+      s"ELSE $large END, 6) END"
+  }
+
   /** SQL mirror of [[chiSqUpperP]] — identical literals and operation
     * order. `x` and `k` are SQL expression strings, atomic.
     */

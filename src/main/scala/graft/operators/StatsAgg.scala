@@ -946,12 +946,17 @@ object StatsAgg {
       .groupBy(keys.map(col): _*)
       .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
         max(col("__d")).as("__dmax"))
+    val dOut = when(col("n1") > 0 && col("n2") > 0,
+      round(col("__dmax").cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double")), 6))
+    // asymptotic two-sample p: λ = D·sqrt(n1·n2/(n1+n2)) into the
+    // Kolmogorov tail, off the rounded D the gate already proves
+    val lam = sqrt(col("n1").cast("double") * col("n2").cast("double") /
+      (col("n1").cast("double") + col("n2").cast("double"))) * dOut
     agg.select((keys.map(col) ++ Seq(
       col("n1"), col("n2"),
-      when(col("n1") > 0 && col("n2") > 0,
-        round(col("__dmax").cast("double") /
-          (col("n1").cast("double") * col("n2").cast("double")), 6))
-        .as("d_stat"))): _*)
+      dOut.as("d_stat"),
+      graft.functions.NormalDist.ksP(lam).as("p_approx"))): _*)
   }
 
   /** `boundingRatio`: the slope of the line between the leftmost and

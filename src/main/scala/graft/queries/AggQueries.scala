@@ -2152,7 +2152,7 @@ object AggQueries {
          FROM t GROUP BY event_type ORDER BY event_type""",
     // A27b: exact |cum1·n2 − cum2·n1| max at distinct-value cells
     "q_ks_test" ->
-      """WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c
+      ("""WITH e AS (SELECT event_type, value AS v, user_id % 2 = 0 AS c
            FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
          cells AS (SELECT event_type, v,
              count(*) FILTER (WHERE c) AS p,
@@ -2168,14 +2168,20 @@ object AggQueries {
          s AS (SELECT event_type, max(n1) AS n1, max(n2) AS n2,
              max(abs(CAST(cp AS HUGEINT) * n2 - CAST(cq AS HUGEINT) * n1))
                AS dmax
-           FROM m GROUP BY event_type)
-         SELECT event_type,
+           FROM m GROUP BY event_type),
+         fin AS (SELECT event_type,
            CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            CASE WHEN n1 > 0 AND n2 > 0 THEN
              round(CAST(dmax AS DOUBLE)
                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) END
              AS d_stat
-         FROM s ORDER BY event_type""",
+         FROM s)
+         SELECT event_type, n1, n2, d_stat,
+           """ + graft.functions.NormalDist.ksPSql(
+        "(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) " +
+          "/ (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * d_stat)") +
+      """ AS p_approx
+         FROM fin ORDER BY event_type"""),
     // A17e: the q_student_ttest cohort sums with the known-variance z
     "q_mean_ztest" ->
       ("""WITH w AS (SELECT event_type, user_id % 2 = 0 AS c,

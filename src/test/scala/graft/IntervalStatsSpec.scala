@@ -1451,6 +1451,51 @@ class IntervalStatsSpec extends SparkSpec {
     assert(pt._3 === refFP(pt._1 * pt._1, 1.0, pt._2.toDouble))
   }
 
+  test("ksP: Kolmogorov tail hits the textbook quantiles; the two regimes agree at the crossover; ksTest p_approx matches the scalar tree") {
+    import graft.functions.NormalDist
+    // textbook two-sided Kolmogorov quantiles: Q(1.3581) = 0.05,
+    // Q(1.2238) = 0.10, Q(1.6276) = 0.01, Q(1.0727) = 0.20
+    val anchors = Seq((1.3581, 0.05), (1.2238, 0.10), (1.6276, 0.01),
+      (1.0727, 0.20), (0.5, 0.9639), (2.0, 0.00067))
+    val got = anchors.map(_._1).map(Tuple1(_)).toDF("l")
+      .select(NormalDist.ksP(col("l")).as("p")).as[Double].collect()
+    anchors.zip(got).foreach { case ((l, want), p) =>
+      assert(math.abs(p - want) < 5e-4, s"$p vs $want at λ=$l") }
+    // the series and theta-dual forms agree through the 1.18 crossover
+    val near = Seq(1.17, 1.1799, 1.18, 1.1801, 1.19)
+    val vals = near.map(Tuple1(_)).toDF("l")
+      .select(NormalDist.ksP(col("l")).as("p")).as[Double].collect()
+    near.zip(vals).sliding(2).foreach { w =>
+      if (w.size == 2)
+        assert(w(0)._2 >= w(1)._2 && w(0)._2 - w(1)._2 < 0.01,
+          s"crossover jump: $w") }
+    // operator face: p_approx is exactly the scalar tree at
+    // λ = D·sqrt(n1·n2/(n1+n2)) off the rounded D
+    val ev = (0L until 400L).map { i =>
+      ("t", i, math.sin(i * 0.29) * 7.0 + (if (i % 2 == 0) 0.8 else 0.0))
+    }.toDF("k", "uid", "v")
+    val ks = StatsAgg.ksTest(ev, Seq("k"), col("v"),
+      cohort = col("uid") % 2 === 0)
+      .select("n1", "n2", "d_stat", "p_approx")
+      .as[(Long, Long, Double, Double)].head()
+    val lam = math.sqrt(ks._1.toDouble * ks._2.toDouble /
+      (ks._1.toDouble + ks._2.toDouble)) * ks._3
+    def refKs(l: Double): Double = {
+      val l2 = l * l
+      val raw =
+        if (l <= 0) 1.0
+        else if (l < 1.18)
+          math.max(0.0, math.min(1.0, 1.0 - 2.5066282746310002 / l *
+            (math.exp(-1.233700550136170 / l2) +
+              math.exp(-11.10330495122553 / l2) +
+              math.exp(-30.84251375340425 / l2))))
+        else 2.0 * (math.exp(-2.0 * l2) - math.exp(-8.0 * l2) +
+          math.exp(-18.0 * l2))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(ks._4 === refKs(lam))
+  }
+
   test("fdrAdjust: matches the scalar BH step-up on a random panel; monotone; clamped; null p drops; families independent") {
     val rnd = new scala.util.Random(41)
     val panel = (0 until 40).map(i =>
