@@ -1081,14 +1081,17 @@ object AggQueries {
     }),
 
     // A40: Benjamini–Hochberg q-values across the live test panel —
-    // the meanZ, Mann–Whitney, and Mann–Kendall p-values per
-    // event_type corrected as ONE 15-hypothesis family, exactly the
-    // monitoring read that decides which per-key alarms to act on
+    // six tests per event_type (meanZ, Mann–Whitney, Mann–Kendall on
+    // their exact-normal p; Welch on its Paulson t p; Kruskal–Wallis
+    // and Jarque–Bera on their Wilson–Hilferty χ² p) corrected as ONE
+    // 30-hypothesis family, exactly the monitoring read that decides
+    // which per-key alarms to act on
     "q_fdr_adjust" -> ((s, d) => {
       val ev = table(s, d, "events")
-      def tag(t: String, df: DataFrame) = df.select(
-        concat(lit(t), lit("|"), col("event_type")).as("hyp"),
-        col("p_value"))
+      def tag(t: String, df: DataFrame, p: String = "p_value") =
+        df.select(
+          concat(lit(t), lit("|"), col("event_type")).as("hyp"),
+          col(p).as("p_value"))
       val mz = graft.operators.StatsAgg.meanZTest(
         ev, Seq("event_type"), col("value"),
         cohort = col("user_id") % 2 === 0, var1 = 80000.0, var2 = 80000.0)
@@ -1103,9 +1106,20 @@ object AggQueries {
         .agg(count(lit(1)).cast("double").as("cnt"))
       val mk = graft.operators.TimeSeries.mannKendall(
         daily, Seq("event_type"), ord = col("day"), value = col("cnt"))
+      val we = graft.operators.StatsAgg.welchTTest(
+        ev, Seq("event_type"), col("value"),
+        cohort = col("user_id") % 2 === 0)
+      val kw = graft.operators.StatsAgg.kruskalWallis(
+        ev.where(col("user_id").isNotNull), Seq("event_type"),
+        col("value"), group = (col("user_id") % 3).cast("string"))
+      val jb = graft.operators.StatsAgg.jarqueBera(
+        ev, Seq("event_type"), col("value"))
       val panel = tag("meanz", mz)
         .unionByName(tag("mwu", mwu))
         .unionByName(tag("mk", mk))
+        .unionByName(tag("welch", we, "p_approx"))
+        .unionByName(tag("kw", kw, "p_approx"))
+        .unionByName(tag("jb", jb, "p_approx"))
       graft.operators.StatsAgg.fdrAdjust(
         panel, Seq.empty, p = col("p_value"), tie = col("hyp"))
         .orderBy(col("bh_rank"))
@@ -2706,7 +2720,7 @@ object AggQueries {
          COUNT(*) AS n
          FROM events GROUP BY user_id ORDER BY user_id""")
 
-  /** A40 oracle: the three feed oracles verbatim as subqueries (their
+  /** A40 oracle: the six feed oracles verbatim as subqueries (their
     * p-values are independently gate-proven), then the BH step-up rule
     * as one rank window + one running min — the exact fdrAdjust tree.
     */
@@ -2718,8 +2732,18 @@ object AggQueries {
            FROM (${baseOracles("q_mann_whitney")})),
          mk AS (SELECT 'mk|' || event_type AS hyp, p_value
            FROM (${WindowQueries.oracles("q_mann_kendall")})),
+         we AS (SELECT 'welch|' || event_type AS hyp,
+             p_approx AS p_value
+           FROM (${baseOracles("q_welch_ttest")})),
+         kw AS (SELECT 'kw|' || event_type AS hyp,
+             p_approx AS p_value
+           FROM (${baseOracles("q_kruskal_wallis")})),
+         jb AS (SELECT 'jb|' || event_type AS hyp,
+             p_approx AS p_value
+           FROM (${baseOracles("q_jarque_bera")})),
          panel AS (SELECT * FROM mz UNION ALL SELECT * FROM mwu
-           UNION ALL SELECT * FROM mk),
+           UNION ALL SELECT * FROM mk UNION ALL SELECT * FROM we
+           UNION ALL SELECT * FROM kw UNION ALL SELECT * FROM jb),
          fil AS (SELECT hyp AS tie, p_value FROM panel
            WHERE p_value IS NOT NULL),
          rk AS (SELECT tie, p_value,
