@@ -307,9 +307,9 @@ object StatsAgg {
     out.select((keys.map(col) ++ Seq(
       col("n1"), col("n2"),
       round(mu1, 6).as("mean1"), round(mu2, 6).as("mean2"),
-      tOut.as("t_stat"), dfOut.as("df"),
-      graft.functions.NormalDist.fUpperP(tOut * tOut, lit(1L), dfOut)
-        .as("p_approx"))): _*)
+      tOut.as("t_stat"), dfOut.as("df"))): _*)
+      .withColumn("p_approx", graft.functions.NormalDist.fUpperP(
+        col("t_stat") * col("t_stat"), lit(1L), col("df")))
   }
 
   /** Student's pooled-variance t statistic between two cohorts per
@@ -342,9 +342,9 @@ object StatsAgg {
     out.select((keys.map(col) ++ Seq(
       col("n1"), col("n2"),
       round(mu1, 6).as("mean1"), round(mu2, 6).as("mean2"),
-      tOut.as("t_stat"), dfOut.as("df"),
-      graft.functions.NormalDist.fUpperP(tOut * tOut, lit(1L), dfOut)
-        .as("p_approx"))): _*)
+      tOut.as("t_stat"), dfOut.as("df"))): _*)
+      .withColumn("p_approx", graft.functions.NormalDist.fUpperP(
+        col("t_stat") * col("t_stat"), lit(1L), col("df")))
   }
 
   /** Two-sample mean z test per key — ClickHouse `meanZTest`: the
@@ -372,12 +372,17 @@ object StatsAgg {
       lit(var2) / col("n2").cast("double")
     val ok = col("n1") > 0 && col("n2") > 0
     val zOut = when(ok, round((mu1 - mu2) / sqrt(se2), 6))
+    // p in a SECOND projection off the named column: inlining the
+    // statistic tree into the Φ polynomial's ~4 references blows the
+    // expression tree up exponentially (measured 443 KB → 21 KB plan
+    // text, 5.7 s → 0.1 s planning+codegen on the welch face)
     out.select((keys.map(col) ++ Seq(
       col("n1"), col("n2"),
       when(col("n1") > 0, round(mu1, 6)).as("mean1"),
       when(col("n2") > 0, round(mu2, 6)).as("mean2"),
-      zOut.as("z_stat"),
-      graft.functions.NormalDist.twoSidedP(zOut).as("p_value"))): _*)
+      zOut.as("z_stat"))): _*)
+      .withColumn("p_value",
+        graft.functions.NormalDist.twoSidedP(col("z_stat")))
   }
 
   /** A35: paired t test per key — the repeated-measures member of the
@@ -422,9 +427,9 @@ object StatsAgg {
     out.select((keys.map(col) ++ Seq(
       col("n_pairs"),
       when(col("n_pairs") > 0, round(mu, 6)).as("mean_diff"),
-      tOut.as("t_stat"), dfOut.as("df"),
-      graft.functions.NormalDist.fUpperP(tOut * tOut, lit(1L), dfOut)
-        .as("p_approx"))): _*)
+      tOut.as("t_stat"), dfOut.as("df"))): _*)
+      .withColumn("p_approx", graft.functions.NormalDist.fUpperP(
+        col("t_stat") * col("t_stat"), lit(1L), col("df")))
   }
 
   /** Shared cohort machinery for the two-sample t tests: one
@@ -515,9 +520,9 @@ object StatsAgg {
       (col("n_rows") - col("n_groups")).cast("long"))
     agg.select((keys.map(col) ++ Seq(
       col("n_rows"), col("n_groups"),
-      fOut.as("f_stat"), d1.as("df1"), d2.as("df2"),
-      graft.functions.NormalDist.fUpperP(fOut, d1, d2)
-        .as("p_approx"))): _*)
+      fOut.as("f_stat"), d1.as("df1"), d2.as("df2"))): _*)
+      .withColumn("p_approx", graft.functions.NormalDist.fUpperP(
+        col("f_stat"), col("df1"), col("df2")))
   }
 
   /** Weight-of-evidence and information value per category — the
@@ -662,8 +667,9 @@ object StatsAgg {
       when(col("n1") > 0 && col("n2") > 0, round(u1, 6)).as("u1"),
       when(col("n1") > 0 && col("n2") > 0,
         round(n1 * n2 - u1, 6)).as("u2"),
-      zOut.as("z_stat"),
-      graft.functions.NormalDist.twoSidedP(zOut).as("p_value"))): _*)
+      zOut.as("z_stat"))): _*)
+      .withColumn("p_value",
+        graft.functions.NormalDist.twoSidedP(col("z_stat")))
   }
 
   /** ROC AUC per key — ClickHouse `arrayAUC`, as a proper distributed
@@ -951,12 +957,13 @@ object StatsAgg {
         (col("n1").cast("double") * col("n2").cast("double")), 6))
     // asymptotic two-sample p: λ = D·sqrt(n1·n2/(n1+n2)) into the
     // Kolmogorov tail, off the rounded D the gate already proves
-    val lam = sqrt(col("n1").cast("double") * col("n2").cast("double") /
-      (col("n1").cast("double") + col("n2").cast("double"))) * dOut
     agg.select((keys.map(col) ++ Seq(
       col("n1"), col("n2"),
-      dOut.as("d_stat"),
-      graft.functions.NormalDist.ksP(lam).as("p_approx"))): _*)
+      dOut.as("d_stat"))): _*)
+      .withColumn("p_approx", graft.functions.NormalDist.ksP(
+        sqrt(col("n1").cast("double") * col("n2").cast("double") /
+          (col("n1").cast("double") + col("n2").cast("double"))) *
+          col("d_stat")))
   }
 
   /** `boundingRatio`: the slope of the line between the leftmost and
@@ -1156,9 +1163,9 @@ object StatsAgg {
     folded.join(byKey, keys)
       .select((keys.map(col) ++ Seq(
         col("n_rows"), col("n_groups"),
-        hOut.as("h_stat"),
-        graft.functions.NormalDist.chiSqUpperP(hOut,
-          col("n_groups") - lit(1)).as("p_approx"))): _*)
+        hOut.as("h_stat"))): _*)
+      .withColumn("p_approx", graft.functions.NormalDist.chiSqUpperP(
+        col("h_stat"), col("n_groups") - lit(1)))
   }
 
   /** A39: Friedman test per key (Friedman 1937) — the
@@ -1233,9 +1240,10 @@ object StatsAgg {
     folded.join(byKey, keys)
       .select((keys.map(col) ++ Seq(
         col("n_blocks"), col("n_treatments"),
-        qOut.as("q_stat"),
-        graft.functions.NormalDist.chiSqUpperP(qOut,
-          col("__kk") - lit(1)).as("p_approx"))): _*)
+        qOut.as("q_stat"), col("__kk"))): _*)
+      .withColumn("p_approx", graft.functions.NormalDist.chiSqUpperP(
+        col("q_stat"), col("__kk") - lit(1)))
+      .drop("__kk")
   }
 
   /** A38: Population Stability Index per key — THE standard
@@ -1338,9 +1346,9 @@ object StatsAgg {
       col("n_rows"),
       when(ok, round(g1, 6)).as("skew_pop"),
       when(ok, round(g2, 6)).as("kurt_pop"),
-      jbOut.as("jb_stat"),
-      graft.functions.NormalDist.chiSqUpperP(jbOut, lit(2))
-        .as("p_approx"))): _*)
+      jbOut.as("jb_stat"))): _*)
+      .withColumn("p_approx", graft.functions.NormalDist.chiSqUpperP(
+        col("jb_stat"), lit(2)))
   }
 
   /** A40: Benjamini–Hochberg FDR adjustment across a hypothesis panel

@@ -1079,8 +1079,9 @@ object TimeSeries {
       .select((keys.map(col) ++ Seq(
         col("n_rows"), col("s_stat"),
         when(tauDen > lit(0.0), round(sD / sqrt(tauDen), 6)).as("tau"),
-        zOut.as("z_stat"),
-        graft.functions.NormalDist.twoSidedP(zOut).as("p_value"))): _*)
+        zOut.as("z_stat"))): _*)
+      .withColumn("p_value",
+        graft.functions.NormalDist.twoSidedP(col("z_stat")))
   }
 
   /** X27: Theil–Sen slope estimator per key (Theil 1950; Sen 1968) —

@@ -1114,12 +1114,20 @@ object AggQueries {
         col("value"), group = (col("user_id") % 3).cast("string"))
       val jb = graft.operators.StatsAgg.jarqueBera(
         ev, Seq("event_type"), col("value"))
-      val panel = tag("meanz", mz)
-        .unionByName(tag("mwu", mwu))
-        .unionByName(tag("mk", mk))
-        .unionByName(tag("welch", we, "p_approx"))
-        .unionByName(tag("kw", kw, "p_approx"))
-        .unionByName(tag("jb", jb, "p_approx"))
+      // each feed MATERIALIZES its |keys|-row output before the BH
+      // step (localCheckpoint — the k-means/BPE truncation pattern):
+      // fusing six test plans under one union re-inflates the Φ/χ²
+      // p-value trees through CollapseProject and costs ~10 s in
+      // planning+codegen at sf0.1; materialized, the panel is six
+      // independent jobs + a 30-row BH (measured ~4 s total). This is
+      // also the production shape — test outputs are computed once,
+      // the correction runs on the panel, not on fused lineage
+      val panel = Seq(
+        tag("meanz", mz), tag("mwu", mwu), tag("mk", mk),
+        tag("welch", we, "p_approx"), tag("kw", kw, "p_approx"),
+        tag("jb", jb, "p_approx"))
+        .map(_.localCheckpoint())
+        .reduce(_ unionByName _)
       graft.operators.StatsAgg.fdrAdjust(
         panel, Seq.empty, p = col("p_value"), tie = col("hyp"))
         .orderBy(col("bh_rank"))
