@@ -954,7 +954,7 @@ object NorthStarQueries {
     // component minimum since edges are symmetrized
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE
-         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2)})),
+         e AS MATERIALIZED (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2)})),
          sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
          reach(node, lbl) AS (
            SELECT DISTINCT a, a FROM sym
@@ -967,7 +967,7 @@ object NorthStarQueries {
     // slice their Spark registrations use (see q_dedup_survivors note)
     "q_dedup_survivors" ->
       s"""WITH RECURSIVE
-         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2, rel = SliceRel)})),
+         e AS MATERIALIZED (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2, rel = SliceRel)})),
          sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
          reach(node, lbl) AS (
            SELECT DISTINCT a, a FROM sym
@@ -979,7 +979,7 @@ object NorthStarQueries {
            AND doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
     "q_cluster_stats" ->
       s"""WITH RECURSIVE
-         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2, rel = SliceRel)})),
+         e AS MATERIALIZED (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2, rel = SliceRel)})),
          sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
          reach(node, lbl) AS (
            SELECT DISTINCT a, a FROM sym
@@ -992,7 +992,7 @@ object NorthStarQueries {
          FROM cs GROUP BY size ORDER BY size""",
     "q_dedup_best" ->
       s"""WITH RECURSIVE
-         e AS (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2, rel = SliceRel)})),
+         e AS MATERIALIZED (SELECT id_a, id_b FROM (${minhashVerifyOracle("0.5", bands = 8, rows = 2, rel = SliceRel)})),
          sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
          reach(node, lbl) AS (
            SELECT DISTINCT a, a FROM sym
