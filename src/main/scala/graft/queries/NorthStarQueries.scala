@@ -19,6 +19,20 @@ object NorthStarQueries {
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
   private val allStopsSql = sqlList(stop.values.flatten.toSeq.distinct)
 
+  /** The q_bpe_segment literal merge table (rank order). Every pair has
+    * a != b — the oracle's fixpoint-replace replay is only equivalent to
+    * the operator's single non-overlapping pass under that condition
+    * (see the q_bpe_segment registration note).
+    */
+  private val BpeMergesLit: Seq[(String, String)] = Seq(
+    ("t", "a"), ("a", "l"), ("u", "e"), ("ue", "</w>"), ("a", "s"),
+    ("s", "t"), ("r", "o"), ("o", "w"), ("ow", "</w>"), ("l", "i"),
+    ("n", "e"), ("ne", "</w>"), ("a", "r"), ("d", "a"), ("da", "ta"))
+
+  private val bpeMergesValuesSql: String = BpeMergesLit.zipWithIndex
+    .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }
+    .mkString(", ")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1: exact dedup with a deterministic winner (min doc_id per group)
     "q_dedup_exact" -> ((s, d) => {
@@ -209,6 +223,51 @@ object NorthStarQueries {
           round(col("exp_count"), 6).as("exp_count"), col("is_char"))
         .orderBy(col("piece"))
     }),
+
+    // X28b under the VALUE gate (r18 verdict task #2): Viterbi
+    // segmentation given a model table. Training (EM) stays spec-gated,
+    // but segmentation is a DP DuckDB can replay, so this face runs the
+    // REAL read path (Curation.unigramLmSegment — per-DISTINCT-word
+    // Viterbi, map-side doc assembly) under a model whose derivation is
+    // itself SQL-expressible: all substrings (len 1..4) of the corpus'
+    // distinct words, singles unconditionally + multi-char pieces seen
+    // at >=2 distinct-word positions, score = count - 1e6. The -1e6
+    // per-arc penalty makes Viterbi minimize token count with frequency
+    // tie-break (the MDL shape of the unigram objective), and integer
+    // scores are exact in doubles, so cross-engine argmax parity is
+    // bit-level, not epsilon-level. Oracle: recursive-CTE forward DP
+    // carrying the best/backpointer arrays as lists + a backtrace walk
+    // (the q_funnel_any precedent).
+    "q_unigram_segment" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val words = docs.select(explode(filter(split(col("text"), " "),
+        w => length(w) > 0)).as("w")).distinct()
+      val model = words.select(explode(expr(
+        """flatten(transform(sequence(1, length(w)),
+             i -> transform(sequence(1, least(4, length(w) - i + 1)),
+               l -> substring(w, i, l))))""")).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .where(length(col("piece")) === 1 || col("cnt") >= 2)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1).toDouble - 1e6)).toSeq
+      graft.operators.Curation.unigramLmSegment(docs, "doc_id", col("text"), model)
+        .orderBy(col("doc_id"))
+    }),
+
+    // X25b under the VALUE gate: BPE segmentation given a merge table.
+    // Training (iterated argmax) stays spec-gated; the segment face
+    // replays a fixed 15-merge list through the REAL read path
+    // (Curation.bpeSegment — per-DISTINCT-word merge fold, map-side
+    // assembly). Oracle: recursive CTE replaying each merge rank to
+    // FIXPOINT over the space-delimited symbol string — for a != b
+    // (true of every merge here) the fixpoint equals the operator's
+    // single left-to-right non-overlapping pass, because (a,b)
+    // instances cannot overlap in symbol space and the merged symbol
+    // 'ab' can never re-create a (a,b) adjacency.
+    "q_bpe_segment" -> ((s, d) =>
+      graft.operators.Curation.bpeSegment(
+        table(s, d, "documents"), "doc_id", col("text"), BpeMergesLit)
+        .orderBy(col("doc_id"))),
 
     // X4 tokenizer prep: vocabulary building — top-256 tokens by
     // global frequency with deterministic rank ids (freq desc, token
@@ -1007,6 +1066,88 @@ object NorthStarQueries {
          SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id % 3 = 0
            AND doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
+    // X28b: Viterbi DP replayed as a recursive CTE — forward pass
+    // carries the best-score and backpointer arrays as lists (BIGINT
+    // scores: count - 1e6 per arc, integer-exact in both engines); the
+    // list_reduce argmax scans j ascending replacing only on strictly
+    // greater, mirroring Curation.unigramViterbi's tie-break (smallest
+    // j = longest piece ending at i). Backtrace walks froms from n to 0.
+    "q_unigram_segment" ->
+      """WITH RECURSIVE
+         dw AS (SELECT DISTINCT w FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w FROM documents)),
+         pc AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece
+             FROM dw, unnest(range(1, len(w) + 1)) AS u(i),
+                  unnest(range(1, 5)) AS v(l)
+             WHERE i + l - 1 <= len(w)) GROUP BY piece),
+         model AS (SELECT piece, cnt - 1000000 AS score FROM pc
+           WHERE len(piece) = 1 OR cnt >= 2),
+         mm AS (SELECT map(list(piece ORDER BY piece), list(score ORDER BY piece)) AS m FROM model),
+         dp AS (
+           SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS bests, [CAST(-1 AS INT)] AS froms FROM dw
+           UNION ALL
+           SELECT w, i + 1,
+             list_append(bests, pick.c),
+             list_append(froms, pick.j)
+           FROM (
+             SELECT w, i, bests, froms,
+               list_reduce(
+                 list_prepend(struct_pack(c := CAST(NULL AS BIGINT), j := CAST(-1 AS INT)),
+                   list_transform(range(greatest(0, i + 1 - 4), i + 1),
+                     j -> struct_pack(
+                       c := bests[CAST(j AS INT) + 1]
+                         + map_extract(m, substr(w, CAST(j AS INT) + 1, i + 1 - CAST(j AS INT)))[1],
+                       j := CAST(j AS INT)))),
+                 (a, b) -> CASE WHEN b.c IS NOT NULL AND (a.c IS NULL OR b.c > a.c) THEN b ELSE a END) AS pick
+             FROM dp, mm WHERE i < len(w))),
+         fin AS (SELECT w, bests, froms FROM dp WHERE i = len(w)),
+         bt AS (
+           SELECT w, froms, len(froms) - 1 AS k, CAST([] AS VARCHAR[]) AS pieces FROM fin
+           UNION ALL
+           SELECT w, froms, froms[k + 1],
+             list_prepend(substr(w, froms[k + 1] + 1, k - froms[k + 1]), pieces)
+           FROM bt WHERE k > 0),
+         seg AS (SELECT w, pieces FROM bt WHERE k = 0),
+         docw AS (SELECT doc_id, ws FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM documents) WHERE len(ws) > 0),
+         occ AS (SELECT doc_id, CAST(i AS INT) AS pos, ws[CAST(i AS INT)] AS w, len(ws) AS n_words
+           FROM docw, unnest(range(1, len(ws) + 1)) AS u(i)),
+         toks AS (SELECT o.doc_id, CAST(max(o.n_words) AS BIGINT) AS n_words,
+             flatten(list(s.pieces ORDER BY o.pos)) AS tokens
+           FROM occ o JOIN seg s ON s.w = o.w GROUP BY o.doc_id)
+         SELECT doc_id, n_words, CAST(len(tokens) AS BIGINT) AS n_tokens, tokens
+         FROM toks ORDER BY doc_id""",
+    // X25b: merge-table replay — each rank applied to fixpoint over the
+    // space-delimited symbol string (equivalent to the operator's single
+    // non-overlapping pass since every merge has a != b)
+    "q_bpe_segment" ->
+      s"""WITH RECURSIVE
+         merges(rank, a, b) AS (
+           SELECT * FROM (VALUES $bpeMergesValuesSql) AS t(rank, a, b)),
+         dw AS (SELECT DISTINCT w FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w FROM documents)),
+         init AS (SELECT w,
+             ' ' || array_to_string(list_append(
+               list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]), '</w>'), ' ') || ' ' AS s
+           FROM dw),
+         rep AS (
+           SELECT w, s, 1 AS r FROM init
+           UNION ALL
+           SELECT w,
+             CASE WHEN rs <> s THEN rs ELSE s END,
+             CASE WHEN rs <> s THEN r ELSE r + 1 END
+           FROM (SELECT rep.w, rep.s, rep.r,
+               replace(rep.s, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS rs
+             FROM rep JOIN merges m ON m.rank = rep.r)
+           WHERE r <= (SELECT max(rank) FROM merges)),
+         seg AS (SELECT w, list_filter(string_split(trim(s), ' '), x -> len(x) > 0) AS pieces
+           FROM rep WHERE r = (SELECT max(rank) FROM merges) + 1),
+         docw AS (SELECT doc_id, ws FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM documents) WHERE len(ws) > 0),
+         occ AS (SELECT doc_id, CAST(i AS INT) AS pos, ws[CAST(i AS INT)] AS w, len(ws) AS n_words
+           FROM docw, unnest(range(1, len(ws) + 1)) AS u(i)),
+         toks AS (SELECT o.doc_id, CAST(max(o.n_words) AS BIGINT) AS n_words,
+             flatten(list(s.pieces ORDER BY o.pos)) AS tokens
+           FROM occ o JOIN seg s ON s.w = o.w GROUP BY o.doc_id)
+         SELECT doc_id, n_words, CAST(len(tokens) AS BIGINT) AS n_tokens, tokens
+         FROM toks ORDER BY doc_id""",
     "q_vocab" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
