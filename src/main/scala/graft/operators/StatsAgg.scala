@@ -1380,23 +1380,50 @@ object StatsAgg {
     * Seq.empty corrects one global panel (single-partition window —
     * fine at panel size, by construction ≪ data size). Output:
     * family :+ (tie, p_value, bh_rank, q_value), q round-6.
+    *
+    * `storeyLambda = Some(λ)` enables the Storey 2002 q-value variant
+    * ("A direct approach to false discovery rates", JRSS-B): BH's
+    * π₀ = 1 is replaced by the λ-plugin estimate π̂₀ = #{p > λ} /
+    * (m(1−λ)) clamped to [1/m, 1], and the output gains a round-6
+    * `pi0` column before q_value.
     */
   def fdrAdjust(df: DataFrame, family: Seq[String], p: Column,
-      tie: Column): DataFrame = {
+      tie: Column, storeyLambda: Option[Double] = None): DataFrame = {
     val fam = family.map(col)
     val base = df.where(p.isNotNull)
       .select((fam :+ tie.as("tie")) :+ p.cast("double").as("p_value"): _*)
     val wOrd = Window.partitionBy(fam: _*)
       .orderBy(col("p_value").asc, col("tie").asc)
     val wAll = Window.partitionBy(fam: _*)
-    base
+    val tailMin = min(col("p_value") * col("__m").cast("double") /
+      col("bh_rank").cast("double"))
+      .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val ranked = base
       .withColumn("__m", count(lit(1)).over(wAll))
       .withColumn("bh_rank", row_number().over(wOrd).cast("long"))
-      .withColumn("q_value", round(least(lit(1.0),
-        min(col("p_value") * col("__m").cast("double") /
-          col("bh_rank").cast("double"))
-          .over(wOrd.rowsBetween(Window.currentRow,
-            Window.unboundedFollowing))), 6))
-      .drop("__m")
+    storeyLambda match {
+      case None =>
+        ranked
+          .withColumn("q_value", round(least(lit(1.0), tailMin), 6))
+          .drop("__m")
+      case Some(lam) =>
+        // Storey 2002 λ-plugin: π̂₀ = #{p > λ} / (m·(1−λ)), clamped to
+        // [1/m, 1] — BH assumes every hypothesis is null (π₀ = 1);
+        // when many keys genuinely drift, the plugin sharpens q by the
+        // estimated null fraction. One extra panel-sized window sum;
+        // q = min(1, π̂₀ · tail-min) with the UNROUNDED π̂₀ inside the
+        // product (the oracle mirrors the same tree; π̂₀'s own output
+        // column is round-6 like every reported statistic).
+        val pi0 = least(lit(1.0), greatest(
+          lit(1.0) / col("__m").cast("double"),
+          sum(when(col("p_value") > lam, 1L).otherwise(0L)).over(wAll)
+            .cast("double") / (col("__m").cast("double") * lit(1.0 - lam))))
+        ranked
+          .withColumn("__pi0", pi0)
+          .withColumn("pi0", round(col("__pi0"), 6))
+          .withColumn("q_value",
+            round(least(lit(1.0), col("__pi0") * tailMin), 6))
+          .drop("__m", "__pi0")
+    }
   }
 }

@@ -154,6 +154,48 @@ object AggQueries {
           round(thetaDiff(col("sa"), col("sb"))).cast("long").as("n_buyers_only"))
     }),
 
+    // A41: exact bitmap set algebra (ClickHouse groupBitmap family,
+    // r18 verdict task #3) — the EXACT integer-id complement of A18's
+    // theta sketches: Roaring64 states built slice-wise and OR-merged
+    // (the matview shape), then every read face exercised — pairwise
+    // cardinalities (and/or/andnot/xor), min/max member recovery, and
+    // the groupBitmapAnd/Xor STATE aggregates over a per-type segment
+    // table (users present in ALL types / an ODD number of types).
+    // Everything is an exact BIGINT, so the whole surface sits under
+    // the value gate via DuckDB distinct-set arithmetic.
+    "q_bitmap_segments" -> ((s, d) => {
+      import graft.functions.BitmapAgg._
+      val ev = table(s, d, "events")
+      val buyer = when(
+        col("event_type") === "purchase" && col("value") >= 100,
+        col("user_id"))
+      val errorer = when(
+        col("event_type") === "error" && col("value") >= 100,
+        col("user_id"))
+      val partials = (0 until 3).map(i =>
+        ev.where(pmod(xxhash64(col("event_id")), lit(3)) === i)
+          .agg(bitmapAgg(buyer).as("sa"), bitmapAgg(errorer).as("sb")))
+      val merged = partials.reduce(_ unionByName _)
+        .agg(bitmapOrAgg(col("sa")).as("sa"),
+          bitmapOrAgg(col("sb")).as("sb"))
+      val perType = ev.groupBy(col("event_type"))
+        .agg(bitmapAgg(col("user_id")).as("st"))
+      val folded = perType.agg(
+        bitmapAndAgg(col("st")).as("s_and"),
+        bitmapXorAgg(col("st")).as("s_xor"))
+      merged.crossJoin(folded).select(
+        bitmapCardinality(col("sa")).as("n_buyers"),
+        bitmapCardinality(col("sb")).as("n_errorers"),
+        bitmapAndCardinality(col("sa"), col("sb")).as("n_both"),
+        bitmapOrCardinality(col("sa"), col("sb")).as("n_either"),
+        bitmapAndnotCardinality(col("sa"), col("sb")).as("n_buyers_only"),
+        bitmapXorCardinality(col("sa"), col("sb")).as("n_sym_diff"),
+        bitmapMin(col("sa")).as("min_buyer"),
+        bitmapMax(col("sa")).as("max_buyer"),
+        bitmapCardinality(col("s_and")).as("n_all_types"),
+        bitmapCardinality(col("s_xor")).as("n_odd_types"))
+    }),
+
     // A4b: uniqUpTo — exact distinct users per (type, day) up to 50,
     // the 51 sentinel beyond, with state bounded at 51 witnesses per
     // group (a cardinality spike can't balloon the exchange). Unlike
@@ -1131,6 +1173,28 @@ object AggQueries {
       graft.operators.StatsAgg.fdrAdjust(
         panel, Seq.empty, p = col("p_value"), tie = col("hyp"))
         .orderBy(col("bh_rank"))
+    }),
+
+    // A40b: Storey q-values (π₀ λ-plugin, λ = 0.5) over a single-feed
+    // 35-hypothesis panel — meanZ per (event_type, user_id%7 bucket).
+    // One feed, so no localCheckpoint here (q_fdr_adjust stays the
+    // registry's only materializing query); the panel is genuinely
+    // mixed (some buckets drift, most do not), which is the regime
+    // where the plugin's π̂₀ < 1 visibly sharpens q vs plain BH
+    "q_fdr_storey" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("bucket", (col("user_id") % 7).cast("long"))
+      val mz = graft.operators.StatsAgg.meanZTest(
+        ev.where(col("user_id").isNotNull),
+        Seq("event_type", "bucket"), col("value"),
+        cohort = col("user_id") % 2 === 0, var1 = 80000.0, var2 = 80000.0)
+      graft.operators.StatsAgg.fdrAdjust(
+        mz.select(
+          concat(col("event_type"), lit("|"), col("bucket")).as("hyp"),
+          col("p_value")),
+        Seq.empty, p = col("p_value"), tie = col("hyp"),
+        storeyLambda = Some(0.5))
+        .orderBy(col("bh_rank"))
     }))
 
   private val baseOracles: Map[String, String] = Map(
@@ -1233,6 +1297,31 @@ object AggQueries {
            (SELECT count(*) FROM a JOIN b USING(user_id)) AS n_both,
            (SELECT count(*) FROM a
              WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_buyers_only""",
+    // A41: exact bitmap algebra == plain distinct-set arithmetic (no
+    // filter slice here, unlike theta: bitmaps are exact at ANY
+    // cardinality, so the query runs the full events table)
+    "q_bitmap_segments" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND value >= 100),
+         b AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'error' AND value >= 100),
+         tt AS (SELECT user_id, count(DISTINCT event_type) AS nt
+           FROM events GROUP BY user_id),
+         k AS (SELECT count(DISTINCT event_type) AS k FROM events)
+         SELECT (SELECT count(*) FROM a) AS n_buyers,
+           (SELECT count(*) FROM b) AS n_errorers,
+           (SELECT count(*) FROM a JOIN b USING(user_id)) AS n_both,
+           (SELECT count(*) FROM (SELECT user_id FROM a
+              UNION SELECT user_id FROM b)) AS n_either,
+           (SELECT count(*) FROM a
+             WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_buyers_only,
+           (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b))
+             + (SELECT count(*) FROM b WHERE user_id NOT IN (SELECT user_id FROM a))
+             AS n_sym_diff,
+           (SELECT min(user_id) FROM a) AS min_buyer,
+           (SELECT max(user_id) FROM a) AS max_buyer,
+           (SELECT count(*) FROM tt WHERE nt = (SELECT k FROM k)) AS n_all_types,
+           (SELECT count(*) FROM tt WHERE nt % 2 = 1) AS n_odd_types""",
     "q_uniq_upto" ->
       """SELECT event_type,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
@@ -2766,5 +2855,54 @@ object AggQueries {
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
                AS q_value
            FROM rk)
-         SELECT tie, p_value, bh_rank, q_value FROM q ORDER BY bh_rank""")
+         SELECT tie, p_value, bh_rank, q_value FROM q ORDER BY bh_rank""") +
+    // A40b: the q_mean_ztest tree generalized with the bucket key,
+    // then the BH windows with Storey's λ = 0.5 π₀ plugin — the
+    // UNROUNDED π̂₀ multiplies the tail-min exactly as fdrAdjust does
+    ("q_fdr_storey" ->
+      ("""WITH w AS (SELECT event_type, user_id % 7 AS bucket,
+             user_id % 2 = 0 AS c,
+             CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         s AS (SELECT event_type, bucket,
+             count(*) FILTER (WHERE c) AS n1,
+             count(*) FILTER (WHERE NOT c) AS n2,
+             sum(w) FILTER (WHERE c) AS a1,
+             sum(w) FILTER (WHERE NOT c) AS a2
+           FROM w GROUP BY event_type, bucket),
+         m0 AS (SELECT event_type, bucket, n1, n2,
+             CAST(a1 AS DOUBLE) / 100.0 / CAST(n1 AS DOUBLE) AS mu1,
+             CAST(a2 AS DOUBLE) / 100.0 / CAST(n2 AS DOUBLE) AS mu2,
+             80000.0 / CAST(n1 AS DOUBLE)
+               + 80000.0 / CAST(n2 AS DOUBLE) AS se2
+           FROM s),
+         fin AS (SELECT event_type, bucket,
+           CASE WHEN n1 > 0 AND n2 > 0
+             THEN round((mu1 - mu2) / sqrt(se2), 6) END AS z_stat
+         FROM m0),
+         pan AS (SELECT event_type || '|' || CAST(bucket AS VARCHAR) AS tie,
+           """ + graft.functions.NormalDist.twoSidedPSql("z_stat") +
+        """ AS p_value FROM fin),
+         fil AS (SELECT tie, p_value FROM pan WHERE p_value IS NOT NULL),
+         rk AS (SELECT tie, p_value,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (ORDER BY p_value ASC, tie ASC)
+               AS BIGINT) AS bh_rank
+           FROM fil),
+         pi AS (SELECT tie, p_value, m, bh_rank,
+             least(1.0, greatest(1.0 / CAST(m AS DOUBLE),
+               CAST(sum(CASE WHEN p_value > 0.5 THEN 1 ELSE 0 END)
+                   OVER () AS DOUBLE)
+                 / (CAST(m AS DOUBLE) * 0.5))) AS pi0u
+           FROM rk),
+         q AS (SELECT tie, p_value, bh_rank,
+             round(pi0u, 6) AS pi0,
+             round(least(1.0, pi0u *
+               min(p_value * CAST(m AS DOUBLE) / CAST(bh_rank AS DOUBLE))
+                 OVER (ORDER BY p_value ASC, tie ASC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
+               AS q_value
+           FROM pi)
+         SELECT tie, p_value, bh_rank, pi0, q_value FROM q
+         ORDER BY bh_rank"""))
 }

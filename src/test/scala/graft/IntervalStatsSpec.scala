@@ -1535,4 +1535,52 @@ class IntervalStatsSpec extends SparkSpec {
       assert(sorted.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
     }
   }
+
+  test("fdrAdjust(storeyLambda): pi0 equals the λ-plugin on each family; q = clamp(pi0 · BH tail-min); all-null panel floors at 1/m; λ→degenerate clamps at 1") {
+    val rnd = new scala.util.Random(43)
+    // family "drift": half the panel tiny p (true effects) → π̂₀ < 1;
+    // family "calm": uniform p → π̂₀ near 1 (clamped at 1 if above)
+    val panel =
+      (0 until 20).map(i => ("drift", f"h$i%02d",
+        if (i < 10) rnd.nextDouble() * 1e-4 else rnd.nextDouble())) ++
+      (0 until 20).map(i => ("calm", f"h$i%02d", 0.5 + rnd.nextDouble() / 2))
+    val quant = panel.map { case (f, h, p) =>
+      (f, h, BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    val lam = 0.5
+    val out = StatsAgg.fdrAdjust(
+      quant.toDF("fam", "h", "p").repartition(4),
+      Seq("fam"), p = col("p"), tie = col("h"), storeyLambda = Some(lam))
+      .select("fam", "tie", "p_value", "bh_rank", "pi0", "q_value")
+      .as[(String, String, Double, Long, Double, Double)].collect()
+    quant.groupBy(_._1).foreach { case (fam, hs) =>
+      val m = hs.size
+      val pi0u = math.min(1.0, math.max(1.0 / m,
+        hs.count(_._3 > lam).toDouble / (m * (1.0 - lam))))
+      val got = out.filter(_._1 == fam)
+      // reported pi0 is the round-6 image of the plugin
+      val pi0r = BigDecimal(pi0u).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      got.foreach(r => assert(r._5 === pi0r, s"$fam pi0"))
+      // q = clamp(pi0u * BH tail-min) with the unrounded pi0
+      val sorted = hs.sortBy(x => (x._3, x._2))
+      val raw = sorted.zipWithIndex.map { case ((_, h, p), i) =>
+        (h, p * m / (i + 1)) }
+      val tails = raw.scanRight(Double.MaxValue)((x, acc) =>
+        math.min(x._2, acc)).init
+      val ref = sorted.map(_._2).zip(tails.map(t =>
+        BigDecimal(math.min(1.0, pi0u * t)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+      got.foreach { case (_, h, _, _, _, q) => assert(q === ref(h), s"$fam/$h") }
+    }
+    // the drift family's plugin must have actually sharpened (< 1)
+    assert(out.filter(_._1 == "drift").head._5 < 1.0)
+    assert(out.filter(_._1 == "calm").head._5 === 1.0)
+    // degenerate: every p <= λ → count 0 → floor at 1/m
+    val allLow = (0 until 8).map(i => ("f", f"h$i", 1e-6 * (i + 1)))
+    val low = StatsAgg.fdrAdjust(allLow.toDF("fam", "h", "p"), Seq("fam"),
+      p = col("p"), tie = col("h"), storeyLambda = Some(lam))
+      .select("pi0").as[Double].collect()
+    assert(low.forall(_ === BigDecimal(1.0 / 8).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
 }

@@ -13,18 +13,29 @@ divergence the == compare hides).
 import sys, json, glob, os
 import duckdb
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def fresh_con(sf_dir):
+    # fresh connection per query — mirrors the driver's process-per-
+    # oracle model, and avoids a duckdb 1.0 failure mode where ~200
+    # queries through ONE connection accumulate enough buffer-manager
+    # state that a random later query dies with a tiny-block OOM
+    # despite >100GB free (observed on q_fingerprint/q_holt_linear/
+    # q_funnel_any, never reproducible in a fresh connection)
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-8]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(os.listdir(out_dir)):
         rd = os.path.join(out_dir, name)
         if not os.path.isdir(rd):
             continue
+        con = fresh_con(sf_dir)
         try:
             spark_rel = con.sql(f"SELECT * FROM read_parquet('{rd}/*.parquet')")
             scols = spark_rel.columns
