@@ -597,6 +597,20 @@ object ScaleBench {
       // history row count (non-delete changes) is factor-exact
       // (hard-asserted); cost = ONE user-keyed window shuffle, the
       // flagship's own shape, linear in change volume
+      // round-19: L4 TTL rollup at scale — fresh rows pass through,
+      // expired rows collapse to (type, day) aggregates; wall tracks
+      // one scan + one bounded-key partial agg (the top-10 artifact's
+      // tenth family)
+      "ttl_rollup" -> (() => {
+        val ev = Tables.table(spark, dir, "events")
+          .withColumn("ep", Tables.epochSeconds(col("ts")))
+        val mx = ev.agg(max(col("ep")).as("__asof"))
+        graft.operators.Ttl.rollup(
+          ev.crossJoin(org.apache.spark.sql.functions.broadcast(mx)),
+          Seq("event_type"), col("event_id"), col("ep"), col("value"),
+          ttlSeconds = 7L * 86400, bucketSeconds = 86400L,
+          asOf = col("__asof")).count()
+      }),
       "scd2_history" -> (() => {
         val ev = Tables.table(spark, dir, "events")
         graft.operators.VersionedDedup.scd2History(ev, Seq("user_id"),

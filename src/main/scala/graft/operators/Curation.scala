@@ -891,6 +891,87 @@ object Curation {
       .withColumn("pack_pos", col("start_offset") % budget)
   }
 
+  /** X10b: BEST-FIT-DECREASING sequence packing — the public
+    * alternative to [[packSequences]]' concat-and-chunk (Krell et al.
+    * 2021, "Efficient Sequence Packing without Cross-contamination"):
+    * documents are never split across pack boundaries, so packed
+    * training batches carry no cross-document attention contamination,
+    * at near-zero padding cost (BFD is a 11/9·OPT+1 bin-packing
+    * approximation — classic Johnson bound).
+    *
+    * Algorithm (deterministic): within each shard, docs ordered
+    * (n_tokens DESC, doc_id ASC); each doc goes to the open pack with
+    * the SMALLEST remaining budget that still fits (tie → lowest
+    * pack_id), else opens a new pack. Lengths clamp at `budget` (an
+    * over-long doc occupies one full pack alone — the truncation
+    * policy is upstream's concern).
+    *
+    * Scale: bin packing is sequential, so the sequential state is
+    * SHARD-scoped — the [[packSequences]] posture exactly: shards are
+    * independent (md5 [[hashBucket]], engine-portable), each one's BFD
+    * replays inside a single `flatMapGroups` task whose state is two
+    * int arrays bounded by the shard's pack count. Pick `shards` so a
+    * shard's docs fit one task (at 100 TB: thousands of shards, each
+    * tens of MB of (id, len) pairs — the packer never touches text,
+    * only the length column). Cross-shard padding loss vs a global
+    * solve is the standard trade and is measured by
+    * [[bestFitPackStats]].
+    *
+    * Returns (shard, doc_id, n_tokens, pack_id, slot): pack_id is the
+    * shard-local open order (0-based), slot the arrival order within
+    * the pack. Ids must be long-castable (the engine's doc ids are).
+    */
+  def bestFitPack(df: DataFrame, id: String, nTokens: Column,
+      budget: Int, shards: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      hashBucket(col(id), shards).as("shard"),
+      col(id).cast("long").as("doc_id"),
+      least(nTokens.cast("long"), lit(budget.toLong)).as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.map(t => (t._2, t._3)).toVector
+          .sortBy { case (d, l) => (-l, d) }
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val fill = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { case (d, l) =>
+          var best = -1
+          var bestRem = Long.MaxValue
+          var i = 0
+          while (i < rem.length) {
+            // strict < keeps the FIRST (lowest pack_id) among ties
+            if (rem(i) >= l && rem(i) < bestRem) { bestRem = rem(i); best = i }
+            i += 1
+          }
+          if (best < 0) {
+            rem += (budget.toLong - l); fill += 1L
+            (shard, d, l, (rem.length - 1).toLong, 0L)
+          } else {
+            val slot = fill(best)
+            rem(best) -= l; fill(best) += 1
+            (shard, d, l, best.toLong, slot)
+          }
+        }
+      }
+      .toDF("shard", "doc_id", "n_tokens", "pack_id", "slot")
+  }
+
+  /** Packing-efficiency readout over a [[bestFitPack]] (or any
+    * (shard, pack_id, n_tokens)) assignment: packs, docs, token sum,
+    * and the padding fraction 1 − Σtokens/(packs·budget) — the number
+    * Krell et al. optimize. One aggregate over the assignment table.
+    */
+  def bestFitPackStats(asg: DataFrame, budget: Int): DataFrame =
+    asg.agg(
+      countDistinct(col("shard"), col("pack_id")).as("n_packs"),
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("efficiency",
+        round(col("sum_tokens").cast("double") /
+          (col("n_packs").cast("double") * budget), 6))
+
   /** X20: corpus-level boilerplate line removal — the cross-document
     * half of line cleaning (CCNet, Wenzek et al. 2020 §3.1 dedups
     * paragraphs by hash ACROSS shards; C4's within-page rules are

@@ -695,7 +695,8 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, id: String, vec: String,
       outDir: String, nlist: Int = 0, iters: Int = 2,
-      nHint: Long = 0L, centroids: DataFrame = null): Unit = {
+      nHint: Long = 0L, centroids: DataFrame = null,
+      attrs: Seq[String] = Nil): Unit = {
     val total = autoSize(corpus, nHint)
     val nl =
       if (centroids != null) centroids.count().toInt
@@ -705,7 +706,17 @@ object Similarity {
       else if (iters <= 0) sampleCentroids(corpus, id, vec, nl)
       else trainCentroids(corpus, id, vec, nl, iters, nHint)
     val b = broadcast(cents)
-    assignCells(corpus, id, vec, b, "neighbor_id", "cv", keep = 1)
+    val assigned = assignCells(corpus, id, vec, b, "neighbor_id", "cv", keep = 1)
+    // metadata columns ride INSIDE the cells segment (the production
+    // vector-store layout: payload colocated with the vectors), so a
+    // filtered read pushes its predicate into the same parquet scan —
+    // one id-keyed join at BUILD time, amortized like the assignment
+    val withAttrs =
+      if (attrs.isEmpty) assigned
+      else assigned.join(
+        corpus.select((col(id).as("neighbor_id") +: attrs.map(col)): _*),
+        "neighbor_id")
+    withAttrs
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outDir/cells")
@@ -744,6 +755,87 @@ object Similarity {
       .where(if (probed.isEmpty) lit(false)
         else col("cell").isin(probed: _*))
     ivfScorePipeline(cells, queryCells, k, perCellPrune = true)
+  }
+
+  /** X3h: METADATA-FILTERED retrieval against a [[buildIvfIndex]]
+    * index built with `attrs` — "predicate ∧ top-k", every production
+    * vector store's read. This is the PRE-FILTER arm: `pred` (over the
+    * attr columns) is applied to the cells read BEFORE scoring, so it
+    * pushes into the parquet scan (PushedFilters) alongside the
+    * partition prune on probed cells, and the per-cell/global top-k
+    * rank only FILTERED candidates — within the probed cells the
+    * result is exact, with no post-hoc candMult gamble (retrieve
+    * k·candMult then filter and hope ≥ k survive — the post-filter
+    * failure mode this arm exists to avoid).
+    *
+    * What pre-filtering does NOT fix: a highly selective predicate
+    * leaves few matching vectors per probed cell, so recall against
+    * the FILTERED ground truth decays with selectivity — the standard
+    * mitigation is probing wider, or below a survivor budget switching
+    * to exact brute force over the filtered corpus, which the same
+    * selectivity that hurts recall makes cheap. [[annFilteredTopK]]
+    * encodes that measured crossover.
+    */
+  def ivfTopKFilteredIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, id: String, vec: String, k: Int,
+      pred: Column, nProbe: Int = 0, targetRecall: Double = 0.0): DataFrame = {
+    val st = spark.read.parquet(s"$indexDir/stats").head
+    val nl = st.getAs[Int]("nlist")
+    val np =
+      if (nProbe > 0) nProbe
+      else if (targetRecall > 0.0) servingConfigFor(nl, targetRecall)
+      else math.max(1, nl / 2)
+    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val queryCells = assignCells(queries, id, vec, cents,
+      "query_id", "qv", keep = np)
+    val probed = queryCells.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .where(if (probed.isEmpty) lit(false)
+        else col("cell").isin(probed: _*))
+      .where(pred)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    ivfScorePipeline(cells, queryCells, k, perCellPrune = true)
+  }
+
+  /** The X3h dispatch rule, measured like [[lshConfigFor]]/X3g: count
+    * the predicate's survivors with ONE pushed-filter scan over the
+    * index cells (columnar count, no vectors read), then
+    *
+    *   survivors · |Q| ≤ bruteDotBudget → exact brute force over the
+    *       filtered corpus (the brute pair join's cost IS its dot
+    *       count; the same selectivity that risks the indexed arm's
+    *       recall makes it cheap)
+    *   otherwise → [[ivfTopKFilteredIndexed]]
+    *
+    * The budget is in DOT PRODUCTS, not survivors: the brute wall is
+    * linear in survivors × queries while the indexed wall is near-flat
+    * in both (partition prune + per-cell prune), so a flat survivor
+    * threshold would flip with batch size. Pinned by
+    * `SCALE_OUT_30x_annfilter_r19.json`: at |Q| = 100 the brute arm
+    * won at EVERY measured selectivity up to 60k survivors (6M dots:
+    * brute 1.21 s vs indexed 2.80 s at 30×), so 4M dots sits well
+    * inside the measured win region; beyond it the indexed arm is
+    * chosen conservatively — its measured worst-case loss inside the
+    * region is bounded (~2.3×) while the brute arm's loss outside
+    * grows without bound in survivors · |Q|.
+    */
+  def annFilteredTopK(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, id: String, vec: String, k: Int,
+      pred: Column, nProbe: Int = 0,
+      bruteDotBudget: Long = 4_000_000L): DataFrame = {
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val survivors = cells.where(pred).count()
+    val nQ = queries.count()
+    if (survivors * nQ <= bruteDotBudget) {
+      val corpus = cells.where(pred)
+        .select(col("neighbor_id").as(id), col("cv").as(vec))
+      bruteForceTopK(corpus, queries, id, vec, k)
+    } else
+      ivfTopKFilteredIndexed(spark, indexDir, queries, id, vec, k, pred,
+        nProbe = nProbe)
   }
 
   /** X3f: product-quantization (PQ) compressed residuals for the
@@ -1189,7 +1281,7 @@ object Similarity {
     memoizedMargin(corpus, id, vec, nHint, sampleN) >= minMargin
 
   /** Session-lifetime memo of [[clusterMargin]], keyed by the corpus'
-    * CANONICALIZED analyzed plan (+ column names + sampleN): the probe
+    * CANONICALIZED analyzed plan (+ column names + sampleN + nHint): the probe
     * measures a property of the corpus, so a serving loop that calls
     * [[annTierAuto]] per query batch over the same frame must pay the
     * sample scan ONCE, not per call (the r17 q_ann_auto driver-window
@@ -1203,19 +1295,25 @@ object Similarity {
     * of a recall-contract tier, never changes exact results.
     */
   private val marginMemo
-      : java.util.Map[(Any, String, String, Int), java.lang.Double] =
+      : java.util.Map[(Any, String, String, Int, Long), java.lang.Double] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(Any, String, String, Int), java.lang.Double](
+      new java.util.LinkedHashMap[(Any, String, String, Int, Long), java.lang.Double](
         16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(Any, String, String, Int), java.lang.Double])
+            e: java.util.Map.Entry[(Any, String, String, Int, Long), java.lang.Double])
             : Boolean = size() > 64
       })
 
   private def memoizedMargin(corpus: DataFrame, id: String, vec: String,
       nHint: Long, sampleN: Int): Double = {
+    // nHint is part of the key: clusterMargin's sampling fraction
+    // depends on autoSize(corpus, nHint), so a later call on the same
+    // corpus under a DIFFERENT hint must not be served a margin
+    // estimated at another sampling rate (r18 ADVICE). The raw hint —
+    // not the resolved size — keeps the key free (resolving at
+    // nHint = 0 would fire the count job memoization exists to avoid).
     val key = (corpus.queryExecution.analyzed.canonicalized: Any,
-      id, vec, sampleN)
+      id, vec, sampleN, nHint)
     val cached = marginMemo.get(key)
     if (cached != null) cached.doubleValue()
     else {

@@ -871,10 +871,15 @@ object TimeSeries {
     // Brownian-bridge significance: under H0 (iid, variance σ²) the
     // normalized CUSUM path S_⌊nu⌋/(σ√n) converges to a Brownian
     // bridge, whose sup-|B| tail is the Kolmogorov series —
-    // P(sup|B| > b) ≈ 2·exp(−2b²) (first term; upper bound, exact to
-    // round-6 for b ≳ 1.1). b = max|D|/(σ·n^1.5) off the same exact
-    // integers as the statistic (σ² via power sums), one double tree,
-    // so the oracle reproduces it bit-for-bit. σ = 0 → null.
+    // P(sup|B| > b) ≈ 2·exp(−2b²), the FIRST term only: an upper
+    // bound whose omitted second term 2·exp(−8b²) is ~1.3e-4 at
+    // b = 1.1, so the truncation is visible on a round-6 grid until
+    // b ≳ 1.4 (r18 ADVICE — the tail here is a deliberate one-term
+    // screen, coarser than the 3-term ksP the KS test carries; the
+    // SQL oracle mirrors this same one-term tree literal-for-literal,
+    // so cross-engine parity is unaffected). b = max|D|/(σ·n^1.5) off
+    // the same exact integers as the statistic (σ² via power sums),
+    // one double tree. σ = 0 → null.
     val nD = col("__nn").cast("double")
     val maxD = abs(col("__w.__d")).cast("double")
     val muFp = col("__tt").cast("double") / nD

@@ -356,6 +356,19 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X10b: best-fit-decreasing packing (Krell et al. 2021) — no doc
+    // crosses a pack boundary (zero cross-document attention
+    // contamination), BFD within md5-hash shards. All-integer
+    // assignment → hash-exact oracle: the BFD loop replays as a
+    // recursive CTE walking each shard's (len desc, doc_id) order with
+    // the bin-remaining/fill arrays carried as lists
+    "q_pack_bestfit" -> ((s, d) => {
+      Curation.bestFitPack(table(s, d, "documents"), "doc_id",
+        nTokens = size(split(col("text"), " ")), budget = PackBudget,
+        shards = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // X20: corpus-level boilerplate removal over the derived page —
     // cross-document line frequency. "short line" (every doc), the
     // lorem/javascript/nav markers (1/3, 1/5, 1/2 of docs) and the
@@ -785,6 +798,57 @@ object CurationQueries {
            CAST(start_offset // $PackBudget AS BIGINT) AS pack_id,
            CAST(start_offset % $PackBudget AS BIGINT) AS pack_pos
          FROM o ORDER BY doc_id""",
+    // X10b: sequential BFD replayed per shard — state = (remaining,
+    // fill) lists + the assignment log; the eligible-bin argmin scans
+    // j ascending replacing only on strictly-smaller remaining, the
+    // operator's exact tie-break (lowest pack_id)
+    "q_pack_bestfit" ->
+      s"""WITH RECURSIVE
+         dd AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 4 AS BIGINT) AS shard,
+             least(CAST(len(string_split(text, ' ')) AS BIGINT), $PackBudget) AS l
+           FROM documents),
+         o AS (SELECT shard, doc_id, l,
+             row_number() OVER (PARTITION BY shard ORDER BY l DESC, doc_id ASC) AS rn
+           FROM dd),
+         mx AS (SELECT shard, max(rn) AS mr FROM o GROUP BY shard),
+         bfd AS (
+           SELECT shard, 0 AS step,
+             CAST([] AS BIGINT[]) AS rem, CAST([] AS BIGINT[]) AS fill,
+             CAST([] AS STRUCT(doc_id BIGINT, l BIGINT, pack BIGINT, slot BIGINT)[]) AS asg
+           FROM (SELECT DISTINCT shard FROM o)
+           UNION ALL
+           SELECT shard, step,
+             CASE WHEN pick.i = -1 THEN list_append(rem, $PackBudget - l)
+               ELSE list_transform(range(1, len(rem) + 1),
+                 j -> CASE WHEN j = pick.i THEN rem[CAST(j AS INT)] - l
+                   ELSE rem[CAST(j AS INT)] END) END,
+             CASE WHEN pick.i = -1 THEN list_append(fill, CAST(1 AS BIGINT))
+               ELSE list_transform(range(1, len(fill) + 1),
+                 j -> CASE WHEN j = pick.i THEN fill[CAST(j AS INT)] + 1
+                   ELSE fill[CAST(j AS INT)] END) END,
+             list_append(asg, struct_pack(
+               doc_id := doc_id, l := l,
+               pack := CASE WHEN pick.i = -1 THEN CAST(len(rem) AS BIGINT)
+                 ELSE CAST(pick.i - 1 AS BIGINT) END,
+               slot := CASE WHEN pick.i = -1 THEN CAST(0 AS BIGINT)
+                 ELSE fill[pick.i] END))
+           FROM (
+             SELECT b.shard, oo.rn AS step, oo.doc_id, oo.l,
+               b.rem, b.fill, b.asg,
+               list_reduce(
+                 list_prepend(struct_pack(i := -1, r := CAST(NULL AS BIGINT)),
+                   list_transform(range(1, len(b.rem) + 1),
+                     j -> struct_pack(i := CAST(j AS INT),
+                       r := b.rem[CAST(j AS INT)]))),
+                 (a, c) -> CASE WHEN c.r >= oo.l AND (a.i = -1 OR c.r < a.r)
+                   THEN c ELSE a END) AS pick
+             FROM bfd b JOIN o oo ON oo.shard = b.shard AND oo.rn = b.step + 1)),
+         fin AS (SELECT b.shard, unnest(b.asg, recursive := true)
+           FROM bfd b JOIN mx ON mx.shard = b.shard AND b.step = mx.mr)
+         SELECT shard, doc_id, l AS n_tokens, pack AS pack_id, slot
+         FROM fin ORDER BY doc_id""",
+
     // X20: the threshold multiplies in DOUBLE on both sides (DuckDB
     // decimal literals would be exact where Spark's lit(0.15) is not;
     // 3n/20's 0.05 granularity keeps ceil() boundary-safe either way)

@@ -432,6 +432,32 @@ object NorthStarQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // X3h: metadata-filtered ANN over the persisted IVF index (r18
+    // verdict task #4) — predicate ∧ top-k, the read every production
+    // vector store serves: the index is built WITH the label attr
+    // colocated in the cells segment, the pre-filter pushes into the
+    // same parquet scan as the partition prune, and top-k ranks
+    // filtered candidates only (no post-filter candMult gamble).
+    // Sampled-centroid codebook (iters = 0) keeps the whole path
+    // value-oracle-able like q_ann_ivf_indexed.
+    "q_ann_filtered" -> ((s, d) => {
+      val srcMtime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivffidx-" +
+        s"${java.nio.file.Paths.get(d).getFileName.toString}-$srcMtime"
+      val e = table(s, d, "embeddings")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$idx/stats/_SUCCESS")))
+        Similarity.buildIvfIndex(e, "vec_id", "embedding", idx,
+          nlist = 16, iters = 0, attrs = Seq("label"))
+      Similarity.ivfTopKFilteredIndexed(s, idx,
+        queries = e.filter(col("vec_id") % 20 === 0),
+        id = "vec_id", vec = "embedding", k = 5,
+        pred = col("label") % 3 === 0, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // X3f: the PQ-compressed arm of the SAME probe (md5 coarse
     // codebook, 4 probed cells), exact re-rank on top — candMult is
     // sized to the corpus (candK ≥ |corpus| ≥ probed population), so
@@ -893,6 +919,44 @@ object NorthStarQueries {
            AND c.vec_id <> q.vec_id),
     """ + scoreTail + topKTail(5)
 
+  /** q_ann_filtered oracle: annIvfSql with the label attr carried
+    * through assignment and the corpus side filtered BEFORE the probe
+    * join — per-row nearest-centroid assignment is independent of
+    * other rows, so filtering before or after assignment is identical,
+    * and the query side stays unfiltered (predicate applies to
+    * NEIGHBORS, not queries).
+    */
+  private val annFilteredSql =
+    """WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e
+         ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT % 1000003,
+           vec_id
+         LIMIT 16),
+       asg AS (SELECT vec_id, label, v, cent_id,
+           CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END AS d
+         FROM (SELECT e.vec_id, e.label, e.v, c.cent_id,
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+               i -> e.v[CAST(i AS INT)] * c.cent_vec[CAST(i AS INT)])), (x, y) -> x + y) AS dp,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+               i -> e.v[CAST(i AS INT)] * e.v[CAST(i AS INT)])), (x, y) -> x + y)) AS na,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.cent_vec)+1),
+               i -> c.cent_vec[CAST(i AS INT)] * c.cent_vec[CAST(i AS INT)])), (x, y) -> x + y)) AS nb
+           FROM e CROSS JOIN cents c) sub),
+       corpus_cell AS (SELECT vec_id, v, cell FROM (
+           SELECT vec_id, label, v, cent_id AS cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id ASC) AS rn
+           FROM asg) WHERE rn = 1 AND label % 3 = 0),
+       query_cell AS (SELECT vec_id, v, cent_id AS cell FROM (
+           SELECT vec_id, v, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id ASC) AS rn
+           FROM asg WHERE vec_id % 20 = 0) WHERE rn <= 4),
+       pr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
+         FROM query_cell q JOIN corpus_cell c ON q.cell = c.cell
+           AND c.vec_id <> q.vec_id),
+    """ + scoreTail + topKTail(5)
+
   /** q_semdedup oracle: the annIvfSql centroid sample + nearest-cell
     * assignment (same unrounded argmax), within-cell pairs scored with
     * the shared exact-cosine tail, min-id survivor rule — a vector is
@@ -1302,6 +1366,7 @@ object NorthStarQueries {
     // X3e: the indexed arm is semantics-preserving vs q_ann_ivf
     // (same codebook, same trees) — the oracle is the same SQL
     "q_ann_ivf_indexed" -> annIvfSql,
+    "q_ann_filtered" -> annFilteredSql,
     // X3f: exact after re-rank on the same probe ⇒ the flat arm's SQL
     "q_ann_ivf_pq" -> annIvfSql,
     "q_semdedup" -> semDedupSql,

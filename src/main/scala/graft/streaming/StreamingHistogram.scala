@@ -96,16 +96,19 @@ object StreamingHistogram {
     merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     writePointer(stateDir, next, batchId)
     // Retain exactly state-next and state-(next-1) (the version a
-    // concurrent reader may still hold). Only state-(next-2) can have
-    // newly expired — every older version was removed by an earlier
-    // commit — so cleanup is O(1) per commit, not O(total batches).
-    val old = next - 2L
-    if (old >= 1L) {
-      val dir = Paths.get(stateDir, s"state-$old")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-      }
+    // concurrent reader may still hold). In steady state only
+    // state-(next-2) can have newly expired, but a crash BETWEEN
+    // writePointer and the delete leaves that version orphaned forever
+    // (no later commit revisits it) — so walk DOWNWARD from next-2
+    // deleting while the directory exists: still amortized O(1) per
+    // commit (each version is deleted exactly once across the store's
+    // lifetime), and self-healing after a crash (r18 ADVICE).
+    var old = next - 2L
+    while (old >= 1L && Files.isDirectory(Paths.get(stateDir, s"state-$old"))) {
+      Files.walk(Paths.get(stateDir, s"state-$old"))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      old -= 1L
     }
   }
 

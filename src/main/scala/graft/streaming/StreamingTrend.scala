@@ -95,15 +95,16 @@ object StreamingTrend {
     val next = curVer + 1
     merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     writePointer(stateDir, next, batchId)
-    // O(1) cleanup: only state-(next-2) can have newly expired (the
-    // StreamingHistogram discipline)
-    val old = next - 2L
-    if (old >= 1L) {
-      val dir = Paths.get(stateDir, s"state-$old")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-      }
+    // Amortized-O(1), crash-self-healing cleanup: walk DOWNWARD from
+    // state-(next-2) deleting while the directory exists (the
+    // StreamingHistogram discipline — a crash between writePointer and
+    // the delete must not orphan a version forever, r18 ADVICE)
+    var old = next - 2L
+    while (old >= 1L && Files.isDirectory(Paths.get(stateDir, s"state-$old"))) {
+      Files.walk(Paths.get(stateDir, s"state-$old"))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      old -= 1L
     }
   }
 

@@ -392,6 +392,73 @@ class CurationSpec extends SparkSpec {
     assert(out._3 == 255L)
   }
 
+  test("X10b bestFitPack: matches a scalar BFD reference; packs never overflow; docs never split; over-long docs clamp to a solo pack; repartition-stable") {
+    val rnd = new scala.util.Random(19)
+    val docs = (0L until 300L).map(i =>
+      (i, "w " * (1 + rnd.nextInt(200)))) :+ (300L, "w " * 500)
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    val budget = 128
+    val out = Curation.bestFitPack(df, "doc_id",
+      nTokens = size(split(col("text"), " ")), budget = budget, shards = 3)
+      .select("shard", "doc_id", "n_tokens", "pack_id", "slot")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // every doc assigned exactly once
+    assert(out.length == docs.size)
+    assert(out.map(_._2).distinct.length == docs.size)
+    // packs never exceed the budget; the over-long doc clamps to a
+    // budget-sized solo entry
+    out.groupBy(r => (r._1, r._4)).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sum <= budget)
+    }
+    val solo = out.find(_._2 == 300L).get
+    assert(solo._3 == budget.toLong)
+    assert(out.count(r => (r._1, r._4) == ((solo._1, solo._4))) == 1)
+    // scalar BFD reference per shard (independent implementation)
+    def md5Bucket(id: Long, b: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % b
+    }
+    val lens = docs.map { case (id, t) => (id, math.min(
+      t.split(" ", -1).length.toLong, budget.toLong)) }.toMap
+    val ref = docs.map(_._1).groupBy(md5Bucket(_, 3)).flatMap {
+      case (shard, ids) =>
+        val ordered = ids.map(i => (i, lens(i))).sortBy { case (i, l) => (-l, i) }
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val fill = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ordered.map { case (i, l) =>
+          val elig = rem.zipWithIndex.filter(_._1 >= l)
+          if (elig.isEmpty) {
+            rem += budget - l; fill += 1
+            (i, (shard, l, (rem.length - 1).toLong, 0L))
+          } else {
+            val (_, bi) = elig.minBy { case (r, j) => (r, j) }
+            val slot = fill(bi); rem(bi) -= l; fill(bi) += 1
+            (i, (shard, l, bi.toLong, slot))
+          }
+        }
+    }
+    out.foreach { case (sh, id, l, p, sl) =>
+      assert(ref(id) == ((sh, l, p, sl)), s"doc $id")
+    }
+    // repartition stability: a different physical layout, same rows
+    val out2 = Curation.bestFitPack(df.repartition(13), "doc_id",
+      nTokens = size(split(col("text"), " ")), budget = budget, shards = 3)
+      .select("shard", "doc_id", "n_tokens", "pack_id", "slot")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._2).toSeq == out2.sortBy(_._2).toSeq)
+    // stats face: efficiency in (0,1], counts consistent
+    val st = Curation.bestFitPackStats(
+      Curation.bestFitPack(df, "doc_id",
+        nTokens = size(split(col("text"), " ")), budget = budget, shards = 3),
+      budget)
+      .select("n_packs", "n_docs", "sum_tokens", "efficiency")
+      .as[(Long, Long, Long, Double)].head()
+    assert(st._2 == docs.size.toLong)
+    assert(st._4 > 0.0 && st._4 <= 1.0)
+    assert(st._3 == out.map(_._3).sum)
+  }
+
   test("X13b qualityBuckets: per-domain thirds, best third is head, ties by id") {
     val d = Seq(
       // domain a: 7 docs, scores 7..1 → ntile sizes 3/2/2

@@ -425,6 +425,57 @@ class DedupSimilaritySpec extends SparkSpec {
       s"no partition pruning on the cells read:\n$plan")
   }
 
+  test("X3h filtered ANN: full-probe filtered retrieval equals brute force over the filtered corpus; the auto face dispatches both arms correctly") {
+    val vecs = (0L until 150L).map(i =>
+      (i, Seq.tabulate(16)(d => math.sin(i * 0.53 + d * 0.77).toFloat),
+        (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val q = vecs.filter(col("vec_id") % 15 === 0)
+      .select("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivffidx-spec").toString
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", idx,
+      nlist = 8, iters = 2, attrs = Seq("label"))
+    val pred = col("label") % 2 === 0
+    // nProbe = nlist ⇒ every cell probed ⇒ the filtered-indexed read
+    // must equal exact brute force over the filtered corpus
+    val filtered = Similarity.ivfTopKFilteredIndexed(spark, idx, q,
+      "vec_id", "embedding", k = 5, pred = pred, nProbe = 8)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(
+      vecs.where(pred).select("vec_id", "embedding"), q,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(filtered.nonEmpty && filtered === brute)
+    // every neighbor satisfies the predicate
+    assert(filtered.forall { case (_, n, _, _) => n % 5 % 2 == 0 })
+    // auto face, survivors (90) × |Q| (10) = 900 dots ≤ budget → brute arm
+    val autoBrute = Similarity.annFilteredTopK(spark, idx, q,
+      "vec_id", "embedding", k = 5, pred = pred, bruteDotBudget = 1000L)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(autoBrute === brute)
+    // auto face, survivors > budget → the indexed arm at its nProbe
+    val autoIvf = Similarity.annFilteredTopK(spark, idx, q,
+      "vec_id", "embedding", k = 5, pred = pred,
+      nProbe = 3, bruteDotBudget = 10L)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val ivf3 = Similarity.ivfTopKFilteredIndexed(spark, idx, q,
+      "vec_id", "embedding", k = 5, pred = pred, nProbe = 3)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(autoIvf === ivf3)
+    // the filtered read pushes the attr predicate into the cells scan
+    val plan = Similarity.ivfTopKFilteredIndexed(spark, idx, q,
+      "vec_id", "embedding", k = 5, pred = pred, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("label") && plan.contains("DataFilters"),
+      s"label predicate not pushed into the cells scan:\n$plan")
+  }
+
   test("PQ index: exhaustive-candidate retrieval equals the flat index bit-for-bit; codes prune the read") {
     val vecs = (0L until 150L).map(i =>
       (i, Seq.tabulate(16)(d => math.sin(i * 0.53 + d * 0.77).toFloat)))

@@ -43,10 +43,17 @@ class OracleContractSpec extends SparkSpec {
     BooleanType -> "BOOLEAN", TimestampType -> "TIMESTAMP",
     DateType -> "DATE")
 
+  // NOT plan-only (r18 ADVICE): most registrations resolve lazily,
+  // but the eager ones run real work when fn() is invoked —
+  // q_fdr_adjust localCheckpoints its six feeds, q_unigram_lm /
+  // q_pca_project / q_unigram_segment execute driver-collect training
+  // or model derivation, the indexed-ANN queries build their index on
+  // first touch. Mitigations: the SMALLEST fixture (sf0.001), and the
+  // lazy val memoizes the whole pass so both tests pay it once.
   private lazy val sparkSchemas: Map[String, StructType] = {
     val sf = "/root/testdata/sf0.001"
     SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf).schema // plan-only: no job runs
+      name -> fn(spark, sf).schema
     }
   }
 

@@ -63,6 +63,20 @@ class StreamingHistogramSpec extends SparkSpec {
     StreamingHistogram.applyBatch(df(extra), Seq("k"), col("v"), store, 3L)
     assert(fromStore(store, rows ++ extra) == batchRef(rows ++ extra))
     assert(StreamingHistogram.readPointer(store) == ((4L, 3L)))
+    // crash between writePointer and the delete: state-(v-2) survives
+    // one commit. The downward-walking cleanup must pick up BOTH
+    // expired versions at the next commit, not just the newest (r18
+    // ADVICE — the old single-version delete orphaned it forever).
+    new java.io.File(s"$store/state-1").mkdirs()
+    new java.io.File(s"$store/state-2").mkdirs()
+    StreamingHistogram.applyBatch(
+      df(Seq(("b", 6000L, 1.0))), Seq("k"), col("v"), store, 4L)
+    assert(StreamingHistogram.readPointer(store)._1 == 5L)
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$store/state-1")))
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$store/state-2")))
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$store/state-3")))
+    assert(Files.isDirectory(java.nio.file.Paths.get(s"$store/state-4")))
+    assert(Files.isDirectory(java.nio.file.Paths.get(s"$store/state-5")))
   }
 
   test("ST17: percentileOf reconstructs Spark percentile exactly at every tested p") {
