@@ -1699,4 +1699,79 @@ object Curation {
       .agg(count(lit(1)).as("n_words"),
         sum(col("__n")).as("n_tokens"))
   }
+
+  /** X29 — learned quality classifier (the CCNet/fastText-style
+    * curation step: a LINEAR model over cheap text statistics decides
+    * keep/drop, trained on labeled examples instead of hand-tuned
+    * thresholds). Full-batch logistic-regression gradient descent,
+    * made ENGINE-DETERMINISTIC the unigram-LM way: the per-row
+    * gradient residual σ(wᵀx) − y is quantized to the 9-dp grid
+    * before summation, features ride the round-4 grid the X4 quality
+    * metrics already emit, so every gradient component is an EXACT
+    * DECIMAL sum (order-free — repartition-stable by construction)
+    * and the weight trajectory is a pure function of the data.
+    *
+    * That determinism buys something no iterative trainer in the
+    * registry has had: with a FIXED iteration count the whole
+    * training run is a finite dataflow (no data-dependent argmax
+    * branching like BPE's merge choice), so the DuckDB oracle can
+    * replay it as `iters` UNROLLED aggregate stages and the driver
+    * gate value-checks the learned weights themselves
+    * (`q_classifier_train`).
+    *
+    * Scale shape: one aggregate pass per iteration producing p+1
+    * DECIMAL sums (map-side combined), one driver-side O(p) weight
+    * update — the k-means/PCA centroids-to-driver pattern. Raw rows
+    * are scanned `iters` times and never shuffled.
+    *
+    * @return bias +: weights after `iters` full-batch steps
+    */
+  def logisticTrain(df: DataFrame, features: Seq[Column], label: Column,
+      iters: Int, lr: Double): Seq[Double] = {
+    val p = features.size
+    // features live on the exact DECIMAL(18,4) grid; the residual on
+    // the (10,9) grid (|σ−y| < 1), so the gradient product is
+    // DECIMAL(29,13) — inside precision 38, never silently demoted
+    // (the X28 wider-operand trap)
+    val rows = df.select(
+      (features.zipWithIndex.map { case (c, i) =>
+        c.cast("decimal(18,4)").as(s"x$i") } :+
+        label.cast("double").as("y")): _*)
+      .where(col("y").isNotNull &&
+        (0 until p).map(i => col(s"x$i").isNotNull).reduce(_ && _))
+    var w = Array.fill(p + 1)(0.0) // bias first
+    for (_ <- 0 until iters) {
+      val z = (0 until p).foldLeft(lit(w(0)): Column) { (acc, i) =>
+        acc + lit(w(i + 1)) * col(s"x$i").cast("double") }
+      val resid = round(lit(1.0) / (lit(1.0) + exp(-z)) - col("y"), 9)
+        .cast("decimal(10,9)")
+      val sums = rows.agg(
+        count(lit(1)).as("n"),
+        (sum(resid).as("g0") +:
+          (0 until p).map(i =>
+            sum(resid * col(s"x$i")).as(s"g${i + 1}"))): _*)
+        .collect().head
+      val n = sums.getLong(0).toDouble
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi - lr * (sums.getDecimal(i + 1).doubleValue() / n) }
+    }
+    w.toSeq
+  }
+
+  /** X29 scoring face: logit + probability + decision from a fixed
+    * weight vector over the same round-4 feature grid — the
+    * production read (score a corpus with a shipped model). Pure
+    * codegen column tree, value-oracle-able (`q_classifier_score`).
+    */
+  def logisticScore(df: DataFrame, features: Seq[Column],
+      bias: Double, weights: Seq[Double], threshold: Double = 0.5): DataFrame = {
+    require(weights.size == features.size, "one weight per feature")
+    val quant = features.map(_.cast("decimal(18,4)").cast("double"))
+    val z = quant.zip(weights).foldLeft(lit(bias): Column) {
+      case (acc, (x, wi)) => acc + lit(wi) * x }
+    val prob = lit(1.0) / (lit(1.0) + exp(-z))
+    df.withColumn("logit", round(z, 6))
+      .withColumn("prob", round(prob, 6))
+      .withColumn("keep", prob >= lit(threshold))
+  }
 }

@@ -1071,6 +1071,22 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A42: exact 2-feature OLS per group — value ~ hour-of-day +
+    // user-bucket through the normal equations via the explicit
+    // Cramer cofactor tree over DECIMAL-exact sufficient statistics
+    // (one pass, 10 sums; the q_corr discipline widened to p=2).
+    // Deterministic where SGD-family fits never are, hence oracle-able
+    "q_linfit" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      graft.operators.Regression.linearFit2(
+        ev, Seq("event_type"),
+        x1 = (pmod(graft.Tables.epochSeconds(col("ts")), lit(86400L)) /
+          lit(3600L)).cast("long"),
+        x2 = pmod(col("user_id"), lit(50L)),
+        y = col("value"))
+        .orderBy(col("event_type"))
+    }),
+
     // A17: correlation + regression per group — Pearson r and the
     // least-squares line of value-vs-hour-of-day. Built-in corr()/
     // regr_slope() accumulate DOUBLES in partition order (not
@@ -2777,6 +2793,55 @@ object AggQueries {
          FROM events GROUP BY user_id ORDER BY user_id""",
     // A17: exact DECIMAL sufficient statistics → one fixed double
     // expression tree on both engines
+    // A42 oracle: the identical Cramer cofactor tree over the
+    // identical DECIMAL-exact sums; betas/r2/rmse use the UNROUNDED
+    // det ratios inside SSE exactly as the operator does
+    "q_linfit" ->
+      """WITH e AS (SELECT event_type,
+           CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400 // 3600
+             AS DECIMAL(18,2)) AS x1,
+           CAST(user_id % 50 AS DECIMAL(18,2)) AS x2,
+           CAST(value AS DECIMAL(18,2)) AS y
+         FROM events),
+         a AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(y)  AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(x1 * y  AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(x2 * y  AS DECIMAL(38,6))) AS DOUBLE) AS s2y,
+             CAST(SUM(CAST(y * y   AS DECIMAL(38,6))) AS DOUBLE) AS syy
+           FROM e GROUP BY event_type),
+         c AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+             CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det,
+             sy * (s11 * s22 - s12 * s12)
+               - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS det0,
+             CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+               - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS det1,
+             CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+               - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS det2
+           FROM a),
+         f AS (SELECT *,
+             syy - ((det0 / det) * sy + (det1 / det) * s1y
+               + (det2 / det) * s2y) AS sse,
+             syy - sy * sy / nd AS tss
+           FROM c)
+         SELECT event_type, n,
+           CASE WHEN abs(det) > 1e-6 THEN round(det0 / det, 6) END AS beta0,
+           CASE WHEN abs(det) > 1e-6 THEN round(det1 / det, 6) END AS beta1,
+           CASE WHEN abs(det) > 1e-6 THEN round(det2 / det, 6) END AS beta2,
+           CASE WHEN abs(det) > 1e-6 AND tss > 1e-9
+             THEN round(greatest(0.0, 1.0 - sse / tss), 6) END AS r2,
+           CASE WHEN abs(det) > 1e-6
+             THEN round(sqrt(greatest(0.0, sse) / nd), 6) END AS rmse
+         FROM f ORDER BY event_type""",
     "q_corr" ->
       """WITH e AS (SELECT event_type,
            CAST(value AS DECIMAL(18,2)) AS x,

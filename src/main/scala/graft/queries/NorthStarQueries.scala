@@ -251,6 +251,10 @@ object NorthStarQueries {
         .collect()
         .map(r => r.getString(0) -> (r.getLong(1).toDouble - 1e6)).toSeq
       graft.operators.Curation.unigramLmSegment(docs, "doc_id", col("text"), model)
+        // flat-scalar driver contract: the token stream crosses the
+        // gate as ONE space-joined string, not an array column
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          array_join(col("tokens"), " ").as("tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -267,6 +271,9 @@ object NorthStarQueries {
     "q_bpe_segment" -> ((s, d) =>
       graft.operators.Curation.bpeSegment(
         table(s, d, "documents"), "doc_id", col("text"), BpeMergesLit)
+        // flat-scalar driver contract, as q_unigram_segment
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          array_join(col("tokens"), " ").as("tokens"))
         .orderBy(col("doc_id"))),
 
     // X4 tokenizer prep: vocabulary building — top-256 tokens by
@@ -535,6 +542,46 @@ object NorthStarQueries {
       val m = TextFns.qualityMetrics(col("text"))
       table(s, d, "documents")
         .select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // X29: learned quality classifier — TRAIN face. Full-batch
+    // logistic GD over the X4 round-4 feature grid with 9-dp-quantized
+    // gradient residuals: every step an exact DECIMAL sum, so the
+    // 3-iteration weight trajectory is engine-deterministic and the
+    // oracle replays it as three UNROLLED aggregate stages — the
+    // registry's first trained model under the DuckDB VALUE gate
+    "q_classifier_train" -> ((s, d) => {
+      val m = TextFns.qualityMetrics(col("text")).toMap
+      val docs = table(s, d, "documents")
+        .where(length(col("text")) > 0)
+        .select(m("punct_ratio").as("x_punct"),
+          m("stopword_ratio").as("x_stop"),
+          (m("quality_score") >= 0.5).cast("double").as("y"))
+      val n = docs.count()
+      val w = graft.operators.Curation.logisticTrain(
+        docs, Seq(col("x_punct"), col("x_stop")), col("y"),
+        iters = 3, lr = 1.0)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((n, r6(w(0)), r6(w(1)), r6(w(2))))
+        .toDF("n", "bias", "w_punct", "w_stop")
+    }),
+
+    // X29: learned quality classifier — SCORE face (ship a model,
+    // score the corpus): pure codegen sigmoid tree over the same
+    // feature grid, keep-decision on the unrounded probability
+    "q_classifier_score" -> ((s, d) => {
+      val m = TextFns.qualityMetrics(col("text")).toMap
+      val docs = table(s, d, "documents")
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), m("punct_ratio").as("pr"),
+          m("stopword_ratio").as("sr"))
+      graft.operators.Curation.logisticScore(
+        docs, Seq(col("pr"), col("sr")),
+        bias = -1.2, weights = Seq(-6.0, 5.0))
+        .select(col("doc_id"), col("logit"), col("prob"), col("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1178,7 +1225,8 @@ object NorthStarQueries {
          toks AS (SELECT o.doc_id, CAST(max(o.n_words) AS BIGINT) AS n_words,
              flatten(list(s.pieces ORDER BY o.pos)) AS tokens
            FROM occ o JOIN seg s ON s.w = o.w GROUP BY o.doc_id)
-         SELECT doc_id, n_words, CAST(len(tokens) AS BIGINT) AS n_tokens, tokens
+         SELECT doc_id, n_words, CAST(len(tokens) AS BIGINT) AS n_tokens,
+           array_to_string(tokens, ' ') AS tokens
          FROM toks ORDER BY doc_id""",
     // X25b: merge-table replay — each rank applied to fixpoint over the
     // space-delimited symbol string (equivalent to the operator's single
@@ -1210,7 +1258,8 @@ object NorthStarQueries {
          toks AS (SELECT o.doc_id, CAST(max(o.n_words) AS BIGINT) AS n_words,
              flatten(list(s.pieces ORDER BY o.pos)) AS tokens
            FROM occ o JOIN seg s ON s.w = o.w GROUP BY o.doc_id)
-         SELECT doc_id, n_words, CAST(len(tokens) AS BIGINT) AS n_tokens, tokens
+         SELECT doc_id, n_words, CAST(len(tokens) AS BIGINT) AS n_tokens,
+           array_to_string(tokens, ' ') AS tokens
          FROM toks ORDER BY doc_id""",
     "q_vocab" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -1424,6 +1473,87 @@ object NorthStarQueries {
            round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
              greatest(0.0, least(1.0, 0.5 * stop_ratio + 0.5 * (1.0 - punct_ratio))) END, 4) AS quality_score
          FROM r ORDER BY doc_id""",
+    // X29 TRAIN oracle: the 3-iteration full-batch GD loop UNROLLED —
+    // each iteration one projection (9-dp-quantized residual on the
+    // current weights) + one exact DECIMAL aggregate + one double
+    // weight update, token-for-token the operator's dataflow
+    "q_classifier_train" ->
+      s"""WITH m AS (SELECT
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct,
+           CAST(len(list_filter(string_split(text, ' '),
+             t -> list_contains($allStopsSql, t))) AS BIGINT) AS stop_hits
+         FROM documents WHERE length(text) > 0),
+         r0 AS (SELECT n_tok,
+           CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio
+         FROM m),
+         f AS (SELECT
+           CAST(round(punct_ratio, 4) AS DECIMAL(18,4)) AS x1,
+           CAST(round(stop_ratio, 4) AS DECIMAL(18,4)) AS x2,
+           CASE WHEN round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
+             greatest(0.0, least(1.0, 0.5 * stop_ratio + 0.5 * (1.0 - punct_ratio))) END, 4) >= 0.5
+             THEN 1.0 ELSE 0.0 END AS y
+         FROM r0
+         WHERE punct_ratio IS NOT NULL AND stop_ratio IS NOT NULL),
+         i1 AS (SELECT x1, x2, y,
+           CAST(round(1.0 / (1.0 + exp(-((0.0 + 0.0 * CAST(x1 AS DOUBLE)) + 0.0 * CAST(x2 AS DOUBLE)))) - y, 9) AS DECIMAL(10,9)) AS r
+         FROM f),
+         g1 AS (SELECT COUNT(*) AS n, SUM(r) AS g0,
+             SUM(r * x1) AS gx1, SUM(r * x2) AS gx2 FROM i1),
+         w1 AS (SELECT n,
+             0.0 - 1.0 * (CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE)) AS b,
+             0.0 - 1.0 * (CAST(gx1 AS DOUBLE) / CAST(n AS DOUBLE)) AS wp,
+             0.0 - 1.0 * (CAST(gx2 AS DOUBLE) / CAST(n AS DOUBLE)) AS ws
+           FROM g1),
+         i2 AS (SELECT f.x1, f.x2, f.y, w1.n, w1.b, w1.wp, w1.ws,
+           CAST(round(1.0 / (1.0 + exp(-((w1.b + w1.wp * CAST(f.x1 AS DOUBLE)) + w1.ws * CAST(f.x2 AS DOUBLE)))) - f.y, 9) AS DECIMAL(10,9)) AS r
+         FROM f, w1),
+         g2 AS (SELECT n, b, wp, ws, SUM(r) AS g0,
+             SUM(r * x1) AS gx1, SUM(r * x2) AS gx2 FROM i2
+           GROUP BY n, b, wp, ws),
+         w2 AS (SELECT n,
+             b - 1.0 * (CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE)) AS b,
+             wp - 1.0 * (CAST(gx1 AS DOUBLE) / CAST(n AS DOUBLE)) AS wp,
+             ws - 1.0 * (CAST(gx2 AS DOUBLE) / CAST(n AS DOUBLE)) AS ws
+           FROM g2),
+         i3 AS (SELECT f.x1, f.x2, f.y, w2.n, w2.b, w2.wp, w2.ws,
+           CAST(round(1.0 / (1.0 + exp(-((w2.b + w2.wp * CAST(f.x1 AS DOUBLE)) + w2.ws * CAST(f.x2 AS DOUBLE)))) - f.y, 9) AS DECIMAL(10,9)) AS r
+         FROM f, w2),
+         g3 AS (SELECT n, b, wp, ws, SUM(r) AS g0,
+             SUM(r * x1) AS gx1, SUM(r * x2) AS gx2 FROM i3
+           GROUP BY n, b, wp, ws),
+         w3 AS (SELECT n,
+             b - 1.0 * (CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE)) AS b,
+             wp - 1.0 * (CAST(gx1 AS DOUBLE) / CAST(n AS DOUBLE)) AS wp,
+             ws - 1.0 * (CAST(gx2 AS DOUBLE) / CAST(n AS DOUBLE)) AS ws
+           FROM g3)
+         SELECT n, round(b, 6) AS bias, round(wp, 6) AS w_punct,
+           round(ws, 6) AS w_stop FROM w3""",
+    // X29 SCORE oracle: the shipped-model sigmoid tree, keep-decision
+    // on the unrounded probability exactly as the operator computes it
+    "q_classifier_score" ->
+      s"""WITH m AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct,
+           CAST(len(list_filter(string_split(text, ' '),
+             t -> list_contains($allStopsSql, t))) AS BIGINT) AS stop_hits
+         FROM documents WHERE length(text) > 0),
+         r0 AS (SELECT doc_id,
+           CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio
+         FROM m),
+         f AS (SELECT doc_id,
+           CAST(CAST(round(punct_ratio, 4) AS DECIMAL(18,4)) AS DOUBLE) AS x1,
+           CAST(CAST(round(stop_ratio, 4) AS DECIMAL(18,4)) AS DOUBLE) AS x2
+         FROM r0),
+         z AS (SELECT doc_id, ((-1.2 + -6.0 * x1) + 5.0 * x2) AS zv FROM f)
+         SELECT doc_id, round(zv, 6) AS logit,
+           round(1.0 / (1.0 + exp(-zv)), 6) AS prob,
+           (1.0 / (1.0 + exp(-zv))) >= 0.5 AS keep
+         FROM z ORDER BY doc_id""",
     "q_token_stats" ->
       s"""SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

@@ -109,6 +109,100 @@ class BitmapAggSpec extends SparkSpec {
     assert(BitmapAgg.fromBytes(empty).isEmpty)
   }
 
+  test("ST21 streaming bitmap store: per-batch folds EXACTLY equal the batch aggregate; replay no-op; crash heal incl. planted orphans; exact set algebra + contains live") {
+    import graft.streaming.StreamingBitmap
+    val rnd = new scala.util.Random(31)
+    // (row_id, segment, member_id) — overlapping member sets per
+    // segment, with repeats across batches (OR must absorb them) and
+    // ids spanning signed/unsigned container boundaries
+    val pool = (0 until 260).map(_.toLong) ++
+      Seq(1L << 33, (1L << 41) + 7, -5L, -99L)
+    val all = (0 until 900).map { i =>
+      (i.toLong, if (rnd.nextInt(2) == 0) "buy" else "err",
+        pool(rnd.nextInt(pool.size)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("bm-store").toString
+    def template = StreamingBitmap.partialState(
+      all.take(1).toDF("id", "seg", "m"), Seq("seg"), col("m"))
+    def counts() = StreamingBitmap.currentCardinalities(
+      spark, dir, Seq("seg"), template)
+      .as[(String, Long)].collect().toMap
+    val batches = all.grouped(300).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingBitmap.applyBatch(b.toDF("id", "seg", "m"),
+        Seq("seg"), col("m"), dir, batchId = i.toLong)
+      val seen = all.take((i + 1) * 300)
+      val expect = seen.groupBy(_._2).map { case (s, rs) =>
+        s -> rs.map(_._3).distinct.size.toLong }
+      assert(counts() === expect, s"batch $i") // EXACT, not estimate
+    }
+    // replay of a committed batch must change nothing
+    val before = counts()
+    StreamingBitmap.applyBatch(batches(1).toDF("id", "seg", "m"),
+      Seq("seg"), col("m"), dir, batchId = 1L)
+    assert(counts() === before)
+    assert(StreamingBitmap.readPointer(dir) === ((3L, 2L)))
+    // crash-window: plant TWO orphaned versions (a crash between
+    // writePointer and the cleanup loop on consecutive commits);
+    // the downward walk must remove both on the next apply
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "state-1"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "state-4"))
+    StreamingBitmap.applyBatch(
+      Seq((9000L, "buy", 777_000L)).toDF("id", "seg", "m"),
+      Seq("seg"), col("m"), dir, batchId = 3L)
+    assert(StreamingBitmap.readPointer(dir) === ((4L, 3L)))
+    val versions = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("state-")).sorted.toSeq
+    assert(versions === Seq("state-3", "state-4"))
+    // exact set algebra between segments, answered from state alone
+    val ext = all :+ ((9000L, "buy", 777_000L))
+    val aSet = ext.filter(_._2 == "buy").map(_._3).toSet
+    val bSet = ext.filter(_._2 == "err").map(_._3).toSet
+    val alg = StreamingBitmap.segmentAlgebra(
+      spark, dir, "seg", "buy", "err", template)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(alg === ((aSet.size.toLong, bSet.size.toLong,
+      (aSet intersect bSet).size.toLong, (aSet diff bSet).size.toLong,
+      (aSet union bSet).size.toLong,
+      ((aSet diff bSet) union (bSet diff aSet)).size.toLong)))
+    // suppression-list membership probe
+    assert(StreamingBitmap.contains(spark, dir, "seg", "buy",
+      777_000L, template).as[Boolean].collect().head)
+    assert(!StreamingBitmap.contains(spark, dir, "seg", "err",
+      777_000L, template).as[Boolean].collect().head)
+  }
+
+  test("ST21 streaming bitmap store: end-to-end through foreachBatch on a MemoryStream") {
+    import graft.streaming.StreamingBitmap
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bm-ms").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bm-ck").toString
+    val in = MemoryStream[(Long, String, Long)]
+    val q = StreamingBitmap.maintain(
+      in.toDF().toDF("id", "seg", "m"), Seq("seg"), col("m"),
+      dir, ckpt).start()
+    val rnd = new scala.util.Random(37)
+    val all = (0 until 400).map(i =>
+      (i.toLong, if (i % 3 == 0) "buy" else "err", rnd.nextInt(120).toLong))
+    try {
+      in.addData(all.take(250): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(250): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val template = StreamingBitmap.partialState(
+      all.take(1).toDF("id", "seg", "m"), Seq("seg"), col("m"))
+    val got = StreamingBitmap.currentCardinalities(
+      spark, dir, Seq("seg"), template)
+      .as[(String, Long)].collect().toMap
+    val expect = all.groupBy(_._2).map { case (s, rs) =>
+      s -> rs.map(_._3).distinct.size.toLong }
+    assert(got === expect)
+  }
+
   test("A41: portable serialization roundtrips the container zoo (array/run/bitset, multi-high)") {
     val m = new Roaring64NavigableMap()
     // run container (dense range), array container (sparse), bitmap

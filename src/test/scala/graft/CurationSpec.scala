@@ -1289,4 +1289,84 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(counts === out.map(r => (r._1, r._2, r._3)).toSeq)
   }
+
+  // ---- X29 learned quality classifier --------------------------------
+
+  /** Deterministic 2-feature fixture on the 4-dp grid with a noisy
+    * planted rule (y = x2 > x1, flipped every 7th row).
+    */
+  private def clsFixture: Seq[(Double, Double, Double)] =
+    (0 until 60).map { i =>
+      val x1 = (i % 10) / 10.0 + 0.0123
+      val x2 = ((i * 3) % 10) / 10.0 + 0.0456
+      val base = if (x2 > x1) 1.0 else 0.0
+      val y = if (i % 7 == 0) 1.0 - base else base
+      (x1, x2, y)
+    }
+
+  /** The operator's exact arithmetic as a scalar loop: DECIMAL(18,4)
+    * features, 9-dp HALF_UP residual quantization, exact decimal
+    * gradient sums, double weight updates.
+    */
+  private def scalarLogistic(rows: Seq[(Double, Double, Double)],
+      iters: Int, lr: Double): Seq[Double] = {
+    val q = rows.map { case (a, b, y) =>
+      (BigDecimal(a).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP), y) }
+    var w = Array(0.0, 0.0, 0.0)
+    for (_ <- 0 until iters) {
+      var g0 = BigDecimal(0); var g1 = BigDecimal(0); var g2 = BigDecimal(0)
+      for ((x1, x2, y) <- q) {
+        val z = (w(0) + w(1) * x1.toDouble) + w(2) * x2.toDouble
+        val r = BigDecimal(1.0 / (1.0 + math.exp(-z)) - y)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        g0 += r; g1 += r * x1; g2 += r * x2
+      }
+      val n = q.size.toDouble
+      w = Array(w(0) - lr * (g0.toDouble / n),
+        w(1) - lr * (g1.toDouble / n), w(2) - lr * (g2.toDouble / n))
+    }
+    w.toSeq
+  }
+
+  test("X29 logisticTrain matches the scalar-reference GD loop bit-for-bit; repartition-stable") {
+    import graft.operators.Curation
+    val df = clsFixture.toDF("x1", "x2", "y")
+    val expect = scalarLogistic(clsFixture, iters = 4, lr = 1.5)
+    val got = Curation.logisticTrain(df.repartition(13),
+      Seq(col("x1"), col("x2")), col("y"), iters = 4, lr = 1.5)
+    assert(got === expect) // exact double equality — the whole point
+    val got1 = Curation.logisticTrain(df.coalesce(1),
+      Seq(col("x1"), col("x2")), col("y"), iters = 4, lr = 1.5)
+    assert(got1 === expect)
+  }
+
+  test("X29 logisticTrain learns a separable rule; logisticScore classifies it") {
+    import graft.operators.Curation
+    // cleanly separable: y = 1 iff x > 0.5, single feature
+    val rows = (0 until 50).map(i => (i / 50.0 + 0.001, if (i >= 25) 1.0 else 0.0))
+    val df = rows.toDF("x", "y")
+    val w = Curation.logisticTrain(df, Seq(col("x")), col("y"),
+      iters = 200, lr = 4.0)
+    val scored = Curation.logisticScore(df, Seq(col("x")), w(0), Seq(w(1)))
+    val acc = scored.where((col("keep") === (col("y") === 1.0)))
+      .count().toDouble / rows.size
+    assert(acc >= 0.96, s"accuracy $acc with weights $w")
+    // direction: the feature weight must be positive, bias negative
+    assert(w(1) > 0 && w(0) < 0)
+  }
+
+  test("X29 logisticScore: null-feature rows score null, keep law holds on the rest") {
+    import graft.operators.Curation
+    val df = Seq((1L, Some(0.1), 0.9), (2L, None, 0.2), (3L, Some(0.8), 0.1))
+      .toDF("id", "x1", "x2")
+    val out = Curation.logisticScore(df,
+      Seq(col("x1"), col("x2")), bias = -0.5, weights = Seq(2.0, 1.0))
+      .select(col("id"), col("prob"), col("keep"))
+      .as[(Long, Option[Double], Option[Boolean])].collect()
+      .sortBy(_._1)
+    assert(out(1)._2.isEmpty && out(1)._3.isEmpty)
+    for (r <- Seq(out(0), out(2)); p <- r._2; k <- r._3)
+      assert(k === (p >= 0.5) && p > 0.0 && p < 1.0)
+  }
 }
