@@ -1733,12 +1733,18 @@ object Curation {
     // the (10,9) grid (|σ−y| < 1), so the gradient product is
     // DECIMAL(29,13) — inside precision 38, never silently demoted
     // (the X28 wider-operand trap)
+    // Materialize the projected feature table ONCE: features are a
+    // handful of DECIMALs per row, while extracting them (e.g. the X4
+    // stopword scan) can dominate — without this every GD iteration
+    // would re-run the extraction over the raw corpus. persist (not
+    // localCheckpoint) so the blocks release at the end of the loop.
     val rows = df.select(
       (features.zipWithIndex.map { case (c, i) =>
         c.cast("decimal(18,4)").as(s"x$i") } :+
         label.cast("double").as("y")): _*)
       .where(col("y").isNotNull &&
         (0 until p).map(i => col(s"x$i").isNotNull).reduce(_ && _))
+      .persist()
     var w = Array.fill(p + 1)(0.0) // bias first
     for (_ <- 0 until iters) {
       val z = (0 until p).foldLeft(lit(w(0)): Column) { (acc, i) =>
@@ -1755,6 +1761,7 @@ object Curation {
       w = w.zipWithIndex.map { case (wi, i) =>
         wi - lr * (sums.getDecimal(i + 1).doubleValue() / n) }
     }
+    rows.unpersist(blocking = false)
     w.toSeq
   }
 
