@@ -1765,6 +1765,56 @@ object Curation {
     w.toSeq
   }
 
+  /** X30 — collocation mining: adjacent-bigram PMI/NPMI over the
+    * corpus (Church & Hanks 1990 pointwise mutual information;
+    * Bouma 2009 normalized PMI — the statistic behind word2vec-style
+    * phrase detection, Mikolov et al. 2013). A curation pipeline uses
+    * it to learn multi-word units ("new york") before tokenization
+    * and to audit boilerplate (top collocations of a crawl snapshot
+    * expose template text).
+    *
+    * PMI = ln( (n_ab/M) / ((n_a/N)(n_b/N)) ), NPMI = PMI / −ln(n_ab/M)
+    * with N = token total, M = bigram total — exact integer counts
+    * into one fixed double log tree (round-6), so the face is fully
+    * DuckDB-oracle-able (`q_collocations`).
+    *
+    * Scale shape: one explode → two map-side-combined hash aggregates
+    * (pair counts, unigram counts); `minCount` prunes the pair table
+    * BEFORE it joins the vocabulary-sized unigram counts twice; N and
+    * M ride 1-row broadcasts. Raw text is touched exactly once.
+    */
+  def collocations(df: DataFrame, text: Column, minCount: Int): DataFrame = {
+    val t = df.select(
+      filter(split(text, " "), w => length(w) > 0).as("toks"))
+    val uni = t.select(explode(col("toks")).as("tok"))
+    val uc = uni.groupBy("tok").agg(count(lit(1)).as("n"))
+    val nTotal = uni.agg(count(lit(1)).as("nn"))
+    val bg = t.where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+             i -> struct(element_at(toks, CAST(i AS INT)) AS a,
+                         element_at(toks, CAST(i + 1 AS INT)) AS b))"""))
+        .as("p"))
+      .select(col("p.a"), col("p.b"))
+    val bc = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= lit(minCount.toLong))
+    val mTotal = bg.agg(count(lit(1)).as("mm"))
+    val d = (c: Column) => c.cast("double")
+    val joined = bc
+      .join(uc.select(col("tok").as("a"), col("n").as("n_a")), "a")
+      .join(uc.select(col("tok").as("b"), col("n").as("n_b")), "b")
+      .crossJoin(broadcast(nTotal))
+      .crossJoin(broadcast(mTotal))
+    val pab = d(col("n_ab")) / d(col("mm"))
+    val pmiRaw = log(pab /
+      ((d(col("n_a")) / d(col("nn"))) * (d(col("n_b")) / d(col("nn")))))
+    joined.select(
+      col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+      round(pmiRaw, 6).as("pmi"),
+      when(col("n_ab") < col("mm"),
+        round(pmiRaw / -log(pab), 6)).as("npmi"))
+  }
+
   /** X29 scoring face: logit + probability + decision from a fixed
     * weight vector over the same round-4 feature grid — the
     * production read (score a corpus with a shipped model). Pure

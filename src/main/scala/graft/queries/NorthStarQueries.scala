@@ -585,6 +585,16 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X30: collocation mining — adjacent-bigram PMI/NPMI (the
+    // word2vec-phrases statistic) from exact integer counts through
+    // one fixed log tree; minCount prunes the pair table before the
+    // vocabulary joins
+    "q_collocations" -> ((s, d) => {
+      graft.operators.Curation.collocations(
+        table(s, d, "documents"), col("text"), minCount = 5)
+        .orderBy(col("npmi").desc_nulls_last, col("a"), col("b"))
+    }),
+
     // X4: token counting (whitespace + BPE-ish regex)
     "q_token_stats" -> ((s, d) => {
       val toks = split(col("text"), " ")
@@ -1554,6 +1564,29 @@ object NorthStarQueries {
            round(1.0 / (1.0 + exp(-zv)), 6) AS prob,
            (1.0 / (1.0 + exp(-zv))) >= 0.5 AS keep
          FROM z ORDER BY doc_id""",
+    // X30 oracle: identical exact counts into the identical log tree
+    "q_collocations" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks FROM documents),
+         u AS (SELECT unnest(toks) AS tok FROM t),
+         uc AS (SELECT tok, COUNT(*) AS n FROM u GROUP BY tok),
+         tot AS (SELECT COUNT(*) AS nn FROM u),
+         bg AS (SELECT toks[CAST(i AS INT)] AS a, toks[CAST(i AS INT) + 1] AS b
+           FROM t, unnest(range(1, len(toks))) AS r(i) WHERE len(toks) >= 2),
+         bc AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY a, b
+           HAVING COUNT(*) >= 5),
+         btot AS (SELECT COUNT(*) AS mm FROM bg),
+         j AS (SELECT bc.a, bc.b, bc.n_ab, ua.n AS n_a, ub.n AS n_b,
+             tot.nn, btot.mm
+           FROM bc JOIN uc ua ON ua.tok = bc.a
+                   JOIN uc ub ON ub.tok = bc.b, tot, btot)
+         SELECT a, b, n_ab, n_a, n_b,
+           round(ln((CAST(n_ab AS DOUBLE) / CAST(mm AS DOUBLE)) /
+             ((CAST(n_a AS DOUBLE) / CAST(nn AS DOUBLE)) * (CAST(n_b AS DOUBLE) / CAST(nn AS DOUBLE)))), 6) AS pmi,
+           CASE WHEN n_ab < mm THEN
+             round(ln((CAST(n_ab AS DOUBLE) / CAST(mm AS DOUBLE)) /
+               ((CAST(n_a AS DOUBLE) / CAST(nn AS DOUBLE)) * (CAST(n_b AS DOUBLE) / CAST(nn AS DOUBLE))))
+               / -ln(CAST(n_ab AS DOUBLE) / CAST(mm AS DOUBLE)), 6) END AS npmi
+         FROM j ORDER BY npmi DESC NULLS LAST, a, b""",
     "q_token_stats" ->
       s"""SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

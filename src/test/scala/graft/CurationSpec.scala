@@ -1356,6 +1356,68 @@ class CurationSpec extends SparkSpec {
     assert(w(1) > 0 && w(0) < 0)
   }
 
+  test("X30 collocations: PMI/NPMI match the scalar formula on exact counts; the planted phrase ranks top") {
+    import graft.operators.Curation
+    // "new york" always adjacent; "of the" frequent but both words
+    // common elsewhere; filler tokens dilute
+    val docs = Seq(
+      "i saw new york today and the city was big",
+      "new york is the place of the dreams of many",
+      "the history of the old new york runs deep",
+      "she left new york for the coast of the bay")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Curation.collocations(docs, col("text"), minCount = 2)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().map(r => ((r._1, r._2), r)).toMap
+    // scalar reference from exact counts
+    val toks = Seq(
+      "i saw new york today and the city was big",
+      "new york is the place of the dreams of many",
+      "the history of the old new york runs deep",
+      "she left new york for the coast of the bay")
+      .map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val n = toks.flatten.size.toDouble
+    val bgs = toks.flatMap(t => t.zip(t.tail))
+    val m = bgs.size.toDouble
+    val bc = bgs.groupBy(identity).view.mapValues(_.size).toMap
+    def expect(a: String, b: String) = {
+      val pab = bc((a, b)) / m
+      val pmi = math.log(pab / ((uni(a) / n) * (uni(b) / n)))
+      (BigDecimal(pmi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(pmi / -math.log(pab))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    for ((a, b) <- Seq(("new", "york"), ("of", "the"))) {
+      val r = out((a, b))
+      val (epmi, enpmi) = expect(a, b)
+      assert(r._3 == bc((a, b)).toLong && r._4 == uni(a).toLong &&
+        r._5 == uni(b).toLong, s"counts for ($a,$b)")
+      assert(r._6 === epmi && r._7 === enpmi, s"pmi/npmi for ($a,$b)")
+    }
+    // the always-adjacent pair must outrank the incidental frequent one
+    assert(out(("new", "york"))._7 > out(("of", "the"))._7)
+    // minCount prunes singleton pairs
+    assert(!out.contains(("city", "was")))
+  }
+
+  test("X30 collocations: repartition-stable and empty-safe") {
+    import graft.operators.Curation
+    val docs = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "alpha beta gamma" else "beta gamma delta"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.collocations(d, col("text"), minCount = 3)
+        .orderBy(col("a"), col("b"))
+        .as[(String, String, Long, Long, Long, Double, Double)]
+        .collect().toSeq
+    assert(run(docs.repartition(7)) === run(docs.coalesce(1)))
+    val empty = Curation.collocations(
+      Seq((1L, "solo")).toDF("doc_id", "text"), col("text"), 1)
+    assert(empty.count() === 0) // no bigrams in a 1-token corpus
+  }
+
   test("X29 logisticScore: null-feature rows score null, keep law holds on the rest") {
     import graft.operators.Curation
     val df = Seq((1L, Some(0.1), 0.9), (2L, None, 0.2), (3L, Some(0.8), 0.1))
