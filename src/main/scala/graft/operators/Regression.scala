@@ -46,23 +46,56 @@ object Regression {
     * singular on the round-6 grid, e.g. a constant feature).
     */
   def linearFit2(df: DataFrame, keys: Seq[String], x1: Column,
-      x2: Column, y: Column): DataFrame = {
+      x2: Column, y: Column): DataFrame =
+    fit2FromSums(sums2(df, keys, x1, x2, y), keys)
+
+  /** The 2-feature sufficient-statistics aggregate as a standalone,
+    * SUMMABLE state table: (keys, n, s1..syy) with every sum an exact
+    * DECIMAL — add two state tables component-wise and you get the
+    * state of the concatenated data, bit-exactly. This is what makes
+    * the fit streamable ([[graft.streaming.StreamingRegression]]):
+    * the store folds batches by DECIMAL addition and the read face
+    * runs [[fit2FromSums]] UNCHANGED on the committed state.
+    */
+  def sums2(df: DataFrame, keys: Seq[String], x1: Column, x2: Column,
+      y: Column): DataFrame = {
     val q = (c: Column) => c.cast("decimal(18,2)")
-    val prod = (a: Column, b: Column) => sum((a * b).cast("decimal(38,6)"))
+    val prod = (a: Column, b: Column) =>
+      sum((a * b).cast("decimal(38,6)")).cast("decimal(38,6)")
     val rows = df.select(
       (keys.map(col) ++ Seq(q(x1).as("__x1"), q(x2).as("__x2"),
         q(y).as("__y"))): _*)
-    val agg = rows.groupBy(keys.map(col): _*).agg(
+    rows.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),
-      sum(col("__x1")).cast("double").as("s1"),
-      sum(col("__x2")).cast("double").as("s2"),
-      sum(col("__y")).cast("double").as("sy"),
-      prod(col("__x1"), col("__x1")).cast("double").as("s11"),
-      prod(col("__x1"), col("__x2")).cast("double").as("s12"),
-      prod(col("__x2"), col("__x2")).cast("double").as("s22"),
-      prod(col("__x1"), col("__y")).cast("double").as("s1y"),
-      prod(col("__x2"), col("__y")).cast("double").as("s2y"),
-      prod(col("__y"), col("__y")).cast("double").as("syy"))
+      sum(col("__x1")).cast("decimal(38,6)").as("s1"),
+      sum(col("__x2")).cast("decimal(38,6)").as("s2"),
+      sum(col("__y")).cast("decimal(38,6)").as("sy"),
+      prod(col("__x1"), col("__x1")).as("s11"),
+      prod(col("__x1"), col("__x2")).as("s12"),
+      prod(col("__x2"), col("__x2")).as("s22"),
+      prod(col("__x1"), col("__y")).as("s1y"),
+      prod(col("__x2"), col("__y")).as("s2y"),
+      prod(col("__y"), col("__y")).as("syy"))
+  }
+
+  /** Component-wise addition of [[sums2]] state tables — the store
+    * merge. Exact: DECIMAL sums are associative and commutative.
+    */
+  def mergeSums2(states: DataFrame, keys: Seq[String]): DataFrame =
+    states.groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      (Seq("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+        .map(c => sum(col(c)).cast("decimal(38,6)").as(c))): _*)
+
+  /** The Cramer solve over a [[sums2]] state table — shared verbatim
+    * by the batch fit and the streaming store's read face, so batch
+    * parity there is structural.
+    */
+  def fit2FromSums(sumsTable: DataFrame, keys: Seq[String]): DataFrame = {
+    val agg = sumsTable.select(
+      (keys.map(col) :+ col("n")) ++
+        Seq("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+          .map(c => col(c).cast("double").as(c)): _*)
     val nD = col("n").cast("double")
     // Cramer over A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], b =
     // [sy,s1y,s2y] — the cofactor expansions written out once and

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.operators.Regression
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** ST22 — streaming maintenance of A42 regression sufficient
+  * statistics: the OLS fit served live. The state is the
+  * [[Regression.sums2]] table — (keys, n, 9 exact DECIMAL sums) — and
+  * exact DECIMAL addition is associative/commutative, so the store
+  * fold `merge(committed, partial(batch))` is BIT-IDENTICAL to the
+  * batch aggregate over everything ingested so far (the
+  * ST16/ST17/ST20/ST21 summability argument, asserted per batch by
+  * the spec). The read face runs [[Regression.fit2FromSums]]
+  * UNCHANGED on the committed state, so fit parity with the batch
+  * operator is STRUCTURAL, not approximate: the live fit after batch
+  * k equals `linearFit2` over the concatenation of batches 0..k to
+  * the bit.
+  *
+  * Why this matters at scale: a model that recalibrates continuously
+  * ("value vs hour and user-bucket, refit every minute") must not
+  * rescan history — here each micro-batch pays ONE aggregate over its
+  * own rows, the merge touches |keys| state rows, and the O(p²)
+  * state per key is independent of ingest volume. This is the same
+  * reason ClickHouse ships simpleLinearRegression as an
+  * AggregateFunction with a mergeable state.
+  *
+  * Store layout and commit protocol are the family's verbatim:
+  * `state-<version>/` parquet under an atomically-moved `_CURRENT`
+  * pointer, batchId replay guard, DOWNWARD-walk O(1) cleanup
+  * (crash-self-healing — the round-19 rule).
+  */
+object StreamingRegression {
+
+  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
+
+  /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
+  def readPointer(stateDir: String): (Long, Long) = {
+    val p = pointerPath(stateDir)
+    if (!Files.exists(p)) (0L, -1L)
+    else {
+      val parts = Files.readString(p).trim.split(" ")
+      (parts(0).toLong, parts(1).toLong)
+    }
+  }
+
+  private def writePointer(stateDir: String, version: Long,
+      batchId: Long): Unit = {
+    val tmp = Paths.get(stateDir, s"_CURRENT.tmp")
+    Files.writeString(tmp, s"$version $batchId")
+    Files.move(tmp, pointerPath(stateDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The committed state table (raw [[Regression.sums2]] rows). */
+  def readState(spark: SparkSession, stateDir: String,
+      template: DataFrame): DataFrame = {
+    val (v, _) = readPointer(stateDir)
+    if (v == 0L) spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), template.schema)
+    else spark.read.parquet(s"$stateDir/state-$v")
+  }
+
+  /** Read face: the exact OLS fit at the current commit point —
+    * [[Regression.fit2FromSums]] verbatim on the committed sums.
+    */
+  def currentFit(spark: SparkSession, stateDir: String,
+      keys: Seq[String], template: DataFrame): DataFrame =
+    Regression.fit2FromSums(readState(spark, stateDir, template), keys)
+
+  /** Fold ONE ingest batch into the store — pure function of
+    * (committed state, batch, batchId). Replays are no-ops.
+    */
+  def applyBatch(batch: DataFrame, keys: Seq[String], x1: Column,
+      x2: Column, y: Column, stateDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    Files.createDirectories(Paths.get(stateDir))
+    val (curVer, lastBatch) = readPointer(stateDir)
+    if (batchId <= lastBatch) return
+    val partial = Regression.sums2(batch, keys, x1, x2, y)
+    val cur = readState(spark, stateDir, partial)
+    val merged = Regression.mergeSums2(cur.unionByName(partial), keys)
+    val next = curVer + 1
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
+    writePointer(stateDir, next, batchId)
+    var old = next - 2L
+    while (old >= 1L && Files.isDirectory(Paths.get(stateDir, s"state-$old"))) {
+      Files.walk(Paths.get(stateDir, s"state-$old"))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      old -= 1L
+    }
+  }
+
+  /** The streaming sink: exactly-once per micro-batch; the live fit
+    * between batches equals the batch fit over everything ingested.
+    */
+  def maintain(stream: DataFrame, keys: Seq[String], x1: Column,
+      x2: Column, y: Column, stateDir: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, keys, x1, x2, y, stateDir, batchId)
+      }
+}

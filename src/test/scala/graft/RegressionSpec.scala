@@ -95,6 +95,97 @@ class RegressionSpec extends SparkSpec {
     assert(res === ((0.0, 100L)))
   }
 
+  test("ST22 streaming regression store: per-batch live fit is BIT-equal to the batch fit over everything ingested; replay no-op; planted-orphan crash heal") {
+    import graft.streaming.StreamingRegression
+    val rnd = new scala.util.Random(43)
+    val all = (0 until 900).map { i =>
+      val k = if (rnd.nextInt(2) == 0) "a" else "b"
+      val x1 = rnd.nextInt(24).toDouble
+      val x2 = rnd.nextInt(50).toDouble
+      (i.toLong, k, x1, x2,
+        1.0 + 0.5 * x1 - 0.25 * x2 + (rnd.nextInt(100) - 50) / 100.0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("reg-store").toString
+    def df(rows: Seq[(Long, String, Double, Double, Double)]) =
+      rows.toDF("id", "k", "x1", "x2", "y")
+    def template = graft.operators.Regression.sums2(
+      df(all.take(1)), Seq("k"), col("x1"), col("x2"), col("y"))
+    def live() = StreamingRegression.currentFit(
+      spark, dir, Seq("k"), template)
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    def batchFit(rows: Seq[(Long, String, Double, Double, Double)]) =
+      graft.operators.Regression.linearFit2(
+        df(rows), Seq("k"), col("x1"), col("x2"), col("y"))
+        .as[(String, Long, Double, Double, Double, Double, Double)]
+        .collect().sortBy(_._1).toSeq
+    val batches = all.grouped(300).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingRegression.applyBatch(df(b), Seq("k"),
+        col("x1"), col("x2"), col("y"), dir, batchId = i.toLong)
+      assert(live() === batchFit(all.take((i + 1) * 300)), s"batch $i")
+    }
+    // replay no-op
+    val before = live()
+    StreamingRegression.applyBatch(df(batches(1)), Seq("k"),
+      col("x1"), col("x2"), col("y"), dir, batchId = 1L)
+    assert(live() === before)
+    assert(StreamingRegression.readPointer(dir) === ((3L, 2L)))
+    // planted orphans (crash between pointer move and cleanup) heal
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "state-1"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "state-4"))
+    StreamingRegression.applyBatch(
+      df(Seq((9000L, "a", 3.0, 7.0, 2.5))), Seq("k"),
+      col("x1"), col("x2"), col("y"), dir, batchId = 3L)
+    assert(StreamingRegression.readPointer(dir) === ((4L, 3L)))
+    val versions = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("state-")).sorted.toSeq
+    assert(versions === Seq("state-3", "state-4"))
+    assert(live() === batchFit(all :+ ((9000L, "a", 3.0, 7.0, 2.5))))
+  }
+
+  test("ST22 streaming regression store: end-to-end through foreachBatch on a MemoryStream") {
+    import graft.streaming.StreamingRegression
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("reg-ms").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("reg-ck").toString
+    val in = MemoryStream[(Long, String, Double, Double, Double)]
+    val q = StreamingRegression.maintain(
+      in.toDF().toDF("id", "k", "x1", "x2", "y"), Seq("k"),
+      col("x1"), col("x2"), col("y"), dir, ckpt).start()
+    val all = (0 until 400).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b",
+        (i % 11).toDouble, (i % 7).toDouble,
+        2.0 + 0.3 * (i % 11) - 0.1 * (i % 7))
+    }
+    try {
+      in.addData(all.take(250): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(250): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val template = graft.operators.Regression.sums2(
+      all.take(1).toDF("id", "k", "x1", "x2", "y"), Seq("k"),
+      col("x1"), col("x2"), col("y"))
+    val got = StreamingRegression.currentFit(spark, dir, Seq("k"), template)
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    val expect = graft.operators.Regression.linearFit2(
+      all.toDF("id", "k", "x1", "x2", "y"), Seq("k"),
+      col("x1"), col("x2"), col("y"))
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === expect) // live fit ≡ batch fit, bit-equal
+    // the planted rule is recovered to the round-6 grid (inputs ride
+    // the DECIMAL(18,2) grid, so "noiseless" only holds approximately)
+    assert(expect.forall(r => math.abs(r._3 - 2.0) < 2e-6 &&
+      math.abs(r._4 - 0.3) < 2e-6 && math.abs(r._5 + 0.1) < 2e-6 &&
+      math.abs(r._6 - 1.0) < 2e-6 && math.abs(r._7) < 2e-6))
+  }
+
   test("A42: groups below p+2 rows or with zero variance fit null, others unaffected") {
     val df = (plane.map { case (_, a, b, y) => ("ok", a, b, y) } ++
       Seq(("tiny", 1.0, 2.0, 3.0), ("tiny", 2.0, 3.0, 4.0)) ++
