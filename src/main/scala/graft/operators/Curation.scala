@@ -1783,22 +1783,52 @@ object Curation {
     * BEFORE it joins the vocabulary-sized unigram counts twice; N and
     * M ride 1-row broadcasts. Raw text is touched exactly once.
     */
-  def collocations(df: DataFrame, text: Column, minCount: Int): DataFrame = {
+  def collocations(df: DataFrame, text: Column, minCount: Int): DataFrame =
+    collocationsFromCounts(collocationCounts(df, text), minCount)
+
+  /** The X30 count state as a standalone, SUMMABLE table: one row per
+    * (kind, a, b) where kind 'u' carries unigram counts (b = "") and
+    * kind 'b' adjacent-bigram counts. Integer counts add, so two
+    * state tables merge by summation into the state of the
+    * concatenated corpus - what makes the phrase table streamable
+    * ([[graft.streaming.StreamingCollocations]]). Totals N and M are
+    * derived sums, never separate state.
+    */
+  def collocationCounts(df: DataFrame, text: Column): DataFrame = {
     val t = df.select(
       filter(split(text, " "), w => length(w) > 0).as("toks"))
-    val uni = t.select(explode(col("toks")).as("tok"))
-    val uc = uni.groupBy("tok").agg(count(lit(1)).as("n"))
-    val nTotal = uni.agg(count(lit(1)).as("nn"))
-    val bg = t.where(size(col("toks")) >= 2)
+    val uni = t.select(explode(col("toks")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("n"))
+      .select(lit("u").as("kind"), col("a"), lit("").as("b"), col("n"))
+    val big = t.where(size(col("toks")) >= 2)
       .select(explode(expr(
         """transform(sequence(1, size(toks) - 1),
              i -> struct(element_at(toks, CAST(i AS INT)) AS a,
                          element_at(toks, CAST(i + 1 AS INT)) AS b))"""))
         .as("p"))
-      .select(col("p.a"), col("p.b"))
-    val bc = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= lit(minCount.toLong))
-    val mTotal = bg.agg(count(lit(1)).as("mm"))
+      .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n"))
+      .select(lit("b").as("kind"), col("a"), col("b"), col("n"))
+    uni.unionByName(big)
+  }
+
+  /** Merge [[collocationCounts]] state tables - integer addition per
+    * (kind, a, b); exact, order-free.
+    */
+  def mergeCollocationCounts(states: DataFrame): DataFrame =
+    states.groupBy("kind", "a", "b").agg(sum(col("n")).as("n"))
+
+  /** The PMI/NPMI read over a [[collocationCounts]] state - shared
+    * verbatim by the batch operator and the streaming store, so batch
+    * parity there is structural.
+    */
+  def collocationsFromCounts(counts: DataFrame, minCount: Int): DataFrame = {
+    val uc = counts.where(col("kind") === "u")
+      .select(col("a").as("tok"), col("n"))
+    val nTotal = uc.agg(sum(col("n")).as("nn"))
+    val bcAll = counts.where(col("kind") === "b")
+      .select(col("a"), col("b"), col("n").as("n_ab"))
+    val mTotal = bcAll.agg(sum(col("n_ab")).as("mm"))
+    val bc = bcAll.where(col("n_ab") >= lit(minCount.toLong))
     val d = (c: Column) => c.cast("double")
     val joined = bc
       .join(uc.select(col("tok").as("a"), col("n").as("n_a")), "a")

@@ -1387,6 +1387,71 @@ object StatsAgg {
     * (m(1−λ)) clamped to [1/m, 1], and the output gains a round-6
     * `pi0` column before q_value.
     */
+  /** A43 — winsorized + trimmed robust statistics: the data-cleaning
+    * standard (clip or drop the tails at exact per-group percentiles
+    * before averaging) that makes a mean usable on heavy-tailed
+    * telemetry; the robust companion of A16's exact percentiles and
+    * W16's MAD z-score.
+    *
+    * Percentiles come from the exact `percentile` aggregate (the
+    * q_percentiles gate-proven face) ROUNDED to the 6-dp grid before
+    * any comparison — without that rounding a boundary row could
+    * classify differently across engines on a last-ulp percentile
+    * difference. Clipped/kept values then ride the exact
+    * DECIMAL(24,6) grid, so all downstream sums are order-free and
+    * the mean/stddev trees are fixed double ops (round-6).
+    *
+    * Output per key: n, n_lo / n_hi (clipped-below/above counts),
+    * win_mean, win_std (population, winsorized), trim_mean (mean of
+    * rows strictly inside the fences).
+    *
+    * 100 TB: two passes — one percentile aggregate (the exact
+    * percentile is a sort-based aggregate; at real scale swap in the
+    * KLL face if approximate fences suffice), one broadcast-join of
+    * the keys-sized fence table + a plain aggregate. No shuffle
+    * carries raw values twice.
+    */
+  def winsorizedStats(df: DataFrame, keys: Seq[String], value: Column,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo < hi, "lo fence must be below hi")
+    val rows = df.select((keys.map(col) :+ value.cast("double").as("__v")): _*)
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+    val fences = rows.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile(__v, array(${lo}D, ${hi}D))").as("__pq"))
+      .select((keys.map(col) ++ Seq(
+        round(element_at(col("__pq"), 1), 6).as("__plo"),
+        round(element_at(col("__pq"), 2), 6).as("__phi"))): _*)
+    val joined = rows.join(broadcast(fences), keys)
+    // DECIMAL(15,6): 9 integer digits hold any clipped telemetry value
+    // while keeping the square's precision (31,12) inside 38 — and the
+    // (38,12) product sums are NEVER downscale-cast (Spark rounds
+    // HALF_UP where DuckDB truncates; full scale → double avoids the
+    // divergence)
+    val clipped = least(greatest(col("__v"), col("__plo")), col("__phi"))
+      .cast("decimal(15,6)")
+    val inside = col("__v") >= col("__plo") && col("__v") <= col("__phi")
+    val agg = joined.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__v") < col("__plo"), 1L).otherwise(0L)).as("n_lo"),
+      sum(when(col("__v") > col("__phi"), 1L).otherwise(0L)).as("n_hi"),
+      sum(clipped).cast("double").as("__s"),
+      sum(clipped * clipped).cast("double").as("__s2"),
+      // inside the fences the clipped value IS the raw value
+      sum(when(inside, clipped)).cast("double").as("__ts"),
+      sum(when(inside, 1L).otherwise(0L)).as("__tn"))
+    val nD = col("n").cast("double")
+    agg.select(
+      (keys.map(col) :+ col("n")) ++ Seq(
+        col("n_lo"), col("n_hi"),
+        round(col("__s") / nD, 6).as("win_mean"),
+        round(sqrt(greatest(lit(0.0),
+          (col("__s2") - col("__s") * col("__s") / nD) / nD)), 6)
+          .as("win_std"),
+        when(col("__tn") > 0,
+          round(col("__ts") / col("__tn").cast("double"), 6))
+          .as("trim_mean")): _*)
+  }
+
   def fdrAdjust(df: DataFrame, family: Seq[String], p: Column,
       tie: Column, storeyLambda: Option[Double] = None): DataFrame = {
     val fam = family.map(col)

@@ -1071,6 +1071,17 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A43: winsorized + trimmed robust stats — clip/drop the value
+    // tails at the exact per-group [p05, p95] fences (round-6 BEFORE
+    // any comparison so boundary rows classify identically across
+    // engines), then fixed mean/stddev trees over exact DECIMAL sums
+    "q_winsorize" -> ((s, d) => {
+      graft.operators.StatsAgg.winsorizedStats(
+        table(s, d, "events"), Seq("event_type"), col("value"),
+        lo = 0.05, hi = 0.95)
+        .orderBy(col("event_type"))
+    }),
+
     // A42: exact 2-feature OLS per group — value ~ hour-of-day +
     // user-bucket through the normal equations via the explicit
     // Cramer cofactor tree over DECIMAL-exact sufficient statistics
@@ -2793,6 +2804,34 @@ object AggQueries {
          FROM events GROUP BY user_id ORDER BY user_id""",
     // A17: exact DECIMAL sufficient statistics → one fixed double
     // expression tree on both engines
+    // A43 oracle: identical round-6 fences, identical DECIMAL grids,
+    // identical trees; product sums stay at full scale (no downscale
+    // cast — DuckDB truncates where Spark rounds)
+    "q_winsorize" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         f AS (SELECT event_type,
+             round(quantile_cont(v, 0.05), 6) AS plo,
+             round(quantile_cont(v, 0.95), 6) AS phi
+           FROM e GROUP BY event_type),
+         j AS (SELECT e.event_type, e.v, f.plo, f.phi,
+             CAST(least(greatest(e.v, f.plo), f.phi) AS DECIMAL(15,6)) AS c
+           FROM e JOIN f USING (event_type)),
+         a AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN v < plo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+             CAST(SUM(CASE WHEN v > phi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             CAST(SUM(c) AS DOUBLE) AS s,
+             CAST(SUM(c * c) AS DOUBLE) AS s2,
+             CAST(SUM(CASE WHEN v >= plo AND v <= phi THEN c END) AS DOUBLE) AS ts,
+             CAST(SUM(CASE WHEN v >= plo AND v <= phi THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM j GROUP BY event_type)
+         SELECT event_type, n, n_lo, n_hi,
+           round(s / CAST(n AS DOUBLE), 6) AS win_mean,
+           round(sqrt(greatest(0.0,
+             (s2 - s * s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))), 6) AS win_std,
+           CASE WHEN tn > 0
+             THEN round(ts / CAST(tn AS DOUBLE), 6) END AS trim_mean
+         FROM a ORDER BY event_type""",
     // A42 oracle: the identical Cramer cofactor tree over the
     // identical DECIMAL-exact sums; betas/r2/rmse use the UNROUNDED
     // det ratios inside SSE exactly as the operator does

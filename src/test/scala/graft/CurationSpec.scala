@@ -1402,6 +1402,69 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(("city", "was")))
   }
 
+  test("ST23 streaming collocation store: live phrase table equals the batch operator per batch; replay no-op; planted-orphan crash heal; MemoryStream e2e") {
+    import graft.streaming.StreamingCollocations
+    val phrases = Seq("new york", "hot dog", "data lake")
+    val fill = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val rnd = new scala.util.Random(47)
+    val all = (0 until 240).map { i =>
+      val p = phrases(rnd.nextInt(phrases.size))
+      val w = Seq.fill(3)(fill(rnd.nextInt(fill.size))).mkString(" ")
+      (i.toLong, s"$w $p ${fill(rnd.nextInt(fill.size))}")
+    }
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("coll-store").toString
+    def template = graft.operators.Curation.collocationCounts(
+      df(all.take(1)), col("text"))
+    def live(): Seq[(String, String, Long, Long, Long, Double, Double)] =
+      StreamingCollocations.currentCollocations(
+        spark, dir, minCount = 2, template)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    def batch(rows: Seq[(Long, String)]): Seq[(String, String, Long, Long, Long, Double, Double)] =
+      graft.operators.Curation.collocations(df(rows), col("text"), 2)
+        .as[(String, String, Long, Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val batches = all.grouped(80).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingCollocations.applyBatch(df(b), col("text"), dir, i.toLong)
+      assert(live() === batch(all.take((i + 1) * 80)), s"batch $i")
+    }
+    // replay no-op + planted-orphan heal
+    val before = live()
+    StreamingCollocations.applyBatch(df(batches(1)), col("text"), dir, 1L)
+    assert(live() === before)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "state-1"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "state-4"))
+    StreamingCollocations.applyBatch(
+      df(Seq((9000L, "new york new york"))), col("text"), dir, 3L)
+    val versions = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("state-")).sorted.toSeq
+    assert(versions === Seq("state-3", "state-4"))
+    assert(live() === batch(all :+ ((9000L, "new york new york"))))
+    // the planted phrases dominate the live npmi ranking
+    val top = live().sortBy(-_._7).take(3).map(r => (r._1, r._2)).toSet
+    assert(top === Set(("new", "york"), ("hot", "dog"), ("data", "lake")))
+    // MemoryStream e2e on a fresh store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir2 = java.nio.file.Files.createTempDirectory("coll-ms").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("coll-ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingCollocations.maintain(
+      in.toDF().toDF("doc_id", "text"), col("text"), dir2, ckpt).start()
+    try {
+      in.addData(all.take(120): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(120): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingCollocations.currentCollocations(
+      spark, dir2, 2, template)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === batch(all))
+  }
+
   test("X30 collocations: repartition-stable and empty-safe") {
     import graft.operators.Curation
     val docs = (0 until 40).map(i =>

@@ -1583,4 +1583,52 @@ class IntervalStatsSpec extends SparkSpec {
     assert(low.forall(_ === BigDecimal(1.0 / 8).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
+
+  // ---- A43 winsorized / trimmed robust statistics ---------------------
+
+  test("A43 winsorizedStats: fences, clip counts and means match the scalar reference on 1..100") {
+    val df = (1 to 100).map(v => ("g", v.toDouble)).toDF("k", "v")
+    val row = StatsAgg.winsorizedStats(df, Seq("k"), col("v"), 0.05, 0.95)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    // exact interpolated fences: (n-1)*q = 4.95 -> 5.95; 94.05 -> 95.05
+    val plo = 5.95; val phi = 95.05
+    val clipped = (1 to 100).map(v => math.max(plo, math.min(phi, v.toDouble)))
+    val wm = clipped.sum / 100.0
+    val ws = math.sqrt(clipped.map(c => (c - wm) * (c - wm)).sum / 100.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row._1 == "g" && row._2 == 100L)
+    assert(row._3 == 5L && row._4 == 5L) // 1..5 below, 96..100 above
+    assert(math.abs(row._5 - r6(wm)) < 1e-6)
+    assert(math.abs(row._6 - r6(ws)) < 1e-6)
+    assert(row._7 === 50.5) // mean of 6..95
+  }
+
+  test("A43 winsorizedStats: planted outliers barely move the winsorized mean; repartition-stable") {
+    val base = (0 until 200).map(i => ("g", 10.0 + (i % 5)))
+    val poisoned = base ++ Seq(("g", 1e9), ("g", 2e9))
+    val df = poisoned.toDF("k", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      StatsAgg.winsorizedStats(d, Seq("k"), col("v"), 0.01, 0.99)
+        .as[(String, Long, Long, Long, Double, Double, Double)]
+        .collect().head
+    val row = run(df.repartition(11))
+    assert(math.abs(row._5 - 12.0) < 1.0, s"winsorized mean ${row._5}")
+    assert(math.abs(row._7 - 12.0) < 0.5, s"trimmed mean ${row._7}")
+    // the raw mean is destroyed by the same outliers (sanity contrast)
+    val raw = df.agg(avg(col("v"))).as[Double].collect().head
+    assert(math.abs(raw - 12.0) > 1e5)
+    assert(run(df.coalesce(1)) === row)
+  }
+
+  test("A43 winsorizedStats: constant group has zero spread and equal means; nulls/NaNs drop") {
+    val df = (Seq.fill(20)(("c", Some(7.5))) ++
+      Seq(("c", None), ("c", Some(Double.NaN))))
+      .toDF("k", "v")
+    val row = StatsAgg.winsorizedStats(df, Seq("k"), col("v"), 0.1, 0.9)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(row === (("c", 20L, 0L, 0L, 7.5, 0.0, 7.5)))
+  }
 }
