@@ -46,10 +46,11 @@ class OracleContractSpec extends SparkSpec {
   // NOT plan-only (r18 ADVICE): most registrations resolve lazily,
   // but the eager ones run real work when fn() is invoked —
   // q_fdr_adjust localCheckpoints its six feeds, q_unigram_lm /
-  // q_pca_project / q_unigram_segment execute driver-collect training
-  // or model derivation, the indexed-ANN queries build their index on
-  // first touch. Mitigations: the SMALLEST fixture (sf0.001), and the
-  // lazy val memoizes the whole pass so both tests pay it once.
+  // q_pca_project / q_unigram_segment / q_classifier_train execute
+  // driver-collect training or model derivation, the indexed-ANN
+  // queries build their index on first touch. Mitigations: the
+  // SMALLEST fixture (sf0.001), and the lazy val memoizes the whole
+  // pass so both tests pay it once.
   private lazy val sparkSchemas: Map[String, StructType] = {
     val sf = "/root/testdata/sf0.001"
     SparkEntry.queries.map { case (name, fn) =>
