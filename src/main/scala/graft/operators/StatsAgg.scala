@@ -1452,6 +1452,67 @@ object StatsAgg {
           .as("trim_mean")): _*)
   }
 
+  /** A44 — Kaplan–Meier survival estimator (Kaplan & Meier 1958):
+    * the nonparametric retention/survival curve with right-censoring
+    * done correctly — the lifetime read the W9 retention matrix can't
+    * give ("what FRACTION of users survive past t, counting users
+    * still alive as censored, not churned"). Product-analytics
+    * standard; also the training-run lens for "how long do documents
+    * survive in the dedup/curation funnel".
+    *
+    * Input: one row per subject with (duration, event) where event=1
+    * is an observed terminal event and 0 right-censoring. Per key
+    * group and distinct duration t (ascending): n_risk(t) = subjects
+    * with duration >= t, d(t) = events AT t; the curve is
+    * S(t) = Π_{u<=t, d(u)>0} (1 − d(u)/n_risk(u)), computed as
+    * exp(Σ ln(1 − d/n)) so the running product is one window SUM over
+    * a fixed double log tree (round-6, engine-mirrorable — DuckDB's
+    * `product()` aggregate would be a different tree). Censor-only
+    * times still appear (risk-set bookkeeping rows with S carried).
+    *
+    * Scale shape: one subject-level aggregate (duration, event per
+    * subject), then all arithmetic on the (keys × distinct-duration)
+    * GRID — the W12 grid posture: raw events pay one pass, the curve
+    * costs grid-sized windows.
+    */
+  def kaplanMeier(df: DataFrame, keys: Seq[String], duration: Column,
+      event: Column): DataFrame = {
+    val rows = df.select(
+      (keys.map(col) ++ Seq(duration.cast("long").as("__t"),
+        event.cast("int").as("__e"))): _*)
+      .where(col("__t").isNotNull && col("__t") >= 0 && col("__e").isNotNull)
+    val grid = rows.groupBy((keys.map(col) :+ col("__t")): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__e")).cast("long").as("d"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // n_risk(t) = total − (subjects with duration < t): a running sum
+    // of grid counts shifted by one row
+    val withRisk = grid
+      .withColumn("__total",
+        sum(col("__n")).over(Window.partitionBy(keys.map(col): _*)))
+      .withColumn("__before",
+        coalesce(sum(col("__n")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("__total") - col("__before"))
+    // d = n_risk (the whole risk set dies) is handled by an explicit
+    // zero branch: Spark's `log` returns NULL at 0 where DuckDB's
+    // `ln` returns -inf, so the factor-of-zero case must never enter
+    // the log tree on either engine
+    val term = when(col("d") > 0 && col("d") < col("n_risk"),
+      log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+      .otherwise(lit(0.0))
+    val deadCum = max(when(col("d") === col("n_risk"), 1).otherwise(0))
+      .over(wCum)
+    withRisk
+      .withColumn("survival",
+        when(deadCum === 1, lit(0.0))
+          .otherwise(round(exp(sum(term).over(wCum)), 6)))
+      .select((keys.map(col) ++ Seq(col("__t").as("t"), col("n_risk"),
+        col("d"), (col("__n") - col("d")).as("censored"),
+        col("survival"))): _*)
+  }
+
   def fdrAdjust(df: DataFrame, family: Seq[String], p: Column,
       tie: Column, storeyLambda: Option[Double] = None): DataFrame = {
     val fam = family.map(col)

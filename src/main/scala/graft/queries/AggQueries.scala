@@ -1071,6 +1071,27 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A44: Kaplan–Meier survival — per-cohort user-lifetime curve
+    // with right-censoring (users still active in the final week are
+    // censored, not churned); the running product is exp of one
+    // window SUM over a fixed log tree, so the curve is value-oracled
+    "q_survival" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long")
+      val ev = table(s, d, "events").select(
+        col("user_id"), day.as("day"))
+      val life = ev.groupBy(col("user_id")).agg(
+        min(col("day")).as("t0"), max(col("day")).as("t1"))
+      val maxDay = ev.agg(max(col("day")).as("md"))
+      val subjects = life.crossJoin(broadcast(maxDay)).select(
+        pmod(col("user_id"), lit(3L)).as("cohort"),
+        (col("t1") - col("t0")).as("dur"),
+        when(col("t1") < col("md") - lit(7L), 1).otherwise(0).as("ev"))
+      graft.operators.StatsAgg.kaplanMeier(
+        subjects, Seq("cohort"), col("dur"), col("ev"))
+        .orderBy(col("cohort"), col("t"))
+    }),
+
     // A43: winsorized + trimmed robust stats — clip/drop the value
     // tails at the exact per-group [p05, p95] fences (round-6 BEFORE
     // any comparison so boundary rows classify identically across
@@ -2804,6 +2825,40 @@ object AggQueries {
          FROM events GROUP BY user_id ORDER BY user_id""",
     // A17: exact DECIMAL sufficient statistics → one fixed double
     // expression tree on both engines
+    // A44 oracle: identical lifetime table, risk-set windows and
+    // exp-of-log-sum product tree
+    "q_survival" ->
+      """WITH e AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+         FROM events),
+         u AS (SELECT user_id, MIN(day) AS t0, MAX(day) AS t1
+           FROM e GROUP BY user_id),
+         mx AS (SELECT MAX(day) AS md FROM e),
+         s AS (SELECT user_id % 3 AS cohort, t1 - t0 AS t,
+             CASE WHEN t1 < md - 7 THEN 1 ELSE 0 END AS ev
+           FROM u, mx),
+         g AS (SELECT cohort, t, COUNT(*) AS n,
+             CAST(SUM(ev) AS BIGINT) AS d
+           FROM s GROUP BY cohort, t),
+         r AS (SELECT *,
+             CAST(SUM(n) OVER (PARTITION BY cohort) AS BIGINT)
+               - CAST(COALESCE(SUM(n) OVER (PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+           FROM g),
+         k AS (SELECT *,
+             CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+               THEN 0.0
+               ELSE round(exp(SUM(CASE WHEN d > 0 AND d < n_risk
+                 THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                 ELSE 0.0 END) OVER (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             END AS survival
+           FROM r)
+         SELECT cohort, t, n_risk, d, n - d AS censored, survival
+         FROM k ORDER BY cohort, t""",
     // A43 oracle: identical round-6 fences, identical DECIMAL grids,
     // identical trees; product sums stay at full scale (no downscale
     // cast — DuckDB truncates where Spark rounds)

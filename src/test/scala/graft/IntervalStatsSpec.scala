@@ -1584,6 +1584,49 @@ class IntervalStatsSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  // ---- A44 Kaplan–Meier survival --------------------------------------
+
+  test("A44 kaplanMeier: textbook curve with censoring matches the scalar exp-sum-ln tree") {
+    // (duration, event): events at 1, 3, 3, 5; censored at 2, 4, 6
+    val subj = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (4L, 0), (5L, 1), (6L, 0))
+      .map { case (t, e) => ("g", t, e) }
+    val out = StatsAgg.kaplanMeier(subj.toDF("k", "dur", "ev"), Seq("k"),
+      col("dur"), col("ev"))
+      .orderBy(col("t"))
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // scalar reference through the SAME tree (exp of running ln sum)
+    val grid = Seq( // (t, n_risk, d, censored)
+      (1L, 7L, 1L, 0L), (2L, 6L, 0L, 1L), (3L, 5L, 2L, 0L),
+      (4L, 3L, 0L, 1L), (5L, 2L, 1L, 0L), (6L, 1L, 0L, 1L))
+    var acc = 0.0
+    val expect = grid.map { case (t, n, d, c) =>
+      if (d > 0) acc += math.log(1.0 - d.toDouble / n.toDouble)
+      ("g", t, n, d, c,
+        BigDecimal(math.exp(acc)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out === expect)
+    // spot-check the textbook values
+    assert(out(0)._6 === 0.857143 && out(2)._6 === 0.514286 &&
+      out(4)._6 === 0.257143)
+  }
+
+  test("A44 kaplanMeier: all-event cohort reaches exactly 0; invalid durations drop; repartition-stable") {
+    val subj = (Seq((1L, 1), (2L, 1), (2L, 1)).map { case (t, e) => ("a", t, e) } ++
+      Seq(("a", -1L, 1)) ++ // negative duration must drop
+      Seq(("b", 5L, 0))) // censor-only cohort stays at 1.0
+    val df = subj.toDF("k", "dur", "ev")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      StatsAgg.kaplanMeier(d, Seq("k"), col("dur"), col("ev"))
+        .orderBy(col("k"), col("t"))
+        .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    val out = run(df.repartition(5))
+    assert(out === run(df.coalesce(1)))
+    assert(out.filter(_._1 == "a").map(_._2) === Seq(1L, 2L)) // -1 dropped
+    assert(out.filter(_._1 == "a").last._6 === 0.0) // everyone churned
+    assert(out.filter(_._1 == "b") === Seq(("b", 5L, 1L, 0L, 1L, 1.0)))
+  }
+
   // ---- A43 winsorized / trimmed robust statistics ---------------------
 
   test("A43 winsorizedStats: fences, clip counts and means match the scalar reference on 1..100") {
