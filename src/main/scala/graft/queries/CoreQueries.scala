@@ -41,6 +41,27 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // F17: geo scalar family — haversine distance to a literal
+    // reference point + ray-cast point-in-polygon against GeoPoly.
+    // Coordinates are synthesized on the exact 0.1-degree grid from
+    // integer ids, so every comparison input is bit-identical across
+    // engines; the oracle's trees are GENERATED from the same
+    // literals (GeoFns.*Sql)
+    "q_geo" -> ((s, d) => {
+      import graft.functions.GeoFns
+      val lat = (pmod(col("user_id"), lit(1200L)).cast("double") /
+        lit(10.0)) - lit(60.0)
+      val lon = (pmod(col("event_id"), lit(3600L)).cast("double") /
+        lit(10.0)) - lit(180.0)
+      table(s, d, "events")
+        .select(col("event_id"), lat.as("lat"), lon.as("lon"))
+        .withColumn("dist_m", round(GeoFns.greatCircleDistance(
+          col("lat"), col("lon"), lit(GeoRefLat), lit(GeoRefLon)), 3))
+        .withColumn("in_poly", GeoFns.pointInPolygon(
+          col("lat"), col("lon"), GeoPoly))
+        .orderBy(col("event_id"))
+    }),
+
     // F1/F4/F6: string scalar suite
     "q_scalar_string" -> ((s, d) => {
       table(s, d, "customer")
@@ -130,7 +151,33 @@ object CoreQueries {
           coalesce(col("row_id"), lit(-1L)))
     }))
 
+  /** F17 fixture constants: a reference point and an irregular
+    * pentagon whose vertices sit OFF the synthesized 0.1-degree
+    * coordinate grid (no boundary-equality hazard). Both the Spark
+    * tree and the oracle SQL derive from these literals.
+    */
+  val GeoRefLat: Double = 37.7749
+  val GeoRefLon: Double = -122.4194
+  val GeoPoly: Seq[(Double, Double)] = Seq(
+    (10.05, 10.05), (10.05, 49.95), (35.55, 75.05),
+    (49.95, 49.95), (49.95, 10.05))
+
   val oracles: Map[String, String] = Map(
+    // F17 oracle: trees generated from the SAME literals as the
+    // Column builder — see GeoFns.greatCircleDistanceSql /
+    // pointInPolygonSql
+    "q_geo" -> {
+      import graft.functions.GeoFns
+      s"""WITH p AS (SELECT event_id,
+           CAST(user_id % 1200 AS DOUBLE) / 10.0 - 60.0 AS lat,
+           CAST(event_id % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+         FROM events)
+         SELECT event_id, lat, lon,
+           round(${GeoFns.greatCircleDistanceSql("lat", "lon",
+             GeoRefLat.toString, GeoRefLon.toString)}, 3) AS dist_m,
+           ${GeoFns.pointInPolygonSql("lat", "lon", GeoPoly)} AS in_poly
+         FROM p ORDER BY event_id"""
+    },
     // L4: both regimes written out — fresh rows as degenerate
     // aggregates of themselves, old rows as per-(type, day) groups;
     // sum_v rides the DECIMAL(28,6)->(38,6) exact-sum convention
