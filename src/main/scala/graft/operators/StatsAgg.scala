@@ -1513,6 +1513,71 @@ object StatsAgg {
         col("survival"))): _*)
   }
 
+  /** A45 — log-rank (Mantel–Cox) test: the significance companion to
+    * [[kaplanMeier]], exactly as Mann–Kendall is to Theil–Sen — "are
+    * these two cohorts' survival curves the same?" under the
+    * hypergeometric null at each event time. O1 − E1 accumulates the
+    * observed-minus-expected group-1 events over event times; the
+    * statistic (O1−E1)²/V is χ²(1), p via the shared Wilson–Hilferty
+    * tree ([[graft.functions.NormalDist.chiSqUpperP]], df = 1 —
+    * where it reduces to the exact normal tail).
+    *
+    * Numeric discipline: risk sets are exact integer running sums on
+    * the (keys × distinct-duration) grid; the per-time E and V terms
+    * are rationals of those integers quantized to the 9-dp grid
+    * before DECIMAL summation (order-free), so the statistic is one
+    * fixed double tree over exact sums — oracle-able.
+    */
+  def logRankTest(df: DataFrame, keys: Seq[String], duration: Column,
+      event: Column, group: Column): DataFrame = {
+    val rows = df.select(
+      (keys.map(col) ++ Seq(duration.cast("long").as("__t"),
+        event.cast("int").as("__e"),
+        group.cast("int").as("__g"))): _*)
+      .where(col("__t").isNotNull && col("__t") >= 0 &&
+        col("__e").isNotNull && col("__g").isNotNull)
+    val grid = rows.groupBy((keys.map(col) :+ col("__t")): _*)
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__g")).cast("long").as("__m1"),
+        sum(col("__e")).cast("long").as("d"),
+        sum(col("__g") * col("__e")).cast("long").as("d1"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val wBefore = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRisk = grid
+      .withColumn("__ntot", sum(col("__m")).over(wAll))
+      .withColumn("__n1tot", sum(col("__m1")).over(wAll))
+      .withColumn("__nb", coalesce(sum(col("__m")).over(wBefore), lit(0L)))
+      .withColumn("__n1b", coalesce(sum(col("__m1")).over(wBefore), lit(0L)))
+      .withColumn("__n", col("__ntot") - col("__nb"))
+      .withColumn("__n1", col("__n1tot") - col("__n1b"))
+    val dd = col("d").cast("double")
+    val nd = col("__n").cast("double")
+    val n1d = col("__n1").cast("double")
+    val termE = when(col("d") > 0, round(dd * (n1d / nd), 9))
+      .otherwise(lit(0.0)).cast("decimal(20,9)")
+    val termV = when(col("d") > 0 && col("__n") > 1,
+      round(dd * (n1d / nd) * (lit(1.0) - n1d / nd) *
+        ((nd - dd) / (nd - lit(1.0))), 9))
+      .otherwise(lit(0.0)).cast("decimal(20,9)")
+    val agg = withRisk.groupBy(keys.map(col): _*).agg(
+      max(col("__ntot")).as("n_subjects"),
+      max(col("__n1tot")).as("n1_subjects"),
+      sum(col("d1")).cast("long").as("o1"),
+      sum(termE).cast("double").as("__e1"),
+      sum(termV).cast("double").as("__v"))
+    val chi2 = when(col("__v") > lit(1e-12),
+      round((col("o1").cast("double") - col("__e1")) *
+        (col("o1").cast("double") - col("__e1")) / col("__v"), 6))
+    agg.select((keys.map(col) ++ Seq(
+      col("n_subjects"), col("n1_subjects"), col("o1"),
+      round(col("__e1"), 6).as("e1"),
+      chi2.as("chi2"))): _*)
+      // p off the ROUNDED statistic (the library-wide rule), df = 1
+      .withColumn("p_approx", graft.functions.NormalDist.chiSqUpperP(
+        col("chi2"), lit(1)))
+  }
+
   def fdrAdjust(df: DataFrame, family: Seq[String], p: Column,
       tie: Column, storeyLambda: Option[Double] = None): DataFrame = {
     val fam = family.map(col)

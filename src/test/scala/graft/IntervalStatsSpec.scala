@@ -1627,6 +1627,70 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out.filter(_._1 == "b") === Seq(("b", 5L, 1L, 0L, 1L, 1.0)))
   }
 
+  // ---- A45 log-rank test ----------------------------------------------
+
+  /** The operator's exact arithmetic as a scalar loop: integer risk
+    * sets, 9-dp-quantized E/V terms, double χ² tree.
+    */
+  private def scalarLogRank(subj: Seq[(Long, Int, Int)]): (Long, Double, Option[Double]) = {
+    val times = subj.map(_._1).distinct.sorted
+    var o1 = 0L
+    var e1 = BigDecimal(0); var v = BigDecimal(0)
+    for (t <- times) {
+      val atRisk = subj.filter(_._1 >= t)
+      val n = atRisk.size.toDouble
+      val n1 = atRisk.count(_._3 == 1).toDouble
+      val leaving = subj.filter(_._1 == t)
+      val d = leaving.count(_._2 == 1).toDouble
+      o1 += leaving.count(x => x._2 == 1 && x._3 == 1)
+      def r9(x: Double) =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      if (d > 0) e1 += r9(d * (n1 / n))
+      if (d > 0 && n > 1)
+        v += r9(d * (n1 / n) * (1.0 - n1 / n) * ((n - d) / (n - 1.0)))
+    }
+    val e1d = e1.toDouble; val vd = v.toDouble
+    val chi2 = if (vd > 1e-12)
+      Some(BigDecimal((o1.toDouble - e1d) * (o1.toDouble - e1d) / vd)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    else None
+    (o1, BigDecimal(e1d).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, chi2)
+  }
+
+  test("A45 logRankTest: identical cohorts score chi2 = 0; separated cohorts significant; scalar parity") {
+    // identical cohorts: every (duration, event) appears once per group
+    val same = (1 to 20).flatMap(i =>
+      Seq(("g", i.toLong, i % 3 min 1, 0), ("g", i.toLong, i % 3 min 1, 1)))
+    val out = StatsAgg.logRankTest(same.toDF("k", "dur", "ev", "grp"),
+      Seq("k"), col("dur"), col("ev"), col("grp"))
+      .select("o1", "e1", "chi2", "p_approx")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out._1.toDouble === out._2 && out._3 === 0.0)
+    assert(out._4 > 0.9) // chi2 = 0 -> p ~ 1
+    // separated: group 1 churns at day 1, group 0 survives censored
+    val sep = (1 to 30).map(i =>
+      if (i % 2 == 1) ("g", 1L, 1, 1) else ("g", 10L, 0, 0))
+    val sepOut = StatsAgg.logRankTest(sep.toDF("k", "dur", "ev", "grp"),
+      Seq("k"), col("dur"), col("ev"), col("grp"))
+      .select("chi2", "p_approx").as[(Double, Double)].collect().head
+    assert(sepOut._1 > 10.0 && sepOut._2 < 0.01, sepOut)
+    // scalar parity on a mixed deterministic fixture
+    val rnd = new scala.util.Random(53)
+    val mixed = (0 until 80).map { i =>
+      val g = i % 2
+      val dur = (rnd.nextInt(12) + (if (g == 1) 0 else 3)).toLong
+      ("g", dur, if (rnd.nextInt(3) > 0) 1 else 0, g)
+    }
+    val got = StatsAgg.logRankTest(
+      mixed.toDF("k", "dur", "ev", "grp").repartition(9),
+      Seq("k"), col("dur"), col("ev"), col("grp"))
+      .select("o1", "e1", "chi2")
+      .as[(Long, Double, Option[Double])].collect().head
+    val expect = scalarLogRank(mixed.map(m => (m._2, m._3, m._4)))
+    assert(got === expect) // bit-level: exact sums + fixed trees
+  }
+
   // ---- A43 winsorized / trimmed robust statistics ---------------------
 
   test("A43 winsorizedStats: fences, clip counts and means match the scalar reference on 1..100") {
