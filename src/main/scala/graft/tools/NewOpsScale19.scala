@@ -157,6 +157,40 @@ object NewOpsScale19 {
     require(mergedCard == directCard,
       s"slice-merge cardinality $mergedCard != direct $directCard")
 
+    // ---- 4. A44/A45 survival family ----------------------------------
+    // verbatim replication leaves user lifetimes UNCHANGED (same
+    // users, same days), so the KM curve and the log-rank verdict are
+    // IDENTICAL; the wall measures the subject-pass scan only
+    def subjects(df: DataFrame): DataFrame = {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long")
+      val e = df.select(col("user_id"), col("event_type"), day.as("day"))
+      val life = e.groupBy(col("event_type"), col("user_id")).agg(
+        min(col("day")).as("t0"), max(col("day")).as("t1"))
+      val md = e.agg(max(col("day")).as("md"))
+      life.crossJoin(broadcast(md)).select(
+        col("event_type"), (col("t1") - col("t0")).as("dur"),
+        when(col("t1") < col("md") - lit(7L), 1).otherwise(0).as("ev"),
+        pmod(col("user_id"), lit(2L)).cast("int").as("grp"))
+    }
+    def survival(df: DataFrame) = {
+      val s = subjects(df)
+      val km = graft.operators.StatsAgg.kaplanMeier(
+        s, Seq("event_type"), col("dur"), col("ev"))
+        .as[(String, Long, Long, Long, Long, Double)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      val lr = graft.operators.StatsAgg.logRankTest(
+        s, Seq("event_type"), col("dur"), col("ev"), col("grp"))
+        .select(col("event_type"), col("chi2"), col("p_approx"))
+        .as[(String, Option[Double], Option[Double])]
+        .collect().sortBy(_._1).toSeq
+      (km, lr)
+    }
+    val (survBase, tSurvBase) = time(survival(ev))
+    val (survBig, tSurvBig) = time(survival(evBig))
+    require(survBig == survBase,
+      "A44/A45 curves must be lifetime-invariant under replication")
+
     // honest linear ceilings — the invariants above are the real claim
     require(tFitBig < factor * math.max(tFitBase, 0.5) + 5,
       s"A42 wall super-linear: $tFitBase -> $tFitBig at $factor x")
@@ -164,6 +198,8 @@ object NewOpsScale19 {
       s"A41 wall super-linear: $tBmBase -> $tBmBig at $factor x")
     require(tTrainBig < factor * math.max(tTrainBase, 0.5) + 5,
       s"X29 wall super-linear: $tTrainBase -> $tTrainBig at $factor x")
+    require(tSurvBig < factor * math.max(tSurvBase, 0.5) + 5,
+      s"A44/A45 wall super-linear: $tSurvBase -> $tSurvBig at $factor x")
 
     val json =
       s"""{"metric":"newops19_30x","factor":$factor,"rows_base":$nBase,""" +
@@ -173,6 +209,8 @@ object NewOpsScale19 {
       s""""cls_weights_round6_identical":true,""" +
       s""""bitmap_base_sec":${f"$tBmBase%.3f"},"bitmap_${factor}x_sec":${f"$tBmBig%.3f"},""" +
       s""""bitmap_slice_merge_sec":${f"$tBmMerge%.3f"},"bitmap_algebra_identical":true,""" +
+      s""""survival_base_sec":${f"$tSurvBase%.3f"},"survival_${factor}x_sec":${f"$tSurvBig%.3f"},""" +
+      s""""survival_curves_identical":true,""" +
       s""""unit":"sec","sf_dir":"$baseDir"}"""
     println(json)
     Files.writeString(Paths.get(outPath), json + "\n")
