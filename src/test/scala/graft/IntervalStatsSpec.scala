@@ -1627,6 +1627,93 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out.filter(_._1 == "b") === Seq(("b", 5L, 1L, 0L, 1L, 1.0)))
   }
 
+  // ---- ST24 streaming survival store ------------------------------------
+
+  test("ST24 streaming survival store: live KM + log-rank equal the batch operators per batch; replay no-op; orphan heal; MemoryStream e2e") {
+    import graft.streaming.StreamingSurvival
+    val rnd = new scala.util.Random(59)
+    // events (key, user, day) with duplicates (min/max must absorb)
+    val all = (0 until 900).map { i =>
+      val u = rnd.nextInt(120).toLong
+      ("g", u, (rnd.nextInt(30) + (u % 3)).toLong)
+    } ++ (0 until 60).map(i => ("g", 7L, 12L)) // hard duplicates
+    def df(rows: Seq[(String, Long, Long)]) = rows.toDF("k", "u", "day")
+    val dir = java.nio.file.Files.createTempDirectory("surv-store").toString
+    def template = StreamingSurvival.partialState(
+      df(all.take(1)), Seq("k"), col("u"), col("day"))
+    def liveKm() = StreamingSurvival.currentSurvival(
+      spark, dir, Seq("k"), censorDays = 7, template)
+      .as[(String, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._2).toSeq
+    def liveLr() = StreamingSurvival.currentLogRank(
+      spark, dir, Seq("k"), censorDays = 7,
+      group = s => pmod(s, lit(2L)).cast("int"), template)
+      .select("o1", "e1", "chi2")
+      .as[(Long, Double, Option[Double])].collect().head
+    def batchSubjects(rows: Seq[(String, Long, Long)]) = {
+      val life = df(rows).groupBy(col("k"), col("u"))
+        .agg(min(col("day")).as("t0"), max(col("day")).as("t1"))
+      val md = df(rows).agg(max(col("day")).as("md"))
+      life.crossJoin(broadcast(md)).select(col("k"), col("u"),
+        (col("t1") - col("t0")).as("dur"),
+        when(col("t1") < col("md") - lit(7L), 1).otherwise(0).as("ev"))
+    }
+    def batchKm(rows: Seq[(String, Long, Long)]) =
+      StatsAgg.kaplanMeier(batchSubjects(rows), Seq("k"),
+        col("dur"), col("ev"))
+        .as[(String, Long, Long, Long, Long, Double)]
+        .collect().sortBy(_._2).toSeq
+    def batchLr(rows: Seq[(String, Long, Long)]) =
+      StatsAgg.logRankTest(batchSubjects(rows)
+          .withColumn("grp", pmod(col("u"), lit(2L)).cast("int")),
+        Seq("k"), col("dur"), col("ev"), col("grp"))
+        .select("o1", "e1", "chi2")
+        .as[(Long, Double, Option[Double])].collect().head
+    val batches = all.grouped(320).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingSurvival.applyBatch(df(b), Seq("k"), col("u"), col("day"),
+        dir, batchId = i.toLong)
+      val seen = all.take((i + 1) * 320 min all.size)
+      assert(liveKm() === batchKm(seen), s"KM batch $i")
+      assert(liveLr() === batchLr(seen), s"logrank batch $i")
+    }
+    // replay no-op + planted-orphan heal
+    val before = liveKm()
+    StreamingSurvival.applyBatch(df(batches(1)), Seq("k"), col("u"),
+      col("day"), dir, batchId = 1L)
+    assert(liveKm() === before)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "state-1"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "state-4"))
+    StreamingSurvival.applyBatch(df(Seq(("g", 999L, 0L))), Seq("k"),
+      col("u"), col("day"), dir, batchId = 4L)
+    val versions = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("state-")).sorted.toSeq
+    assert(versions === Seq("state-3", "state-4"))
+    assert(liveKm() === batchKm(all :+ (("g", 999L, 0L))))
+    // MemoryStream e2e
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir2 = java.nio.file.Files.createTempDirectory("surv-ms").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("surv-ck").toString
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamingSurvival.maintain(
+      in.toDF().toDF("k", "u", "day"), Seq("k"), col("u"), col("day"),
+      dir2, ckpt).start()
+    try {
+      in.addData(all.take(500): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(500): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingSurvival.currentSurvival(
+      spark, dir2, Seq("k"), 7, template)
+      .as[(String, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._2).toSeq
+    assert(got === batchKm(all))
+  }
+
   // ---- A45 log-rank test ----------------------------------------------
 
   /** The operator's exact arithmetic as a scalar loop: integer risk
