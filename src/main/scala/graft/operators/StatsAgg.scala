@@ -1578,6 +1578,110 @@ object StatsAgg {
         col("chi2"), lit(1)))
   }
 
+  /** A46 — Cox proportional hazards with one BINARY covariate (Cox
+    * 1972, Breslow ties): the MODEL completing the survival family —
+    * A44 draws the curves, A45 answers "different?", this estimates
+    * HOW different: β is the log hazard ratio of cohort 1 vs 0, with
+    * a Wald z and two-sided p.
+    *
+    * With a binary covariate the partial likelihood collapses onto
+    * the SAME risk-set grid as the log-rank test: the at-risk
+    * exp-sum is n0_t + n1_t·e^β, so each Newton step needs only
+    * per-time rationals of the integer risk counts and the current
+    * per-key β —
+    *   U(β) = O1 − Σ_t d_t·n1_t e^β/(n0_t + n1_t e^β)
+    *   I(β) = Σ_t d_t·n1_t e^β·n0_t/(n0_t + n1_t e^β)²
+    *   β ← β + U/I.
+    * A FIXED iteration count (3 steps from β = 0 — where U reduces to
+    * the log-rank O1−E1) makes the whole fit a finite dataflow, so
+    * the DuckDB oracle replays it as unrolled stages and the driver
+    * gate value-checks the LEARNED hazard ratio (`q_coxph`) — the
+    * X29 discipline applied to survival modeling. Per-step U/I terms
+    * are quantized to the 9-dp grid before DECIMAL summation
+    * (order-free); β/U/I live per KEY as columns (no driver loop at
+    * all — iterations are three chained grid-aggregate + broadcast
+    * joins).
+    *
+    * Output per key: n_subjects, o1, beta (log HR), hazard_ratio,
+    * se, z, p_value (shared normal tree off the rounded z).
+    */
+  def coxPh(df: DataFrame, keys: Seq[String], duration: Column,
+      event: Column, group: Column, iters: Int = 3): DataFrame = {
+    val rows = df.select(
+      (keys.map(col) ++ Seq(duration.cast("long").as("__t"),
+        event.cast("int").as("__e"),
+        group.cast("int").as("__g"))): _*)
+      .where(col("__t").isNotNull && col("__t") >= 0 &&
+        col("__e").isNotNull && col("__g").isNotNull)
+    val grid = rows.groupBy((keys.map(col) :+ col("__t")): _*)
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__g")).cast("long").as("__m1"),
+        sum(col("__e")).cast("long").as("d"),
+        sum(col("__g") * col("__e")).cast("long").as("d1"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val wBefore = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g2 = grid
+      .withColumn("__ntot", sum(col("__m")).over(wAll))
+      .withColumn("__n1tot", sum(col("__m1")).over(wAll))
+      .withColumn("__n1",
+        col("__n1tot") - coalesce(sum(col("__m1")).over(wBefore), lit(0L)))
+      .withColumn("__n0",
+        (col("__ntot") - coalesce(sum(col("__m")).over(wBefore), lit(0L))) -
+          col("__n1"))
+      .select((keys.map(col) ++ Seq(col("__t"), col("d"), col("d1"),
+        col("__n0"), col("__n1"), col("__ntot"))): _*)
+    // per-key constants: O1 and subject counts
+    val consts = g2.groupBy(keys.map(col): _*).agg(
+      max(col("__ntot")).as("n_subjects"),
+      sum(col("d1")).cast("long").as("o1"))
+    // β per key, iterated as a column — start at 0
+    var beta = consts.select((keys.map(col) :+
+      lit(0.0).as("__beta")): _*)
+    val dd = col("d").cast("double")
+    val n0d = col("__n0").cast("double")
+    val n1d = col("__n1").cast("double")
+    for (_ <- 0 until iters) {
+      val joined = g2.join(broadcast(beta), keys)
+      val eb = exp(col("__beta"))
+      val denom = n0d + n1d * eb
+      val termU = when(col("d") > 0,
+        round(dd * (n1d * eb / denom), 9)).otherwise(lit(0.0))
+        .cast("decimal(20,9)")
+      val termI = when(col("d") > 0,
+        round(dd * (n1d * eb * n0d) / (denom * denom), 9))
+        .otherwise(lit(0.0)).cast("decimal(20,9)")
+      val step = joined.groupBy(keys.map(col): _*).agg(
+        first(col("__beta")).as("__b0"),
+        sum(termU).cast("double").as("__su"),
+        sum(termI).cast("double").as("__i"))
+        .join(broadcast(consts.select((keys.map(col) :+ col("o1")): _*)), keys)
+      beta = step.select((keys.map(col) :+
+        when(col("__i") > lit(1e-12),
+          col("__b0") + (col("o1").cast("double") - col("__su")) / col("__i"))
+          .otherwise(col("__b0")).as("__beta")): _*)
+    }
+    // final information at the fitted β for the Wald se
+    val fin = g2.join(broadcast(beta), keys)
+    val ebF = exp(col("__beta"))
+    val denomF = n0d + n1d * ebF
+    val termIF = when(col("d") > 0,
+      round(dd * (n1d * ebF * n0d) / (denomF * denomF), 9))
+      .otherwise(lit(0.0)).cast("decimal(20,9)")
+    val info = fin.groupBy(keys.map(col): _*).agg(
+      first(col("__beta")).as("__beta"),
+      sum(termIF).cast("double").as("__iF"))
+    val ok = col("__iF") > lit(1e-12)
+    val zr = when(ok, round(col("__beta") * sqrt(col("__iF")), 6))
+    consts.join(info, keys).select(
+      (keys.map(col) ++ Seq(col("n_subjects"), col("o1"),
+        when(ok, round(col("__beta"), 6)).as("beta"),
+        when(ok, round(exp(col("__beta")), 6)).as("hazard_ratio"),
+        when(ok, round(lit(1.0) / sqrt(col("__iF")), 6)).as("se"),
+        zr.as("z"))): _*)
+      .withColumn("p_value", graft.functions.NormalDist.twoSidedP(col("z")))
+  }
+
   def fdrAdjust(df: DataFrame, family: Seq[String], p: Column,
       tie: Column, storeyLambda: Option[Double] = None): DataFrame = {
     val fam = family.map(col)

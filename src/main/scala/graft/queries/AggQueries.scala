@@ -1092,6 +1092,28 @@ object AggQueries {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    // A46: Cox proportional hazards — the log HAZARD RATIO of the
+    // odd-user cohort, 3 Newton steps from beta = 0 on the log-rank
+    // risk grid; fixed iteration count -> the learned model is under
+    // the value gate (the X29/q_classifier_train discipline)
+    "q_coxph" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long")
+      val ev = table(s, d, "events").select(
+        col("user_id"), col("event_type"), day.as("day"))
+      val life = ev.groupBy(col("event_type"), col("user_id")).agg(
+        min(col("day")).as("t0"), max(col("day")).as("t1"))
+      val maxDay = ev.agg(max(col("day")).as("md"))
+      val subjects = life.crossJoin(broadcast(maxDay)).select(
+        col("event_type"),
+        (col("t1") - col("t0")).as("dur"),
+        when(col("t1") < col("md") - lit(7L), 1).otherwise(0).as("ev"),
+        pmod(col("user_id"), lit(2L)).cast("int").as("grp"))
+      graft.operators.StatsAgg.coxPh(
+        subjects, Seq("event_type"), col("dur"), col("ev"), col("grp"))
+        .orderBy(col("event_type"))
+    }),
+
     // A45: log-rank (Mantel–Cox) — do the even/odd user cohorts'
     // survival curves differ? Hypergeometric O−E over event times,
     // χ²(1) + Wilson–Hilferty p, the A44 significance companion
@@ -1266,7 +1288,97 @@ object AggQueries {
         .orderBy(col("bh_rank"))
     }))
 
+  /** One unrolled A46 Newton stage: beta table b{i} → b{i+1} over the
+    * r2 risk grid — term trees token-for-token the operator's
+    * (9-dp-quantized U/I contributions, exact DECIMAL sums, double
+    * update guarded on the information).
+    */
+  private def coxStageSql(i: Int): String = {
+    val eb = s"exp(b$i.b)"
+    val den = s"(CAST(g.n0 AS DOUBLE) + CAST(g.n1 AS DOUBLE) * $eb)"
+    s"""s$i AS (SELECT g.event_type, b$i.b,
+       CAST(CASE WHEN g.d > 0 THEN
+         round(CAST(g.d AS DOUBLE) * (CAST(g.n1 AS DOUBLE) * $eb / $den), 9)
+         ELSE 0.0 END AS DECIMAL(20,9)) AS tu,
+       CAST(CASE WHEN g.d > 0 THEN
+         round(CAST(g.d AS DOUBLE) * (CAST(g.n1 AS DOUBLE) * $eb * CAST(g.n0 AS DOUBLE))
+           / ($den * $den), 9)
+         ELSE 0.0 END AS DECIMAL(20,9)) AS ti
+       FROM r2 g JOIN b$i USING (event_type)),
+     a$i AS (SELECT event_type, MAX(b) AS b,
+         CAST(SUM(tu) AS DOUBLE) AS su, CAST(SUM(ti) AS DOUBLE) AS ii
+       FROM s$i GROUP BY event_type),
+     b${i + 1} AS (SELECT a$i.event_type,
+         CASE WHEN a$i.ii > 1e-12
+           THEN a$i.b + (CAST(c0.o1 AS DOUBLE) - a$i.su) / a$i.ii
+           ELSE a$i.b END AS b
+       FROM a$i JOIN c0 USING (event_type))"""
+  }
+
+  /** The shared A45/A46 lifetime + risk-grid CTE prefix. */
+  private val coxGridSql: String =
+    """e AS (SELECT user_id, event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+       FROM events),
+       u AS (SELECT event_type, user_id, MIN(day) AS t0, MAX(day) AS t1
+         FROM e GROUP BY event_type, user_id),
+       mx AS (SELECT MAX(day) AS md FROM e),
+       s AS (SELECT event_type, t1 - t0 AS t,
+           CASE WHEN t1 < md - 7 THEN 1 ELSE 0 END AS ev,
+           CAST(user_id % 2 AS INT) AS g
+         FROM u, mx),
+       gr AS (SELECT event_type, t, COUNT(*) AS m,
+           CAST(SUM(g) AS BIGINT) AS m1,
+           CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(SUM(g * ev) AS BIGINT) AS d1
+         FROM s GROUP BY event_type, t),
+       r AS (SELECT *,
+           CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS ntot,
+           CAST(SUM(m1) OVER (PARTITION BY event_type) AS BIGINT) AS n1tot,
+           CAST(COALESCE(SUM(m) OVER (PARTITION BY event_type ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb,
+           CAST(COALESCE(SUM(m1) OVER (PARTITION BY event_type ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1b
+         FROM gr),
+       r2 AS (SELECT *, n1tot - n1b AS n1,
+           (ntot - nb) - (n1tot - n1b) AS n0 FROM r),
+       c0 AS (SELECT event_type, MAX(ntot) AS n_subjects,
+           CAST(SUM(d1) AS BIGINT) AS o1
+         FROM r2 GROUP BY event_type),
+       b0 AS (SELECT event_type, 0.0 AS b FROM c0)"""
+
   private val baseOracles: Map[String, String] = Map(
+    // A46 oracle: the 3 Newton stages UNROLLED over the shared risk
+    // grid, final information at the fitted beta, Wald z + shared
+    // normal p — the operator's dataflow stage for stage
+    "q_coxph" -> (
+      s"""WITH $coxGridSql,
+         ${coxStageSql(0)},
+         ${coxStageSql(1)},
+         ${coxStageSql(2)},
+         fint AS (SELECT g.event_type, b3.b,
+             CAST(CASE WHEN g.d > 0 THEN
+               round(CAST(g.d AS DOUBLE) * (CAST(g.n1 AS DOUBLE) * exp(b3.b) * CAST(g.n0 AS DOUBLE))
+                 / ((CAST(g.n0 AS DOUBLE) + CAST(g.n1 AS DOUBLE) * exp(b3.b))
+                   * (CAST(g.n0 AS DOUBLE) + CAST(g.n1 AS DOUBLE) * exp(b3.b))), 9)
+               ELSE 0.0 END AS DECIMAL(20,9)) AS ti
+           FROM r2 g JOIN b3 USING (event_type)),
+         af AS (SELECT event_type, MAX(b) AS b,
+             CAST(SUM(ti) AS DOUBLE) AS ii
+           FROM fint GROUP BY event_type),
+         outc AS (SELECT c0.event_type, c0.n_subjects, c0.o1, af.b, af.ii
+           FROM c0 JOIN af USING (event_type)),
+         outz AS (SELECT *,
+             CASE WHEN ii > 1e-12 THEN round(b * sqrt(ii), 6) END AS z
+           FROM outc)
+         SELECT event_type, n_subjects, o1,
+           CASE WHEN ii > 1e-12 THEN round(b, 6) END AS beta,
+           CASE WHEN ii > 1e-12 THEN round(exp(b), 6) END AS hazard_ratio,
+           CASE WHEN ii > 1e-12 THEN round(1.0 / sqrt(ii), 6) END AS se,
+           z,
+           """ + graft.functions.NormalDist.twoSidedPSql("z") +
+      """ AS p_value
+         FROM outz ORDER BY event_type"""),
     "q_group_array" ->
       """WITH t AS (SELECT user_id,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,

@@ -1627,6 +1627,83 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out.filter(_._1 == "b") === Seq(("b", 5L, 1L, 0L, 1L, 1.0)))
   }
 
+  // ---- A46 Cox proportional hazards --------------------------------------
+
+  /** The operator's 3-step Newton as a scalar loop with the identical
+    * 9-dp quantization.
+    */
+  private def scalarCox(subj: Seq[(Long, Int, Int)], iters: Int): Option[(Double, Double)] = {
+    val times = subj.map(_._1).distinct.sorted
+    def grid = times.map { t =>
+      val atRisk = subj.filter(_._1 >= t)
+      val n1 = atRisk.count(_._3 == 1)
+      val n0 = atRisk.size - n1
+      val d = subj.count(x => x._1 == t && x._2 == 1)
+      (n0.toDouble, n1.toDouble, d.toDouble)
+    }
+    val o1 = subj.count(x => x._2 == 1 && x._3 == 1).toDouble
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    var b = 0.0
+    for (_ <- 0 until iters) {
+      var su = BigDecimal(0); var ii = BigDecimal(0)
+      for ((n0, n1, d) <- grid if d > 0) {
+        val eb = math.exp(b)
+        val den = n0 + n1 * eb
+        su += r9(d * (n1 * eb / den))
+        ii += r9(d * (n1 * eb * n0) / (den * den))
+      }
+      if (ii.toDouble > 1e-12) b = b + (o1 - su.toDouble) / ii.toDouble
+    }
+    var iF = BigDecimal(0)
+    for ((n0, n1, d) <- grid if d > 0) {
+      val eb = math.exp(b)
+      val den = n0 + n1 * eb
+      iF += r9(d * (n1 * eb * n0) / (den * den))
+    }
+    if (iF.toDouble > 1e-12)
+      Some((BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(b * math.sqrt(iF.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    else None
+  }
+
+  test("A46 coxPh: identical cohorts fit beta exactly 0; separated cohorts a significant positive hazard ratio; scalar Newton parity") {
+    // identical cohorts -> U(0) = O1 - E1 = 0 -> beta pinned at 0
+    val same = (1 to 20).flatMap(i =>
+      Seq(("g", i.toLong, i % 3 min 1, 0), ("g", i.toLong, i % 3 min 1, 1)))
+    val out = StatsAgg.coxPh(same.toDF("k", "dur", "ev", "grp"),
+      Seq("k"), col("dur"), col("ev"), col("grp"))
+      .select("beta", "hazard_ratio", "z", "p_value")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(out._1 === 0.0 && out._2 === 1.0 && out._3 === 0.0)
+    assert(out._4 > 0.99)
+    // group 1 churns faster with OVERLAPPING durations (perfect
+    // separation would degenerate the Wald information — a property
+    // of the test, not the fit): moderate beta, strong significance
+    val sep = (1 to 60).map(i =>
+      if (i % 2 == 1) ("g", (i % 5 + 1).toLong, 1, 1)
+      else ("g", (i % 7 + 4).toLong, 1, 0))
+    val sepOut = StatsAgg.coxPh(sep.toDF("k", "dur", "ev", "grp"),
+      Seq("k"), col("dur"), col("ev"), col("grp"))
+      .select("beta", "hazard_ratio", "p_value")
+      .as[(Double, Double, Double)].collect().head
+    assert(sepOut._1 > 0.5 && sepOut._2 > 1.6 && sepOut._3 < 0.01, sepOut)
+    // scalar parity (bit-level incl. quantization) on a mixed fixture
+    val rnd = new scala.util.Random(61)
+    val mixed = (0 until 90).map { i =>
+      val g = i % 2
+      ("g", (rnd.nextInt(10) + (if (g == 1) 0 else 2)).toLong,
+        if (rnd.nextInt(4) > 0) 1 else 0, g)
+    }
+    val got = StatsAgg.coxPh(
+      mixed.toDF("k", "dur", "ev", "grp").repartition(7),
+      Seq("k"), col("dur"), col("ev"), col("grp"))
+      .select("beta", "z").as[(Double, Double)].collect().head
+    val Some(expect) = scalarCox(mixed.map(m => (m._2, m._3, m._4)), 3)
+    assert((got._1, got._2) === expect)
+  }
+
   // ---- ST24 streaming survival store ------------------------------------
 
   test("ST24 streaming survival store: live KM + log-rank equal the batch operators per batch; replay no-op; orphan heal; MemoryStream e2e") {
