@@ -44,8 +44,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Self-limiting oracle preamble (VERDICT r19 task #1): every
+    // oracle announces its own DuckDB resource bounds so a pressured
+    // driver box can't OOM a 64MB-tier query (the r18/r19 q_f* flake
+    // — tiny-block allocation failures under box-level pressure).
+    // 512MB = 2× the registry-wide worst-case min_limit (the cluster
+    // family's 256MB, ORACLE_MEMORY.md); threads=4 bounds concurrent
+    // operator memory. duckdb's con.sql()/execute() both run the SET
+    // statements and return the final SELECT's relation (verified on
+    // the driver's duckdb 1.0). tools/oracle_mem_audit.py strips the
+    // preamble so its ladder still measures the bare query.
+    val preamble = "SET memory_limit='512MB'; SET threads=4; "
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(preamble + v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

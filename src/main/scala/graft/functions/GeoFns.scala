@@ -40,17 +40,38 @@ object GeoFns {
     * half-open edge rule ((yi > y) != (yj > y)) handles horizontal
     * edges and double-counted vertices; boundary points follow the
     * crossing rule (not guaranteed inside).
+    *
+    * Zero-height edges (yi == yj) are dropped at GENERATION time by
+    * [[horizontalFreeEdges]] — shared with the SQL generator — rather
+    * than relying on the straddles conjunct to mask the div-by-zero
+    * in their intersect term (Spark yields NULL there, DuckDB IEEE
+    * inf; both happened to be masked, but the crossing count should
+    * never build the term at all: a horizontal edge can't be crossed
+    * by a horizontal ray).
     */
   def pointInPolygon(lat: Column, lon: Column,
       poly: Seq[(Double, Double)]): Column = {
-    require(poly.size >= 3, "polygon needs >= 3 vertices")
-    val edges = poly.zip(poly.tail :+ poly.head)
-    val crossings = edges.map { case ((yi, xi), (yj, xj)) =>
+    val crossings = horizontalFreeEdges(poly).map { case ((yi, xi), (yj, xj)) =>
       val straddles = (lit(yi) > lat) =!= (lit(yj) > lat)
       val intersectX = lit(xj - xi) * (lat - lit(yi)) / lit(yj - yi) + lit(xi)
       when(straddles && lon < intersectX, 1).otherwise(0)
     }.reduce(_ + _)
     pmod(crossings, lit(2)) === 1
+  }
+
+  /** The closed edge ring minus zero-height edges — the ONE generator
+    * both the Column and SQL builders consume, so the dropped-edge
+    * set cannot drift between engines. Requires the polygon to keep
+    * at least one non-horizontal edge (a fully horizontal "polygon"
+    * has no interior).
+    */
+  private def horizontalFreeEdges(poly: Seq[(Double, Double)])
+      : Seq[((Double, Double), (Double, Double))] = {
+    require(poly.size >= 3, "polygon needs >= 3 vertices")
+    val edges = poly.zip(poly.tail :+ poly.head)
+      .filter { case ((yi, _), (yj, _)) => yi != yj }
+    require(edges.nonEmpty, "polygon is fully horizontal — no interior")
+    edges
   }
 
   /** The SAME ray-casting test as DuckDB SQL over column names —
@@ -59,8 +80,7 @@ object GeoFns {
     */
   def pointInPolygonSql(latCol: String, lonCol: String,
       poly: Seq[(Double, Double)]): String = {
-    val edges = poly.zip(poly.tail :+ poly.head)
-    val terms = edges.map { case ((yi, xi), (yj, xj)) =>
+    val terms = horizontalFreeEdges(poly).map { case ((yi, xi), (yj, xj)) =>
       s"""CASE WHEN (($yi > $latCol) <> ($yj > $latCol))
          AND $lonCol < ${xj - xi} * ($latCol - $yi) / ${yj - yi} + $xi
          THEN 1 ELSE 0 END"""

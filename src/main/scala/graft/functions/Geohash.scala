@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** F18 — geohash encode/decode as pure codegen column trees, the
+  * ClickHouse `geohashEncode` / `geohashDecode` surface next to F17's
+  * distance/polygon pair.
+  *
+  * A geohash is the base-32 rendering of the Morton (Z-order)
+  * interleave of binary-subdivided longitude and latitude — exactly
+  * the bit machinery [[graft.sources.Layout]] already ships for L3
+  * z-ordered writes, re-based onto the fixed geographic domain
+  * (lon ∈ [−180, 180), lat ∈ [−90, 90)) and rendered through the
+  * geohash alphabet (base 32, 'a'/'i'/'l'/'o' omitted). The first
+  * (most significant) bit of the code is a LONGITUDE bit, so with
+  * [[graft.sources.Layout.mortonCode]]'s convention (x = even bits,
+  * y = odd bits) latitude rides x and longitude rides y.
+  *
+  * Precision ladder: an even precision P uses 5P/2 bits per
+  * dimension; quantizing ONCE at the finest supported precision
+  * (P = 6 → 15 bits/dim, inside [[graft.sources.Layout.spreadBits16]]'s
+  * 16-bit domain) and right-shifting yields every coarser code, which
+  * is why geohashes truncate: gh4 is literally the first 4 chars of
+  * gh6 (floor(v·2¹⁰) = floor(v·2¹⁵) >> 5 — the floor-composition
+  * law, spec-asserted).
+  *
+  * Cross-engine posture: quantization is ONE fixed double tree
+  * ((v + off) / span · 2¹⁵, floored) — identical IEEE op sequence on
+  * both engines, then everything downstream is integer shift/and/or
+  * on longs. Decode maps chars back through an ascii-arithmetic CASE
+  * (no table lookups), un-interleaves with the inverse magic-mask
+  * chain, and reports the CELL CENTER ((bits + 0.5)/2¹⁵-scaled).
+  * Both the Column trees and the oracle SQL fragments are generated
+  * from the same mask/shift/alphabet literals below — the F17
+  * generator discipline, so the engines cannot drift.
+  */
+object Geohash {
+
+  /** The geohash base-32 alphabet (public standard: digits then
+    * lowercase consonant-ish letters, skipping a, i, l, o).
+    */
+  val Alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Bits per dimension at the finest supported precision (P = 6:
+    * 30 code bits = 15 per dimension).
+    */
+  val MaxBitsPerDim = 15
+
+  /** Exact quantization of a coordinate onto [0, 2¹⁵): floor((v − lo)
+    * / span · 2¹⁵) clamped to the domain — the clamp only ever fires
+    * on v = lo + span exactly (the right edge, e.g. lat = +90).
+    */
+  def quantize15(v: Column, lo: Double, span: Double): Column =
+    least(greatest(
+      floor((v - lit(lo)) / lit(span) * lit(32768.0)).cast("long"),
+      lit(0L)), lit((1L << MaxBitsPerDim) - 1))
+
+  /** The same quantization as a DuckDB SQL fragment (DuckDB's floor
+    * returns DOUBLE, hence the explicit BIGINT cast — same value for
+    * anything inside 2⁵³).
+    */
+  def quantize15Sql(v: String, lo: Double, span: Double): String =
+    s"least(greatest(CAST(floor(($v - $lo) / $span * 32768.0) AS BIGINT), 0), ${(1L << MaxBitsPerDim) - 1})"
+
+  /** Base-32 rendering of the top `chars` 5-bit groups of a
+    * 5·chars-bit code.
+    */
+  def base32(code: Column, chars: Int): Column =
+    concat((0 until chars).map { i =>
+      val shift = 5 * (chars - 1 - i)
+      lit(Alphabet).substr(
+        (shiftright(code, shift).bitwiseAND(lit(31L)).cast("int") + lit(1)),
+        lit(1))
+    }: _*)
+
+  /** The same base-32 rendering as SQL over a code-column name. */
+  def base32Sql(code: String, chars: Int): String =
+    (0 until chars).map { i =>
+      val shift = 5 * (chars - 1 - i)
+      s"substr('$Alphabet', CAST((($code >> $shift) & 31) AS INTEGER) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+
+  /** Alphabet index of a single geohash char via ascii arithmetic —
+    * the alphabet's three letter gaps (a, i/l/o skipped) make the
+    * index a 5-branch CASE on the code point, no lookup table:
+    * '0'..'9' → 0..9, 'b'..'h' → 10..16, 'j','k' → 17,18,
+    * 'm','n' → 19,20, 'p'..'z' → 21..31.
+    */
+  def charIdx(c: Column): Column = {
+    val a = ascii(c).cast("long")
+    when(a <= 57, a - 48)
+      .when(a <= 104, a - 88)
+      .when(a <= 107, a - 89)
+      .when(a <= 110, a - 90)
+      .otherwise(a - 91)
+  }
+
+  /** The same char-index CASE as SQL over a char expression. */
+  def charIdxSql(c: String): String =
+    s"""CASE WHEN ascii($c) <= 57 THEN ascii($c) - 48
+        WHEN ascii($c) <= 104 THEN ascii($c) - 88
+        WHEN ascii($c) <= 107 THEN ascii($c) - 89
+        WHEN ascii($c) <= 110 THEN ascii($c) - 90
+        ELSE ascii($c) - 91 END"""
+
+  /** Reassemble the integer code from a geohash string of `chars`
+    * characters (the inverse of [[base32]]).
+    */
+  def codeOf(gh: Column, chars: Int): Column =
+    (0 until chars).map { i =>
+      shiftleft(charIdx(gh.substr(i + 1, 1)), 5 * (chars - 1 - i))
+    }.reduce(_ + _)
+
+  /** The same reassembly as SQL. */
+  def codeOfSql(gh: String, chars: Int): String =
+    (0 until chars).map { i =>
+      s"((${charIdxSql(s"substr($gh, ${i + 1}, 1)")}) << ${5 * (chars - 1 - i)})"
+    }.mkString("(", " + ", ")")
+
+  /** The forward spread-bits chain as staged SQL select items —
+    * mirrors [[graft.sources.Layout.spreadBits16]]'s mask/shift
+    * literals exactly (the q_zorder oracle writes the same chain);
+    * each returned item is one CTE stage (`expr AS prefixN`), since
+    * every stage references its input twice.
+    */
+  def spreadSqlStages(x: String, prefix: String): Seq[String] = {
+    val masks = Seq(
+      (0x00FF00FFL, 8), (0x0F0F0F0FL, 4), (0x33333333L, 2), (0x55555555L, 1))
+    val s0 = s"($x & 65535) AS ${prefix}0"
+    val rest = masks.zipWithIndex.map { case ((mask, sh), i) =>
+      s"((${prefix}$i | (${prefix}$i << $sh)) & $mask) AS ${prefix}${i + 1}"
+    }
+    s0 +: rest
+  }
+
+  /** Inverse spread: compact the EVEN bits of a ≤32-bit value into
+    * the low 16 — the reverse of [[graft.sources.Layout.spreadBits16]]'s
+    * magic-mask chain. Shared literals with [[compactEvenSqlStages]].
+    */
+  val CompactStages: Seq[(Long, Int)] = Seq(
+    (0x33333333L, 1), (0x0F0F0F0FL, 2), (0x00FF00FFL, 4), (0x0000FFFFL, 8))
+
+  def compactEven(x: Column): Column =
+    CompactStages.foldLeft(x.bitwiseAND(lit(0x55555555L))) {
+      case (acc, (mask, sh)) =>
+        acc.bitwiseOR(shiftright(acc, sh)).bitwiseAND(lit(mask))
+    }
+
+  /** The compact chain as staged SQL: returns (stageSelects, finalCol)
+    * where each stage is `expr AS name` to ride a CTE ladder — inlining
+    * would duplicate the input expression 2⁴ times (each stage
+    * references its input twice).
+    */
+  def compactEvenSqlStages(x: String, prefix: String): Seq[String] = {
+    val s0 = s"($x & ${0x55555555L}) AS ${prefix}0"
+    val rest = CompactStages.zipWithIndex.map { case ((mask, sh), i) =>
+      s"((${prefix}$i | (${prefix}$i >> $sh)) & $mask) AS ${prefix}${i + 1}"
+    }
+    s0 +: rest
+  }
+
+  /** Cell-center coordinate from compacted bits at the full 15-bit
+    * resolution shifted down to `bits`: (b + 0.5) / 2^bits · span + lo.
+    */
+  def cellCenter(bitsCol: Column, bits: Int, lo: Double, span: Double): Column =
+    round((bitsCol.cast("double") + lit(0.5)) / lit(math.pow(2.0, bits)) *
+      lit(span) + lit(lo), 6)
+
+  def cellCenterSql(bitsCol: String, bits: Int, lo: Double, span: Double): String =
+    s"round((CAST($bitsCol AS DOUBLE) + 0.5) / ${math.pow(2.0, bits)} * $span + $lo, 6)"
+}

@@ -130,7 +130,8 @@ object Regression {
         when(solvable, round(b1, 6)).as("beta1"),
         when(solvable, round(b2, 6)).as("beta2"),
         when(solvable && tss > lit(1e-9),
-          round(greatest(lit(0.0), lit(1.0) - sse / tss), 6)).as("r2"),
+          round(least(lit(1.0), greatest(lit(0.0), lit(1.0) - sse / tss)), 6))
+          .as("r2"),
         when(solvable,
           round(sqrt(greatest(lit(0.0), sse) / nD), 6)).as("rmse")): _*)
   }
@@ -205,7 +206,8 @@ object Regression {
       (keys.map(col) :+ col("n")) ++ Seq(
         transform(col("betas"), b => round(b, 6)).as("betas"),
         when(col("betas").isNotNull && tss > lit(1e-9),
-          round(greatest(lit(0.0), lit(1.0) - sseExpr / tss), 6)).as("r2"),
+          round(least(lit(1.0), greatest(lit(0.0), lit(1.0) - sseExpr / tss)),
+            6)).as("r2"),
         when(col("betas").isNotNull,
           round(sqrt(greatest(lit(0.0), sseExpr) / nD), 6)).as("rmse")): _*)
   }

@@ -1403,7 +1403,15 @@ object StatsAgg {
     *
     * Output per key: n, n_lo / n_hi (clipped-below/above counts),
     * win_mean, win_std (population, winsorized), trim_mean (mean of
-    * rows strictly inside the fences).
+    * rows inside the CLOSED fence interval [plo, phi] — boundary rows
+    * are kept, matching the inclusive clip).
+    *
+    * Domain guard: a fence whose rounded magnitude reaches 1e9 would
+    * overflow the DECIMAL(15,6) grid — Spark nulls the sum silently
+    * while DuckDB errors, a divergent failure mode. Groups with such
+    * fences emit NULL stats on BOTH engines via an explicit fence-ok
+    * predicate that also gates the decimal cast itself (so the
+    * oracle never evaluates the overflowing cast).
     *
     * 100 TB: two passes — one percentile aggregate (the exact
     * percentile is a sort-based aggregate; at real scale swap in the
@@ -1426,14 +1434,18 @@ object StatsAgg {
     // while keeping the square's precision (31,12) inside 38 — and the
     // (38,12) product sums are NEVER downscale-cast (Spark rounds
     // HALF_UP where DuckDB truncates; full scale → double avoids the
-    // divergence)
-    val clipped = least(greatest(col("__v"), col("__plo")), col("__phi"))
+    // divergence). Fences at |1e9|+ would overflow the grid: gate the
+    // cast so neither engine ever evaluates it (DuckDB would error).
+    val fok = abs(col("__plo")) < lit(1e9) && abs(col("__phi")) < lit(1e9)
+    val clipped = when(fok,
+      least(greatest(col("__v"), col("__plo")), col("__phi")))
       .cast("decimal(15,6)")
     val inside = col("__v") >= col("__plo") && col("__v") <= col("__phi")
     val agg = joined.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(when(col("__v") < col("__plo"), 1L).otherwise(0L)).as("n_lo"),
       sum(when(col("__v") > col("__phi"), 1L).otherwise(0L)).as("n_hi"),
+      max(fok).as("__fok"),
       sum(clipped).cast("double").as("__s"),
       sum(clipped * clipped).cast("double").as("__s2"),
       // inside the fences the clipped value IS the raw value
@@ -1443,11 +1455,11 @@ object StatsAgg {
     agg.select(
       (keys.map(col) :+ col("n")) ++ Seq(
         col("n_lo"), col("n_hi"),
-        round(col("__s") / nD, 6).as("win_mean"),
-        round(sqrt(greatest(lit(0.0),
-          (col("__s2") - col("__s") * col("__s") / nD) / nD)), 6)
+        when(col("__fok"), round(col("__s") / nD, 6)).as("win_mean"),
+        when(col("__fok"), round(sqrt(greatest(lit(0.0),
+          (col("__s2") - col("__s") * col("__s") / nD) / nD)), 6))
           .as("win_std"),
-        when(col("__tn") > 0,
+        when(col("__fok") && col("__tn") > 0,
           round(col("__ts") / col("__tn").cast("double"), 6))
           .as("trim_mean")): _*)
   }

@@ -3052,21 +3052,27 @@ object AggQueries {
              round(quantile_cont(v, 0.95), 6) AS phi
            FROM e GROUP BY event_type),
          j AS (SELECT e.event_type, e.v, f.plo, f.phi,
-             CAST(least(greatest(e.v, f.plo), f.phi) AS DECIMAL(15,6)) AS c
+             (abs(f.plo) < 1e9 AND abs(f.phi) < 1e9) AS fok,
+             CAST(CASE WHEN abs(f.plo) < 1e9 AND abs(f.phi) < 1e9
+               THEN least(greatest(e.v, f.plo), f.phi) END
+               AS DECIMAL(15,6)) AS c
            FROM e JOIN f USING (event_type)),
          a AS (SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CASE WHEN v < plo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
              CAST(SUM(CASE WHEN v > phi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             bool_or(fok) AS fok,
              CAST(SUM(c) AS DOUBLE) AS s,
              CAST(SUM(c * c) AS DOUBLE) AS s2,
              CAST(SUM(CASE WHEN v >= plo AND v <= phi THEN c END) AS DOUBLE) AS ts,
              CAST(SUM(CASE WHEN v >= plo AND v <= phi THEN 1 ELSE 0 END) AS BIGINT) AS tn
            FROM j GROUP BY event_type)
          SELECT event_type, n, n_lo, n_hi,
-           round(s / CAST(n AS DOUBLE), 6) AS win_mean,
-           round(sqrt(greatest(0.0,
-             (s2 - s * s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))), 6) AS win_std,
-           CASE WHEN tn > 0
+           CASE WHEN fok
+             THEN round(s / CAST(n AS DOUBLE), 6) END AS win_mean,
+           CASE WHEN fok THEN round(sqrt(greatest(0.0,
+             (s2 - s * s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))), 6)
+             END AS win_std,
+           CASE WHEN fok AND tn > 0
              THEN round(ts / CAST(tn AS DOUBLE), 6) END AS trim_mean
          FROM a ORDER BY event_type""",
     // A42 oracle: the identical Cramer cofactor tree over the
@@ -3114,7 +3120,7 @@ object AggQueries {
            CASE WHEN abs(det) > 1e-6 THEN round(det1 / det, 6) END AS beta1,
            CASE WHEN abs(det) > 1e-6 THEN round(det2 / det, 6) END AS beta2,
            CASE WHEN abs(det) > 1e-6 AND tss > 1e-9
-             THEN round(greatest(0.0, 1.0 - sse / tss), 6) END AS r2,
+             THEN round(least(1.0, greatest(0.0, 1.0 - sse / tss)), 6) END AS r2,
            CASE WHEN abs(det) > 1e-6
              THEN round(sqrt(greatest(0.0, sse) / nd), 6) END AS rmse
          FROM f ORDER BY event_type""",

@@ -10,9 +10,14 @@ in-RAM peak bound, not an out-of-core one.
 
 Usage: python3 tools/oracle_mem_audit.py <sfDir> <oracleJson> <outJson>
 """
-import sys, json, subprocess, os
+import sys, json, subprocess, os, re
 
 LADDER = ["64MB", "128MB", "256MB", "512MB", "1GB", "2GB", "4GB"]
+
+# round-20 oracles ship a self-limiting "SET memory_limit=...; SET
+# threads=...;" preamble (Verify.scala); strip any leading SET
+# statements so the ladder, not the preamble, controls the limit
+PREAMBLE_RE = re.compile(r"^\s*(SET\s+[^;]+;\s*)+", re.IGNORECASE)
 
 RUNNER = r"""
 import sys, json, glob, os
@@ -39,7 +44,8 @@ def main():
     sf_dir, oracle_json, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
     oracles = json.load(open(oracle_json))
     results = {}
-    for i, (name, sql) in enumerate(sorted(oracles.items())):
+    for i, (name, raw_sql) in enumerate(sorted(oracles.items())):
+        sql = PREAMBLE_RE.sub("", raw_sql)
         min_ok = None
         err = None
         # walk the ladder upward from the bottom; the first pass is the
