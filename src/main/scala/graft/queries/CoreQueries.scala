@@ -62,6 +62,42 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // F18: geohash encode + decode on the same exact coordinate
+    // grid — quantize ONCE at 15 bits/dim, Morton-interleave with
+    // Layout's spread-bits, base-32 render at precisions 6/4/2 (the
+    // coarser codes are right-shifts of the same interleave, hence
+    // true prefixes), then decode the gh6 STRING back through the
+    // ascii CASE + inverse-mask compact to the cell center. Staged
+    // withColumns keep codegen linear (each bit stage references its
+    // input twice — inlining would double the tree per stage)
+    "q_geohash" -> ((s, d) => {
+      import graft.functions.Geohash
+      val lat = (pmod(col("user_id"), lit(1200L)).cast("double") /
+        lit(10.0)) - lit(60.0)
+      val lon = (pmod(col("event_id"), lit(3600L)).cast("double") /
+        lit(10.0)) - lit(180.0)
+      table(s, d, "events")
+        .select(col("event_id"), lat.as("lat"), lon.as("lon"))
+        .withColumn("__qlat", Geohash.quantize15(col("lat"), -90.0, 180.0))
+        .withColumn("__qlon", Geohash.quantize15(col("lon"), -180.0, 360.0))
+        // geohash's first (most significant) bit is a LONGITUDE bit:
+        // lon rides the odd positions (mortonCode's y), lat the even
+        .withColumn("__code",
+          graft.sources.Layout.mortonCode(col("__qlat"), col("__qlon")))
+        .withColumn("gh6", Geohash.base32(col("__code"), 6))
+        .withColumn("gh4", Geohash.base32(shiftright(col("__code"), 10), 4))
+        .withColumn("gh2", Geohash.base32(shiftright(col("__code"), 20), 2))
+        .withColumn("__dcode", Geohash.codeOf(col("gh6"), 6))
+        .withColumn("__dlat", Geohash.compactEven(col("__dcode")))
+        .withColumn("__dlon",
+          Geohash.compactEven(shiftright(col("__dcode"), 1)))
+        .select(col("event_id"), col("lat"), col("lon"),
+          col("gh2"), col("gh4"), col("gh6"),
+          Geohash.cellCenter(col("__dlat"), 15, -90.0, 180.0).as("dec_lat"),
+          Geohash.cellCenter(col("__dlon"), 15, -180.0, 360.0).as("dec_lon"))
+        .orderBy(col("event_id"))
+    }),
+
     // F1/F4/F6: string scalar suite
     "q_scalar_string" -> ((s, d) => {
       table(s, d, "customer")
@@ -177,6 +213,44 @@ object CoreQueries {
              GeoRefLat.toString, GeoRefLon.toString)}, 3) AS dist_m,
            ${GeoFns.pointInPolygonSql("lat", "lon", GeoPoly)} AS in_poly
          FROM p ORDER BY event_id"""
+    },
+    // F18 oracle: the identical quantize → spread → interleave →
+    // base32 → ascii-decode → compact pipeline as staged CTEs, every
+    // fragment generated from the same mask/shift/alphabet literals
+    // (Geohash.*Sql — the F17 generator discipline)
+    "q_geohash" -> {
+      import graft.functions.Geohash
+      val spreadCtes = Geohash.spreadSqlStages("qlat", "ax")
+        .zip(Geohash.spreadSqlStages("qlon", "ox")).zipWithIndex.map {
+          case ((a, o), i) =>
+            val src = if (i == 0) "q" else s"s${i - 1}"
+            s"s$i AS (SELECT *, $a, $o FROM $src)"
+        }.mkString(",\n         ")
+      val compactCtes = Geohash.compactEvenSqlStages("dcode", "la")
+        .zip(Geohash.compactEvenSqlStages("(dcode >> 1)", "lo")).zipWithIndex
+        .map { case ((a, o), i) =>
+          val src = if (i == 0) "dc" else s"c${i - 1}"
+          s"c$i AS (SELECT *, $a, $o FROM $src)"
+        }.mkString(",\n         ")
+      s"""WITH p AS (SELECT event_id,
+           CAST(user_id % 1200 AS DOUBLE) / 10.0 - 60.0 AS lat,
+           CAST(event_id % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+         FROM events),
+         q AS (SELECT *,
+           ${Geohash.quantize15Sql("lat", -90.0, 180.0)} AS qlat,
+           ${Geohash.quantize15Sql("lon", -180.0, 360.0)} AS qlon FROM p),
+         $spreadCtes,
+         z AS (SELECT *, (ax4 | (ox4 << 1)) AS code FROM s4),
+         g AS (SELECT event_id, lat, lon,
+           ${Geohash.base32Sql("code", 6)} AS gh6,
+           ${Geohash.base32Sql("(code >> 10)", 4)} AS gh4,
+           ${Geohash.base32Sql("(code >> 20)", 2)} AS gh2 FROM z),
+         dc AS (SELECT *, ${Geohash.codeOfSql("gh6", 6)} AS dcode FROM g),
+         $compactCtes
+         SELECT event_id, lat, lon, gh2, gh4, gh6,
+           ${Geohash.cellCenterSql("la4", 15, -90.0, 180.0)} AS dec_lat,
+           ${Geohash.cellCenterSql("lo4", 15, -180.0, 360.0)} AS dec_lon
+         FROM c4 ORDER BY event_id"""
     },
     // L4: both regimes written out — fresh rows as degenerate
     // aggregates of themselves, old rows as per-(type, day) groups;
