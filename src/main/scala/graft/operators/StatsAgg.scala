@@ -1489,6 +1489,24 @@ object StatsAgg {
     */
   def kaplanMeier(df: DataFrame, keys: Seq[String], duration: Column,
       event: Column): DataFrame = {
+    val withRisk = kmRiskGrid(df, keys, duration, event)
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withRisk
+      .withColumn("survival",
+        when(kmDeadCum(wCum) === 1, lit(0.0))
+          .otherwise(round(exp(sum(kmLogTerm).over(wCum)), 6)))
+      .select((keys.map(col) ++ Seq(col("__t").as("t"), col("n_risk"),
+        col("d"), (col("__n") - col("d")).as("censored"),
+        col("survival"))): _*)
+  }
+
+  /** The shared A44/A44b risk grid: one subject-level aggregate onto
+    * (keys × distinct duration), then n_risk as exact integer running
+    * sums. n_risk(t) = total − (subjects with duration < t).
+    */
+  private def kmRiskGrid(df: DataFrame, keys: Seq[String],
+      duration: Column, event: Column): DataFrame = {
     val rows = df.select(
       (keys.map(col) ++ Seq(duration.cast("long").as("__t"),
         event.cast("int").as("__e"))): _*)
@@ -1497,32 +1515,65 @@ object StatsAgg {
       .agg(count(lit(1)).as("__n"),
         sum(col("__e")).cast("long").as("d"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
-    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // n_risk(t) = total − (subjects with duration < t): a running sum
-    // of grid counts shifted by one row
-    val withRisk = grid
+    grid
       .withColumn("__total",
         sum(col("__n")).over(Window.partitionBy(keys.map(col): _*)))
       .withColumn("__before",
         coalesce(sum(col("__n")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n_risk", col("__total") - col("__before"))
-    // d = n_risk (the whole risk set dies) is handled by an explicit
-    // zero branch: Spark's `log` returns NULL at 0 where DuckDB's
-    // `ln` returns -inf, so the factor-of-zero case must never enter
-    // the log tree on either engine
-    val term = when(col("d") > 0 && col("d") < col("n_risk"),
+  }
+
+  // d = n_risk (the whole risk set dies) is handled by an explicit
+  // zero branch: Spark's `log` returns NULL at 0 where DuckDB's
+  // `ln` returns -inf, so the factor-of-zero case must never enter
+  // the log tree on either engine
+  private def kmLogTerm: Column =
+    when(col("d") > 0 && col("d") < col("n_risk"),
       log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
       .otherwise(lit(0.0))
-    val deadCum = max(when(col("d") === col("n_risk"), 1).otherwise(0))
-      .over(wCum)
+
+  private def kmDeadCum(wCum: org.apache.spark.sql.expressions.WindowSpec)
+      : Column =
+    max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wCum)
+
+  /** A44b — Kaplan–Meier with Greenwood confidence bands (Greenwood
+    * 1926, the formula every survival dashboard draws):
+    * Var(Ŝ(t)) = Ŝ(t)² · Σ_{u≤t} d/(n·(n−d)), the variance sum one
+    * more running window over the SAME risk grid as [[kaplanMeier]].
+    * The band is the plain (linear) 95% interval Ŝ ± z·SE clamped to
+    * [0, 1], z = 1.959964.
+    *
+    * Determinism: the variance sum is a running double sum over the
+    * window's forced t-order (sequential on both engines, like the
+    * log tree); SE and the band derive from the UNROUNDED survival
+    * and variance through one fixed tree, round-6 at the edge. After
+    * the curve hits zero (d = n_risk) the variance is undefined —
+    * se/lo/hi are NULL there on both engines, survival pinned 0.
+    */
+  def kaplanMeierCi(df: DataFrame, keys: Seq[String], duration: Column,
+      event: Column, z: Double = 1.959964): DataFrame = {
+    val withRisk = kmRiskGrid(df, keys, duration, event)
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gterm = when(col("d") > 0 && col("d") < col("n_risk"),
+      col("d").cast("double") / (col("n_risk").cast("double") *
+        (col("n_risk") - col("d")).cast("double")))
+      .otherwise(lit(0.0))
+    val sRaw = exp(sum(kmLogTerm).over(wCum))
+    val seRaw = sRaw * sqrt(sum(gterm).over(wCum))
+    val alive = kmDeadCum(wCum) =!= 1
     withRisk
       .withColumn("survival",
-        when(deadCum === 1, lit(0.0))
-          .otherwise(round(exp(sum(term).over(wCum)), 6)))
+        when(alive, round(sRaw, 6)).otherwise(lit(0.0)))
+      .withColumn("se", when(alive, round(seRaw, 6)))
+      .withColumn("ci_lo",
+        when(alive, round(greatest(lit(0.0), sRaw - lit(z) * seRaw), 6)))
+      .withColumn("ci_hi",
+        when(alive, round(least(lit(1.0), sRaw + lit(z) * seRaw), 6)))
       .select((keys.map(col) ++ Seq(col("__t").as("t"), col("n_risk"),
         col("d"), (col("__n") - col("d")).as("censored"),
-        col("survival"))): _*)
+        col("survival"), col("se"), col("ci_lo"), col("ci_hi"))): _*)
   }
 
   /** A45 — log-rank (Mantel–Cox) test: the significance companion to

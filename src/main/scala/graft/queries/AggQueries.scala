@@ -1092,6 +1092,26 @@ object AggQueries {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    // A44b: the same curve with Greenwood 95% bands — the variance
+    // sum Σ d/(n(n−d)) is one more running window over the identical
+    // risk grid; se/lo/hi derive from the UNROUNDED survival tree
+    "q_survival_ci" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long")
+      val ev = table(s, d, "events").select(
+        col("user_id"), day.as("day"))
+      val life = ev.groupBy(col("user_id")).agg(
+        min(col("day")).as("t0"), max(col("day")).as("t1"))
+      val maxDay = ev.agg(max(col("day")).as("md"))
+      val subjects = life.crossJoin(broadcast(maxDay)).select(
+        pmod(col("user_id"), lit(3L)).as("cohort"),
+        (col("t1") - col("t0")).as("dur"),
+        when(col("t1") < col("md") - lit(7L), 1).otherwise(0).as("ev"))
+      graft.operators.StatsAgg.kaplanMeierCi(
+        subjects, Seq("cohort"), col("dur"), col("ev"))
+        .orderBy(col("cohort"), col("t"))
+    }),
+
     // A46: Cox proportional hazards — the log HAZARD RATIO of the
     // odd-user cohort, 3 Newton steps from beta = 0 on the log-rank
     // risk grid; fixed iteration count -> the learned model is under
@@ -2992,6 +3012,51 @@ object AggQueries {
            FROM r)
          SELECT cohort, t, n_risk, d, n - d AS censored, survival
          FROM k ORDER BY cohort, t""",
+    // A44b oracle: identical grid + log tree, plus the Greenwood
+    // running variance sum and the z = 1.959964 linear band over the
+    // UNROUNDED survival — NULL once the curve hits zero
+    "q_survival_ci" ->
+      """WITH e AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+         FROM events),
+         u AS (SELECT user_id, MIN(day) AS t0, MAX(day) AS t1
+           FROM e GROUP BY user_id),
+         mx AS (SELECT MAX(day) AS md FROM e),
+         s AS (SELECT user_id % 3 AS cohort, t1 - t0 AS t,
+             CASE WHEN t1 < md - 7 THEN 1 ELSE 0 END AS ev
+           FROM u, mx),
+         g AS (SELECT cohort, t, COUNT(*) AS n,
+             CAST(SUM(ev) AS BIGINT) AS d
+           FROM s GROUP BY cohort, t),
+         r AS (SELECT *,
+             CAST(SUM(n) OVER (PARTITION BY cohort) AS BIGINT)
+               - CAST(COALESCE(SUM(n) OVER (PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+           FROM g),
+         k AS (SELECT *,
+             MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY cohort ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+             exp(SUM(CASE WHEN d > 0 AND d < n_risk
+                 THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                 ELSE 0.0 END) OVER (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sraw,
+             SUM(CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+                   * CAST(n_risk - d AS DOUBLE))
+                 ELSE 0.0 END) OVER (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gvar
+           FROM r),
+         b AS (SELECT *, sraw * sqrt(gvar) AS seraw FROM k)
+         SELECT cohort, t, n_risk, d, n - d AS censored,
+           CASE WHEN dead = 1 THEN 0.0 ELSE round(sraw, 6) END AS survival,
+           CASE WHEN dead = 1 THEN NULL ELSE round(seraw, 6) END AS se,
+           CASE WHEN dead = 1 THEN NULL
+             ELSE round(greatest(0.0, sraw - 1.959964 * seraw), 6) END AS ci_lo,
+           CASE WHEN dead = 1 THEN NULL
+             ELSE round(least(1.0, sraw + 1.959964 * seraw), 6) END AS ci_hi
+         FROM b ORDER BY cohort, t""",
     // A45 oracle: identical risk windows (HUGEINT-cast), identical
     // 9-dp-quantized E/V terms, identical χ² + Wilson–Hilferty trees
     "q_logrank" -> (

@@ -1627,6 +1627,59 @@ class IntervalStatsSpec extends SparkSpec {
     assert(out.filter(_._1 == "b") === Seq(("b", 5L, 1L, 0L, 1L, 1.0)))
   }
 
+  test("A44b kaplanMeierCi: Greenwood bands match a scalar reference; bracket/clamp/zero laws") {
+    val subj = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (4L, 0), (5L, 1), (6L, 0))
+      .map { case (t, e) => ("g", t, e) }
+    val out = StatsAgg.kaplanMeierCi(subj.toDF("k", "dur", "ev"), Seq("k"),
+      col("dur"), col("ev"))
+      .orderBy(col("t"))
+      .as[(String, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // scalar Greenwood over the same grid
+    val grid = Seq((1L, 7L, 1L), (2L, 6L, 0L), (3L, 5L, 2L),
+      (4L, 3L, 0L), (5L, 2L, 1L), (6L, 1L, 0L))
+    var lacc = 0.0; var vacc = 0.0
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = grid.map { case (t, n, d) =>
+      if (d > 0 && d < n) {
+        lacc += math.log(1.0 - d.toDouble / n)
+        vacc += d.toDouble / (n.toDouble * (n - d))
+      }
+      val s = math.exp(lacc); val se = s * math.sqrt(vacc)
+      (t, r6(s), r6(se),
+        r6(math.max(0.0, s - 1.959964 * se)),
+        r6(math.min(1.0, s + 1.959964 * se)))
+    }
+    assert(out.map(r => (r._2, r._6, r._7, r._8, r._9)) === expect)
+    for (r <- out) {
+      assert(r._8 <= r._6 && r._6 <= r._9) // band brackets the curve
+      assert(r._8 >= 0.0 && r._9 <= 1.0)   // clamped to the domain
+    }
+    // survival column identical to the plain A44 face
+    val plain = StatsAgg.kaplanMeier(subj.toDF("k", "dur", "ev"), Seq("k"),
+      col("dur"), col("ev")).orderBy(col("t"))
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._6) === plain.map(_._6))
+  }
+
+  test("A44b kaplanMeierCi: zero-curve tail nulls the band; censor-only cohort has zero-width-ish band") {
+    val subj = Seq(("a", 1L, 1), ("a", 2L, 1), ("a", 2L, 1), ("b", 5L, 0))
+    val out = StatsAgg.kaplanMeierCi(subj.toDF("k", "dur", "ev"), Seq("k"),
+      col("dur"), col("ev"))
+      .orderBy(col("k"), col("t"))
+      .select(col("k"), col("t"), col("survival"), col("se"), col("ci_lo"),
+        col("ci_hi"))
+      .collect().toSeq
+    val aLast = out.filter(_.getString(0) == "a").last
+    assert(aLast.getDouble(2) === 0.0 && aLast.isNullAt(3) &&
+      aLast.isNullAt(4) && aLast.isNullAt(5))
+    val b = out.filter(_.getString(0) == "b").head
+    // no events: survival 1, variance sum 0 → se 0, band [1, 1]
+    assert(b.getDouble(2) === 1.0 && b.getDouble(3) === 0.0 &&
+      b.getDouble(4) === 1.0 && b.getDouble(5) === 1.0)
+  }
+
   // ---- A46 Cox proportional hazards --------------------------------------
 
   /** The operator's 3-step Newton as a scalar loop with the identical
