@@ -1745,6 +1745,241 @@ object StatsAgg {
       .withColumn("p_value", graft.functions.NormalDist.twoSidedP(col("z")))
   }
 
+  /** A46b — Cox proportional hazards with MULTIPLE covariates
+    * (Cox 1972, Breslow ties): the model real retention analyses fit
+    * — the hazard ratio of the treatment flag ADJUSTED for activity
+    * tier, tenure bucket, etc. Where [[coxPh]]'s binary covariate
+    * collapses every risk set to two counts, general covariates need
+    * the risk-set moment sums
+    *   S0(t) = Σ_{dur≥t} e^{βᵀx},  S1_k(t) = Σ x_k e^{βᵀx},
+    *   S2_kl(t) = Σ x_k x_l e^{βᵀx}
+    * — computed NOT per risk set but as reverse cumulative window
+    * sums of per-duration aggregates (the A44 grid posture: subjects
+    * pay one narrow aggregate pass per Newton iteration, everything
+    * else is grid-sized). Score U_k = Σ_t [Σ_{events at t} x_k −
+    * d·S1_k/S0]; information I_kl = Σ_t d·(S2_kl/S0 −
+    * (S1_k/S0)(S1_l/S0)); Newton β += I⁻¹U, `iters` FIXED steps from
+    * 0 — the finite dataflow that makes the LEARNED coefficients
+    * value-oracle-able (the q_coxph/X29 discipline).
+    *
+    * Determinism: per-subject weight terms are 9-dp-quantized before
+    * DECIMAL summation (order-free), the reverse cumsums are exact
+    * DECIMAL window sums, per-time U/I contributions re-quantize to
+    * the 9-dp grid, and β itself is rounded to 9 dp after each
+    * update. For p = 2 the solve is the explicit 2×2 Cramer tree
+    * (pure Column arithmetic, mirrored token-for-token by the
+    * oracle); for p ≥ 3 it is Gaussian elimination with partial
+    * pivoting on keys-sized rows ([[Regression.linearFit]]'s
+    * pattern; spec-gated — a p×p CASE ladder is not worth the SQL).
+    *
+    * Output per key: n_subjects, n_events, then per covariate k:
+    * beta_k, hr_k, se_k (Wald, from diag I⁻¹ at the fitted β), z_k,
+    * p_k (shared normal tree).
+    *
+    * 100 TB: each iteration is one broadcast join (keys-sized β) +
+    * one map-side-combined aggregate over subjects onto the (keys ×
+    * distinct-duration) grid + grid-sized windows; p is tens at
+    * most, so the 1 + p + p(p+1)/2 sum columns stay narrow.
+    */
+  def coxPhMulti(df: DataFrame, keys: Seq[String], duration: Column,
+      event: Column, features: Seq[Column], iters: Int = 3): DataFrame = {
+    val p = features.size
+    require(p >= 2, "coxPhMulti needs >= 2 covariates; use coxPh for one")
+    val pairs = for (i <- 0 until p; j <- i until p) yield (i, j)
+    val featCols = features.zipWithIndex.map {
+      case (f, i) => f.cast("double").as(s"__x$i")
+    }
+    val rows = df.select(
+      (keys.map(col) ++ Seq(duration.cast("long").as("__t"),
+        event.cast("int").as("__e")) ++ featCols): _*)
+      .where(col("__t").isNotNull && col("__t") >= 0 && col("__e").isNotNull)
+    // β-independent grid: events + event-covariate sums per duration
+    val grid = rows.groupBy((keys.map(col) :+ col("__t")): _*).agg(
+      count(lit(1)).as("__m"),
+      (sum(col("__e")).cast("long").as("d") +:
+        (0 until p).map(i =>
+          sum((col("__e") * col(s"__x$i")).cast("decimal(20,9)"))
+            .cast("decimal(38,9)").as(s"__sxe$i"))): _*)
+    val consts = grid.groupBy(keys.map(col): _*).agg(
+      sum(col("__m")).cast("long").as("n_subjects"),
+      sum(col("d")).cast("long").as("n_events"))
+    val r9d = (c: Column) => round(c, 9).cast("decimal(30,9)")
+    // one U/I evaluation at the β carried by `beta` (a keys-sized
+    // frame with __b0..__b{p-1}): subjects pay ONE aggregate pass,
+    // risk sums are reverse cumulative DECIMAL windows on the grid
+    def ui(beta: DataFrame): DataFrame = {
+      val joined = rows.join(broadcast(beta), keys)
+      val w = exp((0 until p).map(i => col(s"__b$i") * col(s"__x$i"))
+        .reduce(_ + _))
+      val perT = joined.groupBy((keys.map(col) :+ col("__t")): _*).agg(
+        sum(r9d(w)).cast("decimal(38,9)").as("__a0"),
+        ((0 until p).map(i =>
+          sum(r9d(col(s"__x$i") * w)).cast("decimal(38,9)").as(s"__af$i")) ++
+          pairs.map { case (i, j) =>
+            sum(r9d(col(s"__x$i") * col(s"__x$j") * w))
+              .cast("decimal(38,9)").as(s"__ap${i}_$j")
+          }): _*)
+      val wTail = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val riskCols = ("__a0" +: ((0 until p).map(i => s"__af$i") ++
+        pairs.map { case (i, j) => s"__ap${i}_$j" })).map(c =>
+        sum(col(c)).over(wTail).cast("double")
+          .as(s"__s${c.stripPrefix("__a")}"))
+      val withRisk = perT.join(grid, (keys :+ "__t").toSeq)
+        .select((keys.map(col) ++ Seq(col("__t"), col("d")) ++
+          (0 until p).map(i => col(s"__sxe$i").cast("double").as(s"__sxe$i")) ++
+          riskCols): _*)
+      val dd = col("d").cast("double")
+      val s0 = col("__s0")
+      val tU = (0 until p).map { i =>
+        when(col("d") > 0,
+          round(col(s"__sxe$i") - dd * (col(s"__sf$i") / s0), 9))
+          .otherwise(lit(0.0)).cast("decimal(20,9)")
+      }
+      val tI = pairs.zipWithIndex.map { case ((i, j), k) =>
+        when(col("d") > 0,
+          round(dd * (col(s"__sp${i}_$j") / s0 -
+            (col(s"__sf$i") / s0) * (col(s"__sf$j") / s0)), 9))
+          .otherwise(lit(0.0)).cast("decimal(20,9)")
+      }
+      withRisk.groupBy(keys.map(col): _*).agg(
+        sum(tU(0)).cast("double").as("__u0"),
+        ((1 until p).map(i => sum(tU(i)).cast("double").as(s"__u$i")) ++
+          pairs.zipWithIndex.map { case ((i, j), k) =>
+            sum(tI(k)).cast("double").as(s"__i${i}_$j")
+          }): _*)
+    }
+    // Newton update from a joined (U, I, β) keys-sized frame
+    def step(uib: DataFrame): DataFrame =
+      if (p == 2) {
+        // explicit 2×2 Cramer tree — mirrored token-for-token by the
+        // q_coxph_multi oracle stages
+        val det = col("__i0_0") * col("__i1_1") -
+          col("__i0_1") * col("__i0_1")
+        val ok = det > lit(1e-12) && col("__i0_0") > lit(0.0)
+        uib.select((keys.map(col) ++ Seq(
+          when(ok, round(col("__b0") +
+            (col("__u0") * col("__i1_1") - col("__i0_1") * col("__u1")) / det,
+            9)).otherwise(col("__b0")).as("__b0"),
+          when(ok, round(col("__b1") +
+            (col("__i0_0") * col("__u1") - col("__u0") * col("__i0_1")) / det,
+            9)).otherwise(col("__b1")).as("__b1"))): _*)
+      } else {
+        // p ≥ 3: Gaussian elimination with partial pivoting on the
+        // keys-sized aggregate (Regression.linearFit's pattern)
+        val iArr = array(pairs.map { case (i, j) => col(s"__i${i}_$j") }: _*)
+        val uArr = array((0 until p).map(i => col(s"__u$i")): _*)
+        val bArr = array((0 until p).map(i => col(s"__b$i")): _*)
+        val stepUdf = udf { (iFlat: Seq[Double], u: Seq[Double],
+            b: Seq[Double]) =>
+          gaussSolve(iFlat, u) match {
+            case Some(delta) =>
+              b.zip(delta).map { case (bi, di) =>
+                BigDecimal(bi + di).setScale(9,
+                  BigDecimal.RoundingMode.HALF_UP).toDouble
+              }
+            case None => b
+          }
+        }
+        uib.select((keys.map(col) :+ stepUdf(iArr, uArr, bArr).as("__bs")): _*)
+          .select((keys.map(col) ++ (0 until p).map(i =>
+            element_at(col("__bs"), i + 1).as(s"__b$i"))): _*)
+      }
+    var beta = consts.select(
+      (keys.map(col) ++ (0 until p).map(i => lit(0.0).as(s"__b$i"))): _*)
+    for (_ <- 0 until iters)
+      beta = step(ui(beta).join(broadcast(beta), keys))
+    // Wald se from diag(I⁻¹) at the fitted β
+    val fin = ui(beta).join(broadcast(beta), keys)
+    val withSe =
+      if (p == 2) {
+        val det = col("__i0_0") * col("__i1_1") -
+          col("__i0_1") * col("__i0_1")
+        val ok = det > lit(1e-12) && col("__i0_0") > lit(0.0)
+        fin.select((keys.map(col) ++
+          (0 until p).map(i => col(s"__b$i")) ++ Seq(
+            when(ok, sqrt(col("__i1_1") / det)).as("__se0"),
+            when(ok, sqrt(col("__i0_0") / det)).as("__se1"))): _*)
+      } else {
+        val iArr = array(pairs.map { case (i, j) => col(s"__i${i}_$j") }: _*)
+        val diagUdf = udf { (iFlat: Seq[Double]) => invDiag(iFlat) }
+        fin.select((keys.map(col) ++
+          (0 until p).map(i => col(s"__b$i")) :+
+          diagUdf(iArr).as("__vd")): _*)
+          .select((keys.map(col) ++
+            (0 until p).map(i => col(s"__b$i")) ++
+            (0 until p).map(i =>
+              when(element_at(col("__vd"), i + 1).isNotNull,
+                sqrt(element_at(col("__vd"), i + 1))).as(s"__se$i"))): _*)
+      }
+    val out = consts.join(withSe, keys)
+    val statCols = (0 until p).flatMap { i =>
+      val ok = col(s"__se$i").isNotNull && col(s"__se$i") > lit(0.0)
+      val zc = when(ok, round(col(s"__b$i") / col(s"__se$i"), 6))
+      Seq(
+        when(ok, round(col(s"__b$i"), 6)).as(s"beta$i"),
+        when(ok, round(exp(col(s"__b$i")), 6)).as(s"hr$i"),
+        when(ok, round(col(s"__se$i"), 6)).as(s"se$i"),
+        zc.as(s"z$i"))
+    }
+    val withStats = out.select((keys.map(col) ++
+      Seq(col("n_subjects"), col("n_events")) ++ statCols): _*)
+    (0 until p).foldLeft(withStats) { (d2, i) =>
+      d2.withColumn(s"p$i",
+        graft.functions.NormalDist.twoSidedP(col(s"z$i")))
+    }
+  }
+
+  /** Gaussian elimination with partial pivoting over an upper-triangle
+    * flattened symmetric matrix — solve A·x = u; None when singular.
+    */
+  private def gaussSolve(aFlat: Seq[Double], u: Seq[Double])
+      : Option[Seq[Double]] = {
+    val m = u.size
+    val a = Array.ofDim[Double](m, m + 1)
+    var idx = 0
+    for (i <- 0 until m; j <- i until m) {
+      a(i)(j) = aFlat(idx); a(j)(i) = aFlat(idx); idx += 1
+    }
+    for (i <- 0 until m) a(i)(m) = u(i)
+    var singular = false
+    for (c <- 0 until m if !singular) {
+      var piv = c
+      for (r <- c + 1 until m)
+        if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+      if (math.abs(a(piv)(c)) < 1e-12) singular = true
+      else {
+        if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t }
+        for (r <- c + 1 until m) {
+          val f = a(r)(c) / a(c)(c)
+          for (k <- c to m) a(r)(k) -= f * a(c)(k)
+        }
+      }
+    }
+    if (singular) None
+    else {
+      val x = new Array[Double](m)
+      for (i <- (m - 1) to 0 by -1) {
+        var s = a(i)(m)
+        for (k <- i + 1 until m) s -= a(i)(k) * x(k)
+        x(i) = s / a(i)(i)
+      }
+      Some(x.toSeq)
+    }
+  }
+
+  /** Diagonal of the inverse of an upper-triangle flattened symmetric
+    * matrix (solve A·x = e_k per column); null marks singular.
+    */
+  private def invDiag(aFlat: Seq[Double]): Option[Seq[Double]] = {
+    val m = ((math.sqrt(8.0 * aFlat.size + 1) - 1) / 2).round.toInt
+    val diag = (0 until m).map { k =>
+      val e = Seq.tabulate(m)(i => if (i == k) 1.0 else 0.0)
+      gaussSolve(aFlat, e).map(_(k))
+    }
+    if (diag.exists(_.isEmpty)) None else Some(diag.map(_.get))
+  }
+
   def fdrAdjust(df: DataFrame, family: Seq[String], p: Column,
       tie: Column, storeyLambda: Option[Double] = None): DataFrame = {
     val fam = family.map(col)

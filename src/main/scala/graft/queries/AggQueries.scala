@@ -1134,6 +1134,31 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A46b: multi-covariate Cox — the odd-user hazard ratio ADJUSTED
+    // for an activity-tier covariate (exact quarter grid); 3 Newton
+    // steps on the (S0, S1, S2) risk-moment grid, 2×2 Cramer solve,
+    // the LEARNED coefficient pair under the value gate via the
+    // unrolled-stage oracle
+    "q_coxph_multi" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long")
+      val ev = table(s, d, "events").select(
+        col("user_id"), col("event_type"), day.as("day"))
+      val life = ev.groupBy(col("event_type"), col("user_id")).agg(
+        min(col("day")).as("t0"), max(col("day")).as("t1"))
+      val maxDay = ev.agg(max(col("day")).as("md"))
+      val subjects = life.crossJoin(broadcast(maxDay)).select(
+        col("event_type"),
+        (col("t1") - col("t0")).as("dur"),
+        when(col("t1") < col("md") - lit(7L), 1).otherwise(0).as("ev"),
+        pmod(col("user_id"), lit(2L)).cast("double").as("x0"),
+        (expr("CAST((user_id div 2) % 4 AS DOUBLE)") * lit(0.25)).as("x1"))
+      graft.operators.StatsAgg.coxPhMulti(
+        subjects, Seq("event_type"), col("dur"), col("ev"),
+        Seq(col("x0"), col("x1")))
+        .orderBy(col("event_type"))
+    }),
+
     // A45: log-rank (Mantel–Cox) — do the even/odd user cohorts'
     // survival curves differ? Hypergeometric O−E over event times,
     // χ²(1) + Wilson–Hilferty p, the A44 significance companion
@@ -1367,7 +1392,142 @@ object AggQueries {
          FROM r2 GROUP BY event_type),
        b0 AS (SELECT event_type, 0.0 AS b FROM c0)"""
 
+  /** A46b lifetime + covariate grid CTE prefix: x0 = user parity,
+    * x1 = quarter-grid activity tier ((user_id div 2) mod 4 · 0.25).
+    */
+  private val coxMultiGridSql: String =
+    """e AS (SELECT user_id, event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+       FROM events),
+       u AS (SELECT event_type, user_id, MIN(day) AS t0, MAX(day) AS t1
+         FROM e GROUP BY event_type, user_id),
+       mx AS (SELECT MAX(day) AS md FROM e),
+       s AS (SELECT event_type, t1 - t0 AS t,
+           CASE WHEN t1 < md - 7 THEN 1 ELSE 0 END AS ev,
+           CAST(user_id % 2 AS DOUBLE) AS x0,
+           CAST((user_id // 2) % 4 AS DOUBLE) * 0.25 AS x1
+         FROM u, mx),
+       gr AS (SELECT event_type, t, COUNT(*) AS m,
+           CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(SUM(CAST(ev * x0 AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS sxe0,
+           CAST(SUM(CAST(ev * x1 AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS sxe1
+         FROM s GROUP BY event_type, t),
+       c0 AS (SELECT event_type, CAST(SUM(m) AS BIGINT) AS n_subjects,
+           CAST(SUM(d) AS BIGINT) AS n_events
+         FROM gr GROUP BY event_type),
+       bb0 AS (SELECT event_type, 0.0 AS b0, 0.0 AS b1 FROM c0)"""
+
+  /** One unrolled A46b Newton stage: subject weights at bb$i's β,
+    * 9-dp-quantized DECIMAL moment sums per duration, reverse
+    * cumulative risk windows, per-time U/I contributions, the per-key
+    * aggregate, and (unless `last`) the 2×2 Cramer update to
+    * bb${i+1} — token-for-token the operator's dataflow.
+    */
+  private def coxMultiStageSql(i: Int, last: Boolean = false): String = {
+    def q(e: String) =
+      s"CAST(SUM(CAST(round($e, 9) AS DECIMAL(30,9))) AS DECIMAL(38,9))"
+    val win = "OVER (PARTITION BY event_type ORDER BY t " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    val det = "(g.i00 * g.i11 - g.i01 * g.i01)"
+    val core = s"""w$i AS (SELECT s.event_type, s.t, s.x0, s.x1,
+         exp(b.b0 * s.x0 + b.b1 * s.x1) AS wv
+       FROM s JOIN bb$i b USING (event_type)),
+     a$i AS (SELECT event_type, t,
+         ${q("wv")} AS a0,
+         ${q("x0 * wv")} AS af0,
+         ${q("x1 * wv")} AS af1,
+         ${q("x0 * x0 * wv")} AS ap00,
+         ${q("x0 * x1 * wv")} AS ap01,
+         ${q("x1 * x1 * wv")} AS ap11
+       FROM w$i GROUP BY event_type, t),
+     r$i AS (SELECT event_type, t, d,
+         CAST(sxe0 AS DOUBLE) AS sxe0d, CAST(sxe1 AS DOUBLE) AS sxe1d,
+         CAST(SUM(a0) $win AS DOUBLE) AS s0,
+         CAST(SUM(af0) $win AS DOUBLE) AS sf0,
+         CAST(SUM(af1) $win AS DOUBLE) AS sf1,
+         CAST(SUM(ap00) $win AS DOUBLE) AS sp00,
+         CAST(SUM(ap01) $win AS DOUBLE) AS sp01,
+         CAST(SUM(ap11) $win AS DOUBLE) AS sp11
+       FROM a$i JOIN gr USING (event_type, t)),
+     t$i AS (SELECT event_type,
+         CAST(CASE WHEN d > 0 THEN
+             round(sxe0d - CAST(d AS DOUBLE) * (sf0 / s0), 9)
+           ELSE 0.0 END AS DECIMAL(20,9)) AS tu0,
+         CAST(CASE WHEN d > 0 THEN
+             round(sxe1d - CAST(d AS DOUBLE) * (sf1 / s0), 9)
+           ELSE 0.0 END AS DECIMAL(20,9)) AS tu1,
+         CAST(CASE WHEN d > 0 THEN
+             round(CAST(d AS DOUBLE) * (sp00 / s0 - (sf0 / s0) * (sf0 / s0)), 9)
+           ELSE 0.0 END AS DECIMAL(20,9)) AS ti00,
+         CAST(CASE WHEN d > 0 THEN
+             round(CAST(d AS DOUBLE) * (sp01 / s0 - (sf0 / s0) * (sf1 / s0)), 9)
+           ELSE 0.0 END AS DECIMAL(20,9)) AS ti01,
+         CAST(CASE WHEN d > 0 THEN
+             round(CAST(d AS DOUBLE) * (sp11 / s0 - (sf1 / s0) * (sf1 / s0)), 9)
+           ELSE 0.0 END AS DECIMAL(20,9)) AS ti11
+       FROM r$i),
+     g$i AS (SELECT event_type,
+         CAST(SUM(tu0) AS DOUBLE) AS u0, CAST(SUM(tu1) AS DOUBLE) AS u1,
+         CAST(SUM(ti00) AS DOUBLE) AS i00, CAST(SUM(ti01) AS DOUBLE) AS i01,
+         CAST(SUM(ti11) AS DOUBLE) AS i11
+       FROM t$i GROUP BY event_type)"""
+    if (last) core
+    else core + s""",
+     bb${i + 1} AS (SELECT g.event_type,
+         CASE WHEN $det > 1e-12 AND g.i00 > 0.0
+           THEN round(b.b0 + (g.u0 * g.i11 - g.i01 * g.u1) / $det, 9)
+           ELSE b.b0 END AS b0,
+         CASE WHEN $det > 1e-12 AND g.i00 > 0.0
+           THEN round(b.b1 + (g.i00 * g.u1 - g.u0 * g.i01) / $det, 9)
+           ELSE b.b1 END AS b1
+       FROM g$i g JOIN bb$i b USING (event_type))"""
+  }
+
   private val baseOracles: Map[String, String] = Map(
+    // A46b oracle: three unrolled Newton stages + a fourth info-only
+    // stage at the fitted β; Wald se from the 2×2 inverse diagonal,
+    // z per covariate, shared normal p trees
+    "q_coxph_multi" -> (
+      s"""WITH $coxMultiGridSql,
+         ${coxMultiStageSql(0)},
+         ${coxMultiStageSql(1)},
+         ${coxMultiStageSql(2)},
+         ${coxMultiStageSql(3, last = true)},
+         fo AS (SELECT c0.event_type, c0.n_subjects, c0.n_events,
+             b.b0, b.b1, g.i00, g.i01, g.i11,
+             (g.i00 * g.i11 - g.i01 * g.i01) AS det
+           FROM c0 JOIN g3 g USING (event_type)
+             JOIN bb3 b USING (event_type)),
+         fs AS (SELECT *,
+             CASE WHEN det > 1e-12 AND i00 > 0.0
+               THEN sqrt(i11 / det) END AS se0r,
+             CASE WHEN det > 1e-12 AND i00 > 0.0
+               THEN sqrt(i00 / det) END AS se1r
+           FROM fo),
+         fz AS (SELECT *,
+             CASE WHEN se0r IS NOT NULL AND se0r > 0.0
+               THEN round(b0 / se0r, 6) END AS z0,
+             CASE WHEN se1r IS NOT NULL AND se1r > 0.0
+               THEN round(b1 / se1r, 6) END AS z1
+           FROM fs)
+         SELECT event_type, n_subjects, n_events,
+           CASE WHEN se0r IS NOT NULL AND se0r > 0.0
+             THEN round(b0, 6) END AS beta0,
+           CASE WHEN se0r IS NOT NULL AND se0r > 0.0
+             THEN round(exp(b0), 6) END AS hr0,
+           CASE WHEN se0r IS NOT NULL AND se0r > 0.0
+             THEN round(se0r, 6) END AS se0,
+           z0,
+           """ + graft.functions.NormalDist.twoSidedPSql("z0") + s""" AS p0,
+           CASE WHEN se1r IS NOT NULL AND se1r > 0.0
+             THEN round(b1, 6) END AS beta1,
+           CASE WHEN se1r IS NOT NULL AND se1r > 0.0
+             THEN round(exp(b1), 6) END AS hr1,
+           CASE WHEN se1r IS NOT NULL AND se1r > 0.0
+             THEN round(se1r, 6) END AS se1,
+           z1,
+           """ + graft.functions.NormalDist.twoSidedPSql("z1") + s""" AS p1
+         FROM fz ORDER BY event_type"""),
     // A46 oracle: the 3 Newton stages UNROLLED over the shared risk
     // grid, final information at the fitted beta, Wald z + shared
     // normal p — the operator's dataflow stage for stage

@@ -1757,6 +1757,150 @@ class IntervalStatsSpec extends SparkSpec {
     assert((got._1, got._2) === expect)
   }
 
+  // ---- A46b multi-covariate Cox ------------------------------------------
+
+  /** The multi-covariate operator's Newton as a scalar loop with the
+    * identical quantization points: 9-dp per-subject moment terms,
+    * exact reverse-cumulative risk sums, 9-dp per-time U/I terms, 9-dp
+    * β after each 2×2 Cramer step.
+    */
+  private def scalarCoxMulti(subj: Seq[(Long, Int, Double, Double)],
+      iters: Int): Option[(Double, Double, Double, Double, Double, Double)] = {
+    val times = subj.map(_._1).distinct.sorted
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r9d(x: Double) = r9(x).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // β-independent: d(t) and event-covariate sums
+    val dAt = times.map(t => t -> subj.count(s => s._1 == t && s._2 == 1)).toMap
+    val sxeAt = times.map { t =>
+      val ev = subj.filter(s => s._1 == t && s._2 == 1)
+      t -> (ev.map(s => r9(s._3)).sum.toDouble,
+        ev.map(s => r9(s._4)).sum.toDouble)
+    }.toMap
+    def ui(b0: Double, b1: Double) = {
+      val aAt = times.map { t =>
+        val here = subj.filter(_._1 == t)
+        def m(f: ((Long, Int, Double, Double)) => Double) =
+          here.map(s => r9(f(s))).sum
+        t -> (m(s => math.exp(b0 * s._3 + b1 * s._4)),
+          m(s => s._3 * math.exp(b0 * s._3 + b1 * s._4)),
+          m(s => s._4 * math.exp(b0 * s._3 + b1 * s._4)),
+          m(s => s._3 * s._3 * math.exp(b0 * s._3 + b1 * s._4)),
+          m(s => s._3 * s._4 * math.exp(b0 * s._3 + b1 * s._4)),
+          m(s => s._4 * s._4 * math.exp(b0 * s._3 + b1 * s._4)))
+      }.toMap
+      var u0 = BigDecimal(0); var u1 = BigDecimal(0)
+      var i00 = BigDecimal(0); var i01 = BigDecimal(0); var i11 = BigDecimal(0)
+      for (t <- times if dAt(t) > 0) {
+        val tail = times.filter(_ >= t).map(aAt)
+        val s0 = tail.map(_._1).sum.toDouble
+        val sf0 = tail.map(_._2).sum.toDouble
+        val sf1 = tail.map(_._3).sum.toDouble
+        val sp00 = tail.map(_._4).sum.toDouble
+        val sp01 = tail.map(_._5).sum.toDouble
+        val sp11 = tail.map(_._6).sum.toDouble
+        val d = dAt(t).toDouble
+        u0 += r9(sxeAt(t)._1 - d * (sf0 / s0))
+        u1 += r9(sxeAt(t)._2 - d * (sf1 / s0))
+        i00 += r9(d * (sp00 / s0 - (sf0 / s0) * (sf0 / s0)))
+        i01 += r9(d * (sp01 / s0 - (sf0 / s0) * (sf1 / s0)))
+        i11 += r9(d * (sp11 / s0 - (sf1 / s0) * (sf1 / s0)))
+      }
+      (u0.toDouble, u1.toDouble, i00.toDouble, i01.toDouble, i11.toDouble)
+    }
+    var b0 = 0.0; var b1 = 0.0
+    for (_ <- 0 until iters) {
+      val (u0, u1, i00, i01, i11) = ui(b0, b1)
+      val det = i00 * i11 - i01 * i01
+      if (det > 1e-12 && i00 > 0.0) {
+        val nb0 = r9d(b0 + (u0 * i11 - i01 * u1) / det)
+        val nb1 = r9d(b1 + (i00 * u1 - u0 * i01) / det)
+        b0 = nb0; b1 = nb1
+      }
+    }
+    val (_, _, i00, i01, i11) = ui(b0, b1)
+    val det = i00 * i11 - i01 * i01
+    if (det > 1e-12 && i00 > 0.0) {
+      val se0 = math.sqrt(i11 / det); val se1 = math.sqrt(i00 / det)
+      Some((r6(b0), r6(se0), r6(b0 / se0), r6(b1), r6(se1), r6(b1 / se1)))
+    } else None
+  }
+
+  test("A46b coxPhMulti: bit-level scalar-Newton parity on a mixed fixture; partition-stable") {
+    val rnd = new scala.util.Random(67)
+    val subj = (0 until 120).map { i =>
+      val x0 = (i % 2).toDouble
+      val x1 = ((i / 2) % 4) * 0.25
+      val dur = (rnd.nextInt(9) + 1 + (if (x0 > 0) 0 else 2) +
+        (x1 * 4).toInt % 2).toLong
+      val ev = if (rnd.nextInt(5) > 0) 1 else 0
+      ("g", dur, ev, x0, x1)
+    }
+    def run(np: Int) = StatsAgg.coxPhMulti(
+      subj.toDF("k", "dur", "ev", "x0", "x1").repartition(np),
+      Seq("k"), col("dur"), col("ev"), Seq(col("x0"), col("x1")))
+      .select("beta0", "se0", "z0", "beta1", "se1", "z1")
+      .as[(Double, Double, Double, Double, Double, Double)].collect().head
+    val got = run(7)
+    assert(got === run(1)) // partition-order invariant
+    val Some(expect) = scalarCoxMulti(
+      subj.map(s => (s._2, s._3, s._4, s._5)), 3)
+    assert(got === expect)
+  }
+
+  test("A46b coxPhMulti: adjusted treatment effect recovered; collinear covariates null the stats") {
+    // x0 = treatment churns faster, x1 pure noise on an exact grid
+    val rnd = new scala.util.Random(71)
+    val subj = (0 until 200).map { i =>
+      val x0 = (i % 2).toDouble
+      val x1 = (rnd.nextInt(4)) * 0.25
+      val dur = (rnd.nextInt(6) + 1 + (if (x0 > 0) 0 else 4)).toLong
+      ("g", dur, 1, x0, x1)
+    }
+    val out = StatsAgg.coxPhMulti(subj.toDF("k", "dur", "ev", "x0", "x1"),
+      Seq("k"), col("dur"), col("ev"), Seq(col("x0"), col("x1")))
+      .select("beta0", "hr0", "p0", "beta1")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(out._1 > 0.5 && out._2 > 1.6 && out._3 < 0.01, out)
+    assert(math.abs(out._4) < 0.6, out)
+    // x1 == x0 exactly: singular information → stats null, counts kept
+    val col2 = subj.map(s => (s._1, s._2, s._3, s._4, s._4))
+    val sing = StatsAgg.coxPhMulti(col2.toDF("k", "dur", "ev", "x0", "x1"),
+      Seq("k"), col("dur"), col("ev"), Seq(col("x0"), col("x1")))
+      .select("n_subjects", "beta0", "se0", "beta1")
+      .collect().head
+    assert(sing.getLong(0) === 200L)
+    assert(sing.isNullAt(1) && sing.isNullAt(2) && sing.isNullAt(3))
+  }
+
+  test("A46b coxPhMulti p=3: Gaussian-elimination arm agrees with the p=2 Cramer arm when the third covariate is irrelevant-but-independent, and runs green") {
+    val rnd = new scala.util.Random(73)
+    val subj = (0 until 150).map { i =>
+      val x0 = (i % 2).toDouble
+      val x1 = ((i / 2) % 4) * 0.25
+      val x2 = ((i / 8) % 3) * 0.5
+      val dur = (rnd.nextInt(8) + 1 + (if (x0 > 0) 0 else 2)).toLong
+      val ev = if (rnd.nextInt(6) > 0) 1 else 0
+      ("g", dur, ev, x0, x1, x2)
+    }
+    val df3 = subj.toDF("k", "dur", "ev", "x0", "x1", "x2")
+    val out3 = StatsAgg.coxPhMulti(df3, Seq("k"), col("dur"), col("ev"),
+      Seq(col("x0"), col("x1"), col("x2")))
+      .select("beta0", "se0", "beta1", "beta2", "se2")
+      .as[(Double, Double, Double, Double, Double)].collect().head
+    // all three coefficients fit, finite and sane
+    assert(out3._2 > 0.0 && out3._5 > 0.0)
+    assert(math.abs(out3._1) < 5 && math.abs(out3._3) < 5 &&
+      math.abs(out3._4) < 5)
+    // dropping the irrelevant x2 moves the (x0, x1) fit only slightly
+    val out2 = StatsAgg.coxPhMulti(df3, Seq("k"), col("dur"), col("ev"),
+      Seq(col("x0"), col("x1")))
+      .select("beta0", "beta1").as[(Double, Double)].collect().head
+    assert(math.abs(out3._1 - out2._1) < 0.35, (out3, out2))
+  }
+
   // ---- ST24 streaming survival store ------------------------------------
 
   test("ST24 streaming survival store: live KM + log-rank equal the batch operators per batch; replay no-op; orphan heal; MemoryStream e2e") {
