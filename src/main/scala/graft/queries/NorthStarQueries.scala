@@ -569,6 +569,39 @@ object NorthStarQueries {
         .toDF("n", "bias", "w_punct", "w_stop")
     }),
 
+    // X29b: the WIDE production feature set — the same 3-iteration
+    // full-batch GD over FIVE quality metrics (punct/stopword ratios,
+    // mean token length, capped token count, distinct-token ratio),
+    // every feature on an exact round-4/3-dp grid so each gradient
+    // component stays an exact DECIMAL sum; the oracle's stages are
+    // GENERATED for arbitrary p, so widening the model never costs
+    // hand-unrolling again
+    "q_classifier_train_wide" -> ((s, d) => {
+      val m = TextFns.qualityMetrics(col("text")).toMap
+      val toks = split(col("text"), " ")
+      val docs = table(s, d, "documents")
+        .where(length(col("text")) > 0)
+        .select(m("punct_ratio").as("x_punct"),
+          m("stopword_ratio").as("x_stop"),
+          m("mean_token_len").as("x_mlen"),
+          (least(m("n_tokens"), lit(500L)).cast("double") / lit(500.0))
+            .as("x_ntok"),
+          round(size(array_distinct(toks)).cast("double") /
+            size(toks).cast("double"), 4).as("x_dratio"),
+          (m("quality_score") >= 0.5).cast("double").as("y"))
+      val n = docs.count()
+      val w = graft.operators.Curation.logisticTrain(
+        docs, Seq(col("x_punct"), col("x_stop"), col("x_mlen"),
+          col("x_ntok"), col("x_dratio")), col("y"),
+        iters = 3, lr = 1.0)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((n, r6(w(0)), r6(w(1)), r6(w(2)), r6(w(3)), r6(w(4)), r6(w(5))))
+        .toDF("n", "bias", "w_punct", "w_stop", "w_mlen", "w_ntok",
+          "w_dratio")
+    }),
+
     // X29: learned quality classifier — SCORE face (ship a model,
     // score the corpus): pure codegen sigmoid tree over the same
     // feature grid, keep-decision on the unrounded probability
@@ -1541,6 +1574,63 @@ object NorthStarQueries {
            FROM g3)
          SELECT n, round(b, 6) AS bias, round(wp, 6) AS w_punct,
            round(ws, 6) AS w_stop FROM w3""",
+    // X29b WIDE-train oracle: the 3 GD iterations unrolled by a
+    // GENERATOR over p = 5 features — each stage one projection at
+    // the previous stage's weights, one exact DECIMAL aggregate, one
+    // double update, token-for-token the operator loop
+    "q_classifier_train_wide" -> {
+      val p = 5
+      def zExpr(w: String) = (1 to p).foldLeft(s"$w.w0")(
+        (acc, k) => s"($acc + $w.w$k * CAST(f.x$k AS DOUBLE))")
+      def stage(i: Int) =
+        s"""i$i AS (SELECT f.*,
+             CAST(round(1.0 / (1.0 + exp(-(${zExpr(s"ww${i - 1}")}))) - f.y, 9)
+               AS DECIMAL(10,9)) AS r
+           FROM f, ww${i - 1}),
+         g$i AS (SELECT COUNT(*) AS n, SUM(r) AS g0,
+             ${(1 to p).map(k => s"SUM(r * x$k) AS gx$k").mkString(", ")}
+           FROM i$i),
+         ww$i AS (SELECT g$i.n,
+             ww${i - 1}.w0 - 1.0 * (CAST(g$i.g0 AS DOUBLE) / CAST(g$i.n AS DOUBLE)) AS w0,
+             ${(1 to p).map(k =>
+          s"ww${i - 1}.w$k - 1.0 * (CAST(g$i.gx$k AS DOUBLE) / CAST(g$i.n AS DOUBLE)) AS w$k")
+          .mkString(",\n             ")}
+           FROM g$i, ww${i - 1})"""
+      s"""WITH m AS (SELECT
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct,
+           CAST(len(list_filter(string_split(text, ' '),
+             t -> list_contains($allStopsSql, t))) AS BIGINT) AS stop_hits,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+         FROM documents WHERE length(text) > 0),
+         r0 AS (SELECT n_tok, n_distinct,
+           CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+           CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE) AS mean_len
+         FROM m),
+         f AS (SELECT
+           CAST(round(punct_ratio, 4) AS DECIMAL(18,4)) AS x1,
+           CAST(round(stop_ratio, 4) AS DECIMAL(18,4)) AS x2,
+           CAST(round(mean_len, 4) AS DECIMAL(18,4)) AS x3,
+           CAST(CAST(least(n_tok, 500) AS DOUBLE) / 500.0 AS DECIMAL(18,4)) AS x4,
+           CAST(round(CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) AS DECIMAL(18,4)) AS x5,
+           CASE WHEN round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
+             greatest(0.0, least(1.0, 0.5 * stop_ratio + 0.5 * (1.0 - punct_ratio))) END, 4) >= 0.5
+             THEN 1.0 ELSE 0.0 END AS y
+         FROM r0
+         WHERE punct_ratio IS NOT NULL AND stop_ratio IS NOT NULL),
+         ww0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+           0.0 AS w4, 0.0 AS w5),
+         ${stage(1)},
+         ${stage(2)},
+         ${stage(3)}
+         SELECT n, round(w0, 6) AS bias, round(w1, 6) AS w_punct,
+           round(w2, 6) AS w_stop, round(w3, 6) AS w_mlen,
+           round(w4, 6) AS w_ntok, round(w5, 6) AS w_dratio
+         FROM ww3"""
+    },
+
     // X29 SCORE oracle: the shipped-model sigmoid tree, keep-decision
     // on the unrounded probability exactly as the operator computes it
     "q_classifier_score" ->

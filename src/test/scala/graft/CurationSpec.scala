@@ -1341,6 +1341,46 @@ class CurationSpec extends SparkSpec {
     assert(got1 === expect)
   }
 
+  test("X29b logisticTrain at p=5 matches a generalized scalar GD loop bit-for-bit") {
+    import graft.operators.Curation
+    // 5 features on the round-4 grid, mixed informative + noise
+    val wide = (0 until 80).map { i =>
+      val xs = Seq((i % 10) / 10.0 + 0.0123, ((i * 3) % 10) / 10.0 + 0.0456,
+        ((i * 7) % 9) / 9.0, ((i / 4) % 5) / 5.0 + 0.02, (i % 3) / 3.0)
+      val base = if (xs(1) > xs(0)) 1.0 else 0.0
+      (xs, if (i % 11 == 0) 1.0 - base else base)
+    }
+    def scalarWide(iters: Int, lr: Double): Seq[Double] = {
+      val q = wide.map { case (xs, y) =>
+        (xs.map(x => BigDecimal(x).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP)), y) }
+      val p = 5
+      var w = Array.fill(p + 1)(0.0)
+      for (_ <- 0 until iters) {
+        val g = Array.fill(p + 1)(BigDecimal(0))
+        for ((xs, y) <- q) {
+          val z = xs.zipWithIndex.foldLeft(w(0)) { case (acc, (x, i)) =>
+            acc + w(i + 1) * x.toDouble }
+          val r = BigDecimal(1.0 / (1.0 + math.exp(-z)) - y)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          g(0) += r
+          for (i <- 0 until p) g(i + 1) += r * xs(i)
+        }
+        val n = q.size.toDouble
+        w = w.zipWithIndex.map { case (wi, i) => wi - lr * (g(i).toDouble / n) }
+      }
+      w.toSeq
+    }
+    val df = wide.map { case (xs, y) => (xs(0), xs(1), xs(2), xs(3), xs(4), y) }
+      .toDF("x1", "x2", "x3", "x4", "x5", "y")
+    val feats = (1 to 5).map(i => col(s"x$i"))
+    val got = Curation.logisticTrain(df.repartition(9), feats, col("y"),
+      iters = 3, lr = 1.0)
+    assert(got === scalarWide(3, 1.0))
+    assert(got === Curation.logisticTrain(df.coalesce(1), feats, col("y"),
+      iters = 3, lr = 1.0))
+  }
+
   test("X29 logisticTrain learns a separable rule; logisticScore classifies it") {
     import graft.operators.Curation
     // cleanly separable: y = 1 iff x > 0.5, single feature
