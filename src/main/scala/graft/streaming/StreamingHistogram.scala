@@ -160,6 +160,78 @@ object StreamingHistogram {
           .as("pct")): _*)
   }
 
+  /** ST17d read — A43 winsorized/trimmed robust stats of EVERYTHING
+    * ingested, served from the committed histogram at histogram cost
+    * (VERDICT r19 task #3): the fences are [[percentileOf]] over the
+    * DEQUANTIZED value grid __w/10^scale. Like every ST17 read, the
+    * statistics are OF THE STORE'S floor-quantized state (the
+    * madZScore __w-grid contract — floor(v·10^s) is not invertible
+    * for every raw double): batch parity means bit-equality with
+    * [[graft.operators.StatsAgg.winsorizedStats]] run on
+    * floor(v·10^s)/10^s, whose dequantization reproduces those grid
+    * doubles exactly, so the interpolation tree sees the identical
+    * multiset the batch `percentile` sees, and the clipped/trimmed moment
+    * sums fold the per-bucket multiplicity into the same exact
+    * DECIMAL grid sums [[graft.operators.StatsAgg.winsorizedStats]]
+    * accumulates row-wise — c·cnt at (36,6) and c²·cnt split into
+    * (cnt mod 10⁶, cnt div 10⁶) halves so each product stays inside
+    * DECIMAL(38,12) EXACTLY (the X28 precision-demotion trap; the
+    * halves recombine in one double op, bit-identical to the batch
+    * sum whenever no single (key, value) bucket exceeds 10⁶ rows,
+    * ≤1 ulp beyond). Output schema and round-6 trees are the batch
+    * face's verbatim — parity is spec-pinned per commit, under
+    * replay, and across the crash window.
+    */
+  def winsorizedFromStore(spark: SparkSession, stateDir: String,
+      keys: Seq[String], lo: Double, hi: Double, template: DataFrame,
+      scale: Int = 2): DataFrame = {
+    require(lo < hi, "lo fence must be below hi")
+    val factor = math.pow(10.0, scale)
+    val h = histogram(spark, stateDir, template)
+      .select((keys.map(col) :+
+        (col("__w").cast("double") / lit(factor)).as("__w")) :+
+        col("cnt"): _*)
+    val plo = percentileOf(h, keys, lo).withColumnRenamed("pct", "__p1")
+    val phi = percentileOf(h, keys, hi).withColumnRenamed("pct", "__p2")
+    val fences = plo.join(phi, keys).select(
+      (keys.map(col) ++ Seq(round(col("__p1"), 6).as("__plo"),
+        round(col("__p2"), 6).as("__phi"))): _*)
+    val joined = h.withColumnRenamed("__w", "__v")
+      .join(broadcast(fences), keys)
+    val fok = abs(col("__plo")) < lit(1e9) && abs(col("__phi")) < lit(1e9)
+    val clipped = when(fok,
+      least(greatest(col("__v"), col("__plo")), col("__phi")))
+      .cast("decimal(15,6)")
+    val inside = col("__v") >= col("__plo") && col("__v") <= col("__phi")
+    val c2 = clipped * clipped // (31,12), exact
+    val cnt20 = col("cnt").cast("decimal(20,0)")
+    val cntLo = pmod(col("cnt"), lit(1000000L)).cast("decimal(6,0)")
+    val cntHi = expr("cnt div 1000000").cast("decimal(6,0)")
+    val agg = joined.groupBy(keys.map(col): _*).agg(
+      sum(col("cnt")).cast("long").as("n"),
+      sum(when(col("__v") < col("__plo"), col("cnt")).otherwise(0L))
+        .cast("long").as("n_lo"),
+      sum(when(col("__v") > col("__phi"), col("cnt")).otherwise(0L))
+        .cast("long").as("n_hi"),
+      max(fok).as("__fok"),
+      sum(clipped * cnt20).cast("double").as("__s"),
+      sum(c2 * cntLo).cast("double").as("__s2lo"),
+      sum(c2 * cntHi).cast("double").as("__s2hi"),
+      sum(when(inside, clipped * cnt20)).cast("double").as("__ts"),
+      sum(when(inside, col("cnt")).otherwise(0L)).cast("long").as("__tn"))
+    val nD = col("n").cast("double")
+    val s2 = col("__s2lo") + col("__s2hi") * lit(1000000.0)
+    agg.select(
+      (keys.map(col) :+ col("n")) ++ Seq(
+        col("n_lo"), col("n_hi"),
+        when(col("__fok"), round(col("__s") / nD, 6)).as("win_mean"),
+        when(col("__fok"), round(sqrt(greatest(lit(0.0),
+          (s2 - col("__s") * col("__s") / nD) / nD)), 6)).as("win_std"),
+        when(col("__fok") && col("__tn") > 0,
+          round(col("__ts") / col("__tn").cast("double"), 6))
+          .as("trim_mean")): _*)
+  }
+
   /** (median, MAD) per key from the committed histogram, in __w
     * units — the deviation histogram re-aggregates histogram-sized
     * rows, never raw volume.

@@ -79,6 +79,43 @@ class StreamingHistogramSpec extends SparkSpec {
     assert(Files.isDirectory(java.nio.file.Paths.get(s"$store/state-5")))
   }
 
+  test("ST17d: winsorizedFromStore is bit-equal to batch winsorizedStats after every commit; replay/crash-safe") {
+    import graft.operators.StatsAgg
+    val store = Files.createTempDirectory("graft-swin").toString
+    // the store's state is the floor-quantized histogram (the ST17
+    // contract, same as madZScore's own __w grid) — the batch
+    // reference therefore runs on the identical quantized values,
+    // produced by the same floor(v·100)/100 Spark tree
+    def batchWin(rs: Seq[(String, Long, Double)]) =
+      StatsAgg.winsorizedStats(
+        df(rs).withColumn("v", floor(col("v") * 100) / 100.0),
+        Seq("k"), col("v"), lo = 0.05, hi = 0.95)
+        .as[(String, Long, Long, Long, Option[Double], Option[Double],
+          Option[Double])].collect().toSet
+    def storeWin() = {
+      val template = StreamingHistogram.partial(
+        df(rows.take(1)), Seq("k"), col("v"), scale = 2)
+      StreamingHistogram.winsorizedFromStore(spark, store, Seq("k"),
+        lo = 0.05, hi = 0.95, template)
+        .as[(String, Long, Long, Long, Option[Double], Option[Double],
+          Option[Double])].collect().toSet
+    }
+    val (b1, b2) = (rows.take(150), rows.drop(150))
+    StreamingHistogram.applyBatch(df(b1), Seq("k"), col("v"), store, 0L)
+    assert(storeWin() == batchWin(b1))
+    StreamingHistogram.applyBatch(df(b2), Seq("k"), col("v"), store, 1L)
+    val full = storeWin()
+    assert(full.nonEmpty && full == batchWin(rows))
+    // the planted ±400 extremes are clipped, so the winsorized std is
+    // far below the raw-tail std and the clip counters fired
+    val a = full.find(_._1 == "a").get
+    assert(a._3 >= 1L && a._4 >= 1L) // n_lo, n_hi
+    // replay no-op + crash-orphan invisibility
+    StreamingHistogram.applyBatch(df(b1), Seq("k"), col("v"), store, 0L)
+    new java.io.File(s"$store/state-9").mkdirs()
+    assert(storeWin() == full)
+  }
+
   test("ST17: percentileOf reconstructs Spark percentile exactly at every tested p") {
     val store = Files.createTempDirectory("graft-shist-pct").toString
     StreamingHistogram.applyBatch(df(rows), Seq("k"), col("v"), store, 0L)
