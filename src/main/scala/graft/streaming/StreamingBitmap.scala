@@ -41,25 +41,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamingBitmap {
 
-  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
-
   /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
-  def readPointer(stateDir: String): (Long, Long) = {
-    val p = pointerPath(stateDir)
-    if (!Files.exists(p)) (0L, -1L)
-    else {
-      val parts = Files.readString(p).trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }
-  }
-
-  private def writePointer(stateDir: String, version: Long,
-      batchId: Long): Unit = {
-    val tmp = Paths.get(stateDir, s"_CURRENT.tmp")
-    Files.writeString(tmp, s"$version $batchId")
-    Files.move(tmp, pointerPath(stateDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def readPointer(stateDir: String): (Long, Long) =
+    StateStore.readPointer(stateDir)
 
   /** One serialized bitmap per key over this batch's ids. */
   def partialState(batch: DataFrame, keys: Seq[String],
@@ -74,12 +58,8 @@ object StreamingBitmap {
 
   /** The committed state table (raw, mergeable). Empty-safe. */
   def readState(spark: SparkSession, stateDir: String,
-      template: DataFrame): DataFrame = {
-    val (v, _) = readPointer(stateDir)
-    if (v == 0L) spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), template.schema)
-    else spark.read.parquet(s"$stateDir/state-$v")
-  }
+      template: DataFrame): DataFrame =
+    StateStore.readVersioned(spark, stateDir, template)
 
   /** Read face: EXACT per-key distinct counts at the commit point. */
   def currentCardinalities(spark: SparkSession, stateDir: String,
@@ -127,28 +107,11 @@ object StreamingBitmap {
   def applyBatch(batch: DataFrame, keys: Seq[String], id: Column,
       stateDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(stateDir))
-    val (curVer, lastBatch) = readPointer(stateDir)
-    if (batchId <= lastBatch) return
-    val partial = partialState(batch, keys, id)
-    val cur = readState(spark, stateDir, partial)
-    val merged = mergeStates(cur.unionByName(partial), keys)
-    val next = curVer + 1
-    // Overwrite, not error-if-exists: a crash after the state write
-    // but before the pointer move leaves this exact directory as an
-    // orphan the replayed batch must be able to rewrite
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
-    writePointer(stateDir, next, batchId)
-    // Retain state-next and state-(next-1) (the crash-window
-    // predecessor); walk DOWNWARD from next-2 while directories
-    // exist — amortized O(1) per commit yet self-healing when a
-    // crash between writePointer and this loop orphaned versions
-    var old = next - 2L
-    while (old >= 1L && Files.isDirectory(Paths.get(stateDir, s"state-$old"))) {
-      Files.walk(Paths.get(stateDir, s"state-$old"))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      old -= 1L
+    StateStore.commit(stateDir, batchId) { (_, next) =>
+      val partial = partialState(batch, keys, id)
+      val cur = readState(spark, stateDir, partial)
+      mergeStates(cur.unionByName(partial), keys)
+        .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     }
   }
 

@@ -40,25 +40,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamingCollapse {
 
-  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
-
   /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
-  def readPointer(stateDir: String): (Long, Long) = {
-    val p = pointerPath(stateDir)
-    if (!Files.exists(p)) (0L, -1L)
-    else {
-      val parts = Files.readString(p).trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }
-  }
-
-  private def writePointer(stateDir: String, version: Long,
-      batchId: Long): Unit = {
-    val tmp = Paths.get(stateDir, s"_CURRENT.tmp")
-    Files.writeString(tmp, s"$version $batchId")
-    Files.move(tmp, pointerPath(stateDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def readPointer(stateDir: String): (Long, Long) =
+    StateStore.readPointer(stateDir)
 
   private def payloadCols(df: DataFrame, keys: Seq[String],
       signCol: String): Seq[String] =
@@ -98,12 +82,8 @@ object StreamingCollapse {
 
   /** The committed state table (raw, mergeable); empty-safe. */
   def readState(spark: SparkSession, stateDir: String,
-      template: DataFrame): DataFrame = {
-    val (v, _) = readPointer(stateDir)
-    if (v == 0L) spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), template.schema)
-    else spark.read.parquet(s"$stateDir/state-$v")
-  }
+      template: DataFrame): DataFrame =
+    StateStore.readVersioned(spark, stateDir, template)
 
   /** Fold ONE micro-batch of signed rows into the store; replays
     * (batchId <= pointer's) are no-ops.
@@ -111,21 +91,11 @@ object StreamingCollapse {
   def applyBatch(batch: DataFrame, keys: Seq[String], signCol: String,
       ordCols: Seq[String], stateDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(stateDir))
-    val (curVer, lastBatch) = readPointer(stateDir)
-    if (batchId <= lastBatch) return
-    val partial = partialState(batch, keys, signCol, ordCols)
-    val cur = readState(spark, stateDir, partial)
-    val merged = mergeStates(cur.unionByName(partial), keys)
-    val next = curVer + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
-    writePointer(stateDir, next, batchId)
-    for (old <- 1L until (next - 1L)) {
-      val dir = Paths.get(stateDir, s"state-$old")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-      }
+    StateStore.commit(stateDir, batchId) { (_, next) =>
+      val partial = partialState(batch, keys, signCol, ordCols)
+      val cur = readState(spark, stateDir, partial)
+      val merged = mergeStates(cur.unionByName(partial), keys)
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     }
   }
 

@@ -30,36 +30,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamingCollocations {
 
-  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
-
   /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
-  def readPointer(stateDir: String): (Long, Long) = {
-    val p = pointerPath(stateDir)
-    if (!Files.exists(p)) (0L, -1L)
-    else {
-      val parts = Files.readString(p).trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }
-  }
-
-  private def writePointer(stateDir: String, version: Long,
-      batchId: Long): Unit = {
-    val tmp = Paths.get(stateDir, s"_CURRENT.tmp")
-    Files.writeString(tmp, s"$version $batchId")
-    Files.move(tmp, pointerPath(stateDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def readPointer(stateDir: String): (Long, Long) =
+    StateStore.readPointer(stateDir)
 
   /** The committed count state (raw [[Curation.collocationCounts]]
     * rows). Empty-safe.
     */
   def readState(spark: SparkSession, stateDir: String,
-      template: DataFrame): DataFrame = {
-    val (v, _) = readPointer(stateDir)
-    if (v == 0L) spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), template.schema)
-    else spark.read.parquet(s"$stateDir/state-$v")
-  }
+      template: DataFrame): DataFrame =
+    StateStore.readVersioned(spark, stateDir, template)
 
   /** Read face: the live phrase table — PMI/NPMI at the current
     * commit point, [[Curation.collocationsFromCounts]] verbatim.
@@ -73,21 +53,11 @@ object StreamingCollocations {
   def applyBatch(batch: DataFrame, text: Column, stateDir: String,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(stateDir))
-    val (curVer, lastBatch) = readPointer(stateDir)
-    if (batchId <= lastBatch) return
-    val partial = Curation.collocationCounts(batch, text)
-    val cur = readState(spark, stateDir, partial)
-    val merged = Curation.mergeCollocationCounts(cur.unionByName(partial))
-    val next = curVer + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
-    writePointer(stateDir, next, batchId)
-    var old = next - 2L
-    while (old >= 1L && Files.isDirectory(Paths.get(stateDir, s"state-$old"))) {
-      Files.walk(Paths.get(stateDir, s"state-$old"))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      old -= 1L
+    StateStore.commit(stateDir, batchId) { (_, next) =>
+      val partial = Curation.collocationCounts(batch, text)
+      val cur = readState(spark, stateDir, partial)
+      val merged = Curation.mergeCollocationCounts(cur.unionByName(partial))
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     }
   }
 

@@ -144,8 +144,7 @@ object StreamingDeltaSum {
     for (old <- 1L until (next - 1L)) {
       val dir = Paths.get(stateDir, s"state-$old")
       if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
+        StateStore.deleteTree(dir)
       }
     }
   }

@@ -38,25 +38,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamingHistogram {
 
-  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
-
   /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
-  def readPointer(stateDir: String): (Long, Long) = {
-    val p = pointerPath(stateDir)
-    if (!Files.exists(p)) (0L, -1L)
-    else {
-      val parts = Files.readString(p).trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }
-  }
-
-  private def writePointer(stateDir: String, version: Long,
-      batchId: Long): Unit = {
-    val tmp = Paths.get(stateDir, "_CURRENT.tmp")
-    Files.writeString(tmp, s"$version $batchId")
-    Files.move(tmp, pointerPath(stateDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def readPointer(stateDir: String): (Long, Long) =
+    StateStore.readPointer(stateDir)
 
   /** One batch's histogram partial: (keys, __w, cnt). Null/NaN values
     * drop (the madZScore filter).
@@ -74,41 +58,19 @@ object StreamingHistogram {
 
   /** The committed histogram (keys, __w, cnt); empty-safe. */
   def histogram(spark: SparkSession, stateDir: String,
-      template: DataFrame): DataFrame = {
-    val (v, _) = readPointer(stateDir)
-    if (v == 0L) spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), template.schema)
-    else spark.read.parquet(s"$stateDir/state-$v")
-  }
+      template: DataFrame): DataFrame =
+    StateStore.readVersioned(spark, stateDir, template)
 
   /** Fold ONE batch into the store; replays are no-ops. */
   def applyBatch(batch: DataFrame, keys: Seq[String], value: Column,
       stateDir: String, batchId: Long, scale: Int = 2): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(stateDir))
-    val (curVer, lastBatch) = readPointer(stateDir)
-    if (batchId <= lastBatch) return
-    val p = partial(batch, keys, value, scale)
-    val merged = histogram(spark, stateDir, p).unionByName(p)
-      .groupBy((keys.map(col) :+ col("__w")): _*)
-      .agg(sum(col("cnt")).cast("long").as("cnt"))
-    val next = curVer + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
-    writePointer(stateDir, next, batchId)
-    // Retain exactly state-next and state-(next-1) (the version a
-    // concurrent reader may still hold). In steady state only
-    // state-(next-2) can have newly expired, but a crash BETWEEN
-    // writePointer and the delete leaves that version orphaned forever
-    // (no later commit revisits it) — so walk DOWNWARD from next-2
-    // deleting while the directory exists: still amortized O(1) per
-    // commit (each version is deleted exactly once across the store's
-    // lifetime), and self-healing after a crash (r18 ADVICE).
-    var old = next - 2L
-    while (old >= 1L && Files.isDirectory(Paths.get(stateDir, s"state-$old"))) {
-      Files.walk(Paths.get(stateDir, s"state-$old"))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      old -= 1L
+    StateStore.commit(stateDir, batchId) { (_, next) =>
+      val p = partial(batch, keys, value, scale)
+      val merged = histogram(spark, stateDir, p).unionByName(p)
+        .groupBy((keys.map(col) :+ col("__w")): _*)
+        .agg(sum(col("cnt")).cast("long").as("cnt"))
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     }
   }
 

@@ -298,8 +298,7 @@ object StreamingIvf {
               (tv == through && !c.contains(centVer)))
           }))
       }.foreach { d =>
-        Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
+        StateStore.deleteTree(d.toPath)
       }
     val top = new java.io.File(storeDir)
     if (top.isDirectory)
@@ -308,8 +307,7 @@ object StreamingIvf {
         d.getName.stripPrefix("centroids-").toLongOption
           .exists(_ < centVer)
       }.foreach { d =>
-        Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
+        StateStore.deleteTree(d.toPath)
       }
   }
 

@@ -33,36 +33,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamingMatView {
 
-  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
-
   /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
-  def readPointer(stateDir: String): (Long, Long) = {
-    val p = pointerPath(stateDir)
-    if (!Files.exists(p)) (0L, -1L)
-    else {
-      val parts = Files.readString(p).trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }
-  }
-
-  private def writePointer(stateDir: String, version: Long,
-      batchId: Long): Unit = {
-    val tmp = Paths.get(stateDir, s"_CURRENT.tmp")
-    Files.writeString(tmp, s"$version $batchId")
-    Files.move(tmp, pointerPath(stateDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def readPointer(stateDir: String): (Long, Long) =
+    StateStore.readPointer(stateDir)
 
   /** The committed state table (raw, mergeable). Empty-safe: an
     * empty frame with the right schema before the first commit.
     */
   def readState(spark: SparkSession, stateDir: String,
-      template: DataFrame): DataFrame = {
-    val (v, _) = readPointer(stateDir)
-    if (v == 0L) spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), template.schema)
-    else spark.read.parquet(s"$stateDir/state-$v")
-  }
+      template: DataFrame): DataFrame =
+    StateStore.readVersioned(spark, stateDir, template)
 
   /** The read face at the current commit point. */
   def currentState(spark: SparkSession, stateDir: String,
@@ -77,25 +57,11 @@ object StreamingMatView {
   def applyBatch(batch: DataFrame, keys: Seq[String], value: Column,
       distinctOn: Column, stateDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(stateDir))
-    val (curVer, lastBatch) = readPointer(stateDir)
-    if (batchId <= lastBatch) return
-    val partial = MatView.partialState(batch, keys, value, distinctOn)
-    val cur = readState(spark, stateDir, partial)
-    val merged = MatView.mergeStates(cur.unionByName(partial), keys)
-    val next = curVer + 1
-    // Overwrite, not error-if-exists: a crash after the state write
-    // but before the pointer move leaves this exact directory as an
-    // orphan, and the replay must be able to rewrite it
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
-    writePointer(stateDir, next, batchId)
-    // prune everything older than the crash-window predecessor
-    for (old <- 1L until (next - 1L)) {
-      val dir = Paths.get(stateDir, s"state-$old")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-      }
+    StateStore.commit(stateDir, batchId) { (_, next) =>
+      val partial = MatView.partialState(batch, keys, value, distinctOn)
+      val cur = readState(spark, stateDir, partial)
+      val merged = MatView.mergeStates(cur.unionByName(partial), keys)
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     }
   }
 

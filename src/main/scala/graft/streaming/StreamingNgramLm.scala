@@ -93,8 +93,7 @@ object StreamingNgramLm {
     for (old <- 1L until (next - 1L)) {
       val d = Paths.get(storeDir, s"state-$old")
       if (Files.isDirectory(d))
-        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
+        StateStore.deleteTree(d)
     }
   }
 

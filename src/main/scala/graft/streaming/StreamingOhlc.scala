@@ -36,25 +36,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamingOhlc {
 
-  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
-
   /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
-  def readPointer(stateDir: String): (Long, Long) = {
-    val p = pointerPath(stateDir)
-    if (!Files.exists(p)) (0L, -1L)
-    else {
-      val parts = Files.readString(p).trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }
-  }
-
-  private def writePointer(stateDir: String, version: Long,
-      batchId: Long): Unit = {
-    val tmp = Paths.get(stateDir, s"_CURRENT.tmp")
-    Files.writeString(tmp, s"$version $batchId")
-    Files.move(tmp, pointerPath(stateDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def readPointer(stateDir: String): (Long, Long) =
+    StateStore.readPointer(stateDir)
 
   /** One mergeable bar-state row per (keys, bucket) over a slice. */
   def partialBars(df: DataFrame, keys: Seq[String], ts: Column,
@@ -94,12 +78,8 @@ object StreamingOhlc {
 
   /** The committed state table (raw, mergeable); empty-safe. */
   def readBars(spark: SparkSession, stateDir: String,
-      template: DataFrame): DataFrame = {
-    val (v, _) = readPointer(stateDir)
-    if (v == 0L) spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), template.schema)
-    else spark.read.parquet(s"$stateDir/state-$v")
-  }
+      template: DataFrame): DataFrame =
+    StateStore.readVersioned(spark, stateDir, template)
 
   /** Fold ONE micro-batch of rows into the bars store; replays
     * (batchId <= pointer's) are no-ops.
@@ -108,21 +88,11 @@ object StreamingOhlc {
       tie: Column, value: Column, bucketSeconds: Long,
       stateDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(stateDir))
-    val (curVer, lastBatch) = readPointer(stateDir)
-    if (batchId <= lastBatch) return
-    val partial = partialBars(batch, keys, ts, tie, value, bucketSeconds)
-    val cur = readBars(spark, stateDir, partial)
-    val merged = mergeBars(cur.unionByName(partial), keys)
-    val next = curVer + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
-    writePointer(stateDir, next, batchId)
-    for (old <- 1L until (next - 1L)) {
-      val dir = Paths.get(stateDir, s"state-$old")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-      }
+    StateStore.commit(stateDir, batchId) { (_, next) =>
+      val partial = partialBars(batch, keys, ts, tie, value, bucketSeconds)
+      val cur = readBars(spark, stateDir, partial)
+      val merged = mergeBars(cur.unionByName(partial), keys)
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     }
   }
 

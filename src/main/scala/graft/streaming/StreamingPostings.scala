@@ -154,8 +154,7 @@ object StreamingPostings {
     for (old <- 1L until (next - 1L)) {
       val d = Paths.get(storeDir, s"state-$old")
       if (Files.isDirectory(d))
-        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
+        StateStore.deleteTree(d)
     }
   }
 
@@ -197,8 +196,7 @@ object StreamingPostings {
             d.getName.stripPrefix("base-").toLongOption
               .exists(_ < through)))
       }.foreach { d =>
-        Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
+        StateStore.deleteTree(d.toPath)
       }
   }
 

@@ -140,8 +140,7 @@ object StreamingScd2 {
     val stale = (1L to v).map(i => Paths.get(stateDir, "closed", s"delta-$i")) ++
       Seq(prevBase).filter(_ > 0L).map(b => Paths.get(stateDir, "closed", s"compact-$b"))
     stale.filter(Files.isDirectory(_)).foreach { dir =>
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
+      StateStore.deleteTree(dir)
     }
   }
 
@@ -293,8 +292,7 @@ object StreamingScd2 {
     for (old <- 1L until (next - 1L); pfx <- Seq("open", "tomb")) {
       val dir = Paths.get(stateDir, s"$pfx-$old")
       if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
+        StateStore.deleteTree(dir)
       }
     }
   }

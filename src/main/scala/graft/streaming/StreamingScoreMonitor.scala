@@ -35,34 +35,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamingScoreMonitor {
 
-  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
-
   /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
-  def readPointer(stateDir: String): (Long, Long) = {
-    val p = pointerPath(stateDir)
-    if (!Files.exists(p)) (0L, -1L)
-    else {
-      val parts = Files.readString(p).trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }
-  }
-
-  private def writePointer(stateDir: String, version: Long,
-      batchId: Long): Unit = {
-    val tmp = Paths.get(stateDir, s"_CURRENT.tmp")
-    Files.writeString(tmp, s"$version $batchId")
-    Files.move(tmp, pointerPath(stateDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def readPointer(stateDir: String): (Long, Long) =
+    StateStore.readPointer(stateDir)
 
   /** The committed cell table (raw, mergeable); empty-safe. */
   def readCells(spark: SparkSession, stateDir: String,
-      template: DataFrame): DataFrame = {
-    val (v, _) = readPointer(stateDir)
-    if (v == 0L) spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), template.schema)
-    else spark.read.parquet(s"$stateDir/state-$v")
-  }
+      template: DataFrame): DataFrame =
+    StateStore.readVersioned(spark, stateDir, template)
 
   /** Current AUC served from the maintained cells. */
   def currentAuc(spark: SparkSession, stateDir: String,
@@ -108,21 +88,11 @@ object StreamingScoreMonitor {
   def applyBatch(batch: DataFrame, keys: Seq[String], score: Column,
       label: Column, stateDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(stateDir))
-    val (curVer, lastBatch) = readPointer(stateDir)
-    if (batchId <= lastBatch) return
-    val partial = StatsAgg.scoreCells(batch, keys, score, label)
-    val cur = readCells(spark, stateDir, partial)
-    val merged = StatsAgg.mergeScoreCells(cur.unionByName(partial), keys)
-    val next = curVer + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
-    writePointer(stateDir, next, batchId)
-    for (old <- 1L until (next - 1L)) {
-      val dir = Paths.get(stateDir, s"state-$old")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-      }
+    StateStore.commit(stateDir, batchId) { (_, next) =>
+      val partial = StatsAgg.scoreCells(batch, keys, score, label)
+      val cur = readCells(spark, stateDir, partial)
+      val merged = StatsAgg.mergeScoreCells(cur.unionByName(partial), keys)
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     }
   }
 

@@ -33,25 +33,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamingSurvival {
 
-  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
-
   /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
-  def readPointer(stateDir: String): (Long, Long) = {
-    val p = pointerPath(stateDir)
-    if (!Files.exists(p)) (0L, -1L)
-    else {
-      val parts = Files.readString(p).trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }
-  }
-
-  private def writePointer(stateDir: String, version: Long,
-      batchId: Long): Unit = {
-    val tmp = Paths.get(stateDir, s"_CURRENT.tmp")
-    Files.writeString(tmp, s"$version $batchId")
-    Files.move(tmp, pointerPath(stateDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def readPointer(stateDir: String): (Long, Long) =
+    StateStore.readPointer(stateDir)
 
   /** One (keys, subject, t0, t1) lifetime row per subject in this
     * batch (`day` any monotone long time unit).
@@ -68,12 +52,8 @@ object StreamingSurvival {
 
   /** The committed lifetime state. Empty-safe. */
   def readState(spark: SparkSession, stateDir: String,
-      template: DataFrame): DataFrame = {
-    val (v, _) = readPointer(stateDir)
-    if (v == 0L) spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), template.schema)
-    else spark.read.parquet(s"$stateDir/state-$v")
-  }
+      template: DataFrame): DataFrame =
+    StateStore.readVersioned(spark, stateDir, template)
 
   /** The censored subject table at the commit point: duration and the
     * event indicator under a `censorDays` horizon off the committed
@@ -115,21 +95,11 @@ object StreamingSurvival {
   def applyBatch(batch: DataFrame, keys: Seq[String], subject: Column,
       day: Column, stateDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(stateDir))
-    val (curVer, lastBatch) = readPointer(stateDir)
-    if (batchId <= lastBatch) return
-    val partial = partialState(batch, keys, subject, day)
-    val cur = readState(spark, stateDir, partial)
-    val merged = mergeStates(cur.unionByName(partial), keys)
-    val next = curVer + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
-    writePointer(stateDir, next, batchId)
-    var old = next - 2L
-    while (old >= 1L && Files.isDirectory(Paths.get(stateDir, s"state-$old"))) {
-      Files.walk(Paths.get(stateDir, s"state-$old"))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      old -= 1L
+    StateStore.commit(stateDir, batchId) { (_, next) =>
+      val partial = partialState(batch, keys, subject, day)
+      val cur = readState(spark, stateDir, partial)
+      val merged = mergeStates(cur.unionByName(partial), keys)
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     }
   }
 

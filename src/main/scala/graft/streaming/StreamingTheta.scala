@@ -35,25 +35,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamingTheta {
 
-  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
-
   /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
-  def readPointer(stateDir: String): (Long, Long) = {
-    val p = pointerPath(stateDir)
-    if (!Files.exists(p)) (0L, -1L)
-    else {
-      val parts = Files.readString(p).trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }
-  }
-
-  private def writePointer(stateDir: String, version: Long,
-      batchId: Long): Unit = {
-    val tmp = Paths.get(stateDir, s"_CURRENT.tmp")
-    Files.writeString(tmp, s"$version $batchId")
-    Files.move(tmp, pointerPath(stateDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def readPointer(stateDir: String): (Long, Long) =
+    StateStore.readPointer(stateDir)
 
   /** One theta binary per key over this batch's values. */
   def partialState(batch: DataFrame, keys: Seq[String],
@@ -68,12 +52,8 @@ object StreamingTheta {
 
   /** The committed state table (raw, mergeable). Empty-safe. */
   def readState(spark: SparkSession, stateDir: String,
-      template: DataFrame): DataFrame = {
-    val (v, _) = readPointer(stateDir)
-    if (v == 0L) spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), template.schema)
-    else spark.read.parquet(s"$stateDir/state-$v")
-  }
+      template: DataFrame): DataFrame =
+    StateStore.readVersioned(spark, stateDir, template)
 
   /** Read face: per-key distinct estimates at the commit point. */
   def currentEstimates(spark: SparkSession, stateDir: String,
@@ -112,25 +92,11 @@ object StreamingTheta {
   def applyBatch(batch: DataFrame, keys: Seq[String], value: Column,
       stateDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(stateDir))
-    val (curVer, lastBatch) = readPointer(stateDir)
-    if (batchId <= lastBatch) return
-    val partial = partialState(batch, keys, value)
-    val cur = readState(spark, stateDir, partial)
-    val merged = mergeStates(cur.unionByName(partial), keys)
-    val next = curVer + 1
-    // Overwrite, not error-if-exists: a crash after the state write
-    // but before the pointer move leaves this exact directory as an
-    // orphan, and the replay must be able to rewrite it
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
-    writePointer(stateDir, next, batchId)
-    // prune everything older than the crash-window predecessor
-    for (old <- 1L until (next - 1L)) {
-      val dir = Paths.get(stateDir, s"state-$old")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-      }
+    StateStore.commit(stateDir, batchId) { (_, next) =>
+      val partial = partialState(batch, keys, value)
+      val cur = readState(spark, stateDir, partial)
+      val merged = mergeStates(cur.unionByName(partial), keys)
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     }
   }
 

@@ -36,25 +36,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamingTrend {
 
-  private def pointerPath(stateDir: String) = Paths.get(stateDir, "_CURRENT")
-
   /** (version, lastAppliedBatchId); (0, -1) before the first commit. */
-  def readPointer(stateDir: String): (Long, Long) = {
-    val p = pointerPath(stateDir)
-    if (!Files.exists(p)) (0L, -1L)
-    else {
-      val parts = Files.readString(p).trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }
-  }
-
-  private def writePointer(stateDir: String, version: Long,
-      batchId: Long): Unit = {
-    val tmp = Paths.get(stateDir, "_CURRENT.tmp")
-    Files.writeString(tmp, s"$version $batchId")
-    Files.move(tmp, pointerPath(stateDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def readPointer(stateDir: String): (Long, Long) =
+    StateStore.readPointer(stateDir)
 
   /** One batch's grid partial: (keys, __day, cnt). `ts` is epoch
     * seconds (the library-wide long contract — callers derive it with
@@ -73,38 +57,20 @@ object StreamingTrend {
 
   /** The committed grid (keys, __day, cnt); empty-safe. */
   def grid(spark: SparkSession, stateDir: String,
-      template: DataFrame): DataFrame = {
-    val (v, _) = readPointer(stateDir)
-    if (v == 0L) spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), template.schema)
-    else spark.read.parquet(s"$stateDir/state-$v")
-  }
+      template: DataFrame): DataFrame =
+    StateStore.readVersioned(spark, stateDir, template)
 
   /** Fold ONE batch into the store; replays are no-ops. */
   def applyBatch(batch: DataFrame, keys: Seq[String], ts: Column,
       stateDir: String, batchId: Long,
       bucketSeconds: Long = 86400L): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(stateDir))
-    val (curVer, lastBatch) = readPointer(stateDir)
-    if (batchId <= lastBatch) return
-    val p = partial(batch, keys, ts, bucketSeconds)
-    val merged = grid(spark, stateDir, p).unionByName(p)
-      .groupBy((keys.map(col) :+ col("__day")): _*)
-      .agg(sum(col("cnt")).cast("long").as("cnt"))
-    val next = curVer + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
-    writePointer(stateDir, next, batchId)
-    // Amortized-O(1), crash-self-healing cleanup: walk DOWNWARD from
-    // state-(next-2) deleting while the directory exists (the
-    // StreamingHistogram discipline — a crash between writePointer and
-    // the delete must not orphan a version forever, r18 ADVICE)
-    var old = next - 2L
-    while (old >= 1L && Files.isDirectory(Paths.get(stateDir, s"state-$old"))) {
-      Files.walk(Paths.get(stateDir, s"state-$old"))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      old -= 1L
+    StateStore.commit(stateDir, batchId) { (_, next) =>
+      val p = partial(batch, keys, ts, bucketSeconds)
+      val merged = grid(spark, stateDir, p).unionByName(p)
+        .groupBy((keys.map(col) :+ col("__day")): _*)
+        .agg(sum(col("cnt")).cast("long").as("cnt"))
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state-$next")
     }
   }
 
