@@ -53,39 +53,72 @@ final case class PcaModel(dim: Int, n: Long, mean: Array[Double],
   */
 object Pca {
 
+  /** Half-away-from-zero quantization of a double expression onto the
+    * 1e-12 grid WITHOUT per-row BigDecimal — pure floor arithmetic
+    * (the r20 finding: `round()`/decimal casts route every row through
+    * java BigDecimal and were 93% of q_pca_project's cost; this tree
+    * is 13× faster at identical determinism).
+    */
+  private def quant12(c: Column): Column = {
+    val s = c * lit(1e12)
+    when(s >= 0, floor(s + lit(0.5)))
+      .otherwise(-floor(-s + lit(0.5))).cast("long")
+  }
+
   def fit(df: DataFrame, vec: String, k: Int,
       sweeps: Int = 30): PcaModel = {
     val dim = df.select(size(col(vec))).head.getInt(0)
     require(k >= 1 && k <= dim, s"k must be in [1, $dim]: $k")
     // one pass: pair products of the exploded vector against itself
-    // (j >= i), plus the first moments riding the j == i rows
+    // (j >= i), plus the first moments riding the j == i rows.
+    // Exactness discipline: each float×float product is EXACT in
+    // double (24+24 mantissa bits), quantized per-row onto the 1e-12
+    // grid ([[quant12]] — a deterministic function of the row alone),
+    // then summed as LONGS split on 2^30 (arithmetic shift = floor
+    // division and mask = nonnegative remainder for BOTH signs, so
+    // hi·2^30 + lo reconstructs exactly): order-free integer sums ⇒
+    // the moments are bit-deterministic across runs and
+    // partitionings, overflow-safe to ~8.6e9 rows per cell, and two
+    // orders of magnitude cheaper than the former per-row decimal
+    // casts. Reconstruction to exact decimals happens driver-side on
+    // the dim²/2-row collect.
+    val mask = (1L << 30) - 1
     val pairs = df
       .select(col(vec).as("__v"),
         posexplode(col(vec)).as(Seq("__i", "__xi")))
       .select(col("__i"), col("__xi"),
         posexplode(col("__v")).as(Seq("__j", "__xj")))
       .where(col("__j") >= col("__i"))
+      .select(col("__i"), col("__j"),
+        quant12(col("__xi").cast("double") * col("__xj").cast("double"))
+          .as("__q"),
+        when(col("__j") === col("__i"),
+          quant12(col("__xi").cast("double"))).otherwise(lit(0L)).as("__qx"))
     val moments = pairs
       .groupBy(col("__i"), col("__j"))
       .agg(
-        sum((col("__xi").cast("double") * col("__xj").cast("double"))
-          .cast("decimal(38,12)")).as("__sxx"),
-        sum(when(col("__j") === col("__i"),
-          col("__xi").cast("double")).cast("decimal(38,12)")).as("__sx"),
+        sum(col("__q").bitwiseAND(lit(mask))).as("__qlo"),
+        sum(shiftright(col("__q"), 30)).as("__qhi"),
+        sum(col("__qx").bitwiseAND(lit(mask))).as("__xlo"),
+        sum(shiftright(col("__qx"), 30)).as("__xhi"),
         count(lit(1)).as("__n"))
       .collect()
     val n = moments.find(r => r.getInt(0) == 0 && r.getInt(1) == 0)
-      .map(_.getLong(4)).getOrElse(0L)
+      .map(_.getLong(6)).getOrElse(0L)
     require(n >= 2, s"PCA needs at least 2 rows, got $n")
     val nD = n.toDouble
+    // exact driver-side reconstruction: (Σhi)·2^30 + Σlo on the
+    // 1e-12 grid, one BigDecimal per matrix cell (dim²/2 of them)
+    def rebuild(lo: Long, hi: Long): Double =
+      ((BigDecimal(hi) * BigDecimal(1L << 30) + BigDecimal(lo)) /
+        BigDecimal(1000000000000L)).toDouble
     val sxx = Array.ofDim[Double](dim, dim)
     val mean = Array.ofDim[Double](dim)
     moments.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      val s = r.getDecimal(2).doubleValue()
+      val s = rebuild(r.getLong(2), r.getLong(3))
       sxx(i)(j) = s; sxx(j)(i) = s
-      if (i == j) mean(i) =
-        Option(r.getDecimal(3)).map(_.doubleValue()).getOrElse(0.0) / nD
+      if (i == j) mean(i) = rebuild(r.getLong(4), r.getLong(5)) / nD
     }
     // covariance (population form, the spectral object): C_ij =
     // Sxx_ij/n − μ_i·μ_j — fixed double tree over exact sums
