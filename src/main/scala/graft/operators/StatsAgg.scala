@@ -1745,6 +1745,37 @@ object StatsAgg {
       .withColumn("p_value", graft.functions.NormalDist.twoSidedP(col("z")))
   }
 
+  /** A44c — Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978):
+    * Ĥ(t) = Σ_{u≤t} d/n_risk on the SAME risk grid as [[kaplanMeier]],
+    * with its variance Σ d/n² and the Fleming–Harrington survival
+    * Ŝ_FH = e^(−Ĥ) — the estimator preferred over KM in small risk
+    * sets and the additive face a hazard dashboard plots directly.
+    * One grid pass + two more running window sums; every term is a
+    * rational of exact integers through a fixed double tree (round-6),
+    * the window's forced t-order makes the running double sums
+    * deterministic (the A44 argument).
+    */
+  def nelsonAalen(df: DataFrame, keys: Seq[String], duration: Column,
+      event: Column): DataFrame = {
+    val withRisk = kmRiskGrid(df, keys, duration, event)
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hTerm = when(col("d") > 0,
+      col("d").cast("double") / col("n_risk").cast("double"))
+      .otherwise(lit(0.0))
+    val vTerm = when(col("d") > 0,
+      col("d").cast("double") / (col("n_risk").cast("double") *
+        col("n_risk").cast("double"))).otherwise(lit(0.0))
+    val h = sum(hTerm).over(wCum)
+    withRisk
+      .withColumn("cum_hazard", round(h, 6))
+      .withColumn("hazard_var", round(sum(vTerm).over(wCum), 6))
+      .withColumn("survival_fh", round(exp(-h), 6))
+      .select((keys.map(col) ++ Seq(col("__t").as("t"), col("n_risk"),
+        col("d"), (col("__n") - col("d")).as("censored"),
+        col("cum_hazard"), col("hazard_var"), col("survival_fh"))): _*)
+  }
+
   /** A46b — Cox proportional hazards with MULTIPLE covariates
     * (Cox 1972, Breslow ties): the model real retention analyses fit
     * — the hazard ratio of the treatment flag ADJUSTED for activity

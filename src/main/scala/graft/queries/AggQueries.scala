@@ -1112,6 +1112,26 @@ object AggQueries {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    // A44c: Nelson-Aalen cumulative hazard + Fleming-Harrington
+    // survival on the same lifetime grid — the additive estimator a
+    // hazard dashboard plots; one grid pass, two more running windows
+    "q_cum_hazard" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long")
+      val ev = table(s, d, "events").select(
+        col("user_id"), day.as("day"))
+      val life = ev.groupBy(col("user_id")).agg(
+        min(col("day")).as("t0"), max(col("day")).as("t1"))
+      val maxDay = ev.agg(max(col("day")).as("md"))
+      val subjects = life.crossJoin(broadcast(maxDay)).select(
+        pmod(col("user_id"), lit(3L)).as("cohort"),
+        (col("t1") - col("t0")).as("dur"),
+        when(col("t1") < col("md") - lit(7L), 1).otherwise(0).as("ev"))
+      graft.operators.StatsAgg.nelsonAalen(
+        subjects, Seq("cohort"), col("dur"), col("ev"))
+        .orderBy(col("cohort"), col("t"))
+    }),
+
     // A46: Cox proportional hazards — the log HAZARD RATIO of the
     // odd-user cohort, 3 Newton steps from beta = 0 on the log-rank
     // risk grid; fixed iteration count -> the learned model is under
@@ -3171,6 +3191,43 @@ object AggQueries {
              END AS survival
            FROM r)
          SELECT cohort, t, n_risk, d, n - d AS censored, survival
+         FROM k ORDER BY cohort, t""",
+    // A44c oracle: identical grid, the running d/n and d/n² sums and
+    // the exp(−H) tree
+    "q_cum_hazard" ->
+      """WITH e AS (SELECT user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+         FROM events),
+         u AS (SELECT user_id, MIN(day) AS t0, MAX(day) AS t1
+           FROM e GROUP BY user_id),
+         mx AS (SELECT MAX(day) AS md FROM e),
+         s AS (SELECT user_id % 3 AS cohort, t1 - t0 AS t,
+             CASE WHEN t1 < md - 7 THEN 1 ELSE 0 END AS ev
+           FROM u, mx),
+         g AS (SELECT cohort, t, COUNT(*) AS n,
+             CAST(SUM(ev) AS BIGINT) AS d
+           FROM s GROUP BY cohort, t),
+         r AS (SELECT *,
+             CAST(SUM(n) OVER (PARTITION BY cohort) AS BIGINT)
+               - CAST(COALESCE(SUM(n) OVER (PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+           FROM g),
+         k AS (SELECT *,
+             SUM(CASE WHEN d > 0
+                 THEN CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                 ELSE 0.0 END) OVER (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h,
+             SUM(CASE WHEN d > 0
+                 THEN CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+                   * CAST(n_risk AS DOUBLE))
+                 ELSE 0.0 END) OVER (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hv
+           FROM r)
+         SELECT cohort, t, n_risk, d, n - d AS censored,
+           round(h, 6) AS cum_hazard,
+           round(hv, 6) AS hazard_var,
+           round(exp(-h), 6) AS survival_fh
          FROM k ORDER BY cohort, t""",
     // A44b oracle: identical grid + log tree, plus the Greenwood
     // running variance sum and the z = 1.959964 linear band over the

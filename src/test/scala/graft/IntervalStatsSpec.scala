@@ -1757,6 +1757,33 @@ class IntervalStatsSpec extends SparkSpec {
     assert((got._1, got._2) === expect)
   }
 
+  test("A44c nelsonAalen: scalar reference parity; FH bounds KM from above; additive monotone hazard") {
+    val subj = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (4L, 0), (5L, 1), (6L, 0))
+      .map { case (t, e) => ("g", t, e) }
+    val out = StatsAgg.nelsonAalen(subj.toDF("k", "dur", "ev"), Seq("k"),
+      col("dur"), col("ev"))
+      .orderBy(col("t"))
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val grid = Seq((1L, 7L, 1L), (2L, 6L, 0L), (3L, 5L, 2L),
+      (4L, 3L, 0L), (5L, 2L, 1L), (6L, 1L, 0L))
+    var h = 0.0; var hv = 0.0
+    val expect = grid.map { case (t, n, d) =>
+      if (d > 0) { h += d.toDouble / n; hv += d.toDouble / (n.toDouble * n) }
+      (t, r6(h), r6(hv), r6(math.exp(-h)))
+    }
+    assert(out.map(r => (r._2, r._6, r._7, r._8)) === expect)
+    // H is nondecreasing; Fleming–Harrington survival >= KM pointwise
+    assert(out.map(_._6) === out.map(_._6).sorted)
+    val km = StatsAgg.kaplanMeier(subj.toDF("k", "dur", "ev"), Seq("k"),
+      col("dur"), col("ev")).orderBy(col("t"))
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    for ((na, k) <- out.zip(km))
+      assert(na._8 >= k._6 - 1e-9, s"FH ${na._8} < KM ${k._6} at t=${na._2}")
+  }
+
   // ---- A46b multi-covariate Cox ------------------------------------------
 
   /** The multi-covariate operator's Newton as a scalar loop with the
