@@ -136,6 +136,76 @@ object Regression {
           round(sqrt(greatest(lit(0.0), sse) / nD), 6)).as("rmse")): _*)
   }
 
+  /** A42c — ridge (Tikhonov / L2) regression at p = 2: the same
+    * Cramer cofactor tree as [[fit2FromSums]] over the normal matrix
+    * with λ added to the FEATURE diagonal only (the standard
+    * convention — the intercept is not penalized), so the fit shrinks
+    * coefficients toward zero and stays solvable on designs OLS finds
+    * near-singular (collinear telemetry features — the practical
+    * reason a pipeline reaches for ridge). Closed-form ⇒ exactly as
+    * deterministic and oracle-able as OLS.
+    *
+    * Because the ridge solution is NOT the SSE argmin, the OLS
+    * shortcut SSE = Syy − βᵀXᵀy does not apply; SSE expands the full
+    * quadratic βᵀXᵀXβ − 2βᵀXᵀy + Syy over the same exact sums — one
+    * fixed double tree, mirrored by the oracle. r2 reported against
+    * the unpenalized TSS (can be below the OLS r2 — shrinkage trades
+    * variance for bias; never above it).
+    */
+  def ridgeFit2(df: DataFrame, keys: Seq[String], x1: Column,
+      x2: Column, y: Column, lambda: Double): DataFrame =
+    ridgeFit2FromSums(sums2(df, keys, x1, x2, y), keys, lambda)
+
+  def ridgeFit2FromSums(sumsTable: DataFrame, keys: Seq[String],
+      lambda: Double): DataFrame = {
+    require(lambda >= 0.0, s"lambda must be nonnegative: $lambda")
+    val agg = sumsTable.select(
+      (keys.map(col) :+ col("n")) ++
+        Seq("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+          .map(c => col(c).cast("double").as(c)): _*)
+    val nD = col("n").cast("double")
+    val a11 = col("s11") + lit(lambda)
+    val a22 = col("s22") + lit(lambda)
+    // Cramer over A = [[n,s1,s2],[s1,s11+λ,s12],[s2,s12,s22+λ]]
+    val det = nD * (a11 * a22 - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * a22 - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - a11 * col("s2"))
+    val det0 =
+      col("sy") * (a11 * a22 - col("s12") * col("s12")) -
+      col("s1") * (col("s1y") * a22 - col("s12") * col("s2y")) +
+      col("s2") * (col("s1y") * col("s12") - a11 * col("s2y"))
+    val det1 =
+      nD * (col("s1y") * a22 - col("s12") * col("s2y")) -
+      col("sy") * (col("s1") * a22 - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val det2 =
+      nD * (a11 * col("s2y") - col("s1y") * col("s12")) -
+      col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+      col("sy") * (col("s1") * col("s12") - a11 * col("s2"))
+    val solvable = abs(det) > lit(1e-6)
+    val b0 = det0 / det
+    val b1 = det1 / det
+    val b2 = det2 / det
+    // full quadratic: SSE = βᵀXᵀXβ − 2βᵀXᵀy + Syy (the UNPENALIZED
+    // Gram — λ lives only in the solve)
+    val quad = b0 * b0 * nD + b1 * b1 * col("s11") + b2 * b2 * col("s22") +
+      lit(2.0) * b0 * b1 * col("s1") + lit(2.0) * b0 * b2 * col("s2") +
+      lit(2.0) * b1 * b2 * col("s12")
+    val sse = quad - lit(2.0) *
+      (b0 * col("sy") + b1 * col("s1y") + b2 * col("s2y")) + col("syy")
+    val tss = col("syy") - col("sy") * col("sy") / nD
+    agg.select(
+      (keys.map(col) :+ col("n")) ++ Seq(
+        when(solvable, round(b0, 6)).as("beta0"),
+        when(solvable, round(b1, 6)).as("beta1"),
+        when(solvable, round(b2, 6)).as("beta2"),
+        when(solvable && tss > lit(1e-9),
+          round(least(lit(1.0), greatest(lit(0.0), lit(1.0) - sse / tss)), 6))
+          .as("r2"),
+        when(solvable,
+          round(sqrt(greatest(lit(0.0), sse) / nD), 6)).as("rmse")): _*)
+  }
+
   /** General-p OLS per key group: aggregate the (p+1)-augmented Gram
     * matrix + cross products in ONE pass, then solve the normal
     * equations with Gaussian elimination (partial pivoting) as a

@@ -1227,6 +1227,21 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A42c: ridge at λ=25 on the q_linfit design — the shrunken
+    // Cramer solve (λ on the feature diagonal only) with the full
+    // quadratic SSE; closed-form, so the regularized fit is under
+    // the same value gate as OLS
+    "q_ridge" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      graft.operators.Regression.ridgeFit2(
+        ev, Seq("event_type"),
+        x1 = (pmod(graft.Tables.epochSeconds(col("ts")), lit(86400L)) /
+          lit(3600L)).cast("long"),
+        x2 = pmod(col("user_id"), lit(50L)),
+        y = col("value"), lambda = 25.0)
+        .orderBy(col("event_type"))
+    }),
+
     // A17: correlation + regression per group — Pearson r and the
     // least-squares line of value-vs-hour-of-day. Built-in corr()/
     // regr_slope() accumulate DOUBLES in partition order (not
@@ -3397,6 +3412,63 @@ object AggQueries {
                + (det2 / det) * s2y) AS sse,
              syy - sy * sy / nd AS tss
            FROM c)
+         SELECT event_type, n,
+           CASE WHEN abs(det) > 1e-6 THEN round(det0 / det, 6) END AS beta0,
+           CASE WHEN abs(det) > 1e-6 THEN round(det1 / det, 6) END AS beta1,
+           CASE WHEN abs(det) > 1e-6 THEN round(det2 / det, 6) END AS beta2,
+           CASE WHEN abs(det) > 1e-6 AND tss > 1e-9
+             THEN round(least(1.0, greatest(0.0, 1.0 - sse / tss)), 6) END AS r2,
+           CASE WHEN abs(det) > 1e-6
+             THEN round(sqrt(greatest(0.0, sse) / nd), 6) END AS rmse
+         FROM f ORDER BY event_type""",
+    // A42c oracle: the shifted-diagonal Cramer trees + the full
+    // quadratic SSE, token-for-token the operator
+    "q_ridge" ->
+      """WITH e AS (SELECT event_type,
+           CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400 // 3600
+             AS DECIMAL(18,2)) AS x1,
+           CAST(user_id % 50 AS DECIMAL(18,2)) AS x2,
+           CAST(value AS DECIMAL(18,2)) AS y
+         FROM events),
+         a AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(y)  AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(x1 * y  AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(x2 * y  AS DECIMAL(38,6))) AS DOUBLE) AS s2y,
+             CAST(SUM(CAST(y * y   AS DECIMAL(38,6))) AS DOUBLE) AS syy
+           FROM e GROUP BY event_type),
+         c AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+             s11 + 25.0 AS a11, s22 + 25.0 AS a22
+           FROM a),
+         cd AS (SELECT *,
+             nd * (a11 * a22 - s12 * s12)
+               - s1 * (s1 * a22 - s12 * s2)
+               + s2 * (s1 * s12 - a11 * s2) AS det,
+             sy * (a11 * a22 - s12 * s12)
+               - s1 * (s1y * a22 - s12 * s2y)
+               + s2 * (s1y * s12 - a11 * s2y) AS det0,
+             nd * (s1y * a22 - s12 * s2y)
+               - sy * (s1 * a22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS det1,
+             nd * (a11 * s2y - s1y * s12)
+               - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - a11 * s2) AS det2
+           FROM c),
+         f AS (SELECT *,
+             (det0 / det) * (det0 / det) * nd
+               + (det1 / det) * (det1 / det) * s11
+               + (det2 / det) * (det2 / det) * s22
+               + 2.0 * (det0 / det) * (det1 / det) * s1
+               + 2.0 * (det0 / det) * (det2 / det) * s2
+               + 2.0 * (det1 / det) * (det2 / det) * s12
+               - 2.0 * ((det0 / det) * sy + (det1 / det) * s1y
+                 + (det2 / det) * s2y) + syy AS sse,
+             syy - sy * sy / nd AS tss
+           FROM cd)
          SELECT event_type, n,
            CASE WHEN abs(det) > 1e-6 THEN round(det0 / det, 6) END AS beta0,
            CASE WHEN abs(det) > 1e-6 THEN round(det1 / det, 6) END AS beta1,

@@ -41,6 +41,38 @@ class RegressionSpec extends SparkSpec {
     assert(row === ((None, None, None, None, None)))
   }
 
+  test("A42c ridgeFit2: lambda=0 equals OLS betas bit-for-bit; shrinkage is monotone; collinear design becomes solvable") {
+    val df = noisy.toDF("k", "x1", "x2", "y")
+    val ols = Regression.linearFit2(df, Seq("k"), col("x1"), col("x2"),
+      col("y")).select("beta0", "beta1", "beta2", "r2")
+      .as[(Double, Double, Double, Double)].collect().head
+    val r0 = Regression.ridgeFit2(df, Seq("k"), col("x1"), col("x2"),
+      col("y"), lambda = 0.0).select("beta0", "beta1", "beta2", "r2")
+      .as[(Double, Double, Double, Double)].collect().head
+    // identical Cramer trees at λ=0 → identical betas; SSE is the
+    // full quadratic here vs the OLS identity there, equal to round-6
+    assert((r0._1, r0._2, r0._3) === ((ols._1, ols._2, ols._3)))
+    assert(math.abs(r0._4 - ols._4) <= 1e-6)
+    // shrinkage: feature-coefficient norm decreases with λ, r2 never
+    // improves on OLS
+    def at(lam: Double) = Regression.ridgeFit2(df, Seq("k"), col("x1"),
+      col("x2"), col("y"), lam).select("beta1", "beta2", "r2")
+      .as[(Double, Double, Double)].collect().head
+    val norms = Seq(0.0, 10.0, 100.0, 1000.0).map { lam =>
+      val (b1, b2, r2) = at(lam)
+      assert(r2 <= ols._4 + 1e-6, s"λ=$lam r2=$r2")
+      math.sqrt(b1 * b1 + b2 * b2)
+    }
+    assert(norms === norms.sorted.reverse, norms)
+    // collinear design: OLS nulls (rank-deficient), ridge solves
+    val coll = (0 to 30).map(i => ("g", i.toDouble, 2.0 * i, 1.0 + i))
+      .toDF("k", "x1", "x2", "y")
+    val rr = Regression.ridgeFit2(coll, Seq("k"), col("x1"), col("x2"),
+      col("y"), lambda = 5.0).select("beta1", "beta2")
+      .as[(Option[Double], Option[Double])].collect().head
+    assert(rr._1.nonEmpty && rr._2.nonEmpty)
+  }
+
   test("A42: general-p Gaussian elimination matches the Cramer face at p=2") {
     val df = noisy.toDF("k", "x1", "x2", "y")
     val cramer = Regression.linearFit2(df, Seq("k"),
