@@ -98,6 +98,31 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // J10: banded geo radius join — every (user point, poi) pair
+    // within 1000 km, via the wrap-safe cell stencil + exact haversine
+    // verify; the oracle BRUTE-FORCES the cross join, so any dropped
+    // band collision fails the row count
+    "q_geo_join" -> ((s, d) => {
+      val users = table(s, d, "events")
+        .select(col("user_id")).distinct()
+        .select(col("user_id"),
+          ((pmod(col("user_id"), lit(1200L)).cast("double") / lit(10.0)) -
+            lit(60.0)).as("lat"),
+          ((pmod(col("user_id") * lit(7L), lit(3600L)).cast("double") /
+            lit(10.0)) - lit(180.0)).as("lon"))
+      val pois = table(s, d, "embeddings")
+        .select(col("vec_id"),
+          ((pmod(col("vec_id") * lit(37L), lit(1100L)).cast("double") /
+            lit(10.0)) - lit(55.0)).as("plat"),
+          ((pmod(col("vec_id") * lit(53L), lit(3500L)).cast("double") /
+            lit(10.0)) - lit(175.0)).as("plon"))
+      graft.operators.GeoJoin.geoRadiusJoin(
+        users, col("user_id"), col("lat"), col("lon"),
+        pois, col("vec_id"), col("plat"), col("plon"),
+        radiusM = 1000000.0)
+        .orderBy(col("l_id"), col("r_id"))
+    }),
+
     // F1/F4/F6: string scalar suite
     "q_scalar_string" -> ((s, d) => {
       table(s, d, "customer")
@@ -252,6 +277,28 @@ object CoreQueries {
            ${Geohash.cellCenterSql("lo4", 15, -180.0, 360.0)} AS dec_lon
          FROM c4 ORDER BY event_id"""
     },
+    // J10 oracle: the BRUTE cross join over the identical point
+    // derivations + the identical haversine tree — the banded join
+    // must reproduce it exactly
+    "q_geo_join" -> {
+      import graft.functions.GeoFns
+      s"""WITH l AS (SELECT DISTINCT user_id FROM events),
+         lp AS (SELECT user_id AS l_id,
+           CAST(user_id % 1200 AS DOUBLE) / 10.0 - 60.0 AS l_lat,
+           CAST((user_id * 7) % 3600 AS DOUBLE) / 10.0 - 180.0 AS l_lon
+         FROM l),
+         rp AS (SELECT vec_id AS r_id,
+           CAST((vec_id * 37) % 1100 AS DOUBLE) / 10.0 - 55.0 AS r_lat,
+           CAST((vec_id * 53) % 3500 AS DOUBLE) / 10.0 - 175.0 AS r_lon
+         FROM embeddings),
+         d AS (SELECT l_id, r_id,
+           ${GeoFns.greatCircleDistanceSql("l_lat", "l_lon", "r_lat", "r_lon")} AS dm
+         FROM lp CROSS JOIN rp)
+         SELECT l_id, r_id, round(dm, 3) AS dist_m
+         FROM d WHERE dm <= 1000000.0
+         ORDER BY l_id, r_id"""
+    },
+
     // L4: both regimes written out — fresh rows as degenerate
     // aggregates of themselves, old rows as per-(type, day) groups;
     // sum_v rides the DECIMAL(28,6)->(38,6) exact-sum convention
