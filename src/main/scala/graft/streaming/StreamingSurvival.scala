@@ -80,6 +80,16 @@ object StreamingSurvival {
       subjects(spark, stateDir, keys, censorDays, template),
       keys, col("dur"), col("ev"))
 
+  /** Read face: the live KM curve WITH Greenwood 95% bands
+    * ([[StatsAgg.kaplanMeierCi]] verbatim — the r20 A44b face on the
+    * same derived subjects; batch parity is structural).
+    */
+  def currentSurvivalCi(spark: SparkSession, stateDir: String,
+      keys: Seq[String], censorDays: Long, template: DataFrame): DataFrame =
+    StatsAgg.kaplanMeierCi(
+      subjects(spark, stateDir, keys, censorDays, template),
+      keys, col("dur"), col("ev"))
+
   /** Read face: the live log-rank verdict between two cohorts given
     * by `group(subjectCol)` (e.g. even/odd subject ids).
     */

@@ -1970,12 +1970,24 @@ class IntervalStatsSpec extends SparkSpec {
         Seq("k"), col("dur"), col("ev"), col("grp"))
         .select("o1", "e1", "chi2")
         .as[(Long, Double, Option[Double])].collect().head
+    def liveKmCi() = StreamingSurvival.currentSurvivalCi(
+      spark, dir, Seq("k"), censorDays = 7, template)
+      .as[(String, Long, Long, Long, Long, Double, Option[Double],
+        Option[Double], Option[Double])]
+      .collect().sortBy(_._2).toSeq
+    def batchKmCi(rows: Seq[(String, Long, Long)]) =
+      StatsAgg.kaplanMeierCi(batchSubjects(rows), Seq("k"),
+        col("dur"), col("ev"))
+        .as[(String, Long, Long, Long, Long, Double, Option[Double],
+          Option[Double], Option[Double])]
+        .collect().sortBy(_._2).toSeq
     val batches = all.grouped(320).toSeq
     batches.zipWithIndex.foreach { case (b, i) =>
       StreamingSurvival.applyBatch(df(b), Seq("k"), col("u"), col("day"),
         dir, batchId = i.toLong)
       val seen = all.take((i + 1) * 320 min all.size)
       assert(liveKm() === batchKm(seen), s"KM batch $i")
+      assert(liveKmCi() === batchKmCi(seen), s"KM-CI batch $i")
       assert(liveLr() === batchLr(seen), s"logrank batch $i")
     }
     // replay no-op + planted-orphan heal
