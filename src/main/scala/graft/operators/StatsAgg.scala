@@ -2011,6 +2011,45 @@ object StatsAgg {
     if (diag.exists(_.isEmpty)) None else Some(diag.map(_.get))
   }
 
+  /** A40c — Benjamini–Yekutieli 2001 FDR: BH's q-values inflated by
+    * the harmonic factor c(m) = Σ_{j≤m} 1/j, the correction that
+    * keeps FDR control under ARBITRARY dependence between the
+    * hypotheses (BH assumes positive regression dependence — false
+    * for many correlated-metric panels). c(m) is computed as an
+    * exact order-free DECIMAL sum of 9-dp-quantized 1/j terms over an
+    * exploded 1..m sequence (panel-sized — never data-sized), joined
+    * back keys-sized; q = min(1, c(m)·BH-tail-min). Output adds a
+    * round-6 `cm` column.
+    */
+  def fdrAdjustBY(df: DataFrame, family: Seq[String], p: Column,
+      tie: Column): DataFrame = {
+    val fam = family.map(col)
+    val base = df.where(p.isNotNull)
+      .select((fam :+ tie.as("tie")) :+ p.cast("double").as("p_value"): _*)
+    val wOrd = Window.partitionBy(fam: _*)
+      .orderBy(col("p_value").asc, col("tie").asc)
+    val wAll = Window.partitionBy(fam: _*)
+    val tailMin = min(col("p_value") * col("__m").cast("double") /
+      col("bh_rank").cast("double"))
+      .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val ranked = base
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("bh_rank", row_number().over(wOrd).cast("long"))
+    val cmTbl = base.groupBy(fam: _*).agg(count(lit(1)).as("__mm"))
+      .withColumn("__j", explode(sequence(lit(1L), col("__mm"))))
+      .groupBy(fam: _*).agg(
+        sum(round(lit(1.0) / col("__j").cast("double"), 9)
+          .cast("decimal(20,9)")).cast("double").as("__cm"))
+    val joined =
+      if (family.isEmpty) ranked.crossJoin(broadcast(cmTbl))
+      else ranked.join(broadcast(cmTbl), family)
+    joined
+      .withColumn("cm", round(col("__cm"), 6))
+      .withColumn("q_value",
+        round(least(lit(1.0), col("__cm") * tailMin), 6))
+      .drop("__m", "__cm")
+  }
+
   def fdrAdjust(df: DataFrame, family: Seq[String], p: Column,
       tie: Column, storeyLambda: Option[Double] = None): DataFrame = {
     val fam = family.map(col)

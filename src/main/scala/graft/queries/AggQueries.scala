@@ -1352,6 +1352,24 @@ object AggQueries {
     // registry's only materializing query); the panel is genuinely
     // mixed (some buckets drift, most do not), which is the regime
     // where the plugin's π̂₀ < 1 visibly sharpens q vs plain BH
+    // A40c: Benjamini–Yekutieli on the same 35-hypothesis meanZ
+    // panel — the harmonic c(m) inflation that survives arbitrary
+    // dependence; cm an exact DECIMAL sum of 9-dp 1/j terms
+    "q_fdr_by" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("bucket", (col("user_id") % 7).cast("long"))
+      val mz = graft.operators.StatsAgg.meanZTest(
+        ev.where(col("user_id").isNotNull),
+        Seq("event_type", "bucket"), col("value"),
+        cohort = col("user_id") % 2 === 0, var1 = 80000.0, var2 = 80000.0)
+      graft.operators.StatsAgg.fdrAdjustBY(
+        mz.select(
+          concat(col("event_type"), lit("|"), col("bucket")).as("hyp"),
+          col("p_value")),
+        Seq.empty, p = col("p_value"), tie = col("hyp"))
+        .orderBy(col("bh_rank"))
+    }),
+
     "q_fdr_storey" -> ((s, d) => {
       val ev = table(s, d, "events")
         .withColumn("bucket", (col("user_id") % 7).cast("long"))
@@ -3560,6 +3578,52 @@ object AggQueries {
     // A40b: the q_mean_ztest tree generalized with the bucket key,
     // then the BH windows with Storey's λ = 0.5 π₀ plugin — the
     // UNROUNDED π̂₀ multiplies the tail-min exactly as fdrAdjust does
+    // A40c oracle: the q_fdr_storey feed chain with the harmonic
+    // c(m) factor — exact DECIMAL sum of 9-dp 1/j terms over a
+    // generated series, q = min(1, cm·BH-tail-min)
+    ("q_fdr_by" ->
+      ("""WITH w AS (SELECT event_type, user_id % 7 AS bucket,
+             user_id % 2 = 0 AS c,
+             CAST(floor(CAST(value AS DOUBLE) * 100.0) AS HUGEINT) AS w
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         s AS (SELECT event_type, bucket,
+             count(*) FILTER (WHERE c) AS n1,
+             count(*) FILTER (WHERE NOT c) AS n2,
+             sum(w) FILTER (WHERE c) AS a1,
+             sum(w) FILTER (WHERE NOT c) AS a2
+           FROM w GROUP BY event_type, bucket),
+         m0 AS (SELECT event_type, bucket, n1, n2,
+             CAST(a1 AS DOUBLE) / 100.0 / CAST(n1 AS DOUBLE) AS mu1,
+             CAST(a2 AS DOUBLE) / 100.0 / CAST(n2 AS DOUBLE) AS mu2,
+             80000.0 / CAST(n1 AS DOUBLE)
+               + 80000.0 / CAST(n2 AS DOUBLE) AS se2
+           FROM s),
+         fin AS (SELECT event_type, bucket,
+           CASE WHEN n1 > 0 AND n2 > 0
+             THEN round((mu1 - mu2) / sqrt(se2), 6) END AS z_stat
+         FROM m0),
+         pan AS (SELECT event_type || '|' || CAST(bucket AS VARCHAR) AS tie,
+           """ + graft.functions.NormalDist.twoSidedPSql("z_stat") +
+        """ AS p_value FROM fin),
+         fil AS (SELECT tie, p_value FROM pan WHERE p_value IS NOT NULL),
+         rk AS (SELECT tie, p_value,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (ORDER BY p_value ASC, tie ASC)
+               AS BIGINT) AS bh_rank
+           FROM fil),
+         hm AS (SELECT CAST(SUM(CAST(round(1.0 / CAST(bh_rank AS DOUBLE), 9)
+               AS DECIMAL(20,9))) AS DOUBLE) AS cmu
+           FROM rk),
+         q AS (SELECT tie, p_value, bh_rank,
+             round(cmu, 6) AS cm,
+             round(least(1.0, cmu *
+               min(p_value * CAST(m AS DOUBLE) / CAST(bh_rank AS DOUBLE))
+                 OVER (ORDER BY p_value ASC, tie ASC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
+               AS q_value
+           FROM rk CROSS JOIN hm)
+         SELECT tie, p_value, bh_rank, cm, q_value FROM q
+         ORDER BY bh_rank""")) +
     ("q_fdr_storey" ->
       ("""WITH w AS (SELECT event_type, user_id % 7 AS bucket,
              user_id % 2 = 0 AS c,

@@ -1536,6 +1536,40 @@ class IntervalStatsSpec extends SparkSpec {
     }
   }
 
+  test("A40c fdrAdjustBY: q = clamp(c(m) · BH tail-min) with the exact harmonic factor; BY >= BH pointwise; families independent") {
+    val rnd = new scala.util.Random(47)
+    val panel = (0 until 30).map(i =>
+      ("fam" + (i % 2), f"h$i%02d",
+        BigDecimal(rnd.nextDouble()).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val by = StatsAgg.fdrAdjustBY(
+      panel.toDF("fam", "h", "p").repartition(5),
+      Seq("fam"), p = col("p"), tie = col("h"))
+      .select("fam", "tie", "p_value", "bh_rank", "cm", "q_value")
+      .as[(String, String, Double, Long, Double, Double)].collect()
+    val bh = StatsAgg.fdrAdjust(panel.toDF("fam", "h", "p"),
+      Seq("fam"), p = col("p"), tie = col("h"))
+      .select("fam", "tie", "q_value")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    panel.groupBy(_._1).foreach { case (fam, hs) =>
+      val m = hs.size
+      // the scalar harmonic factor with the operator's 9-dp grid
+      val cmRef = (1 to m).map(j => BigDecimal(1.0 / j).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val got = by.filter(_._1 == fam)
+      got.foreach { case (_, h, _, _, cm, q) =>
+        assert(cm === r6(cmRef), s"$fam cm")
+        // BY never undercuts BH, and hits the c(m) inflation exactly
+        // wherever BH's q is off its clamp
+        assert(q >= bh((fam, h)) - 1e-9, s"$fam/$h BY < BH")
+      }
+      assert(got.forall(r => r._6 >= 0.0 && r._6 <= 1.0))
+    }
+  }
+
   test("fdrAdjust(storeyLambda): pi0 equals the λ-plugin on each family; q = clamp(pi0 · BH tail-min); all-null panel floors at 1/m; λ→degenerate clamps at 1") {
     val rnd = new scala.util.Random(43)
     // family "drift": half the panel tiny p (true effects) → π̂₀ < 1;
