@@ -525,6 +525,33 @@ object StatsAgg {
         col("f_stat"), col("df1"), col("df2")))
   }
 
+  /** A28b — Brown–Forsythe test (Brown & Forsythe 1974; the
+    * median-centered Levene): are the GROUP VARIANCES equal? The
+    * homogeneity check ANOVA itself assumes, and the robust choice
+    * over classic mean-centered Levene on the heavy-tailed telemetry
+    * this engine sees. The statistic is one-way ANOVA applied to the
+    * absolute deviations from each group's MEDIAN — so the whole face
+    * composes from gate-proven pieces: exact fixed-point group
+    * medians (the A16 percentile on the quantized grid, exact .0/.5
+    * halves), deviations |w − med| on the exact half-integer grid
+    * DOUBLED back onto integers (F is scale-invariant — SSB and SSW
+    * both scale by 4, the ratio doesn't), then [[anova]] verbatim at
+    * scale 0. Output: the A28 schema (n_rows, n_groups, f_stat,
+    * df1/df2, p_approx via the shared F tail).
+    */
+  def brownForsythe(df: DataFrame, keys: Seq[String], value: Column,
+      group: Column, scale: Int = 2): DataFrame = {
+    val factor = math.pow(10.0, scale)
+    val rows = df.where(value.isNotNull && !isnan(value.cast("double")))
+      .select((keys.map(col) :+ group.as("__g")) :+
+        floor(value.cast("double") * lit(factor)).as("__w"): _*)
+    val med = rows.groupBy((keys.map(col) :+ col("__g")): _*)
+      .agg(expr("percentile(__w, 0.5D)").as("__med"))
+    val z = rows.join(broadcast(med), keys :+ "__g")
+      .withColumn("__z", abs(col("__w") - col("__med")) * lit(2.0))
+    anova(z, keys, col("__z"), col("__g"), scale = 0)
+  }
+
   /** Weight-of-evidence and information value per category — the
     * ClickHouse `categoricalInformationValue` read ("how predictive is
     * this categorical feature of a binary label"), emitted as the full

@@ -649,6 +649,16 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A28b: Brown–Forsythe variance-homogeneity on the same
+    // user-bucket groups — one-way ANOVA of |w − group median|
+    // (doubled onto integers; F is scale-invariant)
+    "q_brown_forsythe" -> ((s, d) => {
+      graft.operators.StatsAgg.brownForsythe(
+        table(s, d, "events"), Seq("event_type"), col("value"),
+        group = col("user_id") % 4)
+        .orderBy(col("event_type"))
+    }),
+
     // A29: WOE / information value of the value band as a predictor
     // of the even-user label per event type; NULL value is a real
     // category (nulls-first ordering pinned cross-engine)
@@ -2808,6 +2818,52 @@ object AggQueries {
          grp AS (SELECT event_type, g, count(*) AS ng,
              sum(w) AS s1, sum(w * w) AS s2
            FROM e GROUP BY event_type, g),
+         t AS (SELECT event_type, ng, s1, s2,
+             CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(ng AS DOUBLE), 9) AS DECIMAL(38,9)) AS tm
+           FROM grp),
+         a AS (SELECT event_type, sum(ng) AS n, count(*) AS k,
+             sum(s1) AS sa, sum(s2) AS sb, sum(tm) AS p
+           FROM t GROUP BY event_type),
+         f AS (SELECT event_type, n, k,
+             greatest(CAST(p AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                 / CAST(n AS DOUBLE), 0.0) AS ssb,
+             greatest(CAST(sb AS DOUBLE) - CAST(p AS DOUBLE), 0.0) AS ssw
+           FROM a),
+         fin AS (SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           CAST(k AS BIGINT) AS n_groups,
+           CASE WHEN k > 1 AND n > k AND ssw > 1e-9
+             THEN round((ssb / (CAST(k AS DOUBLE) - 1.0))
+               / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+             END AS f_stat,
+           CASE WHEN k > 1 THEN CAST(k - 1 AS BIGINT) END AS df1,
+           CASE WHEN n > k THEN CAST(n - k AS BIGINT) END AS df2
+         FROM f)
+         SELECT event_type, n_rows, n_groups, f_stat, df1, df2,
+           """ + graft.functions.NormalDist.fUpperPSql(
+        "f_stat", "df1", "df2") +
+      """ AS p_approx
+         FROM fin ORDER BY event_type"""),
+    // A28b oracle: group medians on the quantized grid, doubled
+    // absolute deviations, then the A28 ANOVA arms verbatim at
+    // scale 0
+    "q_brown_forsythe" ->
+      ("""WITH e AS (SELECT event_type, user_id % 4 AS g,
+             CAST(floor(value * 100.0) AS HUGEINT) AS w
+           FROM events WHERE value IS NOT NULL),
+         md AS (SELECT event_type, g,
+             quantile_cont(w, 0.5) AS med
+           FROM e GROUP BY event_type, g),
+         z AS (SELECT e.event_type, e.g,
+             abs(CAST(e.w AS DOUBLE) - md.med) * 2.0 AS z2
+           FROM e JOIN md USING (event_type, g)),
+         e2 AS (SELECT event_type, g,
+             CAST(floor(z2 * 1.0) AS HUGEINT) AS w
+           FROM z),
+         grp AS (SELECT event_type, g, count(*) AS ng,
+             sum(w) AS s1, sum(w * w) AS s2
+           FROM e2 GROUP BY event_type, g),
          t AS (SELECT event_type, ng, s1, s2,
              CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                / CAST(ng AS DOUBLE), 9) AS DECIMAL(38,9)) AS tm

@@ -1536,6 +1536,43 @@ class IntervalStatsSpec extends SparkSpec {
     }
   }
 
+  test("A28b brownForsythe: location-shift invariant; planted heteroscedasticity flags; equal spreads don't; equals anova on the deviation table") {
+    val rnd = new scala.util.Random(53)
+    // four groups, same spread, different MEANS — BF must NOT fire
+    // (that's ANOVA's job), exercising the median-centering
+    val sameSpread = (0 until 400).map { i =>
+      val g = i % 4
+      ("g", g, g * 50.0 + (rnd.nextInt(200) - 100) / 10.0)
+    }
+    val bfSame = StatsAgg.brownForsythe(sameSpread.toDF("k", "g", "v"),
+      Seq("k"), col("v"), col("g"))
+      .select("f_stat", "p_approx").as[(Double, Double)].collect().head
+    assert(bfSame._2 > 0.05, s"equal spreads flagged: $bfSame")
+    // one group with 8x the spread — BF must fire hard
+    val hetero = (0 until 400).map { i =>
+      val g = i % 4
+      val spread = if (g == 3) 80.0 else 10.0
+      ("g", g, (rnd.nextInt(200) - 100) / 100.0 * spread)
+    }
+    val bfHet = StatsAgg.brownForsythe(hetero.toDF("k", "g", "v"),
+      Seq("k"), col("v"), col("g"))
+      .select("f_stat", "p_approx").as[(Double, Double)].collect().head
+    assert(bfHet._1 > 10.0 && bfHet._2 < 0.01, s"heteroscedastic missed: $bfHet")
+    // composition law: BF == anova on the externally-computed
+    // doubled deviation table (identical quantization path)
+    val df = hetero.toDF("k", "g", "v")
+    val rows = df.select(col("k"), col("g"),
+      floor(col("v") * 100.0).as("w"))
+    val med = rows.groupBy(col("k"), col("g"))
+      .agg(expr("percentile(w, 0.5D)").as("med"))
+    val z = rows.join(med, Seq("k", "g"))
+      .withColumn("z2", abs(col("w") - col("med")) * 2.0)
+    val viaAnova = StatsAgg.anova(z, Seq("k"), col("z2"), col("g"),
+      scale = 0).select("f_stat", "p_approx")
+      .as[(Double, Double)].collect().head
+    assert(bfHet === viaAnova)
+  }
+
   test("A40c fdrAdjustBY: q = clamp(c(m) · BH tail-min) with the exact harmonic factor; BY >= BH pointwise; families independent") {
     val rnd = new scala.util.Random(47)
     val panel = (0 until 30).map(i =>
