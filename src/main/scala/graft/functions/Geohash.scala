@@ -160,6 +160,71 @@ object Geohash {
     s0 +: rest
   }
 
+  /** Quantization onto [0, 2^bits) at an arbitrary per-dimension bit
+    * width (the [[quantize15]] tree generalized — used by the
+    * box-cover face at coarser precisions).
+    */
+  def quantizeN(v: Column, lo: Double, span: Double, bits: Int): Column =
+    least(greatest(
+      floor((v - lit(lo)) / lit(span) * lit(math.pow(2.0, bits)))
+        .cast("long"),
+      lit(0L)), lit((1L << bits) - 1))
+
+  def quantizeNSql(v: String, lo: Double, span: Double, bits: Int): String =
+    s"least(greatest(CAST(floor(($v - $lo) / $span * ${math.pow(2.0, bits)}) AS BIGINT), 0), ${(1L << bits) - 1})"
+
+  /** The spread-bits chain INLINE over a leaf variable (safe to nest:
+    * the duplicated references are to one token, not a subtree) — the
+    * SQL twin of [[graft.sources.Layout.spreadBits16]] for use inside
+    * list lambdas where CTE staging is unavailable.
+    */
+  def spreadInlineSql(v: String): String = {
+    val masks = Seq(
+      (0x00FF00FFL, 8), (0x0F0F0F0FL, 4), (0x33333333L, 2), (0x55555555L, 1))
+    masks.foldLeft(s"($v & 65535)") { case (acc, (mask, sh)) =>
+      s"(($acc | ($acc << $sh)) & $mask)"
+    }
+  }
+
+  /** F18c — all geohashes of an EVEN `precision` covering the
+    * [latMin, latMax] × [lonMin, lonMax] box (clamped to the globe;
+    * no antimeridian wrap — split a wrapping box into two calls), as
+    * a SORTED comma-joined string (the flat-scalar gate contract).
+    * Entirely map-side: the cell ranges are integer quantizations of
+    * the box corners and the cover is a nested sequence-transform —
+    * no explode, no shuffle; the ClickHouse `geohashesInBox` surface.
+    */
+  def geohashesInBox(latMin: Column, latMax: Column, lonMin: Column,
+      lonMax: Column, precision: Int): Column = {
+    require(precision % 2 == 0 && precision >= 2 && precision <= 6,
+      s"even precision in [2,6]: $precision")
+    val bits = 5 * precision / 2
+    val yLo = quantizeN(latMin, -90.0, 180.0, bits)
+    val yHi = quantizeN(latMax, -90.0, 180.0, bits)
+    val xLo = quantizeN(lonMin, -180.0, 360.0, bits)
+    val xHi = quantizeN(lonMax, -180.0, 360.0, bits)
+    // the interleave is width-agnostic: spread of `bits`-wide halves
+    // IS the 2·bits-wide geohash code (lat even, lon odd)
+    val cells = flatten(transform(sequence(yLo, yHi), y =>
+      transform(sequence(xLo, xHi), x =>
+        base32(graft.sources.Layout.mortonCode(y, x), precision))))
+    array_join(array_sort(cells), ",")
+  }
+
+  def geohashesInBoxSql(latMin: String, latMax: String, lonMin: String,
+      lonMax: String, precision: Int): String = {
+    require(precision % 2 == 0 && precision >= 2 && precision <= 6)
+    val bits = 5 * precision / 2
+    val code = s"(${spreadInlineSql("y")} | (${spreadInlineSql("x")} << 1))"
+    s"""array_to_string(list_sort(flatten(list_transform(
+        generate_series(${quantizeNSql(latMin, -90.0, 180.0, bits)},
+          ${quantizeNSql(latMax, -90.0, 180.0, bits)}),
+        y -> list_transform(
+          generate_series(${quantizeNSql(lonMin, -180.0, 360.0, bits)},
+            ${quantizeNSql(lonMax, -180.0, 360.0, bits)}),
+          x -> ${base32Sql(code, precision)})))), ',')"""
+  }
+
   /** Cell-center coordinate from compacted bits at the full 15-bit
     * resolution shifted down to `bits`: (b + 0.5) / 2^bits · span + lo.
     */

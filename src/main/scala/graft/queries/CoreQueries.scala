@@ -98,6 +98,27 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // F18c: geohashesInBox — the covering gh4 set of a ±0.3° box
+    // around each point, entirely map-side (nested sequence
+    // transforms, no explode/shuffle), emitted as the sorted joined
+    // string per the flat-scalar gate contract
+    "q_geohash_box" -> ((s, d) => {
+      import graft.functions.Geohash
+      val lat = (pmod(col("user_id"), lit(1200L)).cast("double") /
+        lit(10.0)) - lit(60.0)
+      val lon = (pmod(col("event_id"), lit(3600L)).cast("double") /
+        lit(10.0)) - lit(180.0)
+      table(s, d, "events")
+        .select(col("event_id"), lat.as("lat"), lon.as("lon"))
+        .withColumn("cells", Geohash.geohashesInBox(
+          col("lat") - lit(0.3), col("lat") + lit(0.3),
+          col("lon") - lit(0.3), col("lon") + lit(0.3), precision = 4))
+        .select(col("event_id"),
+          size(split(col("cells"), ",")).cast("long").as("n_cells"),
+          col("cells"))
+        .orderBy(col("event_id"))
+    }),
+
     // J10: banded geo radius join — every (user point, poi) pair
     // within 1000 km, via the wrap-safe cell stencil + exact haversine
     // verify; the oracle BRUTE-FORCES the cross join, so any dropped
@@ -277,6 +298,24 @@ object CoreQueries {
            ${Geohash.cellCenterSql("lo4", 15, -180.0, 360.0)} AS dec_lon
          FROM c4 ORDER BY event_id"""
     },
+    // F18c oracle: identical quantized corner ranges, the inline
+    // spread/interleave over list lambdas, identical base-32 render
+    "q_geohash_box" -> {
+      import graft.functions.Geohash
+      s"""WITH p AS (SELECT event_id,
+           CAST(user_id % 1200 AS DOUBLE) / 10.0 - 60.0 AS lat,
+           CAST(event_id % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+         FROM events),
+         c AS (SELECT event_id,
+           ${Geohash.geohashesInBoxSql("(lat - 0.3)", "(lat + 0.3)",
+             "(lon - 0.3)", "(lon + 0.3)", 4)} AS cells
+         FROM p)
+         SELECT event_id,
+           CAST(len(string_split(cells, ',')) AS BIGINT) AS n_cells,
+           cells
+         FROM c ORDER BY event_id"""
+    },
+
     // J10 oracle: the BRUTE cross join over the identical point
     // derivations + the identical haversine tree — the banded join
     // must reproduce it exactly

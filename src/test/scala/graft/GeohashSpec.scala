@@ -95,6 +95,35 @@ class GeohashSpec extends SparkSpec {
     for ((code, back) <- rt) assert(back === code)
   }
 
+  test("F18c geohashesInBox: degenerate box is the point's own hash; dense-sample hashes are covered; cells distinct, sorted, near the box") {
+    val pts = Seq((37.7749, -122.4194), (57.64911, 10.40744), (-33.9, 151.2))
+    val df = pts.toDF("lat", "lon")
+      .withColumn("own", {
+        val q = Geohash.quantize15(col("lat"), -90.0, 180.0)
+        val p = Geohash.quantize15(col("lon"), -180.0, 360.0)
+        Geohash.base32(shiftright(
+          graft.sources.Layout.mortonCode(q, p), 10), 4)
+      })
+      .withColumn("point_box", Geohash.geohashesInBox(
+        col("lat"), col("lat"), col("lon"), col("lon"), 4))
+      .withColumn("cover", Geohash.geohashesInBox(
+        col("lat") - lit(0.4), col("lat") + lit(0.4),
+        col("lon") - lit(0.4), col("lon") + lit(0.4), 4))
+    val rows = df.select("lat", "lon", "own", "point_box", "cover")
+      .as[(Double, Double, String, String, String)].collect()
+    for ((lat, lon, own, pointBox, cover) <- rows) {
+      assert(pointBox === own, s"degenerate box at ($lat,$lon)")
+      val cells = cover.split(",").toSeq
+      assert(cells.contains(own))
+      assert(cells === cells.sorted && cells.distinct.size === cells.size)
+      // every hash of a dense in-box sample appears in the cover
+      val samples = for (dy <- -4 to 4; dx <- -4 to 4)
+        yield scalarGeohash(lat + dy * 0.099, lon + dx * 0.099, 4)
+      assert(samples.toSet.subsetOf(cells.toSet),
+        s"missing ${samples.toSet -- cells.toSet} at ($lat,$lon)")
+    }
+  }
+
   test("F18 decode: cell center is within a half-cell of the input and re-encodes to the same hash") {
     val pts = Seq((57.64911, 10.40744), (37.7749, -122.4194),
       (-33.8688, 151.2093), (0.001, 0.001))
