@@ -530,6 +530,37 @@ object NorthStarQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // F20: URL scalar family — protocol/host/path/query/TLD via ONE
+    // shared regex table on both engines; the fields domain-level
+    // dedup quotas and source-mixing weights key on. The fixture URL
+    // is synthesized from document columns with the identical
+    // expression on both sides
+    "q_url_parse" -> ((s, d) => {
+      import graft.functions.UrlFns
+      val url = concat(
+        lit("http"),
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit("")).otherwise(lit("s")),
+        lit("://"), col("lang"),
+        pmod(col("doc_id"), lit(97L)).cast("string"),
+        lit(".example."),
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit("com"))
+          .when(pmod(col("doc_id"), lit(3L)) === 1, lit("org"))
+          .otherwise(lit("net")),
+        lit("/docs/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("?ref="), pmod(col("doc_id"), lit(7L)).cast("string")))
+          .otherwise(lit("")))
+      table(s, d, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlFns.extract(col("url"), "protocol").as("protocol"),
+          UrlFns.extract(col("url"), "host").as("host"),
+          UrlFns.extract(col("url"), "path").as("path"),
+          UrlFns.extract(col("url"), "query").as("query"),
+          UrlFns.extract(col("url"), "tld").as("tld"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X4: language-ID heuristic (stopword argmax)
     "q_langid" -> ((s, d) => {
       table(s, d, "documents")
@@ -1481,6 +1512,31 @@ object NorthStarQueries {
              round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS cosine
            FROM sc)
          WHERE cosine >= 0.45 ORDER BY id_a, id_b""",
+    // F20 oracle: the identical synthesized URL + the identical
+    // regex table (UrlFns.extractSql — shared patterns, '' no-match
+    // on both engines)
+    "q_url_parse" -> {
+      import graft.functions.UrlFns
+      s"""WITH u AS (SELECT doc_id,
+           'http' || (CASE WHEN doc_id % 5 = 0 THEN '' ELSE 's' END)
+           || '://' || lang || CAST(doc_id % 97 AS VARCHAR)
+           || '.example.'
+           || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+               ELSE 'net' END)
+           || '/docs/' || CAST(doc_id AS VARCHAR)
+           || (CASE WHEN doc_id % 4 = 0
+               THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+           AS url
+         FROM documents)
+         SELECT doc_id, url,
+           ${UrlFns.extractSql("url", "protocol")} AS protocol,
+           ${UrlFns.extractSql("url", "host")} AS host,
+           ${UrlFns.extractSql("url", "path")} AS path,
+           ${UrlFns.extractSql("url", "query")} AS query,
+           ${UrlFns.extractSql("url", "tld")} AS tld
+         FROM u ORDER BY doc_id"""
+    },
+
     "q_langid" -> {
       val langs = stop.keys.toSeq.sorted
       val hits = langs.map(l =>
