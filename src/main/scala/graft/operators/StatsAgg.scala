@@ -1619,7 +1619,25 @@ object StatsAgg {
     * fixed double tree over exact sums — oracle-able.
     */
   def logRankTest(df: DataFrame, keys: Seq[String], duration: Column,
-      event: Column, group: Column): DataFrame = {
+      event: Column, group: Column): DataFrame =
+    weightedLogRank(df, keys, duration, event, group, gehan = false)
+
+  /** A45b — Gehan–Breslow–Wilcoxon: the log-rank family member that
+    * weights each event time by the TOTAL AT RISK n_t, making the
+    * verdict sensitive to EARLY separation (log-rank weights all
+    * times equally, so late-tail noise can drown an early treatment
+    * effect — the generalized-Wilcoxon answer every survival package
+    * ships beside log-rank). Same grid, same hypergeometric E/V,
+    * terms scaled by n_t (and n_t² for the variance); the weighted
+    * observed count Σ n_t·d1_t stays an exact integer sum.
+    */
+  def gehanWilcoxonTest(df: DataFrame, keys: Seq[String],
+      duration: Column, event: Column, group: Column): DataFrame =
+    weightedLogRank(df, keys, duration, event, group, gehan = true)
+
+  private def weightedLogRank(df: DataFrame, keys: Seq[String],
+      duration: Column, event: Column, group: Column,
+      gehan: Boolean): DataFrame = {
     val rows = df.select(
       (keys.map(col) ++ Seq(duration.cast("long").as("__t"),
         event.cast("int").as("__e"),
@@ -1644,16 +1662,23 @@ object StatsAgg {
     val dd = col("d").cast("double")
     val nd = col("__n").cast("double")
     val n1d = col("__n1").cast("double")
-    val termE = when(col("d") > 0, round(dd * (n1d / nd), 9))
-      .otherwise(lit(0.0)).cast("decimal(20,9)")
+    // Gehan weights w = n_t (w² in the variance); log-rank w = 1.
+    // The weight factors multiply OUTSIDE the round-9 quantization's
+    // operand so the unweighted trees stay token-identical to r19's
+    val (wE, wV) = if (gehan) (nd, nd * nd) else (lit(1.0), lit(1.0))
+    val termE = when(col("d") > 0, round(wE * (dd * (n1d / nd)), 9))
+      .otherwise(lit(0.0)).cast("decimal(30,9)")
     val termV = when(col("d") > 0 && col("__n") > 1,
-      round(dd * (n1d / nd) * (lit(1.0) - n1d / nd) *
-        ((nd - dd) / (nd - lit(1.0))), 9))
-      .otherwise(lit(0.0)).cast("decimal(20,9)")
+      round(wV * (dd * (n1d / nd) * (lit(1.0) - n1d / nd) *
+        ((nd - dd) / (nd - lit(1.0)))), 9))
+      .otherwise(lit(0.0)).cast("decimal(30,9)")
+    val o1Term =
+      if (gehan) sum(col("__n") * col("d1")).cast("long")
+      else sum(col("d1")).cast("long")
     val agg = withRisk.groupBy(keys.map(col): _*).agg(
       max(col("__ntot")).as("n_subjects"),
       max(col("__n1tot")).as("n1_subjects"),
-      sum(col("d1")).cast("long").as("o1"),
+      o1Term.as("o1"),
       sum(termE).cast("double").as("__e1"),
       sum(termV).cast("double").as("__v"))
     val chi2 = when(col("__v") > lit(1e-12),

@@ -1189,6 +1189,27 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A45b: Gehan–Breslow–Wilcoxon — the same grid weighted by the
+    // total at risk n_t, sensitive to EARLY curve separation where
+    // log-rank weights all event times equally
+    "q_logrank_gehan" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long")
+      val ev = table(s, d, "events").select(
+        col("user_id"), col("event_type"), day.as("day"))
+      val life = ev.groupBy(col("event_type"), col("user_id")).agg(
+        min(col("day")).as("t0"), max(col("day")).as("t1"))
+      val maxDay = ev.agg(max(col("day")).as("md"))
+      val subjects = life.crossJoin(broadcast(maxDay)).select(
+        col("event_type"),
+        (col("t1") - col("t0")).as("dur"),
+        when(col("t1") < col("md") - lit(7L), 1).otherwise(0).as("ev"),
+        pmod(col("user_id"), lit(2L)).cast("int").as("grp"))
+      graft.operators.StatsAgg.gehanWilcoxonTest(
+        subjects, Seq("event_type"), col("dur"), col("ev"), col("grp"))
+        .orderBy(col("event_type"))
+    }),
+
     // A45: log-rank (Mantel–Cox) — do the even/odd user cohorts'
     // survival curves differ? Hypergeometric O−E over event times,
     // χ²(1) + Wilson–Hilferty p, the A44 significance companion
@@ -3365,6 +3386,60 @@ object AggQueries {
          FROM b ORDER BY cohort, t""",
     // A45 oracle: identical risk windows (HUGEINT-cast), identical
     // 9-dp-quantized E/V terms, identical χ² + Wilson–Hilferty trees
+    // A45b oracle: the q_logrank chain with n_t / n_t² weight factors
+    // and the weighted integer observed sum
+    "q_logrank_gehan" -> (
+      """WITH e AS (SELECT user_id, event_type,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+         FROM events),
+         u AS (SELECT event_type, user_id, MIN(day) AS t0, MAX(day) AS t1
+           FROM e GROUP BY event_type, user_id),
+         mx AS (SELECT MAX(day) AS md FROM e),
+         s AS (SELECT event_type, t1 - t0 AS t,
+             CASE WHEN t1 < md - 7 THEN 1 ELSE 0 END AS ev,
+             CAST(user_id % 2 AS INT) AS g
+           FROM u, mx),
+         gr AS (SELECT event_type, t, COUNT(*) AS m,
+             CAST(SUM(g) AS BIGINT) AS m1,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(g * ev) AS BIGINT) AS d1
+           FROM s GROUP BY event_type, t),
+         r AS (SELECT *,
+             CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS ntot,
+             CAST(SUM(m1) OVER (PARTITION BY event_type) AS BIGINT) AS n1tot,
+             CAST(COALESCE(SUM(m) OVER (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb,
+             CAST(COALESCE(SUM(m1) OVER (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1b
+           FROM gr),
+         r2 AS (SELECT *, ntot - nb AS n, n1tot - n1b AS n1 FROM r),
+         terms AS (SELECT event_type, ntot, n1tot, n, d1,
+             CAST(CASE WHEN d > 0 THEN
+               round(CAST(n AS DOUBLE) * (CAST(d AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+               ELSE 0.0 END AS DECIMAL(30,9)) AS te,
+             CAST(CASE WHEN d > 0 AND n > 1 THEN
+               round(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * (CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ((CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0))), 9)
+               ELSE 0.0 END AS DECIMAL(30,9)) AS tv
+           FROM r2),
+         a AS (SELECT event_type, MAX(ntot) AS n_subjects,
+             MAX(n1tot) AS n1_subjects,
+             CAST(SUM(n * d1) AS BIGINT) AS o1,
+             CAST(SUM(te) AS DOUBLE) AS e1r, CAST(SUM(tv) AS DOUBLE) AS v
+           FROM terms GROUP BY event_type),
+         c AS (SELECT *, CASE WHEN v > 1e-12 THEN
+             round((CAST(o1 AS DOUBLE) - e1r) * (CAST(o1 AS DOUBLE) - e1r) / v, 6)
+           END AS chi2 FROM a)
+         SELECT event_type, n_subjects, n1_subjects, o1,
+           round(e1r, 6) AS e1, chi2,
+           """ + graft.functions.NormalDist.chiSqUpperPSql("chi2", "1") +
+      """ AS p_approx
+         FROM c ORDER BY event_type"""),
+
     "q_logrank" -> (
       """WITH e AS (SELECT user_id, event_type,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day

@@ -2162,6 +2162,71 @@ class IntervalStatsSpec extends SparkSpec {
     assert(got === expect) // bit-level: exact sums + fixed trees
   }
 
+  test("A45b gehanWilcoxonTest: identical cohorts chi2 = 0; early separation weighted harder than late; scalar parity incl. weights") {
+    val same = (1 to 20).flatMap(i =>
+      Seq(("g", i.toLong, i % 3 min 1, 0), ("g", i.toLong, i % 3 min 1, 1)))
+    val out = StatsAgg.gehanWilcoxonTest(same.toDF("k", "dur", "ev", "grp"),
+      Seq("k"), col("dur"), col("ev"), col("grp"))
+      .select("o1", "e1", "chi2").as[(Long, Double, Double)].collect().head
+    assert(out._1.toDouble === out._2 && out._3 === 0.0)
+    // two effect placements with the SAME event pattern magnitude:
+    // early-time separation must score a LARGER Gehan chi2 than the
+    // same separation placed late (n_t weights shrink over time),
+    // while log-rank scores both equally by construction
+    // background subjects leave the risk set between t=1 and t=9, so
+    // the n_t weight genuinely differs between the two placements
+    def cohort(effectAt: Long) = (0 until 60).map { i =>
+      val g = i % 2
+      if (g == 1 && i % 4 == 1) ("g", effectAt, 1, 1)
+      else ("g", (2L + i % 9), if (i % 5 == 0) 1 else 0, g)
+    }
+    def gehanChi(rows: Seq[(String, Long, Int, Int)]) =
+      StatsAgg.gehanWilcoxonTest(rows.toDF("k", "dur", "ev", "grp"),
+        Seq("k"), col("dur"), col("ev"), col("grp"))
+        .select("chi2").as[Double].collect().head
+    assert(gehanChi(cohort(1L)) > gehanChi(cohort(9L)),
+      "early separation must outweigh late under n_t weights")
+    // scalar parity: the weighted trees replicated with exact sums
+    val rnd = new scala.util.Random(59)
+    val mixed = (0 until 80).map { i =>
+      val g = i % 2
+      val dur = (rnd.nextInt(12) + (if (g == 1) 0 else 3)).toLong
+      ("g", dur, if (rnd.nextInt(3) > 0) 1 else 0, g)
+    }
+    val got = StatsAgg.gehanWilcoxonTest(
+      mixed.toDF("k", "dur", "ev", "grp").repartition(9),
+      Seq("k"), col("dur"), col("ev"), col("grp"))
+      .select("o1", "e1", "chi2")
+      .as[(Long, Double, Option[Double])].collect().head
+    // scalar loop with the identical weighting + 9-dp quantization
+    val subj = mixed.map(m => (m._2, m._3, m._4))
+    val times = subj.map(_._1).distinct.sorted
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    var e1 = BigDecimal(0); var v = BigDecimal(0); var o1 = 0L
+    for (t <- times) {
+      val atRisk = subj.filter(_._1 >= t)
+      val n = atRisk.size.toDouble
+      val n1 = atRisk.count(_._3 == 1).toDouble
+      val d = subj.count(x => x._1 == t && x._2 == 1).toDouble
+      val d1 = subj.count(x => x._1 == t && x._2 == 1 && x._3 == 1)
+      o1 += atRisk.size.toLong * d1
+      if (d > 0) e1 += r9(n * (d * (n1 / n)))
+      if (d > 0 && n > 1)
+        v += r9(n * n * (d * (n1 / n) * (1.0 - n1 / n) * ((n - d) / (n - 1.0))))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 === o1)
+    assert(got._2 === r6(e1.toDouble))
+    val chiRef =
+      if (v.toDouble > 1e-12)
+        Some(r6((o1.toDouble - e1.toDouble) * (o1.toDouble - e1.toDouble) /
+          v.toDouble))
+      else None
+    assert(got._3 === chiRef)
+  }
+
   // ---- A43 winsorized / trimmed robust statistics ---------------------
 
   test("A43 winsorizedStats: fences, clip counts and means match the scalar reference on 1..100") {
