@@ -1947,8 +1947,26 @@ object StatsAgg {
           when(ok, round(col("__b1") +
             (col("__i0_0") * col("__u1") - col("__u0") * col("__i0_1")) / det,
             9)).otherwise(col("__b1")).as("__b1"))): _*)
+      } else if (p == 3) {
+        // explicit symmetric 3×3 adjugate tree — also oracle-
+        // mirrorable, so the p = 3 model rides the value gate too
+        val (a, b, c) = (col("__i0_0"), col("__i0_1"), col("__i0_2"))
+        val (d, e, f) = (col("__i1_1"), col("__i1_2"), col("__i2_2"))
+        val det = a * (d * f - e * e) - b * (b * f - c * e) +
+          c * (b * e - d * c)
+        val ok = det > lit(1e-12) && a > lit(0.0)
+        val adj = cox3Adjugate(a, b, c, d, e, f)
+        val nums = Seq(
+          adj(0) * col("__u0") + adj(1) * col("__u1") + adj(2) * col("__u2"),
+          adj(1) * col("__u0") + adj(3) * col("__u1") + adj(4) * col("__u2"),
+          adj(2) * col("__u0") + adj(4) * col("__u1") + adj(5) * col("__u2"))
+        uib.select((keys.map(col) ++ nums.zipWithIndex.map {
+          case (num, i) =>
+            when(ok, round(col(s"__b$i") + num / det, 9))
+              .otherwise(col(s"__b$i")).as(s"__b$i")
+        }): _*)
       } else {
-        // p ≥ 3: Gaussian elimination with partial pivoting on the
+        // p ≥ 4: Gaussian elimination with partial pivoting on the
         // keys-sized aggregate (Regression.linearFit's pattern)
         val iArr = array(pairs.map { case (i, j) => col(s"__i${i}_$j") }: _*)
         val uArr = array((0 until p).map(i => col(s"__u$i")): _*)
@@ -1983,6 +2001,18 @@ object StatsAgg {
           (0 until p).map(i => col(s"__b$i")) ++ Seq(
             when(ok, sqrt(col("__i1_1") / det)).as("__se0"),
             when(ok, sqrt(col("__i0_0") / det)).as("__se1"))): _*)
+      } else if (p == 3) {
+        val (a, b, c) = (col("__i0_0"), col("__i0_1"), col("__i0_2"))
+        val (d, e, f) = (col("__i1_1"), col("__i1_2"), col("__i2_2"))
+        val det = a * (d * f - e * e) - b * (b * f - c * e) +
+          c * (b * e - d * c)
+        val ok = det > lit(1e-12) && a > lit(0.0)
+        val adj = cox3Adjugate(a, b, c, d, e, f)
+        fin.select((keys.map(col) ++
+          (0 until p).map(i => col(s"__b$i")) ++ Seq(
+            when(ok, sqrt(adj(0) / det)).as("__se0"),
+            when(ok, sqrt(adj(3) / det)).as("__se1"),
+            when(ok, sqrt(adj(5) / det)).as("__se2"))): _*)
       } else {
         val iArr = array(pairs.map { case (i, j) => col(s"__i${i}_$j") }: _*)
         val diagUdf = udf { (iFlat: Seq[Double]) => invDiag(iFlat) }
@@ -2012,6 +2042,20 @@ object StatsAgg {
         graft.functions.NormalDist.twoSidedP(col(s"z$i")))
     }
   }
+
+  /** Adjugate entries of the symmetric 3×3 [[a,b,c],[b,d,e],[c,e,f]]
+    * in upper-triangle order (A00, A01, A02, A11, A12, A22) — shared
+    * by the A46b Newton step and the Wald diagonal so the oracle
+    * mirrors ONE tree.
+    */
+  private def cox3Adjugate(a: Column, b: Column, c: Column, d: Column,
+      e: Column, f: Column): Seq[Column] = Seq(
+    d * f - e * e,
+    -(b * f - c * e),
+    b * e - d * c,
+    a * f - c * c,
+    -(a * e - b * c),
+    a * d - b * b)
 
   /** Gaussian elimination with partial pivoting over an upper-triangle
     * flattened symmetric matrix — solve A·x = u; None when singular.

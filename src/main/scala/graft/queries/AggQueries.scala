@@ -1210,6 +1210,30 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A46c: the three-covariate Cox — parity, activity tier AND
+    // engagement tier, solved by the explicit symmetric 3×3 adjugate
+    // so the p=3 LEARNED model rides the value gate too
+    "q_coxph_multi3" -> ((s, d) => {
+      val day = floor(graft.Tables.epochSeconds(col("ts")) / 86400L)
+        .cast("long")
+      val ev = table(s, d, "events").select(
+        col("user_id"), col("event_type"), day.as("day"))
+      val life = ev.groupBy(col("event_type"), col("user_id")).agg(
+        min(col("day")).as("t0"), max(col("day")).as("t1"))
+      val maxDay = ev.agg(max(col("day")).as("md"))
+      val subjects = life.crossJoin(broadcast(maxDay)).select(
+        col("event_type"),
+        (col("t1") - col("t0")).as("dur"),
+        when(col("t1") < col("md") - lit(7L), 1).otherwise(0).as("ev"),
+        pmod(col("user_id"), lit(2L)).cast("double").as("x0"),
+        (expr("CAST((user_id div 2) % 4 AS DOUBLE)") * lit(0.25)).as("x1"),
+        (expr("CAST((user_id div 8) % 3 AS DOUBLE)") * lit(0.5)).as("x2"))
+      graft.operators.StatsAgg.coxPhMulti(
+        subjects, Seq("event_type"), col("dur"), col("ev"),
+        Seq(col("x0"), col("x1"), col("x2")))
+        .orderBy(col("event_type"))
+    }),
+
     // A45: log-rank (Mantel–Cox) — do the even/odd user cohorts'
     // survival curves differ? Hypergeometric O−E over event times,
     // χ²(1) + Wilson–Hilferty p, the A44 significance companion
@@ -1567,7 +1591,171 @@ object AggQueries {
        FROM g$i g JOIN bb$i b USING (event_type))"""
   }
 
+  /** A46c: the A46b generators widened to p = 3 (x2 = half-grid
+    * engagement tier); moments/terms emitted by index loops, the
+    * solve via the symmetric 3×3 adjugate — ONE tree shared with the
+    * operator's Column face.
+    */
+  private val coxMulti3GridSql: String = {
+    val sxe = (0 to 2).map(k =>
+      s"CAST(SUM(CAST(ev * x$k AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS sxe$k")
+      .mkString(",\n           ")
+    s"""e AS (SELECT user_id, event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+       FROM events),
+       u AS (SELECT event_type, user_id, MIN(day) AS t0, MAX(day) AS t1
+         FROM e GROUP BY event_type, user_id),
+       mx AS (SELECT MAX(day) AS md FROM e),
+       s AS (SELECT event_type, t1 - t0 AS t,
+           CASE WHEN t1 < md - 7 THEN 1 ELSE 0 END AS ev,
+           CAST(user_id % 2 AS DOUBLE) AS x0,
+           CAST((user_id // 2) % 4 AS DOUBLE) * 0.25 AS x1,
+           CAST((user_id // 8) % 3 AS DOUBLE) * 0.5 AS x2
+         FROM u, mx),
+       gr AS (SELECT event_type, t, COUNT(*) AS m,
+           CAST(SUM(ev) AS BIGINT) AS d,
+           $sxe
+         FROM s GROUP BY event_type, t),
+       c0 AS (SELECT event_type, CAST(SUM(m) AS BIGINT) AS n_subjects,
+           CAST(SUM(d) AS BIGINT) AS n_events
+         FROM gr GROUP BY event_type),
+       bb0 AS (SELECT event_type, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2 FROM c0)"""
+  }
+
+  private val cox3Pairs = for (i <- 0 to 2; j <- i to 2) yield (i, j)
+
+  /** The six adjugate entry expressions over i00..i22 column names
+    * prefixed by `t` — (A00, A01, A02, A11, A12, A22), the operator's
+    * cox3Adjugate token-for-token.
+    */
+  private def cox3AdjSql(t: String): Seq[String] = {
+    val (a, b, c) = (s"$t.i00", s"$t.i01", s"$t.i02")
+    val (d, e, f) = (s"$t.i11", s"$t.i12", s"$t.i22")
+    Seq(
+      s"($d * $f - $e * $e)",
+      s"(-($b * $f - $c * $e))",
+      s"($b * $e - $d * $c)",
+      s"($a * $f - $c * $c)",
+      s"(-($a * $e - $b * $c))",
+      s"($a * $d - $b * $b)")
+  }
+
+  private def cox3DetSql(t: String): String = {
+    val (a, b, c) = (s"$t.i00", s"$t.i01", s"$t.i02")
+    val (d, e, f) = (s"$t.i11", s"$t.i12", s"$t.i22")
+    s"($a * ($d * $f - $e * $e) - $b * ($b * $f - $c * $e) + $c * ($b * $e - $d * $c))"
+  }
+
+  private def coxMulti3StageSql(i: Int, last: Boolean = false): String = {
+    def q(e: String) =
+      s"CAST(SUM(CAST(round($e, 9) AS DECIMAL(30,9))) AS DECIMAL(38,9))"
+    val win = "OVER (PARTITION BY event_type ORDER BY t " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    val aCols = (s"${q("wv")} AS a0" +:
+      ((0 to 2).map(k => s"${q(s"x$k * wv")} AS af$k") ++
+        cox3Pairs.map { case (a, b) =>
+          s"${q(s"x$a * x$b * wv")} AS ap$a$b" })).mkString(",\n         ")
+    val rCols = ((0 to 2).map(k =>
+      s"CAST(sxe$k AS DOUBLE) AS sxe${k}d") ++
+      Seq(s"CAST(SUM(a0) $win AS DOUBLE) AS s0") ++
+      (0 to 2).map(k => s"CAST(SUM(af$k) $win AS DOUBLE) AS sf$k") ++
+      cox3Pairs.map { case (a, b) =>
+        s"CAST(SUM(ap$a$b) $win AS DOUBLE) AS sp$a$b" })
+      .mkString(",\n         ")
+    val tCols = ((0 to 2).map(k =>
+      s"""CAST(CASE WHEN d > 0 THEN
+           round(sxe${k}d - CAST(d AS DOUBLE) * (sf$k / s0), 9)
+         ELSE 0.0 END AS DECIMAL(20,9)) AS tu$k""") ++
+      cox3Pairs.map { case (a, b) =>
+        s"""CAST(CASE WHEN d > 0 THEN
+             round(CAST(d AS DOUBLE) * (sp$a$b / s0 - (sf$a / s0) * (sf$b / s0)), 9)
+           ELSE 0.0 END AS DECIMAL(20,9)) AS ti$a$b""" })
+      .mkString(",\n         ")
+    val gCols = ((0 to 2).map(k =>
+      s"CAST(SUM(tu$k) AS DOUBLE) AS u$k") ++
+      cox3Pairs.map { case (a, b) =>
+        s"CAST(SUM(ti$a$b) AS DOUBLE) AS i$a$b" }).mkString(", ")
+    val core = s"""w$i AS (SELECT s.event_type, s.t, s.x0, s.x1, s.x2,
+         exp(b.b0 * s.x0 + b.b1 * s.x1 + b.b2 * s.x2) AS wv
+       FROM s JOIN bb$i b USING (event_type)),
+     a$i AS (SELECT event_type, t,
+         $aCols
+       FROM w$i GROUP BY event_type, t),
+     r$i AS (SELECT event_type, t, d,
+         $rCols
+       FROM a$i JOIN gr USING (event_type, t)),
+     t$i AS (SELECT event_type,
+         $tCols
+       FROM r$i),
+     g$i AS (SELECT event_type, $gCols
+       FROM t$i GROUP BY event_type)"""
+    if (last) core
+    else {
+      val adj = cox3AdjSql("g")
+      val det = cox3DetSql("g")
+      val updates = (0 to 2).map { k =>
+        val num = k match {
+          case 0 => s"(${adj(0)} * g.u0 + ${adj(1)} * g.u1 + ${adj(2)} * g.u2)"
+          case 1 => s"(${adj(1)} * g.u0 + ${adj(3)} * g.u1 + ${adj(4)} * g.u2)"
+          case _ => s"(${adj(2)} * g.u0 + ${adj(4)} * g.u1 + ${adj(5)} * g.u2)"
+        }
+        s"""CASE WHEN $det > 1e-12 AND g.i00 > 0.0
+             THEN round(b.b$k + $num / $det, 9)
+             ELSE b.b$k END AS b$k"""
+      }.mkString(",\n         ")
+      core + s""",
+     bb${i + 1} AS (SELECT g.event_type,
+         $updates
+       FROM g$i g JOIN bb$i b USING (event_type))"""
+    }
+  }
+
   private val baseOracles: Map[String, String] = Map(
+    // A46c oracle: the p = 3 unrolled stages, adjugate solve and
+    // Wald diagonal — every fragment emitted by the index-loop
+    // generators above
+    "q_coxph_multi3" -> {
+      val adjF = cox3AdjSql("fo")
+      val detF = cox3DetSql("fo")
+      val seDefs = Seq(0 -> adjF(0), 1 -> adjF(3), 2 -> adjF(5)).map {
+        case (k, akk) =>
+          s"""CASE WHEN $detF > 1e-12 AND fo.i00 > 0.0
+               THEN sqrt($akk / $detF) END AS se${k}r"""
+      }.mkString(",\n             ")
+      val zDefs = (0 to 2).map(k =>
+        s"""CASE WHEN se${k}r IS NOT NULL AND se${k}r > 0.0
+             THEN round(b$k / se${k}r, 6) END AS z$k""")
+        .mkString(",\n             ")
+      val outBlocks = (0 to 2).map { k =>
+        s"""CASE WHEN se${k}r IS NOT NULL AND se${k}r > 0.0
+             THEN round(b$k, 6) END AS beta$k,
+           CASE WHEN se${k}r IS NOT NULL AND se${k}r > 0.0
+             THEN round(exp(b$k), 6) END AS hr$k,
+           CASE WHEN se${k}r IS NOT NULL AND se${k}r > 0.0
+             THEN round(se${k}r, 6) END AS se$k,
+           z$k,
+           ${graft.functions.NormalDist.twoSidedPSql(s"z$k")} AS p$k"""
+      }.mkString(",\n           ")
+      s"""WITH $coxMulti3GridSql,
+         ${coxMulti3StageSql(0)},
+         ${coxMulti3StageSql(1)},
+         ${coxMulti3StageSql(2)},
+         ${coxMulti3StageSql(3, last = true)},
+         fo AS (SELECT c0.event_type, c0.n_subjects, c0.n_events,
+             b.b0, b.b1, b.b2,
+             g.i00, g.i01, g.i02, g.i11, g.i12, g.i22
+           FROM c0 JOIN g3 g USING (event_type)
+             JOIN bb3 b USING (event_type)),
+         fs AS (SELECT *,
+             $seDefs
+           FROM fo),
+         fz AS (SELECT *,
+             $zDefs
+           FROM fs)
+         SELECT event_type, n_subjects, n_events,
+           $outBlocks
+         FROM fz ORDER BY event_type"""
+    },
     // A46b oracle: three unrolled Newton stages + a fourth info-only
     // stage at the fitted β; Wald se from the 2×2 inverse diagonal,
     // z per covariate, shared normal p trees

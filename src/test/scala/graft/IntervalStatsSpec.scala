@@ -1973,7 +1973,27 @@ class IntervalStatsSpec extends SparkSpec {
     assert(sing.isNullAt(1) && sing.isNullAt(2) && sing.isNullAt(3))
   }
 
-  test("A46b coxPhMulti p=3: Gaussian-elimination arm agrees with the p=2 Cramer arm when the third covariate is irrelevant-but-independent, and runs green") {
+  test("A46b coxPhMulti p=3 (adjugate arm) and p=4 (Gaussian arm): higher-p fits agree with lower-p when the extra covariate is irrelevant") {
+    val rnd4 = new scala.util.Random(79)
+    val subj4 = (0 until 150).map { i =>
+      val xs = Seq((i % 2).toDouble, ((i / 2) % 4) * 0.25,
+        ((i / 8) % 3) * 0.5, ((i / 3) % 5) * 0.2)
+      val dur = (rnd4.nextInt(8) + 1 + (if (xs(0) > 0) 0 else 2)).toLong
+      ("g", dur, if (rnd4.nextInt(6) > 0) 1 else 0,
+        xs(0), xs(1), xs(2), xs(3))
+    }
+    val df4 = subj4.toDF("k", "dur", "ev", "x0", "x1", "x2", "x3")
+    val out4 = StatsAgg.coxPhMulti(df4, Seq("k"), col("dur"), col("ev"),
+      (0 to 3).map(i => col(s"x$i")))
+      .select("beta0", "se0").as[(Double, Double)].collect().head
+    val out3b = StatsAgg.coxPhMulti(df4, Seq("k"), col("dur"), col("ev"),
+      (0 to 2).map(i => col(s"x$i")))
+      .select("beta0").as[Double].collect().head
+    assert(out4._2 > 0.0 && math.abs(out4._1 - out3b) < 0.35,
+      (out4, out3b))
+  }
+
+  test("A46b coxPhMulti p=3: adjugate arm fits all three coefficients; dropping the irrelevant covariate moves the fit only slightly") {
     val rnd = new scala.util.Random(73)
     val subj = (0 until 150).map { i =>
       val x0 = (i % 2).toDouble
