@@ -47,21 +47,28 @@ object Geohash {
     */
   val MaxBitsPerDim = 15
 
+  /** The spread-bits magic masks — ONE literal list for every
+    * generator in this module (staged SQL, inline SQL; mirrors
+    * [[graft.sources.Layout.spreadBits16]]'s chain, parity pinned by
+    * GeohashSpec's bisection-reference test; r20 review finding:
+    * three copies invited drift).
+    */
+  val SpreadMasks: Seq[(Long, Int)] = Seq(
+    (0x00FF00FFL, 8), (0x0F0F0F0FL, 4), (0x33333333L, 2), (0x55555555L, 1))
+
   /** Exact quantization of a coordinate onto [0, 2¹⁵): floor((v − lo)
     * / span · 2¹⁵) clamped to the domain — the clamp only ever fires
     * on v = lo + span exactly (the right edge, e.g. lat = +90).
     */
   def quantize15(v: Column, lo: Double, span: Double): Column =
-    least(greatest(
-      floor((v - lit(lo)) / lit(span) * lit(32768.0)).cast("long"),
-      lit(0L)), lit((1L << MaxBitsPerDim) - 1))
+    quantizeN(v, lo, span, MaxBitsPerDim)
 
   /** The same quantization as a DuckDB SQL fragment (DuckDB's floor
     * returns DOUBLE, hence the explicit BIGINT cast — same value for
     * anything inside 2⁵³).
     */
   def quantize15Sql(v: String, lo: Double, span: Double): String =
-    s"least(greatest(CAST(floor(($v - $lo) / $span * 32768.0) AS BIGINT), 0), ${(1L << MaxBitsPerDim) - 1})"
+    quantizeNSql(v, lo, span, MaxBitsPerDim)
 
   /** Base-32 rendering of the top `chars` 5-bit groups of a
     * 5·chars-bit code.
@@ -125,10 +132,8 @@ object Geohash {
     * every stage references its input twice.
     */
   def spreadSqlStages(x: String, prefix: String): Seq[String] = {
-    val masks = Seq(
-      (0x00FF00FFL, 8), (0x0F0F0F0FL, 4), (0x33333333L, 2), (0x55555555L, 1))
     val s0 = s"($x & 65535) AS ${prefix}0"
-    val rest = masks.zipWithIndex.map { case ((mask, sh), i) =>
+    val rest = SpreadMasks.zipWithIndex.map { case ((mask, sh), i) =>
       s"((${prefix}$i | (${prefix}$i << $sh)) & $mask) AS ${prefix}${i + 1}"
     }
     s0 +: rest
@@ -178,13 +183,10 @@ object Geohash {
     * SQL twin of [[graft.sources.Layout.spreadBits16]] for use inside
     * list lambdas where CTE staging is unavailable.
     */
-  def spreadInlineSql(v: String): String = {
-    val masks = Seq(
-      (0x00FF00FFL, 8), (0x0F0F0F0FL, 4), (0x33333333L, 2), (0x55555555L, 1))
-    masks.foldLeft(s"($v & 65535)") { case (acc, (mask, sh)) =>
+  def spreadInlineSql(v: String): String =
+    SpreadMasks.foldLeft(s"($v & 65535)") { case (acc, (mask, sh)) =>
       s"(($acc | ($acc << $sh)) & $mask)"
     }
-  }
 
   /** F18c — all geohashes of an EVEN `precision` covering the
     * [latMin, latMax] × [lonMin, lonMax] box (clamped to the globe;

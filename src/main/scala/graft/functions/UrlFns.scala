@@ -21,7 +21,9 @@ object UrlFns {
     ("protocol", "^([a-z][a-z0-9+.-]*)://", 1),
     ("host", "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1),
     ("path", "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
-    ("query", "[?]([^#]*)", 1),
+    // the first '?' BEFORE any fragment: a '?' inside the fragment is
+    // not a query marker (r20 review finding)
+    ("query", "^[^#?]*[?]([^#]*)", 1),
     ("tld", "^[a-z][a-z0-9+.-]*://[^/:?#]*[.]([a-z0-9-]+)(?:[:/?#]|$)", 1))
 
   def extract(url: Column, field: String): Column = {

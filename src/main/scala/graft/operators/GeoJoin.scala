@@ -44,7 +44,8 @@ object GeoJoin {
       radiusM: Double, cellDeg: Double = 5.0): DataFrame = {
     require(radiusM > 0, s"radius must be positive: $radiusM")
     val ncx = math.round(360.0 / cellDeg)
-    require(ncx * cellDeg == 360.0, s"cellDeg must divide 360: $cellDeg")
+    require(math.abs(ncx * cellDeg - 360.0) < 1e-9,
+      s"cellDeg must divide 360: $cellDeg")
     // latitude reach in cells: meters per degree of latitude is
     // ~constant (111132 m, the WGS-84 mean)
     val klat = math.ceil(radiusM / (111132.0 * cellDeg)).toLong
@@ -63,15 +64,24 @@ object GeoJoin {
         floor((col("l_lon") + lit(180.0)) / lit(cellDeg)).cast("long"),
         lit(ncx)))
     // per-row longitude reach at the most poleward latitude within
-    // the stencil (capped just under 90° and at the half-ring)
-    val latEdge = least(lit(89.0),
-      abs(col("l_lat")) + lit((klat + 1) * cellDeg))
-    val klon = least(lit((ncx - 1) / 2),
-      ceil(lit(radiusM) /
-        (lit(111320.0 * cellDeg) * cos(radians(latEdge)))).cast("long"))
+    // the stencil. A stencil that touches the pole (latEdge ≥ 90)
+    // scans the FULL ring — cos would otherwise underestimate the
+    // reach arbitrarily badly near the pole (r20 review finding);
+    // full-ring k = ncx/2 makes offsets ±k alias the same cell for
+    // even ring sizes, so that one duplicated offset is excluded
+    // below rather than double-emitting its pairs.
+    val fullRing = lit(ncx / 2)
+    val latEdge = abs(col("l_lat")) + lit((klat + 1) * cellDeg)
+    val klon = when(latEdge >= lit(90.0), fullRing)
+      .otherwise(least(fullRing,
+        ceil(lit(radiusM) /
+          (lit(111320.0 * cellDeg) * cos(radians(latEdge)))).cast("long")))
     val exploded = l0
+      .withColumn("__klon", klon)
       .withColumn("__dy", explode(sequence(lit(-klat), lit(klat))))
-      .withColumn("__dx", explode(sequence(-klon, klon)))
+      .withColumn("__dx", explode(sequence(-col("__klon"), col("__klon"))))
+      .where(!(col("__klon") * 2 === lit(ncx) &&
+        col("__dx") === -col("__klon")))
       .select(col("l_id"), col("l_lat"), col("l_lon"),
         (col("__cy0") + col("__dy")).as("__cy"),
         pmod(col("__cx0") + col("__dx"), lit(ncx)).as("__cx"))

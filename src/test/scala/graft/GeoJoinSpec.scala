@@ -60,6 +60,27 @@ class GeoJoinSpec extends SparkSpec {
     assert(got.exists(p => p._1 == 1L && p._2 == 10L))
   }
 
+  test("J10: polar points fall back to full-ring scan — over-the-pole and antipodal-longitude pairs survive (r20 review findings)") {
+    // near-pole points where cos(latEdge) would wildly underestimate
+    // the longitude reach, incl. an antipodal-longitude pair ~22 km
+    // apart over the pole and a same-ring quarter-turn pair
+    val l = Seq((1L, 89.9, 0.0), (2L, 89.99, 10.0), (3L, 88.0, 0.0))
+      .toDF("lid", "lat", "lon")
+    val r = Seq((10L, 89.9, -178.0), (11L, 89.99, 100.0),
+      (12L, 88.0, 90.0), (13L, -89.9, 0.0)).toDF("rid", "plat", "plon")
+    for (radius <- Seq(50000.0, 400000.0)) {
+      val got = asSet(run(l, r, radius))
+      assert(got === asSet(brute(l, r, radius)), s"radius $radius")
+    }
+    // the specific over-the-pole pair is present at 400 km
+    assert(asSet(run(l, r, 400000.0)).exists(p => p._1 == 1L && p._2 == 10L))
+    // fine cell grids with representation error are accepted now
+    val small = Seq((1L, 10.0, 10.0)).toDF("lid", "lat", "lon")
+    val smallR = Seq((2L, 10.05, 10.05)).toDF("rid", "plat", "plon")
+    assert(asSet(run(small, smallR, 20000.0, cellDeg = 0.1)) ===
+      asSet(brute(small, smallR, 20000.0)))
+  }
+
   test("J10: band pruning carries far fewer pairs than the cross join") {
     val rnd = new scala.util.Random(89)
     val l = (0 until 2000).map(i =>

@@ -23,7 +23,10 @@ class UrlFnsSpec extends SparkSpec {
       ("ftp+ssh://files.example.co/path", // exotic scheme
         ("ftp+ssh", "files.example.co", "/path", "", "co")),
       ("not a url at all", ("", "", "", "", "")),
-      ("//missing.protocol.com/x", ("", "", "", "", "")))
+      ("//missing.protocol.com/x", ("", "", "", "", "")),
+      // a '?' INSIDE the fragment is not a query marker
+      ("http://x.example.com/p#sec?b=1",
+        ("http", "x.example.com", "/p", "", "com")))
     val got = cases.map(_._1).toDF("url")
       .select(col("url"),
         UrlFns.extract(col("url"), "protocol").as("p"),
