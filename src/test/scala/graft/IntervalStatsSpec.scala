@@ -1973,6 +1973,91 @@ class IntervalStatsSpec extends SparkSpec {
     assert(sing.isNullAt(1) && sing.isNullAt(2) && sing.isNullAt(3))
   }
 
+  test("A46c coxPhMulti p=3: bit-level scalar parity of the adjugate Newton incl. every quantization point") {
+    val rnd = new scala.util.Random(83)
+    val subj = (0 until 120).map { i =>
+      val xs = Seq((i % 2).toDouble, ((i / 2) % 4) * 0.25,
+        ((i / 8) % 3) * 0.5)
+      val dur = (rnd.nextInt(9) + 1 + (if (xs(0) > 0) 0 else 2)).toLong
+      ("g", dur, if (rnd.nextInt(5) > 0) 1 else 0, xs)
+    }
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r9d(x: Double) = r9(x).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val times = subj.map(_._2).distinct.sorted
+    val dAt = times.map(t =>
+      t -> subj.count(s => s._2 == t && s._3 == 1)).toMap
+    val sxeAt = times.map { t =>
+      val ev = subj.filter(s => s._2 == t && s._3 == 1)
+      t -> (0 to 2).map(k => ev.map(s => r9(s._4(k))).sum.toDouble)
+    }.toMap
+    val prs = for (a <- 0 to 2; b <- a to 2) yield (a, b)
+    def ui(bs: Seq[Double]) = {
+      val aAt = times.map { t =>
+        val here = subj.filter(_._2 == t)
+        def m(f: Seq[Double] => Double) = here.map(s => r9(f(s._4))).sum
+        def w(x: Seq[Double]) =
+          math.exp(bs(0) * x(0) + bs(1) * x(1) + bs(2) * x(2))
+        t -> (m(w) +: ((0 to 2).map(k => m(x => x(k) * w(x))) ++
+          prs.map { case (a, b) => m(x => x(a) * x(b) * w(x)) }))
+      }.toMap
+      val u = Array.fill(3)(BigDecimal(0))
+      val iM = scala.collection.mutable.Map[(Int, Int), BigDecimal]()
+        .withDefaultValue(BigDecimal(0))
+      for (t <- times if dAt(t) > 0) {
+        val tail = times.filter(_ >= t).map(aAt)
+        def s(idx: Int) = tail.map(_(idx)).sum.toDouble
+        val s0 = s(0); val sf = (0 to 2).map(k => s(1 + k))
+        val sp = prs.zipWithIndex.map { case (_, i) => s(4 + i) }
+        val d = dAt(t).toDouble
+        for (k <- 0 to 2) u(k) += r9(sxeAt(t)(k) - d * (sf(k) / s0))
+        prs.zipWithIndex.foreach { case ((a, b), i) =>
+          iM((a, b)) += r9(d * (sp(i) / s0 - (sf(a) / s0) * (sf(b) / s0)))
+        }
+      }
+      (u.map(_.toDouble).toSeq,
+        prs.map { case (a, b) => iM((a, b)).toDouble })
+    }
+    def adjDet(ii: Seq[Double]) = {
+      val Seq(a, b, c, d, e, f) = ii
+      val det = a * (d * f - e * e) - b * (b * f - c * e) +
+        c * (b * e - d * c)
+      val adj = Seq(d * f - e * e, -(b * f - c * e), b * e - d * c,
+        a * f - c * c, -(a * e - b * c), a * d - b * b)
+      (det, adj)
+    }
+    var bs = Seq(0.0, 0.0, 0.0)
+    for (_ <- 0 until 3) {
+      val (u, ii) = ui(bs)
+      val (det, adj) = adjDet(ii)
+      if (det > 1e-12 && ii(0) > 0.0) {
+        val nums = Seq(
+          adj(0) * u(0) + adj(1) * u(1) + adj(2) * u(2),
+          adj(1) * u(0) + adj(3) * u(1) + adj(4) * u(2),
+          adj(2) * u(0) + adj(4) * u(1) + adj(5) * u(2))
+        bs = bs.zip(nums).map { case (b, n) => r9d(b + n / det) }
+      }
+    }
+    val (_, iiF) = ui(bs)
+    val (detF, adjF) = adjDet(iiF)
+    val ses = Seq(adjF(0), adjF(3), adjF(5)).map(a => math.sqrt(a / detF))
+    val expect = (0 to 2).flatMap(k =>
+      Seq(r6(bs(k)), r6(ses(k)), r6(bs(k) / ses(k))))
+    val got = StatsAgg.coxPhMulti(
+      subj.map(s => (s._1, s._2, s._3, s._4(0), s._4(1), s._4(2)))
+        .toDF("k", "dur", "ev", "x0", "x1", "x2").repartition(7),
+      Seq("k"), col("dur"), col("ev"),
+      (0 to 2).map(i => col(s"x$i")))
+      .select("beta0", "se0", "z0", "beta1", "se1", "z1",
+        "beta2", "se2", "z2")
+      .as[(Double, Double, Double, Double, Double, Double,
+        Double, Double, Double)].collect().head
+    assert(Seq(got._1, got._2, got._3, got._4, got._5, got._6,
+      got._7, got._8, got._9) === expect)
+  }
+
   test("A46b coxPhMulti p=3 (adjugate arm) and p=4 (Gaussian arm): higher-p fits agree with lower-p when the extra covariate is irrelevant") {
     val rnd4 = new scala.util.Random(79)
     val subj4 = (0 until 150).map { i =>
