@@ -144,6 +144,30 @@ object CoreQueries {
         .orderBy(col("l_id"), col("r_id"))
     }),
 
+    // F21: IPv4 scalar family — string↔num round trip (nulls on
+    // malformed addresses) + literal-CIDR membership, all integer
+    // shift/mask trees; one row in 13 carries an out-of-range octet
+    // to exercise the guard
+    "q_ipv4" -> ((s, d) => {
+      import graft.functions.IpFns
+      val ip = when(pmod(col("event_id"), lit(13L)) === 0,
+        concat(lit("999."), pmod(col("user_id"), lit(256L)).cast("string"),
+          lit(".1.2")))
+        .otherwise(concat_ws(".",
+          lit(10L).cast("string"),
+          pmod(col("user_id"), lit(256L)).cast("string"),
+          pmod(expr("event_id div 256"), lit(256L)).cast("string"),
+          pmod(col("event_id"), lit(256L)).cast("string")))
+      table(s, d, "events")
+        .select(col("event_id"), ip.as("ip"))
+        .withColumn("ip_num", IpFns.ipv4ToNum(col("ip")))
+        .select(col("event_id"), col("ip"), col("ip_num"),
+          IpFns.numToIpv4(col("ip_num")).as("round_trip"),
+          IpFns.inCidr(col("ip_num"), "10.0.0.0/8").as("in_private"),
+          IpFns.inCidr(col("ip_num"), "10.128.0.0/9").as("in_upper_half"))
+        .orderBy(col("event_id"))
+    }),
+
     // F1/F4/F6: string scalar suite
     "q_scalar_string" -> ((s, d) => {
       table(s, d, "customer")
@@ -298,6 +322,28 @@ object CoreQueries {
            ${Geohash.cellCenterSql("lo4", 15, -180.0, 360.0)} AS dec_lon
          FROM c4 ORDER BY event_id"""
     },
+    // F21 oracle: identical synthesized addresses, identical octet
+    // regex guard and shift/mask trees (IpFns.*Sql)
+    "q_ipv4" -> {
+      import graft.functions.IpFns
+      s"""WITH u AS (SELECT event_id,
+           CASE WHEN event_id % 13 = 0
+             THEN '999.' || CAST(user_id % 256 AS VARCHAR) || '.1.2'
+             ELSE '10.' || CAST(user_id % 256 AS VARCHAR) || '.'
+               || CAST((event_id // 256) % 256 AS VARCHAR) || '.'
+               || CAST(event_id % 256 AS VARCHAR)
+           END AS ip
+         FROM events),
+         n AS (SELECT event_id, ip,
+           ${IpFns.ipv4ToNumSql("ip")} AS ip_num
+         FROM u)
+         SELECT event_id, ip, ip_num,
+           ${IpFns.numToIpv4Sql("ip_num")} AS round_trip,
+           ${IpFns.inCidrSql("ip_num", "10.0.0.0/8")} AS in_private,
+           ${IpFns.inCidrSql("ip_num", "10.128.0.0/9")} AS in_upper_half
+         FROM n ORDER BY event_id"""
+    },
+
     // F18c oracle: identical quantized corner ranges, the inline
     // spread/interleave over list lambdas, identical base-32 render
     "q_geohash_box" -> {
