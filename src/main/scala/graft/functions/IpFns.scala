@@ -32,8 +32,12 @@ object IpFns {
   }
 
   def ipv4ToNumSql(ip: String): String = {
+    // TRY_CAST, not CAST (r20 ADVICE): DuckDB does not guarantee
+    // short-circuit AND, so on a non-matching input the extract
+    // yields '' and a plain CAST could hard-error where the Spark
+    // face returns NULL; TRY_CAST makes unmatched rows NULL-safe
     val oct = (g: Int) =>
-      s"CAST(regexp_extract($ip, '$OctetPat', $g) AS BIGINT)"
+      s"TRY_CAST(regexp_extract($ip, '$OctetPat', $g) AS BIGINT)"
     val valid = s"regexp_matches($ip, '$OctetPat') AND " +
       (1 to 4).map(g => s"${oct(g)} <= 255").mkString(" AND ")
     s"""CASE WHEN $valid THEN
@@ -58,28 +62,33 @@ object IpFns {
         CAST($n & 255 AS VARCHAR)
        END"""
 
-  /** Membership of a numeric address in a LITERAL a.b.c.d/k block:
-    * compare the top k bits. k = 0 matches everything.
+  /** Shared CIDR literal parse + validation (r20 ADVICE: the SQL face
+    * previously skipped the require()s, so a bad literal silently
+    * generated wrong SQL — e.g. a negative shift — instead of failing
+    * fast). Returns (prefixBits, baseNum).
     */
-  def inCidr(ipNum: Column, cidr: String): Column = {
+  private def parseCidr(cidr: String): (Int, Long) = {
     val Array(base, bitsS) = cidr.split("/")
     val bits = bitsS.toInt
     require(bits >= 0 && bits <= 32, s"prefix length out of range: $cidr")
     val parts = base.split("\\.").map(_.toLong)
     require(parts.length == 4 && parts.forall(p => p >= 0 && p <= 255),
       s"bad CIDR base: $cidr")
-    val baseNum = parts(0) * 16777216L + parts(1) * 65536L +
-      parts(2) * 256L + parts(3)
+    (bits, parts(0) * 16777216L + parts(1) * 65536L +
+      parts(2) * 256L + parts(3))
+  }
+
+  /** Membership of a numeric address in a LITERAL a.b.c.d/k block:
+    * compare the top k bits. k = 0 matches everything.
+    */
+  def inCidr(ipNum: Column, cidr: String): Column = {
+    val (bits, baseNum) = parseCidr(cidr)
     if (bits == 0) ipNum.isNotNull
     else shiftright(ipNum, 32 - bits) === lit(baseNum >> (32 - bits))
   }
 
   def inCidrSql(ipNum: String, cidr: String): String = {
-    val Array(base, bitsS) = cidr.split("/")
-    val bits = bitsS.toInt
-    val parts = base.split("\\.").map(_.toLong)
-    val baseNum = parts(0) * 16777216L + parts(1) * 65536L +
-      parts(2) * 256L + parts(3)
+    val (bits, baseNum) = parseCidr(cidr)
     if (bits == 0) s"$ipNum IS NOT NULL"
     else s"($ipNum >> ${32 - bits}) = ${baseNum >> (32 - bits)}"
   }

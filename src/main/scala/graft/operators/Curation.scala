@@ -1727,7 +1727,18 @@ object Curation {
     * @return bias +: weights after `iters` full-batch steps
     */
   def logisticTrain(df: DataFrame, features: Seq[Column], label: Column,
-      iters: Int, lr: Double): Seq[Double] = {
+      iters: Int, lr: Double): Seq[Double] =
+    logisticTrainWithCount(df, features, label, iters, lr)._2
+
+  /** [[logisticTrain]] that ALSO returns the training row count — the
+    * gradient aggregate already computes n every iteration, so a
+    * caller that reports n (the q_classifier_train* faces) gets it
+    * for free instead of paying a separate corpus count pass (r21;
+    * guide §1.2 "don't compute things you throw away" inverted:
+    * don't recompute things you already have).
+    */
+  def logisticTrainWithCount(df: DataFrame, features: Seq[Column],
+      label: Column, iters: Int, lr: Double): (Long, Seq[Double]) = {
     val p = features.size
     // features live on the exact DECIMAL(18,4) grid; the residual on
     // the (10,9) grid (|σ−y| < 1), so the gradient product is
@@ -1746,6 +1757,7 @@ object Curation {
         (0 until p).map(i => col(s"x$i").isNotNull).reduce(_ && _))
       .persist()
     var w = Array.fill(p + 1)(0.0) // bias first
+    var nRows = 0L
     for (_ <- 0 until iters) {
       val z = (0 until p).foldLeft(lit(w(0)): Column) { (acc, i) =>
         acc + lit(w(i + 1)) * col(s"x$i").cast("double") }
@@ -1757,12 +1769,13 @@ object Curation {
           (0 until p).map(i =>
             sum(resid * col(s"x$i")).as(s"g${i + 1}"))): _*)
         .collect().head
-      val n = sums.getLong(0).toDouble
+      nRows = sums.getLong(0)
+      val n = nRows.toDouble
       w = w.zipWithIndex.map { case (wi, i) =>
         wi - lr * (sums.getDecimal(i + 1).doubleValue() / n) }
     }
     rows.unpersist(blocking = false)
-    w.toSeq
+    (nRows, w.toSeq)
   }
 
   /** X30 — collocation mining: adjacent-bigram PMI/NPMI over the

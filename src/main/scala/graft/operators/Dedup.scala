@@ -154,12 +154,23 @@ object Dedup {
     val sh = explodedShingles(df, id, text, k).cache()
     val bandsDf = minhashBandsFromShingles(sh, id, bands, rowsPerBand).cache()
     // cached: read twice (the gram-set id restriction below + the
-    // verify joins) — uncached, the band self-join would run twice
+    // verify joins) — uncached, the band self-join would run twice.
+    // r21: the dedup exchange is an EXPLICIT pair-keyed repartition
+    // (repartition + dropDuplicates plans ONE exchange, exactly like
+    // .distinct(), but a user repartition is exempt from AQE
+    // coalescing): the pair table is tiny in BYTES but each pair pays
+    // an array_intersect over two gram-set arrays downstream, so
+    // AQE's size-based coalescing folded the whole verify stage into
+    // ONE task (measured: a 0.9–2.1 s single-task stage at sf0.1,
+    // ~60% of q_ngram_jaccard's wall). Partition count follows
+    // defaultParallelism — cluster-sized, not a local constant.
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"), Seq("band", "sig"))
       .filter(col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
-      .distinct()
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
+      .dropDuplicates()
       .cache()
     // Verify-stage scale design. Banding over-generates by design
     // (measured: 10.2M candidates verify down to 25.6k pairs at the
@@ -189,9 +200,15 @@ object Dedup {
     //     corpus.
     val candIds = cand.select(col("id_a").as(id))
       .union(cand.select(col("id_b").as(id))).distinct()
+    // the doc-keyed repartition pins the gram-set aggregation (and
+    // the verify join stage that streams over it when `cand` is the
+    // broadcast side) at cluster width — same one exchange a plain
+    // groupBy plans, exempt from AQE's byte-based coalescing (the
+    // r21 finding above: the verify is CPU-bound, not byte-bound)
     val gsets = sh
       .join(broadcast(candIds), Seq(id), "left_semi")
       .select(col(id), xxhash64(col("shingle")).as("__gh"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(id))
       .groupBy(col(id)).agg(collect_list(col("__gh")).as("__gs"))
     releaseAfterAction(cand
       .join(gsets.select(col(id).as("id_a"), col("__gs").as("__ga")), "id_a")
@@ -266,11 +283,19 @@ object Dedup {
       substring(col("simhash"), b * 8 + 1, 8)): _*)
     val bands = sig.select(col(id), col("s1"), col("s2"),
       posexplode(bandArr).as(Seq("band", "bsig")))
+    // pair-keyed repartition + dropDuplicates = the same ONE exchange
+    // as .distinct(), but pinned at cluster width (AQE-coalesce
+    // exempt): the pair table is byte-tiny but downstream consumers
+    // pay per-pair CPU (editDistanceNearDup's levenshtein DP runs on
+    // exactly these rows), so size-based coalescing would serialize
+    // the verify into one task — the minhashNearDup r21 finding
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "bsig"))
       .filter(col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"a.s1").as("a1"), col(s"a.s2").as("a2"),
         col(s"b.$id").as("id_b"), col(s"b.s1").as("b1"), col(s"b.s2").as("b2"))
-      .distinct()
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
+      .dropDuplicates()
     val ham = bit_count(col("a1").bitwiseXOR(col("b1"))) +
       bit_count(col("a2").bitwiseXOR(col("b2")))
     releaseAfterAction(cand.withColumn("hamming", ham.cast("long"))

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *     wrap modulo 360/cellDeg — antimeridian pairs are NOT lost);
   *  2. each right point lands in its ONE home cell;
   *  3. each left point explodes to the neighborhood of cells within
-  *     reach: ±⌈R / (111132·cellDeg)⌉ latitude rows, and per-row
-  *     ±⌈R / (111320·cos(φ_edge)·cellDeg)⌉ longitude columns, where
+  *     reach: ±⌈R / (m°·cellDeg)⌉ latitude rows, and per-row
+  *     ±⌈R / (m°·cos(φ_edge)·cellDeg)⌉ longitude columns, where m° =
+  *     ⌊π·EarthRadiusM/180⌋ (the engine's own sphere, floored so the
+  *     bound is provably conservative) and where
   *     φ_edge is the most poleward latitude reachable from the row —
   *     cos shrinks a longitude degree toward the poles, so the lon
   *     reach WIDENS with |lat| (a fixed 3×3 stencil would silently
@@ -46,9 +48,16 @@ object GeoJoin {
     val ncx = math.round(360.0 / cellDeg)
     require(math.abs(ncx * cellDeg - 360.0) < 1e-9,
       s"cellDeg must divide 360: $cellDeg")
+    // meters per degree on the ENGINE'S OWN sphere (r20 ADVICE):
+    // π·EarthRadiusM/180 = 111194.93, floored so the stencil divisor
+    // is provably ≤ the true meters-per-degree of the exact haversine
+    // tree it must cover — the old literals (111132 lat / 111320 lon)
+    // were conservative for lat only by accident and fractionally
+    // under-reached for lon
+    val mPerDeg = math.floor(math.Pi * GeoFns.EarthRadiusM / 180.0)
     // latitude reach in cells: meters per degree of latitude is
-    // ~constant (111132 m, the WGS-84 mean)
-    val klat = math.ceil(radiusM / (111132.0 * cellDeg)).toLong
+    // constant on the sphere
+    val klat = math.ceil(radiusM / (mPerDeg * cellDeg)).toLong
     val r = right.select(rightId.as("r_id"),
       latR.cast("double").as("r_lat"), lonR.cast("double").as("r_lon"))
       .withColumn("__cy",
@@ -75,7 +84,7 @@ object GeoJoin {
     val klon = when(latEdge >= lit(90.0), fullRing)
       .otherwise(least(fullRing,
         ceil(lit(radiusM) /
-          (lit(111320.0 * cellDeg) * cos(radians(latEdge)))).cast("long")))
+          (lit(mPerDeg * cellDeg) * cos(radians(latEdge)))).cast("long")))
     val exploded = l0
       .withColumn("__klon", klon)
       .withColumn("__dy", explode(sequence(lit(-klat), lit(klat))))

@@ -86,17 +86,23 @@ object GraphOps {
     // distinct yet — the round-1 contraction below dedups in label
     // space, where self-loops are already gone, so a distinct here
     // would pay a full extra shuffle for volume the contraction drops
-    // anyway.
+    // anyway. NOT checkpointed (r21): it is a map-only union over the
+    // already-checkpointed p0, so its two consumers recompute it from
+    // cached blocks for free — the old eager checkpoint here was one
+    // whole extra job per CC call for bytes p0 already holds.
     val sym = p0.union(p0.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
 
     // Round 1, fused: with round-0 labels all identities, the first
     // min is label_1(a) = min(a, min_nbr(a)) — one aggregation over
-    // sym, no label join.
+    // sym, no label join. LAZY checkpoint (r21): still truncates the
+    // lineage for the loop rounds, but materializes inside the round-1
+    // contraction job below instead of paying its own job — on a
+    // quasi-clique pair graph (the common dedup shape) the loop never
+    // runs and CC round 1 is now two jobs (p0, edges), not four.
     var labels = sym.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("nmin"))
       .select(col("node"), least(col("node"), col("nmin")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // Round-1 contraction — the ONLY full-width edge pass: rewrite
     // every edge to (label(a), label(b)), drop self-loops, dedup.
@@ -118,7 +124,6 @@ object GraphOps {
       .distinct()
       .observe(e0, count(lit(1L)).as("edges"))
       .localCheckpoint()
-    sym.unpersist()
     p0.unpersist()
     var remaining = metricLong(e0, "edges")
     var iters = 1

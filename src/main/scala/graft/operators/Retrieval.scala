@@ -27,11 +27,10 @@ import org.apache.spark.sql.functions._
   *  - corpus stats (N, avgdl) are one tiny aggregate broadcast back;
   *    per-term df is a |terms|-row aggregate, also broadcast. Both are
   *    partial-aggregated map-side before their one narrow shuffle.
-  *  - the doc-length side is |docs|-rows (id, dl): broadcast at test
-  *    SF; at corpus scale it becomes a doc-keyed shuffle join against
-  *    the matched tf side — the one unavoidable corpus-cardinality
-  *    exchange of index-free BM25 (an inverted index trades it for
-  *    build cost; out of scope for a one-off mining pass).
+  *  - the doc length `dl` RIDES the exploded projection (it is
+  *    functional on the doc id), so there is no doc-keyed (id, dl)
+  *    join at any scale — the r21 optimization round deleted the
+  *    corpus-cardinality exchange the previous shape paid for it.
   *  - final top-k is TakeOrderedAndProject (orderBy + limit fuse), no
   *    global sort materialization.
   *
@@ -243,50 +242,79 @@ object Retrieval {
       maxDfFraction: Double = -1.0): DataFrame = {
     val qTerms0 = queries.select(col(queryId).as("__qid"),
       explode(split(queryText, " ")).as("tok")).distinct()
-    val toks = corpus.select(col(corpusId).as("__did"),
+    val stats = corpus
+      .select(size(split(corpusText, " ")).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+    // r21 optimization (guide §2.3 "aggregate before you shuffle"):
+    // postings are pre-aggregated to ONE row per (doc, term) BEFORE
+    // any query id enters the plan. The old shape joined raw token
+    // INSTANCES to the (query, term) set and counted tf per (query,
+    // doc, term) — every corpus token was replicated once per query
+    // sharing it before the partial aggregate (measured 6.6 s at
+    // sf0.1 on the dense worst case, 4.0 s with the pre-agg). `dl`
+    // rides the explode in the same pass (it is functional on the doc
+    // id), which deletes the corpus-cardinality (id, dl) join the old
+    // scaladoc called unavoidable. tf values, dl values and the
+    // downstream score tree are bit-identical to the old shape
+    // (RetrievalSpec's indexed-parity pins the same property).
+    //
+    // The df/cap plumbing differs by arm because the work it bounds
+    // differs (both arms measured at sf0.1):
+    //  - EXACT arm (maxDfFraction >= 1.0): no term is ever dropped, so
+    //    the (doc, term) pre-aggregate is computed ONCE, cached, and
+    //    feeds BOTH the df aggregate (a plain count per term — the
+    //    postings table is already distinct per (doc, term)) and the
+    //    scoring join. One corpus pass instead of the old two.
+    //  - CAPPED/AUTO arm: df comes from a distinct pass (as before)
+    //    and the cap prunes INSIDE the exploded scan projection of the
+    //    tf pass — a capped term's postings die before the aggregate,
+    //    so the dense band never reaches any shuffle (pre-aggregating
+    //    it first, as the exact arm does, measured +1 s at sf0.1 —
+    //    and at corpus scale would shuffle exactly the volume the cap
+    //    exists to drop). The AUTO sentinel resolves IN-PLAN from the
+    //    broadcast 1-row stats aggregate (dfCapFor mirrored as a
+    //    when(): off below the doc floor, 0.7 above) — zero extra
+    //    jobs to pick the cap.
+    val qVocab = qTerms0.select(col("tok")).distinct()
+    val explodedWithDl = corpus.select(col(corpusId).as("__did"),
+      size(split(corpusText, " ")).cast("double").as("dl"),
       explode(split(corpusText, " ")).as("tok"))
-    val dl = corpus.select(col(corpusId).as("__did"),
-      size(split(corpusText, " ")).cast("double").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    // df over the CORPUS (the collection being searched) for the
-    // distinct query-term VOCABULARY (no query id — the distinct runs
-    // on (doc, term), not (query, doc, term)): one row per surviving
-    // term — tiny, broadcast. Computed ONCE for every arm: the
-    // cap keep-list CARRIES dfc through the postings join (it is
-    // functional on the term, so it rides the tf grouping for free),
-    // which both feeds the idf downstream without a second dfreq
-    // materialization — the first auto-arm cut an extra full-corpus
-    // explode here, measured +8 s at 100× — and prunes query terms
-    // absent from the corpus (no posting, no score: results identical)
-    val dfreq = toks
-      .join(broadcast(qTerms0.select(col("tok")).distinct()), "tok")
-      .select(col("__did"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("dfc"))
-    // df-cap prune sits BEFORE the qid-keyed postings join, so the
-    // dense |Q|·|corpus| blowup of a capped term never materializes.
-    // The AUTO sentinel resolves IN-PLAN from the broadcast 1-row
-    // stats aggregate (dfCapFor mirrored as a when(): off below the
-    // doc floor, 0.7 above) — zero extra jobs to pick the cap
-    val capExpr: Column =
-      if (maxDfFraction < 0.0)
-        when(col("n_docs") > AutoDfCapMinDocs, lit(0.7)).otherwise(lit(1.0))
-      else lit(maxDfFraction)
-    val keep = dfreq.crossJoin(stats)
-      .where(col("dfc") <= capExpr * col("n_docs"))
-      .select(col("tok"), col("dfc"))
-    val qTerms = qTerms0.join(broadcast(keep), "tok")
-    // postings filtered at the broadcast join: only (uncapped) terms
-    // some query mentions survive to the aggregate
-    val matched = toks.join(broadcast(qTerms), "tok")
-    val tf = matched.groupBy(col("__qid"), col("__did"), col("tok"),
-        col("dfc"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val (matchedPostings, cachedOpt) =
+      if (maxDfFraction >= 1.0) {
+        val tfq = explodedWithDl
+          .join(broadcast(qVocab), "tok")
+          .groupBy(col("__did"), col("tok"), col("dl"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+          .cache()
+        val dfreq = tfq.groupBy(col("tok"))
+          .agg(count(lit(1)).cast("double").as("dfc"))
+        (tfq.join(broadcast(qTerms0.join(broadcast(dfreq), "tok")), "tok"),
+          Some(tfq))
+      } else {
+        val dfreq = corpus.select(col(corpusId).as("__did"),
+            explode(split(corpusText, " ")).as("tok"))
+          .join(broadcast(qVocab), "tok")
+          .select(col("__did"), col("tok")).distinct()
+          .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("dfc"))
+        val capExpr: Column =
+          if (maxDfFraction < 0.0)
+            when(col("n_docs") > AutoDfCapMinDocs, lit(0.7)).otherwise(lit(1.0))
+          else lit(maxDfFraction)
+        val keep = dfreq.crossJoin(stats)
+          .where(col("dfc") <= capExpr * col("n_docs"))
+          .select(col("tok"), col("dfc"))
+        val tfk = explodedWithDl
+          .join(broadcast(keep), "tok")
+          .groupBy(col("__did"), col("tok"), col("dl"), col("dfc"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        (tfk.join(broadcast(qTerms0), "tok"), None)
+      }
     val idf = log(lit(1.0) +
       (col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5))
     val norm = col("tf") + lit(k1) *
       (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
-    val scored = tf.join(dl, "__did")
+    val scored = matchedPostings
       .crossJoin(broadcast(stats))
       .withColumn("__s", idf * col("tf") * lit(k1 + 1.0) / norm)
       .groupBy(col("__qid"), col("__did"))
@@ -296,10 +324,14 @@ object Retrieval {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid"))
       .orderBy(col("score").desc, col("__did"))
-    scored.withColumn("__rk", row_number().over(w).cast("long"))
+    val out = scored.withColumn("__rk", row_number().over(w).cast("long"))
       .where(col("__rk") <= k)
       .select(col("__qid").as(queryId), col("__did").as(corpusId),
         col("score"), col("n_terms"), col("__rk").as("rnk"))
+    cachedOpt match {
+      case Some(c) => CacheLifecycle.releaseAfterAction(out, c)
+      case None => out
+    }
   }
 
   /** `maxDfFraction` as in [[bm25JoinTopK]] (opt-in, default off):
@@ -313,19 +345,28 @@ object Retrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       maxDfFraction: Double = 1.0): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: empty query")
-    val toks = docs.select(col(id).as("__did"),
-      explode(split(text, " ")).as("tok"))
     // postings for the query terms only — the filter rides inside the
-    // generate/project, so everything downstream is |matches|-sized
-    val matched = toks.where(col("tok").isin(terms.map(lit): _*))
-    val tf = matched.groupBy(col("__did"), col("tok"))
+    // generate/project, so everything downstream is |matches|-sized;
+    // dl rides the explode (functional on the doc id), which deletes
+    // the corpus-cardinality (id, dl) join the old shape paid (r21,
+    // guide §2.4 — values and score tree bit-identical)
+    val matched = docs.select(col(id).as("__did"),
+        size(split(text, " ")).cast("double").as("dl"),
+        explode(split(text, " ")).as("tok"))
+      .where(col("tok").isin(terms.map(lit): _*))
+    // cached: the (doc, term) postings feed both the df aggregate and
+    // the scoring join — one corpus pass instead of two
+    val tf = matched.groupBy(col("__did"), col("tok"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dl = docs.select(col(id).as("__did"),
-      size(split(text, " ")).cast("double").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val dfreq0 = matched.select(col("__did"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("dfc"))
+      .cache()
+    val stats = docs
+      .select(size(split(text, " ")).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+    // tf is already one row per (doc, term): df is a plain count per
+    // term — no second distinct pass over token instances
+    val dfreq0 = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("dfc"))
     val dfreq =
       if (maxDfFraction >= 1.0) dfreq0
       else dfreq0.crossJoin(stats)
@@ -335,8 +376,7 @@ object Retrieval {
       (col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5))
     val norm = col("tf") + lit(k1) *
       (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
-    tf.join(dl, "__did")
-      .join(broadcast(dfreq), "tok")
+    val out = tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("__s", idf * col("tf") * lit(k1 + 1.0) / norm)
       .groupBy(col("__did"))
@@ -346,6 +386,7 @@ object Retrieval {
       .select(col("__did").as(id), col("score"), col("n_terms"))
       .orderBy(col("score").desc, col(id))
       .limit(k)
+    CacheLifecycle.releaseAfterAction(out, tf)
   }
 
   /** X19e: the partitioned-postings index — the inverted-index trade
@@ -385,21 +426,37 @@ object Retrieval {
     * a 30-100× corpus per retrieval; the index amortizes that pass).
     */
   def buildPostingsIndex(corpus: DataFrame, corpusId: String,
-      corpusText: Column, outDir: String, nBuckets: Int = 64): Unit = {
-    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    val toks = corpus.select(col(corpusId).as("__did"),
-      explode(split(corpusText, " ")).as("tok"))
-    val dl = corpus.select(col(corpusId).as("__did"),
-      size(split(corpusText, " ")).cast("double").as("dl"))
-    val tf = toks.groupBy(col("__did"), col("tok"))
+      corpusText: Column, outDir: String, nBuckets: Int = -1): Unit = {
+    require(nBuckets > 0 || nBuckets == -1,
+      s"nBuckets must be positive (or -1 = auto): $nBuckets")
+    // AUTO bucket count (r21, guide §6 "small files hurt twice"): the
+    // old fixed default (64) wrote 64 one-file partition directories
+    // regardless of corpus size — at fixture scale every retrieval
+    // paid 64 directory listings + parquet footer opens for a few KB
+    // each (the pruned-scan stage measured ~1 s at sf0.1, almost all
+    // per-file overhead). The rule sizes buckets at ≥ ~1000 docs of
+    // postings each (file sizes past the tiny-file regime at small
+    // corpora) and caps at 4096 (the "thousands at 100 TB" dial the
+    // scale note names — ~250k docs of postings per bucket at 1e9
+    // docs). Bucket count changes LAYOUT only: scores are bit-equal
+    // at any nBuckets (RetrievalSpec pins indexed-vs-direct parity).
+    val buckets =
+      if (nBuckets > 0) nBuckets
+      else math.min(4096L, math.max(4L, corpus.count() / 1000L)).toInt
+    // dl rides the explode (functional on the doc id) — the build's
+    // doc-keyed (id, dl) join deleted outright (r21, guide §2.4); the
+    // denormalized dl value is bit-identical (same size(split) tree)
+    val tf = corpus.select(col(corpusId).as("__did"),
+        size(split(corpusText, " ")).cast("double").as("dl"),
+        explode(split(corpusText, " ")).as("tok"))
+      .groupBy(col("__did"), col("tok"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
     // df from the (doc, term) table — one row per pair already, so the
     // distinct is free; full vocabulary (the index serves any query)
     val dfreq = tf.groupBy(col("tok"))
       .agg(count(lit(1)).cast("double").as("dfc"))
-    val postings = tf.join(dl, "__did")
-      .join(dfreq, "tok")
-      .withColumn("pb", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+    val postings = tf.join(dfreq, "tok")
+      .withColumn("pb", pmod(xxhash64(col("tok")), lit(buckets.toLong)))
     postings
       .repartition(col("pb"))
       .sortWithinPartitions(col("tok"), col("__did"))
@@ -407,9 +464,10 @@ object Retrieval {
       .parquet(s"$outDir/postings")
     // stats written LAST — its _SUCCESS is the index's completeness
     // marker (callers gate reuse on it, the scaledDir convention)
-    dl.agg(count(lit(1)).cast("double").as("n_docs"),
+    corpus.select(size(split(corpusText, " ")).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
-      .withColumn("n_buckets", lit(nBuckets))
+      .withColumn("n_buckets", lit(buckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
   }
 
@@ -438,10 +496,22 @@ object Retrieval {
     val qb = qTerms
       .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("pb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val pruned = spark.read.parquet(s"$indexDir/postings")
       .where(if (qb.isEmpty) lit(false) else col("pb").isin(qb: _*))
-    val matched = postings
       .where(col("dfc") <= lit(cap) * lit(nDocs))
+    // Scan parallelism is bounded by the pruned FILE count (one file
+    // per bucket; tiny parquet files don't split), but the query join
+    // below expands each posting by the queries sharing its term —
+    // CPU work the file count under-provisions. When the pruned scan
+    // is narrower than the cluster, one cheap postings-sized exchange
+    // buys full width for the expansion (r21; the q_bm25_join
+    // repartition rationale). At scale the bucket count (thousands)
+    // already exceeds the core count and the branch is a no-op —
+    // scale-adaptive, not a local[32] constant.
+    val width = spark.sparkContext.defaultParallelism
+    val matched =
+      (if (pruned.rdd.getNumPartitions < width) pruned.repartition(width)
+       else pruned)
       .join(broadcast(qTerms), "tok")
     // IDENTICAL expression trees to bm25JoinTopK (operand order
     // included) — stats enter as literals carrying the same values the

@@ -1889,12 +1889,25 @@ object StatsAgg {
     val r9d = (c: Column) => round(c, 9).cast("decimal(30,9)")
     // one U/I evaluation at the β carried by `beta` (a keys-sized
     // frame with __b0..__b{p-1}): subjects pay ONE aggregate pass,
-    // risk sums are reverse cumulative DECIMAL windows on the grid
+    // risk sums are reverse cumulative DECIMAL windows on the grid.
+    // The __b columns are CARRIED through both aggregates as extra
+    // group keys (they are functional on `keys` — grouping sets and
+    // aggregate values are unchanged), so the output holds (keys, β,
+    // U, I) in one frame and the Newton step needs NO second
+    // broadcast(beta) join. That keeps the chained plan LINEAR in the
+    // iteration count: the previous step(ui(β) ⋈ β) embedded β twice
+    // and the registered 3-iteration queries planned at 502 Exchanges
+    // / 188 scans / 6837 formatted-plan lines (r21 measurement —
+    // exchange reuse deduped the runtime work, but analysis/optimizer
+    // time on the doubled tree dominated the wall; guide §3.3 "very
+    // large plans: planning time itself can become the bottleneck").
     def ui(beta: DataFrame): DataFrame = {
+      val bCols = (0 until p).map(i => col(s"__b$i"))
       val joined = rows.join(broadcast(beta), keys)
       val w = exp((0 until p).map(i => col(s"__b$i") * col(s"__x$i"))
         .reduce(_ + _))
-      val perT = joined.groupBy((keys.map(col) :+ col("__t")): _*).agg(
+      val perT = joined.groupBy(
+        ((keys.map(col) :+ col("__t")) ++ bCols): _*).agg(
         sum(r9d(w)).cast("decimal(38,9)").as("__a0"),
         ((0 until p).map(i =>
           sum(r9d(col(s"__x$i") * w)).cast("decimal(38,9)").as(s"__af$i")) ++
@@ -1909,7 +1922,7 @@ object StatsAgg {
         sum(col(c)).over(wTail).cast("double")
           .as(s"__s${c.stripPrefix("__a")}"))
       val withRisk = perT.join(grid, (keys :+ "__t").toSeq)
-        .select((keys.map(col) ++ Seq(col("__t"), col("d")) ++
+        .select((keys.map(col) ++ Seq(col("__t"), col("d")) ++ bCols ++
           (0 until p).map(i => col(s"__sxe$i").cast("double").as(s"__sxe$i")) ++
           riskCols): _*)
       val dd = col("d").cast("double")
@@ -1925,7 +1938,7 @@ object StatsAgg {
             (col(s"__sf$i") / s0) * (col(s"__sf$j") / s0)), 9))
           .otherwise(lit(0.0)).cast("decimal(20,9)")
       }
-      withRisk.groupBy(keys.map(col): _*).agg(
+      withRisk.groupBy((keys.map(col) ++ bCols): _*).agg(
         sum(tU(0)).cast("double").as("__u0"),
         ((1 until p).map(i => sum(tU(i)).cast("double").as(s"__u$i")) ++
           pairs.zipWithIndex.map { case ((i, j), k) =>
@@ -1989,9 +2002,9 @@ object StatsAgg {
     var beta = consts.select(
       (keys.map(col) ++ (0 until p).map(i => lit(0.0).as(s"__b$i"))): _*)
     for (_ <- 0 until iters)
-      beta = step(ui(beta).join(broadcast(beta), keys))
-    // Wald se from diag(I⁻¹) at the fitted β
-    val fin = ui(beta).join(broadcast(beta), keys)
+      beta = step(ui(beta))
+    // Wald se from diag(I⁻¹) at the fitted β (carried through ui)
+    val fin = ui(beta)
     val withSe =
       if (p == 2) {
         val det = col("__i0_0") * col("__i1_1") -

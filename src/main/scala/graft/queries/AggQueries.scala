@@ -1387,14 +1387,24 @@ object AggQueries {
       // fusing six test plans under one union re-inflates the Φ/χ²
       // p-value trees through CollapseProject and costs ~10 s in
       // planning+codegen at sf0.1; materialized, the panel is six
-      // independent jobs + a 30-row BH (measured ~4 s total). This is
-      // also the production shape — test outputs are computed once,
-      // the correction runs on the panel, not on fused lineage
-      val panel = Seq(
+      // independent jobs + a 30-row BH. This is also the production
+      // shape — test outputs are computed once, the correction runs
+      // on the panel, not on fused lineage.
+      // r21: the six checkpoint jobs are INDEPENDENT (each reads the
+      // events table, none reads another's output), so they submit
+      // CONCURRENTLY from a small thread pool (guide §2.6 "overlap
+      // independent jobs") — each job's tail otherwise left most
+      // cores idle while the next feed waited (measured 4.1 s
+      // sequential → ~2 s overlapped at sf0.1). Results are
+      // unchanged: localCheckpoint materializes the same frame
+      // whichever thread runs it, and the union order is the Seq
+      // order, not completion order.
+      val feeds = Seq(
         tag("meanz", mz), tag("mwu", mwu), tag("mk", mk),
         tag("welch", we, "p_approx"), tag("kw", kw, "p_approx"),
         tag("jb", jb, "p_approx"))
-        .map(_.localCheckpoint())
+      val panel = graft.operators.ConcurrentJobs
+        .materialize(feeds)
         .reduce(_ unionByName _)
       graft.operators.StatsAgg.fdrAdjust(
         panel, Seq.empty, p = col("p_value"), tie = col("hyp"))

@@ -153,10 +153,14 @@ object CoreQueries {
       val ip = when(pmod(col("event_id"), lit(13L)) === 0,
         concat(lit("999."), pmod(col("user_id"), lit(256L)).cast("string"),
           lit(".1.2")))
-        .otherwise(concat_ws(".",
-          lit(10L).cast("string"),
-          pmod(col("user_id"), lit(256L)).cast("string"),
-          pmod(expr("event_id div 256"), lit(256L)).cast("string"),
+        // concat with explicit '.' literals, NOT concat_ws (r20
+        // ADVICE): concat_ws SKIPS null parts while the oracle's '||'
+        // propagates NULL — same values on these fixtures (no null
+        // ids), but the faces must share NULL semantics
+        .otherwise(concat(
+          lit(10L).cast("string"), lit("."),
+          pmod(col("user_id"), lit(256L)).cast("string"), lit("."),
+          pmod(expr("event_id div 256"), lit(256L)).cast("string"), lit("."),
           pmod(col("event_id"), lit(256L)).cast("string")))
       table(s, d, "events")
         .select(col("event_id"), ip.as("ip"))

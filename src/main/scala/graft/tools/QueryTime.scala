@@ -26,10 +26,11 @@ object QueryTime {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (name, _) => only.forall(_.contains(name))
     }
+    val passes = sys.env.getOrElse("SPARK_GRAFT_TIME_PASSES", "2").toInt
     selected.foreach { case (_, fn) => fn(spark, sfDir).count() } // warm
     spark.catalog.clearCache()
     val timed = selected.map { case (name, fn) =>
-      val best = (1 to 2).map { _ =>
+      val best = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         spark.catalog.clearCache()
