@@ -60,7 +60,8 @@ object Curation {
   def decontaminate(
       corpus: DataFrame, benchmark: DataFrame,
       id: String, text: Column, n: Int): DataFrame = {
-    val corpusGrams = Dedup.explodedShingles(corpus, id, text, n)
+    val corpusGrams =
+      Dedup.explodedShingles(ScanWidth.ensure(corpus), id, text, n)
     val benchGrams = Dedup.explodedShingles(benchmark, id, text, n)
       .select(col("shingle")).distinct()
     corpusGrams
@@ -99,7 +100,10 @@ object Curation {
     val benchGrams = Dedup.explodedShingles(benchmark, id, text, n)
       .select(col("shingle")).distinct().cache()
     val bloom = graft.functions.Bloom.build(benchGrams, col("shingle"))
-    val candidates = Dedup.explodedShingles(corpus, id, text, n)
+    // narrow scans widened before the gram explode + bitmap probe
+    // (r21, ScanWidth): the md5 double-hash probe per gram otherwise
+    // runs serial on a one-file fixture corpus
+    val candidates = Dedup.explodedShingles(ScanWidth.ensure(corpus), id, text, n)
       .where(graft.functions.Bloom.mightContain(bloom, col("shingle")))
     val out = candidates
       .join(broadcast(benchGrams), "shingle")
@@ -132,7 +136,8 @@ object Curation {
   def contaminationFraction(
       corpus: DataFrame, benchmark: DataFrame,
       id: String, text: Column, n: Int): DataFrame = {
-    val corpusGrams = Dedup.explodedShingles(corpus, id, text, n)
+    val corpusGrams =
+      Dedup.explodedShingles(ScanWidth.ensure(corpus), id, text, n)
     val benchGrams = Dedup.explodedShingles(benchmark, id, text, n)
       .select(col("shingle")).distinct()
       .withColumn("__hit", lit(1L))
@@ -422,7 +427,9 @@ object Curation {
     * join → doc-keyed partial mean. The corpus never self-joins.
     */
   def unigramLogProb(df: DataFrame, id: String, text: Column): DataFrame = {
-    val toks = df.select(col(id), explode(split(text, " ")).as("token"))
+    // narrow scans widened before the token explode (r21, ScanWidth)
+    val toks = ScanWidth.ensure(df)
+      .select(col(id), explode(split(text, " ")).as("token"))
     val counts = toks.groupBy("token").agg(count(lit(1)).cast("double").as("cnt"))
     val total = counts.agg(sum(col("cnt").cast("decimal(38,6)")).cast("double").as("tot"))
     val lp = counts.crossJoin(broadcast(total))
@@ -459,6 +466,11 @@ object Curation {
     * partial mean; the corpus never self-joins.
     */
   def bigramLogProb(df: DataFrame, id: String, text: Column): DataFrame = {
+    // NOT width-widened (r21): measured 1.0 -> 1.3 s at sf0.1 with
+    // ScanWidth here — the split-only explode is too cheap to
+    // amortize the extra exchange (contrast unigramLogProb, whose
+    // widened explode measured 1.07 -> 0.69 s; the md5/regex-heavy
+    // maps are where ScanWidth pays)
     val toks = df.select(col(id), split(text, " ").as("t"))
     val bis = toks
       .where(size(col("t")) >= 2)
@@ -534,6 +546,8 @@ object Curation {
     */
   private[graft] def knTrigrams(df: DataFrame, id: String,
       text: Column): DataFrame = {
+    // NOT width-widened (r21): measured 1.2 -> 1.9 s at sf0.1 with
+    // ScanWidth here — see bigramLogProb
     val toks = df.select(col(id), split(text, " ").as("t"))
     toks
       .where(size(col("t")) >= 3)
@@ -1150,6 +1164,8 @@ object Curation {
       isTarget: Column,
       buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    // NOT width-widened (r21): measured neutral-to-worse at sf0.1
+    // with ScanWidth here — see bigramLogProb
     val toks = df.select(col(id), isTarget.as("__tgt"), split(text, " ").as("t"))
     val feats = toks
       .where(size(col("t")) >= 2)
@@ -1749,7 +1765,12 @@ object Curation {
     // stopword scan) can dominate — without this every GD iteration
     // would re-run the extraction over the raw corpus. persist (not
     // localCheckpoint) so the blocks release at the end of the loop.
-    val rows = df.select(
+    // narrow scans widened before the feature-extraction projection
+    // (r21, ScanWidth): the X4 metric expressions (regex counts,
+    // splits) otherwise evaluate in ONE task on a one-file fixture
+    // corpus, and the persisted feature table then holds a single
+    // partition, serializing every GD iteration too
+    val rows = ScanWidth.ensure(df).select(
       (features.zipWithIndex.map { case (c, i) =>
         c.cast("decimal(18,4)").as(s"x$i") } :+
         label.cast("double").as("y")): _*)

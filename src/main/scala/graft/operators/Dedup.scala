@@ -148,14 +148,32 @@ object Dedup {
       k: Int, bands: Int, rowsPerBand: Int, minJ: Double): DataFrame = {
     // cache the exploded shingles ONCE — both the signature path and
     // the verification inverted index read it, so the corpus is
-    // shingled a single time; cache the signature table too (the
-    // self-join reads it twice; at production scale this is the
-    // persisted signature dataset every LSH system materializes)
-    val sh = explodedShingles(df, id, text, k).cache()
-    val bandsDf = minhashBandsFromShingles(sh, id, bands, rowsPerBand).cache()
-    // cached: read twice (the gram-set id restriction below + the
-    // verify joins) — uncached, the band self-join would run twice.
-    // r21: the dedup exchange is an EXPLICIT pair-keyed repartition
+    // shingled a single time. (The signature table itself is consumed
+    // once since r21's bucket-collect candidate pass and needs no
+    // cache; at production scale it is still the natural dataset to
+    // persist between runs.)
+    // r21: ScanWidth.ensure widens a narrow scan BEFORE the explode —
+    // a one-file fixture corpus otherwise shingles, hashes
+    // (2 md5/shingle) and partial-aggregates 16 minhash columns in
+    // ONE task (JobProfile: a 0.45 s single-task stage at sf0.1),
+    // and the `sh` CACHE itself is then stored as one partition, so
+    // every later consumer inherits the serial width. The widening is
+    // conditional on the scan's actual parallelism, so a many-file
+    // production corpus pays NO extra exchange (ScanWidth scaladoc).
+    val sh = explodedShingles(ScanWidth.ensure(df), id, text, k).cache()
+    val bandsDf = minhashBandsFromShingles(sh, id, bands, rowsPerBand)
+    // Candidate generation as ONE bucket-collect pass (r21): the old
+    // (band, sig) SELF-join read the signature table from two plan
+    // branches — on first materialization the two branches computed
+    // the whole signature aggregation TWICE inside one stage (racing
+    // cache inserts, visible as "Block already exists" warnings) and
+    // needed bandsDf cached at all. groupBy (band, sig) +
+    // collect_list + a pairwise-combinations explode reads the
+    // signatures ONCE, shuffles them once, and emits exactly the same
+    // id_a < id_b pair set (ids sorted inside each bucket; buckets
+    // are narrow by banding design, so per-bucket state is bounded —
+    // the same argument that bounds the join's output).
+    // The dedup exchange stays an EXPLICIT pair-keyed repartition
     // (repartition + dropDuplicates plans ONE exchange, exactly like
     // .distinct(), but a user repartition is exempt from AQE
     // coalescing): the pair table is tiny in BYTES but each pair pays
@@ -164,10 +182,15 @@ object Dedup {
     // ONE task (measured: a 0.9–2.1 s single-task stage at sf0.1,
     // ~60% of q_ngram_jaccard's wall). Partition count follows
     // defaultParallelism — cluster-sized, not a local constant.
-    val cand = bandsDf.as("a")
-      .join(bandsDf.as("b"), Seq("band", "sig"))
-      .filter(col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+    val ids = col("__ids")
+    val cand = bandsDf
+      .groupBy(col("band"), col("sig"))
+      .agg(array_sort(collect_list(col(id))).as("__ids"))
+      .where(size(ids) >= 2)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids) - i - 1), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism,
         col("id_a"), col("id_b"))
       .dropDuplicates()
@@ -198,8 +221,14 @@ object Dedup {
     //     so it broadcasts and the restriction is a map-side
     //     semi-join over the cached explode, never a shuffle of the
     //     corpus.
-    val candIds = cand.select(col("id_a").as(id))
-      .union(cand.select(col("id_b").as(id))).distinct()
+    // ONE pass over cand, not a 2-branch union (r21): the union's two
+    // branches each computed the not-yet-cached candidate table — the
+    // band self-join ran TWICE inside one stage (the racing cache
+    // inserts were visible as "Block already exists" warnings);
+    // explode(array(a, b)) reads cand once for the same distinct set
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as(id))
+      .distinct()
     // the doc-keyed repartition pins the gram-set aggregation (and
     // the verify join stage that streams over it when `cand` is the
     // broadcast side) at cluster width — same one exchange a plain
@@ -224,7 +253,7 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJ)
       .select(col("id_a"), col("id_b"), col("jaccard")),
-      cand, bandsDf, sh)
+      cand, sh)
   }
 
   /** SimHash signature: 64-bit sign-of-weighted-sum over the doc's
@@ -248,7 +277,11 @@ object Dedup {
     // exploded/HOF formulations measured 13s/18s vs ~2s at sf0.1).
     // Signature bit = 1 iff 2*sum_j > n (vote sum 2*sum - n > 0;
     // tie → '0').
-    val toks = explodedShingles(df, id, text, k)
+    // narrow scans widened before the explode (r21, ScanWidth): the
+    // 64 per-bit vote sums + md5 per shingle otherwise run in as
+    // few map tasks as the corpus has files — serial on a one-file
+    // fixture (the minhashNearDup finding); no-op on many-file inputs
+    val toks = explodedShingles(ScanWidth.ensure(df), id, text, k)
       .withColumn("h", md5(col("shingle")))
       .withColumn("v1", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
       .withColumn("v2", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
@@ -269,39 +302,51 @@ object Dedup {
     */
   def simhashNearDup(df: DataFrame, id: String, text: Column,
       maxHamming: Int, k: Int = 2): DataFrame = {
-    // cache: the band self-join would recompute the signature
-    // aggregation on both sides; posexplode (not union) for the bands.
-    // The 64-bit signature travels as two 32-bit longs (conv of each
-    // binary-string half) so the Hamming verify is
+    // Signatures are consumed ONCE since the r21 bucket-collect
+    // candidate pass below replaced the band self-join — no cache
+    // needed (the old cache existed to stop the self-join recomputing
+    // the aggregation on both sides). posexplode (not union) for the
+    // bands. The 64-bit signature travels as two 32-bit longs (conv
+    // of each binary-string half) so the Hamming verify is
     // bit_count(xor)+bit_count(xor) — pure codegen'd integer ops, not
     // an interpreted per-pair lambda over a 64-element split array.
     val sig = simhash(df, id, text, k)
       .withColumn("s1", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
       .withColumn("s2", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
-      .cache()
     val bandArr = array((0 until 8).map(b =>
       substring(col("simhash"), b * 8 + 1, 8)): _*)
     val bands = sig.select(col(id), col("s1"), col("s2"),
       posexplode(bandArr).as(Seq("band", "bsig")))
-    // pair-keyed repartition + dropDuplicates = the same ONE exchange
-    // as .distinct(), but pinned at cluster width (AQE-coalesce
-    // exempt): the pair table is byte-tiny but downstream consumers
-    // pay per-pair CPU (editDistanceNearDup's levenshtein DP runs on
-    // exactly these rows), so size-based coalescing would serialize
-    // the verify into one task — the minhashNearDup r21 finding
-    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bsig"))
-      .filter(col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_a"), col(s"a.s1").as("a1"), col(s"a.s2").as("a2"),
-        col(s"b.$id").as("id_b"), col(s"b.s1").as("b1"), col(s"b.s2").as("b2"))
+    // Candidate generation as ONE bucket-collect pass + pairwise
+    // explode (r21, the minhashNearDup shape): the old (band, bsig)
+    // self-join read the signature table from two plan branches and
+    // computed it twice on first materialization. Pairs sort by id
+    // inside each bucket, so the emitted id_a < id_b set is the
+    // join's, exactly. The dedup exchange stays an explicit
+    // pair-keyed repartition (AQE-coalesce exempt): the pair table is
+    // byte-tiny but downstream consumers pay per-pair CPU
+    // (editDistanceNearDup's levenshtein DP runs on exactly these
+    // rows), so size-based coalescing would serialize the verify into
+    // one task.
+    val ids = col("__ids")
+    val cand = bands
+      .groupBy(col("band"), col("bsig"))
+      .agg(array_sort(collect_list(
+        struct(col(id), col("s1"), col("s2")))).as("__ids"))
+      .where(size(ids) >= 2)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids) - i - 1), y =>
+          struct(x(id).as("id_a"), x("s1").as("a1"), x("s2").as("a2"),
+            y(id).as("id_b"), y("s1").as("b1"), y("s2").as("b2")))))).as("__p"))
+      .select(col("__p.*"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism,
         col("id_a"), col("id_b"))
       .dropDuplicates()
     val ham = bit_count(col("a1").bitwiseXOR(col("b1"))) +
       bit_count(col("a2").bitwiseXOR(col("b2")))
-    releaseAfterAction(cand.withColumn("hamming", ham.cast("long"))
+    cand.withColumn("hamming", ham.cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming")),
-      sig)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** X2f: edit-distance-verified near-dup pairs — the fuzzy-dedup

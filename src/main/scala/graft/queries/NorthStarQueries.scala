@@ -572,10 +572,11 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // X4: quality scoring
+    // X4: quality scoring (scan widened before the regex-heavy metric
+    // projection — r21, ScanWidth)
     "q_text_quality" -> ((s, d) => {
       val m = TextFns.qualityMetrics(col("text"))
-      table(s, d, "documents")
+      graft.operators.ScanWidth.ensure(table(s, d, "documents"))
         .select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))
     }),

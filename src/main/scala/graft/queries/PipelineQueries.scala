@@ -30,8 +30,13 @@ object PipelineQueries {
   def envelopeStream(s: SparkSession, d: String): DataFrame = {
     val k = col("o_orderkey")
     val id = (k % 100).as("uid")
-    val df = table(s, d, "orders").select(k, id,
-      (unix_millis(col("o_orderdate").cast("timestamp")) * 1000L).as("ts_us"))
+    // narrow scans widened before the envelope encode (r21,
+    // ScanWidth): to_json + the double-encode escape otherwise run in
+    // ONE task on the one-file fixture orders table, and every CDC
+    // query's from_json parse downstream inherits that width
+    val df = graft.operators.ScanWidth.ensure(table(s, d, "orders"))
+      .select(k, id,
+        (unix_millis(col("o_orderdate").cast("timestamp")) * 1000L).as("ts_us"))
     val op = when(k % 10 <= 4, "c").when(k % 10 <= 7, "u")
       .when(k % 10 === 8, "d").otherwise("x")
     val user = struct(col("uid").as("id"),

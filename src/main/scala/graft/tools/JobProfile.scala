@@ -42,6 +42,11 @@ object JobProfile {
         val rdds = si.rddInfos.map(_.name).filter(_ != null).distinct
           .mkString(",").take(120)
         lines += f"    stage ${si.stageId}%3d ${wall}%6.2fs tasks=${si.numTasks}%3d  ${si.name.take(60)} rdds=[$rdds]"
+        if (wall > 0.4) {
+          val scopes = si.rddInfos.flatMap(_.scope)
+            .map(_.name).distinct.mkString(" | ")
+          lines += s"        scopes: ${scopes.take(300)}"
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
